@@ -1,0 +1,65 @@
+"""Benchmark runner — the driver executes this per round (BENCH_r{N}.json).
+
+Runs the headline queries at ``$SPARK_GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]`` and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is forced with a count() (no driver-side collect of data);
+a warm-up pass on sf's smallest table primes the JVM/codegen so the
+numbers measure the plans, not session startup.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    "q_join_star",
+    "q_agg_by_status",
+    "q_normalize_events",
+    "q_dedup_events",
+    "q_window_rank",
+    "q_topk_resources",
+    "q_rollup_region_nation",
+    "q_asof_join",
+    "q_count_per_window",
+    "q_semi_join",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    import __spark_entry__ as entry_mod
+    from cloudtrace_exporter_spark.session import get_spark
+
+    spark = get_spark("bench")
+    qs = entry_mod.queries()
+    names = [n for n in HEADLINE if n in qs]
+    # warm-up: prime codegen + parquet footer cache with the smallest query
+    qs[names[0]](spark, sf_dir).count()
+
+    timings: dict[str, float] = {}
+    for name in names:
+        t0 = time.time()
+        qs[name](spark, sf_dir).count()
+        timings[name] = round(time.time() - t0, 3)
+
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    out = {
+        "metric": "headline_queries_total_wall",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,102 @@
+"""Graph materialization — set-oriented replacement for the Neo4j MERGE sink.
+
+The reference loads each event into Neo4j as a star-shaped subgraph with
+one Cypher transaction per event (/root/reference/pkg/neo4j/client.go:10-21,
+50-84): 6 ``MERGE`` nodes + 5 ``MERGE`` edges, where MERGE-by-key makes
+re-delivery idempotent. The set-oriented Spark equivalent: build one
+DataFrame per node label and per edge type from a micro-batch (or the
+whole history) and ``dropDuplicates`` on the MERGE key — identical
+semantics, but O(batch) shuffles instead of O(events) transactions.
+
+Layout follows the GraphFrames convention: node frames carry an ``id``
+(or composite key) + attributes; edge frames carry ``src``/``dst``.
+
+Scale note (100 TB): each builder is select+dropDuplicates — one shuffle
+per node/edge table, all on narrow key columns. Dimension tables
+(regions/statuses/tenants) collapse to a handful of rows, so downstream
+joins against them are broadcasts. ``actions`` is the fact table; keep it
+partitioned by its id (the dedup shuffle already does).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def build_nodes(events: DataFrame) -> dict[str, DataFrame]:
+    """EVENT_SCHEMA frame → the 6 node tables (client.go:10-15), dedup'd by key."""
+    return {
+        # MERGE (region:REGION{name:$region})            client.go:10
+        "regions": events.select(F.col("region").alias("name")).dropDuplicates(["name"]),
+        # MERGE (status:STATUS{id:$status})               client.go:11
+        "statuses": events.select(F.col("status").alias("id")).dropDuplicates(["id"]),
+        # MERGE (subject:SUBJECT{id:$subject})            client.go:12
+        "subjects": events.select(F.col("subject").alias("id")).dropDuplicates(["id"]),
+        # MERGE (tenant:TENANT{tenantId,domainId})        client.go:13 (composite key)
+        "tenants": events.select(
+            F.col("tenant").alias("tenant_id"), F.col("domain").alias("domain_id")
+        ).dropDuplicates(["tenant_id", "domain_id"]),
+        # MERGE (resource:RESOURCE{id:$resourceId})       client.go:14
+        "resources": events.select(F.col("resource_id").alias("id")).dropDuplicates(["id"]),
+        # MERGE (action:ACTION{id,timestamp,source,type}) client.go:15
+        "actions": events.select(
+            F.col("event_id").alias("id"),
+            F.col("event_time").alias("timestamp"),
+            "source",
+            "type",
+        ).dropDuplicates(["id"]),
+    }
+
+
+def build_edges(events: DataFrame) -> dict[str, DataFrame]:
+    """EVENT_SCHEMA frame → the 5 edge tables (client.go:15-20), dedup'd.
+
+    The Cypher states APPLIED_ON twice (client.go:15 and :18) — redundant
+    but MERGE-idempotent; here it is naturally a single dedup'd edge set.
+    Composite tenant key is carried as two columns.
+    """
+    return {
+        # ACTION-[:APPLIED_ON]->RESOURCE                  client.go:15,18
+        "applied_on": events.select(
+            F.col("event_id").alias("src"), F.col("resource_id").alias("dst")
+        ).dropDuplicates(["src", "dst"]),
+        # TENANT-[:LOCATED_AT]->REGION                    client.go:16
+        "located_at": events.select(
+            F.col("tenant").alias("src"),
+            F.col("domain").alias("src_domain"),
+            F.col("region").alias("dst"),
+        ).dropDuplicates(["src", "src_domain", "dst"]),
+        # RESOURCE-[:MEMBER_OF]->TENANT                   client.go:17
+        "member_of": events.select(
+            F.col("resource_id").alias("src"),
+            F.col("tenant").alias("dst"),
+            F.col("domain").alias("dst_domain"),
+        ).dropDuplicates(["src", "dst", "dst_domain"]),
+        # ACTION-[:WITH_STATUS]->STATUS                   client.go:19
+        "with_status": events.select(
+            F.col("event_id").alias("src"), F.col("status").alias("dst")
+        ).dropDuplicates(["src", "dst"]),
+        # ACTION-[:PERFORMED_BY]->SUBJECT                 client.go:20
+        "performed_by": events.select(
+            F.col("event_id").alias("src"), F.col("subject").alias("dst")
+        ).dropDuplicates(["src", "dst"]),
+    }
+
+
+def build_graph(events: DataFrame) -> tuple[dict[str, DataFrame], dict[str, DataFrame]]:
+    """Full graph build for a batch of events (A14, set-oriented)."""
+    return build_nodes(events), build_edges(events)
+
+
+def upsert_nodes(existing: DataFrame, incoming: DataFrame, key_cols: list[str]) -> DataFrame:
+    """MERGE-into-existing semantics without a transactional table format:
+
+    keep every existing row, add only incoming keys not already present
+    (anti-join + union). This is the batch analog of re-running the
+    reference's Cypher MERGE over a new micro-batch. With Delta/Iceberg on
+    the cluster this becomes a real ``MERGE INTO``; the jars aren't in
+    this image, so the composition stays format-agnostic.
+    """
+    fresh = incoming.join(existing, on=key_cols, how="left_anti")
+    return existing.unionByName(fresh)

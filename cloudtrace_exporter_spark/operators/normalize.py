@@ -1,0 +1,202 @@
+"""Event normalization — the reference's trace→CloudEvent transform, Spark-first.
+
+Re-expresses ``TraceToCloudEvent`` and its helpers
+(``/root/reference/pkg/adapter/adapter.go:220-264``) as pure DataFrame
+expressions. Everything stays JVM-side / whole-stage-codegen — no Python
+in the hot path. Each function takes and returns a DataFrame so the
+family composes into one narrow (shuffle-free) ``select`` chain; Catalyst
+fuses the whole pipeline into a single codegen stage over the scan.
+
+Scale note (100 TB): every operator here is a narrow map — zero shuffles.
+The only wide op in the family is the dedup (``dedup_events``), which
+shuffles on the event id once; at scale that shuffle is also the
+partitioning the downstream graph build wants, so it is reused.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Mapping
+from datetime import datetime
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# --------------------------------------------------------------------------
+# Column-level building blocks (reusable expressions)
+# --------------------------------------------------------------------------
+
+
+def derive_event_type(
+    service_type: Column | str,
+    trace_type: Column | str,
+    resource_type: Column | str,
+    trace_name: Column | str,
+) -> Column:
+    """CE ``type`` = lower(concat_ws('.', parts)) with trailing dots stripped.
+
+    Mirrors /root/reference/pkg/adapter/adapter.go:226-234: the Go code
+    joins the four parts with '.', lowercases, then right-trims '.' so
+    blank trailing parts don't leave dangling separators. concat_ws
+    already skips NULLs; empty strings still produce separators, hence
+    the trim. (Go's strings.Join keeps empties; TrimRight removes the
+    resulting trailing dots — interior empties survive, so we do NOT
+    collapse interior dots either.)
+    """
+    joined = F.concat_ws(".", service_type, trace_type, resource_type, trace_name)
+    return F.regexp_replace(F.lower(joined), r"\.+$", "")
+
+
+def derive_subject(resource_name: Column | str, resource_id: Column | str) -> Column:
+    """CE ``subject`` = resource_name if non-blank after trim, else resource_id.
+
+    Mirrors /root/reference/pkg/adapter/adapter.go:236-240 (blank-aware
+    coalesce). NOTE the Go code trims only for the *check* and sets the
+    untrimmed name; we preserve that exactly.
+    """
+    name = F.col(resource_name) if isinstance(resource_name, str) else resource_name
+    rid = F.col(resource_id) if isinstance(resource_id, str) else resource_id
+    return F.when(F.trim(name) != F.lit(""), name).otherwise(rid)
+
+
+def millis_to_timestamp(ms: Column | str) -> Column:
+    """Epoch-millis → TimestampType (adapter.go:242, ``time.UnixMilli``)."""
+    return F.timestamp_millis(F.col(ms) if isinstance(ms, str) else ms)
+
+
+def timestamp_to_millis(ts: Column | str) -> Column:
+    """TimestampType → epoch-millis (adapter.go:95-96, ``UnixNano()/1e6``)."""
+    return F.unix_millis(F.col(ts) if isinstance(ts, str) else ts)
+
+
+# --------------------------------------------------------------------------
+# DataFrame-level operators
+# --------------------------------------------------------------------------
+
+
+def time_window_filter(
+    df: DataFrame,
+    ts_col: str,
+    lo: datetime | str,
+    hi: datetime | str,
+) -> DataFrame:
+    """Sliding time-window predicate ``[lo, hi]``, inclusive both ends.
+
+    The reference computes ``[now − From·min − delta, now]`` and pushes it
+    into the REST call (/root/reference/pkg/adapter/adapter.go:93-102);
+    here the BETWEEN lands in the parquet scan as a pushed filter (check
+    ``PushedFilters`` in .explain), and prunes partitions when the table
+    is laid out by date.
+    """
+    return df.filter(F.col(ts_col).between(F.lit(lo), F.lit(hi)))
+
+
+def normalize_traces(
+    df: DataFrame,
+    *,
+    source: str,
+    region: str,
+    domain: str,
+    tenant: str,
+    overrides: Mapping[str, str] | None = None,
+) -> DataFrame:
+    """Full trace→CloudEvent projection (A5-A11) over a TRACE_SCHEMA frame.
+
+    Produces EVENT_SCHEMA. ``source/region/domain/tenant`` are the client
+    auth-context constants (adapter.go:224,252-254); ``overrides`` is the
+    K_CE_OVERRIDES merge applied LAST, overwriting collisions
+    (adapter.go:256-261).
+    """
+    out = df.select(
+        F.col("trace_id").alias("event_id"),  # adapter.go:222
+        F.lit(source).alias("source"),  # adapter.go:224
+        derive_event_type("service_type", "trace_type", "resource_type", "trace_name").alias(
+            "type"
+        ),
+        derive_subject("resource_name", "resource_id").alias("subject"),
+        millis_to_timestamp("time").alias("event_time"),
+        F.col("trace_status").alias("status"),  # adapter.go:249
+        F.col("code"),  # adapter.go:250
+        F.col("resource_id"),  # adapter.go:251
+        F.lit(region).alias("region"),  # adapter.go:252
+        F.lit(domain).alias("domain"),  # adapter.go:253
+        F.lit(tenant).alias("tenant"),  # adapter.go:254
+        F.to_json(F.struct(*df.columns)).alias("data"),  # adapter.go:244-247
+    )
+    return apply_overrides(out, overrides or {})
+
+
+def apply_overrides(df: DataFrame, overrides: Mapping[str, str]) -> DataFrame:
+    """K_CE_OVERRIDES semantics: merge last, last-writer-wins (adapter.go:256-261).
+
+    Keys that collide with existing columns overwrite them; new keys
+    append as literal columns.
+    """
+    for key, value in overrides.items():
+        df = df.withColumn(key, F.lit(value))
+    return df
+
+
+def dedup_events(df: DataFrame, key: str = "event_id") -> DataFrame:
+    """Exact dedup by event id — at-least-once → effectively-once.
+
+    The reference achieves this with overlapping poll windows
+    (adapter.go:266-271) absorbed by Neo4j MERGE idempotency
+    (/root/reference/pkg/neo4j/client.go:10-21). Batch equivalent:
+    one hash-shuffle on the key. Streaming equivalent:
+    ``dropDuplicatesWithinWatermark`` (see streaming.pipeline).
+    """
+    return df.dropDuplicates([key])
+
+
+def classify_status(df: DataFrame, value_col: str, out_col: str = "status") -> DataFrame:
+    """Outcome classification into the reference's three-way status enum.
+
+    ``normal | warning | incident`` per /root/reference/README.md:44 and
+    the ``status`` extension (adapter.go:249). The fixture has no status
+    column, so the canonical mapping buckets the numeric measure
+    (fixture ``value`` ranges ~0-490): <100 normal, <300 warning, else
+    incident. Deterministic thresholds keep it oracle-checkable.
+    """
+    v = F.col(value_col)
+    return df.withColumn(
+        out_col,
+        F.when(v < 100.0, F.lit("normal"))
+        .when(v < 300.0, F.lit("warning"))
+        .otherwise(F.lit("incident")),
+    )
+
+
+def events_as_traces(events: DataFrame) -> DataFrame:
+    """Adapter: driver ``events`` fixture → TRACE_SCHEMA rows.
+
+    Deterministic column mapping so the whole Part-A normalize chain can
+    run (and be oracle-checked) against the fixture. Chosen to exercise
+    every cited edge case: ``trace_name`` is blank for ``view`` events
+    (→ trailing-dot trim, adapter.go:226-234), ``resource_name`` is blank
+    for low-value events (→ blank-aware subject coalesce,
+    adapter.go:236-240), ``time`` is epoch-millis (adapter.go:242), and
+    status/code carry the classification + JSON-extracted payload field.
+
+    The DuckDB-side mirror of this mapping lives in
+    ``__spark_entry__.EVENTS_AS_TRACES_SQL`` — keep the two in lockstep.
+    """
+    v = F.col("value")
+    return events.select(
+        F.col("event_id").cast("string").alias("trace_id"),
+        F.lit("cts").alias("service_type"),
+        F.col("event_type").alias("trace_type"),
+        F.lit("res").alias("resource_type"),
+        F.when(F.col("event_type") == "view", F.lit("")).otherwise(F.col("event_type")).alias(
+            "trace_name"
+        ),
+        F.concat(F.lit("r"), F.col("user_id").cast("string")).alias("resource_id"),
+        F.when(v < 100.0, F.lit(""))
+        .otherwise(F.concat(F.lit("res-"), F.col("user_id").cast("string")))
+        .alias("resource_name"),
+        F.unix_millis(F.col("ts")).alias("time"),
+        F.when(v < 100.0, F.lit("normal"))
+        .when(v < 300.0, F.lit("warning"))
+        .otherwise(F.lit("incident"))
+        .alias("trace_status"),
+        F.get_json_object("props", "$.k").alias("code"),
+    )

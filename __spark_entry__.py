@@ -334,7 +334,7 @@ EVENTS_AS_TRACES_SQL = """
       trace_id AS event_id,
       'https://cts.example' AS source,
       rtrim(lower(concat_ws('.', service_type, trace_type, resource_type, trace_name)), '.') AS type,
-      CASE WHEN trim(resource_name) <> '' THEN resource_name ELSE resource_id END AS subject,
+      CASE WHEN regexp_replace(resource_name, '^\s+|\s+$', '', 'g') <> '' THEN resource_name ELSE resource_id END AS subject,
       epoch_ms(t_ms) AS event_time,
       trace_status AS status,
       code,

@@ -50,12 +50,15 @@ def derive_subject(resource_name: Column | str, resource_id: Column | str) -> Co
     """CE ``subject`` = resource_name if non-blank after trim, else resource_id.
 
     Mirrors /root/reference/pkg/adapter/adapter.go:236-240 (blank-aware
-    coalesce). NOTE the Go code trims only for the *check* and sets the
-    untrimmed name; we preserve that exactly.
+    coalesce). Two fidelity details: (1) Go trims only for the *check*
+    and sets the UNtrimmed name — preserved; (2) Go ``strings.TrimSpace``
+    strips all whitespace (tabs/newlines), while Spark ``trim`` strips
+    only spaces — so the check uses a ``\\s`` regex, not ``trim``.
     """
     name = F.col(resource_name) if isinstance(resource_name, str) else resource_name
     rid = F.col(resource_id) if isinstance(resource_id, str) else resource_id
-    return F.when(F.trim(name) != F.lit(""), name).otherwise(rid)
+    stripped = F.regexp_replace(name, r"^\s+|\s+$", "")
+    return F.when(stripped != F.lit(""), name).otherwise(rid)
 
 
 def millis_to_timestamp(ms: Column | str) -> Column:

@@ -1,0 +1,20 @@
+from cloudtrace_exporter_spark.streaming.pipeline import (
+    dedup_within_watermark,
+    read_event_stream,
+    session_windows,
+    sliding_counts,
+    stream_static_enrich,
+    tumbling_counts,
+)
+from cloudtrace_exporter_spark.streaming.sinks import DeliveryCounters, foreach_batch_graph_upsert
+
+__all__ = [
+    "DeliveryCounters",
+    "dedup_within_watermark",
+    "foreach_batch_graph_upsert",
+    "read_event_stream",
+    "session_windows",
+    "sliding_counts",
+    "stream_static_enrich",
+    "tumbling_counts",
+]

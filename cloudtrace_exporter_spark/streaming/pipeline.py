@@ -1,0 +1,101 @@
+"""Structured Streaming re-expression of the reference's ingest loop.
+
+The reference's concurrency model — ticker + 3 goroutines + unbuffered
+channels (/root/reference/cmd/cts_exporter/main.go:118-178) — maps onto
+Spark's micro-batch engine: the trigger owns the clock (A18), the source
+owns pagination (A2), the watermark owns late data (A4), and
+``dropDuplicatesWithinWatermark`` owns the at-least-once → effectively-
+once upgrade that Neo4j MERGE provided (A14).
+
+Source strategy: a **file micro-batch source** simulating the CTS poll —
+the ingest adapter lands raw pages as parquet files into a directory;
+``readStream`` picks up new files per trigger. This keeps offsets in the
+checkpoint (replayable, exactly-once per key with the dedup below),
+which is strictly stronger than the reference's wall-clock-delta
+overlap. At production scale the same pipeline runs off Kafka by
+swapping ``format``; every transformation below is source-agnostic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cloudtrace_exporter_spark.schemas import EVENTS_RAW_SCHEMA, EVENTS_SCHEMA
+
+
+def read_event_stream(
+    spark: SparkSession,
+    path: str,
+    *,
+    raw_nanos: bool = False,
+    max_files_per_trigger: int = 10,
+) -> DataFrame:
+    """File micro-batch source over landed event pages (A1+A2 analog).
+
+    ``maxFilesPerTrigger`` is the backpressure knob — the analog of the
+    reference's page size (``tracesLowerBound=50``,
+    /root/reference/pkg/adapter/querier.go:15) but applied per trigger
+    instead of per request.
+    """
+    schema = EVENTS_RAW_SCHEMA if raw_nanos else EVENTS_SCHEMA
+    reader = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(path)
+    )
+    if raw_nanos:
+        reader = reader.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return reader
+
+
+def dedup_within_watermark(
+    stream: DataFrame, key: str = "event_id", ts_col: str = "ts", delay: str = "10 minutes"
+) -> DataFrame:
+    """A4+A14: overlapping at-least-once windows → effectively-once.
+
+    The reference widens each poll window by the previous cycle's lag
+    (adapter.go:266-271) and lets Neo4j MERGE absorb the duplicates
+    (client.go:10-21). Spark equivalent: bounded state keyed by event id,
+    expiring at the watermark — O(keys-in-flight) state, not O(history),
+    which is what makes it viable at 100 TB/day.
+    """
+    return stream.withWatermark(ts_col, delay).dropDuplicatesWithinWatermark([key])
+
+
+def tumbling_counts(stream: DataFrame, *, size: str = "5 minutes", delay: str = "10 minutes") -> DataFrame:
+    """B28 tumbling window + B29 watermark: per-window, per-type counts."""
+    return (
+        stream.withWatermark("ts", delay)
+        .groupBy(F.window("ts", size), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+    )
+
+
+def sliding_counts(
+    stream: DataFrame, *, size: str = "10 minutes", slide: str = "5 minutes", delay: str = "10 minutes"
+) -> DataFrame:
+    """B27/B28 sliding (overlapping) windows — the direct analog of the
+    reference's overlapping poll windows (A3+A4)."""
+    return (
+        stream.withWatermark("ts", delay)
+        .groupBy(F.window("ts", size, slide))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def session_windows(stream: DataFrame, *, gap: str = "5 minutes", delay: str = "10 minutes") -> DataFrame:
+    """B28 session windows: per-subject activity bursts closed by a gap."""
+    return (
+        stream.withWatermark("ts", delay)
+        .groupBy(F.session_window("ts", gap), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 2).alias("session_value"))
+    )
+
+
+def stream_static_enrich(stream: DataFrame, dim: DataFrame, on: str, how: str = "left") -> DataFrame:
+    """B32 stream-static join — dimension enrichment at load time (the graph
+    context the reference attaches from the auth client, adapter.go:252-254).
+    The static side is re-read per micro-batch; Spark broadcasts it when
+    small, so the stream never shuffles."""
+    return stream.join(dim, on=on, how=how)

@@ -1,0 +1,94 @@
+"""Graph materialization tests — MERGE idempotency semantics (SURVEY §2 A14)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import Row
+
+from cloudtrace_exporter_spark.operators import graph
+from cloudtrace_exporter_spark.schemas import EVENT_SCHEMA
+
+
+def _event(**kw) -> Row:
+    base = dict(
+        event_id="e1",
+        source="https://cts.example",
+        type="ecs.apicall.ecs.create",
+        subject="server-a",
+        event_time=dt.datetime(2024, 1, 1, 12, 0, 0),
+        status="normal",
+        code="200",
+        resource_id="r1",
+        region="eu-de",
+        domain="d1",
+        tenant="p1",
+        data="{}",
+    )
+    base.update(kw)
+    return Row(**base)
+
+
+def _events(spark, rows):
+    return spark.createDataFrame(rows, schema=EVENT_SCHEMA)
+
+
+def test_node_labels_complete(spark):
+    nodes = graph.build_nodes(_events(spark, [_event()]))
+    assert set(nodes) == {"regions", "statuses", "subjects", "tenants", "resources", "actions"}
+
+
+def test_edge_types_complete(spark):
+    edges = graph.build_edges(_events(spark, [_event()]))
+    assert set(edges) == {"applied_on", "located_at", "member_of", "with_status", "performed_by"}
+
+
+def test_merge_idempotency_duplicate_events(spark):
+    # re-delivery of the same actionId is a no-op (client.go MERGE semantics)
+    ev = _events(spark, [_event(), _event()])
+    nodes, edges = graph.build_graph(ev)
+    assert nodes["actions"].count() == 1
+    assert edges["applied_on"].count() == 1
+
+
+def test_dimension_dedup_across_events(spark):
+    ev = _events(
+        spark,
+        [
+            _event(event_id="e1", resource_id="r1"),
+            _event(event_id="e2", resource_id="r1"),  # same resource
+            _event(event_id="e3", resource_id="r2", status="warning"),
+        ],
+    )
+    nodes, edges = graph.build_graph(ev)
+    assert nodes["actions"].count() == 3
+    assert nodes["resources"].count() == 2
+    assert nodes["statuses"].count() == 2
+    assert nodes["regions"].count() == 1
+    assert edges["applied_on"].count() == 3
+    # single tenant → single located_at edge regardless of event count
+    assert edges["located_at"].count() == 1
+
+
+def test_tenant_composite_key(spark):
+    ev = _events(
+        spark,
+        [
+            _event(event_id="e1", tenant="p1", domain="d1"),
+            _event(event_id="e2", tenant="p1", domain="d2"),  # same tenant id, different domain
+        ],
+    )
+    nodes = graph.build_nodes(ev)
+    assert nodes["tenants"].count() == 2  # composite (tenantId, domainId) key — client.go:13
+
+
+def test_upsert_nodes_anti_join_semantics(spark):
+    existing = graph.build_nodes(_events(spark, [_event(event_id="e1")]))["actions"]
+    incoming = graph.build_nodes(
+        _events(spark, [_event(event_id="e1"), _event(event_id="e2")])
+    )["actions"]
+    merged = graph.upsert_nodes(existing, incoming, ["id"])
+    assert merged.count() == 2
+    # re-upserting the same batch changes nothing (idempotent)
+    merged2 = graph.upsert_nodes(merged, incoming, ["id"])
+    assert merged2.count() == 2

@@ -1,0 +1,154 @@
+"""Structured Streaming tests (SURVEY §5.4, B26-B32).
+
+Strategy: slice the deterministic events fixture into chronological
+parquet chunks in a temp dir, drive a file-source streaming query to
+completion with availableNow, and assert on the materialized results —
+watermark late-row handling, dedup-within-watermark across micro-batches,
+session windows, and the foreachBatch graph sink's delivered/failed
+accounting.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from cloudtrace_exporter_spark.operators import normalize
+from cloudtrace_exporter_spark.sources.tables import load_table
+from cloudtrace_exporter_spark.streaming import (
+    DeliveryCounters,
+    dedup_within_watermark,
+    foreach_batch_graph_upsert,
+    read_event_stream,
+    session_windows,
+    tumbling_counts,
+)
+from cloudtrace_exporter_spark.streaming.sinks import run_to_completion
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def staged_events(spark, tmp_path_factory):
+    """events fixture split into 4 chronological parquet chunks (micro-batch pages)."""
+    root = tmp_path_factory.mktemp("stream_src")
+    ev = load_table(spark, SF, "events").orderBy("ts")
+    ev = ev.withColumn("chunk", F.ntile(4).over(__import__("pyspark").sql.Window.orderBy("ts")))
+    for i in range(1, 5):
+        (ev.filter(F.col("chunk") == i).drop("chunk")
+           .coalesce(1).write.mode("overwrite").parquet(str(root / f"chunk={i}")))
+    # flatten: move part files into one dir so readStream sees 4 files arrive
+    flat = tmp_path_factory.mktemp("stream_flat")
+    n = 0
+    for i in range(1, 5):
+        d = root / f"chunk={i}"
+        for f in os.listdir(d):
+            if f.endswith(".parquet"):
+                os.rename(d / f, flat / f"page_{i}_{n}.parquet")
+                n += 1
+    return str(flat)
+
+
+def _run_to_memory(spark, stream_df, name, mode="append"):
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.sql(f"SELECT * FROM {name}")
+
+
+def test_file_source_reads_all_pages(spark, staged_events, tmp_path):
+    stream = read_event_stream(spark, staged_events, max_files_per_trigger=1)
+    out = _run_to_memory(spark, stream.select("event_id"), "t_all_pages")
+    assert out.count() == 1000  # sf0.001 events rows
+
+
+def test_dedup_within_watermark_across_batches(spark, staged_events, tmp_path):
+    # at-least-once: re-deliver page content by reading the dir twice via union
+    stream = read_event_stream(spark, staged_events, max_files_per_trigger=2)
+    deduped = dedup_within_watermark(stream.union(stream), delay="30 days")
+    out = _run_to_memory(spark, deduped.select("event_id"), "t_dedup")
+    assert out.count() == 1000
+    assert out.distinct().count() == 1000
+
+
+def test_tumbling_counts_match_batch(spark, staged_events):
+    stream = read_event_stream(spark, staged_events)
+    agg = tumbling_counts(stream, size="1 hour", delay="0 seconds")
+    # append mode would (correctly) hold back the final unclosed window —
+    # the watermark never passes the max event time; complete mode emits all.
+    out = _run_to_memory(spark, agg, "t_tumbling", mode="complete")
+    batch = (
+        load_table(spark, SF, "events")
+        .groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    assert out.agg(F.sum("n")).collect()[0][0] == batch.agg(F.sum("n")).collect()[0][0] == 1000
+    assert out.count() == batch.count()
+
+
+def test_tumbling_append_holds_back_open_window(spark, staged_events):
+    # B29 invariant, tested directly: in append mode the final window stays
+    # open (watermark = max ts < window end) → emitted rows < total rows.
+    stream = read_event_stream(spark, staged_events)
+    out = _run_to_memory(
+        spark, tumbling_counts(stream, size="1 hour", delay="0 seconds"), "t_tumbling_append"
+    )
+    emitted = out.agg(F.sum("n")).collect()[0][0]
+    assert emitted < 1000
+    assert emitted >= 990  # only the tail window withheld
+
+
+def test_session_windows_close(spark, staged_events):
+    stream = read_event_stream(spark, staged_events)
+    out = _run_to_memory(
+        spark, session_windows(stream, gap="30 minutes", delay="0 seconds"), "t_sess", mode="complete"
+    )
+    assert out.count() > 0
+    assert out.agg(F.sum("n_events")).collect()[0][0] == 1000
+
+
+def test_foreach_batch_graph_sink(spark, staged_events, tmp_path):
+    stream = read_event_stream(spark, staged_events, max_files_per_trigger=2)
+    normalized = normalize.normalize_traces(
+        normalize.events_as_traces(stream),
+        source="https://cts.example", region="eu-de", domain="d1", tenant="p1",
+    )
+    counters = DeliveryCounters()
+    out_dir = str(tmp_path / "graph")
+    sink = foreach_batch_graph_upsert(out_dir, counters)
+    run_to_completion(normalized, sink, str(tmp_path / "ckpt"))
+    assert counters.failed == 0
+    assert counters.delivered == 1000
+    assert counters.batches >= 2  # maxFilesPerTrigger=2 over 4 files
+    actions = spark.read.parquet(os.path.join(out_dir, "nodes", "actions"))
+    assert actions.count() == 1000  # MERGE idempotency across batches
+    assert actions.select("id").distinct().count() == 1000
+    subjects = spark.read.parquet(os.path.join(out_dir, "nodes", "subjects"))
+    assert subjects.count() == subjects.distinct().count()
+
+
+def test_sink_failure_is_counted_not_raised(spark, staged_events, tmp_path):
+    # A13 semantics: per-record/batch failure tolerated, counted, logged
+    stream = read_event_stream(spark, staged_events)
+    counters = DeliveryCounters()
+
+    def boom(batch_df, epoch_id):
+        raise RuntimeError("sink down")
+
+    def wrapped(batch_df, epoch_id):
+        try:
+            boom(batch_df, epoch_id)
+        except Exception as exc:
+            counters.record(failed=1, error=str(exc))
+
+    run_to_completion(stream, wrapped, str(tmp_path / "ckpt2"))
+    assert counters.failed >= 1
+    assert "sink down" in counters.errors[0]

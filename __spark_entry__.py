@@ -19,7 +19,16 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from cloudtrace_exporter_spark.operators import analytics, graph, normalize
+from cloudtrace_exporter_spark.operators import (
+    analytics,
+    dedup,
+    graph,
+    multimodal,
+    normalize,
+    similarity,
+    text,
+    udfs,
+)
 from cloudtrace_exporter_spark.sources.tables import load_table
 
 # Auth-context constants for the normalize chain (the reference takes these
@@ -269,6 +278,138 @@ def q_scalar_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# B-IV: LLM-data-pipeline extensions (B33-B37 + driver north_star)
+# --------------------------------------------------------------------------
+
+
+def q_doc_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B33 exact dedup: md5-keyed groupBy keeping the lowest doc_id."""
+    return dedup.exact_dedup(load_table(spark, sf_dir, "documents"))
+
+
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B33 exact token-set Jaccard pairs ≥0.95 (fixture-scale ground truth;
+    LSH is the scale path — see q_minhash_dedup)."""
+    return dedup.jaccard_pairs(load_table(spark, sf_dir, "documents"), threshold=0.95)
+
+
+def q_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B33 MinHash+LSH near-dup pairs (xxhash64 signatures — engine-specific,
+    rows-only check; recall vs q_ngram_jaccard asserted in tests)."""
+    return dedup.minhash_lsh_pairs(load_table(spark, sf_dir, "documents"), threshold=0.5)
+
+
+def q_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B33 SimHash near-dups, 16-bit-block bucketed (rows-only)."""
+    return dedup.simhash_near_dups(load_table(spark, sf_dir, "documents"), max_hamming=8)
+
+
+def q_embed_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B33 embedding-cosine near-dup pairs (exact pairwise at fixture scale)."""
+    return dedup.embedding_near_dups(load_table(spark, sf_dir, "embeddings"), threshold=0.4)
+
+
+def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B34 brute-force cosine top-k: 10 broadcast query vectors vs corpus."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.cosine_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)
+
+
+def q_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B34 approximate top-k via hyperplane-LSH buckets (rows-only; recall
+    vs q_cosine_topk asserted in tests)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.lsh_topk(emb, emb.filter(F.col("vec_id") < 10), k=5, n_bits=2)
+
+
+def q_token_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B35 corpus term frequency."""
+    return text.term_frequencies(load_table(spark, sf_dir, "documents"))
+
+
+def q_lang_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B35 per-language corpus stats."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("n_chars"), 2).alias("avg_chars"),
+            F.round(F.avg(text.token_count("text")), 2).alias("avg_tokens"),
+        )
+        .orderBy("lang")
+    )
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B35 stopword-heuristic language ID."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text.language_id(docs).select("doc_id", "lang", "lang_pred")
+
+
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B35 quality scoring (Gopher/C4-style heuristics)."""
+    return text.quality_features(load_table(spark, sf_dir, "documents"))
+
+
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B35 document fingerprinting (md5 over normalized text)."""
+    return text.fingerprint(load_table(spark, sf_dir, "documents")).select("doc_id", "fingerprint")
+
+
+def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B35 token counting: whitespace + BPE-ish regex."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        text.token_count("text").cast("long").alias("n_ws_tokens"),
+        text.bpe_ish_token_count("text").cast("long").alias("n_bpe_tokens"),
+    )
+
+
+def q_array_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B36 element-wise array ops over embeddings (higher-order built-ins)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    return emb.select(
+        "vec_id",
+        F.round(F.sqrt(F.aggregate(v, F.lit(0.0), lambda a, x: a + x * x)), 6).alias("l2_norm"),
+        F.size(F.filter(v, lambda x: x > 0)).cast("long").alias("n_positive"),
+        F.round(F.aggregate(v, F.lit(0.0), lambda a, x: a + x) / F.size(v), 6).alias("mean_val"),
+        F.round(F.array_max(v), 6).alias("max_val"),
+    )
+
+
+def q_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B36 multimodal plumbing: binary payload + metadata + magic-byte sniff
+    (blob never decoded; metadata queries prune the payload column)."""
+    docs = multimodal.attach_binary_payload(load_table(spark, sf_dir, "documents"))
+    sniffed = multimodal.sniff_format(docs)
+    return sniffed.select(
+        "doc_id",
+        F.col("media_meta.n_bytes").alias("n_bytes"),
+        F.col("media_meta.media_type").alias("media_type"),
+        "sniffed_format",
+        F.lower(F.hex(F.substring(F.col("payload"), 1, 4))).alias("magic_hex"),
+    )
+
+
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B36 stubbed decode via mapInPandas (Arrow-batched; rows-only —
+    features are Python-derived)."""
+    docs = multimodal.attach_binary_payload(load_table(spark, sf_dir, "documents"))
+    feats = multimodal.decode_stub_features(docs)
+    return feats.select("doc_id", "media_type", "n_bytes", F.round(F.col("feature")[0], 6).alias("f0"))
+
+
+def q_pandas_udf_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B37 grouped-map pandas UDF: per-event-type z-score (ddof=0 ↔
+    stddev_pop, which is what makes the oracle exact)."""
+    ev = load_table(spark, sf_dir, "events")
+    return udfs.grouped_zscore(ev, "event_type", "value")
+
+
+# --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
 
@@ -305,6 +446,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_except": q_except,
         "q_asof_join": q_asof_join,
         "q_scalar_funcs": q_scalar_funcs,
+        "q_doc_dedup_exact": q_doc_dedup_exact,
+        "q_ngram_jaccard": q_ngram_jaccard,
+        "q_minhash_dedup": q_minhash_dedup,
+        "q_simhash_near_dup": q_simhash_near_dup,
+        "q_embed_near_dup": q_embed_near_dup,
+        "q_cosine_topk": q_cosine_topk,
+        "q_lsh_topk": q_lsh_topk,
+        "q_token_freq": q_token_freq,
+        "q_lang_stats": q_lang_stats,
+        "q_lang_id": q_lang_id,
+        "q_quality_score": q_quality_score,
+        "q_doc_fingerprint": q_doc_fingerprint,
+        "q_token_counts": q_token_counts,
+        "q_array_ops": q_array_ops,
+        "q_binary_meta": q_binary_meta,
+        "q_multimodal_features": q_multimodal_features,
+        "q_pandas_udf_zscore": q_pandas_udf_zscore,
     }
 
 
@@ -344,6 +502,19 @@ EVENTS_AS_TRACES_SQL = """
       'tenant-1' AS tenant
     FROM traces
   )
+"""
+
+
+# shared DuckDB fragments for the document/text oracles — keep in lockstep
+# with operators/text.py (tokens / LANG_STOPWORDS)
+_TOKENS_SQL = "list_filter(string_split(text, ' '), x -> x <> '')"
+_EN_STOPWORDS_SQL = "['the', 'a', 'of', 'and', 'to', 'in', 'is', 'that', 'it', 'for']"
+_LANG_HITS_SQL = """
+                len(list_filter(t, x -> list_contains(['der','die','das','und','ist','von','mit','für','auf','ein'], x))) AS h_de,
+                len(list_filter(t, x -> list_contains(['the','a','of','and','to','in','is','that','it','for'], x))) AS h_en,
+                len(list_filter(t, x -> list_contains(['el','la','los','de','y','es','un','una','para','en'], x))) AS h_es,
+                len(list_filter(t, x -> list_contains(['le','la','les','de','et','est','un','une','pour','dans'], x))) AS h_fr,
+                len(list_filter(t, x -> list_contains(['的','是','在','了','和','有','我','不','这','他'], x))) AS h_zh
 """
 
 
@@ -552,5 +723,140 @@ def oracle_sql() -> dict[str, str]:
                    round(ln(p_retailprice + 1.0), 6) AS log_price,
                    round(pow(CAST(p_size AS DOUBLE), 2.0), 2) AS size_sq
             FROM part
+        """,
+        "q_doc_dedup_exact": f"""
+            SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint,
+                   min(doc_id) AS doc_id, count(*) AS n_copies
+            FROM documents GROUP BY 1
+        """,
+        "q_ngram_jaccard": f"""
+            WITH t AS (SELECT doc_id, list_distinct({_TOKENS_SQL}) AS tok FROM documents)
+            SELECT * FROM (
+              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                     round(CASE WHEN len(list_distinct(list_concat(a.tok, b.tok))) > 0
+                                THEN CAST(len(list_intersect(a.tok, b.tok)) AS DOUBLE)
+                                     / len(list_distinct(list_concat(a.tok, b.tok)))
+                                ELSE 0.0 END, 6) AS jaccard
+              FROM t a JOIN t b ON a.doc_id < b.doc_id
+            ) WHERE jaccard >= 0.95
+        """,
+        # q_minhash_dedup / q_simhash_near_dup / q_lsh_topk: xxhash64-seeded
+        # signatures are engine-specific → rows-only (recall vs the exact
+        # ground-truth queries is asserted in tests/test_llm_ops.py).
+        "q_embed_near_dup": """
+            WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)
+            SELECT * FROM (
+              SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+                     round(list_dot_product(a.e, b.e)
+                           / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))), 6) AS cosine
+              FROM v a JOIN v b ON a.vec_id < b.vec_id
+            ) WHERE cosine >= 0.4
+        """,
+        "q_cosine_topk": """
+            WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+            q AS (SELECT * FROM v WHERE vec_id < 10),
+            scored AS (
+              SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,
+                     round(list_dot_product(c.e, q.e)
+                           / (sqrt(list_dot_product(c.e, c.e)) * sqrt(list_dot_product(q.e, q.e))), 6) AS cosine
+              FROM v c JOIN q ON c.vec_id <> q.vec_id
+            )
+            SELECT query_id, corpus_id, cosine, rnk FROM (
+              SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, corpus_id ASC) AS rnk
+              FROM scored
+            ) WHERE rnk <= 5
+        """,
+        "q_token_freq": f"""
+            SELECT token, count(*) AS freq
+            FROM (SELECT unnest({_TOKENS_SQL}) AS token FROM documents)
+            GROUP BY token
+        """,
+        "q_lang_stats": f"""
+            SELECT lang, count(*) AS n_docs, round(avg(n_chars), 2) AS avg_chars,
+                   round(avg(len({_TOKENS_SQL})), 2) AS avg_tokens
+            FROM documents GROUP BY lang ORDER BY lang
+        """,
+        "q_lang_id": f"""
+            WITH tok AS (
+              SELECT doc_id, lang,
+                     list_filter(string_split(lower(text), ' '), x -> x <> '') AS t
+              FROM documents
+            ), hits AS (
+              SELECT doc_id, lang,
+                {_LANG_HITS_SQL}
+              FROM tok
+            )
+            SELECT doc_id, lang,
+              CASE WHEN greatest(h_de, h_en, h_es, h_fr, h_zh) = 0 THEN 'unknown'
+                   WHEN h_de >= greatest(h_en, h_es, h_fr, h_zh) THEN 'de'
+                   WHEN h_en >= greatest(h_es, h_fr, h_zh) THEN 'en'
+                   WHEN h_es >= greatest(h_fr, h_zh) THEN 'es'
+                   WHEN h_fr >= h_zh THEN 'fr'
+                   ELSE 'zh' END AS lang_pred
+            FROM hits
+        """,
+        "q_quality_score": f"""
+            WITH tok AS (
+              SELECT doc_id, text, {_TOKENS_SQL} AS t FROM documents
+            ), feats AS (
+              SELECT doc_id,
+                     len(t) AS n_tokens,
+                     CASE WHEN len(t) > 0 THEN CAST(len(list_distinct(t)) AS DOUBLE) / len(t) ELSE 0.0 END AS distinct_ratio,
+                     CASE WHEN len(t) > 0 THEN CAST(len(list_filter(t, x -> list_contains({_EN_STOPWORDS_SQL}, x))) AS DOUBLE) / len(t) ELSE 0.0 END AS stopword_ratio,
+                     CASE WHEN len(t) > 0 THEN CAST(length(text) AS DOUBLE) / len(t) ELSE 0.0 END AS mean_word_len,
+                     CASE WHEN length(text) > 0 THEN CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS DOUBLE) / length(text) ELSE 0.0 END AS punct_ratio
+              FROM tok
+            )
+            SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+                   round(distinct_ratio, 6) AS distinct_ratio,
+                   round(stopword_ratio, 6) AS stopword_ratio,
+                   round(mean_word_len, 6) AS mean_word_len,
+                   round(punct_ratio, 6) AS punct_ratio,
+                   round(least(n_tokens / 100.0, 1.0) * 0.25
+                         + distinct_ratio * 0.25
+                         + stopword_ratio * 0.25
+                         + (1.0 - least(punct_ratio * 5.0, 1.0)) * 0.25, 6) AS quality_score
+            FROM feats
+        """,
+        "q_doc_fingerprint": """
+            SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint
+            FROM documents
+        """,
+        "q_token_counts": f"""
+            SELECT doc_id,
+                   CAST(len({_TOKENS_SQL}) AS BIGINT) AS n_ws_tokens,
+                   CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) AS n_bpe_tokens
+            FROM documents
+        """,
+        "q_array_ops": """
+            WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)
+            SELECT vec_id,
+                   round(sqrt(list_dot_product(e, e)), 6) AS l2_norm,
+                   CAST(len(list_filter(e, x -> x > 0)) AS BIGINT) AS n_positive,
+                   round(list_sum(e) / len(e), 6) AS mean_val,
+                   round(list_max(e), 6) AS max_val
+            FROM v
+        """,
+        "q_binary_meta": """
+            SELECT doc_id,
+                   octet_length(encode(text)) AS n_bytes,
+                   'image' AS media_type,
+                   CASE WHEN lower(substring(hex(encode(text)), 1, 8)) LIKE '89504e47%' THEN 'png'
+                        WHEN lower(substring(hex(encode(text)), 1, 8)) LIKE 'ffd8ff%' THEN 'jpeg'
+                        WHEN lower(substring(hex(encode(text)), 1, 8)) LIKE '52494646%' THEN 'wav_or_avi'
+                        WHEN lower(substring(hex(encode(text)), 1, 8)) LIKE '00000018%' THEN 'mp4'
+                        WHEN lower(substring(hex(encode(text)), 1, 8)) LIKE '00000020%' THEN 'mp4'
+                        ELSE 'unknown' END AS sniffed_format,
+                   lower(substring(hex(encode(text)), 1, 8)) AS magic_hex
+            FROM documents
+        """,
+        # q_multimodal_features: stub decoder is Python-side → rows-only.
+        "q_pandas_udf_zscore": """
+            SELECT event_id, event_type,
+                   round(CASE WHEN stddev_pop(value) OVER w <> 0
+                              THEN (value - avg(value) OVER w) / (stddev_pop(value) OVER w)
+                              ELSE 0.0 END, 6) AS zscore
+            FROM events
+            WINDOW w AS (PARTITION BY event_type)
         """,
     }

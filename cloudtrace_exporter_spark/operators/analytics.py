@@ -231,7 +231,7 @@ def window_rank(customer: DataFrame, orders: DataFrame, k: int = 3) -> DataFrame
     )
     w = Window.partitionBy("c_nationkey").orderBy(F.desc("spend"), F.asc("o_custkey"))
     return (
-        spend.withColumn("rnk", F.row_number().over(w))
+        spend.withColumn("rnk", F.row_number().over(w).cast("long"))
         .filter(F.col("rnk") <= k)
         .select("c_nationkey", "o_custkey", "spend", "rnk")
         .orderBy("c_nationkey", "rnk")

@@ -1,0 +1,249 @@
+"""Document deduplication operators (SURVEY §2 B33 + driver north_star).
+
+Five dedup strategies, ordered by cost/recall:
+
+1. **exact**        — hash-groupBy on normalized text (md5 key).
+2. **ngram-Jaccard** — exact pairwise token-set Jaccard (fixture-scale
+   ground truth; O(n²) — the LSH variants below are the 100 TB path).
+3. **MinHash+LSH**  — shingle→minhash→band→bucket-join, all built-ins.
+4. **SimHash**      — 64-bit signature, near-dup by Hamming distance.
+5. **embedding-cosine** — near-dup pairs in embedding space.
+
+Scale design: every near-dup operator reduces the candidate space with a
+*bucketing shuffle* (LSH bands / simhash blocks) before any pairwise
+work, so cost is O(n · bucket_size), never O(n²). The exact-Jaccard
+variant exists as the oracle-checkable ground truth at fixture scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from cloudtrace_exporter_spark.operators.text import tokens
+
+# deterministic seeds for the minhash permutation family
+_MINHASH_SEEDS = [1000003 * (i + 1) + 17 for i in range(32)]
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup: keep the lowest id per normalized-text group.
+
+    One hash shuffle on the md5 key (uniform, no skew). Equivalent SQL:
+    group by fingerprint, keep min(id) — deterministic winner.
+    """
+    normalized = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+    keyed = df.withColumn("__fp", F.md5(normalized))
+    return (
+        keyed.groupBy("__fp")
+        .agg(F.min(id_col).alias(id_col), F.count(F.lit(1)).alias("n_copies"))
+        .withColumnRenamed("__fp", "fingerprint")
+    )
+
+
+def jaccard_pairs(
+    df: DataFrame, threshold: float = 0.8, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact token-set Jaccard near-dup pairs (a < b, J ≥ threshold).
+
+    O(n²) self-join — the fixture-scale ground truth for the LSH
+    operators. At 100 TB NEVER run this raw; run minhash_lsh_pairs and
+    use this formula only to verify candidates within buckets.
+    """
+    toks = df.select(
+        F.col(id_col).alias("id"), F.array_distinct(tokens(text_col)).alias("tok")
+    )
+    a, b = toks.alias("a"), toks.alias("b")
+    inter = F.size(F.array_intersect(F.col("a.tok"), F.col("b.tok")))
+    union = F.size(F.array_union(F.col("a.tok"), F.col("b.tok")))
+    jac = F.when(union > 0, inter / union).otherwise(F.lit(0.0))
+    return (
+        a.join(b, F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("doc_a"),
+            F.col("b.id").alias("doc_b"),
+            F.round(jac, 6).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def _shingles(text_col: str, n: int) -> F.Column:
+    """Word n-gram shingles as strings (space-joined), via sequence+transform
+    — pure built-ins, no UDF."""
+    t = tokens(text_col)
+    k = F.size(t)
+    idx = F.sequence(F.lit(0), F.greatest(k - n, F.lit(0)))
+    return F.when(
+        k >= n,
+        F.array_distinct(
+            F.transform(idx, lambda i: F.concat_ws(" ", F.slice(t, i + 1, n)))
+        ),
+    ).otherwise(F.array(F.concat_ws(" ", t)))
+
+
+def minhash_signatures(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n_hashes: int = 32, shingle: int = 3
+) -> DataFrame:
+    """MinHash signature per document: for each of ``n_hashes`` seeded
+    xxhash64 'permutations', the min hash over the shingle set.
+
+    All JVM-side (xxhash64 + transform + array_min); one narrow map.
+    """
+    sh = _shingles(text_col, shingle)
+    sig = F.array(
+        *[
+            F.array_min(F.transform(sh, lambda s, seed=seed: F.xxhash64(s, F.lit(seed))))
+            for seed in _MINHASH_SEEDS[:n_hashes]
+        ]
+    )
+    return df.select(F.col(id_col).alias("id"), sig.alias("signature"))
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_hashes: int = 32,
+    bands: int = 8,
+    shingle: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """MinHash+LSH near-dup candidate pairs, verified by signature overlap.
+
+    Pipeline: signature → split into ``bands`` bands of r=n/bands rows →
+    hash each band → explode → groupBy (band, band_hash) bucket-join →
+    candidate pairs → estimate Jaccard as signature agreement ratio →
+    filter ≥ threshold.
+
+    Scale shape: the explode multiplies rows by ``bands`` (cheap, narrow);
+    the self-join happens per bucket — O(Σ bucket²) with tiny buckets,
+    the standard LSH trade (false negatives for near-linear cost).
+    Candidate probability follows the (1-(1-J^r)^b) S-curve.
+    """
+    r = n_hashes // bands
+    sigs = minhash_signatures(df, text_col, id_col, n_hashes, shingle)
+    banded = sigs.select(
+        "id",
+        "signature",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(F.concat_ws(",", *[F.col("signature")[b * r + i] for i in range(r)])).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("id", "signature", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.id") < F.col("b.id")))
+        .select(F.col("a.id").alias("doc_a"), F.col("b.id").alias("doc_b"),
+                F.col("a.signature").alias("sig_a"), F.col("b.signature").alias("sig_b"))
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    agree = F.size(
+        F.filter(
+            F.zip_with("sig_a", "sig_b", lambda x, y: x == y),
+            lambda eq: eq,
+        )
+    )
+    return (
+        cand.withColumn("est_jaccard", F.round(agree / F.lit(n_hashes), 6))
+        .filter(F.col("est_jaccard") >= threshold)
+        .select("doc_a", "doc_b", "est_jaccard")
+    )
+
+
+def simhash_signatures(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """64-bit SimHash per document: sum ±1 per bit over token hashes, sign →
+    bit. Built-ins only: per bit, count tokens with that hash-bit set vs
+    total (Charikar '02). One narrow map; signature is a single long."""
+    t = F.transform(tokens(text_col), lambda w: F.xxhash64(w))
+    n = F.size(t)
+
+    def bit(i: int) -> F.Column:
+        # arity-1 lambda: a 2-arg lambda would be read as (element, index)
+        # by the higher-order filter and shadow the bit position
+        set_count = F.size(
+            F.filter(t, lambda h: (F.shiftright(h, i).bitwiseAND(F.lit(1))) == 1)
+        )
+        return (
+            F.when(set_count * 2 > n, F.lit(1).cast("long"))
+            .otherwise(F.lit(0).cast("long"))
+        )
+
+    bits = [bit(i) for i in range(64)]
+    sig = bits[0]
+    for i in range(1, 64):
+        sig = sig + F.shiftleft(bits[i], i)  # assemble without string ops
+    return df.select(F.col(id_col).alias("id"), sig.alias("simhash"))
+
+
+def simhash_near_dups(
+    df: DataFrame, *, text_col: str = "text", id_col: str = "doc_id", max_hamming: int = 8
+) -> DataFrame:
+    """SimHash near-dup pairs by Hamming distance, blocked for scale.
+
+    Blocking: split the 64-bit signature into 4 × 16-bit blocks; any pair
+    within Hamming ≤ 3·(blocks-1) shares at least one exact block
+    (pigeonhole), so bucket-join per block → candidates → exact Hamming
+    filter. Cost O(n·block_bucket) instead of O(n²).
+    """
+    sigs = simhash_signatures(df, text_col, id_col)
+    blocks = sigs.select(
+        "id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("block"),
+                        F.shiftright("simhash", i * 16).bitwiseAND(F.lit(0xFFFF)).alias("key"),
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("bk"),
+    ).select("id", "simhash", F.col("bk.block").alias("block"), F.col("bk.key").alias("key"))
+    a, b = blocks.alias("a"), blocks.alias("b")
+    xor = F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+    return (
+        a.join(b, (F.col("a.block") == F.col("b.block")) & (F.col("a.key") == F.col("b.key")) & (F.col("a.id") < F.col("b.id")))
+        .select(F.col("a.id").alias("doc_a"), F.col("b.id").alias("doc_b"), F.bit_count(xor).alias("hamming"))
+        .dropDuplicates(["doc_a", "doc_b"])
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+def embedding_near_dups(
+    emb: DataFrame, *, threshold: float = 0.95, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs (a < b, cos ≥ threshold).
+
+    Exact pairwise at fixture scale (the oracle-checkable ground truth);
+    the scale path buckets by random hyperplane LSH first — see
+    similarity.hyperplane_lsh_neighbors, same verify step per bucket.
+    """
+    v = emb.select(
+        F.col(id_col).alias("id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
+    )
+    a, b = v.alias("a"), v.alias("b")
+    dot = F.aggregate(
+        F.zip_with(F.col("a.v"), F.col("b.v"), lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+    norm_a = F.sqrt(F.aggregate(F.col("a.v"), F.lit(0.0), lambda acc, x: acc + x * x))
+    norm_b = F.sqrt(F.aggregate(F.col("b.v"), F.lit(0.0), lambda acc, x: acc + x * x))
+    cos = dot / (norm_a * norm_b)
+    return (
+        a.join(b, F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("vec_a"), F.col("b.id").alias("vec_b"), F.round(cos, 6).alias("cosine")
+        )
+        .filter(F.col("cosine") >= threshold)
+    )

@@ -1,0 +1,143 @@
+"""Embedding similarity search (SURVEY §2 B34 + driver north_star).
+
+Two tiers:
+
+- **Brute-force cosine top-k** — the exactness baseline. The query set is
+  broadcast (it's small by definition); the corpus scan stays partitioned,
+  each partition scores its vectors against every query and a
+  TakeOrdered-style window keeps k per query. Exact, embarrassingly
+  parallel, O(|corpus|·|queries|·d) — correct up to ~10⁴ queries.
+- **Hyperplane-LSH bucketed ANN** — the 100 TB path. Sign-bit sketches
+  against a fixed random hyperplane family coarse-quantize the corpus;
+  neighbors are searched only within matching buckets (optionally
+  multi-probe by flipping low-confidence bits). Recall<1, cost ~O(n/2^bits
+  per bucket). An IVF variant would swap the hash for k-means centroids —
+  same join shape.
+
+All vector math is built-in higher-order functions (zip_with/aggregate),
+JVM-side, over ``array<double>`` — no UDF in either path.
+"""
+
+from __future__ import annotations
+
+import math
+import random
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _as_double(vec_col: str) -> F.Column:
+    return F.transform(F.col(vec_col), lambda x: x.cast("double"))
+
+
+def _dot(a: F.Column, b: F.Column) -> F.Column:
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
+
+
+def _norm(a: F.Column) -> F.Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact brute-force cosine top-k per query vector.
+
+    ``queries`` is broadcast; the corpus-side scan never shuffles until
+    the final per-query top-k (a window over query_id — cardinality
+    |queries|, so the shuffle is tiny). Ties break by corpus id for
+    determinism. Self-matches (same id) are excluded.
+    """
+    c = corpus.select(F.col(id_col).alias("corpus_id"), _as_double(vec_col).alias("cv"))
+    q = queries.select(F.col(id_col).alias("query_id"), _as_double(vec_col).alias("qv"))
+    scored = (
+        c.join(F.broadcast(q), F.col("corpus_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "corpus_id",
+            F.round(
+                _dot(F.col("cv"), F.col("qv")) / (_norm(F.col("cv")) * _norm(F.col("qv"))), 6
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("corpus_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "corpus_id", "cosine", "rnk")
+    )
+
+
+def hyperplane_planes(dim: int, n_bits: int, seed: int = 42) -> list[list[float]]:
+    """Fixed random hyperplane family (unit Gaussians, seeded) — shipped to
+    executors as literals, so every task hashes identically."""
+    rng = random.Random(seed)
+    planes = []
+    for _ in range(n_bits):
+        v = [rng.gauss(0.0, 1.0) for _ in range(dim)]
+        n = math.sqrt(sum(x * x for x in v)) or 1.0
+        planes.append([x / n for x in v])
+    return planes
+
+
+def hyperplane_bucket(vec: F.Column, planes: list[list[float]]) -> F.Column:
+    """Sign-bit sketch: bucket id = Σ (dot(v, plane_i) > 0) << i."""
+    bucket = F.lit(0).cast("long")
+    for i, plane in enumerate(planes):
+        p = F.array(*[F.lit(x) for x in plane])
+        bit = F.when(_dot(vec, p) > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+        bucket = bucket + F.shiftleft(bit, i)
+    return bucket
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    k: int = 5,
+    n_bits: int = 4,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate cosine top-k: hyperplane-LSH bucket join, then exact
+    scoring within buckets.
+
+    The corpus is hashed once (narrow map) and the join is an equi-join
+    on the bucket id — at 100 TB this is a co-partitioned hash join on a
+    uniform key instead of a cross product. Recall is tunable via n_bits
+    (fewer bits → bigger buckets → higher recall/cost).
+    """
+    planes = hyperplane_planes(dim, n_bits, seed)
+    c = corpus.select(
+        F.col(id_col).alias("corpus_id"), _as_double(vec_col).alias("cv")
+    ).withColumn("c_bucket", hyperplane_bucket(F.col("cv"), planes))
+    q = queries.select(
+        F.col(id_col).alias("query_id"), _as_double(vec_col).alias("qv")
+    ).withColumn("q_bucket", hyperplane_bucket(F.col("qv"), planes))
+    scored = (
+        c.join(
+            F.broadcast(q),
+            (F.col("c_bucket") == F.col("q_bucket")) & (F.col("corpus_id") != F.col("query_id")),
+        )
+        .select(
+            "query_id",
+            "corpus_id",
+            F.round(
+                _dot(F.col("cv"), F.col("qv")) / (_norm(F.col("cv")) * _norm(F.col("qv"))), 6
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("corpus_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "corpus_id", "cosine", "rnk")
+    )

@@ -1,0 +1,135 @@
+"""Text analysis operators (SURVEY §2 B35 + driver north_star).
+
+Everything here is built-in-function-only (whole-stage codegen, zero
+Python in the hot path) — at 100 TB these run as narrow maps over the
+document scan with column pruning (only ``text`` + projected metadata
+read from parquet).
+
+Tokenization contract (shared with the DuckDB oracles): split on single
+spaces, drop empty tokens. The BPE-ish counter uses a regex both
+engines' regex dialects interpret identically.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: BPE-ish pre-tokenizer: letter runs, digit runs, or single non-space symbols
+#: (the GPT-2 pre-tokenizer family, simplified to a dialect-portable core).
+BPE_ISH_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+#: Tiny per-language stopword profiles for the n-gram/stopword heuristic
+#: language ID (public common-word lists, truncated to high-frequency heads).
+LANG_STOPWORDS: dict[str, list[str]] = {
+    "en": ["the", "a", "of", "and", "to", "in", "is", "that", "it", "for"],
+    "de": ["der", "die", "das", "und", "ist", "von", "mit", "für", "auf", "ein"],
+    "fr": ["le", "la", "les", "de", "et", "est", "un", "une", "pour", "dans"],
+    "es": ["el", "la", "los", "de", "y", "es", "un", "una", "para", "en"],
+    "zh": ["的", "是", "在", "了", "和", "有", "我", "不", "这", "他"],
+}
+
+
+def tokens(text: Column | str) -> Column:
+    """Whitespace tokens, empties dropped (multi-space safe)."""
+    col = F.col(text) if isinstance(text, str) else text
+    return F.filter(F.split(col, " "), lambda t: t != F.lit(""))
+
+
+def token_count(text: Column | str) -> Column:
+    """Whitespace token count."""
+    return F.size(tokens(text))
+
+
+def bpe_ish_token_count(text: Column | str) -> Column:
+    """Sub-word-ish token count via the portable pre-tokenizer regex."""
+    col = F.col(text) if isinstance(text, str) else text
+    return F.size(F.regexp_extract_all(col, F.lit(BPE_ISH_PATTERN), 0))
+
+
+def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document quality features + composite score.
+
+    Features follow the published pretraining-data heuristics (Gopher /
+    C4-style rules): document length, mean word length, stopword ratio,
+    punctuation density, repetition (distinct-token ratio). The composite
+    is a deterministic linear blend (same formula in the oracle SQL).
+    """
+    t = tokens(text_col)
+    n_tok = F.size(t)
+    distinct_ratio = F.when(n_tok > 0, F.size(F.array_distinct(t)) / n_tok).otherwise(F.lit(0.0))
+    stop_arr = F.array(*[F.lit(w) for w in LANG_STOPWORDS["en"]])
+    stop_ratio = F.when(
+        n_tok > 0, F.size(F.filter(t, lambda x: F.array_contains(stop_arr, x))) / n_tok
+    ).otherwise(F.lit(0.0))
+    n_chars = F.length(text_col)
+    mean_word_len = F.when(n_tok > 0, n_chars / n_tok).otherwise(F.lit(0.0))
+    punct_ratio = F.when(
+        n_chars > 0,
+        F.size(F.regexp_extract_all(text_col, F.lit(r"[^A-Za-z0-9\s]"), 0)) / n_chars,
+    ).otherwise(F.lit(0.0))
+    score = (
+        F.least(n_tok / F.lit(100.0), F.lit(1.0)) * 0.25
+        + distinct_ratio * 0.25
+        + stop_ratio * 0.25
+        + (F.lit(1.0) - F.least(punct_ratio * 5.0, F.lit(1.0))) * 0.25
+    )
+    return df.select(
+        "doc_id",
+        n_tok.cast("long").alias("n_tokens"),  # long: DuckDB len() is BIGINT
+        F.round(distinct_ratio, 6).alias("distinct_ratio"),
+        F.round(stop_ratio, 6).alias("stopword_ratio"),
+        F.round(mean_word_len, 6).alias("mean_word_len"),
+        F.round(punct_ratio, 6).alias("punct_ratio"),
+        F.round(score, 6).alias("quality_score"),
+    )
+
+
+def language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Stopword-profile language ID — the n-gram-heuristic family.
+
+    Scores each language by its stopword hit-ratio over the document's
+    tokens and picks the argmax (ties → lexicographically first language
+    for determinism). Pure built-ins: the per-language score is a
+    filter+size over the token array; at scale this is one narrow map.
+    ``unknown`` when nothing matches.
+    """
+    t = tokens(F.lower(F.col(text_col)))
+    scores = []
+    for lang in sorted(LANG_STOPWORDS):
+        stop_arr = F.array(*[F.lit(w) for w in LANG_STOPWORDS[lang]])
+        hits = F.size(F.filter(t, lambda x: F.array_contains(stop_arr, x)))
+        # struct sorts fieldwise: neg_hits asc == hits desc, then lang asc —
+        # the deterministic argmax tiebreak (lexicographically first language)
+        scores.append(
+            F.struct((-hits).alias("neg_hits"), F.lit(lang).alias("lang"))
+        )
+    best = F.sort_array(F.array(*scores), asc=True)[0]
+    return df.withColumn(
+        "lang_pred",
+        F.when(best["neg_hits"] < 0, best["lang"]).otherwise(F.lit("unknown")),
+    )
+
+
+def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Document fingerprint: md5 over the case/whitespace-normalized text.
+
+    md5 is identical across engines (oracle-able), stable across runs,
+    and uniformly distributed — at 100 TB the fingerprint doubles as the
+    dedup shuffle key with no hot spots. A content-defined rolling hash
+    (for near-dup shingling) lives in dedup.py; this is the exact-dup key.
+    """
+    normalized = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+    return df.withColumn("fingerprint", F.md5(normalized))
+
+
+def term_frequencies(df: DataFrame, text_col: str = "text", min_count: int = 1) -> DataFrame:
+    """Corpus term frequency: explode tokens → count. The shuffle is on the
+    token — Zipf-skewed, so at scale enable AQE skew handling or pre-agg
+    per partition (partial aggregation already does the heavy lifting)."""
+    return (
+        df.select(F.explode(tokens(text_col)).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .filter(F.col("freq") >= min_count)
+    )

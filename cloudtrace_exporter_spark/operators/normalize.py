@@ -89,8 +89,23 @@ def time_window_filter(
     here the BETWEEN lands in the parquet scan as a pushed filter (check
     ``PushedFilters`` in .explain), and prunes partitions when the table
     is laid out by date.
+
+    When the frame carries a raw ``{ts_col}_ns`` nanos column (the events
+    fixture does — TIMESTAMP(NANOS) parquet is unreadable as a native
+    timestamp, so the scan column is a long), the range predicate is also
+    expressed in the nanos domain: a filter on the *derived* timestamp
+    cannot push past the conversion expression, but the nanos predicate is
+    a literal range on the scan column, so row-group/partition pruning
+    still happens. ``ts = floor(ns/1000)µs``, hence ``ts ∈ [lo, hi]`` ⟺
+    ``ns ∈ [lo_µs·1000, hi_µs·1000 + 999]``.
     """
-    return df.filter(F.col(ts_col).between(F.lit(lo), F.lit(hi)))
+    out = df.filter(F.col(ts_col).between(F.lit(lo), F.lit(hi)))
+    ns_col = f"{ts_col}_ns"
+    if ns_col in df.columns:
+        lo_ns = F.unix_micros(F.lit(lo).cast("timestamp")) * 1000
+        hi_ns = F.unix_micros(F.lit(hi).cast("timestamp")) * 1000 + 999
+        out = out.filter(F.col(ns_col).between(lo_ns, hi_ns))
+    return out
 
 
 def normalize_traces(

@@ -31,6 +31,12 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     rejects; we read raw nanos (legacy flag) and floor-convert to a
     microsecond timestamp via integer division (`div`, not `/` — double
     math loses precision at 1e18 nanos).
+
+    The raw nanos survive as ``ts_ns``: filters on the *derived* ``ts``
+    cannot reach the parquet scan, so time-window operators re-express
+    their range predicate on ``ts_ns`` (see normalize.time_window_filter)
+    — that is what turns a 100 TB full scan into a row-group-pruned one.
+    Unused, the column is pruned away like any other.
     """
     if name not in FIXTURE_SCHEMAS:
         raise KeyError(f"unknown table {name!r}; known: {sorted(FIXTURE_SCHEMAS)}")
@@ -38,7 +44,9 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         raw = spark.read.schema(EVENTS_RAW_SCHEMA).parquet(path)
-        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return raw.withColumnRenamed("ts", "ts_ns").withColumn(
+            "ts", F.timestamp_micros(F.expr("ts_ns div 1000"))
+        )
     return spark.read.schema(FIXTURE_SCHEMAS[name]).parquet(path)
 
 

@@ -277,6 +277,42 @@ def q_scalar_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return analytics.scalar_funcs(load_table(spark, sf_dir, "part"))
 
 
+def q_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B12 variant (TPC-H Q5 shape): local-supplier revenue per region/nation."""
+    t = {
+        n: load_table(spark, sf_dir, n)
+        for n in ("lineitem", "orders", "customer", "supplier", "nation", "region")
+    }
+    return analytics.supplier_volume(
+        t["lineitem"], t["orders"], t["customer"], t["supplier"], t["nation"], t["region"]
+    )
+
+
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B28 batch twin: gap-based sessionization (30-min gap) per user."""
+    return analytics.sessionize(load_table(spark, sf_dir, "events"), gap_minutes=30)
+
+
+def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B15 family: exact interpolated percentiles per priority class."""
+    return analytics.percentiles(load_table(spark, sf_dir, "orders"))
+
+
+def q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B17: CUBE over status × priority."""
+    return analytics.cube_status_priority(load_table(spark, sf_dir, "orders"))
+
+
+def q_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B25 date function family."""
+    return analytics.date_funcs(load_table(spark, sf_dir, "orders"))
+
+
+def q_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B25 map/json function family over the props payload."""
+    return analytics.map_funcs(load_table(spark, sf_dir, "events"))
+
+
 # --------------------------------------------------------------------------
 # B-IV: LLM-data-pipeline extensions (B33-B37 + driver north_star)
 # --------------------------------------------------------------------------
@@ -446,6 +482,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_except": q_except,
         "q_asof_join": q_asof_join,
         "q_scalar_funcs": q_scalar_funcs,
+        "q_supplier_volume": q_supplier_volume,
+        "q_sessionize": q_sessionize,
+        "q_percentiles": q_percentiles,
+        "q_cube": q_cube,
+        "q_date_funcs": q_date_funcs,
+        "q_map_funcs": q_map_funcs,
         "q_doc_dedup_exact": q_doc_dedup_exact,
         "q_ngram_jaccard": q_ngram_jaccard,
         "q_minhash_dedup": q_minhash_dedup,
@@ -723,6 +765,67 @@ def oracle_sql() -> dict[str, str]:
                    round(ln(p_retailprice + 1.0), 6) AS log_price,
                    round(pow(CAST(p_size AS DOUBLE), 2.0), 2) AS size_sq
             FROM part
+        """,
+        "q_supplier_volume": f"""
+            SELECT r_name, n_name, count(*) AS n_items, round(sum({rev}), 2) AS revenue
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+                          JOIN customer ON o_custkey = c_custkey
+                          JOIN supplier ON l_suppkey = s_suppkey
+                          JOIN nation ON s_nationkey = n_nationkey
+                          JOIN region ON n_regionkey = r_regionkey
+            WHERE c_nationkey = s_nationkey
+            GROUP BY r_name, n_name ORDER BY r_name, n_name
+        """,
+        "q_sessionize": """
+            WITH g AS (
+              SELECT user_id, event_id, ts, value,
+                     CASE WHEN lag(ts) OVER w IS NULL
+                               OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 30 * 60 * 1000000
+                          THEN 1 ELSE 0 END AS new_sess
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ), s AS (
+              SELECT *, CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sess_id
+              FROM g
+            )
+            SELECT user_id, sess_id, count(*) AS n_events,
+                   strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS start_s,
+                   strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS end_s,
+                   round(sum(value), 2) AS session_value
+            FROM s GROUP BY user_id, sess_id
+        """,
+        "q_percentiles": """
+            SELECT o_orderpriority,
+                   round(quantile_cont(o_totalprice, 0.5), 2) AS p50,
+                   round(quantile_cont(o_totalprice, 0.9), 2) AS p90,
+                   round(quantile_cont(o_totalprice, 0.99), 2) AS p99,
+                   round(min(o_totalprice), 2) AS lo,
+                   round(max(o_totalprice), 2) AS hi
+            FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+        """,
+        "q_cube": """
+            SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
+                   round(sum(o_totalprice), 2) AS total
+            FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        """,
+        "q_date_funcs": """
+            SELECT o_orderkey,
+                   year(o_orderdate) AS y,
+                   quarter(o_orderdate) AS q,
+                   month(o_orderdate) AS m,
+                   dayofmonth(o_orderdate) AS dom,
+                   isodow(o_orderdate) AS isodow,
+                   strftime(date_trunc('month', o_orderdate), '%Y-%m-%d %H:%M:%S') AS month_start_s,
+                   date_diff('day', CAST(o_orderdate AS DATE), DATE '2024-01-01') AS days_to_2024
+            FROM orders
+        """,
+        "q_map_funcs": """
+            SELECT event_id,
+                   list_sort(json_keys(props)) AS prop_keys,
+                   CAST(len(json_keys(props)) AS BIGINT) AS n_props,
+                   CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val
+            FROM events
         """,
         "q_doc_dedup_exact": f"""
             SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint,

@@ -372,6 +372,140 @@ def asof_join_daily(lineitem: DataFrame, orders: DataFrame) -> DataFrame:
     )
 
 
+def supplier_volume(
+    lineitem: DataFrame,
+    orders: DataFrame,
+    customer: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+    region: DataFrame,
+) -> DataFrame:
+    """B12 variant (TPC-H Q5 shape): local-supplier volume — revenue from
+    lineitems where the customer and the supplier share a nation.
+
+    Graph reading: two RESOURCE→TENANT edges (customer- and supplier-side
+    MEMBER_OF) constrained to meet at the same TENANT node. Plan shape:
+    lineitem⋈orders sort-merges on orderkey (the only fact-fact join);
+    supplier/customer/nation/region broadcast; the c_nationkey =
+    s_nationkey constraint is a post-join filter on broadcast columns, so
+    the fact table is never re-shuffled for it.
+    """
+    joined = (
+        lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(supplier), lineitem.l_suppkey == supplier.s_suppkey)
+        .filter(F.col("c_nationkey") == F.col("s_nationkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+    )
+    return (
+        joined.groupBy("r_name", "n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.round(F.sum(_rev()), 2).alias("revenue"),
+        )
+        .orderBy("r_name", "n_name")
+    )
+
+
+def sessionize(events: DataFrame, *, gap_minutes: int = 30) -> DataFrame:
+    """B28's session windows, batch-expressible (islands-and-gaps).
+
+    A session = a per-user run of events where consecutive gaps are
+    ≤ ``gap_minutes``. lag → new-session flag → running sum = session id,
+    then one groupBy. Two windows + one agg, all partitioned by user_id —
+    a single shuffle on the session key at any scale. The streaming
+    equivalent is ``F.session_window`` (streaming/pipeline.py); this is
+    the oracle-checkable batch twin.
+    """
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = gap_minutes * 60 * 1_000_000
+    prev_us = F.unix_micros(F.lag("ts").over(w))
+    new_sess = F.when(
+        prev_us.isNull() | (F.unix_micros(F.col("ts")) - prev_us > gap_us), 1
+    ).otherwise(0)
+    run = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    with_ids = events.withColumn("sess_id", F.sum(new_sess).over(run))
+    return (
+        with_ids.groupBy("user_id", "sess_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias("start_s"),
+            F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss").alias("end_s"),
+            F.round(F.sum("value"), 2).alias("session_value"),
+        )
+    )
+
+
+def percentiles(orders: DataFrame) -> DataFrame:
+    """B15/B16 family: exact interpolated percentiles per group.
+
+    ``percentile`` (exact, linear interpolation — matches SQL
+    percentile_cont / DuckDB quantile_cont). Exact percentile sorts each
+    group's values; at 100 TB switch to ``approx_percentile`` (t-digest
+    sketch, mergeable map-side) — same call shape, rows-only check.
+    """
+    return (
+        orders.groupBy("o_orderpriority")
+        .agg(
+            F.round(F.percentile("o_totalprice", F.lit(0.5)), 2).alias("p50"),
+            F.round(F.percentile("o_totalprice", F.lit(0.9)), 2).alias("p90"),
+            F.round(F.percentile("o_totalprice", F.lit(0.99)), 2).alias("p99"),
+            F.round(F.min("o_totalprice"), 2).alias("lo"),
+            F.round(F.max("o_totalprice"), 2).alias("hi"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+def cube_status_priority(orders: DataFrame) -> DataFrame:
+    """B17: CUBE over two independent dims (all 4 grouping sets — the
+    rollup twin covers the hierarchical case)."""
+    return (
+        orders.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+        .orderBy(
+            F.col("o_orderstatus").asc_nulls_first(),
+            F.col("o_orderpriority").asc_nulls_first(),
+        )
+    )
+
+
+def date_funcs(orders: DataFrame) -> DataFrame:
+    """B25 date family: extraction + truncation + arithmetic in one narrow
+    projection (portable subset — both engines agree on ISO weekday)."""
+    d = F.col("o_orderdate")
+    return orders.select(
+        "o_orderkey",
+        F.year(d).alias("y"),
+        F.quarter(d).alias("q"),
+        F.month(d).alias("m"),
+        F.dayofmonth(d).alias("dom"),
+        (F.weekday(d) + 1).alias("isodow"),  # 1=Mon..7=Sun, DuckDB isodow
+        F.date_format(F.date_trunc("month", d), "yyyy-MM-dd HH:mm:ss").alias("month_start_s"),
+        F.datediff(F.lit("2024-01-01").cast("date"), d.cast("date")).alias("days_to_2024"),
+    )
+
+
+def map_funcs(events: DataFrame) -> DataFrame:
+    """B25 map/json family: parse the ``props`` JSON payload into a map
+    column, then map_keys / size / element access (A9's inverse as a map
+    instead of a struct — the CloudEvent extensions bag is exactly this
+    shape, adapter.go:249-261)."""
+    m = F.from_json(F.col("props"), "map<string,string>")
+    return events.select(
+        "event_id",
+        F.array_sort(F.map_keys(m)).alias("prop_keys"),
+        F.size(m).cast("long").alias("n_props"),
+        m.getItem("k").cast("long").alias("k_val"),
+    )
+
+
 def scalar_funcs(part: DataFrame) -> DataFrame:
     """B25: scalar function families over one table — string/date/math in a
     single narrow projection (whole-stage codegen, zero shuffles)."""

@@ -3,6 +3,7 @@ from cloudtrace_exporter_spark.streaming.pipeline import (
     read_event_stream,
     session_windows,
     sliding_counts,
+    stateful_running_totals,
     stream_static_enrich,
     tumbling_counts,
 )
@@ -15,6 +16,7 @@ __all__ = [
     "read_event_stream",
     "session_windows",
     "sliding_counts",
+    "stateful_running_totals",
     "stream_static_enrich",
     "tumbling_counts",
 ]

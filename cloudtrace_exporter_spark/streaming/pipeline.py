@@ -18,8 +18,11 @@ swapping ``format``; every transformation below is source-agnostic.
 
 from __future__ import annotations
 
+import pandas as pd
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from cloudtrace_exporter_spark.schemas import EVENTS_RAW_SCHEMA, EVENTS_SCHEMA
 
@@ -90,6 +93,50 @@ def session_windows(stream: DataFrame, *, gap: str = "5 minutes", delay: str = "
         stream.withWatermark("ts", delay)
         .groupBy(F.session_window("ts", gap), "user_id")
         .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 2).alias("session_value"))
+    )
+
+
+def stateful_running_totals(stream: DataFrame) -> DataFrame:
+    """Custom stateful operator (B-III): per-subject running totals across
+    micro-batches via ``applyInPandasWithState``.
+
+    The reference has no cross-cycle state at all — every poll recomputes
+    its window and the graph absorbs re-deliveries; the only "memory" is
+    the wall-clock delta (adapter.go:266-271). This operator adds the
+    capability Spark makes natural: arbitrary per-key state that survives
+    micro-batches (here: lifetime event count + value sum per user,
+    emitted as an update row per key per batch).
+
+    Scale shape: state lives in the state store, partitioned by the group
+    key — O(|active keys|) memory per executor, checkpointed
+    incrementally. The pandas variant batches state access via Arrow.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("n_events_total", T.LongType()),
+            T.StructField("value_total", T.DoubleType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("n", T.LongType()),
+            T.StructField("v", T.DoubleType()),
+        ]
+    )
+
+    def _update(key, pdf_iter, state: GroupState):
+        n, v = state.get if state.exists else (0, 0.0)
+        for pdf in pdf_iter:
+            n += len(pdf)
+            v += float(pdf["value"].sum())
+        state.update((n, v))
+        yield pd.DataFrame({"user_id": [key[0]], "n_events_total": [n], "value_total": [round(v, 2)]})
+
+    return stream.groupBy("user_id").applyInPandasWithState(
+        _update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
     )
 
 

@@ -24,6 +24,8 @@ from cloudtrace_exporter_spark.streaming import (
     foreach_batch_graph_upsert,
     read_event_stream,
     session_windows,
+    stateful_running_totals,
+    stream_static_enrich,
     tumbling_counts,
 )
 from cloudtrace_exporter_spark.streaming.sinks import run_to_completion
@@ -133,6 +135,43 @@ def test_foreach_batch_graph_sink(spark, staged_events, tmp_path):
     assert actions.select("id").distinct().count() == 1000
     subjects = spark.read.parquet(os.path.join(out_dir, "nodes", "subjects"))
     assert subjects.count() == subjects.distinct().count()
+
+
+def test_stateful_running_totals_across_batches(spark, staged_events):
+    # state survives micro-batches: final per-user totals over 4 pages must
+    # equal the batch groupBy; update-mode emits one row per key per batch,
+    # so take each user's max (totals are monotone).
+    stream = read_event_stream(spark, staged_events, max_files_per_trigger=1)
+    out = _run_to_memory(spark, stateful_running_totals(stream), "t_stateful", mode="update")
+    final = (
+        out.groupBy("user_id")
+        .agg(F.max("n_events_total").alias("n"), F.max("value_total").alias("v"))
+    )
+    expected = (
+        load_table(spark, SF, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("v"))
+    )
+    diff = final.join(expected, "user_id").filter(
+        (final["n"] != expected["n"]) | (F.abs(final["v"] - expected["v"]) > 0.01)
+    )
+    assert final.count() == expected.count()
+    assert diff.count() == 0
+    # multiple updates per key proves state crossed batch boundaries
+    assert out.count() > final.count()
+
+
+def test_stream_static_enrich_broadcasts_dim(spark, staged_events):
+    stream = read_event_stream(spark, staged_events)
+    dim = spark.createDataFrame(
+        [("click", "interactive"), ("view", "passive"), ("purchase", "transactional"),
+         ("error", "fault"), ("signup", "auth")],
+        "event_type string, category string",
+    )
+    enriched = stream_static_enrich(stream, dim, on="event_type")
+    out = _run_to_memory(spark, enriched.select("event_id", "category"), "t_enrich")
+    assert out.count() == 1000
+    assert out.filter(F.col("category").isNull()).count() == 0
 
 
 def test_sink_failure_is_counted_not_raised(spark, staged_events, tmp_path):

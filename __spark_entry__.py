@@ -26,6 +26,7 @@ from cloudtrace_exporter_spark.operators import (
     multimodal,
     normalize,
     similarity,
+    skew,
     text,
     udfs,
 )
@@ -313,6 +314,26 @@ def q_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return analytics.map_funcs(load_table(spark, sf_dir, "events"))
 
 
+def q_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe two-stage aggregation — must equal the direct groupBy
+    (the oracle IS the direct plan, proving the rewrite is semantic-free)."""
+    out = skew.salted_sum_count(
+        load_table(spark, sf_dir, "events"), ["event_type"], sum_cols=["value"], n_salts=16
+    )
+    return out.select("event_type", "n", F.round("sum_value", 2).alias("sum_value")).orderBy(
+        "event_type"
+    )
+
+
+def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B34 IVF-probed approximate top-k (rows-only; recall vs q_cosine_topk
+    asserted in tests)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.ivf_topk(
+        emb, emb.filter(F.col("vec_id") < 10), k=5, n_centroids=16, n_probe=4
+    )
+
+
 # --------------------------------------------------------------------------
 # B-IV: LLM-data-pipeline extensions (B33-B37 + driver north_star)
 # --------------------------------------------------------------------------
@@ -488,6 +509,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_cube": q_cube,
         "q_date_funcs": q_date_funcs,
         "q_map_funcs": q_map_funcs,
+        "q_salted_agg": q_salted_agg,
+        "q_ivf_topk": q_ivf_topk,
         "q_doc_dedup_exact": q_doc_dedup_exact,
         "q_ngram_jaccard": q_ngram_jaccard,
         "q_minhash_dedup": q_minhash_dedup,
@@ -827,6 +850,11 @@ def oracle_sql() -> dict[str, str]:
                    CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val
             FROM events
         """,
+        "q_salted_agg": """
+            SELECT event_type, count(*) AS n, round(sum(value), 2) AS sum_value
+            FROM events GROUP BY event_type ORDER BY event_type
+        """,
+        # q_ivf_topk: IVF cell assignment is engine-specific -> rows-only.
         "q_doc_dedup_exact": f"""
             SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint,
                    min(doc_id) AS doc_id, count(*) AS n_copies

@@ -1,0 +1,74 @@
+"""Storage layout operators — the partition/bucket design for 100 TB.
+
+The reference's only "layout" is the REST API's time index: its poll
+window becomes query params the server evaluates
+(/root/reference/pkg/adapter/adapter.go:98-102). The warehouse-native
+equivalent is a **date-partitioned event store**: land events under
+``event_date=YYYY-MM-DD/`` so every time-window query (SURVEY §2 B2/A3)
+prunes whole partitions at plan time, and the within-day remainder is
+pruned at row-group level via min/max stats on ``ts``.
+
+At 100 TB this is the single highest-leverage decision in the engine:
+a 1-day window over 3 years of data touches ~0.1% of files before a
+single byte is read. Secondary layout levers (documented, applied by the
+writer): sort within partitions by ``ts`` to tighten row-group stats, and
+size output files via a pre-write repartition on (date, hash-bucket) so
+hot days don't produce one giant file and cold days don't produce dust.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def write_events_partitioned(
+    events: DataFrame,
+    path: str,
+    *,
+    ts_col: str = "ts",
+    buckets_per_day: int = 1,
+) -> None:
+    """Write events date-partitioned (+ optional intra-day bucket split).
+
+    ``repartition(date, bucket)`` makes one task own each output file —
+    bounded file count, no small-file dust; ``sortWithinPartitions(ts)``
+    gives monotone row-group min/max so the residual (sub-day) time
+    filter prunes row groups too.
+    """
+    with_date = events.withColumn("event_date", F.to_date(F.col(ts_col)))
+    parts = [F.col("event_date")]
+    if buckets_per_day > 1:
+        with_date = with_date.withColumn(
+            "__bucket", F.pmod(F.xxhash64("event_id"), F.lit(buckets_per_day)).cast("int")
+        )
+        parts.append(F.col("__bucket"))
+    (
+        with_date.repartition(*parts)
+        .sortWithinPartitions(ts_col)
+        .drop("__bucket")
+        .write.mode("overwrite")
+        .partitionBy("event_date")
+        .parquet(path)
+    )
+
+
+def read_events_partitioned(spark: SparkSession, path: str) -> DataFrame:
+    """Read the partitioned store. Filters on ``event_date`` (or on ``ts``
+    through a ``to_date`` comparison) become PartitionFilters — verify
+    with ``.explain`` that the scan lists pruned partitions."""
+    return spark.read.parquet(path)
+
+
+def window_scan(
+    spark: SparkSession, path: str, lo: str, hi: str, *, ts_col: str = "ts"
+) -> DataFrame:
+    """The reference's A3 window as a partition-pruned scan: a coarse
+    date-level predicate (plan-time partition pruning) plus the exact
+    timestamp bound (row-group pruning + residual filter)."""
+    df = read_events_partitioned(spark, path)
+    return df.filter(
+        (F.col("event_date") >= F.to_date(F.lit(lo)))
+        & (F.col("event_date") <= F.to_date(F.lit(hi)))
+        & F.col(ts_col).between(F.lit(lo), F.lit(hi))
+    )

@@ -96,6 +96,118 @@ def hyperplane_bucket(vec: F.Column, planes: list[list[float]]) -> F.Column:
     return bucket
 
 
+def _sq_dist(a: F.Column, b: F.Column) -> F.Column:
+    d = F.zip_with(a, b, lambda x, y: x - y)
+    return F.aggregate(d, F.lit(0.0), lambda acc, x: acc + x * x)
+
+
+def build_ivf_index(
+    corpus: DataFrame,
+    *,
+    n_centroids: int = 16,
+    lloyd_iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, DataFrame]:
+    """IVF (inverted-file) index: k-means-style centroids + per-vector
+    cell assignment, all DataFrame ops.
+
+    Seeding is deterministic (the ``n_centroids`` lowest ids), refined by
+    ``lloyd_iters`` Lloyd steps: assign each vector to its nearest
+    centroid (broadcast centroids — they are tiny by construction), then
+    recompute centroids as per-cell means via posexplode + groupBy —
+    one shuffle of (cell, pos, val) triples per iteration, never a
+    collect of vectors.
+
+    Returns ``(assigned, centroids)``: the corpus with a ``cell`` column,
+    and the centroid table ``(cell, centroid)``. At 100 TB the index
+    build is a few passes over the data; the per-query probe then touches
+    ``n_probe/n_centroids`` of the corpus (see ivf_topk).
+    """
+    v = corpus.select(F.col(id_col).alias("id"), _as_double(vec_col).alias("v"))
+    centroids = (
+        v.orderBy("id").limit(n_centroids)
+        .select(F.row_number().over(Window.orderBy("id")).alias("cell"), F.col("v").alias("centroid"))
+    )
+    for _ in range(lloyd_iters):
+        assigned = _assign_cells(v, centroids)
+        centroids = (
+            assigned.select("cell", F.posexplode("v").alias("pos", "val"))
+            .groupBy("cell", "pos")
+            .agg(F.avg("val").alias("mean_val"))
+            .groupBy("cell")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "mean_val"))),
+                    lambda s: s["mean_val"],
+                ).alias("centroid")
+            )
+        )
+    assigned = _assign_cells(v, centroids)
+    return assigned, centroids
+
+
+def _assign_cells(v: DataFrame, centroids: DataFrame) -> DataFrame:
+    """Nearest-centroid assignment: broadcast the centroid table, score
+    every (vector, centroid) pair, keep the argmin per vector."""
+    scored = v.join(F.broadcast(centroids)).withColumn(
+        "dist", _sq_dist(F.col("v"), F.col("centroid"))
+    )
+    w = Window.partitionBy("id").orderBy(F.asc("dist"), F.asc("cell"))
+    return (
+        scored.withColumn("__r", F.row_number().over(w))
+        .filter(F.col("__r") == 1)
+        .select("id", "v", "cell")
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    k: int = 5,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate cosine top-k via IVF probing: score queries only
+    against the ``n_probe`` nearest cells' vectors.
+
+    The probe set is an equi-join on ``cell`` — at scale, the corpus is
+    pre-partitioned (or bucketed) by cell, so each query reads
+    ``n_probe/n_centroids`` of the data. Recall grows with n_probe;
+    n_probe = n_centroids degenerates to exact brute force.
+    """
+    assigned, centroids = build_ivf_index(
+        corpus, n_centroids=n_centroids, id_col=id_col, vec_col=vec_col
+    )
+    q = queries.select(F.col(id_col).alias("query_id"), _as_double(vec_col).alias("qv"))
+    q_cells = (
+        q.join(F.broadcast(centroids))
+        .withColumn("dist", _sq_dist(F.col("qv"), F.col("centroid")))
+        .withColumn("__r", F.row_number().over(Window.partitionBy("query_id").orderBy(F.asc("dist"), F.asc("cell"))))
+        .filter(F.col("__r") <= n_probe)
+        .select("query_id", "qv", "cell")
+    )
+    scored = (
+        assigned.withColumnRenamed("id", "corpus_id")
+        .join(F.broadcast(q_cells), "cell")
+        .filter(F.col("corpus_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "corpus_id",
+            F.round(_dot(F.col("v"), F.col("qv")) / (_norm(F.col("v")) * _norm(F.col("qv"))), 6).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("corpus_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "corpus_id", "cosine", "rnk")
+    )
+
+
 def lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,

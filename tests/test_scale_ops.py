@@ -1,0 +1,121 @@
+"""Tests for the scale-engineering layer: skew salting (semantic
+equivalence with the direct plan), date-partitioned layout (partition
+pruning visible in the physical plan), and IVF similarity (recall vs
+exact brute force).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from cloudtrace_exporter_spark.operators import layout, similarity, skew
+from cloudtrace_exporter_spark.sources.tables import load_table
+
+
+# --------------------------------------------------------------------------
+# skew
+# --------------------------------------------------------------------------
+
+
+def test_salted_sum_count_matches_direct(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    salted = skew.salted_sum_count(ev, ["event_type"], sum_cols=["value"], n_salts=16)
+    direct = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("value").alias("sum_value")
+    )
+    s = {r["event_type"]: (r["n"], round(r["sum_value"], 2)) for r in salted.collect()}
+    d = {r["event_type"]: (r["n"], round(r["sum_value"], 2)) for r in direct.collect()}
+    assert s == d
+
+
+def test_salted_join_matches_direct(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer").withColumnRenamed("c_custkey", "o_custkey")
+    direct = orders.join(customer, "o_custkey").groupBy("c_mktsegment").count()
+    salted = (
+        skew.salted_join(orders, customer, "o_custkey", n_salts=4)
+        .groupBy("c_mktsegment")
+        .count()
+    )
+    assert sorted(map(tuple, direct.collect())) == sorted(map(tuple, salted.collect()))
+
+
+def test_salt_is_deterministic(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    a = skew.salted_sum_count(ev, ["event_type"], n_salts=8).collect()
+    b = skew.salted_sum_count(ev, ["event_type"], n_salts=8).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+# --------------------------------------------------------------------------
+# layout
+# --------------------------------------------------------------------------
+
+
+def test_partitioned_layout_prunes(spark, sf_dir, tmp_path):
+    ev = load_table(spark, sf_dir, "events")
+    store = str(tmp_path / "events_by_date")
+    layout.write_events_partitioned(ev, store)
+
+    total_days = layout.read_events_partitioned(spark, store).select("event_date").distinct().count()
+    scan = layout.window_scan(spark, store, "2024-01-05 00:00:00", "2024-01-07 00:00:00")
+
+    plan = scan._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    # the scan must see only the 3 in-range date partitions, not all of them
+    import re
+
+    m = re.search(r"partitions read: (\d+)", plan) or re.search(r"PartitionCount: (\d+)", plan)
+    if m:
+        assert int(m.group(1)) <= 3 < total_days
+    # correctness: pruned scan == unpartitioned filter
+    direct = ev.filter(F.col("ts").between("2024-01-05 00:00:00", "2024-01-07 00:00:00"))
+    assert scan.count() == direct.count() > 0
+
+
+def test_partitioned_roundtrip_preserves_rows(spark, sf_dir, tmp_path):
+    ev = load_table(spark, sf_dir, "events")
+    store = str(tmp_path / "events_rt")
+    layout.write_events_partitioned(ev, store, buckets_per_day=2)
+    back = layout.read_events_partitioned(spark, store)
+    assert back.count() == ev.count()
+    assert back.select("event_id").distinct().count() == ev.count()
+
+
+# --------------------------------------------------------------------------
+# IVF
+# --------------------------------------------------------------------------
+
+
+def test_ivf_cells_partition_corpus(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    assigned, centroids = similarity.build_ivf_index(emb, n_centroids=8)
+    assert centroids.count() == 8
+    assert assigned.count() == emb.count()
+    assert assigned.select("cell").distinct().count() <= 8
+    dim = len(emb.first()["embedding"])
+    assert all(len(r["centroid"]) == dim for r in centroids.collect())
+
+
+def test_ivf_recall_vs_exact(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10)
+    exact = {(r["query_id"], r["corpus_id"]) for r in similarity.cosine_topk(emb, q, k=5).collect()}
+    approx = {
+        (r["query_id"], r["corpus_id"])
+        for r in similarity.ivf_topk(emb, q, k=5, n_centroids=8, n_probe=4).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.6, f"IVF recall {recall} too low at n_probe=4/8"
+
+
+def test_ivf_full_probe_equals_exact(spark, sf_dir):
+    # n_probe == n_centroids degenerates to exact brute force
+    emb = load_table(spark, sf_dir, "embeddings").limit(100)
+    q = emb.filter(F.col("vec_id") < 3)
+    exact = {(r["query_id"], r["corpus_id"], r["rnk"]) for r in similarity.cosine_topk(emb, q, k=3).collect()}
+    full = {
+        (r["query_id"], r["corpus_id"], r["rnk"])
+        for r in similarity.ivf_topk(emb, q, k=3, n_centroids=4, n_probe=4).collect()
+    }
+    assert exact == full

@@ -183,6 +183,31 @@ def q_edges_performed_by(spark: SparkSession, sf_dir: str) -> DataFrame:
     return edges["performed_by"]
 
 
+def q_nodes_subject(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B9: SUBJECT node extraction (client.go:12)."""
+    return graph.build_nodes(_normalized_events(spark, sf_dir))["subjects"]
+
+
+def q_nodes_tenant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B9: TENANT node — composite (tenantId, domainId) key (client.go:13)."""
+    return graph.build_nodes(_normalized_events(spark, sf_dir))["tenants"]
+
+
+def q_edges_member_of(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B10: RESOURCE-[:MEMBER_OF]->TENANT edge table (client.go:17)."""
+    return graph.build_edges(_normalized_events(spark, sf_dir))["member_of"]
+
+
+def q_edges_with_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B10: ACTION-[:WITH_STATUS]->STATUS edge table (client.go:19)."""
+    return graph.build_edges(_normalized_events(spark, sf_dir))["with_status"]
+
+
+def q_edges_located_at(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B10: TENANT-[:LOCATED_AT]->REGION edge table (client.go:16)."""
+    return graph.build_edges(_normalized_events(spark, sf_dir))["located_at"]
+
+
 def q_join_2hop(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = {n: load_table(spark, sf_dir, n) for n in ("lineitem", "orders", "customer")}
     return analytics.join_2hop(t["lineitem"], t["orders"], t["customer"])
@@ -459,6 +484,11 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return feats.select("doc_id", "media_type", "n_bytes", F.round(F.col("feature")[0], 6).alias("f0"))
 
 
+def q_udtf_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B37 Python UDTF: per-document sentence spans via SQL LATERAL."""
+    return udfs.sentence_spans(load_table(spark, sf_dir, "documents"))
+
+
 def q_pandas_udf_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B37 grouped-map pandas UDF: per-event-type z-score (ddof=0 ↔
     stddev_pop, which is what makes the oracle exact)."""
@@ -484,6 +514,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_nodes_action": q_nodes_action,
         "q_edges_applied_on": q_edges_applied_on,
         "q_edges_performed_by": q_edges_performed_by,
+        "q_nodes_subject": q_nodes_subject,
+        "q_nodes_tenant": q_nodes_tenant,
+        "q_edges_member_of": q_edges_member_of,
+        "q_edges_with_status": q_edges_with_status,
+        "q_edges_located_at": q_edges_located_at,
         "q_join_2hop": q_join_2hop,
         "q_join_star": q_join_star,
         "q_semi_join": q_semi_join,
@@ -527,6 +562,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_array_ops": q_array_ops,
         "q_binary_meta": q_binary_meta,
         "q_multimodal_features": q_multimodal_features,
+        "q_udtf_spans": q_udtf_spans,
         "q_pandas_udf_zscore": q_pandas_udf_zscore,
     }
 
@@ -640,6 +676,26 @@ def oracle_sql() -> dict[str, str]:
         "q_edges_performed_by": f"""
             WITH {EVENTS_AS_TRACES_SQL}
             SELECT DISTINCT event_id AS src, subject AS dst FROM norm
+        """,
+        "q_nodes_subject": f"""
+            WITH {EVENTS_AS_TRACES_SQL}
+            SELECT DISTINCT subject AS id FROM norm
+        """,
+        "q_nodes_tenant": f"""
+            WITH {EVENTS_AS_TRACES_SQL}
+            SELECT DISTINCT tenant AS tenant_id, domain AS domain_id FROM norm
+        """,
+        "q_edges_member_of": f"""
+            WITH {EVENTS_AS_TRACES_SQL}
+            SELECT DISTINCT resource_id AS src, tenant AS dst, domain AS dst_domain FROM norm
+        """,
+        "q_edges_with_status": f"""
+            WITH {EVENTS_AS_TRACES_SQL}
+            SELECT DISTINCT event_id AS src, status AS dst FROM norm
+        """,
+        "q_edges_located_at": f"""
+            WITH {EVENTS_AS_TRACES_SQL}
+            SELECT DISTINCT tenant AS src, domain AS src_domain, region AS dst FROM norm
         """,
         "q_join_2hop": """
             SELECT c_mktsegment, count(*) AS n_items, round(sum(l_extendedprice), 2) AS gross
@@ -980,6 +1036,16 @@ def oracle_sql() -> dict[str, str]:
                         ELSE 'unknown' END AS sniffed_format,
                    lower(substring(hex(encode(text)), 1, 8)) AS magic_hex
             FROM documents
+        """,
+        "q_udtf_spans": """
+            WITH parts AS (
+              SELECT doc_id, string_split(text, '. ') AS p FROM documents
+            )
+            SELECT doc_id,
+                   CAST(generate_subscripts(p, 1) AS INT) AS span_idx,
+                   unnest(p) AS span,
+                   CAST(len(list_filter(string_split(unnest(p), ' '), x -> x <> '')) AS BIGINT) AS n_tokens
+            FROM parts
         """,
         # q_multimodal_features: stub decoder is Python-side → rows-only.
         "q_pandas_udf_zscore": """

@@ -49,6 +49,36 @@ def grouped_zscore(df: DataFrame, group_col: str, value_col: str) -> DataFrame:
     return df.groupBy(group_col).applyInPandas(_z, out_schema)
 
 
+def sentence_spans(df: DataFrame) -> DataFrame:
+    """Python UDTF (table function) — one input row → N output rows.
+
+    Splits each document into sentence-ish spans with a 1-based index and
+    a per-span token count; the lateral-join shape is the UDTF's reason to
+    exist (a scalar UDF cannot change row count). Registered and invoked
+    through SQL LATERAL — the DataFrame-API twin is ``explode``-based and
+    stays JVM-side; the UDTF tier is for span logic too complex for
+    built-ins (real tokenizers, parsers, decoders).
+    """
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="doc_id: bigint, span_idx: int, span: string, n_tokens: bigint")
+    class SentenceSpans:
+        def eval(self, doc_id: int, text: str):
+            if text is None:
+                return
+            for i, s in enumerate(text.split(". ")):
+                n = sum(1 for t in s.split(" ") if t)
+                yield doc_id, i + 1, s, n
+
+    spark = df.sparkSession
+    spark.udtf.register("sentence_spans", SentenceSpans)
+    df.select("doc_id", "text").createOrReplaceTempView("__docs_for_spans")
+    return spark.sql(
+        "SELECT s.doc_id, s.span_idx, s.span, s.n_tokens "
+        "FROM __docs_for_spans, LATERAL sentence_spans(doc_id, text) s"
+    )
+
+
 def grouped_zscore_builtin(df: DataFrame, group_col: str, value_col: str) -> DataFrame:
     """The built-in equivalent (what production code should use): window
     aggregates, no Python. Kept for the bench comparison UDF-vs-builtin."""

@@ -573,7 +573,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 # DuckDB mirror of normalize.events_as_traces + normalize.normalize_traces —
 # keep in lockstep with those functions.
-EVENTS_AS_TRACES_SQL = """
+EVENTS_AS_TRACES_SQL = r"""
   traces AS (
     SELECT
       CAST(event_id AS VARCHAR) AS trace_id,

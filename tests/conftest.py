@@ -21,3 +21,10 @@ def spark():
 @pytest.fixture(scope="session")
 def sf_dir() -> str:
     return SF_SMOKE
+
+
+@pytest.fixture(scope="session")
+def spark_prop(spark):
+    """Alias fixture for hypothesis tests: @given can't inject function-
+    scoped fixtures, so the session-scoped spark is passed through."""
+    return spark

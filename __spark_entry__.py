@@ -386,6 +386,12 @@ def q_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash_near_dups(load_table(spark, sf_dir, "documents"), max_hamming=8)
 
 
+def q_winnow_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B33/B35 rolling-hash (winnowing) near-dup pairs (xxhash64-seeded —
+    rows-only; fingerprint guarantees asserted in tests)."""
+    return dedup.winnow_near_dups(load_table(spark, sf_dir, "documents"), min_shared_ratio=0.6)
+
+
 def q_embed_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B33 embedding-cosine near-dup pairs (exact pairwise at fixture scale)."""
     return dedup.embedding_near_dups(load_table(spark, sf_dir, "embeddings"), threshold=0.4)
@@ -550,6 +556,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_ngram_jaccard": q_ngram_jaccard,
         "q_minhash_dedup": q_minhash_dedup,
         "q_simhash_near_dup": q_simhash_near_dup,
+        "q_winnow_dedup": q_winnow_dedup,
         "q_embed_near_dup": q_embed_near_dup,
         "q_cosine_topk": q_cosine_topk,
         "q_lsh_topk": q_lsh_topk,

@@ -220,6 +220,86 @@ def simhash_near_dups(
     )
 
 
+def winnow_fingerprints(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    window: int = 4,
+) -> DataFrame:
+    """Winnowing document fingerprints (rolling-hash family, MOSS-style):
+    hash every character ``k``-gram, then keep the minimum hash of each
+    sliding ``window`` of consecutive gram-hashes.
+
+    Guarantees of winnowing: any shared substring of length ≥ k+window-1
+    contributes at least one common fingerprint, and fingerprint density
+    is ~2/(window+1) — a constant-factor sketch of the document that is
+    robust to insertions/reordering (unlike the exact md5 key) and
+    position-independent (unlike raw shingles). All built-ins: sequence +
+    substring + xxhash64 + slice + array_min; one narrow map.
+    """
+    from pyspark.sql import Window
+
+    norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+    n = F.length(norm)
+    gram_idx = F.sequence(F.lit(1), F.greatest(n - k + 1, F.lit(1)))
+    gram_hashes = F.transform(gram_idx, lambda i: F.xxhash64(norm.substr(i, F.lit(k))))
+    # posexplode + window-min instead of a nested slice-per-window lambda:
+    # an array expression referenced inside a higher-order lambda is
+    # re-evaluated per element (O(n²·k) per doc); exploding materializes
+    # the gram hashes once and the rolling min is a cheap frame scan.
+    grams = df.select(
+        F.col(id_col).alias("id"), F.posexplode(gram_hashes).alias("pos", "h")
+    )
+    roll = Window.partitionBy("id").orderBy("pos").rowsBetween(0, window - 1)
+    per_doc = Window.partitionBy("id")
+    starts = (
+        grams.withColumn("win_min", F.min("h").over(roll))
+        .withColumn("last_start", F.greatest(F.max("pos").over(per_doc) - window + 1, F.lit(0)))
+        .filter(F.col("pos") <= F.col("last_start"))
+    )
+    return starts.groupBy("id").agg(
+        F.array_sort(F.array_distinct(F.collect_list("win_min"))).alias("fingerprints")
+    )
+
+
+def winnow_near_dups(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    window: int = 4,
+    min_shared_ratio: float = 0.5,
+) -> DataFrame:
+    """Near-dup pairs by shared winnowing fingerprints.
+
+    Bucket-join on the fingerprint value (explode → equi-join → per-pair
+    shared count) — the same O(n·bucket) shape as the other LSH-style
+    operators; the final ratio (shared / min set size) filters candidates.
+    """
+    fps = winnow_fingerprints(df, text_col=text_col, id_col=id_col, k=k, window=window)
+    sized = fps.withColumn("n_fp", F.size("fingerprints"))
+    flat = sized.select("id", "n_fp", F.explode("fingerprints").alias("fp"))
+    a, b = flat.alias("a"), flat.alias("b")
+    shared = (
+        a.join(b, (F.col("a.fp") == F.col("b.fp")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("doc_a"), F.col("b.id").alias("doc_b"))
+        .agg(
+            F.count(F.lit(1)).alias("n_shared"),
+            F.first(F.col("a.n_fp")).alias("n_a"),
+            F.first(F.col("b.n_fp")).alias("n_b"),
+        )
+    )
+    ratio = F.col("n_shared") / F.least("n_a", "n_b")
+    return (
+        shared.withColumn("shared_ratio", F.round(ratio, 6))
+        .filter(F.col("shared_ratio") >= min_shared_ratio)
+        .select("doc_a", "doc_b", "n_shared", "shared_ratio")
+    )
+
+
 def embedding_near_dups(
     emb: DataFrame, *, threshold: float = 0.95, id_col: str = "vec_id", vec_col: str = "embedding"
 ) -> DataFrame:

@@ -116,8 +116,8 @@ def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
 
     md5 is identical across engines (oracle-able), stable across runs,
     and uniformly distributed — at 100 TB the fingerprint doubles as the
-    dedup shuffle key with no hot spots. A content-defined rolling hash
-    (for near-dup shingling) lives in dedup.py; this is the exact-dup key.
+    dedup shuffle key with no hot spots. The rolling-hash near-dup
+    fingerprint is ``dedup.winnow_fingerprints``; this is the exact-dup key.
     """
     normalized = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
     return df.withColumn("fingerprint", F.md5(normalized))

@@ -83,6 +83,39 @@ def test_simhash_identical_docs_hamming_zero(spark):
     assert rows.get((1, 3), 64) > 8
 
 
+def test_winnow_fingerprint_guarantee(spark):
+    # winnowing guarantee: docs sharing a substring of length >= k+window-1
+    # share at least one fingerprint; identical docs share all of them.
+    shared_run = "this is a long shared passage of text"
+    df = spark.createDataFrame(
+        [
+            (1, f"prefix one {shared_run} suffix alpha"),
+            (2, f"different start {shared_run} other ending"),
+            (3, f"prefix one {shared_run} suffix alpha"),
+            (4, "entirely unrelated content zzz qqq www"),
+        ],
+        "doc_id long, text string",
+    )
+    fps = {r["id"]: set(r["fingerprints"]) for r in dedup.winnow_fingerprints(df).collect()}
+    assert fps[1] == fps[3]
+    assert fps[1] & fps[2], "shared substring must yield a common fingerprint"
+    assert not (fps[1] & fps[4]) or len(fps[1] & fps[4]) < len(fps[1] & fps[2])
+
+
+def test_winnow_near_dups_ranks_overlap(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    df = spark.createDataFrame(
+        [(1, base), (2, base + " extra tail"), (3, "completely different words here")],
+        "doc_id long, text string",
+    )
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["shared_ratio"]
+        for r in dedup.winnow_near_dups(df, min_shared_ratio=0.3).collect()
+    }
+    assert (1, 2) in pairs and pairs[(1, 2)] >= 0.8
+    assert (1, 3) not in pairs
+
+
 def test_embedding_near_dups_exact(spark):
     df = spark.createDataFrame(
         [

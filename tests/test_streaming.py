@@ -24,6 +24,7 @@ from cloudtrace_exporter_spark.streaming import (
     foreach_batch_graph_upsert,
     read_event_stream,
     session_windows,
+    sliding_counts,
     stateful_running_totals,
     stream_static_enrich,
     tumbling_counts,
@@ -106,6 +107,27 @@ def test_tumbling_append_holds_back_open_window(spark, staged_events):
     emitted = out.agg(F.sum("n")).collect()[0][0]
     assert emitted < 1000
     assert emitted >= 990  # only the tail window withheld
+
+
+def test_sliding_windows_overlap(spark, staged_events):
+    # B27: 2h window sliding by 1h → every event lands in exactly 2 windows
+    stream = read_event_stream(spark, staged_events)
+    out = _run_to_memory(
+        spark,
+        sliding_counts(stream, size="2 hours", slide="1 hour", delay="0 seconds"),
+        "t_sliding",
+        mode="complete",
+    )
+    assert out.agg(F.sum("n")).collect()[0][0] == 2000  # 1000 events × 2 windows
+    # a 2h/1h sliding window containing events starts at an event's hour or
+    # the hour before it — compute that set exactly from the batch side
+    hours = load_table(spark, SF, "events").select(
+        F.date_trunc("hour", "ts").alias("h")
+    )
+    expected_windows = (
+        hours.select("h").union(hours.select(F.col("h") - F.expr("INTERVAL 1 HOUR"))).distinct().count()
+    )
+    assert out.count() == expected_windows
 
 
 def test_session_windows_close(spark, staged_events):

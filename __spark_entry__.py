@@ -208,6 +208,28 @@ def q_edges_located_at(spark: SparkSession, sf_dir: str) -> DataFrame:
     return graph.build_edges(_normalized_events(spark, sf_dir))["located_at"]
 
 
+def q_graph_build_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A14 end-to-end: full set-oriented graph build (6 node + 5 edge
+    tables) with per-table cardinalities — the one-query proof that the
+    whole Cypher MERGE template materializes."""
+    nodes, edges = graph.build_graph(_normalized_events(spark, sf_dir))
+    parts = [
+        df.groupBy().agg(
+            F.lit(f"node:{name}").alias("table"), F.count(F.lit(1)).alias("n")
+        )
+        for name, df in sorted(nodes.items())
+    ] + [
+        df.groupBy().agg(
+            F.lit(f"edge:{name}").alias("table"), F.count(F.lit(1)).alias("n")
+        )
+        for name, df in sorted(edges.items())
+    ]
+    out = parts[0]
+    for q in parts[1:]:
+        out = out.unionByName(q)
+    return out.orderBy("table")
+
+
 def q_join_2hop(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = {n: load_table(spark, sf_dir, n) for n in ("lineitem", "orders", "customer")}
     return analytics.join_2hop(t["lineitem"], t["orders"], t["customer"])
@@ -525,6 +547,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_edges_member_of": q_edges_member_of,
         "q_edges_with_status": q_edges_with_status,
         "q_edges_located_at": q_edges_located_at,
+        "q_graph_build_summary": q_graph_build_summary,
         "q_join_2hop": q_join_2hop,
         "q_join_star": q_join_star,
         "q_semi_join": q_semi_join,
@@ -703,6 +726,22 @@ def oracle_sql() -> dict[str, str]:
         "q_edges_located_at": f"""
             WITH {EVENTS_AS_TRACES_SQL}
             SELECT DISTINCT tenant AS src, domain AS src_domain, region AS dst FROM norm
+        """,
+        "q_graph_build_summary": f"""
+            WITH {EVENTS_AS_TRACES_SQL}
+            SELECT * FROM (
+              SELECT 'node:actions' AS "table", count(DISTINCT event_id) AS n FROM norm
+              UNION ALL SELECT 'node:regions', count(DISTINCT region) FROM norm
+              UNION ALL SELECT 'node:resources', count(DISTINCT resource_id) FROM norm
+              UNION ALL SELECT 'node:statuses', count(DISTINCT status) FROM norm
+              UNION ALL SELECT 'node:subjects', count(DISTINCT subject) FROM norm
+              UNION ALL SELECT 'node:tenants', count(*) FROM (SELECT DISTINCT tenant, domain FROM norm)
+              UNION ALL SELECT 'edge:applied_on', count(*) FROM (SELECT DISTINCT event_id, resource_id FROM norm)
+              UNION ALL SELECT 'edge:located_at', count(*) FROM (SELECT DISTINCT tenant, domain, region FROM norm)
+              UNION ALL SELECT 'edge:member_of', count(*) FROM (SELECT DISTINCT resource_id, tenant, domain FROM norm)
+              UNION ALL SELECT 'edge:performed_by', count(*) FROM (SELECT DISTINCT event_id, subject FROM norm)
+              UNION ALL SELECT 'edge:with_status', count(*) FROM (SELECT DISTINCT event_id, status FROM norm)
+            ) ORDER BY "table"
         """,
         "q_join_2hop": """
             SELECT c_mktsegment, count(*) AS n_items, round(sum(l_extendedprice), 2) AS gross

@@ -5,6 +5,7 @@ from cloudtrace_exporter_spark.streaming.pipeline import (
     sliding_counts,
     stateful_running_totals,
     stream_static_enrich,
+    stream_stream_interval_join,
     tumbling_counts,
 )
 from cloudtrace_exporter_spark.streaming.sinks import DeliveryCounters, foreach_batch_graph_upsert
@@ -18,5 +19,6 @@ __all__ = [
     "sliding_counts",
     "stateful_running_totals",
     "stream_static_enrich",
+    "stream_stream_interval_join",
     "tumbling_counts",
 ]

@@ -140,6 +140,52 @@ def stateful_running_totals(stream: DataFrame) -> DataFrame:
     )
 
 
+def stream_stream_interval_join(
+    stream: DataFrame,
+    *,
+    left_type: str = "purchase",
+    right_type: str = "error",
+    within: str = "30 minutes",
+    delay: str = "1 hour",
+) -> DataFrame:
+    """Stream-stream interval join (B-III beyond the reference): correlate
+    two event substreams per subject within a time bound — e.g. "errors
+    within 30 minutes after a purchase, per user".
+
+    Both sides carry watermarks so the join state is bounded: a left row
+    can be dropped once the right watermark passes its interval end, and
+    vice versa — the state-cleanup contract that makes stream-stream
+    joins viable on unbounded input. The reference's architecture (one
+    poll loop, one sink) cannot express this at all.
+    """
+    left = (
+        stream.filter(F.col("event_type") == left_type)
+        .select(
+            F.col("user_id").alias("l_user"),
+            F.col("event_id").alias("left_id"),
+            F.col("ts").alias("l_ts"),
+        )
+        .withWatermark("l_ts", delay)
+    )
+    right = (
+        stream.filter(F.col("event_type") == right_type)
+        .select(
+            F.col("user_id").alias("r_user"),
+            F.col("event_id").alias("right_id"),
+            F.col("ts").alias("r_ts"),
+        )
+        .withWatermark("r_ts", delay)
+    )
+    return left.join(
+        right,
+        F.expr(
+            f"l_user = r_user AND r_ts >= l_ts AND r_ts <= l_ts + INTERVAL {within}"
+        ),
+    ).select(
+        F.col("l_user").alias("user_id"), "left_id", "right_id", "l_ts", "r_ts"
+    )
+
+
 def stream_static_enrich(stream: DataFrame, dim: DataFrame, on: str, how: str = "left") -> DataFrame:
     """B32 stream-static join — dimension enrichment at load time (the graph
     context the reference attaches from the auth client, adapter.go:252-254).

@@ -27,6 +27,7 @@ from cloudtrace_exporter_spark.streaming import (
     sliding_counts,
     stateful_running_totals,
     stream_static_enrich,
+    stream_stream_interval_join,
     tumbling_counts,
 )
 from cloudtrace_exporter_spark.streaming.sinks import run_to_completion
@@ -194,6 +195,27 @@ def test_stream_static_enrich_broadcasts_dim(spark, staged_events):
     out = _run_to_memory(spark, enriched.select("event_id", "category"), "t_enrich")
     assert out.count() == 1000
     assert out.filter(F.col("category").isNull()).count() == 0
+
+
+def test_stream_stream_interval_join_matches_batch(spark, staged_events):
+    stream = read_event_stream(spark, staged_events)
+    joined = stream_stream_interval_join(stream, within="30 minutes", delay="30 days")
+    out = _run_to_memory(spark, joined, "t_ss_join")
+    ev = load_table(spark, SF, "events")
+    l = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("l_user"), F.col("event_id").alias("left_id"), F.col("ts").alias("l_ts")
+    )
+    r = ev.filter(F.col("event_type") == "error").select(
+        F.col("user_id").alias("r_user"), F.col("event_id").alias("right_id"), F.col("ts").alias("r_ts")
+    )
+    batch = l.join(
+        r,
+        F.expr("l_user = r_user AND r_ts >= l_ts AND r_ts <= l_ts + INTERVAL 30 minutes"),
+    )
+    assert out.count() == batch.count() > 0
+    s = {(x["left_id"], x["right_id"]) for x in out.select("left_id", "right_id").collect()}
+    b = {(x["left_id"], x["right_id"]) for x in batch.select("left_id", "right_id").collect()}
+    assert s == b
 
 
 def test_sink_failure_is_counted_not_raised(spark, staged_events, tmp_path):

@@ -392,9 +392,11 @@ def q_doc_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """B33 exact token-set Jaccard pairs ≥0.95 (fixture-scale ground truth;
-    LSH is the scale path — see q_minhash_dedup)."""
-    return dedup.jaccard_pairs(load_table(spark, sf_dir, "documents"), threshold=0.95)
+    """B33 exact token-set Jaccard pairs ≥0.95 — the O(n²) ground truth,
+    bounded to a fixed 1000-doc slice so its cost is constant at any SF
+    (covers all of sf0.01; LSH is the scale path — see q_minhash_dedup)."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 1000)
+    return dedup.jaccard_pairs(docs, threshold=0.95)
 
 
 def q_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -410,13 +412,19 @@ def q_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_winnow_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B33/B35 rolling-hash (winnowing) near-dup pairs (xxhash64-seeded —
-    rows-only; fingerprint guarantees asserted in tests)."""
-    return dedup.winnow_near_dups(load_table(spark, sf_dir, "documents"), min_shared_ratio=0.6)
+    rows-only; fingerprint guarantees asserted in tests). Bounded to the
+    fixed 1000-doc slice like the other pairwise ground-truth ops; the
+    stop-shingle doc-frequency cap then stays proportionate."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 1000)
+    return dedup.winnow_near_dups(docs, min_shared_ratio=0.6)
 
 
 def q_embed_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """B33 embedding-cosine near-dup pairs (exact pairwise at fixture scale)."""
-    return dedup.embedding_near_dups(load_table(spark, sf_dir, "embeddings"), threshold=0.4)
+    """B33 embedding-cosine near-dup pairs — exact pairwise ground truth,
+    bounded to a fixed 1000-vector slice (all of sf0.01) for constant cost;
+    the scale path is LSH/IVF bucketing (similarity.py)."""
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 1000)
+    return dedup.embedding_near_dups(emb, threshold=0.4)
 
 
 def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -963,7 +971,7 @@ def oracle_sql() -> dict[str, str]:
             FROM documents GROUP BY 1
         """,
         "q_ngram_jaccard": f"""
-            WITH t AS (SELECT doc_id, list_distinct({_TOKENS_SQL}) AS tok FROM documents)
+            WITH t AS (SELECT doc_id, list_distinct({_TOKENS_SQL}) AS tok FROM documents WHERE doc_id < 1000)
             SELECT * FROM (
               SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
                      round(CASE WHEN len(list_distinct(list_concat(a.tok, b.tok))) > 0
@@ -977,7 +985,7 @@ def oracle_sql() -> dict[str, str]:
         # signatures are engine-specific → rows-only (recall vs the exact
         # ground-truth queries is asserted in tests/test_llm_ops.py).
         "q_embed_near_dup": """
-            WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)
+            WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings WHERE vec_id < 1000)
             SELECT * FROM (
               SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
                      round(list_dot_product(a.e, b.e)

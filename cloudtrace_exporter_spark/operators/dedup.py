@@ -22,6 +22,21 @@ from pyspark.sql import functions as F
 
 from cloudtrace_exporter_spark.operators.text import tokens
 
+
+def _spread(df: DataFrame) -> DataFrame:
+    """Repartition to the session's core count before compute-bound maps.
+
+    Fixture tables arrive as one small parquet file → one input partition,
+    so a signature/pairwise operator would run single-threaded no matter
+    how many cores exist (Spark sizes scan partitions by bytes, not by
+    downstream compute). One round-robin shuffle of the narrow input is
+    noise next to the hashing/scoring it parallelizes; at 100 TB the
+    input is already many splits and this becomes a cheap no-op-ish
+    rebalance (AQE coalesces if it overshoots).
+    """
+    return df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
+
 # deterministic seeds for the minhash permutation family
 _MINHASH_SEEDS = [1000003 * (i + 1) + 17 for i in range(32)]
 
@@ -50,7 +65,7 @@ def jaccard_pairs(
     operators. At 100 TB NEVER run this raw; run minhash_lsh_pairs and
     use this formula only to verify candidates within buckets.
     """
-    toks = df.select(
+    toks = _spread(df).select(
         F.col(id_col).alias("id"), F.array_distinct(tokens(text_col)).alias("tok")
     )
     a, b = toks.alias("a"), toks.alias("b")
@@ -90,6 +105,7 @@ def minhash_signatures(
 
     All JVM-side (xxhash64 + transform + array_min); one narrow map.
     """
+    df = _spread(df)
     sh = _shingles(text_col, shingle)
     sig = F.array(
         *[
@@ -163,6 +179,7 @@ def simhash_signatures(df: DataFrame, text_col: str = "text", id_col: str = "doc
     """64-bit SimHash per document: sum ±1 per bit over token hashes, sign →
     bit. Built-ins only: per bit, count tokens with that hash-bit set vs
     total (Charikar '02). One narrow map; signature is a single long."""
+    df = _spread(df)
     t = F.transform(tokens(text_col), lambda w: F.xxhash64(w))
     n = F.size(t)
 
@@ -249,7 +266,7 @@ def winnow_fingerprints(
     # an array expression referenced inside a higher-order lambda is
     # re-evaluated per element (O(n²·k) per doc); exploding materializes
     # the gram hashes once and the rolling min is a cheap frame scan.
-    grams = df.select(
+    grams = _spread(df).select(
         F.col(id_col).alias("id"), F.posexplode(gram_hashes).alias("pos", "h")
     )
     roll = Window.partitionBy("id").orderBy("pos").rowsBetween(0, window - 1)
@@ -272,16 +289,31 @@ def winnow_near_dups(
     k: int = 8,
     window: int = 4,
     min_shared_ratio: float = 0.5,
+    max_doc_freq: int = 100,
 ) -> DataFrame:
     """Near-dup pairs by shared winnowing fingerprints.
 
     Bucket-join on the fingerprint value (explode → equi-join → per-pair
     shared count) — the same O(n·bucket) shape as the other LSH-style
     operators; the final ratio (shared / min set size) filters candidates.
+
+    ``max_doc_freq`` drops fingerprints present in more than that many
+    documents before the self-join (stop-shingle filtering): a gram shared
+    by thousands of docs has no discriminative power but would create an
+    O(bucket²) hot join bucket — the standard corpus-scale mitigation.
+    Pairs whose *every* shared fingerprint is that common are missed;
+    near-dups always share rare grams, so recall loss is negligible.
     """
     fps = winnow_fingerprints(df, text_col=text_col, id_col=id_col, k=k, window=window)
     sized = fps.withColumn("n_fp", F.size("fingerprints"))
-    flat = sized.select("id", "n_fp", F.explode("fingerprints").alias("fp"))
+    flat_all = sized.select("id", "n_fp", F.explode("fingerprints").alias("fp"))
+    rare = (
+        flat_all.groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("__df"))
+        .filter(F.col("__df") <= max_doc_freq)
+        .select("fp")
+    )
+    flat = flat_all.join(rare, "fp")
     a, b = flat.alias("a"), flat.alias("b")
     shared = (
         a.join(b, (F.col("a.fp") == F.col("b.fp")) & (F.col("a.id") < F.col("b.id")))
@@ -309,7 +341,7 @@ def embedding_near_dups(
     the scale path buckets by random hyperplane LSH first — see
     similarity.hyperplane_lsh_neighbors, same verify step per bucket.
     """
-    v = emb.select(
+    v = _spread(emb).select(
         F.col(id_col).alias("id"),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
     )

@@ -27,6 +27,13 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Repartition to core count before compute-bound scoring (see
+    dedup._spread: byte-sized scan partitions under-parallelize small
+    files; vector scoring is CPU-bound, not IO-bound)."""
+    return df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
+
 def _as_double(vec_col: str) -> F.Column:
     return F.transform(F.col(vec_col), lambda x: x.cast("double"))
 
@@ -54,7 +61,7 @@ def cosine_topk(
     |queries|, so the shuffle is tiny). Ties break by corpus id for
     determinism. Self-matches (same id) are excluded.
     """
-    c = corpus.select(F.col(id_col).alias("corpus_id"), _as_double(vec_col).alias("cv"))
+    c = _spread(corpus).select(F.col(id_col).alias("corpus_id"), _as_double(vec_col).alias("cv"))
     q = queries.select(F.col(id_col).alias("query_id"), _as_double(vec_col).alias("qv"))
     scored = (
         c.join(F.broadcast(q), F.col("corpus_id") != F.col("query_id"))
@@ -124,7 +131,7 @@ def build_ivf_index(
     build is a few passes over the data; the per-query probe then touches
     ``n_probe/n_centroids`` of the corpus (see ivf_topk).
     """
-    v = corpus.select(F.col(id_col).alias("id"), _as_double(vec_col).alias("v"))
+    v = _spread(corpus).select(F.col(id_col).alias("id"), _as_double(vec_col).alias("v"))
     centroids = (
         v.orderBy("id").limit(n_centroids)
         .select(F.row_number().over(Window.orderBy("id")).alias("cell"), F.col("v").alias("centroid"))
@@ -228,7 +235,7 @@ def lsh_topk(
     (fewer bits → bigger buckets → higher recall/cost).
     """
     planes = hyperplane_planes(dim, n_bits, seed)
-    c = corpus.select(
+    c = _spread(corpus).select(
         F.col(id_col).alias("corpus_id"), _as_double(vec_col).alias("cv")
     ).withColumn("c_bucket", hyperplane_bucket(F.col("cv"), planes))
     q = queries.select(

@@ -230,6 +230,25 @@ def q_graph_build_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("table")
 
 
+def q_graph_walk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cypher-style reachability on the MATERIALIZED graph: per status,
+    how many actions and distinct subjects — ACTION-[:WITH_STATUS]->STATUS
+    joined with ACTION-[:PERFORMED_BY]->SUBJECT through the shared ACTION
+    key (the MATCH pattern the reference's README demonstrates)."""
+    edges = graph.build_edges(_normalized_events(spark, sf_dir))
+    ws = edges["with_status"].select(F.col("src").alias("action"), F.col("dst").alias("status"))
+    pb = edges["performed_by"].select(F.col("src").alias("action"), F.col("dst").alias("subject"))
+    return (
+        ws.join(pb, "action")
+        .groupBy("status")
+        .agg(
+            F.count(F.lit(1)).alias("n_actions"),
+            F.countDistinct("subject").alias("n_subjects"),
+        )
+        .orderBy("status")
+    )
+
+
 def q_join_2hop(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = {n: load_table(spark, sf_dir, n) for n in ("lineitem", "orders", "customer")}
     return analytics.join_2hop(t["lineitem"], t["orders"], t["customer"])
@@ -556,6 +575,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_edges_with_status": q_edges_with_status,
         "q_edges_located_at": q_edges_located_at,
         "q_graph_build_summary": q_graph_build_summary,
+        "q_graph_walk": q_graph_walk,
         "q_join_2hop": q_join_2hop,
         "q_join_star": q_join_star,
         "q_semi_join": q_semi_join,
@@ -750,6 +770,14 @@ def oracle_sql() -> dict[str, str]:
               UNION ALL SELECT 'edge:performed_by', count(*) FROM (SELECT DISTINCT event_id, subject FROM norm)
               UNION ALL SELECT 'edge:with_status', count(*) FROM (SELECT DISTINCT event_id, status FROM norm)
             ) ORDER BY "table"
+        """,
+        "q_graph_walk": f"""
+            WITH {EVENTS_AS_TRACES_SQL},
+            ws AS (SELECT DISTINCT event_id AS action, status FROM norm),
+            pb AS (SELECT DISTINCT event_id AS action, subject FROM norm)
+            SELECT status, count(*) AS n_actions, count(DISTINCT subject) AS n_subjects
+            FROM ws JOIN pb USING (action)
+            GROUP BY status ORDER BY status
         """,
         "q_join_2hop": """
             SELECT c_mktsegment, count(*) AS n_items, round(sum(l_extendedprice), 2) AS gross

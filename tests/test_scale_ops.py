@@ -82,6 +82,34 @@ def test_partitioned_roundtrip_preserves_rows(spark, sf_dir, tmp_path):
     assert back.select("event_id").distinct().count() == ev.count()
 
 
+def test_bucketed_join_has_no_shuffle(spark, sf_dir, tmp_path):
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    layout.write_bucketed(orders, "orders_b", str(tmp_path / "ob"), bucket_col="o_orderkey")
+    layout.write_bucketed(
+        lineitem.withColumnRenamed("l_orderkey", "o_orderkey"),
+        "lineitem_b",
+        str(tmp_path / "lb"),
+        bucket_col="o_orderkey",
+    )
+    # fixture tables fit the broadcast threshold, which would mask the
+    # bucketing effect — disable it so the planner shows the co-located join
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = spark.table("lineitem_b").join(spark.table("orders_b"), "o_orderkey")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+        assert "Exchange" not in plan, "bucketed co-located join must not shuffle"
+        # correctness: same row count as the plain join
+        plain = lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
+        assert joined.count() == plain.count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS orders_b")
+        spark.sql("DROP TABLE IF EXISTS lineitem_b")
+
+
 # --------------------------------------------------------------------------
 # IVF
 # --------------------------------------------------------------------------

@@ -149,7 +149,10 @@ def build_ivf_index(
                     lambda s: s["mean_val"],
                 ).alias("centroid")
             )
-        )
+        # cache each iteration's centroids (n_centroids rows): every
+        # downstream consumer otherwise re-executes the whole Lloyd
+        # lineage — iterative algorithms must checkpoint per round
+        ).cache()
     assigned = _assign_cells(v, centroids)
     return assigned, centroids
 

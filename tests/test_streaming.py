@@ -218,6 +218,45 @@ def test_stream_stream_interval_join_matches_batch(spark, staged_events):
     assert s == b
 
 
+def test_checkpoint_restart_resumes_without_reprocessing(spark, staged_events, tmp_path):
+    """Exactly-once across restarts: a second run over the same checkpoint
+    must pick up only files that arrived after the first run — no
+    re-delivery, no loss (the property the reference's wall-clock-delta
+    overlap only approximates)."""
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    pages = sorted(f for f in os.listdir(staged_events) if f.endswith(".parquet"))
+    half = len(pages) // 2
+    for f in pages[:half]:
+        os.link(os.path.join(staged_events, f), os.path.join(src, f))
+
+    counters = DeliveryCounters()
+    ckpt = str(tmp_path / "ckpt")
+    out_dir = str(tmp_path / "graph")
+
+    def run_once():
+        stream = read_event_stream(spark, src, max_files_per_trigger=1)
+        normalized = normalize.normalize_traces(
+            normalize.events_as_traces(stream),
+            source="https://cts.example", region="eu-de", domain="d1", tenant="p1",
+        )
+        run_to_completion(normalized, foreach_batch_graph_upsert(out_dir, counters), ckpt)
+
+    run_once()
+    first_batch_delivered = counters.delivered
+    assert 0 < first_batch_delivered < 1000
+
+    for f in pages[half:]:
+        os.link(os.path.join(staged_events, f), os.path.join(src, f))
+    run_once()
+
+    assert counters.delivered == 1000  # second run delivered ONLY the new files
+    assert counters.failed == 0
+    actions = spark.read.parquet(os.path.join(out_dir, "nodes", "actions"))
+    assert actions.count() == 1000
+    assert actions.select("id").distinct().count() == 1000
+
+
 def test_sink_failure_is_counted_not_raised(spark, staged_events, tmp_path):
     # A13 semantics: per-record/batch failure tolerated, counted, logged
     stream = read_event_stream(spark, staged_events)

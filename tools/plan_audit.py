@@ -1,0 +1,69 @@
+"""Plan health report — one line per query: join strategies, exchange
+count, pushed filters, and scan schema width, read from the physical plan.
+
+The per-operator design contracts (broadcast dims, pushdown, no cartesian,
+TakeOrdered top-k, shuffle budgets) are ASSERTED in tests/test_plans.py;
+this tool is the human-readable sweep across the whole query surface.
+
+Usage:
+    python tools/plan_audit.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import re
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+
+def audit(plan: str) -> dict:
+    joins = {
+        "BHJ": plan.count("BroadcastHashJoin"),
+        "SMJ": plan.count("SortMergeJoin"),
+        "SHJ": plan.count("ShuffledHashJoin"),
+        "BNLJ": plan.count("BroadcastNestedLoopJoin"),
+        "CART": plan.count("CartesianProduct"),
+    }
+    pushed = re.findall(r"PushedFilters: \[([^\]]*)\]", plan)
+    n_pushed = sum(1 for p in pushed for f in p.split(",") if f.strip() and f.strip() != "[]")
+    schemas = re.findall(r"ReadSchema: struct<([^>]*)", plan)
+    widths = [len(s.split(",")) for s in schemas] or [0]
+    return {
+        "joins": "/".join(f"{k}:{v}" for k, v in joins.items() if v),
+        "exchanges": plan.count("Exchange"),
+        "pushed_filters": n_pushed,
+        "scan_cols": max(widths),
+    }
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    import __spark_entry__ as entry_mod
+    from cloudtrace_exporter_spark.session import get_spark
+
+    spark = get_spark("plan-audit")
+    for name, fn in entry_mod.queries().items():
+        if only and name not in only:
+            continue
+        try:
+            df = fn(spark, sf_dir)
+            info = audit(df._jdf.queryExecution().executedPlan().toString())
+            flags = []
+            if "CART" in info["joins"]:
+                flags.append("!! cartesian")
+            if info["exchanges"] > 6:
+                flags.append("!! many exchanges")
+            print(
+                f"{name:28s} joins[{info['joins'] or '-':24s}] "
+                f"xchg={info['exchanges']:<2d} pushed={info['pushed_filters']:<2d} "
+                f"scan_cols={info['scan_cols']:<2d} {' '.join(flags)}"
+            )
+        except Exception as exc:  # keep sweeping
+            print(f"{name:28s} ERROR {type(exc).__name__}: {exc}")
+
+
+if __name__ == "__main__":
+    main()

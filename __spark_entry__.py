@@ -209,25 +209,13 @@ def q_edges_located_at(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_graph_build_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A14 end-to-end: full set-oriented graph build (6 node + 5 edge
-    tables) with per-table cardinalities — the one-query proof that the
-    whole Cypher MERGE template materializes."""
-    nodes, edges = graph.build_graph(_normalized_events(spark, sf_dir))
-    parts = [
-        df.groupBy().agg(
-            F.lit(f"node:{name}").alias("table"), F.count(F.lit(1)).alias("n")
-        )
-        for name, df in sorted(nodes.items())
-    ] + [
-        df.groupBy().agg(
-            F.lit(f"edge:{name}").alias("table"), F.count(F.lit(1)).alias("n")
-        )
-        for name, df in sorted(edges.items())
-    ]
-    out = parts[0]
-    for q in parts[1:]:
-        out = out.unionByName(q)
-    return out.orderBy("table")
+    """A14 end-to-end: per-table cardinality of the full graph build
+    (6 node + 5 edge tables, client.go:10-21) — the one-query proof that
+    the whole Cypher MERGE template materializes. Single-scan
+    multi-distinct aggregation; the naive build-then-count costs 11 scans
+    (tests assert the two agree and that this plan reads the fact table
+    once)."""
+    return graph.summarize_graph(_normalized_events(spark, sf_dir))
 
 
 def q_graph_walk(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -266,15 +266,17 @@ def winnow_fingerprints(
     # an array expression referenced inside a higher-order lambda is
     # re-evaluated per element (O(n²·k) per doc); exploding materializes
     # the gram hashes once and the rolling min is a cheap frame scan.
+    # the last valid window start is known BEFORE exploding (n_grams −
+    # window); carrying it as a column avoids a second whole-partition
+    # window pass (max(pos) over id) on the exploded grams
     grams = _spread(df).select(
-        F.col(id_col).alias("id"), F.posexplode(gram_hashes).alias("pos", "h")
+        F.col(id_col).alias("id"),
+        F.greatest(F.greatest(n - k + 1, F.lit(1)) - window, F.lit(0)).alias("last_start"),
+        F.posexplode(gram_hashes).alias("pos", "h"),
     )
     roll = Window.partitionBy("id").orderBy("pos").rowsBetween(0, window - 1)
-    per_doc = Window.partitionBy("id")
-    starts = (
-        grams.withColumn("win_min", F.min("h").over(roll))
-        .withColumn("last_start", F.greatest(F.max("pos").over(per_doc) - window + 1, F.lit(0)))
-        .filter(F.col("pos") <= F.col("last_start"))
+    starts = grams.withColumn("win_min", F.min("h").over(roll)).filter(
+        F.col("pos") <= F.col("last_start")
     )
     return starts.groupBy("id").agg(
         F.array_sort(F.array_distinct(F.collect_list("win_min"))).alias("fingerprints")

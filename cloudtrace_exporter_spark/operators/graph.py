@@ -89,6 +89,56 @@ def build_graph(events: DataFrame) -> tuple[dict[str, DataFrame], dict[str, Data
     return build_nodes(events), build_edges(events)
 
 
+# MERGE key of every node/edge table (client.go:10-21), in output order.
+# Keys are column tuples of the NORMALIZED event frame, not of the built
+# tables — that is what lets the summary below run off one scan.
+GRAPH_TABLE_KEYS: dict[str, tuple[str, ...]] = {
+    "edge:applied_on": ("event_id", "resource_id"),
+    "edge:located_at": ("tenant", "domain", "region"),
+    "edge:member_of": ("resource_id", "tenant", "domain"),
+    "edge:performed_by": ("event_id", "subject"),
+    "edge:with_status": ("event_id", "status"),
+    "node:actions": ("event_id",),
+    "node:regions": ("region",),
+    "node:resources": ("resource_id",),
+    "node:statuses": ("status",),
+    "node:subjects": ("subject",),
+    "node:tenants": ("tenant", "domain"),
+}
+
+
+def summarize_graph(events: DataFrame) -> DataFrame:
+    """Per-table cardinality of the full graph build — in ONE scan.
+
+    Building all 11 tables and counting each separately costs 11 scans of
+    the event history plus 11 dedup shuffles; at 100 TB that is 11 full
+    passes for what is semantically one multi-distinct aggregation. This
+    computes every table's MERGE-key distinct count in a single
+    aggregation (Catalyst plans the multi-distinct via one Expand over one
+    scan), then unpivots to (table, n) rows.
+
+    Each key tuple is wrapped in a struct so null keys count as a group —
+    identical to ``dropDuplicates`` on the built table (bare
+    count(DISTINCT a, b) would skip tuples containing a null).
+    """
+    aggs = [
+        F.count_distinct(F.struct(*cols)).alias(name)
+        for name, cols in GRAPH_TABLE_KEYS.items()
+    ]
+    wide = events.agg(*aggs)
+    pairs = F.array(
+        *[
+            F.struct(F.lit(name).alias("table"), F.col(f"`{name}`").alias("n"))
+            for name in GRAPH_TABLE_KEYS
+        ]
+    )
+    return (
+        wide.select(F.explode(pairs).alias("kv"))
+        .select("kv.table", "kv.n")
+        .orderBy("table")
+    )
+
+
 def upsert_nodes(existing: DataFrame, incoming: DataFrame, key_cols: list[str]) -> DataFrame:
     """MERGE-into-existing semantics without a transactional table format:
 

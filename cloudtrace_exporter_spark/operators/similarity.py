@@ -138,7 +138,7 @@ def build_ivf_index(
     )
     for _ in range(lloyd_iters):
         assigned = _assign_cells(v, centroids)
-        centroids = (
+        centroids = _materialize_centroids(
             assigned.select("cell", F.posexplode("v").alias("pos", "val"))
             .groupBy("cell", "pos")
             .agg(F.avg("val").alias("mean_val"))
@@ -149,12 +149,23 @@ def build_ivf_index(
                     lambda s: s["mean_val"],
                 ).alias("centroid")
             )
-        # cache each iteration's centroids (n_centroids rows): every
-        # downstream consumer otherwise re-executes the whole Lloyd
-        # lineage — iterative algorithms must checkpoint per round
-        ).cache()
+        )
     assigned = _assign_cells(v, centroids)
     return assigned, centroids
+
+
+def _materialize_centroids(centroids: DataFrame) -> DataFrame:
+    """Collapse an iteration's centroid table (n_centroids × dim floats —
+    kilobytes by construction) to a driver-local relation.
+
+    Iterative algorithms must truncate lineage per round, or every
+    iteration's plan stacks under the next: lloyd_iters rounds otherwise
+    replay the full corpus scan + window + shuffle chain once per round
+    downstream. Collecting the *centroids* (never the vectors) is the
+    standard Spark k-means shape; the result re-enters the plan as a
+    LocalRelation that broadcasts for free."""
+    spark = centroids.sparkSession
+    return spark.createDataFrame(centroids.collect(), schema=centroids.schema)
 
 
 def _assign_cells(v: DataFrame, centroids: DataFrame) -> DataFrame:

@@ -92,3 +92,31 @@ def test_upsert_nodes_anti_join_semantics(spark):
     # re-upserting the same batch changes nothing (idempotent)
     merged2 = graph.upsert_nodes(merged, incoming, ["id"])
     assert merged2.count() == 2
+
+
+def test_summarize_graph_matches_built_tables(spark):
+    # single-scan multi-distinct summary == build every table and count it
+    ev = _events(
+        spark,
+        [
+            _event(),
+            _event(),  # duplicate delivery
+            _event(event_id="e2", resource_id="r2", status="incident"),
+            _event(event_id="e3", tenant="p2", region="eu-nl", subject="server-b"),
+        ],
+    )
+    got = {r["table"]: r["n"] for r in graph.summarize_graph(ev).collect()}
+    nodes, edges = graph.build_graph(ev)
+    want = {f"node:{k}": df.count() for k, df in nodes.items()}
+    want.update({f"edge:{k}": df.count() for k, df in edges.items()})
+    assert got == want
+
+
+def test_summarize_graph_counts_null_keys_like_dropduplicates(spark):
+    # a null MERGE-key component still forms a group (struct wrap), exactly
+    # as dropDuplicates would keep the null row in the built table
+    ev = _events(spark, [_event(), _event(event_id="e2", subject=None)])
+    got = {r["table"]: r["n"] for r in graph.summarize_graph(ev).collect()}
+    nodes, edges = graph.build_graph(ev)
+    assert got["node:subjects"] == nodes["subjects"].count() == 2
+    assert got["edge:performed_by"] == edges["performed_by"].count() == 2

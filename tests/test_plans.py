@@ -98,3 +98,19 @@ def test_salted_agg_two_shuffles_only(spark, sf_dir):
     p = df._jdf.queryExecution().executedPlan().toString()
     # stage-1 (key,salt) + stage-2 (key) + final orderBy range exchange
     assert p.count("Exchange") <= 3
+
+
+def test_graph_summary_is_single_scan(plans):
+    # 11-table cardinality summary must read the event history ONCE
+    # (Expand-based multi-distinct), not once per node/edge table
+    p = plans("q_graph_build_summary")
+    assert p.count("Scan parquet") == 1
+    assert "Expand" in p
+
+
+def test_ivf_topk_lineage_is_truncated(plans):
+    # Lloyd iterations materialize centroids per round; the final plan
+    # must not replay the per-iteration corpus scan + window chain
+    p = plans("q_ivf_topk")
+    assert p.count("Scan parquet") <= 2  # corpus-as-assigned + corpus-as-queries
+    assert p.count("Exchange") <= 8

@@ -274,3 +274,42 @@ def test_sink_failure_is_counted_not_raised(spark, staged_events, tmp_path):
     run_to_completion(stream, wrapped, str(tmp_path / "ckpt2"))
     assert counters.failed >= 1
     assert "sink down" in counters.errors[0]
+
+
+def test_cypher_sink_writes_replayable_unwind_script(spark, staged_events, tmp_path):
+    """Batched Cypher sink (set-oriented neo4j_sink replacement): the
+    UNWIND MERGE template + per-epoch JSON parameter rows, delivered
+    counts accounted, rows dedup'd on the action key."""
+    from cloudtrace_exporter_spark.streaming.cypher_sink import (
+        UNWIND_MERGE_CYPHER,
+        foreach_batch_cypher_upsert,
+    )
+
+    counters = DeliveryCounters()
+    out = str(tmp_path / "cypher")
+    stream = read_event_stream(spark, staged_events, max_files_per_trigger=2)
+    normalized = normalize.normalize_traces(
+        normalize.events_as_traces(stream),
+        source="https://cts.example", region="eu-de", domain="d1", tenant="p1",
+    )
+    run_to_completion(
+        normalized, foreach_batch_cypher_upsert(out, counters=counters), str(tmp_path / "ckpt")
+    )
+
+    with open(os.path.join(out, "statement.cypher")) as fh:
+        stmt = fh.read()
+    assert stmt == UNWIND_MERGE_CYPHER
+    for label in ("REGION", "STATUS", "SUBJECT", "TENANT", "RESOURCE", "ACTION"):
+        assert f":{label}" in stmt
+    for rel in ("APPLIED_ON", "LOCATED_AT", "MEMBER_OF", "WITH_STATUS", "PERFORMED_BY"):
+        assert f"[:{rel}]" in stmt
+
+    row_dirs = sorted(d for d in os.listdir(out) if d.startswith("rows-"))
+    assert len(row_dirs) >= 2  # one per non-empty micro-batch
+    rows = spark.read.json(os.path.join(out, "rows-*"))
+    assert rows.count() == counters.delivered == 1000
+    assert rows.select("actionId").distinct().count() == 1000
+    expect_cols = {"region", "tenantId", "domainId", "resourceId", "actionId",
+                   "timestamp", "source", "type", "status", "subject"}
+    assert expect_cols <= set(rows.columns)
+    assert counters.failed == 0

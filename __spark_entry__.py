@@ -218,6 +218,15 @@ def q_graph_build_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     return graph.summarize_graph(_normalized_events(spark, sf_dir))
 
 
+def q_cypher_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A14 sink row shape: the 10-parameter batch the UNWIND…MERGE Cypher
+    template consumes (client.go:57-67), dedup'd on the action key —
+    oracle-checks the exact payload the graph sink would deliver."""
+    from cloudtrace_exporter_spark.streaming.cypher_sink import events_to_cypher_rows
+
+    return events_to_cypher_rows(_normalized_events(spark, sf_dir))
+
+
 def q_graph_walk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cypher-style reachability on the MATERIALIZED graph: per status,
     how many actions and distinct subjects — ACTION-[:WITH_STATUS]->STATUS
@@ -563,6 +572,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_edges_with_status": q_edges_with_status,
         "q_edges_located_at": q_edges_located_at,
         "q_graph_build_summary": q_graph_build_summary,
+        "q_cypher_rows": q_cypher_rows,
         "q_graph_walk": q_graph_walk,
         "q_join_2hop": q_join_2hop,
         "q_join_star": q_join_star,
@@ -758,6 +768,14 @@ def oracle_sql() -> dict[str, str]:
               UNION ALL SELECT 'edge:performed_by', count(*) FROM (SELECT DISTINCT event_id, subject FROM norm)
               UNION ALL SELECT 'edge:with_status', count(*) FROM (SELECT DISTINCT event_id, status FROM norm)
             ) ORDER BY "table"
+        """,
+        "q_cypher_rows": f"""
+            WITH {EVENTS_AS_TRACES_SQL}
+            SELECT region, tenant AS "tenantId", domain AS "domainId",
+                   resource_id AS "resourceId", event_id AS "actionId",
+                   strftime(event_time, '%Y-%m-%dT%H:%M:%SZ') AS "timestamp",
+                   source, type, status, subject
+            FROM norm
         """,
         "q_graph_walk": f"""
             WITH {EVENTS_AS_TRACES_SQL},

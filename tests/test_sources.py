@@ -1,0 +1,92 @@
+"""CTS paged-response source tests (SURVEY §2 A1/A2, §4 ingest decision).
+
+The page writer simulates the reference's poller landing raw
+``ListTracesResponse`` bodies; the readers must reproduce the original
+trace rows exactly, honor the paging contract (page size 50, marker
+chain terminating on empty — adapter.go:106-130), tolerate malformed
+pages, and stream page files as micro-batches.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from cloudtrace_exporter_spark.operators import normalize
+from cloudtrace_exporter_spark.sources import cts_pages
+from cloudtrace_exporter_spark.sources.tables import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+def _traces(spark):
+    return normalize.events_as_traces(load_table(spark, SF, "events"))
+
+
+def test_page_roundtrip_preserves_all_traces(spark, tmp_path):
+    traces = _traces(spark)
+    out = str(tmp_path / "pages")
+    cts_pages.write_trace_pages(traces, out)
+    back = cts_pages.read_trace_pages(spark, out)
+    # JSON sources are all-nullable; names and types must match exactly
+    assert [(f.name, f.dataType) for f in back.schema] == [
+        (f.name, f.dataType) for f in traces.schema
+    ]
+    assert back.count() == traces.count()
+    assert back.exceptAll(traces).count() == 0
+    assert traces.exceptAll(back).count() == 0
+
+
+def test_page_size_and_marker_chain(spark, tmp_path):
+    traces = _traces(spark)
+    n = traces.count()
+    out = str(tmp_path / "pages")
+    cts_pages.write_trace_pages(traces, out, page_size=50)
+    pages = spark.read.schema(cts_pages.LIST_TRACES_RESPONSE_SCHEMA).json(out)
+    counts = [r["c"] for r in pages.select(F.col("meta_data.count").alias("c")).collect()]
+    assert sum(counts) == n
+    assert max(counts) <= 50
+    # exactly one terminal page: empty marker ends the reference's loop
+    markers = [r["m"] for r in pages.select(F.col("meta_data.marker").alias("m")).collect()]
+    assert markers.count("") == 1
+    # every non-terminal marker is the last trace id of its page
+    rows = pages.select(
+        F.element_at("traces", -1)["trace_id"].alias("last_id"), F.col("meta_data.marker").alias("m")
+    ).collect()
+    for r in rows:
+        assert r["m"] in ("", r["last_id"])
+
+
+def test_malformed_page_is_dropped_not_fatal(spark, tmp_path):
+    traces = _traces(spark)
+    out = str(tmp_path / "pages")
+    cts_pages.write_trace_pages(traces, out)
+    n = cts_pages.read_trace_pages(spark, out).count()
+    with open(os.path.join(out, "part-99999-garbage.json"), "w") as fh:
+        fh.write('{"this is": truncated nonsense\n')
+    assert cts_pages.read_trace_pages(spark, out).count() == n
+
+
+def test_streaming_pages_match_batch_after_normalize(spark, tmp_path):
+    traces = _traces(spark)
+    out = str(tmp_path / "pages")
+    cts_pages.write_trace_pages(traces, out, page_size=100)
+    stream = cts_pages.read_trace_pages_stream(spark, out, max_files_per_trigger=1)
+    normalized = normalize.normalize_traces(
+        stream, source="https://cts.example", region="eu-de", domain="d1", tenant="p1"
+    )
+    q = (
+        normalized.writeStream.format("memory")
+        .queryName("cts_pages_stream")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT event_id, type, subject, status FROM cts_pages_stream")
+    want = normalize.normalize_traces(
+        cts_pages.read_trace_pages(spark, out),
+        source="https://cts.example", region="eu-de", domain="d1", tenant="p1",
+    ).select("event_id", "type", "subject", "status")
+    assert got.count() == want.count()
+    assert got.exceptAll(want).count() == 0

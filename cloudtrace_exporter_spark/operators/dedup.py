@@ -13,6 +13,18 @@ Scale design: every near-dup operator reduces the candidate space with a
 *bucketing shuffle* (LSH bands / simhash blocks) before any pairwise
 work, so cost is O(n · bucket_size), never O(n²). The exact-Jaccard
 variant exists as the oracle-checkable ground truth at fixture scale.
+
+Two in-bucket pairing shapes, chosen per operator:
+
+- **self-join on the bucket key** (minhash, simhash): pair output
+  *streams* out of the join, so a giant bucket (a real cluster of
+  thousands of identical docs) costs time but bounded memory, and AQE
+  skew-join splits the hot key. Used where bucket size is unbounded.
+- **groupBy + posting-list pair expansion** (winnowing): one aggregation
+  collects each bucket's (small) posting list and a higher-order
+  transform expands (a<b) pairs — two shuffles instead of five. Safe
+  ONLY because ``max_doc_freq`` caps the list before expansion; an
+  uncapped collect_list would materialize freq² structs in one row.
 """
 
 from __future__ import annotations
@@ -295,35 +307,53 @@ def winnow_near_dups(
 ) -> DataFrame:
     """Near-dup pairs by shared winnowing fingerprints.
 
-    Bucket-join on the fingerprint value (explode → equi-join → per-pair
-    shared count) — the same O(n·bucket) shape as the other LSH-style
-    operators; the final ratio (shared / min set size) filters candidates.
+    Bucket-group on the fingerprint value: collect each fingerprint's
+    (small) posting list in ONE aggregation, drop stop fingerprints by
+    list size in the same pass, and expand in-bucket (a<b) pairs with a
+    higher-order transform — no self-join, no second pass over the
+    exploded fingerprints. Two data shuffles total (fingerprint group,
+    pair group) vs. five for the equi-join formulation.
 
-    ``max_doc_freq`` drops fingerprints present in more than that many
-    documents before the self-join (stop-shingle filtering): a gram shared
-    by thousands of docs has no discriminative power but would create an
-    O(bucket²) hot join bucket — the standard corpus-scale mitigation.
-    Pairs whose *every* shared fingerprint is that common are missed;
-    near-dups always share rare grams, so recall loss is negligible.
+    ``max_doc_freq`` caps the posting-list size (stop-shingle filtering):
+    a gram shared by thousands of docs has no discriminative power but
+    would expand O(freq²) pairs — the standard corpus-scale mitigation,
+    and here also the bound on per-bucket expansion (≤ freq² structs in
+    one array). Pairs whose *every* shared fingerprint is that common are
+    missed; near-dups always share rare grams, so recall loss is
+    negligible.
     """
     fps = winnow_fingerprints(df, text_col=text_col, id_col=id_col, k=k, window=window)
     sized = fps.withColumn("n_fp", F.size("fingerprints"))
-    flat_all = sized.select("id", "n_fp", F.explode("fingerprints").alias("fp"))
-    rare = (
-        flat_all.groupBy("fp")
-        .agg(F.count(F.lit(1)).alias("__df"))
-        .filter(F.col("__df") <= max_doc_freq)
-        .select("fp")
+    flat = sized.select("id", "n_fp", F.explode("fingerprints").alias("fp"))
+    buckets = (
+        flat.groupBy("fp")
+        .agg(F.sort_array(F.collect_list(F.struct("id", "n_fp"))).alias("docs"))
+        .filter(F.size("docs") <= max_doc_freq)
     )
-    flat = flat_all.join(rare, "fp")
-    a, b = flat.alias("a"), flat.alias("b")
+    docs = F.col("docs")
+    # all (i < j) combinations of the sorted posting list; the two-arg
+    # lambda receives (element, index) — exactly the contract here
+    pairs = F.flatten(
+        F.transform(
+            docs,
+            lambda a, i: F.transform(
+                F.slice(docs, i + F.lit(2), F.size(docs)),
+                lambda b: F.struct(
+                    a["id"].alias("doc_a"),
+                    b["id"].alias("doc_b"),
+                    a["n_fp"].alias("n_a"),
+                    b["n_fp"].alias("n_b"),
+                ),
+            ),
+        )
+    )
     shared = (
-        a.join(b, (F.col("a.fp") == F.col("b.fp")) & (F.col("a.id") < F.col("b.id")))
-        .groupBy(F.col("a.id").alias("doc_a"), F.col("b.id").alias("doc_b"))
+        buckets.select(F.explode(pairs).alias("p"))
+        .groupBy("p.doc_a", "p.doc_b")
         .agg(
             F.count(F.lit(1)).alias("n_shared"),
-            F.first(F.col("a.n_fp")).alias("n_a"),
-            F.first(F.col("b.n_fp")).alias("n_b"),
+            F.first("p.n_a").alias("n_a"),
+            F.first("p.n_b").alias("n_b"),
         )
     )
     ratio = F.col("n_shared") / F.least("n_a", "n_b")

@@ -307,6 +307,16 @@ def q_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B17: explicit GROUPING SETS (arbitrary set list, not a lattice)."""
+    return analytics.grouping_sets_status(load_table(spark, sf_dir, "orders"))
+
+
+def q_window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B19 family: percent_rank / cume_dist / ntile within nation."""
+    return analytics.window_distribution(load_table(spark, sf_dir, "customer"))
+
+
 def q_window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
     return analytics.window_lag_lead(load_table(spark, sf_dir, "events"))
 
@@ -461,6 +471,16 @@ def q_token_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.term_frequencies(load_table(spark, sf_dir, "documents"))
 
 
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B35: per-document top-5 TF-IDF terms."""
+    return text.tfidf_top_terms(load_table(spark, sf_dir, "documents"), k=5)
+
+
+def q_embed_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B34/B36: per-label embedding centroid as (label, dim, mean) rows."""
+    return similarity.label_centroids(load_table(spark, sf_dir, "embeddings"))
+
+
 def q_lang_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B35 per-language corpus stats."""
     docs = load_table(spark, sf_dir, "documents")
@@ -585,6 +605,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_rollup_region_nation": q_rollup_region_nation,
         "q_topk_resources": q_topk_resources,
         "q_window_rank": q_window_rank,
+        "q_grouping_sets": q_grouping_sets,
+        "q_window_distribution": q_window_distribution,
         "q_window_lag_lead": q_window_lag_lead,
         "q_running_sum": q_running_sum,
         "q_global_sort": q_global_sort,
@@ -609,6 +631,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_embed_near_dup": q_embed_near_dup,
         "q_cosine_topk": q_cosine_topk,
         "q_lsh_topk": q_lsh_topk,
+        "q_tfidf_top_terms": q_tfidf_top_terms,
+        "q_embed_label_centroids": q_embed_label_centroids,
         "q_token_freq": q_token_freq,
         "q_lang_stats": q_lang_stats,
         "q_lang_id": q_lang_id,
@@ -1040,6 +1064,46 @@ def oracle_sql() -> dict[str, str]:
               SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, corpus_id ASC) AS rnk
               FROM scored
             ) WHERE rnk <= 5
+        """,
+        "q_grouping_sets": """
+            SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
+                   round(sum(o_totalprice), 2) AS total
+            FROM orders
+            GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
+        """,
+        "q_window_distribution": """
+            SELECT c_nationkey, c_custkey, round(c_acctbal, 2) AS acctbal,
+                   round(percent_rank() OVER w, 6) AS pct_rank,
+                   round(cume_dist() OVER w, 6) AS cume,
+                   CAST(ntile(4) OVER w AS BIGINT) AS quartile
+            FROM customer
+            WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal ASC, c_custkey ASC)
+        """,
+        "q_tfidf_top_terms": f"""
+            WITH tok AS (
+              SELECT doc_id, unnest({_TOKENS_SQL}) AS term FROM documents
+            ),
+            tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
+            dfreq AS (SELECT term, count(*) AS dfreq FROM tf GROUP BY term),
+            n AS (SELECT count(*) AS n_docs FROM documents)
+            SELECT doc_id, term, tfidf, rnk FROM (
+              SELECT tf.doc_id, tf.term,
+                     round(tf * ln(CAST(n_docs AS DOUBLE) / dfreq), 6) AS tfidf,
+                     row_number() OVER (
+                       PARTITION BY tf.doc_id
+                       ORDER BY tf * ln(CAST(n_docs AS DOUBLE) / dfreq) DESC, tf.term ASC
+                     ) AS rnk
+              FROM tf JOIN dfreq ON tf.term = dfreq.term CROSS JOIN n
+            ) WHERE rnk <= 5
+        """,
+        "q_embed_label_centroids": """
+            SELECT label, dim, round(avg(val), 6) AS mean_val FROM (
+              SELECT label,
+                     generate_subscripts(embedding, 1) AS dim,
+                     CAST(unnest(embedding) AS DOUBLE) AS val
+              FROM embeddings
+            )
+            GROUP BY label, dim
         """,
         "q_token_freq": f"""
             SELECT token, count(*) AS freq

@@ -519,3 +519,43 @@ def scalar_funcs(part: DataFrame) -> DataFrame:
         F.round(F.log(F.col("p_retailprice") + 1.0), 6).alias("log_price"),
         F.round(F.pow(F.col("p_size").cast("double"), 2.0), 2).alias("size_sq"),
     )
+
+
+def grouping_sets_status(orders: DataFrame) -> DataFrame:
+    """B17: explicit GROUPING SETS — arbitrary set list, not the
+    rollup/cube lattice (here: per (status, priority), per status, and
+    grand total, skipping the per-priority set a CUBE would add). Same
+    single-shuffle Expand-based plan as rollup/cube."""
+    return (
+        orders.groupingSets(
+            [["o_orderstatus", "o_orderpriority"], ["o_orderstatus"], []],
+            "o_orderstatus",
+            "o_orderpriority",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+        .orderBy(
+            F.col("o_orderstatus").asc_nulls_first(),
+            F.col("o_orderpriority").asc_nulls_first(),
+        )
+    )
+
+
+def window_distribution(customer: DataFrame) -> DataFrame:
+    """B19 family: distribution window functions — percent_rank,
+    cume_dist, ntile(4) over account balance within nation. Fully
+    deterministic: the order key (acctbal, custkey) is unique, so peer
+    groups are single rows. One shuffle on the partition key."""
+    w = Window.partitionBy("c_nationkey").orderBy(
+        F.asc("c_acctbal"), F.asc("c_custkey")
+    )
+    return customer.select(
+        "c_nationkey",
+        "c_custkey",
+        F.round("c_acctbal", 2).alias("acctbal"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+    )

@@ -274,3 +274,20 @@ def lsh_topk(
         .filter(F.col("rnk") <= k)
         .select("query_id", "corpus_id", "cosine", "rnk")
     )
+
+
+def label_centroids(emb: DataFrame, *, label_col: str = "label", vec_col: str = "embedding") -> DataFrame:
+    """Per-label centroid of the embedding space, as (label, dim, mean)
+    rows — the class-prototype primitive under IVF seeding, few-shot
+    classification, and drift monitoring.
+
+    posexplode → groupBy(label, dim): one shuffle of (label, dim, val)
+    triples with full map-side partial aggregation; never collects a
+    vector. ``dim`` is 1-based.
+    """
+    return (
+        emb.select(F.col(label_col).alias("label"), F.posexplode(_as_double(vec_col)).alias("pos", "val"))
+        .select("label", (F.col("pos") + 1).alias("dim"), "val")
+        .groupBy("label", "dim")
+        .agg(F.round(F.avg("val"), 6).alias("mean_val"))
+    )

@@ -133,3 +133,36 @@ def term_frequencies(df: DataFrame, text_col: str = "text", min_count: int = 1) 
         .agg(F.count(F.lit(1)).alias("freq"))
         .filter(F.col("freq") >= min_count)
     )
+
+
+def tfidf_top_terms(
+    df: DataFrame, *, text_col: str = "text", id_col: str = "doc_id", k: int = 5
+) -> DataFrame:
+    """B35: per-document top-k TF-IDF terms (tf · ln(N/df)).
+
+    Three shuffles — (doc, term) tf aggregation, term document-frequency
+    aggregation (vocabulary-sized, broadcastable back), and the per-doc
+    top-k window. The corpus size N enters as a broadcast scalar, never
+    a driver-side constant baked into the plan by collect. Ties break by
+    term for determinism.
+    """
+    from pyspark.sql import Window
+
+    tok = df.select(F.col(id_col).alias("doc"), F.explode(tokens(text_col)).alias("term"))
+    tf = tok.groupBy("doc", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("dfreq"))
+    n_docs = df.select(F.countDistinct(id_col).alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "tfidf",
+            F.round(F.col("tf") * F.log(F.col("n_docs") / F.col("dfreq")), 6),
+        )
+    )
+    w = Window.partitionBy("doc").orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= k)
+        .select(F.col("doc").alias("doc_id"), "term", "tfidf", "rnk")
+    )

@@ -317,6 +317,34 @@ def q_window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     return analytics.window_distribution(load_table(spark, sf_dir, "customer"))
 
 
+def q_pivot_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B15/B17 family: pivot order counts per priority × status."""
+    return analytics.pivot_status_by_priority(load_table(spark, sf_dir, "orders"))
+
+
+def q_corr_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B15 family: corr/covar/stddev of (quantity, price) per return flag."""
+    return analytics.corr_stats(load_table(spark, sf_dir, "lineitem"))
+
+
+def q_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North-star: deterministic 20% content-hash sample of documents."""
+    return analytics.hash_sample(
+        load_table(spark, sf_dir, "documents"), key_col="doc_id", fraction=0.2
+    ).select("doc_id", "lang", "n_chars")
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North-star: language-rebalancing sample — 25% of English, all else kept."""
+    return analytics.stratified_hash_sample(
+        load_table(spark, sf_dir, "documents"),
+        key_col="doc_id",
+        strata_col="lang",
+        fractions={"en": 0.25},
+        default_fraction=1.0,
+    ).select("doc_id", "lang")
+
+
 def q_window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
     return analytics.window_lag_lead(load_table(spark, sf_dir, "events"))
 
@@ -415,6 +443,20 @@ def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_doc_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B33 exact dedup: md5-keyed groupBy keeping the lowest doc_id."""
     return dedup.exact_dedup(load_table(spark, sf_dir, "documents"))
+
+
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B33: near-dup cluster assignment — connected components over the
+    exact-Jaccard pair graph (same bounded 1000-doc slice as
+    q_ngram_jaccard); component = min doc id, singletons keep their own."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 1000)
+    return dedup.dedup_clusters(docs, threshold=0.95).orderBy("doc_id")
+
+
+def q_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B33: per-cluster survivor (min doc id) + member count."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 1000)
+    return dedup.cluster_sizes(dedup.dedup_clusters(docs, threshold=0.95))
 
 
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -607,6 +649,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_window_rank": q_window_rank,
         "q_grouping_sets": q_grouping_sets,
         "q_window_distribution": q_window_distribution,
+        "q_pivot_status": q_pivot_status,
+        "q_corr_stats": q_corr_stats,
+        "q_hash_sample": q_hash_sample,
+        "q_stratified_sample": q_stratified_sample,
         "q_window_lag_lead": q_window_lag_lead,
         "q_running_sum": q_running_sum,
         "q_global_sort": q_global_sort,
@@ -625,6 +671,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_ivf_topk": q_ivf_topk,
         "q_doc_dedup_exact": q_doc_dedup_exact,
         "q_ngram_jaccard": q_ngram_jaccard,
+        "q_dedup_clusters": q_dedup_clusters,
+        "q_dedup_survivors": q_dedup_survivors,
         "q_minhash_dedup": q_minhash_dedup,
         "q_simhash_near_dup": q_simhash_near_dup,
         "q_winnow_dedup": q_winnow_dedup,
@@ -690,6 +738,35 @@ EVENTS_AS_TRACES_SQL = r"""
 # with operators/text.py (tokens / LANG_STOPWORDS)
 _TOKENS_SQL = "list_filter(string_split(text, ' '), x -> x <> '')"
 _EN_STOPWORDS_SQL = "['the', 'a', 'of', 'and', 'to', 'in', 'is', 'that', 'it', 'for']"
+
+# Shared CTE chain for the dedup-cluster oracles: exact-Jaccard pair graph
+# on the bounded 1000-doc slice (identical expression to q_ngram_jaccard),
+# symmetrized, then connected components as min-reachable-id via a
+# recursive transitive closure — tractable because the slice is bounded.
+_CLUSTERS_SQL = """
+    WITH RECURSIVE t AS (
+      SELECT doc_id, list_distinct({tok}) AS tok FROM documents WHERE doc_id < 1000
+    ),
+    p AS (
+      SELECT a.doc_id AS a, b.doc_id AS b FROM t a JOIN t b ON a.doc_id < b.doc_id
+      WHERE round(CASE WHEN len(list_distinct(list_concat(a.tok, b.tok))) > 0
+                       THEN CAST(len(list_intersect(a.tok, b.tok)) AS DOUBLE)
+                            / len(list_distinct(list_concat(a.tok, b.tok)))
+                       ELSE 0.0 END, 6) >= 0.95
+    ),
+    e AS (SELECT a, b FROM p UNION SELECT b AS a, a AS b FROM p),
+    reach(a, b) AS (
+      SELECT a, b FROM e
+      UNION
+      SELECT r.a, e2.b FROM reach r JOIN e e2 ON r.b = e2.a
+    ),
+    comp AS (SELECT a AS doc_id, least(a, min(b)) AS component FROM reach GROUP BY a),
+    assign AS (
+      SELECT d.doc_id, coalesce(c.component, d.doc_id) AS component
+      FROM (SELECT doc_id FROM documents WHERE doc_id < 1000) d
+      LEFT JOIN comp c USING (doc_id)
+    )
+"""
 _LANG_HITS_SQL = """
                 len(list_filter(t, x -> list_contains(['der','die','das','und','ist','von','mit','für','auf','ein'], x))) AS h_de,
                 len(list_filter(t, x -> list_contains(['the','a','of','and','to','in','is','that','it','for'], x))) AS h_en,
@@ -1039,6 +1116,13 @@ def oracle_sql() -> dict[str, str]:
               FROM t a JOIN t b ON a.doc_id < b.doc_id
             ) WHERE jaccard >= 0.95
         """,
+        "q_dedup_clusters": _CLUSTERS_SQL.format(tok=_TOKENS_SQL)
+        + "SELECT doc_id, component FROM assign",
+        "q_dedup_survivors": _CLUSTERS_SQL.format(tok=_TOKENS_SQL)
+        + """
+            SELECT component AS survivor_doc_id, count(*) AS n_members
+            FROM assign GROUP BY component
+        """,
         # q_minhash_dedup / q_simhash_near_dup / q_lsh_topk: xxhash64-seeded
         # signatures are engine-specific → rows-only (recall vs the exact
         # ground-truth queries is asserted in tests/test_llm_ops.py).
@@ -1078,6 +1162,30 @@ def oracle_sql() -> dict[str, str]:
                    CAST(ntile(4) OVER w AS BIGINT) AS quartile
             FROM customer
             WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal ASC, c_custkey ASC)
+        """,
+        "q_pivot_status": """
+            SELECT o_orderpriority,
+                   count(*) FILTER (WHERE o_orderstatus = 'O') AS n_open,
+                   count(*) FILTER (WHERE o_orderstatus = 'F') AS n_finished,
+                   count(*) FILTER (WHERE o_orderstatus = 'P') AS n_pending
+            FROM orders GROUP BY o_orderpriority
+        """,
+        "q_corr_stats": """
+            SELECT l_returnflag,
+                   round(corr(l_quantity, l_extendedprice), 4) AS corr_qty_price,
+                   round(covar_samp(l_quantity, l_extendedprice), 4) AS covar_qty_price,
+                   round(stddev_samp(l_quantity), 4) AS sd_qty,
+                   round(stddev_samp(l_extendedprice), 4) AS sd_price
+            FROM lineitem GROUP BY l_returnflag
+        """,
+        "q_hash_sample": """
+            SELECT doc_id, lang, n_chars FROM documents
+            WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '33333333'
+        """,
+        "q_stratified_sample": """
+            SELECT doc_id, lang FROM documents
+            WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                  < CASE WHEN lang = 'en' THEN '40000000' ELSE 'g' END
         """,
         "q_tfidf_top_terms": f"""
             WITH tok AS (

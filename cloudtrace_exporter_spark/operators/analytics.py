@@ -559,3 +559,105 @@ def window_distribution(customer: DataFrame) -> DataFrame:
         F.round(F.cume_dist().over(w), 6).alias("cume"),
         F.ntile(4).over(w).cast("long").alias("quartile"),
     )
+
+
+def pivot_status_by_priority(orders: DataFrame) -> DataFrame:
+    """B15/B17 family: pivot — order counts per priority with one column
+    per order status (O/F/P).
+
+    The status values are passed explicitly to ``pivot()``: without them
+    Spark runs an extra distinct-values job over the fact table before it
+    can even plan; with them the pivot is a single map-side conditional
+    aggregation (same plan as CASE-WHEN sums) — one small shuffle on the
+    groupBy key.
+    """
+    return (
+        orders.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["O", "F", "P"])
+        .agg(F.count(F.lit(1)))
+        .select(
+            "o_orderpriority",
+            F.coalesce("O", F.lit(0)).alias("n_open"),
+            F.coalesce("F", F.lit(0)).alias("n_finished"),
+            F.coalesce("P", F.lit(0)).alias("n_pending"),
+        )
+    )
+
+
+def corr_stats(lineitem: DataFrame) -> DataFrame:
+    """B15 family: bivariate statistics — Pearson correlation, sample
+    covariance, and sample stddevs of (quantity, extendedprice) per
+    return flag.
+
+    All five moments come out of ONE partial-aggregable pass (Spark's
+    declarative aggregates ship sum/sum²/sum-of-products partials), so
+    the plan is a single map-side-combined shuffle on the 3-value flag.
+    Rounded to 4 decimals: corr/covar divide near-cancelling sums, so
+    they carry more float noise than plain sums (round(, 2) elsewhere).
+    """
+    return (
+        lineitem.groupBy("l_returnflag")
+        .agg(
+            F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias("corr_qty_price"),
+            F.round(F.covar_samp("l_quantity", "l_extendedprice"), 4).alias("covar_qty_price"),
+            F.round(F.stddev_samp("l_quantity"), 4).alias("sd_qty"),
+            F.round(F.stddev_samp("l_extendedprice"), 4).alias("sd_price"),
+        )
+    )
+
+
+def _hex_threshold(fraction: float, digits: int = 8) -> str:
+    """Lowercase hex string t such that P[substr(md5(key),1,digits) < t]
+    ≈ fraction for a uniform hash. fraction ≥ 1 returns "g", which sorts
+    after every hex digit — keep-everything — because the natural
+    encoding 0x1_0000_0000 is 9 chars and would sort BEFORE most 8-char
+    prefixes ("1…" < "a…" lexicographically)."""
+    if fraction >= 1.0:
+        return "g"
+    return format(int(fraction * (16 ** digits)), f"0{digits}x")
+
+
+def hash_sample(
+    df: DataFrame, *, key_col: str, fraction: float
+) -> DataFrame:
+    """Deterministic content-hash sampling: keep rows whose md5(key)
+    prefix falls below the fraction threshold.
+
+    This is THE scalable sampling primitive for a training-data pipeline:
+    unlike ``df.sample`` it is (a) reproducible across runs/engines, (b)
+    stable under repartitioning and retries (a property row-number or
+    rand()-based sampling lacks on speculative re-execution), and (c)
+    consistent across tables — sampling two tables by the same key keeps
+    them joinable. Pure narrow filter, pushes nothing to the driver.
+
+    The compare is lexicographic on fixed-width lowercase hex, which
+    orders identically to the numeric value — portable to any engine
+    with md5() (the DuckDB oracle uses the same predicate verbatim).
+    """
+    prefix = F.substring(F.md5(F.col(key_col).cast("string").cast("binary")), 1, 8)
+    return df.filter(prefix < F.lit(_hex_threshold(fraction)))
+
+
+def stratified_hash_sample(
+    df: DataFrame,
+    *,
+    key_col: str,
+    strata_col: str,
+    fractions: dict[str, float],
+    default_fraction: float = 0.0,
+) -> DataFrame:
+    """Per-stratum deterministic sampling (e.g. downsample English to 10%
+    but keep 100% of low-resource languages) — the language-rebalancing
+    step of corpus curation, as one narrow filter.
+
+    Same md5-prefix mechanism as ``hash_sample``; the per-stratum
+    threshold is a CASE over the strata column, so the plan stays a
+    single scan + filter (no join against a fractions table needed at
+    this cardinality; for thousands of strata, broadcast-join a config
+    table instead).
+    """
+    prefix = F.substring(F.md5(F.col(key_col).cast("string").cast("binary")), 1, 8)
+    thr = F.lit(_hex_threshold(default_fraction))
+    for value, frac in sorted(fractions.items()):
+        thr = F.when(F.col(strata_col) == value, F.lit(_hex_threshold(frac))).otherwise(thr)
+    return df.filter(prefix < thr)

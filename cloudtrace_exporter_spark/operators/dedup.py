@@ -391,3 +391,87 @@ def embedding_near_dups(
         )
         .filter(F.col("cosine") >= threshold)
     )
+
+
+def connected_components(
+    pairs: DataFrame, *, src: str = "doc_a", dst: str = "doc_b", max_iter: int = 25
+) -> DataFrame:
+    """Connected components over a near-dup pair graph → (id, component),
+    component = min node id in the component.
+
+    Iterative min-label propagation: each round every node takes the min
+    label among itself and its neighbors (one equi-join + one min-agg
+    shuffle per round), until a round changes nothing. Rounds needed =
+    graph diameter — near-dup clusters are dense and shallow (diameter ≤
+    ~3), so this settles in a handful of rounds; for adversarially long
+    path graphs the large-star/small-star reformulation (Kiveris et al.,
+    "Connected Components in MapReduce and Beyond", SoCC'14) drops it to
+    O(log n) rounds with the same join-agg building blocks.
+
+    Scale notes: the edge list is persisted once and reused every round;
+    labels are localCheckpoint'ed per round so the plan doesn't grow with
+    iteration count (same lineage-truncation pattern as IVF k-means).
+    The convergence probe is a count() — a scalar per round, never data
+    to the driver.
+    """
+    e = pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    edges = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b"))).distinct()
+    edges = edges.persist()
+    labels = edges.select(F.col("a").alias("id")).distinct().withColumn("comp", F.col("id"))
+    for _ in range(max_iter):
+        msgs = edges.join(labels, edges["a"] == labels["id"]).select(
+            F.col("b").alias("id"), F.col("comp")
+        )
+        new = (
+            labels.unionByName(msgs)
+            .groupBy("id")
+            .agg(F.min("comp").alias("comp"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.comp") != F.col("o.comp"))
+            .count()
+        )
+        labels = new
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels
+
+
+def dedup_clusters(
+    df: DataFrame,
+    *,
+    threshold: float = 0.95,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    pairs: DataFrame | None = None,
+) -> DataFrame:
+    """Cluster assignment for every document: (doc_id, component) where
+    component is the min doc id in the doc's near-dup cluster (own id for
+    singletons). The survivor-selection step of corpus dedup — keep
+    ``doc_id == component``, drop the rest.
+
+    ``pairs`` defaults to exact n-gram Jaccard (fixture-scale ground
+    truth); at 100 TB inject ``minhash_lsh_pairs`` output instead — the
+    component step is pair-source-agnostic.
+    """
+    if pairs is None:
+        pairs = jaccard_pairs(df, threshold, text_col, id_col)
+    comp = connected_components(pairs)
+    return (
+        df.select(F.col(id_col).alias("doc_id"))
+        .join(comp, F.col("doc_id") == F.col("id"), "left")
+        .select("doc_id", F.coalesce("comp", F.col("doc_id")).alias("component"))
+    )
+
+
+def cluster_sizes(assign: DataFrame) -> DataFrame:
+    """Per-cluster summary over a (doc_id, component) assignment:
+    survivor doc id (== component label, the min id) and member count.
+    One small shuffle on the component key."""
+    return assign.groupBy(F.col("component").alias("survivor_doc_id")).agg(
+        F.count(F.lit(1)).alias("n_members")
+    )

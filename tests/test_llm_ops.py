@@ -298,3 +298,36 @@ def test_grouped_zscore_matches_builtin(spark, sf_dir):
         k for k in pandas_out if abs((pandas_out[k] or 0) - (builtin_out[k] or 0)) > 1e-6
     ]
     assert not mismatches
+
+
+# --------------------------------------------------------------------------
+# connected-components dedup clustering
+# --------------------------------------------------------------------------
+
+
+def test_connected_components_multi_hop_path(spark):
+    # path graph 1-2-3-4 plus isolated pair 10-11: labels must propagate
+    # across hops, not just direct neighbors
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11)], ["doc_a", "doc_b"]
+    )
+    got = {r["id"]: r["comp"] for r in dedup.connected_components(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+
+
+def test_dedup_clusters_assigns_singletons_to_self(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    assign = dedup.dedup_clusters(docs, threshold=0.95)
+    rows = assign.collect()
+    assert len(rows) == docs.count()  # every doc assigned exactly once
+    comp = {r["doc_id"]: r["component"] for r in rows}
+    assert all(c <= d for d, c in comp.items())  # component = min id in cluster
+    # component labels are themselves members of their cluster
+    assert set(comp.values()) <= set(comp.keys())
+
+
+def test_cluster_sizes_partition_the_corpus(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    sizes = dedup.cluster_sizes(dedup.dedup_clusters(docs, threshold=0.95))
+    total = sizes.agg(F.sum("n_members").alias("s")).collect()[0]["s"]
+    assert total == docs.count()

@@ -548,6 +548,21 @@ def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.quality_features(load_table(spark, sf_dir, "documents"))
 
 
+def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B35/north-star: keep/drop decision with ordered failure reasons."""
+    return text.quality_filter(load_table(spark, sf_dir, "documents"))
+
+
+def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North-star: train/eval 3-gram contamination — src0 is the benchmark."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text.ngram_contamination(
+        docs.filter(F.col("source") != "src0"),
+        docs.filter(F.col("source") == "src0"),
+        n=3,
+    )
+
+
 def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B35 document fingerprinting (md5 over normalized text)."""
     return text.fingerprint(load_table(spark, sf_dir, "documents")).select("doc_id", "fingerprint")
@@ -685,6 +700,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_lang_stats": q_lang_stats,
         "q_lang_id": q_lang_id,
         "q_quality_score": q_quality_score,
+        "q_quality_filter": q_quality_filter,
+        "q_contamination": q_contamination,
         "q_doc_fingerprint": q_doc_fingerprint,
         "q_token_counts": q_token_counts,
         "q_array_ops": q_array_ops,
@@ -1241,6 +1258,39 @@ def oracle_sql() -> dict[str, str]:
                    WHEN h_fr >= h_zh THEN 'fr'
                    ELSE 'zh' END AS lang_pred
             FROM hits
+        """,
+        "q_quality_filter": f"""
+            WITH tok AS (
+              SELECT doc_id, text, {_TOKENS_SQL} AS t FROM documents
+            ), feats AS (
+              SELECT doc_id,
+                     CAST(len(t) AS BIGINT) AS n_tokens,
+                     round(CASE WHEN len(t) > 0 THEN CAST(len(list_distinct(t)) AS DOUBLE) / len(t) ELSE 0.0 END, 6) AS dr,
+                     round(CASE WHEN len(t) > 0 THEN CAST(length(text) AS DOUBLE) / len(t) ELSE 0.0 END, 6) AS mwl,
+                     round(CASE WHEN length(text) > 0 THEN CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS DOUBLE) / length(text) ELSE 0.0 END, 6) AS pr
+              FROM tok
+            )
+            SELECT doc_id, n_tokens, len(reasons) = 0 AS keep, reasons FROM (
+              SELECT doc_id, n_tokens,
+                     (CASE WHEN n_tokens < 10 THEN ['too_short'] ELSE []::VARCHAR[] END)
+                     || (CASE WHEN dr < 0.3 THEN ['low_distinct'] ELSE []::VARCHAR[] END)
+                     || (CASE WHEN pr > 0.1 THEN ['high_punct'] ELSE []::VARCHAR[] END)
+                     || (CASE WHEN mwl < 3.0 THEN ['short_words'] ELSE []::VARCHAR[] END) AS reasons
+              FROM feats
+            )
+        """,
+        "q_contamination": f"""
+            WITH g AS (
+              SELECT doc_id, source,
+                     list_distinct([array_to_string(t[i:i+2], ' ') FOR i IN range(1, len(t)-1)]) AS grams
+              FROM (SELECT doc_id, source, {_TOKENS_SQL} AS t FROM documents)
+            ),
+            tg AS (SELECT doc_id, unnest(grams) AS gram FROM g WHERE source <> 'src0'),
+            bg AS (SELECT doc_id AS bench_id, unnest(grams) AS gram FROM g WHERE source = 'src0')
+            SELECT tg.doc_id,
+                   count(DISTINCT tg.gram) AS n_shared_grams,
+                   count(DISTINCT bg.bench_id) AS n_bench_docs
+            FROM tg JOIN bg USING (gram) GROUP BY tg.doc_id
         """,
         "q_quality_score": f"""
             WITH tok AS (

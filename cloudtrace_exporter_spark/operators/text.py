@@ -166,3 +166,92 @@ def tfidf_top_terms(
         .filter(F.col("rnk") <= k)
         .select(F.col("doc").alias("doc_id"), "term", "tfidf", "rnk")
     )
+
+
+def word_ngrams(text_col: Column | str, n: int) -> Column:
+    """Distinct word n-grams (space-joined); empty array when the document
+    has fewer than ``n`` tokens. Narrow expression, no shuffle.
+
+    NOTE: the short-doc fallback differs from ``dedup._shingles`` (which
+    degrades to the whole text as one gram so every doc keeps a MinHash
+    signature); for contamination checks a doc below n tokens simply has
+    no n-grams.
+    """
+    t = tokens(text_col)
+    k = F.size(t)
+    grams = F.transform(
+        F.sequence(F.lit(1), k - n + 1), lambda i: F.concat_ws(" ", F.slice(t, i, n))
+    )
+    return F.when(k >= n, F.array_distinct(grams)).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def ngram_contamination(
+    train: DataFrame,
+    benchmark: DataFrame,
+    *,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Train/eval contamination check: per training document, how many
+    distinct word n-grams it shares with a benchmark corpus and how many
+    benchmark documents it collides with. The decontamination primitive
+    of every published pretraining pipeline (GPT-3 §C / PaLM-style
+    13-gram overlap; n is a parameter — fixtures are short so tests use
+    n=3).
+
+    Plan shape: both sides explode to (id, gram); the join key is the
+    gram. The benchmark side is the tiny one (an eval suite, not the
+    corpus) → broadcast, so the 100 TB training side never shuffles; per-
+    doc aggregation then groups on the training doc id. Grams are
+    distinct per doc before exploding, so counts are collision counts,
+    not occurrence counts.
+    """
+    tg = train.select(
+        F.col(id_col).alias("doc_id"), F.explode(word_ngrams(text_col, n)).alias("gram")
+    )
+    bg = benchmark.select(
+        F.col(id_col).alias("bench_id"), F.explode(word_ngrams(text_col, n)).alias("gram")
+    )
+    return (
+        tg.join(F.broadcast(bg), "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.countDistinct("gram").alias("n_shared_grams"),
+            F.countDistinct("bench_id").alias("n_bench_docs"),
+        )
+    )
+
+
+#: (rule name, predicate builder) — order defines the reasons array order.
+_QUALITY_RULES = [
+    ("too_short", lambda m: m["n_tokens"] < 10),
+    ("low_distinct", lambda m: m["distinct_ratio"] < 0.3),
+    ("high_punct", lambda m: m["punct_ratio"] > 0.1),
+    ("short_words", lambda m: m["mean_word_len"] < 3.0),
+]
+
+
+def quality_filter(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """C4/Gopher-style keep/drop decision with audit trail: every document
+    gets a ``keep`` flag and the ordered list of failed rule names —
+    filter-with-reasons, so curation decisions stay debuggable at corpus
+    scale (you can groupBy(reasons) to see WHY data is dropped).
+
+    Built on ``quality_features``' metrics; one narrow map, no shuffle.
+    """
+    feats = quality_features(df, text_col)
+    metrics = {c: F.col(c) for c in feats.columns}
+    reason_arrays = [
+        F.when(pred(metrics), F.array(F.lit(name))).otherwise(F.array().cast("array<string>"))
+        for name, pred in _QUALITY_RULES
+    ]
+    reasons = F.concat(*reason_arrays)
+    return feats.select(
+        "doc_id",
+        "n_tokens",
+        (F.size(reasons) == 0).alias("keep"),
+        reasons.alias("reasons"),
+    )

@@ -331,3 +331,43 @@ def test_cluster_sizes_partition_the_corpus(spark, sf_dir):
     sizes = dedup.cluster_sizes(dedup.dedup_clusters(docs, threshold=0.95))
     total = sizes.agg(F.sum("n_members").alias("s")).collect()[0]["s"]
     assert total == docs.count()
+
+
+# --------------------------------------------------------------------------
+# contamination + quality filter
+# --------------------------------------------------------------------------
+
+
+def test_word_ngrams_short_doc_empty(spark):
+    df = spark.createDataFrame([("a b",), ("a b c d",), ("",)], ["text"])
+    rows = df.select(text.word_ngrams("text", 3).alias("g")).collect()
+    assert rows[0]["g"] == []          # 2 tokens < n
+    assert rows[1]["g"] == ["a b c", "b c d"]
+    assert rows[2]["g"] == []
+
+
+def test_contamination_detects_planted_overlap(spark):
+    train = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (2, "nothing in common here")],
+        ["doc_id", "text"],
+    )
+    bench = spark.createDataFrame(
+        [(100, "alpha beta gamma"), (101, "beta gamma delta epsilon")],
+        ["doc_id", "text"],
+    )
+    got = {
+        r["doc_id"]: (r["n_shared_grams"], r["n_bench_docs"])
+        for r in text.ngram_contamination(train, bench, n=3).collect()
+    }
+    # doc 1 shares "alpha beta gamma" (bench 100) and "beta gamma delta" (bench 101)
+    assert got == {1: (2, 2)}
+
+
+def test_quality_filter_reasons_are_consistent_with_keep(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    for r in text.quality_filter(docs).collect():
+        assert r["keep"] == (len(r["reasons"]) == 0)
+        assert list(r["reasons"]) == sorted(
+            r["reasons"],
+            key=["too_short", "low_distinct", "high_punct", "short_words"].index,
+        )

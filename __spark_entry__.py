@@ -523,6 +523,16 @@ def q_embed_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.label_centroids(load_table(spark, sf_dir, "embeddings"))
 
 
+def q_vector_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B34: L2 unit-normalization of the embedding column."""
+    return similarity.normalize_vectors(load_table(spark, sf_dir, "embeddings"))
+
+
+def q_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B34/north-star: symmetric per-vector int8 scalar quantization."""
+    return similarity.quantize_int8(load_table(spark, sf_dir, "embeddings"))
+
+
 def q_lang_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B35 per-language corpus stats."""
     docs = load_table(spark, sf_dir, "documents")
@@ -696,6 +706,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_lsh_topk": q_lsh_topk,
         "q_tfidf_top_terms": q_tfidf_top_terms,
         "q_embed_label_centroids": q_embed_label_centroids,
+        "q_vector_normalize": q_vector_normalize,
+        "q_quantize_int8": q_quantize_int8,
         "q_token_freq": q_token_freq,
         "q_lang_stats": q_lang_stats,
         "q_lang_id": q_lang_id,
@@ -1220,6 +1232,24 @@ def oracle_sql() -> dict[str, str]:
                      ) AS rnk
               FROM tf JOIN dfreq ON tf.term = dfreq.term CROSS JOIN n
             ) WHERE rnk <= 5
+        """,
+        "q_vector_normalize": """
+            SELECT vec_id,
+                   CASE WHEN nrm > 0 THEN list_transform(e, x -> round(x / nrm, 6))
+                        ELSE list_transform(e, x -> round(x, 6)) END AS unit
+            FROM (
+              SELECT vec_id, e, sqrt(list_dot_product(e, e)) AS nrm
+              FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)
+            )
+        """,
+        "q_quantize_int8": """
+            SELECT vec_id, round(scale, 6) AS scale,
+                   CASE WHEN scale > 0 THEN list_transform(e, x -> CAST(round(x / scale, 0) AS INTEGER))
+                        ELSE list_transform(e, x -> 0) END AS q
+            FROM (
+              SELECT vec_id, e, list_max(list_transform(e, x -> abs(x))) / 127.0 AS scale
+              FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)
+            )
         """,
         "q_embed_label_centroids": """
             SELECT label, dim, round(avg(val), 6) AS mean_val FROM (

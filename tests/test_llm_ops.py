@@ -371,3 +371,33 @@ def test_quality_filter_reasons_are_consistent_with_keep(spark, sf_dir):
             r["reasons"],
             key=["too_short", "low_distinct", "high_punct", "short_words"].index,
         )
+
+
+# --------------------------------------------------------------------------
+# vector normalization + quantization
+# --------------------------------------------------------------------------
+
+
+def test_normalize_vectors_unit_norm_and_zero_safe(spark):
+    df = spark.createDataFrame(
+        [(1, [3.0, 4.0]), (2, [0.0, 0.0])], ["vec_id", "embedding"]
+    )
+    got = {r["vec_id"]: r["unit"] for r in similarity.normalize_vectors(df).collect()}
+    assert got[1] == [0.6, 0.8]
+    assert got[2] == [0.0, 0.0]  # no div-by-zero
+
+
+def test_quantize_int8_cosine_drift_is_small(spark, sf_dir):
+    import math
+
+    emb = load_table(spark, sf_dir, "embeddings").limit(50)
+    orig = {r["vec_id"]: r["embedding"] for r in emb.collect()}
+    for r in similarity.quantize_int8(emb).collect():
+        v = orig[r["vec_id"]]
+        dq = [qi * r["scale"] for qi in r["q"]]
+        dot = sum(a * b for a, b in zip(v, dq))
+        na = math.sqrt(sum(a * a for a in v))
+        nb = math.sqrt(sum(b * b for b in dq))
+        assert max(abs(qi) for qi in r["q"]) <= 127
+        if na > 0 and nb > 0:
+            assert dot / (na * nb) > 0.999  # <0.1% cosine drift at 8 bits

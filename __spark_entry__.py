@@ -345,6 +345,26 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "lang")
 
 
+def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B17 inverse: melt lineitem measures to long (measure, value) rows."""
+    return analytics.unpivot_measures(load_table(spark, sf_dir, "lineitem"))
+
+
+def q_top_user_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B15 family: deterministic arg-max via fieldwise struct comparison."""
+    return analytics.top_user_per_event_type(load_table(spark, sf_dir, "events"))
+
+
+def q_daily_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B8 family: gap-filled daily counts (zero rows for silent days)."""
+    return analytics.daily_spine(load_table(spark, sf_dir, "events"))
+
+
+def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North-star: URL/email/long-number redaction over documents."""
+    return text.redact_pii(load_table(spark, sf_dir, "documents"))
+
+
 def q_window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
     return analytics.window_lag_lead(load_table(spark, sf_dir, "events"))
 
@@ -675,6 +695,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_grouping_sets": q_grouping_sets,
         "q_window_distribution": q_window_distribution,
         "q_pivot_status": q_pivot_status,
+        "q_unpivot": q_unpivot,
+        "q_top_user_per_type": q_top_user_per_type,
+        "q_daily_spine": q_daily_spine,
+        "q_pii_redact": q_pii_redact,
         "q_corr_stats": q_corr_stats,
         "q_hash_sample": q_hash_sample,
         "q_stratified_sample": q_stratified_sample,
@@ -1191,6 +1215,53 @@ def oracle_sql() -> dict[str, str]:
                    CAST(ntile(4) OVER w AS BIGINT) AS quartile
             FROM customer
             WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal ASC, c_custkey ASC)
+        """,
+        "q_unpivot": """
+            SELECT l_orderkey, l_linenumber, measure, round(value, 2) AS value FROM (
+              SELECT l_orderkey, l_linenumber, 'l_quantity' AS measure, l_quantity AS value FROM lineitem
+              UNION ALL
+              SELECT l_orderkey, l_linenumber, 'l_discount', l_discount FROM lineitem
+              UNION ALL
+              SELECT l_orderkey, l_linenumber, 'l_tax', l_tax FROM lineitem
+            )
+        """,
+        "q_top_user_per_type": """
+            WITH totals AS (
+              SELECT user_id, event_type, round(sum(value), 2) AS total
+              FROM events GROUP BY user_id, event_type
+            ),
+            m AS (
+              SELECT event_type, max({'total': total, 'user_id': user_id}) AS s
+              FROM totals GROUP BY event_type
+            )
+            SELECT event_type, s.total AS total, s.user_id AS user_id FROM m
+        """,
+        "q_daily_spine": """
+            WITH RECURSIVE bounds AS (
+              SELECT date_trunc('day', min(ts)) AS lo, date_trunc('day', max(ts)) AS hi FROM events
+            ),
+            days(day) AS (
+              SELECT lo FROM bounds
+              UNION ALL
+              SELECT day + INTERVAL 1 DAY FROM days WHERE day < (SELECT hi FROM bounds)
+            ),
+            daily AS (
+              SELECT date_trunc('day', ts) AS day, count(*) AS n,
+                     round(sum(value), 2) AS sum_value
+              FROM events GROUP BY 1
+            )
+            SELECT strftime(d.day, '%Y-%m-%d') AS day_s,
+                   coalesce(daily.n, 0) AS n,
+                   round(coalesce(daily.sum_value, 0.0), 2) AS sum_value
+            FROM days d LEFT JOIN daily ON d.day = daily.day
+        """,
+        "q_pii_redact": r"""
+            SELECT doc_id,
+                   regexp_replace(regexp_replace(regexp_replace(text,
+                     'https?://\S+', '<URL>', 'g'),
+                     '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                     '[0-9]{6,}', '<NUM>', 'g') AS redacted
+            FROM documents
         """,
         "q_pivot_status": """
             SELECT o_orderpriority,

@@ -661,3 +661,68 @@ def stratified_hash_sample(
     for value, frac in sorted(fractions.items()):
         thr = F.when(F.col(strata_col) == value, F.lit(_hex_threshold(frac))).otherwise(thr)
     return df.filter(prefix < thr)
+
+
+def unpivot_measures(lineitem: DataFrame) -> DataFrame:
+    """B17 inverse: unpivot/melt — wide measure columns to long
+    (measure, value) rows. Narrow Expand-based map (one output row per
+    input×measure, no shuffle), the standard long-format feed for
+    per-metric aggregation or plotting pipelines."""
+    out = lineitem.unpivot(
+        ["l_orderkey", "l_linenumber"],
+        ["l_quantity", "l_discount", "l_tax"],
+        "measure",
+        "value",
+    )
+    return out.withColumn("value", F.round("value", 2))
+
+
+def top_user_per_event_type(events: DataFrame) -> DataFrame:
+    """B15 family: deterministic arg-max — per event type, the user with
+    the highest total value, ties broken by user id via fieldwise struct
+    comparison (max over (total, user_id) pairs — portable where a bare
+    max_by/arg_max leaves ties engine-defined).
+
+    Two shuffles, both with map-side partial aggregation: (user, type)
+    totals, then the per-type struct max (tiny, |event_type| rows).
+    """
+    totals = events.groupBy("user_id", "event_type").agg(
+        F.round(F.sum("value"), 2).alias("total")
+    )
+    best = totals.groupBy("event_type").agg(
+        F.max(F.struct(F.col("total"), F.col("user_id"))).alias("s")
+    )
+    return best.select(
+        "event_type", F.col("s.total").alias("total"), F.col("s.user_id").alias("user_id")
+    )
+
+
+def daily_spine(events: DataFrame) -> DataFrame:
+    """B8 family: gap-filled daily counts — a day spine from min to max
+    event day, left-joined with per-day aggregates so silent days appear
+    as explicit zeros (the shape monitoring/alerting needs; a plain
+    groupBy cannot distinguish "no data" from "no row").
+
+    The spine generates from a 1-row bounds aggregate (sequence +
+    explode) — days count stays tiny at any corpus scale, so the join
+    broadcasts the daily aggregate side or the spine, never the raw
+    events.
+    """
+    daily = events.groupBy(F.date_trunc("day", F.col("ts")).alias("day")).agg(
+        F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("sum_value")
+    )
+    bounds = events.agg(
+        F.date_trunc("day", F.min("ts")).alias("lo"),
+        F.date_trunc("day", F.max("ts")).alias("hi"),
+    )
+    spine = bounds.select(
+        F.explode(F.expr("sequence(lo, hi, interval 1 day)")).alias("day")
+    )
+    return (
+        spine.join(daily, "day", "left")
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day_s"),
+            F.coalesce("n", F.lit(0)).alias("n"),
+            F.round(F.coalesce("sum_value", F.lit(0.0)), 2).alias("sum_value"),
+        )
+    )

@@ -140,20 +140,23 @@ def tfidf_top_terms(
 ) -> DataFrame:
     """B35: per-document top-k TF-IDF terms (tf · ln(N/df)).
 
-    Three shuffles — (doc, term) tf aggregation, term document-frequency
-    aggregation (vocabulary-sized, broadcastable back), and the per-doc
-    top-k window. The corpus size N enters as a broadcast scalar, never
-    a driver-side constant baked into the plan by collect. Ties break by
-    term for determinism.
+    Three shuffles — (doc, term) tf aggregation, the term-partitioned
+    document-frequency window, and the per-doc top-k window. dfreq is a
+    ``count() over (partition by term)`` on the tf rows rather than a
+    separate aggregate joined back: the join formulation evaluates the
+    tf subtree twice and costs 8 exchanges; the window form scans it
+    once (audited via tools/plan_audit.py). The corpus size N enters as
+    a broadcast scalar, never a driver-side constant baked into the plan
+    by collect. Ties break by term for determinism.
     """
     from pyspark.sql import Window
 
     tok = df.select(F.col(id_col).alias("doc"), F.explode(tokens(text_col)).alias("term"))
     tf = tok.groupBy("doc", "term").agg(F.count(F.lit(1)).alias("tf"))
-    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("dfreq"))
     n_docs = df.select(F.countDistinct(id_col).alias("n_docs"))
+    wterm = Window.partitionBy("term")
     scored = (
-        tf.join(F.broadcast(dfreq), "term")
+        tf.withColumn("dfreq", F.count(F.lit(1)).over(wterm))
         .crossJoin(F.broadcast(n_docs))
         .withColumn(
             "tfidf",
@@ -255,3 +258,23 @@ def quality_filter(df: DataFrame, text_col: str = "text") -> DataFrame:
         (F.size(reasons) == 0).alias("keep"),
         reasons.alias("reasons"),
     )
+
+
+#: (pattern, replacement) — applied in order; URL first so emails inside
+#: URLs don't split the match. Dialect-portable (no lookaround).
+PII_PATTERNS = [
+    (r"https?://\S+", "<URL>"),
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"[0-9]{6,}", "<NUM>"),
+]
+
+
+def redact_pii(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """North-star: PII-ish redaction — URLs, emails, and long digit runs
+    replaced with typed placeholder tokens. Chained regexp_replace,
+    whole-stage-codegen narrow map; the pattern list is the policy knob.
+    """
+    out = F.col(text_col)
+    for pat, repl in PII_PATTERNS:
+        out = F.regexp_replace(out, pat, repl)
+    return df.select("doc_id", out.alias("redacted"))

@@ -72,3 +72,54 @@ def test_corr_stats_bounded(spark, sf_dir):
     for r in analytics.corr_stats(li).collect():
         assert -1.0 <= r["corr_qty_price"] <= 1.0
         assert r["sd_qty"] >= 0 and r["sd_price"] >= 0
+
+
+# --------------------------------------------------------------------------
+# unpivot / arg-max / daily spine / PII redaction
+# --------------------------------------------------------------------------
+
+
+def test_unpivot_triples_rows(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    assert analytics.unpivot_measures(li).count() == 3 * li.count()
+
+
+def test_top_user_arg_max_breaks_ties_by_user_id(spark):
+    ev = spark.createDataFrame(
+        [(1, "click", 5.0), (2, "click", 5.0), (3, "click", 1.0)],
+        ["user_id", "event_type", "value"],
+    )
+    rows = analytics.top_user_per_event_type(ev).collect()
+    assert len(rows) == 1
+    # users 1 and 2 tie on total=5.0 → fieldwise struct max picks user_id 2
+    assert rows[0]["user_id"] == 2 and rows[0]["total"] == 5.0
+
+
+def test_daily_spine_fills_gaps_with_zeros(spark):
+    import datetime as dt
+
+    ev = spark.createDataFrame(
+        [
+            (1, dt.datetime(2024, 1, 1, 10), 2.0),
+            (2, dt.datetime(2024, 1, 4, 12), 3.0),
+        ],
+        ["event_id", "ts", "value"],
+    )
+    rows = {r["day_s"]: (r["n"], r["sum_value"]) for r in analytics.daily_spine(ev).collect()}
+    assert rows == {
+        "2024-01-01": (1, 2.0),
+        "2024-01-02": (0, 0.0),
+        "2024-01-03": (0, 0.0),
+        "2024-01-04": (1, 3.0),
+    }
+
+
+def test_redact_pii_planted(spark):
+    from cloudtrace_exporter_spark.operators import text as text_ops
+
+    df = spark.createDataFrame(
+        [(1, "mail me at a.b+c@example.org or see https://x.io/p?q=1 ref 1234567 ok 123")],
+        ["doc_id", "text"],
+    )
+    out = text_ops.redact_pii(df).collect()[0]["redacted"]
+    assert out == "mail me at <EMAIL> or see <URL> ref <NUM> ok 123"

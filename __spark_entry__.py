@@ -21,6 +21,7 @@ from pyspark.sql import functions as F
 
 from cloudtrace_exporter_spark.operators import (
     analytics,
+    curate,
     dedup,
     graph,
     multimodal,
@@ -593,6 +594,16 @@ def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_curated_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North-star composition: quality → exact dedup → stratified sample."""
+    return curate.curated_docs(load_table(spark, sf_dir, "documents"))
+
+
+def q_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North-star composition: per-stage survivor counts of the curation run."""
+    return curate.curation_funnel(load_table(spark, sf_dir, "documents"))
+
+
 def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B35 document fingerprinting (md5 over normalized text)."""
     return text.fingerprint(load_table(spark, sf_dir, "documents")).select("doc_id", "fingerprint")
@@ -738,6 +749,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_quality_score": q_quality_score,
         "q_quality_filter": q_quality_filter,
         "q_contamination": q_contamination,
+        "q_curated_docs": q_curated_docs,
+        "q_curation_funnel": q_curation_funnel,
         "q_doc_fingerprint": q_doc_fingerprint,
         "q_token_counts": q_token_counts,
         "q_array_ops": q_array_ops,
@@ -791,6 +804,36 @@ EVENTS_AS_TRACES_SQL = r"""
 # with operators/text.py (tokens / LANG_STOPWORDS)
 _TOKENS_SQL = "list_filter(string_split(text, ' '), x -> x <> '')"
 _EN_STOPWORDS_SQL = "['the', 'a', 'of', 'and', 'to', 'in', 'is', 'that', 'it', 'for']"
+
+# Shared CTE chain for the curation-pipeline oracles: quality keep →
+# exact-dedup survivors → stratified sample (en 25%, rest kept). Each
+# stage reuses the expression verified by its standalone oracle
+# (q_quality_filter, q_doc_dedup_exact, q_stratified_sample).
+_CURATE_SQL = """
+    WITH tok AS (
+      SELECT doc_id, text, lang, {tok} AS t FROM documents
+    ), feats AS (
+      SELECT doc_id,
+             CAST(len(t) AS BIGINT) AS n_tokens,
+             round(CASE WHEN len(t) > 0 THEN CAST(len(list_distinct(t)) AS DOUBLE) / len(t) ELSE 0.0 END, 6) AS dr,
+             round(CASE WHEN len(t) > 0 THEN CAST(length(text) AS DOUBLE) / len(t) ELSE 0.0 END, 6) AS mwl,
+             round(CASE WHEN length(text) > 0 THEN CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS DOUBLE) / length(text) ELSE 0.0 END, 6) AS pr
+      FROM tok
+    ), quality AS (
+      SELECT d.doc_id, d.text, d.lang FROM documents d JOIN feats f ON d.doc_id = f.doc_id
+      WHERE NOT (f.n_tokens < 10 OR f.dr < 0.3 OR f.pr > 0.1 OR f.mwl < 3.0)
+    ), winners AS (
+      SELECT min(doc_id) AS doc_id
+      FROM (SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp FROM quality)
+      GROUP BY fp
+    ), dedup AS (
+      SELECT q.doc_id, q.lang FROM quality q JOIN winners w ON q.doc_id = w.doc_id
+    ), sampled AS (
+      SELECT doc_id, lang FROM dedup
+      WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+            < CASE WHEN lang = 'en' THEN '40000000' ELSE 'g' END
+    )
+"""
 
 # Shared CTE chain for the dedup-cluster oracles: exact-Jaccard pair graph
 # on the bounded 1000-doc slice (identical expression to q_ngram_jaccard),
@@ -1392,6 +1435,15 @@ def oracle_sql() -> dict[str, str]:
                    count(DISTINCT tg.gram) AS n_shared_grams,
                    count(DISTINCT bg.bench_id) AS n_bench_docs
             FROM tg JOIN bg USING (gram) GROUP BY tg.doc_id
+        """,
+        "q_curated_docs": _CURATE_SQL.format(tok=_TOKENS_SQL)
+        + "SELECT doc_id, lang FROM sampled",
+        "q_curation_funnel": _CURATE_SQL.format(tok=_TOKENS_SQL)
+        + """
+            SELECT '1_raw' AS stage, count(*) AS n_docs FROM documents
+            UNION ALL SELECT '2_quality', count(*) FROM quality
+            UNION ALL SELECT '3_dedup', count(*) FROM dedup
+            UNION ALL SELECT '4_sampled', count(*) FROM sampled
         """,
         "q_quality_score": f"""
             WITH tok AS (

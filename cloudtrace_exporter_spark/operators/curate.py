@@ -1,0 +1,75 @@
+"""End-to-end corpus curation pipeline (driver north_star composition).
+
+Chains the individually-verified operators into the shape a real
+pretraining-data run takes — quality filter → exact dedup (survivor
+selection) → stratified language rebalancing — and reports the funnel:
+how many documents survive each stage.
+
+Scale shape: quality and sampling are inline narrow filters (no flag
+frame joined back); dedup survivor-selection is a min-over-fingerprint
+window — ONE full-row shuffle for the whole pipeline, vs. the groupBy +
+semi-join formulation which shuffles the narrow (fp, id) pairs AND the
+full rows again for the join. The funnel report aggregates each stage
+to one row; callers at 100 TB can persist the quality stage to pay its
+regex scan once across the stage counts.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from cloudtrace_exporter_spark.operators import analytics, text
+
+
+def _quality_kept(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    return docs.filter(text.quality_keep(text_col))
+
+
+def _dedup_survivors(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    normalized = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+    w = Window.partitionBy("__fp")
+    return (
+        docs.withColumn("__fp", F.md5(normalized))
+        .withColumn("__min_id", F.min("doc_id").over(w))
+        .filter(F.col("doc_id") == F.col("__min_id"))
+        .drop("__fp", "__min_id")
+    )
+
+
+def curated_docs(docs: DataFrame, *, en_fraction: float = 0.25) -> DataFrame:
+    """Final curated corpus ids after quality → dedup → stratified sample.
+
+    Stage order matters and mirrors production practice: drop junk before
+    paying the dedup shuffle; dedup before sampling so survivors are
+    chosen from clean data and the sample rate applies to unique docs.
+    """
+    kept = _dedup_survivors(_quality_kept(docs))
+    return analytics.stratified_hash_sample(
+        kept,
+        key_col="doc_id",
+        strata_col="lang",
+        fractions={"en": en_fraction},
+        default_fraction=1.0,
+    ).select("doc_id", "lang")
+
+
+def curation_funnel(docs: DataFrame, *, en_fraction: float = 0.25) -> DataFrame:
+    """Per-stage survivor counts: (stage, n_docs) for raw → quality →
+    dedup → sampled. The curation audit artifact — the first thing to
+    check when a 100 TB run produces a suspicious corpus size."""
+    quality = _quality_kept(docs)
+    deduped = _dedup_survivors(quality)
+    sampled = curated_docs(docs, en_fraction=en_fraction)
+
+    def stage(name: str, df: DataFrame) -> DataFrame:
+        return df.agg(F.count(F.lit(1)).alias("n_docs")).select(
+            F.lit(name).alias("stage"), "n_docs"
+        )
+
+    return (
+        stage("1_raw", docs)
+        .unionByName(stage("2_quality", quality))
+        .unionByName(stage("3_dedup", deduped))
+        .unionByName(stage("4_sampled", sampled))
+    )

@@ -260,6 +260,32 @@ def quality_filter(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def quality_keep(text_col: str = "text") -> Column:
+    """The ``keep`` decision of ``quality_filter`` as an inline boolean
+    column — for pipelines that filter in place instead of joining the
+    flags frame back (one scan instead of a scan + semi join). Kept in
+    lockstep with _QUALITY_RULES over the same rounded metrics."""
+    t = tokens(text_col)
+    n_tok = F.size(t)
+    distinct_ratio = F.when(n_tok > 0, F.size(F.array_distinct(t)) / n_tok).otherwise(F.lit(0.0))
+    n_chars = F.length(text_col)
+    mean_word_len = F.when(n_tok > 0, n_chars / n_tok).otherwise(F.lit(0.0))
+    punct_ratio = F.when(
+        n_chars > 0,
+        F.size(F.regexp_extract_all(text_col, F.lit(r"[^A-Za-z0-9\s]"), 0)) / n_chars,
+    ).otherwise(F.lit(0.0))
+    metrics = {
+        "n_tokens": n_tok.cast("long"),
+        "distinct_ratio": F.round(distinct_ratio, 6),
+        "mean_word_len": F.round(mean_word_len, 6),
+        "punct_ratio": F.round(punct_ratio, 6),
+    }
+    cond = F.lit(True)
+    for _name, pred in _QUALITY_RULES:
+        cond = cond & ~pred(metrics)
+    return cond
+
+
 #: (pattern, replacement) — applied in order; URL first so emails inside
 #: URLs don't split the match. Dialect-portable (no lookaround).
 PII_PATTERNS = [

@@ -401,3 +401,39 @@ def test_quantize_int8_cosine_drift_is_small(spark, sf_dir):
         assert max(abs(qi) for qi in r["q"]) <= 127
         if na > 0 and nb > 0:
             assert dot / (na * nb) > 0.999  # <0.1% cosine drift at 8 bits
+
+
+# --------------------------------------------------------------------------
+# curation pipeline
+# --------------------------------------------------------------------------
+
+
+def test_quality_keep_matches_quality_filter(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    via_filter = {
+        r["doc_id"] for r in text.quality_filter(docs).filter("keep").collect()
+    }
+    via_col = {
+        r["doc_id"] for r in docs.filter(text.quality_keep("text")).collect()
+    }
+    assert via_filter == via_col
+
+
+def test_curation_funnel_is_monotone(spark, sf_dir):
+    from cloudtrace_exporter_spark.operators import curate
+
+    docs = load_table(spark, sf_dir, "documents")
+    counts = {r["stage"]: r["n_docs"] for r in curate.curation_funnel(docs).collect()}
+    assert counts["1_raw"] >= counts["2_quality"] >= counts["3_dedup"] >= counts["4_sampled"]
+    assert counts["4_sampled"] == curate.curated_docs(docs).count()
+
+
+def test_dedup_survivor_is_min_id_of_duplicate_group(spark):
+    from cloudtrace_exporter_spark.operators import curate
+
+    docs = spark.createDataFrame(
+        [(5, "Same  text here"), (2, "same text HERE"), (9, "unique doc")],
+        ["doc_id", "text"],
+    )
+    ids = {r["doc_id"] for r in curate._dedup_survivors(docs).collect()}
+    assert ids == {2, 9}  # normalization collapses case/whitespace; min id wins

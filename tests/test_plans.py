@@ -114,3 +114,30 @@ def test_ivf_topk_lineage_is_truncated(plans):
     p = plans("q_ivf_topk")
     assert p.count("Scan parquet") <= 2  # corpus-as-assigned + corpus-as-queries
     assert p.count("Exchange") <= 8
+
+
+def test_contamination_broadcasts_benchmark_side(plans):
+    p = plans("q_contamination")
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p  # the 100 TB train side must not shuffle to join
+    assert "CartesianProduct" not in p
+
+
+def test_unpivot_and_redaction_are_shuffle_free(plans):
+    for q in ("q_unpivot", "q_pii_redact", "q_vector_normalize", "q_quantize_int8"):
+        assert "Exchange" not in plans(q), f"{q} grew a shuffle"
+
+
+def test_hash_sample_is_narrow_filter(plans):
+    for q in ("q_hash_sample", "q_stratified_sample"):
+        p = plans(q)
+        assert "Exchange" not in p, f"{q} grew a shuffle"
+        assert "Filter" in p
+
+
+def test_daily_spine_joins_broadcast(plans):
+    # spine and daily aggregate are both tiny — the join must broadcast,
+    # never shuffle the events table for it
+    p = plans("q_daily_spine")
+    assert "BroadcastHashJoin" in p or "BroadcastNestedLoopJoin" in p
+    assert "SortMergeJoin" not in p

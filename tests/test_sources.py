@@ -90,3 +90,52 @@ def test_streaming_pages_match_batch_after_normalize(spark, tmp_path):
     ).select("event_id", "type", "subject", "status")
     assert got.count() == want.count()
     assert got.exceptAll(want).count() == 0
+
+
+# --------------------------------------------------------------------------
+# generic CSV / JSONL source-sink
+# --------------------------------------------------------------------------
+
+
+def test_csv_roundtrip_preserves_rows_and_schema(spark, sf_dir, tmp_path):
+    from cloudtrace_exporter_spark.sources import files
+    from cloudtrace_exporter_spark.sources.tables import load_table
+
+    orders = load_table(spark, sf_dir, "orders")
+    path = str(tmp_path / "orders_csv")
+    files.write_csv(orders, path)
+    back = files.read_csv(spark, path, orders.schema)
+    assert back.schema == orders.schema
+    assert back.count() == orders.count()
+    a = {tuple(r) for r in orders.collect()}
+    b = {tuple(r) for r in back.collect()}
+    assert a == b
+
+
+def test_jsonl_roundtrip_preserves_rows(spark, sf_dir, tmp_path):
+    from cloudtrace_exporter_spark.sources import files
+    from cloudtrace_exporter_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    path = str(tmp_path / "docs_jsonl")
+    files.write_jsonl(docs, path)
+    back = files.read_jsonl(spark, path, docs.schema)
+    assert back.count() == docs.count()
+    assert {r["doc_id"] for r in back.collect()} == {r["doc_id"] for r in docs.collect()}
+
+
+def test_csv_failfast_on_malformed(spark, tmp_path):
+    import pytest as _pytest
+    from py4j.protocol import Py4JJavaError
+    from pyspark.sql import types as T
+    from cloudtrace_exporter_spark.sources import files
+
+    p = tmp_path / "bad"
+    p.mkdir()
+    (p / "part.csv").write_text("a,b\n1,x\nnot_an_int,y\n")
+    schema = T.StructType(
+        [T.StructField("a", T.LongType()), T.StructField("b", T.StringType())]
+    )
+    df = files.read_csv(spark, str(p), schema)
+    with _pytest.raises(Py4JJavaError):
+        df.collect()

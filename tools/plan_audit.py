@@ -29,9 +29,13 @@ def audit(plan: str) -> dict:
     n_pushed = sum(1 for p in pushed for f in p.split(",") if f.strip() and f.strip() != "[]")
     schemas = re.findall(r"ReadSchema: struct<([^>]*)", plan)
     widths = [len(s.split(",")) for s in schemas] or [0]
+    n_broadcast = plan.count("BroadcastExchange")
     return {
         "joins": "/".join(f"{k}:{v}" for k, v in joins.items() if v),
-        "exchanges": plan.count("Exchange"),
+        # data shuffles only — broadcast exchanges move dimension-sized
+        # data and are the POINT of the broadcast-join design, not a smell
+        "exchanges": plan.count("Exchange") - n_broadcast,
+        "broadcasts": n_broadcast,
         "pushed_filters": n_pushed,
         "scan_cols": max(widths),
     }
@@ -58,7 +62,8 @@ def main() -> None:
                 flags.append("!! many exchanges")
             print(
                 f"{name:28s} joins[{info['joins'] or '-':24s}] "
-                f"xchg={info['exchanges']:<2d} pushed={info['pushed_filters']:<2d} "
+                f"shuf={info['exchanges']:<2d} bcast={info['broadcasts']:<2d} "
+                f"pushed={info['pushed_filters']:<2d} "
                 f"scan_cols={info['scan_cols']:<2d} {' '.join(flags)}"
             )
         except Exception as exc:  # keep sweeping

@@ -346,6 +346,22 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "lang")
 
 
+def q_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B15 family: fixed-width histogram of events.value with bin shares."""
+    return analytics.value_histogram(load_table(spark, sf_dir, "events"), width=50.0)
+
+
+def q_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B15/B16 approx: t-digest percentile sketch (rows-only; tolerance vs
+    exact asserted in tests/test_sampling.py)."""
+    return analytics.approx_percentiles(load_table(spark, sf_dir, "orders"))
+
+
+def q_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B35: per-document character-distribution Shannon entropy."""
+    return text.char_entropy(load_table(spark, sf_dir, "documents"))
+
+
 def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B17 inverse: melt lineitem measures to long (measure, value) rows."""
     return analytics.unpivot_measures(load_table(spark, sf_dir, "lineitem"))
@@ -707,6 +723,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_window_distribution": q_window_distribution,
         "q_pivot_status": q_pivot_status,
         "q_unpivot": q_unpivot,
+        "q_value_histogram": q_value_histogram,
+        "q_approx_percentiles": q_approx_percentiles,
+        "q_char_entropy": q_char_entropy,
         "q_top_user_per_type": q_top_user_per_type,
         "q_daily_spine": q_daily_spine,
         "q_pii_redact": q_pii_redact,
@@ -1258,6 +1277,29 @@ def oracle_sql() -> dict[str, str]:
                    CAST(ntile(4) OVER w AS BIGINT) AS quartile
             FROM customer
             WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal ASC, c_custkey ASC)
+        """,
+        "q_value_histogram": """
+            WITH b AS (
+              SELECT floor(value / 50.0) * 50.0 AS bin_lo, count(*) AS n
+              FROM events GROUP BY 1
+            )
+            SELECT round(bin_lo, 2) AS bin_lo, n,
+                   round(CAST(n AS DOUBLE) / sum(n) OVER (), 6) AS share
+            FROM b
+        """,
+        # q_approx_percentiles: t-digest sketch values are engine-specific →
+        # rows-only (tolerance vs exact percentiles asserted in tests).
+        "q_char_entropy": r"""
+            WITH cnt AS (
+              SELECT doc_id, c, count(*) AS n FROM (
+                SELECT doc_id, unnest(regexp_extract_all(text, '[\s\S]')) AS c
+                FROM documents
+              ) GROUP BY doc_id, c
+            ),
+            tot AS (SELECT doc_id, sum(n) AS tot FROM cnt GROUP BY doc_id)
+            SELECT cnt.doc_id,
+                   round(-sum((CAST(n AS DOUBLE) / tot) * ln(CAST(n AS DOUBLE) / tot)), 6) AS char_entropy
+            FROM cnt JOIN tot USING (doc_id) GROUP BY cnt.doc_id
         """,
         "q_unpivot": """
             SELECT l_orderkey, l_linenumber, measure, round(value, 2) AS value FROM (

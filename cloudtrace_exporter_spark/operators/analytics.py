@@ -726,3 +726,34 @@ def daily_spine(events: DataFrame) -> DataFrame:
             F.round(F.coalesce("sum_value", F.lit(0.0)), 2).alias("sum_value"),
         )
     )
+
+
+def value_histogram(events: DataFrame, *, width: float = 50.0) -> DataFrame:
+    """B15 family: fixed-width histogram of the value column — bin lower
+    bound + count + bin share. One low-cardinality shuffle (bin count =
+    range/width); the share denominator comes from a window over the
+    aggregated bins (tiny), not a second scan of the input."""
+    bin_lo = (F.floor(F.col("value") / width) * width).alias("bin_lo")
+    binned = events.groupBy(bin_lo).agg(F.count(F.lit(1)).alias("n"))
+    total = Window.partitionBy()
+    return binned.select(
+        F.round("bin_lo", 2).alias("bin_lo"),
+        "n",
+        F.round(F.col("n") / F.sum("n").over(total), 6).alias("share"),
+    )
+
+
+def approx_percentiles(orders: DataFrame) -> DataFrame:
+    """B15/B16 approx: t-digest-backed percentile sketch — mergeable
+    map-side partials, constant memory per group at any scale. The 100 TB
+    default where `percentiles` would sort each group. Rows-only check
+    (sketch values are engine-specific); tolerance vs the exact operator
+    is asserted in tests."""
+    return (
+        orders.groupBy("o_orderpriority")
+        .agg(
+            F.approx_percentile("o_totalprice", F.lit(0.5), F.lit(10000)).alias("p50_approx"),
+            F.approx_percentile("o_totalprice", F.lit(0.99), F.lit(10000)).alias("p99_approx"),
+        )
+        .orderBy("o_orderpriority")
+    )

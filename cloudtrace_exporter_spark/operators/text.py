@@ -304,3 +304,32 @@ def redact_pii(df: DataFrame, text_col: str = "text") -> DataFrame:
     for pat, repl in PII_PATTERNS:
         out = F.regexp_replace(out, pat, repl)
     return df.select("doc_id", out.alias("redacted"))
+
+
+def char_entropy(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Shannon entropy of the character distribution per document (nats).
+
+    Low entropy flags degenerate/repetitive text (a standard pretraining
+    quality signal alongside the ratio heuristics). Two shuffles on the
+    doc id: char-frequency aggregation, then the entropy sum — the
+    per-doc total rides in on a window over the (already partitioned)
+    counts rather than a join back to the source.
+
+    Characters are UTF-16 code units on the Spark side and codepoints in
+    DuckDB — identical for BMP text (all fixtures); supplementary-plane
+    emoji would count as two units here.
+    """
+    from pyspark.sql import Window
+
+    chars = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.regexp_extract_all(F.col(text_col), F.lit(r"[\s\S]"), 0)).alias("c"),
+    )
+    cnt = chars.groupBy("doc_id", "c").agg(F.count(F.lit(1)).alias("n"))
+    tot = F.sum("n").over(Window.partitionBy("doc_id"))
+    p = F.col("n") / tot
+    return (
+        cnt.withColumn("term", -p * F.log(p))
+        .groupBy("doc_id")
+        .agg(F.round(F.sum("term"), 6).alias("char_entropy"))
+    )

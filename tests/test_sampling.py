@@ -123,3 +123,34 @@ def test_redact_pii_planted(spark):
     )
     out = text_ops.redact_pii(df).collect()[0]["redacted"]
     assert out == "mail me at <EMAIL> or see <URL> ref <NUM> ok 123"
+
+
+def test_approx_percentiles_close_to_exact(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders")
+    exact = {r["o_orderpriority"]: (r["p50"], r["p99"]) for r in analytics.percentiles(orders).collect()}
+    approx = {
+        r["o_orderpriority"]: (r["p50_approx"], r["p99_approx"])
+        for r in analytics.approx_percentiles(orders).collect()
+    }
+    for prio, (p50, p99) in exact.items():
+        a50, a99 = approx[prio]
+        assert abs(a50 - p50) / p50 < 0.02
+        assert abs(a99 - p99) / p99 < 0.02
+
+
+def test_value_histogram_shares_sum_to_one(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    rows = analytics.value_histogram(ev, width=50.0).collect()
+    assert sum(r["n"] for r in rows) == ev.count()
+    assert abs(sum(r["share"] for r in rows) - 1.0) < 1e-4
+
+
+def test_char_entropy_orders_degenerate_below_diverse(spark):
+    from cloudtrace_exporter_spark.operators import text as text_ops
+
+    df = spark.createDataFrame(
+        [(1, "aaaaaaaaaa"), (2, "abcdefghij")], ["doc_id", "text"]
+    )
+    got = {r["doc_id"]: r["char_entropy"] for r in text_ops.char_entropy(df).collect()}
+    assert got[1] == 0.0            # single-symbol text has zero entropy
+    assert abs(got[2] - 2.302585) < 1e-5  # ln(10) for 10 uniform symbols

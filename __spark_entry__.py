@@ -346,6 +346,16 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "lang")
 
 
+def q_rolling_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B21 family: trailing-7-day RANGE frame per user at each event."""
+    return analytics.rolling_window_sum(load_table(spark, sf_dir, "events"), days=7)
+
+
+def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence mining: per-user event-type transition counts."""
+    return analytics.event_transitions(load_table(spark, sf_dir, "events"))
+
+
 def q_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B15 family: fixed-width histogram of events.value with bin shares."""
     return analytics.value_histogram(load_table(spark, sf_dir, "events"), width=50.0)
@@ -723,6 +733,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_window_distribution": q_window_distribution,
         "q_pivot_status": q_pivot_status,
         "q_unpivot": q_unpivot,
+        "q_rolling_7d": q_rolling_7d,
+        "q_event_transitions": q_event_transitions,
         "q_value_histogram": q_value_histogram,
         "q_approx_percentiles": q_approx_percentiles,
         "q_char_entropy": q_char_entropy,
@@ -1277,6 +1289,31 @@ def oracle_sql() -> dict[str, str]:
                    CAST(ntile(4) OVER w AS BIGINT) AS quartile
             FROM customer
             WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal ASC, c_custkey ASC)
+        """,
+        "q_rolling_7d": """
+            SELECT event_id, user_id,
+                   strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
+                   count(*) OVER w AS n_trailing,
+                   round(sum(value) OVER w, 2) AS sum_trailing
+            FROM events
+            WINDOW w AS (
+              -- floor to whole seconds: Spark's unix_timestamp truncates,
+              -- DuckDB's epoch() keeps fractional seconds — frames must
+              -- agree on the order-key value
+              PARTITION BY user_id ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
+              RANGE BETWEEN 604800 PRECEDING AND CURRENT ROW
+            )
+        """,
+        "q_event_transitions": """
+            WITH seq AS (
+              SELECT user_id,
+                     lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type,
+                     event_type AS next_type
+              FROM events
+            )
+            SELECT prev_type, next_type, count(*) AS n_transitions
+            FROM seq WHERE prev_type IS NOT NULL
+            GROUP BY prev_type, next_type
         """,
         "q_value_histogram": """
             WITH b AS (

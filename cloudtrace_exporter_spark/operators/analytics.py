@@ -757,3 +757,46 @@ def approx_percentiles(orders: DataFrame) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+def rolling_window_sum(events: DataFrame, *, days: int = 7) -> DataFrame:
+    """B21 family: time-RANGE frame — per-user rolling N-day event count
+    and value sum at each event. Unlike the rowsBetween running_sum, the
+    frame is defined by the ORDER key's VALUE (epoch seconds), so
+    irregular event spacing is handled correctly: the frame holds
+    whatever falls in the trailing N days, not the trailing N rows.
+    One shuffle on user_id.
+    """
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_timestamp("ts"))
+        .rangeBetween(-days * 86400, 0)
+    )
+    return events.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_s"),
+        F.count(F.lit(1)).over(w).alias("n_trailing"),
+        F.round(F.sum("value").over(w), 2).alias("sum_trailing"),
+    )
+
+
+def event_transitions(events: DataFrame) -> DataFrame:
+    """Sequence mining: (previous event type → event type) transition
+    counts per user timeline — the Markov-transition matrix of the event
+    stream (session-flow analytics the reference's graph would answer
+    with variable-length Cypher paths).
+
+    lag over (user, time) then a low-cardinality groupBy: one shuffle on
+    user_id for the window, one tiny shuffle on the type pair. The order
+    key (ts, event_id) is unique, so lag is deterministic under ties.
+    """
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = events.select(
+        "user_id",
+        F.lag("event_type").over(w).alias("prev_type"),
+        F.col("event_type").alias("next_type"),
+    ).filter(F.col("prev_type").isNotNull())
+    return seq.groupBy("prev_type", "next_type").agg(
+        F.count(F.lit(1)).alias("n_transitions")
+    )

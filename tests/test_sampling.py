@@ -154,3 +154,41 @@ def test_char_entropy_orders_degenerate_below_diverse(spark):
     got = {r["doc_id"]: r["char_entropy"] for r in text_ops.char_entropy(df).collect()}
     assert got[1] == 0.0            # single-symbol text has zero entropy
     assert abs(got[2] - 2.302585) < 1e-5  # ln(10) for 10 uniform symbols
+
+
+def test_rolling_window_uses_time_not_rows(spark):
+    import datetime as dt
+
+    # three events: two within 7 days, one 30 days earlier — the range
+    # frame must exclude the old one even though it's an adjacent row
+    ev = spark.createDataFrame(
+        [
+            (1, 7, dt.datetime(2024, 1, 1), 1.0),
+            (2, 7, dt.datetime(2024, 1, 28), 10.0),
+            (3, 7, dt.datetime(2024, 2, 1), 100.0),
+        ],
+        ["event_id", "user_id", "ts", "value"],
+    )
+    got = {r["event_id"]: (r["n_trailing"], r["sum_trailing"]) for r in
+           analytics.rolling_window_sum(ev, days=7).collect()}
+    assert got[1] == (1, 1.0)
+    assert got[2] == (1, 10.0)       # Jan 1 is outside the 7-day frame
+    assert got[3] == (2, 110.0)      # Jan 28 is inside
+
+
+def test_event_transitions_counts_ordered_pairs(spark):
+    import datetime as dt
+
+    ev = spark.createDataFrame(
+        [
+            (1, 1, dt.datetime(2024, 1, 1, 1), "a", 0.0),
+            (2, 1, dt.datetime(2024, 1, 1, 2), "b", 0.0),
+            (3, 1, dt.datetime(2024, 1, 1, 3), "a", 0.0),
+            (4, 2, dt.datetime(2024, 1, 1, 1), "b", 0.0),
+            (5, 2, dt.datetime(2024, 1, 1, 2), "a", 0.0),
+        ],
+        ["event_id", "user_id", "ts", "event_type", "value"],
+    )
+    got = {(r["prev_type"], r["next_type"]): r["n_transitions"]
+           for r in analytics.event_transitions(ev).collect()}
+    assert got == {("a", "b"): 1, ("b", "a"): 2}

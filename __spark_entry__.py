@@ -178,6 +178,22 @@ def q_edges_applied_on(spark: SparkSession, sf_dir: str) -> DataFrame:
     return edges["applied_on"]
 
 
+def q_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph health: in-degree histogram of RESOURCE via APPLIED_ON."""
+    edges = graph.build_edges(_normalized_events(spark, sf_dir))
+    return graph.degree_distribution(edges["applied_on"], node_col="dst")
+
+
+def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph analytics: PageRank over the SUBJECT→RESOURCE influence graph
+    (rows-only: float iteration; small-graph exactness in test_graph.py)."""
+    ev = _normalized_events(spark, sf_dir)
+    edges = ev.select(
+        F.col("subject").alias("src"), F.col("resource_id").alias("dst")
+    ).dropDuplicates(["src", "dst"])
+    return graph.pagerank(edges, n_iter=10)
+
+
 def q_edges_performed_by(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B10: ACTION-[:PERFORMED_BY]->SUBJECT edge table (client.go:20)."""
     edges = graph.build_edges(_normalized_events(spark, sf_dir))
@@ -709,6 +725,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_nodes_resource": q_nodes_resource,
         "q_nodes_action": q_nodes_action,
         "q_edges_applied_on": q_edges_applied_on,
+        "q_degree_distribution": q_degree_distribution,
+        "q_pagerank": q_pagerank,
         "q_edges_performed_by": q_edges_performed_by,
         "q_nodes_subject": q_nodes_subject,
         "q_nodes_tenant": q_nodes_tenant,
@@ -957,6 +975,14 @@ def oracle_sql() -> dict[str, str]:
             WITH {EVENTS_AS_TRACES_SQL}
             SELECT DISTINCT event_id AS src, resource_id AS dst FROM norm
         """,
+        "q_degree_distribution": f"""
+            WITH {EVENTS_AS_TRACES_SQL},
+            e AS (SELECT DISTINCT event_id AS src, resource_id AS dst FROM norm),
+            deg AS (SELECT dst, count(*) AS degree FROM e GROUP BY dst)
+            SELECT degree, count(*) AS n_nodes FROM deg GROUP BY degree
+        """,
+        # q_pagerank: iterative float computation → rows-only (exact values
+        # on a closed-form graph asserted in tests/test_graph.py).
         "q_edges_performed_by": f"""
             WITH {EVENTS_AS_TRACES_SQL}
             SELECT DISTINCT event_id AS src, subject AS dst FROM norm

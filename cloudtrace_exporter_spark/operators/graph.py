@@ -150,3 +150,59 @@ def upsert_nodes(existing: DataFrame, incoming: DataFrame, key_cols: list[str]) 
     """
     fresh = incoming.join(existing, on=key_cols, how="left_anti")
     return existing.unionByName(fresh)
+
+
+def degree_distribution(edges: DataFrame, *, node_col: str = "dst") -> DataFrame:
+    """Degree histogram of one endpoint of an edge table: (degree,
+    n_nodes). The graph-health profile the reference's Neo4j would serve
+    with a degree query — two shuffles, both with map-side partials, the
+    second on the tiny degree domain."""
+    deg = edges.groupBy(node_col).agg(F.count(F.lit(1)).alias("degree"))
+    return deg.groupBy("degree").agg(F.count(F.lit(1)).alias("n_nodes"))
+
+
+def pagerank(
+    edges: DataFrame,
+    *,
+    damping: float = 0.85,
+    n_iter: int = 10,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Power-iteration PageRank over a directed edge table → (id, pagerank).
+
+    Fixed iteration count (deterministic output shape); each round is one
+    join of ranks onto edges + one sum-aggregation — the classic
+    distributed formulation. Lineage is truncated per round with
+    localCheckpoint (same pattern as IVF k-means / connected components)
+    so the plan stays flat across iterations. Out-degrees are computed
+    once and reused. Dangling nodes keep teleport mass only (their
+    outflow is not redistributed — document-ranking semantics don't need
+    it; add a dangling-sum broadcast per round if mass conservation
+    matters). |V| enters via one scalar count, not per-row collects.
+    """
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    nodes = e.select(F.col("src").alias("id")).union(
+        e.select(F.col("dst").alias("id"))
+    ).distinct()
+    n = nodes.count()
+    out_deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg"))
+    weighted = e.join(out_deg, "src").persist()
+    ranks = nodes.withColumn("rank", F.lit(1.0 / n))
+    for _ in range(n_iter):
+        contribs = (
+            weighted.join(ranks, weighted["src"] == ranks["id"])
+            .select(F.col("dst").alias("id"), (F.col("rank") / F.col("out_deg")).alias("c"))
+            .groupBy("id")
+            .agg(F.sum("c").alias("s"))
+        )
+        ranks = (
+            nodes.join(contribs, "id", "left")
+            .select(
+                "id",
+                (F.lit((1 - damping) / n) + damping * F.coalesce("s", F.lit(0.0))).alias("rank"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    weighted.unpersist()
+    return ranks.select("id", F.round("rank", 6).alias("pagerank"))

@@ -120,3 +120,35 @@ def test_summarize_graph_counts_null_keys_like_dropduplicates(spark):
     nodes, edges = graph.build_graph(ev)
     assert got["node:subjects"] == nodes["subjects"].count() == 2
     assert got["edge:performed_by"] == edges["performed_by"].count() == 2
+
+
+# --------------------------------------------------------------------------
+# degree distribution + pagerank
+# --------------------------------------------------------------------------
+
+
+def test_degree_distribution_counts_nodes_per_degree(spark):
+    edges = spark.createDataFrame(
+        [(1, "r1"), (2, "r1"), (3, "r1"), (4, "r2"), (5, "r2"), (6, "r3")],
+        ["src", "dst"],
+    )
+    got = {r["degree"]: r["n_nodes"] for r in graph.degree_distribution(edges).collect()}
+    assert got == {3: 1, 2: 1, 1: 1}
+
+
+def test_pagerank_symmetric_cycle_is_uniform(spark):
+    edges = spark.createDataFrame([("a", "b"), ("b", "a")], ["src", "dst"])
+    got = {r["id"]: r["pagerank"] for r in graph.pagerank(edges, n_iter=5).collect()}
+    assert got == {"a": 0.5, "b": 0.5}
+    assert abs(sum(got.values()) - 1.0) < 1e-6
+
+
+def test_pagerank_sink_hub_ranks_highest(spark):
+    # three spokes all point at the hub; hub points back at one spoke
+    edges = spark.createDataFrame(
+        [("s1", "hub"), ("s2", "hub"), ("s3", "hub"), ("hub", "s1")],
+        ["src", "dst"],
+    )
+    got = {r["id"]: r["pagerank"] for r in graph.pagerank(edges, n_iter=20).collect()}
+    assert got["hub"] == max(got.values())
+    assert got["s1"] > got["s2"] == got["s3"]

@@ -362,6 +362,21 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "lang")
 
 
+def q_latest_by_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC compaction: latest event per (user, type) — last-writer-wins
+    snapshot with deterministic tiebreak."""
+    ev = load_table(spark, sf_dir, "events")
+    return normalize.latest_by_key(
+        ev, key_cols=["user_id", "event_type"]
+    ).select(
+        "user_id",
+        "event_type",
+        "event_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_s"),
+        F.round("value", 2).alias("value"),
+    )
+
+
 def q_rolling_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B21 family: trailing-7-day RANGE frame per user at each event."""
     return analytics.rolling_window_sum(load_table(spark, sf_dir, "events"), days=7)
@@ -751,6 +766,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_window_distribution": q_window_distribution,
         "q_pivot_status": q_pivot_status,
         "q_unpivot": q_unpivot,
+        "q_latest_by_key": q_latest_by_key,
         "q_rolling_7d": q_rolling_7d,
         "q_event_transitions": q_event_transitions,
         "q_value_histogram": q_value_histogram,
@@ -1315,6 +1331,17 @@ def oracle_sql() -> dict[str, str]:
                    CAST(ntile(4) OVER w AS BIGINT) AS quartile
             FROM customer
             WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal ASC, c_custkey ASC)
+        """,
+        "q_latest_by_key": """
+            SELECT user_id, event_type, event_id,
+                   strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
+                   round(value, 2) AS value
+            FROM (
+              SELECT *, row_number() OVER (
+                PARTITION BY user_id, event_type
+                ORDER BY ts DESC, event_id DESC
+              ) AS rn FROM events
+            ) WHERE rn = 1
         """,
         "q_rolling_7d": """
             SELECT event_id, user_id,

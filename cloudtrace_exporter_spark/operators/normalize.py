@@ -218,3 +218,30 @@ def events_as_traces(events: DataFrame) -> DataFrame:
         .alias("trace_status"),
         F.get_json_object("props", "$.k").alias("code"),
     )
+
+
+def latest_by_key(
+    df: DataFrame,
+    *,
+    key_cols: list[str],
+    order_col: str = "ts",
+    tiebreak_col: str = "event_id",
+) -> DataFrame:
+    """CDC-style compaction: keep the LATEST row per key — last-writer-wins
+    upsert semantics (vs ``dedup_events``' first-seen-wins, which mirrors
+    the reference's MERGE no-op on re-delivery). Deterministic under
+    timestamp ties via the tiebreak column.
+
+    One shuffle on the key; at 100 TB this is the standard log-compaction
+    pass before serving a keyed snapshot.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*key_cols).orderBy(
+        F.desc(order_col), F.desc(tiebreak_col)
+    )
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )

@@ -123,3 +123,25 @@ def test_classify_status_buckets(spark):
     df = spark.createDataFrame([(1, 5.0), (2, 150.0), (3, 350.0)], "id int, value double")
     rows = {r.id: r.status for r in normalize.classify_status(df, "value").collect()}
     assert rows == {1: "normal", 2: "warning", 3: "incident"}
+
+
+def test_latest_by_key_keeps_newest_with_tiebreak(spark):
+    import datetime as dt
+
+    from cloudtrace_exporter_spark.operators import normalize as norm_ops
+
+    t = dt.datetime(2024, 1, 1, 12)
+    df = spark.createDataFrame(
+        [
+            (1, 7, t, "a", 1.0),
+            (2, 7, dt.datetime(2024, 1, 2), "a", 2.0),  # newer ts wins
+            (3, 8, t, "a", 3.0),
+            (4, 8, t, "a", 4.0),  # same ts → higher event_id wins
+        ],
+        ["event_id", "user_id", "ts", "event_type", "value"],
+    )
+    got = {
+        r["user_id"]: r["event_id"]
+        for r in norm_ops.latest_by_key(df, key_cols=["user_id", "event_type"]).collect()
+    }
+    assert got == {7: 2, 8: 4}

@@ -313,3 +313,27 @@ def test_cypher_sink_writes_replayable_unwind_script(spark, staged_events, tmp_p
                    "timestamp", "source", "type", "status", "subject"}
     assert expect_cols <= set(rows.columns)
     assert counters.failed == 0
+
+
+def test_streaming_curation_matches_batch(spark, tmp_path):
+    """quality_keep + redact_pii are narrow expressions, so they apply to
+    a readStream unchanged — batch/stream parity for the curation path."""
+    from cloudtrace_exporter_spark.operators import text as text_ops
+    from cloudtrace_exporter_spark.schemas import FIXTURE_SCHEMAS
+
+    docs = load_table(spark, SF, "documents")
+    src = str(tmp_path / "docs_src")
+    docs.coalesce(2).write.mode("overwrite").parquet(src)
+
+    batch = text_ops.redact_pii(docs.filter(text_ops.quality_keep("text")))
+    stream = (
+        spark.readStream.schema(FIXTURE_SCHEMAS["documents"])
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    streamed = text_ops.redact_pii(stream.filter(text_ops.quality_keep("text")))
+    out = _run_to_memory(spark, streamed, "t_curation")
+
+    b = {(r["doc_id"], r["redacted"]) for r in batch.collect()}
+    s = {(r["doc_id"], r["redacted"]) for r in out.collect()}
+    assert b == s and len(b) > 0

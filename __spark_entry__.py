@@ -362,6 +362,16 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "lang")
 
 
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Growth analytics: first-seen-day cohorts × day-offset active users."""
+    return analytics.cohort_retention(load_table(spark, sf_dir, "events"))
+
+
+def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel: view → click → purchase by first-occurrence time."""
+    return analytics.funnel_conversion(load_table(spark, sf_dir, "events"))
+
+
 def q_latest_by_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CDC compaction: latest event per (user, type) — last-writer-wins
     snapshot with deterministic tiebreak."""
@@ -766,6 +776,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_window_distribution": q_window_distribution,
         "q_pivot_status": q_pivot_status,
         "q_unpivot": q_unpivot,
+        "q_cohort_retention": q_cohort_retention,
+        "q_funnel": q_funnel,
         "q_latest_by_key": q_latest_by_key,
         "q_rolling_7d": q_rolling_7d,
         "q_event_transitions": q_event_transitions,
@@ -1331,6 +1343,42 @@ def oracle_sql() -> dict[str, str]:
                    CAST(ntile(4) OVER w AS BIGINT) AS quartile
             FROM customer
             WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal ASC, c_custkey ASC)
+        """,
+        "q_cohort_retention": """
+            WITH first AS (
+              SELECT user_id, date_trunc('day', min(ts)) AS cohort_day
+              FROM events GROUP BY user_id
+            ),
+            active AS (
+              SELECT DISTINCT user_id, date_trunc('day', ts) AS day FROM events
+            )
+            SELECT strftime(cohort_day, '%Y-%m-%d') AS cohort_day,
+                   date_diff('day', cohort_day, day) AS day_offset,
+                   count(DISTINCT a.user_id) AS n_users
+            FROM active a JOIN first f ON a.user_id = f.user_id
+            GROUP BY 1, 2
+        """,
+        "q_funnel": """
+            WITH mins AS (
+              SELECT user_id,
+                     min(CASE WHEN event_type = 'view' THEN ts END) AS t0,
+                     min(CASE WHEN event_type = 'click' THEN ts END) AS t1,
+                     min(CASE WHEN event_type = 'purchase' THEN ts END) AS t2
+              FROM events GROUP BY user_id
+            ),
+            wide AS (
+              SELECT
+                CAST(sum(CASE WHEN t0 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS s0,
+                CAST(sum(CASE WHEN t0 IS NOT NULL AND t1 IS NOT NULL AND t0 <= t1
+                         THEN 1 ELSE 0 END) AS BIGINT) AS s1,
+                CAST(sum(CASE WHEN t0 IS NOT NULL AND t1 IS NOT NULL AND t0 <= t1
+                          AND t2 IS NOT NULL AND t1 <= t2
+                         THEN 1 ELSE 0 END) AS BIGINT) AS s2
+              FROM mins
+            )
+            SELECT '1_view' AS step, s0 AS n_users FROM wide
+            UNION ALL SELECT '2_click', s1 FROM wide
+            UNION ALL SELECT '3_purchase', s2 FROM wide
         """,
         "q_latest_by_key": """
             SELECT user_id, event_type, event_id,

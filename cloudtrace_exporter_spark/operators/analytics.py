@@ -800,3 +800,68 @@ def event_transitions(events: DataFrame) -> DataFrame:
     return seq.groupBy("prev_type", "next_type").agg(
         F.count(F.lit(1)).alias("n_transitions")
     )
+
+
+def cohort_retention(events: DataFrame) -> DataFrame:
+    """Cohort/retention analysis: users grouped by first-seen day, distinct
+    active users at each day offset — the standard growth-analytics grid.
+
+    Plan: one aggregation for first-seen (shuffle on user), one distinct
+    on (user, day) (same key prefix, AQE-coalesced), then a fact-fact
+    join on user_id (sort-merge; both sides already hash-partitioned by
+    user) and a small (cohort, offset) aggregation. No driver collect.
+    """
+    first = events.groupBy("user_id").agg(
+        F.date_trunc("day", F.min("ts")).alias("cohort_day")
+    )
+    active = events.select(
+        "user_id", F.date_trunc("day", F.col("ts")).alias("day")
+    ).distinct()
+    return (
+        active.join(first, "user_id")
+        .select(
+            F.date_format("cohort_day", "yyyy-MM-dd").alias("cohort_day"),
+            F.datediff("day", "cohort_day").cast("long").alias("day_offset"),
+            "user_id",
+        )
+        .groupBy("cohort_day", "day_offset")
+        .agg(F.countDistinct("user_id").alias("n_users"))
+    )
+
+
+def funnel_conversion(events: DataFrame, *, steps: list[str] | None = None) -> DataFrame:
+    """Ordered funnel: users whose FIRST occurrence of each step respects
+    the step order (view ≤ click ≤ purchase by first-occurrence time).
+    Output: (step, n_users) with each row counting users who completed
+    the funnel up to that step, in order.
+
+    One conditional aggregation pass per user (min ts per step in a
+    single groupBy — no per-step scans or joins), then a tiny result
+    assembled by summing order-respecting flags. The classic funnel
+    formulation that survives 100 TB: everything is one shuffle on
+    user_id.
+    """
+    steps = steps or ["view", "click", "purchase"]
+    mins = events.groupBy("user_id").agg(
+        *[
+            F.min(F.when(F.col("event_type") == s, F.col("ts"))).alias(f"t{i}")
+            for i, s in enumerate(steps)
+        ]
+    )
+    # reached step i ⟺ every t0..ti is non-null and non-decreasing
+    flags = []
+    for i in range(len(steps)):
+        cond = F.col("t0").isNotNull()
+        for j in range(1, i + 1):
+            cond = cond & F.col(f"t{j}").isNotNull() & (F.col(f"t{j-1}") <= F.col(f"t{j}"))
+        flags.append(F.sum(cond.cast("long")).alias(f"s{i}"))
+    wide = mins.agg(*flags)
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(f"{i+1}_{s}").alias("step"), F.col(f"s{i}").alias("n_users")
+            )
+            for i, s in enumerate(steps)
+        ]
+    )
+    return wide.select(F.explode(pairs).alias("kv")).select("kv.step", "kv.n_users")

@@ -192,3 +192,34 @@ def test_event_transitions_counts_ordered_pairs(spark):
     got = {(r["prev_type"], r["next_type"]): r["n_transitions"]
            for r in analytics.event_transitions(ev).collect()}
     assert got == {("a", "b"): 1, ("b", "a"): 2}
+
+
+def test_funnel_orders_and_monotone(spark):
+    import datetime as dt
+
+    d = dt.datetime
+    ev = spark.createDataFrame(
+        [
+            # user 1: full ordered funnel
+            (1, 1, d(2024, 1, 1), "view", 0.0),
+            (2, 1, d(2024, 1, 2), "click", 0.0),
+            (3, 1, d(2024, 1, 3), "purchase", 0.0),
+            # user 2: purchase BEFORE click → not an ordered conversion
+            (4, 2, d(2024, 1, 1), "view", 0.0),
+            (5, 2, d(2024, 1, 2), "purchase", 0.0),
+            (6, 2, d(2024, 1, 3), "click", 0.0),
+            # user 3: only view
+            (7, 3, d(2024, 1, 1), "view", 0.0),
+        ],
+        ["event_id", "user_id", "ts", "event_type", "value"],
+    )
+    got = {r["step"]: r["n_users"] for r in analytics.funnel_conversion(ev).collect()}
+    assert got == {"1_view": 3, "2_click": 2, "3_purchase": 1}
+
+
+def test_cohort_retention_day_zero_covers_all_users(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    rows = analytics.cohort_retention(ev).collect()
+    day0 = sum(r["n_users"] for r in rows if r["day_offset"] == 0)
+    assert day0 == ev.select("user_id").distinct().count()
+    assert all(r["day_offset"] >= 0 for r in rows)

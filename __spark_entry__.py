@@ -661,6 +661,18 @@ def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North-star: overlapping token-window chunking (50-token, 10 overlap)."""
+    return text.chunk_documents(
+        load_table(spark, sf_dir, "documents"), chunk_tokens=50, overlap=10
+    )
+
+
+def q_pack_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North-star: per-source greedy packing index into 512-token bins."""
+    return text.pack_documents(load_table(spark, sf_dir, "documents"), context_len=512)
+
+
 def q_curated_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """North-star composition: quality → exact dedup → stratified sample."""
     return curate.curated_docs(load_table(spark, sf_dir, "documents"))
@@ -826,6 +838,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_quality_score": q_quality_score,
         "q_quality_filter": q_quality_filter,
         "q_contamination": q_contamination,
+        "q_chunk_documents": q_chunk_documents,
+        "q_pack_documents": q_pack_documents,
         "q_curated_docs": q_curated_docs,
         "q_curation_funnel": q_curation_funnel,
         "q_doc_fingerprint": q_doc_fingerprint,
@@ -1615,6 +1629,28 @@ def oracle_sql() -> dict[str, str]:
                    count(DISTINCT tg.gram) AS n_shared_grams,
                    count(DISTINCT bg.bench_id) AS n_bench_docs
             FROM tg JOIN bg USING (gram) GROUP BY tg.doc_id
+        """,
+        "q_chunk_documents": f"""
+            WITH tok AS (SELECT doc_id, {_TOKENS_SQL} AS t FROM documents),
+            ch AS (
+              SELECT doc_id,
+                     [t[i:i+49] FOR i IN range(1, greatest(len(t), 1) + 1, 40)] AS chunks
+              FROM tok WHERE len(t) >= 1
+            )
+            SELECT doc_id,
+                   CAST(generate_subscripts(chunks, 1) AS BIGINT) AS chunk_idx,
+                   CAST(len(unnest(chunks)) AS BIGINT) AS n_chunk_tokens,
+                   array_to_string(unnest(chunks), ' ') AS chunk_text
+            FROM ch
+        """,
+        "q_pack_documents": f"""
+            SELECT doc_id, source AS part, n_tokens,
+                   CAST(floor(CAST(coalesce(sum(n_tokens) OVER w, 0) AS DOUBLE) / 512) AS BIGINT) AS pack_id
+            FROM (SELECT doc_id, source, CAST(len({_TOKENS_SQL}) AS BIGINT) AS n_tokens FROM documents)
+            WINDOW w AS (
+              PARTITION BY source ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+            )
         """,
         "q_curated_docs": _CURATE_SQL.format(tok=_TOKENS_SQL)
         + "SELECT doc_id, lang FROM sampled",

@@ -333,3 +333,88 @@ def char_entropy(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") 
         .groupBy("doc_id")
         .agg(F.round(F.sum("term"), 6).alias("char_entropy"))
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    *,
+    chunk_tokens: int = 50,
+    overlap: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Split documents into overlapping token-window chunks — the
+    context-window preparation step of a pretraining/RAG pipeline.
+    Emits (doc_id, chunk_idx, n_chunk_tokens, chunk_text); chunk starts
+    advance by ``chunk_tokens - overlap``; every token position is
+    covered; a start is emitted while it lies within the document.
+
+    Narrow map (sequence + slice + posexplode) — no shuffle, no UDF.
+    Output row count ≈ input tokens / step; repartition downstream if a
+    corpus of long documents fans out heavily.
+    """
+    if overlap >= chunk_tokens:
+        raise ValueError("overlap must be smaller than chunk_tokens")
+    step = chunk_tokens - overlap
+    t = tokens(text_col)
+    n = F.size(t)
+    starts = F.sequence(F.lit(1), F.greatest(n, F.lit(1)), F.lit(step))
+    chunks = F.transform(starts, lambda i: F.slice(t, i, chunk_tokens))
+    return (
+        df.filter(n >= 1)
+        .select(
+            F.col(id_col).alias("doc_id"),
+            F.posexplode(chunks).alias("pos", "chunk"),
+        )
+        .select(
+            "doc_id",
+            (F.col("pos") + 1).cast("long").alias("chunk_idx"),
+            F.size("chunk").cast("long").alias("n_chunk_tokens"),
+            F.concat_ws(" ", "chunk").alias("chunk_text"),
+        )
+    )
+
+
+def pack_documents(
+    df: DataFrame,
+    *,
+    context_len: int = 512,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    part_col: str = "source",
+) -> DataFrame:
+    """Offline greedy sequence packing index: assign each document a
+    pack id such that consecutive documents fill ~context_len-token
+    bins — the batching step that turns a curated corpus into training
+    rows without padding waste.
+
+    Packing is computed PER ``part_col`` partition (source/domain), in
+    deterministic doc-id order: pack_id = floor(cumulative tokens before
+    this doc / context_len). Documents may straddle bin boundaries (the
+    consumer splits or pads the tail) — this is the standard
+    approximate-packing index, not an exact bin-packing solve (which is
+    NP-hard and needless at corpus scale).
+
+    One shuffle on the partition column; the running sum is a window in
+    that same shuffle. At 100 TB the per-source partitions parallelize;
+    a single global ordering would serialize on one reducer — that is
+    why ``part_col`` exists.
+    """
+    from pyspark.sql import Window
+
+    n_tok = token_count(text_col)
+    w = (
+        Window.partitionBy(part_col)
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum_before = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    return (
+        df.withColumn("n_tokens", n_tok.cast("long"))
+        .select(
+            F.col(id_col).alias("doc_id"),
+            F.col(part_col).alias("part"),
+            "n_tokens",
+            F.floor(cum_before / context_len).cast("long").alias("pack_id"),
+        )
+    )

@@ -437,3 +437,41 @@ def test_dedup_survivor_is_min_id_of_duplicate_group(spark):
     )
     ids = {r["doc_id"] for r in curate._dedup_survivors(docs).collect()}
     assert ids == {2, 9}  # normalization collapses case/whitespace; min id wins
+
+
+# --------------------------------------------------------------------------
+# chunking + packing
+# --------------------------------------------------------------------------
+
+
+def test_chunk_documents_overlap_and_coverage(spark):
+    words = " ".join(f"w{i}" for i in range(1, 13))  # 12 tokens
+    df = spark.createDataFrame([(1, words)], ["doc_id", "text"])
+    rows = sorted(
+        text.chunk_documents(df, chunk_tokens=5, overlap=2).collect(),
+        key=lambda r: r["chunk_idx"],
+    )
+    texts = [r["chunk_text"] for r in rows]
+    # step 3: starts 1,4,7,10 — every token appears; consecutive chunks share 2
+    assert texts[0] == "w1 w2 w3 w4 w5"
+    assert texts[1] == "w4 w5 w6 w7 w8"
+    assert texts[-1] == "w10 w11 w12"  # short tail kept
+    covered = {w for t in texts for w in t.split()}
+    assert covered == {f"w{i}" for i in range(1, 13)}
+
+
+def test_pack_documents_fills_bins_in_order(spark):
+    df = spark.createDataFrame(
+        [(1, "a " * 300, "s"), (2, "b " * 300, "s"), (3, "c " * 300, "s"), (4, "d", "t")],
+        ["doc_id", "text", "source"],
+    )
+    got = {r["doc_id"]: r["pack_id"] for r in
+           text.pack_documents(df, context_len=512).collect()}
+    # cum_before: doc1=0, doc2=300, doc3=600 → packs 0,0,1; other source restarts
+    assert got == {1: 0, 2: 0, 3: 1, 4: 0}
+
+
+def test_chunk_rejects_bad_overlap(spark):
+    df = spark.createDataFrame([(1, "a b")], ["doc_id", "text"])
+    with pytest.raises(ValueError):
+        text.chunk_documents(df, chunk_tokens=5, overlap=5)

@@ -77,3 +77,73 @@ def test_dedup_idempotent_under_redelivery(spark_prop, rows):
     once = normalize.dedup_events(df, "event_id").count()
     twice = normalize.dedup_events(df.union(df), "event_id").count()
     assert once == twice == df.select("event_id").distinct().count()
+
+
+# --------------------------------------------------------------------------
+# properties of the curation / clustering primitives
+# --------------------------------------------------------------------------
+
+
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 12), st.integers(0, 12)).filter(lambda e: e[0] != e[1]),
+        min_size=1,
+        max_size=12,
+    )
+)
+@settings(max_examples=10, deadline=None)
+def test_connected_components_matches_union_find(spark_prop, edges):
+    from cloudtrace_exporter_spark.operators import dedup
+
+    # reference union-find on the driver
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a: int, b: int) -> None:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    for a, b in edges:
+        union(a, b)
+    expected = {x: find(x) for x in parent}
+
+    pairs = spark_prop.createDataFrame(edges, ["doc_a", "doc_b"])
+    got = {r["id"]: r["comp"] for r in dedup.connected_components(pairs).collect()}
+    assert got == expected
+
+
+@given(
+    fr_small=st.floats(0.05, 0.45),
+    fr_big=st.floats(0.5, 1.0),
+)
+@settings(max_examples=8, deadline=None)
+def test_hash_sample_nesting_property(spark_prop, fr_small, fr_big):
+    from cloudtrace_exporter_spark.operators import analytics
+    from cloudtrace_exporter_spark.sources.tables import load_table
+
+    docs = load_table(spark_prop, "/root/testdata/sf0.001", "documents")
+    small = {r["doc_id"] for r in analytics.hash_sample(docs, key_col="doc_id", fraction=fr_small).collect()}
+    big = {r["doc_id"] for r in analytics.hash_sample(docs, key_col="doc_id", fraction=fr_big).collect()}
+    assert small <= big  # thresholds nest, so samples must nest
+
+
+@given(n_words=st.integers(1, 40), chunk=st.integers(2, 12), overlap=st.integers(0, 5))
+@settings(max_examples=12, deadline=None)
+def test_chunk_coverage_property(spark_prop, n_words, chunk, overlap):
+    from hypothesis import assume
+    from cloudtrace_exporter_spark.operators import text as text_ops
+
+    assume(overlap < chunk)
+    words = [f"w{i}" for i in range(n_words)]
+    df = spark_prop.createDataFrame([(1, " ".join(words))], ["doc_id", "text"])
+    rows = text_ops.chunk_documents(df, chunk_tokens=chunk, overlap=overlap).collect()
+    covered = [w for r in sorted(rows, key=lambda r: r["chunk_idx"]) for w in r["chunk_text"].split()]
+    assert set(covered) == set(words)          # nothing lost
+    assert all(r["n_chunk_tokens"] <= chunk for r in rows)

@@ -244,6 +244,33 @@ def q_cypher_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     return events_to_cypher_rows(_normalized_events(spark, sf_dir))
 
 
+def q_subject_status_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cypher collect() parity: per subject, the sorted distinct set of
+    statuses its actions produced (MATCH (s:SUBJECT)<-[:PERFORMED_BY]-
+    (a)-[:WITH_STATUS]->(st) RETURN s, collect(DISTINCT st))."""
+    ev = _normalized_events(spark, sf_dir)
+    return ev.groupBy("subject").agg(
+        F.sort_array(F.collect_set("status")).alias("statuses"),
+        F.countDistinct("status").alias("n_statuses"),
+    )
+
+
+def q_subject_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cypher variable-length-path parity: tenants reachable from each
+    subject via ACTION→RESOURCE→TENANT (2-hop reach through the
+    materialized edge tables, joined on their keys)."""
+    edges = graph.build_edges(_normalized_events(spark, sf_dir))
+    pb = edges["performed_by"].select(F.col("src").alias("action"), F.col("dst").alias("subject"))
+    ao = edges["applied_on"].select(F.col("src").alias("action"), F.col("dst").alias("resource"))
+    mo = edges["member_of"].select(F.col("src").alias("resource"), F.col("dst").alias("tenant"))
+    return (
+        pb.join(ao, "action")
+        .join(F.broadcast(mo), "resource")
+        .groupBy("subject")
+        .agg(F.countDistinct("tenant").alias("n_tenants"))
+    )
+
+
 def q_graph_walk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cypher-style reachability on the MATERIALIZED graph: per status,
     how many actions and distinct subjects — ACTION-[:WITH_STATUS]->STATUS
@@ -763,6 +790,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_nodes_action": q_nodes_action,
         "q_edges_applied_on": q_edges_applied_on,
         "q_degree_distribution": q_degree_distribution,
+        "q_subject_status_sets": q_subject_status_sets,
+        "q_subject_reach": q_subject_reach,
         "q_pagerank": q_pagerank,
         "q_edges_performed_by": q_edges_performed_by,
         "q_nodes_subject": q_nodes_subject,
@@ -1016,6 +1045,22 @@ def oracle_sql() -> dict[str, str]:
         "q_edges_applied_on": f"""
             WITH {EVENTS_AS_TRACES_SQL}
             SELECT DISTINCT event_id AS src, resource_id AS dst FROM norm
+        """,
+        "q_subject_status_sets": f"""
+            WITH {EVENTS_AS_TRACES_SQL}
+            SELECT subject,
+                   list_sort(list(DISTINCT status)) AS statuses,
+                   count(DISTINCT status) AS n_statuses
+            FROM norm GROUP BY subject
+        """,
+        "q_subject_reach": f"""
+            WITH {EVENTS_AS_TRACES_SQL},
+            pb AS (SELECT DISTINCT event_id AS action, subject FROM norm),
+            ao AS (SELECT DISTINCT event_id AS action, resource_id AS resource FROM norm),
+            mo AS (SELECT DISTINCT resource_id AS resource, tenant FROM norm)
+            SELECT subject, count(DISTINCT tenant) AS n_tenants
+            FROM pb JOIN ao USING (action) JOIN mo USING (resource)
+            GROUP BY subject
         """,
         "q_degree_distribution": f"""
             WITH {EVENTS_AS_TRACES_SQL},

@@ -351,6 +351,20 @@ def q_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data profiling: null/distinct/min/max for orders columns, one scan."""
+    return analytics.profile_table(
+        load_table(spark, sf_dir, "orders"),
+        numeric_cols=["o_totalprice"],
+        key_cols=["o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"],
+    )
+
+
+def q_window_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B19 completeness: first/last/nth value over a pinned full frame."""
+    return analytics.window_first_last(load_table(spark, sf_dir, "orders"))
+
+
 def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B17: explicit GROUPING SETS (arbitrary set list, not a lattice)."""
     return analytics.grouping_sets_status(load_table(spark, sf_dir, "orders"))
@@ -813,6 +827,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_rollup_region_nation": q_rollup_region_nation,
         "q_topk_resources": q_topk_resources,
         "q_window_rank": q_window_rank,
+        "q_profile_orders": q_profile_orders,
+        "q_window_first_last": q_window_first_last,
         "q_grouping_sets": q_grouping_sets,
         "q_window_distribution": q_window_distribution,
         "q_pivot_status": q_pivot_status,
@@ -1388,6 +1404,36 @@ def oracle_sql() -> dict[str, str]:
               SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, corpus_id ASC) AS rnk
               FROM scored
             ) WHERE rnk <= 5
+        """,
+        "q_profile_orders": """
+            SELECT 'o_totalprice' AS column,
+                   CAST(sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+                   count(DISTINCT o_totalprice) AS n_distinct,
+                   round(min(o_totalprice), 2) AS min_val, round(max(o_totalprice), 2) AS max_val
+            FROM orders
+            UNION ALL SELECT 'o_orderkey',
+                   CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+                   count(DISTINCT o_orderkey), NULL, NULL FROM orders
+            UNION ALL SELECT 'o_custkey',
+                   CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+                   count(DISTINCT o_custkey), NULL, NULL FROM orders
+            UNION ALL SELECT 'o_orderstatus',
+                   CAST(sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+                   count(DISTINCT o_orderstatus), NULL, NULL FROM orders
+            UNION ALL SELECT 'o_orderpriority',
+                   CAST(sum(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+                   count(DISTINCT o_orderpriority), NULL, NULL FROM orders
+        """,
+        "q_window_first_last": """
+            SELECT o_orderkey, o_orderpriority,
+                   first_value(o_orderkey) OVER w AS first_key,
+                   last_value(o_orderkey) OVER w AS last_key,
+                   nth_value(o_orderkey, 2) OVER w AS second_key
+            FROM orders
+            WINDOW w AS (
+              PARTITION BY o_orderpriority ORDER BY o_orderdate ASC, o_orderkey ASC
+              ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+            )
         """,
         "q_grouping_sets": """
             SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,

@@ -865,3 +865,65 @@ def funnel_conversion(events: DataFrame, *, steps: list[str] | None = None) -> D
         ]
     )
     return wide.select(F.explode(pairs).alias("kv")).select("kv.step", "kv.n_users")
+
+
+def profile_table(df: DataFrame, *, numeric_cols: list[str], key_cols: list[str]) -> DataFrame:
+    """Data profiling: per-column null count, distinct count, min, max —
+    for ALL columns in ONE scan (a wide multi-aggregate; Catalyst plans
+    the distincts through one Expand), unpivoted to (column, metric
+    rows). The first query run against any new 100 TB delivery.
+
+    Numeric columns report min/max as rounded doubles; key columns
+    report distinct cardinality only (min/max of ids is meaningless).
+    """
+    aggs: list[F.Column] = []
+    for c in numeric_cols + key_cols:
+        aggs.append(F.sum(F.col(c).isNull().cast("long")).alias(f"nulls_{c}"))
+        aggs.append(F.count_distinct(F.col(c)).alias(f"distinct_{c}"))
+    for c in numeric_cols:
+        aggs.append(F.round(F.min(c), 2).alias(f"min_{c}"))
+        aggs.append(F.round(F.max(c), 2).alias(f"max_{c}"))
+    wide = df.agg(*aggs)
+    entries = []
+    for c in numeric_cols + key_cols:
+        entries.append(
+            F.struct(
+                F.lit(c).alias("column"),
+                F.col(f"nulls_{c}").alias("n_nulls"),
+                F.col(f"distinct_{c}").alias("n_distinct"),
+                *(
+                    [
+                        F.col(f"min_{c}").cast("double").alias("min_val"),
+                        F.col(f"max_{c}").cast("double").alias("max_val"),
+                    ]
+                    if c in numeric_cols
+                    else [
+                        F.lit(None).cast("double").alias("min_val"),
+                        F.lit(None).cast("double").alias("max_val"),
+                    ]
+                ),
+            )
+        )
+    return wide.select(F.explode(F.array(*entries)).alias("kv")).select(
+        "kv.column", "kv.n_nulls", "kv.n_distinct", "kv.min_val", "kv.max_val"
+    )
+
+
+def window_first_last(orders: DataFrame) -> DataFrame:
+    """B19 completeness: first_value / last_value / nth_value over an
+    explicit full-partition frame. The frame spec matters: last_value
+    over the default frame (UNBOUNDED PRECEDING..CURRENT ROW) returns
+    the current row — the classic window gotcha — so the frame is pinned
+    to the whole partition on both engines."""
+    w = (
+        Window.partitionBy("o_orderpriority")
+        .orderBy(F.asc("o_orderdate"), F.asc("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return orders.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.first_value("o_orderkey").over(w).alias("first_key"),
+        F.last_value("o_orderkey").over(w).alias("last_key"),
+        F.nth_value("o_orderkey", 2).over(w).alias("second_key"),
+    )

@@ -223,3 +223,16 @@ def test_cohort_retention_day_zero_covers_all_users(spark, sf_dir):
     day0 = sum(r["n_users"] for r in rows if r["day_offset"] == 0)
     assert day0 == ev.select("user_id").distinct().count()
     assert all(r["day_offset"] >= 0 for r in rows)
+
+
+def test_profile_table_single_scan_and_values(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders")
+    prof = analytics.profile_table(
+        orders, numeric_cols=["o_totalprice"], key_cols=["o_orderkey"]
+    )
+    plan = prof._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan parquet") <= 1  # one pass over the table
+    rows = {r["column"]: r for r in prof.collect()}
+    assert rows["o_orderkey"]["n_distinct"] == orders.count()  # unique key
+    assert rows["o_orderkey"]["n_nulls"] == 0
+    assert rows["o_totalprice"]["min_val"] <= rows["o_totalprice"]["max_val"]

@@ -351,6 +351,11 @@ def q_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust anomaly detection: |value − median| > 3·MAD per event type."""
+    return analytics.mad_outliers(load_table(spark, sf_dir, "events"), k=3.0)
+
+
 def q_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Data profiling: null/distinct/min/max for orders columns, one scan."""
     return analytics.profile_table(
@@ -827,6 +832,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_rollup_region_nation": q_rollup_region_nation,
         "q_topk_resources": q_topk_resources,
         "q_window_rank": q_window_rank,
+        "q_mad_outliers": q_mad_outliers,
         "q_profile_orders": q_profile_orders,
         "q_window_first_last": q_window_first_last,
         "q_grouping_sets": q_grouping_sets,
@@ -1404,6 +1410,20 @@ def oracle_sql() -> dict[str, str]:
               SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, corpus_id ASC) AS rnk
               FROM scored
             ) WHERE rnk <= 5
+        """,
+        "q_mad_outliers": """
+            WITH med AS (
+              SELECT event_type, quantile_cont(value, 0.5) AS med
+              FROM events GROUP BY event_type
+            ),
+            mad AS (
+              SELECT e.event_type, quantile_cont(abs(e.value - m.med), 0.5) AS mad
+              FROM events e JOIN med m USING (event_type) GROUP BY e.event_type
+            )
+            SELECT event_id, event_type, round(value, 2) AS value,
+                   round(abs(value - med) / mad, 4) AS mad_score
+            FROM events JOIN med USING (event_type) JOIN mad USING (event_type)
+            WHERE abs(value - med) > 3.0 * mad
         """,
         "q_profile_orders": """
             SELECT 'o_totalprice' AS column,

@@ -927,3 +927,36 @@ def window_first_last(orders: DataFrame) -> DataFrame:
         F.last_value("o_orderkey").over(w).alias("last_key"),
         F.nth_value("o_orderkey", 2).over(w).alias("second_key"),
     )
+
+
+def mad_outliers(events: DataFrame, *, k: float = 3.0) -> DataFrame:
+    """Robust anomaly detection: events whose value deviates from their
+    type's median by more than k × MAD (median absolute deviation) — the
+    monitoring query behind the reference's normal/warning/incident
+    status taxonomy, with a robust statistic that a few extreme values
+    cannot drag (unlike mean/stddev z-scores).
+
+    Two aggregation passes over the fact (median, then MAD of residuals)
+    + two broadcast joins of the tiny per-type stats frame back onto the
+    scan — the fact table itself never shuffles.
+    """
+    med = events.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.5)).alias("med")
+    )
+    with_med = events.join(F.broadcast(med), "event_type")
+    mad = (
+        with_med.withColumn("absdev", F.abs(F.col("value") - F.col("med")))
+        .groupBy("event_type")
+        .agg(F.percentile("absdev", F.lit(0.5)).alias("mad"))
+    )
+    scored = with_med.join(F.broadcast(mad), "event_type")
+    return (
+        scored.filter(F.abs(F.col("value") - F.col("med")) > k * F.col("mad"))
+        .select(
+            "event_id",
+            "event_type",
+            F.round("value", 2).alias("value"),
+            F.round(F.abs(F.col("value") - F.col("med")) / F.col("mad"), 4).alias("mad_score"),
+        )
+    )
+

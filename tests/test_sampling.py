@@ -236,3 +236,14 @@ def test_profile_table_single_scan_and_values(spark, sf_dir):
     assert rows["o_orderkey"]["n_distinct"] == orders.count()  # unique key
     assert rows["o_orderkey"]["n_nulls"] == 0
     assert rows["o_totalprice"]["min_val"] <= rows["o_totalprice"]["max_val"]
+
+
+def test_mad_outliers_flags_planted_spike(spark):
+    import datetime as dt
+
+    rows = [(i, 1, dt.datetime(2024, 1, 1), "click", float(10 + (i % 3))) for i in range(20)]
+    rows.append((99, 1, dt.datetime(2024, 1, 1), "click", 1000.0))  # the spike
+    ev = spark.createDataFrame(rows, ["event_id", "user_id", "ts", "event_type", "value"])
+    got = analytics.mad_outliers(ev, k=3.0).collect()
+    assert [r["event_id"] for r in got] == [99]
+    assert got[0]["mad_score"] > 100

@@ -443,6 +443,32 @@ def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return analytics.event_transitions(load_table(spark, sf_dir, "events"))
 
 
+def q_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD type-2 build: per-user event_type validity intervals (CDC→dim)."""
+    return analytics.scd2_intervals(load_table(spark, sf_dir, "events"))
+
+
+def q_range_join_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap join via time-bin equi-join: purchases within ±5 min
+    of each error event."""
+    return analytics.range_join_binned(load_table(spark, sf_dir, "events"), minutes=5)
+
+
+def q_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-sketch rollup: daily HLL distinct-user sketches merged to a
+    monthly estimate (rows-only; mergeability + tolerance vs exact asserted
+    in tests/test_sampling.py)."""
+    return analytics.hll_rollup(load_table(spark, sf_dir, "events"))
+
+
+def q_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8-shaped: one nation's share of ASIA-customer revenue per year."""
+    t = {n: load_table(spark, sf_dir, n) for n in ("lineitem", "orders", "customer", "supplier", "nation", "region")}
+    return analytics.market_share(
+        t["lineitem"], t["orders"], t["customer"], t["supplier"], t["nation"], t["region"]
+    )
+
+
 def q_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B15 family: fixed-width histogram of events.value with bin shares."""
     return analytics.value_histogram(load_table(spark, sf_dir, "events"), width=50.0)
@@ -844,6 +870,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_latest_by_key": q_latest_by_key,
         "q_rolling_7d": q_rolling_7d,
         "q_event_transitions": q_event_transitions,
+        "q_scd2_intervals": q_scd2_intervals,
+        "q_range_join_binned": q_range_join_binned,
+        "q_hll_rollup": q_hll_rollup,
+        "q_market_share": q_market_share,
         "q_value_histogram": q_value_histogram,
         "q_approx_percentiles": q_approx_percentiles,
         "q_char_entropy": q_char_entropy,
@@ -1424,6 +1454,45 @@ def oracle_sql() -> dict[str, str]:
                    round(abs(value - med) / mad, 4) AS mad_score
             FROM events JOIN med USING (event_type) JOIN mad USING (event_type)
             WHERE abs(value - med) > 3.0 * mad
+        """,
+        "q_scd2_intervals": """
+            WITH ordered AS (
+              SELECT user_id, event_type, ts, event_id,
+                     lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+              FROM events
+            ),
+            changes AS (
+              SELECT user_id, event_type, ts AS vf, event_id FROM ordered
+              WHERE prev IS NULL OR prev <> event_type
+            )
+            SELECT user_id, event_type,
+                   strftime(vf, '%Y-%m-%d %H:%M:%S') AS valid_from,
+                   strftime(lead(vf) OVER w, '%Y-%m-%d %H:%M:%S') AS valid_to,
+                   CAST(row_number() OVER w AS BIGINT) AS version
+            FROM changes
+            WINDOW w AS (PARTITION BY user_id ORDER BY vf, event_id)
+        """,
+        "q_range_join_binned": """
+            SELECT e.event_id AS error_id, CAST(count(*) AS BIGINT) AS n_purchases
+            FROM events e JOIN events p
+              ON p.ts >= e.ts - INTERVAL 5 MINUTE AND p.ts <= e.ts + INTERVAL 5 MINUTE
+            WHERE e.event_type = 'error' AND p.event_type = 'purchase'
+            GROUP BY e.event_id
+        """,
+        "q_market_share": """
+            SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+                   round(sum(CASE WHEN sn.n_name = 'NATION_7'
+                                  THEN l_extendedprice * (1 - l_discount) ELSE 0 END)
+                         / sum(l_extendedprice * (1 - l_discount)), 6) AS mkt_share,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_volume
+            FROM lineitem
+            JOIN orders   ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation cn ON c_nationkey = cn.n_nationkey
+            JOIN region   ON cn.n_regionkey = r_regionkey AND r_name = 'ASIA'
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation sn ON s_nationkey = sn.n_nationkey
+            GROUP BY 1
         """,
         "q_profile_orders": """
             SELECT 'o_totalprice' AS column,

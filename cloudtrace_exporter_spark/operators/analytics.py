@@ -960,3 +960,153 @@ def mad_outliers(events: DataFrame, *, k: float = 3.0) -> DataFrame:
         )
     )
 
+
+def scd2_intervals(events: DataFrame) -> DataFrame:
+    """Build a slowly-changing-dimension (type 2) history from an event
+    stream: one validity interval per (user, event_type) run, with
+    ``valid_from``/``valid_to`` boundaries and a per-user version number
+    — the classic CDC-log → dimension-table materialization.
+
+    Two window passes over the SAME partitioning (user_id): Catalyst
+    reuses one hash shuffle for both the change-detection lag and the
+    interval-closing lead, so the 100 TB cost is a single shuffle keyed
+    on a high-cardinality uniform key. Ordering ties broken by event_id
+    (globally unique) so the history is deterministic across engines.
+    """
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    changes = (
+        events.withColumn("prev_type", F.lag("event_type").over(w))
+        .filter(F.col("prev_type").isNull() | (F.col("prev_type") != F.col("event_type")))
+        .select("user_id", "event_type", F.col("ts").alias("valid_from"), "event_id")
+    )
+    w2 = Window.partitionBy("user_id").orderBy("valid_from", "event_id")
+    return changes.select(
+        "user_id",
+        "event_type",
+        F.date_format("valid_from", "yyyy-MM-dd HH:mm:ss").alias("valid_from"),
+        F.date_format(F.lead("valid_from").over(w2), "yyyy-MM-dd HH:mm:ss").alias("valid_to"),
+        F.row_number().over(w2).cast("long").alias("version"),
+    )
+
+
+def range_join_binned(events: DataFrame, *, minutes: int = 5) -> DataFrame:
+    """Interval-overlap join at scale: for every 'error' event, count the
+    'purchase' events inside ±`minutes` of it.
+
+    The naive plan for ``p.ts BETWEEN e.lo AND e.hi`` is a broadcast
+    nested loop — O(n·m) and it dies when both sides are large. This
+    recipe turns it into an equi-join: intervals explode into the
+    fixed-width time bins they cover (≤3 bins when bin width == interval
+    half-width), probes map to exactly ONE bin, the join is a plain hash
+    shuffle on the bin key, and the exact predicate refines after the
+    match. Each qualifying (interval, probe) pair matches in exactly one
+    bin — the probe's own — so no dedup pass is needed. Bin width tunes
+    the expansion-vs-selectivity trade; time-local joins co-partition by
+    time so the shuffle is uniform even when traffic is bursty.
+    """
+    bin_us = minutes * 60 * 1_000_000
+    half = F.expr(f"INTERVAL {minutes} MINUTES")
+    errors = (
+        events.filter(F.col("event_type") == "error")
+        .select(
+            F.col("event_id").alias("error_id"),
+            (F.col("ts") - half).alias("lo"),
+            (F.col("ts") + half).alias("hi"),
+        )
+        .withColumn(
+            "bin",
+            F.explode(
+                F.sequence(
+                    F.expr(f"unix_micros(lo) div {bin_us}"),
+                    F.expr(f"unix_micros(hi) div {bin_us}"),
+                )
+            ),
+        )
+    )
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        F.col("ts").alias("p_ts"),
+        F.expr(f"unix_micros(ts) div {bin_us}").alias("bin"),
+    )
+    return (
+        errors.join(purchases, "bin")
+        .filter((F.col("p_ts") >= F.col("lo")) & (F.col("p_ts") <= F.col("hi")))
+        .groupBy("error_id")
+        .agg(F.count("*").alias("n_purchases"))
+    )
+
+
+def hll_rollup(events: DataFrame) -> DataFrame:
+    """Mergeable-sketch rollup: daily HLL sketches of distinct users per
+    event type, re-aggregated to a monthly distinct estimate by MERGING
+    the daily sketches — never re-touching the raw rows.
+
+    This is the hypertable/continuous-aggregate pattern: at 100 TB the
+    daily sketch table is the only thing wide-time-range queries read
+    (KBs per day instead of TBs), and because HLL union is associative
+    the same sketches serve weekly/monthly/yearly rollups. Estimate
+    error ~2% at the default lgConfigK=12; mergeability is exactness-
+    tested in tests (merge-of-days == sketch-of-month).
+    """
+    daily = events.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("day")
+    ).agg(F.hll_sketch_agg("user_id").alias("sk"))
+    return (
+        daily.groupBy(
+            "event_type",
+            F.date_format(F.date_trunc("month", "day"), "yyyy-MM").alias("month"),
+        )
+        .agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est_users"))
+        .select("event_type", "month", "est_users")
+    )
+
+
+def market_share(
+    lineitem: DataFrame,
+    orders: DataFrame,
+    customer: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+    region: DataFrame,
+    *,
+    target_region: str = "ASIA",
+    target_nation: str = "NATION_7",
+) -> DataFrame:
+    """TPC-H Q8-shaped market share: within one market region, the share
+    of revenue supplied by one nation, per order year (B12 depth probe).
+
+    Six-table join with `nation` playing two roles (customer's and
+    supplier's). Plan shape: lineitem⋈orders stays the only fact-fact
+    sort-merge; customer, supplier, and both nation sides plus region
+    broadcast, and Catalyst pushes the region filter through the
+    customer-side dimension chain before the fact join — the 100 TB scan
+    is filtered by a few-KB broadcast, not the other way around.
+    """
+    cust_nation = nation.alias("cn")
+    supp_nation = nation.alias("sn")
+    asia_custs = (
+        customer.join(
+            F.broadcast(
+                cust_nation.join(
+                    F.broadcast(region.filter(F.col("r_name") == target_region)),
+                    F.col("cn.n_regionkey") == F.col("r_regionkey"),
+                )
+            ),
+            F.col("c_nationkey") == F.col("cn.n_nationkey"),
+        )
+    ).select("c_custkey")
+    return (
+        lineitem.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(asia_custs), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(supp_nation), F.col("s_nationkey") == F.col("sn.n_nationkey"))
+        .withColumn("vol", _rev())
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("sn.n_name") == target_nation, F.col("vol")).otherwise(F.lit(0.0)))
+                / F.sum("vol"),
+                6,
+            ).alias("mkt_share"),
+            F.round(F.sum("vol"), 2).alias("total_volume"),
+        )
+    )

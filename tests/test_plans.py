@@ -141,3 +141,19 @@ def test_daily_spine_joins_broadcast(plans):
     p = plans("q_daily_spine")
     assert "BroadcastHashJoin" in p or "BroadcastNestedLoopJoin" in p
     assert "SortMergeJoin" not in p
+
+
+def test_market_share_broadcasts_dims_no_cartesian(plans):
+    p = plans("q_market_share")
+    # customer/supplier/region + both nation roles broadcast
+    assert p.count("BroadcastHashJoin") >= 4
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_range_join_binned_is_equi_join_not_nested_loop(plans):
+    # the whole point of binning: the interval join runs as an equi hash
+    # join on the bin key, never the O(n*m) nested-loop fallback
+    p = plans("q_range_join_binned")
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "CartesianProduct" not in p

@@ -247,3 +247,64 @@ def test_mad_outliers_flags_planted_spike(spark):
     got = analytics.mad_outliers(ev, k=3.0).collect()
     assert [r["event_id"] for r in got] == [99]
     assert got[0]["mad_score"] > 100
+
+
+def test_scd2_intervals_contiguous_and_versioned(spark):
+    import datetime as dt
+
+    # user 1: click → click → view → click ; user 2: view only
+    rows = [
+        (1, 1, dt.datetime(2024, 1, 1, 0), "click"),
+        (2, 1, dt.datetime(2024, 1, 1, 1), "click"),   # same run, no new interval
+        (3, 1, dt.datetime(2024, 1, 1, 2), "view"),
+        (4, 1, dt.datetime(2024, 1, 1, 3), "click"),
+        (5, 2, dt.datetime(2024, 1, 1, 0), "view"),
+    ]
+    ev = spark.createDataFrame(rows, ["event_id", "user_id", "ts", "event_type"])
+    got = analytics.scd2_intervals(ev).orderBy("user_id", "version").collect()
+    assert [(r.user_id, r.event_type, r.version) for r in got] == [
+        (1, "click", 1), (1, "view", 2), (1, "click", 3), (2, "view", 1),
+    ]
+    # intervals tile: each valid_to equals the next version's valid_from
+    u1 = [r for r in got if r.user_id == 1]
+    for cur, nxt in zip(u1, u1[1:]):
+        assert cur.valid_to == nxt.valid_from
+    assert u1[-1].valid_to is None and got[-1].valid_to is None  # open current rows
+
+
+def test_range_join_binned_equals_naive_interval_join(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    binned = analytics.range_join_binned(ev, minutes=5)
+    err = ev.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("error_id"),
+        (F.col("ts") - F.expr("INTERVAL 5 MINUTES")).alias("lo"),
+        (F.col("ts") + F.expr("INTERVAL 5 MINUTES")).alias("hi"),
+    )
+    pur = ev.filter(F.col("event_type") == "purchase").select(F.col("ts").alias("p_ts"))
+    naive = (
+        err.crossJoin(pur)
+        .filter((F.col("p_ts") >= F.col("lo")) & (F.col("p_ts") <= F.col("hi")))
+        .groupBy("error_id")
+        .agg(F.count("*").alias("n_purchases"))
+    )
+    assert sorted(map(tuple, binned.collect())) == sorted(map(tuple, naive.collect()))
+
+
+def test_hll_rollup_merge_matches_direct_sketch_and_exact(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    rolled = {
+        (r.event_type, r.month): r.est_users for r in analytics.hll_rollup(ev).collect()
+    }
+    direct = {
+        (r.event_type, r.month): r.est for r in ev.groupBy(
+            "event_type", F.date_format(F.date_trunc("month", "ts"), "yyyy-MM").alias("month")
+        ).agg(F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("est")).collect()
+    }
+    exact = {
+        (r.event_type, r.month): r.n for r in ev.groupBy(
+            "event_type", F.date_format(F.date_trunc("month", "ts"), "yyyy-MM").alias("month")
+        ).agg(F.countDistinct("user_id").alias("n")).collect()
+    }
+    assert rolled == direct  # merging daily sketches == sketching the month
+    for k, est in rolled.items():
+        assert abs(est - exact[k]) <= max(2, 0.05 * exact[k])  # ~2% HLL error bound

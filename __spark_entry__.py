@@ -469,6 +469,20 @@ def q_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_global_row_number(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase global row numbering (no single-partition window):
+    documents ranked by size descending, doc_id tiebreak."""
+    return analytics.global_row_number(
+        load_table(spark, sf_dir, "documents").select("doc_id", "n_chars"),
+        [F.desc("n_chars"), F.asc("doc_id")],
+    )
+
+
+def q_lm_unigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-self-trained unigram LM quality score per document."""
+    return text.lm_unigram_score(load_table(spark, sf_dir, "documents"))
+
+
 def q_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B15 family: fixed-width histogram of events.value with bin shares."""
     return analytics.value_histogram(load_table(spark, sf_dir, "events"), width=50.0)
@@ -874,6 +888,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_range_join_binned": q_range_join_binned,
         "q_hll_rollup": q_hll_rollup,
         "q_market_share": q_market_share,
+        "q_global_row_number": q_global_row_number,
+        "q_lm_unigram_score": q_lm_unigram_score,
         "q_value_histogram": q_value_histogram,
         "q_approx_percentiles": q_approx_percentiles,
         "q_char_entropy": q_char_entropy,
@@ -1478,6 +1494,22 @@ def oracle_sql() -> dict[str, str]:
               ON p.ts >= e.ts - INTERVAL 5 MINUTE AND p.ts <= e.ts + INTERVAL 5 MINUTE
             WHERE e.event_type = 'error' AND p.event_type = 'purchase'
             GROUP BY e.event_id
+        """,
+        "q_global_row_number": """
+            SELECT doc_id, n_chars,
+                   CAST(row_number() OVER (ORDER BY n_chars DESC, doc_id) AS BIGINT) AS rn
+            FROM documents
+        """,
+        "q_lm_unigram_score": f"""
+            WITH tok AS (
+              SELECT doc_id, unnest({_TOKENS_SQL}) AS token FROM documents
+            ),
+            freq AS (SELECT token, count(*) AS tf FROM tok GROUP BY token),
+            tot AS (SELECT count(*) AS n FROM tok)
+            SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+                   round(avg(log10(tf / n)), 4) AS avg_logp
+            FROM tok JOIN freq USING (token) CROSS JOIN tot
+            GROUP BY doc_id
         """,
         "q_market_share": """
             SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,

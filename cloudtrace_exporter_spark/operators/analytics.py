@@ -1110,3 +1110,52 @@ def market_share(
             F.round(F.sum("vol"), 2).alias("total_volume"),
         )
     )
+
+
+def global_row_number(df: DataFrame, order_cols: list, *, num_partitions: int = 32) -> DataFrame:
+    """Globally contiguous row numbers in a given total order WITHOUT the
+    single-partition window that kills this at scale.
+
+    The naive ``row_number().over(Window.orderBy(...))`` funnels 100 TB
+    through ONE task. This is the standard two-phase alternative: range-
+    repartition on the order key (the same machinery as a distributed
+    sort), sort within partitions (narrow), and read the per-partition
+    row position out of ``monotonically_increasing_id``'s documented
+    layout (partition id in the upper 31 bits, per-partition record
+    counter in the lower 33) — NOT via a ``Window.partitionBy(pid)``,
+    which would force a second full hash shuffle of the fact on top of
+    the range exchange. Partition offsets come from a map-side-combined
+    count (≤ num_partitions rows shuffle; its single-partition cumsum
+    window is over that tiny frame) and broadcast back. The two
+    consumers of the ranged data share one ReusedExchange under AQE, so
+    the fact shuffles exactly once. `order_cols` must be a total order
+    (include a unique tiebreak column) for determinism; range-sampling
+    seeds are deterministic per partition, so reruns reproduce.
+    """
+    lower33 = (1 << 33) - 1
+    ranged = (
+        df.repartitionByRange(num_partitions, *order_cols)
+        .sortWithinPartitions(*order_cols)
+        .withColumn("_mid", F.monotonically_increasing_id())
+        .withColumn("_pid", F.shiftright("_mid", 33).cast("int"))
+        .withColumn("_local", (F.col("_mid").bitwiseAND(F.lit(lower33)) + 1))
+    )
+    offsets = (
+        ranged.groupBy("_pid")
+        .agg(F.count("*").alias("_cnt"))
+        .withColumn(
+            "_off",
+            F.coalesce(
+                F.sum("_cnt").over(
+                    Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ),
+        )
+        .select("_pid", "_off")
+    )
+    return (
+        ranged.join(F.broadcast(offsets), "_pid")
+        .withColumn("rn", (F.col("_off") + F.col("_local")).cast("long"))
+        .drop("_mid", "_pid", "_local", "_off")
+    )

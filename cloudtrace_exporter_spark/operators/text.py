@@ -418,3 +418,30 @@ def pack_documents(
             F.floor(cum_before / context_len).cast("long").alias("pack_id"),
         )
     )
+
+
+def lm_unigram_score(documents: DataFrame, text_col: str = "text") -> DataFrame:
+    """Corpus-self-trained unigram language-model score per document:
+    mean log10 probability of its tokens under the corpus's own unigram
+    distribution — the cheap LM-quality signal used to rank/filter
+    training text (low score = rare-token soup, boilerplate, or noise).
+
+    Plan shape: one explode (narrow), one token-keyed aggregation for the
+    vocabulary, and one token-keyed join back. The token shuffle is
+    Zipf-skewed by nature — AQE skew-split handles the head terms; the
+    grand-total is a 1-row frame broadcast via crossJoin, never a
+    driver-side collect. At 100 TB the vocab frame is the thing to
+    persist and reuse across scoring runs.
+    """
+    tok = documents.select("doc_id", F.explode(tokens(text_col)).alias("token"))
+    freq = tok.groupBy("token").agg(F.count("*").alias("tf"))
+    total = freq.agg(F.sum("tf").alias("n"))
+    return (
+        tok.join(freq, "token")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.round(F.avg(F.log10(F.col("tf") / F.col("n"))), 4).alias("avg_logp"),
+        )
+    )

@@ -475,3 +475,16 @@ def test_chunk_rejects_bad_overlap(spark):
     df = spark.createDataFrame([(1, "a b")], ["doc_id", "text"])
     with pytest.raises(ValueError):
         text.chunk_documents(df, chunk_tokens=5, overlap=5)
+
+
+def test_lm_unigram_score_ranks_common_above_rare(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "the the the the cat"),        # head tokens
+            (2, "the cat sat on a mat"),
+            (3, "zyx qwv jkl pnm bcd"),        # singleton tokens
+        ],
+        ["doc_id", "text"],
+    )
+    got = {r.doc_id: r.avg_logp for r in text.lm_unigram_score(docs).collect()}
+    assert got[1] > got[2] > got[3]

@@ -157,3 +157,17 @@ def test_range_join_binned_is_equi_join_not_nested_loop(plans):
     p = plans("q_range_join_binned")
     assert "BroadcastNestedLoopJoin" not in p
     assert "CartesianProduct" not in p
+
+
+def test_global_row_number_one_fact_shuffle(spark, sf_dir):
+    # the fact data must shuffle once (range partition), shared by the
+    # count branch and the numbering branch via runtime exchange reuse;
+    # the only Window is the tiny per-partition-offset cumsum — never a
+    # Window over the full fact
+    qs = entry_mod.queries()
+    df = qs["q_global_row_number"](spark, sf_dir)
+    df.collect()  # AQE finalizes reuse at runtime
+    p = df._jdf.queryExecution().executedPlan().toString().split("== Initial Plan ==")[0]
+    assert "ReusedExchange" in p
+    assert p.count("rangepartitioning") >= 1
+    assert p.count("Window") == 1

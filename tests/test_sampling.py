@@ -308,3 +308,16 @@ def test_hll_rollup_merge_matches_direct_sketch_and_exact(spark, sf_dir):
     assert rolled == direct  # merging daily sketches == sketching the month
     for k, est in rolled.items():
         assert abs(est - exact[k]) <= max(2, 0.05 * exact[k])  # ~2% HLL error bound
+
+
+def test_global_row_number_matches_naive_single_partition_window(spark, sf_dir):
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    got = analytics.global_row_number(docs, [F.desc("n_chars"), F.asc("doc_id")], num_partitions=7)
+    naive = docs.withColumn(
+        "rn", F.row_number().over(Window.orderBy(F.desc("n_chars"), F.asc("doc_id"))).cast("long")
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, naive.collect()))
+    rns = sorted(r.rn for r in got.collect())
+    assert rns == list(range(1, len(rns) + 1))  # contiguous, 1-based, no gaps

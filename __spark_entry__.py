@@ -483,6 +483,21 @@ def q_lm_unigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.lm_unigram_score(load_table(spark, sf_dir, "documents"))
 
 
+def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Steady-state curation: dedup an incoming batch (doc_id ≥ 250)
+    against the already-deduped corpus (doc_id < 250) by fingerprint
+    anti-join — corpus text never re-read."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.incremental_dedup(
+        docs.filter(F.col("doc_id") >= 250), docs.filter(F.col("doc_id") < 250)
+    )
+
+
+def q_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-document 3-gram repetition ratio (boilerplate/stuffing signal)."""
+    return text.repetition_ratio(load_table(spark, sf_dir, "documents"), n=3)
+
+
 def q_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B15 family: fixed-width histogram of events.value with bin shares."""
     return analytics.value_histogram(load_table(spark, sf_dir, "events"), width=50.0)
@@ -890,6 +905,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_market_share": q_market_share,
         "q_global_row_number": q_global_row_number,
         "q_lm_unigram_score": q_lm_unigram_score,
+        "q_incremental_dedup": q_incremental_dedup,
+        "q_repetition_ratio": q_repetition_ratio,
         "q_value_histogram": q_value_histogram,
         "q_approx_percentiles": q_approx_percentiles,
         "q_char_entropy": q_char_entropy,
@@ -1494,6 +1511,33 @@ def oracle_sql() -> dict[str, str]:
               ON p.ts >= e.ts - INTERVAL 5 MINUTE AND p.ts <= e.ts + INTERVAL 5 MINUTE
             WHERE e.event_type = 'error' AND p.event_type = 'purchase'
             GROUP BY e.event_id
+        """,
+        "q_incremental_dedup": """
+            WITH fp AS (
+              SELECT doc_id,
+                     md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint
+              FROM documents
+            ),
+            corpus AS (SELECT DISTINCT fingerprint FROM fp WHERE doc_id < 250),
+            batch AS (SELECT * FROM fp WHERE doc_id >= 250)
+            SELECT doc_id, fingerprint FROM batch b
+            WHERE NOT EXISTS (SELECT 1 FROM corpus c WHERE c.fingerprint = b.fingerprint)
+              AND doc_id = (SELECT min(doc_id) FROM batch b2 WHERE b2.fingerprint = b.fingerprint)
+        """,
+        "q_repetition_ratio": f"""
+            WITH t AS (SELECT doc_id, {_TOKENS_SQL} AS tok FROM documents),
+            g AS (
+              SELECT doc_id,
+                     CASE WHEN len(tok) >= 3
+                          THEN [array_to_string(tok[i:i+2], ' ') FOR i IN range(1, len(tok) - 1)]
+                          ELSE []::VARCHAR[] END AS grams
+              FROM t
+            )
+            SELECT doc_id, CAST(len(grams) AS BIGINT) AS n_grams,
+                   CASE WHEN len(grams) > 0
+                        THEN round(1 - CAST(len(list_distinct(grams)) AS DOUBLE) / len(grams), 4)
+                        ELSE 0.0 END AS rep_ratio
+            FROM g
         """,
         "q_global_row_number": """
             SELECT doc_id, n_chars,

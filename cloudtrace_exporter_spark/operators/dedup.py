@@ -29,7 +29,7 @@ Two in-bucket pairing shapes, chosen per operator:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from cloudtrace_exporter_spark.operators.text import tokens
@@ -474,4 +474,35 @@ def cluster_sizes(assign: DataFrame) -> DataFrame:
     One small shuffle on the component key."""
     return assign.groupBy(F.col("component").alias("survivor_doc_id")).agg(
         F.count(F.lit(1)).alias("n_members")
+    )
+
+
+def incremental_dedup(
+    new: DataFrame,
+    corpus: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Survivors of a NEW batch deduplicated against an EXISTING corpus —
+    the steady-state form of corpus curation: the corpus was deduped
+    once; each incoming batch only needs (a) an anti-join against the
+    corpus fingerprint set and (b) exact dedup within itself
+    (first-wins by id). Nothing ever re-touches corpus text.
+
+    Scale shape: the corpus side is reduced to its distinct md5
+    fingerprint column before the anti-join, so the 100 TB corpus
+    contributes a narrow key stream (the artifact to persist and append
+    to between batches); left_anti shuffles keys only and never widens
+    rows. The within-batch pass is one window-min over the same
+    fingerprint key.
+    """
+    fp = lambda c: F.md5(F.regexp_replace(F.lower(F.trim(F.col(c))), r"\s+", " "))  # noqa: E731
+    new_keyed = new.withColumn("fingerprint", fp(text_col))
+    corpus_fps = corpus.select(fp(text_col).alias("fingerprint")).distinct()
+    fresh = new_keyed.join(corpus_fps, "fingerprint", "left_anti")
+    w = Window.partitionBy("fingerprint")
+    return (
+        fresh.withColumn("__min_id", F.min(id_col).over(w))
+        .filter(F.col(id_col) == F.col("__min_id"))
+        .select(id_col, "fingerprint")
     )

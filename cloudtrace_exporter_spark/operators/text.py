@@ -445,3 +445,35 @@ def lm_unigram_score(documents: DataFrame, text_col: str = "text") -> DataFrame:
             F.round(F.avg(F.log10(F.col("tf") / F.col("n"))), 4).alias("avg_logp"),
         )
     )
+
+
+def repetition_ratio(documents: DataFrame, text_col: str = "text", n: int = 3) -> DataFrame:
+    """Intra-document repetition: the fraction of a document's token
+    n-grams that are repeats of an earlier n-gram in the SAME document —
+    the standard cheap signal for boilerplate loops, keyword stuffing,
+    and degenerate generations.
+
+    Pure narrow map (tokenize → n-gram transform → distinct-count per
+    row), all inside whole-stage codegen: zero shuffles at any scale.
+    Documents with fewer than n tokens report 0 n-grams and ratio 0.
+    """
+    # sequence(1, x) DESCENDS when x < 1 (it never yields empty) — docs
+    # shorter than n tokens need the explicit empty-array branch
+    grams = F.expr(
+        f"CASE WHEN size(__toks) >= {n} THEN "
+        f"transform(sequence(1, size(__toks) - {n - 1}), i -> "
+        f"concat_ws(' ', slice(__toks, i, {n}))) "
+        f"ELSE cast(array() as array<string>) END"
+    )
+    return (
+        documents.withColumn("__toks", tokens(text_col))
+        .withColumn("__grams", grams)
+        .select(
+            "doc_id",
+            F.size("__grams").cast("long").alias("n_grams"),
+            F.when(F.size("__grams") > 0,
+                   F.round(1 - F.size(F.array_distinct("__grams")) / F.size("__grams"), 4))
+            .otherwise(F.lit(0.0))
+            .alias("rep_ratio"),
+        )
+    )

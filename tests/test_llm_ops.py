@@ -488,3 +488,35 @@ def test_lm_unigram_score_ranks_common_above_rare(spark):
     )
     got = {r.doc_id: r.avg_logp for r in text.lm_unigram_score(docs).collect()}
     assert got[1] > got[2] > got[3]
+
+
+def test_incremental_dedup_drops_corpus_and_batch_dups(spark):
+    corpus = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "delta epsilon zeta")], ["doc_id", "text"]
+    )
+    new = spark.createDataFrame(
+        [
+            (10, "ALPHA  beta gamma"),   # exact dup of corpus after normalization
+            (11, "eta theta iota"),      # fresh — survives
+            (12, "eta  THETA iota"),     # within-batch dup of 11 — first id wins
+            (13, "kappa lambda mu"),     # fresh — survives
+        ],
+        ["doc_id", "text"],
+    )
+    got = sorted(r.doc_id for r in dedup.incremental_dedup(new, corpus).collect())
+    assert got == [11, 13]
+
+
+def test_repetition_ratio_flags_looping_text(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c a b c a b c"),   # 7 trigrams, 3 distinct -> high repetition
+            (2, "one two three four"),  # 2 distinct trigrams, no repeats
+            (3, "xy zz"),               # shorter than n: 0 grams, ratio 0
+        ],
+        ["doc_id", "text"],
+    )
+    got = {r.doc_id: (r.n_grams, r.rep_ratio) for r in text.repetition_ratio(docs, n=3).collect()}
+    assert got[1] == (7, round(1 - 3 / 7, 4))
+    assert got[2] == (2, 0.0)
+    assert got[3] == (0, 0.0)

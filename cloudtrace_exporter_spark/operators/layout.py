@@ -99,3 +99,72 @@ def window_scan(
         & (F.col("event_date") <= F.to_date(F.lit(hi)))
         & F.col(ts_col).between(F.lit(lo), F.lit(hi))
     )
+
+
+def zorder_key(df: DataFrame, cols: list[str], *, bits: int = 12) -> DataFrame:
+    """Attach a Morton (Z-order) key ``_z`` interleaving the bits of the
+    given numeric columns, each min-max scaled to ``bits`` bits.
+
+    Z-ordering is the multi-dimensional data-skipping layout: sorting by
+    ``_z`` makes files locally tight in EVERY listed dimension, so
+    min/max file stats prune point/box queries on any of them — where a
+    linear sort only prunes its leading column. Column stats come from a
+    1-row agg broadcast back via crossJoin (no driver round-trip); the
+    bit interleave is a JVM-side ``aggregate`` over the bit positions,
+    inside whole-stage codegen. Min-max scaling is skew-sensitive; for
+    Zipf-heavy columns substitute quantile ranks before interleaving.
+    """
+    if not cols:
+        raise ValueError("zorder_key needs at least one column")
+    top = (1 << bits) - 1
+    stats = df.agg(
+        *[F.min(c).cast("double").alias(f"__min_{c}") for c in cols],
+        *[F.max(c).cast("double").alias(f"__max_{c}") for c in cols],
+    )
+    out = df.crossJoin(F.broadcast(stats))
+    n = len(cols)
+    for j, c in enumerate(cols):
+        rng = F.col(f"__max_{c}") - F.col(f"__min_{c}")
+        scaled = F.when(rng > 0,
+                        F.floor((F.col(c) - F.col(f"__min_{c}")) / rng * top)
+                        ).otherwise(F.lit(0))
+        out = out.withColumn(f"__s_{j}", F.least(scaled, F.lit(top)).cast("long"))
+    interleave = " + ".join(
+        f"shiftleft((__s_{j} >> i) & 1, {n}*i + {j})" for j in range(n)
+    )
+    out = out.withColumn(
+        "_z",
+        F.expr(f"aggregate(sequence(0, {bits - 1}), 0L, (acc, i) -> acc + {interleave})"),
+    )
+    return out.drop(*[f"__s_{j}" for j in range(n)],
+                    *[f"__min_{c}" for c in cols], *[f"__max_{c}" for c in cols])
+
+
+def zorder_layout(df: DataFrame, cols: list[str], *, num_partitions: int = 32,
+                  bits: int = 12) -> DataFrame:
+    """Cluster rows into Z-order for writing: range-partition + sort on
+    the Morton key so each output file covers a tight hyper-rectangle of
+    the listed dimensions (one shuffle — same cost as any sorted write)."""
+    keyed = zorder_key(df, cols, bits=bits)
+    return keyed.repartitionByRange(num_partitions, "_z").sortWithinPartitions("_z")
+
+
+def compact_files(spark: SparkSession, input_path: str, output_path: str,
+                  *, target_mb: int = 128) -> int:
+    """Rewrite a parquet directory into ~``target_mb``-sized files — the
+    small-files compaction every long-running ingest needs: thousands of
+    micro-batch dust files become a bounded set of right-sized ones, so
+    later scans pay one task per ~128 MB instead of one per file.
+
+    File count derives from the ACTUAL input bytes (Hadoop
+    ContentSummary — works on any FileSystem, not just local), then one
+    round-robin repartition bounds every output file's size. Returns the
+    number of files written.
+    """
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(input_path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    total_bytes = fs.getContentSummary(jpath).getLength()
+    n_files = max(1, int(total_bytes // (target_mb * 1024 * 1024)) + (1 if total_bytes % (target_mb * 1024 * 1024) else 0))
+    spark.read.parquet(input_path).repartition(n_files).write.mode("overwrite").parquet(output_path)
+    return n_files

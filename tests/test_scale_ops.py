@@ -147,3 +147,49 @@ def test_ivf_full_probe_equals_exact(spark, sf_dir):
         for r in similarity.ivf_topk(emb, q, k=3, n_centroids=4, n_probe=4).collect()
     }
     assert exact == full
+
+
+def test_zorder_key_locality_beats_linear_sort(spark, sf_dir):
+    # box-query skipping proxy: fraction of partitions whose [min,max]
+    # range on the SECONDARY dimension overlaps a narrow band — tight
+    # hyper-rectangles (z-order) should let most partitions be skipped,
+    # a linear sort on the primary dim almost none
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    n_parts = 16
+
+    def overlap_fraction(arranged):
+        pid = arranged.withColumn("_pid", F.spark_partition_id())
+        stats = pid.groupBy("_pid").agg(
+            F.min("l_partkey").alias("lo"), F.max("l_partkey").alias("hi")
+        ).collect()
+        lo_q, hi_q = 0, 19  # narrow band (~10%) on the secondary dim
+        hit = sum(1 for r in stats if r.lo <= hi_q and r.hi >= lo_q)
+        return hit / len(stats)
+
+    z = layout.zorder_layout(li, ["l_orderkey", "l_partkey"], num_partitions=n_parts)
+    linear = li.repartitionByRange(n_parts, "l_orderkey").sortWithinPartitions("l_orderkey")
+    assert overlap_fraction(z) < overlap_fraction(linear)
+
+
+def test_zorder_key_is_deterministic_and_complete(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey", "l_suppkey")
+    z1 = layout.zorder_key(li, ["l_partkey", "l_suppkey"])
+    z2 = layout.zorder_key(li, ["l_partkey", "l_suppkey"])
+    assert z1.count() == li.count()
+    s1 = z1.agg(F.sum("_z")).first()[0]
+    s2 = z2.agg(F.sum("_z")).first()[0]
+    assert s1 == s2 and s1 > 0
+
+
+def test_compact_files_bounds_file_count(spark, sf_dir, tmp_path):
+    import glob
+
+    dusty = str(tmp_path / "dusty")
+    compacted = str(tmp_path / "compacted")
+    ev = load_table(spark, sf_dir, "events").drop("ts_ns", "ts")
+    ev.repartition(40).write.parquet(dusty)  # simulate micro-batch dust
+    assert len(glob.glob(f"{dusty}/part-*.parquet")) == 40
+    n = layout.compact_files(spark, dusty, compacted, target_mb=1)
+    files = glob.glob(f"{compacted}/part-*.parquet")
+    assert len(files) == n and n < 40
+    assert spark.read.parquet(compacted).count() == ev.count()

@@ -498,6 +498,17 @@ def q_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.repetition_ratio(load_table(spark, sf_dir, "documents"), n=3)
 
 
+def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3-shaped: top-10 unshipped BUILDING-segment orders by revenue."""
+    t = {n: load_table(spark, sf_dir, n) for n in ("lineitem", "orders", "customer")}
+    return analytics.shipping_priority(t["lineitem"], t["orders"], t["customer"])
+
+
+def q_above_customer_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated-subquery shape: orders above their customer's average price."""
+    return analytics.above_customer_avg_orders(load_table(spark, sf_dir, "orders"))
+
+
 def q_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B15 family: fixed-width histogram of events.value with bin shares."""
     return analytics.value_histogram(load_table(spark, sf_dir, "events"), width=50.0)
@@ -907,6 +918,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_lm_unigram_score": q_lm_unigram_score,
         "q_incremental_dedup": q_incremental_dedup,
         "q_repetition_ratio": q_repetition_ratio,
+        "q_shipping_priority": q_shipping_priority,
+        "q_above_customer_avg": q_above_customer_avg,
         "q_value_histogram": q_value_histogram,
         "q_approx_percentiles": q_approx_percentiles,
         "q_char_entropy": q_char_entropy,
@@ -1511,6 +1524,29 @@ def oracle_sql() -> dict[str, str]:
               ON p.ts >= e.ts - INTERVAL 5 MINUTE AND p.ts <= e.ts + INTERVAL 5 MINUTE
             WHERE e.event_type = 'error' AND p.event_type = 'purchase'
             GROUP BY e.event_id
+        """,
+        "q_shipping_priority": """
+            SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+                   o_orderpriority,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            WHERE c_mktsegment = 'BUILDING'
+              AND l_shipdate > TIMESTAMP '1998-06-01'
+              AND o_orderdate < TIMESTAMP '1998-06-01'
+            GROUP BY 1, 2, 3
+            ORDER BY revenue DESC, l_orderkey
+            LIMIT 10
+        """,
+        "q_above_customer_avg": """
+            SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS o_totalprice
+            FROM (
+              SELECT o_orderkey, o_custkey, o_totalprice,
+                     avg(o_totalprice) OVER (PARTITION BY o_custkey) AS cust_avg
+              FROM orders
+            )
+            WHERE o_totalprice > cust_avg
         """,
         "q_incremental_dedup": """
             WITH fp AS (

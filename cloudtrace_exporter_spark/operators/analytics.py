@@ -1159,3 +1159,57 @@ def global_row_number(df: DataFrame, order_cols: list, *, num_partitions: int = 
         .withColumn("rn", (F.col("_off") + F.col("_local")).cast("long"))
         .drop("_mid", "_pid", "_local", "_off")
     )
+
+
+def shipping_priority(
+    lineitem: DataFrame, orders: DataFrame, customer: DataFrame,
+    *, segment: str = "BUILDING", cutoff: str = "1998-06-01", k: int = 10,
+) -> DataFrame:
+    """TPC-H Q3-shaped shipping priority: top-k unshipped orders of one
+    market segment by outstanding revenue (B12/B18 depth probe).
+
+    The segment filter broadcasts through customer BEFORE the fact join;
+    both date predicates push to the parquet scans; the final top-k is
+    TakeOrderedAndProject over the per-order aggregate — never a global
+    sort of the fact.
+    """
+    segment_custs = customer.filter(F.col("c_mktsegment") == segment).select("c_custkey")
+    return (
+        lineitem.filter(F.col("l_shipdate") > F.lit(cutoff))
+        .join(
+            orders.filter(F.col("o_orderdate") < F.lit(cutoff)),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(F.broadcast(segment_custs), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy(
+            "l_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+            "o_orderpriority",
+        )
+        .agg(F.round(F.sum(_rev()), 2).alias("revenue"))
+        .orderBy(F.desc("revenue"), "l_orderkey")
+        .limit(k)
+    )
+
+
+def above_customer_avg_orders(orders: DataFrame) -> DataFrame:
+    """Orders priced above their own customer's average — the correlated-
+    subquery shape (`WHERE price > (SELECT avg .. same customer)`),
+    expressed as one window aggregate so the decorrelation is explicit:
+    a single hash shuffle on the customer key serves both the per-group
+    mean and the filter, instead of a join back of a separate aggregate.
+    """
+    w = Window.partitionBy("o_custkey")
+    return (
+        orders.withColumn("cust_avg", F.avg("o_totalprice").over(w))
+        .filter(F.col("o_totalprice") > F.col("cust_avg"))
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            F.round("o_totalprice", 2).alias("o_totalprice"),
+            # cust_avg itself stays out of the projection: a mean sitting ON
+            # the half-cent boundary rounds differently per engine's
+            # summation order, which the oracle hash would flag as a false
+            # mismatch even though the predicate agreed on every row
+        )
+    )

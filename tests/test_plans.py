@@ -171,3 +171,11 @@ def test_global_row_number_one_fact_shuffle(spark, sf_dir):
     assert "ReusedExchange" in p
     assert p.count("rangepartitioning") >= 1
     assert p.count("Window") == 1
+
+
+def test_shipping_priority_takeordered_and_pushdown(plans):
+    p = plans("q_shipping_priority")
+    assert "TakeOrderedAndProject" in p  # top-k, never a global sort
+    assert "CartesianProduct" not in p
+    # both date predicates reach the parquet scans
+    assert p.count("PushedFilters: [IsNotNull") >= 2

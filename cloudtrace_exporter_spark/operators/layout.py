@@ -168,3 +168,47 @@ def compact_files(spark: SparkSession, input_path: str, output_path: str,
     n_files = max(1, int(total_bytes // (target_mb * 1024 * 1024)) + (1 if total_bytes % (target_mb * 1024 * 1024) else 0))
     spark.read.parquet(input_path).repartition(n_files).write.mode("overwrite").parquet(output_path)
     return n_files
+
+
+def merge_upsert_partitioned(
+    spark: SparkSession,
+    target_path: str,
+    updates: DataFrame,
+    *,
+    key_cols: list[str],
+    order_col: str,
+    tiebreak_col: str,
+    partition_col: str = "event_date",
+) -> int:
+    """MERGE (last-writer-wins upsert) into a date-partitioned parquet
+    store, rewriting ONLY the partitions the update batch touches — the
+    table-format-free answer to incremental mutation: at 100 TB a
+    day's corrections rewrite one day's files, not the table.
+
+    Mechanics: the touched partition values are collected (partition
+    METADATA, bounded by the update batch's date spread — never row
+    data), the matching slice of the target is read back, unioned with
+    the updates, compacted by ``latest_by_key``, and written with
+    dynamic partition overwrite so untouched partitions' files are never
+    rewritten. The merged frame is localCheckpoint'ed first because
+    Spark (correctly) refuses to overwrite files it is still lazily
+    reading from.
+    """
+    from cloudtrace_exporter_spark.operators.normalize import latest_by_key
+
+    parts = [r[0] for r in updates.select(partition_col).distinct().collect()]
+    target = spark.read.parquet(target_path)
+    slice_ = target.filter(F.col(partition_col).isin(parts)).select(*updates.columns)
+    merged = latest_by_key(
+        slice_.unionByName(updates),
+        key_cols=key_cols,
+        order_col=order_col,
+        tiebreak_col=tiebreak_col,
+    ).localCheckpoint()
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        merged.write.mode("overwrite").partitionBy(partition_col).parquet(target_path)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    return len(parts)

@@ -193,3 +193,38 @@ def test_compact_files_bounds_file_count(spark, sf_dir, tmp_path):
     files = glob.glob(f"{compacted}/part-*.parquet")
     assert len(files) == n and n < 40
     assert spark.read.parquet(compacted).count() == ev.count()
+
+
+def test_merge_upsert_rewrites_only_touched_partitions(spark, sf_dir, tmp_path):
+    import glob
+    import os
+
+    store = str(tmp_path / "merge_store")
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .drop("ts_ns")
+        .withColumn("event_date", F.to_date("ts"))
+    )
+    ev.write.partitionBy("event_date").parquet(store)
+    dates = sorted(r[0] for r in ev.select("event_date").distinct().collect())
+    touched, untouched = dates[0], dates[-1]
+
+    before = {f: os.path.getmtime(f) for f in glob.glob(f"{store}/event_date={untouched}/*.parquet")}
+    victim = ev.filter(F.col("event_date") == F.lit(touched)).orderBy("event_id").limit(3)
+    updates = victim.withColumn("value", F.lit(12345.0)).withColumn(
+        "ts", F.col("ts") + F.expr("INTERVAL 1 SECOND")
+    )
+    n_parts = layout.merge_upsert_partitioned(
+        spark, store, updates,
+        key_cols=["event_id"], order_col="ts", tiebreak_col="event_id",
+    )
+    assert n_parts == 1
+
+    after = spark.read.parquet(store)
+    updated_ids = [r.event_id for r in victim.select("event_id").collect()]
+    got = {r.event_id: r.value for r in after.filter(F.col("event_id").isin(updated_ids)).collect()}
+    assert all(v == 12345.0 for v in got.values()) and len(got) == len(updated_ids)
+    assert after.count() == ev.count()  # upsert, not append
+    # untouched partition's files were not rewritten
+    now = {f: os.path.getmtime(f) for f in glob.glob(f"{store}/event_date={untouched}/*.parquet")}
+    assert now == before

@@ -509,6 +509,12 @@ def q_above_customer_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return analytics.above_customer_avg_orders(load_table(spark, sf_dir, "orders"))
 
 
+def q_variant_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B6 via Spark 4 VARIANT: one JSON parse, typed path extraction,
+    per-type stats."""
+    return normalize.variant_props_stats(load_table(spark, sf_dir, "events"))
+
+
 def q_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B15 family: fixed-width histogram of events.value with bin shares."""
     return analytics.value_histogram(load_table(spark, sf_dir, "events"), width=50.0)
@@ -920,6 +926,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_repetition_ratio": q_repetition_ratio,
         "q_shipping_priority": q_shipping_priority,
         "q_above_customer_avg": q_above_customer_avg,
+        "q_variant_props": q_variant_props,
         "q_value_histogram": q_value_histogram,
         "q_approx_percentiles": q_approx_percentiles,
         "q_char_entropy": q_char_entropy,
@@ -1524,6 +1531,18 @@ def oracle_sql() -> dict[str, str]:
               ON p.ts >= e.ts - INTERVAL 5 MINUTE AND p.ts <= e.ts + INTERVAL 5 MINUTE
             WHERE e.event_type = 'error' AND p.event_type = 'purchase'
             GROUP BY e.event_id
+        """,
+        "q_variant_props": """
+            SELECT event_type,
+                   CAST(count(k) AS BIGINT) AS n_with_k,
+                   round(avg(k), 2) AS avg_k,
+                   max(k) AS max_k
+            FROM (
+              SELECT event_type,
+                     CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
+              FROM events
+            )
+            GROUP BY event_type
         """,
         "q_shipping_priority": """
             SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,

@@ -245,3 +245,24 @@ def latest_by_key(
         .filter(F.col("__rn") == 1)
         .drop("__rn")
     )
+
+
+def variant_props_stats(events: DataFrame) -> DataFrame:
+    """B6 modernized for Spark 4: the ``props`` JSON string is parsed
+    ONCE into a binary VARIANT and fields are extracted with typed
+    ``variant_get`` paths — at 100 TB this replaces re-tokenizing the
+    JSON string per extracted field (``get_json_object`` cost) with one
+    parse and O(1) binary navigation, and it is the shredding-ready
+    representation. Aggregates the extracted metric per event type:
+    one map-side-combined shuffle.
+    """
+    k = F.variant_get(F.parse_json("props"), "$.k", "int")
+    return (
+        events.withColumn("k", k)
+        .groupBy("event_type")
+        .agg(
+            F.count("k").alias("n_with_k"),
+            F.round(F.avg("k"), 2).alias("avg_k"),
+            F.max("k").alias("max_k"),
+        )
+    )

@@ -139,3 +139,27 @@ def test_csv_failfast_on_malformed(spark, tmp_path):
     df = files.read_csv(spark, str(p), schema)
     with _pytest.raises(Py4JJavaError):
         df.collect()
+
+
+def test_python_datasource_matches_file_source(spark, sf_dir, tmp_path):
+    from cloudtrace_exporter_spark.sources import cts_datasource
+
+    pages_dir = str(tmp_path / "pages_ds")
+    traces = _traces(spark)
+    cts_pages.write_trace_pages(traces, pages_dir, page_size=50)
+
+    cts_datasource.register(spark)
+    via_ds = spark.read.format("cts_pages").option("path", pages_dir).load()
+    via_file = cts_pages.read_trace_pages(spark, pages_dir)
+
+    assert sorted(r.trace_id for r in via_ds.collect()) == sorted(
+        r.trace_id for r in via_file.collect()
+    )
+    # JSON file source is all-nullable; compare names + types
+    assert [(f.name, f.dataType) for f in via_ds.schema] == [
+        (f.name, f.dataType) for f in via_file.schema
+    ]
+    # page files ARE the input partitions (executor-parallel pagination)
+    import glob as g
+    n_files = len(g.glob(f"{pages_dir}/part-*.json"))
+    assert via_ds.rdd.getNumPartitions() == n_files > 0

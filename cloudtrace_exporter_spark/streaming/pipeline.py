@@ -192,3 +192,57 @@ def stream_static_enrich(stream: DataFrame, dim: DataFrame, on: str, how: str = 
     The static side is re-read per micro-batch; Spark broadcasts it when
     small, so the stream never shuffles."""
     return stream.join(dim, on=on, how=how)
+
+
+def stateful_running_totals_v2(stream: DataFrame) -> DataFrame:
+    """`stateful_running_totals` on the Spark-4 `transformWithStateInPandas`
+    processor API: the same per-user lifetime totals, but state is a
+    named ``ValueState`` on a processor handle instead of the single
+    implicit GroupState blob — the API that scales to multiple state
+    variables (value/list/map), TTL, and timers per operator.
+
+    Same scale posture as the v1 operator: state keyed and partitioned
+    by user in the state store, O(|active keys|) memory, incremental
+    checkpoints; Arrow-batched state access.
+
+    Environment note: the transformWithState protocol speaks protobuf to
+    the JVM; in runtimes without the ``protobuf`` package the driver
+    worker cannot start (the equivalence test import-skips there) — the
+    v1 ``applyInPandasWithState`` operator is the dependency-free path.
+    """
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    out_schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("n_events_total", T.LongType()),
+            T.StructField("value_total", T.DoubleType()),
+        ]
+    )
+
+    class TotalsProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._totals = handle.getValueState("totals", "n LONG, v DOUBLE")
+
+        def handleInputRows(self, key, rows, timerValues):
+            n, v = self._totals.get() if self._totals.exists() else (0, 0.0)
+            for pdf in rows:
+                n += len(pdf)
+                v += float(pdf["value"].sum())
+            self._totals.update((n, v))
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "n_events_total": [n], "value_total": [round(v, 2)]}
+            )
+
+        def close(self) -> None:
+            pass
+
+    return stream.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=TotalsProcessor(),
+        outputStructType=out_schema,
+        outputMode="Update",
+        timeMode="None",
+    )

@@ -337,3 +337,28 @@ def test_streaming_curation_matches_batch(spark, tmp_path):
     b = {(r["doc_id"], r["redacted"]) for r in batch.collect()}
     s = {(r["doc_id"], r["redacted"]) for r in out.collect()}
     assert b == s and len(b) > 0
+
+
+def test_transform_with_state_matches_apply_in_pandas_variant(spark, staged_events):
+    # the Spark-4 processor-API operator must agree with the GroupState one.
+    # transformWithStateInPandas speaks protobuf to the JVM; without the
+    # google.protobuf package the driver worker cannot start — skip there.
+    pytest.importorskip("google.protobuf")
+    from cloudtrace_exporter_spark.streaming.pipeline import stateful_running_totals_v2
+
+    stream = read_event_stream(spark, staged_events, max_files_per_trigger=1)
+    out = _run_to_memory(spark, stateful_running_totals_v2(stream), "t_stateful_v2", mode="update")
+    final = (
+        out.groupBy("user_id")
+        .agg(F.max("n_events_total").alias("n"), F.max("value_total").alias("v"))
+    )
+    expected = (
+        load_table(spark, SF, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("v"))
+    )
+    diff = final.join(expected, "user_id").filter(
+        (final["n"] != expected["n"]) | (F.abs(final["v"] - expected["v"]) > 0.01)
+    )
+    assert final.count() == expected.count()
+    assert diff.count() == 0

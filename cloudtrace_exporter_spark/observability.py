@@ -52,3 +52,17 @@ def observed_funnel(source: DataFrame, stages) -> tuple[DataFrame, dict[str, Obs
         cur, obs = observe_counts(fn(cur), name)
         observations[name] = obs
     return cur, observations
+
+
+def observe_stream(df: DataFrame, name: str, *, null_cols: tuple[str, ...] | list[str] = ()) -> DataFrame:
+    """Streaming form: attach named metrics to a streaming frame; each
+    micro-batch's counters surface in ``query.lastProgress
+    ["observedMetrics"][name]`` — per-batch ingest accounting (the
+    reference's delivered/failed counters) without a foreachBatch hook
+    or a second aggregation query competing for the stream."""
+    metrics = [F.count(F.lit(1)).alias("n_rows")]
+    for c in null_cols:
+        metrics.append(
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(f"n_null_{c}")
+        )
+    return df.observe(name, *metrics)

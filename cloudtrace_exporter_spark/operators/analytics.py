@@ -1213,3 +1213,17 @@ def above_customer_avg_orders(orders: DataFrame) -> DataFrame:
             # mismatch even though the predicate agreed on every row
         )
     )
+
+
+def heavy_hitters(events: DataFrame, *, cols: list[str] | None = None, support: float = 0.01) -> DataFrame:
+    """Approximate heavy hitters via ``DataFrame.stat.freqItems`` — the
+    Misra-Gries style single-pass sketch: every item with frequency ≥
+    `support` is GUARANTEED to appear (possible false positives, no
+    false negatives), in one scan with constant memory per column.
+
+    The 100 TB companion to exact top-k: run this first to get the
+    candidate set cheaply, then one exact filtered count over the
+    candidates — two narrow passes instead of a full groupBy shuffle on
+    a high-cardinality key.
+    """
+    return events.stat.freqItems(cols or ["event_type", "user_id"], support)

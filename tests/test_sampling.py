@@ -321,3 +321,18 @@ def test_global_row_number_matches_naive_single_partition_window(spark, sf_dir):
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, naive.collect()))
     rns = sorted(r.rn for r in got.collect())
     assert rns == list(range(1, len(rns) + 1))  # contiguous, 1-based, no gaps
+
+
+def test_heavy_hitters_superset_guarantee(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    row = analytics.heavy_hitters(ev, cols=["event_type"], support=0.1).collect()[0]
+    candidates = set(row["event_type_freqItems"])
+    n = ev.count()
+    truly_frequent = {
+        r["event_type"]
+        for r in ev.groupBy("event_type").count().collect()
+        if r["count"] >= 0.1 * n
+    }
+    # no false negatives: every truly-frequent item is in the sketch output
+    assert truly_frequent <= candidates
+    assert truly_frequent  # fixture has 5 types at ~20% each

@@ -101,7 +101,7 @@ def window_scan(
     )
 
 
-def zorder_key(df: DataFrame, cols: list[str], *, bits: int = 12) -> DataFrame:
+def zorder_key(df: DataFrame, cols: list[str], *, bits: int = 12, rank_scale: bool = False) -> DataFrame:
     """Attach a Morton (Z-order) key ``_z`` interleaving the bits of the
     given numeric columns, each min-max scaled to ``bits`` bits.
 
@@ -111,24 +111,45 @@ def zorder_key(df: DataFrame, cols: list[str], *, bits: int = 12) -> DataFrame:
     linear sort only prunes its leading column. Column stats come from a
     1-row agg broadcast back via crossJoin (no driver round-trip); the
     bit interleave is a JVM-side ``aggregate`` over the bit positions,
-    inside whole-stage codegen. Min-max scaling is skew-sensitive; for
-    Zipf-heavy columns substitute quantile ranks before interleaving.
+    inside whole-stage codegen. Min-max scaling is skew-sensitive; pass
+    ``rank_scale=True`` to bucket by approximate quantile boundaries
+    instead (skew-robust; bits ≤ 10).
     """
     if not cols:
         raise ValueError("zorder_key needs at least one column")
+    if rank_scale and bits > 10:
+        raise ValueError("rank_scale materializes 2^bits quantile boundaries; use bits <= 10")
     top = (1 << bits) - 1
-    stats = df.agg(
-        *[F.min(c).cast("double").alias(f"__min_{c}") for c in cols],
-        *[F.max(c).cast("double").alias(f"__max_{c}") for c in cols],
-    )
-    out = df.crossJoin(F.broadcast(stats))
     n = len(cols)
-    for j, c in enumerate(cols):
-        rng = F.col(f"__max_{c}") - F.col(f"__min_{c}")
-        scaled = F.when(rng > 0,
-                        F.floor((F.col(c) - F.col(f"__min_{c}")) / rng * top)
-                        ).otherwise(F.lit(0))
-        out = out.withColumn(f"__s_{j}", F.least(scaled, F.lit(top)).cast("long"))
+    if rank_scale:
+        # Skew-robust scaling: bucket by approximate quantile boundaries
+        # (driver-side STATS collection, 2^bits floats per column — the
+        # same class of metadata AQE gathers) so a Zipf/power-law column
+        # still spreads uniformly across buckets. Bucket lookup is a
+        # codegen'd aggregate over the boundary array, no join.
+        out = df
+        for j, c in enumerate(cols):
+            probs = [i / (top + 1) for i in range(1, top + 1)]
+            bounds = df.approxQuantile(c, probs, 0.001)
+            arr = "array(" + ",".join(f"CAST({b!r} AS DOUBLE)" for b in bounds) + ")"
+            out = out.withColumn(
+                f"__s_{j}",
+                F.expr(
+                    f"aggregate({arr}, 0L, (acc, b) -> acc + IF(CAST({c} AS DOUBLE) > b, 1L, 0L))"
+                ),
+            )
+    else:
+        stats = df.agg(
+            *[F.min(c).cast("double").alias(f"__min_{c}") for c in cols],
+            *[F.max(c).cast("double").alias(f"__max_{c}") for c in cols],
+        )
+        out = df.crossJoin(F.broadcast(stats))
+        for j, c in enumerate(cols):
+            rng = F.col(f"__max_{c}") - F.col(f"__min_{c}")
+            scaled = F.when(rng > 0,
+                            F.floor((F.col(c) - F.col(f"__min_{c}")) / rng * top)
+                            ).otherwise(F.lit(0))
+            out = out.withColumn(f"__s_{j}", F.least(scaled, F.lit(top)).cast("long"))
     interleave = " + ".join(
         f"shiftleft((__s_{j} >> i) & 1, {n}*i + {j})" for j in range(n)
     )
@@ -136,8 +157,10 @@ def zorder_key(df: DataFrame, cols: list[str], *, bits: int = 12) -> DataFrame:
         "_z",
         F.expr(f"aggregate(sequence(0, {bits - 1}), 0L, (acc, i) -> acc + {interleave})"),
     )
-    return out.drop(*[f"__s_{j}" for j in range(n)],
-                    *[f"__min_{c}" for c in cols], *[f"__max_{c}" for c in cols])
+    drop = [f"__s_{j}" for j in range(n)]
+    if not rank_scale:
+        drop += [f"__min_{c}" for c in cols] + [f"__max_{c}" for c in cols]
+    return out.drop(*drop)
 
 
 def zorder_layout(df: DataFrame, cols: list[str], *, num_partitions: int = 32,

@@ -228,3 +228,24 @@ def test_merge_upsert_rewrites_only_touched_partitions(spark, sf_dir, tmp_path):
     # untouched partition's files were not rewritten
     now = {f: os.path.getmtime(f) for f in glob.glob(f"{store}/event_date={untouched}/*.parquet")}
     assert now == before
+
+
+def test_zorder_rank_scale_spreads_skewed_column(spark):
+    # power-law column: min-max scaling crams almost everything into the
+    # bottom buckets; quantile-rank scaling spreads it evenly
+    rows = [(i, float(i) ** 3) for i in range(1, 2001)]
+    df = spark.createDataFrame(rows, ["id", "x"])
+    bits = 6  # 64 buckets
+
+    def occupancy(keyed):
+        buckets = keyed.select((F.col("_z")).alias("b")).groupBy("b").count().collect()
+        top_share = max(r["count"] for r in buckets) / 2000
+        return len(buckets), top_share
+
+    n_mm, share_mm = occupancy(layout.zorder_key(df, ["x"], bits=bits))
+    n_rk, share_rk = occupancy(layout.zorder_key(df, ["x"], bits=bits, rank_scale=True))
+    # x = i^3: min-max puts every i < 2000/4 in bucket 0 (~25% share);
+    # quantile-rank buckets are near-uniform by construction
+    assert share_mm > 0.2
+    assert share_rk < 0.10 < share_mm
+    assert n_rk == n_mm == 64  # both cover the full bucket range here

@@ -509,6 +509,12 @@ def q_above_customer_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return analytics.above_customer_avg_orders(load_table(spark, sf_dir, "orders"))
 
 
+def q_rolling_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day distinct active users per day (windowed DISTINCT via
+    dedupe-then-explode)."""
+    return analytics.rolling_active_users(load_table(spark, sf_dir, "events"), days=7)
+
+
 def q_variant_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B6 via Spark 4 VARIANT: one JSON parse, typed path extraction,
     per-type stats."""
@@ -927,6 +933,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_shipping_priority": q_shipping_priority,
         "q_above_customer_avg": q_above_customer_avg,
         "q_variant_props": q_variant_props,
+        "q_rolling_wau": q_rolling_wau,
         "q_value_histogram": q_value_histogram,
         "q_approx_percentiles": q_approx_percentiles,
         "q_char_entropy": q_char_entropy,
@@ -1531,6 +1538,22 @@ def oracle_sql() -> dict[str, str]:
               ON p.ts >= e.ts - INTERVAL 5 MINUTE AND p.ts <= e.ts + INTERVAL 5 MINUTE
             WHERE e.event_type = 'error' AND p.event_type = 'purchase'
             GROUP BY e.event_id
+        """,
+        "q_rolling_wau": """
+            WITH du AS (
+              SELECT DISTINCT date_trunc('day', ts) AS day, user_id FROM events
+            ),
+            mx AS (SELECT max(day) AS mxd FROM du),
+            ex AS (
+              SELECT unnest(generate_series(day, day + INTERVAL 6 DAY, INTERVAL 1 DAY)) AS wday,
+                     user_id
+              FROM du
+            )
+            SELECT strftime(wday, '%Y-%m-%d') AS wday,
+                   CAST(count(DISTINCT user_id) AS BIGINT) AS wau
+            FROM ex, mx
+            WHERE wday <= mxd
+            GROUP BY 1
         """,
         "q_variant_props": """
             SELECT event_type,

@@ -1227,3 +1227,32 @@ def heavy_hitters(events: DataFrame, *, cols: list[str] | None = None, support: 
     a high-cardinality key.
     """
     return events.stat.freqItems(cols or ["event_type", "user_id"], support)
+
+
+def rolling_active_users(events: DataFrame, *, days: int = 7) -> DataFrame:
+    """Trailing-`days` distinct active users per day (the WAU curve) —
+    the windowed-DISTINCT that Spark's window functions cannot express
+    (no DISTINCT in a frame), in its exact distributed form:
+    dedupe to (day, user) FIRST (the big cardinality cut), then explode
+    each pair into the `days` window-ends it contributes to, and count
+    distinct per window end.
+
+    Scale shape: the explode multiplies the DEDUPED (day, user) frame —
+    |active pairs| × days, not |events| × days — and both shuffles key
+    on high-cardinality uniform keys. The trailing max-day bound rides
+    in via a 1-row broadcast.
+    """
+    daily = events.select(
+        F.date_trunc("day", "ts").alias("day"), "user_id"
+    ).distinct()
+    mx = daily.agg(F.max("day").alias("mxd"))
+    exploded = daily.withColumn(
+        "wday",
+        F.explode(F.expr(f"sequence(day, day + INTERVAL {days - 1} DAYS, INTERVAL 1 DAY)")),
+    )
+    return (
+        exploded.crossJoin(F.broadcast(mx))
+        .filter(F.col("wday") <= F.col("mxd"))
+        .groupBy(F.date_format("wday", "yyyy-MM-dd").alias("wday"))
+        .agg(F.countDistinct("user_id").alias("wau"))
+    )

@@ -336,3 +336,21 @@ def test_heavy_hitters_superset_guarantee(spark, sf_dir):
     # no false negatives: every truly-frequent item is in the sketch output
     assert truly_frequent <= candidates
     assert truly_frequent  # fixture has 5 types at ~20% each
+
+
+def test_rolling_active_users_counts_trailing_window(spark):
+    import datetime as dt
+
+    rows = [
+        (1, 100, dt.datetime(2024, 1, 1, 5), "click", 1.0),
+        (2, 200, dt.datetime(2024, 1, 3, 5), "click", 1.0),
+        (3, 200, dt.datetime(2024, 1, 12, 5), "click", 1.0),  # > 7d after day 1
+    ]
+    ev = spark.createDataFrame(rows, ["event_id", "user_id", "ts", "event_type", "value"])
+    got = {r.wday: r.wau for r in analytics.rolling_active_users(ev, days=7).collect()}
+    assert got["2024-01-01"] == 1          # only user 100 so far
+    assert got["2024-01-03"] == 2          # both users within the window
+    assert got["2024-01-07"] == 2          # day-1 activity still inside 7d
+    assert got["2024-01-08"] == 1          # day-1 aged out, day-3 remains
+    assert got["2024-01-12"] == 1          # far gap: only user 200
+    assert max(got) == "2024-01-12"        # trailing bound: no wdays past max day

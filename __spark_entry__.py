@@ -509,6 +509,19 @@ def q_above_customer_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return analytics.above_customer_avg_orders(load_table(spark, sf_dir, "orders"))
 
 
+def q_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel latency: minutes from first signup to first purchase after it."""
+    return analytics.time_to_convert(load_table(spark, sf_dir, "events"))
+
+
+def q_lone_returner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q21-shaped: suppliers most often the ONLY one with returns on
+    multi-supplier orders."""
+    return analytics.lone_returner_suppliers(
+        load_table(spark, sf_dir, "lineitem"), load_table(spark, sf_dir, "supplier")
+    )
+
+
 def q_rolling_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trailing-7-day distinct active users per day (windowed DISTINCT via
     dedupe-then-explode)."""
@@ -934,6 +947,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_above_customer_avg": q_above_customer_avg,
         "q_variant_props": q_variant_props,
         "q_rolling_wau": q_rolling_wau,
+        "q_lone_returner": q_lone_returner,
+        "q_time_to_convert": q_time_to_convert,
         "q_value_histogram": q_value_histogram,
         "q_approx_percentiles": q_approx_percentiles,
         "q_char_entropy": q_char_entropy,
@@ -1538,6 +1553,37 @@ def oracle_sql() -> dict[str, str]:
               ON p.ts >= e.ts - INTERVAL 5 MINUTE AND p.ts <= e.ts + INTERVAL 5 MINUTE
             WHERE e.event_type = 'error' AND p.event_type = 'purchase'
             GROUP BY e.event_id
+        """,
+        "q_time_to_convert": """
+            WITH s AS (
+              SELECT user_id, min(ts) AS s_ts FROM events
+              WHERE event_type = 'signup' GROUP BY user_id
+            ),
+            p AS (
+              SELECT e.user_id, min(s.s_ts) AS s_ts, min(e.ts) AS p_ts
+              FROM events e JOIN s USING (user_id)
+              WHERE e.event_type = 'purchase' AND e.ts >= s.s_ts
+              GROUP BY e.user_id
+            )
+            SELECT user_id,
+                   (epoch_us(p_ts) - epoch_us(s_ts)) // 60000000 AS minutes_to_convert
+            FROM p
+        """,
+        "q_lone_returner": """
+            WITH per_order AS (
+              SELECT l_orderkey,
+                     count(DISTINCT l_suppkey) AS n_supp,
+                     count(DISTINCT CASE WHEN l_returnflag = 'R' THEN l_suppkey END) AS n_ret_supp,
+                     max(CASE WHEN l_returnflag = 'R' THEN l_suppkey END) AS offender
+              FROM lineitem GROUP BY l_orderkey
+            )
+            SELECT s_name, offender AS s_suppkey,
+                   CAST(count(*) AS BIGINT) AS n_lone_faults
+            FROM per_order JOIN supplier ON offender = s_suppkey
+            WHERE n_supp >= 2 AND n_ret_supp = 1
+            GROUP BY s_name, offender
+            ORDER BY n_lone_faults DESC, s_suppkey
+            LIMIT 10
         """,
         "q_rolling_wau": """
             WITH du AS (

@@ -1256,3 +1256,64 @@ def rolling_active_users(events: DataFrame, *, days: int = 7) -> DataFrame:
         .groupBy(F.date_format("wday", "yyyy-MM-dd").alias("wday"))
         .agg(F.countDistinct("user_id").alias("wau"))
     )
+
+
+def lone_returner_suppliers(lineitem: DataFrame, supplier: DataFrame, *, k: int = 10) -> DataFrame:
+    """TPC-H Q21-shaped blame query: on multi-supplier orders where
+    EXACTLY ONE supplier had returned items, count per supplier how
+    often they were that lone offender (top-k).
+
+    Q21's EXISTS / NOT EXISTS pair collapses into ONE conditional
+    aggregation over the order: distinct-supplier count and
+    distinct-returning-supplier count in the same shuffle, then a
+    max-when pick of the offender — no self-joins of the fact against
+    itself (the naive translation runs lineitem⋈lineitem twice).
+    """
+    per_order = lineitem.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(
+            F.when(F.col("l_returnflag") == "R", F.col("l_suppkey"))
+        ).alias("n_ret_supp"),
+        F.max(
+            F.when(F.col("l_returnflag") == "R", F.col("l_suppkey"))
+        ).alias("offender"),
+    )
+    lone = per_order.filter((F.col("n_supp") >= 2) & (F.col("n_ret_supp") == 1))
+    return (
+        lone.groupBy("offender")
+        .agg(F.count("*").alias("n_lone_faults"))
+        .join(F.broadcast(supplier), F.col("offender") == F.col("s_suppkey"))
+        .select(F.col("s_name"), F.col("offender").alias("s_suppkey"), "n_lone_faults")
+        .orderBy(F.desc("n_lone_faults"), "s_suppkey")
+        .limit(k)
+    )
+
+
+def time_to_convert(
+    events: DataFrame, *, first: str = "signup", then: str = "purchase"
+) -> DataFrame:
+    """Per-user conversion latency: whole minutes from the FIRST `first`
+    event to the FIRST `then` event at-or-after it (users who never
+    convert drop out) — the funnel-latency companion to the ordered
+    funnel's conversion-rate view.
+
+    Both sides reduce to one row per user BEFORE joining (min-agg, then
+    a key join of two already-small frames), so the join input is
+    |users|, not |events|; the event-type filters push to the scan.
+    """
+    s = (
+        events.filter(F.col("event_type") == first)
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("s_ts"))
+    )
+    p = (
+        events.filter(F.col("event_type") == then)
+        .join(s, "user_id")
+        .filter(F.col("ts") >= F.col("s_ts"))
+        .groupBy("user_id", "s_ts")
+        .agg(F.min("ts").alias("p_ts"))
+    )
+    return p.select(
+        "user_id",
+        F.expr("(unix_micros(p_ts) - unix_micros(s_ts)) div 60000000").alias("minutes_to_convert"),
+    )

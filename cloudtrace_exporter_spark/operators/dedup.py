@@ -119,12 +119,16 @@ def minhash_signatures(
     """
     df = _spread(df)
     sh = _shingles(text_col, shingle)
-    sig = F.array(
-        *[
-            F.array_min(F.transform(sh, lambda s, seed=seed: F.xxhash64(s, F.lit(seed))))
-            for seed in _MINHASH_SEEDS[:n_hashes]
-        ]
-    )
+
+    def min_for(seed: int) -> F.Column:
+        # arity-1 lambda via closure: a 2-arg lambda (even with a default)
+        # is read by transform() as (element, index), silently replacing
+        # the seed with the array position — every signature slot then
+        # collapses to one index-salted min and near-dup agreement drops
+        # to ~0 for any non-append edit
+        return F.array_min(F.transform(sh, lambda s: F.xxhash64(s, F.lit(seed))))
+
+    sig = F.array(*[min_for(seed) for seed in _MINHASH_SEEDS[:n_hashes]])
     return df.select(F.col(id_col).alias("id"), sig.alias("signature"))
 
 
@@ -506,3 +510,63 @@ def incremental_dedup(
         .filter(F.col(id_col) == F.col("__min_id"))
         .select(id_col, "fingerprint")
     )
+
+
+def incremental_near_dedup(
+    new: DataFrame,
+    corpus: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    n_hashes: int = 32,
+    bands: int = 8,
+    shingle: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Near-dup extension of ``incremental_dedup``: drop NEW docs whose
+    MinHash signature agrees ≥ `threshold` with ANY corpus doc sharing an
+    LSH band bucket. The steady-state artifact to persist is the
+    corpus's banded signature table (narrow: id, band, bucket,
+    signature) — new batches never touch corpus text.
+
+    Scale shape: cross-frame bucket join instead of a self-join — cost
+    O(Σ |new bucket|·|corpus bucket|), the same near-linear LSH trade;
+    the verify step is signature agreement (zip_with), no text compare.
+    Returns the surviving NEW rows (id only).
+    """
+    r = n_hashes // bands
+
+    def banded(df: DataFrame, side: str) -> DataFrame:
+        sigs = minhash_signatures(df, text_col, id_col, n_hashes, shingle)
+        return sigs.select(
+            F.col("id").alias(f"{side}_id"),
+            F.col("signature").alias(f"{side}_sig"),
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(b).alias("band"),
+                            F.xxhash64(
+                                F.concat_ws(",", *[F.col("signature")[b * r + i] for i in range(r)])
+                            ).alias("bucket"),
+                        )
+                        for b in range(bands)
+                    ]
+                )
+            ).alias("bb"),
+        ).select(f"{side}_id", f"{side}_sig", "bb.band", "bb.bucket")
+
+    n_banded = banded(new, "new")
+    c_banded = banded(corpus, "old")
+    agree = F.size(
+        F.filter(F.zip_with("new_sig", "old_sig", lambda x, y: x == y), lambda eq: eq)
+    )
+    matched = (
+        n_banded.join(c_banded, ["band", "bucket"])
+        .dropDuplicates(["new_id", "old_id"])
+        .withColumn("est_jaccard", agree / F.lit(n_hashes))
+        .filter(F.col("est_jaccard") >= threshold)
+        .select(F.col("new_id").alias(id_col))
+        .distinct()
+    )
+    return new.select(id_col).join(matched, id_col, "left_anti")

@@ -59,9 +59,12 @@ def test_minhash_finds_constructed_near_dups(spark, sf_dir):
     shared vocabulary — NOT shingle near-dups — so they are out of scope.)
     """
     docs = load_table(spark, sf_dir, "documents").limit(50).cache()
+    # substitution (not just append): replaces the first word, so the
+    # shingle-set minimum itself can change — the perturbation class that
+    # exposed the seed-vs-index lambda bug in minhash_signatures
     perturbed = docs.select(
         (F.col("doc_id") + 100000).alias("doc_id"),
-        F.concat(F.col("text"), F.lit(" extraword")).alias("text"),
+        F.concat(F.lit("replacedword "), F.expr("substring(text, instr(text, ' ') + 1)")).alias("text"),
     )
     corpus = docs.select("doc_id", "text").union(perturbed)
     found = {
@@ -520,3 +523,19 @@ def test_repetition_ratio_flags_looping_text(spark):
     assert got[1] == (7, round(1 - 3 / 7, 4))
     assert got[2] == (2, 0.0)
     assert got[3] == (0, 0.0)
+
+
+def test_incremental_near_dedup_drops_planted_near_dup_of_corpus(spark):
+    base = "the quick brown fox jumps over the lazy dog near the river bank today"
+    corpus = spark.createDataFrame([(1, base)], ["doc_id", "text"])
+    new = spark.createDataFrame(
+        [
+            (10, base.replace("today", "tonight")),   # near-dup of corpus doc 1
+            (11, "completely different words about spark query engines and shuffles"),
+        ],
+        ["doc_id", "text"],
+    )
+    kept = sorted(
+        r.doc_id for r in dedup.incremental_near_dedup(new, corpus, threshold=0.5).collect()
+    )
+    assert kept == [11]

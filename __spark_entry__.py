@@ -692,6 +692,23 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.jaccard_pairs(docs, threshold=0.95)
 
 
+def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangles (3-cliques) in the exact near-dup graph over the bounded
+    1000-doc slice — id-ordered wedge join, each triangle counted once."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 1000)
+    return dedup.similarity_triangles(dedup.jaccard_pairs(docs, threshold=0.95))
+
+
+def q_incremental_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Steady-state near-dup curation: new batch (doc_id ≥ 250) vs corpus
+    (doc_id < 250) via cross-frame LSH bucket join (rows-only: hash-seeded;
+    planted-dup recall asserted in tests/test_llm_ops.py)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.incremental_near_dedup(
+        docs.filter(F.col("doc_id") >= 250), docs.filter(F.col("doc_id") < 250)
+    )
+
+
 def q_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B33 MinHash+LSH near-dup pairs (xxhash64 signatures — engine-specific,
     rows-only check; recall vs q_ngram_jaccard asserted in tests)."""
@@ -949,6 +966,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_rolling_wau": q_rolling_wau,
         "q_lone_returner": q_lone_returner,
         "q_time_to_convert": q_time_to_convert,
+        "q_triangle_count": q_triangle_count,
+        "q_incremental_near_dedup": q_incremental_near_dedup,
         "q_value_histogram": q_value_histogram,
         "q_approx_percentiles": q_approx_percentiles,
         "q_char_entropy": q_char_entropy,
@@ -1553,6 +1572,26 @@ def oracle_sql() -> dict[str, str]:
               ON p.ts >= e.ts - INTERVAL 5 MINUTE AND p.ts <= e.ts + INTERVAL 5 MINUTE
             WHERE e.event_type = 'error' AND p.event_type = 'purchase'
             GROUP BY e.event_id
+        """,
+        "q_triangle_count": f"""
+            WITH t AS (
+              SELECT doc_id, list_distinct({_TOKENS_SQL}) AS tok
+              FROM documents WHERE doc_id < 1000
+            ),
+            p AS (
+              SELECT doc_a, doc_b FROM (
+                SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                       round(CASE WHEN len(list_distinct(list_concat(a.tok, b.tok))) > 0
+                                  THEN CAST(len(list_intersect(a.tok, b.tok)) AS DOUBLE)
+                                       / len(list_distinct(list_concat(a.tok, b.tok)))
+                                  ELSE 0.0 END, 6) AS jaccard
+                FROM t a JOIN t b ON a.doc_id < b.doc_id
+              ) WHERE jaccard >= 0.95
+            )
+            SELECT CAST(count(*) AS BIGINT) AS n_triangles
+            FROM p e1
+            JOIN p e2 ON e1.doc_b = e2.doc_a
+            JOIN p e3 ON e1.doc_a = e3.doc_a AND e2.doc_b = e3.doc_b
         """,
         "q_time_to_convert": """
             WITH s AS (

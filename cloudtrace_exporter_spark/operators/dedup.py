@@ -570,3 +570,27 @@ def incremental_near_dedup(
         .distinct()
     )
     return new.select(id_col).join(matched, id_col, "left_anti")
+
+
+def similarity_triangles(pairs: DataFrame) -> DataFrame:
+    """Triangle count over a near-dup pair graph — the clustering-density
+    probe: triangles are 3-cliques of mutual near-dups (template families
+    rather than chance pairs).
+
+    The classic distributed trick is already built into the input: pairs
+    arrive id-ordered (doc_a < doc_b), so every triangle a<b<c is counted
+    exactly once by one wedge join (a,b)⋈(b,c) closed by (a,c) — no
+    degree-direction pass needed and no double counting. Two hash joins
+    on edge endpoints; edge lists shuffle, never node payloads.
+    """
+    e = pairs.select("doc_a", "doc_b")
+    e1, e2, e3 = e.alias("e1"), e.alias("e2"), e.alias("e3")
+    return (
+        e1.join(e2, F.col("e1.doc_b") == F.col("e2.doc_a"))
+        .join(
+            e3,
+            (F.col("e1.doc_a") == F.col("e3.doc_a"))
+            & (F.col("e2.doc_b") == F.col("e3.doc_b")),
+        )
+        .agg(F.count("*").cast("long").alias("n_triangles"))
+    )

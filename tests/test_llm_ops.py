@@ -539,3 +539,11 @@ def test_incremental_near_dedup_drops_planted_near_dup_of_corpus(spark):
         r.doc_id for r in dedup.incremental_near_dedup(new, corpus, threshold=0.5).collect()
     )
     assert kept == [11]
+
+
+def test_similarity_triangles_counts_each_once(spark):
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (3, 4), (1, 4)], ["doc_a", "doc_b"]
+    )  # triangle {1,2,3}; {1,3,4} also closes via (3,4)+(1,4)
+    got = dedup.similarity_triangles(pairs).collect()[0]
+    assert got["n_triangles"] == 2

@@ -692,6 +692,15 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.jaccard_pairs(docs, threshold=0.95)
 
 
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic Efraimidis–Spirakis weighted sample: 100 documents,
+    inclusion probability ∝ n_chars."""
+    return analytics.weighted_sample(
+        load_table(spark, sf_dir, "documents").select("doc_id", "n_chars"),
+        key_col="doc_id", weight_col="n_chars", k=100,
+    )
+
+
 def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Triangles (3-cliques) in the exact near-dup graph over the bounded
     1000-doc slice — id-ordered wedge join, each triangle counted once."""
@@ -968,6 +977,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_time_to_convert": q_time_to_convert,
         "q_triangle_count": q_triangle_count,
         "q_incremental_near_dedup": q_incremental_near_dedup,
+        "q_weighted_sample": q_weighted_sample,
         "q_value_histogram": q_value_histogram,
         "q_approx_percentiles": q_approx_percentiles,
         "q_char_entropy": q_char_entropy,
@@ -1572,6 +1582,17 @@ def oracle_sql() -> dict[str, str]:
               ON p.ts >= e.ts - INTERVAL 5 MINUTE AND p.ts <= e.ts + INTERVAL 5 MINUTE
             WHERE e.event_type = 'error' AND p.event_type = 'purchase'
             GROUP BY e.event_id
+        """,
+        "q_weighted_sample": """
+            SELECT doc_id, n_chars, es_key FROM (
+              SELECT doc_id, n_chars,
+                     round(pow((CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS UBIGINT) + 1.0)
+                               / power(16, 8),
+                               1.0 / n_chars), 10) AS es_key
+              FROM documents
+            )
+            ORDER BY es_key DESC, doc_id
+            LIMIT 100
         """,
         "q_triangle_count": f"""
             WITH t AS (

@@ -1317,3 +1317,31 @@ def time_to_convert(
         "user_id",
         F.expr("(unix_micros(p_ts) - unix_micros(s_ts)) div 60000000").alias("minutes_to_convert"),
     )
+
+
+def weighted_sample(
+    df: DataFrame, *, key_col: str, weight_col: str, k: int
+) -> DataFrame:
+    """Deterministic weighted sampling without replacement (Efraimidis–
+    Spirakis): keep the top-k rows by ``u^(1/w)`` where ``u`` is a
+    uniform derived from md5(key) — inclusion probability scales with
+    the weight, yet the draw is reproducible across runs, retries,
+    repartitioning, and engines (no RNG state anywhere).
+
+    This is the mixture-weighting primitive for training corpora: sample
+    a fixed budget with, e.g., longer or higher-quality documents
+    proportionally favored. Plan shape: narrow map to compute the key,
+    then TakeOrderedAndProject — never a global sort.
+    """
+    # first 8 hex chars of md5 → integer in [0, 16^8) → u in (0, 1]
+    u = (
+        F.conv(F.substring(F.md5(F.col(key_col).cast("string").cast("binary")), 1, 8), 16, 10)
+        .cast("double")
+        + F.lit(1.0)
+    ) / F.lit(float(16**8))
+    es_key = F.round(F.pow(u, 1.0 / F.col(weight_col).cast("double")), 10)
+    return (
+        df.withColumn("es_key", es_key)
+        .orderBy(F.desc("es_key"), F.col(key_col))
+        .limit(k)
+    )

@@ -179,3 +179,8 @@ def test_shipping_priority_takeordered_and_pushdown(plans):
     assert "CartesianProduct" not in p
     # both date predicates reach the parquet scans
     assert p.count("PushedFilters: [IsNotNull") >= 2
+
+
+def test_weighted_sample_is_take_ordered(plans):
+    p = plans("q_weighted_sample")
+    assert "TakeOrderedAndProject" in p  # top-k draw, never a global sort

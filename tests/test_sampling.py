@@ -354,3 +354,16 @@ def test_rolling_active_users_counts_trailing_window(spark):
     assert got["2024-01-08"] == 1          # day-1 aged out, day-3 remains
     assert got["2024-01-12"] == 1          # far gap: only user 200
     assert max(got) == "2024-01-12"        # trailing bound: no wdays past max day
+
+
+def test_weighted_sample_biased_toward_heavy_rows_and_deterministic(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    s1 = analytics.weighted_sample(docs, key_col="doc_id", weight_col="n_chars", k=100)
+    s2 = analytics.weighted_sample(docs, key_col="doc_id", weight_col="n_chars", k=100)
+    ids1 = sorted(r.doc_id for r in s1.collect())
+    assert ids1 == sorted(r.doc_id for r in s2.collect())  # reproducible
+    assert len(ids1) == 100
+    # inclusion probability ∝ n_chars: sampled docs skew longer on average
+    corpus_mean = docs.agg(F.avg("n_chars")).first()[0]
+    sample_mean = s1.agg(F.avg("n_chars")).first()[0]
+    assert sample_mean > corpus_mean

@@ -692,6 +692,15 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.jaccard_pairs(docs, threshold=0.95)
 
 
+def q_nation_trade_flow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7-shaped: yearly revenue between NATION_3 and NATION_7,
+    both directions."""
+    t = {n: load_table(spark, sf_dir, n) for n in ("lineitem", "orders", "customer", "supplier", "nation")}
+    return analytics.nation_trade_flow(
+        t["lineitem"], t["orders"], t["customer"], t["supplier"], t["nation"]
+    )
+
+
 def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic Efraimidis–Spirakis weighted sample: 100 documents,
     inclusion probability ∝ n_chars."""
@@ -978,6 +987,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_triangle_count": q_triangle_count,
         "q_incremental_near_dedup": q_incremental_near_dedup,
         "q_weighted_sample": q_weighted_sample,
+        "q_nation_trade_flow": q_nation_trade_flow,
         "q_value_histogram": q_value_histogram,
         "q_approx_percentiles": q_approx_percentiles,
         "q_char_entropy": q_char_entropy,
@@ -1582,6 +1592,21 @@ def oracle_sql() -> dict[str, str]:
               ON p.ts >= e.ts - INTERVAL 5 MINUTE AND p.ts <= e.ts + INTERVAL 5 MINUTE
             WHERE e.event_type = 'error' AND p.event_type = 'purchase'
             GROUP BY e.event_id
+        """,
+        "q_nation_trade_flow": """
+            SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+                   CAST(year(o_orderdate) AS INTEGER) AS o_year,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+            FROM lineitem
+            JOIN orders    ON l_orderkey = o_orderkey
+            JOIN customer  ON o_custkey = c_custkey
+            JOIN nation cn ON c_nationkey = cn.n_nationkey
+            JOIN supplier  ON l_suppkey = s_suppkey
+            JOIN nation sn ON s_nationkey = sn.n_nationkey
+            WHERE sn.n_name IN ('NATION_3', 'NATION_7')
+              AND cn.n_name IN ('NATION_3', 'NATION_7')
+              AND sn.n_name <> cn.n_name
+            GROUP BY 1, 2, 3
         """,
         "q_weighted_sample": """
             SELECT doc_id, n_chars, es_key FROM (

@@ -1345,3 +1345,48 @@ def weighted_sample(
         .orderBy(F.desc("es_key"), F.col(key_col))
         .limit(k)
     )
+
+
+def nation_trade_flow(
+    lineitem: DataFrame,
+    orders: DataFrame,
+    customer: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+    *,
+    nation_a: str = "NATION_3",
+    nation_b: str = "NATION_7",
+) -> DataFrame:
+    """TPC-H Q7-shaped bilateral trade flow: yearly revenue shipped
+    between two specific nations, in both directions (supplier nation ↔
+    customer nation).
+
+    Plan shape: the two-nation filter lands on BOTH broadcast dimension
+    chains before the fact join, so the fact scan is cut by the
+    selective pair predicate; lineitem⋈orders remains the only
+    fact-fact join and the final group key (supp_nation, cust_nation,
+    year) is tiny.
+    """
+    supp_n = nation.alias("sn")
+    cust_n = nation.alias("cn")
+    pair = [nation_a, nation_b]
+    return (
+        lineitem.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            F.broadcast(cust_n.filter(F.col("cn.n_name").isin(pair))),
+            F.col("c_nationkey") == F.col("cn.n_nationkey"),
+        )
+        .join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(
+            F.broadcast(supp_n.filter(F.col("sn.n_name").isin(pair))),
+            F.col("s_nationkey") == F.col("sn.n_nationkey"),
+        )
+        .filter(F.col("sn.n_name") != F.col("cn.n_name"))
+        .groupBy(
+            F.col("sn.n_name").alias("supp_nation"),
+            F.col("cn.n_name").alias("cust_nation"),
+            F.year("o_orderdate").alias("o_year"),
+        )
+        .agg(F.round(F.sum(_rev()), 2).alias("revenue"))
+    )

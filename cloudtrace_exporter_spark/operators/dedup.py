@@ -582,8 +582,14 @@ def similarity_triangles(pairs: DataFrame) -> DataFrame:
     exactly once by one wedge join (a,b)⋈(b,c) closed by (a,c) — no
     degree-direction pass needed and no double counting. Two hash joins
     on edge endpoints; edge lists shuffle, never node payloads.
+
+    The edge list is materialized once (localCheckpoint): it feeds three
+    join arms, and without the cut Catalyst re-executes the (possibly
+    expensive) pair-generation subplan per arm — the audit showed the
+    O(n²) jaccard source running three times. The pair list is orders of
+    magnitude smaller than the corpus, so this is the cheap side to pin.
     """
-    e = pairs.select("doc_a", "doc_b")
+    e = pairs.select("doc_a", "doc_b").localCheckpoint()
     e1, e2, e3 = e.alias("e1"), e.alias("e2"), e.alias("e3")
     return (
         e1.join(e2, F.col("e1.doc_b") == F.col("e2.doc_a"))

@@ -692,6 +692,11 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.jaccard_pairs(docs, threshold=0.95)
 
 
+def q_distribution_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PSI drift of events.value per type, before vs after Jan 15."""
+    return analytics.distribution_drift(load_table(spark, sf_dir, "events"))
+
+
 def q_nation_trade_flow(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q7-shaped: yearly revenue between NATION_3 and NATION_7,
     both directions."""
@@ -988,6 +993,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_incremental_near_dedup": q_incremental_near_dedup,
         "q_weighted_sample": q_weighted_sample,
         "q_nation_trade_flow": q_nation_trade_flow,
+        "q_distribution_drift": q_distribution_drift,
         "q_value_histogram": q_value_histogram,
         "q_approx_percentiles": q_approx_percentiles,
         "q_char_entropy": q_char_entropy,
@@ -1592,6 +1598,23 @@ def oracle_sql() -> dict[str, str]:
               ON p.ts >= e.ts - INTERVAL 5 MINUTE AND p.ts <= e.ts + INTERVAL 5 MINUTE
             WHERE e.event_type = 'error' AND p.event_type = 'purchase'
             GROUP BY e.event_id
+        """,
+        "q_distribution_drift": """
+            WITH per_bucket AS (
+              SELECT event_type, floor(value / 50.0) AS bucket,
+                     sum(CASE WHEN ts >= TIMESTAMP '2024-01-15' THEN 0 ELSE 1 END) AS n_ref,
+                     sum(CASE WHEN ts >= TIMESTAMP '2024-01-15' THEN 1 ELSE 0 END) AS n_cur
+              FROM events GROUP BY 1, 2
+            ),
+            shares AS (
+              SELECT event_type,
+                     CAST(n_ref AS DOUBLE) / sum(n_ref) OVER (PARTITION BY event_type) AS p,
+                     CAST(n_cur AS DOUBLE) / sum(n_cur) OVER (PARTITION BY event_type) AS q
+              FROM per_bucket
+            )
+            SELECT event_type,
+                   round(sum((p - q) * ln((p + 1e-6) / (q + 1e-6))), 4) AS psi
+            FROM shares GROUP BY event_type
         """,
         "q_nation_trade_flow": """
             SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,

@@ -1390,3 +1390,41 @@ def nation_trade_flow(
         )
         .agg(F.round(F.sum(_rev()), 2).alias("revenue"))
     )
+
+
+def distribution_drift(
+    events: DataFrame, *, split: str = "2024-01-15", width: float = 50.0
+) -> DataFrame:
+    """Population Stability Index per event type between the periods
+    before and after `split`: PSI = Σ (p−q)·ln(p/q) over fixed-width
+    value buckets — the standard drift monitor for detecting when a
+    metric's distribution shifts (PSI ≳ 0.2 = investigate).
+
+    Fixed-width buckets (not reference quantiles) keep the measure
+    engine-portable and deterministic; ε-smoothing handles buckets empty
+    on one side. One scan builds both periods' bucket counts in a single
+    conditional aggregation — the two "sides" never materialize
+    separately, so the cost is one map-side-combined shuffle on
+    (type, bucket) plus a tiny per-type rollup.
+    """
+    eps = 1e-6
+    is_cur = F.col("ts") >= F.lit(split)
+    per_bucket = (
+        events.groupBy("event_type", F.floor(F.col("value") / width).alias("bucket"))
+        .agg(
+            F.sum(F.when(~is_cur, 1).otherwise(0)).alias("n_ref"),
+            F.sum(F.when(is_cur, 1).otherwise(0)).alias("n_cur"),
+        )
+    )
+    w = Window.partitionBy("event_type")
+    shares = per_bucket.select(
+        "event_type",
+        (F.col("n_ref") / F.sum("n_ref").over(w)).alias("p"),
+        (F.col("n_cur") / F.sum("n_cur").over(w)).alias("q"),
+    )
+    return shares.groupBy("event_type").agg(
+        F.round(
+            F.sum((F.col("p") - F.col("q")) * F.log((F.col("p") + eps) / (F.col("q") + eps))),
+            4,
+        ).alias("psi")
+    )

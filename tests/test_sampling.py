@@ -367,3 +367,22 @@ def test_weighted_sample_biased_toward_heavy_rows_and_deterministic(spark, sf_di
     corpus_mean = docs.agg(F.avg("n_chars")).first()[0]
     sample_mean = s1.agg(F.avg("n_chars")).first()[0]
     assert sample_mean > corpus_mean
+
+
+def test_distribution_drift_flags_shifted_type_only(spark):
+    import datetime as dt
+
+    rows = []
+    eid = 0
+    for day, base in [(1, 0.0), (20, 0.0)]:        # 'stable': same distribution both halves
+        for i in range(200):
+            rows.append((eid, 1, dt.datetime(2024, 1, day), "stable", base + float(i % 100)))
+            eid += 1
+    for day, base in [(1, 0.0), (20, 400.0)]:      # 'shifted': values jump after the split
+        for i in range(200):
+            rows.append((eid, 1, dt.datetime(2024, 1, day), "shifted", base + float(i % 100)))
+            eid += 1
+    ev = spark.createDataFrame(rows, ["event_id", "user_id", "ts", "event_type", "value"])
+    got = {r.event_type: r.psi for r in analytics.distribution_drift(ev, split="2024-01-15").collect()}
+    assert abs(got["stable"]) < 0.01     # identical halves: PSI ~ 0
+    assert got["shifted"] > 1.0          # disjoint buckets: large PSI

@@ -692,6 +692,11 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.jaccard_pairs(docs, threshold=0.95)
 
 
+def q_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 most common within-session event-type paths."""
+    return analytics.session_paths(load_table(spark, sf_dir, "events"), k=20)
+
+
 def q_distribution_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PSI drift of events.value per type, before vs after Jan 15."""
     return analytics.distribution_drift(load_table(spark, sf_dir, "events"))
@@ -994,6 +999,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_weighted_sample": q_weighted_sample,
         "q_nation_trade_flow": q_nation_trade_flow,
         "q_distribution_drift": q_distribution_drift,
+        "q_session_paths": q_session_paths,
         "q_value_histogram": q_value_histogram,
         "q_approx_percentiles": q_approx_percentiles,
         "q_char_entropy": q_char_entropy,
@@ -1598,6 +1604,31 @@ def oracle_sql() -> dict[str, str]:
               ON p.ts >= e.ts - INTERVAL 5 MINUTE AND p.ts <= e.ts + INTERVAL 5 MINUTE
             WHERE e.event_type = 'error' AND p.event_type = 'purchase'
             GROUP BY e.event_id
+        """,
+        "q_session_paths": """
+            WITH ordered AS (
+              SELECT user_id, ts, event_id, event_type,
+                     CASE WHEN lag(ts) OVER w IS NULL
+                               OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+                          THEN 1 ELSE 0 END AS new_sess
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ),
+            sess AS (
+              SELECT *, sum(new_sess) OVER (
+                PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING
+              ) AS sess_id
+              FROM ordered
+            ),
+            paths AS (
+              SELECT user_id, sess_id,
+                     string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+              FROM sess GROUP BY user_id, sess_id
+            )
+            SELECT path, CAST(count(*) AS BIGINT) AS n_sessions
+            FROM paths GROUP BY path
+            ORDER BY n_sessions DESC, path
+            LIMIT 20
         """,
         "q_distribution_drift": """
             WITH per_bucket AS (

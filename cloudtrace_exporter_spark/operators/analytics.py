@@ -408,6 +408,22 @@ def supplier_volume(
     )
 
 
+def _session_ids(events: DataFrame, gap_minutes: int) -> DataFrame:
+    """Assign islands-and-gaps session ids per user (shared by the
+    session aggregate and the path miner): lag → new-session flag →
+    running sum, one user-key shuffle reused by both windows."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = gap_minutes * 60 * 1_000_000
+    prev_us = F.unix_micros(F.lag("ts").over(w))
+    new_sess = F.when(
+        prev_us.isNull() | (F.unix_micros(F.col("ts")) - prev_us > gap_us), 1
+    ).otherwise(0)
+    run = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return events.withColumn("sess_id", F.sum(new_sess).over(run))
+
+
 def sessionize(events: DataFrame, *, gap_minutes: int = 30) -> DataFrame:
     """B28's session windows, batch-expressible (islands-and-gaps).
 
@@ -418,16 +434,7 @@ def sessionize(events: DataFrame, *, gap_minutes: int = 30) -> DataFrame:
     equivalent is ``F.session_window`` (streaming/pipeline.py); this is
     the oracle-checkable batch twin.
     """
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gap_us = gap_minutes * 60 * 1_000_000
-    prev_us = F.unix_micros(F.lag("ts").over(w))
-    new_sess = F.when(
-        prev_us.isNull() | (F.unix_micros(F.col("ts")) - prev_us > gap_us), 1
-    ).otherwise(0)
-    run = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    with_ids = events.withColumn("sess_id", F.sum(new_sess).over(run))
+    with_ids = _session_ids(events, gap_minutes)
     return (
         with_ids.groupBy("user_id", "sess_id")
         .agg(
@@ -1427,4 +1434,42 @@ def distribution_drift(
             F.sum((F.col("p") - F.col("q")) * F.log((F.col("p") + eps) / (F.col("q") + eps))),
             4,
         ).alias("psi")
+    )
+
+
+def session_paths(
+    events: DataFrame, *, gap_minutes: int = 30, k: int = 20, max_len: int = 1000
+) -> DataFrame:
+    """Top-k most common session paths: the ordered sequence of event
+    types inside each session, joined with '>' — the navigation-pattern
+    view behind "what do users actually do in a visit".
+
+    Reuses the sessionizer's single user-key shuffle; the per-session
+    collect is bounded by session semantics (a gap-bounded human visit,
+    further hard-capped at `max_len` events post-sort) so no group is
+    unbounded; the final path census is a tiny string-keyed aggregate +
+    TakeOrdered. Ordering inside the collect is made deterministic by
+    sorting (ts, event_id, type) structs, not by collection order.
+    """
+    with_ids = _session_ids(events, gap_minutes)
+    per_sess = with_ids.groupBy("user_id", "sess_id").agg(
+        F.array_join(
+            F.slice(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct(F.col("ts"), F.col("event_id"), F.col("event_type")))
+                    ),
+                    lambda s: s["event_type"],
+                ),
+                1,
+                max_len,
+            ),
+            ">",
+        ).alias("path")
+    )
+    return (
+        per_sess.groupBy("path")
+        .agg(F.count("*").alias("n_sessions"))
+        .orderBy(F.desc("n_sessions"), "path")
+        .limit(k)
     )

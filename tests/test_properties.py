@@ -147,3 +147,75 @@ def test_chunk_coverage_property(spark_prop, n_words, chunk, overlap):
     covered = [w for r in sorted(rows, key=lambda r: r["chunk_idx"]) for w in r["chunk_text"].split()]
     assert set(covered) == set(words)          # nothing lost
     assert all(r["n_chunk_tokens"] <= chunk for r in rows)
+
+
+@given(
+    events=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=50),       # user
+            st.integers(min_value=0, max_value=20),       # day offset
+            st.sampled_from(["a", "b", "c"]),             # type
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+@settings(max_examples=10, deadline=None)
+def test_rolling_wau_dominates_dau_and_is_monotone_in_window(spark_prop, events):
+    """For every day, trailing-7d distinct users ≥ that day's distinct
+    users, and a 1-day 'window' equals exact DAU — the two boundary
+    invariants of the dedupe-then-explode windowed-DISTINCT recipe."""
+    import datetime as dt
+
+    from cloudtrace_exporter_spark.operators import analytics
+
+    rows = [
+        (i, u, dt.datetime(2024, 1, 1) + dt.timedelta(days=d), t, 1.0)
+        for i, (u, d, t) in enumerate(events)
+    ]
+    ev = spark_prop.createDataFrame(rows, ["event_id", "user_id", "ts", "event_type", "value"])
+    wau = {r.wday: r.wau for r in analytics.rolling_active_users(ev, days=7).collect()}
+    dau = {r.wday: r.wau for r in analytics.rolling_active_users(ev, days=1).collect()}
+    exact_dau = {
+        r.d: r.n
+        for r in ev.groupBy(F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("d"))
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    assert dau == exact_dau                      # window=1 degenerates to exact DAU
+    for day, n in exact_dau.items():
+        assert wau[day] >= n                     # the window can only add users
+
+
+@given(
+    seq=st.lists(
+        st.tuples(st.integers(min_value=0, max_value=5), st.sampled_from(["x", "y"])),
+        min_size=1,
+        max_size=30,
+    )
+)
+@settings(max_examples=10, deadline=None)
+def test_scd2_versions_partition_the_timeline(spark_prop, seq):
+    """SCD2 invariants on arbitrary event sequences: per user, versions
+    are 1..n with no gaps, exactly one open interval (valid_to NULL),
+    and consecutive intervals share their boundary."""
+    import datetime as dt
+
+    from cloudtrace_exporter_spark.operators import analytics
+
+    rows = [
+        (i, u, dt.datetime(2024, 1, 1) + dt.timedelta(hours=i), t)
+        for i, (u, t) in enumerate(seq)
+    ]
+    ev = spark_prop.createDataFrame(rows, ["event_id", "user_id", "ts", "event_type"])
+    got = analytics.scd2_intervals(ev).collect()
+    by_user: dict = {}
+    for r in got:
+        by_user.setdefault(r.user_id, []).append(r)
+    for user, ivs in by_user.items():
+        ivs.sort(key=lambda r: r.version)
+        assert [r.version for r in ivs] == list(range(1, len(ivs) + 1))
+        assert sum(1 for r in ivs if r.valid_to is None) == 1
+        assert ivs[-1].valid_to is None
+        for cur, nxt in zip(ivs, ivs[1:]):
+            assert cur.valid_to == nxt.valid_from

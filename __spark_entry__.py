@@ -692,6 +692,17 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.jaccard_pairs(docs, threshold=0.95)
 
 
+def q_hierarchy_shares(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percent-of-parent revenue decomposition over REGION→NATION."""
+    t = {n: load_table(spark, sf_dir, n) for n in ("orders", "customer", "nation", "region")}
+    return analytics.hierarchy_shares(t["orders"], t["customer"], t["nation"], t["region"])
+
+
+def q_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily growth accounting: new vs returning active users."""
+    return analytics.new_vs_returning(load_table(spark, sf_dir, "events"))
+
+
 def q_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-20 most common within-session event-type paths."""
     return analytics.session_paths(load_table(spark, sf_dir, "events"), k=20)
@@ -1000,6 +1011,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_nation_trade_flow": q_nation_trade_flow,
         "q_distribution_drift": q_distribution_drift,
         "q_session_paths": q_session_paths,
+        "q_hierarchy_shares": q_hierarchy_shares,
+        "q_new_vs_returning": q_new_vs_returning,
         "q_value_histogram": q_value_histogram,
         "q_approx_percentiles": q_approx_percentiles,
         "q_char_entropy": q_char_entropy,
@@ -1604,6 +1617,32 @@ def oracle_sql() -> dict[str, str]:
               ON p.ts >= e.ts - INTERVAL 5 MINUTE AND p.ts <= e.ts + INTERVAL 5 MINUTE
             WHERE e.event_type = 'error' AND p.event_type = 'purchase'
             GROUP BY e.event_id
+        """,
+        "q_hierarchy_shares": """
+            WITH agg AS (
+              SELECT r_name, n_name, sum(o_totalprice) AS rev
+              FROM orders
+              JOIN customer ON o_custkey = c_custkey
+              JOIN nation   ON c_nationkey = n_nationkey
+              JOIN region   ON n_regionkey = r_regionkey
+              GROUP BY r_name, n_name
+            )
+            SELECT r_name, n_name, round(rev, 2) AS revenue,
+                   round(rev / sum(rev) OVER (PARTITION BY r_name), 6) AS share_of_region,
+                   round(sum(rev) OVER (PARTITION BY r_name) / sum(rev) OVER (), 6)
+                     AS region_share_of_total
+            FROM agg
+        """,
+        "q_new_vs_returning": """
+            WITH daily AS (
+              SELECT DISTINCT date_trunc('day', ts) AS day, user_id FROM events
+            ),
+            fd AS (SELECT user_id, min(day) AS first_day FROM daily GROUP BY user_id)
+            SELECT strftime(day, '%Y-%m-%d') AS day,
+                   CAST(sum(CASE WHEN day = first_day THEN 1 ELSE 0 END) AS BIGINT) AS new_users,
+                   CAST(sum(CASE WHEN day <> first_day THEN 1 ELSE 0 END) AS BIGINT) AS returning_users
+            FROM daily JOIN fd USING (user_id)
+            GROUP BY 1
         """,
         "q_session_paths": """
             WITH ordered AS (

@@ -1473,3 +1473,56 @@ def session_paths(
         .orderBy(F.desc("n_sessions"), "path")
         .limit(k)
     )
+
+
+def hierarchy_shares(
+    orders: DataFrame, customer: DataFrame, nation: DataFrame, region: DataFrame
+) -> DataFrame:
+    """Percent-of-parent decomposition over the REGION→NATION hierarchy:
+    each nation's share of its region's revenue and each region's share
+    of the total — the drill-down view a rollup alone doesn't give.
+
+    One broadcast-dimensioned aggregation to (region, nation), then two
+    window sums over that TINY aggregate (≤ |nation| rows) — the parent
+    totals never re-touch the fact table.
+    """
+    agg = (
+        orders.join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("r_name", "n_name")
+        .agg(F.sum("o_totalprice").alias("rev"))
+    )
+    by_region = Window.partitionBy("r_name")
+    overall = Window.partitionBy()
+    return agg.select(
+        "r_name",
+        "n_name",
+        F.round("rev", 2).alias("revenue"),
+        F.round(F.col("rev") / F.sum("rev").over(by_region), 6).alias("share_of_region"),
+        F.round(F.sum("rev").over(by_region) / F.sum("rev").over(overall), 6).alias(
+            "region_share_of_total"
+        ),
+    )
+
+
+def new_vs_returning(events: DataFrame) -> DataFrame:
+    """Per day: how many active users are brand new (first day ever) vs
+    returning — the growth-accounting split behind every DAU chart.
+
+    The user's first day comes from a min-aggregate over the deduped
+    (day, user) frame (not a window over raw events), so the second
+    shuffle operates on |active pairs|; the day-level rollup is tiny.
+    """
+    daily = events.select(
+        F.date_trunc("day", "ts").alias("day"), "user_id"
+    ).distinct()
+    first_day = daily.groupBy("user_id").agg(F.min("day").alias("first_day"))
+    return (
+        daily.join(first_day, "user_id")
+        .groupBy(F.date_format("day", "yyyy-MM-dd").alias("day"))
+        .agg(
+            F.sum(F.when(F.col("day") == F.col("first_day"), 1).otherwise(0)).alias("new_users"),
+            F.sum(F.when(F.col("day") != F.col("first_day"), 1).otherwise(0)).alias("returning_users"),
+        )
+    )

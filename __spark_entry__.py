@@ -692,6 +692,11 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.jaccard_pairs(docs, threshold=0.95)
 
 
+def q_type_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Users-who-do-X-also-do-Y: per event-type pair, users with both."""
+    return analytics.type_cooccurrence(load_table(spark, sf_dir, "events"))
+
+
 def q_hierarchy_shares(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Percent-of-parent revenue decomposition over REGION→NATION."""
     t = {n: load_table(spark, sf_dir, n) for n in ("orders", "customer", "nation", "region")}
@@ -1013,6 +1018,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_session_paths": q_session_paths,
         "q_hierarchy_shares": q_hierarchy_shares,
         "q_new_vs_returning": q_new_vs_returning,
+        "q_type_cooccurrence": q_type_cooccurrence,
         "q_value_histogram": q_value_histogram,
         "q_approx_percentiles": q_approx_percentiles,
         "q_char_entropy": q_char_entropy,
@@ -1617,6 +1623,16 @@ def oracle_sql() -> dict[str, str]:
               ON p.ts >= e.ts - INTERVAL 5 MINUTE AND p.ts <= e.ts + INTERVAL 5 MINUTE
             WHERE e.event_type = 'error' AND p.event_type = 'purchase'
             GROUP BY e.event_id
+        """,
+        "q_type_cooccurrence": """
+            WITH u AS (
+              SELECT user_id, list_sort(list(DISTINCT event_type)) AS ts
+              FROM events GROUP BY user_id
+            )
+            SELECT a AS type_a, b AS type_b, CAST(count(*) AS BIGINT) AS n_users
+            FROM u, unnest(u.ts) AS t1(a), unnest(u.ts) AS t2(b)
+            WHERE a < b
+            GROUP BY 1, 2
         """,
         "q_hierarchy_shares": """
             WITH agg AS (

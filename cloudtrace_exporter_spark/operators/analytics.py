@@ -1526,3 +1526,32 @@ def new_vs_returning(events: DataFrame) -> DataFrame:
             F.sum(F.when(F.col("day") != F.col("first_day"), 1).otherwise(0)).alias("returning_users"),
         )
     )
+
+
+def type_cooccurrence(events: DataFrame) -> DataFrame:
+    """Market-basket lite: for every pair of event types, how many users
+    exhibit BOTH — the co-occurrence matrix behind "users who do X also
+    do Y".
+
+    No self-join anywhere: each user's distinct-type set is a bounded
+    array (≤ |event-type vocabulary|), so all (a < b) pairs expand
+    INSIDE the row via nested array transforms (the same pattern as the
+    winnowing posting-list pairing), then one tiny pair-keyed count. The
+    only shuffle over data is the per-user distinct-set aggregation.
+    """
+    sets = events.groupBy("user_id").agg(
+        F.sort_array(F.collect_set("event_type")).alias("ts")
+    )
+    # 2-arg lambda is deliberately (element, index) here — the index
+    # drives the strictly-after slice so each unordered pair appears once
+    pairs = sets.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(ts, (a, i) -> "
+                "transform(slice(ts, i + 2, size(ts)), b -> struct(a AS type_a, b AS type_b))))"
+            )
+        ).alias("p")
+    )
+    return pairs.groupBy(F.col("p.type_a").alias("type_a"), F.col("p.type_b").alias("type_b")).agg(
+        F.count("*").alias("n_users")
+    )

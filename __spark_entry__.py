@@ -692,6 +692,12 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.jaccard_pairs(docs, threshold=0.95)
 
 
+def q_price_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth order-value decile profile on the shuffle-safe global
+    ranking (never a one-task ntile window)."""
+    return analytics.price_deciles(load_table(spark, sf_dir, "orders"))
+
+
 def q_type_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Users-who-do-X-also-do-Y: per event-type pair, users with both."""
     return analytics.type_cooccurrence(load_table(spark, sf_dir, "events"))
@@ -1019,6 +1025,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_hierarchy_shares": q_hierarchy_shares,
         "q_new_vs_returning": q_new_vs_returning,
         "q_type_cooccurrence": q_type_cooccurrence,
+        "q_price_deciles": q_price_deciles,
         "q_value_histogram": q_value_histogram,
         "q_approx_percentiles": q_approx_percentiles,
         "q_char_entropy": q_char_entropy,
@@ -1623,6 +1630,21 @@ def oracle_sql() -> dict[str, str]:
               ON p.ts >= e.ts - INTERVAL 5 MINUTE AND p.ts <= e.ts + INTERVAL 5 MINUTE
             WHERE e.event_type = 'error' AND p.event_type = 'purchase'
             GROUP BY e.event_id
+        """,
+        "q_price_deciles": """
+            WITH ranked AS (
+              SELECT o_totalprice,
+                     row_number() OVER (ORDER BY o_totalprice DESC, o_orderkey) AS rn,
+                     count(*) OVER () AS n_total
+              FROM orders
+            )
+            SELECT CAST(floor((rn - 1) * 10 / n_total) + 1 AS INTEGER) AS decile,
+                   CAST(count(*) AS BIGINT) AS n_orders,
+                   round(min(o_totalprice), 2) AS min_price,
+                   round(max(o_totalprice), 2) AS max_price,
+                   round(avg(o_totalprice), 2) AS avg_price
+            FROM ranked
+            GROUP BY 1
         """,
         "q_type_cooccurrence": """
             WITH u AS (

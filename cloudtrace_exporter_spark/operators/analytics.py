@@ -1555,3 +1555,35 @@ def type_cooccurrence(events: DataFrame) -> DataFrame:
     return pairs.groupBy(F.col("p.type_a").alias("type_a"), F.col("p.type_b").alias("type_b")).agg(
         F.count("*").alias("n_users")
     )
+
+
+def price_deciles(orders: DataFrame) -> DataFrame:
+    """Equi-depth decile profile of order values: per decile (1 = most
+    expensive), row count and min/max/avg price.
+
+    ``ntile`` over a global order is the classic scale trap (one-task
+    window); this composes the two-phase ``global_row_number`` instead —
+    the same total order, shuffle-safe — and derives the decile by
+    arithmetic on the rank. The formula (floor((rn-1)·10/n)+1) is used
+    verbatim on both engines rather than ntile so bucket-boundary
+    remainder handling cannot diverge.
+    """
+    ranked = global_row_number(
+        orders.select("o_orderkey", "o_totalprice"),
+        [F.desc("o_totalprice"), F.asc("o_orderkey")],
+    )
+    n = ranked.agg(F.count("*").alias("n_total"))
+    return (
+        ranked.crossJoin(F.broadcast(n))
+        .withColumn(
+            "decile",
+            (F.floor((F.col("rn") - 1) * 10 / F.col("n_total")) + 1).cast("int"),
+        )
+        .groupBy("decile")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.min("o_totalprice"), 2).alias("min_price"),
+            F.round(F.max("o_totalprice"), 2).alias("max_price"),
+            F.round(F.avg("o_totalprice"), 2).alias("avg_price"),
+        )
+    )

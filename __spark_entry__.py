@@ -949,6 +949,75 @@ def q_pandas_udf_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     return udfs.grouped_zscore(ev, "event_type", "value")
 
 
+def q_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4-shaped: orders per priority with ≥1 line shipped >60 days
+    late (EXISTS → left-semi)."""
+    return analytics.order_priority_check(
+        load_table(spark, sf_dir, "orders"), load_table(spark, sf_dir, "lineitem")
+    )
+
+
+def q_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13-shaped: histogram of customers by order count (zero
+    bucket via left outer join)."""
+    return analytics.customer_order_distribution(
+        load_table(spark, sf_dir, "customer"), load_table(spark, sf_dir, "orders")
+    )
+
+
+def q_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14-shaped: percent of windowed revenue from PROMO parts."""
+    return analytics.promo_revenue_share(
+        load_table(spark, sf_dir, "lineitem"), load_table(spark, sf_dir, "part")
+    )
+
+
+def q_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15-shaped: supplier(s) with maximum windowed revenue
+    (1-row broadcast max, no global window)."""
+    return analytics.top_supplier(
+        load_table(spark, sf_dir, "lineitem"), load_table(spark, sf_dir, "supplier")
+    )
+
+
+def q_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17-shaped: avg yearly revenue lost dropping below-half-avg
+    quantity lines of one brand (decorrelated per-part avg)."""
+    return analytics.small_quantity_revenue(
+        load_table(spark, sf_dir, "lineitem"), load_table(spark, sf_dir, "part")
+    )
+
+
+def q_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18-shaped: top-20 large-volume orders (HAVING-IN →
+    aggregate-then-join-back)."""
+    t = {n: load_table(spark, sf_dir, n) for n in ("lineitem", "orders", "customer")}
+    return analytics.large_volume_orders(t["lineitem"], t["orders"], t["customer"])
+
+
+def q_disjunctive_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19-shaped: revenue under OR-of-ANDs brand/size/quantity
+    predicates (stays broadcast-hash, no nested loop)."""
+    return analytics.disjunctive_brand_revenue(
+        load_table(spark, sf_dir, "lineitem"), load_table(spark, sf_dir, "part")
+    )
+
+
+def q_rich_inactive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22-shaped: above-average-balance customers with no URGENT
+    orders, per segment (scalar subquery + anti join)."""
+    return analytics.rich_inactive_customers(
+        load_table(spark, sf_dir, "customer"), load_table(spark, sf_dir, "orders")
+    )
+
+
+def q_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10-shaped: top-20 customers by revenue lost to returns in
+    a half-year window."""
+    t = {n: load_table(spark, sf_dir, n) for n in ("lineitem", "orders", "customer", "nation")}
+    return analytics.returned_item_customers(t["lineitem"], t["orders"], t["customer"], t["nation"])
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -1012,6 +1081,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_repetition_ratio": q_repetition_ratio,
         "q_shipping_priority": q_shipping_priority,
         "q_above_customer_avg": q_above_customer_avg,
+        "q_order_priority": q_order_priority,
+        "q_customer_distribution": q_customer_distribution,
+        "q_promo_revenue": q_promo_revenue,
+        "q_top_supplier": q_top_supplier,
+        "q_small_qty_revenue": q_small_qty_revenue,
+        "q_large_orders": q_large_orders,
+        "q_disjunctive_join": q_disjunctive_join,
+        "q_rich_inactive": q_rich_inactive,
+        "q_returned_items": q_returned_items,
         "q_variant_props": q_variant_props,
         "q_rolling_wau": q_rolling_wau,
         "q_lone_returner": q_lone_returner,
@@ -1851,6 +1929,120 @@ def oracle_sql() -> dict[str, str]:
               FROM orders
             )
             WHERE o_totalprice > cust_avg
+        """,
+        "q_order_priority": """
+            SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+            FROM orders o
+            WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o_orderdate < TIMESTAMP '1997-01-01'
+              AND EXISTS (
+                SELECT 1 FROM lineitem l
+                WHERE l.l_orderkey = o.o_orderkey
+                  AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+              )
+            GROUP BY o_orderpriority
+            ORDER BY o_orderpriority
+        """,
+        "q_customer_distribution": """
+            SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+            FROM (
+              SELECT c_custkey, count(o_orderkey) AS c_count
+              FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+              GROUP BY c_custkey
+            )
+            GROUP BY c_count
+            ORDER BY custdist DESC, c_count DESC
+        """,
+        "q_promo_revenue": """
+            SELECT round(
+                     100.0
+                     * sum(CASE WHEN p_type = 'PROMO'
+                                THEN l_extendedprice * (1 - l_discount)
+                                ELSE 0 END)
+                     / sum(l_extendedprice * (1 - l_discount)), 6) AS promo_revenue_pct
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate < TIMESTAMP '1996-04-01'
+        """,
+        "q_top_supplier": """
+            WITH r AS (
+              SELECT l_suppkey,
+                     round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+              FROM lineitem
+              WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+                AND l_shipdate < TIMESTAMP '1996-04-01'
+              GROUP BY l_suppkey
+            )
+            SELECT s_suppkey, s_name, total_revenue
+            FROM r JOIN supplier ON l_suppkey = s_suppkey
+            WHERE total_revenue = (SELECT max(total_revenue) FROM r)
+            ORDER BY s_suppkey
+        """,
+        "q_small_qty_revenue": """
+            SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+            FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+            WHERE p.p_brand = 'Brand#1'
+              AND l.l_quantity < 0.5 * (
+                SELECT avg(l2.l_quantity) FROM lineitem l2
+                WHERE l2.l_partkey = l.l_partkey
+              )
+        """,
+        "q_large_orders": """
+            SELECT c_name, c_custkey, o_orderkey,
+                   strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+                   round(o_totalprice, 2) AS o_totalprice,
+                   round(total_qty, 2) AS total_qty
+            FROM orders
+            JOIN (
+              SELECT l_orderkey, sum(l_quantity) AS total_qty
+              FROM lineitem GROUP BY l_orderkey
+              HAVING sum(l_quantity) > 150.0
+            ) ON o_orderkey = l_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            ORDER BY round(o_totalprice, 2) DESC, o_orderkey
+            LIMIT 20
+        """,
+        "q_disjunctive_join": """
+            SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE l_quantity BETWEEN 1 AND 30
+              AND ((p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+                    AND l_quantity BETWEEN 1 AND 11)
+                OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 25
+                    AND l_quantity BETWEEN 10 AND 20)
+                OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 35
+                    AND l_quantity BETWEEN 20 AND 30))
+        """,
+        "q_rich_inactive": """
+            SELECT c_mktsegment,
+                   CAST(count(*) AS BIGINT) AS numcust,
+                   round(sum(c_acctbal), 2) AS totacctbal
+            FROM customer c
+            WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0)
+              AND NOT EXISTS (
+                SELECT 1 FROM orders o
+                WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT'
+              )
+            GROUP BY c_mktsegment
+            ORDER BY c_mktsegment
+        """,
+        "q_returned_items": """
+            WITH agg AS (
+              SELECT o_custkey,
+                     round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+              FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+              WHERE l_returnflag = 'R'
+                AND o_orderdate >= TIMESTAMP '1996-01-01'
+                AND o_orderdate < TIMESTAMP '1996-07-01'
+              GROUP BY o_custkey
+            )
+            SELECT c_custkey, c_name, round(c_acctbal, 2) AS c_acctbal,
+                   n_name AS nation, revenue
+            FROM agg
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            ORDER BY revenue DESC, c_custkey
+            LIMIT 20
         """,
         "q_incremental_dedup": """
             WITH fp AS (

@@ -1587,3 +1587,276 @@ def price_deciles(orders: DataFrame) -> DataFrame:
             F.round(F.avg("o_totalprice"), 2).alias("avg_price"),
         )
     )
+
+
+def order_priority_check(
+    orders: DataFrame,
+    lineitem: DataFrame,
+    *,
+    start: str = "1996-01-01",
+    end: str = "1997-01-01",
+    late_days: int = 60,
+) -> DataFrame:
+    """TPC-H Q4-shaped priority check: per order priority, how many
+    orders in a quarter-ish window had at least one line item shipped
+    more than `late_days` after the order date (EXISTS → left-semi).
+
+    The graph analog: ACTIONs WITH_STATUS late, counted per priority
+    class (`pkg/neo4j/client.go:19`). Scale shape: both date predicates
+    push to the parquet scans; the EXISTS decorrelates to a left-semi
+    join on the order key, so each qualifying order is counted once no
+    matter how many late lines it has — no post-join distinct.
+    """
+    windowed = orders.filter(
+        (F.col("o_orderdate") >= F.lit(start)) & (F.col("o_orderdate") < F.lit(end))
+    )
+    late_lines = lineitem.select("l_orderkey", "l_shipdate")
+    joined = windowed.join(
+        late_lines,
+        (F.col("l_orderkey") == F.col("o_orderkey"))
+        & (F.col("l_shipdate") > F.date_add(F.col("o_orderdate"), late_days)),
+        "left_semi",
+    )
+    return (
+        joined.groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+def customer_order_distribution(customer: DataFrame, orders: DataFrame) -> DataFrame:
+    """TPC-H Q13-shaped distribution: histogram of customers by how many
+    orders they placed, INCLUDING the zero bucket (left outer join).
+
+    Graph analog: OPTIONAL MATCH degree census over PERFORMED_BY
+    (`pkg/neo4j/client.go:20`). Two aggregations: the first shuffles on
+    the customer key (high cardinality, uniform); the second groups the
+    already-tiny per-customer counts by count value — its input is one
+    row per customer, so the second shuffle is small by construction.
+    """
+    per_cust = (
+        customer.join(orders, F.col("o_custkey") == F.col("c_custkey"), "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+def promo_revenue_share(
+    lineitem: DataFrame,
+    part: DataFrame,
+    *,
+    start: str = "1996-01-01",
+    end: str = "1996-04-01",
+    promo_type: str = "PROMO",
+) -> DataFrame:
+    """TPC-H Q14-shaped promotion effect: percentage of revenue in a
+    date window coming from parts of the promo type.
+
+    One conditional aggregation over lineitem⋈broadcast(part) — the
+    CASE rides inside the agg, so there is exactly one pass over the
+    fact and the date filter reaches the parquet scan.
+    """
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        lineitem.filter((F.col("l_shipdate") >= F.lit(start)) & (F.col("l_shipdate") < F.lit(end)))
+        .join(F.broadcast(part.select("p_partkey", "p_type")), F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            F.round(
+                F.lit(100.0)
+                * F.sum(F.when(F.col("p_type") == promo_type, rev).otherwise(F.lit(0.0)))
+                / F.sum(rev),
+                6,
+            ).alias("promo_revenue_pct")
+        )
+    )
+
+
+def top_supplier(
+    lineitem: DataFrame,
+    supplier: DataFrame,
+    *,
+    start: str = "1996-01-01",
+    end: str = "1996-04-01",
+) -> DataFrame:
+    """TPC-H Q15-shaped top supplier: supplier(s) achieving the maximum
+    revenue within a shipping window.
+
+    The max is computed as a 1-row aggregate over the per-supplier
+    rollup and broadcast back as an equality filter — never a global
+    window over the fact, and the fact is scanned once (the rollup
+    feeds both the max and the final filter via AQE exchange reuse).
+    Revenue is rounded to cents BEFORE the max/equality compare so both
+    engines resolve boundary ties identically.
+    """
+    per_supp = (
+        lineitem.filter((F.col("l_shipdate") >= F.lit(start)) & (F.col("l_shipdate") < F.lit(end)))
+        .groupBy("l_suppkey")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("total_revenue"))
+    )
+    max_rev = per_supp.agg(F.max("total_revenue").alias("_max_rev"))
+    return (
+        per_supp.join(F.broadcast(max_rev), F.col("total_revenue") == F.col("_max_rev"))
+        .join(F.broadcast(supplier.select("s_suppkey", "s_name")), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    )
+
+
+def small_quantity_revenue(lineitem: DataFrame, part: DataFrame, *, brand: str = "Brand#1") -> DataFrame:
+    """TPC-H Q17-shaped lost-revenue probe: average yearly revenue that
+    would be lost by dropping small orders — line items of one brand
+    whose quantity is below 50% of that part's average quantity.
+
+    The correlated scalar subquery (avg per same part) decorrelates to
+    a per-part aggregate joined back on the part key. The per-part avg
+    frame is dimension-sized (one row per part), so it broadcasts; the
+    fact is scanned twice but never shuffled on a fact-sized key.
+    """
+    brand_parts = F.broadcast(
+        part.filter(F.col("p_brand") == brand).select("p_partkey")
+    )
+    per_part_avg = (
+        lineitem.join(brand_parts, F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy(F.col("l_partkey").alias("_avg_partkey"))
+        .agg(F.avg("l_quantity").alias("_avg_qty"))
+    )
+    return (
+        lineitem.join(brand_parts, F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(per_part_avg), F.col("l_partkey") == F.col("_avg_partkey"))
+        .filter(F.col("l_quantity") < 0.5 * F.col("_avg_qty"))
+        .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
+    )
+
+
+def large_volume_orders(
+    lineitem: DataFrame,
+    orders: DataFrame,
+    customer: DataFrame,
+    *,
+    min_quantity: float = 150.0,
+    k: int = 20,
+) -> DataFrame:
+    """TPC-H Q18-shaped large-volume customers: orders whose total line
+    quantity exceeds a threshold, with customer identity, top-k by
+    order value.
+
+    The HAVING-IN decorrelates to: aggregate lineitem once on the order
+    key, filter by the threshold (few survivors), then JOIN the
+    survivors back — the second fact pass is a semi-join against a
+    small filtered set, and the customer dimension broadcasts. Top-k is
+    TakeOrderedAndProject, never a global sort.
+    """
+    big = (
+        lineitem.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("total_qty"))
+        .filter(F.col("total_qty") > min_quantity)
+    )
+    return (
+        orders.join(big, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(customer.select("c_custkey", "c_name")), F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+            F.round("o_totalprice", 2).alias("o_totalprice"),
+            F.round("total_qty", 2).alias("total_qty"),
+        )
+        .orderBy(F.desc("o_totalprice"), "o_orderkey")
+        .limit(k)
+    )
+
+
+def disjunctive_brand_revenue(lineitem: DataFrame, part: DataFrame) -> DataFrame:
+    """TPC-H Q19-shaped disjunctive join: revenue from three OR'd
+    brand/size/quantity predicate groups.
+
+    The OR-of-ANDs stays a single join predicate on the equi-key
+    (l_partkey = p_partkey) with the disjunction as a post-join filter
+    on the broadcast side — Catalyst keeps it a broadcast-hash join
+    (the common Q19 trap is letting the disjunction force a nested
+    loop). Common sub-predicates (quantity bounds) push to the fact
+    scan as a covering range.
+    """
+    p = F.broadcast(part.select("p_partkey", "p_brand", "p_size"))
+    g1 = (F.col("p_brand") == "Brand#1") & (F.col("p_size").between(1, 15)) & (F.col("l_quantity").between(1, 11))
+    g2 = (F.col("p_brand") == "Brand#2") & (F.col("p_size").between(1, 25)) & (F.col("l_quantity").between(10, 20))
+    g3 = (F.col("p_brand") == "Brand#3") & (F.col("p_size").between(1, 35)) & (F.col("l_quantity").between(20, 30))
+    return (
+        lineitem.filter(F.col("l_quantity").between(1, 30))
+        .join(p, F.col("l_partkey") == F.col("p_partkey"))
+        .filter(g1 | g2 | g3)
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+    )
+
+
+def rich_inactive_customers(customer: DataFrame, orders: DataFrame) -> DataFrame:
+    """TPC-H Q22-shaped sleeping-capital probe: customers whose balance
+    exceeds the average positive balance AND who never placed an
+    URGENT-priority order, counted per market segment.
+
+    Two classic decorrelations in one query: the scalar subquery (global
+    avg of positive balances) becomes a 1-row broadcast cross join; the
+    NOT EXISTS becomes a left-anti join against the filtered orders
+    projection. Both sides of the anti join key on the customer id.
+    """
+    avg_bal = customer.filter(F.col("c_acctbal") > 0).agg(F.avg("c_acctbal").alias("_avg_bal"))
+    urgent_orders = orders.filter(F.col("o_orderpriority") == "1-URGENT").select("o_custkey")
+    return (
+        customer.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("_avg_bal"))
+        .join(urgent_orders, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("numcust"),
+            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+def returned_item_customers(
+    lineitem: DataFrame,
+    orders: DataFrame,
+    customer: DataFrame,
+    nation: DataFrame,
+    *,
+    start: str = "1996-01-01",
+    end: str = "1996-07-01",
+    k: int = 20,
+) -> DataFrame:
+    """TPC-H Q10-shaped returned-item report: top-k customers by revenue
+    lost to returned items in a half-year window.
+
+    Graph analog: ACTIONs WITH_STATUS 'incident' rolled up to the
+    RESOURCE that performed them (`pkg/neo4j/client.go:19-20`). The
+    return-flag and date filters push to the two fact scans before the
+    fact-fact join; customer and nation broadcast onto the per-customer
+    aggregate. Revenue is rounded before the top-k order so tie
+    resolution (then broken by key) matches the oracle.
+    """
+    returned = lineitem.filter(F.col("l_returnflag") == "R")
+    windowed = orders.filter(
+        (F.col("o_orderdate") >= F.lit(start)) & (F.col("o_orderdate") < F.lit(end))
+    )
+    return (
+        returned.join(windowed, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_custkey")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select(
+            "c_custkey",
+            "c_name",
+            F.round("c_acctbal", 2).alias("c_acctbal"),
+            F.col("n_name").alias("nation"),
+            "revenue",
+        )
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(k)
+    )

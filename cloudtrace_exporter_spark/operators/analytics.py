@@ -1629,15 +1629,17 @@ def customer_order_distribution(customer: DataFrame, orders: DataFrame) -> DataF
     orders they placed, INCLUDING the zero bucket (left outer join).
 
     Graph analog: OPTIONAL MATCH degree census over PERFORMED_BY
-    (`pkg/neo4j/client.go:20`). Two aggregations: the first shuffles on
-    the customer key (high cardinality, uniform); the second groups the
-    already-tiny per-customer counts by count value — its input is one
-    row per customer, so the second shuffle is small by construction.
+    (`pkg/neo4j/client.go:20`). The fact is aggregated BEFORE the outer
+    join — counting per o_custkey first shrinks the fact to one row per
+    customer, so the outer join moves two dimension-sized frames instead
+    of dragging full-width order rows through the join. The second
+    groupBy (count value histogram) is over the per-customer counts —
+    tiny by construction.
     """
+    per_key = orders.groupBy("o_custkey").agg(F.count("*").alias("_n"))
     per_cust = (
-        customer.join(orders, F.col("o_custkey") == F.col("c_custkey"), "left_outer")
-        .groupBy("c_custkey")
-        .agg(F.count("o_orderkey").alias("c_count"))
+        customer.join(per_key, F.col("o_custkey") == F.col("c_custkey"), "left_outer")
+        .select(F.coalesce(F.col("_n"), F.lit(0)).alias("c_count"))
     )
     return (
         per_cust.groupBy("c_count")

@@ -1018,6 +1018,28 @@ def q_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     return analytics.returned_item_customers(t["lineitem"], t["orders"], t["customer"], t["nation"])
 
 
+def q_bfs_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cypher shortestPath parity: BFS hop distances over the τ=0.3
+    embedding-similarity graph from its max-degree node (frontier
+    expansion with early stop, lineage checkpointed per hop)."""
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 1000)
+    edges = dedup.embedding_near_dups(emb, threshold=0.3).select(
+        F.col("vec_a").alias("src"), F.col("vec_b").alias("dst")
+    )
+    deg = (
+        edges.select(F.col("src").alias("n"))
+        .union(edges.select(F.col("dst").alias("n")))
+        .groupBy("n")
+        .agg(F.count("*").alias("d"))
+    )
+    source = deg.orderBy(F.desc("d"), F.asc("n")).limit(1).select("n")
+    return (
+        graph.bfs_distances(edges, source)
+        .select(F.col("node").alias("vec_id"), "dist")
+        .orderBy("vec_id")
+    )
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -1090,6 +1112,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_disjunctive_join": q_disjunctive_join,
         "q_rich_inactive": q_rich_inactive,
         "q_returned_items": q_returned_items,
+        "q_bfs_distances": q_bfs_distances,
         "q_variant_props": q_variant_props,
         "q_rolling_wau": q_rolling_wau,
         "q_lone_returner": q_lone_returner,
@@ -2025,6 +2048,30 @@ def oracle_sql() -> dict[str, str]:
               )
             GROUP BY c_mktsegment
             ORDER BY c_mktsegment
+        """,
+        "q_bfs_distances": """
+            WITH RECURSIVE v AS (
+              SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings WHERE vec_id < 1000
+            ),
+            pairs AS (
+              SELECT a.vec_id AS s1, b.vec_id AS s2
+              FROM v a JOIN v b ON a.vec_id < b.vec_id
+              WHERE round(list_dot_product(a.e, b.e)
+                    / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))), 6) >= 0.3
+            ),
+            sym AS (SELECT s1 AS src, s2 AS dst FROM pairs UNION ALL SELECT s2, s1 FROM pairs),
+            source AS (
+              SELECT src AS s FROM sym GROUP BY src ORDER BY count(*) DESC, src LIMIT 1
+            ),
+            reach(node, d) AS (
+              SELECT s, 0 FROM source
+              UNION
+              SELECT sym.dst, reach.d + 1
+              FROM reach JOIN sym ON reach.node = sym.src
+              WHERE reach.d < 10
+            )
+            SELECT node AS vec_id, CAST(min(d) AS INTEGER) AS dist
+            FROM reach GROUP BY node ORDER BY vec_id
         """,
         "q_returned_items": """
             WITH agg AS (

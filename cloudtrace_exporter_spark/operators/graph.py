@@ -206,3 +206,56 @@ def pagerank(
         )
     weighted.unpersist()
     return ranks.select("id", F.round("rank", 6).alias("pagerank"))
+
+
+def bfs_distances(
+    edges: DataFrame,
+    sources: DataFrame,
+    *,
+    src: str = "src",
+    dst: str = "dst",
+    max_hops: int = 10,
+) -> DataFrame:
+    """Multi-source BFS hop distances over an undirected edge list →
+    (node, dist). The Cypher ``shortestPath((a)-[*]-(b))`` parity the
+    reference's Neo4j graph serves (README.md:39-48) — unbounded
+    variable-length paths, where the fixed-hop joins (q_subject_reach)
+    stop at a known depth.
+
+    Frontier-at-a-time (Pregel-style): each hop expands only the nodes
+    discovered last round, anti-joins against everything already
+    settled, and stops early when the frontier empties. Per hop that is
+    one equi-join keyed on node id + one node-sized anti-join — the
+    fact-scale edge list is symmetrized and checkpointed ONCE, and
+    lineage is truncated every round (localCheckpoint) so the plan does
+    not deepen with hop count. `sources` is a 1-column frame of seed
+    ids; distances are exact minimum hop counts because a node is
+    settled the first round it appears.
+    """
+    sym = (
+        edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+        .union(edges.select(F.col(dst).alias("s"), F.col(src).alias("d")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    dist = (
+        sources.select(F.col(sources.columns[0]).alias("node"))
+        .distinct()
+        .withColumn("dist", F.lit(0))
+        .localCheckpoint(eager=True)
+    )
+    frontier = dist.select("node")
+    for hop in range(1, max_hops + 1):
+        nxt = (
+            frontier.join(sym, frontier["node"] == sym["s"])
+            .select(F.col("d").alias("node"))
+            .distinct()
+            .join(dist, "node", "left_anti")
+            .withColumn("dist", F.lit(hop))
+            .localCheckpoint(eager=True)
+        )
+        if nxt.isEmpty():
+            break
+        dist = dist.union(nxt).localCheckpoint(eager=True)
+        frontier = nxt.select("node")
+    return dist

@@ -152,3 +152,32 @@ def test_pagerank_sink_hub_ranks_highest(spark):
     got = {r["id"]: r["pagerank"] for r in graph.pagerank(edges, n_iter=20).collect()}
     assert got["hub"] == max(got.values())
     assert got["s1"] > got["s2"] == got["s3"]
+
+
+def test_bfs_distances_path_graph(spark):
+    # path a-b-c-d-e plus disconnected f-g: exact hop counts, unreachable absent
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d"), ("d", "e"), ("f", "g")], ["src", "dst"]
+    )
+    src = spark.createDataFrame([("a",)], ["node"])
+    got = {r["node"]: r["dist"] for r in graph.bfs_distances(edges, src).collect()}
+    assert got == {"a": 0, "b": 1, "c": 2, "d": 3, "e": 4}
+
+
+def test_bfs_distances_multi_source_takes_min(spark):
+    # sources at both ends of the path: middle node settles at the nearer one
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d"), ("d", "e")], ["src", "dst"]
+    )
+    src = spark.createDataFrame([("a",), ("e",)], ["node"])
+    got = {r["node"]: r["dist"] for r in graph.bfs_distances(edges, src).collect()}
+    assert got == {"a": 0, "e": 0, "b": 1, "d": 1, "c": 2}
+
+
+def test_bfs_distances_respects_max_hops(spark):
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d")], ["src", "dst"]
+    )
+    src = spark.createDataFrame([("a",)], ["node"])
+    got = {r["node"]: r["dist"] for r in graph.bfs_distances(edges, src, max_hops=2).collect()}
+    assert got == {"a": 0, "b": 1, "c": 2}  # d is 3 hops out -> not settled

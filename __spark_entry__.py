@@ -1040,6 +1040,74 @@ def q_bfs_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-shaped: pricing summary report — full additive-measure
+    battery per (returnflag, linestatus), map-side partial agg."""
+    return analytics.pricing_summary(load_table(spark, sf_dir, "lineitem"))
+
+
+def q_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2-shaped: per-part minimum observed unit price supplier in
+    a region (correlated MIN decorrelated to agg + join-back)."""
+    t = {n: load_table(spark, sf_dir, n) for n in ("lineitem", "part", "supplier", "nation", "region")}
+    return analytics.min_cost_supplier(t["lineitem"], t["part"], t["supplier"], t["nation"], t["region"])
+
+
+def q_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-shaped: same-nation customer/supplier revenue per nation
+    of one region over one order year."""
+    t = {
+        n: load_table(spark, sf_dir, n)
+        for n in ("lineitem", "orders", "customer", "supplier", "nation", "region")
+    }
+    return analytics.local_supplier_volume(
+        t["lineitem"], t["orders"], t["customer"], t["supplier"], t["nation"], t["region"]
+    )
+
+
+def q_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6-shaped: discount-elimination revenue forecast — pure
+    pushed-down range filters + one global sum, zero shuffles."""
+    return analytics.forecast_revenue_change(load_table(spark, sf_dir, "lineitem"))
+
+
+def q_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9-shaped: profit per (supplier nation, order year) for
+    fragment-named parts (retailprice-derived cost stand-in)."""
+    t = {n: load_table(spark, sf_dir, n) for n in ("lineitem", "orders", "part", "supplier", "nation")}
+    return analytics.product_type_profit(t["lineitem"], t["orders"], t["part"], t["supplier"], t["nation"])
+
+
+def q_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11-shaped: parts whose shipped value exceeds a fraction of
+    the corpus total (HAVING vs scalar subquery, exchange reuse)."""
+    return analytics.important_parts(
+        load_table(spark, sf_dir, "lineitem"), load_table(spark, sf_dir, "part")
+    )
+
+
+def q_late_shipment_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12-shaped: high/low-priority conditional counts of late
+    lines per line status (one join, one conditional agg)."""
+    return analytics.late_shipment_priority(
+        load_table(spark, sf_dir, "lineitem"), load_table(spark, sf_dir, "orders")
+    )
+
+
+def q_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16-shaped: distinct supplier count per (brand,type,size)
+    with brand + supplier-set exclusions (anti join, distinct pairs)."""
+    t = {n: load_table(spark, sf_dir, n) for n in ("lineitem", "part", "supplier")}
+    return analytics.supplier_part_counts(t["lineitem"], t["part"], t["supplier"])
+
+
+def q_promo_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20-shaped: suppliers moving > threshold units of
+    fragment-named parts in a window (nested-IN decorrelated)."""
+    t = {n: load_table(spark, sf_dir, n) for n in ("lineitem", "part", "supplier", "nation")}
+    return analytics.promotion_suppliers(t["lineitem"], t["part"], t["supplier"], t["nation"])
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -1104,6 +1172,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_shipping_priority": q_shipping_priority,
         "q_above_customer_avg": q_above_customer_avg,
         "q_order_priority": q_order_priority,
+        "q_pricing_summary": q_pricing_summary,
+        "q_min_cost_supplier": q_min_cost_supplier,
+        "q_local_supplier_volume": q_local_supplier_volume,
+        "q_forecast_revenue": q_forecast_revenue,
+        "q_product_profit": q_product_profit,
+        "q_important_parts": q_important_parts,
+        "q_late_shipment_priority": q_late_shipment_priority,
+        "q_supplier_part_counts": q_supplier_part_counts,
+        "q_promo_suppliers": q_promo_suppliers,
         "q_customer_distribution": q_customer_distribution,
         "q_promo_revenue": q_promo_revenue,
         "q_top_supplier": q_top_supplier,
@@ -1965,6 +2042,125 @@ def oracle_sql() -> dict[str, str]:
               )
             GROUP BY o_orderpriority
             ORDER BY o_orderpriority
+        """,
+        "q_pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 2) AS sum_qty,
+                   round(sum(l_extendedprice), 2) AS sum_base_price,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+                   round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+                   round(avg(l_quantity), 6) AS avg_qty,
+                   round(avg(l_extendedprice), 6) AS avg_price,
+                   round(avg(l_discount), 6) AS avg_disc,
+                   CAST(count(*) AS BIGINT) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '2001-09-01'
+            GROUP BY l_returnflag, l_linestatus
+            ORDER BY l_returnflag, l_linestatus
+        """,
+        "q_min_cost_supplier": """
+            WITH supply AS (
+              SELECT DISTINCT p_partkey, p_name, s_suppkey, s_name, s_acctbal, n_name,
+                     floor(l_extendedprice * 100.0 / l_quantity + 0.5) / 100.0 AS unit_price
+              FROM lineitem
+              JOIN part ON l_partkey = p_partkey AND p_type = 'LARGE'
+              JOIN supplier ON l_suppkey = s_suppkey
+              JOIN nation ON s_nationkey = n_nationkey
+              JOIN region ON n_regionkey = r_regionkey AND r_name = 'EUROPE'
+            )
+            SELECT round(s_acctbal, 2) AS s_acctbal, s_name, n_name AS nation,
+                   p_partkey, p_name, unit_price
+            FROM supply s
+            WHERE unit_price = (
+              SELECT min(unit_price) FROM supply m WHERE m.p_partkey = s.p_partkey
+            )
+            ORDER BY s_acctbal DESC, p_partkey, s_name
+        """,
+        "q_local_supplier_volume": """
+            SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+            JOIN nation ON s_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            WHERE r_name = 'ASIA'
+              AND o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o_orderdate < TIMESTAMP '1997-01-01'
+            GROUP BY n_name
+            ORDER BY revenue DESC, n_name
+        """,
+        "q_forecast_revenue": """
+            SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate < TIMESTAMP '1997-01-01'
+              AND l_discount BETWEEN 0.02 AND 0.04
+              AND l_quantity < 24
+        """,
+        "q_product_profit": """
+            SELECT n_name AS nation,
+                   CAST(year(o_orderdate) AS INT) AS o_year,
+                   round(sum(l_extendedprice * (1 - l_discount)
+                             - 0.6 * p_retailprice * l_quantity), 2) AS sum_profit
+            FROM lineitem
+            JOIN part ON l_partkey = p_partkey AND p_name LIKE '%widget%'
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation ON s_nationkey = n_nationkey
+            GROUP BY n_name, year(o_orderdate)
+            ORDER BY nation, o_year DESC
+        """,
+        "q_important_parts": """
+            WITH per_part AS (
+              SELECT l_partkey,
+                     round(sum(l_extendedprice * (1 - l_discount)), 2) AS part_value
+              FROM lineitem GROUP BY l_partkey
+            )
+            SELECT p_partkey, p_name, part_value
+            FROM per_part
+            JOIN part ON l_partkey = p_partkey
+            WHERE part_value > 1.5 * (SELECT avg(part_value) FROM per_part)
+            ORDER BY part_value DESC, p_partkey
+        """,
+        "q_late_shipment_priority": """
+            SELECT l_linestatus,
+                   CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                            THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+                   CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                            THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o_orderdate < TIMESTAMP '1997-01-01'
+              AND l_shipdate > o_orderdate + INTERVAL 90 DAY
+            GROUP BY l_linestatus
+            ORDER BY l_linestatus
+        """,
+        "q_supplier_part_counts": """
+            SELECT p_brand, p_type, p_size,
+                   CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+            FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) pairs
+            JOIN part ON l_partkey = p_partkey AND p_brand <> 'Brand#5'
+            WHERE l_suppkey NOT IN (
+              SELECT s_suppkey FROM supplier WHERE s_acctbal < 1000.0
+            )
+            GROUP BY p_brand, p_type, p_size
+            ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+        """,
+        "q_promo_suppliers": """
+            SELECT s_suppkey, s_name, n_name AS nation, total_qty
+            FROM (
+              SELECT l_suppkey, round(sum(l_quantity), 2) AS total_qty
+              FROM lineitem
+              JOIN part ON l_partkey = p_partkey AND p_name LIKE '%widget%'
+              WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+                AND l_shipdate < TIMESTAMP '1997-01-01'
+              GROUP BY l_suppkey
+              HAVING round(sum(l_quantity), 2) > 50.0
+            )
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation ON s_nationkey = n_nationkey
+            ORDER BY s_suppkey
         """,
         "q_customer_distribution": """
             SELECT c_count, CAST(count(*) AS BIGINT) AS custdist

@@ -1862,3 +1862,395 @@ def returned_item_customers(
         .orderBy(F.desc("revenue"), "c_custkey")
         .limit(k)
     )
+
+
+def pricing_summary(lineitem: DataFrame, *, cutoff: str = "2001-09-01") -> DataFrame:
+    """TPC-H Q1-shaped pricing summary report: per (returnflag,
+    linestatus), the full additive-measure battery — sums of quantity,
+    base price, discounted price, charge, the three averages, and the
+    row count — over all lines shipped on or before the cutoff.
+
+    Graph analog: the STATUS-dimension rollup of ACTION measures
+    (`pkg/neo4j/client.go:19`). Scale shape: the canonical map-side
+    partial aggregation — 6 accumulators + count on a 2-value × 2-value
+    key, so the shuffle moves a handful of rows regardless of fact
+    size; the date predicate pushes to the parquet scan. Averages are
+    computed as sum/count at the reducer, never a second pass.
+    """
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        lineitem.filter(F.col("l_shipdate") <= F.lit(cutoff))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(charge), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def min_cost_supplier(
+    lineitem: DataFrame,
+    part: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+    region: DataFrame,
+    *,
+    region_name: str = "EUROPE",
+    part_type: str = "LARGE",
+) -> DataFrame:
+    """TPC-H Q2-shaped minimum-cost supplier (adapted: the fixtures have
+    no partsupp table, so the part↔supplier supply relation is derived
+    from lineitem, with observed unit price l_extendedprice/l_quantity
+    standing in for ps_supplycost).
+
+    For each part of the given type, find the supplier(s) in the given
+    region offering the minimum observed unit price. The correlated MIN
+    subquery decorrelates to a per-part aggregate joined back on
+    (partkey, unit_price) — the Q2 pattern. Scale shape: the supply
+    relation is distinct-reduced before the min (one shuffle on
+    partkey); part/supplier/nation/region all broadcast. Unit price is
+    snapped to cents via ``floor(x*100 + 0.5)/100`` — floor on the
+    binary double is engine-identical, whereas decimal ``round``
+    differs between Spark (shortest-decimal HALF_UP) and DuckDB
+    (binary-value) on ties like 577.795.
+    """
+    eligible_parts = F.broadcast(
+        part.filter(F.col("p_type") == part_type).select("p_partkey", "p_name")
+    )
+    regional_suppliers = F.broadcast(
+        supplier.join(
+            F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey")
+        )
+        .join(
+            F.broadcast(region.filter(F.col("r_name") == region_name)),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    supply = (
+        lineitem.select(
+            "l_partkey",
+            "l_suppkey",
+            (
+                F.floor(F.col("l_extendedprice") * 100.0 / F.col("l_quantity") + 0.5) / 100.0
+            ).alias("unit_price"),
+        )
+        .join(eligible_parts, F.col("l_partkey") == F.col("p_partkey"))
+        .join(regional_suppliers, F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("p_partkey", "p_name", "s_suppkey", "s_name", "s_acctbal", "n_name", "unit_price")
+        .distinct()
+    )
+    min_price = supply.groupBy(F.col("p_partkey").alias("_min_partkey")).agg(
+        F.min("unit_price").alias("_min_price")
+    )
+    return (
+        supply.join(
+            F.broadcast(min_price),
+            (F.col("p_partkey") == F.col("_min_partkey"))
+            & (F.col("unit_price") == F.col("_min_price")),
+        )
+        .select(
+            F.round("s_acctbal", 2).alias("s_acctbal"),
+            "s_name",
+            F.col("n_name").alias("nation"),
+            "p_partkey",
+            "p_name",
+            "unit_price",
+        )
+        .orderBy(F.desc("s_acctbal"), "p_partkey", "s_name")
+    )
+
+
+def local_supplier_volume(
+    lineitem: DataFrame,
+    orders: DataFrame,
+    customer: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+    region: DataFrame,
+    *,
+    region_name: str = "ASIA",
+    start: str = "1996-01-01",
+    end: str = "1997-01-01",
+) -> DataFrame:
+    """TPC-H Q5-shaped local supplier volume: revenue from lineitems
+    where the supplier and the ordering customer share a nation, per
+    nation of a region, over one order-date year.
+
+    Graph analog: TENANT-local RESOURCE activity — the MEMBER_OF +
+    LOCATED_AT chain closed into a cycle (`pkg/neo4j/client.go:16-17`).
+    Scale shape: the only fact-fact join is lineitem⋈orders on the
+    order key; customer, supplier, nation, region broadcast. The
+    same-nation constraint rides as an equality INSIDE the broadcast
+    joins (c_nationkey = s_nationkey), so no extra shuffle — Catalyst
+    evaluates it as a post-broadcast filter on dimension columns.
+    """
+    windowed = orders.filter(
+        (F.col("o_orderdate") >= F.lit(start)) & (F.col("o_orderdate") < F.lit(end))
+    ).select("o_orderkey", "o_custkey")
+    regional_nations = F.broadcast(
+        nation.join(
+            F.broadcast(region.filter(F.col("r_name") == region_name)),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        ).select("n_nationkey", "n_name")
+    )
+    return (
+        lineitem.select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+        .join(windowed, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            F.broadcast(customer.select("c_custkey", "c_nationkey")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .join(
+            F.broadcast(supplier.select("s_suppkey", "s_nationkey")),
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(regional_nations, F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(F.round(F.sum(_rev()), 2).alias("revenue"))
+        .orderBy(F.desc("revenue"), "n_name")
+    )
+
+
+def forecast_revenue_change(
+    lineitem: DataFrame,
+    *,
+    start: str = "1996-01-01",
+    end: str = "1997-01-01",
+    disc_lo: float = 0.02,
+    disc_hi: float = 0.04,
+    max_qty: float = 24.0,
+) -> DataFrame:
+    """TPC-H Q6-shaped forecasting revenue change: total discount amount
+    on a year of low-quantity, mid-discount lines — the revenue that
+    would be recovered by eliminating those discounts.
+
+    The simplest possible 100 TB plan: three range predicates, all
+    pushed to the parquet scan (`PushedFilters` carries shipdate,
+    discount, and quantity bounds), one map-side-partial global sum —
+    zero joins, zero data shuffles, one row out.
+    """
+    return (
+        lineitem.filter(
+            (F.col("l_shipdate") >= F.lit(start))
+            & (F.col("l_shipdate") < F.lit(end))
+            & (F.col("l_discount").between(disc_lo, disc_hi))
+            & (F.col("l_quantity") < max_qty)
+        )
+        .agg(F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue"))
+    )
+
+
+def product_type_profit(
+    lineitem: DataFrame,
+    orders: DataFrame,
+    part: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+    *,
+    name_fragment: str = "widget",
+    cost_factor: float = 0.6,
+) -> DataFrame:
+    """TPC-H Q9-shaped product-type profit (adapted: no partsupp, so
+    supply cost is modeled as cost_factor × p_retailprice × quantity —
+    a deterministic stand-in for ps_supplycost × quantity).
+
+    Profit per (supplier nation, order year) for parts whose name
+    contains the fragment. Scale shape: the part-name filter broadcasts
+    a reduced part dim that semi-reduces the fact FIRST (the classic
+    Q9 trap is joining orders before the selective part filter);
+    lineitem⋈orders is the one fact-fact join; supplier/nation
+    broadcast; year is derived AFTER the join so only the agg sees it.
+    """
+    named_parts = F.broadcast(
+        part.filter(F.col("p_name").contains(name_fragment)).select(
+            "p_partkey", "p_retailprice"
+        )
+    )
+    amount = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        - F.lit(cost_factor) * F.col("p_retailprice") * F.col("l_quantity")
+    )
+    return (
+        lineitem.join(named_parts, F.col("l_partkey") == F.col("p_partkey"))
+        .join(orders.select("o_orderkey", "o_orderdate"), F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            F.broadcast(supplier.select("s_suppkey", "s_nationkey")),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("o_year"),
+        )
+        .agg(F.round(F.sum(amount), 2).alias("sum_profit"))
+        .orderBy("nation", F.desc("o_year"))
+    )
+
+
+def important_parts(
+    lineitem: DataFrame,
+    part: DataFrame,
+    *,
+    multiplier: float = 1.5,
+) -> DataFrame:
+    """TPC-H Q11-shaped important stock (adapted: shipped value from
+    lineitem stands in for partsupp inventory value): parts whose total
+    shipped value exceeds ``multiplier`` × the mean per-part value.
+    The mean-relative threshold (vs Q11's fraction-of-total) keeps the
+    survivor set non-degenerate at every scale factor — a
+    fraction-of-total constant selects ~0 rows once part count grows.
+
+    The HAVING-against-scalar-subquery decorrelates to: one per-part
+    aggregate (single shuffle on the part key), a 1-row mean
+    re-aggregated FROM the per-part frame (KBs, not a second fact
+    scan), broadcast back as a cross join — Catalyst reuses the
+    per-part exchange for both branches (ReusedExchange).
+    """
+    per_part = lineitem.groupBy("l_partkey").agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("part_value")
+    )
+    total = per_part.agg(F.avg("part_value").alias("_mean_value"))
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .filter(F.col("part_value") > F.lit(multiplier) * F.col("_mean_value"))
+        .join(F.broadcast(part.select("p_partkey", "p_name")), F.col("l_partkey") == F.col("p_partkey"))
+        .select("p_partkey", "p_name", "part_value")
+        .orderBy(F.desc("part_value"), "p_partkey")
+    )
+
+
+def late_shipment_priority(
+    lineitem: DataFrame,
+    orders: DataFrame,
+    *,
+    late_days: int = 90,
+    start: str = "1996-01-01",
+    end: str = "1997-01-01",
+) -> DataFrame:
+    """TPC-H Q12-shaped shipping-mode check (adapted: the fixtures carry
+    no l_shipmode/l_commitdate/l_receiptdate, so l_linestatus is the
+    carrier class and "late" means shipped > late_days after the order
+    date): per line status, how many late lines belong to
+    high-priority orders (URGENT/HIGH) vs the rest.
+
+    The Q12 signature shape survives intact: one fact-fact equi-join,
+    the lateness predicate evaluated at join time, and the two
+    priority classes as conditional sums inside ONE aggregation —
+    never two passes. Date bounds push to the orders scan.
+    """
+    windowed = orders.filter(
+        (F.col("o_orderdate") >= F.lit(start)) & (F.col("o_orderdate") < F.lit(end))
+    ).select("o_orderkey", "o_orderdate", "o_orderpriority")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        lineitem.select("l_orderkey", "l_linestatus", "l_shipdate")
+        .join(windowed, F.col("l_orderkey") == F.col("o_orderkey"))
+        .filter(F.col("l_shipdate") > F.date_add(F.col("o_orderdate"), late_days))
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).alias("low_line_count"),
+        )
+        .orderBy("l_linestatus")
+    )
+
+
+def supplier_part_counts(
+    lineitem: DataFrame,
+    part: DataFrame,
+    supplier: DataFrame,
+    *,
+    excluded_brand: str = "Brand#5",
+    max_acctbal: float = 1000.0,
+) -> DataFrame:
+    """TPC-H Q16-shaped parts/supplier relationship (adapted: the
+    part↔supplier relation comes from lineitem; the NOT IN
+    complaints-supplier exclusion becomes an anti join against
+    low-balance suppliers): distinct supplier count per
+    (brand, type, size), excluding one brand and the excluded
+    supplier set.
+
+    Scale shape: the supply relation is projected to the 2-key pair and
+    distinct-reduced before counting; the excluded-supplier set is a
+    broadcast anti join (NOT IN with no NULL hazard — keys are
+    non-null by schema); part broadcasts onto the pair frame. One real
+    shuffle: the distinct on (partkey, suppkey).
+    """
+    bad_suppliers = F.broadcast(
+        supplier.filter(F.col("s_acctbal") < max_acctbal).select("s_suppkey")
+    )
+    pairs = (
+        lineitem.select("l_partkey", "l_suppkey")
+        .distinct()
+        .join(bad_suppliers, F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
+    )
+    eligible = F.broadcast(
+        part.filter(F.col("p_brand") != excluded_brand).select(
+            "p_partkey", "p_brand", "p_type", "p_size"
+        )
+    )
+    return (
+        pairs.join(eligible, F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
+    )
+
+
+def promotion_suppliers(
+    lineitem: DataFrame,
+    part: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+    *,
+    name_fragment: str = "widget",
+    start: str = "1996-01-01",
+    end: str = "1997-01-01",
+    min_qty: float = 50.0,
+    nation_name: str | None = None,
+) -> DataFrame:
+    """TPC-H Q20-shaped potential part promotion (adapted: availqty is
+    absent, so the "excess stock" predicate becomes total shipped
+    quantity above a floor): suppliers who moved more than ``min_qty``
+    units of fragment-named parts in the window.
+
+    The nested IN-chain (supplier IN (… part IN (…))) decorrelates
+    outside-in: the part-name filter broadcasts into the fact scan,
+    the per-supplier quantity rollup is one shuffle on the supplier
+    key, the threshold filter shrinks it to a handful of rows, and the
+    survivors LEFT SEMI the supplier dimension — the dimension is
+    never scanned twice.
+    """
+    named_parts = F.broadcast(
+        part.filter(F.col("p_name").contains(name_fragment)).select("p_partkey")
+    )
+    movers = (
+        lineitem.filter(
+            (F.col("l_shipdate") >= F.lit(start)) & (F.col("l_shipdate") < F.lit(end))
+        )
+        .join(named_parts, F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("l_suppkey")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("total_qty"))
+        .filter(F.col("total_qty") > min_qty)
+    )
+    out = supplier.join(
+        F.broadcast(movers), F.col("s_suppkey") == F.col("l_suppkey")
+    ).join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+    if nation_name is not None:
+        out = out.filter(F.col("n_name") == nation_name)
+    return out.select(
+        "s_suppkey",
+        "s_name",
+        F.col("n_name").alias("nation"),
+        "total_qty",
+    ).orderBy("s_suppkey")

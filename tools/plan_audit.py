@@ -25,7 +25,10 @@ def audit(plan: str) -> dict:
         "BNLJ": plan.count("BroadcastNestedLoopJoin"),
         "CART": plan.count("CartesianProduct"),
     }
-    pushed = re.findall(r"PushedFilters: \[([^\]]*)\]", plan)
+    # stop at end-of-line too: Spark abbreviates long filter lists with a
+    # trailing "..." and no closing bracket, which a greedy [^]]* would
+    # swallow across lines (reporting pushed=0 for fully-pushed scans)
+    pushed = re.findall(r"PushedFilters: \[([^\]\n]*)", plan)
     n_pushed = sum(1 for p in pushed for f in p.split(",") if f.strip() and f.strip() != "[]")
     schemas = re.findall(r"ReadSchema: struct<([^>]*)", plan)
     widths = [len(s.split(",")) for s in schemas] or [0]

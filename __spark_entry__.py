@@ -810,6 +810,18 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.tfidf_top_terms(load_table(spark, sf_dir, "documents"), k=5)
 
 
+def q_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B35: top-50 adjacent word pairs by occurrence (BPE-style pair
+    census; TakeOrdered top-k on the Zipf-key count)."""
+    return text.collocations(load_table(spark, sf_dir, "documents"))
+
+
+def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B35: coverage/OOV curve at vocab sizes 100/1k/10k over the type
+    frequency table (two-phase global rank, one conditional agg)."""
+    return text.vocab_coverage(load_table(spark, sf_dir, "documents"))
+
+
 def q_embed_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B34/B36: per-label embedding centroid as (label, dim, mean) rows."""
     return similarity.label_centroids(load_table(spark, sf_dir, "embeddings"))
@@ -1244,6 +1256,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_vector_normalize": q_vector_normalize,
         "q_quantize_int8": q_quantize_int8,
         "q_token_freq": q_token_freq,
+        "q_collocations": q_collocations,
+        "q_vocab_coverage": q_vocab_coverage,
         "q_lang_stats": q_lang_stats,
         "q_lang_id": q_lang_id,
         "q_quality_score": q_quality_score,
@@ -2598,6 +2612,51 @@ def oracle_sql() -> dict[str, str]:
               FROM embeddings
             )
             GROUP BY label, dim
+        """,
+        "q_collocations": f"""
+            SELECT bigram, count(*) AS freq
+            FROM (
+              SELECT unnest(list_transform(
+                       generate_series(1, len(t) - 1),
+                       i -> t[i] || ' ' || t[i + 1])) AS bigram
+              FROM (SELECT {_TOKENS_SQL} AS t FROM documents)
+              WHERE len(t) >= 2
+            )
+            GROUP BY bigram
+            HAVING count(*) >= 2
+            ORDER BY freq DESC, bigram
+            LIMIT 50
+        """,
+        "q_vocab_coverage": f"""
+            WITH tf AS (
+              SELECT token, count(*) AS freq
+              FROM (SELECT unnest({_TOKENS_SQL}) AS token FROM documents)
+              GROUP BY token
+            ),
+            ranked AS (
+              SELECT freq, row_number() OVER (ORDER BY freq DESC, token) AS rn FROM tf
+            ),
+            cuts AS (
+              SELECT 100 AS vocab_size,
+                     CAST(sum(CASE WHEN rn <= 100 THEN freq ELSE 0 END) AS BIGINT) AS c,
+                     CAST(sum(freq) AS BIGINT) AS total
+              FROM ranked
+              UNION ALL
+              SELECT 1000,
+                     CAST(sum(CASE WHEN rn <= 1000 THEN freq ELSE 0 END) AS BIGINT),
+                     CAST(sum(freq) AS BIGINT)
+              FROM ranked
+              UNION ALL
+              SELECT 10000,
+                     CAST(sum(CASE WHEN rn <= 10000 THEN freq ELSE 0 END) AS BIGINT),
+                     CAST(sum(freq) AS BIGINT)
+              FROM ranked
+            )
+            SELECT vocab_size,
+                   round(c / total, 6) AS coverage,
+                   round(1 - c / total, 6) AS oov_rate
+            FROM cuts
+            ORDER BY vocab_size
         """,
         "q_token_freq": f"""
             SELECT token, count(*) AS freq

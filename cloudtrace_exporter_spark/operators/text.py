@@ -477,3 +477,83 @@ def repetition_ratio(documents: DataFrame, text_col: str = "text", n: int = 3) -
             .alias("rep_ratio"),
         )
     )
+
+
+def collocations(
+    df: DataFrame, *, text_col: str = "text", k: int = 50, min_freq: int = 2
+) -> DataFrame:
+    """Corpus collocation census: top-k adjacent word pairs by occurrence
+    count — the statistic behind phrase-vocabulary induction and the
+    pair-count step of a BPE-style merge round (pairs here are
+    word-level; a character-level round is the same plan over char
+    bigrams).
+
+    Unlike ``word_ngrams`` (distinct per doc, for contamination), pairs
+    here are counted per OCCURRENCE. Plan shape: the bigram expansion is
+    a narrow map (sequence + slice over the token array, no UDF); the
+    one shuffle is the count on the bigram key — Zipf-skewed, handled by
+    map-side partial aggregation + AQE skew split; top-k is
+    TakeOrderedAndProject, never a global sort.
+    """
+    t = tokens(text_col)
+    n = F.size(t)
+    grams = F.when(
+        n >= 2,
+        F.transform(F.sequence(F.lit(1), n - 1), lambda i: F.concat_ws(" ", F.slice(t, i, 2))),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        df.select(F.explode(grams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .filter(F.col("freq") >= min_freq)
+        .orderBy(F.desc("freq"), "bigram")
+        .limit(k)
+    )
+
+
+def vocab_coverage(
+    documents: DataFrame, *, text_col: str = "text", sizes: tuple[int, ...] = (100, 1000, 10000)
+) -> DataFrame:
+    """Vocabulary coverage / OOV-rate curve: for each candidate vocab size
+    N, the fraction of all corpus token OCCURRENCES covered by the N most
+    frequent types (ties broken token-asc for a total order). The
+    tokenizer-budget question every pretraining pipeline answers before
+    fixing a vocab.
+
+    Plan shape: term frequency is one Zipf-key shuffle; the ranking over
+    the type frequency table reuses ``analytics.global_row_number`` —
+    range-partitioned two-phase numbering, never a single-partition
+    window (the type table is vocab-sized, but at 100 TB that is still
+    hundreds of millions of rows). All N cutoffs ride in ONE conditional
+    aggregation over the ranked frame; the final explode is over a 1-row
+    struct array.
+    """
+    from cloudtrace_exporter_spark.operators.analytics import global_row_number
+
+    tf = term_frequencies(documents, text_col)
+    ranked = global_row_number(tf, [F.desc("freq"), F.asc("token")])
+    row = ranked.agg(
+        F.sum("freq").alias("_total"),
+        *[
+            F.sum(F.when(F.col("rn") <= n, F.col("freq")).otherwise(F.lit(0))).alias(f"_c{n}")
+            for n in sizes
+        ],
+    )
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(n).alias("vocab_size"),
+                (F.col(f"_c{n}") / F.col("_total")).alias("cov"),
+            )
+            for n in sizes
+        ]
+    )
+    return (
+        row.select(F.explode(pairs).alias("p"))
+        .select(
+            F.col("p.vocab_size").alias("vocab_size"),
+            F.round(F.col("p.cov"), 6).alias("coverage"),
+            F.round(1 - F.col("p.cov"), 6).alias("oov_rate"),
+        )
+        .orderBy("vocab_size")
+    )

@@ -547,3 +547,52 @@ def test_similarity_triangles_counts_each_once(spark):
     )  # triangle {1,2,3}; {1,3,4} also closes via (3,4)+(1,4)
     got = dedup.similarity_triangles(pairs).collect()[0]
     assert got["n_triangles"] == 2
+
+
+def test_collocations_counts_occurrences_not_distinct(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "big data big data big data"),  # "big data" x3, "data big" x2
+            (2, "big data"),                    # "big data" once more -> 4
+            (3, "solo"),                        # no bigrams
+            (4, ""),                            # empty text
+        ],
+        ["doc_id", "text"],
+    )
+    out = text.collocations(docs, k=10, min_freq=2).collect()
+    got = {r["bigram"]: r["freq"] for r in out}
+    assert got == {"big data": 4, "data big": 2}
+    # ordered freq desc then bigram asc
+    assert [r["bigram"] for r in out] == ["big data", "data big"]
+
+
+def test_collocations_topk_is_take_ordered(spark, sf_dir):
+    from cloudtrace_exporter_spark.sources.tables import load_table
+
+    df = text.collocations(load_table(spark, sf_dir, "documents"))
+    p = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in p
+
+
+def test_vocab_coverage_curve_is_exact_and_monotone(spark):
+    # freqs: "a" x4, "b" x2, "c" x1 -> total 7
+    docs = spark.createDataFrame(
+        [(1, "a a b"), (2, "a a b c")], ["doc_id", "text"]
+    )
+    out = text.vocab_coverage(docs, sizes=(1, 2, 3)).collect()
+    got = {r["vocab_size"]: (r["coverage"], r["oov_rate"]) for r in out}
+    assert got[1] == (round(4 / 7, 6), round(3 / 7, 6))
+    assert got[2] == (round(6 / 7, 6), round(1 / 7, 6))
+    assert got[3] == (1.0, 0.0)
+    covs = [r["coverage"] for r in sorted(out, key=lambda r: r["vocab_size"])]
+    assert covs == sorted(covs)  # monotone non-decreasing in vocab size
+
+
+def test_vocab_coverage_never_single_partition_windows_the_types(spark):
+    docs = spark.createDataFrame([(1, "x y z w q r s t u v")], ["doc_id", "text"])
+    df = text.vocab_coverage(docs, sizes=(5,))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # the type table is ranked via the two-phase range numbering, so the
+    # only single-partition window is over the <= num_partitions offsets
+    # frame; the ranked frame itself arrives by range exchange
+    assert "rangepartitioning" in plan.lower()

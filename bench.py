@@ -30,6 +30,11 @@ HEADLINE = [
     "q_asof_join",
     "q_count_per_window",
     "q_semi_join",
+    # heavy-operator trend line (round-2 verdict #10): relational scan-agg,
+    # MinHash-LSH dedup, and exact cosine top-k
+    "q_pricing_summary",
+    "q_minhash_dedup",
+    "q_cosine_topk",
 ]
 
 

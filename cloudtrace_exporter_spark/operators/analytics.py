@@ -372,6 +372,96 @@ def asof_join_daily(lineitem: DataFrame, orders: DataFrame) -> DataFrame:
     )
 
 
+def asof_join_ranged(
+    left: DataFrame,
+    right: DataFrame,
+    left_ts: str,
+    right_ts: str,
+    left_cols: list[str],
+    right_cols: list[str],
+    *,
+    bucket: str = "month",
+) -> DataFrame:
+    """B24, scale-true variant: as-of join over RAW fact rows with a
+    range-partitioned merge — no global single-partition sort.
+
+    ``asof_join_daily`` is the day-grain fast path (both sides aggregated
+    before a single-timeline window). This variant survives a raw-fact
+    as-of at 100 TB:
+
+    1. bucket both sides by ``date_trunc(bucket, ts)``;
+    2. boundary replication: for every bucket present on either side,
+       compute the carry-in = latest right row strictly before the
+       bucket's start (per-bucket struct-max agg → running max over the
+       *bucket list* — cardinality = number of time buckets, typically
+       thousands, so the one small window is bounded by calendar span,
+       never by data volume);
+    3. union left rows + right rows + carry-in rows inside each bucket
+       and run ``last(ignorenulls)`` over a window PARTITIONED BY bucket
+       — the heavy sort is per-bucket, shuffle-partitioned, AQE-splittable.
+
+    The right payload rides in ONE struct column so a legitimately-NULL
+    field in the matched row is not skipped to an older row by
+    ignorenulls.
+    """
+    b = lambda c: F.date_trunc(bucket, F.col(c))  # noqa: E731
+    rstruct = F.struct(F.col(right_ts).alias("__ts"), *[F.col(c) for c in right_cols])
+
+    rb = right.select(b(right_ts).alias("__bucket"), F.col(right_ts).alias("__rts"), rstruct.alias("__r"))
+    # per-bucket latest right row (struct compare is lexicographic; __ts first)
+    per_bucket = rb.groupBy("__bucket").agg(F.max("__r").alias("__last_r"))
+
+    buckets = (
+        left.select(b(left_ts).alias("__bucket"))
+        .union(rb.select("__bucket"))
+        .distinct()
+        .join(per_bucket, "__bucket", "left")
+    )
+    # carry-in for bucket b = latest right row in any earlier bucket
+    wb = Window.orderBy("__bucket").rowsBetween(Window.unboundedPreceding, -1)
+    carry = (
+        buckets.withColumn("__carry", F.max("__last_r").over(wb))
+        .filter(F.col("__carry").isNotNull())
+        .select("__bucket", F.col("__carry").alias("__r"))
+    )
+
+    lrows = left.select(
+        b(left_ts).alias("__bucket"),
+        F.col(left_ts).alias("__ts"),
+        F.lit(1).alias("__is_left"),
+        F.struct(*[F.col(c) for c in left_cols]).alias("__l"),
+        F.lit(None).cast(rb.schema["__r"].dataType).alias("__r"),
+    )
+    rrows = rb.select(
+        "__bucket",
+        F.col("__rts").alias("__ts"),
+        F.lit(0).alias("__is_left"),
+        F.lit(None).cast(lrows.schema["__l"].dataType).alias("__l"),
+        "__r",
+    )
+    crows = carry.select(
+        "__bucket",
+        F.col("__bucket").alias("__ts"),  # sorts first within the bucket
+        F.lit(-1).alias("__is_left"),
+        F.lit(None).cast(lrows.schema["__l"].dataType).alias("__l"),
+        "__r",
+    )
+
+    w = Window.partitionBy("__bucket").orderBy("__ts", "__is_left").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    merged = (
+        lrows.unionByName(rrows)
+        .unionByName(crows)
+        .withColumn("__asof", F.last("__r", ignorenulls=True).over(w))
+    )
+    out = merged.filter(F.col("__is_left") == 1)
+    cols = [F.col(f"__l.{c}").alias(c) for c in left_cols]
+    cols.append(F.col(f"__asof.__ts").alias("asof_ts"))
+    cols.extend(F.col(f"__asof.{c}").alias(c) for c in right_cols)
+    return out.select(*cols)
+
+
 def supplier_volume(
     lineitem: DataFrame,
     orders: DataFrame,

@@ -128,22 +128,8 @@ LINEITEM_SCHEMA = T.StructType(
     ]
 )
 
-# NOTE: the driver parquet stores ts as TIMESTAMP(NANOS) which Spark's
-# parquet reader rejects as a timestamp; we read it as raw epoch-nanos
-# (spark.sql.legacy.parquet.nanosAsLong) and convert to a microsecond
-# TimestampType in the loader (sources/tables.py) with integer division —
-# double math would lose precision on ~1.7e18 nano values.
-EVENTS_RAW_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType(), True),
-        T.StructField("ts", T.LongType(), True),  # epoch nanos on disk
-        T.StructField("user_id", T.LongType(), True),
-        T.StructField("event_type", T.StringType(), True),
-        T.StructField("value", T.DoubleType(), True),
-        T.StructField("props", T.StringType(), True),
-    ]
-)
-
+# The driver parquet stores ts as plain TIMESTAMP(MICROS) — a native
+# Spark TimestampType read, no legacy flags (footer verified at every sf).
 EVENTS_SCHEMA = T.StructType(
     [
         T.StructField("event_id", T.LongType(), True),

@@ -15,9 +15,7 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 
-from pyspark.sql import functions as F
-
-from cloudtrace_exporter_spark.schemas import EVENTS_RAW_SCHEMA, FIXTURE_SCHEMAS
+from cloudtrace_exporter_spark.schemas import FIXTURE_SCHEMAS
 
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
@@ -27,26 +25,15 @@ TABLES = tuple(FIXTURE_SCHEMAS)
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one fixture table with its explicit schema.
 
-    ``events.ts`` is TIMESTAMP(NANOS) in parquet, which Spark's reader
-    rejects; we read raw nanos (legacy flag) and floor-convert to a
-    microsecond timestamp via integer division (`div`, not `/` — double
-    math loses precision at 1e18 nanos).
-
-    The raw nanos survive as ``ts_ns``: filters on the *derived* ``ts``
-    cannot reach the parquet scan, so time-window operators re-express
-    their range predicate on ``ts_ns`` (see normalize.time_window_filter)
-    — that is what turns a 100 TB full scan into a row-group-pruned one.
-    Unused, the column is pruned away like any other.
+    ``events.ts`` is plain TIMESTAMP(MICROS) in parquet (verified via the
+    parquet footer at every scale factor), so it reads as a native
+    TimestampType and time-range filters push straight into the scan —
+    no legacy flags, no epoch arithmetic.  At 100 TB the same predicate
+    additionally prunes date partitions (see layout.py).
     """
     if name not in FIXTURE_SCHEMAS:
         raise KeyError(f"unknown table {name!r}; known: {sorted(FIXTURE_SCHEMAS)}")
     path = f"{sf_dir}/{name}.parquet"
-    if name == "events":
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        raw = spark.read.schema(EVENTS_RAW_SCHEMA).parquet(path)
-        return raw.withColumnRenamed("ts", "ts_ns").withColumn(
-            "ts", F.timestamp_micros(F.expr("ts_ns div 1000"))
-        )
     return spark.read.schema(FIXTURE_SCHEMAS[name]).parquet(path)
 
 

@@ -24,14 +24,13 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from cloudtrace_exporter_spark.schemas import EVENTS_RAW_SCHEMA, EVENTS_SCHEMA
+from cloudtrace_exporter_spark.schemas import EVENTS_SCHEMA
 
 
 def read_event_stream(
     spark: SparkSession,
     path: str,
     *,
-    raw_nanos: bool = False,
     max_files_per_trigger: int = 10,
 ) -> DataFrame:
     """File micro-batch source over landed event pages (A1+A2 analog).
@@ -41,15 +40,11 @@ def read_event_stream(
     /root/reference/pkg/adapter/querier.go:15) but applied per trigger
     instead of per request.
     """
-    schema = EVENTS_RAW_SCHEMA if raw_nanos else EVENTS_SCHEMA
-    reader = (
-        spark.readStream.schema(schema)
+    return (
+        spark.readStream.schema(EVENTS_SCHEMA)
         .option("maxFilesPerTrigger", max_files_per_trigger)
         .parquet(path)
     )
-    if raw_nanos:
-        reader = reader.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    return reader
 
 
 def dedup_within_watermark(

@@ -235,31 +235,49 @@ def lsh_topk(
     *,
     k: int = 5,
     n_bits: int = 4,
+    n_tables: int = 8,
     dim: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 42,
 ) -> DataFrame:
-    """Approximate cosine top-k: hyperplane-LSH bucket join, then exact
-    scoring within buckets.
+    """Approximate cosine top-k: multi-table hyperplane-LSH bucket join,
+    then exact scoring of the deduplicated candidate set.
 
-    The corpus is hashed once (narrow map) and the join is an equi-join
-    on the bucket id — at 100 TB this is a co-partitioned hash join on a
-    uniform key instead of a cross product. Recall is tunable via n_bits
-    (fewer bits → bigger buckets → higher recall/cost).
+    OR-amplification (Indyk-Motwani): ``n_tables`` independent plane
+    sets; a corpus vector is a candidate for a query if they collide in
+    ANY table. Each table is an equi-join on (table, bucket) — at 100 TB
+    a co-partitioned hash join on a uniform key instead of a cross
+    product, at the cost of an n_tables× row expansion of the hashed
+    corpus (ids + bucket keys only, never the vectors, which ride on the
+    single post-dedup scoring pass). Recall tuning: more tables → higher
+    recall; more bits → smaller buckets → cheaper but lower per-table
+    recall. n_bits=2/n_tables=8 measures ≥0.9 recall vs exact on the
+    64-dim fixture.
     """
-    planes = hyperplane_planes(dim, n_bits, seed)
-    c = _spread(corpus).select(
-        F.col(id_col).alias("corpus_id"), _as_double(vec_col).alias("cv")
-    ).withColumn("c_bucket", hyperplane_bucket(F.col("cv"), planes))
-    q = queries.select(
-        F.col(id_col).alias("query_id"), _as_double(vec_col).alias("qv")
-    ).withColumn("q_bucket", hyperplane_bucket(F.col("qv"), planes))
-    scored = (
-        c.join(
-            F.broadcast(q),
-            (F.col("c_bucket") == F.col("q_bucket")) & (F.col("corpus_id") != F.col("query_id")),
+    tables = [hyperplane_planes(dim, n_bits, seed + 1000 * t) for t in range(n_tables)]
+
+    def buckets(v: F.Column) -> F.Column:
+        return F.array(*[hyperplane_bucket(v, p) for p in tables])
+
+    c = _spread(corpus).select(F.col(id_col).alias("corpus_id"), _as_double(vec_col).alias("cv"))
+    q = queries.select(F.col(id_col).alias("query_id"), _as_double(vec_col).alias("qv"))
+    # hash side: ids + (table, bucket) keys only — vectors are not exploded
+    ch = c.select("corpus_id", F.posexplode(buckets(F.col("cv"))).alias("tbl", "bkt"))
+    qh = q.select("query_id", F.posexplode(buckets(F.col("qv"))).alias("q_tbl", "q_bkt"))
+    candidates = (
+        ch.join(
+            F.broadcast(qh),
+            (F.col("tbl") == F.col("q_tbl"))
+            & (F.col("bkt") == F.col("q_bkt"))
+            & (F.col("corpus_id") != F.col("query_id")),
         )
+        .select("query_id", "corpus_id")
+        .dropDuplicates(["query_id", "corpus_id"])
+    )
+    scored = (
+        candidates.join(c, "corpus_id")
+        .join(F.broadcast(q), "query_id")
         .select(
             "query_id",
             "corpus_id",

@@ -134,7 +134,8 @@ def test_ivf_recall_vs_exact(spark, sf_dir):
         for r in similarity.ivf_topk(emb, q, k=5, n_centroids=8, n_probe=4).collect()
     }
     recall = len(exact & approx) / len(exact)
-    assert recall >= 0.6, f"IVF recall {recall} too low at n_probe=4/8"
+    # measured 0.94 at n_probe=4/8 on the 64-dim fixture (verdict r1 #7)
+    assert recall >= 0.9, f"IVF recall {recall} too low at n_probe=4/8"
 
 
 def test_ivf_full_probe_equals_exact(spark, sf_dir):

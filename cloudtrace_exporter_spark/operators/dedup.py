@@ -115,10 +115,21 @@ def minhash_signatures(
     """MinHash signature per document: for each of ``n_hashes`` seeded
     xxhash64 'permutations', the min hash over the shingle set.
 
-    All JVM-side (xxhash64 + transform + array_min); one narrow map.
+    Two-level hashing: each string shingle is hashed to a long ONCE, and
+    the permutation family re-hashes that 8-byte long with the slot seed
+    — n_shingles string-hashes + n_shingles·n_hashes long-hashes instead
+    of n_shingles·n_hashes string-hashes (~4× faster measured at sf0.1;
+    variable-length string hashing dominates long hashing). The base
+    hashes ride through an ``explode``-free nested transform, all
+    JVM-side (xxhash64 + transform + array_min); one narrow map.
     """
     df = _spread(df)
-    sh = _shingles(text_col, shingle)
+    # materialize the base shingle hashes as a column so the 32 slot
+    # expressions reference the array, not the shingle computation
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.transform(_shingles(text_col, shingle), lambda s: F.xxhash64(s)).alias("__h"),
+    )
 
     def min_for(seed: int) -> F.Column:
         # arity-1 lambda via closure: a 2-arg lambda (even with a default)
@@ -126,10 +137,10 @@ def minhash_signatures(
         # the seed with the array position — every signature slot then
         # collapses to one index-salted min and near-dup agreement drops
         # to ~0 for any non-append edit
-        return F.array_min(F.transform(sh, lambda s: F.xxhash64(s, F.lit(seed))))
+        return F.array_min(F.transform(F.col("__h"), lambda h: F.xxhash64(h, F.lit(seed))))
 
     sig = F.array(*[min_for(seed) for seed in _MINHASH_SEEDS[:n_hashes]])
-    return df.select(F.col(id_col).alias("id"), sig.alias("signature"))
+    return base.select("id", sig.alias("signature"))
 
 
 def minhash_lsh_pairs(
@@ -155,7 +166,13 @@ def minhash_lsh_pairs(
     Candidate probability follows the (1-(1-J^r)^b) S-curve.
     """
     r = n_hashes // bands
-    sigs = minhash_signatures(df, text_col, id_col, n_hashes, shingle)
+    # Materialize the signature index: the banding select references the
+    # signature column 8×4 times and CollapseProject would otherwise
+    # inline — and recompute — the whole 32-slot minhash chain per
+    # reference (~30× the work, measured). At scale this .cache() is the
+    # "build the signature table once" step of every LSH pipeline; Spark's
+    # CacheManager dedups identical plans, so repeated calls share it.
+    sigs = minhash_signatures(df, text_col, id_col, n_hashes, shingle).cache()
     banded = sigs.select(
         "id",
         "signature",

@@ -187,3 +187,16 @@ def test_shipping_priority_takeordered_and_pushdown(plans):
 def test_weighted_sample_is_take_ordered(plans):
     p = plans("q_weighted_sample")
     assert "TakeOrderedAndProject" in p  # top-k draw, never a global sort
+
+
+def test_asof_ranged_fact_window_is_partitioned(plans):
+    # verdict r1 #6: the raw-fact as-of must not sort 60k+ rows in one
+    # partition. The heavy last(__r) window must be partitioned by the
+    # time bucket; only the carry-in window (cardinality = #buckets) may
+    # be global.
+    p = plans("q_asof_join_ranged")
+    merge_windows = [
+        ln for ln in p.splitlines() if "Window" in ln and "last(__r" in ln
+    ]
+    assert merge_windows, "merge window not found in plan"
+    assert all("__bucket" in ln for ln in merge_windows)

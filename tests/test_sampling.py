@@ -386,3 +386,71 @@ def test_distribution_drift_flags_shifted_type_only(spark):
     got = {r.event_type: r.psi for r in analytics.distribution_drift(ev, split="2024-01-15").collect()}
     assert abs(got["stable"]) < 0.01     # identical halves: PSI ~ 0
     assert got["shifted"] > 1.0          # disjoint buckets: large PSI
+
+
+def test_cohort_retention_hand_computed_grid(spark):
+    # verdict r1 #4: pin one hand-computed cohort cell.
+    # u1 first seen Jan 1, active Jan 1 + Jan 3 → (01-01, 0) and (01-01, 2)
+    # u2 first seen Jan 1, active Jan 1 + Jan 3 → same cells
+    # u3 first seen Jan 3, active Jan 3 only   → (01-03, 0)
+    import datetime as dt
+
+    rows = [
+        (1, 1, dt.datetime(2024, 1, 1, 9), "view"),
+        (2, 1, dt.datetime(2024, 1, 3, 23, 59, 59), "click"),
+        (3, 2, dt.datetime(2024, 1, 1, 0), "view"),
+        (4, 2, dt.datetime(2024, 1, 3, 1), "view"),
+        (5, 3, dt.datetime(2024, 1, 3, 12), "purchase"),
+    ]
+    ev = spark.createDataFrame(rows, ["event_id", "user_id", "ts", "event_type"])
+    got = {
+        (r.cohort_day, r.day_offset): r.n_users
+        for r in analytics.cohort_retention(ev).collect()
+    }
+    assert got == {
+        ("2024-01-01", 0): 2,
+        ("2024-01-01", 2): 2,
+        ("2024-01-03", 0): 1,
+    }
+
+
+def test_range_join_binned_boundary_inclusivity(spark):
+    # verdict r1 #4: pin the ±5min bin boundaries. Purchases exactly AT
+    # lo and hi are included (BETWEEN is closed); 1µs outside are not —
+    # including a boundary probe that lands in a DIFFERENT bin than the
+    # error event (hi = ts+5min crosses the 5-min bin edge).
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1, 12, 2, 30)
+    us = dt.timedelta(microseconds=1)
+    five = dt.timedelta(minutes=5)
+    rows = [
+        (1, 1, t0, "error"),
+        (10, 1, t0 - five, "purchase"),       # == lo, adjacent bin → counted
+        (11, 1, t0 + five, "purchase"),       # == hi, adjacent bin → counted
+        (12, 1, t0 - five - us, "purchase"),  # 1µs early → excluded
+        (13, 1, t0 + five + us, "purchase"),  # 1µs late → excluded
+        (14, 1, t0, "purchase"),              # same instant → counted
+    ]
+    ev = spark.createDataFrame(rows, ["event_id", "user_id", "ts", "event_type"])
+    got = analytics.range_join_binned(ev, minutes=5).collect()
+    assert [(r.error_id, r.n_purchases) for r in got] == [(1, 3)]
+
+
+def test_session_timezone_pinned_utc_and_formats_agree(spark):
+    # verdict r1 #5: the ts-string convention (date_format 'yyyy-MM-dd
+    # HH:mm:ss' vs DuckDB strftime) only matches when the session tz is
+    # UTC — assert the pin and one known instant end-to-end.
+    import datetime as dt
+
+    import duckdb
+
+    assert spark.conf.get("spark.sql.session.timeZone") == "UTC"
+    instant = dt.datetime(2024, 6, 30, 23, 59, 59)
+    s = (
+        spark.createDataFrame([(instant,)], "ts timestamp")
+        .select(F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("s"))
+        .first()["s"]
+    )
+    d = duckdb.sql("SELECT strftime(TIMESTAMP '2024-06-30 23:59:59', '%Y-%m-%d %H:%M:%S')").fetchone()[0]
+    assert s == d == "2024-06-30 23:59:59"

@@ -615,6 +615,14 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-data split assignment: every document deterministically
+    labeled train/val/test (0.8/0.1/0.1) by md5-prefix interval — the
+    zero-shuffle, engine-portable alternative to global-sort slicing."""
+    docs = load_table(spark, sf_dir, "documents")
+    return analytics.assign_splits(docs, key_col="doc_id").select("doc_id", "split")
+
+
 def q_asof_join_ranged(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B24 scale-true path: RAW lineitem rows (60k at sf0.01) as-of joined
     to per-day order stats via the range-partitioned merge with carry-in
@@ -1231,6 +1239,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_multimodal_features": q_multimodal_features,
         "q_pandas_udf_zscore": q_pandas_udf_zscore,
         "q_udtf_spans": q_udtf_spans,
+        "q_split_assign": q_split_assign,
         "q_nodes_resource": q_nodes_resource,
         "q_degree_distribution": q_degree_distribution,
         "q_subject_reach": q_subject_reach,
@@ -1712,6 +1721,13 @@ def oracle_sql() -> dict[str, str]:
                    strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS asof_s,
                    n_orders, last_orderkey
             FROM ship ASOF LEFT JOIN daily ON l_shipdate >= o_orderdate
+        """,
+        "q_split_assign": """
+            SELECT doc_id,
+                   CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < 'cccccccc' THEN 'train'
+                        WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < 'e6666666' THEN 'val'
+                        ELSE 'test' END AS split
+            FROM documents
         """,
         "q_asof_join_ranged": """
             WITH daily AS (

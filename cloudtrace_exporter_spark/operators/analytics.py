@@ -760,6 +760,39 @@ def stratified_hash_sample(
     return df.filter(prefix < thr)
 
 
+def assign_splits(
+    df: DataFrame,
+    *,
+    key_col: str,
+    splits: dict[str, float] | None = None,
+) -> DataFrame:
+    """Deterministic train/val/test split assignment — every row labeled
+    with the split its md5(key) prefix falls into (cumulative thresholds
+    over the weight map, in insertion order).
+
+    The split counterpart of ``hash_sample``: reproducible across
+    runs/engines/retries, stable under repartitioning, disjoint and
+    exhaustive by construction, and consistent across tables keyed by the
+    same id (a doc and its embedding land in the same split). Pure narrow
+    map — at 100 TB this is a zero-shuffle projection, vs the
+    unusable-at-scale alternative of a global orderBy + row slicing.
+    """
+    splits = splits or {"train": 0.8, "val": 0.1, "test": 0.1}
+    prefix = F.substring(F.md5(F.col(key_col).cast("string").cast("binary")), 1, 8)
+    names = list(splits)
+    cum = 0.0
+    expr = F.lit(names[-1])  # remainder bucket absorbs rounding residue
+    # build the CASE from the last threshold backwards so earlier splits
+    # win their [cum_lo, cum_hi) interval
+    bounds: list[tuple[str, str]] = []
+    for name in names[:-1]:
+        cum += splits[name]
+        bounds.append((name, _hex_threshold(cum)))
+    for name, thr in reversed(bounds):
+        expr = F.when(prefix < F.lit(thr), F.lit(name)).otherwise(expr)
+    return df.withColumn("split", expr)
+
+
 def unpivot_measures(lineitem: DataFrame) -> DataFrame:
     """B17 inverse: unpivot/melt — wide measure columns to long
     (measure, value) rows. Narrow Expand-based map (one output row per

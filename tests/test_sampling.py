@@ -454,3 +454,27 @@ def test_session_timezone_pinned_utc_and_formats_agree(spark):
     )
     d = duckdb.sql("SELECT strftime(TIMESTAMP '2024-06-30 23:59:59', '%Y-%m-%d %H:%M:%S')").fetchone()[0]
     assert s == d == "2024-06-30 23:59:59"
+
+
+def test_assign_splits_disjoint_exhaustive_consistent(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    got = analytics.assign_splits(docs, key_col="doc_id")
+    n = docs.count()
+    # exhaustive: every row gets exactly one label
+    assert got.count() == n
+    counts = {r["split"]: r["n"] for r in got.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert set(counts) <= {"train", "val", "test"}
+    assert sum(counts.values()) == n
+    # ~0.8/0.1/0.1 within loose tolerance at 500 docs
+    assert counts["train"] / n > 0.7
+    # keyed consistency: embeddings sharing the id space land in the
+    # same split as their documents
+    emb = load_table(spark, sf_dir, "embeddings").withColumnRenamed("vec_id", "doc_id")
+    emb_split = analytics.assign_splits(emb, key_col="doc_id").select("doc_id", "split")
+    doc_split = got.select("doc_id", "split")
+    assert emb_split.join(doc_split, "doc_id").filter(
+        emb_split.split != doc_split.split
+    ).count() == 0
+    # deterministic across invocations
+    again = analytics.assign_splits(docs, key_col="doc_id").select("doc_id", "split")
+    assert doc_split.exceptAll(again).count() == 0

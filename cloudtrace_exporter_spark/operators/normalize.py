@@ -90,14 +90,15 @@ def time_window_filter(
     ``PushedFilters`` in .explain), and prunes partitions when the table
     is laid out by date.
 
-    When the frame carries a raw ``{ts_col}_ns`` nanos column (the events
-    fixture does — TIMESTAMP(NANOS) parquet is unreadable as a native
-    timestamp, so the scan column is a long), the range predicate is also
-    expressed in the nanos domain: a filter on the *derived* timestamp
-    cannot push past the conversion expression, but the nanos predicate is
-    a literal range on the scan column, so row-group/partition pruning
-    still happens. ``ts = floor(ns/1000)µs``, hence ``ts ∈ [lo, hi]`` ⟺
-    ``ns ∈ [lo_µs·1000, hi_µs·1000 + 999]``.
+    Compatibility path: if a source ever lands epoch-nanos longs next to
+    a derived timestamp (``{ts_col}_ns`` — TIMESTAMP(NANOS) parquet is
+    unreadable as a native Spark timestamp), the range predicate is also
+    expressed in the nanos domain, because a filter on the *derived*
+    column cannot push past the conversion expression while the nanos
+    predicate is a literal range on the scan column. ``ts =
+    floor(ns/1000)µs``, hence ``ts ∈ [lo, hi]`` ⟺ ``ns ∈ [lo_µs·1000,
+    hi_µs·1000 + 999]``. (The driver's events fixture needs none of this:
+    its ``ts`` is plain TIMESTAMP(MICROS) and the BETWEEN pushes as-is.)
     """
     out = df.filter(F.col(ts_col).between(F.lit(lo), F.lit(hi)))
     ns_col = f"{ts_col}_ns"

@@ -687,8 +687,11 @@ def q_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """B25 map/json function family over the props payload."""
-    return analytics.map_funcs(load_table(spark, sf_dir, "events"))
+    """B25 map/json function family over the props payload. The key list
+    is comma-serialized: the driver's pandas canonicalization cannot hash
+    array cells (same class of crash as round-1 q_subject_status_sets)."""
+    out = analytics.map_funcs(load_table(spark, sf_dir, "events"))
+    return out.withColumn("prop_keys", F.array_join("prop_keys", ","))
 
 
 def q_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -886,13 +889,20 @@ def q_embed_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_vector_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """B34: L2 unit-normalization of the embedding column."""
-    return similarity.normalize_vectors(load_table(spark, sf_dir, "embeddings"))
+    """B34: L2 unit-normalization of the embedding column — serialized to
+    a fixed %.6f comma string (array cells crash the driver canon; fixed
+    formatting sidesteps cross-engine float-to-string divergence)."""
+    out = similarity.normalize_vectors(load_table(spark, sf_dir, "embeddings"))
+    return out.withColumn(
+        "unit", F.array_join(F.transform("unit", lambda x: F.format_string("%.6f", x)), ",")
+    )
 
 
 def q_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """B34/north-star: symmetric per-vector int8 scalar quantization."""
-    return similarity.quantize_int8(load_table(spark, sf_dir, "embeddings"))
+    """B34/north-star: symmetric per-vector int8 scalar quantization
+    (codes comma-serialized — array cells crash the driver canon)."""
+    out = similarity.quantize_int8(load_table(spark, sf_dir, "embeddings"))
+    return out.withColumn("q", F.array_join(F.transform("q", lambda x: x.cast("string")), ","))
 
 
 def q_lang_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -921,8 +931,10 @@ def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """B35/north-star: keep/drop decision with ordered failure reasons."""
-    return text.quality_filter(load_table(spark, sf_dir, "documents"))
+    """B35/north-star: keep/drop decision with ordered failure reasons
+    (comma-serialized — array cells crash the driver canon)."""
+    out = text.quality_filter(load_table(spark, sf_dir, "documents"))
+    return out.withColumn("reasons", F.array_join("reasons", ","))
 
 
 def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1806,7 +1818,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q_map_funcs": """
             SELECT event_id,
-                   list_sort(json_keys(props)) AS prop_keys,
+                   COALESCE(array_to_string(list_sort(json_keys(props)), ','), '') AS prop_keys,
                    CAST(len(json_keys(props)) AS BIGINT) AS n_props,
                    CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val
             FROM events
@@ -2668,8 +2680,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q_vector_normalize": """
             SELECT vec_id,
-                   CASE WHEN nrm > 0 THEN list_transform(e, x -> round(x / nrm, 6))
-                        ELSE list_transform(e, x -> round(x, 6)) END AS unit
+                   array_to_string(CASE WHEN nrm > 0 THEN list_transform(e, x -> printf('%.6f', round(x / nrm, 6)))
+                        ELSE list_transform(e, x -> printf('%.6f', round(x, 6))) END, ',') AS unit
             FROM (
               SELECT vec_id, e, sqrt(list_dot_product(e, e)) AS nrm
               FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)
@@ -2677,8 +2689,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q_quantize_int8": """
             SELECT vec_id, round(scale, 6) AS scale,
-                   CASE WHEN scale > 0 THEN list_transform(e, x -> CAST(round(x / scale, 0) AS INTEGER))
-                        ELSE list_transform(e, x -> 0) END AS q
+                   array_to_string(CASE WHEN scale > 0 THEN list_transform(e, x -> CAST(round(x / scale, 0) AS INTEGER))
+                        ELSE list_transform(e, x -> 0) END, ',') AS q
             FROM (
               SELECT vec_id, e, list_max(list_transform(e, x -> abs(x))) / 127.0 AS scale
               FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)
@@ -2778,7 +2790,9 @@ def oracle_sql() -> dict[str, str]:
                      round(CASE WHEN length(text) > 0 THEN CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS DOUBLE) / length(text) ELSE 0.0 END, 6) AS pr
               FROM tok
             )
-            SELECT doc_id, n_tokens, len(reasons) = 0 AS keep, reasons FROM (
+            SELECT doc_id, n_tokens, len(reasons) = 0 AS keep,
+                   -- DuckDB array_to_string([]) is NULL; Spark array_join([]) is ''
+                   COALESCE(array_to_string(reasons, ','), '') AS reasons FROM (
               SELECT doc_id, n_tokens,
                      (CASE WHEN n_tokens < 10 THEN ['too_short'] ELSE []::VARCHAR[] END)
                      || (CASE WHEN dr < 0.3 THEN ['low_distinct'] ELSE []::VARCHAR[] END)

@@ -2489,8 +2489,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q_window_distribution": """
             SELECT c_nationkey, c_custkey, round(c_acctbal, 2) AS acctbal,
-                   round(percent_rank() OVER w, 6) AS pct_rank,
-                   round(cume_dist() OVER w, 6) AS cume,
+                   percent_rank() OVER w AS pct_rank,
+                   cume_dist() OVER w AS cume,
                    CAST(ntile(4) OVER w AS BIGINT) AS quartile
             FROM customer
             WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal ASC, c_custkey ASC)

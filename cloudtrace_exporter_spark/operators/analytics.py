@@ -644,7 +644,12 @@ def window_distribution(customer: DataFrame) -> DataFrame:
     """B19 family: distribution window functions — percent_rank,
     cume_dist, ntile(4) over account balance within nation. Fully
     deterministic: the order key (acctbal, custkey) is unique, so peer
-    groups are single rows. One shuffle on the partition key."""
+    groups are single rows. One shuffle on the partition key.
+
+    pct_rank/cume are NOT rounded: both are exact integer-ratio
+    divisions, bit-identical across engines, whereas round-to-6 hits
+    cross-engine tie-break divergence (Spark HALF_UP vs DuckDB HALF_EVEN
+    on e.g. 820/12800 = 0.0640625 — surfaced at sf0.1)."""
     w = Window.partitionBy("c_nationkey").orderBy(
         F.asc("c_acctbal"), F.asc("c_custkey")
     )
@@ -652,8 +657,8 @@ def window_distribution(customer: DataFrame) -> DataFrame:
         "c_nationkey",
         "c_custkey",
         F.round("c_acctbal", 2).alias("acctbal"),
-        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
-        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
         F.ntile(4).over(w).cast("long").alias("quartile"),
     )
 

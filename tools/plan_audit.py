@@ -33,11 +33,14 @@ def audit(plan: str) -> dict:
     schemas = re.findall(r"ReadSchema: struct<([^>]*)", plan)
     widths = [len(s.split(",")) for s in schemas] or [0]
     n_broadcast = plan.count("BroadcastExchange")
+    n_reused = plan.count("ReusedExchange")
     return {
         "joins": "/".join(f"{k}:{v}" for k, v in joins.items() if v),
         # data shuffles only — broadcast exchanges move dimension-sized
-        # data and are the POINT of the broadcast-join design, not a smell
-        "exchanges": plan.count("Exchange") - n_broadcast,
+        # data and are the POINT of the broadcast-join design, not a
+        # smell; a ReusedExchange is the SAME shuffle read twice (one
+        # write, two reads), not an additional shuffle
+        "exchanges": plan.count("Exchange") - n_broadcast - n_reused,
         "broadcasts": n_broadcast,
         "pushed_filters": n_pushed,
         "scan_cols": max(widths),

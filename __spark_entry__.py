@@ -498,6 +498,12 @@ def q_lm_unigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.lm_unigram_score(load_table(spark, sf_dir, "documents"))
 
 
+def q_lm_bigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated (Jelinek-Mercer) bigram LM quality score per document
+    — penalizes scrambled word soup a unigram model scores fluent."""
+    return text.lm_bigram_score(load_table(spark, sf_dir, "documents"))
+
+
 def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Steady-state curation: dedup an incoming batch (doc_id ≥ 250)
     against the already-deduped corpus (doc_id < 250) by fingerprint
@@ -1276,6 +1282,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_hll_rollup": q_hll_rollup,
         "q_global_row_number": q_global_row_number,
         "q_lm_unigram_score": q_lm_unigram_score,
+        "q_lm_bigram_score": q_lm_bigram_score,
         "q_incremental_dedup": q_incremental_dedup,
         "q_repetition_ratio": q_repetition_ratio,
         "q_above_customer_avg": q_above_customer_avg,
@@ -2434,6 +2441,34 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
                    round(avg(log10(tf / n)), 4) AS avg_logp
             FROM tok JOIN freq USING (token) CROSS JOIN tot
+            GROUP BY doc_id
+        """,
+        "q_lm_bigram_score": f"""
+            WITH tok AS (
+              SELECT doc_id, {_TOKENS_SQL} AS t FROM documents
+            ),
+            tokpos AS (
+              SELECT doc_id, generate_subscripts(t, 1) AS pos, unnest(t) AS token FROM tok
+            ),
+            pairs AS (
+              SELECT doc_id, prev, token AS cur FROM (
+                SELECT doc_id, token,
+                       lag(token) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+                FROM tokpos
+              ) WHERE prev IS NOT NULL
+            ),
+            flat AS (SELECT doc_id, token FROM tokpos),
+            uni AS (SELECT token, count(*) AS tf FROM flat GROUP BY token),
+            tot AS (SELECT count(*) AS n FROM flat),
+            bi AS (SELECT prev, cur, count(*) AS c_big FROM pairs GROUP BY prev, cur),
+            ctx AS (SELECT prev, sum(c_big) AS c_ctx FROM bi GROUP BY prev)
+            SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+                   round(avg(log10(0.7 * (c_big / c_ctx) + 0.3 * (tf / n))), 4) AS avg_logp
+            FROM pairs
+            JOIN bi USING (prev, cur)
+            JOIN ctx USING (prev)
+            JOIN uni ON pairs.cur = uni.token
+            CROSS JOIN tot
             GROUP BY doc_id
         """,
         "q_market_share": """

@@ -447,6 +447,67 @@ def lm_unigram_score(documents: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def lm_bigram_score(
+    documents: DataFrame, text_col: str = "text", lam: float = 0.7
+) -> DataFrame:
+    """Corpus-self-trained interpolated bigram LM score per document:
+    mean log10 of P(w_i | w_{i-1}) = λ·MLE_bigram + (1−λ)·MLE_unigram
+    (Jelinek-Mercer smoothing) over every adjacent token pair — the next
+    rung above ``lm_unigram_score`` on the LM-quality-filter ladder
+    (CCNet-style ranking): it penalizes scrambled word soup that a
+    unigram model scores as fluent.
+
+    Plan shape: bigram expansion is a narrow per-row transform (the
+    token array is materialized as a column first — an inline array
+    expression inside a higher-order lambda re-evaluates per element);
+    counts are three token/pair-keyed aggregations with map-side
+    partials (bigram table, its left-context marginal, unigram table);
+    scoring joins are Zipf-skewed equi-joins (AQE skew-split); the
+    1-row grand total broadcasts via crossJoin. At 100 TB the count
+    tables are the persistable LM artifact. Documents with fewer than 2
+    tokens have no bigrams and drop out (mirrored by the oracle's
+    prev-IS-NOT-NULL filter).
+    """
+    base = documents.select("doc_id", tokens(text_col).alias("__toks"))
+    pairs = base.select(
+        "doc_id",
+        F.explode(
+            F.filter(
+                F.transform(
+                    F.col("__toks"),
+                    lambda x, i: F.struct(
+                        F.when(i >= 1, F.element_at(F.col("__toks"), i)).alias("prev"),
+                        x.alias("cur"),
+                    ),
+                ),
+                lambda p: p.prev.isNotNull(),
+            )
+        ).alias("p"),
+    ).select("doc_id", F.col("p.prev").alias("prev"), F.col("p.cur").alias("cur"))
+
+    tok = documents.select("doc_id", F.explode(tokens(text_col)).alias("token"))
+    uni = tok.groupBy("token").agg(F.count("*").alias("tf"))
+    total = uni.agg(F.sum("tf").alias("n"))
+    bi = pairs.groupBy("prev", "cur").agg(F.count("*").alias("c_big"))
+    ctx = bi.groupBy("prev").agg(F.sum("c_big").alias("c_ctx"))
+
+    p_big = F.col("c_big") / F.col("c_ctx")
+    p_uni = F.col("tf") / F.col("n")
+    return (
+        pairs.join(bi, ["prev", "cur"])
+        .join(ctx, "prev")
+        .join(uni.withColumnRenamed("token", "cur"), "cur")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_bigrams"),
+            F.round(F.avg(F.log10(F.lit(lam) * p_big + F.lit(1.0 - lam) * p_uni)), 4).alias(
+                "avg_logp"
+            ),
+        )
+    )
+
+
 def repetition_ratio(documents: DataFrame, text_col: str = "text", n: int = 3) -> DataFrame:
     """Intra-document repetition: the fraction of a document's token
     n-grams that are repeats of an earlier n-gram in the SAME document —

@@ -597,3 +597,21 @@ def test_vocab_coverage_never_single_partition_windows_the_types(spark):
     # only single-partition window is over the <= num_partitions offsets
     # frame; the ranked frame itself arrives by range exchange
     assert "rangepartitioning" in plan.lower()
+
+
+def test_lm_bigram_rewards_consistent_transitions(spark):
+    # same unigram profile ("a"x4, "b"x4 per doc) — the unigram LM cannot
+    # separate these, the bigram LM must: doc 1 has one dominant
+    # transition pattern, doc 2 alternates all four transitions equally
+    docs = spark.createDataFrame(
+        [
+            (1, "a b a b a b a b"),      # transitions: a->b x4, b->a x3
+            (2, "a a b b b a a b"),      # mixed transitions
+            (3, "a"),                    # <2 tokens: no bigrams, no row
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in text.lm_bigram_score(docs).collect()}
+    assert set(rows) == {1, 2}
+    assert rows[1]["n_bigrams"] == 7 and rows[2]["n_bigrams"] == 7
+    assert rows[1]["avg_logp"] > rows[2]["avg_logp"]

@@ -478,3 +478,37 @@ def test_assign_splits_disjoint_exhaustive_consistent(spark, sf_dir):
     # deterministic across invocations
     again = analytics.assign_splits(docs, key_col="doc_id").select("doc_id", "split")
     assert doc_split.exceptAll(again).count() == 0
+
+
+def test_asof_ranged_carries_across_empty_buckets(spark):
+    # right side only has rows in January; left rows in March (two empty
+    # buckets later) must still match January's LATEST right row, and a
+    # left row BEFORE any right row gets nulls (left-join semantics).
+    import datetime as dt
+
+    left = spark.createDataFrame(
+        [
+            (100, dt.datetime(2024, 1, 20)),   # in-bucket match
+            (101, dt.datetime(2024, 3, 15)),   # carry across feb (empty)
+            (102, dt.datetime(2024, 1, 2)),    # before first right row → null
+        ],
+        "lid long, lts timestamp",
+    )
+    right = spark.createDataFrame(
+        [
+            (dt.datetime(2024, 1, 5), 50),
+            (dt.datetime(2024, 1, 18), 60),
+        ],
+        "rts timestamp, val long",
+    )
+    got = {
+        r["lid"]: (r["asof_ts"], r["val"])
+        for r in analytics.asof_join_ranged(
+            left, right, "lts", "rts", ["lid"], ["val"], bucket="month"
+        ).collect()
+    }
+    import datetime as dt2
+
+    assert got[100] == (dt2.datetime(2024, 1, 18), 60)
+    assert got[101] == (dt2.datetime(2024, 1, 18), 60)
+    assert got[102] == (None, None)

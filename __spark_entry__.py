@@ -166,6 +166,20 @@ def q_count_per_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sliding_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B27/B28 batch face: OVERLAPPING (sliding) windows — 30-minute
+    windows every 15 minutes via Spark's native window(ts, size, slide);
+    each event lands in exactly two windows. The direct analog of the
+    reference's overlapping poll windows (adapter.go:158-171), expressed
+    as a batch group-by so it is exactly oracle-checkable."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "30 minutes", "15 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(_ts_s("w.start", "win_start_s"), "n", "sum_value")
+    )
+
+
 # --------------------------------------------------------------------------
 # B-II: graph materialization + analytics (B9-B25)
 # --------------------------------------------------------------------------
@@ -1258,6 +1272,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_pandas_udf_zscore": q_pandas_udf_zscore,
         "q_udtf_spans": q_udtf_spans,
         "q_split_assign": q_split_assign,
+        "q_sliding_window_counts": q_sliding_window_counts,
         "q_nodes_resource": q_nodes_resource,
         "q_degree_distribution": q_degree_distribution,
         "q_subject_reach": q_subject_reach,
@@ -1740,6 +1755,20 @@ def oracle_sql() -> dict[str, str]:
                    strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS asof_s,
                    n_orders, last_orderkey
             FROM ship ASOF LEFT JOIN daily ON l_shipdate >= o_orderdate
+        """,
+        "q_sliding_window_counts": """
+            -- each event belongs to the two 30-min windows whose starts are
+            -- floor15(ts) and floor15(ts) - 15min
+            SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS win_start_s,
+                   CAST(count(*) AS BIGINT) AS n,
+                   round(sum(value), 2) AS sum_value
+            FROM (
+              SELECT unnest([f15, f15 - INTERVAL 15 MINUTE]) AS ws, value FROM (
+                SELECT to_timestamp(CAST(floor(epoch(ts) / 900) * 900 AS BIGINT)) AS f15, value
+                FROM events
+              )
+            )
+            GROUP BY ws
         """,
         "q_split_assign": """
             SELECT doc_id,

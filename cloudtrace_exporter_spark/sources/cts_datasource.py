@@ -21,7 +21,12 @@ import glob
 import json
 import os
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 
 from cloudtrace_exporter_spark.schemas import TRACE_SCHEMA
 
@@ -41,29 +46,81 @@ class CtsPagesReader(DataSourceReader):
         self.path = path
 
     def partitions(self):
-        files = sorted(
-            f
-            for pattern in ("part-*.json", "*.jsonl")
-            for f in glob.glob(os.path.join(self.path, pattern))
-        )
-        return [PageFilePartition(f) for f in files]
+        return [PageFilePartition(f) for f in _sorted_pages(self.path)]
 
     def read(self, partition: PageFilePartition):
-        with open(partition.path, encoding="utf-8") as fh:
-            for line in fh:
-                line = line.strip()
-                if not line:
-                    continue
-                try:
-                    page = json.loads(line)
-                except json.JSONDecodeError:
-                    continue  # malformed page: tolerated, mirrors A15 posture
-                for trace in page.get("traces") or []:
-                    yield tuple(trace.get(f) for f in _FIELDS)
+        yield from _read_page_file(partition.path)
+
+
+def _sorted_pages(path: str) -> list[str]:
+    return sorted(
+        f
+        for pattern in ("part-*.json", "*.jsonl")
+        for f in glob.glob(os.path.join(path, pattern))
+    )
+
+
+def _read_page_file(path: str):
+    with open(path, encoding="utf-8") as fh:
+        for line in fh:
+            line = line.strip()
+            if not line:
+                continue
+            try:
+                page = json.loads(line)
+            except json.JSONDecodeError:
+                continue  # malformed page: tolerated, mirrors A15 posture
+            for trace in page.get("traces") or []:
+                yield tuple(trace.get(f) for f in _FIELDS)
+
+
+class CtsPagesStreamReader(SimpleDataSourceStreamReader):
+    """Streaming form of the marker-chain poll (A2+A15): the offset is
+    the count of landed page files consumed, in sorted filename order.
+
+    The landing dir is append-only (pages arrive with monotonically
+    increasing part numbers, like the reference's marker chain), so an
+    offset range identifies an exact file slice — which is what makes
+    ``readBetweenOffsets`` an exact REPLAY after a crash: Spark persists
+    (start, end) in the checkpoint WAL and re-requests the same slice,
+    giving the at-least-once-input/exactly-once-state contract the
+    reference approximates with overlap windows + MERGE (adapter.go:
+    266-271 + client.go:10-21). Each micro-batch reads only files
+    [start, end) — O(new pages), never a rescan.
+    """
+
+    def __init__(self, options: dict):
+        path = options.get("path")
+        if not path:
+            raise ValueError("cts_pages source requires .option('path', <pages_dir>)")
+        self.path = path
+
+    def initialOffset(self) -> dict:
+        return {"page_idx": 0}
+
+    def read(self, start: dict):
+        files = _sorted_pages(self.path)
+        lo = start["page_idx"]
+        # materialized, not a generator: the rows of a Simple stream
+        # reader are prefetched driver-side and pickled into the WAL —
+        # bounded here by pages-per-trigger, the same backpressure unit
+        # as the reference's page size
+        rows = [r for f in files[lo:] for r in _read_page_file(f)]
+        return rows, {"page_idx": len(files)}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        files = _sorted_pages(self.path)
+        for f in files[start["page_idx"] : end["page_idx"]]:
+            yield from _read_page_file(f)
+
+    def commit(self, end: dict) -> None:
+        pass  # nothing to release; the landing dir is the durable log
 
 
 class CtsPagesDataSource(DataSource):
-    """``spark.read.format("cts_pages").option("path", dir).load()``."""
+    """``spark.read.format("cts_pages").option("path", dir).load()`` and
+    ``spark.readStream.format("cts_pages")…`` (micro-batch offsets =
+    consumed page count)."""
 
     @classmethod
     def name(cls) -> str:
@@ -74,6 +131,9 @@ class CtsPagesDataSource(DataSource):
 
     def reader(self, schema):
         return CtsPagesReader(self.options)
+
+    def simpleStreamReader(self, schema):
+        return CtsPagesStreamReader(self.options)
 
 
 def register(spark) -> None:

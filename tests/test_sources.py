@@ -189,3 +189,62 @@ def test_export_jsonl_shards_manifest_integrity(spark, tmp_path):
     # shards reload to the same corpus
     back = spark.read.json(f"{out}/part-*.json")
     assert back.count() == docs.count()
+
+
+def test_python_datasource_streaming_matches_batch_and_replays(spark, tmp_path):
+    # A2+A15 streaming form: offsets are consumed-page counts; a second
+    # availableNow run against the same checkpoint must deliver ONLY the
+    # pages landed in between (incremental, no rescan, no dupes). The
+    # sink is parquet because checkpoint RECOVERY is the point (the
+    # memory sink cannot resume).
+    from cloudtrace_exporter_spark.sources import cts_datasource
+
+    pages_dir = str(tmp_path / "pages_stream")
+    ckpt = str(tmp_path / "ckpt")
+    sink = str(tmp_path / "sink")
+    traces = _traces(spark)
+    first = traces.limit(120)
+    cts_pages.write_trace_pages(first, pages_dir, page_size=50)
+
+    cts_datasource.register(spark)
+
+    def drain() -> None:
+        (
+            spark.readStream.format("cts_pages")
+            .option("path", pages_dir)
+            .load()
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination()
+        )
+
+    drain()
+    got1 = {r.trace_id for r in spark.read.parquet(sink).collect()}
+    assert got1 == {r.trace_id for r in first.collect()}
+
+    # land more pages; the SAME checkpoint resumes from the stored offset
+    import glob as g
+
+    n_before = len(g.glob(f"{pages_dir}/part-*.json"))
+    second = traces.subtract(first)
+    sub = str(tmp_path / "pages_more")
+    cts_pages.write_trace_pages(second, sub, page_size=50)
+    import shutil
+
+    for i, f in enumerate(sorted(g.glob(f"{sub}/part-*.json"))):
+        shutil.copy(f, f"{pages_dir}/part-{n_before + i:05d}-more.json")
+
+    drain()
+    final = spark.read.parquet(sink)
+    got_all = {r.trace_id for r in final.collect()}
+    want_all = {r.trace_id for r in traces.collect()}
+    assert got_all == want_all  # new pages appended, nothing missed
+    assert final.count() == traces.count()  # and exactly once — no rescan dupes
+
+    # offset-slice replay is exact (what checkpoint recovery relies on)
+    reader = cts_datasource.CtsPagesStreamReader({"path": pages_dir})
+    replay = list(reader.readBetweenOffsets({"page_idx": 0}, {"page_idx": n_before}))
+    assert len(replay) == 120

@@ -219,3 +219,39 @@ def test_scd2_versions_partition_the_timeline(spark_prop, seq):
         assert ivs[-1].valid_to is None
         for cur, nxt in zip(ivs, ivs[1:]):
             assert cur.valid_to == nxt.valid_from
+
+
+@given(
+    lefts=st.lists(st.integers(min_value=0, max_value=5_000_000), min_size=1, max_size=12),
+    rights=st.lists(st.integers(min_value=0, max_value=5_000_000), min_size=0, max_size=8, unique=True),
+)
+@settings(max_examples=10, deadline=None)
+def test_asof_ranged_matches_naive_asof(spark_prop, lefts, rights):
+    """asof_join_ranged ≡ the naive per-left-row argmax(right.ts ≤ left.ts)
+    on arbitrary second-offset series — including empty right sides,
+    bucket gaps, and exact boundary collisions."""
+    import datetime as dt
+
+    from cloudtrace_exporter_spark.operators import analytics
+
+    base = dt.datetime(2024, 1, 1)
+    left = spark_prop.createDataFrame(
+        [(i, base + dt.timedelta(seconds=s)) for i, s in enumerate(lefts)],
+        "lid long, lts timestamp",
+    )
+    right = spark_prop.createDataFrame(
+        [(base + dt.timedelta(seconds=s), s) for s in rights],
+        "rts timestamp, val long",
+    ) if rights else spark_prop.createDataFrame([], "rts timestamp, val long")
+
+    got = {
+        r["lid"]: (r["asof_ts"], r["val"])
+        for r in analytics.asof_join_ranged(
+            left, right, "lts", "rts", ["lid"], ["val"], bucket="hour"
+        ).collect()
+    }
+    rt = sorted(rights)
+    for i, s in enumerate(lefts):
+        at_or_before = [x for x in rt if x <= s]
+        want = (base + dt.timedelta(seconds=at_or_before[-1]), at_or_before[-1]) if at_or_before else (None, None)
+        assert got[i] == want, f"lid={i} s={s}: {got[i]} != {want}"

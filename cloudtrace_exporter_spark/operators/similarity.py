@@ -182,6 +182,21 @@ def _assign_cells(v: DataFrame, centroids: DataFrame) -> DataFrame:
     )
 
 
+def save_ivf_index(assigned: DataFrame, centroids: DataFrame, path: str) -> None:
+    """Persist an IVF index: cell-partitioned assigned vectors (so a
+    probe reads only its cells' files — partition pruning IS the index
+    at rest) + the centroid table. The index lifecycle every production
+    ANN service runs: build once, serve many."""
+    assigned.write.mode("overwrite").partitionBy("cell").parquet(f"{path}/assigned")
+    centroids.write.mode("overwrite").parquet(f"{path}/centroids")
+
+
+def load_ivf_index(spark, path: str) -> tuple[DataFrame, DataFrame]:
+    assigned = spark.read.parquet(f"{path}/assigned").select("id", "v", "cell")
+    centroids = spark.read.parquet(f"{path}/centroids").select("cell", "centroid")
+    return assigned, centroids
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -191,6 +206,7 @@ def ivf_topk(
     n_probe: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    index: tuple[DataFrame, DataFrame] | None = None,
 ) -> DataFrame:
     """Approximate cosine top-k via IVF probing: score queries only
     against the ``n_probe`` nearest cells' vectors.
@@ -198,9 +214,11 @@ def ivf_topk(
     The probe set is an equi-join on ``cell`` — at scale, the corpus is
     pre-partitioned (or bucketed) by cell, so each query reads
     ``n_probe/n_centroids`` of the data. Recall grows with n_probe;
-    n_probe = n_centroids degenerates to exact brute force.
+    n_probe = n_centroids degenerates to exact brute force. Pass a
+    prebuilt/loaded ``index`` (see save/load_ivf_index) to skip the
+    k-means build — the serve path.
     """
-    assigned, centroids = build_ivf_index(
+    assigned, centroids = index if index is not None else build_ivf_index(
         corpus, n_centroids=n_centroids, id_col=id_col, vec_col=vec_col
     )
     q = queries.select(F.col(id_col).alias("query_id"), _as_double(vec_col).alias("qv"))

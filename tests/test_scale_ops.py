@@ -250,3 +250,22 @@ def test_zorder_rank_scale_spreads_skewed_column(spark):
     assert share_mm > 0.2
     assert share_rk < 0.10 < share_mm
     assert n_rk == n_mm == 64  # both cover the full bucket range here
+
+
+def test_ivf_index_roundtrip_serves_identical_results(spark, sf_dir, tmp_path):
+    # build once, persist, load, serve: the loaded index must answer
+    # exactly like the in-memory one, and the at-rest layout must be
+    # cell-partitioned so probes prune files
+    import os
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5)
+    idx = similarity.build_ivf_index(emb, n_centroids=8)
+    path = str(tmp_path / "ivf")
+    similarity.save_ivf_index(*idx, path)
+    loaded = similarity.load_ivf_index(spark, path)
+
+    fresh = similarity.ivf_topk(emb, q, k=3, index=idx).collect()
+    served = similarity.ivf_topk(emb, q, k=3, index=loaded).collect()
+    assert sorted(map(tuple, fresh)) == sorted(map(tuple, served))
+    assert any(d.startswith("cell=") for d in os.listdir(f"{path}/assigned"))

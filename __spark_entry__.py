@@ -744,6 +744,12 @@ def q_doc_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.exact_dedup(load_table(spark, sf_dir, "documents"))
 
 
+def q_dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B33 curation report: per-source duplication rate on the exact-dup
+    fingerprint — which provenance feeds copies."""
+    return dedup.dup_rate_by_source(load_table(spark, sf_dir, "documents"))
+
+
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B33: near-dup cluster assignment — connected components over the
     exact-Jaccard pair graph (same bounded 1000-doc slice as
@@ -1258,6 +1264,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_shipping_priority": q_shipping_priority,
         "q_market_share": q_market_share,
         "q_doc_dedup_exact": q_doc_dedup_exact,
+        "q_dup_rate_by_source": q_dup_rate_by_source,
         "q_minhash_dedup": q_minhash_dedup,
         "q_dedup_clusters": q_dedup_clusters,
         "q_cosine_topk": q_cosine_topk,
@@ -1864,6 +1871,12 @@ def oracle_sql() -> dict[str, str]:
             FROM events GROUP BY event_type ORDER BY event_type
         """,
         # q_ivf_topk: IVF cell assignment is engine-specific -> rows-only.
+        "q_dup_rate_by_source": """
+            SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(count(DISTINCT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))) AS BIGINT) AS n_unique,
+                   round(1.0 - count(DISTINCT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))) / count(*), 6) AS dup_rate
+            FROM documents GROUP BY source
+        """,
         "q_doc_dedup_exact": f"""
             SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint,
                    min(doc_id) AS doc_id, count(*) AS n_copies

@@ -68,6 +68,31 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     )
 
 
+def dup_rate_by_source(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Curation report: per source, document count, distinct normalized
+    fingerprints, and the duplication rate (1 − unique/total) — the
+    per-provenance health metric every corpus-intake review starts with
+    (which crawls/datasets are feeding you copies?).
+
+    One shuffle on (source, fingerprint) via distinct-count aggregation
+    with map-side partials; the fingerprint is the same md5 key as
+    ``exact_dedup`` so the two reports reconcile.
+    """
+    normalized = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+    return (
+        df.withColumn("__fp", F.md5(normalized))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("__fp").alias("n_unique"),
+        )
+        .withColumn(
+            "dup_rate",
+            F.round(1.0 - F.col("n_unique") / F.col("n_docs"), 6),
+        )
+    )
+
+
 def jaccard_pairs(
     df: DataFrame, threshold: float = 0.8, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:

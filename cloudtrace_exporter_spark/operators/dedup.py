@@ -68,7 +68,7 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     )
 
 
-def dup_rate_by_source(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+def dup_rate_by_source(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Curation report: per source, document count, distinct normalized
     fingerprints, and the duplication rate (1 − unique/total) — the
     per-provenance health metric every corpus-intake review starts with

@@ -316,7 +316,15 @@ def winnow_fingerprints(
     """
     from pyspark.sql import Window
 
-    norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+    # materialize the normalized text as a column FIRST: an expression
+    # (regexp_replace chain) referenced inside the per-gram lambda would
+    # re-run the regex once per gram — O(n_grams · len) regex work per
+    # document (measured ~2× the whole operator's cost at sf0.01)
+    normed = _spread(df).select(
+        F.col(id_col).alias("id"),
+        F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ").alias("__norm"),
+    )
+    norm = F.col("__norm")
     n = F.length(norm)
     gram_idx = F.sequence(F.lit(1), F.greatest(n - k + 1, F.lit(1)))
     gram_hashes = F.transform(gram_idx, lambda i: F.xxhash64(norm.substr(i, F.lit(k))))
@@ -327,8 +335,8 @@ def winnow_fingerprints(
     # the last valid window start is known BEFORE exploding (n_grams −
     # window); carrying it as a column avoids a second whole-partition
     # window pass (max(pos) over id) on the exploded grams
-    grams = _spread(df).select(
-        F.col(id_col).alias("id"),
+    grams = normed.select(
+        "id",
         F.greatest(F.greatest(n - k + 1, F.lit(1)) - window, F.lit(0)).alias("last_start"),
         F.posexplode(gram_hashes).alias("pos", "h"),
     )

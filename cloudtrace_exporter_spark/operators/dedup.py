@@ -120,10 +120,16 @@ def jaccard_pairs(
     )
 
 
-def _shingles(text_col: str, n: int) -> F.Column:
-    """Word n-gram shingles as strings (space-joined), via sequence+transform
-    — pure built-ins, no UDF."""
-    t = tokens(text_col)
+def _shingles(t: F.Column, n: int) -> F.Column:
+    """Word n-gram shingles as strings (space-joined) over an ALREADY
+    MATERIALIZED token-array column, via sequence+transform — pure
+    built-ins, no UDF.
+
+    ``t`` must be a bound column (not an inline tokens() expression):
+    the lambda references it once per shingle, and an embedded
+    split+filter expression would re-tokenize the document per shingle
+    (the same O(n²) trap fixed in winnow_fingerprints).
+    """
     k = F.size(t)
     idx = F.sequence(F.lit(0), F.greatest(k - n, F.lit(0)))
     return F.when(
@@ -149,11 +155,14 @@ def minhash_signatures(
     JVM-side (xxhash64 + transform + array_min); one narrow map.
     """
     df = _spread(df)
-    # materialize the base shingle hashes as a column so the 32 slot
-    # expressions reference the array, not the shingle computation
-    base = df.select(
-        F.col(id_col).alias("id"),
-        F.transform(_shingles(text_col, shingle), lambda s: F.xxhash64(s)).alias("__h"),
+    # materialize tokens, then shingle hashes, as columns: each step's
+    # lambda must reference a bound attribute, or the producer expression
+    # re-evaluates per element (split+filter per shingle, the whole
+    # shingle chain per signature slot)
+    toked = df.select(F.col(id_col).alias("id"), tokens(text_col).alias("__t"))
+    base = toked.select(
+        "id",
+        F.transform(_shingles(F.col("__t"), shingle), lambda s: F.xxhash64(s)).alias("__h"),
     )
 
     def min_for(seed: int) -> F.Column:

@@ -171,16 +171,20 @@ def tfidf_top_terms(
     )
 
 
-def word_ngrams(text_col: Column | str, n: int) -> Column:
-    """Distinct word n-grams (space-joined); empty array when the document
-    has fewer than ``n`` tokens. Narrow expression, no shuffle.
+def word_ngrams(t: Column, n: int) -> Column:
+    """Distinct word n-grams (space-joined) over an ALREADY MATERIALIZED
+    token-array column; empty array when the document has fewer than
+    ``n`` tokens. Narrow expression, no shuffle.
+
+    ``t`` must be a bound column: the slice lambda references it per
+    gram, and an inline tokens() expression would re-tokenize the
+    document per gram (O(n²) — same trap as dedup._shingles).
 
     NOTE: the short-doc fallback differs from ``dedup._shingles`` (which
     degrades to the whole text as one gram so every doc keeps a MinHash
     signature); for contamination checks a doc below n tokens simply has
     no n-grams.
     """
-    t = tokens(text_col)
     k = F.size(t)
     grams = F.transform(
         F.sequence(F.lit(1), k - n + 1), lambda i: F.concat_ws(" ", F.slice(t, i, n))
@@ -212,11 +216,13 @@ def ngram_contamination(
     distinct per doc before exploding, so counts are collision counts,
     not occurrence counts.
     """
-    tg = train.select(
-        F.col(id_col).alias("doc_id"), F.explode(word_ngrams(text_col, n)).alias("gram")
+    tg = (
+        train.select(F.col(id_col).alias("doc_id"), tokens(text_col).alias("__t"))
+        .select("doc_id", F.explode(word_ngrams(F.col("__t"), n)).alias("gram"))
     )
-    bg = benchmark.select(
-        F.col(id_col).alias("bench_id"), F.explode(word_ngrams(text_col, n)).alias("gram")
+    bg = (
+        benchmark.select(F.col(id_col).alias("bench_id"), tokens(text_col).alias("__t"))
+        .select("bench_id", F.explode(word_ngrams(F.col("__t"), n)).alias("gram"))
     )
     return (
         tg.join(F.broadcast(bg), "gram")
@@ -356,14 +362,17 @@ def chunk_documents(
     if overlap >= chunk_tokens:
         raise ValueError("overlap must be smaller than chunk_tokens")
     step = chunk_tokens - overlap
-    t = tokens(text_col)
+    # tokens as a bound column: the per-chunk slice lambda must not embed
+    # the tokenizer expression (re-tokenizes per chunk otherwise)
+    toked = df.select(F.col(id_col).alias("doc_id"), tokens(text_col).alias("__t"))
+    t = F.col("__t")
     n = F.size(t)
     starts = F.sequence(F.lit(1), F.greatest(n, F.lit(1)), F.lit(step))
     chunks = F.transform(starts, lambda i: F.slice(t, i, chunk_tokens))
     return (
-        df.filter(n >= 1)
+        toked.filter(n >= 1)
         .select(
-            F.col(id_col).alias("doc_id"),
+            "doc_id",
             F.posexplode(chunks).alias("pos", "chunk"),
         )
         .select(

@@ -344,7 +344,8 @@ def test_cluster_sizes_partition_the_corpus(spark, sf_dir):
 
 def test_word_ngrams_short_doc_empty(spark):
     df = spark.createDataFrame([("a b",), ("a b c d",), ("",)], ["text"])
-    rows = df.select(text.word_ngrams("text", 3).alias("g")).collect()
+    toked = df.select(text.tokens("text").alias("t"))
+    rows = toked.select(text.word_ngrams(F.col("t"), 3).alias("g")).collect()
     assert rows[0]["g"] == []          # 2 tokens < n
     assert rows[1]["g"] == ["a b c", "b c d"]
     assert rows[2]["g"] == []

@@ -94,6 +94,9 @@ class CtsPagesStreamReader(SimpleDataSourceStreamReader):
         if not path:
             raise ValueError("cts_pages source requires .option('path', <pages_dir>)")
         self.path = path
+        # backpressure knob: cap pages consumed per micro-batch (the
+        # reference's page-size bound, applied per trigger); 0 = unbounded
+        self.max_pages = int(options.get("max_pages_per_batch", 0) or 0)
 
     def initialOffset(self) -> dict:
         return {"page_idx": 0}
@@ -101,12 +104,12 @@ class CtsPagesStreamReader(SimpleDataSourceStreamReader):
     def read(self, start: dict):
         files = _sorted_pages(self.path)
         lo = start["page_idx"]
+        hi = min(lo + self.max_pages, len(files)) if self.max_pages else len(files)
         # materialized, not a generator: the rows of a Simple stream
         # reader are prefetched driver-side and pickled into the WAL —
-        # bounded here by pages-per-trigger, the same backpressure unit
-        # as the reference's page size
-        rows = [r for f in files[lo:] for r in _read_page_file(f)]
-        return rows, {"page_idx": len(files)}
+        # bounded by the pages-per-batch cap above
+        rows = [r for f in files[lo:hi] for r in _read_page_file(f)]
+        return rows, {"page_idx": hi}
 
     def readBetweenOffsets(self, start: dict, end: dict):
         files = _sorted_pages(self.path)

@@ -83,7 +83,10 @@ def write_trace_pages(traces: DataFrame, out_dir: str, *, page_size: int = DEFAU
             ).alias("meta_data"),
         )
     )
-    pages.write.mode("overwrite").json(out_dir)
+    # one response body per file (maxRecordsPerFile=1): the faithful
+    # landing pattern for "one page per HTTP request", and what makes
+    # page-count offsets (cts_datasource.CtsPagesStreamReader) exact
+    pages.write.option("maxRecordsPerFile", 1).mode("overwrite").json(out_dir)
 
 
 def read_trace_pages(spark: SparkSession, pages_dir: str) -> DataFrame:

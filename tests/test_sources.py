@@ -248,3 +248,56 @@ def test_python_datasource_streaming_matches_batch_and_replays(spark, tmp_path):
     reader = cts_datasource.CtsPagesStreamReader({"path": pages_dir})
     replay = list(reader.readBetweenOffsets({"page_idx": 0}, {"page_idx": n_before}))
     assert len(replay) == 120
+
+
+def test_python_datasource_stream_rate_limit(spark, tmp_path):
+    # max_pages_per_batch bounds each read() slice — the unit Spark
+    # prefetches and pickles into the checkpoint WAL (reference
+    # page-size analog). Spark's Simple-reader wrapper may merge several
+    # prefetched slices into one planned micro-batch, so the contract is
+    # asserted at the reader level; end-to-end the capped source must
+    # still drain everything exactly once.
+    from cloudtrace_exporter_spark.sources import cts_datasource
+
+    pages_dir = str(tmp_path / "pages_rate")
+    traces = _traces(spark)
+    cts_pages.write_trace_pages(traces.limit(200), pages_dir, page_size=50)  # 4 files
+
+    reader = cts_datasource.CtsPagesStreamReader(
+        {"path": pages_dir, "max_pages_per_batch": "1"}
+    )
+    off = reader.initialOffset()
+    slices = []
+    for _ in range(10):
+        rows, nxt = reader.read(off)
+        if nxt == off:
+            break
+        slices.append(len(rows))
+        off = nxt
+    assert len(slices) == 4 and all(s <= 50 for s in slices), slices
+    assert sum(slices) == 200
+
+    # end-to-end under a processing-time trigger: capped batches drain
+    # everything, several micro-batches, each at most one page
+    import time
+
+    cts_datasource.register(spark)
+    q = (
+        spark.readStream.format("cts_pages")
+        .option("path", pages_dir)
+        .option("max_pages_per_batch", "1")
+        .load()
+        .writeStream.format("memory")
+        .queryName("rate_limited")
+        .trigger(processingTime="100 milliseconds")
+        .start()
+    )
+    try:
+        deadline = time.time() + 60
+        while time.time() < deadline and spark.table("rate_limited").count() < 200:
+            time.sleep(0.5)
+        assert spark.table("rate_limited").count() == 200
+        batches = [p["numInputRows"] for p in (q.recentProgress or []) if p["numInputRows"] > 0]
+        assert max(batches) <= 50, f"cap violated: {batches}"
+    finally:
+        q.stop()

@@ -914,6 +914,12 @@ def q_embed_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.label_centroids(load_table(spark, sf_dir, "embeddings"))
 
 
+def q_embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B34/north-star: per-label L2-norm profile — the embedding-health
+    monitor (un-normalized batches and truncated vectors surface here)."""
+    return similarity.embedding_norm_stats(load_table(spark, sf_dir, "embeddings"))
+
+
 def q_vector_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B34: L2 unit-normalization of the embedding column — serialized to
     a fixed %.6f comma string (array cells crash the driver canon; fixed
@@ -1364,6 +1370,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_winnow_dedup": q_winnow_dedup,
         "q_embed_near_dup": q_embed_near_dup,
         "q_embed_label_centroids": q_embed_label_centroids,
+        "q_embedding_norm_stats": q_embedding_norm_stats,
         "q_vector_normalize": q_vector_normalize,
         "q_quantize_int8": q_quantize_int8,
         "q_token_freq": q_token_freq,
@@ -2754,6 +2761,19 @@ def oracle_sql() -> dict[str, str]:
                      ) AS rnk
               FROM tf JOIN dfreq ON tf.term = dfreq.term CROSS JOIN n
             ) WHERE rnk <= 5
+        """,
+        "q_embedding_norm_stats": """
+            SELECT label, CAST(count(*) AS BIGINT) AS n_vecs,
+                   round(avg(nrm), 6) AS mean_norm,
+                   round(min(nrm), 6) AS min_norm,
+                   round(max(nrm), 6) AS max_norm,
+                   round(avg(len(embedding)), 2) AS mean_dim
+            FROM (
+              SELECT label, embedding,
+                     sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm
+              FROM embeddings
+            )
+            GROUP BY label
         """,
         "q_vector_normalize": """
             SELECT vec_id,

@@ -312,6 +312,32 @@ def lsh_topk(
     )
 
 
+def embedding_norm_stats(
+    emb: DataFrame, *, label_col: str = "label", vec_col: str = "embedding"
+) -> DataFrame:
+    """Per-label L2-norm profile of the embedding space (count, mean/min/
+    max norm, mean dimension count) — the embedding-health monitor of an
+    ingest pipeline: un-normalized batches, truncated vectors, and
+    encoder drift all surface here before they poison similarity search.
+
+    One narrow map (norm per row) + one small groupBy on the label —
+    map-side partials, no vector ever shuffles.
+    """
+    v = _as_double(vec_col)
+    norm = F.sqrt(F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x * x))
+    return (
+        emb.select(F.col(label_col).alias("label"), norm.alias("__n"), F.size(v).alias("__d"))
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.round(F.avg("__n"), 6).alias("mean_norm"),
+            F.round(F.min("__n"), 6).alias("min_norm"),
+            F.round(F.max("__n"), 6).alias("max_norm"),
+            F.round(F.avg("__d"), 2).alias("mean_dim"),
+        )
+    )
+
+
 def label_centroids(emb: DataFrame, *, label_col: str = "label", vec_col: str = "embedding") -> DataFrame:
     """Per-label centroid of the embedding space, as (label, dim, mean)
     rows — the class-prototype primitive under IVF seeding, few-shot

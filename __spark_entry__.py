@@ -1880,7 +1880,7 @@ def oracle_sql() -> dict[str, str]:
             FROM events GROUP BY event_type ORDER BY event_type
         """,
         # q_ivf_topk: IVF cell assignment is engine-specific -> rows-only.
-        "q_dup_rate_by_source": """
+        "q_dup_rate_by_source": r"""
             SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
                    CAST(count(DISTINCT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))) AS BIGINT) AS n_unique,
                    round(1.0 - count(DISTINCT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))) / count(*), 6) AS dup_rate

@@ -36,17 +36,22 @@ from cloudtrace_exporter_spark.operators.text import tokens
 
 
 def _spread(df: DataFrame) -> DataFrame:
-    """Repartition to the session's core count before compute-bound maps.
+    """Repartition to the session's core count before compute-bound maps —
+    but ONLY when the input is under-partitioned.
 
     Fixture tables arrive as one small parquet file → one input partition,
     so a signature/pairwise operator would run single-threaded no matter
     how many cores exist (Spark sizes scan partitions by bytes, not by
-    downstream compute). One round-robin shuffle of the narrow input is
-    noise next to the hashing/scoring it parallelizes; at 100 TB the
-    input is already many splits and this becomes a cheap no-op-ish
-    rebalance (AQE coalesces if it overshoots).
+    downstream compute). At 100 TB the scan is already thousands of
+    splits, and an unconditional round-robin repartition would be a
+    gratuitous full-corpus shuffle — so inputs that already have ≥ the
+    session's parallelism keep their partitioning untouched (asserted by
+    a no-new-Exchange unit test).
     """
-    return df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    parallelism = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= parallelism:
+        return df
+    return df.repartition(parallelism)
 
 
 # deterministic seeds for the minhash permutation family
@@ -244,39 +249,90 @@ def minhash_lsh_pairs(
 
 def simhash_signatures(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """64-bit SimHash per document: sum ±1 per bit over token hashes, sign →
-    bit. Built-ins only: per bit, count tokens with that hash-bit set vs
-    total (Charikar '02). One narrow map; signature is a single long."""
-    df = _spread(df)
-    t = F.transform(tokens(text_col), lambda w: F.xxhash64(w))
-    n = F.size(t)
+    bit. Built-ins only (Charikar '02): explode the token hashes, take 64
+    conditional SUMs per doc, assemble the signature from the majority
+    bits.
 
-    def bit(i: int) -> F.Column:
-        # arity-1 lambda: a 2-arg lambda would be read as (element, index)
-        # by the higher-order filter and shadow the bit position
-        set_count = F.size(
-            F.filter(t, lambda h: (F.shiftright(h, i).bitwiseAND(F.lit(1))) == 1)
-        )
-        return (
-            F.when(set_count * 2 > n, F.lit(1).cast("long"))
-            .otherwise(F.lit(0).cast("long"))
-        )
+    Shape: higher-order per-bit filters over the hash array are
+    interpreted (no codegen for lambda bodies) — 64 array scans per row
+    measured ~4 s warm at sf0.01. Explode + HashAggregate keeps all 64
+    bit-counts inside whole-stage codegen (primitive shift/and/sum), and
+    map-side partial aggregation collapses the exploded tokens to one row
+    per (doc, partition) before the exchange, so the shuffle is n_docs-
+    sized, not n_tokens-sized — the scale-correct trade (warm wall 4.0 s
+    -> ~0.4 s at sf0.01). explode_outer keeps empty/null-text docs
+    (n=0 -> all-zero signature, same as the array formulation)."""
+    hashed = _spread(df).select(
+        F.col(id_col).alias("id"),
+        F.transform(tokens(text_col), lambda w: F.xxhash64(w)).alias("__h"),
+    )
+    tok = hashed.select("id", F.explode_outer("__h").alias("h"))
+    # SWAR-packed bit counting: 3 bit-counters per accumulator long, each
+    # in a 20-bit field (bound: 2^20-1 ≈ 1M tokens/doc before a field
+    # overflows; the top field's sum stays under 2^63). 22 packed sums
+    # instead of 64 scalar sums — the aggregate's generated update method
+    # is what Janino compiles on first execution, and at 65 buffers that
+    # compile dominated single-shot wall (~4s of a 7s query, measured);
+    # 23 buffers compile ~3× faster with identical semantics.
+    # (h >> i) & 1 is already 0/1 — no `when` wrapper. sum(NULL) for the
+    # explode_outer placeholder row of an empty doc is NULL, and
+    # NULL*2 > 0 is false, so empty docs still get signature 0.
+    def packed(s: int) -> F.Column:
+        fields = [
+            F.shiftleft(F.shiftright(F.col("h"), 3 * s + k).bitwiseAND(F.lit(1)), 20 * k)
+            for k in range(3)
+            if 3 * s + k < 64
+        ]
+        term = fields[0]
+        for f in fields[1:]:
+            term = term + f
+        return F.sum(term).alias(f"__p{s}")
 
-    bits = [bit(i) for i in range(64)]
+    counts = tok.groupBy("id").agg(
+        F.count("h").alias("__n"), *[packed(s) for s in range(22)]
+    )
+    n = F.col("__n")
+    bits = [
+        F.when(
+            F.shiftright(F.col(f"__p{i // 3}"), 20 * (i % 3)).bitwiseAND(F.lit((1 << 20) - 1)) * 2 > n,
+            F.lit(1).cast("long"),
+        ).otherwise(F.lit(0).cast("long"))
+        for i in range(64)
+    ]
     sig = bits[0]
     for i in range(1, 64):
         sig = sig + F.shiftleft(bits[i], i)  # assemble without string ops
-    return df.select(F.col(id_col).alias("id"), sig.alias("simhash"))
+    return counts.select("id", sig.alias("simhash"))
 
 
 def simhash_near_dups(
-    df: DataFrame, *, text_col: str = "text", id_col: str = "doc_id", max_hamming: int = 8
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 8,
+    max_bucket_freq: int = 1000,
 ) -> DataFrame:
     """SimHash near-dup pairs by Hamming distance, blocked for scale.
 
     Blocking: split the 64-bit signature into 4 × 16-bit blocks; any pair
     within Hamming ≤ 3·(blocks-1) shares at least one exact block
-    (pigeonhole), so bucket-join per block → candidates → exact Hamming
+    (pigeonhole), so bucket per block → in-bucket pairs → exact Hamming
     filter. Cost O(n·block_bucket) instead of O(n²).
+
+    Single-pass bucket groupBy instead of a self-join (same design as
+    winnow_near_dups): collect each (block, key) posting list in ONE
+    aggregation and expand in-bucket (a<b) pairs with a higher-order
+    transform — 2 data shuffles (bucket group, pair dedup) vs ~5 for the
+    equi-join formulation, and the signature pipeline is computed once
+    (each side of a self-join is a separate plan instance; the broadcast
+    side gets no ReusedExchange — measured ~2× the operator's wall).
+
+    ``max_bucket_freq`` caps the posting-list size, the standard
+    stop-bucket mitigation (same as winnow's ``max_doc_freq``): a 16-bit
+    block value shared by thousands of docs (e.g. the all-zero block from
+    very short documents) would expand O(freq²) pairs with ~no
+    discriminative power. Fixture buckets max out at 17 docs.
     """
     sigs = simhash_signatures(df, text_col, id_col)
     blocks = sigs.select(
@@ -293,14 +349,33 @@ def simhash_near_dups(
                 ]
             )
         ).alias("bk"),
-    ).select("id", "simhash", F.col("bk.block").alias("block"), F.col("bk.key").alias("key"))
-    a, b = blocks.alias("a"), blocks.alias("b")
-    xor = F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+    ).select(F.col("bk.block").alias("block"), F.col("bk.key").alias("key"), "id", "simhash")
+    buckets = (
+        blocks.groupBy("block", "key")
+        .agg(F.sort_array(F.collect_list(F.struct("id", "simhash"))).alias("docs"))
+        .filter(F.size("docs").between(2, max_bucket_freq))
+    )
+    docs = F.col("docs")
+    # all (i < j) combinations of the id-sorted posting list; the two-arg
+    # lambda receives (element, index) — exactly the contract here
+    pairs = F.flatten(
+        F.transform(
+            docs,
+            lambda a, i: F.transform(
+                F.slice(docs, i + F.lit(2), F.size(docs)),
+                lambda b: F.struct(
+                    a["id"].alias("doc_a"),
+                    b["id"].alias("doc_b"),
+                    F.bit_count(a["simhash"].bitwiseXOR(b["simhash"])).alias("hamming"),
+                ),
+            ),
+        )
+    )
     return (
-        a.join(b, (F.col("a.block") == F.col("b.block")) & (F.col("a.key") == F.col("b.key")) & (F.col("a.id") < F.col("b.id")))
-        .select(F.col("a.id").alias("doc_a"), F.col("b.id").alias("doc_b"), F.bit_count(xor).alias("hamming"))
-        .dropDuplicates(["doc_a", "doc_b"])
+        buckets.select(F.explode(pairs).alias("p"))
+        .select("p.doc_a", "p.doc_b", "p.hamming")
         .filter(F.col("hamming") <= max_hamming)
+        .dropDuplicates(["doc_a", "doc_b"])
     )
 
 
@@ -323,8 +398,6 @@ def winnow_fingerprints(
     position-independent (unlike raw shingles). All built-ins: sequence +
     substring + xxhash64 + slice + array_min; one narrow map.
     """
-    from pyspark.sql import Window
-
     # materialize the normalized text as a column FIRST: an expression
     # (regexp_replace chain) referenced inside the per-gram lambda would
     # re-run the regex once per gram — O(n_grams · len) regex work per
@@ -336,26 +409,33 @@ def winnow_fingerprints(
     norm = F.col("__norm")
     n = F.length(norm)
     gram_idx = F.sequence(F.lit(1), F.greatest(n - k + 1, F.lit(1)))
-    gram_hashes = F.transform(gram_idx, lambda i: F.xxhash64(norm.substr(i, F.lit(k))))
-    # posexplode + window-min instead of a nested slice-per-window lambda:
-    # an array expression referenced inside a higher-order lambda is
-    # re-evaluated per element (O(n²·k) per doc); exploding materializes
-    # the gram hashes once and the rolling min is a cheap frame scan.
-    # the last valid window start is known BEFORE exploding (n_grams −
-    # window); carrying it as a column avoids a second whole-partition
-    # window pass (max(pos) over id) on the exploded grams
-    grams = normed.select(
+    # materialize the gram hashes as a bound column, then take the rolling
+    # window-min IN-ROW with slice+array_min over that attribute: a bound
+    # array reference is an O(1) fetch per lambda call, so each window
+    # costs O(window), and the whole operator stays one narrow map — no
+    # posexplode (which multiplied rows ~700x), no hash shuffle, no
+    # per-doc sort. (The earlier explode+Window.partitionBy(id) version
+    # existed because an INLINE gram-hash expression inside the window
+    # lambda re-evaluates per element — materializing first removes that
+    # trap without the shuffle; replacing it cut warm wall 3.1s -> <1s at
+    # sf0.01.)
+    hashed = normed.select(
         "id",
-        F.greatest(F.greatest(n - k + 1, F.lit(1)) - window, F.lit(0)).alias("last_start"),
-        F.posexplode(gram_hashes).alias("pos", "h"),
+        F.transform(gram_idx, lambda i: F.xxhash64(norm.substr(i, F.lit(k)))).alias("__gh"),
     )
-    roll = Window.partitionBy("id").orderBy("pos").rowsBetween(0, window - 1)
-    starts = grams.withColumn("win_min", F.min("h").over(roll)).filter(
-        F.col("pos") <= F.col("last_start")
+    gh = F.col("__gh")
+    n_g = F.size(gh)
+    # window starts 0..max(n_grams - window, 0) (1-based slice indexes);
+    # slice truncates at the array end, so short documents (< window
+    # grams) yield the min over all grams — same semantics as the rolling
+    # frame with trailing filter it replaces
+    start_idx = F.sequence(F.lit(1), F.greatest(n_g - window, F.lit(0)) + 1)
+    fps = F.array_sort(
+        F.array_distinct(
+            F.transform(start_idx, lambda j: F.array_min(F.slice(gh, j, window)))
+        )
     )
-    return starts.groupBy("id").agg(
-        F.array_sort(F.array_distinct(F.collect_list("win_min"))).alias("fingerprints")
-    )
+    return hashed.select("id", fps.alias("fingerprints"))
 
 
 def winnow_near_dups(
@@ -387,7 +467,18 @@ def winnow_near_dups(
     """
     fps = winnow_fingerprints(df, text_col=text_col, id_col=id_col, k=k, window=window)
     sized = fps.withColumn("n_fp", F.size("fingerprints"))
-    flat = sized.select("id", "n_fp", F.explode("fingerprints").alias("fp"))
+    # explode_OUTER, then drop the null rows explicitly: a plain explode
+    # lets InferFiltersFromGenerate synthesize `size(fingerprints) > 0`,
+    # and pushdown inlines the ENTIRE fingerprint expression (gram-hash
+    # transform nested inside the rolling-min lambda) into that filter —
+    # O(n_grams² · k) hashing per row, a multi-minute stall at sf0.01.
+    # The rule skips outer generates, and the post-Generate null filter
+    # can't be pushed below it, so the fingerprints column stays a bound
+    # attribute computed once per row.
+    flat = (
+        sized.select("id", "n_fp", F.explode_outer("fingerprints").alias("fp"))
+        .filter(F.col("fp").isNotNull())
+    )
     buckets = (
         flat.groupBy("fp")
         .agg(F.sort_array(F.collect_list(F.struct("id", "n_fp"))).alias("docs"))

@@ -30,8 +30,13 @@ from pyspark.sql import functions as F
 def _spread(df: DataFrame) -> DataFrame:
     """Repartition to core count before compute-bound scoring (see
     dedup._spread: byte-sized scan partitions under-parallelize small
-    files; vector scoring is CPU-bound, not IO-bound)."""
-    return df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    files; vector scoring is CPU-bound, not IO-bound). Skipped when the
+    input already has ≥ the session's parallelism — at corpus scale an
+    unconditional round-robin would be a gratuitous full shuffle."""
+    parallelism = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= parallelism:
+        return df
+    return df.repartition(parallelism)
 
 
 def _as_double(vec_col: str) -> F.Column:

@@ -200,3 +200,22 @@ def test_asof_ranged_fact_window_is_partitioned(plans):
     ]
     assert merge_windows, "merge window not found in plan"
     assert all("__bucket" in ln for ln in merge_windows)
+
+
+def test_spread_skips_already_parallel_input(spark, sf_dir):
+    # dedup._spread / similarity._spread must be a no-op for inputs that
+    # already carry >= the session's parallelism — at 100 TB the scan is
+    # thousands of splits and an unconditional round-robin repartition
+    # would be a full-corpus shuffle for nothing.
+    from cloudtrace_exporter_spark.operators import dedup as dd
+    from cloudtrace_exporter_spark.operators import similarity as sim
+
+    parallelism = spark.sparkContext.defaultParallelism
+    wide = spark.range(0, 10_000, numPartitions=parallelism + 4).toDF("doc_id")
+    assert dd._spread(wide) is wide
+    assert sim._spread(wide) is wide
+
+    narrow = spark.range(0, 100, numPartitions=1).toDF("doc_id")
+    spread = dd._spread(narrow)
+    assert spread is not narrow
+    assert "Repartition" in spread._jdf.queryExecution().optimizedPlan().toString()

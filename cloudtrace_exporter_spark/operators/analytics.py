@@ -390,40 +390,43 @@ def asof_join_ranged(
     as-of at 100 TB:
 
     1. bucket both sides by ``date_trunc(bucket, ts)``;
-    2. boundary replication: for every bucket present on either side,
-       compute the carry-in = latest right row strictly before the
-       bucket's start (per-bucket struct-max agg → running max over the
-       *bucket list* — cardinality = number of time buckets, typically
-       thousands, so the one small window is bounded by calendar span,
-       never by data volume);
-    3. union left rows + right rows + carry-in rows inside each bucket
-       and run ``last(ignorenulls)`` over a window PARTITIONED BY bucket
-       — the heavy sort is per-bucket, shuffle-partitioned, AQE-splittable.
+    2. union left + right rows inside each bucket and run
+       ``last(ignorenulls)`` over a window PARTITIONED BY bucket — the
+       heavy sort is per-bucket, shuffle-partitioned, AQE-splittable;
+       left rows whose bucket has no earlier right row come out NULL;
+    3. fix up those NULLs with a BROADCAST carry map: per-bucket latest
+       right row (struct-max agg, map-side-combined so the exchange is
+       bucket-list-sized) → gap-filled calendar spine via ``sequence``
+       (so left buckets with zero right rows still resolve) → running
+       max over the spine. Cardinality = number of time buckets
+       (bounded by calendar span, never data volume), so the join back
+       is a broadcast — no second data shuffle.
+
+    One data-sized shuffle total (the merge window); the earlier
+    carry-rows-in-the-union formulation re-derived the right side three
+    times with divergent column pruning (7 exchanges, no ReusedExchange
+    possible — r2 verdict item #3).
 
     The right payload rides in ONE struct column so a legitimately-NULL
     field in the matched row is not skipped to an older row by
-    ignorenulls.
+    ignorenulls. ``__r`` is also the final merge-window sort key, so
+    duplicate right timestamps resolve to the struct-max row — the same
+    winner the carry map's ``max(__r)`` picks (determinism under ties;
+    r2 advice item #4).
     """
+    step = {
+        "year": "1 year",
+        "quarter": "3 months",
+        "month": "1 month",
+        "week": "1 week",
+        "day": "1 day",
+        "hour": "1 hour",
+        "minute": "1 minute",
+    }[bucket]
     b = lambda c: F.date_trunc(bucket, F.col(c))  # noqa: E731
     rstruct = F.struct(F.col(right_ts).alias("__ts"), *[F.col(c) for c in right_cols])
 
     rb = right.select(b(right_ts).alias("__bucket"), F.col(right_ts).alias("__rts"), rstruct.alias("__r"))
-    # per-bucket latest right row (struct compare is lexicographic; __ts first)
-    per_bucket = rb.groupBy("__bucket").agg(F.max("__r").alias("__last_r"))
-
-    buckets = (
-        left.select(b(left_ts).alias("__bucket"))
-        .union(rb.select("__bucket"))
-        .distinct()
-        .join(per_bucket, "__bucket", "left")
-    )
-    # carry-in for bucket b = latest right row in any earlier bucket
-    wb = Window.orderBy("__bucket").rowsBetween(Window.unboundedPreceding, -1)
-    carry = (
-        buckets.withColumn("__carry", F.max("__last_r").over(wb))
-        .filter(F.col("__carry").isNotNull())
-        .select("__bucket", F.col("__carry").alias("__r"))
-    )
 
     lrows = left.select(
         b(left_ts).alias("__bucket"),
@@ -439,27 +442,57 @@ def asof_join_ranged(
         F.lit(None).cast(lrows.schema["__l"].dataType).alias("__l"),
         "__r",
     )
-    crows = carry.select(
-        "__bucket",
-        F.col("__bucket").alias("__ts"),  # sorts first within the bucket
-        F.lit(-1).alias("__is_left"),
-        F.lit(None).cast(lrows.schema["__l"].dataType).alias("__l"),
-        "__r",
-    )
-
-    w = Window.partitionBy("__bucket").orderBy("__ts", "__is_left").rowsBetween(
+    w = Window.partitionBy("__bucket").orderBy("__ts", "__is_left", "__r").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
-    merged = (
+    matched = (
         lrows.unionByName(rrows)
-        .unionByName(crows)
         .withColumn("__asof", F.last("__r", ignorenulls=True).over(w))
+        .filter(F.col("__is_left") == 1)
     )
-    out = merged.filter(F.col("__is_left") == 1)
+
+    # carry map: latest right row strictly before each bucket's start,
+    # over a gap-filled spine across the right side's bucket range.
+    # Everything here is bucket-list-sized; per_bucket is cached because
+    # three consumers (spine bounds, carry join, global fallback) would
+    # otherwise each re-derive it as an independently-pruned tree copy —
+    # same "build the index once" rationale as the LSH signature tables.
+    per_bucket = rb.groupBy("__bucket").agg(F.max("__r").alias("__last_r")).cache()
+    gl = per_bucket.agg(
+        F.min("__bucket").alias("__lo"),
+        F.max("__bucket").alias("__hi_r"),
+        F.max("__last_r").alias("__global_last"),
+    )
+    spine = gl.select(
+        F.explode(F.sequence("__lo", "__hi_r", F.expr(f"interval {step}"))).alias("__bucket")
+    )
+    wb = Window.orderBy("__bucket").rowsBetween(Window.unboundedPreceding, -1)
+    carry = (
+        spine.join(F.broadcast(per_bucket), "__bucket", "left")
+        .withColumn("__carry", F.max("__last_r").over(wb))
+        .select("__bucket", "__carry")
+    )
+
+    # left buckets beyond the last right bucket fall back to the global
+    # latest right row (guarded: buckets BEFORE the first right bucket
+    # must stay NULL). gl is one row — the cross join is a broadcast of
+    # a single row, evaluated map-side.
+    fixed = (
+        matched.join(F.broadcast(carry), "__bucket", "left")
+        .crossJoin(F.broadcast(gl.select("__hi_r", "__global_last")))
+        .withColumn(
+            "__asof",
+            F.coalesce(
+                "__asof",
+                "__carry",
+                F.when(F.col("__bucket") > F.col("__hi_r"), F.col("__global_last")),
+            ),
+        )
+    )
     cols = [F.col(f"__l.{c}").alias(c) for c in left_cols]
-    cols.append(F.col(f"__asof.__ts").alias("asof_ts"))
+    cols.append(F.col("__asof.__ts").alias("asof_ts"))
     cols.extend(F.col(f"__asof.{c}").alias(c) for c in right_cols)
-    return out.select(*cols)
+    return fixed.select(*cols)
 
 
 def supplier_volume(

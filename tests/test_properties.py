@@ -255,3 +255,32 @@ def test_asof_ranged_matches_naive_asof(spark_prop, lefts, rights):
         at_or_before = [x for x in rt if x <= s]
         want = (base + dt.timedelta(seconds=at_or_before[-1]), at_or_before[-1]) if at_or_before else (None, None)
         assert got[i] == want, f"lid={i} s={s}: {got[i]} != {want}"
+
+
+def test_asof_ranged_duplicate_right_ts_is_deterministic(spark_prop):
+    """r2 advice: with duplicate right timestamps, the in-bucket merge and
+    the carry-in path must pick the SAME winner (the struct-max payload —
+    __r is the merge window's final sort key, and the carry map is
+    max(__r)), so results are deterministic and path-independent."""
+    import datetime as dt
+
+    from cloudtrace_exporter_spark.operators import analytics
+
+    base = dt.datetime(2024, 1, 1, 0, 30)
+    right = spark_prop.createDataFrame(
+        [(base, 1), (base, 9), (base, 4)], "rts timestamp, val long"
+    )
+    # lid 0: same hour-bucket as the duplicates (in-bucket merge path);
+    # lid 1: three buckets later with empty buckets between (carry path)
+    left = spark_prop.createDataFrame(
+        [(0, base + dt.timedelta(minutes=5)), (1, base + dt.timedelta(hours=3))],
+        "lid long, lts timestamp",
+    )
+    for _ in range(3):  # determinism across repeated runs
+        got = {
+            r["lid"]: r["val"]
+            for r in analytics.asof_join_ranged(
+                left, right, "lts", "rts", ["lid"], ["val"], bucket="hour"
+            ).collect()
+        }
+        assert got == {0: 9, 1: 9}

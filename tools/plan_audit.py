@@ -17,7 +17,35 @@ import sys
 sys.path.insert(0, "/root/repo")
 
 
+def _strip_cached_subplans(plan: str) -> tuple[str, int]:
+    """Drop the build plans printed inline under InMemoryRelation nodes.
+
+    A cached subtree's exchanges run ONCE at cache materialization (or
+    zero times when already warm), not per query — counting them per
+    consumer would overstate the steady-state shuffle budget 2-3× for
+    any plan that reuses a cached index (LSH signatures, as-of carry
+    maps). Returns (stripped plan text, number of InMemoryRelations).
+    """
+    out = []
+    n_cached = 0
+    skip_deeper_than: int | None = None
+    for ln in plan.splitlines():
+        stripped = ln.lstrip(" :+-")
+        depth = len(ln) - len(stripped)
+        if skip_deeper_than is not None:
+            if stripped and depth > skip_deeper_than:
+                continue
+            skip_deeper_than = None
+        if stripped.startswith("InMemoryRelation"):
+            n_cached += 1
+            skip_deeper_than = depth
+            continue
+        out.append(ln)
+    return "\n".join(out), n_cached
+
+
 def audit(plan: str) -> dict:
+    plan, n_cached = _strip_cached_subplans(plan)
     joins = {
         "BHJ": plan.count("BroadcastHashJoin"),
         "SMJ": plan.count("SortMergeJoin"),
@@ -42,6 +70,7 @@ def audit(plan: str) -> dict:
         # write, two reads), not an additional shuffle
         "exchanges": plan.count("Exchange") - n_broadcast - n_reused,
         "broadcasts": n_broadcast,
+        "cached": n_cached,
         "pushed_filters": n_pushed,
         "scan_cols": max(widths),
     }
@@ -70,7 +99,9 @@ def main() -> None:
                 f"{name:28s} joins[{info['joins'] or '-':24s}] "
                 f"shuf={info['exchanges']:<2d} bcast={info['broadcasts']:<2d} "
                 f"pushed={info['pushed_filters']:<2d} "
-                f"scan_cols={info['scan_cols']:<2d} {' '.join(flags)}"
+                f"scan_cols={info['scan_cols']:<2d} "
+                f"{'cached=' + str(info['cached']) + ' ' if info['cached'] else ''}"
+                f"{' '.join(flags)}"
             )
         except Exception as exc:  # keep sweeping
             print(f"{name:28s} ERROR {type(exc).__name__}: {exc}")

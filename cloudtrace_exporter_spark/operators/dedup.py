@@ -182,7 +182,7 @@ def minhash_signatures(
     return base.select("id", sig.alias("signature"))
 
 
-def minhash_lsh_pairs(
+def minhash_banded_index(
     df: DataFrame,
     *,
     text_col: str = "text",
@@ -190,29 +190,21 @@ def minhash_lsh_pairs(
     n_hashes: int = 32,
     bands: int = 8,
     shingle: int = 3,
-    threshold: float = 0.5,
 ) -> DataFrame:
-    """MinHash+LSH near-dup candidate pairs, verified by signature overlap.
+    """The LSH index table: one row per (doc, band) with the band-bucket
+    hash and the full signature — ``(id, signature, band, bucket)``.
 
-    Pipeline: signature → split into ``bands`` bands of r=n/bands rows →
-    hash each band → explode → groupBy (band, band_hash) bucket-join →
-    candidate pairs → estimate Jaccard as signature agreement ratio →
-    filter ≥ threshold.
-
-    Scale shape: the explode multiplies rows by ``bands`` (cheap, narrow);
-    the self-join happens per bucket — O(Σ bucket²) with tiny buckets,
-    the standard LSH trade (false negatives for near-linear cost).
-    Candidate probability follows the (1-(1-J^r)^b) S-curve.
+    This is the build-once artifact of every LSH dedup pipeline (the
+    analog of ivf's ``build_ivf_index``): build it, ``.cache()`` or
+    persist it to parquet, and run the bucket join against it per batch.
+    The banding select references the signature column bands×r times, so
+    callers who don't materialize it pay the CollapseProject recompute
+    trap (~30×, measured) — minhash_lsh_pairs caches it when building
+    internally.
     """
     r = n_hashes // bands
-    # Materialize the signature index: the banding select references the
-    # signature column 8×4 times and CollapseProject would otherwise
-    # inline — and recompute — the whole 32-slot minhash chain per
-    # reference (~30× the work, measured). At scale this .cache() is the
-    # "build the signature table once" step of every LSH pipeline; Spark's
-    # CacheManager dedups identical plans, so repeated calls share it.
-    sigs = minhash_signatures(df, text_col, id_col, n_hashes, shingle).cache()
-    banded = sigs.select(
+    sigs = minhash_signatures(df, text_col, id_col, n_hashes, shingle)
+    return sigs.select(
         "id",
         "signature",
         F.explode(
@@ -227,6 +219,44 @@ def minhash_lsh_pairs(
             )
         ).alias("bb"),
     ).select("id", "signature", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_hashes: int = 32,
+    bands: int = 8,
+    shingle: int = 3,
+    threshold: float = 0.5,
+    index: DataFrame | None = None,
+) -> DataFrame:
+    """MinHash+LSH near-dup candidate pairs, verified by signature overlap.
+
+    Pipeline: signature → split into ``bands`` bands of r=n/bands rows →
+    hash each band → explode → groupBy (band, band_hash) bucket-join →
+    candidate pairs → estimate Jaccard as signature agreement ratio →
+    filter ≥ threshold.
+
+    Scale shape: the explode multiplies rows by ``bands`` (cheap, narrow);
+    the self-join happens per bucket — O(Σ bucket²) with tiny buckets,
+    the standard LSH trade (false negatives for near-linear cost).
+    Candidate probability follows the (1-(1-J^r)^b) S-curve.
+
+    Pass a prebuilt ``index`` (see minhash_banded_index) to skip the
+    signature build — the steady-state path, and the caller then owns the
+    cache lifecycle (no storage accumulates here across repeated calls).
+    When building internally the index is ``.cache()``d; Spark's
+    CacheManager dedups identical plans, so repeated same-input calls
+    share one materialization.
+    """
+    if index is not None:
+        banded = index
+    else:
+        banded = minhash_banded_index(
+            df, text_col=text_col, id_col=id_col, n_hashes=n_hashes, bands=bands, shingle=shingle
+        ).cache()
     a, b = banded.alias("a"), banded.alias("b")
     cand = (
         a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.id") < F.col("b.id")))

@@ -3,10 +3,12 @@
 Contract: image/audio/video payloads are opaque ``binary`` columns with a
 typed metadata struct alongside. The Spark-side plumbing — schema,
 partition sizing, Arrow batch shape, mapInPandas signatures — is real and
-tested; the actual codec calls are STUBBED (the decode libraries are not
-in this container): ``decode_stub_features`` produces deterministic fake
-features derived from the bytes, and ``decode_real`` raises
-NotImplementedError where Pillow/ffmpeg would plug in.
+tested. Two decode tiers: ``decode_stub_features`` produces deterministic
+byte-statistics features (the no-codec fallback), and ``decode_real``
+genuinely decodes 24bpp BMP and binary PPM (pure numpy header+pixel
+parsing — no codec library needed) with per-channel means and a luma
+histogram; JPEG/PNG/video slots take a Pillow/ffmpeg call in the same
+mapInPandas shape on a cluster with the libraries installed.
 
 Scale notes: binary payloads dominate row size, so (1) metadata-only
 queries must never read the blob column (parquet column pruning does this
@@ -124,17 +126,185 @@ def decode_stub_features(df: DataFrame, *, n_features: int = 8) -> DataFrame:
     return df.select("doc_id", "payload", "media_meta").mapInPandas(_extract, FEATURE_SCHEMA)
 
 
-def decode_real(df: DataFrame) -> DataFrame:
-    """Where the real decoder plugs in (Pillow / torchaudio / ffmpeg).
+DECODED_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), True),
+        T.StructField("format", T.StringType(), True),  # bmp|ppm|unsupported
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("n_pixels", T.LongType(), True),
+        T.StructField("mean_r", T.DoubleType(), True),
+        T.StructField("mean_g", T.DoubleType(), True),
+        T.StructField("mean_b", T.DoubleType(), True),
+        T.StructField("gray_hist", T.ArrayType(T.DoubleType()), True),  # normalized
+    ]
+)
 
-    Not available in this container — the Spark-side contract is
-    decode_stub_features; this function documents the swap point.
+
+def _parse_bmp(buf: bytes):
+    """24-bit uncompressed (BI_RGB) BMP → (w, h, HxWx3 RGB float array).
+
+    Pure header+pixel math on the public BMP layout (54-byte
+    BITMAPINFOHEADER variant): little-endian fields, 4-byte-padded
+    bottom-up BGR rows; negative biHeight means top-down. Returns None
+    for anything that isn't a decodable 24bpp BI_RGB BMP.
     """
-    raise NotImplementedError(
-        "media codecs are not installed in this environment; use "
-        "decode_stub_features for the tested plumbing and swap in the real "
-        "decoder on a cluster with the media libraries"
+    import numpy as np
+
+    if len(buf) < 54 or buf[:2] != b"BM":
+        return None
+    off = int.from_bytes(buf[10:14], "little")
+    w = int.from_bytes(buf[18:22], "little", signed=True)
+    h_raw = int.from_bytes(buf[22:26], "little", signed=True)
+    bpp = int.from_bytes(buf[28:30], "little")
+    comp = int.from_bytes(buf[30:34], "little")
+    h = abs(h_raw)
+    if bpp != 24 or comp != 0 or w <= 0 or h == 0:
+        return None
+    row_bytes = ((w * 3 + 3) // 4) * 4
+    if len(buf) < off + row_bytes * h:
+        return None
+    rows = np.frombuffer(buf, dtype=np.uint8, count=row_bytes * h, offset=off).reshape(h, row_bytes)
+    bgr = rows[:, : w * 3].reshape(h, w, 3)
+    if h_raw > 0:  # bottom-up storage → top-down pixels
+        bgr = bgr[::-1]
+    return w, h, bgr[..., ::-1].astype(np.float64)  # BGR → RGB
+
+
+def _parse_ppm(buf: bytes):
+    """Binary PPM (P6, maxval ≤ 255) → (w, h, HxWx3 RGB float array).
+
+    Netpbm header: ASCII magic + whitespace-separated width/height/maxval
+    with '#' comments, then a single whitespace byte and raw RGB triples.
+    """
+    import numpy as np
+
+    if len(buf) < 2 or buf[:2] != b"P6":
+        return None
+    pos, fields = 2, []
+    while len(fields) < 3 and pos < len(buf):
+        c = buf[pos : pos + 1]
+        if c.isspace():
+            pos += 1
+        elif c == b"#":
+            while pos < len(buf) and buf[pos : pos + 1] not in (b"\n", b"\r"):
+                pos += 1
+        else:
+            start = pos
+            while pos < len(buf) and not buf[pos : pos + 1].isspace():
+                pos += 1
+            tok = buf[start:pos]
+            if not tok.isdigit():
+                return None
+            fields.append(int(tok))
+    if len(fields) < 3 or pos >= len(buf):
+        return None
+    pos += 1  # the single whitespace after maxval
+    w, h, maxval = fields
+    if w <= 0 or h <= 0 or not (0 < maxval <= 255) or len(buf) < pos + w * h * 3:
+        return None
+    rgb = np.frombuffer(buf, dtype=np.uint8, count=w * h * 3, offset=pos).reshape(h, w, 3)
+    return w, h, rgb.astype(np.float64)
+
+
+def encode_bmp(rgb) -> bytes:
+    """HxWx3 RGB uint8 array → 24-bit BI_RGB BMP bytes (the inverse of
+    _parse_bmp; used by the synthetic-payload generator and tests)."""
+    import numpy as np
+
+    rgb = np.asarray(rgb, dtype=np.uint8)
+    h, w, _ = rgb.shape
+    row_bytes = ((w * 3 + 3) // 4) * 4
+    padded = np.zeros((h, row_bytes), dtype=np.uint8)
+    padded[:, : w * 3] = rgb[::-1, :, ::-1].reshape(h, w * 3)  # top-down RGB → bottom-up BGR
+    pixel_bytes = padded.tobytes()
+    header = (
+        b"BM"
+        + (54 + len(pixel_bytes)).to_bytes(4, "little")
+        + b"\x00\x00\x00\x00"
+        + (54).to_bytes(4, "little")
+        + (40).to_bytes(4, "little")
+        + w.to_bytes(4, "little", signed=True)
+        + h.to_bytes(4, "little", signed=True)
+        + (1).to_bytes(2, "little")
+        + (24).to_bytes(2, "little")
+        + (0).to_bytes(4, "little")
+        + len(pixel_bytes).to_bytes(4, "little")
+        + (2835).to_bytes(4, "little") * 2
+        + (0).to_bytes(4, "little") * 2
     )
+    return header + pixel_bytes
+
+
+def decode_real(df: DataFrame, *, hist_bins: int = 8) -> DataFrame:
+    """REAL (non-stub) decode: pure-Python/numpy BMP (24bpp BI_RGB) and
+    binary PPM (P6) decoders — header parse + pixel statistics, no codec
+    libraries. Rows whose payload is neither format come back with
+    ``format='unsupported'`` and null stats (decode-tolerant, like every
+    ingest pipeline must be). Per-channel means, pixel counts, and a
+    normalized ``hist_bins``-bin luma histogram (ITU-R 601 weights) out;
+    Arrow-batched via mapInPandas, vectorized numpy per image.
+
+    For JPEG/PNG/video, swap the two parsers for Pillow/ffmpeg calls —
+    the Spark contract (schema, batching, column pruning) is unchanged.
+    """
+    import numpy as np
+
+    def _decode_one(doc_id, buf):
+        parsed = _parse_bmp(buf) if buf else None
+        fmt = "bmp" if parsed else None
+        if parsed is None and buf:
+            parsed = _parse_ppm(buf)
+            fmt = "ppm" if parsed else None
+        if parsed is None:
+            return (doc_id, "unsupported", None, None, None, None, None, None, None)
+        w, h, rgb = parsed
+        means = rgb.reshape(-1, 3).mean(axis=0)
+        luma = 0.299 * rgb[..., 0] + 0.587 * rgb[..., 1] + 0.114 * rgb[..., 2]
+        hist, _ = np.histogram(luma, bins=hist_bins, range=(0.0, 256.0))
+        n = w * h
+        return (
+            doc_id, fmt, w, h, n,
+            round(float(means[0]), 6), round(float(means[1]), 6), round(float(means[2]), 6),
+            [round(float(x) / n, 6) for x in hist],
+        )
+
+    def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [f.name for f in DECODED_SCHEMA.fields]
+        for pdf in batches:
+            rows = [
+                _decode_one(d, bytes(b) if b is not None else b"")
+                for d, b in zip(pdf["doc_id"], pdf["payload"])
+            ]
+            yield pd.DataFrame(rows, columns=cols)
+
+    return df.select("doc_id", "payload").mapInPandas(_extract, DECODED_SCHEMA)
+
+
+def synthesize_bmp_payload(df: DataFrame, *, width: int = 16, height: int = 16) -> DataFrame:
+    """Deterministic BMP payload per doc_id (gradient keyed by the id) —
+    the fixture adapter that lets the real decoder run end-to-end in an
+    environment with no media files. Arrow-batched; payload is a genuine
+    24bpp BMP that any external viewer would open."""
+    import numpy as np
+
+    def _gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        yy, xx = np.mgrid[0:height, 0:width]
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                k = int(doc_id)
+                rgb = np.stack(
+                    [(xx * 7 + k) % 256, (yy * 11 + 3 * k) % 256, (xx + yy + 5 * k) % 256],
+                    axis=-1,
+                ).astype(np.uint8)
+                payloads.append(encode_bmp(rgb))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    schema = T.StructType(
+        [T.StructField("doc_id", T.LongType()), T.StructField("payload", T.BinaryType())]
+    )
+    return df.select("doc_id").mapInPandas(_gen, schema)
 
 
 def resize_stub(df: DataFrame, *, width: int, height: int) -> DataFrame:

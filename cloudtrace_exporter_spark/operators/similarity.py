@@ -51,6 +51,21 @@ def _norm(a: F.Column) -> F.Column:
     return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
 
 
+def _matrix_lit(vectors: list[list[float]]) -> F.Column:
+    """A list of double vectors as ONE parser-built nested array literal.
+
+    Building plane/centroid matrices element-by-element with ``F.lit``
+    costs a py4j round-trip per element (~4000 for 16×64 planes ×2 sides
+    — measured ~3 s of pure driver time before any action) and leaves
+    Catalyst a 1000-literal tree to re-analyze per call. One ``F.expr``
+    string parses in milliseconds and constant-folds to the same doubles:
+    ``repr(x)`` round-trips to the identical IEEE double the SQL parser
+    produces for ``<repr>D``.
+    """
+    rows = ",".join("array(" + ",".join(repr(x) + "D" for x in v) + ")" for v in vectors)
+    return F.expr(f"array({rows})")
+
+
 def cosine_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -137,13 +152,21 @@ def build_ivf_index(
     ``n_probe/n_centroids`` of the corpus (see ivf_topk).
     """
     v = _spread(corpus).select(F.col(id_col).alias("id"), _as_double(vec_col).alias("v"))
-    centroids = (
+    spark = corpus.sparkSession
+    seed = (
         v.orderBy("id").limit(n_centroids)
         .select(F.row_number().over(Window.orderBy("id")).alias("cell"), F.col("v").alias("centroid"))
     )
+    # Centroids are collected per round (n_centroids × dim doubles —
+    # kilobytes by construction; NEVER the vectors). Iterative algorithms
+    # must truncate lineage per round, or every iteration's plan stacks
+    # under the next; re-entering the centroids as literals also turns
+    # per-vector assignment into a narrow map (no join, no window, no
+    # shuffle of the corpus) — the standard Spark k-means shape.
+    cent_rows = seed.collect()
     for _ in range(lloyd_iters):
-        assigned = _assign_cells(v, centroids)
-        centroids = _materialize_centroids(
+        assigned = v.withColumn("cell", _nearest_cell(F.col("v"), cent_rows))
+        cent_rows = (
             assigned.select("cell", F.posexplode("v").alias("pos", "val"))
             .groupBy("cell", "pos")
             .agg(F.avg("val").alias("mean_val"))
@@ -154,37 +177,30 @@ def build_ivf_index(
                     lambda s: s["mean_val"],
                 ).alias("centroid")
             )
+            .collect()
         )
-    assigned = _assign_cells(v, centroids)
+    assigned = v.withColumn("cell", _nearest_cell(F.col("v"), cent_rows)).select("id", "v", "cell")
+    centroids = spark.createDataFrame(cent_rows, schema="cell int, centroid array<double>")
     return assigned, centroids
 
 
-def _materialize_centroids(centroids: DataFrame) -> DataFrame:
-    """Collapse an iteration's centroid table (n_centroids × dim floats —
-    kilobytes by construction) to a driver-local relation.
-
-    Iterative algorithms must truncate lineage per round, or every
-    iteration's plan stacks under the next: lloyd_iters rounds otherwise
-    replay the full corpus scan + window + shuffle chain once per round
-    downstream. Collecting the *centroids* (never the vectors) is the
-    standard Spark k-means shape; the result re-enters the plan as a
-    LocalRelation that broadcasts for free."""
-    spark = centroids.sparkSession
-    return spark.createDataFrame(centroids.collect(), schema=centroids.schema)
-
-
-def _assign_cells(v: DataFrame, centroids: DataFrame) -> DataFrame:
-    """Nearest-centroid assignment: broadcast the centroid table, score
-    every (vector, centroid) pair, keep the argmin per vector."""
-    scored = v.join(F.broadcast(centroids)).withColumn(
-        "dist", _sq_dist(F.col("v"), F.col("centroid"))
+def _nearest_cell(v: F.Column, cent_rows) -> F.Column:
+    """Nearest-centroid cell id as a pure narrow expression: the centroid
+    table rides in as a literal matrix (see _matrix_lit), distances via
+    one transform, argmin via array_sort on (dist, cell) structs — ties
+    break on the lower cell id, matching the previous window-based
+    row_number ordering."""
+    rows = sorted(cent_rows, key=lambda r: r["cell"])
+    m = _matrix_lit([list(r["centroid"]) for r in rows])
+    cells = F.expr("array(" + ",".join(str(int(r["cell"])) for r in rows) + ")")
+    ranked = F.array_sort(
+        F.zip_with(
+            F.transform(m, lambda c: _sq_dist(v, c)),
+            cells,
+            lambda d, c: F.struct(d.alias("d"), c.alias("c")),
+        )
     )
-    w = Window.partitionBy("id").orderBy(F.asc("dist"), F.asc("cell"))
-    return (
-        scored.withColumn("__r", F.row_number().over(w))
-        .filter(F.col("__r") == 1)
-        .select("id", "v", "cell")
-    )
+    return F.element_at(ranked, 1)["c"]
 
 
 def save_ivf_index(assigned: DataFrame, centroids: DataFrame, path: str) -> None:
@@ -226,22 +242,34 @@ def ivf_topk(
     assigned, centroids = index if index is not None else build_ivf_index(
         corpus, n_centroids=n_centroids, id_col=id_col, vec_col=vec_col
     )
-    q = queries.select(F.col(id_col).alias("query_id"), _as_double(vec_col).alias("qv"))
-    q_cells = (
-        q.join(F.broadcast(centroids))
-        .withColumn("dist", _sq_dist(F.col("qv"), F.col("centroid")))
-        .withColumn("__r", F.row_number().over(Window.partitionBy("query_id").orderBy(F.asc("dist"), F.asc("cell"))))
-        .filter(F.col("__r") <= n_probe)
-        .select("query_id", "qv", "cell")
+    # the centroid table is kilobytes by construction (sanctioned collect,
+    # like the per-round Lloyd collect in build_ivf_index): re-entering it
+    # as a literal matrix makes cell-probe selection a narrow map instead
+    # of a broadcast join + per-query window
+    cent_rows = sorted(centroids.collect(), key=lambda r: r["cell"])
+    m = _matrix_lit([list(r["centroid"]) for r in cent_rows])
+    cells = F.expr("array(" + ",".join(str(int(r["cell"])) for r in cent_rows) + ")")
+    ranked = F.array_sort(
+        F.zip_with(
+            F.transform(m, lambda c: _sq_dist(F.col("qv"), c)),
+            cells,
+            lambda d, c: F.struct(d.alias("d"), c.alias("c")),
+        )
     )
+    probe_cells = F.transform(F.slice(ranked, 1, n_probe), lambda s: s["c"])
+    q = queries.select(
+        F.col(id_col).alias("query_id"), _as_double(vec_col).alias("qv")
+    ).withColumn("qn", _norm(F.col("qv")))
+    q_cells = q.select("query_id", "qv", "qn", F.explode(probe_cells).alias("cell"))
     scored = (
         assigned.withColumnRenamed("id", "corpus_id")
+        .withColumn("vn", _norm(F.col("v")))
         .join(F.broadcast(q_cells), "cell")
         .filter(F.col("corpus_id") != F.col("query_id"))
         .select(
             "query_id",
             "corpus_id",
-            F.round(_dot(F.col("v"), F.col("qv")) / (_norm(F.col("v")) * _norm(F.col("qv"))), 6).alias("cosine"),
+            F.round(_dot(F.col("v"), F.col("qv")) / (F.col("vn") * F.col("qn")), 6).alias("cosine"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("corpus_id"))
@@ -250,6 +278,61 @@ def ivf_topk(
         .filter(F.col("rnk") <= k)
         .select("query_id", "corpus_id", "cosine", "rnk")
     )
+
+
+def _lsh_hashed(df: DataFrame, keep: str, vcol: str, planes_m: F.Column, n_bits: int, n_tables: int) -> DataFrame:
+    """(id, tbl, bkt) hash rows for one side of the LSH join.
+
+    Staged selects: dots and bits land as bound attributes, so the bucket
+    sum's n_tables·n_bits element_at references duplicate a column read,
+    not the 16-dot transform chain (CollapseProject only inlines cheap
+    expressions)."""
+    dots = df.select(keep, F.transform(planes_m, lambda p: _dot(F.col(vcol), p)).alias("__dots"))
+    bits = dots.select(
+        keep,
+        F.transform(
+            "__dots",
+            lambda d: F.when(d > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long")),
+        ).alias("__bits"),
+    )
+
+    def bucket(t: int) -> F.Column:
+        e = F.element_at(F.col("__bits"), t * n_bits + 1)
+        for i in range(1, n_bits):
+            e = e + F.shiftleft(F.element_at(F.col("__bits"), t * n_bits + i + 1), i)
+        return e
+
+    return bits.select(keep, F.posexplode(F.array(*[bucket(t) for t in range(n_tables)])).alias("tbl", "bkt"))
+
+
+def build_lsh_index(
+    corpus: DataFrame,
+    *,
+    n_bits: int = 4,
+    n_tables: int = 8,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> tuple[DataFrame, DataFrame]:
+    """The LSH index at rest: ``(vecs, hashes)`` — the corpus with
+    precomputed L2 norms (``corpus_id, cv, cn``; the norm is computed
+    once per vector here instead of once per scored pair) and the
+    multi-table hash rows (``corpus_id, tbl, bkt``).
+
+    Like build_ivf_index / minhash_banded_index this is the build-once
+    artifact: cache or persist both tables and every query batch pays
+    only the bucket probe + candidate scoring.
+    """
+    tables = [hyperplane_planes(dim, n_bits, seed + 1000 * t) for t in range(n_tables)]
+    # one flat (n_tables·n_bits)×dim literal matrix, row j = table j//n_bits,
+    # bit j%n_bits — semantically identical to per-plane hyperplane_bucket
+    # calls, but the tree is ~50 nodes instead of ~2000 (see _matrix_lit)
+    planes_m = _matrix_lit([p for tbl in tables for p in tbl])
+    c = _spread(corpus).select(F.col(id_col).alias("corpus_id"), _as_double(vec_col).alias("cv"))
+    vecs = c.withColumn("cn", _norm(F.col("cv")))
+    hashes = _lsh_hashed(c, "corpus_id", "cv", planes_m, n_bits, n_tables)
+    return vecs, hashes
 
 
 def lsh_topk(
@@ -263,6 +346,7 @@ def lsh_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 42,
+    index: tuple[DataFrame, DataFrame] | None = None,
 ) -> DataFrame:
     """Approximate cosine top-k: multi-table hyperplane-LSH bucket join,
     then exact scoring of the deduplicated candidate set.
@@ -277,42 +361,51 @@ def lsh_topk(
     recall; more bits → smaller buckets → cheaper but lower per-table
     recall. n_bits=2/n_tables=8 measures ≥0.9 recall vs exact on the
     64-dim fixture.
+
+    Pass a prebuilt ``index`` (see build_lsh_index, same hyper-params) to
+    skip re-hashing the corpus — the serve path.
     """
     tables = [hyperplane_planes(dim, n_bits, seed + 1000 * t) for t in range(n_tables)]
-
-    def buckets(v: F.Column) -> F.Column:
-        return F.array(*[hyperplane_bucket(v, p) for p in tables])
-
-    c = _spread(corpus).select(F.col(id_col).alias("corpus_id"), _as_double(vec_col).alias("cv"))
-    q = queries.select(F.col(id_col).alias("query_id"), _as_double(vec_col).alias("qv"))
-    # hash side: ids + (table, bucket) keys only — vectors are not exploded
-    ch = c.select("corpus_id", F.posexplode(buckets(F.col("cv"))).alias("tbl", "bkt"))
-    qh = q.select("query_id", F.posexplode(buckets(F.col("qv"))).alias("q_tbl", "q_bkt"))
-    candidates = (
-        ch.join(
-            F.broadcast(qh),
-            (F.col("tbl") == F.col("q_tbl"))
-            & (F.col("bkt") == F.col("q_bkt"))
-            & (F.col("corpus_id") != F.col("query_id")),
-        )
-        .select("query_id", "corpus_id")
-        .dropDuplicates(["query_id", "corpus_id"])
+    planes_m = _matrix_lit([p for tbl in tables for p in tbl])
+    vecs, ch = index if index is not None else build_lsh_index(
+        corpus, n_bits=n_bits, n_tables=n_tables, dim=dim, id_col=id_col, vec_col=vec_col, seed=seed
     )
+    q = queries.select(F.col(id_col).alias("query_id"), _as_double(vec_col).alias("qv"))
+    qv = q.withColumn("qn", _norm(F.col("qv")))
+    qh = _lsh_hashed(q, "query_id", "qv", planes_m, n_bits, n_tables).withColumnsRenamed(
+        {"tbl": "q_tbl", "bkt": "q_bkt"}
+    )
+    candidates = ch.join(
+        F.broadcast(qh),
+        (F.col("tbl") == F.col("q_tbl"))
+        & (F.col("bkt") == F.col("q_bkt"))
+        & (F.col("corpus_id") != F.col("query_id")),
+    ).select("query_id", "corpus_id")
     scored = (
-        candidates.join(c, "corpus_id")
-        .join(F.broadcast(q), "query_id")
+        candidates.join(vecs, "corpus_id")
+        .join(F.broadcast(qv), "query_id")
         .select(
             "query_id",
             "corpus_id",
-            F.round(
-                _dot(F.col("cv"), F.col("qv")) / (_norm(F.col("cv")) * _norm(F.col("qv"))), 6
-            ).alias("cosine"),
+            F.round(_dot(F.col("cv"), F.col("qv")) / (F.col("cn") * F.col("qn")), 6).alias("cosine"),
         )
     )
+    # Dedup (a pair can collide in several tables) is FUSED into the
+    # ranking window instead of a separate dropDuplicates shuffle:
+    # duplicates of a pair carry identical (cosine, corpus_id) sort keys,
+    # so they land adjacent under this ordering — a lag() flags them and
+    # a running sum of non-dups IS the dense pair rank. One exchange by
+    # query_id total, at the cost of scoring pre-dedup rows (~2× with 8
+    # tables; the dot is cheap next to a second shuffle).
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("corpus_id"))
+    is_dup = F.coalesce(F.lag("corpus_id").over(w) == F.col("corpus_id"), F.lit(False))
+    rank = F.sum(F.when(is_dup, 0).otherwise(1)).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
     return (
-        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
-        .filter(F.col("rnk") <= k)
+        scored.withColumn("__dup", is_dup)
+        .withColumn("rnk", rank.cast("long"))
+        .filter((~F.col("__dup")) & (F.col("rnk") <= k))
         .select("query_id", "corpus_id", "cosine", "rnk")
     )
 

@@ -95,24 +95,49 @@ class CtsPagesStreamReader(SimpleDataSourceStreamReader):
             raise ValueError("cts_pages source requires .option('path', <pages_dir>)")
         self.path = path
         # backpressure knob: cap pages consumed per micro-batch (the
-        # reference's page-size bound, applied per trigger); 0 = unbounded
-        self.max_pages = int(options.get("max_pages_per_batch", 0) or 0)
+        # reference's page-size bound, applied per trigger). Non-zero BY
+        # DEFAULT: Simple stream readers materialize each batch's rows
+        # driver-side into the checkpoint WAL, so an unbounded first batch
+        # over a large backlog is a driver-memory hazard; pass 0 to opt
+        # out explicitly.
+        raw = options.get("max_pages_per_batch")
+        self.max_pages = 100 if raw is None else int(raw)
 
     def initialOffset(self) -> dict:
-        return {"page_idx": 0}
+        return {"page_idx": 0, "last_file": None}
+
+    def _check_append_only(self, files: list[str], start: dict) -> None:
+        """Offsets are positional in sorted-filename order; that is only
+        an exact slice id while the dir stays append-only. Guard it: the
+        offset records the last consumed filename, and any file landing
+        BEFORE it in sort order would silently shift the slice — fail
+        loudly instead of replaying wrong data."""
+        lo, last = start["page_idx"], start.get("last_file")
+        if lo > 0 and last is not None:
+            actual = os.path.basename(files[lo - 1]) if lo <= len(files) else None
+            if actual != last:
+                raise ValueError(
+                    f"cts_pages landing dir violated the append-only contract: "
+                    f"offset {lo} was committed after consuming {last!r}, but the "
+                    f"file at that position is now {actual!r} (a page landed with "
+                    f"a name sorting before already-consumed files)"
+                )
 
     def read(self, start: dict):
         files = _sorted_pages(self.path)
+        self._check_append_only(files, start)
         lo = start["page_idx"]
         hi = min(lo + self.max_pages, len(files)) if self.max_pages else len(files)
         # materialized, not a generator: the rows of a Simple stream
         # reader are prefetched driver-side and pickled into the WAL —
         # bounded by the pages-per-batch cap above
         rows = [r for f in files[lo:hi] for r in _read_page_file(f)]
-        return rows, {"page_idx": hi}
+        last = os.path.basename(files[hi - 1]) if hi > 0 else start.get("last_file")
+        return rows, {"page_idx": hi, "last_file": last}
 
     def readBetweenOffsets(self, start: dict, end: dict):
         files = _sorted_pages(self.path)
+        self._check_append_only(files, start)
         for f in files[start["page_idx"] : end["page_idx"]]:
             yield from _read_page_file(f)
 

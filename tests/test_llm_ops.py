@@ -261,6 +261,64 @@ def test_metadata_query_prunes_blob_column(spark, sf_dir):
     assert meta_only.count() > 0 and plan is not None
 
 
+def test_encode_bmp_parse_roundtrip_with_row_padding(spark):
+    # width=3 → 9 pixel bytes/row padded to 12: the padding path must be
+    # exact both ways
+    import numpy as np
+
+    rgb = np.arange(2 * 3 * 3, dtype=np.uint8).reshape(2, 3, 3)
+    buf = multimodal.encode_bmp(rgb)
+    w, h, decoded = multimodal._parse_bmp(buf)
+    assert (w, h) == (3, 2)
+    assert np.array_equal(decoded.astype(np.uint8), rgb)
+
+
+def test_decode_real_bmp_exact_stats(spark):
+    import numpy as np
+
+    rgb = np.zeros((2, 2, 3), dtype=np.uint8)
+    rgb[0, 0] = (255, 0, 0)
+    rgb[0, 1] = (0, 255, 0)
+    rgb[1, 0] = (0, 0, 255)
+    rgb[1, 1] = (10, 20, 30)
+    df = spark.createDataFrame([(7, bytearray(multimodal.encode_bmp(rgb)))], "doc_id long, payload binary")
+    r = multimodal.decode_real(df).first()
+    assert (r["format"], r["width"], r["height"], r["n_pixels"]) == ("bmp", 2, 2, 4)
+    assert r["mean_r"] == round((255 + 0 + 0 + 10) / 4, 6)
+    assert r["mean_g"] == round((0 + 255 + 0 + 20) / 4, 6)
+    assert r["mean_b"] == round((0 + 0 + 255 + 30) / 4, 6)
+    # luma: 76.245, 149.685, 29.07, 18.15 → 32-wide bins [29.07, 18.15 | _ | 76.245 | _ | 149.685 ...]
+    assert r["gray_hist"] == [0.5, 0.0, 0.25, 0.0, 0.25, 0.0, 0.0, 0.0]
+
+
+def test_decode_real_ppm_with_header_comment(spark):
+    buf = b"P6 # a comment\n2 1 255\n" + bytes([255, 255, 255, 0, 0, 0])
+    df = spark.createDataFrame([(1, bytearray(buf))], "doc_id long, payload binary")
+    r = multimodal.decode_real(df).first()
+    assert (r["format"], r["width"], r["height"]) == ("ppm", 2, 1)
+    assert r["mean_r"] == r["mean_g"] == r["mean_b"] == 127.5
+
+
+def test_decode_real_tolerates_undecodable(spark):
+    df = spark.createDataFrame(
+        [(1, bytearray(b"not an image")), (2, None)], "doc_id long, payload binary"
+    )
+    out = {r["doc_id"]: r for r in multimodal.decode_real(df).collect()}
+    assert out[1]["format"] == "unsupported" and out[1]["width"] is None
+    assert out[2]["format"] == "unsupported" and out[2]["gray_hist"] is None
+
+
+def test_synthesize_and_decode_real_end_to_end(spark):
+    df = spark.createDataFrame([(i,) for i in range(5)], "doc_id long")
+    decoded = multimodal.decode_real(multimodal.synthesize_bmp_payload(df))
+    rows = decoded.collect()
+    assert len(rows) == 5
+    assert all(r["format"] == "bmp" and r["n_pixels"] == 256 for r in rows)
+    # deterministic: same ids → identical stats on a second run
+    again = {r["doc_id"]: r for r in decoded.collect()}
+    assert all(again[r["doc_id"]] == r for r in rows)
+
+
 def test_frame_sample_stub_explodes(spark):
     df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
     media = multimodal.attach_binary_payload(df).withColumn(
@@ -278,9 +336,16 @@ def test_frame_sample_stub_explodes(spark):
     assert offsets == [0, 1000, 2000]
 
 
-def test_decode_real_raises(spark):
-    with pytest.raises(NotImplementedError):
-        multimodal.decode_real(None)
+def test_parse_bmp_rejects_unsupported_depths(spark):
+    # 8bpp / compressed BMPs are out of scope for the pure parser: it must
+    # return None (→ 'unsupported'), never mis-decode
+    import numpy as np
+
+    buf = bytearray(multimodal.encode_bmp(np.zeros((1, 1, 3), dtype=np.uint8)))
+    buf[28] = 8  # biBitCount 24 → 8
+    assert multimodal._parse_bmp(bytes(buf)) is None
+    buf[28], buf[30] = 24, 1  # restore depth, set BI_RLE8 compression
+    assert multimodal._parse_bmp(bytes(buf)) is None
 
 
 # --------------------------------------------------------------------------

@@ -250,6 +250,34 @@ def test_python_datasource_streaming_matches_batch_and_replays(spark, tmp_path):
     assert len(replay) == 120
 
 
+def test_python_datasource_append_only_guard(spark, tmp_path):
+    # positional offsets are exact only while the landing dir is
+    # append-only; a file sorting BEFORE consumed ones must fail loudly,
+    # never silently replay a shifted slice
+    import pytest as _pytest
+
+    from cloudtrace_exporter_spark.sources import cts_datasource
+
+    pages_dir = str(tmp_path / "pages_guard")
+    traces = _traces(spark)
+    cts_pages.write_trace_pages(traces.limit(100), pages_dir, page_size=50)  # 2 files
+
+    reader = cts_datasource.CtsPagesStreamReader({"path": pages_dir, "max_pages_per_batch": "0"})
+    rows, off = reader.read(reader.initialOffset())
+    assert len(rows) == 100 and off["page_idx"] == 2 and off["last_file"]
+
+    # a latecomer that sorts before every part-* file shifts positions
+    with open(f"{pages_dir}/part-00000-0-aaa.json", "w", encoding="utf-8") as fh:
+        fh.write("{}\n")
+    with _pytest.raises(ValueError, match="append-only"):
+        reader.read(off)
+    with _pytest.raises(ValueError, match="append-only"):
+        list(reader.readBetweenOffsets(off, {"page_idx": 3}))
+
+    # default prefetch cap is bounded (100 pages), not unbounded
+    assert cts_datasource.CtsPagesStreamReader({"path": pages_dir}).max_pages == 100
+
+
 def test_python_datasource_stream_rate_limit(spark, tmp_path):
     # max_pages_per_batch bounds each read() slice — the unit Spark
     # prefetches and pickles into the checkpoint WAL (reference

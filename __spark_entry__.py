@@ -946,6 +946,51 @@ def _lsh_index(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
     )
 
 
+# PQ codebooks + encoded corpus per (application, sf_dir): train/encode
+# once (ingest-time), serve ADC probes per batch — the PQ lifecycle.
+_PQ_CACHE: dict[tuple[str, str], tuple] = {}
+
+
+def _pq_index(spark: SparkSession, sf_dir: str):
+    app_id = spark.sparkContext.applicationId
+    key = (app_id, sf_dir)
+    got = _PQ_CACHE.get(key)
+    if got is None:
+        for old_key in [k for k in _PQ_CACHE if k[0] == app_id]:
+            try:
+                _PQ_CACHE.pop(old_key)[1].unpersist()
+            except Exception:
+                pass
+        emb = load_table(spark, sf_dir, "embeddings")
+        books = similarity.pq_train(emb)
+        got = (books, similarity.pq_encode(emb, books).cache())
+        _PQ_CACHE[key] = got
+    return got
+
+
+def q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B34 product-quantization ADC top-k (rows-only: k-means codebooks
+    are engine-specific; recall + planted-duplicate tests in
+    tests/test_scale_ops.py). Codes are 8 small ints per 64-float vector
+    — the 32× memory-tier compression of a billion-vector serving
+    layer."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    books, codes = _pq_index(spark, sf_dir)
+    return similarity.pq_topk(emb, emb.filter(F.col("vec_id") < 10), books, k=5, codes=codes)
+
+
+def q_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B34 two-tier PQ serving: ADC shortlist over compressed codes →
+    exact cosine re-rank of the shortlist only (recall 0.88 at
+    shortlist=100 ≈ 20% of the fixture corpus touched; floors asserted in
+    tests). Rows-only: the shortlist is codebook-dependent."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    books, codes = _pq_index(spark, sf_dir)
+    return similarity.pq_rerank_topk(
+        emb, emb.filter(F.col("vec_id") < 10), books, k=5, shortlist=100, codes=codes
+    )
+
+
 def q_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B34 HEADLINE approximate top-k: multi-table hyperplane-LSH bucket
     equi-join (rows-only; recall ≥0.9 vs q_cosine_topk asserted in
@@ -1194,6 +1239,25 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North-star data selection: DSIR hashed-bigram importance weights
+    (target = the English slice, raw = whole corpus). The md5-prefix
+    bucket key makes the whole pipeline engine-portable — full DuckDB
+    oracle."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text.dsir_importance(docs, docs.filter(F.col("lang") == "en"))
+
+
+def q_mixture_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North-star data recipe: deterministically resample the corpus to a
+    target language mixture (30/20/20/15/15) via in-plan md5 thresholds —
+    full DuckDB oracle."""
+    docs = load_table(spark, sf_dir, "documents")
+    return curate.mixture_resample(
+        docs, {"en": 0.3, "zh": 0.2, "es": 0.2, "de": 0.15, "fr": 0.15}
+    )
+
+
 def q_udtf_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B37 Python UDTF: per-document sentence spans via SQL LATERAL."""
     return udfs.sentence_spans(load_table(spark, sf_dir, "documents"))
@@ -1378,7 +1442,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # unevaluated block, oracle-backed keys precede rows-only keys
         # (stronger evidence first); the 72 already-green keys close the dict.
         "q_lsh_topk_verified": q_lsh_topk_verified,
+        "q_dsir_importance": q_dsir_importance,
+        "q_mixture_resample": q_mixture_resample,
         "q_multimodal_decode": q_multimodal_decode,
+        "q_pq_topk": q_pq_topk,
+        "q_pq_rerank": q_pq_rerank,
         "q_pandas_udf_zscore": q_pandas_udf_zscore,
         "q_udtf_spans": q_udtf_spans,
         "q_split_assign": q_split_assign,
@@ -2060,6 +2128,54 @@ def oracle_sql() -> dict[str, str]:
         # q_lsh_topk_verified: the hyperplane family is seed-deterministic,
         # so DuckDB CAN replay it — the one ANN scale path with a full oracle.
         "q_lsh_topk_verified": _lsh_oracle_sql(),
+        "q_dsir_importance": f"""
+            WITH tok AS (SELECT doc_id, lang, {_TOKENS_SQL} AS t FROM documents),
+            g AS (
+              SELECT doc_id, lang,
+                     substr(md5(unnest(list_filter(
+                       list_transform(t, (x, i) -> CASE WHEN i < len(t) THEN x || ' ' || t[i+1] END),
+                       b -> b IS NOT NULL))), 1, 2) AS bucket
+              FROM tok
+            ),
+            ct AS (SELECT bucket, count(*) AS c FROM g WHERE lang = 'en' GROUP BY bucket),
+            nt AS (SELECT count(*) AS n FROM g WHERE lang = 'en'),
+            cr AS (SELECT bucket, count(*) AS c FROM g GROUP BY bucket),
+            nr AS (SELECT count(*) AS n FROM g),
+            merged AS (
+              SELECT COALESCE(ct.bucket, cr.bucket) AS bucket,
+                     COALESCE(ln((ct.c + 1.0) / (nt.n + 256.0)), ln(1.0 / (nt.n + 256.0)))
+                   - COALESCE(ln((cr.c + 1.0) / (nr.n + 256.0)), ln(1.0 / (nr.n + 256.0))) AS log_ratio
+              FROM ct FULL OUTER JOIN cr ON ct.bucket = cr.bucket, nt, nr
+            ),
+            scored AS (
+              SELECT g.doc_id, count(*) AS n_grams, round(sum(m.log_ratio), 6) AS log_weight
+              FROM g JOIN merged m USING (bucket) GROUP BY g.doc_id
+            )
+            SELECT d.doc_id, CAST(COALESCE(s.n_grams, 0) AS BIGINT) AS n_grams,
+                   COALESCE(s.log_weight, 0.0) AS log_weight
+            FROM documents d LEFT JOIN scored s USING (doc_id)
+        """,
+        "q_mixture_resample": """
+            WITH counts AS (
+              SELECT lang, count(*) AS n_g,
+                     CASE lang WHEN 'en' THEN CAST(0.3 AS DOUBLE)
+                               WHEN 'zh' THEN CAST(0.2 AS DOUBLE)
+                               WHEN 'es' THEN CAST(0.2 AS DOUBLE)
+                               WHEN 'de' THEN CAST(0.15 AS DOUBLE)
+                               WHEN 'fr' THEN CAST(0.15 AS DOUBLE) END AS frac
+              FROM documents GROUP BY lang
+            ),
+            t AS (SELECT min(n_g / frac) AS t FROM counts WHERE frac IS NOT NULL),
+            thr AS (
+              SELECT lang,
+                     CASE WHEN frac * t.t / n_g >= 1.0 THEN 'g'
+                          ELSE lower(lpad(to_hex(CAST(floor(frac * t.t / n_g * 4294967296.0) AS BIGINT)), 8, '0'))
+                     END AS thr
+              FROM counts, t WHERE frac IS NOT NULL
+            )
+            SELECT d.doc_id, d.lang FROM documents d JOIN thr USING (lang)
+            WHERE substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8) < thr.thr
+        """,
         "q_embed_near_dup": """
             WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings WHERE vec_id < 1000)
             SELECT * FROM (

@@ -73,3 +73,55 @@ def curation_funnel(docs: DataFrame, *, en_fraction: float = 0.25) -> DataFrame:
         .unionByName(stage("3_dedup", deduped))
         .unionByName(stage("4_sampled", sampled))
     )
+
+
+def mixture_resample(
+    docs: DataFrame,
+    mixture: dict[str, float],
+    *,
+    group_col: str = "lang",
+    key_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministically resample the corpus to a target domain/language
+    mixture — the "data recipe" step of a training pipeline (e.g. 30% en,
+    20% zh, …) run as a pure filter.
+
+    The largest feasible corpus honoring the mixture keeps every row of
+    the binding group (the one with the smallest n_g/frac_g) and
+    downsamples the rest: T = min_g(n_g/frac_g), keep-rate_g = frac_g·T /
+    n_g. Sampling is the md5-prefix threshold (hash_sample): reproducible
+    across engines/retries/repartitioning, and the threshold is computed
+    IN-PLAN from the group counts (a KB-sized broadcast), so no driver
+    round-trip. Groups absent from ``mixture`` are dropped — a recipe is
+    exhaustive by definition.
+
+    One tiny group-count aggregation + one broadcast join + narrow
+    filter; the corpus itself never shuffles.
+    """
+    frac = None
+    for g, f in mixture.items():
+        frac = (
+            F.when(F.col(group_col) == g, F.lit(float(f)))
+            if frac is None
+            else frac.when(F.col(group_col) == g, F.lit(float(f)))
+        )
+    counts = (
+        docs.groupBy(group_col)
+        .agg(F.count("*").alias("n_g"))
+        .withColumn("frac", frac)
+        .filter(F.col("frac").isNotNull())
+    )
+    total = counts.agg(F.min(F.col("n_g") / F.col("frac")).alias("t"))
+    rates = counts.crossJoin(F.broadcast(total)).select(
+        group_col,
+        (F.col("frac") * F.col("t") / F.col("n_g")).alias("rate"),
+    )
+    thr = F.when(F.col("rate") >= 1.0, F.lit("g")).otherwise(
+        F.lower(F.lpad(F.hex(F.floor(F.col("rate") * F.lit(4294967296.0)).cast("long")), 8, "0"))
+    )
+    keyed = F.substring(F.md5(F.col(key_col).cast("string").cast("binary")), 1, 8)
+    return (
+        docs.join(F.broadcast(rates.select(group_col, thr.alias("__thr"))), group_col)
+        .filter(keyed < F.col("__thr"))
+        .select(key_col, group_col)
+    )

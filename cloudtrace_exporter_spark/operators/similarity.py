@@ -496,3 +496,214 @@ def quantize_int8(
         F.round(scale, 6).alias("scale"),
         q.alias("q"),
     )
+
+
+def pq_train(
+    corpus: DataFrame,
+    *,
+    m: int = 8,
+    k: int = 16,
+    lloyd_iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[list[float]]]:
+    """Product-quantization codebooks: split each vector into ``m``
+    subvectors and k-means each subspace independently —
+    ``codebooks[j]`` = ``k`` centroids of dim/m floats for subspace j.
+
+    All m subspace k-means run in ONE aggregation per Lloyd round: the
+    corpus explodes to (subspace, sub-position, value) triples keyed by
+    the per-row assigned cell, groupBy recomputes every centroid of
+    every subspace together, and the driver collects m·k·(dim/m) doubles
+    (= one full vector's worth per centroid — KBs). Assignment is a
+    narrow map over literal codebook matrices (see _matrix_lit); the
+    corpus never shuffles.
+
+    Seeding: subspace j starts from the first ``k`` vectors' j-th
+    subvectors (deterministic, like build_ivf_index).
+    """
+    v = _spread(corpus).select(F.col(id_col).alias("id"), _as_double(vec_col).alias("v"))
+    first = v.orderBy("id").limit(k).select("v").collect()
+    dim = len(first[0]["v"])
+    sub = dim // m
+    books = [[list(r["v"][j * sub : (j + 1) * sub]) for r in first] for j in range(m)]
+    for _ in range(lloyd_iters):
+        cells = _pq_cells_expr(books, sub)
+        assigned = v.withColumn("cells", cells)
+        rows = (
+            assigned.select(F.posexplode("v").alias("pos", "val"), "cells")
+            .select(
+                (F.col("pos") / sub).cast("int").alias("j"),
+                (F.col("pos") % sub).alias("sp"),
+                F.element_at("cells", (F.col("pos") / sub).cast("int") + 1).alias("cell"),
+                "val",
+            )
+            .groupBy("j", "cell", "sp")
+            .agg(F.avg("val").alias("mv"))
+            .collect()
+        )
+        new_books = [[list(c) for c in bk] for bk in books]  # keep empty cells
+        for r in rows:
+            new_books[r["j"]][r["cell"]][r["sp"]] = r["mv"]
+        books = new_books
+    return books
+
+
+def _pq_cells_expr(books: list[list[list[float]]], sub: int) -> F.Column:
+    """array<int> of per-subspace nearest-centroid indices (0-based) for
+    the bound vector column ``v`` — m argmins over literal codebooks."""
+    cells = []
+    for j, bk in enumerate(books):
+        mlit = _matrix_lit(bk)
+        idxs = F.expr("array(" + ",".join(str(i) for i in range(len(bk))) + ")")
+        subv = F.slice(F.col("v"), j * sub + 1, sub)
+        ranked = F.array_sort(
+            F.zip_with(
+                F.transform(mlit, lambda c: _sq_dist(subv, c)),
+                idxs,
+                lambda d, c: F.struct(d.alias("d"), c.alias("c")),
+            )
+        )
+        cells.append(F.element_at(ranked, 1)["c"])
+    return F.array(*cells)
+
+
+def pq_encode(
+    corpus: DataFrame,
+    books: list[list[list[float]]],
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, codes array<int>) — m small ints per vector instead of dim
+    floats: dim=64 float32 → 8 codes is a 32× storage/shuffle cut, the
+    memory layout every billion-vector ANN serving tier uses."""
+    dim = len(books[0][0]) * len(books)
+    sub = dim // len(books)
+    v = corpus.select(F.col(id_col).alias("id"), _as_double(vec_col).alias("v"))
+    return v.select("id", _pq_cells_expr(books, sub).alias("codes"))
+
+
+def pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    books: list[list[list[float]]],
+    *,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    codes: DataFrame | None = None,
+) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k: each query precomputes its m×k
+    table of subspace distances to every codebook centroid ONCE (a
+    literal-codebook narrow map on the tiny query side), then scoring a
+    corpus code is m table lookups + adds — no vector math per pair, and
+    the corpus side touches only the (id, codes) table (pass a prebuilt
+    ``codes`` from pq_encode for the serve path).
+
+    Returns (query_id, corpus_id, approx_dist, rnk), rnk by ascending
+    approximate L2 distance (ties by corpus id). On L2-normalized
+    embeddings ascending L2 ≡ descending cosine.
+    """
+    mlen = len(books)
+    sub = len(books[0][0])
+    c = codes if codes is not None else pq_encode(corpus, books, id_col=id_col, vec_col=vec_col)
+    c = c.withColumnRenamed("id", "corpus_id")
+    q = queries.select(F.col(id_col).alias("query_id"), _as_double(vec_col).alias("v"))
+    # per-query ADC table: table[j][cell] = ||q_sub_j - books[j][cell]||².
+    # arity-1 lambda via closure, NEVER `lambda cent, j=j`: transform()
+    # reads a 2-parameter lambda as (element, index) and would silently
+    # bind j to the centroid's array position (the seed-vs-index bug
+    # class from minhash_signatures)
+    def _adc_row(j: int) -> F.Column:
+        subq = F.slice(F.col("v"), j * sub + 1, sub)
+        return F.transform(_matrix_lit(books[j]), lambda cent: _sq_dist(subq, cent))
+
+    table = F.array(*[_adc_row(j) for j in range(mlen)])
+    qt = q.select("query_id", table.alias("__t"))
+    dist = F.aggregate(
+        F.zip_with("codes", "__t", lambda code, trow: F.element_at(trow, code + 1)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    scored = (
+        c.join(F.broadcast(qt), F.col("corpus_id") != F.col("query_id"))
+        .select("query_id", "corpus_id", F.round(dist, 6).alias("approx_dist"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("approx_dist"), F.asc("corpus_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "corpus_id", "approx_dist", "rnk")
+    )
+
+
+def pq_rerank_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    books: list[list[list[float]]],
+    *,
+    k: int = 5,
+    shortlist: int = 50,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    codes: DataFrame | None = None,
+) -> DataFrame:
+    """The production PQ serving shape: ADC over compressed codes builds a
+    ``shortlist`` per query (touching only the 32×-smaller code table),
+    then ONLY the shortlisted vectors are fetched and scored exactly —
+    the classic two-tier memory layout (codes in RAM, vectors on flash).
+    Returns exact cosine over the shortlist, ranked like cosine_topk.
+
+    Recall is bounded by the shortlist hit-rate (quantization error on
+    unclustered data caps it — see tests); widen ``shortlist`` to trade
+    IO for recall.
+    """
+    short = pq_topk(
+        corpus, queries, books, k=shortlist, id_col=id_col, vec_col=vec_col, codes=codes
+    ).select("query_id", "corpus_id")
+    vecs = corpus.select(F.col(id_col).alias("corpus_id"), _as_double(vec_col).alias("cv"))
+    q = queries.select(F.col(id_col).alias("query_id"), _as_double(vec_col).alias("qv"))
+    scored = (
+        short.join(vecs, "corpus_id")
+        .join(F.broadcast(q), "query_id")
+        .select(
+            "query_id",
+            "corpus_id",
+            F.round(
+                _dot(F.col("cv"), F.col("qv")) / (_norm(F.col("cv")) * _norm(F.col("qv"))), 6
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("corpus_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "corpus_id", "cosine", "rnk")
+    )
+
+
+def save_pq_index(codes: DataFrame, books: list[list[list[float]]], path: str) -> None:
+    """Persist a PQ index: the encoded corpus (the 32×-compressed table a
+    serving tier actually scans) + the codebooks as a (subspace, code,
+    centroid) relation — build once, serve many (the pq twin of
+    save_ivf_index)."""
+    codes.write.mode("overwrite").parquet(f"{path}/codes")
+    spark = codes.sparkSession
+    rows = [(j, c, list(bk[c])) for j, bk in enumerate(books) for c in range(len(bk))]
+    spark.createDataFrame(rows, "j int, c int, centroid array<double>").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(f"{path}/books")
+
+
+def load_pq_index(spark, path: str) -> tuple[list[list[list[float]]], DataFrame]:
+    """(books, codes) back from save_pq_index — the codebooks are KBs and
+    re-enter plans as literals (sanctioned collect)."""
+    rows = spark.read.parquet(f"{path}/books").collect()
+    m = 1 + max(r["j"] for r in rows)
+    k = 1 + max(r["c"] for r in rows)
+    books: list[list[list[float]]] = [[None] * k for _ in range(m)]  # type: ignore[list-item]
+    for r in rows:
+        books[r["j"]][r["c"]] = list(r["centroid"])
+    codes = spark.read.parquet(f"{path}/codes").select("id", "codes")
+    return books, codes

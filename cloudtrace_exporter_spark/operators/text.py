@@ -627,3 +627,80 @@ def vocab_coverage(
         )
         .orderBy("vocab_size")
     )
+
+
+def dsir_importance(
+    corpus: DataFrame,
+    target: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bucket_hex_digits: int = 2,
+) -> DataFrame:
+    """Data Selection via Importance Resampling (DSIR, Xie et al. 2023)
+    weights: per-document log importance log p_target(x)/p_raw(x) under
+    hashed-bigram bag-of-words models — THE modern recipe for tilting a
+    web-scale corpus toward a target domain before sampling.
+
+    Both distributions are Laplace-smoothed histograms over ``16^digits``
+    hash buckets of word bigrams. The bucket key is an md5 hex prefix —
+    engine-portable (identical in the DuckDB oracle, same trick as
+    hash_sample) and uniform. A doc with no bigrams scores 0 (length-1
+    docs carry no signal).
+
+    Plan shape: bigram explode is narrow (tokens materialized first —
+    the per-element lambda trap); each profile is one tiny bucket-keyed
+    aggregation (≤16^digits rows); scoring joins the BROADCAST merged
+    profile to the exploded grams and sums per document — one data
+    shuffle of (doc, bucket) pairs. At 100 TB: profiles are KBs, the
+    corpus is touched twice (profile + score), nothing else moves.
+    """
+    n_buckets = 16 ** bucket_hex_digits
+
+    def grams(df: DataFrame) -> DataFrame:
+        toked = df.select(F.col(id_col).alias("id"), tokens(text_col).alias("__t"))
+        k = F.size("__t")
+        g = F.when(
+            k >= 2,
+            F.transform(
+                F.sequence(F.lit(1), k - 1), lambda i: F.concat_ws(" ", F.slice("__t", i, 2))
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+        return toked.select("id", F.explode_outer(g).alias("gram")).select(
+            "id", F.substring(F.md5(F.col("gram").cast("binary")), 1, bucket_hex_digits).alias("bucket")
+        )
+
+    def bucket_counts(df: DataFrame, c_name: str) -> DataFrame:
+        g = grams(df).filter(F.col("bucket").isNotNull())
+        return g.groupBy("bucket").agg(F.count("*").alias(c_name))
+
+    # full outer merge so buckets seen in only one distribution still score
+    # (missing side falls back to its smoothed-zero log-prob). Totals come
+    # from the bucket counts themselves — never a third corpus pass — and
+    # ride on every row via broadcast 1-row aggregates.
+    ct, cr = bucket_counts(target, "ct"), bucket_counts(corpus, "cr")
+    t_tot = ct.agg(F.sum("ct").alias("nt"))
+    r_tot = cr.agg(F.sum("cr").alias("nr"))
+    b = float(n_buckets)
+    merged = (
+        ct.join(cr, "bucket", "full_outer")
+        .crossJoin(F.broadcast(t_tot))
+        .crossJoin(F.broadcast(r_tot))
+        .select(
+            "bucket",
+            (
+                F.log((F.coalesce(F.col("ct"), F.lit(0)) + 1.0) / (F.col("nt") + b))
+                - F.log((F.coalesce(F.col("cr"), F.lit(0)) + 1.0) / (F.col("nr") + b))
+            ).alias("log_ratio"),
+        )
+    )
+    scored = (
+        grams(corpus)
+        .join(F.broadcast(merged), "bucket", "left")
+        .groupBy("id")
+        .agg(
+            F.count(F.col("bucket")).alias("n_grams"),
+            F.round(F.coalesce(F.sum("log_ratio"), F.lit(0.0)), 6).alias("log_weight"),
+        )
+    )
+    return scored.select(F.col("id").alias(id_col), "n_grams", "log_weight")

@@ -10,7 +10,7 @@ from __future__ import annotations
 import pytest
 from pyspark.sql import functions as F
 
-from cloudtrace_exporter_spark.operators import dedup, multimodal, similarity, text, udfs
+from cloudtrace_exporter_spark.operators import curate, dedup, multimodal, similarity, text, udfs
 from cloudtrace_exporter_spark.sources.tables import load_table
 
 
@@ -681,3 +681,54 @@ def test_lm_bigram_rewards_consistent_transitions(spark):
     assert set(rows) == {1, 2}
     assert rows[1]["n_bigrams"] == 7 and rows[2]["n_bigrams"] == 7
     assert rows[1]["avg_logp"] > rows[2]["avg_logp"]
+
+
+def test_dsir_importance_favors_target_like_docs(spark):
+    # target domain speaks "alpha beta gamma"; corpus doc 1 repeats that
+    # phrase, doc 2 is off-domain — the importance weight must rank 1 > 2
+    target = spark.createDataFrame(
+        [(100 + i, "alpha beta gamma alpha beta gamma") for i in range(4)],
+        "doc_id long, text string",
+    )
+    corpus = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma alpha beta"),
+            (2, "zeta eta theta iota kappa"),
+            (3, "solo"),  # 1 token: no bigrams
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in text.dsir_importance(corpus, target).collect()}
+    assert set(rows) == {1, 2, 3}
+    assert rows[1]["log_weight"] > rows[2]["log_weight"]
+    assert rows[3]["n_grams"] == 0 and rows[3]["log_weight"] == 0.0
+    assert rows[1]["n_grams"] == 4 and rows[2]["n_grams"] == 4
+
+
+def test_mixture_resample_matches_recipe(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    mixture = {"en": 0.3, "zh": 0.2, "es": 0.2, "de": 0.15, "fr": 0.15}
+    out = curate.mixture_resample(docs, mixture)
+    by_lang = {r["lang"]: r["n"] for r in out.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    total = sum(by_lang.values())
+    assert set(by_lang) <= set(mixture)
+    for lang, frac in mixture.items():
+        share = by_lang.get(lang, 0) / total
+        # md5-uniform sampling noise at fixture scale: generous tolerance
+        assert abs(share - frac) < 0.1, (lang, share, frac)
+    # the binding group (smallest n_g/frac_g) is kept in full
+    n_by_lang = {r["lang"]: r["n"] for r in docs.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    binding = min(mixture, key=lambda g: n_by_lang[g] / mixture[g])
+    assert by_lang[binding] == n_by_lang[binding]
+    # deterministic: identical output on a rerun
+    again = curate.mixture_resample(docs, mixture)
+    assert {r["doc_id"] for r in out.collect()} == {r["doc_id"] for r in again.collect()}
+
+
+def test_mixture_resample_drops_unlisted_groups(spark):
+    docs = spark.createDataFrame(
+        [(i, "en" if i % 2 else "xx") for i in range(40)], "doc_id long, lang string"
+    )
+    out = curate.mixture_resample(docs, {"en": 1.0})
+    assert out.filter(F.col("lang") == "xx").count() == 0
+    assert out.count() == 20  # single-group recipe keeps the group whole

@@ -269,3 +269,74 @@ def test_ivf_index_roundtrip_serves_identical_results(spark, sf_dir, tmp_path):
     served = similarity.ivf_topk(emb, q, k=3, index=loaded).collect()
     assert sorted(map(tuple, fresh)) == sorted(map(tuple, served))
     assert any(d.startswith("cell=") for d in os.listdir(f"{path}/assigned"))
+
+
+# --------------------------------------------------------------------------
+# product quantization
+# --------------------------------------------------------------------------
+
+
+def test_pq_encode_shapes_and_range(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    books = similarity.pq_train(emb, m=8, k=16)
+    assert len(books) == 8 and all(len(bk) == 16 for bk in books)
+    assert all(len(c) == 8 for bk in books for c in bk)  # 64/8 dims per subvector
+    rows = similarity.pq_encode(emb, books).collect()
+    assert all(len(r["codes"]) == 8 for r in rows)
+    assert all(0 <= c < 16 for r in rows for c in r["codes"])
+
+
+def test_pq_planted_duplicate_retrieved_first(spark):
+    # 4 well-separated clusters; a duplicate of the query vector must come
+    # back at rank 1 (same codes -> minimal ADC distance)
+    import random as _random
+
+    rng = _random.Random(7)
+    base = [[10.0 * ((c >> b) & 1) for b in range(8) for _ in range(8)] for c in range(4)]
+    rows = []
+    for i in range(40):
+        b = base[i % 4]
+        rows.append((i, [x + rng.uniform(-0.1, 0.1) for x in b]))
+    rows.append((999, list(rows[0][1])))  # exact duplicate of vec 0
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    books = similarity.pq_train(emb, m=8, k=4)
+    out = similarity.pq_topk(emb, emb.filter(F.col("vec_id") == 0), books, k=3)
+    top1 = out.filter(F.col("rnk") == 1).first()
+    assert top1["corpus_id"] == 999
+    assert top1["approx_dist"] == out.filter(F.col("corpus_id") == 999).first()["approx_dist"]
+
+
+def test_pq_rerank_recall_beats_raw_adc(spark, sf_dir):
+    # two-tier serving: ADC shortlist + exact re-rank. On the random
+    # (clusterless) fixture raw ADC recall is weak by nature; the re-rank
+    # tier must lift it substantially while touching only the shortlist.
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10)
+    books = similarity.pq_train(emb)
+    codes = similarity.pq_encode(emb, books).cache()
+    exact = {(r["query_id"], r["corpus_id"]) for r in similarity.cosine_topk(emb, q, k=5).collect()}
+    raw = {(r["query_id"], r["corpus_id"]) for r in similarity.pq_topk(emb, q, books, k=5, codes=codes).collect()}
+    rr = {
+        (r["query_id"], r["corpus_id"])
+        for r in similarity.pq_rerank_topk(emb, q, books, k=5, shortlist=100, codes=codes).collect()
+    }
+    raw_recall = len(exact & raw) / len(exact)
+    rr_recall = len(exact & rr) / len(exact)
+    codes.unpersist()
+    # measured 0.28 raw / 0.88 reranked at sf0.01 (shortlist = 20% of corpus)
+    assert raw_recall >= 0.15, raw_recall
+    assert rr_recall >= 0.6 and rr_recall > raw_recall, (raw_recall, rr_recall)
+
+
+def test_pq_index_roundtrip_serves_identical_results(spark, sf_dir, tmp_path):
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5)
+    books = similarity.pq_train(emb, m=8, k=16)
+    codes = similarity.pq_encode(emb, books)
+    path = str(tmp_path / "pq")
+    similarity.save_pq_index(codes, books, path)
+    books2, codes2 = similarity.load_pq_index(spark, path)
+    assert books2 == books
+    fresh = similarity.pq_topk(emb, q, books, k=3, codes=codes).collect()
+    served = similarity.pq_topk(emb, q, books2, k=3, codes=codes2).collect()
+    assert sorted(map(tuple, fresh)) == sorted(map(tuple, served))

@@ -39,6 +39,9 @@ HEADLINE = [
     # that actually run at 100 TB, benched next to the exact baseline
     "q_lsh_topk",
     "q_ivf_topk",
+    # text-pipeline heavy scan-agg trend line (round 3): DSIR hashed-bigram
+    # importance weighting — two corpus passes + broadcast profiles
+    "q_dsir_importance",
 ]
 
 

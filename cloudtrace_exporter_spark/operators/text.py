@@ -674,25 +674,27 @@ def dsir_importance(
         g = grams(df).filter(F.col("bucket").isNotNull())
         return g.groupBy("bucket").agg(F.count("*").alias(c_name))
 
-    # full outer merge so buckets seen in only one distribution still score
-    # (missing side falls back to its smoothed-zero log-prob). Totals come
-    # from the bucket counts themselves — never a third corpus pass — and
-    # ride on every row via broadcast 1-row aggregates.
+    # The two profiles merge by UNION + re-aggregate (zero-filled sides),
+    # not a full-outer join: both are ≤16^digits rows but full outer
+    # cannot broadcast, so the join form costs a sort-merge exchange pair
+    # the union form doesn't (plan-audit finding). Totals come from the
+    # merged counts themselves — never a third corpus pass — and ride on
+    # every row via ONE broadcast 1-row aggregate.
     ct, cr = bucket_counts(target, "ct"), bucket_counts(corpus, "cr")
-    t_tot = ct.agg(F.sum("ct").alias("nt"))
-    r_tot = cr.agg(F.sum("cr").alias("nr"))
+    merged_counts = (
+        ct.select("bucket", "ct", F.lit(0).cast("long").alias("cr"))
+        .unionByName(cr.select("bucket", F.lit(0).cast("long").alias("ct"), "cr"))
+        .groupBy("bucket")
+        .agg(F.sum("ct").alias("ct"), F.sum("cr").alias("cr"))
+    )
+    tot = merged_counts.agg(F.sum("ct").alias("nt"), F.sum("cr").alias("nr"))
     b = float(n_buckets)
-    merged = (
-        ct.join(cr, "bucket", "full_outer")
-        .crossJoin(F.broadcast(t_tot))
-        .crossJoin(F.broadcast(r_tot))
-        .select(
-            "bucket",
-            (
-                F.log((F.coalesce(F.col("ct"), F.lit(0)) + 1.0) / (F.col("nt") + b))
-                - F.log((F.coalesce(F.col("cr"), F.lit(0)) + 1.0) / (F.col("nr") + b))
-            ).alias("log_ratio"),
-        )
+    merged = merged_counts.crossJoin(F.broadcast(tot)).select(
+        "bucket",
+        (
+            F.log((F.col("ct") + 1.0) / (F.col("nt") + b))
+            - F.log((F.col("cr") + 1.0) / (F.col("nr") + b))
+        ).alias("log_ratio"),
     )
     scored = (
         grams(corpus)

@@ -241,3 +241,24 @@ def stateful_running_totals_v2(stream: DataFrame) -> DataFrame:
         outputMode="Update",
         timeMode="None",
     )
+
+
+def stream_assign_cells(
+    stream: DataFrame, cent_rows, *, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Vector-index serving AT INGEST: assign each streamed embedding to
+    its nearest IVF cell with the literal-centroid narrow map
+    (similarity._nearest_cell) — no join, no state, no shuffle, so it
+    composes with any streaming source and writes a cell-partitioned
+    index incrementally (the streaming half of build-once/serve-many:
+    batch trains the centroids, the stream keeps the index current).
+    ``cent_rows`` are collected (cell, centroid) rows from
+    build_ivf_index / load_ivf_index — kilobytes."""
+    from pyspark.sql import functions as F
+
+    from cloudtrace_exporter_spark.operators.similarity import _as_double, _nearest_cell
+
+    v = _as_double(vec_col)
+    return stream.select(
+        F.col(id_col).alias("id"), v.alias("v")
+    ).withColumn("cell", _nearest_cell(F.col("v"), cent_rows))

@@ -362,3 +362,30 @@ def test_transform_with_state_matches_apply_in_pandas_variant(spark, staged_even
     )
     assert final.count() == expected.count()
     assert diff.count() == 0
+
+
+def test_streaming_ivf_assignment_matches_batch(spark, tmp_path):
+    """Literal-centroid cell assignment is a narrow map, so the IVF index
+    can be kept current from a stream: every streamed vector must land in
+    exactly the cell the batch build assigns."""
+    from cloudtrace_exporter_spark.operators import similarity
+    from cloudtrace_exporter_spark.schemas import FIXTURE_SCHEMAS
+    from cloudtrace_exporter_spark.streaming.pipeline import stream_assign_cells
+
+    emb = load_table(spark, SF, "embeddings")
+    src = str(tmp_path / "emb_src")
+    emb.coalesce(2).write.mode("overwrite").parquet(src)
+
+    assigned, centroids = similarity.build_ivf_index(emb, n_centroids=8)
+    cent_rows = centroids.collect()
+    stream = (
+        spark.readStream.schema(FIXTURE_SCHEMAS["embeddings"])
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out = _run_to_memory(
+        spark, stream_assign_cells(stream, cent_rows), "t_ivf_assign"
+    )
+    s = {(r["id"], r["cell"]) for r in out.select("id", "cell").collect()}
+    b = {(r["id"], r["cell"]) for r in assigned.select("id", "cell").collect()}
+    assert s == b and len(s) == emb.count()

@@ -1280,7 +1280,9 @@ def market_share(
     )
 
 
-def global_row_number(df: DataFrame, order_cols: list, *, num_partitions: int = 32) -> DataFrame:
+def global_row_number(
+    df: DataFrame, order_cols: list, *, num_partitions: int = 32, with_total: bool = False
+) -> DataFrame:
     """Globally contiguous row numbers in a given total order WITHOUT the
     single-partition window that kills this at scale.
 
@@ -1299,6 +1301,11 @@ def global_row_number(df: DataFrame, order_cols: list, *, num_partitions: int = 
     the fact shuffles exactly once. `order_cols` must be a total order
     (include a unique tiebreak column) for determinism; range-sampling
     seeds are deterministic per partition, so reruns reproduce.
+
+    ``with_total=True`` adds a ``_n_total`` column (the global row count)
+    carried from the SAME tiny offsets frame — consumers that need
+    rank-over-count arithmetic (deciles, percent-of-total) get it for
+    free instead of re-deriving the whole ranked lineage for a count.
     """
     lower33 = (1 << 33) - 1
     ranged = (
@@ -1320,13 +1327,22 @@ def global_row_number(df: DataFrame, order_cols: list, *, num_partitions: int = 
                 F.lit(0),
             ),
         )
-        .select("_pid", "_off")
+        .withColumn(
+            "_n_total",
+            F.sum("_cnt").over(
+                Window.orderBy("_pid").rowsBetween(
+                    Window.unboundedPreceding, Window.unboundedFollowing
+                )
+            ),
+        )
+        .select("_pid", "_off", "_n_total")
     )
-    return (
+    out = (
         ranged.join(F.broadcast(offsets), "_pid")
         .withColumn("rn", (F.col("_off") + F.col("_local")).cast("long"))
         .drop("_mid", "_pid", "_local", "_off")
     )
+    return out if with_total else out.drop("_n_total")
 
 
 def shipping_priority(
@@ -1732,13 +1748,13 @@ def price_deciles(orders: DataFrame) -> DataFrame:
     ranked = global_row_number(
         orders.select("o_orderkey", "o_totalprice"),
         [F.desc("o_totalprice"), F.asc("o_orderkey")],
+        with_total=True,  # total rides the offsets frame — a ranked.count()
+        # branch here would replay the whole range-exchange lineage
     )
-    n = ranked.agg(F.count("*").alias("n_total"))
     return (
-        ranked.crossJoin(F.broadcast(n))
-        .withColumn(
+        ranked.withColumn(
             "decile",
-            (F.floor((F.col("rn") - 1) * 10 / F.col("n_total")) + 1).cast("int"),
+            (F.floor((F.col("rn") - 1) * 10 / F.col("_n_total")) + 1).cast("int"),
         )
         .groupBy("decile")
         .agg(

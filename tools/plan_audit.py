@@ -62,13 +62,19 @@ def audit(plan: str) -> dict:
     widths = [len(s.split(",")) for s in schemas] or [0]
     n_broadcast = plan.count("BroadcastExchange")
     n_reused = plan.count("ReusedExchange")
+    # a SinglePartition exchange feeds a global aggregate: its input is
+    # the map-side PARTIAL rows (one row per task), KBs by construction —
+    # a scalar/offset/funnel-count branch, not a data movement. Report it
+    # separately so the many-exchanges flag tracks real repartitions.
+    n_single = plan.count("Exchange SinglePartition")
     return {
         "joins": "/".join(f"{k}:{v}" for k, v in joins.items() if v),
         # data shuffles only — broadcast exchanges move dimension-sized
         # data and are the POINT of the broadcast-join design, not a
         # smell; a ReusedExchange is the SAME shuffle read twice (one
         # write, two reads), not an additional shuffle
-        "exchanges": plan.count("Exchange") - n_broadcast - n_reused,
+        "exchanges": plan.count("Exchange") - n_broadcast - n_reused - n_single,
+        "tiny": n_single,
         "broadcasts": n_broadcast,
         "cached": n_cached,
         "pushed_filters": n_pushed,
@@ -100,6 +106,7 @@ def main() -> None:
                 f"shuf={info['exchanges']:<2d} bcast={info['broadcasts']:<2d} "
                 f"pushed={info['pushed_filters']:<2d} "
                 f"scan_cols={info['scan_cols']:<2d} "
+                f"{'tiny=' + str(info['tiny']) + ' ' if info['tiny'] else ''}"
                 f"{'cached=' + str(info['cached']) + ' ' if info['cached'] else ''}"
                 f"{' '.join(flags)}"
             )

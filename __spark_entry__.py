@@ -979,6 +979,18 @@ def q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.pq_topk(emb, emb.filter(F.col("vec_id") < 10), books, k=5, codes=codes)
 
 
+def q_cosine_topk_chunked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B34 exact top-k at BIG query-set scale: hash-chunked broadcast —
+    per-chunk exact scoring, union of per-chunk top-ks. Bit-identical to
+    q_cosine_topk (shares its oracle shape), with peak broadcast memory
+    divided by n_chunks — the path that removes the exact baseline's
+    ~10⁴-query cap."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.cosine_topk_chunked(
+        emb, emb.filter(F.col("vec_id") < 10), k=5, n_chunks=4
+    )
+
+
 def q_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B34 two-tier PQ serving: ADC shortlist over compressed codes →
     exact cosine re-rank of the shortlist only (recall 0.88 at
@@ -1447,6 +1459,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_multimodal_decode": q_multimodal_decode,
         "q_pq_topk": q_pq_topk,
         "q_pq_rerank": q_pq_rerank,
+        "q_cosine_topk_chunked": q_cosine_topk_chunked,
         "q_pandas_udf_zscore": q_pandas_udf_zscore,
         "q_udtf_spans": q_udtf_spans,
         "q_split_assign": q_split_assign,
@@ -1645,6 +1658,21 @@ EVENTS_AS_TRACES_SQL = r"""
 # shared DuckDB fragments for the document/text oracles — keep in lockstep
 # with operators/text.py (tokens / LANG_STOPWORDS)
 _TOKENS_SQL = "list_filter(string_split(text, ' '), x -> x <> '')"
+
+_COSINE_TOPK_SQL = """
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    q AS (SELECT * FROM v WHERE vec_id < 10),
+    scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,
+             round(list_dot_product(c.e, q.e)
+                   / (sqrt(list_dot_product(c.e, c.e)) * sqrt(list_dot_product(q.e, q.e))), 6) AS cosine
+      FROM v c JOIN q ON c.vec_id <> q.vec_id
+    )
+    SELECT query_id, corpus_id, cosine, rnk FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, corpus_id ASC) AS rnk
+      FROM scored
+    ) WHERE rnk <= 5
+"""
 _EN_STOPWORDS_SQL = "['the', 'a', 'of', 'and', 'to', 'in', 'is', 'that', 'it', 'for']"
 
 # Shared CTE chain for the curation-pipeline oracles: quality keep →
@@ -2185,20 +2213,10 @@ def oracle_sql() -> dict[str, str]:
               FROM v a JOIN v b ON a.vec_id < b.vec_id
             ) WHERE cosine >= 0.4
         """,
-        "q_cosine_topk": """
-            WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
-            q AS (SELECT * FROM v WHERE vec_id < 10),
-            scored AS (
-              SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,
-                     round(list_dot_product(c.e, q.e)
-                           / (sqrt(list_dot_product(c.e, c.e)) * sqrt(list_dot_product(q.e, q.e))), 6) AS cosine
-              FROM v c JOIN q ON c.vec_id <> q.vec_id
-            )
-            SELECT query_id, corpus_id, cosine, rnk FROM (
-              SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, corpus_id ASC) AS rnk
-              FROM scored
-            ) WHERE rnk <= 5
-        """,
+        "q_cosine_topk": _COSINE_TOPK_SQL,
+        # the chunked variant is exact by construction (a query lives in
+        # exactly one chunk), so it shares the brute-force oracle verbatim
+        "q_cosine_topk_chunked": _COSINE_TOPK_SQL,
         "q_mad_outliers": """
             WITH med AS (
               SELECT event_type, quantile_cont(value, 0.5) AS med

@@ -707,3 +707,42 @@ def load_pq_index(spark, path: str) -> tuple[list[list[list[float]]], DataFrame]
         books[r["j"]][r["c"]] = list(r["centroid"])
     codes = spark.read.parquet(f"{path}/codes").select("id", "codes")
     return books, codes
+
+
+def cosine_topk_chunked(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    k: int = 5,
+    n_chunks: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k for query sets too big to broadcast at once:
+    queries split into ``n_chunks`` deterministic hash chunks, each chunk
+    broadcast-scored against the full corpus independently, results
+    unioned. A query lives in exactly one chunk, so its per-chunk top-k
+    IS its global top-k — bit-identical to cosine_topk (same oracle),
+    while peak broadcast memory drops n_chunks× and the chunk scans
+    pipeline in parallel. This removes the exact path's ~10⁴-query cap:
+    scale n_chunks with |queries|; at cluster scale each chunk is one
+    bounded stage over the (cached/pre-partitioned) corpus.
+    """
+    q = queries.select(F.col(id_col).alias("query_id"), _as_double(vec_col).alias("qv"))
+    chunked = q.withColumn("__chunk", F.pmod(F.xxhash64("query_id"), F.lit(n_chunks)))
+    parts = [
+        cosine_topk(
+            corpus,
+            chunked.filter(F.col("__chunk") == i).select(
+                F.col("query_id").alias(id_col), F.col("qv").alias(vec_col)
+            ),
+            k=k,
+            id_col=id_col,
+            vec_col=vec_col,
+        )
+        for i in range(n_chunks)
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

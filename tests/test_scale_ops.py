@@ -340,3 +340,13 @@ def test_pq_index_roundtrip_serves_identical_results(spark, sf_dir, tmp_path):
     fresh = similarity.pq_topk(emb, q, books, k=3, codes=codes).collect()
     served = similarity.pq_topk(emb, q, books2, k=3, codes=codes2).collect()
     assert sorted(map(tuple, fresh)) == sorted(map(tuple, served))
+
+
+def test_cosine_topk_chunked_equals_unchunked(spark, sf_dir):
+    # a query lives in exactly one hash chunk, so the union of per-chunk
+    # top-ks must be bit-identical to the single-broadcast exact path
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10)
+    whole = {tuple(r) for r in similarity.cosine_topk(emb, q, k=5).collect()}
+    chunked = {tuple(r) for r in similarity.cosine_topk_chunked(emb, q, k=5, n_chunks=3).collect()}
+    assert whole == chunked and len(whole) == 50

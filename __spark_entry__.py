@@ -889,12 +889,83 @@ _MINHASH_INDEX_CACHE: dict[tuple[str, str], DataFrame] = {}
 
 def q_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B33 MinHash+LSH near-dup pairs (xxhash64 signatures — engine-specific,
-    rows-only check; recall vs q_ngram_jaccard asserted in tests)."""
+    rows-only check; recall vs q_ngram_jaccard asserted in tests).
+    q_minhash_dedup_verified is the same pipeline over the portable hash
+    family WITH a full DuckDB oracle."""
     docs = load_table(spark, sf_dir, "documents")
     index = _session_cache_get(
         _MINHASH_INDEX_CACHE, spark, sf_dir, lambda: dedup.minhash_banded_index(docs)
     )
     return dedup.minhash_lsh_pairs(docs, threshold=0.5, index=index)
+
+
+_MINHASH_PORTABLE_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def q_minhash_dedup_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B33 MinHash+LSH, ORACLE-BACKED end to end: the identical
+    shingle→signature→band→bucket-join→agreement pipeline, but over the
+    engine-portable hash family (md5-prefix base + seeded linear-
+    congruential permutations mod 2³¹−1 — pure BIGINT math both engines
+    replay bit-for-bit; see dedup.portable_hash_family). The green row
+    certifies the LSH dedup algorithm itself, not just its row count."""
+    docs = load_table(spark, sf_dir, "documents")
+    index = _session_cache_get(
+        _MINHASH_PORTABLE_CACHE, spark, sf_dir,
+        lambda: dedup.minhash_banded_index(docs, portable=True),
+    )
+    return dedup.minhash_lsh_pairs(docs, threshold=0.5, index=index)
+
+
+def _minhash_portable_oracle_sql(
+    *, n_hashes: int = 32, bands: int = 8, threshold: float = 0.5
+) -> str:
+    """DuckDB replay of the portable MinHash+LSH pipeline: the (a, b)
+    permutation pairs are seed-deterministic and embedded as literals;
+    every step is integer-exact, so the match is guaranteed-exact, not
+    float-lucky. Shingling mirrors dedup._shingles (word 3-grams,
+    distinct, whole-text fallback under 3 tokens — COALESCE'd because
+    DuckDB's array_to_string of an empty list is NULL where Spark's
+    concat_ws is '')."""
+    p = dedup.PORTABLE_P
+    r = n_hashes // bands
+    ab = dedup.portable_hash_family(n_hashes)
+    sig_exprs = ",\n                 ".join(
+        f"list_min(list_transform(hs, x -> (x * {a} + {b}) % {p}))" for a, b in ab
+    )
+    band_selects = "\n              UNION ALL ".join(
+        "SELECT doc_id, sig, {b} AS band, substr(md5({cc}), 1, 8) AS bucket FROM sig".format(
+            b=b,
+            cc=" || ',' || ".join(f"CAST(sig[{b * r + i + 1}] AS VARCHAR)" for i in range(r)),
+        )
+        for b in range(bands)
+    )
+    shingles = (
+        "CASE WHEN len(t) >= 3 THEN list_distinct(list_filter(list_transform(t, (x, i) -> "
+        "CASE WHEN i + 2 <= len(t) THEN x || ' ' || t[i+1] || ' ' || t[i+2] END), "
+        "g -> g IS NOT NULL)) ELSE [COALESCE(array_to_string(t, ' '), '')] END"
+    )
+    return f"""
+        WITH tok AS (SELECT doc_id, {_TOKENS_SQL} AS t FROM documents),
+        sh AS (SELECT doc_id, {shingles} AS s FROM tok),
+        hx AS (SELECT doc_id,
+                      list_transform(s, g -> CAST(('0x' || substr(md5(g), 1, 15)) AS BIGINT) % {p}) AS hs
+               FROM sh),
+        sig AS (SELECT doc_id, [{sig_exprs}] AS sig FROM hx),
+        banded AS (
+              {band_selects}
+        ),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, a.sig AS sig_a, b.sig AS sig_b
+          FROM banded a JOIN banded b
+            ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+        )
+        SELECT doc_a, doc_b, est_jaccard FROM (
+          SELECT doc_a, doc_b,
+                 round(CAST(len(list_filter(range(1, {n_hashes + 1}), i -> sig_a[i] = sig_b[i])) AS DOUBLE) / {n_hashes}, 6) AS est_jaccard
+          FROM cand
+        ) WHERE est_jaccard >= {threshold}
+    """
 
 
 def q_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1460,6 +1531,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_pq_topk": q_pq_topk,
         "q_pq_rerank": q_pq_rerank,
         "q_cosine_topk_chunked": q_cosine_topk_chunked,
+        "q_minhash_dedup_verified": q_minhash_dedup_verified,
         "q_pandas_udf_zscore": q_pandas_udf_zscore,
         "q_udtf_spans": q_udtf_spans,
         "q_split_assign": q_split_assign,
@@ -2156,6 +2228,10 @@ def oracle_sql() -> dict[str, str]:
         # q_lsh_topk_verified: the hyperplane family is seed-deterministic,
         # so DuckDB CAN replay it — the one ANN scale path with a full oracle.
         "q_lsh_topk_verified": _lsh_oracle_sql(),
+        # q_minhash_dedup_verified: portable (md5 + linear-congruential)
+        # hash family — the LSH dedup pipeline itself is integer-exact
+        # replayable in DuckDB.
+        "q_minhash_dedup_verified": _minhash_portable_oracle_sql(),
         "q_dsir_importance": f"""
             WITH tok AS (SELECT doc_id, lang, {_TOKENS_SQL} AS t FROM documents),
             g AS (

@@ -29,6 +29,8 @@ Two in-bucket pairing shapes, chosen per operator:
 
 from __future__ import annotations
 
+import random
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -56,6 +58,23 @@ def _spread(df: DataFrame) -> DataFrame:
 
 # deterministic seeds for the minhash permutation family
 _MINHASH_SEEDS = [1000003 * (i + 1) + 17 for i in range(32)]
+
+#: modulus of the engine-portable permutation family (2³¹−1, Mersenne)
+PORTABLE_P = 2147483647
+
+
+def portable_hash_family(n_hashes: int = 32, seed: int = 20240801) -> list[tuple[int, int]]:
+    """(a_i, b_i) pairs for the linear-congruential MinHash permutation
+    family h_i(x) = (a_i·x + b_i) mod 2³¹−1 — classical universal
+    hashing, chosen for the ``portable=True`` paths because BOTH engines
+    replay it bit-for-bit (pure BIGINT arithmetic; x, a < 2³¹ keeps
+    a·x < 2⁶² with no 64-bit overflow, which DuckDB would reject and
+    Java would silently wrap). Seeded, so the DuckDB oracle embeds the
+    identical pairs as literals."""
+    rng = random.Random(seed)
+    return [
+        (rng.randrange(1, PORTABLE_P), rng.randrange(0, PORTABLE_P)) for _ in range(n_hashes)
+    ]
 
 
 def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -146,7 +165,13 @@ def _shingles(t: F.Column, n: int) -> F.Column:
 
 
 def minhash_signatures(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n_hashes: int = 32, shingle: int = 3
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_hashes: int = 32,
+    shingle: int = 3,
+    *,
+    portable: bool = False,
 ) -> DataFrame:
     """MinHash signature per document: for each of ``n_hashes`` seeded
     xxhash64 'permutations', the min hash over the shingle set.
@@ -165,6 +190,26 @@ def minhash_signatures(
     # re-evaluates per element (split+filter per shingle, the whole
     # shingle chain per signature slot)
     toked = df.select(F.col(id_col).alias("id"), tokens(text_col).alias("__t"))
+    if portable:
+        # engine-portable two-level hashing: md5-prefix → BIGINT base
+        # (identical in DuckDB: CAST('0x'||substr(md5(s),1,15) AS BIGINT)),
+        # then the linear-congruential family — the full-oracle variant
+        base = toked.select(
+            "id",
+            F.transform(
+                _shingles(F.col("__t"), shingle),
+                lambda s: F.conv(F.substring(F.md5(s.cast("binary")), 1, 15), 16, 10).cast("long")
+                % PORTABLE_P,
+            ).alias("__h"),
+        )
+
+        def min_ab(a: int, b: int) -> F.Column:
+            return F.array_min(
+                F.transform(F.col("__h"), lambda h: (h * F.lit(a) + F.lit(b)) % PORTABLE_P)
+            )
+
+        sig = F.array(*[min_ab(a, b) for a, b in portable_hash_family(n_hashes)])
+        return base.select("id", sig.alias("signature"))
     base = toked.select(
         "id",
         F.transform(_shingles(F.col("__t"), shingle), lambda s: F.xxhash64(s)).alias("__h"),
@@ -190,6 +235,7 @@ def minhash_banded_index(
     n_hashes: int = 32,
     bands: int = 8,
     shingle: int = 3,
+    portable: bool = False,
 ) -> DataFrame:
     """The LSH index table: one row per (doc, band) with the band-bucket
     hash and the full signature — ``(id, signature, band, bucket)``.
@@ -203,7 +249,7 @@ def minhash_banded_index(
     internally.
     """
     r = n_hashes // bands
-    sigs = minhash_signatures(df, text_col, id_col, n_hashes, shingle)
+    sigs = minhash_signatures(df, text_col, id_col, n_hashes, shingle, portable=portable)
     return sigs.select(
         "id",
         "signature",
@@ -212,13 +258,27 @@ def minhash_banded_index(
                 *[
                     F.struct(
                         F.lit(b).alias("band"),
-                        F.xxhash64(F.concat_ws(",", *[F.col("signature")[b * r + i] for i in range(r)])).alias("bucket"),
+                        _band_bucket(
+                            [F.col("signature")[b * r + i] for i in range(r)], portable
+                        ).alias("bucket"),
                     )
                     for b in range(bands)
                 ]
             )
         ).alias("bb"),
     ).select("id", "signature", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+
+
+def _band_bucket(slots: list, portable: bool) -> F.Column:
+    """Band-slot bucket key: xxhash64 (fast JVM path) or an md5 hex
+    prefix over the same comma-joined slots (portable path — Java's
+    Long.toString and DuckDB's CAST(BIGINT AS VARCHAR) render the
+    non-negative slot values identically, so both engines hash the same
+    bytes)."""
+    joined = F.concat_ws(",", *slots)
+    if portable:
+        return F.substring(F.md5(joined.cast("binary")), 1, 8)
+    return F.xxhash64(joined)
 
 
 def minhash_lsh_pairs(
@@ -231,6 +291,7 @@ def minhash_lsh_pairs(
     shingle: int = 3,
     threshold: float = 0.5,
     index: DataFrame | None = None,
+    portable: bool = False,
 ) -> DataFrame:
     """MinHash+LSH near-dup candidate pairs, verified by signature overlap.
 
@@ -255,7 +316,8 @@ def minhash_lsh_pairs(
         banded = index
     else:
         banded = minhash_banded_index(
-            df, text_col=text_col, id_col=id_col, n_hashes=n_hashes, bands=bands, shingle=shingle
+            df, text_col=text_col, id_col=id_col, n_hashes=n_hashes, bands=bands,
+            shingle=shingle, portable=portable,
         ).cache()
     a, b = banded.alias("a"), banded.alias("b")
     cand = (

@@ -732,3 +732,21 @@ def test_mixture_resample_drops_unlisted_groups(spark):
     out = curate.mixture_resample(docs, {"en": 1.0})
     assert out.filter(F.col("lang") == "xx").count() == 0
     assert out.count() == 20  # single-group recipe keeps the group whole
+
+
+def test_minhash_portable_family_finds_planted_dups(spark, sf_dir):
+    # the oracle-replayable (md5 + linear-congruential) hash family must
+    # keep the same planted-near-dup recall as the xxhash64 family
+    docs = load_table(spark, sf_dir, "documents").limit(50).cache()
+    perturbed = docs.select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat(F.lit("replacedword "), F.expr("substring(text, instr(text, ' ') + 1)")).alias("text"),
+    )
+    corpus = docs.select("doc_id", "text").union(perturbed)
+    found = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup.minhash_lsh_pairs(corpus, threshold=0.5, portable=True).collect()
+    }
+    planted = {(i, i + 100000) for i in [r["doc_id"] for r in docs.select("doc_id").collect()]}
+    recall = len(planted & found) / len(planted)
+    assert recall >= 0.9, f"portable-family recall {recall} too low on planted near-dups"

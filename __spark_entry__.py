@@ -1524,14 +1524,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # should spend its budget on never-evaluated keys. Within the
         # unevaluated block, oracle-backed keys precede rows-only keys
         # (stronger evidence first); the 72 already-green keys close the dict.
+        # round-3 additions, oracle-backed first (driver window priority)
         "q_lsh_topk_verified": q_lsh_topk_verified,
+        "q_minhash_dedup_verified": q_minhash_dedup_verified,
         "q_dsir_importance": q_dsir_importance,
         "q_mixture_resample": q_mixture_resample,
+        "q_cosine_topk_chunked": q_cosine_topk_chunked,
         "q_multimodal_decode": q_multimodal_decode,
         "q_pq_topk": q_pq_topk,
         "q_pq_rerank": q_pq_rerank,
-        "q_cosine_topk_chunked": q_cosine_topk_chunked,
-        "q_minhash_dedup_verified": q_minhash_dedup_verified,
         "q_pandas_udf_zscore": q_pandas_udf_zscore,
         "q_udtf_spans": q_udtf_spans,
         "q_split_assign": q_split_assign,

@@ -1341,6 +1341,17 @@ def q_mixture_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_chunk_dup_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B33 paragraph-granularity exact substring dedup: every 50-token
+    chunk fingerprint appearing in ≥2 documents (full oracle)."""
+    return dedup.chunk_dup_census(load_table(spark, sf_dir, "documents"))
+
+
+def q_chunk_overlap_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B33 per-document cross-doc duplicated-content ratio (full oracle)."""
+    return dedup.chunk_overlap_ratio(load_table(spark, sf_dir, "documents"))
+
+
 def q_udtf_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B37 Python UDTF: per-document sentence spans via SQL LATERAL."""
     return udfs.sentence_spans(load_table(spark, sf_dir, "documents"))
@@ -1530,6 +1541,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_dsir_importance": q_dsir_importance,
         "q_mixture_resample": q_mixture_resample,
         "q_cosine_topk_chunked": q_cosine_topk_chunked,
+        "q_chunk_dup_census": q_chunk_dup_census,
+        "q_chunk_overlap_ratio": q_chunk_overlap_ratio,
         "q_multimodal_decode": q_multimodal_decode,
         "q_pq_topk": q_pq_topk,
         "q_pq_rerank": q_pq_rerank,
@@ -3284,6 +3297,40 @@ def oracle_sql() -> dict[str, str]:
                    CAST(len(unnest(chunks)) AS BIGINT) AS n_chunk_tokens,
                    array_to_string(unnest(chunks), ' ') AS chunk_text
             FROM ch
+        """,
+        "q_chunk_dup_census": f"""
+            WITH tok AS (SELECT doc_id, {_TOKENS_SQL} AS t FROM documents),
+            ch AS (
+              SELECT doc_id,
+                     [t[i:i+49] FOR i IN range(1, greatest(len(t), 1) + 1, 50)] AS chunks
+              FROM tok WHERE len(t) >= 1
+            ),
+            fp AS (
+              SELECT doc_id, md5(array_to_string(unnest(chunks), ' ')) AS fp FROM ch
+            )
+            SELECT fp AS fingerprint,
+                   CAST(count(*) AS BIGINT) AS n_occurrences,
+                   CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+                   min(doc_id) AS first_doc
+            FROM fp GROUP BY fp HAVING count(DISTINCT doc_id) >= 2
+        """,
+        "q_chunk_overlap_ratio": f"""
+            WITH tok AS (SELECT doc_id, {_TOKENS_SQL} AS t FROM documents),
+            ch AS (
+              SELECT doc_id,
+                     [t[i:i+49] FOR i IN range(1, greatest(len(t), 1) + 1, 50)] AS chunks
+              FROM tok WHERE len(t) >= 1
+            ),
+            fp AS (
+              SELECT doc_id, md5(array_to_string(unnest(chunks), ' ')) AS fp FROM ch
+            ),
+            dup AS (SELECT fp FROM fp GROUP BY fp HAVING count(DISTINCT doc_id) >= 2)
+            SELECT f.doc_id,
+                   CAST(count(*) AS BIGINT) AS n_chunks,
+                   CAST(count(d.fp) AS BIGINT) AS n_dup_chunks,
+                   round(CAST(count(d.fp) AS DOUBLE) / count(*), 6) AS dup_ratio
+            FROM fp f LEFT JOIN dup d USING (fp)
+            GROUP BY f.doc_id
         """,
         "q_pack_documents": f"""
             SELECT doc_id, source AS part, n_tokens,

@@ -842,3 +842,66 @@ def similarity_triangles(pairs: DataFrame) -> DataFrame:
         )
         .agg(F.count("*").cast("long").alias("n_triangles"))
     )
+
+
+def chunk_dup_census(
+    df: DataFrame, *, chunk_tokens: int = 50, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Cross-document duplicated-chunk census: split every document into
+    non-overlapping ``chunk_tokens``-token chunks, fingerprint each, and
+    report every chunk that appears in MORE THAN ONE document — the
+    scalable paragraph-granularity approximation of exact substring
+    dedup (the Lee et al. 2022 recipe's workhorse: boilerplate headers,
+    license blocks, and syndicated passages all surface here even when
+    the full documents differ).
+
+    md5 fingerprints → one uniform hash shuffle; output is only the
+    duplicated groups. Engine-portable end to end (full DuckDB oracle).
+    """
+    from cloudtrace_exporter_spark.operators.text import chunk_documents
+
+    chunks = chunk_documents(
+        df, chunk_tokens=chunk_tokens, overlap=0, text_col=text_col, id_col=id_col
+    ).withColumn("__fp", F.md5(F.col("chunk_text").cast("binary")))
+    return (
+        chunks.groupBy("__fp")
+        .agg(
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.min("doc_id").alias("first_doc"),
+        )
+        .filter(F.col("n_docs") >= 2)
+        .withColumnRenamed("__fp", "fingerprint")
+    )
+
+
+def chunk_overlap_ratio(
+    df: DataFrame, *, chunk_tokens: int = 50, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document duplicated-content ratio: the fraction of a doc's
+    chunks whose fingerprint also appears in ANOTHER document — the
+    curation score that catches partial copies (intra-doc repeats don't
+    count; a doc quoting its own refrain isn't a cross-doc dup).
+
+    The duplicated-fingerprint set is the (small) output of
+    chunk_dup_census — broadcast back against the chunk stream; one
+    groupBy per doc. At 100 TB the census is the artifact to persist and
+    the ratio is a cheap second pass.
+    """
+    from cloudtrace_exporter_spark.operators.text import chunk_documents
+
+    chunks = chunk_documents(
+        df, chunk_tokens=chunk_tokens, overlap=0, text_col=text_col, id_col=id_col
+    ).withColumn("__fp", F.md5(F.col("chunk_text").cast("binary")))
+    dup_fps = chunk_dup_census(
+        df, chunk_tokens=chunk_tokens, text_col=text_col, id_col=id_col
+    ).select(F.col("fingerprint").alias("__fp"), F.lit(1).alias("__dup"))
+    return (
+        chunks.join(F.broadcast(dup_fps), "__fp", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum(F.coalesce(F.col("__dup"), F.lit(0))).alias("n_dup_chunks"),
+        )
+        .withColumn("dup_ratio", F.round(F.col("n_dup_chunks") / F.col("n_chunks"), 6))
+    )

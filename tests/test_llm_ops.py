@@ -750,3 +750,22 @@ def test_minhash_portable_family_finds_planted_dups(spark, sf_dir):
     planted = {(i, i + 100000) for i in [r["doc_id"] for r in docs.select("doc_id").collect()]}
     recall = len(planted & found) / len(planted)
     assert recall >= 0.9, f"portable-family recall {recall} too low on planted near-dups"
+
+
+def test_chunk_dup_census_catches_partial_copies(spark):
+    # doc 2 copies only the FIRST half of doc 1: whole-doc dedup misses
+    # it, the chunk census must flag exactly the shared 50-token chunk
+    head = " ".join(f"w{i}" for i in range(50))
+    df = spark.createDataFrame(
+        [
+            (1, head + " " + " ".join(f"a{i}" for i in range(50))),
+            (2, head + " " + " ".join(f"b{i}" for i in range(50))),
+            (3, " ".join(f"c{i}" for i in range(100))),
+        ],
+        "doc_id long, text string",
+    )
+    census = dedup.chunk_dup_census(df).collect()
+    assert len(census) == 1
+    assert census[0]["n_docs"] == 2 and census[0]["first_doc"] == 1
+    ratios = {r["doc_id"]: r["dup_ratio"] for r in dedup.chunk_overlap_ratio(df).collect()}
+    assert ratios == {1: 0.5, 2: 0.5, 3: 0.0}

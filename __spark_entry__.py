@@ -863,6 +863,17 @@ def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B10 depth: 2-core of the exact near-dup graph over the bounded
+    1000-doc slice (rows-only: iterative peeling; fixpoint + idempotence
+    invariants asserted in tests/test_graph.py)."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 1000)
+    pairs = dedup.jaccard_pairs(docs, threshold=0.9).select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    )
+    return graph.kcore(pairs, k=2)
+
+
 def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Triangles (3-cliques) in the exact near-dup graph over the bounded
     1000-doc slice — id-ordered wedge join, each triangle counted once."""
@@ -1546,6 +1557,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_multimodal_decode": q_multimodal_decode,
         "q_pq_topk": q_pq_topk,
         "q_pq_rerank": q_pq_rerank,
+        "q_kcore": q_kcore,
         "q_pandas_udf_zscore": q_pandas_udf_zscore,
         "q_udtf_spans": q_udtf_spans,
         "q_split_assign": q_split_assign,

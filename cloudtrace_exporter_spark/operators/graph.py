@@ -259,3 +259,57 @@ def bfs_distances(
         dist = dist.union(nxt).localCheckpoint(eager=True)
         frontier = nxt.select("node")
     return dist
+
+
+def kcore(
+    edges: DataFrame,
+    *,
+    k: int = 2,
+    max_iters: int = 50,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """k-core decomposition: the maximal subgraph where every node has
+    degree ≥ k (undirected; parallel edges and self-loops collapsed).
+    Returns the surviving nodes with their in-core degree — the standard
+    "dense kernel" extractor for near-dup cluster quality, spam rings,
+    and community seeding.
+
+    Iterative peeling: drop nodes under degree k, re-derive degrees,
+    repeat to fixpoint. Each round is one degree aggregation + two
+    semi-joins on the (small, shrinking) survivor set; lineage is
+    truncated per round (localCheckpoint — same posture as pagerank /
+    connected components) and the convergence probe moves ONE scalar per
+    round. Round count is bounded by the peeling depth (≤ max degree),
+    max_iters is the adversarial backstop.
+    """
+    e = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .select(
+            F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b")
+        )
+        .distinct()
+    )
+    und = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b"))).localCheckpoint(
+        eager=True
+    )
+    n_prev = und.count()
+    for _ in range(max_iters):
+        deg = und.groupBy("a").agg(F.count(F.lit(1)).alias("deg"))
+        keep = deg.filter(F.col("deg") >= k).select("a")
+        und = (
+            und.join(keep, "a", "left_semi")
+            .join(keep.withColumnRenamed("a", "b"), "b", "left_semi")
+            .localCheckpoint(eager=True)
+        )
+        n_now = und.count()
+        if n_now == n_prev:
+            break
+        n_prev = n_now
+    return (
+        und.groupBy("a")
+        .agg(F.count(F.lit(1)).alias("core_degree"))
+        .filter(F.col("core_degree") >= k)
+        .select(F.col("a").alias("id"), "core_degree")
+    )

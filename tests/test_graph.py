@@ -181,3 +181,35 @@ def test_bfs_distances_respects_max_hops(spark):
     src = spark.createDataFrame([("a",)], ["node"])
     got = {r["node"]: r["dist"] for r in graph.bfs_distances(edges, src, max_hops=2).collect()}
     assert got == {"a": 0, "b": 1, "c": 2}  # d is 3 hops out -> not settled
+
+
+def test_kcore_peels_tail_keeps_triangle(spark):
+    from cloudtrace_exporter_spark.operators import graph as g
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (3, 4), (4, 5)], "src long, dst long"
+    )
+    out = {r["id"]: r["core_degree"] for r in g.kcore(edges, k=2).collect()}
+    # the 3-4-5 tail peels away (5 has degree 1, then 4); the triangle stays
+    assert out == {1: 2, 2: 2, 3: 2}
+
+
+def test_kcore_fixpoint_invariant_on_fixture_graph(spark, sf_dir):
+    from cloudtrace_exporter_spark.operators import dedup
+    from cloudtrace_exporter_spark.operators import graph as g
+    from cloudtrace_exporter_spark.sources.tables import load_table
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 1000)
+    pairs = dedup.jaccard_pairs(docs, threshold=0.9).select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    )
+    core = g.kcore(pairs, k=2)
+    rows = core.collect()
+    # fixpoint invariant: every surviving node keeps degree >= k INSIDE the core
+    assert all(r["core_degree"] >= 2 for r in rows)
+    # idempotence: re-running on the induced subgraph changes nothing
+    ids = {r["id"] for r in rows}
+    induced = pairs.filter(F.col("src").isin(ids) & F.col("dst").isin(ids))
+    again = {r["id"]: r["core_degree"] for r in g.kcore(induced, k=2).collect()}
+    assert again == {r["id"]: r["core_degree"] for r in rows}

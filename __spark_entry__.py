@@ -1352,6 +1352,14 @@ def q_mixture_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_curated_docs_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North-star full-pipeline composition v2: quality → cross-doc
+    chunk-overlap cap → exact dedup → target-mixture resample — every
+    stage individually oracled, and the composition carries its own full
+    oracle."""
+    return curate.curated_docs_v2(load_table(spark, sf_dir, "documents"))
+
+
 def q_chunk_dup_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B33 paragraph-granularity exact substring dedup: every 50-token
     chunk fingerprint appearing in ≥2 documents (full oracle)."""
@@ -1554,6 +1562,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_cosine_topk_chunked": q_cosine_topk_chunked,
         "q_chunk_dup_census": q_chunk_dup_census,
         "q_chunk_overlap_ratio": q_chunk_overlap_ratio,
+        "q_curated_docs_v2": q_curated_docs_v2,
         "q_multimodal_decode": q_multimodal_decode,
         "q_pq_topk": q_pq_topk,
         "q_pq_rerank": q_pq_rerank,
@@ -3309,6 +3318,60 @@ def oracle_sql() -> dict[str, str]:
                    CAST(len(unnest(chunks)) AS BIGINT) AS n_chunk_tokens,
                    array_to_string(unnest(chunks), ' ') AS chunk_text
             FROM ch
+        """,
+        "q_curated_docs_v2": f"""
+            WITH tok AS (
+              SELECT doc_id, text, lang, {_TOKENS_SQL} AS t FROM documents
+            ), feats AS (
+              SELECT doc_id,
+                     CAST(len(t) AS BIGINT) AS n_tokens,
+                     round(CASE WHEN len(t) > 0 THEN CAST(len(list_distinct(t)) AS DOUBLE) / len(t) ELSE 0.0 END, 6) AS dr,
+                     round(CASE WHEN len(t) > 0 THEN CAST(length(text) AS DOUBLE) / len(t) ELSE 0.0 END, 6) AS mwl,
+                     round(CASE WHEN length(text) > 0 THEN CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS DOUBLE) / length(text) ELSE 0.0 END, 6) AS pr
+              FROM tok
+            ), quality AS (
+              SELECT d.doc_id, d.text, d.lang FROM documents d JOIN feats f ON d.doc_id = f.doc_id
+              WHERE NOT (f.n_tokens < 10 OR f.dr < 0.3 OR f.pr > 0.1 OR f.mwl < 3.0)
+            ), ch AS (
+              SELECT t.doc_id,
+                     [t.t[i:i+49] FOR i IN range(1, greatest(len(t.t), 1) + 1, 50)] AS chunks
+              FROM tok t JOIN quality q ON t.doc_id = q.doc_id
+              WHERE len(t.t) >= 1
+            ), fp AS (
+              SELECT doc_id, md5(array_to_string(unnest(chunks), ' ')) AS fp FROM ch
+            ), dupfp AS (
+              SELECT fp FROM fp GROUP BY fp HAVING count(DISTINCT doc_id) >= 2
+            ), lowdup AS (
+              SELECT q.* FROM quality q JOIN (
+                SELECT f.doc_id,
+                       round(CAST(count(d.fp) AS DOUBLE) / count(*), 6) AS r
+                FROM fp f LEFT JOIN dupfp d USING (fp) GROUP BY f.doc_id
+              ) rr ON q.doc_id = rr.doc_id
+              WHERE rr.r <= 0.5
+            ), winners AS (
+              SELECT min(doc_id) AS doc_id
+              FROM (SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp2 FROM lowdup)
+              GROUP BY fp2
+            ), dedup AS (
+              SELECT l.doc_id, l.lang FROM lowdup l JOIN winners w ON l.doc_id = w.doc_id
+            ), counts AS (
+              SELECT lang, count(*) AS n_g,
+                     CASE lang WHEN 'en' THEN CAST(0.3 AS DOUBLE)
+                               WHEN 'zh' THEN CAST(0.2 AS DOUBLE)
+                               WHEN 'es' THEN CAST(0.2 AS DOUBLE)
+                               WHEN 'de' THEN CAST(0.15 AS DOUBLE)
+                               WHEN 'fr' THEN CAST(0.15 AS DOUBLE) END AS frac
+              FROM dedup GROUP BY lang
+            ), t2 AS (SELECT min(n_g / frac) AS t FROM counts WHERE frac IS NOT NULL),
+            thr AS (
+              SELECT lang,
+                     CASE WHEN frac * t2.t / n_g >= 1.0 THEN 'g'
+                          ELSE lower(lpad(to_hex(CAST(floor(frac * t2.t / n_g * 4294967296.0) AS BIGINT)), 8, '0'))
+                     END AS thr
+              FROM counts, t2 WHERE frac IS NOT NULL
+            )
+            SELECT d.doc_id, d.lang FROM dedup d JOIN thr USING (lang)
+            WHERE substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8) < thr.thr
         """,
         "q_chunk_dup_census": f"""
             WITH tok AS (SELECT doc_id, {_TOKENS_SQL} AS t FROM documents),

@@ -125,3 +125,41 @@ def mixture_resample(
         .filter(keyed < F.col("__thr"))
         .select(key_col, group_col)
     )
+
+
+def curated_docs_v2(
+    docs: DataFrame,
+    *,
+    max_chunk_dup_ratio: float = 0.5,
+    mixture: dict[str, float] | None = None,
+) -> DataFrame:
+    """The round-3 full-pipeline composition: quality filter →
+    cross-document chunk-overlap cap (paragraph-level partial-copy
+    screen; see dedup.chunk_dup_census) → exact-dedup survivors →
+    target-mixture resample. Every stage is individually oracle-verified
+    and the composition carries its own full oracle (q_curated_docs_v2).
+
+    Stage order mirrors production: junk out before paying the chunk
+    fingerprint pass; partial copies out before whole-doc dedup (their
+    survivors would distort mixture counts); the recipe is applied to
+    the clean, unique corpus so rates mean what the recipe says.
+    """
+    from cloudtrace_exporter_spark.operators import dedup as dedup_ops
+
+    mixture = mixture or {"en": 0.3, "zh": 0.2, "es": 0.2, "de": 0.15, "fr": 0.15}
+    # The chunk-ratio screen reads quality twice (census + per-doc pass)
+    # and the mixture stage reads the deduped set three times (counts,
+    # feasible-total, final filter). Truncate lineage at both fan-out
+    # points (localCheckpoint, the same posture as the iterative graph
+    # ops): without it the regex-heavy quality subtree is re-executed AND
+    # re-analyzed once per downstream branch (~6×; 16 s → ~4 s at
+    # sf0.01, measured). Eager: the pipeline is always fully consumed.
+    quality = _quality_kept(docs).localCheckpoint(eager=True)
+    low_dup_ids = (
+        dedup_ops.chunk_overlap_ratio(quality)
+        .filter(F.col("dup_ratio") <= max_chunk_dup_ratio)
+        .select("doc_id")
+    )
+    low_dup = quality.join(low_dup_ids, "doc_id", "left_semi")
+    deduped = _dedup_survivors(low_dup).localCheckpoint(eager=True)
+    return mixture_resample(deduped, mixture).select("doc_id", "lang")

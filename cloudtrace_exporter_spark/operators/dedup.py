@@ -890,12 +890,18 @@ def chunk_overlap_ratio(
     """
     from cloudtrace_exporter_spark.operators.text import chunk_documents
 
+    # one chunk+fingerprint derivation feeds BOTH the census and the
+    # per-doc pass (calling chunk_dup_census here would re-chunk the
+    # corpus from scratch — separate plan instance, no reuse)
     chunks = chunk_documents(
         df, chunk_tokens=chunk_tokens, overlap=0, text_col=text_col, id_col=id_col
-    ).withColumn("__fp", F.md5(F.col("chunk_text").cast("binary")))
-    dup_fps = chunk_dup_census(
-        df, chunk_tokens=chunk_tokens, text_col=text_col, id_col=id_col
-    ).select(F.col("fingerprint").alias("__fp"), F.lit(1).alias("__dup"))
+    ).withColumn("__fp", F.md5(F.col("chunk_text").cast("binary"))).cache()
+    dup_fps = (
+        chunks.groupBy("__fp")
+        .agg(F.countDistinct("doc_id").alias("__nd"))
+        .filter(F.col("__nd") >= 2)
+        .select("__fp", F.lit(1).alias("__dup"))
+    )
     return (
         chunks.join(F.broadcast(dup_fps), "__fp", "left")
         .groupBy("doc_id")

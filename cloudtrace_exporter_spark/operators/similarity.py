@@ -746,3 +746,19 @@ def cosine_topk_chunked(
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+def save_lsh_index(vecs: DataFrame, hashes: DataFrame, path: str) -> None:
+    """Persist the hyperplane-LSH index (see build_lsh_index): hash rows
+    partitioned by table so a probe's per-table bucket lookups prune
+    files, plus the norm-carrying vector table — the at-rest twin of
+    save_ivf_index/save_pq_index (the plane family itself is
+    seed-deterministic, so only the hyper-params need to travel)."""
+    hashes.write.mode("overwrite").partitionBy("tbl").parquet(f"{path}/hashes")
+    vecs.write.mode("overwrite").parquet(f"{path}/vecs")
+
+
+def load_lsh_index(spark, path: str) -> tuple[DataFrame, DataFrame]:
+    vecs = spark.read.parquet(f"{path}/vecs").select("corpus_id", "cv", "cn")
+    hashes = spark.read.parquet(f"{path}/hashes").select("corpus_id", "tbl", "bkt")
+    return vecs, hashes

@@ -350,3 +350,19 @@ def test_cosine_topk_chunked_equals_unchunked(spark, sf_dir):
     whole = {tuple(r) for r in similarity.cosine_topk(emb, q, k=5).collect()}
     chunked = {tuple(r) for r in similarity.cosine_topk_chunked(emb, q, k=5, n_chunks=3).collect()}
     assert whole == chunked and len(whole) == 50
+
+
+def test_lsh_index_roundtrip_serves_identical_results(spark, sf_dir, tmp_path):
+    import os
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5)
+    vecs, hashes = similarity.build_lsh_index(emb, n_bits=2, n_tables=8)
+    path = str(tmp_path / "lsh")
+    similarity.save_lsh_index(vecs, hashes, path)
+    loaded = similarity.load_lsh_index(spark, path)
+    fresh = similarity.lsh_topk(emb, q, k=3, n_bits=2, n_tables=8, index=(vecs, hashes)).collect()
+    served = similarity.lsh_topk(emb, q, k=3, n_bits=2, n_tables=8, index=loaded).collect()
+    assert sorted(map(tuple, fresh)) == sorted(map(tuple, served))
+    # at-rest layout prunes per-table lookups
+    assert any(d.startswith("tbl=") for d in os.listdir(f"{path}/hashes"))

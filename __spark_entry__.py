@@ -898,6 +898,18 @@ def q_incremental_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 _MINHASH_INDEX_CACHE: dict[tuple[str, str], DataFrame] = {}
 
 
+def q_incremental_near_dedup_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B33 steady-state near-dedup, ORACLE-BACKED: the cross-frame LSH
+    bucket probe (new batch = doc_id ≥ 250 vs corpus index = doc_id <
+    250) over the portable hash family — DuckDB replays signature,
+    banding, cross-frame candidates, agreement, and the final anti-join
+    integer-exactly."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.incremental_near_dedup(
+        docs.filter(F.col("doc_id") >= 250), docs.filter(F.col("doc_id") < 250), portable=True
+    )
+
+
 def q_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B33 MinHash+LSH near-dup pairs (xxhash64 signatures — engine-specific,
     rows-only check; recall vs q_ngram_jaccard asserted in tests).
@@ -928,16 +940,15 @@ def q_minhash_dedup_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.minhash_lsh_pairs(docs, threshold=0.5, index=index)
 
 
-def _minhash_portable_oracle_sql(
-    *, n_hashes: int = 32, bands: int = 8, threshold: float = 0.5
-) -> str:
-    """DuckDB replay of the portable MinHash+LSH pipeline: the (a, b)
-    permutation pairs are seed-deterministic and embedded as literals;
-    every step is integer-exact, so the match is guaranteed-exact, not
-    float-lucky. Shingling mirrors dedup._shingles (word 3-grams,
-    distinct, whole-text fallback under 3 tokens — COALESCE'd because
-    DuckDB's array_to_string of an empty list is NULL where Spark's
-    concat_ws is '')."""
+def _portable_banded_cte(*, n_hashes: int = 32, bands: int = 8) -> str:
+    """Shared WITH-chain (tok → shingles → base hashes → signature →
+    banded) of the portable MinHash oracles: the (a, b) permutation
+    pairs are seed-deterministic and embedded as literals; every step is
+    integer-exact, so matches are guaranteed-exact, not float-lucky.
+    Shingling mirrors dedup._shingles (word 3-grams, distinct,
+    whole-text fallback under 3 tokens — COALESCE'd because DuckDB's
+    array_to_string of an empty list is NULL where Spark's concat_ws
+    is '')."""
     p = dedup.PORTABLE_P
     r = n_hashes // bands
     ab = dedup.portable_hash_family(n_hashes)
@@ -965,7 +976,12 @@ def _minhash_portable_oracle_sql(
         sig AS (SELECT doc_id, [{sig_exprs}] AS sig FROM hx),
         banded AS (
               {band_selects}
-        ),
+        )"""
+
+
+def _minhash_portable_oracle_sql(*, n_hashes: int = 32, threshold: float = 0.5) -> str:
+    """DuckDB replay of the portable MinHash+LSH self-dedup pipeline."""
+    return _portable_banded_cte(n_hashes=n_hashes) + f""",
         cand AS (
           SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, a.sig AS sig_a, b.sig AS sig_b
           FROM banded a JOIN banded b
@@ -976,6 +992,28 @@ def _minhash_portable_oracle_sql(
                  round(CAST(len(list_filter(range(1, {n_hashes + 1}), i -> sig_a[i] = sig_b[i])) AS DOUBLE) / {n_hashes}, 6) AS est_jaccard
           FROM cand
         ) WHERE est_jaccard >= {threshold}
+    """
+
+
+def _incremental_minhash_oracle_sql(
+    *, n_hashes: int = 32, threshold: float = 0.5, split_id: int = 250
+) -> str:
+    """DuckDB replay of the CROSS-FRAME portable pipeline: new batch
+    (doc_id ≥ split) probed against the corpus index (doc_id < split);
+    output = surviving new ids (anti-join of the matched set)."""
+    return _portable_banded_cte(n_hashes=n_hashes) + f""",
+        pairs AS (
+          SELECT DISTINCT a.doc_id AS new_id, a.sig AS sig_a, b.sig AS sig_b
+          FROM banded a JOIN banded b
+            ON a.band = b.band AND a.bucket = b.bucket
+          WHERE a.doc_id >= {split_id} AND b.doc_id < {split_id}
+        ),
+        matched AS (
+          SELECT DISTINCT new_id FROM pairs
+          WHERE CAST(len(list_filter(range(1, {n_hashes + 1}), i -> sig_a[i] = sig_b[i])) AS DOUBLE) / {n_hashes} >= {threshold}
+        )
+        SELECT d.doc_id FROM documents d
+        WHERE d.doc_id >= {split_id} AND d.doc_id NOT IN (SELECT new_id FROM matched)
     """
 
 
@@ -1557,6 +1595,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round-3 additions, oracle-backed first (driver window priority)
         "q_lsh_topk_verified": q_lsh_topk_verified,
         "q_minhash_dedup_verified": q_minhash_dedup_verified,
+        "q_incremental_near_dedup_verified": q_incremental_near_dedup_verified,
         "q_dsir_importance": q_dsir_importance,
         "q_mixture_resample": q_mixture_resample,
         "q_cosine_topk_chunked": q_cosine_topk_chunked,
@@ -2267,6 +2306,7 @@ def oracle_sql() -> dict[str, str]:
         # hash family — the LSH dedup pipeline itself is integer-exact
         # replayable in DuckDB.
         "q_minhash_dedup_verified": _minhash_portable_oracle_sql(),
+        "q_incremental_near_dedup_verified": _incremental_minhash_oracle_sql(),
         "q_dsir_importance": f"""
             WITH tok AS (SELECT doc_id, lang, {_TOKENS_SQL} AS t FROM documents),
             g AS (

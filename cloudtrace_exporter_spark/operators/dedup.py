@@ -764,6 +764,7 @@ def incremental_near_dedup(
     bands: int = 8,
     shingle: int = 3,
     threshold: float = 0.5,
+    portable: bool = False,
 ) -> DataFrame:
     """Near-dup extension of ``incremental_dedup``: drop NEW docs whose
     MinHash signature agrees ≥ `threshold` with ANY corpus doc sharing an
@@ -779,7 +780,7 @@ def incremental_near_dedup(
     r = n_hashes // bands
 
     def banded(df: DataFrame, side: str) -> DataFrame:
-        sigs = minhash_signatures(df, text_col, id_col, n_hashes, shingle)
+        sigs = minhash_signatures(df, text_col, id_col, n_hashes, shingle, portable=portable)
         return sigs.select(
             F.col("id").alias(f"{side}_id"),
             F.col("signature").alias(f"{side}_sig"),
@@ -788,8 +789,8 @@ def incremental_near_dedup(
                     *[
                         F.struct(
                             F.lit(b).alias("band"),
-                            F.xxhash64(
-                                F.concat_ws(",", *[F.col("signature")[b * r + i] for i in range(r)])
+                            _band_bucket(
+                                [F.col("signature")[b * r + i] for i in range(r)], portable
                             ).alias("bucket"),
                         )
                         for b in range(bands)

@@ -1017,6 +1017,64 @@ def _incremental_minhash_oracle_sql(
     """
 
 
+def q_winnow_dedup_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B33/B35 winnowing near-dups, ORACLE-BACKED: the identical
+    rolling-hash (MOSS) fingerprint → capped posting list → shared-ratio
+    pipeline over the portable md5-prefix gram hash — DuckDB replays the
+    k-gram hashing, sliding-window minima, stop-fingerprint cap, and
+    ratio filter integer-exactly. Bounded to a 250-doc slice (half of
+    q_winnow_dedup's): the md5 gram hash costs ~3x xxhash64, and the
+    verified key certifies the algorithm, not throughput — the xxhash
+    twin carries the perf profile."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 250)
+    return dedup.winnow_near_dups(docs, min_shared_ratio=0.6, portable=True)
+
+
+def _winnow_portable_oracle_sql(
+    *, k: int = 8, window: int = 4, min_shared_ratio: float = 0.6, max_doc_freq: int = 100
+) -> str:
+    """DuckDB replay of the portable winnowing pipeline (bounded slice):
+    normalized text → char k-gram md5-prefix BIGINT hashes → sliding
+    window-of-``window`` minima (distinct) → posting lists capped at
+    ``max_doc_freq`` → (a<b) pair shared-fingerprint counts → ratio
+    against the smaller fingerprint set. All integer-exact."""
+    return rf"""
+        WITH d0 AS (
+          SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS nrm
+          FROM documents WHERE doc_id < 250
+        ),
+        gh AS (
+          SELECT doc_id,
+                 list_transform(
+                   [substr(nrm, i, {k}) FOR i IN range(1, greatest(length(nrm) - {k - 1}, 1) + 1)],
+                   g -> CAST(('0x' || substr(md5(g), 1, 15)) AS BIGINT)
+                 ) AS h
+          FROM d0
+        ),
+        fp AS (
+          SELECT doc_id,
+                 list_distinct(list_transform(
+                   range(1, greatest(len(h) - {window}, 0) + 2),
+                   j -> list_min(h[j:j+{window - 1}])
+                 )) AS fps
+          FROM gh
+        ),
+        flat AS (SELECT doc_id, len(fps) AS n_fp, unnest(fps) AS f FROM fp),
+        keepfp AS (SELECT f FROM flat GROUP BY f HAVING count(*) <= {max_doc_freq}),
+        p AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.n_fp AS n_a, b.n_fp AS n_b
+          FROM flat a
+          JOIN flat b ON a.f = b.f AND a.doc_id < b.doc_id
+          JOIN keepfp kf ON a.f = kf.f
+        )
+        SELECT doc_a, doc_b, n_shared, shared_ratio FROM (
+          SELECT doc_a, doc_b, CAST(count(*) AS BIGINT) AS n_shared,
+                 round(CAST(count(*) AS DOUBLE) / least(min(n_a), min(n_b)), 6) AS shared_ratio
+          FROM p GROUP BY doc_a, doc_b
+        ) WHERE shared_ratio >= {min_shared_ratio}
+    """
+
+
 def q_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B33 SimHash near-dups, 16-bit-block bucketed (rows-only)."""
     return dedup.simhash_near_dups(load_table(spark, sf_dir, "documents"), max_hamming=8)
@@ -1596,6 +1654,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_lsh_topk_verified": q_lsh_topk_verified,
         "q_minhash_dedup_verified": q_minhash_dedup_verified,
         "q_incremental_near_dedup_verified": q_incremental_near_dedup_verified,
+        "q_winnow_dedup_verified": q_winnow_dedup_verified,
         "q_dsir_importance": q_dsir_importance,
         "q_mixture_resample": q_mixture_resample,
         "q_cosine_topk_chunked": q_cosine_topk_chunked,
@@ -2307,6 +2366,7 @@ def oracle_sql() -> dict[str, str]:
         # replayable in DuckDB.
         "q_minhash_dedup_verified": _minhash_portable_oracle_sql(),
         "q_incremental_near_dedup_verified": _incremental_minhash_oracle_sql(),
+        "q_winnow_dedup_verified": _winnow_portable_oracle_sql(),
         "q_dsir_importance": f"""
             WITH tok AS (SELECT doc_id, lang, {_TOKENS_SQL} AS t FROM documents),
             g AS (

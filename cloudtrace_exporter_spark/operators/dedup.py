@@ -478,6 +478,7 @@ def winnow_fingerprints(
     id_col: str = "doc_id",
     k: int = 8,
     window: int = 4,
+    portable: bool = False,
 ) -> DataFrame:
     """Winnowing document fingerprints (rolling-hash family, MOSS-style):
     hash every character ``k``-gram, then keep the minimum hash of each
@@ -511,9 +512,20 @@ def winnow_fingerprints(
     # lambda re-evaluates per element — materializing first removes that
     # trap without the shuffle; replacing it cut warm wall 3.1s -> <1s at
     # sf0.01.)
+    if portable:
+        # engine-portable gram hash (md5-prefix BIGINT — identical parse
+        # in DuckDB), powering the full-oracle q_winnow_dedup_verified
+        def gram_hash(i: F.Column) -> F.Column:
+            return F.conv(
+                F.substring(F.md5(norm.substr(i, F.lit(k)).cast("binary")), 1, 15), 16, 10
+            ).cast("long")
+    else:
+        def gram_hash(i: F.Column) -> F.Column:
+            return F.xxhash64(norm.substr(i, F.lit(k)))
+
     hashed = normed.select(
         "id",
-        F.transform(gram_idx, lambda i: F.xxhash64(norm.substr(i, F.lit(k)))).alias("__gh"),
+        F.transform(gram_idx, gram_hash).alias("__gh"),
     )
     gh = F.col("__gh")
     n_g = F.size(gh)
@@ -539,6 +551,7 @@ def winnow_near_dups(
     window: int = 4,
     min_shared_ratio: float = 0.5,
     max_doc_freq: int = 100,
+    portable: bool = False,
 ) -> DataFrame:
     """Near-dup pairs by shared winnowing fingerprints.
 
@@ -557,7 +570,9 @@ def winnow_near_dups(
     missed; near-dups always share rare grams, so recall loss is
     negligible.
     """
-    fps = winnow_fingerprints(df, text_col=text_col, id_col=id_col, k=k, window=window)
+    fps = winnow_fingerprints(
+        df, text_col=text_col, id_col=id_col, k=k, window=window, portable=portable
+    )
     sized = fps.withColumn("n_fp", F.size("fingerprints"))
     # explode_OUTER, then drop the null rows explicitly: a plain explode
     # lets InferFiltersFromGenerate synthesize `size(fingerprints) > 0`,

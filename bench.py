@@ -39,6 +39,11 @@ HEADLINE = [
     # that actually run at 100 TB, benched next to the exact baseline
     "q_lsh_topk",
     "q_ivf_topk",
+    # oracle-backed twins of the approximate scale paths (round-3 verdict
+    # #6): the portable-hash variants that carry the green CORRECTNESS
+    # rows should carry the perf trend too
+    "q_lsh_topk_verified",
+    "q_minhash_dedup_verified",
     # text-pipeline heavy scan-agg trend line (round 3): DSIR hashed-bigram
     # importance weighting — two corpus passes + broadcast profiles
     "q_dsir_importance",

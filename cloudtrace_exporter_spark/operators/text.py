@@ -670,22 +670,30 @@ def dsir_importance(
             "id", F.substring(F.md5(F.col("gram").cast("binary")), 1, bucket_hex_digits).alias("bucket")
         )
 
-    def bucket_counts(df: DataFrame, c_name: str) -> DataFrame:
-        g = grams(df).filter(F.col("bucket").isNotNull())
-        return g.groupBy("bucket").agg(F.count("*").alias(c_name))
-
-    # The two profiles merge by UNION + re-aggregate (zero-filled sides),
-    # not a full-outer join: both are ≤16^digits rows but full outer
-    # cannot broadcast, so the join form costs a sort-merge exchange pair
-    # the union form doesn't (plan-audit finding). Totals come from the
-    # merged counts themselves — never a third corpus pass — and ride on
-    # every row via ONE broadcast 1-row aggregate.
-    ct, cr = bucket_counts(target, "ct"), bucket_counts(corpus, "cr")
+    # BOTH profiles come out of ONE aggregation: the target and corpus
+    # gram streams union at GRAM level (tagged 1/0 — a union is free, no
+    # exchange) and a single bucket-keyed groupBy counts each side with a
+    # conditional sum. The previous two-aggregate-then-merge form cost
+    # three exchanges for the same ≤16^digits-row result (round-3 advice
+    # #7); map-side partial aggregation still collapses each partition to
+    # ≤n_buckets rows before this one exchange, so the shuffled volume is
+    # unchanged. A full-outer join form would be worse still: both sides
+    # tiny, but full outer cannot broadcast. Totals come from the merged
+    # counts themselves — never a third corpus pass — and ride on every
+    # row via ONE broadcast 1-row aggregate.
+    gt = grams(target).filter(F.col("bucket").isNotNull()).select(
+        "bucket", F.lit(1).cast("long").alias("is_t")
+    )
+    gr = grams(corpus).filter(F.col("bucket").isNotNull()).select(
+        "bucket", F.lit(0).cast("long").alias("is_t")
+    )
     merged_counts = (
-        ct.select("bucket", "ct", F.lit(0).cast("long").alias("cr"))
-        .unionByName(cr.select("bucket", F.lit(0).cast("long").alias("ct"), "cr"))
+        gt.unionByName(gr)
         .groupBy("bucket")
-        .agg(F.sum("ct").alias("ct"), F.sum("cr").alias("cr"))
+        .agg(
+            F.sum("is_t").alias("ct"),
+            F.sum(F.lit(1) - F.col("is_t")).alias("cr"),
+        )
     )
     tot = merged_counts.agg(F.sum("ct").alias("nt"), F.sum("cr").alias("nr"))
     b = float(n_buckets)

@@ -262,3 +262,78 @@ def stream_assign_cells(
     return stream.select(
         F.col(id_col).alias("id"), v.alias("v")
     ).withColumn("cell", _nearest_cell(F.col("v"), cent_rows))
+
+
+def stream_pq_encode(
+    stream: DataFrame, books, *, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """PQ-code maintenance AT INGEST: encode each streamed embedding to
+    its m sub-quantizer codes with the literal-codebook narrow map
+    (similarity._pq_cells_expr) — no join, no state, no shuffle; the
+    streaming half of train-once/encode-forever (batch pq_train fits the
+    codebooks, the stream keeps the compressed code table current).
+    ``books`` is the KB-sized list from pq_train / load_pq_index."""
+    from pyspark.sql import functions as F
+
+    from cloudtrace_exporter_spark.operators.similarity import _as_double, _pq_cells_expr
+
+    sub = len(books[0][0])
+    return stream.select(
+        F.col(id_col).alias("id"), _as_double(vec_col).alias("v")
+    ).select("id", _pq_cells_expr(books, sub).alias("codes"))
+
+
+def stream_adc_scores(
+    stream: DataFrame,
+    books,
+    query_rows,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ADC serving AT INGEST: score every streamed vector against the
+    registered queries' precomputed subspace-distance tables. Each
+    query's m×k table (||q_sub_j − books[j][cell]||², the same left-fold
+    order as similarity._sq_dist, so the doubles are bit-identical to
+    the batch pq_topk scores) is computed driver-side from the KB-sized
+    codebooks and enters the plan as a literal — encoding plus scoring
+    is ONE narrow map with an in-row explode over the query structs: no
+    join, no state, no shuffle. ``query_rows`` is [(query_id, vector)].
+    Returns (query_id, corpus_id, approx_dist) for every streamed row,
+    self-matches included (filter downstream like the batch rank does).
+    """
+    from pyspark.sql import functions as F
+
+    m = len(books)
+    sub = len(books[0][0])
+    entries = []
+    for qid, qvec in query_rows:
+        table = []
+        for j in range(m):
+            qsub = [float(x) for x in qvec[j * sub : (j + 1) * sub]]
+            row = []
+            for cent in books[j]:
+                acc = 0.0
+                for a, b in zip(qsub, cent):
+                    d = a - b
+                    acc = acc + d * d
+                row.append(acc)
+            table.append(row)
+        tbl = ",".join(
+            "array(" + ",".join(repr(x) + "D" for x in row) + ")" for row in table
+        )
+        entries.append(f"struct(CAST({int(qid)} AS BIGINT) AS query_id, array({tbl}) AS t)")
+    qlit = "array(" + ",".join(entries) + ")"
+    coded = stream_pq_encode(stream, books, id_col=id_col, vec_col=vec_col)
+    dist = F.aggregate(
+        F.zip_with("codes", F.col("q.t"), lambda code, trow: F.element_at(trow, code + 1)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return coded.select(
+        F.col("id").alias("corpus_id"), F.explode(F.expr(qlit)).alias("q"), "codes"
+    ).select(
+        F.col("q.query_id").alias("query_id"),
+        "corpus_id",
+        F.round(dist, 6).alias("approx_dist"),
+    )

@@ -389,3 +389,51 @@ def test_streaming_ivf_assignment_matches_batch(spark, tmp_path):
     s = {(r["id"], r["cell"]) for r in out.select("id", "cell").collect()}
     b = {(r["id"], r["cell"]) for r in assigned.select("id", "cell").collect()}
     assert s == b and len(s) == emb.count()
+
+
+def test_streaming_pq_adc_matches_batch(spark, tmp_path):
+    """PQ serving from a stream: codes and ADC distances computed by the
+    literal-codebook narrow map over a file stream must equal the batch
+    pq_encode / pq_topk results row-for-row (the driver-side query tables
+    replay _sq_dist's left-fold, so the doubles are bit-identical)."""
+    from cloudtrace_exporter_spark.operators import similarity
+    from cloudtrace_exporter_spark.schemas import FIXTURE_SCHEMAS
+    from cloudtrace_exporter_spark.streaming.pipeline import stream_adc_scores, stream_pq_encode
+
+    emb = load_table(spark, SF, "embeddings")
+    n = emb.count()
+    src = str(tmp_path / "emb_src_pq")
+    emb.coalesce(2).write.mode("overwrite").parquet(src)
+
+    books = similarity.pq_train(emb, m=8, k=16, lloyd_iters=1)
+    queries = emb.filter(F.col("vec_id") < 3)
+    qrows = [(r["vec_id"], list(r["embedding"])) for r in queries.collect()]
+
+    stream = (
+        spark.readStream.schema(FIXTURE_SCHEMAS["embeddings"])
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+
+    # codes parity: stream encode == batch encode
+    out_codes = _run_to_memory(spark, stream_pq_encode(stream, books), "t_pq_codes")
+    s_codes = {(r["id"], tuple(r["codes"])) for r in out_codes.collect()}
+    b_codes = {
+        (r["id"], tuple(r["codes"])) for r in similarity.pq_encode(emb, books).collect()
+    }
+    assert s_codes == b_codes and len(s_codes) == n
+
+    # ADC parity: stream scores == batch pq_topk distances (k=n keeps
+    # every pair; batch excludes self-matches, mirror that filter here)
+    out_adc = _run_to_memory(
+        spark, stream_adc_scores(stream, books, qrows), "t_pq_adc"
+    )
+    s_adc = {
+        (r["query_id"], r["corpus_id"], r["approx_dist"])
+        for r in out_adc.filter(F.col("query_id") != F.col("corpus_id")).collect()
+    }
+    b_adc = {
+        (r["query_id"], r["corpus_id"], r["approx_dist"])
+        for r in similarity.pq_topk(emb, queries, books, k=n).collect()
+    }
+    assert s_adc == b_adc and len(s_adc) == 3 * (n - 1)

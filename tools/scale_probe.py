@@ -1,0 +1,113 @@
+"""10x scaling probe (SCALE.md evidence) — measures wall at 1x and 10x
+the sf0.1 corpus for the operator families whose shuffle-shape analysis
+claims at-or-below-linear growth.
+
+The 10x replica perturbs each copy (first token prefixed for documents,
+first embedding component shifted) so hashes, buckets, and signatures
+actually differ between copies — a naive replica would collapse into
+the 1x hash space and understate the work.
+
+Usage:
+    python tools/scale_probe.py [sf_dir]
+
+Prints one line per (operator, scale) with wall seconds; paste the table
+into SCALE.md. Timings are best-of-1 warm-session (plans compiled by a
+throwaway run at 1x first), matching the round-3 probe's methodology.
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+from pyspark.sql import functions as F
+
+
+def replicate_docs(docs, copies: int):
+    n = docs.count()
+    parts = []
+    for i in range(copies):
+        parts.append(
+            docs.select(
+                (F.col("doc_id") + i * n).alias("doc_id"),
+                F.concat(F.lit(f"r{i} "), F.col("text")).alias("text"),
+                "lang",
+                "source",
+                "n_chars",
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.repartition(32).cache()
+
+
+def replicate_embeddings(emb, copies: int):
+    n = emb.count()
+    parts = []
+    for i in range(copies):
+        parts.append(
+            emb.select(
+                (F.col("vec_id") + i * n).alias("vec_id"),
+                F.concat(
+                    F.array((F.element_at("embedding", 1) + F.lit(float(i) * 0.01)).cast("float")),
+                    F.slice("embedding", 2, 10_000),
+                ).alias("embedding"),
+                "label",
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.repartition(32).cache()
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    from cloudtrace_exporter_spark.operators import dedup, similarity, text
+    from cloudtrace_exporter_spark.session import get_spark
+
+    spark = get_spark("scale_probe")
+    docs1 = spark.read.parquet(f"{sf_dir}/documents.parquet").cache()
+    emb1 = spark.read.parquet(f"{sf_dir}/embeddings.parquet").cache()
+    print(f"1x: {docs1.count()} docs, {emb1.count()} vectors")
+    docs10 = replicate_docs(docs1, 10)
+    emb10 = replicate_embeddings(emb1, 10)
+    print(f"10x: {docs10.count()} docs, {emb10.count()} vectors")
+
+    def t(label: str, fn) -> None:
+        t0 = time.time()
+        n = fn().count()
+        print(f"{label:42s} {time.time() - t0:6.2f} s  ({n} rows)")
+
+    # --- DSIR importance (profile + score passes) ---
+    for tag, d in (("1x", docs1), ("10x", docs10)):
+        t(f"dsir_importance {tag}", lambda d=d: text.dsir_importance(d, d.filter(F.col("lang") == "en")))
+
+    # --- PQ encode + ADC top-k (books trained once at 1x — the serve shape) ---
+    books = similarity.pq_train(emb1)
+    for tag, e in (("1x", emb1), ("10x", emb10)):
+        t(f"pq_encode {tag}", lambda e=e: similarity.pq_encode(e, books))
+    for tag, e in (("1x", emb1), ("10x", emb10)):
+        codes = similarity.pq_encode(e, books).cache()
+        codes.count()
+        q = e.filter(F.col("vec_id") < 10)
+        t(f"pq_topk (ADC over codes) {tag}", lambda e=e, q=q, codes=codes: similarity.pq_topk(e, q, books, codes=codes))
+        codes.unpersist()
+
+    # --- chunked exact cosine (4 broadcast chunks, shared corpus exchange) ---
+    for tag, e in (("1x", emb1), ("10x", emb10)):
+        q = e.filter(F.col("vec_id") < 40)
+        t(f"cosine_topk_chunked {tag}", lambda e=e, q=q: similarity.cosine_topk_chunked(e, q))
+
+    # --- chunk-level substring dedup census ---
+    for tag, d in (("1x", docs1), ("10x", docs10)):
+        t(f"chunk_dup_census {tag}", lambda d=d: dedup.chunk_dup_census(d))
+    for tag, d in (("1x", docs1), ("10x", docs10)):
+        t(f"chunk_overlap_ratio {tag}", lambda d=d: dedup.chunk_overlap_ratio(d))
+
+
+if __name__ == "__main__":
+    main()

@@ -1252,10 +1252,11 @@ def q_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B34 HEADLINE approximate top-k: multi-table hyperplane-LSH bucket
-    equi-join (rows-only; recall ≥0.9 vs q_cosine_topk asserted in
-    tests/test_llm_ops.py — measured 0.98 at n_bits=2/n_tables=8).
-    q_lsh_topk_verified is the same pipeline with a full DuckDB oracle
-    (the hyperplane family is seed-deterministic and replayable)."""
+    equi-join, FULL DuckDB oracle (the hyperplane family is
+    seed-deterministic and replayable — same oracle as its
+    q_lsh_topk_verified twin, which exists to carry the green driver row
+    from round 3); recall ≥0.9 vs q_cosine_topk asserted in
+    tests/test_llm_ops.py — measured 0.98 at n_bits=2/n_tables=8."""
     emb = load_table(spark, sf_dir, "embeddings")
     return similarity.lsh_topk(
         emb, emb.filter(F.col("vec_id") < 10), k=5, n_bits=2, n_tables=8,
@@ -2467,6 +2468,10 @@ def oracle_sql() -> dict[str, str]:
         # q_lsh_topk_verified: the hyperplane family is seed-deterministic,
         # so DuckDB CAN replay it — the one ANN scale path with a full oracle.
         "q_lsh_topk_verified": _lsh_oracle_sql(),
+        # q_lsh_topk runs the IDENTICAL pipeline and index as its
+        # _verified twin (the twin exists so the driver-evidence rotation
+        # kept a green row while q_lsh_topk's was rows-only) — same oracle.
+        "q_lsh_topk": _lsh_oracle_sql(),
         # q_minhash_dedup_verified: portable (md5 + linear-congruential)
         # hash family — the LSH dedup pipeline itself is integer-exact
         # replayable in DuckDB.

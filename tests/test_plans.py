@@ -249,6 +249,29 @@ def test_dsir_profile_merge_is_not_sort_merge(plans):
     assert "SortMergeJoin" not in p
 
 
+def test_dsir_single_profile_aggregation(plans):
+    # both profiles come out of ONE bucket-keyed aggregation over the
+    # tagged gram union (round-4 fold): merged profile + per-doc scoring
+    # + two tiny exchanges (1-row totals, ≤256-row profile broadcast
+    # prep). The old two-agg-then-merge form cost 2 more full ones.
+    assert _data_shuffles(plans("q_dsir_importance")) <= 4
+
+
+def test_cosine_topk_chunked_shares_corpus_exchange(plans):
+    # every chunk branch must score the SAME corpus child (a cached scan
+    # whose build exchanges run once — same accounting as
+    # tools/plan_audit) and rank once over the union: ≤2 steady-state
+    # data shuffles regardless of n_chunks. The per-branch formulation
+    # re-exchanged the corpus and re-windowed per chunk (8 shuffles — the
+    # one plan the audit flagged in round 3).
+    from tools.plan_audit import _strip_cached_subplans
+
+    p = plans("q_cosine_topk_chunked")
+    assert "CartesianProduct" not in p
+    stripped, _ = _strip_cached_subplans(p)
+    assert _data_shuffles(stripped) <= 2
+
+
 def test_price_deciles_reuses_ranked_lineage(plans):
     # n_total rides the offsets frame; re-deriving it cost 2 extra scans
     # + range exchanges before round 3

@@ -1526,6 +1526,24 @@ def q_curated_docs_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     return curate.curated_docs_v2(load_table(spark, sf_dir, "documents"))
 
 
+def q_classifier_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B35 model-based quality filtering (CCNet/fastText shape): hashed-
+    feature linear classifier with an int8-quantized 256-bucket literal
+    weight table — ONE narrow map, zero shuffles, full DuckDB oracle
+    (integer weight sums are fold-order-independent; the logit ships as
+    the raw w_sum/n_tokens double, never rounded — exact integer ratios
+    tie under HALF_UP vs HALF_EVEN)."""
+    return text.classifier_quality_score(load_table(spark, sf_dir, "documents"))
+
+
+def q_token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B35/curation: per-source TOKEN-budget sampling (mixture recipes are
+    written in tokens, not document rates) — md5-priority order, integer
+    cumulative-sum window, keep while the running total fits the budget.
+    One window shuffle keyed by source; full DuckDB oracle."""
+    return curate.token_budget_sample(load_table(spark, sf_dir, "documents"))
+
+
 def q_chunk_dup_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B33 paragraph-granularity exact substring dedup: every 50-token
     chunk fingerprint appearing in ≥2 documents (full oracle)."""
@@ -1717,11 +1735,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # Ordered so keys WITHOUT a driver CORRECTNESS row (r1∪r2∪r3 = 122
         # evaluated keys) come FIRST: the driver's ~50-row window per round
-        # should spend its budget on never-evaluated keys. The 46 keys below
-        # are the only ones with no driver row in any round — oracle-backed
-        # (42) first, rows-only-by-design (4) after; the 122 already-green
-        # keys close the dict. A full green window this round completes
-        # 168/168 driver coverage.
+        # should spend its budget on never-evaluated keys. The 48 keys below
+        # (2 new round-4 ops + the 46 never-evaluated) have no driver row —
+        # oracle-backed (44) first, rows-only-by-design (4) after; the 122
+        # already-green keys close the dict. A full green window this round
+        # completes 170/170 driver coverage.
+        # round-4 additions (new keys, no driver row yet, both oracle-backed)
+        "q_classifier_quality": q_classifier_quality,
+        "q_token_budget_sample": q_token_budget_sample,
         "q_distribution_drift": q_distribution_drift,
         "q_session_paths": q_session_paths,
         "q_hierarchy_shares": q_hierarchy_shares,
@@ -2019,6 +2040,32 @@ _LANG_HITS_SQL = """
                 len(list_filter(t, x -> list_contains(['le','la','les','de','et','est','un','une','pour','dans'], x))) AS h_fr,
                 len(list_filter(t, x -> list_contains(['的','是','在','了','和','有','我','不','这','他'], x))) AS h_zh
 """
+
+
+def _classifier_oracle_sql(*, seed: int = 7, threshold: float = 0.0) -> str:
+    """DuckDB replay of text.classifier_quality_score: identical literal
+    weight table (seeded ints), md5 2-hex bucket per token, integer sum
+    (list_sum — order-free on ints), raw-double logit."""
+    w = text.classifier_weights(256, seed)
+    w_lit = "[" + ",".join(str(x) for x in w) + "]"
+    return f"""
+        WITH tok AS (
+          SELECT doc_id, {_TOKENS_SQL} AS t FROM documents
+        ),
+        s AS (
+          SELECT doc_id,
+                 CAST(len(t) AS BIGINT) AS n_tokens,
+                 CAST(coalesce(list_sum(list_transform(t,
+                     x -> list_extract({w_lit}, CAST(('0x' || substr(md5(x), 1, 2)) AS INT) + 1)
+                 )), 0) AS BIGINT) AS w_sum
+          FROM tok
+        )
+        SELECT doc_id, n_tokens, w_sum,
+               CASE WHEN n_tokens > 0 THEN CAST(w_sum AS DOUBLE) / n_tokens ELSE 0.0 END AS logit,
+               (CASE WHEN n_tokens > 0 THEN CAST(w_sum AS DOUBLE) / n_tokens ELSE 0.0 END)
+                 >= {threshold} AS keep
+        FROM s
+    """
 
 
 def oracle_sql() -> dict[str, str]:
@@ -2526,6 +2573,26 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT d.doc_id, d.lang FROM documents d JOIN thr USING (lang)
             WHERE substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8) < thr.thr
+        """,
+        # q_classifier_quality: int8-quantized hashed-feature weights make
+        # the logit integer arithmetic — fold-order-independent, so DuckDB
+        # replays it exactly; the logit is the RAW w_sum/n_tokens double
+        # (exact integer ratios tie under Spark HALF_UP vs DuckDB HALF_EVEN)
+        "q_classifier_quality": _classifier_oracle_sql(),
+        "q_token_budget_sample": f"""
+            WITH sized AS (
+              SELECT doc_id, source,
+                     CAST(len({_TOKENS_SQL}) AS BIGINT) AS n_tokens,
+                     md5(CAST(doc_id AS VARCHAR)) AS pri
+              FROM documents
+            ),
+            c AS (
+              SELECT doc_id, source, n_tokens,
+                     CAST(sum(n_tokens) OVER (PARTITION BY source ORDER BY pri ASC, doc_id ASC
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
+              FROM sized
+            )
+            SELECT doc_id, source, n_tokens, cum_tokens FROM c WHERE cum_tokens <= 600
         """,
         "q_embed_near_dup": """
             WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings WHERE vec_id < 1000)

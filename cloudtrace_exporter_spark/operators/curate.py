@@ -163,3 +163,44 @@ def curated_docs_v2(
     low_dup = quality.join(low_dup_ids, "doc_id", "left_semi")
     deduped = _dedup_survivors(low_dup).localCheckpoint(eager=True)
     return mixture_resample(deduped, mixture).select("doc_id", "lang")
+
+
+def token_budget_sample(
+    docs: DataFrame,
+    *,
+    budget_tokens: int = 600,
+    source_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-source TOKEN-budget sampling: each source contributes documents
+    in md5-priority order until its token budget is spent — the mixture
+    primitive when the recipe is specified in tokens (how pretraining
+    mixtures are actually written: "30B tokens of web, 5B of code"),
+    rather than the per-document rates of mixture_resample.
+
+    Deterministic and engine-portable: priority is md5(doc_id) (same
+    family as hash_sample), the running total is an integer cumulative
+    sum over a ROWS window, and a document is kept iff the cumulative
+    count INCLUDING it fits the budget — so the selection is a pure
+    function of the corpus, reproducible across runs, engines, and
+    repartitioning. ONE window shuffle keyed by source (low cardinality
+    → AQE skew split is the 100 TB guard; at extreme skew pre-salt the
+    source and merge budgets downstream).
+    """
+    sized = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(source_col).alias("source"),
+        text.token_count(text_col).cast("long").alias("n_tokens"),
+        F.md5(F.col(id_col).cast("string")).alias("__pri"),
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy(F.asc("__pri"), F.asc("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        sized.withColumn("cum_tokens", F.sum("n_tokens").over(w))
+        .filter(F.col("cum_tokens") <= budget_tokens)
+        .select("doc_id", "source", "n_tokens", "cum_tokens")
+    )

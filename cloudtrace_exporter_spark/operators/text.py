@@ -714,3 +714,67 @@ def dsir_importance(
         )
     )
     return scored.select(F.col("id").alias(id_col), "n_grams", "log_weight")
+
+
+def classifier_weights(n_buckets: int = 256, seed: int = 7) -> list[int]:
+    """Int8-quantized hashed-feature weights (seeded uniform in [-8, 8]) —
+    the at-rest form of a fastText/CCNet-style linear quality classifier
+    (the reference pipeline's filtering stage has no model; this is the
+    standard public recipe). In production these come from training;
+    the seeded family keeps the fixture deterministic, and INTEGER
+    weights make the logit order-independent integer arithmetic, so the
+    score replays exactly in the DuckDB oracle (float weights would tie
+    to Spark's fold order)."""
+    import random
+
+    rng = random.Random(seed)
+    return [rng.randint(-8, 8) for _ in range(n_buckets)]
+
+
+def classifier_quality_score(
+    docs: DataFrame,
+    *,
+    seed: int = 7,
+    threshold: float = 0.0,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Model-based quality filtering, the classifier-scored stage of a
+    pretraining curation funnel (CCNet / fastText shape): every token
+    hashes to one of 256 feature buckets (md5 2-hex prefix — uniform and
+    engine-portable, same trick as hash_sample/DSIR) and the document's
+    logit is the mean of the bucket weights — a bag-of-hashed-features
+    linear model whose weight table ships as a 256-int literal.
+
+    ONE narrow map, zero shuffles: tokens are materialized first (the
+    per-element-lambda trap), the per-token weight is an element_at into
+    the literal table, and the sum is an in-row left fold — at 100 TB
+    this is a pure scan-side filter, exactly how production classifier
+    filtering runs (model broadcast, score per row, no joins).
+
+    Returns (doc_id, n_tokens, w_sum, logit, keep); ``logit`` is the raw
+    w_sum/n_tokens double (NOT rounded: an exact integer ratio rounds
+    differently under Spark HALF_UP vs DuckDB HALF_EVEN; the raw double
+    is bit-identical in both engines)."""
+    w = classifier_weights(256, seed)
+    w_lit = "array(" + ",".join(str(x) + "L" for x in w) + ")"
+    toked = docs.select(F.col(id_col).alias("doc_id"), tokens(text_col).alias("__t"))
+    summed = toked.selectExpr(
+        "doc_id",
+        "CAST(size(__t) AS BIGINT) AS n_tokens",
+        f"aggregate(transform(__t, x -> element_at({w_lit}, "
+        "CAST(conv(substring(md5(CAST(x AS BINARY)), 1, 2), 16, 10) AS INT) + 1)), "
+        "CAST(0 AS BIGINT), (acc, x) -> acc + x) AS w_sum",
+    )
+    return summed.select(
+        "doc_id",
+        "n_tokens",
+        "w_sum",
+        F.when(F.col("n_tokens") > 0, F.col("w_sum") / F.col("n_tokens"))
+        .otherwise(F.lit(0.0))
+        .alias("logit"),
+        (
+            F.when(F.col("n_tokens") > 0, F.col("w_sum") / F.col("n_tokens")).otherwise(F.lit(0.0))
+            >= F.lit(threshold)
+        ).alias("keep"),
+    )

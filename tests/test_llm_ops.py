@@ -769,3 +769,57 @@ def test_chunk_dup_census_catches_partial_copies(spark):
     assert census[0]["n_docs"] == 2 and census[0]["first_doc"] == 1
     ratios = {r["doc_id"]: r["dup_ratio"] for r in dedup.chunk_overlap_ratio(df).collect()}
     assert ratios == {1: 0.5, 2: 0.5, 3: 0.0}
+
+
+def test_classifier_quality_matches_hand_computed_logit(spark):
+    # plant two docs whose hashed-bucket weights are recomputed here with
+    # hashlib — the Spark logit must equal the integer-sum / count ratio
+    import hashlib
+
+    from cloudtrace_exporter_spark.operators.text import classifier_quality_score, classifier_weights
+
+    w = classifier_weights(256, 7)
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, ""), (3, "alpha alpha")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in classifier_quality_score(df).collect()}
+
+    def expected(text):
+        toks = [t for t in text.split(" ") if t]
+        s = sum(w[int(hashlib.md5(t.encode()).hexdigest()[:2], 16)] for t in toks)
+        return len(toks), s, (s / len(toks) if toks else 0.0)
+
+    for doc_id, text in [(1, "alpha beta gamma"), (2, ""), (3, "alpha alpha")]:
+        n, s, logit = expected(text)
+        r = got[doc_id]
+        assert (r["n_tokens"], r["w_sum"]) == (n, s)
+        assert r["logit"] == logit
+        assert r["keep"] == (logit >= 0.0)
+
+
+def test_token_budget_sample_respects_budget_and_priority(spark):
+    # per-source md5-priority prefix: kept set = the longest prefix whose
+    # cumulative token count fits the budget, computed independently here
+    import hashlib
+
+    from cloudtrace_exporter_spark.operators.curate import token_budget_sample
+
+    rows = [(i, "s1" if i % 2 == 0 else "s2", " ".join(f"w{j}" for j in range(10 + i))) for i in range(20)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    budget = 60
+    kept = {r["doc_id"]: r["cum_tokens"] for r in token_budget_sample(df, budget_tokens=budget).collect()}
+
+    for source in ("s1", "s2"):
+        docs = [(hashlib.md5(str(i).encode()).hexdigest(), i, 10 + i) for i, s, _ in rows if s == source]
+        cum = 0
+        expect = {}
+        for pri, i, n in sorted(docs):
+            cum += n
+            if cum > budget:
+                break
+            expect[i] = cum
+        for i, c in expect.items():
+            assert kept.get(i) == c, (source, i)
+        dropped = {i for _, i, _ in docs} - set(expect)
+        assert dropped.isdisjoint(kept), (source, dropped & set(kept))

@@ -1319,6 +1319,42 @@ def _lsh_oracle_sql(*, n_bits: int = 2, n_tables: int = 8, dim: int = 64, seed: 
     """
 
 
+def _semantic_dedup_oracle_sql(
+    *, threshold: float = 0.45, n_bits: int = 2, n_tables: int = 8, dim: int = 64, seed: int = 42
+) -> str:
+    """DuckDB replay of similarity.semantic_dedup: the same seeded plane
+    family as _lsh_oracle_sql (bucket per table from sign bits), in-bucket
+    (a<b) candidate pairs across ANY table, exact-cosine verify at the
+    threshold, and the lower-id-wins survivor rule as a NOT-IN anti-join."""
+    bucket_cols = []
+    for t in range(n_tables):
+        planes = similarity.hyperplane_planes(dim, n_bits, seed + 1000 * t)
+        bits = []
+        for i, p in enumerate(planes):
+            lit = "[" + ", ".join(repr(x) for x in p) + "]"
+            bits.append(f"(CASE WHEN list_dot_product(e, {lit}) > 0 THEN {1 << i} ELSE 0 END)")
+        bucket_cols.append("(" + " + ".join(bits) + f") AS b{t}")
+    cols = ",\n                   ".join(bucket_cols)
+    on = " OR ".join(f"a.b{t} = b.b{t}" for t in range(n_tables))
+    return f"""
+        WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        h AS (SELECT vec_id, e,
+                   {cols}
+              FROM v),
+        pruned AS (
+          SELECT DISTINCT id_b FROM (
+            SELECT b.vec_id AS id_b,
+                   round(list_dot_product(a.e, b.e)
+                         / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))), 6) AS cosine
+            FROM h a JOIN h b ON a.vec_id < b.vec_id AND ({on})
+          ) WHERE cosine >= {threshold}
+        )
+        SELECT vec_id, TRUE AS keep FROM v WHERE vec_id NOT IN (SELECT id_b FROM pruned)
+        UNION ALL
+        SELECT id_b AS vec_id, FALSE AS keep FROM pruned
+    """
+
+
 def q_token_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B35 corpus term frequency."""
     return text.term_frequencies(load_table(spark, sf_dir, "documents"))
@@ -1544,6 +1580,20 @@ def q_token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return curate.token_budget_sample(load_table(spark, sf_dir, "documents"))
 
 
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B33/B34 semantic dedup (SemDeDup shape): embedding near-dups pruned
+    via bucket-scoped comparison only — hyperplane-LSH clusters (the
+    seeded portable family), exact cosine verify, lower-id-wins survivor
+    rule. Full DuckDB oracle (planes replayed as literals; threshold 0.45
+    fits the fixture's cosine range — the rule, not the radius, is what
+    the oracle certifies). Reuses the session LSH index."""
+    return similarity.semantic_dedup(
+        load_table(spark, sf_dir, "embeddings"),
+        threshold=0.45, n_bits=2, n_tables=8,
+        index=_lsh_index(spark, sf_dir),
+    )
+
+
 def q_chunk_dup_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B33 paragraph-granularity exact substring dedup: every 50-token
     chunk fingerprint appearing in ≥2 documents (full oracle)."""
@@ -1735,14 +1785,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # Ordered so keys WITHOUT a driver CORRECTNESS row (r1∪r2∪r3 = 122
         # evaluated keys) come FIRST: the driver's ~50-row window per round
-        # should spend its budget on never-evaluated keys. The 48 keys below
-        # (2 new round-4 ops + the 46 never-evaluated) have no driver row —
-        # oracle-backed (44) first, rows-only-by-design (4) after; the 122
+        # should spend its budget on never-evaluated keys. The 49 keys below
+        # (3 new round-4 ops + the 46 never-evaluated) have no driver row —
+        # oracle-backed (45) first, rows-only-by-design (4) after; the 122
         # already-green keys close the dict. A full green window this round
-        # completes 170/170 driver coverage.
-        # round-4 additions (new keys, no driver row yet, both oracle-backed)
+        # completes 171/171 driver coverage.
+        # round-4 additions (new keys, no driver row yet, all oracle-backed)
         "q_classifier_quality": q_classifier_quality,
         "q_token_budget_sample": q_token_budget_sample,
+        "q_semantic_dedup": q_semantic_dedup,
         "q_distribution_drift": q_distribution_drift,
         "q_session_paths": q_session_paths,
         "q_hierarchy_shares": q_hierarchy_shares,
@@ -2574,6 +2625,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT d.doc_id, d.lang FROM documents d JOIN thr USING (lang)
             WHERE substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8) < thr.thr
         """,
+        "q_semantic_dedup": _semantic_dedup_oracle_sql(),
         # q_classifier_quality: int8-quantized hashed-feature weights make
         # the logit integer arithmetic — fold-order-independent, so DuckDB
         # replays it exactly; the logit is the RAW w_sum/n_tokens double

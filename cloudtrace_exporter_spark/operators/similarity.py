@@ -802,3 +802,72 @@ def load_lsh_index(spark, path: str) -> tuple[DataFrame, DataFrame]:
     vecs = spark.read.parquet(f"{path}/vecs").select("corpus_id", "cv", "cn")
     hashes = spark.read.parquet(f"{path}/hashes").select("corpus_id", "tbl", "bkt")
     return vecs, hashes
+
+
+def semantic_dedup(
+    corpus: DataFrame,
+    *,
+    threshold: float = 0.92,
+    n_bits: int = 2,
+    n_tables: int = 8,
+    dim: int = 64,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    index: tuple[DataFrame, DataFrame] | None = None,
+) -> DataFrame:
+    """Semantic deduplication (SemDeDup, Abbas et al. 2023 shape): prune
+    embedding-space near-duplicates, but only ever compare vectors that
+    collide in a hash bucket — O(n·bucket) candidate pairs instead of the
+    O(n²) sweep of embedding_near_dups.
+
+    The clustering here is the seeded hyperplane-LSH family (multi-table
+    OR-amplification, same planes as lsh_topk) rather than k-means cells:
+    recall-equivalent for the near-dup radius, and ENGINE-PORTABLE — the
+    whole pipeline (bucket join → exact cosine verify → survivor rule)
+    replays in the DuckDB oracle, which a float k-means clustering cannot.
+    Swap ``index`` for (vecs, hashes) from build_ivf/lsh_index at serve
+    time.
+
+    Survivor rule: a vector is dropped iff SOME lower-id vector collides
+    with it and matches at ``cosine ≥ threshold`` — deterministic,
+    chain-independent, and join-shaped (no iterative components pass;
+    near-dup groups at this radius are cliques in practice, where the
+    rule equals keep-min-id).
+
+    Returns every corpus id with its verdict: (vec_id, keep).
+    """
+    vecs, hashes = index if index is not None else build_lsh_index(
+        corpus, n_bits=n_bits, n_tables=n_tables, dim=dim,
+        id_col=id_col, vec_col=vec_col, seed=seed,
+    )
+    a = hashes.withColumnsRenamed({"corpus_id": "id_a"})
+    b = hashes.withColumnsRenamed({"corpus_id": "id_b"})
+    cand = (
+        a.join(b, ["tbl", "bkt"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    va = vecs.select(F.col("corpus_id").alias("id_a"), F.col("cv").alias("av"), F.col("cn").alias("an"))
+    vb = vecs.select(F.col("corpus_id").alias("id_b"), F.col("cv").alias("bv"), F.col("cn").alias("bn"))
+    pruned = (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .selectExpr(
+            "id_b",
+            "round(aggregate(zip_with(av, bv, (x, y) -> x * y), CAST(0.0 AS DOUBLE),"
+            " (acc, x) -> acc + x) / (an * bn), 6) AS cosine",
+        )
+        .filter(F.col("cosine") >= threshold)
+        .select("id_b")
+        .distinct()
+    )
+    return (
+        vecs.select(F.col("corpus_id").alias(id_col))
+        .join(pruned.withColumnRenamed("id_b", id_col), id_col, "left_anti")
+        .withColumn("keep", F.lit(True))
+        .unionByName(
+            pruned.select(F.col("id_b").alias(id_col), F.lit(False).alias("keep"))
+        )
+    )

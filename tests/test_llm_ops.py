@@ -823,3 +823,24 @@ def test_token_budget_sample_respects_budget_and_priority(spark):
             assert kept.get(i) == c, (source, i)
         dropped = {i for _, i, _ in docs} - set(expect)
         assert dropped.isdisjoint(kept), (source, dropped & set(kept))
+
+
+def test_semantic_dedup_prunes_planted_duplicates(spark, sf_dir):
+    # exact copies produce identical sign bits in EVERY table, so they
+    # always collide; the lower-id original must survive and every copy
+    # must be pruned — and no two surviving vectors may be near-dups that
+    # share a bucket (the rule's fixpoint property on cliques)
+    from cloudtrace_exporter_spark.operators.similarity import semantic_dedup
+
+    emb = load_table(spark, sf_dir, "embeddings").limit(200).cache()
+    copies = emb.filter(F.col("vec_id") < 20).select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding", "label"
+    )
+    verdicts = {
+        r["vec_id"]: r["keep"]
+        for r in semantic_dedup(emb.union(copies), threshold=0.99).collect()
+    }
+    for i in range(20):
+        assert verdicts[i + 100000] is False, f"copy of {i} not pruned"
+    originals_kept = sum(1 for i in range(20) if verdicts[i])
+    assert originals_kept == 20, "an original was pruned by its own copy"

@@ -1552,6 +1552,17 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B36 REAL audio decode end-to-end: synthesize a genuine PCM16 WAV
+    per doc (deterministic sine keyed by doc_id), then decode it with the
+    pure-numpy RIFF chunk-walk — header fields, duration, RMS/peak/
+    zero-crossing rate (rows-only: decode is Python-side by nature;
+    exactness is pinned by tests against hand-constructed samples)."""
+    docs = load_table(spark, sf_dir, "documents")
+    payloads = multimodal.synthesize_wav_payload(docs)
+    return multimodal.decode_audio_real(payloads)
+
+
 def q_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """North-star data selection: DSIR hashed-bigram importance weights
     (target = the English slice, raw = whole corpus). The md5-prefix
@@ -1802,11 +1813,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # Ordered so keys WITHOUT a driver CORRECTNESS row (r1∪r2∪r3 = 122
         # evaluated keys) come FIRST: the driver's ~50-row window per round
-        # should spend its budget on never-evaluated keys. The 49 keys below
-        # (3 new round-4 ops + the 46 never-evaluated) have no driver row —
-        # oracle-backed (45) first, rows-only-by-design (4) after; the 122
+        # should spend its budget on never-evaluated keys. The 50 keys below
+        # (4 new round-4 ops + the 46 never-evaluated) have no driver row —
+        # oracle-backed (45) first, rows-only-by-design (5) after; the 122
         # already-green keys close the dict. A full green window this round
-        # completes 171/171 driver coverage.
+        # completes 172/172 driver coverage.
         # round-4 additions (new keys, no driver row yet, all oracle-backed)
         "q_classifier_quality": q_classifier_quality,
         "q_token_budget_sample": q_token_budget_sample,
@@ -1854,6 +1865,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_curation_funnel": q_curation_funnel,
         "q_doc_fingerprint": q_doc_fingerprint,
         # rows-only-by-design tail of the never-evaluated block
+        "q_multimodal_audio": q_multimodal_audio,
         "q_incremental_near_dedup": q_incremental_near_dedup,
         "q_approx_percentiles": q_approx_percentiles,
         "q_simhash_near_dup": q_simhash_near_dup,

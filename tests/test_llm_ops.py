@@ -844,3 +844,36 @@ def test_semantic_dedup_prunes_planted_duplicates(spark, sf_dir):
         assert verdicts[i + 100000] is False, f"copy of {i} not pruned"
     originals_kept = sum(1 for i in range(20) if verdicts[i])
     assert originals_kept == 20, "an original was pruned by its own copy"
+
+
+def test_wav_roundtrip_and_hand_computed_stats(spark):
+    # encode → parse must return the exact samples; stats over a
+    # hand-constructed 4-sample clip are closed-form
+    import numpy as np
+
+    samples = np.array([0, 16384, -16384, 0], dtype="<i2")
+    buf = multimodal.encode_wav(samples, sample_rate=8000)
+    n_ch, rate, decoded = multimodal._parse_wav(buf)
+    assert (n_ch, rate) == (1, 8000)
+    assert np.array_equal(decoded[:, 0], samples)
+
+    df = spark.createDataFrame([(1, bytearray(buf)), (2, bytearray(b"not a wav"))],
+                               "doc_id long, payload binary")
+    rows = {r["doc_id"]: r for r in multimodal.decode_audio_real(df).collect()}
+    r = rows[1]
+    # x = [0, .5, -.5, 0] → rms = sqrt(0.125), peak = 0.5, 2 sign flips / 3
+    assert (r["format"], r["n_channels"], r["sample_rate"], r["n_frames"]) == ("wav", 1, 8000, 4)
+    assert r["duration_ms"] == 0 and r["peak"] == 0.5
+    assert r["rms"] == round(float(np.sqrt(0.125)), 6)
+    assert r["zero_cross_rate"] == round(2 / 3, 6)
+    assert rows[2]["format"] == "unsupported" and rows[2]["rms"] is None
+
+
+def test_synthesized_wav_decodes_end_to_end(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").limit(30)
+    out = multimodal.decode_audio_real(multimodal.synthesize_wav_payload(docs)).collect()
+    assert len(out) == 30
+    assert all(r["format"] == "wav" and r["n_frames"] == 800 and r["duration_ms"] == 100 for r in out)
+    assert all(0.0 < r["rms"] < 1.0 and r["peak"] <= 1.0 for r in out)
+    # the sine frequency keys off doc_id → different ids, different ZCR families
+    assert len({r["zero_cross_rate"] for r in out}) > 5

@@ -471,3 +471,49 @@ def decode_audio_real(df: DataFrame) -> DataFrame:
             yield pd.DataFrame(rows, columns=cols)
 
     return df.select("doc_id", "payload").mapInPandas(_extract, AUDIO_DECODED_SCHEMA)
+
+
+def resize_real(df: DataFrame, *, width: int, height: int) -> DataFrame:
+    """REAL image resize (nearest-neighbor) over decodable payloads:
+    parse (BMP/PPM), index-map resample in numpy, re-encode as BMP —
+    byte-in/byte-out like a production thumbnailing stage, retiring
+    resize_stub for the decodable formats. Undecodable payloads pass
+    through with ``resized=NULL`` (decode-tolerant). Arrow-batched
+    mapInPandas; swap the parser/encoder pair for Pillow to cover
+    compressed codecs — the Spark contract is unchanged."""
+    import numpy as np
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType(), False),
+            T.StructField("format", T.StringType(), True),
+            T.StructField("width", T.IntegerType(), True),
+            T.StructField("height", T.IntegerType(), True),
+            T.StructField("resized", T.BinaryType(), True),
+        ]
+    )
+
+    def _resize_one(doc_id, buf):
+        parsed = _parse_bmp(buf) if buf else None
+        fmt = "bmp" if parsed else None
+        if parsed is None and buf:
+            parsed = _parse_ppm(buf)
+            fmt = "ppm" if parsed else None
+        if parsed is None:
+            return (doc_id, "unsupported", None, None, None)
+        w, h, rgb = parsed
+        yi = (np.arange(height) * h) // height
+        xi = (np.arange(width) * w) // width
+        out = rgb[yi][:, xi].astype(np.uint8)
+        return (doc_id, fmt, width, height, encode_bmp(out))
+
+    def _run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [f.name for f in schema.fields]
+        for pdf in batches:
+            rows = [
+                _resize_one(d, bytes(b) if b is not None else b"")
+                for d, b in zip(pdf["doc_id"], pdf["payload"])
+            ]
+            yield pd.DataFrame(rows, columns=cols)
+
+    return df.select("doc_id", "payload").mapInPandas(_run, schema)

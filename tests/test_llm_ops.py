@@ -877,3 +877,23 @@ def test_synthesized_wav_decodes_end_to_end(spark, sf_dir):
     assert all(0.0 < r["rms"] < 1.0 and r["peak"] <= 1.0 for r in out)
     # the sine frequency keys off doc_id → different ids, different ZCR families
     assert len({r["zero_cross_rate"] for r in out}) > 5
+
+
+def test_resize_real_nearest_neighbor_pixels(spark):
+    # 2x2 gradient → 4x4: each source pixel must tile a 2x2 block
+    # (nearest-neighbor index map), and the output must re-decode as BMP
+    import numpy as np
+
+    rgb = np.array(
+        [[[10, 20, 30], [40, 50, 60]], [[70, 80, 90], [100, 110, 120]]], dtype=np.uint8
+    )
+    df = spark.createDataFrame(
+        [(1, bytearray(multimodal.encode_bmp(rgb))), (2, bytearray(b"junk"))],
+        "doc_id long, payload binary",
+    )
+    rows = {r["doc_id"]: r for r in multimodal.resize_real(df, width=4, height=4).collect()}
+    assert rows[2]["format"] == "unsupported" and rows[2]["resized"] is None
+    w, h, out = multimodal._parse_bmp(bytes(rows[1]["resized"]))
+    assert (w, h) == (4, 4)
+    expect = rgb[[0, 0, 1, 1]][:, [0, 0, 1, 1]]
+    assert np.array_equal(out.astype(np.uint8), expect)

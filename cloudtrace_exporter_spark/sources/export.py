@@ -53,3 +53,34 @@ def _build_manifest(spark: SparkSession, out_dir: str) -> list[dict]:
         .orderBy("shard")
     )
     return [r.asDict() for r in shards.collect()]
+
+
+def import_jsonl_shards(spark: SparkSession, in_dir: str, schema) -> DataFrame:
+    """Manifest-verified ingest — the read half of export_jsonl_shards.
+
+    Recomputes every shard's (bytes, sha256, n_lines) executor-side via
+    binaryFile and compares against MANIFEST.json BEFORE any row is
+    parsed: corpora ship with manifests precisely so a truncated rsync
+    or bit-rotted shard fails the load loudly instead of silently
+    training on a short corpus. Raises ValueError naming the first
+    mismatching shards; on success returns the schema-enforced FAILFAST
+    JSONL read of the shard glob."""
+    with open(os.path.join(in_dir, "MANIFEST.json"), encoding="utf-8") as fh:
+        expected = {e["shard"]: e for e in json.load(fh)}
+    actual = {e["shard"]: e for e in _build_manifest(spark, in_dir)}
+    problems = []
+    for shard in sorted(expected.keys() | actual.keys()):
+        if shard not in actual:
+            problems.append(f"{shard}: missing")
+        elif shard not in expected:
+            problems.append(f"{shard}: not in manifest")
+        elif any(expected[shard][k] != actual[shard][k] for k in ("bytes", "sha256", "n_lines")):
+            problems.append(f"{shard}: checksum/size mismatch")
+    if problems:
+        raise ValueError("shard manifest verification failed: " + "; ".join(problems[:5]))
+    return (
+        spark.read.schema(schema)
+        .option("mode", "FAILFAST")
+        .option("pathGlobFilter", "part-*.json")
+        .json(in_dir)
+    )

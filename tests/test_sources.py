@@ -329,3 +329,33 @@ def test_python_datasource_stream_rate_limit(spark, tmp_path):
         assert max(batches) <= 50, f"cap violated: {batches}"
     finally:
         q.stop()
+
+
+def test_import_jsonl_shards_roundtrip_and_tamper_detection(spark, tmp_path):
+    """Manifest-verified ingest: roundtrip equality, then a one-byte
+    tamper on any shard must fail the load loudly."""
+    import glob
+
+    import pytest as _pytest
+
+    from cloudtrace_exporter_spark.sources.export import export_jsonl_shards, import_jsonl_shards
+
+    df = load_table(spark, SF, "documents").select("doc_id", "lang", "text")
+    out = str(tmp_path / "shards")
+    export_jsonl_shards(df, out, n_shards=4)
+    # a shipped corpus carries MANIFEST.json, not Hadoop's local .crc
+    # sidecars (which would mask tampering with their own checksum error)
+    for crc in glob.glob(out + "/.*.crc"):
+        os.remove(crc)
+
+    back = import_jsonl_shards(spark, out, df.schema)
+    assert back.count() == df.count()
+    assert back.exceptAll(df).isEmpty() and df.exceptAll(back).isEmpty()
+
+    victim = sorted(glob.glob(out + "/part-*.json"))[0]
+    with open(victim, "r+b") as fh:
+        b = fh.read(1)
+        fh.seek(0)
+        fh.write(bytes([b[0] ^ 1]))
+    with _pytest.raises(ValueError, match="mismatch"):
+        import_jsonl_shards(spark, out, df.schema)

@@ -1608,6 +1608,25 @@ def q_token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return curate.token_budget_sample(load_table(spark, sf_dir, "documents"))
 
 
+def q_intra_doc_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B33 intra-document dedup: drop repeated 20-token chunks WITHIN a
+    document, first occurrence wins, order-preserving reassembly (as an
+    md5 fingerprint — rows stay narrow). The fixture has no natural
+    self-repetition, so the query prepends each document's own first 20
+    tokens in-plan (the template-boilerplate scenario, deterministic and
+    replayed identically by the oracle): every document must drop
+    exactly that injected chunk. Full DuckDB oracle."""
+    docs = load_table(spark, sf_dir, "documents")
+    toked = docs.select("doc_id", text.tokens("text").alias("__t"))
+    boiler = toked.filter(F.size("__t") >= 1).select(
+        "doc_id",
+        F.concat_ws(
+            " ", F.concat_ws(" ", F.slice("__t", 1, 20)), F.concat_ws(" ", "__t")
+        ).alias("text"),
+    )
+    return dedup.dedup_intra_doc(boiler, chunk_tokens=20)
+
+
 def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B33/B34 semantic dedup (SemDeDup shape): embedding near-dups pruned
     via bucket-scoped comparison only — hyperplane-LSH clusters (the
@@ -1813,15 +1832,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # Ordered so keys WITHOUT a driver CORRECTNESS row (r1∪r2∪r3 = 122
         # evaluated keys) come FIRST: the driver's ~50-row window per round
-        # should spend its budget on never-evaluated keys. The 50 keys below
-        # (4 new round-4 ops + the 46 never-evaluated) have no driver row —
-        # oracle-backed (45) first, rows-only-by-design (5) after; the 122
+        # should spend its budget on never-evaluated keys. The 51 keys below
+        # (5 new round-4 ops + the 46 never-evaluated) have no driver row —
+        # oracle-backed (46) first, rows-only-by-design (5) after; the 122
         # already-green keys close the dict. A full green window this round
-        # completes 172/172 driver coverage.
+        # completes 173/173 driver coverage.
         # round-4 additions (new keys, no driver row yet, all oracle-backed)
         "q_classifier_quality": q_classifier_quality,
         "q_token_budget_sample": q_token_budget_sample,
         "q_semantic_dedup": q_semantic_dedup,
+        "q_intra_doc_dedup": q_intra_doc_dedup,
         "q_distribution_drift": q_distribution_drift,
         "q_session_paths": q_session_paths,
         "q_hierarchy_shares": q_hierarchy_shares,
@@ -2655,6 +2675,39 @@ def oracle_sql() -> dict[str, str]:
             WHERE substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8) < thr.thr
         """,
         "q_semantic_dedup": _semantic_dedup_oracle_sql(),
+        # q_intra_doc_dedup: replay the boilerplate injection (first-20-
+        # token header) and the chunk → first-occurrence → ordered-
+        # reassembly pipeline; md5 fingerprints keep the compare narrow
+        "q_intra_doc_dedup": f"""
+            WITH tok0 AS (SELECT doc_id, {_TOKENS_SQL} AS t0 FROM documents),
+            boiler AS (
+              SELECT doc_id,
+                     concat_ws(' ', array_to_string(t0[1:20], ' '), array_to_string(t0, ' ')) AS text2
+              FROM tok0 WHERE len(t0) >= 1
+            ),
+            tok AS (
+              SELECT doc_id, list_filter(string_split(text2, ' '), x -> x <> '') AS t FROM boiler
+            ),
+            ch AS (
+              SELECT doc_id,
+                     [array_to_string(t[i:i+19], ' ') FOR i IN range(1, greatest(len(t), 1) + 1, 20)] AS chunks
+              FROM tok WHERE len(t) >= 1
+            ),
+            flat AS (
+              SELECT doc_id, CAST(generate_subscripts(chunks, 1) AS BIGINT) AS pos,
+                     unnest(chunks) AS chunk
+              FROM ch
+            ),
+            firsts AS (
+              SELECT doc_id, chunk, min(pos) AS pos, count(*) AS cnt
+              FROM flat GROUP BY doc_id, chunk
+            )
+            SELECT doc_id,
+                   CAST(sum(cnt) AS BIGINT) AS n_chunks,
+                   CAST(count(*) AS BIGINT) AS n_kept,
+                   md5(string_agg(chunk, ' ' ORDER BY pos)) AS clean_fp
+            FROM firsts GROUP BY doc_id
+        """,
         # q_classifier_quality: int8-quantized hashed-feature weights make
         # the logit integer arithmetic — fold-order-independent, so DuckDB
         # replays it exactly; the logit is the RAW w_sum/n_tokens double

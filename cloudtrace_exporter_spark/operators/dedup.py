@@ -951,3 +951,48 @@ def chunk_overlap_ratio(
         )
         .withColumn("dup_ratio", F.round(F.col("n_dup_chunks") / F.col("n_chunks"), 6))
     )
+
+
+def dedup_intra_doc(
+    df: DataFrame,
+    *,
+    chunk_tokens: int = 20,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Intra-document deduplication: drop repeated token chunks WITHIN a
+    document, first occurrence wins — the self-repetition cleaning step
+    (template boilerplate, crawler loops, generation stutter) that
+    cross-document dedup (chunk_dup_census's family) never touches.
+
+    Non-overlapping ``chunk_tokens`` windows; two shuffles — the
+    (doc, chunk) first-occurrence aggregate and the per-doc reassembly.
+    Output stays narrow: the cleaned document travels as ``clean_fp``
+    (md5 of the order-preserving reassembly) rather than full text —
+    at 100 TB the reassembled text is written by the caller from the
+    kept (pos, chunk) rows, not carried through the plan.
+
+    Returns (doc_id, n_chunks, n_kept, clean_fp).
+    """
+    toked = _spread(df).select(F.col(id_col).alias("doc_id"), tokens(text_col).alias("__t"))
+    t = F.col("__t")
+    n = F.size(t)
+    starts = F.sequence(F.lit(1), F.greatest(n, F.lit(1)), F.lit(chunk_tokens))
+    chunks = F.transform(starts, lambda i: F.concat_ws(" ", F.slice(t, i, chunk_tokens)))
+    flat = toked.filter(n >= 1).select("doc_id", F.posexplode(chunks).alias("pos", "chunk"))
+    firsts = flat.groupBy("doc_id", "chunk").agg(
+        F.min("pos").alias("pos"), F.count(F.lit(1)).alias("cnt")
+    )
+    return firsts.groupBy("doc_id").agg(
+        F.sum("cnt").cast("long").alias("n_chunks"),
+        F.count(F.lit(1)).cast("long").alias("n_kept"),
+        F.md5(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "chunk"))),
+                    lambda s: s["chunk"],
+                ),
+            )
+        ).alias("clean_fp"),
+    )

@@ -897,3 +897,22 @@ def test_resize_real_nearest_neighbor_pixels(spark):
     assert (w, h) == (4, 4)
     expect = rgb[[0, 0, 1, 1]][:, [0, 0, 1, 1]]
     assert np.array_equal(out.astype(np.uint8), expect)
+
+
+def test_intra_doc_dedup_drops_repeats_keeps_first(spark):
+    # doc 1 repeats chunk A (pos 1 and 3): output must count 3 chunks,
+    # keep 2, and the reassembly fp must equal md5 of "A B" (first
+    # occurrences in original order); doc 2 has no repeats
+    import hashlib
+
+    a = " ".join(f"a{i}" for i in range(20))
+    bch = " ".join(f"b{i}" for i in range(20))
+    df = spark.createDataFrame(
+        [(1, f"{a} {bch} {a}"), (2, f"{bch} {a}")],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in dedup.dedup_intra_doc(df, chunk_tokens=20).collect()}
+    assert (rows[1]["n_chunks"], rows[1]["n_kept"]) == (3, 2)
+    assert rows[1]["clean_fp"] == hashlib.md5(f"{a} {bch}".encode()).hexdigest()
+    assert (rows[2]["n_chunks"], rows[2]["n_kept"]) == (2, 2)
+    assert rows[2]["clean_fp"] == hashlib.md5(f"{bch} {a}".encode()).hexdigest()

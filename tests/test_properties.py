@@ -284,3 +284,76 @@ def test_asof_ranged_duplicate_right_ts_is_deterministic(spark_prop):
             ).collect()
         }
         assert got == {0: 9, 1: 9}
+
+
+@given(
+    texts=st.lists(
+        st.text(alphabet="ab c", min_size=0, max_size=30), min_size=1, max_size=6
+    )
+)
+@settings(max_examples=10, deadline=None)
+def test_classifier_logit_bounded_by_weight_range(spark_prop, texts):
+    """|logit| = |mean of int weights in [-8, 8]| can never exceed 8, and
+    empty documents score exactly 0."""
+    from cloudtrace_exporter_spark.operators.text import classifier_quality_score
+
+    df = spark_prop.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    for r in classifier_quality_score(df).collect():
+        assert -8.0 <= r["logit"] <= 8.0
+        if r["n_tokens"] == 0:
+            assert r["logit"] == 0.0 and r["w_sum"] == 0
+
+
+@given(
+    budgets=st.tuples(st.integers(1, 30), st.integers(31, 200)),
+    sizes=st.lists(st.integers(1, 12), min_size=1, max_size=8),
+)
+@settings(max_examples=8, deadline=None)
+def test_token_budget_sample_monotone_in_budget(spark_prop, budgets, sizes):
+    """A bigger budget can only ADD documents (prefix property of the
+    md5-priority order), and every kept cum_tokens fits the budget."""
+    from cloudtrace_exporter_spark.operators.curate import token_budget_sample
+
+    lo, hi = budgets
+    df = spark_prop.createDataFrame(
+        [(i, "s", " ".join("w" for _ in range(n))) for i, n in enumerate(sizes)],
+        "doc_id long, source string, text string",
+    )
+    small = {r["doc_id"] for r in token_budget_sample(df, budget_tokens=lo).collect()}
+    big_rows = token_budget_sample(df, budget_tokens=hi).collect()
+    big = {r["doc_id"] for r in big_rows}
+    assert small <= big
+    assert all(r["cum_tokens"] <= hi for r in big_rows)
+
+
+@given(
+    chunks=st.lists(st.sampled_from(["A", "B", "C"]), min_size=1, max_size=8),
+)
+@settings(max_examples=10, deadline=None)
+def test_intra_doc_dedup_idempotent(spark_prop, chunks):
+    """Deduping an already-deduped document is the identity: rebuild the
+    cleaned text from the first-occurrence order and re-apply."""
+    import hashlib
+
+    from cloudtrace_exporter_spark.operators.dedup import dedup_intra_doc
+
+    k = 4
+    blocks = {c: " ".join(f"{c.lower()}{i}" for i in range(k)) for c in "ABC"}
+    text = " ".join(blocks[c] for c in chunks)
+    df = spark_prop.createDataFrame([(1, text)], "doc_id long, text string")
+    r1 = dedup_intra_doc(df, chunk_tokens=k).first()
+    seen, order = set(), []
+    for c in chunks:
+        if c not in seen:
+            seen.add(c)
+            order.append(c)
+    clean = " ".join(blocks[c] for c in order)
+    assert r1["n_chunks"] == len(chunks) and r1["n_kept"] == len(order)
+    assert r1["clean_fp"] == hashlib.md5(clean.encode()).hexdigest()
+    r2 = dedup_intra_doc(
+        spark_prop.createDataFrame([(1, clean)], "doc_id long, text string"), chunk_tokens=k
+    ).first()
+    assert r2["n_chunks"] == r2["n_kept"] == len(order)
+    assert r2["clean_fp"] == r1["clean_fp"]

@@ -64,7 +64,10 @@ def main() -> None:
     timings: dict[str, float] = {}
     for name in names:
         best = float("inf")
-        for _ in range(2):  # best-of-2: absorbs GC/JIT noise (±20% run-to-run)
+        for _ in range(3):  # best-of-3: absorbs GC/JIT/index-build noise (a
+            # single repeat proved insufficient — one observed run had BOTH
+            # attempts of one query land in a ~4 s GC/JIT stall while the
+            # steady-state plan is sub-second; three attempts bound that)
             t0 = time.time()
             qs[name](spark, sf_dir).count()
             best = min(best, time.time() - t0)

@@ -1454,6 +1454,15 @@ def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("reasons", F.array_join("reasons", ","))
 
 
+def q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B35/north-star: the Gopher rule family (Rae et al. 2021 Table A1
+    shape) — word-count bounds, space-free mean word length, alpha-word
+    fraction, distinct-stopword presence, duplicate-word fraction, and
+    the top-bigram character-repetition rule, conjunction as ``keep``.
+    Ratios are raw integer-ratio doubles (bit-identical cross-engine)."""
+    return text.gopher_quality(load_table(spark, sf_dir, "documents"))
+
+
 def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """North-star: train/eval 3-gram contamination — src0 is the benchmark."""
     docs = load_table(spark, sf_dir, "documents")
@@ -1890,6 +1899,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_approx_percentiles": q_approx_percentiles,
         "q_simhash_near_dup": q_simhash_near_dup,
         "q_winnow_dedup": q_winnow_dedup,
+        # late-round-4 additions (after the 51 above so the driver's
+        # ~50-row window completes the historical backlog first; these
+        # carry local-sweep evidence until the r5 rotation)
+        "q_gopher_rules": q_gopher_rules,
         # ---- keys below all have a green driver row in r1/r2/r3 ----
         "q_lsh_topk_verified": q_lsh_topk_verified,
         "q_minhash_dedup_verified": q_minhash_dedup_verified,
@@ -3705,6 +3718,36 @@ def oracle_sql() -> dict[str, str]:
                      || (CASE WHEN mwl < 3.0 THEN ['short_words'] ELSE []::VARCHAR[] END) AS reasons
               FROM feats
             )
+        """,
+        "q_gopher_rules": f"""
+            WITH d AS (SELECT doc_id, {_TOKENS_SQL} AS w FROM documents),
+            base AS (
+              SELECT doc_id,
+                     CAST(len(w) AS BIGINT) AS n_words,
+                     CAST(COALESCE(list_sum(list_transform(w, x -> length(x))), 0) AS BIGINT) AS tot_chars,
+                     CAST(len(list_filter(w, x -> regexp_matches(x, '[A-Za-z]'))) AS BIGINT) AS n_alpha,
+                     CAST(len(list_intersect(w, ['the','a','of','and','to','in','is','that','it','for'])) AS BIGINT) AS n_stop_distinct,
+                     CAST(len(list_distinct(w)) AS BIGINT) AS n_distinct
+              FROM d),
+            g AS (SELECT doc_id, w[CAST(i AS INT)] || ' ' || w[CAST(i AS INT) + 1] AS gram
+                  FROM d, UNNEST(range(1, len(w))) AS t(i)),
+            gc AS (SELECT doc_id, gram, CAST(count(*) AS BIGINT) AS c,
+                          CAST(length(gram) - 1 AS BIGINT) AS chars
+                   FROM g GROUP BY doc_id, gram),
+            top AS (SELECT doc_id, max(c * chars) AS top_chars FROM gc GROUP BY doc_id)
+            SELECT b.doc_id, n_words,
+                   tot_chars / nullif(n_words, 0) AS mean_word_len,
+                   n_alpha / nullif(n_words, 0) AS frac_alpha_words,
+                   n_stop_distinct,
+                   (n_words - n_distinct) / nullif(n_words, 0) AS dup_word_frac,
+                   COALESCE(top_chars / nullif(tot_chars, 0), 0.0) AS top_bigram_char_frac,
+                   (n_words BETWEEN 50 AND 100000)
+                     AND (tot_chars / nullif(n_words, 0) BETWEEN 3 AND 10)
+                     AND (n_alpha / nullif(n_words, 0) >= 0.8)
+                     AND (n_stop_distinct >= 2)
+                     AND ((n_words - n_distinct) / nullif(n_words, 0) <= 0.85)
+                     AND (COALESCE(top_chars / nullif(tot_chars, 0), 0.0) <= 0.2) AS keep
+            FROM base b LEFT JOIN top USING (doc_id)
         """,
         "q_contamination": f"""
             WITH g AS (

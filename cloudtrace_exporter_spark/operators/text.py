@@ -292,6 +292,88 @@ def quality_keep(text_col: str = "text") -> Column:
     return cond
 
 
+#: Stopword set for the Gopher "contains ≥2 stopwords" rule — the en
+#: profile reused so the two quality surfaces share one vocabulary knob.
+GOPHER_STOPWORDS = LANG_STOPWORDS["en"]
+
+
+def gopher_quality(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gopher-style document quality rules (Rae et al. 2021, Table A1 —
+    the published rule family, restated over the whitespace-token
+    contract): word-count bounds, space-free mean word length, fraction
+    of words containing an alphabetic character, distinct-stopword
+    presence, duplicate-word fraction, and the repetition rule — the
+    fraction of word characters covered by the single most frequent word
+    bigram. ``keep`` is the conjunction.
+
+    Complements ``quality_filter`` (C4-ish char-level ratios, pure
+    narrow map): the bigram repetition rule needs per-(doc, gram)
+    occurrence counts, which at 100 TB is an explode → two-level groupBy
+    on (doc_id, gram) — uniform keys, map-side partials — NOT an O(n²)
+    per-row array scan (quadratic in document length, and pretraining
+    docs run to 10⁵ words). Doc-level scalar stats stay a narrow map and
+    rejoin on doc_id.
+
+    Ratios are emitted as raw integer-ratio doubles (no rounding): both
+    engines produce bit-identical IEEE quotients, while round() would
+    reintroduce HALF_UP/HALF_EVEN tie risk.
+    """
+    stop_arr = F.array(*[F.lit(w) for w in GOPHER_STOPWORDS])
+    d = df.select("doc_id", tokens(text_col).alias("__w"))
+    base = d.select(
+        "doc_id",
+        F.size("__w").cast("long").alias("n_words"),
+        F.aggregate("__w", F.lit(0).cast("long"), lambda a, x: a + F.length(x)).alias("tot_chars"),
+        F.size(F.filter("__w", lambda x: x.rlike("[A-Za-z]"))).cast("long").alias("n_alpha"),
+        F.size(F.array_intersect("__w", stop_arr)).cast("long").alias("n_stop_distinct"),
+        F.size(F.array_distinct("__w")).cast("long").alias("n_distinct"),
+    )
+    grams = d.select(
+        "doc_id",
+        F.explode(
+            F.when(
+                F.size("__w") >= 2,
+                F.transform(
+                    F.sequence(F.lit(1), F.size("__w") - 1),
+                    lambda i: F.concat_ws(" ", F.slice("__w", i, 2)),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("gram"),
+    )
+    top = (
+        grams.groupBy("doc_id", "gram")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max(F.col("c") * (F.length("gram") - 1)).alias("top_chars"))
+    )
+    j = base.join(top, "doc_id", "left")
+    n_words = F.col("n_words")
+    mean_word_len = F.col("tot_chars") / F.nullif(n_words, F.lit(0))
+    frac_alpha = F.col("n_alpha") / F.nullif(n_words, F.lit(0))
+    dup_frac = (n_words - F.col("n_distinct")) / F.nullif(n_words, F.lit(0))
+    top_frac = F.coalesce(
+        F.col("top_chars") / F.nullif(F.col("tot_chars"), F.lit(0)), F.lit(0.0)
+    )
+    keep = (
+        (n_words >= 50) & (n_words <= 100000)
+        & (mean_word_len >= 3) & (mean_word_len <= 10)
+        & (frac_alpha >= 0.8)
+        & (F.col("n_stop_distinct") >= 2)
+        & (dup_frac <= 0.85)
+        & (top_frac <= 0.2)
+    )
+    return j.select(
+        "doc_id",
+        "n_words",
+        mean_word_len.alias("mean_word_len"),
+        frac_alpha.alias("frac_alpha_words"),
+        "n_stop_distinct",
+        dup_frac.alias("dup_word_frac"),
+        top_frac.alias("top_bigram_char_frac"),
+        keep.alias("keep"),
+    )
+
+
 #: (pattern, replacement) — applied in order; URL first so emails inside
 #: URLs don't split the match. Dialect-portable (no lookaround).
 PII_PATTERNS = [

@@ -443,6 +443,39 @@ def test_quality_filter_reasons_are_consistent_with_keep(spark, sf_dir):
         )
 
 
+def test_gopher_quality_rules_on_constructed_docs(spark):
+    good = (
+        "the quick brown fox jumps over a lazy dog near the river bank "
+        "and a small bird sings in that tall tree while children play for hours "
+        "it was a bright cold day in april and the clocks were striking thirteen "
+        "many words of varied length fill this document with useful content "
+        "nothing here repeats enough to trigger the bigram repetition rule at all"
+    )
+    df = spark.createDataFrame(
+        [
+            (1, good),                              # 64 varied words → keep
+            (2, "short doc only"),                  # below the 50-word floor
+            (3, ("spam ham " * 40).strip()),        # one bigram dominates
+            (4, ""),                                # empty → everything null/false
+            (5, ("zz " * 60).strip()),              # no stopwords, all dup words
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in text.gopher_quality(df).collect()}
+    assert got[1]["keep"] is True
+    assert got[2]["keep"] is False and got[2]["n_words"] == 3
+    assert got[3]["keep"] is False  # top_bigram_char_frac ≈ 1
+    assert got[3]["top_bigram_char_frac"] > 0.2
+    assert got[4]["keep"] is False and got[4]["n_words"] == 0
+    assert got[4]["mean_word_len"] is None  # 0-word doc: ratios are null
+    assert got[5]["keep"] is False and got[5]["n_stop_distinct"] == 0
+    assert got[5]["dup_word_frac"] > 0.85
+    # bigram accounting: doc 3 has 79 bigrams, all "spam ham"/"ham spam";
+    # the more frequent one ("spam ham", 40×, 7 space-free-pair chars per
+    # occurrence) covers 40*7 = 280 of 280 word chars — exactly 1.0
+    assert abs(got[3]["top_bigram_char_frac"] - (40 * 7) / 280) < 1e-12
+
+
 # --------------------------------------------------------------------------
 # vector normalization + quantization
 # --------------------------------------------------------------------------

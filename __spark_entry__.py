@@ -626,6 +626,18 @@ def q_daily_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return analytics.daily_spine(load_table(spark, sf_dir, "events"))
 
 
+def q_interpolate_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B8/B21 family: per-series daily spine with linear interpolation
+    over missing days — a deterministic day-of-month outage mask
+    (dayofmonth % 7 IN (0,1)) blanks Jan 1 (leading-edge carry) and
+    consecutive interior pairs (true 2-step interpolation) so the
+    fixture exercises every fill branch."""
+    return analytics.interpolate_daily_gaps(
+        load_table(spark, sf_dir, "events"),
+        outage=lambda d: (F.dayofmonth(d) % 7).isin(0, 1),
+    )
+
+
 def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """North-star: URL/email/long-number redaction over documents."""
     return text.redact_pii(load_table(spark, sf_dir, "documents"))
@@ -1903,6 +1915,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ~50-row window completes the historical backlog first; these
         # carry local-sweep evidence until the r5 rotation)
         "q_gopher_rules": q_gopher_rules,
+        "q_interpolate_gaps": q_interpolate_gaps,
         # ---- keys below all have a green driver row in r1/r2/r3 ----
         "q_lsh_topk_verified": q_lsh_topk_verified,
         "q_minhash_dedup_verified": q_minhash_dedup_verified,
@@ -3533,6 +3546,52 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(daily.n, 0) AS n,
                    round(coalesce(daily.sum_value, 0.0), 2) AS sum_value
             FROM days d LEFT JOIN daily ON d.day = daily.day
+        """,
+        "q_interpolate_gaps": """
+            WITH RECURSIVE bounds AS (
+              SELECT CAST(date_trunc('day', min(ts)) AS DATE) AS lo,
+                     CAST(date_trunc('day', max(ts)) AS DATE) AS hi FROM events
+            ),
+            days(day) AS (
+              SELECT lo FROM bounds
+              UNION ALL
+              SELECT CAST(day + INTERVAL 1 DAY AS DATE) FROM days
+              WHERE day < (SELECT hi FROM bounds)
+            ),
+            daily AS (
+              SELECT series, day,
+                     CASE WHEN day(day) % 7 IN (0, 1) THEN NULL ELSE obs END AS obs
+              FROM (
+                SELECT event_type AS series, CAST(date_trunc('day', ts) AS DATE) AS day,
+                       round(avg(value), 6) AS obs
+                FROM events GROUP BY 1, 2)
+            ),
+            g AS (
+              SELECT s.series, d.day, daily.obs
+              FROM (SELECT DISTINCT series FROM daily) s
+              CROSS JOIN days d
+              LEFT JOIN daily ON s.series = daily.series AND d.day = daily.day
+            ),
+            w AS (
+              SELECT series, day, obs,
+                     last_value(obs IGNORE NULLS) OVER pw AS prev_v,
+                     last_value(CASE WHEN obs IS NOT NULL THEN day END IGNORE NULLS) OVER pw AS prev_d,
+                     first_value(obs IGNORE NULLS) OVER nw AS next_v,
+                     first_value(CASE WHEN obs IS NOT NULL THEN day END IGNORE NULLS) OVER nw AS next_d
+              FROM g
+              WINDOW pw AS (PARTITION BY series ORDER BY day
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                     nw AS (PARTITION BY series ORDER BY day
+                            ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+            )
+            SELECT series, strftime(day, '%Y-%m-%d') AS day_s,
+                   obs IS NOT NULL AS observed,
+                   CASE WHEN obs IS NOT NULL THEN obs
+                        WHEN prev_v IS NULL THEN next_v
+                        WHEN next_v IS NULL THEN prev_v
+                        ELSE prev_v + (next_v - prev_v) * ((day - prev_d) / (next_d - prev_d))
+                   END AS filled
+            FROM w
         """,
         "q_pii_redact": r"""
             SELECT doc_id,

@@ -896,6 +896,71 @@ def daily_spine(events: DataFrame) -> DataFrame:
     )
 
 
+def interpolate_daily_gaps(
+    events: DataFrame,
+    *,
+    ts_col: str = "ts",
+    series_col: str = "event_type",
+    value_col: str = "value",
+    outage=None,
+) -> DataFrame:
+    """Per-series daily metric with gaps filled by linear interpolation —
+    the time-series repair primitive (sensor outages, late backfills):
+    missing interior days get ``prev + (next - prev) * elapsed/gap_len``,
+    missing edge days carry the nearest observation.
+
+    ``outage(day_col) -> BooleanColumn`` optionally masks observed days
+    to simulate/model known outage windows (the entry query uses a
+    deterministic day-of-month mask so the fixture actually has gaps).
+
+    Scale shape: the per-(series, day) aggregate shuffles on uniform
+    keys; the interpolation windows partition by series — parallel
+    across series, and bounded per partition by the day-range length
+    (a spine, not the raw events). Interpolated values are raw doubles
+    computed with the same operation order as the oracle — bit-identical
+    IEEE arithmetic, no rounding ties.
+    """
+    day = F.date_trunc("day", F.col(ts_col)).cast("date")
+    daily = events.groupBy(
+        F.col(series_col).alias("series"), day.alias("day")
+    ).agg(F.round(F.avg(value_col), 6).alias("obs"))
+    if outage is not None:
+        daily = daily.withColumn(
+            "obs",
+            F.when(outage(F.col("day")), F.lit(None).cast("double")).otherwise(F.col("obs")),
+        )
+    bounds = events.agg(
+        F.date_trunc("day", F.min(ts_col)).cast("date").alias("lo"),
+        F.date_trunc("day", F.max(ts_col)).cast("date").alias("hi"),
+    )
+    spine = (
+        daily.select("series").distinct()
+        .crossJoin(F.broadcast(bounds))  # 1-row bounds: broadcast, not cartesian
+        .select("series", F.explode(F.sequence("lo", "hi")).alias("day"))
+    )
+    g = spine.join(daily, ["series", "day"], "left")
+    w_prev = Window.partitionBy("series").orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    w_next = Window.partitionBy("series").orderBy("day").rowsBetween(0, Window.unboundedFollowing)
+    obs_day = F.when(F.col("obs").isNotNull(), F.col("day"))
+    prev_v = F.last("obs", ignorenulls=True).over(w_prev)
+    prev_d = F.last(obs_day, ignorenulls=True).over(w_prev)
+    next_v = F.first("obs", ignorenulls=True).over(w_next)
+    next_d = F.first(obs_day, ignorenulls=True).over(w_next)
+    frac = F.datediff(F.col("day"), prev_d) / F.datediff(next_d, prev_d)
+    filled = (
+        F.when(F.col("obs").isNotNull(), F.col("obs"))
+        .when(prev_v.isNull(), next_v)
+        .when(next_v.isNull(), prev_v)
+        .otherwise(prev_v + (next_v - prev_v) * frac)
+    )
+    return g.select(
+        "series",
+        F.date_format("day", "yyyy-MM-dd").alias("day_s"),
+        F.col("obs").isNotNull().alias("observed"),
+        filled.alias("filled"),
+    )
+
+
 def value_histogram(events: DataFrame, *, width: float = 50.0) -> DataFrame:
     """B15 family: fixed-width histogram of the value column — bin lower
     bound + count + bin share. One low-cardinality shuffle (bin count =

@@ -114,6 +114,34 @@ def test_daily_spine_fills_gaps_with_zeros(spark):
     }
 
 
+def test_interpolate_daily_gaps_linear_and_edge_fill(spark):
+    import datetime as dt
+
+    # series "a": observed on days 1, 4, 5 → days 2,3 interpolate the
+    # 10→40 ramp at 1/3 and 2/3; series "b": missing the FIRST day →
+    # leading-edge carry of the next observation.
+    ev = spark.createDataFrame(
+        [
+            ("a", dt.datetime(2024, 1, 1, 1), 10.0),
+            ("a", dt.datetime(2024, 1, 4, 1), 40.0),
+            ("a", dt.datetime(2024, 1, 5, 1), 50.0),
+            ("b", dt.datetime(2024, 1, 2, 1), 7.0),
+            ("b", dt.datetime(2024, 1, 5, 1), 13.0),
+        ],
+        ["event_type", "ts", "value"],
+    )
+    out = analytics.interpolate_daily_gaps(ev)
+    rows = {(r["series"], r["day_s"]): (r["observed"], r["filled"]) for r in out.collect()}
+    assert len(rows) == 10  # 2 series × 5-day global spine
+    assert rows[("a", "2024-01-02")] == (False, 10.0 + 30.0 * (1 / 3))
+    assert rows[("a", "2024-01-03")] == (False, 10.0 + 30.0 * (2 / 3))
+    assert rows[("a", "2024-01-04")] == (True, 40.0)
+    assert rows[("b", "2024-01-01")] == (False, 7.0)   # leading-edge carry
+    assert rows[("b", "2024-01-03")] == (False, 7.0 + 6.0 * (1 / 3))
+    # trailing edge: series observed at its last day stays observed
+    assert rows[("b", "2024-01-05")] == (True, 13.0)
+
+
 def test_redact_pii_planted(spark):
     from cloudtrace_exporter_spark.operators import text as text_ops
 

@@ -972,6 +972,20 @@ def q_minhash_dedup_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.minhash_lsh_pairs(docs, threshold=0.5, index=index)
 
 
+def q_minhash_jaccard_diag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B33 estimator calibration, ORACLE-BACKED: every portable-LSH
+    candidate pair with estimated vs exact shingle Jaccard and the
+    absolute estimator error — the table that justifies a MinHash
+    threshold before a 100 TB dedup run. Exact Jaccard is computed only
+    on the LSH-pruned candidate set (never O(n²))."""
+    docs = load_table(spark, sf_dir, "documents")
+    index = _session_cache_get(
+        _MINHASH_PORTABLE_CACHE, spark, sf_dir,
+        lambda: dedup.minhash_banded_index(docs, portable=True),
+    )
+    return dedup.minhash_jaccard_diag(docs, index=index)
+
+
 def _portable_banded_cte(*, n_hashes: int = 32, bands: int = 8) -> str:
     """Shared WITH-chain (tok → shingles → base hashes → signature →
     banded) of the portable MinHash oracles: the (a, b) permutation
@@ -1024,6 +1038,35 @@ def _minhash_portable_oracle_sql(*, n_hashes: int = 32, threshold: float = 0.5) 
                  round(CAST(len(list_filter(range(1, {n_hashes + 1}), i -> sig_a[i] = sig_b[i])) AS DOUBLE) / {n_hashes}, 6) AS est_jaccard
           FROM cand
         ) WHERE est_jaccard >= {threshold}
+    """
+
+
+def _minhash_diag_oracle_sql(*, n_hashes: int = 32) -> str:
+    """DuckDB replay of minhash_jaccard_diag: candidate pairs + agreement
+    estimate from the shared banded CTE, exact Jaccard from the ``sh``
+    shingle-set CTE (|A∩B| / (|A|+|B|−|A∩B|), all-integer until the final
+    division — both engines emit the identical raw double)."""
+    return _portable_banded_cte(n_hashes=n_hashes) + f""",
+        cand AS (
+          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, a.sig AS sig_a, b.sig AS sig_b
+          FROM banded a JOIN banded b
+            ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+        ),
+        est AS (
+          SELECT doc_a, doc_b,
+                 len(list_filter(range(1, {n_hashes + 1}), i -> sig_a[i] = sig_b[i])) / {n_hashes} AS est_jaccard
+          FROM cand
+        )
+        SELECT doc_a, doc_b, est_jaccard, exact_jaccard,
+               abs(est_jaccard - exact_jaccard) AS abs_err
+        FROM (
+          SELECT e.doc_a, e.doc_b, e.est_jaccard,
+                 len(list_intersect(sa.s, sb.s))
+                   / (len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s))) AS exact_jaccard
+          FROM est e
+          JOIN sh sa ON sa.doc_id = e.doc_a
+          JOIN sh sb ON sb.doc_id = e.doc_b
+        )
     """
 
 
@@ -1916,6 +1959,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # carry local-sweep evidence until the r5 rotation)
         "q_gopher_rules": q_gopher_rules,
         "q_interpolate_gaps": q_interpolate_gaps,
+        "q_minhash_jaccard_diag": q_minhash_jaccard_diag,
         # ---- keys below all have a green driver row in r1/r2/r3 ----
         "q_lsh_topk_verified": q_lsh_topk_verified,
         "q_minhash_dedup_verified": q_minhash_dedup_verified,
@@ -2649,6 +2693,7 @@ def oracle_sql() -> dict[str, str]:
         # hash family — the LSH dedup pipeline itself is integer-exact
         # replayable in DuckDB.
         "q_minhash_dedup_verified": _minhash_portable_oracle_sql(),
+        "q_minhash_jaccard_diag": _minhash_diag_oracle_sql(),
         "q_incremental_near_dedup_verified": _incremental_minhash_oracle_sql(),
         "q_winnow_dedup_verified": _winnow_portable_oracle_sql(),
         "q_simhash_near_dup_verified": _simhash_portable_oracle_sql(),

@@ -339,6 +339,62 @@ def minhash_lsh_pairs(
     )
 
 
+def minhash_jaccard_diag(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_hashes: int = 32,
+    bands: int = 8,
+    shingle: int = 3,
+    index: DataFrame | None = None,
+) -> DataFrame:
+    """Estimator-quality diagnostics for the MinHash pipeline: every LSH
+    candidate pair with its MinHash-ESTIMATED Jaccard (signature
+    agreement ratio) next to the EXACT shingle-set Jaccard and the
+    absolute error. The calibration table an operator reads before
+    trusting a dedup threshold at 100 TB — E[est] = J per slot, so
+    abs_err concentrates around sqrt(J(1-J)/n_hashes).
+
+    Uses the portable hash family so the whole table (estimates
+    included) is DuckDB-oracle-checkable. Exact Jaccard is computed ONLY
+    for candidate pairs (the LSH-pruned set, not O(n²)): the tiny pair
+    frame joins the shingle-set frame twice on the uniform doc id —
+    exactly how a bucket-verified dedup confirms candidates at scale.
+    Ratios are raw int/int doubles (bit-identical cross-engine);
+    union = |A| + |B| − |A∩B| keeps the arithmetic all-integer until
+    the final division.
+    """
+    banded = index if index is not None else minhash_banded_index(
+        df, text_col=text_col, id_col=id_col, n_hashes=n_hashes, bands=bands,
+        shingle=shingle, portable=True,
+    ).cache()
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.id") < F.col("b.id")))
+        .select(F.col("a.id").alias("doc_a"), F.col("b.id").alias("doc_b"),
+                F.col("a.signature").alias("sig_a"), F.col("b.signature").alias("sig_b"))
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    agree = F.size(F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda eq: eq))
+    est = cand.select("doc_a", "doc_b", (agree / F.lit(n_hashes)).alias("est_jaccard"))
+    toked = df.select(F.col(id_col).alias("id"), tokens(text_col).alias("__t"))
+    sh = toked.select("id", _shingles(F.col("__t"), shingle).alias("s"))
+    j = (
+        est.join(sh.select(F.col("id").alias("doc_a"), F.col("s").alias("s_a")), "doc_a")
+        .join(sh.select(F.col("id").alias("doc_b"), F.col("s").alias("s_b")), "doc_b")
+    )
+    inter = F.size(F.array_intersect("s_a", "s_b"))
+    union = F.size("s_a") + F.size("s_b") - inter  # ≥1: whole-text fallback shingle
+    return (
+        j.select("doc_a", "doc_b", "est_jaccard", (inter / union).alias("exact_jaccard"))
+        .select(
+            "doc_a", "doc_b", "est_jaccard", "exact_jaccard",
+            F.abs(F.col("est_jaccard") - F.col("exact_jaccard")).alias("abs_err"),
+        )
+    )
+
+
 def simhash_signatures(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", *, portable: bool = False
 ) -> DataFrame:

@@ -443,6 +443,28 @@ def test_quality_filter_reasons_are_consistent_with_keep(spark, sf_dir):
         )
 
 
+def test_minhash_jaccard_diag_calibration(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    df = spark.createDataFrame(
+        [
+            (1, base),
+            (2, base.replace("lazy", "sleepy")),  # near-dup: 1 token differs
+            (3, "completely different text about spark shuffles and joins here"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {(r["doc_a"], r["doc_b"]): r for r in dedup.minhash_jaccard_diag(df).collect()}
+    assert (1, 2) in rows  # the planted near-dup pair must survive banding
+    r = rows[(1, 2)]
+    # 13 tokens → 11 distinct 3-gram shingles per doc; replacing 1 token
+    # rewrites 3 shingles: |A∩B| = 8, |A∪B| = 14 → J = 4/7
+    assert abs(r["exact_jaccard"] - 8 / 14) < 1e-12
+    assert 0.0 <= r["est_jaccard"] <= 1.0
+    # 32-slot estimator: std ≈ sqrt(J(1-J)/32) ≈ 0.09 — allow 4σ
+    assert r["abs_err"] < 0.36
+    assert r["abs_err"] == abs(r["est_jaccard"] - r["exact_jaccard"])
+
+
 def test_gopher_quality_rules_on_constructed_docs(spark):
     good = (
         "the quick brown fox jumps over a lazy dog near the river bank "

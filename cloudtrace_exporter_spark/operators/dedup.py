@@ -50,6 +50,11 @@ def _spread(df: DataFrame) -> DataFrame:
     session's parallelism keep their partitioning untouched (asserted by
     a no-new-Exchange unit test).
     """
+    if df.isStreaming:
+        # streaming frames can't expose an RDD (and micro-batch sizing is
+        # the trigger's job, not ours) — pass through untouched so the
+        # signature pipeline composes with readStream (stream_lsh_dedup_probe)
+        return df
     parallelism = df.sparkSession.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() >= parallelism:
         return df

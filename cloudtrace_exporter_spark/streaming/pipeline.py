@@ -264,6 +264,57 @@ def stream_assign_cells(
     ).withColumn("cell", _nearest_cell(F.col("v"), cent_rows))
 
 
+def stream_lsh_dedup_probe(
+    stream_docs: DataFrame,
+    index: DataFrame,
+    *,
+    n_hashes: int = 32,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Near-dup screening AT INGEST: each streamed document runs the
+    SAME narrow-map portable-MinHash banding as the batch index build
+    (dedup.minhash_banded_index — pure select/transform/explode, fully
+    stream-composable), then probes the STATIC corpus index with a
+    stream-static equi-join on (band, bucket) and keeps matches whose
+    signature agreement clears ``threshold``. The streaming half of the
+    index-once/probe-forever dedup lifecycle: batch builds (or
+    load_lsh-style restores) the banded index, the stream screens new
+    documents against it before they enter the corpus.
+
+    Stateless by design (no watermark, no state store): emits
+    ``(new_id, corpus_id, est_jaccard)`` in append mode, with pair
+    multiplicity up to ``bands`` when a pair collides in several bands —
+    consumers that need distinct pairs dedupe downstream (the batch twin
+    dropDuplicates; a stream would need dropDuplicatesWithinWatermark,
+    i.e. bounded state, which screening doesn't require).
+    """
+    from pyspark.sql import functions as F
+
+    from cloudtrace_exporter_spark.operators.dedup import minhash_banded_index
+
+    probe = minhash_banded_index(
+        stream_docs, text_col=text_col, id_col=id_col, n_hashes=n_hashes, portable=True
+    )
+    s, c = probe.alias("s"), index.alias("c")
+    agree = F.size(
+        F.filter(
+            F.zip_with(F.col("s.signature"), F.col("c.signature"), lambda x, y: x == y),
+            lambda eq: eq,
+        )
+    )
+    return (
+        s.join(c, (F.col("s.band") == F.col("c.band")) & (F.col("s.bucket") == F.col("c.bucket")))
+        .select(
+            F.col("s.id").alias("new_id"),
+            F.col("c.id").alias("corpus_id"),
+            F.round(agree / F.lit(n_hashes), 6).alias("est_jaccard"),
+        )
+        .filter(F.col("est_jaccard") >= threshold)
+    )
+
+
 def stream_pq_encode(
     stream: DataFrame, books, *, id_col: str = "vec_id", vec_col: str = "embedding"
 ) -> DataFrame:

@@ -391,6 +391,38 @@ def test_streaming_ivf_assignment_matches_batch(spark, tmp_path):
     assert s == b and len(s) == emb.count()
 
 
+def test_streaming_lsh_dedup_probe_matches_batch(spark, tmp_path):
+    """Near-dup screening from a stream: the banded-MinHash probe is a
+    narrow map + stream-static equi-join, so streamed documents must
+    produce exactly the batch probe's (new_id, corpus_id, est_jaccard)
+    match set (pair multiplicity across bands collapses under the set
+    compare, mirroring the documented consumer-side dedupe)."""
+    from cloudtrace_exporter_spark.operators import dedup
+    from cloudtrace_exporter_spark.schemas import FIXTURE_SCHEMAS
+    from cloudtrace_exporter_spark.streaming.pipeline import stream_lsh_dedup_probe
+
+    docs = load_table(spark, SF, "documents")
+    corpus = docs.filter(F.col("doc_id") < 250)
+    new = docs.filter(F.col("doc_id") >= 250)
+    src = str(tmp_path / "docs_new")
+    new.coalesce(2).write.mode("overwrite").parquet(src)
+
+    index = dedup.minhash_banded_index(corpus, portable=True).cache()
+    stream = (
+        spark.readStream.schema(FIXTURE_SCHEMAS["documents"])
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out = _run_to_memory(spark, stream_lsh_dedup_probe(stream, index), "t_lsh_probe")
+    s = {(r["new_id"], r["corpus_id"], r["est_jaccard"]) for r in out.collect()}
+    b = {
+        (r["new_id"], r["corpus_id"], r["est_jaccard"])
+        for r in stream_lsh_dedup_probe(new, index).collect()
+    }
+    assert s == b and len(s) > 0
+    index.unpersist()
+
+
 def test_streaming_pq_adc_matches_batch(spark, tmp_path):
     """PQ serving from a stream: codes and ADC distances computed by the
     literal-codebook narrow map over a file stream must equal the batch

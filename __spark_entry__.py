@@ -1540,6 +1540,15 @@ def q_pack_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.pack_documents(load_table(spark, sf_dir, "documents"), context_len=512)
 
 
+def q_quality_calibrated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North-star: source-debiased quality keep — percent_rank of the
+    verified quality score WITHIN each source, keep = top half per
+    source (a global cutoff would silently drop boilerplate-heavy
+    sources wholesale). percent_rank emitted raw per the exact-ratio
+    canon rule."""
+    return curate.quality_calibrated(load_table(spark, sf_dir, "documents"))
+
+
 def q_curated_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """North-star composition: quality → exact dedup → stratified sample."""
     return curate.curated_docs(load_table(spark, sf_dir, "documents"))
@@ -1960,6 +1969,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_gopher_rules": q_gopher_rules,
         "q_interpolate_gaps": q_interpolate_gaps,
         "q_minhash_jaccard_diag": q_minhash_jaccard_diag,
+        "q_quality_calibrated": q_quality_calibrated,
         # ---- keys below all have a green driver row in r1/r2/r3 ----
         "q_lsh_topk_verified": q_lsh_topk_verified,
         "q_minhash_dedup_verified": q_minhash_dedup_verified,
@@ -3984,6 +3994,23 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL SELECT '2_quality', count(*) FROM quality
             UNION ALL SELECT '3_dedup', count(*) FROM dedup
             UNION ALL SELECT '4_sampled', count(*) FROM sampled
+        """,
+        "q_quality_calibrated": f"""
+            WITH tok AS (
+              SELECT doc_id, source, text, {_TOKENS_SQL} AS t FROM documents
+            ), feats AS (
+              SELECT doc_id, source,
+                     round(least(len(t) / 100.0, 1.0) * 0.25
+                           + (CASE WHEN len(t) > 0 THEN CAST(len(list_distinct(t)) AS DOUBLE) / len(t) ELSE 0.0 END) * 0.25
+                           + (CASE WHEN len(t) > 0 THEN CAST(len(list_filter(t, x -> list_contains({_EN_STOPWORDS_SQL}, x))) AS DOUBLE) / len(t) ELSE 0.0 END) * 0.25
+                           + (1.0 - least((CASE WHEN length(text) > 0 THEN CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS DOUBLE) / length(text) ELSE 0.0 END) * 5.0, 1.0)) * 0.25, 6) AS quality_score
+              FROM tok
+            )
+            SELECT doc_id, source, quality_score, pr, pr >= 0.5 AS keep FROM (
+              SELECT doc_id, source, quality_score,
+                     percent_rank() OVER (PARTITION BY source ORDER BY quality_score) AS pr
+              FROM feats
+            )
         """,
         "q_quality_score": f"""
             WITH tok AS (

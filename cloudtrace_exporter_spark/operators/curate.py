@@ -37,6 +37,34 @@ def _dedup_survivors(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def quality_calibrated(docs: DataFrame, *, keep_frac: float = 0.5) -> DataFrame:
+    """Per-source quality calibration: a single global quality cutoff is
+    source-biased (boilerplate-heavy sources score systematically lower,
+    so a global threshold silently drops whole sources), so the keep
+    decision here is a PERCENTILE WITHIN SOURCE — every source
+    contributes its best ``keep_frac`` of documents regardless of its
+    absolute score distribution. The source-debiasing step of published
+    curation pipelines, composed from the verified quality_features.
+
+    Scale shape: one narrow quality scan + one window partitioned by
+    source. Source cardinality is usually small-but-skewed; at 100 TB
+    replace the exact percent_rank with per-source percentile_approx
+    thresholds (two tiny aggregates, no per-source total ordering) —
+    the keep set converges to the same fraction. percent_rank is
+    emitted raw (exact integer ratio — rounding would reintroduce
+    HALF_UP/HALF_EVEN ties).
+    """
+    feats = text.quality_features(docs).select("doc_id", "quality_score")
+    w = Window.partitionBy("source").orderBy("quality_score")
+    return (
+        docs.select("doc_id", "source")
+        .join(feats, "doc_id")
+        .withColumn("pr", F.percent_rank().over(w))
+        .withColumn("keep", F.col("pr") >= 1.0 - keep_frac)
+        .select("doc_id", "source", "quality_score", "pr", "keep")
+    )
+
+
 def curated_docs(docs: DataFrame, *, en_fraction: float = 0.25) -> DataFrame:
     """Final curated corpus ids after quality → dedup → stratified sample.
 

@@ -544,6 +544,28 @@ def test_quality_keep_matches_quality_filter(spark, sf_dir):
     assert via_filter == via_col
 
 
+def test_quality_calibrated_keeps_top_fraction_per_source(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    out = curate.quality_calibrated(docs, keep_frac=0.5)
+    per_src = (
+        out.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("keep").cast("int")).alias("kept"),
+            F.min(F.when(F.col("keep"), F.col("quality_score"))).alias("min_kept"),
+            F.max(F.when(~F.col("keep"), F.col("quality_score"))).alias("max_dropped"),
+        )
+        .collect()
+    )
+    assert len(per_src) > 1
+    for r in per_src:
+        # every source keeps roughly half its docs (ties can widen the set)
+        assert 0.3 * r["n"] <= r["kept"] <= 0.7 * r["n"] + 1
+        # calibration invariant: no dropped doc outscores a kept doc in-source
+        if r["max_dropped"] is not None and r["min_kept"] is not None:
+            assert r["max_dropped"] <= r["min_kept"]
+
+
 def test_curation_funnel_is_monotone(spark, sf_dir):
     from cloudtrace_exporter_spark.operators import curate
 

@@ -834,6 +834,15 @@ def q_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.cluster_sizes(_dedup_clusters(spark, sf_dir))
 
 
+def q_leakage_safe_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North-star: leakage-safe train/val/test assignment — the split
+    hash keys on the near-dup CLUSTER representative (memoized CC
+    assignment, same artifact as q_dedup_clusters), so a document and
+    its near-copies always land in the same split. Oracle replays the
+    recursive-CTE components + the md5 interval thresholds."""
+    return curate.cluster_safe_splits(_dedup_clusters(spark, sf_dir)).orderBy("doc_id")
+
+
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B33 exact token-set Jaccard pairs ≥0.95 — the O(n²) ground truth,
     bounded to a fixed 1000-doc slice so its cost is constant at any SF
@@ -1970,6 +1979,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_interpolate_gaps": q_interpolate_gaps,
         "q_minhash_jaccard_diag": q_minhash_jaccard_diag,
         "q_quality_calibrated": q_quality_calibrated,
+        "q_leakage_safe_splits": q_leakage_safe_splits,
         # ---- keys below all have a green driver row in r1/r2/r3 ----
         "q_lsh_topk_verified": q_lsh_topk_verified,
         "q_minhash_dedup_verified": q_minhash_dedup_verified,
@@ -2651,6 +2661,16 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q_dedup_clusters": _CLUSTERS_SQL.format(tok=_TOKENS_SQL)
         + "SELECT doc_id, component FROM assign",
+        # leakage-safe splits: components (recursive CTE) + the same md5
+        # interval thresholds as q_split_assign, keyed on the component
+        "q_leakage_safe_splits": _CLUSTERS_SQL.format(tok=_TOKENS_SQL)
+        + """
+            SELECT doc_id, component,
+                   CASE WHEN substr(md5(CAST(component AS VARCHAR)), 1, 8) < 'cccccccc' THEN 'train'
+                        WHEN substr(md5(CAST(component AS VARCHAR)), 1, 8) < 'e6666666' THEN 'val'
+                        ELSE 'test' END AS split
+            FROM assign
+        """,
         "q_dedup_survivors": _CLUSTERS_SQL.format(tok=_TOKENS_SQL)
         + """
             SELECT component AS survivor_doc_id, count(*) AS n_members

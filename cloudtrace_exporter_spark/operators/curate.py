@@ -103,6 +103,31 @@ def curation_funnel(docs: DataFrame, *, en_fraction: float = 0.25) -> DataFrame:
     )
 
 
+def cluster_safe_splits(
+    assignment: DataFrame,
+    *,
+    splits: dict[str, float] | None = None,
+) -> DataFrame:
+    """Leakage-safe train/val/test assignment: split by near-dup CLUSTER,
+    not by document. Hashing raw doc ids (``analytics.assign_splits``)
+    scatters the members of a near-duplicate cluster across splits, so
+    a test document's near-copy sits in train — the classic
+    train/eval-contamination path that whole-document dedup was supposed
+    to close. Keying the md5 split hash on the cluster representative
+    instead lands every member of a cluster in the SAME split (singletons
+    key on their own id, so the marginal split fractions are preserved
+    over the cluster-representative population).
+
+    ``assignment`` is a (doc_id, component) frame from
+    ``dedup.dedup_clusters`` — the connected-components table every
+    near-dup pipeline already materializes; splitting is then a pure
+    narrow map over it (zero additional shuffles, engine-portable md5
+    thresholds, stable under retries and repartitioning).
+    """
+    out = analytics.assign_splits(assignment, key_col="component", splits=splits)
+    return out.select("doc_id", "component", "split")
+
+
 def mixture_resample(
     docs: DataFrame,
     mixture: dict[str, float],

@@ -10,7 +10,15 @@ from __future__ import annotations
 import pytest
 from pyspark.sql import functions as F
 
-from cloudtrace_exporter_spark.operators import curate, dedup, multimodal, similarity, text, udfs
+from cloudtrace_exporter_spark.operators import (
+    analytics,
+    curate,
+    dedup,
+    multimodal,
+    similarity,
+    text,
+    udfs,
+)
 from cloudtrace_exporter_spark.sources.tables import load_table
 
 
@@ -400,6 +408,39 @@ def test_cluster_sizes_partition_the_corpus(spark, sf_dir):
     sizes = dedup.cluster_sizes(dedup.dedup_clusters(docs, threshold=0.95))
     total = sizes.agg(F.sum("n_members").alias("s")).collect()[0]["s"]
     assert total == docs.count()
+
+
+def test_cluster_safe_splits_never_separate_near_dups(spark, sf_dir):
+    # plant a near-dup cluster: fixture docs + one-word-changed copies
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    copies = docs.select(
+        (F.col("doc_id") + 10_000).alias("doc_id"),
+        F.regexp_replace("text", r"^\S+", "PLANTED").alias("text"),
+    )
+    corpus = docs.select("doc_id", "text").unionByName(copies)
+    assign = dedup.dedup_clusters(corpus, threshold=0.8)
+    out = curate.cluster_safe_splits(assign)
+    # exhaustive: every document labeled exactly once
+    assert out.count() == corpus.count()
+    # leakage-free BY CLUSTER: no component spans two splits
+    spans = out.groupBy("component").agg(F.countDistinct("split").alias("k"))
+    assert spans.filter(F.col("k") > 1).count() == 0
+    # non-vacuous: every planted (original, copy) pair shares a component,
+    # hence a split — the doc and its near-copy can never straddle splits
+    comp = {r["doc_id"]: r["component"] for r in assign.collect()}
+    split = {r["doc_id"]: r["split"] for r in out.collect()}
+    assert all(comp[d] == comp[d + 10_000] for d in range(100))
+    assert all(split[d] == split[d + 10_000] for d in range(100))
+    # a doc-keyed split WOULD have leaked: same corpus, naive assignment
+    naive = analytics.assign_splits(corpus, key_col="doc_id")
+    leaked = (
+        naive.join(assign, "doc_id")
+        .groupBy("component")
+        .agg(F.countDistinct("split").alias("k"))
+        .filter(F.col("k") > 1)
+        .count()
+    )
+    assert leaked > 0
 
 
 # --------------------------------------------------------------------------

@@ -1446,6 +1446,66 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.tfidf_top_terms(load_table(spark, sf_dir, "documents"), k=5)
 
 
+#: Fixed BM25 query batch — shared verbatim by the Spark operator and the
+#: DuckDB oracle's VALUES clause.
+_BM25_QUERIES: list[tuple[int, str]] = [
+    (0, "hash join"),
+    (1, "window agg stream"),
+    (2, "fast scan filter"),
+    (3, "customer order value the"),
+]
+
+
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B34/B35 bridge: BM25 lexical retrieval — top-5 documents per
+    query under Okapi scoring; the sparse-retrieval baseline beside the
+    dense LSH/IVF paths. Full oracle: DuckDB replays tf/df/doc-length/
+    avgdl and the identical Lucene idf expression."""
+    return text.bm25_topk(load_table(spark, sf_dir, "documents"), _BM25_QUERIES, k=5)
+
+
+def _bm25_oracle_sql(*, k: int = 5, k1: float = 1.2, b: float = 0.75) -> str:
+    """DuckDB replay of text.bm25_topk over the fixed query batch."""
+    values = ", ".join(f"({qid}, '{qtext}')" for qid, qtext in _BM25_QUERIES)
+    # operand order mirrors the Spark Column tree built in bm25_topk
+    norm = f"(tf + ({k1!r} * ({1 - b!r} + (({b!r} * dl) / avgdl))))"
+    idf = "ln(1.0 + (((n_docs - dfreq) + 0.5) / (dfreq + 0.5)))"
+    term_score = f"{idf} * ((tf * {k1 + 1!r}) / {norm})"
+    return f"""
+        WITH q(query_id, qtext) AS (VALUES {values}),
+        qt AS (
+          SELECT query_id,
+                 unnest(list_distinct(list_filter(string_split(qtext, ' '), x -> x <> ''))) AS term
+          FROM q
+        ),
+        tok AS (
+          SELECT doc_id, len({_TOKENS_SQL}) AS dl, unnest({_TOKENS_SQL}) AS term
+          FROM documents
+        ),
+        tf AS (
+          SELECT doc_id, term, count(*) AS tf, max(dl) AS dl
+          FROM tok GROUP BY doc_id, term
+        ),
+        stats AS (
+          SELECT count(*) AS n_docs, avg(len({_TOKENS_SQL})) AS avgdl FROM documents
+        ),
+        matched AS (
+          SELECT tf.*, count(*) OVER (PARTITION BY term) AS dfreq
+          FROM tf WHERE term IN (SELECT DISTINCT term FROM qt)
+        ),
+        scored AS (
+          SELECT query_id, doc_id, round(sum({term_score}), 4) AS score
+          FROM matched JOIN qt USING (term) CROSS JOIN stats
+          GROUP BY query_id, doc_id
+        )
+        SELECT query_id, doc_id, score, rnk FROM (
+          SELECT query_id, doc_id, score,
+                 row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rnk
+          FROM scored
+        ) WHERE rnk <= {k}
+    """
+
+
 def q_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B35: top-50 adjacent word pairs by occurrence (BPE-style pair
     census; TakeOrdered top-k on the Zipf-key count)."""
@@ -1980,6 +2040,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_minhash_jaccard_diag": q_minhash_jaccard_diag,
         "q_quality_calibrated": q_quality_calibrated,
         "q_leakage_safe_splits": q_leakage_safe_splits,
+        "q_bm25_topk": q_bm25_topk,
         # ---- keys below all have a green driver row in r1/r2/r3 ----
         "q_lsh_topk_verified": q_lsh_topk_verified,
         "q_minhash_dedup_verified": q_minhash_dedup_verified,
@@ -3717,6 +3778,12 @@ def oracle_sql() -> dict[str, str]:
               FROM tf JOIN dfreq ON tf.term = dfreq.term CROSS JOIN n
             ) WHERE rnk <= 5
         """,
+        # BM25: the VALUES clause replays the fixed query batch; the idf
+        # and term-score expression trees mirror text.bm25_topk node for
+        # node (same operand order) so the doubles agree bit-for-bit up
+        # to the final 4-decimal rounding; ranking is over the ROUNDED
+        # score (both engines), doc_id ties deterministic
+        "q_bm25_topk": _bm25_oracle_sql(),
         "q_embedding_norm_stats": """
             SELECT label, CAST(count(*) AS BIGINT) AS n_vecs,
                    round(avg(nrm), 6) AS mean_norm,

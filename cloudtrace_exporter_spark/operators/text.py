@@ -171,6 +171,76 @@ def tfidf_top_terms(
     )
 
 
+def bm25_topk(
+    documents: DataFrame,
+    queries: list[tuple[int, str]],
+    *,
+    k: int = 5,
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """BM25 lexical retrieval: top-k documents per query under the
+    Okapi/Lucene scoring function — the sparse-retrieval baseline that
+    sits next to the dense ANN paths (similarity.lsh_topk/ivf_topk) in
+    any retrieval or contamination-audit pipeline. idf uses the
+    always-positive Lucene form ln(1 + (N − df + 0.5)/(df + 0.5));
+    each distinct query term counts once (standard short-query BM25).
+
+    Plan shape, inverted-index-free: (doc, term) tf aggregation carries
+    doc length through the SAME shuffle (1); the corpus is then
+    semi-reduced to query terms via a BROADCAST of the tiny term set
+    BEFORE the df window, so document frequency is a term-partitioned
+    count over only the matched posting rows (2) — never a full-vocab
+    aggregate; corpus size and average doc length enter as a 1-row
+    broadcast. Per-(query, doc) summation is the third shuffle, and the
+    final top-k window partitions BY QUERY (parallel across the query
+    batch — with few queries at 100 TB, pre-prune candidates per query
+    à la WAND before this window). Scores round to 4 decimals (the
+    summed-float precedent of lm_unigram_score).
+    """
+    from pyspark.sql import Window
+
+    spark = documents.sparkSession
+    qdf = spark.createDataFrame(queries, "query_id long, qtext string")
+    qterms = qdf.select(
+        "query_id", F.explode(F.array_distinct(tokens("qtext"))).alias("term")
+    )
+    tok = documents.select(
+        F.col(id_col).alias("doc_id"),
+        token_count(text_col).alias("dl"),
+        F.explode(tokens(text_col)).alias("term"),
+    )
+    tf = tok.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).alias("tf"), F.max("dl").alias("dl")
+    )
+    stats = documents.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.avg(token_count(text_col)).alias("avgdl"),
+    )
+    matched = tf.join(
+        F.broadcast(qterms.select("term").distinct()), "term", "left_semi"
+    ).withColumn("dfreq", F.count(F.lit(1)).over(Window.partitionBy("term")))
+    idf = F.log(F.lit(1.0) + (F.col("n_docs") - F.col("dfreq") + 0.5) / (F.col("dfreq") + 0.5))
+    term_score = idf * (
+        F.col("tf") * (k1 + 1)
+        / (F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.col("avgdl")))
+    )
+    scored = (
+        matched.join(F.broadcast(qterms), "term")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("query_id", "doc_id")
+        .agg(F.round(F.sum(term_score), 4).alias("score"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "doc_id", "score", "rnk")
+    )
+
+
 def word_ngrams(t: Column, n: int) -> Column:
     """Distinct word n-grams (space-joined) over an ALREADY MATERIALIZED
     token-array column; empty array when the document has fewer than

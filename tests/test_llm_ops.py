@@ -443,6 +443,32 @@ def test_cluster_safe_splits_never_separate_near_dups(spark, sf_dir):
     assert leaked > 0
 
 
+def test_bm25_topk_ranking_axioms(spark):
+    # fixed-length docs isolate tf; d3 isolates length normalization;
+    # d4 contains no query term at all
+    docs = spark.createDataFrame(
+        [
+            (1, "apple pear plum grape"),          # tf(apple)=1, len 4
+            (2, "apple apple pear plum"),          # tf(apple)=2, len 4
+            (3, "apple pear plum grape kiwi fig"),  # tf=1, longer doc
+            (4, "pear plum grape kiwi"),            # no hit
+        ],
+        "doc_id long, text string",
+    )
+    out = text.bm25_topk(docs, [(0, "apple")], k=10).collect()
+    got = {r["doc_id"]: (r["score"], r["rnk"]) for r in out}
+    assert 4 not in got  # zero-hit docs never retrieved
+    # more occurrences beat fewer at equal length
+    assert got[2][0] > got[1][0]
+    # equal tf: shorter doc wins (b > 0 length normalization)
+    assert got[1][0] > got[3][0]
+    assert [d for d, (_, rk) in sorted(got.items(), key=lambda kv: kv[1][1])] == [2, 1, 3]
+    # multi-term query: scores accumulate over matched terms
+    two = text.bm25_topk(docs, [(7, "apple fig")], k=10).collect()
+    s = {r["doc_id"]: r["score"] for r in two}
+    assert s[3] > got[3][0]  # fig hit adds on top of apple's contribution
+
+
 # --------------------------------------------------------------------------
 # contamination + quality filter
 # --------------------------------------------------------------------------

@@ -1464,6 +1464,86 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.bm25_topk(load_table(spark, sf_dir, "documents"), _BM25_QUERIES, k=5)
 
 
+def q_bpe_pair_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B35/tokenizer: round-zero BPE table — top-50 adjacent character
+    pairs weighted by word frequency. Full oracle (integer counts,
+    lexicographic ties)."""
+    return text.bpe_pair_stats(load_table(spark, sf_dir, "documents"), top_n=50)
+
+
+def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B35/tokenizer: the iterative BPE trainer itself — 6 rounds of
+    pick-top-pair → merge-everywhere over the word-frequency vocab.
+    FULL ORACLE despite being iterative: the merge rule is left-to-right
+    non-overlapping string replace, so DuckDB replays all 6 rounds as
+    unrolled CTE stages."""
+    return text.bpe_learn_merges(load_table(spark, sf_dir, "documents"), n_merges=6)
+
+
+def _bpe_vocab_sql() -> str:
+    # deferred: _TOKENS_SQL is defined further down the module
+    return f"""
+        v0 AS (
+          SELECT ' ' || array_to_string(
+                   list_transform(range(1, length(word) + 1), i -> substr(word, CAST(i AS INT), 1)),
+                   ' ') || ' ' AS w,
+                 count(*) AS wf
+          FROM (SELECT unnest({_TOKENS_SQL}) AS word FROM documents)
+          GROUP BY 1
+        )"""
+
+
+def _bpe_round_ctes(r: int) -> str:
+    """One BPE round: pair stats over v{r-1} → top pair t{r} → merged
+    vocab v{r} (sentinel-spaced replace, leftmost non-overlapping —
+    identical semantics in DuckDB and the JVM)."""
+    return f""",
+        p{r} AS (
+          SELECT unnest(list_transform(range(1, len(s)), i -> s[i] || ' ' || s[i + 1])) AS pair, wf
+          FROM (SELECT string_split(trim(w), ' ') AS s, wf FROM v{r - 1})
+          WHERE len(s) >= 2
+        ),
+        t{r} AS (
+          SELECT pair, CAST(sum(wf) AS BIGINT) AS c FROM p{r}
+          GROUP BY pair ORDER BY c DESC, pair LIMIT 1
+        ),
+        v{r} AS (
+          SELECT replace(w,
+                         ' ' || (SELECT pair FROM t{r}) || ' ',
+                         ' ' || (SELECT replace(pair, ' ', '') FROM t{r}) || ' ') AS w,
+                 wf
+          FROM v{r - 1}
+        )"""
+
+
+def _bpe_merges_oracle_sql(*, n_merges: int = 6) -> str:
+    """DuckDB replay of text.bpe_learn_merges: the vocab CTE + n_merges
+    unrolled rounds, final table = union of each round's top pair."""
+    rounds = "".join(_bpe_round_ctes(r) for r in range(1, n_merges + 1))
+    union = "\n          UNION ALL ".join(
+        f"SELECT {r} AS merge_rank, pair, c AS pair_count FROM t{r}"
+        for r in range(1, n_merges + 1)
+    )
+    return f"WITH {_bpe_vocab_sql().strip()}{rounds}\n        {union}"
+
+
+def _bpe_pair_stats_oracle_sql(*, top_n: int = 50) -> str:
+    """DuckDB replay of text.bpe_pair_stats (round-zero pair census)."""
+    return f"""
+        WITH {_bpe_vocab_sql().strip()},
+        p AS (
+          SELECT unnest(list_transform(range(1, len(s)), i -> s[i] || ' ' || s[i + 1])) AS pair, wf
+          FROM (SELECT string_split(trim(w), ' ') AS s, wf FROM v0)
+          WHERE len(s) >= 2
+        ),
+        g AS (SELECT pair, CAST(sum(wf) AS BIGINT) AS pair_count FROM p GROUP BY pair)
+        SELECT rnk, pair, pair_count FROM (
+          SELECT row_number() OVER (ORDER BY pair_count DESC, pair ASC) AS rnk, pair, pair_count
+          FROM g
+        ) WHERE rnk <= {top_n}
+    """
+
+
 def _bm25_oracle_sql(*, k: int = 5, k1: float = 1.2, b: float = 0.75) -> str:
     """DuckDB replay of text.bm25_topk over the fixed query batch."""
     values = ", ".join(f"({qid}, '{qtext}')" for qid, qtext in _BM25_QUERIES)
@@ -2041,6 +2121,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_quality_calibrated": q_quality_calibrated,
         "q_leakage_safe_splits": q_leakage_safe_splits,
         "q_bm25_topk": q_bm25_topk,
+        "q_bpe_pair_stats": q_bpe_pair_stats,
+        "q_bpe_merges": q_bpe_merges,
         # ---- keys below all have a green driver row in r1/r2/r3 ----
         "q_lsh_topk_verified": q_lsh_topk_verified,
         "q_minhash_dedup_verified": q_minhash_dedup_verified,
@@ -3784,6 +3866,9 @@ def oracle_sql() -> dict[str, str]:
         # to the final 4-decimal rounding; ranking is over the ROUNDED
         # score (both engines), doc_id ties deterministic
         "q_bm25_topk": _bm25_oracle_sql(),
+        # BPE: round-zero census + the 6-round trainer unrolled as CTEs
+        "q_bpe_pair_stats": _bpe_pair_stats_oracle_sql(),
+        "q_bpe_merges": _bpe_merges_oracle_sql(),
         "q_embedding_norm_stats": """
             SELECT label, CAST(count(*) AS BIGINT) AS n_vecs,
                    round(avg(nrm), 6) AS mean_norm,

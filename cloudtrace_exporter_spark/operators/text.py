@@ -241,6 +241,109 @@ def bm25_topk(
     )
 
 
+def bpe_word_vocab(documents: DataFrame, text_col: str = "text") -> DataFrame:
+    """Word-frequency vocabulary in BPE trainer representation: each
+    distinct word as a space-joined character-symbol string with
+    leading/trailing space sentinels (`` l o w ``), plus its corpus
+    frequency. BPE trains on this dictionary, never the raw corpus —
+    the one corpus-sized shuffle happens here; every merge round after
+    it touches only the vocab table (KBs–MBs at any corpus size).
+    """
+    wf = (
+        documents.select(F.explode(tokens(text_col)).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("wf"))
+    )
+    sym = F.expr(
+        "transform(sequence(1, char_length(word)), i -> substr(word, i, 1))"
+    )
+    return wf.select(
+        F.concat(F.lit(" "), F.array_join(sym, " "), F.lit(" ")).alias("w"), "wf"
+    )
+
+
+def _vocab_pair_stats(vocab: DataFrame) -> DataFrame:
+    """Frequency-weighted adjacent symbol-pair counts over a BPE vocab
+    frame (w = sentinel-spaced symbol string, wf = word frequency)."""
+    syms = F.split(F.trim(F.col("w")), " ")
+    pairs = F.expr(
+        "transform(sequence(1, size(s) - 1), i -> concat(s[i - 1], ' ', s[i]))"
+    )
+    return (
+        vocab.select(syms.alias("s"), "wf")
+        .filter(F.size("s") >= 2)
+        .select(F.explode(pairs).alias("pair"), "wf")
+        .groupBy("pair")
+        .agg(F.sum("wf").alias("pair_count"))
+    )
+
+
+def bpe_pair_stats(documents: DataFrame, *, top_n: int = 50, text_col: str = "text") -> DataFrame:
+    """Round-zero BPE statistics: the ``top_n`` most frequent adjacent
+    character pairs across the corpus, weighted by word frequency — the
+    table a BPE trainer consults to pick its first merge. TakeOrdered
+    top-k on (count desc, pair asc); fully oracle-able (integer counts,
+    lexicographic ties).
+    """
+    stats = _vocab_pair_stats(bpe_word_vocab(documents, text_col))
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.desc("pair_count"), F.asc("pair"))
+    return (
+        stats.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= top_n)
+        .select("rnk", "pair", "pair_count")
+    )
+
+
+def bpe_learn_merges(
+    documents: DataFrame, *, n_merges: int = 6, text_col: str = "text"
+) -> DataFrame:
+    """Byte-pair-encoding merge learning (Sennrich et al. 2016): run
+    ``n_merges`` rounds of pick-most-frequent-adjacent-pair → merge it
+    everywhere, over the word-frequency vocabulary. Returns the learned
+    merge table (merge_rank, pair, pair_count) — the artifact a BPE
+    tokenizer ships.
+
+    Merging uses left-to-right non-overlapping string ``replace`` on the
+    sentinel-spaced symbol representation (`` a a a `` merging ``a a``
+    → `` aa a ``) — exactly the BPE merge rule, and an engine-portable
+    primitive, so the WHOLE iterative trainer replays in DuckDB as
+    ``n_merges`` unrolled CTE stages (see the q_bpe_merges oracle).
+
+    Scale shape: the corpus reduces to the vocab table once (the only
+    corpus-sized shuffle, in ``bpe_word_vocab``); each round shuffles
+    only vocab-sized pair stats and collects ONE (pair, count) row — the
+    per-round scalar-only driver pattern of IVF/PageRank. Ties break by
+    pair string for cross-engine determinism.
+    """
+    spark = documents.sparkSession
+    vocab = bpe_word_vocab(documents, text_col).localCheckpoint()
+    merges: list[tuple[int, str, int]] = []
+    for r in range(1, n_merges + 1):
+        top = (
+            _vocab_pair_stats(vocab)
+            .orderBy(F.desc("pair_count"), F.asc("pair"))
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        pair, cnt = top[0]["pair"], top[0]["pair_count"]
+        merges.append((r, pair, cnt))
+        vocab = vocab.select(
+            F.replace(
+                F.col("w"),
+                F.lit(f" {pair} "),
+                F.lit(" " + pair.replace(" ", "") + " "),
+            ).alias("w"),
+            "wf",
+        ).localCheckpoint()
+    return spark.createDataFrame(
+        merges, "merge_rank long, pair string, pair_count long"
+    )
+
+
 def word_ngrams(t: Column, n: int) -> Column:
     """Distinct word n-grams (space-joined) over an ALREADY MATERIALIZED
     token-array column; empty array when the document has fewer than

@@ -469,6 +469,44 @@ def test_bm25_topk_ranking_axioms(spark):
     assert s[3] > got[3][0]  # fig hit adds on top of apple's contribution
 
 
+def test_bpe_learn_merges_classic_corpus(spark):
+    # the Sennrich et al. (2016) worked example shape: "low" ×5,
+    # "lower" ×2, "newest" ×6, "widest" ×3 — round 1 must merge (e, s)
+    # from the -est suffix (count 9), then (es, t), then (l, o)
+    rows = (
+        [("low",)] * 5 + [("lower",)] * 2 + [("newest",)] * 6 + [("widest",)] * 3
+    )
+    docs = spark.createDataFrame(
+        [(i, t) for i, (t,) in enumerate(rows)], "doc_id long, text string"
+    )
+    got = [
+        (r["merge_rank"], r["pair"], r["pair_count"])
+        for r in text.bpe_learn_merges(docs, n_merges=3).collect()
+    ]
+    assert got == [(1, "e s", 9), (2, "es t", 9), (3, "l o", 7)]
+
+
+def test_bpe_merge_is_left_to_right_non_overlapping(spark):
+    # "aaa" ×2: pair (a, a) appears twice per word (weighted count 4);
+    # the merge must produce "aa a", never the overlapping "a aa" or a
+    # double merge — round 2 then merges (aa, a)
+    docs = spark.createDataFrame([(0, "aaa aaa")], "doc_id long, text string")
+    got = [
+        (r["merge_rank"], r["pair"], r["pair_count"])
+        for r in text.bpe_learn_merges(docs, n_merges=2).collect()
+    ]
+    assert got == [(1, "a a", 4), (2, "aa a", 2)]
+
+
+def test_bpe_pair_stats_weighted_by_word_frequency(spark):
+    docs = spark.createDataFrame(
+        [(0, "ab ab ab cd")], "doc_id long, text string"
+    )
+    got = {r["pair"]: (r["rnk"], r["pair_count"]) for r in text.bpe_pair_stats(docs).collect()}
+    assert got["a b"] == (1, 3)  # 3 occurrences of the word "ab"
+    assert got["c d"] == (2, 1)
+
+
 # --------------------------------------------------------------------------
 # contamination + quality filter
 # --------------------------------------------------------------------------

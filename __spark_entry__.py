@@ -1484,7 +1484,8 @@ def _bpe_vocab_sql() -> str:
     # deferred: _TOKENS_SQL is defined further down the module
     return f"""
         v0 AS (
-          SELECT ' ' || array_to_string(
+          SELECT word,
+                 ' ' || array_to_string(
                    list_transform(range(1, length(word) + 1), i -> substr(word, CAST(i AS INT), 1)),
                    ' ') || ' ' AS w,
                  count(*) AS wf
@@ -1508,7 +1509,8 @@ def _bpe_round_ctes(r: int) -> str:
           GROUP BY pair ORDER BY c DESC, pair LIMIT 1
         ),
         v{r} AS (
-          SELECT replace(w,
+          SELECT word,
+                 replace(w,
                          ' ' || (SELECT pair FROM t{r}) || ' ',
                          ' ' || (SELECT replace(pair, ' ', '') FROM t{r}) || ' ') AS w,
                  wf
@@ -1525,6 +1527,31 @@ def _bpe_merges_oracle_sql(*, n_merges: int = 6) -> str:
         for r in range(1, n_merges + 1)
     )
     return f"WITH {_bpe_vocab_sql().strip()}{rounds}\n        {union}"
+
+
+def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B35/tokenizer: encode under the learned BPE merges — per-document
+    word count vs BPE piece count. Full oracle: the trained vocab IS the
+    segmentation table, replayed by the same unrolled CTE chain plus a
+    word-keyed join."""
+    return text.bpe_encode_counts(load_table(spark, sf_dir, "documents"), n_merges=6)
+
+
+def _bpe_encode_oracle_sql(*, n_merges: int = 6) -> str:
+    """DuckDB replay of text.bpe_encode_counts: train (unrolled rounds),
+    read piece counts off the final vocab, join the exploded corpus."""
+    rounds = "".join(_bpe_round_ctes(r) for r in range(1, n_merges + 1))
+    return f"""WITH {_bpe_vocab_sql().strip()}{rounds},
+        seg AS (
+          SELECT word, len(string_split(trim(w), ' ')) AS n_pieces FROM v{n_merges}
+        ),
+        tok AS (SELECT doc_id, unnest({_TOKENS_SQL}) AS word FROM documents)
+        SELECT doc_id,
+               CAST(count(*) AS BIGINT) AS n_words,
+               CAST(sum(n_pieces) AS BIGINT) AS bpe_tokens
+        FROM tok JOIN seg USING (word)
+        GROUP BY doc_id
+    """
 
 
 def _bpe_pair_stats_oracle_sql(*, top_n: int = 50) -> str:
@@ -2123,6 +2150,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_bm25_topk": q_bm25_topk,
         "q_bpe_pair_stats": q_bpe_pair_stats,
         "q_bpe_merges": q_bpe_merges,
+        "q_bpe_encode": q_bpe_encode,
         # ---- keys below all have a green driver row in r1/r2/r3 ----
         "q_lsh_topk_verified": q_lsh_topk_verified,
         "q_minhash_dedup_verified": q_minhash_dedup_verified,
@@ -3869,6 +3897,7 @@ def oracle_sql() -> dict[str, str]:
         # BPE: round-zero census + the 6-round trainer unrolled as CTEs
         "q_bpe_pair_stats": _bpe_pair_stats_oracle_sql(),
         "q_bpe_merges": _bpe_merges_oracle_sql(),
+        "q_bpe_encode": _bpe_encode_oracle_sql(),
         "q_embedding_norm_stats": """
             SELECT label, CAST(count(*) AS BIGINT) AS n_vecs,
                    round(avg(nrm), 6) AS mean_norm,

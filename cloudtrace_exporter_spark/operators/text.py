@@ -258,7 +258,9 @@ def bpe_word_vocab(documents: DataFrame, text_col: str = "text") -> DataFrame:
         "transform(sequence(1, char_length(word)), i -> substr(word, i, 1))"
     )
     return wf.select(
-        F.concat(F.lit(" "), F.array_join(sym, " "), F.lit(" ")).alias("w"), "wf"
+        "word",
+        F.concat(F.lit(" "), F.array_join(sym, " "), F.lit(" ")).alias("w"),
+        "wf",
     )
 
 
@@ -317,7 +319,18 @@ def bpe_learn_merges(
     per-round scalar-only driver pattern of IVF/PageRank. Ties break by
     pair string for cross-engine determinism.
     """
-    spark = documents.sparkSession
+    merges, _ = _bpe_train(documents, n_merges=n_merges, text_col=text_col)
+    return documents.sparkSession.createDataFrame(
+        merges, "merge_rank long, pair string, pair_count long"
+    )
+
+
+def _bpe_train(
+    documents: DataFrame, *, n_merges: int, text_col: str = "text"
+) -> tuple[list[tuple[int, str, int]], DataFrame]:
+    """The shared BPE training loop: returns the learned merge list AND
+    the post-merge vocabulary (word, w, wf) — the segmentation table the
+    encoder joins against."""
     vocab = bpe_word_vocab(documents, text_col).localCheckpoint()
     merges: list[tuple[int, str, int]] = []
     for r in range(1, n_merges + 1):
@@ -332,6 +345,7 @@ def bpe_learn_merges(
         pair, cnt = top[0]["pair"], top[0]["pair_count"]
         merges.append((r, pair, cnt))
         vocab = vocab.select(
+            "word",
             F.replace(
                 F.col("w"),
                 F.lit(f" {pair} "),
@@ -339,8 +353,36 @@ def bpe_learn_merges(
             ).alias("w"),
             "wf",
         ).localCheckpoint()
-    return spark.createDataFrame(
-        merges, "merge_rank long, pair string, pair_count long"
+    return merges, vocab
+
+
+def bpe_encode_counts(
+    documents: DataFrame, *, n_merges: int = 6, text_col: str = "text"
+) -> DataFrame:
+    """The encode half of BPE: apply the learned merges and report, per
+    document, its word count and its BPE token count (pieces after
+    segmentation) — the length statistic token-budgeted pipelines charge
+    against (a budget in TOKENS, not words; see curate.token_budget_sample).
+
+    The trained vocabulary already IS the segmentation table (word →
+    merged symbol string), so encoding is a word-keyed join of the
+    exploded corpus against it, then a per-document sum — no per-row
+    merge replay. The vocab side is dictionary-sized (≪ corpus), a
+    broadcast at 100 TB; the per-doc aggregation is the only
+    corpus-sized shuffle beyond the vocab build.
+    """
+    _, vocab = _bpe_train(documents, n_merges=n_merges, text_col=text_col)
+    seg = vocab.select(
+        "word", F.size(F.split(F.trim(F.col("w")), " ")).alias("n_pieces")
+    )
+    tok = documents.select("doc_id", F.explode(tokens(text_col)).alias("word"))
+    return (
+        tok.join(F.broadcast(seg), "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("n_pieces").alias("bpe_tokens"),
+        )
     )
 
 

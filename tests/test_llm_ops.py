@@ -498,6 +498,21 @@ def test_bpe_merge_is_left_to_right_non_overlapping(spark):
     assert got == [(1, "a a", 4), (2, "aa a", 2)]
 
 
+def test_bpe_encode_counts_shrink_with_merges(spark):
+    docs = spark.createDataFrame(
+        [(0, "low low lower"), (1, "newest widest")], "doc_id long, text string"
+    )
+    # 0 merges: every word splits to characters
+    raw = {r["doc_id"]: r for r in text.bpe_encode_counts(docs, n_merges=0).collect()}
+    assert raw[0]["n_words"] == 3 and raw[0]["bpe_tokens"] == 3 + 3 + 5
+    assert raw[1]["n_words"] == 2 and raw[1]["bpe_tokens"] == 6 + 6
+    # merges only ever shrink piece counts, never below the word count
+    enc = {r["doc_id"]: r for r in text.bpe_encode_counts(docs, n_merges=4).collect()}
+    for d in (0, 1):
+        assert enc[d]["n_words"] == raw[d]["n_words"]
+        assert raw[d]["n_words"] <= enc[d]["bpe_tokens"] < raw[d]["bpe_tokens"]
+
+
 def test_bpe_pair_stats_weighted_by_word_frequency(spark):
     docs = spark.createDataFrame(
         [(0, "ab ab ab cd")], "doc_id long, text string"

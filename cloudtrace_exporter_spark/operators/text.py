@@ -190,15 +190,16 @@ def bm25_topk(
 
     Plan shape, inverted-index-free: (doc, term) tf aggregation carries
     doc length through the SAME shuffle (1); the corpus is then
-    semi-reduced to query terms via a BROADCAST of the tiny term set
-    BEFORE the df window, so document frequency is a term-partitioned
-    count over only the matched posting rows (2) — never a full-vocab
-    aggregate; corpus size and average doc length enter as a 1-row
-    broadcast. Per-(query, doc) summation is the third shuffle, and the
-    final top-k window partitions BY QUERY (parallel across the query
-    batch — with few queries at 100 TB, pre-prune candidates per query
-    à la WAND before this window). Scores round to 4 decimals (the
-    summed-float precedent of lm_unigram_score).
+    semi-reduced to query terms via a BROADCAST of the tiny term set,
+    and document frequency is a map-side-partial aggregate over the
+    matched posting rows whose OUTPUT is at most |query terms| rows —
+    broadcast back (2, cheap), never a full-vocab aggregate or a
+    term-window sort; corpus size and average doc length enter as a
+    1-row broadcast. Per-(query, doc) summation is the third shuffle,
+    and the final top-k window partitions BY QUERY (parallel across the
+    query batch — with few queries at 100 TB, pre-prune candidates per
+    query à la WAND before this window). Scores round to 4 decimals
+    (the summed-float precedent of lm_unigram_score).
     """
     from pyspark.sql import Window
 
@@ -219,9 +220,16 @@ def bm25_topk(
         F.count(F.lit(1)).alias("n_docs"),
         F.avg(token_count(text_col)).alias("avgdl"),
     )
-    matched = tf.join(
+    # the query-term posting rows feed BOTH the df aggregate and the
+    # scoring join — cache them so the corpus-sized tf build runs once
+    # (CacheManager dedups the identical subplan; the cached frame is
+    # bounded by the matched postings, i.e. the inverted-index slice any
+    # BM25 serving path materializes anyway)
+    hits = tf.join(
         F.broadcast(qterms.select("term").distinct()), "term", "left_semi"
-    ).withColumn("dfreq", F.count(F.lit(1)).over(Window.partitionBy("term")))
+    ).cache()
+    dfreq = hits.groupBy("term").agg(F.count(F.lit(1)).alias("dfreq"))
+    matched = hits.join(F.broadcast(dfreq), "term")
     idf = F.log(F.lit(1.0) + (F.col("n_docs") - F.col("dfreq") + 0.5) / (F.col("dfreq") + 0.5))
     term_score = idf * (
         F.col("tf") * (k1 + 1)

@@ -294,3 +294,37 @@ def test_pq_paths_touch_codes_not_vectors(plans):
     p = plans("q_pq_topk")
     assert "CartesianProduct" not in p
     assert _data_shuffles(p) <= 1
+
+
+def test_bm25_broadcasts_query_side_no_term_window_sort(plans):
+    # query terms and the per-term df table broadcast; the corpus never
+    # sort-merges, and no term-partitioned window sort exists (df is a
+    # map-side-partial aggregate over the cached posting slice)
+    from tools.plan_audit import _strip_cached_subplans
+
+    p, _ = _strip_cached_subplans(plans("q_bm25_topk"))
+    assert "SortMergeJoin" not in p
+    assert "CartesianProduct" not in p
+    # ≤3 data shuffles; the 1-row corpus-stats aggregate is a tiny
+    # SinglePartition exchange, not a data movement
+    assert _data_shuffles(p) - p.count("Exchange SinglePartition") <= 3
+
+
+def test_bpe_encode_broadcasts_segmentation_vocab(plans):
+    # the trained vocab is dictionary-sized: it must broadcast into the
+    # corpus join, never shuffle the exploded corpus for a merge join
+    p = plans("q_bpe_encode")
+    assert "SortMergeJoin" not in p
+    assert "BroadcastHashJoin" in p
+
+
+def test_leakage_safe_splits_is_narrow_over_assignment(spark, sf_dir):
+    # given a materialized (doc_id, component) assignment, the split
+    # labeling itself must add ZERO exchanges — pure projection
+    from cloudtrace_exporter_spark.operators import curate
+
+    assign = spark.createDataFrame(
+        [(i, i % 7) for i in range(100)], "doc_id long, component long"
+    )
+    p = curate.cluster_safe_splits(assign)._jdf.queryExecution().executedPlan().toString()
+    assert _data_shuffles(p) == 0

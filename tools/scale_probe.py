@@ -108,6 +108,37 @@ def main() -> None:
     for tag, d in (("1x", docs1), ("10x", docs10)):
         t(f"chunk_overlap_ratio {tag}", lambda d=d: dedup.chunk_overlap_ratio(d))
 
+    # --- round-4 additions ---
+    from cloudtrace_exporter_spark.operators import curate
+
+    for tag, d in (("1x", docs1), ("10x", docs10)):
+        t(f"classifier_quality_score {tag}", lambda d=d: text.classifier_quality_score(d))
+    for tag, d in (("1x", docs1), ("10x", docs10)):
+        t(f"gopher_quality {tag}", lambda d=d: text.gopher_quality(d))
+    for tag, d in (("1x", docs1), ("10x", docs10)):
+        t(f"token_budget_sample {tag}", lambda d=d: curate.token_budget_sample(d, budget_tokens=600))
+    for tag, d in (("1x", docs1), ("10x", docs10)):
+        t(f"intra_doc_dedup {tag}", lambda d=d: dedup.dedup_intra_doc(d))
+    for tag, e in (("1x", emb1), ("10x", emb10)):
+        t(f"semantic_dedup {tag}", lambda e=e: semantic_dedup_probe(e))
+    for tag, d in (("1x", docs1), ("10x", docs10)):
+        t(
+            f"bm25_topk {tag}",
+            lambda d=d: text.bm25_topk(
+                d, [(0, "hash join"), (1, "window agg stream"), (2, "fast scan filter")]
+            ),
+        )
+    for tag, d in (("1x", docs1), ("10x", docs10)):
+        t(f"bpe_pair_stats {tag}", lambda d=d: text.bpe_pair_stats(d))
+    for tag, d in (("1x", docs1), ("10x", docs10)):
+        t(f"bpe_encode (6 merges) {tag}", lambda d=d: text.bpe_encode_counts(d))
+
+
+def semantic_dedup_probe(e):
+    from cloudtrace_exporter_spark.operators import similarity
+
+    return similarity.semantic_dedup(e)
+
 
 if __name__ == "__main__":
     main()

@@ -835,6 +835,13 @@ def semantic_dedup(
     near-dup groups at this radius are cliques in practice, where the
     rule equals keep-min-id).
 
+    SIZING RULE (the scale knob): candidate pairs grow with the SQUARE
+    of bucket occupancy n/2^n_bits, so ``n_bits`` must grow with the
+    corpus — hold occupancy constant via n_bits ≈ log2(n / target_bucket)
+    (mirroring SemDeDup's clusters ∝ corpus). A fixed n_bits at growing n
+    re-quadratizes the pair join: the 10× scale probe measures 27× wall
+    at frozen n_bits=2 vs ~linear once bits scale (tools/scale_probe.py).
+
     Returns every corpus id with its verdict: (vec_id, keep).
     """
     vecs, hashes = index if index is not None else build_lsh_index(

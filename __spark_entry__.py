@@ -2081,11 +2081,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # Ordered so keys WITHOUT a driver CORRECTNESS row (r1∪r2∪r3 = 122
         # evaluated keys) come FIRST: the driver's ~50-row window per round
-        # should spend its budget on never-evaluated keys. The 51 keys below
-        # (5 new round-4 ops + the 46 never-evaluated) have no driver row —
-        # oracle-backed (46) first, rows-only-by-design (5) after; the 122
-        # already-green keys close the dict. A full green window this round
-        # completes 173/173 driver coverage.
+        # should spend its budget on never-evaluated keys. The 60 keys below
+        # have no driver row — ALL oracle-backed ones first (46 backlog +
+        # 9 round-4 additions = 55), rows-only-by-design (5) after, since
+        # an oracle row is the stronger evidence; the 122 already-green
+        # keys close the dict. A ~50-row window this round clears the
+        # oracle-backed backlog; round 5 mops up the tail.
         # round-4 additions (new keys, no driver row yet, all oracle-backed)
         "q_classifier_quality": q_classifier_quality,
         "q_token_budget_sample": q_token_budget_sample,
@@ -2133,15 +2134,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_curated_docs": q_curated_docs,
         "q_curation_funnel": q_curation_funnel,
         "q_doc_fingerprint": q_doc_fingerprint,
-        # rows-only-by-design tail of the never-evaluated block
-        "q_multimodal_audio": q_multimodal_audio,
-        "q_incremental_near_dedup": q_incremental_near_dedup,
-        "q_approx_percentiles": q_approx_percentiles,
-        "q_simhash_near_dup": q_simhash_near_dup,
-        "q_winnow_dedup": q_winnow_dedup,
-        # late-round-4 additions (after the 51 above so the driver's
-        # ~50-row window completes the historical backlog first; these
-        # carry local-sweep evidence until the r5 rotation)
+        # late-round-4 additions, oracle-backed (carry local-sweep
+        # evidence until their driver rotation)
         "q_gopher_rules": q_gopher_rules,
         "q_interpolate_gaps": q_interpolate_gaps,
         "q_minhash_jaccard_diag": q_minhash_jaccard_diag,
@@ -2151,6 +2145,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_bpe_pair_stats": q_bpe_pair_stats,
         "q_bpe_merges": q_bpe_merges,
         "q_bpe_encode": q_bpe_encode,
+        # rows-only-by-design tail of the never-evaluated block
+        "q_multimodal_audio": q_multimodal_audio,
+        "q_incremental_near_dedup": q_incremental_near_dedup,
+        "q_approx_percentiles": q_approx_percentiles,
+        "q_simhash_near_dup": q_simhash_near_dup,
+        "q_winnow_dedup": q_winnow_dedup,
         # ---- keys below all have a green driver row in r1/r2/r3 ----
         "q_lsh_topk_verified": q_lsh_topk_verified,
         "q_minhash_dedup_verified": q_minhash_dedup_verified,

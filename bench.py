@@ -47,6 +47,11 @@ HEADLINE = [
     # text-pipeline heavy scan-agg trend line (round 3): DSIR hashed-bigram
     # importance weighting — two corpus passes + broadcast profiles
     "q_dsir_importance",
+    # round-4 retrieval + tokenizer trend lines: BM25 posting-slice scoring
+    # and the 6-round iterative BPE trainer (vocab-sized rounds, scalar
+    # collects)
+    "q_bm25_topk",
+    "q_bpe_merges",
 ]
 
 

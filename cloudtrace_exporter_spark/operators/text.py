@@ -208,28 +208,31 @@ def bm25_topk(
     qterms = qdf.select(
         "query_id", F.explode(F.array_distinct(tokens("qtext"))).alias("term")
     )
+    # query-term semi-join BELOW the tf aggregate: non-query tokens are
+    # dropped before anything shuffles (the broadcast filter rides the
+    # corpus scan), so the (doc, term) aggregation only ever sees the
+    # matched posting rows. Doc length is computed narrowly per row
+    # BEFORE the explode — it must count ALL tokens, not matched ones.
     tok = documents.select(
         F.col(id_col).alias("doc_id"),
         token_count(text_col).alias("dl"),
         F.explode(tokens(text_col)).alias("term"),
-    )
-    tf = tok.groupBy("doc_id", "term").agg(
-        F.count(F.lit(1)).alias("tf"), F.max("dl").alias("dl")
+    ).join(F.broadcast(qterms.select("term").distinct()), "term", "left_semi")
+    # tf feeds two consumers (df aggregate + scoring join): materialize
+    # the matched-postings slice once (localCheckpoint — the same
+    # fan-out treatment as curation lineage and the BPE vocab) so the
+    # static plan doesn't duplicate the corpus pass
+    tf = (
+        tok.groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"), F.max("dl").alias("dl"))
+        .localCheckpoint()
     )
     stats = documents.agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.avg(token_count(text_col)).alias("avgdl"),
     )
-    # the query-term posting rows feed BOTH the df aggregate and the
-    # scoring join — cache them so the corpus-sized tf build runs once
-    # (CacheManager dedups the identical subplan; the cached frame is
-    # bounded by the matched postings, i.e. the inverted-index slice any
-    # BM25 serving path materializes anyway)
-    hits = tf.join(
-        F.broadcast(qterms.select("term").distinct()), "term", "left_semi"
-    ).cache()
-    dfreq = hits.groupBy("term").agg(F.count(F.lit(1)).alias("dfreq"))
-    matched = hits.join(F.broadcast(dfreq), "term")
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("dfreq"))
+    matched = tf.join(F.broadcast(dfreq), "term")
     idf = F.log(F.lit(1.0) + (F.col("n_docs") - F.col("dfreq") + 0.5) / (F.col("dfreq") + 0.5))
     term_score = idf * (
         F.col("tf") * (k1 + 1)

@@ -252,6 +252,76 @@ def bm25_topk(
     )
 
 
+def bm25_corpus_stats(
+    documents: DataFrame,
+    terms: list[str],
+    *,
+    text_col: str = "text",
+) -> tuple[list[tuple[str, int]], int, float]:
+    """Freeze the corpus-side BM25 statistics for a fixed term set:
+    per-term document frequency, corpus size, and average doc length —
+    the KB-sized snapshot a percolator/serving path scores against
+    (sanctioned collect: output is bounded by |terms| + 2 scalars,
+    like the IVF centroid and PQ codebook artifacts).
+    """
+    t = F.array_distinct(tokens(text_col))
+    df_rows = (
+        documents.select(t.alias("t"))
+        .select(F.explode("t").alias("term"))
+        .filter(F.col("term").isin(terms))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("dfreq"))
+        .collect()
+    )
+    head = documents.agg(
+        F.count(F.lit(1)).alias("n"), F.avg(token_count(text_col)).alias("avgdl")
+    ).collect()[0]
+    return (
+        [(r["term"], r["dfreq"]) for r in df_rows],
+        head["n"],
+        float(head["avgdl"]),
+    )
+
+
+def bm25_score_expr(
+    toks: Column,
+    dl: Column,
+    query_terms: list[str],
+    stats: tuple[list[tuple[str, int]], int, float],
+    *,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> Column:
+    """Narrow-map BM25 score of ONE document against ONE standing query,
+    under frozen corpus stats: per-term tf comes from the row's own
+    token array (higher-order filter — no explode, no shuffle), idf and
+    avgdl are literals. The zero-state building block of the streaming
+    percolator (streaming.pipeline.stream_score_bm25) — and of any
+    serving path that scores documents one at a time.
+    """
+    df_map = dict(stats[0])
+    n_docs, avgdl = stats[1], stats[2]
+    import math
+
+    def _eq(term: str):
+        # arity-1 closure: a 2-parameter lambda (even with a default) is
+        # read by F.filter as (element, INDEX) — the documented trap
+        return lambda x: x == F.lit(term)
+
+    score = F.lit(0.0)
+    for term in query_terms:
+        dfreq = df_map.get(term)
+        if dfreq is None:  # term absent from the corpus: contributes 0
+            continue
+        idf = math.log(1.0 + (n_docs - dfreq + 0.5) / (dfreq + 0.5))
+        tf = F.size(F.filter(toks, _eq(term))).cast("double")
+        score = score + F.when(
+            tf > 0,
+            F.lit(idf) * (tf * (k1 + 1) / (tf + k1 * (1 - b + b * dl / F.lit(avgdl)))),
+        ).otherwise(F.lit(0.0))
+    return score
+
+
 def bpe_word_vocab(documents: DataFrame, text_col: str = "text") -> DataFrame:
     """Word-frequency vocabulary in BPE trainer representation: each
     distinct word as a space-joined character-symbol string with

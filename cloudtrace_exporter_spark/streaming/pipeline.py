@@ -388,3 +388,61 @@ def stream_adc_scores(
         "corpus_id",
         F.round(dist, 6).alias("approx_dist"),
     )
+
+
+def stream_score_bm25(
+    stream_docs: DataFrame,
+    queries: list[tuple[int, str]],
+    stats,
+    *,
+    min_score: float = 0.0,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """BM25 percolation AT INGEST (the Elasticsearch percolator shape):
+    every streamed document is scored against the STANDING query set
+    under corpus statistics frozen by ``text.bm25_corpus_stats`` — idf
+    and avgdl are literals, per-term tf comes from the row's own token
+    array, so scoring is ONE narrow map per (doc × standing query): no
+    join, no state, no shuffle, composes with any streaming source.
+    The serving half of BM25's index-once/score-forever lifecycle:
+    ``text.bm25_topk`` is the batch/backfill path over the live corpus,
+    this routes new documents to matching standing queries (alerting /
+    topic-feed routing) as they arrive. Emits (doc_id, query_id, score >
+    ``min_score``); refresh the stats snapshot on the batch side's
+    cadence, exactly like re-training IVF centroids or PQ codebooks.
+    """
+    from pyspark.sql import functions as F
+
+    from cloudtrace_exporter_spark.operators import text as _text
+
+    toks = _text.tokens(text_col)
+    base = stream_docs.select(
+        F.col(id_col).alias("doc_id"),
+        toks.alias("__t"),
+        _text.token_count(text_col).alias("__dl"),
+    )
+    per_query = [
+        F.struct(
+            F.lit(qid).alias("query_id"),
+            F.round(
+                _text.bm25_score_expr(
+                    F.col("__t"),
+                    F.col("__dl").cast("double"),
+                    [t for t in qtext.split(" ") if t],
+                    stats,
+                    k1=k1,
+                    b=b,
+                ),
+                4,
+            ).alias("score"),
+        )
+        for qid, qtext in queries
+    ]
+    return (
+        base.select("doc_id", F.explode(F.array(*per_query)).alias("q"))
+        .select("doc_id", F.col("q.query_id").alias("query_id"), F.col("q.score").alias("score"))
+        .filter(F.col("score") > min_score)
+    )

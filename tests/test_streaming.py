@@ -469,3 +469,39 @@ def test_streaming_pq_adc_matches_batch(spark, tmp_path):
         for r in similarity.pq_topk(emb, queries, books, k=n).collect()
     }
     assert s_adc == b_adc and len(s_adc) == 3 * (n - 1)
+
+
+def test_stream_bm25_percolator_matches_batch_and_topk(spark, tmp_path):
+    """BM25 percolation is a pure narrow map over frozen corpus stats:
+    streamed documents must score IDENTICALLY to (a) the same percolator
+    run in batch and (b) text.bm25_topk itself for every (query, doc)
+    the top-k surfaces — the stats snapshot comes from the same corpus,
+    so the scoring expressions must agree to the rounded digit."""
+    from cloudtrace_exporter_spark.operators import text
+    from cloudtrace_exporter_spark.schemas import FIXTURE_SCHEMAS
+    from cloudtrace_exporter_spark.streaming.pipeline import stream_score_bm25
+
+    docs = load_table(spark, SF, "documents")
+    queries = [(0, "hash join"), (1, "window agg stream")]
+    terms = sorted({t for _, q in queries for t in q.split(" ")})
+    stats = text.bm25_corpus_stats(docs, terms)
+
+    src = str(tmp_path / "docs_bm25")
+    docs.coalesce(2).write.mode("overwrite").parquet(src)
+    stream = (
+        spark.readStream.schema(FIXTURE_SCHEMAS["documents"])
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out = _run_to_memory(spark, stream_score_bm25(stream, queries, stats), "t_bm25_perc")
+    s = {(r["doc_id"], r["query_id"], r["score"]) for r in out.collect()}
+    b = {
+        (r["doc_id"], r["query_id"], r["score"])
+        for r in stream_score_bm25(docs, queries, stats).collect()
+    }
+    assert s == b and len(s) > 0
+    # agreement with the batch retrieval path: every top-k row's score
+    # reproduces exactly under the percolator's literal-stats expression
+    perc = {(q, d): sc for d, q, sc in s}
+    for r in text.bm25_topk(docs, queries, k=5).collect():
+        assert perc[(r["query_id"], r["doc_id"])] == r["score"]

@@ -834,6 +834,14 @@ def q_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.cluster_sizes(_dedup_clusters(spark, sf_dir))
 
 
+def q_fuzzy_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B33/record linkage: blocked edit-distance self-join — pairs whose
+    8-token prefix is within 10 Levenshtein edits, candidates blocked on
+    (lang, first token). Full oracle: DuckDB's levenshtein is the same
+    classic DP (integers), replayed with the unbounded form + filter."""
+    return dedup.fuzzy_prefix_join(load_table(spark, sf_dir, "documents"))
+
+
 def q_leakage_safe_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
     """North-star: leakage-safe train/val/test assignment — the split
     hash keys on the near-dup CLUSTER representative (memoized CC
@@ -2145,6 +2153,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_bpe_pair_stats": q_bpe_pair_stats,
         "q_bpe_merges": q_bpe_merges,
         "q_bpe_encode": q_bpe_encode,
+        "q_fuzzy_prefix_join": q_fuzzy_prefix_join,
         # rows-only-by-design tail of the never-evaluated block
         "q_multimodal_audio": q_multimodal_audio,
         "q_incremental_near_dedup": q_incremental_near_dedup,
@@ -3898,6 +3907,21 @@ def oracle_sql() -> dict[str, str]:
         "q_bpe_pair_stats": _bpe_pair_stats_oracle_sql(),
         "q_bpe_merges": _bpe_merges_oracle_sql(),
         "q_bpe_encode": _bpe_encode_oracle_sql(),
+        # fuzzy prefix join: blocked candidates + unbounded levenshtein
+        # (Spark's thresholded variant keeps the identical pair set)
+        "q_fuzzy_prefix_join": f"""
+            WITH t AS (
+              SELECT doc_id, lang,
+                     {_TOKENS_SQL}[1] AS tok1,
+                     COALESCE(array_to_string({_TOKENS_SQL}[1:8], ' '), '') AS pfx
+              FROM documents
+            )
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   CAST(levenshtein(a.pfx, b.pfx) AS BIGINT) AS dist
+            FROM t a JOIN t b
+              ON a.lang = b.lang AND a.tok1 = b.tok1 AND a.doc_id < b.doc_id
+            WHERE levenshtein(a.pfx, b.pfx) <= 10
+        """,
         "q_embedding_norm_stats": """
             SELECT label, CAST(count(*) AS BIGINT) AS n_vecs,
                    round(avg(nrm), 6) AS mean_norm,

@@ -1057,3 +1057,57 @@ def dedup_intra_doc(
             )
         ).alias("clean_fp"),
     )
+
+
+def fuzzy_prefix_join(
+    df: DataFrame,
+    *,
+    n_prefix_tokens: int = 8,
+    max_dist: int = 10,
+    block_col: str = "lang",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Fuzzy (edit-distance) self-join — the record-linkage join family:
+    pair documents whose leading-token prefix is within ``max_dist``
+    Levenshtein edits, candidates generated by BLOCKING on
+    (``block_col``, first token) so the quadratic comparison only ever
+    runs inside a block, never across the corpus.
+
+    Three scale levers, each standard record-linkage practice:
+    - blocking keys bound the candidate set (O(Σ block²), not O(n²));
+      a skewed block (a stop-word first token) is the residual risk —
+      salt it or add a second blocking attribute;
+    - the DP cost per pair is capped by the TOKEN-PREFIX length, not
+      document length;
+    - Spark's thresholded ``levenshtein(l, r, max_dist)`` abandons a
+      pair's DP as soon as the running distance exceeds the bound
+      (returns -1), so hopeless pairs cost O(prefix·max_dist), not
+      O(prefix²). The DuckDB oracle replays with the unbounded 2-arg
+      form + filter — identical kept set and distances.
+
+    Returns (doc_a, doc_b, dist), id-ordered, one row per matched pair.
+    """
+    t = tokens(text_col)
+    keyed = df.select(
+        F.col(id_col).alias("id"),
+        F.col(block_col).alias("blk"),
+        F.element_at(t, 1).alias("tok1"),
+        F.concat_ws(" ", F.slice(t, 1, n_prefix_tokens)).alias("pfx"),
+    )
+    a, b = keyed.alias("a"), keyed.alias("b")
+    dist = F.levenshtein(F.col("a.pfx"), F.col("b.pfx"), max_dist)
+    return (
+        a.join(
+            b,
+            (F.col("a.blk") == F.col("b.blk"))
+            & (F.col("a.tok1") == F.col("b.tok1"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("doc_a"),
+            F.col("b.id").alias("doc_b"),
+            dist.cast("long").alias("dist"),
+        )
+        .filter(F.col("dist") >= 0)
+    )

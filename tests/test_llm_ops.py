@@ -443,6 +443,31 @@ def test_cluster_safe_splits_never_separate_near_dups(spark, sf_dir):
     assert leaked > 0
 
 
+def test_fuzzy_prefix_join_blocks_and_thresholds(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "en", "alpha beta gamma delta"),
+            (2, "en", "alpha beta gamma delts"),   # 1 edit from doc 1
+            (3, "en", "alpha XXXXX YYYYY ZZZZZ"),  # same block, far
+            (4, "de", "alpha beta gamma delta"),   # other block: never paired
+            (5, "en", "omega beta gamma delta"),   # different first token: blocked out
+        ],
+        "doc_id long, lang string, text string",
+    )
+    got = {
+        (r["doc_a"], r["doc_b"]): r["dist"]
+        for r in dedup.fuzzy_prefix_join(docs, max_dist=3).collect()
+    }
+    assert got == {(1, 2): 1}
+    # raising the bound admits the far pair at its true distance
+    wide = {
+        (r["doc_a"], r["doc_b"]): r["dist"]
+        for r in dedup.fuzzy_prefix_join(docs, max_dist=100).collect()
+    }
+    assert wide[(1, 2)] == 1 and (1, 3) in wide and (2, 3) in wide
+    assert all((4 not in p) and (5 not in p) for p in wide)
+
+
 def test_bm25_topk_ranking_axioms(spark):
     # fixed-length docs isolate tf; d3 isolates length normalization;
     # d4 contains no query term at all

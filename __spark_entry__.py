@@ -834,6 +834,13 @@ def q_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.cluster_sizes(_dedup_clusters(spark, sf_dir))
 
 
+def q_trend_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B15/B20 family: per-series OLS trend (slope/intercept of daily
+    totals vs day index) via sufficient statistics — two map-side
+    partial aggregations, no window, no iteration. Full oracle."""
+    return analytics.trend_fit(load_table(spark, sf_dir, "events"))
+
+
 def q_fuzzy_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B33/record linkage: blocked edit-distance self-join — pairs whose
     8-token prefix is within 10 Levenshtein edits, candidates blocked on
@@ -2154,6 +2161,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_bpe_merges": q_bpe_merges,
         "q_bpe_encode": q_bpe_encode,
         "q_fuzzy_prefix_join": q_fuzzy_prefix_join,
+        "q_trend_fit": q_trend_fit,
         # rows-only-by-design tail of the never-evaluated block
         "q_multimodal_audio": q_multimodal_audio,
         "q_incremental_near_dedup": q_incremental_near_dedup,
@@ -3907,6 +3915,28 @@ def oracle_sql() -> dict[str, str]:
         "q_bpe_pair_stats": _bpe_pair_stats_oracle_sql(),
         "q_bpe_merges": _bpe_merges_oracle_sql(),
         "q_bpe_encode": _bpe_encode_oracle_sql(),
+        # grouped OLS trend: mirrored sufficient-statistics expressions;
+        # daily totals rounded before the second aggregation level
+        "q_trend_fit": """
+            WITH daily AS (
+              SELECT event_type AS series, date_trunc('day', ts) AS day,
+                     round(sum(value), 4) AS y
+              FROM events GROUP BY 1, 2
+            ),
+            d2 AS (
+              SELECT series, CAST(date_diff('day', DATE '2024-01-01', day) AS DOUBLE) AS x, y
+              FROM daily
+            ),
+            a AS (
+              SELECT series, CAST(count(*) AS DOUBLE) AS n,
+                     sum(x) AS sx, sum(y) AS sy, sum(x * y) AS sxy, sum(x * x) AS sxx
+              FROM d2 GROUP BY 1
+            )
+            SELECT series, CAST(n AS BIGINT) AS n_days,
+                   round((n * sxy - sx * sy) / (n * sxx - sx * sx), 4) AS slope,
+                   round((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n, 4) AS intercept
+            FROM a
+        """,
         # fuzzy prefix join: blocked candidates + unbounded levenshtein
         # (Spark's thresholded variant keeps the identical pair set)
         "q_fuzzy_prefix_join": f"""

@@ -2496,3 +2496,48 @@ def promotion_suppliers(
         F.col("n_name").alias("nation"),
         "total_qty",
     ).orderBy("s_suppkey")
+
+
+def trend_fit(
+    events: DataFrame,
+    *,
+    value_col: str = "value",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    epoch: str = "2024-01-01",
+) -> DataFrame:
+    """Per-series linear trend: ordinary-least-squares slope/intercept of
+    the DAILY total against the day index, per event type — the grouped
+    closed-form regression every metrics pipeline runs ("is this series
+    growing?"). Two map-side-partial aggregations, no window, no
+    iteration: OLS over (x, y) needs only Σx, Σy, Σxy, Σx², n, so the
+    whole fit is the classic sufficient-statistics pattern that scales
+    exactly like a count — at 100 TB each series' statistics reduce
+    tree-wise; nothing materializes per-point state.
+
+    Daily totals round to 4 decimals BEFORE the second aggregation (both
+    engines), so cross-engine float-summation-order noise is confined to
+    the day level; slope/intercept round to 4 at the end.
+    """
+    day = F.date_trunc("day", F.col(ts_col))
+    daily = (
+        events.groupBy(F.col(type_col).alias("series"), day.alias("day"))
+        .agg(F.round(F.sum(value_col), 4).alias("y"))
+        .withColumn("x", F.datediff(F.col("day"), F.lit(epoch)).cast("double"))
+    )
+    agg = daily.groupBy("series").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return agg.select(
+        "series",
+        F.col("n").cast("long").alias("n_days"),
+        F.round(slope, 4).alias("slope"),
+        F.round((F.col("sy") - slope * F.col("sx")) / F.col("n"), 4).alias("intercept"),
+    )

@@ -540,3 +540,23 @@ def test_asof_ranged_carries_across_empty_buckets(spark):
     assert got[100] == (dt2.datetime(2024, 1, 18), 60)
     assert got[101] == (dt2.datetime(2024, 1, 18), 60)
     assert got[102] == (None, None)
+
+
+def test_trend_fit_recovers_planted_slope(spark):
+    import datetime
+
+    # series A: y = 10 + 2x exactly (one event/day); B: flat at 7
+    rows = []
+    for d in range(30):
+        ts = datetime.datetime(2024, 1, 1, 12) + datetime.timedelta(days=d)
+        rows.append((d, ts, 1, "A", 10.0 + 2.0 * d, "{}"))
+        rows.append((1000 + d, ts, 1, "B", 7.0, "{}"))
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    got = {r["series"]: r for r in analytics.trend_fit(ev).collect()}
+    assert got["A"]["n_days"] == 30
+    assert abs(got["A"]["slope"] - 2.0) < 1e-9
+    assert abs(got["A"]["intercept"] - 10.0) < 1e-9
+    assert abs(got["B"]["slope"]) < 1e-9
+    assert abs(got["B"]["intercept"] - 7.0) < 1e-9

@@ -834,6 +834,14 @@ def q_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.cluster_sizes(_dedup_clusters(spark, sf_dir))
 
 
+def q_fuzzy_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B33/record linkage, pass 2: sorted-neighborhood fuzzy matching —
+    each document compared to its next 5 neighbors in token-prefix sort
+    order (global order via the range-partitioned two-phase numbering,
+    neighbor ranks expanded to an equi-join). Full oracle."""
+    return dedup.fuzzy_sorted_neighborhood(load_table(spark, sf_dir, "documents"))
+
+
 def q_trend_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B15/B20 family: per-series OLS trend (slope/intercept of daily
     totals vs day index) via sufficient statistics — two map-side
@@ -2161,6 +2169,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_bpe_merges": q_bpe_merges,
         "q_bpe_encode": q_bpe_encode,
         "q_fuzzy_prefix_join": q_fuzzy_prefix_join,
+        "q_fuzzy_sorted_neighborhood": q_fuzzy_sorted_neighborhood,
         "q_trend_fit": q_trend_fit,
         # rows-only-by-design tail of the never-evaluated block
         "q_multimodal_audio": q_multimodal_audio,
@@ -3915,6 +3924,26 @@ def oracle_sql() -> dict[str, str]:
         "q_bpe_pair_stats": _bpe_pair_stats_oracle_sql(),
         "q_bpe_merges": _bpe_merges_oracle_sql(),
         "q_bpe_encode": _bpe_encode_oracle_sql(),
+        # sorted-neighborhood fuzzy pass: total order by (pfx, id),
+        # neighbor window of 5 following ranks, id-ordered pair emission
+        "q_fuzzy_sorted_neighborhood": f"""
+            WITH t AS (
+              SELECT doc_id,
+                     COALESCE(array_to_string({_TOKENS_SQL}[1:8], ' '), '') AS pfx
+              FROM documents
+            ),
+            rk AS (
+              SELECT doc_id, pfx, row_number() OVER (ORDER BY pfx, doc_id) AS rn FROM t
+            ),
+            probes AS (
+              SELECT doc_id, pfx, rn + unnest(range(1, 6)) AS rn2 FROM rk
+            )
+            SELECT least(a.doc_id, b.doc_id) AS doc_a,
+                   greatest(a.doc_id, b.doc_id) AS doc_b,
+                   CAST(levenshtein(a.pfx, b.pfx) AS BIGINT) AS dist
+            FROM probes a JOIN rk b ON a.rn2 = b.rn
+            WHERE levenshtein(a.pfx, b.pfx) <= 10
+        """,
         # grouped OLS trend: mirrored sufficient-statistics expressions;
         # daily totals rounded before the second aggregation level
         "q_trend_fit": """

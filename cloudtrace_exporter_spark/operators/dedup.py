@@ -1111,3 +1111,58 @@ def fuzzy_prefix_join(
         )
         .filter(F.col("dist") >= 0)
     )
+
+
+def fuzzy_sorted_neighborhood(
+    df: DataFrame,
+    *,
+    n_prefix_tokens: int = 8,
+    max_dist: int = 10,
+    window: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Sorted-neighborhood fuzzy matching — the classic second pass after
+    blocked matching (``fuzzy_prefix_join``): sort the corpus by its
+    token prefix and compare each record only to its next ``window``
+    neighbors in sort order. Catches pairs a hard blocking key splits
+    (different first token, different block attribute) while still doing
+    O(n·window) comparisons.
+
+    Scale shape: the global total order comes from
+    ``analytics.global_row_number`` (range-partitioned two-phase
+    numbering — never a single-task window), and the rank-range
+    neighbor join is rewritten as an EQUI-join by exploding each row
+    into its ``window`` following rank slots (a narrow ≤window× map of
+    (rank, id, prefix) triples, never full rows) — no range/theta join,
+    no nested loop. Pairs emit id-ordered (least/greatest) with their
+    edit distance.
+    """
+    from cloudtrace_exporter_spark.operators.analytics import global_row_number
+
+    t = tokens(text_col)
+    keyed = df.select(
+        F.col(id_col).alias("id"),
+        F.concat_ws(" ", F.slice(t, 1, n_prefix_tokens)).alias("pfx"),
+    )
+    rk = global_row_number(keyed, ["pfx", "id"]).select("id", "pfx", "rn")
+    probes = rk.select(
+        "id",
+        "pfx",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.lit(window)), lambda k: F.col("rn") + k
+            )
+        ).alias("rn"),
+    )
+    a, b = probes.alias("a"), rk.alias("b")
+    dist = F.levenshtein(F.col("a.pfx"), F.col("b.pfx"), max_dist)
+    return (
+        a.join(b, F.col("a.rn") == F.col("b.rn"))
+        .select(
+            F.least(F.col("a.id"), F.col("b.id")).alias("doc_a"),
+            F.greatest(F.col("a.id"), F.col("b.id")).alias("doc_b"),
+            dist.cast("long").alias("dist"),
+        )
+        .filter(F.col("dist") >= 0)
+    )

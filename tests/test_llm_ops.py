@@ -468,6 +468,27 @@ def test_fuzzy_prefix_join_blocks_and_thresholds(spark):
     assert all((4 not in p) and (5 not in p) for p in wide)
 
 
+def test_fuzzy_sorted_neighborhood_catches_cross_block_pairs(spark):
+    # docs 1/2 differ in their FIRST token (1 edit) — the hard blocking
+    # key of fuzzy_prefix_join splits them, but prefix sort order keeps
+    # them adjacent, so the sorted-neighborhood pass recovers the pair
+    docs = spark.createDataFrame(
+        [
+            (1, "en", "alpha beta gamma delta"),
+            (2, "en", "alphA beta gamma delta"),
+            (3, "en", "zzz yyy xxx www"),
+        ],
+        "doc_id long, lang string, text string",
+    )
+    blocked = dedup.fuzzy_prefix_join(docs, max_dist=3).collect()
+    assert blocked == []  # split by the first-token block
+    snm = {
+        (r["doc_a"], r["doc_b"]): r["dist"]
+        for r in dedup.fuzzy_sorted_neighborhood(docs, max_dist=3).collect()
+    }
+    assert snm == {(1, 2): 1}
+
+
 def test_bm25_topk_ranking_axioms(spark):
     # fixed-length docs isolate tf; d3 isolates length normalization;
     # d4 contains no query term at all

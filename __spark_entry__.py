@@ -834,6 +834,16 @@ def q_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.cluster_sizes(_dedup_clusters(spark, sf_dir))
 
 
+def q_rendezvous_shard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North-star ops: rendezvous (HRW) shard routing — per-document
+    consistent shard assignment over a 4-shard fleet; zero-shuffle
+    narrow map. Full oracle (md5 argmax replayed via a ranked unnest)."""
+    return analytics.rendezvous_shard(
+        load_table(spark, sf_dir, "documents").select("doc_id"),
+        ["shard0", "shard1", "shard2", "shard3"],
+    )
+
+
 def q_fuzzy_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B33/record linkage, pass 2: sorted-neighborhood fuzzy matching —
     each document compared to its next 5 neighbors in token-prefix sort
@@ -1594,6 +1604,64 @@ def _bpe_pair_stats_oracle_sql(*, top_n: int = 50) -> str:
     """
 
 
+def q_bm25_percolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B34/B35 + streaming twin: the BM25 percolator run in BATCH — every
+    document scored against the standing query set under frozen corpus
+    stats (literal idf/avgdl, per-term tf from the row's own token
+    array; the identical narrow map streaming.stream_score_bm25 runs at
+    ingest). Full oracle: DuckDB recomputes the same stats and formula."""
+    from cloudtrace_exporter_spark.streaming.pipeline import stream_score_bm25
+
+    docs = load_table(spark, sf_dir, "documents")
+    terms = sorted({t for _, q in _BM25_QUERIES for t in q.split(" ")})
+    stats = text.bm25_corpus_stats(docs, terms)
+    return stream_score_bm25(docs, _BM25_QUERIES, stats)
+
+
+def _bm25_percolate_oracle_sql(*, k1: float = 1.2, b: float = 0.75) -> str:
+    """DuckDB replay of the frozen-stats percolator: stats CTEs feed the
+    same idf/tf/length-normalization formula per (doc × query term)."""
+    values = ", ".join(f"({qid}, '{qtext}')" for qid, qtext in _BM25_QUERIES)
+    idf = "ln(1.0 + (((n_docs - dfreq) + 0.5) / (dfreq + 0.5)))"
+    norm = f"(tf + ({k1!r} * ({1 - b!r} + (({b!r} * dl) / avgdl))))"
+    return f"""
+        WITH q(query_id, qtext) AS (VALUES {values}),
+        qt AS (
+          SELECT query_id,
+                 unnest(list_distinct(list_filter(string_split(qtext, ' '), x -> x <> ''))) AS term
+          FROM q
+        ),
+        stats AS (
+          SELECT count(*) AS n_docs, avg(len({_TOKENS_SQL})) AS avgdl FROM documents
+        ),
+        dfq AS (
+          SELECT term, count(*) AS dfreq FROM (
+            SELECT DISTINCT doc_id, unnest({_TOKENS_SQL}) AS term FROM documents
+          ) WHERE term IN (SELECT DISTINCT term FROM qt)
+          GROUP BY term
+        ),
+        d AS (
+          SELECT doc_id, {_TOKENS_SQL} AS t,
+                 CAST(len({_TOKENS_SQL}) AS DOUBLE) AS dl
+          FROM documents
+        ),
+        contrib AS (
+          SELECT d.doc_id, qt.query_id,
+                 CAST(len(list_filter(d.t, x -> x = qt.term)) AS DOUBLE) AS tf,
+                 dfq.dfreq, d.dl
+          FROM d CROSS JOIN qt JOIN dfq USING (term)
+        )
+        SELECT doc_id, query_id, score FROM (
+          SELECT doc_id, query_id,
+                 round(sum(CASE WHEN tf > 0
+                                THEN {idf} * ((tf * {k1 + 1!r}) / {norm})
+                                ELSE 0.0 END), 4) AS score
+          FROM contrib CROSS JOIN stats
+          GROUP BY doc_id, query_id
+        ) WHERE score > 0.0
+    """
+
+
 def _bm25_oracle_sql(*, k: int = 5, k1: float = 1.2, b: float = 0.75) -> str:
     """DuckDB replay of text.bm25_topk over the fixed query batch."""
     values = ", ".join(f"({qid}, '{qtext}')" for qid, qtext in _BM25_QUERIES)
@@ -2165,12 +2233,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_quality_calibrated": q_quality_calibrated,
         "q_leakage_safe_splits": q_leakage_safe_splits,
         "q_bm25_topk": q_bm25_topk,
+        "q_bm25_percolate": q_bm25_percolate,
         "q_bpe_pair_stats": q_bpe_pair_stats,
         "q_bpe_merges": q_bpe_merges,
         "q_bpe_encode": q_bpe_encode,
         "q_fuzzy_prefix_join": q_fuzzy_prefix_join,
         "q_fuzzy_sorted_neighborhood": q_fuzzy_sorted_neighborhood,
         "q_trend_fit": q_trend_fit,
+        "q_rendezvous_shard": q_rendezvous_shard,
         # rows-only-by-design tail of the never-evaluated block
         "q_multimodal_audio": q_multimodal_audio,
         "q_incremental_near_dedup": q_incremental_near_dedup,
@@ -3920,10 +3990,24 @@ def oracle_sql() -> dict[str, str]:
         # to the final 4-decimal rounding; ranking is over the ROUNDED
         # score (both engines), doc_id ties deterministic
         "q_bm25_topk": _bm25_oracle_sql(),
+        "q_bm25_percolate": _bm25_percolate_oracle_sql(),
         # BPE: round-zero census + the 6-round trainer unrolled as CTEs
         "q_bpe_pair_stats": _bpe_pair_stats_oracle_sql(),
         "q_bpe_merges": _bpe_merges_oracle_sql(),
         "q_bpe_encode": _bpe_encode_oracle_sql(),
+        # rendezvous shard: per-key md5 argmax, replayed as ranked unnest
+        # (ties, impossible in practice, break to the greatest shard name
+        # in both engines)
+        "q_rendezvous_shard": """
+            SELECT doc_id, s AS shard FROM (
+              SELECT doc_id, s,
+                     row_number() OVER (
+                       PARTITION BY doc_id
+                       ORDER BY md5(CAST(doc_id AS VARCHAR) || ':' || s) DESC, s DESC
+                     ) AS rn
+              FROM documents, unnest(['shard0', 'shard1', 'shard2', 'shard3']) AS t(s)
+            ) WHERE rn = 1
+        """,
         # sorted-neighborhood fuzzy pass: total order by (pfx, id),
         # neighbor window of 5 following ranks, id-ordered pair emission
         "q_fuzzy_sorted_neighborhood": f"""

@@ -2541,3 +2541,35 @@ def trend_fit(
         F.round(slope, 4).alias("slope"),
         F.round((F.col("sy") - slope * F.col("sx")) / F.col("n"), 4).alias("intercept"),
     )
+
+
+def rendezvous_shard(
+    df: DataFrame,
+    shards: list[str],
+    *,
+    key_col: str = "doc_id",
+) -> DataFrame:
+    """Rendezvous (highest-random-weight) shard routing: each key goes to
+    the shard whose md5(key:shard) is highest — the consistent-hashing
+    primitive for routing documents/vectors to index shards. Against
+    modulo routing, adding or removing a shard moves only ~1/(n+1) of
+    the keys (every key's other candidate weights are untouched), so an
+    index fleet can grow without a full re-shard — the property the
+    minimal-move unit test pins.
+
+    Pure narrow map: the shard list enters as an array literal, the
+    argmax folds in-row over |shards| md5 evaluations (array_max over
+    (hash, shard) structs — struct ordering is fieldwise, ties break to
+    the greatest shard name). Zero shuffles at any scale.
+    """
+    key = F.col(key_col).cast("string")
+    candidates = F.array(
+        *[
+            F.struct(
+                F.md5(F.concat(key, F.lit(":" + s)).cast("binary")).alias("h"),
+                F.lit(s).alias("s"),
+            )
+            for s in shards
+        ]
+    )
+    return df.withColumn("shard", F.array_max(candidates)["s"])

@@ -560,3 +560,23 @@ def test_trend_fit_recovers_planted_slope(spark):
     assert abs(got["A"]["intercept"] - 10.0) < 1e-9
     assert abs(got["B"]["slope"]) < 1e-9
     assert abs(got["B"]["intercept"] - 7.0) < 1e-9
+
+
+def test_rendezvous_shard_minimal_movement(spark):
+    keys = spark.range(2000).withColumnRenamed("id", "doc_id")
+    four = analytics.rendezvous_shard(keys, ["s0", "s1", "s2", "s3"])
+    five = analytics.rendezvous_shard(keys, ["s0", "s1", "s2", "s3", "s4"])
+    a = {r["doc_id"]: r["shard"] for r in four.collect()}
+    b = {r["doc_id"]: r["shard"] for r in five.collect()}
+    moved = [k for k in a if a[k] != b[k]]
+    # HRW guarantee: every moved key moved TO the new shard, nothing
+    # reshuffled among the old shards
+    assert all(b[k] == "s4" for k in moved)
+    # ~1/5 of keys move (binomial around 400/2000); modulo routing would
+    # move ~4/5
+    assert 250 < len(moved) < 550
+    # roughly balanced across shards
+    from collections import Counter
+
+    c = Counter(a.values())
+    assert min(c.values()) > 300

@@ -318,6 +318,21 @@ def test_bpe_encode_broadcasts_segmentation_vocab(plans):
     assert "BroadcastHashJoin" in p
 
 
+def test_rendezvous_shard_is_zero_shuffle(plans):
+    # HRW routing is an in-row argmax over an array literal — any
+    # Exchange here would mean the shard list leaked into a join
+    p = plans("q_rendezvous_shard")
+    assert _data_shuffles(p) == 0
+
+
+def test_trend_fit_has_no_window(plans):
+    # OLS via sufficient statistics: two hash aggregations, never a
+    # per-series sort window
+    p = plans("q_trend_fit")
+    assert "Window" not in p
+    assert _data_shuffles(p) <= 2
+
+
 def test_leakage_safe_splits_is_narrow_over_assignment(spark, sf_dir):
     # given a materialized (doc_id, component) assignment, the split
     # labeling itself must add ZERO exchanges — pure projection

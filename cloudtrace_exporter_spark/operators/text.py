@@ -188,61 +188,54 @@ def bm25_topk(
     always-positive Lucene form ln(1 + (N − df + 0.5)/(df + 0.5));
     each distinct query term counts once (standard short-query BM25).
 
-    Plan shape, inverted-index-free: (doc, term) tf aggregation carries
-    doc length through the SAME shuffle (1); the corpus is then
-    semi-reduced to query terms via a BROADCAST of the tiny term set,
-    and document frequency is a map-side-partial aggregate over the
-    matched posting rows whose OUTPUT is at most |query terms| rows —
-    broadcast back (2, cheap), never a full-vocab aggregate or a
-    term-window sort; corpus size and average doc length enter as a
-    1-row broadcast. Per-(query, doc) summation is the third shuffle,
-    and the final top-k window partitions BY QUERY (parallel across the
-    query batch — with few queries at 100 TB, pre-prune candidates per
-    query à la WAND before this window). Scores round to 4 decimals
-    (the summed-float precedent of lm_unigram_score).
+    Plan shape — the percolator formulation, not the posting-shuffle
+    one: corpus statistics (per-term df, N, avgdl) freeze into a
+    KB-sized driver snapshot (``bm25_corpus_stats``, two aggregate-only
+    jobs — the sanctioned collect of the IVF/PQ index artifacts), then
+    every document's score against every query is ONE narrow map: idf
+    and avgdl are literals and per-term tf reads the row's own token
+    array (``bm25_score_expr``). No (doc, term) explode, no posting
+    shuffle — the only shuffle left is the per-query top-k window
+    (parallel across the query batch; with few queries at 100 TB,
+    pre-prune candidates à la WAND before it). Scores round to 4
+    decimals (the summed-float precedent of lm_unigram_score); an
+    earlier posting-shuffle formulation produced bit-identical scores
+    (pinned by the streaming parity test) at ~3× the stage count.
     """
     from pyspark.sql import Window
 
-    spark = documents.sparkSession
-    qdf = spark.createDataFrame(queries, "query_id long, qtext string")
-    qterms = qdf.select(
-        "query_id", F.explode(F.array_distinct(tokens("qtext"))).alias("term")
-    )
-    # query-term semi-join BELOW the tf aggregate: non-query tokens are
-    # dropped before anything shuffles (the broadcast filter rides the
-    # corpus scan), so the (doc, term) aggregation only ever sees the
-    # matched posting rows. Doc length is computed narrowly per row
-    # BEFORE the explode — it must count ALL tokens, not matched ones.
-    tok = documents.select(
+    all_terms = sorted({t for _, qtext in queries for t in qtext.split(" ") if t})
+    stats = bm25_corpus_stats(documents, all_terms, text_col=text_col)
+    base = documents.select(
         F.col(id_col).alias("doc_id"),
-        token_count(text_col).alias("dl"),
-        F.explode(tokens(text_col)).alias("term"),
-    ).join(F.broadcast(qterms.select("term").distinct()), "term", "left_semi")
-    # tf feeds two consumers (df aggregate + scoring join): materialize
-    # the matched-postings slice once (localCheckpoint — the same
-    # fan-out treatment as curation lineage and the BPE vocab) so the
-    # static plan doesn't duplicate the corpus pass
-    tf = (
-        tok.groupBy("doc_id", "term")
-        .agg(F.count(F.lit(1)).alias("tf"), F.max("dl").alias("dl"))
-        .localCheckpoint()
+        tokens(text_col).alias("__t"),
+        token_count(text_col).cast("double").alias("__dl"),
     )
-    stats = documents.agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.avg(token_count(text_col)).alias("avgdl"),
-    )
-    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("dfreq"))
-    matched = tf.join(F.broadcast(dfreq), "term")
-    idf = F.log(F.lit(1.0) + (F.col("n_docs") - F.col("dfreq") + 0.5) / (F.col("dfreq") + 0.5))
-    term_score = idf * (
-        F.col("tf") * (k1 + 1)
-        / (F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.col("avgdl")))
-    )
+    per_query = []
+    for qid, qtext in queries:
+        q_terms = [t for t in qtext.split(" ") if t]
+        hits = F.size(
+            F.array_intersect(
+                F.array_distinct(F.col("__t")),
+                F.array(*[F.lit(t) for t in sorted(set(q_terms))]),
+            )
+        )
+        per_query.append(
+            F.struct(
+                F.lit(qid).alias("query_id"),
+                F.round(
+                    bm25_score_expr(
+                        F.col("__t"), F.col("__dl"), q_terms, stats, k1=k1, b=b
+                    ),
+                    4,
+                ).alias("score"),
+                hits.alias("hits"),
+            )
+        )
     scored = (
-        matched.join(F.broadcast(qterms), "term")
-        .crossJoin(F.broadcast(stats))
-        .groupBy("query_id", "doc_id")
-        .agg(F.round(F.sum(term_score), 4).alias("score"))
+        base.select("doc_id", F.explode(F.array(*per_query)).alias("q"))
+        .filter(F.col("q.hits") > 0)
+        .select(F.col("q.query_id").alias("query_id"), "doc_id", F.col("q.score").alias("score"))
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
     return (

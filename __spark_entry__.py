@@ -1497,6 +1497,20 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.bm25_topk(load_table(spark, sf_dir, "documents"), _BM25_QUERIES, k=5)
 
 
+def q_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B34/B35 composition: hybrid retrieval — reciprocal-rank fusion of
+    the sparse (BM25 top-5) and dense (exact cosine top-5) rankings for
+    the shared query ids. Fusion runs over top-k-sized frames (KB at any
+    corpus size); the RRF score is a fixed two-term expression over
+    integer ranks — bit-identical across engines, emitted raw."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    sparse = text.bm25_topk(load_table(spark, sf_dir, "documents"), _BM25_QUERIES, k=5)
+    dense = similarity.cosine_topk(emb, emb.filter(F.col("vec_id") < 10), k=5).select(
+        "query_id", F.col("corpus_id").alias("doc_id"), "rnk"
+    )
+    return similarity.rrf_fuse(sparse, dense)
+
+
 def q_bpe_pair_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B35/tokenizer: round-zero BPE table — top-50 adjacent character
     pairs weighted by word frequency. Full oracle (integer counts,
@@ -2234,6 +2248,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_leakage_safe_splits": q_leakage_safe_splits,
         "q_bm25_topk": q_bm25_topk,
         "q_bm25_percolate": q_bm25_percolate,
+        "q_hybrid_rrf": q_hybrid_rrf,
         "q_bpe_pair_stats": q_bpe_pair_stats,
         "q_bpe_merges": q_bpe_merges,
         "q_bpe_encode": q_bpe_encode,
@@ -3991,6 +4006,23 @@ def oracle_sql() -> dict[str, str]:
         # score (both engines), doc_id ties deterministic
         "q_bm25_topk": _bm25_oracle_sql(),
         "q_bm25_percolate": _bm25_percolate_oracle_sql(),
+        # hybrid RRF: both retriever oracles as subqueries, fused with the
+        # identical two-term reciprocal-rank expression (raw doubles)
+        "q_hybrid_rrf": f"""
+            WITH bm AS ({_bm25_oracle_sql()}),
+            cs AS ({_COSINE_TOPK_SQL}),
+            cd AS (SELECT query_id, corpus_id AS doc_id, rnk FROM cs),
+            fused AS (
+              SELECT COALESCE(bm.query_id, cd.query_id) AS query_id,
+                     COALESCE(bm.doc_id, cd.doc_id) AS item,
+                     COALESCE(1.0 / (60 + bm.rnk), 0.0) + COALESCE(1.0 / (60 + cd.rnk), 0.0) AS rrf
+              FROM bm FULL OUTER JOIN cd
+                ON bm.query_id = cd.query_id AND bm.doc_id = cd.doc_id
+            )
+            SELECT query_id, item AS doc_id, rrf,
+                   row_number() OVER (PARTITION BY query_id ORDER BY rrf DESC, item ASC) AS fused_rnk
+            FROM fused
+        """,
         # BPE: round-zero census + the 6-round trainer unrolled as CTEs
         "q_bpe_pair_stats": _bpe_pair_stats_oracle_sql(),
         "q_bpe_merges": _bpe_merges_oracle_sql(),

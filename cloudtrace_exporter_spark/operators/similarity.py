@@ -878,3 +878,47 @@ def semantic_dedup(
             pruned.select(F.col("id_b").alias(id_col), F.lit(False).alias("keep"))
         )
     )
+
+
+def rrf_fuse(
+    sparse: DataFrame,
+    dense: DataFrame,
+    *,
+    k: int = 60,
+    item_col: str = "doc_id",
+) -> DataFrame:
+    """Hybrid-retrieval fusion via reciprocal-rank fusion (RRF,
+    Cormack et al. 2009): merge a sparse (BM25) and a dense (cosine/ANN)
+    ranking into one list per query, scoring each item
+    1/(k + rank_sparse) + 1/(k + rank_dense) with a missing rank
+    contributing 0 — the standard rank-space combiner that needs no
+    score calibration between the two retrievers.
+
+    Inputs are (query_id, <item>, rnk) frames — exactly what bm25_topk
+    and cosine_topk/lsh_topk emit. Both are top-k-sized (rows ≤
+    |queries|·k), so the full-outer join and the re-rank window are
+    KB-scale at ANY corpus size: the heavy lifting happened inside the
+    retrievers; fusion itself is free. The RRF score is a fixed
+    two-term expression over integer ranks — bit-identical across
+    engines, emitted raw (no rounding needed).
+    """
+    from pyspark.sql import Window
+
+    a = sparse.select(
+        "query_id", F.col(item_col).alias("item"), F.col("rnk").alias("rnk_a")
+    )
+    b = dense.select(
+        "query_id", F.col(item_col).alias("item"), F.col("rnk").alias("rnk_b")
+    )
+    fused = a.join(b, ["query_id", "item"], "full_outer").withColumn(
+        "rrf",
+        F.coalesce(F.lit(1.0) / (F.lit(k) + F.col("rnk_a")), F.lit(0.0))
+        + F.coalesce(F.lit(1.0) / (F.lit(k) + F.col("rnk_b")), F.lit(0.0)),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("rrf"), F.asc("item"))
+    return fused.select(
+        "query_id",
+        F.col("item").alias(item_col),
+        "rrf",
+        F.row_number().over(w).cast("long").alias("fused_rnk"),
+    )

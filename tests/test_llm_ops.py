@@ -1159,3 +1159,21 @@ def test_intra_doc_dedup_drops_repeats_keeps_first(spark):
     assert rows[1]["clean_fp"] == hashlib.md5(f"{a} {bch}".encode()).hexdigest()
     assert (rows[2]["n_chunks"], rows[2]["n_kept"]) == (2, 2)
     assert rows[2]["clean_fp"] == hashlib.md5(f"{bch} {a}".encode()).hexdigest()
+
+
+def test_rrf_fuse_rank_space_properties(spark):
+    sparse = spark.createDataFrame(
+        [(0, 10, 1), (0, 11, 2), (0, 12, 3)], "query_id long, doc_id long, rnk long"
+    )
+    dense = spark.createDataFrame(
+        [(0, 11, 1), (0, 13, 2)], "query_id long, doc_id long, rnk long"
+    )
+    out = {r["doc_id"]: r for r in similarity.rrf_fuse(sparse, dense).collect()}
+    # doc 11 appears in both lists: its RRF is the sum of both terms and
+    # it must outrank every single-list doc
+    assert abs(out[11]["rrf"] - (1 / 62 + 1 / 61)) < 1e-12
+    assert out[11]["fused_rnk"] == 1
+    # single-list docs keep their relative order within the same source
+    assert out[10]["fused_rnk"] < out[12]["fused_rnk"]
+    # missing-from-one-list docs still surface (full outer semantics)
+    assert 13 in out and abs(out[13]["rrf"] - 1 / 62) < 1e-12

@@ -834,6 +834,16 @@ def q_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.cluster_sizes(_dedup_clusters(spark, sf_dir))
 
 
+def q_contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North-star training-pair construction: (anchor, positive,
+    negatives) rows — positives from the exact-Jaccard near-dup pairs
+    (bounded slice; inject minhash_lsh_pairs at scale), negatives
+    md5-priority-ranked from a hash-sampled pool with the anchor's
+    positives anti-joined out. Full oracle (pairs CTE + md5 ranking)."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 1000)
+    return curate.contrastive_pairs(docs)
+
+
 def q_rendezvous_shard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """North-star ops: rendezvous (HRW) shard routing — per-document
     consistent shard assignment over a 4-shard fleet; zero-shuffle
@@ -2256,6 +2266,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_fuzzy_sorted_neighborhood": q_fuzzy_sorted_neighborhood,
         "q_trend_fit": q_trend_fit,
         "q_rendezvous_shard": q_rendezvous_shard,
+        "q_contrastive_pairs": q_contrastive_pairs,
         # rows-only-by-design tail of the never-evaluated block
         "q_multimodal_audio": q_multimodal_audio,
         "q_incremental_near_dedup": q_incremental_near_dedup,
@@ -4027,6 +4038,55 @@ def oracle_sql() -> dict[str, str]:
         "q_bpe_pair_stats": _bpe_pair_stats_oracle_sql(),
         "q_bpe_merges": _bpe_merges_oracle_sql(),
         "q_bpe_encode": _bpe_encode_oracle_sql(),
+        # contrastive pairs: exact-Jaccard positives (capped 2/anchor) +
+        # md5-priority negatives from the 1/8 hash-sampled pool
+        "q_contrastive_pairs": f"""
+            WITH t AS (
+              SELECT doc_id, list_distinct({_TOKENS_SQL}) AS tok
+              FROM documents WHERE doc_id < 1000
+            ),
+            p AS (
+              SELECT a.doc_id AS a, b.doc_id AS b FROM t a JOIN t b ON a.doc_id < b.doc_id
+              WHERE round(CASE WHEN len(list_distinct(list_concat(a.tok, b.tok))) > 0
+                               THEN CAST(len(list_intersect(a.tok, b.tok)) AS DOUBLE)
+                                    / len(list_distinct(list_concat(a.tok, b.tok)))
+                               ELSE 0.0 END, 6) >= 0.95
+            ),
+            bidir AS (
+              SELECT a AS anchor_id, b AS partner_id FROM p
+              UNION ALL SELECT b AS anchor_id, a AS partner_id FROM p
+            ),
+            pos AS (
+              SELECT anchor_id, partner_id, 'pos' AS role, rn AS rnk FROM (
+                SELECT anchor_id, partner_id,
+                       row_number() OVER (PARTITION BY anchor_id ORDER BY partner_id) AS rn
+                FROM bidir
+              ) WHERE rn <= 2
+            ),
+            anchors AS (SELECT DISTINCT anchor_id FROM bidir),
+            pool AS (
+              SELECT doc_id AS cand FROM documents
+              WHERE doc_id < 1000
+                AND substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '20000000'
+            ),
+            negs AS (
+              SELECT anchor_id, cand AS partner_id, 'neg' AS role, rn AS rnk FROM (
+                SELECT anchors.anchor_id, pool.cand,
+                       row_number() OVER (
+                         PARTITION BY anchors.anchor_id
+                         ORDER BY md5(CAST(anchors.anchor_id AS VARCHAR) || ':' || CAST(pool.cand AS VARCHAR)),
+                                  pool.cand
+                       ) AS rn
+                FROM anchors, pool
+                WHERE pool.cand <> anchors.anchor_id
+                  AND NOT EXISTS (
+                    SELECT 1 FROM bidir
+                    WHERE bidir.anchor_id = anchors.anchor_id AND bidir.partner_id = pool.cand
+                  )
+              ) WHERE rn <= 3
+            )
+            SELECT * FROM pos UNION ALL SELECT * FROM negs
+        """,
         # rendezvous shard: per-key md5 argmax, replayed as ranked unnest
         # (ties, impossible in practice, break to the greatest shard name
         # in both engines)

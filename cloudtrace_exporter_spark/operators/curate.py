@@ -257,3 +257,83 @@ def token_budget_sample(
         .filter(F.col("cum_tokens") <= budget_tokens)
         .select("doc_id", "source", "n_tokens", "cum_tokens")
     )
+
+
+def contrastive_pairs(
+    docs: DataFrame,
+    *,
+    threshold: float = 0.95,
+    n_pos: int = 2,
+    n_neg: int = 3,
+    pool_fraction: float = 0.125,
+    pairs: DataFrame | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Contrastive training-pair construction: for every document with at
+    least one near-duplicate, emit its positives (the near-dup partners)
+    and ``n_neg`` deterministic negatives — the (anchor, positive,
+    negatives) triples contrastive embedding training consumes, built
+    entirely from operators this repo already verifies.
+
+    Positives default to exact token-Jaccard pairs (fixture-scale ground
+    truth); inject ``pairs`` from ``dedup.minhash_lsh_pairs`` at corpus
+    scale — the construction is pair-source-agnostic, like
+    ``dedup.dedup_clusters``. Negatives come from a HASH-SAMPLED pool
+    (md5, engine-portable) broadcast against the anchors, ranked per
+    anchor by md5(anchor:candidate) — reproducible across runs, engines,
+    and retries, unlike rand()-based negative sampling — with the
+    anchor's own positives (and itself) anti-joined out. In-batch
+    random negatives are exactly this with pool = the batch.
+
+    Output long-format rows (anchor_id, partner_id, role, rnk): role
+    'pos' rows carry the pair rank by partner id; 'neg' rows the md5
+    priority rank. Scale shape: positives are the near-dup pair volume;
+    negatives are |anchors| × |pool| with the pool broadcast (choose
+    pool_fraction so the pool stays broadcast-sized, or feed a
+    pre-sampled pool per shard).
+    """
+    from cloudtrace_exporter_spark.operators import dedup
+
+    if pairs is None:
+        pairs = dedup.jaccard_pairs(docs, threshold, text_col, id_col)
+    both = pairs.select(
+        F.col("doc_a").alias("anchor_id"), F.col("doc_b").alias("partner_id")
+    ).unionByName(
+        pairs.select(F.col("doc_b").alias("anchor_id"), F.col("doc_a").alias("partner_id"))
+    )
+    w_pos = Window.partitionBy("anchor_id").orderBy("partner_id")
+    pos = (
+        both.select(
+            "anchor_id",
+            "partner_id",
+            F.lit("pos").alias("role"),
+            F.row_number().over(w_pos).cast("long").alias("rnk"),
+        )
+        # cap positives per anchor: a giant near-dup cluster would
+        # otherwise contribute cluster² training rows
+        .filter(F.col("rnk") <= n_pos)
+    )
+    anchors = both.select("anchor_id").distinct()
+    pool = analytics.hash_sample(
+        docs.select(F.col(id_col).alias("cand")), key_col="cand", fraction=pool_fraction
+    )
+    pri = F.md5(
+        F.concat(
+            F.col("anchor_id").cast("string"), F.lit(":"), F.col("cand").cast("string")
+        ).cast("binary")
+    )
+    w_neg = Window.partitionBy("anchor_id").orderBy("pri", "cand")
+    negs = (
+        anchors.join(F.broadcast(pool), F.col("cand") != F.col("anchor_id"))
+        .join(
+            both.withColumnRenamed("partner_id", "cand"),
+            ["anchor_id", "cand"],
+            "left_anti",
+        )
+        .withColumn("pri", pri)
+        .withColumn("rnk", F.row_number().over(w_neg).cast("long"))
+        .filter(F.col("rnk") <= n_neg)
+        .select("anchor_id", F.col("cand").alias("partner_id"), F.lit("neg").alias("role"), "rnk")
+    )
+    return pos.unionByName(negs)

@@ -1177,3 +1177,28 @@ def test_rrf_fuse_rank_space_properties(spark):
     assert out[10]["fused_rnk"] < out[12]["fused_rnk"]
     # missing-from-one-list docs still surface (full outer semantics)
     assert 13 in out and abs(out[13]["rrf"] - 1 / 62) < 1e-12
+
+
+def test_contrastive_pairs_structure(spark):
+    docs = spark.createDataFrame(
+        [(i, f"word{i % 3} alpha beta gamma") for i in range(24)],
+        "doc_id long, text string",
+    )
+    out = curate.contrastive_pairs(docs, threshold=0.9, n_pos=2, n_neg=3, pool_fraction=1.0)
+    rows = out.collect()
+    by_anchor = {}
+    for r in rows:
+        by_anchor.setdefault(r["anchor_id"], []).append(r)
+    pos_pairs = {(r["anchor_id"], r["partner_id"]) for r in rows if r["role"] == "pos"}
+    assert pos_pairs  # near-dup groups exist by construction (3 templates)
+    for anchor, rs in by_anchor.items():
+        pos = [r for r in rs if r["role"] == "pos"]
+        neg = [r for r in rs if r["role"] == "neg"]
+        assert 1 <= len(pos) <= 2 and len(neg) <= 3
+        # negatives never collide with this anchor's positives or itself
+        pos_ids = {r["partner_id"] for r in pos}
+        for r in neg:
+            assert r["partner_id"] != anchor and r["partner_id"] not in pos_ids
+    # determinism: rerun gives identical rows
+    again = curate.contrastive_pairs(docs, threshold=0.9, n_pos=2, n_neg=3, pool_fraction=1.0)
+    assert out.exceptAll(again).count() == 0 and again.exceptAll(out).count() == 0

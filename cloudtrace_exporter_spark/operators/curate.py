@@ -297,10 +297,16 @@ def contrastive_pairs(
 
     if pairs is None:
         pairs = dedup.jaccard_pairs(docs, threshold, text_col, id_col)
-    both = pairs.select(
-        F.col("doc_a").alias("anchor_id"), F.col("doc_b").alias("partner_id")
-    ).unionByName(
-        pairs.select(F.col("doc_b").alias("anchor_id"), F.col("doc_a").alias("partner_id"))
+    # the pair frame feeds THREE consumers (positive ranking, the anchor
+    # set, and the negative anti-join): materialize it once or the
+    # pair-generation subtree (quadratic for the exact source) replays
+    # per consumer — same fan-out treatment as the BPE vocab
+    both = (
+        pairs.select(F.col("doc_a").alias("anchor_id"), F.col("doc_b").alias("partner_id"))
+        .unionByName(
+            pairs.select(F.col("doc_b").alias("anchor_id"), F.col("doc_a").alias("partner_id"))
+        )
+        .localCheckpoint()
     )
     w_pos = Window.partitionBy("anchor_id").orderBy("partner_id")
     pos = (

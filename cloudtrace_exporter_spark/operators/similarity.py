@@ -896,24 +896,28 @@ def rrf_fuse(
 
     Inputs are (query_id, <item>, rnk) frames — exactly what bm25_topk
     and cosine_topk/lsh_topk emit. Both are top-k-sized (rows ≤
-    |queries|·k), so the full-outer join and the re-rank window are
-    KB-scale at ANY corpus size: the heavy lifting happened inside the
-    retrievers; fusion itself is free. The RRF score is a fixed
-    two-term expression over integer ranks — bit-identical across
-    engines, emitted raw (no rounding needed).
+    |queries|·k), so fusion is KB-scale at ANY corpus size: the heavy
+    lifting happened inside the retrievers. Expressed as union +
+    groupBy-sum rather than a full-outer join — same semantics (a
+    missing rank contributes nothing), no join at all, and since at
+    most TWO terms meet per (query, item), float addition's
+    commutativity makes the sum bit-identical regardless of engine
+    aggregation order — emitted raw, no rounding needed.
     """
     from pyspark.sql import Window
 
-    a = sparse.select(
-        "query_id", F.col(item_col).alias("item"), F.col("rnk").alias("rnk_a")
-    )
-    b = dense.select(
-        "query_id", F.col(item_col).alias("item"), F.col("rnk").alias("rnk_b")
-    )
-    fused = a.join(b, ["query_id", "item"], "full_outer").withColumn(
-        "rrf",
-        F.coalesce(F.lit(1.0) / (F.lit(k) + F.col("rnk_a")), F.lit(0.0))
-        + F.coalesce(F.lit(1.0) / (F.lit(k) + F.col("rnk_b")), F.lit(0.0)),
+    def _terms(df: DataFrame) -> DataFrame:
+        return df.select(
+            "query_id",
+            F.col(item_col).alias("item"),
+            (F.lit(1.0) / (F.lit(k) + F.col("rnk"))).alias("term"),
+        )
+
+    fused = (
+        _terms(sparse)
+        .unionByName(_terms(dense))
+        .groupBy("query_id", "item")
+        .agg(F.sum("term").alias("rrf"))
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("rrf"), F.asc("item"))
     return fused.select(

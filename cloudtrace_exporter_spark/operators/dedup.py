@@ -1092,7 +1092,12 @@ def fuzzy_prefix_join(
     keyed = df.select(
         F.col(id_col).alias("id"),
         F.col(block_col).alias("blk"),
-        F.element_at(t, 1).alias("tok1"),
+        # null-tolerant first token (F.get, not element_at): an
+        # empty/whitespace-only document has NO tokens — its NULL block
+        # key never equi-joins, excluding it in both engines (DuckDB
+        # list[1] on an empty list is NULL too). Found by the
+        # hypothesis threshold-monotonicity property.
+        F.get(t, 0).alias("tok1"),
         F.concat_ws(" ", F.slice(t, 1, n_prefix_tokens)).alias("pfx"),
     )
     a, b = keyed.alias("a"), keyed.alias("b")

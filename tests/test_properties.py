@@ -357,3 +357,52 @@ def test_intra_doc_dedup_idempotent(spark_prop, chunks):
     ).first()
     assert r2["n_chunks"] == r2["n_kept"] == len(order)
     assert r2["clean_fp"] == r1["clean_fp"]
+
+
+@given(
+    words=st.lists(
+        st.text(alphabet="abcd", min_size=1, max_size=6), min_size=1, max_size=12
+    ),
+    n_merges=st.integers(0, 4),
+)
+@settings(max_examples=10, deadline=None)
+def test_bpe_encode_piece_count_bounds(spark_prop, words, n_merges):
+    """For ANY corpus and merge count: n_words ≤ bpe_tokens ≤ total
+    characters, and piece counts never increase as merges are added."""
+    from cloudtrace_exporter_spark.operators import text as T
+
+    docs = spark_prop.createDataFrame([(0, " ".join(words))], "doc_id long, text string")
+    row = T.bpe_encode_counts(docs, n_merges=n_merges).first()
+    assert row["n_words"] == len(words)
+    assert len(words) <= row["bpe_tokens"] <= sum(len(w) for w in words)
+    more = T.bpe_encode_counts(docs, n_merges=n_merges + 1).first()
+    assert more["bpe_tokens"] <= row["bpe_tokens"]
+
+
+@given(
+    texts=st.lists(
+        st.text(alphabet="ab ", min_size=1, max_size=12), min_size=2, max_size=6
+    ),
+    max_dist=st.integers(0, 6),
+)
+@settings(max_examples=10, deadline=None)
+def test_fuzzy_prefix_join_threshold_monotone(spark_prop, texts, max_dist):
+    """Raising the edit-distance bound can only ADD pairs, and every
+    reported distance respects its bound."""
+    from cloudtrace_exporter_spark.operators import dedup as D
+
+    docs = spark_prop.createDataFrame(
+        [(i, "en", t) for i, t in enumerate(texts)], "doc_id long, lang string, text string"
+    )
+    tight = {
+        (r["doc_a"], r["doc_b"]): r["dist"]
+        for r in D.fuzzy_prefix_join(docs, max_dist=max_dist).collect()
+    }
+    loose = {
+        (r["doc_a"], r["doc_b"]): r["dist"]
+        for r in D.fuzzy_prefix_join(docs, max_dist=max_dist + 3).collect()
+    }
+    assert set(tight) <= set(loose)
+    assert all(d <= max_dist for d in tight.values())
+    for p, d in tight.items():
+        assert loose[p] == d  # distances don't depend on the bound

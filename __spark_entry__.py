@@ -834,6 +834,13 @@ def q_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.cluster_sizes(_dedup_clusters(spark, sf_dir))
 
 
+def q_seasonal_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B7/B8 depth: day-of-week seasonal fingerprint per event series —
+    counts, weekday averages, and ratio-to-series-mean. Portable integer
+    dow arithmetic (Spark and DuckDB dayofweek() disagree). Full oracle."""
+    return analytics.seasonal_profile(load_table(spark, sf_dir, "events"))
+
+
 def q_contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """North-star training-pair construction: (anchor, positive,
     negatives) rows — positives from the exact-Jaccard near-dup pairs
@@ -2267,6 +2274,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_trend_fit": q_trend_fit,
         "q_rendezvous_shard": q_rendezvous_shard,
         "q_contrastive_pairs": q_contrastive_pairs,
+        "q_seasonal_profile": q_seasonal_profile,
         # rows-only-by-design tail of the never-evaluated block
         "q_multimodal_audio": q_multimodal_audio,
         "q_incremental_near_dedup": q_incremental_near_dedup,
@@ -4038,6 +4046,23 @@ def oracle_sql() -> dict[str, str]:
         "q_bpe_pair_stats": _bpe_pair_stats_oracle_sql(),
         "q_bpe_merges": _bpe_merges_oracle_sql(),
         "q_bpe_encode": _bpe_encode_oracle_sql(),
+        # seasonal profile: integer ISO-dow arithmetic, window over the
+        # (series, dow) grid
+        "q_seasonal_profile": """
+            WITH g AS (
+              SELECT event_type AS series,
+                     (date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) + 3) % 7 + 1 AS dow,
+                     CAST(count(*) AS BIGINT) AS n_events,
+                     sum(value) AS sv
+              FROM events GROUP BY 1, 2
+            )
+            SELECT series, dow, n_events,
+                   round(sv / n_events, 4) AS avg_value,
+                   round((sv / n_events)
+                         / (sum(sv) OVER (PARTITION BY series)
+                            / sum(n_events) OVER (PARTITION BY series)), 4) AS ratio_to_mean
+            FROM g
+        """,
         # contrastive pairs: exact-Jaccard positives (capped 2/anchor) +
         # md5-priority negatives from the 1/8 hash-sampled pool
         "q_contrastive_pairs": f"""

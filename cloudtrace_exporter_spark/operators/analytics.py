@@ -2573,3 +2573,44 @@ def rendezvous_shard(
         ]
     )
     return df.withColumn("shard", F.array_max(candidates)["s"])
+
+
+def seasonal_profile(
+    events: DataFrame,
+    *,
+    value_col: str = "value",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Day-of-week seasonality per series: event count, average value,
+    and the ratio of each weekday's average to the series' overall
+    average — the seasonal fingerprint monitoring pipelines baseline
+    against before flagging a "drop" that is just a weekend.
+
+    Engine-portable weekday: ISO dow computed as pure integer arithmetic
+    on days-since-epoch ((d + 3) mod 7 + 1; 1970-01-01 was a Thursday)
+    — Spark's dayofweek() and DuckDB's dayofweek() disagree on both
+    origin and range, so neither appears in any oracle-checked path.
+    One map-side-partial aggregation to the (series, dow) grid (≤7 rows
+    per series), then window arithmetic over that KB-sized grid — the
+    fact table shuffles once.
+    """
+    dow = (
+        (F.datediff(F.to_date(F.col(ts_col)), F.lit("1970-01-01")) + 3) % 7 + 1
+    )
+    g = events.groupBy(
+        F.col(type_col).alias("series"), dow.alias("dow")
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(value_col).alias("__sv"),
+    )
+    w = Window.partitionBy("series")
+    overall = F.sum("__sv").over(w) / F.sum("n_events").over(w)
+    avg_dow = F.col("__sv") / F.col("n_events")
+    return g.select(
+        "series",
+        "dow",
+        "n_events",
+        F.round(avg_dow, 4).alias("avg_value"),
+        F.round(avg_dow / overall, 4).alias("ratio_to_mean"),
+    )

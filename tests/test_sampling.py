@@ -580,3 +580,23 @@ def test_rendezvous_shard_minimal_movement(spark):
 
     c = Counter(a.values())
     assert min(c.values()) > 300
+
+
+def test_seasonal_profile_dow_and_ratios(spark):
+    import datetime
+
+    # Mondays carry value 20, all other days 10 — ratio must peak on dow 1
+    rows = []
+    for d in range(28):
+        dt = datetime.date(2024, 1, 1) + datetime.timedelta(days=d)  # 2024-01-01 is a Monday
+        v = 20.0 if dt.isoweekday() == 1 else 10.0
+        rows.append((d, datetime.datetime.combine(dt, datetime.time(9)), 1, "A", v, "{}"))
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    got = {r["dow"]: r for r in analytics.seasonal_profile(ev).collect()}
+    assert set(got) == set(range(1, 8))  # ISO: 1=Mon .. 7=Sun
+    assert got[1]["avg_value"] == 20.0 and got[2]["avg_value"] == 10.0
+    overall = (20.0 + 6 * 10.0) / 7
+    assert abs(got[1]["ratio_to_mean"] - round(20.0 / overall, 4)) < 1e-9
+    assert all(got[d]["n_events"] == 4 for d in range(1, 8))

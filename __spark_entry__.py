@@ -841,6 +841,61 @@ def q_seasonal_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return analytics.seasonal_profile(load_table(spark, sf_dir, "events"))
 
 
+def q_ewma_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B7 depth: truncated-EWMA control chart over daily series totals —
+    smoothed baseline, residual, out-of-band flag. The fixed-depth lag
+    expression evaluates the identical float tree in both engines (the
+    recursive EWMA's accumulation order is unpinnable in SQL). Full
+    oracle."""
+    return analytics.ewma_chart(load_table(spark, sf_dir, "events"))
+
+
+def _ewma_oracle_sql(*, alpha: float = 0.3, depth: int = 8, band: float = 2.0) -> str:
+    """DuckDB replay of analytics.ewma_chart: identical weight literals
+    (python-repr doubles), identical term order, rounded residuals
+    feeding the band average."""
+    weights = [alpha * (1 - alpha) ** k for k in range(1, depth + 1)]
+    norm = sum(weights)
+    ewma = " + ".join(
+        f"(COALESCE(lag(y, {k}) OVER w, 0.0) * {wt / norm!r})"
+        for k, wt in enumerate(weights, start=1)
+    )
+    seen = " + ".join(
+        f"((CASE WHEN lag(y, {k}) OVER w IS NOT NULL THEN 1.0 ELSE 0.0 END) * {weights[k - 1] / norm!r})"
+        for k in range(1, depth + 1)
+    )
+    return f"""
+        WITH daily AS (
+          SELECT event_type AS series, date_trunc('day', ts) AS day,
+                 round(sum(value), 4) AS y
+          FROM events GROUP BY 1, 2
+        ),
+        b AS (
+          SELECT series, day, y, {ewma} AS ewma_raw, {seen} AS seen
+          FROM daily WINDOW w AS (PARTITION BY series ORDER BY day)
+        ),
+        s AS (
+          SELECT series, day, y,
+                 round(CASE WHEN seen > 0 THEN ewma_raw / seen END, 4) AS ewma,
+                 round(y - (CASE WHEN seen > 0 THEN ewma_raw / seen END), 4) AS residual
+          FROM b
+        )
+        SELECT series, CAST(day AS DATE) AS day, y, ewma, residual,
+               COALESCE(
+                 mad IS NOT NULL AND abs(residual) > {band!r} * mad,
+                 FALSE
+               ) AS out_of_band
+        FROM (
+          SELECT *,
+                 round(avg(abs(residual)) OVER (
+                   PARTITION BY series ORDER BY day
+                   ROWS BETWEEN {depth} PRECEDING AND 1 PRECEDING
+                 ), 4) AS mad
+          FROM s
+        )
+    """
+
+
 def q_contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """North-star training-pair construction: (anchor, positive,
     negatives) rows — positives from the exact-Jaccard near-dup pairs
@@ -2275,6 +2330,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_rendezvous_shard": q_rendezvous_shard,
         "q_contrastive_pairs": q_contrastive_pairs,
         "q_seasonal_profile": q_seasonal_profile,
+        "q_ewma_chart": q_ewma_chart,
         # rows-only-by-design tail of the never-evaluated block
         "q_multimodal_audio": q_multimodal_audio,
         "q_incremental_near_dedup": q_incremental_near_dedup,
@@ -4046,6 +4102,7 @@ def oracle_sql() -> dict[str, str]:
         "q_bpe_pair_stats": _bpe_pair_stats_oracle_sql(),
         "q_bpe_merges": _bpe_merges_oracle_sql(),
         "q_bpe_encode": _bpe_encode_oracle_sql(),
+        "q_ewma_chart": _ewma_oracle_sql(),
         # seasonal profile: integer ISO-dow arithmetic, window over the
         # (series, dow) grid
         "q_seasonal_profile": """

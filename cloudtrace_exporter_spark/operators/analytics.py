@@ -2614,3 +2614,71 @@ def seasonal_profile(
         F.round(avg_dow, 4).alias("avg_value"),
         F.round(avg_dow / overall, 4).alias("ratio_to_mean"),
     )
+
+
+def ewma_chart(
+    events: DataFrame,
+    *,
+    alpha: float = 0.3,
+    depth: int = 8,
+    band: float = 2.0,
+    value_col: str = "value",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """EWMA control chart over each series' DAILY totals: smoothed
+    baseline, residual, and an out-of-band flag — the classic
+    monitoring primitive for "is today abnormal given the recent
+    trend". The EWMA is TRUNCATED to ``depth`` lags and renormalized
+    (weights α(1−α)^k / Σ): a fixed ``depth``-term expression over
+    lag() columns in a fixed order, so both engines evaluate the
+    identical float tree — bit-exact, unlike the recursive formulation
+    whose accumulation order no SQL engine pins. The band is ``band``×
+    the trailing mean absolute residual over the same window.
+
+    One shuffle: every window shares the (series) partitioning over the
+    daily grid (rows = days × series, tiny); the fact table reduces
+    map-side to that grid first.
+    """
+    day = F.date_trunc("day", F.col(ts_col))
+    daily = events.groupBy(
+        F.col(type_col).alias("series"), day.alias("day")
+    ).agg(F.round(F.sum(value_col), 4).alias("y"))
+    w = Window.partitionBy("series").orderBy("day")
+    weights = [alpha * (1 - alpha) ** k for k in range(1, depth + 1)]
+    norm = sum(weights)
+    ewma = None
+    for k, wt in enumerate(weights, start=1):
+        term = F.coalesce(F.lag("y", k).over(w), F.lit(0.0)) * F.lit(wt / norm)
+        ewma = term if ewma is None else ewma + term
+    seen = None
+    for k in range(1, depth + 1):
+        ind = F.when(F.lag("y", k).over(w).isNotNull(), F.lit(1.0)).otherwise(F.lit(0.0))
+        wnorm = ind * F.lit(weights[k - 1] / norm)
+        seen = wnorm if seen is None else seen + wnorm
+    # renormalize by the weight mass actually present so early rows
+    # (short history) are averages of what exists, not biased to 0
+    baseline = F.when(seen > 0, ewma / seen)
+    # two selects: the band average reads the ROUNDED residual column
+    # (a window over a window result needs its input materialized as a
+    # column, and rounding first keeps the cross-engine float noise out
+    # of the band comparison)
+    step = daily.select(
+        "series",
+        F.to_date("day").alias("day"),
+        "y",
+        F.round(baseline, 4).alias("ewma"),
+        F.round(F.col("y") - baseline, 4).alias("residual"),
+    )
+    mad = F.round(F.avg(F.abs(F.col("residual"))).over(w.rowsBetween(-depth, -1)), 4)
+    return step.select(
+        "series",
+        "day",
+        "y",
+        "ewma",
+        "residual",
+        F.when(
+            mad.isNotNull() & (F.abs(F.col("residual")) > F.lit(band) * mad),
+            F.lit(True),
+        ).otherwise(F.lit(False)).alias("out_of_band"),
+    )

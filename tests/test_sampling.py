@@ -600,3 +600,26 @@ def test_seasonal_profile_dow_and_ratios(spark):
     overall = (20.0 + 6 * 10.0) / 7
     assert abs(got[1]["ratio_to_mean"] - round(20.0 / overall, 4)) < 1e-9
     assert all(got[d]["n_events"] == 4 for d in range(1, 8))
+
+
+def test_ewma_chart_flags_planted_spike(spark):
+    import datetime
+
+    # steady series at 10, one 10x spike on day 20
+    rows = []
+    for d in range(30):
+        ts = datetime.datetime(2024, 3, 1, 9) + datetime.timedelta(days=d)
+        v = 100.0 if d == 20 else 10.0
+        rows.append((d, ts, 1, "A", v, "{}"))
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    got = sorted(analytics.ewma_chart(ev).collect(), key=lambda r: r["day"])
+    by_day = {r["day"].day if hasattr(r["day"], "day") else r["day"]: r for r in got}
+    spike = [r for r in got if r["y"] == 100.0][0]
+    assert spike["out_of_band"] is True
+    assert abs(spike["ewma"] - 10.0) < 1e-6  # baseline unpolluted by the spike itself
+    # steady days well after the spike settle back in-band
+    assert got[-1]["out_of_band"] is False
+    # first row has no history: baseline is NULL, never flagged
+    assert got[0]["ewma"] is None and got[0]["out_of_band"] is False

@@ -841,6 +841,33 @@ def q_seasonal_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return analytics.seasonal_profile(load_table(spark, sf_dir, "events"))
 
 
+def q_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality: Benford first-digit audit per event series —
+    observed digit shares vs log10(1+1/d), portable string-based digit
+    extraction (no float log10 at digit boundaries). Full oracle."""
+    return analytics.benford_audit(load_table(spark, sf_dir, "events"))
+
+
+def q_referential_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality: referential-integrity audit over the fixture's
+    FK graph (lineitem→orders→customer→nation→region, supplier→nation)
+    — child row counts + orphan counts via broadcast anti joins. Full
+    oracle."""
+    t = {
+        n: load_table(spark, sf_dir, n)
+        for n in ("lineitem", "orders", "customer", "supplier", "nation", "region")
+    }
+    return analytics.audit_referential(
+        [
+            ("lineitem.orderkey", t["lineitem"], "l_orderkey", t["orders"], "o_orderkey"),
+            ("orders.custkey", t["orders"], "o_custkey", t["customer"], "c_custkey"),
+            ("customer.nationkey", t["customer"], "c_nationkey", t["nation"], "n_nationkey"),
+            ("supplier.nationkey", t["supplier"], "s_nationkey", t["nation"], "n_nationkey"),
+            ("nation.regionkey", t["nation"], "n_regionkey", t["region"], "r_regionkey"),
+        ]
+    )
+
+
 def q_ewma_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B7 depth: truncated-EWMA control chart over daily series totals —
     smoothed baseline, residual, out-of-band flag. The fixed-depth lag
@@ -2331,6 +2358,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_contrastive_pairs": q_contrastive_pairs,
         "q_seasonal_profile": q_seasonal_profile,
         "q_ewma_chart": q_ewma_chart,
+        "q_benford_audit": q_benford_audit,
+        "q_referential_audit": q_referential_audit,
         # rows-only-by-design tail of the never-evaluated block
         "q_multimodal_audio": q_multimodal_audio,
         "q_incremental_near_dedup": q_incremental_near_dedup,
@@ -4103,6 +4132,50 @@ def oracle_sql() -> dict[str, str]:
         "q_bpe_merges": _bpe_merges_oracle_sql(),
         "q_bpe_encode": _bpe_encode_oracle_sql(),
         "q_ewma_chart": _ewma_oracle_sql(),
+        # Benford: portable string-based first digit (floor(value*100)
+        # as text) — identical even when value*100 lands below an
+        # integer boundary, since both engines share the double math
+        "q_benford_audit": """
+            WITH g AS (
+              SELECT event_type AS series,
+                     CAST(substr(CAST(CAST(floor(value * 100) AS BIGINT) AS VARCHAR), 1, 1) AS INT) AS digit,
+                     CAST(count(*) AS BIGINT) AS n
+              FROM events WHERE value >= 0.01
+              GROUP BY 1, 2
+            )
+            SELECT series, digit, n,
+                   round(CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY series), 4) AS share,
+                   round(log10(1.0 + 1.0 / digit), 4) AS benford,
+                   round(abs(CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY series)
+                             - log10(1.0 + 1.0 / digit)), 4) AS abs_dev
+            FROM g
+        """,
+        "q_referential_audit": """
+            SELECT 'lineitem.orderkey' AS relation,
+                   (SELECT CAST(count(*) AS BIGINT) FROM lineitem) AS n_rows,
+                   (SELECT CAST(count(*) AS BIGINT) FROM lineitem
+                    WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)) AS n_orphans
+            UNION ALL
+            SELECT 'orders.custkey',
+                   (SELECT count(*) FROM orders),
+                   (SELECT count(*) FROM orders
+                    WHERE o_custkey NOT IN (SELECT c_custkey FROM customer))
+            UNION ALL
+            SELECT 'customer.nationkey',
+                   (SELECT count(*) FROM customer),
+                   (SELECT count(*) FROM customer
+                    WHERE c_nationkey NOT IN (SELECT n_nationkey FROM nation))
+            UNION ALL
+            SELECT 'supplier.nationkey',
+                   (SELECT count(*) FROM supplier),
+                   (SELECT count(*) FROM supplier
+                    WHERE s_nationkey NOT IN (SELECT n_nationkey FROM nation))
+            UNION ALL
+            SELECT 'nation.regionkey',
+                   (SELECT count(*) FROM nation),
+                   (SELECT count(*) FROM nation
+                    WHERE n_regionkey NOT IN (SELECT r_regionkey FROM region))
+        """,
         # seasonal profile: integer ISO-dow arithmetic, window over the
         # (series, dow) grid
         "q_seasonal_profile": """

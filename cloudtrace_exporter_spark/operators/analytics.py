@@ -2682,3 +2682,81 @@ def ewma_chart(
             F.lit(True),
         ).otherwise(F.lit(False)).alias("out_of_band"),
     )
+
+
+def benford_audit(
+    events: DataFrame,
+    *,
+    value_col: str = "value",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Benford first-significant-digit audit per series: observed digit
+    shares vs Benford's expectation log10(1 + 1/d) — the forensic
+    data-quality screen for fabricated or clipped numeric feeds.
+
+    Digit extraction is ENGINE-PORTABLE integer/string arithmetic, not
+    log10: the first digit of floor(value·100) as text (values < 0.01
+    and non-positives are excluded) — float log10 at power-of-ten
+    boundaries rounds differently per libm, string-stripping doesn't.
+    One map-side-partial aggregation to the ≤9-row-per-series grid.
+    """
+    cents = F.floor(F.col(value_col) * 100).cast("long")
+    digit = F.substring(cents.cast("string"), 1, 1).cast("int")
+    g = (
+        events.filter(F.col(value_col) >= 0.01)
+        .groupBy(F.col(type_col).alias("series"), digit.alias("digit"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy("series")
+    share = F.col("n") / F.sum("n").over(w)
+    expected = F.log10(F.lit(1.0) + F.lit(1.0) / F.col("digit"))
+    return g.select(
+        "series",
+        "digit",
+        "n",
+        F.round(share, 4).alias("share"),
+        F.round(expected, 4).alias("benford"),
+        F.round(F.abs(share - expected), 4).alias("abs_dev"),
+    )
+
+
+def audit_referential(
+    relations: list[tuple[str, DataFrame, str, DataFrame, str]],
+) -> DataFrame:
+    """Referential-integrity audit: for each declared (name, child, fk,
+    parent, pk) relation, the child row count and the number of ORPHAN
+    rows (fk value with no parent) — the first structural health check
+    any warehouse intake runs.
+
+    Each relation costs one left-anti join; parents are dimension-sized
+    here and broadcast, so the fact tables never shuffle (at 100 TB a
+    fact-fact FK check falls back to a shuffled anti join — still one
+    pass). NULL fks count as orphans (a dangling reference and a missing
+    one are both integrity defects; split them upstream if the
+    distinction matters).
+    """
+    spark = relations[0][1].sparkSession
+    out = None
+    for name, child, fk, parent, pk in relations:
+        stats = child.select(F.col(fk).alias("__fk")).agg(
+            F.count(F.lit(1)).alias("n_rows")
+        )
+        orphans = (
+            child.select(F.col(fk).alias("__fk"))
+            .join(
+                F.broadcast(parent.select(F.col(pk).alias("__fk"))),
+                "__fk",
+                "left_anti",
+            )
+            .agg(F.count(F.lit(1)).alias("n_orphans"))
+        )
+        row = (
+            stats.crossJoin(orphans)
+            .select(
+                F.lit(name).alias("relation"),
+                "n_rows",
+                "n_orphans",
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out

@@ -623,3 +623,35 @@ def test_ewma_chart_flags_planted_spike(spark):
     assert got[-1]["out_of_band"] is False
     # first row has no history: baseline is NULL, never flagged
     assert got[0]["ewma"] is None and got[0]["out_of_band"] is False
+
+
+def test_benford_audit_digits_and_shares(spark):
+    import datetime
+
+    ts = datetime.datetime(2024, 1, 1)
+    rows = [
+        (0, ts, 1, "A", 123.45, "{}"),   # digit 1
+        (1, ts, 1, "A", 19.99, "{}"),    # digit 1
+        (2, ts, 1, "A", 0.92, "{}"),     # digit 9 (92 cents)
+        (3, ts, 1, "A", 0.005, "{}"),    # excluded: below a cent
+        (4, ts, 1, "A", -5.0, "{}"),     # excluded: non-positive
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    got = {r["digit"]: r for r in analytics.benford_audit(ev).collect()}
+    assert set(got) == {1, 9}
+    assert got[1]["n"] == 2 and got[9]["n"] == 1
+    assert abs(got[1]["share"] - round(2 / 3, 4)) < 1e-9
+    import math
+
+    assert abs(got[1]["benford"] - round(math.log10(2), 4)) < 1e-9
+
+
+def test_audit_referential_counts_orphans(spark):
+    child = spark.createDataFrame([(1, 10), (2, 10), (3, 99)], "id long, fk long")
+    parent = spark.createDataFrame([(10,), (11,)], "pk long")
+    out = analytics.audit_referential([("child.fk", child, "fk", parent, "pk")]).collect()
+    assert len(out) == 1
+    assert out[0]["relation"] == "child.fk"
+    assert out[0]["n_rows"] == 3 and out[0]["n_orphans"] == 1

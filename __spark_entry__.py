@@ -841,6 +841,13 @@ def q_seasonal_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return analytics.seasonal_profile(load_table(spark, sf_dir, "events"))
 
 
+def q_rollup_partials(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B16 sibling: numeric continuous-aggregate rollup — daily partial
+    aggregates merged into monthly finals (count/sum/min/max mergeable,
+    mean derived). Full oracle."""
+    return analytics.rollup_partials(load_table(spark, sf_dir, "events"))
+
+
 def q_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Data-quality: Benford first-digit audit per event series —
     observed digit shares vs log10(1+1/d), portable string-based digit
@@ -2360,6 +2367,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_ewma_chart": q_ewma_chart,
         "q_benford_audit": q_benford_audit,
         "q_referential_audit": q_referential_audit,
+        "q_rollup_partials": q_rollup_partials,
         # rows-only-by-design tail of the never-evaluated block
         "q_multimodal_audio": q_multimodal_audio,
         "q_incremental_near_dedup": q_incremental_near_dedup,
@@ -4132,6 +4140,23 @@ def oracle_sql() -> dict[str, str]:
         "q_bpe_merges": _bpe_merges_oracle_sql(),
         "q_bpe_encode": _bpe_encode_oracle_sql(),
         "q_ewma_chart": _ewma_oracle_sql(),
+        "q_rollup_partials": """
+            WITH daily AS (
+              SELECT event_type AS series, date_trunc('day', ts) AS day,
+                     CAST(count(*) AS BIGINT) AS n,
+                     round(sum(value), 4) AS s,
+                     round(min(value), 4) AS mn,
+                     round(max(value), 4) AS mx
+              FROM events GROUP BY 1, 2
+            )
+            SELECT series, CAST(date_trunc('month', day) AS DATE) AS month,
+                   CAST(sum(n) AS BIGINT) AS n_events,
+                   round(sum(s), 4) AS sum_value,
+                   min(mn) AS min_value,
+                   max(mx) AS max_value,
+                   round(round(sum(s), 4) / sum(n), 4) AS mean_value
+            FROM daily GROUP BY 1, 2
+        """,
         # Benford: portable string-based first digit (floor(value*100)
         # as text) — identical even when value*100 lands below an
         # integer boundary, since both engines share the double math

@@ -2760,3 +2760,51 @@ def audit_referential(
         )
         out = row if out is None else out.unionByName(row)
     return out
+
+
+def rollup_partials(
+    events: DataFrame,
+    *,
+    value_col: str = "value",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Numeric continuous-aggregate rollup: daily PARTIAL aggregates
+    (count/sum/min/max — each re-mergeable) merged into monthly finals,
+    mean derived at read time — the incremental-materialized-view
+    pattern (TimescaleDB continuous aggregates, Druid rollup): the raw
+    table is touched once per day, the monthly refresh re-aggregates
+    day-level KBs, never raw rows. The numeric sibling of the HLL
+    sketch rollup (hll_rollup).
+
+    Shuffle shape: one fact shuffle to the daily grid; the monthly merge
+    moves days × series rows. Sums round to 4 at the daily boundary so
+    cross-engine float noise cannot accumulate through the merge.
+    """
+    day = F.date_trunc("day", F.col(ts_col))
+    daily = events.groupBy(
+        F.col(type_col).alias("series"), day.alias("day")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum(value_col), 4).alias("s"),
+        F.round(F.min(value_col), 4).alias("mn"),
+        F.round(F.max(value_col), 4).alias("mx"),
+    )
+    return (
+        daily.groupBy("series", F.date_trunc("month", F.col("day")).alias("month"))
+        .agg(
+            F.sum("n").alias("n_events"),
+            F.round(F.sum("s"), 4).alias("sum_value"),
+            F.min("mn").alias("min_value"),
+            F.max("mx").alias("max_value"),
+        )
+        .select(
+            "series",
+            F.to_date("month").alias("month"),
+            "n_events",
+            "sum_value",
+            "min_value",
+            "max_value",
+            F.round(F.col("sum_value") / F.col("n_events"), 4).alias("mean_value"),
+        )
+    )

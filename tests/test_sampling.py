@@ -655,3 +655,30 @@ def test_audit_referential_counts_orphans(spark):
     assert len(out) == 1
     assert out[0]["relation"] == "child.fk"
     assert out[0]["n_rows"] == 3 and out[0]["n_orphans"] == 1
+
+
+def test_rollup_partials_merge_equals_direct(spark, sf_dir):
+    # the two-level rollup must equal aggregating the raw rows directly
+    # (up to the daily 4-decimal rounding boundary)
+    ev = load_table(spark, sf_dir, "events")
+    merged = {r["series"]: r for r in analytics.rollup_partials(ev).collect()}
+    direct = {
+        r["series"]: r
+        for r in ev.groupBy(
+            F.col("event_type").alias("series"),
+            F.date_trunc("month", "ts").alias("month"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("sum_value"),
+            F.min("value").alias("min_value"),
+            F.max("value").alias("max_value"),
+        )
+        .collect()
+    }
+    assert set(merged) == set(direct)
+    for s in merged:
+        assert merged[s]["n_events"] == direct[s]["n_events"]
+        assert abs(merged[s]["sum_value"] - direct[s]["sum_value"]) < 0.01
+        assert abs(merged[s]["min_value"] - round(direct[s]["min_value"], 4)) < 1e-9
+        assert abs(merged[s]["max_value"] - round(direct[s]["max_value"], 4)) < 1e-9

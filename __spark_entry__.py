@@ -841,6 +841,28 @@ def q_seasonal_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return analytics.seasonal_profile(load_table(spark, sf_dir, "events"))
 
 
+def q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B33 depth: asymmetric token-set containment (|A∩B|/|A| with A the
+    smaller set) — quote/subset detection symmetric Jaccard misses.
+    Reported per engulfed document: its host count and best host
+    (bounded output on the shared-vocab fixture, where raw pair volume
+    is quadratic); same bounded slice as q_ngram_jaccard. Full oracle."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 1000)
+    pairs = dedup.containment_pairs(docs, threshold=0.98)
+    w = Window.partitionBy("inner_id").orderBy(F.desc("containment"), F.asc("host_id"))
+    return (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .groupBy("inner_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_hosts"),
+            F.max(F.when(F.col("rn") == 1, F.col("host_id"))).alias("best_host"),
+            F.max(F.when(F.col("rn") == 1, F.col("containment"))).alias("best_containment"),
+        )
+    )
+
+
 def q_rollup_partials(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B16 sibling: numeric continuous-aggregate rollup — daily partial
     aggregates merged into monthly finals (count/sum/min/max mergeable,
@@ -2368,6 +2390,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_benford_audit": q_benford_audit,
         "q_referential_audit": q_referential_audit,
         "q_rollup_partials": q_rollup_partials,
+        "q_containment_pairs": q_containment_pairs,
         # rows-only-by-design tail of the never-evaluated block
         "q_multimodal_audio": q_multimodal_audio,
         "q_incremental_near_dedup": q_incremental_near_dedup,
@@ -4140,6 +4163,42 @@ def oracle_sql() -> dict[str, str]:
         "q_bpe_merges": _bpe_merges_oracle_sql(),
         "q_bpe_encode": _bpe_encode_oracle_sql(),
         "q_ewma_chart": _ewma_oracle_sql(),
+        # asymmetric containment: smaller set is the inner side, equal
+        # sizes tie to the lower id
+        "q_containment_pairs": f"""
+            WITH t AS (
+              SELECT doc_id, list_distinct({_TOKENS_SQL}) AS tok
+              FROM documents WHERE doc_id < 1000
+            ),
+            pairs AS (
+            SELECT inner_id, host_id, containment FROM (
+              SELECT CASE WHEN len(a.tok) < len(b.tok)
+                            OR (len(a.tok) = len(b.tok) AND a.doc_id < b.doc_id)
+                          THEN a.doc_id ELSE b.doc_id END AS inner_id,
+                     CASE WHEN len(a.tok) < len(b.tok)
+                            OR (len(a.tok) = len(b.tok) AND a.doc_id < b.doc_id)
+                          THEN b.doc_id ELSE a.doc_id END AS host_id,
+                     round(CASE WHEN least(len(a.tok), len(b.tok)) > 0
+                                THEN CAST(len(list_intersect(a.tok, b.tok)) AS DOUBLE)
+                                     / (CASE WHEN len(a.tok) < len(b.tok)
+                                               OR (len(a.tok) = len(b.tok) AND a.doc_id < b.doc_id)
+                                             THEN len(a.tok) ELSE len(b.tok) END)
+                                ELSE 0.0 END, 6) AS containment
+              FROM t a JOIN t b ON a.doc_id < b.doc_id
+            ) WHERE containment >= 0.98
+        ),
+        ranked AS (
+          SELECT *, row_number() OVER (
+            PARTITION BY inner_id ORDER BY containment DESC, host_id ASC
+          ) AS rn
+          FROM pairs
+        )
+        SELECT inner_id,
+               CAST(count(*) AS BIGINT) AS n_hosts,
+               max(CASE WHEN rn = 1 THEN host_id END) AS best_host,
+               max(CASE WHEN rn = 1 THEN containment END) AS best_containment
+        FROM ranked GROUP BY inner_id
+        """,
         "q_rollup_partials": """
             WITH daily AS (
               SELECT event_type AS series, date_trunc('day', ts) AS day,

@@ -1171,3 +1171,41 @@ def fuzzy_sorted_neighborhood(
         )
         .filter(F.col("dist") >= 0)
     )
+
+
+def containment_pairs(
+    df: DataFrame,
+    threshold: float = 0.9,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Asymmetric token-set CONTAINMENT pairs: |A∩B| / |A| ≥ threshold
+    with A the smaller set — catches a document quoted or embedded
+    inside a larger one, which symmetric Jaccard misses (the union term
+    dilutes the score as the host document grows). The subset-dedup
+    screen (small doc is the candidate duplicate, the larger its host).
+
+    Same O(n²) fixture-scale shape and bounded-slice discipline as
+    jaccard_pairs; at 100 TB generate candidates with minhash_lsh_pairs
+    first and apply this formula only within buckets. Emits
+    (inner_id, host_id, containment) — inner is the (possibly) engulfed
+    smaller-set side; equal sizes tie-break to the lower id as inner.
+    """
+    toks = _spread(df).select(
+        F.col(id_col).alias("id"), F.array_distinct(tokens(text_col)).alias("tok")
+    )
+    a, b = toks.alias("a"), toks.alias("b")
+    sa, sb = F.size(F.col("a.tok")), F.size(F.col("b.tok"))
+    inter = F.size(F.array_intersect(F.col("a.tok"), F.col("b.tok")))
+    a_inner = (sa < sb) | ((sa == sb) & (F.col("a.id") < F.col("b.id")))
+    inner_sz = F.when(a_inner, sa).otherwise(sb)
+    cont = F.when(inner_sz > 0, inter / inner_sz).otherwise(F.lit(0.0))
+    return (
+        a.join(b, F.col("a.id") < F.col("b.id"))
+        .select(
+            F.when(a_inner, F.col("a.id")).otherwise(F.col("b.id")).alias("inner_id"),
+            F.when(a_inner, F.col("b.id")).otherwise(F.col("a.id")).alias("host_id"),
+            F.round(cont, 6).alias("containment"),
+        )
+        .filter(F.col("containment") >= threshold)
+    )

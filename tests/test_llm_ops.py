@@ -1202,3 +1202,29 @@ def test_contrastive_pairs_structure(spark):
     # determinism: rerun gives identical rows
     again = curate.contrastive_pairs(docs, threshold=0.9, n_pos=2, n_neg=3, pool_fraction=1.0)
     assert out.exceptAll(again).count() == 0 and again.exceptAll(out).count() == 0
+
+
+def test_containment_pairs_catch_what_jaccard_misses(spark):
+    # doc 1 is fully quoted inside the much larger doc 2: containment=1,
+    # but Jaccard is diluted by the host's extra vocabulary
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma"),
+            (2, "alpha beta gamma one two three four five six seven eight nine"),
+            (3, "unrelated words entirely different here"),
+        ],
+        "doc_id long, text string",
+    )
+    cont = {
+        (r["inner_id"], r["host_id"]): r["containment"]
+        for r in dedup.containment_pairs(docs, threshold=0.9).collect()
+    }
+    assert cont == {(1, 2): 1.0}
+    jac = dedup.jaccard_pairs(docs, threshold=0.9).collect()
+    assert jac == []  # symmetric Jaccard misses the quote
+    # equal-size sets: the lower id is the inner side by the tie rule
+    eq = spark.createDataFrame(
+        [(7, "x y z"), (8, "x y z")], "doc_id long, text string"
+    )
+    rows = dedup.containment_pairs(eq, threshold=0.9).collect()
+    assert [(r["inner_id"], r["host_id"]) for r in rows] == [(7, 8)]

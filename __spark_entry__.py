@@ -841,6 +841,12 @@ def q_seasonal_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return analytics.seasonal_profile(load_table(spark, sf_dir, "events"))
 
 
+def q_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B15/B20 depth: market-basket association rules over per-user
+    event-type baskets — directed support/confidence/lift. Full oracle."""
+    return analytics.association_rules(load_table(spark, sf_dir, "events"))
+
+
 def q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B33 depth: asymmetric token-set containment (|A∩B|/|A| with A the
     smaller set) — quote/subset detection symmetric Jaccard misses.
@@ -2391,6 +2397,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_referential_audit": q_referential_audit,
         "q_rollup_partials": q_rollup_partials,
         "q_containment_pairs": q_containment_pairs,
+        "q_association_rules": q_association_rules,
         # rows-only-by-design tail of the never-evaluated block
         "q_multimodal_audio": q_multimodal_audio,
         "q_incremental_near_dedup": q_incremental_near_dedup,
@@ -4163,6 +4170,41 @@ def oracle_sql() -> dict[str, str]:
         "q_bpe_merges": _bpe_merges_oracle_sql(),
         "q_bpe_encode": _bpe_encode_oracle_sql(),
         "q_ewma_chart": _ewma_oracle_sql(),
+        # association rules: per-user distinct baskets, directed pairs,
+        # mirrored metric expressions
+        "q_association_rules": """
+            WITH baskets AS (
+              SELECT user_id, list_sort(list_distinct(list(event_type))) AS ts
+              FROM events GROUP BY user_id
+            ),
+            pairs AS (
+              SELECT p['x'] AS x, p['y'] AS y, CAST(count(*) AS BIGINT) AS n_xy FROM (
+                SELECT unnest(flatten(list_transform(ts, (a, i) ->
+                         list_transform(ts[i+1:], b -> {'x': a, 'y': b})))) AS p
+                FROM baskets
+              ) WHERE p['x'] < p['y']
+              GROUP BY 1, 2
+            ),
+            items AS (
+              SELECT t, CAST(count(*) AS BIGINT) AS n_t
+              FROM (SELECT unnest(ts) AS t FROM baskets) GROUP BY t
+            ),
+            total AS (SELECT CAST(count(*) AS BIGINT) AS n_users FROM baskets),
+            directed AS (
+              SELECT x AS ante, y AS cons, n_xy FROM pairs
+              UNION ALL SELECT y AS ante, x AS cons, n_xy FROM pairs
+            )
+            SELECT ante, cons, n_xy,
+                   round(CAST(n_xy AS DOUBLE) / n_users, 4) AS support,
+                   round(CAST(n_xy AS DOUBLE) / n_a, 4) AS confidence,
+                   round((CAST(n_xy AS DOUBLE) / n_users)
+                         / ((CAST(n_a AS DOUBLE) / n_users) * (CAST(n_c AS DOUBLE) / n_users)), 4) AS lift
+            FROM directed
+            JOIN (SELECT t AS ante, n_t AS n_a FROM items) USING (ante)
+            JOIN (SELECT t AS cons, n_t AS n_c FROM items) USING (cons)
+            CROSS JOIN total
+            WHERE CAST(n_xy AS DOUBLE) / n_users >= 0.05
+        """,
         # asymmetric containment: smaller set is the inner side, equal
         # sizes tie to the lower id
         "q_containment_pairs": f"""

@@ -2808,3 +2808,66 @@ def rollup_partials(
             F.round(F.col("sum_value") / F.col("n_events"), 4).alias("mean_value"),
         )
     )
+
+
+def association_rules(events: DataFrame, *, min_support: float = 0.05) -> DataFrame:
+    """Market-basket association rules over per-user event-type baskets:
+    for every DIRECTED type pair a→b, support P(a∧b), confidence
+    P(b|a), and lift P(a∧b)/(P(a)·P(b)) — the full rule metrics behind
+    "users who do X also do Y" (type_cooccurrence reports only the raw
+    pair counts).
+
+    Same no-self-join shape as type_cooccurrence: baskets are bounded
+    per-user distinct-type arrays, pairs expand in-row, and the three
+    count tables (pairs, single items, basket total) are all tiny
+    aggregates off the ONE per-user shuffle — items and pairs join
+    broadcast. Metrics are fixed-shape double expressions, rounded to 4.
+    """
+    sets = events.groupBy("user_id").agg(
+        F.sort_array(F.collect_set("event_type")).alias("ts")
+    ).localCheckpoint()
+    pairs = (
+        sets.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ts, (a, i) -> "
+                    "transform(slice(ts, i + 2, size(ts)), b -> struct(a AS x, b AS y))))"
+                )
+            ).alias("p")
+        )
+        .select(F.col("p.x").alias("x"), F.col("p.y").alias("y"))
+        .groupBy("x", "y")
+        .agg(F.count(F.lit(1)).alias("n_xy"))
+    )
+    items = sets.select(F.explode("ts").alias("t")).groupBy("t").agg(
+        F.count(F.lit(1)).alias("n_t")
+    )
+    total = sets.agg(F.count(F.lit(1)).alias("n_users"))
+    # directed rules: each unordered pair emits a→b and b→a
+    directed = pairs.select(
+        F.col("x").alias("ante"), F.col("y").alias("cons"), "n_xy"
+    ).unionByName(
+        pairs.select(F.col("y").alias("ante"), F.col("x").alias("cons"), "n_xy")
+    )
+    na = items.select(F.col("t").alias("ante"), F.col("n_t").alias("n_a"))
+    nc = items.select(F.col("t").alias("cons"), F.col("n_t").alias("n_c"))
+    out = (
+        directed.join(F.broadcast(na), "ante")
+        .join(F.broadcast(nc), "cons")
+        .crossJoin(F.broadcast(total))
+        .withColumn("support", F.col("n_xy") / F.col("n_users"))
+        .filter(F.col("support") >= min_support)
+        .select(
+            "ante",
+            "cons",
+            "n_xy",
+            F.round("support", 4).alias("support"),
+            F.round(F.col("n_xy") / F.col("n_a"), 4).alias("confidence"),
+            F.round(
+                (F.col("n_xy") / F.col("n_users"))
+                / ((F.col("n_a") / F.col("n_users")) * (F.col("n_c") / F.col("n_users"))),
+                4,
+            ).alias("lift"),
+        )
+    )
+    return out

@@ -682,3 +682,29 @@ def test_rollup_partials_merge_equals_direct(spark, sf_dir):
         assert abs(merged[s]["sum_value"] - direct[s]["sum_value"]) < 0.01
         assert abs(merged[s]["min_value"] - round(direct[s]["min_value"], 4)) < 1e-9
         assert abs(merged[s]["max_value"] - round(direct[s]["max_value"], 4)) < 1e-9
+
+
+def test_association_rules_hand_computed(spark):
+    import datetime
+
+    ts = datetime.datetime(2024, 1, 1)
+    # baskets: u1={a,b}, u2={a,b}, u3={a}, u4={b,c}
+    rows = []
+    for i, (u, t) in enumerate(
+        [(1, "a"), (1, "b"), (2, "a"), (2, "b"), (3, "a"), (4, "b"), (4, "c")]
+    ):
+        rows.append((i, ts, u, t, 1.0, "{}"))
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    got = {(r["ante"], r["cons"]): r for r in analytics.association_rules(ev, min_support=0.0).collect()}
+    # P(a∧b)=2/4, P(a)=3/4, P(b)=3/4 → conf(a→b)=2/3, lift=(0.5)/(0.75·0.75)
+    r = got[("a", "b")]
+    assert r["n_xy"] == 2
+    assert abs(r["support"] - 0.5) < 1e-9
+    assert abs(r["confidence"] - round(2 / 3, 4)) < 1e-9
+    assert abs(r["lift"] - round(0.5 / (0.75 * 0.75), 4)) < 1e-9
+    # direction matters: conf(b→a) = 2/3 as well here, but b→c = 1/3
+    assert abs(got[("b", "c")]["confidence"] - round(1 / 3, 4)) < 1e-9
+    # symmetric metrics agree both directions
+    assert got[("a", "b")]["lift"] == got[("b", "a")]["lift"]

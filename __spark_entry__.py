@@ -841,6 +841,13 @@ def q_seasonal_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return analytics.seasonal_profile(load_table(spark, sf_dir, "events"))
 
 
+def q_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B20 depth: gaps-and-islands — per-user consecutive-day activity
+    streaks (active days, islands, longest run) via the day-index minus
+    row-number grouping key. Integer-exact full oracle."""
+    return analytics.activity_streaks(load_table(spark, sf_dir, "events"))
+
+
 def q_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B15/B20 depth: market-basket association rules over per-user
     event-type baskets — directed support/confidence/lift. Full oracle."""
@@ -2398,6 +2405,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_rollup_partials": q_rollup_partials,
         "q_containment_pairs": q_containment_pairs,
         "q_association_rules": q_association_rules,
+        "q_activity_streaks": q_activity_streaks,
         # rows-only-by-design tail of the never-evaluated block
         "q_multimodal_audio": q_multimodal_audio,
         "q_incremental_near_dedup": q_incremental_near_dedup,
@@ -4170,6 +4178,26 @@ def oracle_sql() -> dict[str, str]:
         "q_bpe_merges": _bpe_merges_oracle_sql(),
         "q_bpe_encode": _bpe_encode_oracle_sql(),
         "q_ewma_chart": _ewma_oracle_sql(),
+        # gaps-and-islands: day-index minus row-number grouping key
+        "q_activity_streaks": """
+            WITH days AS (
+              SELECT DISTINCT user_id,
+                     date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS d
+              FROM events
+            ),
+            islands AS (
+              SELECT user_id, grp, CAST(count(*) AS BIGINT) AS len FROM (
+                SELECT user_id, d,
+                       d - row_number() OVER (PARTITION BY user_id ORDER BY d) AS grp
+                FROM days
+              ) GROUP BY user_id, grp
+            )
+            SELECT user_id,
+                   CAST(sum(len) AS BIGINT) AS n_active_days,
+                   CAST(count(*) AS BIGINT) AS n_streaks,
+                   max(len) AS longest_streak
+            FROM islands GROUP BY user_id
+        """,
         # association rules: per-user distinct baskets, directed pairs,
         # mirrored metric expressions
         "q_association_rules": """

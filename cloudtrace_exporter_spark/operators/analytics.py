@@ -2871,3 +2871,36 @@ def association_rules(events: DataFrame, *, min_support: float = 0.05) -> DataFr
         )
     )
     return out
+
+
+def activity_streaks(
+    events: DataFrame,
+    *,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Gaps-and-islands: per user, active-day count, number of
+    consecutive-day streaks (islands), and the longest streak — the
+    classic retention/engagement segmentation (and the canonical SQL
+    islands pattern, via the day-index-minus-row-number grouping key:
+    consecutive days share a constant difference).
+
+    Integer-only arithmetic end to end (epoch-day indexes), so the
+    oracle is exact. Two shuffles sharing the user key: the distinct
+    (user, day) reduce and the per-user window; the island aggregation
+    rides the same partitioning.
+    """
+    day_idx = F.datediff(F.to_date(F.col(ts_col)), F.lit("1970-01-01"))
+    days = (
+        events.select(F.col(user_col).alias("user_id"), day_idx.alias("d"))
+        .distinct()
+    )
+    w = Window.partitionBy("user_id").orderBy("d")
+    islands = days.withColumn(
+        "grp", F.col("d") - F.row_number().over(w)
+    ).groupBy("user_id", "grp").agg(F.count(F.lit(1)).alias("len"))
+    return islands.groupBy("user_id").agg(
+        F.sum("len").alias("n_active_days"),
+        F.count(F.lit(1)).alias("n_streaks"),
+        F.max("len").alias("longest_streak"),
+    )

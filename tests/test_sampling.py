@@ -708,3 +708,23 @@ def test_association_rules_hand_computed(spark):
     assert abs(got[("b", "c")]["confidence"] - round(1 / 3, 4)) < 1e-9
     # symmetric metrics agree both directions
     assert got[("a", "b")]["lift"] == got[("b", "a")]["lift"]
+
+
+def test_activity_streaks_islands(spark):
+    import datetime
+
+    def ev(i, u, day):
+        return (i, datetime.datetime(2024, 2, day, 12), u, "x", 1.0, "{}")
+
+    # u1: days 1,2,3, 7,8, 20 → 3 streaks, longest 3, 6 active days
+    # u2: day 5 only (two events same day collapse) → 1 streak of 1
+    rows = [ev(0, 1, 1), ev(1, 1, 2), ev(2, 1, 3), ev(3, 1, 7), ev(4, 1, 8),
+            ev(5, 1, 20), ev(6, 2, 5), ev(7, 2, 5)]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    got = {r["user_id"]: r for r in analytics.activity_streaks(df).collect()}
+    assert got[1]["n_active_days"] == 6
+    assert got[1]["n_streaks"] == 3
+    assert got[1]["longest_streak"] == 3
+    assert got[2]["n_active_days"] == 1 and got[2]["n_streaks"] == 1

@@ -841,6 +841,21 @@ def q_seasonal_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return analytics.seasonal_profile(load_table(spark, sf_dir, "events"))
 
 
+def q_retrieval_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B34 eval harness: per-query nDCG@5 of the LSH scale path against
+    the exact cosine ranking — the ANN quality metric AS A QUERY (the
+    recall tests assert a floor; this reports the graded number). DCG is
+    an unrolled fixed-order weight chain, so the doubles match across
+    engines; full oracle composes the LSH and cosine oracles."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    sys_rank = similarity.lsh_topk(
+        emb, emb.filter(F.col("vec_id") < 10), k=5, n_bits=2, n_tables=8,
+        index=_lsh_index(spark, sf_dir),
+    )
+    truth = similarity.cosine_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)
+    return similarity.ndcg_at_k(sys_rank, truth, k=5)
+
+
 def q_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B20 depth: gaps-and-islands — per-user consecutive-day activity
     streaks (active days, islands, longest run) via the day-index minus
@@ -1532,6 +1547,33 @@ def q_lsh_topk_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb, emb.filter(F.col("vec_id") < 10), k=5, n_bits=2, n_tables=8,
         index=_lsh_index(spark, sf_dir),
     )
+
+
+def _ndcg_oracle_sql(*, k: int = 5) -> str:
+    """DuckDB replay of similarity.ndcg_at_k over the composed LSH and
+    cosine oracles: identical python-double weight literals, identical
+    fixed-order term chain."""
+    import math
+
+    weights = [1.0 / math.log2(i + 1) for i in range(1, k + 1)]
+    idcg = 0.0
+    for w in weights:
+        idcg = idcg + w
+    terms = " + ".join(
+        f"max(CASE WHEN rnk = {i} AND rel THEN {w!r} ELSE 0.0 END)"
+        for i, w in enumerate(weights, start=1)
+    )
+    return f"""
+        WITH sys AS ({_lsh_oracle_sql(k=k)}),
+        truth AS ({_COSINE_TOPK_SQL}),
+        hits AS (
+          SELECT s.query_id, s.rnk, t.corpus_id IS NOT NULL AS rel
+          FROM sys s LEFT JOIN (SELECT query_id, corpus_id FROM truth) t
+            ON s.query_id = t.query_id AND s.corpus_id = t.corpus_id
+        )
+        SELECT query_id, round(({terms}) / {idcg!r}, 6) AS ndcg
+        FROM hits GROUP BY query_id
+    """
 
 
 def _lsh_oracle_sql(*, n_bits: int = 2, n_tables: int = 8, dim: int = 64, seed: int = 42, k: int = 5) -> str:
@@ -2406,6 +2448,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_containment_pairs": q_containment_pairs,
         "q_association_rules": q_association_rules,
         "q_activity_streaks": q_activity_streaks,
+        "q_retrieval_ndcg": q_retrieval_ndcg,
         # rows-only-by-design tail of the never-evaluated block
         "q_multimodal_audio": q_multimodal_audio,
         "q_incremental_near_dedup": q_incremental_near_dedup,
@@ -4178,6 +4221,7 @@ def oracle_sql() -> dict[str, str]:
         "q_bpe_merges": _bpe_merges_oracle_sql(),
         "q_bpe_encode": _bpe_encode_oracle_sql(),
         "q_ewma_chart": _ewma_oracle_sql(),
+        "q_retrieval_ndcg": _ndcg_oracle_sql(),
         # gaps-and-islands: day-index minus row-number grouping key
         "q_activity_streaks": """
             WITH days AS (

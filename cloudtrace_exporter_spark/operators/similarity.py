@@ -926,3 +926,44 @@ def rrf_fuse(
         "rrf",
         F.row_number().over(w).cast("long").alias("fused_rnk"),
     )
+
+
+def ndcg_at_k(sys_ranking: DataFrame, truth_ranking: DataFrame, *, k: int = 5) -> DataFrame:
+    """Retrieval-quality metric: per-query nDCG@k of a system ranking
+    against a ground-truth ranking (binary relevance — a system row is
+    relevant iff the (query, corpus) pair appears in the truth top-k).
+    The eval harness half of the ANN surface: measure the LSH/IVF/PQ
+    serving path against the exact ranking as a QUERY, not just a
+    test assertion.
+
+    The DCG is an UNROLLED fixed-order chain of k rank-weight terms
+    (1/log2(i+1) as python-double literals), not a SUM over rows — float
+    addition order is pinned, so both engines produce the identical
+    double before the final rounding. Inputs are top-k-sized frames;
+    the whole metric is KB-scale.
+    """
+    import math
+
+    weights = [1.0 / math.log2(i + 1) for i in range(1, k + 1)]
+    idcg = 0.0
+    for w in weights:
+        idcg = idcg + w
+    hits = sys_ranking.select("query_id", "corpus_id", "rnk").join(
+        truth_ranking.select("query_id", "corpus_id", F.lit(1).alias("__rel")),
+        ["query_id", "corpus_id"],
+        "left",
+    )
+    terms = [
+        F.max(
+            F.when(
+                (F.col("rnk") == i) & F.col("__rel").isNotNull(), F.lit(w)
+            ).otherwise(F.lit(0.0))
+        )
+        for i, w in enumerate(weights, start=1)
+    ]
+    dcg = None
+    for t in terms:
+        dcg = t if dcg is None else dcg + t
+    return hits.groupBy("query_id").agg(
+        F.round(dcg / F.lit(idcg), 6).alias("ndcg")
+    )

@@ -1228,3 +1228,22 @@ def test_containment_pairs_catch_what_jaccard_misses(spark):
     )
     rows = dedup.containment_pairs(eq, threshold=0.9).collect()
     assert [(r["inner_id"], r["host_id"]) for r in rows] == [(7, 8)]
+
+
+def test_ndcg_at_k_hand_computed(spark):
+    import math
+
+    truth = spark.createDataFrame(
+        [(0, 10, 1), (0, 11, 2), (0, 12, 3)], "query_id long, corpus_id long, rnk long"
+    )
+    # system: rank1 correct, rank2 wrong, rank3 correct
+    sysr = spark.createDataFrame(
+        [(0, 10, 1), (0, 99, 2), (0, 12, 3)], "query_id long, corpus_id long, rnk long"
+    )
+    out = similarity.ndcg_at_k(sysr, truth, k=3).collect()
+    w = [1 / math.log2(i + 1) for i in (1, 2, 3)]
+    expect = round((w[0] + w[2]) / sum(w), 6)
+    assert len(out) == 1 and abs(out[0]["ndcg"] - expect) < 1e-9
+    # perfect system scores exactly 1
+    perfect = similarity.ndcg_at_k(truth, truth, k=3).collect()
+    assert perfect[0]["ndcg"] == 1.0

@@ -136,6 +136,13 @@ def main() -> None:
         t(f"bpe_pair_stats {tag}", lambda d=d: text.bpe_pair_stats(d))
     for tag, d in (("1x", docs1), ("10x", docs10)):
         t(f"bpe_encode (6 merges) {tag}", lambda d=d: text.bpe_encode_counts(d))
+    for tag, d in (("1x", docs1), ("10x", docs10)):
+        t(f"fuzzy_prefix_join {tag}", lambda d=d: dedup.fuzzy_prefix_join(d))
+    for tag, d in (("1x", docs1), ("10x", docs10)):
+        t(
+            f"fuzzy_sorted_neighborhood {tag}",
+            lambda d=d: dedup.fuzzy_sorted_neighborhood(d),
+        )
 
 
 def semantic_dedup_probe(e, n_bits: int = 2):

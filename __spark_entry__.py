@@ -856,6 +856,18 @@ def q_retrieval_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ndcg_at_k(sys_rank, truth, k=5)
 
 
+def q_retrieval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B34 eval harness: per-query recall@5 and MRR@5 of the LSH scale
+    path vs exact cosine — companions to q_retrieval_ndcg. Full oracle."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    sys_rank = similarity.lsh_topk(
+        emb, emb.filter(F.col("vec_id") < 10), k=5, n_bits=2, n_tables=8,
+        index=_lsh_index(spark, sf_dir),
+    )
+    truth = similarity.cosine_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)
+    return similarity.retrieval_metrics_at_k(sys_rank, truth, k=5)
+
+
 def q_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B20 depth: gaps-and-islands — per-user consecutive-day activity
     streaks (active days, islands, longest run) via the day-index minus
@@ -2449,6 +2461,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_association_rules": q_association_rules,
         "q_activity_streaks": q_activity_streaks,
         "q_retrieval_ndcg": q_retrieval_ndcg,
+        "q_retrieval_metrics": q_retrieval_metrics,
         # rows-only-by-design tail of the never-evaluated block
         "q_multimodal_audio": q_multimodal_audio,
         "q_incremental_near_dedup": q_incremental_near_dedup,
@@ -4222,6 +4235,19 @@ def oracle_sql() -> dict[str, str]:
         "q_bpe_encode": _bpe_encode_oracle_sql(),
         "q_ewma_chart": _ewma_oracle_sql(),
         "q_retrieval_ndcg": _ndcg_oracle_sql(),
+        "q_retrieval_metrics": f"""
+            WITH sys AS ({_lsh_oracle_sql()}),
+            truth AS ({_COSINE_TOPK_SQL}),
+            hits AS (
+              SELECT s.query_id, s.rnk, t.corpus_id IS NOT NULL AS rel
+              FROM sys s LEFT JOIN (SELECT query_id, corpus_id FROM truth) t
+                ON s.query_id = t.query_id AND s.corpus_id = t.corpus_id
+            )
+            SELECT query_id,
+                   round(CAST(count(CASE WHEN rel THEN 1 END) AS DOUBLE) / 5.0, 6) AS recall,
+                   round(COALESCE(1.0 / min(CASE WHEN rel THEN rnk END), 0.0), 6) AS mrr
+            FROM hits GROUP BY query_id
+        """,
         # gaps-and-islands: day-index minus row-number grouping key
         "q_activity_streaks": """
             WITH days AS (

@@ -967,3 +967,28 @@ def ndcg_at_k(sys_ranking: DataFrame, truth_ranking: DataFrame, *, k: int = 5) -
     return hits.groupBy("query_id").agg(
         F.round(dcg / F.lit(idcg), 6).alias("ndcg")
     )
+
+
+def retrieval_metrics_at_k(
+    sys_ranking: DataFrame, truth_ranking: DataFrame, *, k: int = 5
+) -> DataFrame:
+    """Companion eval metrics to ndcg_at_k: per-query recall@k (hit
+    fraction of the truth top-k) and MRR@k (reciprocal rank of the
+    FIRST relevant system result; 0 when none). Reciprocal-rank values
+    1/i are single exact divisions — engine-identical; recall is an
+    integer ratio. Same KB-scale top-k join shape as ndcg_at_k.
+    """
+    hits = sys_ranking.select("query_id", "corpus_id", "rnk").join(
+        truth_ranking.select("query_id", "corpus_id", F.lit(1).alias("__rel")),
+        ["query_id", "corpus_id"],
+        "left",
+    )
+    first_hit = F.min(F.when(F.col("__rel").isNotNull(), F.col("rnk")))
+    return hits.groupBy("query_id").agg(
+        F.round(
+            F.count(F.when(F.col("__rel").isNotNull(), F.lit(1))) / F.lit(float(k)), 6
+        ).alias("recall"),
+        F.round(
+            F.coalesce(F.lit(1.0) / first_hit, F.lit(0.0)), 6
+        ).alias("mrr"),
+    )

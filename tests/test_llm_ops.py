@@ -1247,3 +1247,19 @@ def test_ndcg_at_k_hand_computed(spark):
     # perfect system scores exactly 1
     perfect = similarity.ndcg_at_k(truth, truth, k=3).collect()
     assert perfect[0]["ndcg"] == 1.0
+
+
+def test_retrieval_metrics_hand_computed(spark):
+    truth = spark.createDataFrame(
+        [(0, 10, 1), (0, 11, 2), (0, 12, 3)], "query_id long, corpus_id long, rnk long"
+    )
+    sysr = spark.createDataFrame(
+        [(0, 99, 1), (0, 11, 2), (0, 98, 3)], "query_id long, corpus_id long, rnk long"
+    )
+    out = similarity.retrieval_metrics_at_k(sysr, truth, k=3).collect()[0]
+    assert abs(out["recall"] - round(1 / 3, 6)) < 1e-9
+    assert out["mrr"] == 0.5  # first hit at rank 2
+    # all-miss system: recall 0, mrr 0
+    miss = spark.createDataFrame([(0, 99, 1)], "query_id long, corpus_id long, rnk long")
+    m = similarity.retrieval_metrics_at_k(miss, truth, k=3).collect()[0]
+    assert m["recall"] == 0.0 and m["mrr"] == 0.0

@@ -856,6 +856,13 @@ def q_retrieval_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ndcg_at_k(sys_rank, truth, k=5)
 
 
+def q_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B15 robust-aggregation depth: per-series winsorized mean/stddev
+    (values clamped to [p05, p95] before averaging). Full oracle —
+    interpolated percentiles match quantile_cont."""
+    return analytics.winsorized_stats(load_table(spark, sf_dir, "events"))
+
+
 def q_retrieval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B34 eval harness: per-query recall@5 and MRR@5 of the LSH scale
     path vs exact cosine — companions to q_retrieval_ndcg. Full oracle."""
@@ -2462,6 +2469,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_activity_streaks": q_activity_streaks,
         "q_retrieval_ndcg": q_retrieval_ndcg,
         "q_retrieval_metrics": q_retrieval_metrics,
+        "q_winsorized_stats": q_winsorized_stats,
         # rows-only-by-design tail of the never-evaluated block
         "q_multimodal_audio": q_multimodal_audio,
         "q_incremental_near_dedup": q_incremental_near_dedup,
@@ -4234,6 +4242,22 @@ def oracle_sql() -> dict[str, str]:
         "q_bpe_merges": _bpe_merges_oracle_sql(),
         "q_bpe_encode": _bpe_encode_oracle_sql(),
         "q_ewma_chart": _ewma_oracle_sql(),
+        "q_winsorized_stats": """
+            WITH fences AS (
+              SELECT event_type AS series,
+                     quantile_cont(value, 0.05) AS f_lo,
+                     quantile_cont(value, 0.95) AS f_hi
+              FROM events GROUP BY 1
+            )
+            SELECT series,
+                   CAST(count(*) AS BIGINT) AS n,
+                   round(avg(least(greatest(value, f_lo), f_hi)), 4) AS wins_mean,
+                   round(stddev_pop(least(greatest(value, f_lo), f_hi)), 4) AS wins_std,
+                   round(min(f_lo), 4) AS fence_lo,
+                   round(max(f_hi), 4) AS fence_hi
+            FROM events e JOIN fences ON e.event_type = fences.series
+            GROUP BY series
+        """,
         "q_retrieval_ndcg": _ndcg_oracle_sql(),
         "q_retrieval_metrics": f"""
             WITH sys AS ({_lsh_oracle_sql()}),

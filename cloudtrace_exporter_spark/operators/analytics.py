@@ -2904,3 +2904,43 @@ def activity_streaks(
         F.count(F.lit(1)).alias("n_streaks"),
         F.max("len").alias("longest_streak"),
     )
+
+
+def winsorized_stats(
+    events: DataFrame,
+    *,
+    lo: float = 0.05,
+    hi: float = 0.95,
+    value_col: str = "value",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Winsorized robust statistics per series: values clamped to the
+    [p_lo, p_hi] interpolated percentiles before averaging — the
+    outlier-resistant mean/stddev a raw avg can't give when a feed has
+    fat tails (the complement of mad_outliers, which FLAGS the tail
+    rows; this SUMMARIZES with the tail's influence capped).
+
+    Two passes sharing the series key: the tiny per-series percentile
+    aggregate broadcasts back onto the fact scan, then one clamped
+    aggregation — the fact shuffles once (the percentile pass reduces
+    map-side). Exact interpolated percentiles at fixture scale; swap in
+    approx_percentile at 100 TB (same plan shape, documented tolerance).
+    """
+    fences = events.groupBy(F.col(type_col).alias("series")).agg(
+        F.percentile(value_col, F.lit(lo)).alias("f_lo"),
+        F.percentile(value_col, F.lit(hi)).alias("f_hi"),
+    )
+    clamped = F.least(F.greatest(F.col(value_col), F.col("f_lo")), F.col("f_hi"))
+    return (
+        events.join(
+            F.broadcast(fences), F.col(type_col) == F.col("series")
+        )
+        .groupBy("series")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg(clamped), 4).alias("wins_mean"),
+            F.round(F.stddev_pop(clamped), 4).alias("wins_std"),
+            F.round(F.min("f_lo"), 4).alias("fence_lo"),
+            F.round(F.max("f_hi"), 4).alias("fence_hi"),
+        )
+    )

@@ -728,3 +728,20 @@ def test_activity_streaks_islands(spark):
     assert got[1]["n_streaks"] == 3
     assert got[1]["longest_streak"] == 3
     assert got[2]["n_active_days"] == 1 and got[2]["n_streaks"] == 1
+
+
+def test_winsorized_stats_caps_outlier_influence(spark):
+    import datetime
+
+    ts = datetime.datetime(2024, 1, 1)
+    # 99 values at 10, one wild outlier at 10000
+    rows = [(i, ts, 1, "A", 10.0, "{}") for i in range(99)] + [(99, ts, 1, "A", 10000.0, "{}")]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    r = analytics.winsorized_stats(ev).collect()[0]
+    raw_mean = (99 * 10.0 + 10000.0) / 100  # ≈ 109.9
+    assert r["n"] == 100
+    assert r["wins_mean"] < raw_mean / 2  # outlier influence capped at p95
+    assert r["fence_hi"] < 10000.0
+    assert r["fence_lo"] == 10.0

@@ -856,6 +856,23 @@ def q_retrieval_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ndcg_at_k(sys_rank, truth, k=5)
 
 
+def q_modality_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality for multimodal pipelines: coverage between the text
+    and embedding modalities sharing the id space — docs with/without a
+    vector, vectors without a doc (two anti-join counts + the overlap).
+    Full oracle."""
+    docs = load_table(spark, sf_dir, "documents").select(F.col("doc_id").alias("id"))
+    vecs = load_table(spark, sf_dir, "embeddings").select(F.col("vec_id").alias("id"))
+    both = docs.join(vecs, "id", "left_semi").agg(F.count(F.lit(1)).alias("n"))
+    doc_only = docs.join(vecs, "id", "left_anti").agg(F.count(F.lit(1)).alias("n"))
+    vec_only = vecs.join(docs, "id", "left_anti").agg(F.count(F.lit(1)).alias("n"))
+    return (
+        both.select(F.lit("both_modalities").alias("bucket"), "n")
+        .unionByName(doc_only.select(F.lit("text_only").alias("bucket"), "n"))
+        .unionByName(vec_only.select(F.lit("embedding_only").alias("bucket"), "n"))
+    )
+
+
 def q_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B15 robust-aggregation depth: per-series winsorized mean/stddev
     (values clamped to [p05, p95] before averaging). Full oracle —
@@ -2470,6 +2487,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_retrieval_ndcg": q_retrieval_ndcg,
         "q_retrieval_metrics": q_retrieval_metrics,
         "q_winsorized_stats": q_winsorized_stats,
+        "q_modality_coverage": q_modality_coverage,
         # rows-only-by-design tail of the never-evaluated block
         "q_multimodal_audio": q_multimodal_audio,
         "q_incremental_near_dedup": q_incremental_near_dedup,
@@ -4242,6 +4260,19 @@ def oracle_sql() -> dict[str, str]:
         "q_bpe_merges": _bpe_merges_oracle_sql(),
         "q_bpe_encode": _bpe_encode_oracle_sql(),
         "q_ewma_chart": _ewma_oracle_sql(),
+        "q_modality_coverage": """
+            SELECT 'both_modalities' AS bucket,
+                   (SELECT CAST(count(*) AS BIGINT) FROM documents
+                    WHERE doc_id IN (SELECT vec_id FROM embeddings)) AS n
+            UNION ALL
+            SELECT 'text_only',
+                   (SELECT count(*) FROM documents
+                    WHERE doc_id NOT IN (SELECT vec_id FROM embeddings))
+            UNION ALL
+            SELECT 'embedding_only',
+                   (SELECT count(*) FROM embeddings
+                    WHERE vec_id NOT IN (SELECT doc_id FROM documents))
+        """,
         "q_winsorized_stats": """
             WITH fences AS (
               SELECT event_type AS series,

@@ -949,7 +949,9 @@ def ndcg_at_k(sys_ranking: DataFrame, truth_ranking: DataFrame, *, k: int = 5) -
     for w in weights:
         idcg = idcg + w
     hits = sys_ranking.select("query_id", "corpus_id", "rnk").join(
-        truth_ranking.select("query_id", "corpus_id", F.lit(1).alias("__rel")),
+        F.broadcast(
+            truth_ranking.select("query_id", "corpus_id", F.lit(1).alias("__rel"))
+        ),
         ["query_id", "corpus_id"],
         "left",
     )
@@ -979,7 +981,9 @@ def retrieval_metrics_at_k(
     integer ratio. Same KB-scale top-k join shape as ndcg_at_k.
     """
     hits = sys_ranking.select("query_id", "corpus_id", "rnk").join(
-        truth_ranking.select("query_id", "corpus_id", F.lit(1).alias("__rel")),
+        F.broadcast(
+            truth_ranking.select("query_id", "corpus_id", F.lit(1).alias("__rel"))
+        ),
         ["query_id", "corpus_id"],
         "left",
     )

@@ -856,6 +856,39 @@ def q_retrieval_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ndcg_at_k(sys_rank, truth, k=5)
 
 
+def q_near_dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B33 curation report, near-dup edition: per source, how many
+    documents participate in at least one NEAR-duplicate pair (portable
+    MinHash+LSH pipeline, agreement ≥ 0.5) and the near-dup rate — the
+    provenance health metric q_dup_rate_by_source gives for exact
+    copies, extended to the fuzzier duplication that actually dominates
+    crawled corpora. Full oracle: the portable banded pipeline composed
+    with a per-source aggregate."""
+    docs = load_table(spark, sf_dir, "documents")
+    index = _session_cache_get(
+        _MINHASH_PORTABLE_CACHE, spark, sf_dir,
+        lambda: dedup.minhash_banded_index(docs, portable=True),
+    )
+    pairs = dedup.minhash_lsh_pairs(docs, threshold=0.5, index=index)
+    involved = (
+        pairs.select(F.col("doc_a").alias("doc_id"))
+        .unionByName(pairs.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    return (
+        docs.select("doc_id", "source")
+        .join(involved.withColumn("__nd", F.lit(1)), "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count("__nd").alias("n_near_dup"),
+        )
+        .withColumn(
+            "near_dup_rate", F.round(F.col("n_near_dup") / F.col("n_docs"), 6)
+        )
+    )
+
+
 def q_modality_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Data-quality for multimodal pipelines: coverage between the text
     and embedding modalities sharing the id space — docs with/without a
@@ -2488,6 +2521,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_retrieval_metrics": q_retrieval_metrics,
         "q_winsorized_stats": q_winsorized_stats,
         "q_modality_coverage": q_modality_coverage,
+        "q_near_dup_rate_by_source": q_near_dup_rate_by_source,
         # rows-only-by-design tail of the never-evaluated block
         "q_multimodal_audio": q_multimodal_audio,
         "q_incremental_near_dedup": q_incremental_near_dedup,
@@ -4260,6 +4294,23 @@ def oracle_sql() -> dict[str, str]:
         "q_bpe_merges": _bpe_merges_oracle_sql(),
         "q_bpe_encode": _bpe_encode_oracle_sql(),
         "q_ewma_chart": _ewma_oracle_sql(),
+        # near-dup rate by source: portable banded pipeline + per-source
+        # participation aggregate
+        "q_near_dup_rate_by_source": f"""
+            WITH p AS ({_minhash_portable_oracle_sql()}),
+            involved AS (
+              SELECT DISTINCT doc_id FROM (
+                SELECT doc_a AS doc_id FROM p
+                UNION ALL SELECT doc_b AS doc_id FROM p
+              )
+            )
+            SELECT source,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(count(i.doc_id) AS BIGINT) AS n_near_dup,
+                   round(CAST(count(i.doc_id) AS DOUBLE) / count(*), 6) AS near_dup_rate
+            FROM documents d LEFT JOIN involved i USING (doc_id)
+            GROUP BY source
+        """,
         "q_modality_coverage": """
             SELECT 'both_modalities' AS bucket,
                    (SELECT CAST(count(*) AS BIGINT) FROM documents

@@ -856,6 +856,26 @@ def q_retrieval_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ndcg_at_k(sys_rank, truth, k=5)
 
 
+def q_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B35 eval harness: confusion matrix of the stopword-heuristic
+    language ID against the declared labels — (declared, predicted,
+    count, share-of-declared). The classifier-eval sibling of the
+    retrieval nDCG/recall queries. Full oracle."""
+    from pyspark.sql import Window
+
+    pred = text.language_id(load_table(spark, sf_dir, "documents")).select(
+        "lang", "lang_pred"
+    )
+    g = pred.groupBy("lang", "lang_pred").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("lang")
+    return g.select(
+        "lang",
+        "lang_pred",
+        "n",
+        F.round(F.col("n") / F.sum("n").over(w), 6).alias("share"),
+    )
+
+
 def q_near_dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B33 curation report, near-dup edition: per source, how many
     documents participate in at least one NEAR-duplicate pair (portable
@@ -2522,6 +2542,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_winsorized_stats": q_winsorized_stats,
         "q_modality_coverage": q_modality_coverage,
         "q_near_dup_rate_by_source": q_near_dup_rate_by_source,
+        "q_lang_confusion": q_lang_confusion,
         # rows-only-by-design tail of the never-evaluated block
         "q_multimodal_audio": q_multimodal_audio,
         "q_incremental_near_dedup": q_incremental_near_dedup,
@@ -4294,6 +4315,34 @@ def oracle_sql() -> dict[str, str]:
         "q_bpe_merges": _bpe_merges_oracle_sql(),
         "q_bpe_encode": _bpe_encode_oracle_sql(),
         "q_ewma_chart": _ewma_oracle_sql(),
+        # lang-ID confusion: the q_lang_id pipeline re-aggregated to the
+        # (declared, predicted) grid with per-declared shares
+        "q_lang_confusion": f"""
+            WITH tok AS (
+              SELECT doc_id, lang,
+                     list_filter(string_split(lower(text), ' '), x -> x <> '') AS t
+              FROM documents
+            ), hits AS (
+              SELECT doc_id, lang,
+                {_LANG_HITS_SQL}
+              FROM tok
+            ), pred AS (
+              SELECT lang,
+                CASE WHEN greatest(h_de, h_en, h_es, h_fr, h_zh) = 0 THEN 'unknown'
+                     WHEN h_de >= greatest(h_en, h_es, h_fr, h_zh) THEN 'de'
+                     WHEN h_en >= greatest(h_es, h_fr, h_zh) THEN 'en'
+                     WHEN h_es >= greatest(h_fr, h_zh) THEN 'es'
+                     WHEN h_fr >= h_zh THEN 'fr'
+                     ELSE 'zh' END AS lang_pred
+              FROM hits
+            ), g AS (
+              SELECT lang, lang_pred, CAST(count(*) AS BIGINT) AS n
+              FROM pred GROUP BY 1, 2
+            )
+            SELECT lang, lang_pred, n,
+                   round(CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY lang), 6) AS share
+            FROM g
+        """,
         # near-dup rate by source: portable banded pipeline + per-source
         # participation aggregate
         "q_near_dup_rate_by_source": f"""

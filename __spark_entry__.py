@@ -856,6 +856,23 @@ def q_retrieval_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ndcg_at_k(sys_rank, truth, k=5)
 
 
+def q_filter_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B35 eval harness: agreement grid between the rule-based quality
+    filter and the classifier quality filter — the ensemble diagnostic
+    (where do heuristics and the model disagree, and how often). Full
+    oracle composing both sub-oracles verbatim."""
+    docs = load_table(spark, sf_dir, "documents")
+    rule = text.quality_filter(docs).select("doc_id", F.col("keep").alias("rule_keep"))
+    clf = text.classifier_quality_score(docs).select(
+        "doc_id", F.col("keep").alias("clf_keep")
+    )
+    return (
+        rule.join(clf, "doc_id")
+        .groupBy("rule_keep", "clf_keep")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
 def q_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B35 eval harness: confusion matrix of the stopword-heuristic
     language ID against the declared labels — (declared, predicted,
@@ -2543,6 +2560,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_modality_coverage": q_modality_coverage,
         "q_near_dup_rate_by_source": q_near_dup_rate_by_source,
         "q_lang_confusion": q_lang_confusion,
+        "q_filter_agreement": q_filter_agreement,
         # rows-only-by-design tail of the never-evaluated block
         "q_multimodal_audio": q_multimodal_audio,
         "q_incremental_near_dedup": q_incremental_near_dedup,
@@ -2829,7 +2847,7 @@ def _classifier_oracle_sql(*, seed: int = 7, threshold: float = 0.0) -> str:
 
 def oracle_sql() -> dict[str, str]:
     rev = "l_extendedprice * (1 - l_discount)"
-    return {
+    d = {
         "q_time_window": """
             SELECT event_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s, event_type, user_id, value
             FROM events
@@ -5081,3 +5099,18 @@ def oracle_sql() -> dict[str, str]:
             WINDOW w AS (PARTITION BY event_type)
         """,
     }
+
+    # composed eval: agreement grid of the rule-based and classifier
+    # quality filters (both sub-oracles reused verbatim as subqueries)
+    d["q_filter_agreement"] = (
+        "WITH rule AS (SELECT doc_id, keep AS rule_keep FROM ("
+        + d["q_quality_filter"]
+        + ")), clf AS (SELECT doc_id, keep AS clf_keep FROM ("
+        + _classifier_oracle_sql()
+        + """))
+        SELECT rule_keep, clf_keep, CAST(count(*) AS BIGINT) AS n
+        FROM rule JOIN clf USING (doc_id)
+        GROUP BY 1, 2
+        """
+    )
+    return d

@@ -856,6 +856,27 @@ def q_retrieval_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ndcg_at_k(sys_rank, truth, k=5)
 
 
+def q_mom_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B20/B16 composition: month-over-month change report off the
+    partial-aggregate rollup — previous month's totals via lag over the
+    tiny monthly grid, absolute and percent deltas. Full oracle."""
+    from pyspark.sql import Window
+
+    monthly = analytics.rollup_partials(load_table(spark, sf_dir, "events"))
+    w = Window.partitionBy("series").orderBy("month")
+    prev = F.lag("sum_value").over(w)
+    return monthly.select(
+        "series",
+        "month",
+        "sum_value",
+        F.round(prev, 4).alias("prev_sum"),
+        F.round(F.col("sum_value") - prev, 4).alias("abs_change"),
+        F.round(
+            F.when(prev != 0, (F.col("sum_value") - prev) / prev), 6
+        ).alias("pct_change"),
+    )
+
+
 def q_filter_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B35 eval harness: agreement grid between the rule-based quality
     filter and the classifier quality filter — the ensemble diagnostic
@@ -2561,6 +2582,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_near_dup_rate_by_source": q_near_dup_rate_by_source,
         "q_lang_confusion": q_lang_confusion,
         "q_filter_agreement": q_filter_agreement,
+        "q_mom_change": q_mom_change,
         # rows-only-by-design tail of the never-evaluated block
         "q_multimodal_audio": q_multimodal_audio,
         "q_incremental_near_dedup": q_incremental_near_dedup,
@@ -4333,6 +4355,28 @@ def oracle_sql() -> dict[str, str]:
         "q_bpe_merges": _bpe_merges_oracle_sql(),
         "q_bpe_encode": _bpe_encode_oracle_sql(),
         "q_ewma_chart": _ewma_oracle_sql(),
+        # month-over-month deltas off the monthly rollup grid
+        "q_mom_change": """
+            WITH daily AS (
+              SELECT event_type AS series, date_trunc('day', ts) AS day,
+                     CAST(count(*) AS BIGINT) AS n,
+                     round(sum(value), 4) AS s
+              FROM events GROUP BY 1, 2
+            ),
+            monthly AS (
+              SELECT series, CAST(date_trunc('month', day) AS DATE) AS month,
+                     round(sum(s), 4) AS sum_value
+              FROM daily GROUP BY 1, 2
+            )
+            SELECT series, month, sum_value,
+                   round(lag(sum_value) OVER w, 4) AS prev_sum,
+                   round(sum_value - lag(sum_value) OVER w, 4) AS abs_change,
+                   round(CASE WHEN lag(sum_value) OVER w <> 0
+                              THEN (sum_value - lag(sum_value) OVER w) / lag(sum_value) OVER w
+                         END, 6) AS pct_change
+            FROM monthly
+            WINDOW w AS (PARTITION BY series ORDER BY month)
+        """,
         # lang-ID confusion: the q_lang_id pipeline re-aggregated to the
         # (declared, predicted) grid with per-declared shares
         "q_lang_confusion": f"""

@@ -856,6 +856,27 @@ def q_retrieval_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ndcg_at_k(sys_rank, truth, k=5)
 
 
+def q_token_share_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North-star report: corpus composition by source measured in
+    TOKENS (docs and tokens per source + token share) — the observed
+    mixture that token-budget/mixture recipes are written against.
+    Narrow token_count per row + one tiny aggregate. Full oracle."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    g = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(text.token_count("text")).alias("n_tokens"),
+    )
+    w = Window.partitionBy()
+    return g.select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        F.round(F.col("n_tokens") / F.sum("n_tokens").over(w), 6).alias("token_share"),
+    )
+
+
 def q_mom_change(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B20/B16 composition: month-over-month change report off the
     partial-aggregate rollup — previous month's totals via lag over the
@@ -2583,6 +2604,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_lang_confusion": q_lang_confusion,
         "q_filter_agreement": q_filter_agreement,
         "q_mom_change": q_mom_change,
+        "q_token_share_by_source": q_token_share_by_source,
         # rows-only-by-design tail of the never-evaluated block
         "q_multimodal_audio": q_multimodal_audio,
         "q_incremental_near_dedup": q_incremental_near_dedup,
@@ -4355,6 +4377,17 @@ def oracle_sql() -> dict[str, str]:
         "q_bpe_merges": _bpe_merges_oracle_sql(),
         "q_bpe_encode": _bpe_encode_oracle_sql(),
         "q_ewma_chart": _ewma_oracle_sql(),
+        "q_token_share_by_source": f"""
+            WITH g AS (
+              SELECT source,
+                     CAST(count(*) AS BIGINT) AS n_docs,
+                     CAST(sum(len({_TOKENS_SQL})) AS BIGINT) AS n_tokens
+              FROM documents GROUP BY source
+            )
+            SELECT source, n_docs, n_tokens,
+                   round(CAST(n_tokens AS DOUBLE) / sum(n_tokens) OVER (), 6) AS token_share
+            FROM g
+        """,
         # month-over-month deltas off the monthly rollup grid
         "q_mom_change": """
             WITH daily AS (

@@ -2515,15 +2515,50 @@ def q_promo_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
-        # Ordered so keys WITHOUT a driver CORRECTNESS row (r1∪r2∪r3 = 122
-        # evaluated keys) come FIRST: the driver's ~50-row window per round
-        # should spend its budget on never-evaluated keys. The 60 keys below
-        # have no driver row — ALL oracle-backed ones first (46 backlog +
-        # 9 round-4 additions = 55), rows-only-by-design (5) after, since
-        # an oracle row is the stronger evidence; the 122 already-green
-        # keys close the dict. A ~50-row window this round clears the
-        # oracle-backed backlog; round 5 mops up the tail.
-        # round-4 additions (new keys, no driver row yet, all oracle-backed)
+        # Ordered so keys WITHOUT a driver CORRECTNESS row (r1∪r2∪r3∪r4 =
+        # 172 evaluated keys) come FIRST: the driver's ~50-row window per
+        # round should spend its budget on never-evaluated keys. The 34
+        # round-4 additions below have no driver row yet — oracle-backed
+        # ones first (29), rows-only-by-design (5) after — then round-5
+        # additions, then the 172 already-green keys close the dict. A
+        # ~50-row window this round covers the whole backlog plus the new
+        # round-5 keys → driver union = full surface.
+        "q_leakage_safe_splits": q_leakage_safe_splits,
+        "q_bm25_topk": q_bm25_topk,
+        "q_bm25_percolate": q_bm25_percolate,
+        "q_hybrid_rrf": q_hybrid_rrf,
+        "q_bpe_pair_stats": q_bpe_pair_stats,
+        "q_bpe_merges": q_bpe_merges,
+        "q_bpe_encode": q_bpe_encode,
+        "q_fuzzy_prefix_join": q_fuzzy_prefix_join,
+        "q_fuzzy_sorted_neighborhood": q_fuzzy_sorted_neighborhood,
+        "q_trend_fit": q_trend_fit,
+        "q_rendezvous_shard": q_rendezvous_shard,
+        "q_contrastive_pairs": q_contrastive_pairs,
+        "q_seasonal_profile": q_seasonal_profile,
+        "q_ewma_chart": q_ewma_chart,
+        "q_benford_audit": q_benford_audit,
+        "q_referential_audit": q_referential_audit,
+        "q_rollup_partials": q_rollup_partials,
+        "q_containment_pairs": q_containment_pairs,
+        "q_association_rules": q_association_rules,
+        "q_activity_streaks": q_activity_streaks,
+        "q_retrieval_ndcg": q_retrieval_ndcg,
+        "q_retrieval_metrics": q_retrieval_metrics,
+        "q_winsorized_stats": q_winsorized_stats,
+        "q_modality_coverage": q_modality_coverage,
+        "q_near_dup_rate_by_source": q_near_dup_rate_by_source,
+        "q_lang_confusion": q_lang_confusion,
+        "q_filter_agreement": q_filter_agreement,
+        "q_mom_change": q_mom_change,
+        "q_token_share_by_source": q_token_share_by_source,
+        # rows-only-by-design tail of the never-evaluated block
+        "q_multimodal_audio": q_multimodal_audio,
+        "q_incremental_near_dedup": q_incremental_near_dedup,
+        "q_approx_percentiles": q_approx_percentiles,
+        "q_simhash_near_dup": q_simhash_near_dup,
+        "q_winnow_dedup": q_winnow_dedup,
+        # ---- keys below all have a green driver row in r1–r4 ----
         "q_classifier_quality": q_classifier_quality,
         "q_token_budget_sample": q_token_budget_sample,
         "q_semantic_dedup": q_semantic_dedup,
@@ -2570,48 +2605,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_curated_docs": q_curated_docs,
         "q_curation_funnel": q_curation_funnel,
         "q_doc_fingerprint": q_doc_fingerprint,
-        # late-round-4 additions, oracle-backed (carry local-sweep
-        # evidence until their driver rotation)
         "q_gopher_rules": q_gopher_rules,
         "q_interpolate_gaps": q_interpolate_gaps,
         "q_minhash_jaccard_diag": q_minhash_jaccard_diag,
         "q_quality_calibrated": q_quality_calibrated,
-        "q_leakage_safe_splits": q_leakage_safe_splits,
-        "q_bm25_topk": q_bm25_topk,
-        "q_bm25_percolate": q_bm25_percolate,
-        "q_hybrid_rrf": q_hybrid_rrf,
-        "q_bpe_pair_stats": q_bpe_pair_stats,
-        "q_bpe_merges": q_bpe_merges,
-        "q_bpe_encode": q_bpe_encode,
-        "q_fuzzy_prefix_join": q_fuzzy_prefix_join,
-        "q_fuzzy_sorted_neighborhood": q_fuzzy_sorted_neighborhood,
-        "q_trend_fit": q_trend_fit,
-        "q_rendezvous_shard": q_rendezvous_shard,
-        "q_contrastive_pairs": q_contrastive_pairs,
-        "q_seasonal_profile": q_seasonal_profile,
-        "q_ewma_chart": q_ewma_chart,
-        "q_benford_audit": q_benford_audit,
-        "q_referential_audit": q_referential_audit,
-        "q_rollup_partials": q_rollup_partials,
-        "q_containment_pairs": q_containment_pairs,
-        "q_association_rules": q_association_rules,
-        "q_activity_streaks": q_activity_streaks,
-        "q_retrieval_ndcg": q_retrieval_ndcg,
-        "q_retrieval_metrics": q_retrieval_metrics,
-        "q_winsorized_stats": q_winsorized_stats,
-        "q_modality_coverage": q_modality_coverage,
-        "q_near_dup_rate_by_source": q_near_dup_rate_by_source,
-        "q_lang_confusion": q_lang_confusion,
-        "q_filter_agreement": q_filter_agreement,
-        "q_mom_change": q_mom_change,
-        "q_token_share_by_source": q_token_share_by_source,
-        # rows-only-by-design tail of the never-evaluated block
-        "q_multimodal_audio": q_multimodal_audio,
-        "q_incremental_near_dedup": q_incremental_near_dedup,
-        "q_approx_percentiles": q_approx_percentiles,
-        "q_simhash_near_dup": q_simhash_near_dup,
-        "q_winnow_dedup": q_winnow_dedup,
-        # ---- keys below all have a green driver row in r1/r2/r3 ----
         "q_lsh_topk_verified": q_lsh_topk_verified,
         "q_minhash_dedup_verified": q_minhash_dedup_verified,
         "q_incremental_near_dedup_verified": q_incremental_near_dedup_verified,

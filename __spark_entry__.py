@@ -1874,8 +1874,10 @@ def _bpe_vocab_sql() -> str:
 
 def _bpe_round_ctes(r: int) -> str:
     """One BPE round: pair stats over v{r-1} → top pair t{r} → merged
-    vocab v{r} (sentinel-spaced replace, leftmost non-overlapping —
-    identical semantics in DuckDB and the JVM)."""
+    vocab v{r}. The sentinel-spaced replace is applied TWICE (leftmost
+    non-overlapping consuming replace skips alternating occurrences;
+    the second pass reaches the canonical-BPE fixpoint) — in lockstep
+    with text._merge_pair_col."""
     return f""",
         p{r} AS (
           SELECT unnest(list_transform(range(1, len(s)), i -> s[i] || ' ' || s[i + 1])) AS pair, wf
@@ -1887,12 +1889,15 @@ def _bpe_round_ctes(r: int) -> str:
           GROUP BY pair ORDER BY c DESC, pair LIMIT 1
         ),
         v{r} AS (
+          -- one-row cross join, NOT scalar subqueries: four correlated
+          -- references to t{r} make DuckDB's CTE inlining re-evaluate the
+          -- whole training prefix per reference (exponential in rounds)
           SELECT word,
-                 replace(w,
-                         ' ' || (SELECT pair FROM t{r}) || ' ',
-                         ' ' || (SELECT replace(pair, ' ', '') FROM t{r}) || ' ') AS w,
+                 replace(replace(w, m.pat, m.rep), m.pat, m.rep) AS w,
                  wf
-          FROM v{r - 1}
+          FROM v{r - 1}, (SELECT ' ' || pair || ' ' AS pat,
+                                 ' ' || replace(pair, ' ', '') || ' ' AS rep
+                          FROM t{r}) m
         )"""
 
 
@@ -4489,6 +4494,7 @@ def oracle_sql() -> dict[str, str]:
               SELECT s.query_id, s.rnk, t.corpus_id IS NOT NULL AS rel
               FROM sys s LEFT JOIN (SELECT query_id, corpus_id FROM truth) t
                 ON s.query_id = t.query_id AND s.corpus_id = t.corpus_id
+              WHERE s.rnk <= 5  -- rank-bounded, in lockstep with retrieval_metrics_at_k
             )
             SELECT query_id,
                    round(CAST(count(CASE WHEN rel THEN 1 END) AS DOUBLE) / 5.0, 6) AS recall,
@@ -4603,13 +4609,15 @@ def oracle_sql() -> dict[str, str]:
                    round(round(sum(s), 4) / sum(n), 4) AS mean_value
             FROM daily GROUP BY 1, 2
         """,
-        # Benford: portable string-based first digit (floor(value*100)
-        # as text) — identical even when value*100 lands below an
-        # integer boundary, since both engines share the double math
+        # Benford: portable string-based first digit — round-before-floor
+        # absorbs binary-float boundary artifacts (0.3*100 ==
+        # 29.999999999999996) so decimal boundary values land on their
+        # true first significant digit; in lockstep with
+        # analytics.benford_audit
         "q_benford_audit": """
             WITH g AS (
               SELECT event_type AS series,
-                     CAST(substr(CAST(CAST(floor(value * 100) AS BIGINT) AS VARCHAR), 1, 1) AS INT) AS digit,
+                     CAST(substr(CAST(CAST(floor(round(value * 100, 6)) AS BIGINT) AS VARCHAR), 1, 1) AS INT) AS digit,
                      CAST(count(*) AS BIGINT) AS n
               FROM events WHERE value >= 0.01
               GROUP BY 1, 2
@@ -4621,31 +4629,39 @@ def oracle_sql() -> dict[str, str]:
                              - log10(1.0 + 1.0 / digit)), 4) AS abs_dev
             FROM g
         """,
+        # NOT EXISTS, not NOT IN: the operator's left_anti contract counts
+        # NULL child fks as orphans (and survives a NULL parent pk); NOT IN
+        # would silently zero those under SQL three-valued logic
         "q_referential_audit": """
             SELECT 'lineitem.orderkey' AS relation,
                    (SELECT CAST(count(*) AS BIGINT) FROM lineitem) AS n_rows,
-                   (SELECT CAST(count(*) AS BIGINT) FROM lineitem
-                    WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)) AS n_orphans
+                   (SELECT CAST(count(*) AS BIGINT) FROM lineitem l
+                    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                      WHERE o.o_orderkey = l.l_orderkey)) AS n_orphans
             UNION ALL
             SELECT 'orders.custkey',
                    (SELECT count(*) FROM orders),
-                   (SELECT count(*) FROM orders
-                    WHERE o_custkey NOT IN (SELECT c_custkey FROM customer))
+                   (SELECT count(*) FROM orders o
+                    WHERE NOT EXISTS (SELECT 1 FROM customer c
+                                      WHERE c.c_custkey = o.o_custkey))
             UNION ALL
             SELECT 'customer.nationkey',
                    (SELECT count(*) FROM customer),
-                   (SELECT count(*) FROM customer
-                    WHERE c_nationkey NOT IN (SELECT n_nationkey FROM nation))
+                   (SELECT count(*) FROM customer c
+                    WHERE NOT EXISTS (SELECT 1 FROM nation n
+                                      WHERE n.n_nationkey = c.c_nationkey))
             UNION ALL
             SELECT 'supplier.nationkey',
                    (SELECT count(*) FROM supplier),
-                   (SELECT count(*) FROM supplier
-                    WHERE s_nationkey NOT IN (SELECT n_nationkey FROM nation))
+                   (SELECT count(*) FROM supplier s
+                    WHERE NOT EXISTS (SELECT 1 FROM nation n
+                                      WHERE n.n_nationkey = s.s_nationkey))
             UNION ALL
             SELECT 'nation.regionkey',
                    (SELECT count(*) FROM nation),
-                   (SELECT count(*) FROM nation
-                    WHERE n_regionkey NOT IN (SELECT r_regionkey FROM region))
+                   (SELECT count(*) FROM nation na
+                    WHERE NOT EXISTS (SELECT 1 FROM region r
+                                      WHERE r.r_regionkey = na.n_regionkey))
         """,
         # seasonal profile: integer ISO-dow arithmetic, window over the
         # (series, dow) grid

@@ -2695,12 +2695,16 @@ def benford_audit(
     data-quality screen for fabricated or clipped numeric feeds.
 
     Digit extraction is ENGINE-PORTABLE integer/string arithmetic, not
-    log10: the first digit of floor(value·100) as text (values < 0.01
-    and non-positives are excluded) — float log10 at power-of-ten
-    boundaries rounds differently per libm, string-stripping doesn't.
-    One map-side-partial aggregation to the ≤9-row-per-series grid.
+    log10: the first digit of floor(round(value·100, 6)) as text
+    (values < 0.01 and non-positives are excluded) — float log10 at
+    power-of-ten boundaries rounds differently per libm, string-
+    stripping doesn't. The round-before-floor absorbs binary-float
+    boundary artifacts (0.3·100 == 29.999999999999996 would otherwise
+    floor to digit 2, not 3), so exact decimal boundary values land on
+    their true first significant digit. One map-side-partial
+    aggregation to the ≤9-row-per-series grid.
     """
-    cents = F.floor(F.col(value_col) * 100).cast("long")
+    cents = F.floor(F.round(F.col(value_col) * 100, 6)).cast("long")
     digit = F.substring(cents.cast("string"), 1, 1).cast("int")
     g = (
         events.filter(F.col(value_col) >= 0.01)

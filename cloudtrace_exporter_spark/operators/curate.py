@@ -332,8 +332,14 @@ def contrastive_pairs(
     w_neg = Window.partitionBy("anchor_id").orderBy("pri", "cand")
     negs = (
         anchors.join(F.broadcast(pool), F.col("cand") != F.col("anchor_id"))
+        # broadcast the positives side of the anti-join: it is the (already
+        # n_pos-capped-ish) near-dup pair list — orders of magnitude smaller
+        # than anchors × pool — and a broadcast hash anti-join avoids the
+        # sort-merge exchange pair the planner otherwise picks for the
+        # checkpointed (stats-less) frame; at true corpus scale shard the
+        # pool per anchor bucket instead
         .join(
-            both.withColumnRenamed("partner_id", "cand"),
+            F.broadcast(both.withColumnRenamed("partner_id", "cand")),
             ["anchor_id", "cand"],
             "left_anti",
         )

@@ -1137,11 +1137,16 @@ def fuzzy_sorted_neighborhood(
     Scale shape: the global total order comes from
     ``analytics.global_row_number`` (range-partitioned two-phase
     numbering — never a single-task window), and the rank-range
-    neighbor join is rewritten as an EQUI-join by exploding each row
-    into its ``window`` following rank slots (a narrow ≤window× map of
-    (rank, id, prefix) triples, never full rows) — no range/theta join,
-    no nested loop. Pairs emit id-ordered (least/greatest) with their
-    edit distance.
+    neighbor join is a single BUCKET-OWNER aggregation, not a self-join:
+    every row emits ``window + 1`` narrow (rank-slot, id, prefix)
+    triples keyed by ``bucket = rn - k`` (k = 0 marks the bucket's
+    owner, k ≥ 1 its followers), ONE hash shuffle groups each owner
+    with exactly its next ``window`` neighbors, and the pairs unfold
+    in-row. The ranked frame has a single consumer, so the numbering
+    lineage runs once and the whole plan is range-exchange + one
+    bucket exchange — no theta join, no probe/rank double exchange, no
+    ReusedExchange dependency. Pairs emit id-ordered (least/greatest)
+    with their edit distance.
     """
     from cloudtrace_exporter_spark.operators.analytics import global_row_number
 
@@ -1151,26 +1156,32 @@ def fuzzy_sorted_neighborhood(
         F.concat_ws(" ", F.slice(t, 1, n_prefix_tokens)).alias("pfx"),
     )
     rk = global_row_number(keyed, ["pfx", "id"]).select("id", "pfx", "rn")
-    probes = rk.select(
+    slots = rk.select(
         "id",
         "pfx",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(1), F.lit(window)), lambda k: F.col("rn") + k
-            )
-        ).alias("rn"),
+        "rn",
+        F.explode(F.sequence(F.lit(0), F.lit(window))).alias("k"),
+    ).select(
+        (F.col("rn") - F.col("k")).alias("bucket"),
+        "k",
+        F.struct("id", "pfx").alias("row"),
     )
-    a, b = probes.alias("a"), rk.alias("b")
-    dist = F.levenshtein(F.col("a.pfx"), F.col("b.pfx"), max_dist)
-    return (
-        a.join(b, F.col("a.rn") == F.col("b.rn"))
-        .select(
-            F.least(F.col("a.id"), F.col("b.id")).alias("doc_a"),
-            F.greatest(F.col("a.id"), F.col("b.id")).alias("doc_b"),
-            dist.cast("long").alias("dist"),
+    grouped = (
+        slots.groupBy("bucket")
+        .agg(
+            F.max(F.when(F.col("k") == 0, F.col("row"))).alias("owner"),
+            # collect_list drops the NULLs the when() leaves on k = 0 rows
+            F.collect_list(F.when(F.col("k") > 0, F.col("row"))).alias("followers"),
         )
-        .filter(F.col("dist") >= 0)
+        .filter(F.col("owner").isNotNull())
     )
+    pairs = grouped.select("owner", F.explode("followers").alias("other"))
+    dist = F.levenshtein(F.col("owner.pfx"), F.col("other.pfx"), max_dist)
+    return pairs.select(
+        F.least(F.col("owner.id"), F.col("other.id")).alias("doc_a"),
+        F.greatest(F.col("owner.id"), F.col("other.id")).alias("doc_b"),
+        dist.cast("long").alias("dist"),
+    ).filter(F.col("dist") >= 0)
 
 
 def containment_pairs(

@@ -808,10 +808,11 @@ def semantic_dedup(
     corpus: DataFrame,
     *,
     threshold: float = 0.92,
-    n_bits: int = 2,
+    n_bits: int | None = None,
     n_tables: int = 8,
     dim: int = 64,
     seed: int = 42,
+    target_bucket: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     index: tuple[DataFrame, DataFrame] | None = None,
@@ -841,9 +842,20 @@ def semantic_dedup(
     (mirroring SemDeDup's clusters ∝ corpus). A fixed n_bits at growing n
     re-quadratizes the pair join: the 10× scale probe measures 27× wall
     at frozen n_bits=2 vs ~linear once bits scale (tools/scale_probe.py).
+    The rule is now the DEFAULT: ``n_bits=None`` sizes the table from
+    the corpus count (one scalar count job — the sanctioned kind), so
+    callers get the occupancy-constant path unless they pin bits
+    explicitly (the oracle config does, for replayability).
 
     Returns every corpus id with its verdict: (vec_id, keep).
     """
+    if n_bits is None:
+        if index is not None:
+            raise ValueError("pass n_bits explicitly when supplying a prebuilt index")
+        import math
+
+        n = corpus.count()
+        n_bits = max(1, round(math.log2(max(2.0, n / float(target_bucket)))))
     vecs, hashes = index if index is not None else build_lsh_index(
         corpus, n_bits=n_bits, n_tables=n_tables, dim=dim,
         id_col=id_col, vec_col=vec_col, seed=seed,
@@ -979,7 +991,12 @@ def retrieval_metrics_at_k(
     FIRST relevant system result; 0 when none). Reciprocal-rank values
     1/i are single exact divisions — engine-identical; recall is an
     integer ratio. Same KB-scale top-k join shape as ndcg_at_k.
+
+    Like ndcg_at_k, ranks beyond k are ignored: sys_ranking is bounded
+    to rnk <= k before the join, so a wider-than-k system frame can't
+    push recall@k past 1.0 or credit MRR hits below the cutoff.
     """
+    sys_ranking = sys_ranking.filter(F.col("rnk") <= k)
     hits = sys_ranking.select("query_id", "corpus_id", "rnk").join(
         F.broadcast(
             truth_ranking.select("query_id", "corpus_id", F.lit(1).alias("__rel"))

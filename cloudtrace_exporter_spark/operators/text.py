@@ -195,9 +195,11 @@ def bm25_topk(
     every document's score against every query is ONE narrow map: idf
     and avgdl are literals and per-term tf reads the row's own token
     array (``bm25_score_expr``). No (doc, term) explode, no posting
-    shuffle — the only shuffle left is the per-query top-k window
-    (parallel across the query batch; with few queries at 100 TB,
-    pre-prune candidates à la WAND before it). Scores round to 4
+    shuffle — the only shuffle left is the per-query top-k window,
+    which sees ONLY candidates: documents overlapping no query term
+    drop before the struct array is built, and zero-hit (doc, query)
+    entries filter inside the array before the explode generator runs
+    (WAND-lite pruning). Scores round to 4
     decimals (the summed-float precedent of lm_unigram_score); an
     earlier posting-shuffle formulation produced bit-identical scores
     (pinned by the streaming parity test) at ~3× the stage count.
@@ -206,10 +208,18 @@ def bm25_topk(
 
     all_terms = sorted({t for _, qtext in queries for t in qtext.split(" ") if t})
     stats = bm25_corpus_stats(documents, all_terms, text_col=text_col)
+    # WAND-lite candidate pruning: a document scores > 0 for SOME query
+    # only if it contains SOME query term, so an arrays_overlap against
+    # the union term list drops non-candidates BEFORE the |queries|-wide
+    # struct array is built and exploded — the ranking window then sees
+    # only candidate rows (at 100 TB this is the difference between the
+    # window reading the corpus and reading the posting-list union).
     base = documents.select(
         F.col(id_col).alias("doc_id"),
         tokens(text_col).alias("__t"),
         token_count(text_col).cast("double").alias("__dl"),
+    ).filter(
+        F.arrays_overlap(F.col("__t"), F.array(*[F.lit(t) for t in all_terms]))
     )
     per_query = []
     for qid, qtext in queries:
@@ -232,10 +242,15 @@ def bm25_topk(
                 hits.alias("hits"),
             )
         )
-    scored = (
-        base.select("doc_id", F.explode(F.array(*per_query)).alias("q"))
-        .filter(F.col("q.hits") > 0)
-        .select(F.col("q.query_id").alias("query_id"), "doc_id", F.col("q.score").alias("score"))
+    # zero-hit entries are filtered INSIDE the array, before the explode
+    # generator runs — the explode emits only (doc, query) candidates
+    scored = base.select(
+        "doc_id",
+        F.explode(
+            F.filter(F.array(*per_query), lambda q: q["hits"] > 0)
+        ).alias("q"),
+    ).select(
+        F.col("q.query_id").alias("query_id"), "doc_id", F.col("q.score").alias("score")
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
     return (
@@ -373,7 +388,11 @@ def bpe_pair_stats(documents: DataFrame, *, top_n: int = 50, text_col: str = "te
 
 
 def bpe_learn_merges(
-    documents: DataFrame, *, n_merges: int = 6, text_col: str = "text"
+    documents: DataFrame,
+    *,
+    n_merges: int = 6,
+    text_col: str = "text",
+    merges_per_round: int = 1,
 ) -> DataFrame:
     """Byte-pair-encoding merge learning (Sennrich et al. 2016): run
     ``n_merges`` rounds of pick-most-frequent-adjacent-pair → merge it
@@ -382,51 +401,104 @@ def bpe_learn_merges(
     tokenizer ships.
 
     Merging uses left-to-right non-overlapping string ``replace`` on the
-    sentinel-spaced symbol representation (`` a a a `` merging ``a a``
-    → `` aa a ``) — exactly the BPE merge rule, and an engine-portable
-    primitive, so the WHOLE iterative trainer replays in DuckDB as
-    ``n_merges`` unrolled CTE stages (see the q_bpe_merges oracle).
+    sentinel-spaced symbol representation, applied TWICE per merge: a
+    single consuming pass under-merges alternating runs (`` a b a b ``
+    → `` ab a b ``, the shared separator space being consumed by the
+    first match), and a second pass reaches the canonical-BPE fixpoint
+    (`` ab ab ``) — two passes always suffice, because pass one leaves
+    surviving occurrences isolated between merged symbols and a merge
+    can never create a new occurrence of its own pair. The same
+    double-replace runs in DuckDB, so the WHOLE iterative trainer
+    replays as ``n_merges`` unrolled CTE stages (see the q_bpe_merges
+    oracle).
 
     Scale shape: the corpus reduces to the vocab table once (the only
     corpus-sized shuffle, in ``bpe_word_vocab``); each round shuffles
     only vocab-sized pair stats and collects ONE (pair, count) row — the
     per-round scalar-only driver pattern of IVF/PageRank. Ties break by
     pair string for cross-engine determinism.
+
+    ``merges_per_round > 1`` enables frequency-batched training (the
+    standard distributed-BPE cadence): each round greedily takes the
+    top-ranked pairs whose SYMBOLS are mutually disjoint and applies
+    them in one vocab pass, so a 32k-merge vocabulary costs
+    ~32k/batch driver rounds instead of 32k. Symbol-disjoint pairs have
+    merge-invariant counts (merging ``a b`` only perturbs pairs that
+    touch ``a`` or ``b``), so every batched pair is merged at its true
+    pre-batch count; the only deviation from strictly-sequential BPE is
+    ordering when a merge CREATES a pair that would outrank the batch
+    tail — the documented, industry-standard approximation. The default
+    (1) is exact sequential Sennrich BPE and is what every oracle runs.
     """
-    merges, _ = _bpe_train(documents, n_merges=n_merges, text_col=text_col)
+    merges, _ = _bpe_train(
+        documents,
+        n_merges=n_merges,
+        text_col=text_col,
+        merges_per_round=merges_per_round,
+    )
     return documents.sparkSession.createDataFrame(
         merges, "merge_rank long, pair string, pair_count long"
     )
 
 
+def _merge_pair_col(w: Column, pair: str) -> Column:
+    """Apply one BPE merge to the sentinel-spaced symbol column —
+    TWICE, because a consuming left-to-right replace skips alternating
+    occurrences (`` a b a b `` → `` ab a b ``); the second pass merges
+    the isolated survivors, reaching the canonical lookaround-regex
+    fixpoint (two passes always suffice — see bpe_learn_merges)."""
+    pat = F.lit(f" {pair} ")
+    rep = F.lit(" " + pair.replace(" ", "") + " ")
+    return F.replace(F.replace(w, pat, rep), pat, rep)
+
+
 def _bpe_train(
-    documents: DataFrame, *, n_merges: int, text_col: str = "text"
+    documents: DataFrame,
+    *,
+    n_merges: int,
+    text_col: str = "text",
+    merges_per_round: int = 1,
 ) -> tuple[list[tuple[int, str, int]], DataFrame]:
     """The shared BPE training loop: returns the learned merge list AND
     the post-merge vocabulary (word, w, wf) — the segmentation table the
-    encoder joins against."""
+    encoder joins against. ``merges_per_round > 1`` batches symbol-
+    disjoint top pairs into one vocab pass per driver round (bounds the
+    loop at ~n_merges/batch Spark jobs — the cap a 32k-merge vocabulary
+    needs); the default is exact sequential BPE."""
     vocab = bpe_word_vocab(documents, text_col).localCheckpoint()
     merges: list[tuple[int, str, int]] = []
-    for r in range(1, n_merges + 1):
+    batch_n = max(1, merges_per_round)
+    while len(merges) < n_merges:
+        # over-fetch 4x: the greedy disjointness filter below skips
+        # pairs sharing a symbol with a higher-ranked selected pair.
         top = (
             _vocab_pair_stats(vocab)
             .orderBy(F.desc("pair_count"), F.asc("pair"))
-            .limit(1)
+            .limit(batch_n * 4 if batch_n > 1 else 1)
             .collect()
         )
         if not top:
             break
-        pair, cnt = top[0]["pair"], top[0]["pair_count"]
-        merges.append((r, pair, cnt))
-        vocab = vocab.select(
-            "word",
-            F.replace(
-                F.col("w"),
-                F.lit(f" {pair} "),
-                F.lit(" " + pair.replace(" ", "") + " "),
-            ).alias("w"),
-            "wf",
-        ).localCheckpoint()
+        used: set[str] = set()
+        batch: list[tuple[str, int]] = []
+        for row in top:
+            if len(batch) >= batch_n:
+                break
+            syms = set(row["pair"].split(" "))
+            if used & syms:
+                continue
+            used.update(syms)
+            # the merge mints a new symbol; later batch members must not
+            # touch it either, or their pre-batch counts go stale
+            used.add(row["pair"].replace(" ", ""))
+            batch.append((row["pair"], row["pair_count"]))
+        w = F.col("w")
+        for pair, cnt in batch:
+            merges.append((len(merges) + 1, pair, cnt))
+            w = _merge_pair_col(w, pair)
+            if len(merges) >= n_merges:
+                break
+        vocab = vocab.select("word", w.alias("w"), "wf").localCheckpoint()
     return merges, vocab
 
 

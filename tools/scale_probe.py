@@ -119,12 +119,12 @@ def main() -> None:
         t(f"token_budget_sample {tag}", lambda d=d: curate.token_budget_sample(d, budget_tokens=600))
     for tag, d in (("1x", docs1), ("10x", docs10)):
         t(f"intra_doc_dedup {tag}", lambda d=d: dedup.dedup_intra_doc(d))
-    # semantic dedup: n_bits follows the sizing rule (occupancy constant —
-    # buckets ∝ corpus); a frozen n_bits=2 at 10x re-quadratizes the pair
-    # join (measured 149 s vs 5.4 s at 1x) because 2 bits = 4 buckets/table
-    # regardless of n
-    for tag, e, bits in (("1x (n_bits=2)", emb1, 2), ("10x (n_bits=5)", emb10, 5)):
-        t(f"semantic_dedup {tag}", lambda e=e, bits=bits: semantic_dedup_probe(e, bits))
+    # semantic dedup: n_bits=None → the operator applies the sizing rule
+    # itself (occupancy constant — buckets ∝ corpus); a frozen n_bits=2 at
+    # 10x re-quadratizes the pair join (measured 149 s vs 5.4 s at 1x)
+    # because 2 bits = 4 buckets/table regardless of n
+    for tag, e in (("1x (auto bits)", emb1), ("10x (auto bits)", emb10)):
+        t(f"semantic_dedup {tag}", lambda e=e: semantic_dedup_probe(e))
     for tag, d in (("1x", docs1), ("10x", docs10)):
         t(
             f"bm25_topk {tag}",
@@ -145,7 +145,7 @@ def main() -> None:
         )
 
 
-def semantic_dedup_probe(e, n_bits: int = 2):
+def semantic_dedup_probe(e, n_bits: int | None = None):
     from cloudtrace_exporter_spark.operators import similarity
 
     return similarity.semantic_dedup(e, n_bits=n_bits)

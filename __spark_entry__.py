@@ -1611,6 +1611,23 @@ def _lsh_index(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
     )
 
 
+# Frozen BM25 corpus-stats snapshot per (application, sf_dir): the
+# percolator lifecycle freezes stats ONCE at index time and serves every
+# query batch against them — steady-state BM25 queries pay the narrow
+# scoring map, not a corpus re-aggregation. KB-sized plain tuple.
+_BM25_STATS_CACHE: dict[tuple[str, str], tuple] = {}
+
+
+def _bm25_stats(spark: SparkSession, sf_dir: str) -> tuple:
+    key = (spark.sparkContext.applicationId, sf_dir)
+    got = _BM25_STATS_CACHE.get(key)
+    if got is None:
+        terms = sorted({t for _, q in _BM25_QUERIES for t in q.split(" ")})
+        got = text.bm25_corpus_stats(load_table(spark, sf_dir, "documents"), terms)
+        _BM25_STATS_CACHE[key] = got
+    return got
+
+
 # PQ codebooks + encoded corpus per (application, sf_dir): train/encode
 # once (ingest-time), serve ADC probes per batch — the PQ lifecycle.
 _PQ_CACHE: dict[tuple[str, str], tuple] = {}
@@ -1824,8 +1841,15 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B34/B35 bridge: BM25 lexical retrieval — top-5 documents per
     query under Okapi scoring; the sparse-retrieval baseline beside the
     dense LSH/IVF paths. Full oracle: DuckDB replays tf/df/doc-length/
-    avgdl and the identical Lucene idf expression."""
-    return text.bm25_topk(load_table(spark, sf_dir, "documents"), _BM25_QUERIES, k=5)
+    avgdl and the identical Lucene idf expression. Scores under the
+    session-frozen stats snapshot (_bm25_stats — freeze once, serve
+    many, like the LSH/PQ index caches)."""
+    return text.bm25_topk(
+        load_table(spark, sf_dir, "documents"),
+        _BM25_QUERIES,
+        k=5,
+        stats=_bm25_stats(spark, sf_dir),
+    )
 
 
 def q_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1835,7 +1859,12 @@ def q_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus size); the RRF score is a fixed two-term expression over
     integer ranks — bit-identical across engines, emitted raw."""
     emb = load_table(spark, sf_dir, "embeddings")
-    sparse = text.bm25_topk(load_table(spark, sf_dir, "documents"), _BM25_QUERIES, k=5)
+    sparse = text.bm25_topk(
+        load_table(spark, sf_dir, "documents"),
+        _BM25_QUERIES,
+        k=5,
+        stats=_bm25_stats(spark, sf_dir),
+    )
     dense = similarity.cosine_topk(emb, emb.filter(F.col("vec_id") < 10), k=5).select(
         "query_id", F.col("corpus_id").alias("doc_id"), "rnk"
     )
@@ -1963,9 +1992,7 @@ def q_bm25_percolate(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cloudtrace_exporter_spark.streaming.pipeline import stream_score_bm25
 
     docs = load_table(spark, sf_dir, "documents")
-    terms = sorted({t for _, q in _BM25_QUERIES for t in q.split(" ")})
-    stats = text.bm25_corpus_stats(docs, terms)
-    return stream_score_bm25(docs, _BM25_QUERIES, stats)
+    return stream_score_bm25(docs, _BM25_QUERIES, _bm25_stats(spark, sf_dir))
 
 
 def _bm25_percolate_oracle_sql(*, k1: float = 1.2, b: float = 0.75) -> str:

@@ -180,6 +180,7 @@ def bm25_topk(
     b: float = 0.75,
     text_col: str = "text",
     id_col: str = "doc_id",
+    stats: tuple[list[tuple[str, int]], int, float] | None = None,
 ) -> DataFrame:
     """BM25 lexical retrieval: top-k documents per query under the
     Okapi/Lucene scoring function — the sparse-retrieval baseline that
@@ -190,8 +191,8 @@ def bm25_topk(
 
     Plan shape — the percolator formulation, not the posting-shuffle
     one: corpus statistics (per-term df, N, avgdl) freeze into a
-    KB-sized driver snapshot (``bm25_corpus_stats``, two aggregate-only
-    jobs — the sanctioned collect of the IVF/PQ index artifacts), then
+    KB-sized driver snapshot (``bm25_corpus_stats``, ONE aggregate-only
+    job — the sanctioned collect of the IVF/PQ index artifacts), then
     every document's score against every query is ONE narrow map: idf
     and avgdl are literals and per-term tf reads the row's own token
     array (``bm25_score_expr``). No (doc, term) explode, no posting
@@ -199,7 +200,9 @@ def bm25_topk(
     which sees ONLY candidates: documents overlapping no query term
     drop before the struct array is built, and zero-hit (doc, query)
     entries filter inside the array before the explode generator runs
-    (WAND-lite pruning). Scores round to 4
+    (WAND-lite pruning). Pass ``stats`` to score under an already-frozen
+    snapshot (the percolator/serving lifecycle: freeze once at index
+    time, serve many batches). Scores round to 4
     decimals (the summed-float precedent of lm_unigram_score); an
     earlier posting-shuffle formulation produced bit-identical scores
     (pinned by the streaming parity test) at ~3× the stage count.
@@ -207,7 +210,16 @@ def bm25_topk(
     from pyspark.sql import Window
 
     all_terms = sorted({t for _, qtext in queries for t in qtext.split(" ") if t})
-    stats = bm25_corpus_stats(documents, all_terms, text_col=text_col)
+    if stats is None:
+        stats = bm25_corpus_stats(documents, all_terms, text_col=text_col)
+    # the scoring map is CPU-bound (tokenize + |terms| array scans per
+    # row): when the scan yields fewer splits than cores (small corpus
+    # tier / single parquet file), fan out first — a row-cheap exchange
+    # that unlocks whole-cluster parallelism; at real scale the scan
+    # already has ≥ cores splits and this branch never fires
+    sc = documents.sparkSession.sparkContext
+    if documents.rdd.getNumPartitions() < sc.defaultParallelism:
+        documents = documents.repartition(sc.defaultParallelism)
     # WAND-lite candidate pruning: a document scores > 0 for SOME query
     # only if it contains SOME query term, so an arrays_overlap against
     # the union term list drops non-candidates BEFORE the |queries|-wide
@@ -224,11 +236,12 @@ def bm25_topk(
     per_query = []
     for qid, qtext in queries:
         q_terms = [t for t in qtext.split(" ") if t]
-        hits = F.size(
-            F.array_intersect(
-                F.array_distinct(F.col("__t")),
-                F.array(*[F.lit(t) for t in sorted(set(q_terms))]),
-            )
+        # candidacy is a BOOLEAN (any term present) — arrays_overlap
+        # short-circuits per row; counting via distinct+intersect cost
+        # two array materializations per (doc, query) for a value only
+        # ever compared against zero
+        hit = F.arrays_overlap(
+            F.col("__t"), F.array(*[F.lit(t) for t in sorted(set(q_terms))])
         )
         per_query.append(
             F.struct(
@@ -239,22 +252,36 @@ def bm25_topk(
                     ),
                     4,
                 ).alias("score"),
-                hits.alias("hits"),
+                hit.alias("hit"),
             )
         )
     # zero-hit entries are filtered INSIDE the array, before the explode
     # generator runs — the explode emits only (doc, query) candidates
     scored = base.select(
         "doc_id",
-        F.explode(
-            F.filter(F.array(*per_query), lambda q: q["hits"] > 0)
-        ).alias("q"),
+        F.explode(F.filter(F.array(*per_query), lambda q: q["hit"])).alias("q"),
     ).select(
         F.col("q.query_id").alias("query_id"), "doc_id", F.col("q.score").alias("score")
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    # Two-phase top-k: a query batch has FEW distinct query_ids, so a
+    # single partitionBy(query_id) window funnels every candidate row
+    # through a handful of tasks. Phase 1 takes top-k within
+    # (query_id, salt-of-doc_id) — fully parallel, and any global top-k
+    # row is necessarily top-k in its salt bucket — phase 2 re-ranks the
+    # |queries|·n_salt·k survivors (KBs) for the exact final ranking.
+    n_salt = 64
+    salt = F.pmod(F.xxhash64(F.col("doc_id").cast("string")), F.lit(n_salt))
+    w1 = Window.partitionBy("query_id", "__salt").orderBy(
+        F.desc("score"), F.asc("doc_id")
+    )
+    survivors = (
+        scored.withColumn("__salt", salt)
+        .withColumn("__r1", F.row_number().over(w1))
+        .filter(F.col("__r1") <= k)
+    )
+    w2 = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
     return (
-        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        survivors.withColumn("rnk", F.row_number().over(w2).cast("long"))
         .filter(F.col("rnk") <= k)
         .select("query_id", "doc_id", "score", "rnk")
     )
@@ -271,23 +298,38 @@ def bm25_corpus_stats(
     the KB-sized snapshot a percolator/serving path scores against
     (sanctioned collect: output is bounded by |terms| + 2 scalars,
     like the IVF centroid and PQ codebook artifacts).
+
+    ONE corpus pass, ONE job: per-term dfreq rides as |terms|
+    conditional sums beside the count/avgdl aggregates (the term list
+    is a query-batch-sized literal), instead of a second explode +
+    groupBy(term) pass — halves the snapshot wall, and the global
+    aggregate tree-reduces map-side like any count. Terms absent from
+    the corpus are dropped from the snapshot (they contribute 0 to any
+    score), matching the old groupBy semantics.
     """
-    t = F.array_distinct(tokens(text_col))
-    df_rows = (
-        documents.select(t.alias("t"))
-        .select(F.explode("t").alias("term"))
-        .filter(F.col("term").isin(terms))
-        .groupBy("term")
-        .agg(F.count(F.lit(1)).alias("dfreq"))
-        .collect()
+    hits = F.array_intersect(
+        F.array_distinct(tokens(text_col)), F.array(*[F.lit(x) for x in terms])
     )
-    head = documents.agg(
-        F.count(F.lit(1)).alias("n"), F.avg(token_count(text_col)).alias("avgdl")
-    ).collect()[0]
+    row = (
+        documents.select(hits.alias("__h"), token_count(text_col).alias("__dl"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.avg("__dl").alias("avgdl"),
+            *[
+                F.sum(F.array_contains("__h", term).cast("long")).alias(f"__df_{i}")
+                for i, term in enumerate(terms)
+            ],
+        )
+        .collect()[0]
+    )
     return (
-        [(r["term"], r["dfreq"]) for r in df_rows],
-        head["n"],
-        float(head["avgdl"]),
+        [
+            (term, row[f"__df_{i}"])
+            for i, term in enumerate(terms)
+            if row[f"__df_{i}"]
+        ],
+        row["n"],
+        float(row["avgdl"]),
     )
 
 

@@ -246,6 +246,55 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return graph.pagerank(edges, n_iter=10)
 
 
+def q_pagerank_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph analytics, ORACLE-BACKED twin of q_pagerank: the identical
+    10-round power method over the SUBJECT→RESOURCE graph, with ranks
+    integer-scaled (×1e12, damping as the exact 85/100 rational, floor
+    division) so the full trajectory is BIGINT-deterministic and DuckDB
+    replays it as an unrolled 10-stage CTE chain — the k-core precedent
+    applied to PageRank (graph.pagerank_scaled)."""
+    ev = _normalized_events(spark, sf_dir)
+    edges = ev.select(
+        F.col("subject").alias("src"), F.col("resource_id").alias("dst")
+    ).dropDuplicates(["src", "dst"])
+    return graph.pagerank_scaled(edges, n_iter=10)
+
+
+def _pagerank_scaled_oracle_sql(*, n_iter: int = 10, scale: int = 10**12) -> str:
+    """DuckDB replay of graph.pagerank_scaled: same integer-scaled
+    trajectory, one (contribs, ranks) CTE pair per round — each CTE is
+    referenced exactly once, so the chain stays linear under DuckDB's
+    inlining (the BPE-oracle lesson)."""
+    rounds = []
+    for r in range(1, n_iter + 1):
+        rounds.append(f""",
+        c{r} AS (
+          SELECT e.dst AS id, CAST(sum(r.rank // od.out_deg) AS BIGINT) AS s
+          FROM e JOIN od USING (src) JOIN r{r - 1} r ON r.id = e.src
+          GROUP BY e.dst
+        ),
+        r{r} AS (
+          SELECT nodes.id,
+                 CAST((SELECT tp FROM consts)
+                      + (85 * COALESCE(c{r}.s, 0)) // 100 AS BIGINT) AS rank
+          FROM nodes LEFT JOIN c{r} ON nodes.id = c{r}.id
+        )""")
+    return f"""
+        WITH {EVENTS_AS_TRACES_SQL.strip()},
+        e AS (SELECT DISTINCT subject AS src, resource_id AS dst FROM norm),
+        nodes AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+        consts AS (
+          SELECT CAST({scale} // count(*) AS BIGINT) AS r_init,
+                 CAST({scale * 15} // (100 * count(*)) AS BIGINT) AS tp
+          FROM nodes
+        ),
+        od AS (SELECT src, CAST(count(*) AS BIGINT) AS out_deg FROM e GROUP BY src),
+        r0 AS (SELECT id, (SELECT r_init FROM consts) AS rank FROM nodes)
+        {"".join(rounds)}
+        SELECT id, rank AS pagerank_scaled FROM r{n_iter}
+    """
+
+
 def q_edges_performed_by(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B10: ACTION-[:PERFORMED_BY]->SUBJECT edge table (client.go:20)."""
     edges = graph.build_edges(_normalized_events(spark, sf_dir))
@@ -2584,6 +2633,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_filter_agreement": q_filter_agreement,
         "q_mom_change": q_mom_change,
         "q_token_share_by_source": q_token_share_by_source,
+        # round-5 additions (oracle-backed, no driver row yet)
+        "q_pagerank_verified": q_pagerank_verified,
         # rows-only-by-design tail of the never-evaluated block
         "q_multimodal_audio": q_multimodal_audio,
         "q_incremental_near_dedup": q_incremental_near_dedup,
@@ -3336,6 +3387,10 @@ def oracle_sql() -> dict[str, str]:
             SELECT component AS survivor_doc_id, count(*) AS n_members
             FROM assign GROUP BY component
         """,
+        # q_pagerank_verified: integer-scaled 10-round power method,
+        # unrolled CTE chain — BIGINT floor arithmetic end to end, so
+        # the trajectory is bit-exact across engines
+        "q_pagerank_verified": _pagerank_scaled_oracle_sql(),
         # q_kcore: iterative 2-core peel replayed as a recursive CTE —
         # standard working-table semantics make each recursive step see
         # only the previous round's edge set, i.e. exactly one peel round

@@ -208,6 +208,63 @@ def pagerank(
     return ranks.select("id", F.round("rank", 6).alias("pagerank"))
 
 
+def pagerank_scaled(
+    edges: DataFrame,
+    *,
+    n_iter: int = 10,
+    scale: int = 10**12,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """ORACLE-EXACT PageRank twin: the same fixed-iteration power method
+    as :func:`pagerank`, but over INTEGER-scaled ranks (rank ≈ true
+    pagerank × ``scale``, damping 0.85 as the exact 85/100 rational,
+    floor division throughout). Float power iteration accumulates
+    engine-specific summation-order noise; with every operation a BIGINT
+    floor-div/multiply/sum, the whole 10-round trajectory is bit-exact
+    across engines and replays in DuckDB as an unrolled CTE chain (the
+    k-core recursive-CTE precedent, applied to PageRank). Rank error vs
+    the float method is O(n_iter · max_in_degree / scale) — ~1e-9 at
+    scale=1e12 — so ordering agrees except at genuine ties.
+
+    Per-round plan shape is identical to :func:`pagerank`: one
+    rank-onto-edges join + one incoming-sum aggregation, lineage
+    truncated per round; |V| enters via one scalar count.
+    """
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    nodes = e.select(F.col("src").alias("id")).union(
+        e.select(F.col("dst").alias("id"))
+    ).distinct()
+    n = nodes.count()
+    teleport = (scale * 15) // (100 * n)
+    out_deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg"))
+    weighted = e.join(out_deg, "src").persist()
+    ranks = nodes.withColumn("rank", F.lit(scale // n).cast("long"))
+    for _ in range(n_iter):
+        contribs = (
+            weighted.join(ranks, weighted["src"] == ranks["id"])
+            .select(
+                F.col("dst").alias("id"),
+                F.expr("rank DIV out_deg").alias("c"),
+            )
+            .groupBy("id")
+            .agg(F.sum("c").alias("s"))
+        )
+        ranks = (
+            nodes.join(contribs, "id", "left")
+            .select(
+                "id",
+                (
+                    F.lit(teleport).cast("long")
+                    + F.expr("85 * coalesce(s, CAST(0 AS BIGINT)) DIV 100")
+                ).alias("rank"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    weighted.unpersist()
+    return ranks.select("id", F.col("rank").alias("pagerank_scaled"))
+
+
 def bfs_distances(
     edges: DataFrame,
     sources: DataFrame,

@@ -154,6 +154,26 @@ def test_pagerank_sink_hub_ranks_highest(spark):
     assert got["s1"] > got["s2"] == got["s3"]
 
 
+def test_pagerank_scaled_tracks_float_pagerank(spark):
+    # the integer-scaled oracle twin must agree with the float method to
+    # ~1e-9 relative (scale 1e12, floor-div error per round is O(1/scale))
+    # and preserve its ranking on the same hub graph
+    edges = spark.createDataFrame(
+        [("s1", "hub"), ("s2", "hub"), ("s3", "hub"), ("hub", "s1")],
+        ["src", "dst"],
+    )
+    flt = {r["id"]: r["pagerank"] for r in graph.pagerank(edges, n_iter=10).collect()}
+    scl = {
+        r["id"]: r["pagerank_scaled"]
+        for r in graph.pagerank_scaled(edges, n_iter=10).collect()
+    }
+    assert set(flt) == set(scl)
+    for k in flt:
+        assert abs(scl[k] / 1e12 - flt[k]) < 1e-6, (k, scl[k], flt[k])
+    assert scl["hub"] == max(scl.values())
+    assert scl["s1"] > scl["s2"] == scl["s3"]
+
+
 def test_bfs_distances_path_graph(spark):
     # path a-b-c-d-e plus disconnected f-g: exact hop counts, unreachable absent
     edges = spark.createDataFrame(

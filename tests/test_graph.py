@@ -162,10 +162,13 @@ def test_pagerank_scaled_tracks_float_pagerank(spark):
         [("s1", "hub"), ("s2", "hub"), ("s3", "hub"), ("hub", "s1")],
         ["src", "dst"],
     )
-    flt = {r["id"]: r["pagerank"] for r in graph.pagerank(edges, n_iter=10).collect()}
+    # 20 rounds: the hub/spoke cycle still oscillates at 10 (the scaled
+    # trajectory tracks the float one exactly either way — the ordering
+    # assertions below need the converged state the float test pins)
+    flt = {r["id"]: r["pagerank"] for r in graph.pagerank(edges, n_iter=20).collect()}
     scl = {
         r["id"]: r["pagerank_scaled"]
-        for r in graph.pagerank_scaled(edges, n_iter=10).collect()
+        for r in graph.pagerank_scaled(edges, n_iter=20).collect()
     }
     assert set(flt) == set(scl)
     for k in flt:

@@ -2590,6 +2590,112 @@ def q_promo_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# round-5 additions: curation depth (normalization dedup, span removal,
+# mixture planning, tokenizer eval, CCNet tiers, ring sharding)
+# --------------------------------------------------------------------------
+
+
+def q_normalized_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B33 depth: CCNet-style normalization-hash dedup — case/
+    punctuation/digit/whitespace-folded md5 groups, lowest id survives;
+    per-doc verdict shape (dedup.normalized_dedup). Full oracle (same
+    fold regexes with DuckDB's 'g' flag)."""
+    return dedup.normalized_dedup(load_table(spark, sf_dir, "documents"))
+
+
+def q_dup_span_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B33 depth: actionable substring-dedup remove-list — every
+    non-first occurrence of a duplicated 50-token chunk with its token
+    offsets (dedup.dup_span_plan; the census says THAT content repeats,
+    this says WHAT to cut). Full oracle."""
+    return dedup.dup_span_plan(load_table(spark, sf_dir, "documents"))
+
+
+_RING_SHARDS = [f"shard-{i}" for i in range(8)]
+
+
+def q_ring_shard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sharding depth: ring consistent hashing with 16 virtual nodes per
+    shard (Dynamo family, beside the HRW q_rendezvous_shard) — pure
+    narrow map over a literal ring (analytics.consistent_ring_shard).
+    Full oracle: the ring replays as a VALUES literal."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return analytics.consistent_ring_shard(docs, _RING_SHARDS, n_vnodes=16)
+
+
+def _ring_shard_oracle_sql(*, n_vnodes: int = 16) -> str:
+    """DuckDB replay of consistent_ring_shard: the identical md5 ring as
+    a VALUES literal; successor = min ring position ≥ md5(key), wrapping
+    to the ring head."""
+    ring = analytics.ring_vnodes(_RING_SHARDS, n_vnodes)
+    values = ", ".join(f"('{p}', '{s}')" for p, s in ring)
+    return f"""
+        WITH ring(pos, shard) AS (VALUES {values}),
+        d AS (SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS h FROM documents),
+        sel AS (
+          SELECT d.doc_id,
+                 COALESCE(min(CASE WHEN r.pos >= d.h THEN r.pos END),
+                          (SELECT min(pos) FROM ring)) AS ring_pos
+          FROM d CROSS JOIN ring r GROUP BY d.doc_id
+        )
+        SELECT sel.doc_id, sel.ring_pos, r.shard
+        FROM sel JOIN ring r ON r.pos = sel.ring_pos
+    """
+
+
+def q_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curation depth: α=0.5 temperature-smoothed multilingual sampling
+    plan — per-language sampling rate sqrt(min_tokens/tokens) and
+    expected token yield (curate.temperature_sampling_plan). Full
+    oracle: integer sums + one sqrt/division per row, no float
+    summation anywhere."""
+    return curate.temperature_sampling_plan(load_table(spark, sf_dir, "documents"))
+
+
+def q_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer eval depth: BPE pieces-per-word and chars-per-piece per
+    language under the corpus-trained 6-merge BPE
+    (text.tokenizer_fertility). Full oracle composed from the unrolled
+    BPE CTE chain."""
+    return text.tokenizer_fertility(load_table(spark, sf_dir, "documents"), n_merges=6)
+
+
+def _tokenizer_fertility_oracle_sql(*, n_merges: int = 6) -> str:
+    """DuckDB replay of text.tokenizer_fertility: BPE train (unrolled
+    rounds) → segmentation piece counts → per-doc encode → language
+    rollup with integer-sum ratios."""
+    rounds = "".join(_bpe_round_ctes(r) for r in range(1, n_merges + 1))
+    return f"""WITH {_bpe_vocab_sql().strip()}{rounds},
+        seg AS (
+          SELECT word, len(string_split(trim(w), ' ')) AS n_pieces FROM v{n_merges}
+        ),
+        tok AS (SELECT doc_id, unnest({_TOKENS_SQL}) AS word FROM documents),
+        enc AS (
+          SELECT doc_id, count(*) AS n_words, sum(n_pieces) AS bpe_tokens
+          FROM tok JOIN seg USING (word) GROUP BY doc_id
+        ),
+        dims AS (SELECT doc_id, lang AS stratum, length(text) AS chars FROM documents)
+        SELECT stratum,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(n_words) AS BIGINT) AS n_words,
+               CAST(sum(bpe_tokens) AS BIGINT) AS n_pieces,
+               round(CAST(sum(bpe_tokens) AS DOUBLE) / sum(n_words), 4) AS fertility,
+               round(CAST(sum(chars) AS DOUBLE) / sum(bpe_tokens), 4) AS chars_per_piece
+        FROM enc JOIN dims USING (doc_id)
+        GROUP BY stratum
+    """
+
+
+def q_lm_quality_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curation depth: CCNet head/middle/tail LM tiers — unigram LM
+    score ranked WITHIN predicted language, ntile(3)
+    (text.lm_quality_buckets). Full oracle: both engines share the
+    front-loaded-remainder ntile over the same (rounded score, id)
+    total order."""
+    return text.lm_quality_buckets(load_table(spark, sf_dir, "documents"))
+
+
+# --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
 
@@ -2635,6 +2741,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_token_share_by_source": q_token_share_by_source,
         # round-5 additions (oracle-backed, no driver row yet)
         "q_pagerank_verified": q_pagerank_verified,
+        "q_normalized_dedup": q_normalized_dedup,
+        "q_dup_span_plan": q_dup_span_plan,
+        "q_ring_shard": q_ring_shard,
+        "q_temperature_mixture": q_temperature_mixture,
+        "q_tokenizer_fertility": q_tokenizer_fertility,
+        "q_lm_quality_buckets": q_lm_quality_buckets,
         # rows-only-by-design tail of the never-evaluated block
         "q_multimodal_audio": q_multimodal_audio,
         "q_incremental_near_dedup": q_incremental_near_dedup,
@@ -3386,6 +3498,107 @@ def oracle_sql() -> dict[str, str]:
         + """
             SELECT component AS survivor_doc_id, count(*) AS n_members
             FROM assign GROUP BY component
+        """,
+        # round-5 curation-depth oracles
+        "q_normalized_dedup": r"""
+            WITH k AS (
+              SELECT doc_id,
+                     md5(trim(regexp_replace(regexp_replace(regexp_replace(
+                         lower(text), '[0-9]+', '0', 'g'),
+                         '[^a-z0\s]', ' ', 'g'),
+                         '\s+', ' ', 'g'))) AS norm_key
+              FROM documents
+            )
+            SELECT doc_id, norm_key,
+                   CAST(count(*) OVER (PARTITION BY norm_key) AS BIGINT) AS group_size,
+                   doc_id = min(doc_id) OVER (PARTITION BY norm_key) AS keep
+            FROM k
+        """,
+        "q_dup_span_plan": f"""
+            WITH tok AS (SELECT doc_id, {_TOKENS_SQL} AS t FROM documents),
+            ch AS (
+              SELECT doc_id,
+                     [t[i:i+49] FOR i IN range(1, greatest(len(t), 1) + 1, 50)] AS chunks
+              FROM tok WHERE len(t) >= 1
+            ),
+            fl AS (
+              SELECT doc_id,
+                     CAST(generate_subscripts(chunks, 1) AS BIGINT) AS chunk_idx,
+                     unnest(chunks) AS chunk
+              FROM ch
+            ),
+            fpp AS (
+              SELECT doc_id, chunk_idx,
+                     CAST(len(chunk) AS BIGINT) AS nct,
+                     md5(array_to_string(chunk, ' ')) AS fp
+              FROM fl
+            ),
+            ranked AS (
+              SELECT *,
+                     row_number() OVER (PARTITION BY fp ORDER BY doc_id, chunk_idx) AS rn,
+                     first_value(doc_id) OVER (PARTITION BY fp ORDER BY doc_id, chunk_idx) AS first_doc
+              FROM fpp
+            )
+            SELECT doc_id, chunk_idx,
+                   CAST((chunk_idx - 1) * 50 AS BIGINT) AS tok_start,
+                   CAST((chunk_idx - 1) * 50 + nct AS BIGINT) AS tok_end,
+                   fp AS fingerprint, first_doc
+            FROM ranked WHERE rn > 1
+        """,
+        "q_ring_shard": _ring_shard_oracle_sql(),
+        "q_temperature_mixture": f"""
+            WITH prof AS (
+              SELECT lang AS stratum,
+                     CAST(count(*) AS BIGINT) AS n_docs,
+                     CAST(sum(len({_TOKENS_SQL})) AS BIGINT) AS n_tokens
+              FROM documents GROUP BY 1
+            )
+            SELECT stratum, n_docs, n_tokens,
+                   round(CAST(n_tokens AS DOUBLE) / sum(n_tokens) OVER (), 6) AS p,
+                   round(sqrt(CAST(min(n_tokens) OVER () AS DOUBLE) / n_tokens), 6) AS sample_rate,
+                   round(sqrt(CAST(min(n_tokens) OVER () AS DOUBLE) / n_tokens) * n_tokens, 1) AS expected_tokens
+            FROM prof
+        """,
+        "q_tokenizer_fertility": _tokenizer_fertility_oracle_sql(),
+        "q_lm_quality_buckets": f"""
+            WITH tok AS (
+              SELECT doc_id, unnest({_TOKENS_SQL}) AS token FROM documents
+            ),
+            freq AS (SELECT token, count(*) AS tf FROM tok GROUP BY token),
+            tot AS (SELECT count(*) AS n FROM tok),
+            scored AS (
+              SELECT doc_id, round(avg(log10(tf / n)), 4) AS avg_logp
+              FROM tok JOIN freq USING (token) CROSS JOIN tot
+              GROUP BY doc_id
+            ),
+            ltok AS (
+              SELECT doc_id,
+                     list_filter(string_split(lower(text), ' '), x -> x <> '') AS t
+              FROM documents
+            ), lhits AS (
+              SELECT doc_id, {_LANG_HITS_SQL}
+              FROM ltok
+            ), pred AS (
+              SELECT doc_id,
+                CASE WHEN greatest(h_de, h_en, h_es, h_fr, h_zh) = 0 THEN 'unknown'
+                     WHEN h_de >= greatest(h_en, h_es, h_fr, h_zh) THEN 'de'
+                     WHEN h_en >= greatest(h_es, h_fr, h_zh) THEN 'en'
+                     WHEN h_es >= greatest(h_fr, h_zh) THEN 'es'
+                     WHEN h_fr >= h_zh THEN 'fr'
+                     ELSE 'zh' END AS lang_pred
+              FROM lhits
+            ),
+            tiled AS (
+              SELECT s.doc_id, p.lang_pred, s.avg_logp,
+                     CAST(ntile(3) OVER (PARTITION BY p.lang_pred
+                                         ORDER BY s.avg_logp DESC, s.doc_id) AS BIGINT) AS bucket
+              FROM scored s JOIN pred p USING (doc_id)
+            )
+            SELECT doc_id, lang_pred, avg_logp, bucket,
+                   CASE WHEN bucket = 1 THEN 'head'
+                        WHEN bucket = 3 THEN 'tail'
+                        ELSE 'middle' END AS tier
+            FROM tiled
         """,
         # q_pagerank_verified: integer-scaled 10-round power method,
         # unrolled CTE chain — BIGINT floor arithmetic end to end, so

@@ -2575,6 +2575,62 @@ def rendezvous_shard(
     return df.withColumn("shard", F.array_max(candidates)["s"])
 
 
+def ring_vnodes(shards: list[str], n_vnodes: int = 16) -> list[tuple[str, str]]:
+    """The consistent-hash ring itself: ``n_vnodes`` virtual nodes per
+    shard at positions md5('<shard>#<v>'), sorted by position. Virtual
+    nodes are THE classic smoothing device (Karger et al. / Dynamo):
+    one point per shard gives some shards arcs ~log(n)× larger than
+    others; 16+ points per shard bound the load imbalance. Deterministic
+    (pure md5), so the ring replays as a VALUES literal in DuckDB."""
+    import hashlib
+
+    ring = [
+        (hashlib.md5(f"{s}#{v}".encode()).hexdigest(), s)
+        for s in shards
+        for v in range(n_vnodes)
+    ]
+    ring.sort()
+    return ring
+
+
+def consistent_ring_shard(
+    df: DataFrame,
+    shards: list[str],
+    *,
+    n_vnodes: int = 16,
+    key_col: str = "doc_id",
+) -> DataFrame:
+    """Ring-based consistent-hash shard routing (the Dynamo/memcached
+    family, complementing the HRW ``rendezvous_shard``): a key lands on
+    the first virtual node clockwise from md5(key) (wrapping to the
+    ring's first node). Adding/removing a shard moves ONLY keys in the
+    arcs owned by that shard's vnodes — the minimal-disruption property
+    the unit test pins — while rendezvous pays |shards| hashes per key,
+    the ring pays one hash + an in-row successor lookup, the better
+    trade when the shard fleet is large.
+
+    Pure narrow map, zero shuffles: the sorted ring enters as a literal
+    struct array (|shards|·n_vnodes entries — KBs), the successor is an
+    in-row filter-first over hex strings (md5's uniform hex compares
+    lexicographically), and the wrap falls back to the ring head.
+    Emits (.., ring_pos, shard)."""
+    ring = ring_vnodes(shards, n_vnodes)
+    ring_arr = F.array(
+        *[
+            F.struct(F.lit(p).alias("p"), F.lit(s).alias("s"))
+            for p, s in ring
+        ]
+    )
+    h = F.md5(F.col(key_col).cast("string").cast("binary"))
+    successor = F.coalesce(
+        F.get(F.filter(ring_arr, lambda r: r["p"] >= h), 0),
+        F.struct(F.lit(ring[0][0]).alias("p"), F.lit(ring[0][1]).alias("s")),
+    )
+    return df.withColumn("ring_pos", successor["p"]).withColumn(
+        "shard", successor["s"]
+    )
+
+
 def seasonal_profile(
     events: DataFrame,
     *,

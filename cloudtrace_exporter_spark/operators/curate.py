@@ -103,6 +103,48 @@ def curation_funnel(docs: DataFrame, *, en_fraction: float = 0.25) -> DataFrame:
     )
 
 
+def temperature_sampling_plan(
+    docs: DataFrame,
+    *,
+    strata_col: str = "lang",
+    text_col: str = "text",
+) -> DataFrame:
+    """Temperature-smoothed multilingual sampling plan (the α-smoothed
+    multinomial of mBERT/XLM-R/mT5, α = 0.5): per stratum, the natural
+    token share p_l is flattened to q_l ∝ p_l^α, which makes the
+    per-document sampling rate r_l ∝ q_l / p_l ∝ 1/sqrt(tokens_l);
+    scaled so the rarest stratum samples at 1.0 this collapses to the
+    closed form r_l = sqrt(min_tokens / tokens_l) — the standard
+    low-resource-language rebalancing artifact a pretraining mixture
+    run is driven by, plus each stratum's expected token yield.
+
+    Engine-exactness is designed in: α is fixed at 1/2 so the smoothing
+    power is ``sqrt`` (IEEE-exact everywhere; a free-α ``pow`` differs
+    in the last ulp per libm), and every aggregate is an INTEGER sum
+    (order-independent) — the only float ops are one division and one
+    sqrt per row, so no cross-engine summation-order noise exists to
+    round away. One stratum-keyed aggregation with map-side partials;
+    the min/total ride on an unpartitioned window over the
+    |strata|-row profile. Emits (stratum, n_docs, n_tokens, p,
+    sample_rate, expected_tokens), rounded to 6/1.
+    """
+    prof = docs.groupBy(F.col(strata_col).alias("stratum")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(text.token_count(text_col)).cast("long").alias("n_tokens"),
+    )
+    w = Window.partitionBy()
+    p = F.col("n_tokens") / F.sum("n_tokens").over(w)
+    rate = F.sqrt(F.min("n_tokens").over(w) / F.col("n_tokens"))
+    return prof.select(
+        "stratum",
+        "n_docs",
+        "n_tokens",
+        F.round(p, 6).alias("p"),
+        F.round(rate, 6).alias("sample_rate"),
+        F.round(rate * F.col("n_tokens"), 1).alias("expected_tokens"),
+    )
+
+
 def cluster_safe_splits(
     assignment: DataFrame,
     *,

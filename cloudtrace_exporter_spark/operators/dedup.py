@@ -122,6 +122,50 @@ def dup_rate_by_source(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def aggressive_norm_key(text_col: str = "text") -> Column:
+    """CCNet-style aggressive normalization key: lowercase, every
+    non-alphanumeric character (punctuation, symbols) folded to a space,
+    digit runs folded to a ``0`` placeholder, whitespace collapsed —
+    then md5. Two documents that differ only in punctuation, casing,
+    numbers, or spacing collide; the md5 key is uniform (no hot shuffle
+    keys at 100 TB). Dialect-portable regexes (no lookaround), replayed
+    verbatim in DuckDB with the 'g' flag.
+    """
+    folded = F.lower(F.col(text_col))
+    digits = F.regexp_replace(folded, r"[0-9]+", "0")
+    stripped = F.regexp_replace(digits, r"[^a-z0\s]", " ")
+    collapsed = F.trim(F.regexp_replace(stripped, r"\s+", " "))
+    return F.md5(collapsed)
+
+
+def normalized_dedup(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Normalization-hash dedup (the CCNet recipe, one rung above
+    ``exact_dedup``): documents equal UP TO case / punctuation /
+    digits / whitespace form one group; the lowest id survives. Emits a
+    per-document verdict (doc_id, norm_key, group_size, keep) — the
+    same verdict shape as semantic_dedup, so curation funnels can chain
+    either.
+
+    One hash shuffle on the uniform md5 key; group stats ride on a
+    window over the already-partitioned groups (no join back to the
+    corpus). Catches the near-miss copies exact dedup leaves behind
+    (trailing punctuation, timestamps, issue numbers) without any
+    pairwise comparison.
+    """
+    keyed = df.select(
+        F.col(id_col).alias("doc_id"), aggressive_norm_key(text_col).alias("norm_key")
+    )
+    w = Window.partitionBy("norm_key")
+    return keyed.select(
+        "doc_id",
+        "norm_key",
+        F.count(F.lit(1)).over(w).cast("long").alias("group_size"),
+        (F.col("doc_id") == F.min("doc_id").over(w)).alias("keep"),
+    )
+
+
 def jaccard_pairs(
     df: DataFrame, threshold: float = 0.8, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
@@ -973,6 +1017,63 @@ def chunk_dup_census(
         )
         .filter(F.col("n_docs") >= 2)
         .withColumnRenamed("__fp", "fingerprint")
+    )
+
+
+def dup_span_plan(
+    df: DataFrame, *, chunk_tokens: int = 50, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Actionable substring-dedup plan (the step AFTER the census): for
+    every duplicated chunk, keep its globally FIRST occurrence (min
+    (doc_id, chunk_idx)) and emit every other occurrence as a concrete
+    token-offset span to delete — (doc_id, chunk_idx, tok_start,
+    tok_end, fingerprint, first_doc). This is the remove-list an exact
+    substring dedup pass (Lee et al. 2022 shape) hands the rewrite job;
+    the census reports THAT content repeats, this says WHAT to cut.
+
+    Keep-first is computed with one min-struct aggregation per
+    fingerprint (struct ordering = (doc_id, chunk_idx) lexicographic)
+    joined back to the chunk stream — at 100 TB the duplicated-
+    fingerprint frame is census-sized (small) and broadcasts; the chunk
+    stream shuffles once on the uniform md5 key. Spans are pure
+    arithmetic on the 1-based chunk index (overlap=0 ⇒ start =
+    (idx−1)·chunk_tokens, end-exclusive)."""
+    from cloudtrace_exporter_spark.operators.text import chunk_documents
+
+    chunks = chunk_documents(
+        df, chunk_tokens=chunk_tokens, overlap=0, text_col=text_col, id_col=id_col
+    ).withColumn("__fp", F.md5(F.col("chunk_text").cast("binary")))
+    first = (
+        chunks.groupBy("__fp")
+        .agg(
+            F.count(F.lit(1)).alias("__n"),
+            F.min(F.struct("doc_id", "chunk_idx")).alias("__first"),
+        )
+        .filter(F.col("__n") >= 2)
+        .select(
+            "__fp",
+            F.col("__first.doc_id").alias("first_doc"),
+            F.col("__first.chunk_idx").alias("__first_idx"),
+        )
+    )
+    return (
+        chunks.join(F.broadcast(first), "__fp")
+        .filter(
+            ~(
+                (F.col("doc_id") == F.col("first_doc"))
+                & (F.col("chunk_idx") == F.col("__first_idx"))
+            )
+        )
+        .select(
+            "doc_id",
+            "chunk_idx",
+            ((F.col("chunk_idx") - 1) * chunk_tokens).cast("long").alias("tok_start"),
+            ((F.col("chunk_idx") - 1) * chunk_tokens + F.col("n_chunk_tokens"))
+            .cast("long")
+            .alias("tok_end"),
+            F.col("__fp").alias("fingerprint"),
+            "first_doc",
+        )
     )
 
 

@@ -574,6 +574,55 @@ def bpe_encode_counts(
     )
 
 
+def tokenizer_fertility(
+    documents: DataFrame,
+    *,
+    n_merges: int = 6,
+    strata_col: str = "lang",
+    text_col: str = "text",
+) -> DataFrame:
+    """Tokenizer fertility report per language: pieces-per-word under
+    the corpus-trained BPE — THE metric multilingual tokenizer work
+    optimizes (a language with fertility ≫ 1 pays more sequence length
+    per sentence, trains slower, and truncates harder; the reason
+    vocabularies are rebalanced across languages). Composes the
+    verified BPE encoder with a stratum rollup: per language, document/
+    word/piece totals, fertility = pieces/words, and chars-per-piece
+    (the compression view of the same trade).
+
+    Plan shape: the BPE train+encode dominates (vocab-sized rounds +
+    one broadcast segmentation join — see bpe_encode_counts); the
+    rollup adds one |strata|-keyed integer aggregation. Ratios are
+    single divisions of integer sums (order-independent), rounded to 4
+    — engine-exact, so the whole report carries a full oracle composed
+    from the BPE CTE chain.
+    """
+    enc = bpe_encode_counts(documents, n_merges=n_merges, text_col=text_col)
+    dims = documents.select(
+        "doc_id",
+        F.col(strata_col).alias("stratum"),
+        F.length(text_col).cast("long").alias("__chars"),
+    )
+    return (
+        enc.join(dims, "doc_id")
+        .groupBy("stratum")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_words").cast("long").alias("n_words"),
+            F.sum("bpe_tokens").cast("long").alias("n_pieces"),
+            F.sum("__chars").cast("long").alias("n_chars"),
+        )
+        .select(
+            "stratum",
+            "n_docs",
+            "n_words",
+            "n_pieces",
+            F.round(F.col("n_pieces") / F.col("n_words"), 4).alias("fertility"),
+            F.round(F.col("n_chars") / F.col("n_pieces"), 4).alias("chars_per_piece"),
+        )
+    )
+
+
 def word_ngrams(t: Column, n: int) -> Column:
     """Distinct word n-grams (space-joined) over an ALREADY MATERIALIZED
     token-array column; empty array when the document has fewer than
@@ -999,6 +1048,42 @@ def lm_bigram_score(
                 "avg_logp"
             ),
         )
+    )
+
+
+def lm_quality_buckets(
+    documents: DataFrame, *, n_buckets: int = 3, text_col: str = "text"
+) -> DataFrame:
+    """CCNet-style LM quality tiers: rank every document by its unigram
+    LM score WITHIN its predicted language and cut into ``n_buckets``
+    equal tiles — head / middle / tail for the canonical 3 — the
+    exact shape CCNet ships its corpus in (head = fluent text worth
+    full weight, tail = candidates for dropping). Composes two verified
+    operators (lm_unigram_score × language_id); the tier boundary is
+    relative PER LANGUAGE, which is the whole point — a global score
+    cutoff would empty low-resource languages.
+
+    ntile runs over (rounded score desc, doc_id) — a total order, so
+    tiles are deterministic and engine-identical (DuckDB's ntile uses
+    the same front-loaded-remainder definition). Per-language total
+    ordering is the fixture-exact formulation; at 100 TB swap the
+    window for two approx-percentile thresholds per language (same
+    tiers to sketch accuracy, no global sort).
+    """
+    from pyspark.sql import Window
+
+    scored = lm_unigram_score(documents, text_col)
+    pred = language_id(documents, text_col).select("doc_id", "lang_pred")
+    w = Window.partitionBy("lang_pred").orderBy(F.desc("avg_logp"), F.asc("doc_id"))
+    tier = (
+        F.when(F.col("bucket") == 1, F.lit("head"))
+        .when(F.col("bucket") == n_buckets, F.lit("tail"))
+        .otherwise(F.lit("middle"))
+    )
+    return (
+        scored.join(pred, "doc_id")
+        .withColumn("bucket", F.ntile(n_buckets).over(w).cast("long"))
+        .select("doc_id", "lang_pred", "avg_logp", "bucket", tier.alias("tier"))
     )
 
 

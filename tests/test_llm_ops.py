@@ -1259,6 +1259,86 @@ def test_contrastive_pairs_structure(spark):
     assert out.exceptAll(again).count() == 0 and again.exceptAll(out).count() == 0
 
 
+def test_normalized_dedup_folds_case_punct_digits(spark):
+    from cloudtrace_exporter_spark.operators import dedup
+
+    docs = spark.createDataFrame(
+        [
+            (0, "Hello, world! Issue #42"),
+            (1, "hello world  issue 7"),   # same after case/punct/digit fold
+            (2, "hello world issue"),      # different (no digit placeholder)
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in dedup.normalized_dedup(docs).collect()}
+    assert got[0]["norm_key"] == got[1]["norm_key"] != got[2]["norm_key"]
+    assert got[0]["keep"] and not got[1]["keep"] and got[2]["keep"]
+    assert got[0]["group_size"] == 2 and got[2]["group_size"] == 1
+
+
+def test_dup_span_plan_emits_nonfirst_occurrences_with_offsets(spark):
+    from cloudtrace_exporter_spark.operators import dedup
+
+    shared = " ".join(f"s{i}" for i in range(50))   # one full shared chunk
+    docs = spark.createDataFrame(
+        [
+            (0, shared + " tail0 a b"),
+            (1, "u0 " * 50 + shared),  # shared chunk at offset 50
+            (2, "unique only text"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = dedup.dup_span_plan(docs).collect()
+    # doc 1's copy of the shared chunk is the single span to cut;
+    # doc 0 holds the first occurrence and emits nothing
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["doc_id"] == 1 and r["first_doc"] == 0
+    assert (r["tok_start"], r["tok_end"]) == (50, 100)
+
+
+def test_lm_quality_buckets_tiers_within_language(spark):
+    # 6 docs, one PREDICTED language (every doc carries an 'en'
+    # stopword — an all-rare doc would land in its own 'unknown'
+    # partition): repeated common words score high, rare-token soup
+    # scores low; ntile(3) over 6 docs → 2 per tier
+    rows = [
+        (0, "the the the the"),
+        (1, "the the the and"),
+        (2, "the and the and"),
+        (3, "the and is was"),
+        (4, "the and zq1 zq2"),
+        (5, "the zq3 zq4 zq5"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in text.lm_quality_buckets(docs).collect()}
+    assert len(got) == 6
+    tiers = {t: [d for d in got if got[d]["tier"] == t] for t in ("head", "middle", "tail")}
+    assert len(tiers["head"]) == len(tiers["middle"]) == len(tiers["tail"]) == 2
+    # the all-stopword doc is head; the all-rare doc is tail
+    assert 0 in tiers["head"] and 5 in tiers["tail"]
+    # scores are monotone across tier boundaries
+    assert min(got[d]["avg_logp"] for d in tiers["head"]) >= max(
+        got[d]["avg_logp"] for d in tiers["middle"]
+    )
+
+
+def test_tokenizer_fertility_perfect_merge_language(spark):
+    # lang X: words fully merged by 4 merges of 'a b'-family pairs; lang
+    # Y: rare chars stay unmerged → fertility(Y) > fertility(X) >= 1
+    rows = (
+        [(i, "abcd abcd abcd", "X") for i in range(4)]
+        + [(10 + i, "wxyz qrst", "Y") for i in range(2)]
+    )
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    got = {r["stratum"]: r for r in text.tokenizer_fertility(docs, n_merges=3).collect()}
+    # 3 merges collapse 'abcd' (freq 12) to one piece; Y's words stay at
+    # 4 chars each
+    assert got["X"]["fertility"] == 1.0
+    assert got["Y"]["fertility"] == 4.0
+    assert got["X"]["n_docs"] == 4 and got["Y"]["n_docs"] == 2
+
+
 def test_containment_pairs_catch_what_jaccard_misses(spark):
     # doc 1 is fully quoted inside the much larger doc 2: containment=1,
     # but Jaccard is diluted by the host's extra vocabulary

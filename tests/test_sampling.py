@@ -582,6 +582,57 @@ def test_rendezvous_shard_minimal_movement(spark):
     assert min(c.values()) > 300
 
 
+def test_consistent_ring_shard_minimal_movement(spark):
+    keys = spark.range(2000).withColumnRenamed("id", "doc_id")
+    shards = [f"shard-{i}" for i in range(4)]
+    four = analytics.consistent_ring_shard(keys, shards, n_vnodes=16)
+    a = {r["doc_id"]: r["shard"] for r in four.collect()}
+    # removing one shard: ONLY its keys move (ring guarantee — the
+    # other shards' arcs are untouched), and they scatter to survivors
+    three = analytics.consistent_ring_shard(keys, shards[:3], n_vnodes=16)
+    b = {r["doc_id"]: r["shard"] for r in three.collect()}
+    for k in a:
+        if a[k] != "shard-3":
+            assert b[k] == a[k], k
+        else:
+            assert b[k] in shards[:3]
+    # vnodes keep the load roughly balanced (single-point rings can be
+    # 3-4x skewed; 16 vnodes bound it)
+    from collections import Counter
+
+    c = Counter(a.values())
+    assert min(c.values()) > 250
+    # adding a shard moves only ~1/5 of keys (vs ~4/5 for modulo)
+    five = analytics.consistent_ring_shard(
+        keys, shards + ["shard-4"], n_vnodes=16
+    )
+    d = {r["doc_id"]: r["shard"] for r in five.collect()}
+    moved = [k for k in a if a[k] != d[k]]
+    assert all(d[k] == "shard-4" for k in moved)
+    assert len(moved) < 800
+
+
+def test_temperature_sampling_plan_flattens_toward_rare(spark):
+    # 3 langs with 1:4:16 token mass; alpha=0.5 rates must be
+    # 1 : 1/2 : 1/4 (sqrt flattening), rarest at exactly 1.0
+    rows = []
+    i = 0
+    for lang, n in (("aa", 1), ("bb", 4), ("cc", 16)):
+        for _ in range(n):
+            rows.append((i, "w1 w2 w3 w4", lang))
+            i += 1
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    from cloudtrace_exporter_spark.operators import curate
+
+    got = {r["stratum"]: r for r in curate.temperature_sampling_plan(docs).collect()}
+    assert got["aa"]["sample_rate"] == 1.0
+    assert got["bb"]["sample_rate"] == 0.5
+    assert got["cc"]["sample_rate"] == 0.25
+    assert got["cc"]["p"] == round(16 / 21, 6)
+    assert got["aa"]["expected_tokens"] == 4.0
+    assert got["cc"]["expected_tokens"] == 16.0  # 64 tokens * 0.25
+
+
 def test_seasonal_profile_dow_and_ratios(spark):
     import datetime
 

@@ -2695,6 +2695,76 @@ def q_lm_quality_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.lm_quality_buckets(load_table(spark, sf_dir, "documents"))
 
 
+def q_dedup_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B33 depth: EXECUTE the substring-dedup plan — the cleaned corpus
+    with every non-first duplicated chunk removed and per-doc
+    drop accounting (dedup.dedup_rewrite). Full oracle: kept chunks
+    reassemble with ORDER-BY list aggregation in DuckDB."""
+    return dedup.dedup_rewrite(load_table(spark, sf_dir, "documents"))
+
+
+def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B34 depth: hard-negative mining — per query the top-5
+    highest-cosine vectors BELOW the positive band (cosine < 0.45, the
+    fixture's near-dup radius), the DPR/Sentence-BERT mining pass
+    (similarity.hard_negatives). Full oracle: the band cuts on the
+    6-rounded cosine in both engines."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.hard_negatives(
+        emb, emb.filter(F.col("vec_id") < 10), k=5, positive_threshold=0.45
+    )
+
+
+def q_truncated_dim_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B34 depth: matryoshka truncation eval — recall@5 of cosine top-k
+    on the first 8/16/32 dims vs the full 64
+    (similarity.truncated_dim_recall): how many dimensions THIS corpus
+    needs, as a query. Full oracle via list slicing."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.truncated_dim_recall(
+        emb, emb.filter(F.col("vec_id") < 10), dims=(8, 16, 32), k=5
+    )
+
+
+def _truncated_recall_oracle_sql(*, dims: tuple[int, ...] = (8, 16, 32), k: int = 5) -> str:
+    """DuckDB replay of truncated_dim_recall: one sliced-cosine top-k
+    CTE pair per probe dim against the shared full-dim truth."""
+    def topk(name: str, expr: str) -> str:
+        return f"""
+        s_{name} AS (
+          SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,
+                 round(list_dot_product({expr('c')}, {expr('q')})
+                       / (sqrt(list_dot_product({expr('c')}, {expr('c')}))
+                          * sqrt(list_dot_product({expr('q')}, {expr('q')}))), 6) AS cosine
+          FROM v c JOIN q ON c.vec_id <> q.vec_id
+        ),
+        t_{name} AS (
+          SELECT query_id, corpus_id FROM (
+            SELECT *, row_number() OVER (PARTITION BY query_id
+                      ORDER BY cosine DESC, corpus_id ASC) AS rnk
+            FROM s_{name}
+          ) WHERE rnk <= {k}
+        )"""
+
+    parts = [topk("full", lambda a: f"{a}.e")]
+    selects = []
+    for d in dims:
+        parts.append(topk(f"d{d}", lambda a, d=d: f"{a}.e[1:{d}]"))
+        selects.append(f"""
+          SELECT CAST({d} AS BIGINT) AS dim, s.query_id,
+                 CAST(count(t.corpus_id) AS BIGINT) AS n_hits,
+                 round(CAST(count(t.corpus_id) AS DOUBLE) / {k}, 6) AS recall
+          FROM t_d{d} s LEFT JOIN t_full t
+            ON s.query_id = t.query_id AND s.corpus_id = t.corpus_id
+          GROUP BY s.query_id""")
+    return f"""
+        WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        q AS (SELECT * FROM v WHERE vec_id < 10),
+        {",".join(parts)}
+        {" UNION ALL ".join(selects)}
+    """
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -2747,6 +2817,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_temperature_mixture": q_temperature_mixture,
         "q_tokenizer_fertility": q_tokenizer_fertility,
         "q_lm_quality_buckets": q_lm_quality_buckets,
+        "q_dedup_rewrite": q_dedup_rewrite,
+        "q_hard_negatives": q_hard_negatives,
+        "q_truncated_dim_recall": q_truncated_dim_recall,
         # rows-only-by-design tail of the never-evaluated block
         "q_multimodal_audio": q_multimodal_audio,
         "q_incremental_near_dedup": q_incremental_near_dedup,
@@ -3546,6 +3619,64 @@ def oracle_sql() -> dict[str, str]:
             FROM ranked WHERE rn > 1
         """,
         "q_ring_shard": _ring_shard_oracle_sql(),
+        "q_dedup_rewrite": f"""
+            WITH tok AS (SELECT doc_id, {_TOKENS_SQL} AS t FROM documents),
+            ch AS (
+              SELECT doc_id,
+                     [t[i:i+49] FOR i IN range(1, greatest(len(t), 1) + 1, 50)] AS chunks
+              FROM tok WHERE len(t) >= 1
+            ),
+            fl AS (
+              SELECT doc_id,
+                     CAST(generate_subscripts(chunks, 1) AS BIGINT) AS chunk_idx,
+                     unnest(chunks) AS chunk
+              FROM ch
+            ),
+            fpp AS (
+              SELECT doc_id, chunk_idx,
+                     CAST(len(chunk) AS BIGINT) AS nct,
+                     array_to_string(chunk, ' ') AS chunk_text,
+                     md5(array_to_string(chunk, ' ')) AS fp
+              FROM fl
+            ),
+            firsts AS (
+              SELECT fp,
+                     min(struct_pack(doc_id := doc_id, chunk_idx := chunk_idx)) AS fst,
+                     count(*) AS n
+              FROM fpp GROUP BY fp HAVING count(*) >= 2
+            ),
+            flagged AS (
+              SELECT p.*,
+                     f.fp IS NOT NULL
+                     AND NOT (p.doc_id = (f.fst).doc_id
+                              AND p.chunk_idx = (f.fst).chunk_idx) AS dropped
+              FROM fpp p LEFT JOIN firsts f USING (fp)
+            )
+            SELECT doc_id,
+                   CAST(count(*) AS BIGINT) AS n_chunks,
+                   CAST(count(CASE WHEN dropped THEN 1 END) AS BIGINT) AS n_chunks_dropped,
+                   CAST(COALESCE(sum(CASE WHEN NOT dropped THEN nct END), 0) AS BIGINT) AS n_tokens_kept,
+                   COALESCE(array_to_string(
+                     list(chunk_text ORDER BY chunk_idx) FILTER (WHERE NOT dropped),
+                     ' '), '') AS clean_text
+            FROM flagged
+            GROUP BY doc_id
+        """,
+        "q_hard_negatives": """
+            WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+            q AS (SELECT * FROM v WHERE vec_id < 10),
+            scored AS (
+              SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,
+                     round(list_dot_product(c.e, q.e)
+                           / (sqrt(list_dot_product(c.e, c.e)) * sqrt(list_dot_product(q.e, q.e))), 6) AS cosine
+              FROM v c JOIN q ON c.vec_id <> q.vec_id
+            )
+            SELECT query_id, corpus_id, cosine, rnk FROM (
+              SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, corpus_id ASC) AS rnk
+              FROM scored WHERE cosine < 0.45
+            ) WHERE rnk <= 5
+        """,
+        "q_truncated_dim_recall": _truncated_recall_oracle_sql(),
         "q_temperature_mixture": f"""
             WITH prof AS (
               SELECT lang AS stratum,

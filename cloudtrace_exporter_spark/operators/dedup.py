@@ -1077,6 +1077,71 @@ def dup_span_plan(
     )
 
 
+def dedup_rewrite(
+    df: DataFrame, *, chunk_tokens: int = 50, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Execute the substring-dedup plan: rebuild every document WITHOUT
+    its duplicated chunks (keeping each chunk's globally first
+    occurrence) — the rewrite job ``dup_span_plan`` feeds; its output is
+    the cleaned corpus a dedup pass actually ships. Emits (doc_id,
+    n_chunks, n_chunks_dropped, n_tokens_kept, clean_text); documents
+    reduced to nothing (every chunk was someone else's) come out with
+    empty text, preserving corpus accounting.
+
+    Same two-pass shape as the plan: census-sized first-occurrence
+    frame broadcast against the chunk stream, then ONE per-doc
+    aggregation reassembles the kept chunks in chunk order
+    (sort_array over (idx, text) structs — in-row, no window). The
+    rebuilt text normalizes inter-chunk whitespace to single spaces,
+    which the tokenizer treats identically."""
+    from cloudtrace_exporter_spark.operators.text import chunk_documents
+
+    chunks = chunk_documents(
+        df, chunk_tokens=chunk_tokens, overlap=0, text_col=text_col, id_col=id_col
+    ).withColumn("__fp", F.md5(F.col("chunk_text").cast("binary")))
+    first = (
+        chunks.groupBy("__fp")
+        .agg(
+            F.count(F.lit(1)).alias("__n"),
+            F.min(F.struct("doc_id", "chunk_idx")).alias("__first"),
+        )
+        .filter(F.col("__n") >= 2)
+        .select(
+            "__fp",
+            F.col("__first.doc_id").alias("__fdoc"),
+            F.col("__first.chunk_idx").alias("__fidx"),
+        )
+    )
+    flagged = chunks.join(F.broadcast(first), "__fp", "left").withColumn(
+        "__drop",
+        F.col("__fdoc").isNotNull()
+        & ~((F.col("doc_id") == F.col("__fdoc")) & (F.col("chunk_idx") == F.col("__fidx"))),
+    )
+    kept_struct = F.when(
+        ~F.col("__drop"), F.struct("chunk_idx", "chunk_text")
+    )
+    return (
+        flagged.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_chunks"),
+            F.sum(F.col("__drop").cast("long")).cast("long").alias("n_chunks_dropped"),
+            F.sum(F.when(~F.col("__drop"), F.col("n_chunk_tokens")).otherwise(F.lit(0)))
+            .cast("long")
+            .alias("n_tokens_kept"),
+            F.sort_array(F.collect_list(kept_struct)).alias("__kept"),
+        )
+        .select(
+            "doc_id",
+            "n_chunks",
+            "n_chunks_dropped",
+            "n_tokens_kept",
+            F.concat_ws(
+                " ", F.transform(F.col("__kept"), lambda s: s["chunk_text"])
+            ).alias("clean_text"),
+        )
+    )
+
+
 def chunk_overlap_ratio(
     df: DataFrame, *, chunk_tokens: int = 50, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:

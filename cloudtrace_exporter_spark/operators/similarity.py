@@ -107,6 +107,111 @@ def cosine_topk(
     )
 
 
+def hard_negatives(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    k: int = 5,
+    positive_threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Hard-negative mining for contrastive/embedding training: per
+    query, the top-k HIGHEST-cosine vectors that are NOT positives
+    (cosine < ``positive_threshold``) — the near-but-not-duplicate
+    examples that teach a model the decision boundary, vs the easy
+    random negatives of contrastive_pairs. The standard mining pass
+    (DPR/Sentence-BERT recipe) run against the corpus itself.
+
+    Same plan as cosine_topk (broadcast queries, corpus scan never
+    shuffles until the tiny per-query ranking window) with the positive
+    band filtered out BEFORE ranking — exact at fixture scale; at 100 TB
+    feed candidates from lsh_topk and apply the same band filter.
+    Fully oracle-able (the threshold cuts on the 6-rounded cosine, so
+    both engines cut identically).
+    """
+    c = _spread(corpus).select(F.col(id_col).alias("corpus_id"), _as_double(vec_col).alias("cv"))
+    q = queries.select(F.col(id_col).alias("query_id"), _as_double(vec_col).alias("qv"))
+    scored = (
+        c.join(F.broadcast(q), F.col("corpus_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "corpus_id",
+            F.round(
+                _dot(F.col("cv"), F.col("qv")) / (_norm(F.col("cv")) * _norm(F.col("qv"))), 6
+            ).alias("cosine"),
+        )
+        .filter(F.col("cosine") < positive_threshold)
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("corpus_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "corpus_id", "cosine", "rnk")
+    )
+
+
+def truncated_dim_recall(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    dims: tuple[int, ...] = (8, 16, 32),
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Matryoshka-style truncation evaluation: recall@k of cosine top-k
+    computed on only the FIRST ``d`` embedding dimensions, against the
+    full-dimension top-k, per (d, query) — the measurement behind
+    shipping truncatable embeddings (store 8/16 dims hot, full dims
+    cold) and behind choosing an IVF/PQ coarse dimension. Answers "how
+    many dims does THIS corpus actually need?" as a query.
+
+    One broadcast-scored pass per probe dim plus one for the truth —
+    each identical in shape to cosine_topk (corpus scan + tiny ranking
+    window); the recall join runs on top-k-sized frames (KBs). Exact
+    and fully oracle-able (list slicing + the shared rounded-cosine
+    ranking in both engines).
+    """
+    def topk_at(d: int | None) -> DataFrame:
+        vec = _as_double(vec_col)
+        if d is not None:
+            vec = F.slice(vec, 1, d)
+        c = _spread(corpus).select(F.col(id_col).alias("corpus_id"), vec.alias("cv"))
+        q = queries.select(F.col(id_col).alias("query_id"), vec.alias("qv"))
+        scored = c.join(F.broadcast(q), F.col("corpus_id") != F.col("query_id")).select(
+            "query_id",
+            "corpus_id",
+            F.round(
+                _dot(F.col("cv"), F.col("qv")) / (_norm(F.col("cv")) * _norm(F.col("qv"))), 6
+            ).alias("cosine"),
+        )
+        w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("corpus_id"))
+        return (
+            scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+            .filter(F.col("rnk") <= k)
+            .select("query_id", "corpus_id")
+        )
+
+    truth = topk_at(None)
+    out = None
+    for d in dims:
+        hits = (
+            topk_at(d)
+            .join(truth.withColumn("__rel", F.lit(1)), ["query_id", "corpus_id"], "left")
+            .groupBy("query_id")
+            .agg(F.sum(F.coalesce("__rel", F.lit(0))).cast("long").alias("n_hits"))
+            .select(
+                F.lit(d).cast("long").alias("dim"),
+                "query_id",
+                "n_hits",
+                F.round(F.col("n_hits") / F.lit(float(k)), 6).alias("recall"),
+            )
+        )
+        out = hits if out is None else out.unionByName(hits)
+    return out
+
+
 def hyperplane_planes(dim: int, n_bits: int, seed: int = 42) -> list[list[float]]:
     """Fixed random hyperplane family (unit Gaussians, seeded) — shipped to
     executors as literals, so every task hashes identically."""

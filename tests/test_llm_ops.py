@@ -1339,6 +1339,69 @@ def test_tokenizer_fertility_perfect_merge_language(spark):
     assert got["X"]["n_docs"] == 4 and got["Y"]["n_docs"] == 2
 
 
+def test_dedup_rewrite_cuts_only_nonfirst_copies(spark):
+    from cloudtrace_exporter_spark.operators import dedup
+
+    shared = " ".join(f"s{i}" for i in range(50))
+    uniq = " ".join(f"u{i}" for i in range(50))
+    docs = spark.createDataFrame(
+        [(0, shared + " " + uniq), (1, shared + " tail only")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in dedup.dedup_rewrite(docs).collect()}
+    # doc 0 holds the first occurrence: nothing dropped, text intact
+    assert got[0]["n_chunks_dropped"] == 0
+    assert got[0]["clean_text"] == shared + " " + uniq
+    # doc 1 loses its copy of the shared chunk, keeps its tail
+    assert got[1]["n_chunks_dropped"] == 1
+    assert got[1]["clean_text"] == "tail only"
+    assert got[1]["n_tokens_kept"] == 2
+
+
+def test_hard_negatives_excludes_positive_band(spark):
+    from cloudtrace_exporter_spark.operators import similarity
+
+    # query 0; id 1 is a near-dup (cosine 1.0 — positive band), ids 2-4
+    # progressively farther; the miner must skip 1 and rank 2 first
+    rows = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [1.0, 0.0, 0.0]),
+        (2, [0.8, 0.6, 0.0]),
+        (3, [0.4, 0.9165151, 0.0]),
+        (4, [0.0, 1.0, 0.0]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = similarity.hard_negatives(
+        emb, emb.filter("vec_id = 0"), k=2, positive_threshold=0.95
+    ).collect()
+    ranked = [(r["rnk"], r["corpus_id"]) for r in sorted(got, key=lambda r: r["rnk"])]
+    assert ranked == [(1, 2), (2, 3)]
+
+
+def test_truncated_dim_recall_tracks_signal_dims(spark):
+    import random
+
+    from cloudtrace_exporter_spark.operators import similarity
+
+    # vectors whose first 8 dims carry ALL the signal; the rest is a
+    # constant — truncating to 8 dims must preserve the full ranking
+    rng = random.Random(3)
+    rows = [
+        (i, [rng.gauss(0, 1) for _ in range(8)] + [0.1] * 8) for i in range(30)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = similarity.truncated_dim_recall(
+        emb, emb.filter("vec_id < 3"), dims=(2, 8), k=3
+    ).collect()
+    by_dim = {}
+    for r in got:
+        by_dim.setdefault(r["dim"], []).append(r["recall"])
+    # 2 signal dims lose ranking information; 8 keep... not quite all of
+    # it (the constant tail shifts norms), so pin >= rather than ==
+    assert min(by_dim[8]) >= max(0.0, max(by_dim[2]) - 0.34)
+    assert sum(by_dim[8]) / len(by_dim[8]) >= sum(by_dim[2]) / len(by_dim[2])
+
+
 def test_containment_pairs_catch_what_jaccard_misses(spark):
     # doc 1 is fully quoted inside the much larger doc 2: containment=1,
     # but Jaccard is diluted by the host's extra vocabulary

@@ -343,3 +343,41 @@ def test_leakage_safe_splits_is_narrow_over_assignment(spark, sf_dir):
     )
     p = curate.cluster_safe_splits(assign)._jdf.queryExecution().executedPlan().toString()
     assert _data_shuffles(p) == 0
+
+
+def test_contrastive_pairs_has_no_sort_merge_join(plans):
+    # round-5 contract: the positives anti-join broadcasts (the pair
+    # list is orders of magnitude smaller than anchors x pool) — no SMJ,
+    # and the whole construction stays within 3 data shuffles
+    p = plans("q_contrastive_pairs")
+    assert "SortMergeJoin" not in p
+    assert "CartesianProduct" not in p
+    assert _data_shuffles(p) <= 3
+
+
+def test_fuzzy_sorted_neighborhood_bucket_owner_shape(plans):
+    # round-5 contract: the rank-window neighbor join is ONE bucket-owner
+    # aggregation, not a probe/rank self-join — range exchange + bucket
+    # exchange + the tiny offsets frame, never six exchanges
+    p = plans("q_fuzzy_sorted_neighborhood")
+    assert "SortMergeJoin" not in p
+    # the numbering's per-partition-count frame cumsums on a tiny
+    # SinglePartition exchange — not a data movement
+    assert _data_shuffles(p) - p.count("Exchange SinglePartition") <= 4
+
+
+def test_bm25_topk_single_candidate_ranking_path(plans):
+    # percolator contract: no joins at all (stats are literals), and the
+    # only exchanges are the parallelism fan-out plus the two-phase
+    # salted top-k windows
+    p = plans("q_bm25_topk")
+    assert "SortMergeJoin" not in p and "BroadcastHashJoin" not in p
+    assert _data_shuffles(p) <= 3
+
+
+def test_ring_shard_is_zero_shuffle(plans):
+    # ring routing is an in-row successor lookup over a literal struct
+    # array — like rendezvous, any Exchange means the ring leaked into a
+    # join
+    p = plans("q_ring_shard")
+    assert _data_shuffles(p) == 0

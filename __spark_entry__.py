@@ -2765,6 +2765,83 @@ def _truncated_recall_oracle_sql(*, dims: tuple[int, ...] = (8, 16, 32), k: int 
     """
 
 
+def q_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch depth, ORACLE-BACKED approximate distinct: K-Minimum-Values
+    over md5 hashes per event type (analytics.kmv_distinct) — the
+    mergeable sketch whose estimate is bit-exact reproducible, unlike
+    the rows-only HLL twin q_approx_count_distinct."""
+    return analytics.kmv_distinct(
+        load_table(spark, sf_dir, "events"),
+        group_col="event_type",
+        key_col="user_id",
+        k=64,
+    )
+
+
+def q_bloom_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch depth: Bloom-filter false-positive audit — an m=4096/j=3
+    filter over customers with 1995 orders, probed with every customer;
+    confusion grid proves zero false negatives and measures the real FP
+    rate (analytics.bloom_membership_audit). Full oracle (integer md5
+    bit positions)."""
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1995-01-01") & (F.col("o_orderdate") < "1996-01-01")
+    )
+    return analytics.bloom_membership_audit(
+        orders,
+        load_table(spark, sf_dir, "customer"),
+        member_col="o_custkey",
+        probe_col="c_custkey",
+    )
+
+
+def q_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Warehouse depth: incremental view maintenance — a (count, sum)
+    snapshot of events before 2024-01-20 merged with a retractable
+    change batch (inserts: events on/after the cutoff; deletes: base
+    incident rows value ≥ 450) WITHOUT rescanning the base
+    (analytics.cdc_apply). Oracle recomputes the view from scratch over
+    (base ∖ deletes) ∪ inserts — incremental == full recompute."""
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.filter(F.col("ts") < "2024-01-20")
+    inserts = ev.filter(F.col("ts") >= "2024-01-20")
+    deletes = base.filter(F.col("value") >= 450.0)
+    return analytics.cdc_apply(
+        base, inserts, deletes, group_col="event_type", value_col="value"
+    )
+
+
+def _bloom_audit_oracle_sql(*, m: int = 4096, n_hashes: int = 3) -> str:
+    """DuckDB replay of bloom_membership_audit: identical md5 bit
+    positions (('0x'||hex)::BIGINT % m), set-bit distinct, all-positions-
+    set verdict, confusion grid."""
+    def pos_exprs(key: str) -> str:
+        return ", ".join(
+            f"(('0x' || substr(md5({key} || '#{i}'), 1, 12))::BIGINT % {m})"
+            for i in range(n_hashes)
+        )
+
+    return f"""
+        WITH mk AS (
+          SELECT DISTINCT CAST(o_custkey AS VARCHAR) AS k FROM orders
+          WHERE o_orderdate >= DATE '1995-01-01' AND o_orderdate < DATE '1996-01-01'
+        ),
+        bits AS (
+          SELECT DISTINCT unnest([{pos_exprs('k')}]) AS pos FROM mk
+        ),
+        pk AS (SELECT DISTINCT CAST(c_custkey AS VARCHAR) AS k FROM customer),
+        pp AS (SELECT k, unnest([{pos_exprs('k')}]) AS pos FROM pk),
+        verdict AS (
+          SELECT pp.k, count(b.pos) = {n_hashes} AS bloom_says_member
+          FROM pp LEFT JOIN bits b USING (pos) GROUP BY pp.k
+        )
+        SELECT m.k IS NOT NULL AS is_member, v.bloom_says_member,
+               CAST(count(*) AS BIGINT) AS n
+        FROM verdict v LEFT JOIN mk m USING (k)
+        GROUP BY 1, 2
+    """
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -2820,6 +2897,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_dedup_rewrite": q_dedup_rewrite,
         "q_hard_negatives": q_hard_negatives,
         "q_truncated_dim_recall": q_truncated_dim_recall,
+        "q_kmv_distinct": q_kmv_distinct,
+        "q_bloom_audit": q_bloom_audit,
+        "q_cdc_apply": q_cdc_apply,
         # rows-only-by-design tail of the never-evaluated block
         "q_multimodal_audio": q_multimodal_audio,
         "q_incremental_near_dedup": q_incremental_near_dedup,
@@ -3677,6 +3757,41 @@ def oracle_sql() -> dict[str, str]:
             ) WHERE rnk <= 5
         """,
         "q_truncated_dim_recall": _truncated_recall_oracle_sql(),
+        # KMV: md5 hash values are engine-identical, so the sketch (and
+        # its estimate arithmetic: 63·2^48 is exactly representable —
+        # 6 mantissa bits) replays bit-exact
+        "q_kmv_distinct": """
+            WITH dist AS (
+              SELECT DISTINCT event_type AS grp,
+                     ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 12))::BIGINT AS hv
+              FROM events
+            ),
+            sk AS (
+              SELECT grp, count(*) AS n_sketch, max(hv) AS kth FROM (
+                SELECT *, row_number() OVER (PARTITION BY grp ORDER BY hv) AS rn FROM dist
+              ) WHERE rn <= 64 GROUP BY grp
+            ),
+            ex AS (SELECT grp, CAST(count(*) AS BIGINT) AS n_exact FROM dist GROUP BY grp)
+            SELECT grp AS event_type, n_exact,
+                   round(CASE WHEN n_sketch < 64 THEN CAST(n_exact AS DOUBLE)
+                              ELSE 63 * 281474976710656.0 / kth END, 1) AS kmv_estimate,
+                   round(abs(CASE WHEN n_sketch < 64 THEN CAST(n_exact AS DOUBLE)
+                                  ELSE 63 * 281474976710656.0 / kth END - n_exact)
+                         / n_exact, 4) AS rel_err
+            FROM ex JOIN sk USING (grp)
+        """,
+        "q_bloom_audit": _bloom_audit_oracle_sql(),
+        # CDC: the oracle recomputes the maintained view FROM SCRATCH —
+        # certifying incremental merge == full recompute
+        "q_cdc_apply": """
+            WITH base AS (SELECT * FROM events WHERE ts < TIMESTAMP '2024-01-20'),
+            ins AS (SELECT * FROM events WHERE ts >= TIMESTAMP '2024-01-20'),
+            kept AS (SELECT * FROM base WHERE NOT (value >= 450.0)),
+            unioned AS (SELECT * FROM kept UNION ALL SELECT * FROM ins)
+            SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+                   round(sum(value), 4) AS sum_value
+            FROM unioned GROUP BY event_type
+        """,
         "q_temperature_mixture": f"""
             WITH prof AS (
               SELECT lang AS stratum,

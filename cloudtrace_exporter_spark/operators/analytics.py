@@ -21,7 +21,7 @@ plan survive 100 TB", not "does it pass at sf0.01".
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -2628,6 +2628,166 @@ def consistent_ring_shard(
     )
     return df.withColumn("ring_pos", successor["p"]).withColumn(
         "shard", successor["s"]
+    )
+
+
+def kmv_distinct(
+    df: DataFrame,
+    *,
+    group_col: str,
+    key_col: str,
+    k: int = 64,
+) -> DataFrame:
+    """ORACLE-BACKED approximate distinct count: the K-Minimum-Values
+    sketch (Bar-Yossef et al. 2002) per group — keep the k smallest
+    md5-hash values of the keys; estimate distinct = (k−1)/frac(kth).
+    The rare sketch whose output is BIT-EXACT reproducible: md5 is the
+    hash in both engines, so unlike HLL (engine-specific registers,
+    rows-only) KMV carries a full DuckDB oracle — and it mergeable
+    (union of sketches = sketch of union), the property that makes it a
+    partial-aggregate at 100 TB.
+
+    Plan: one distinct on (group, hash) (uniform md5 shuffle), one
+    per-group ranking window over the already-partitioned hashes, one
+    aggregation of the ≤k survivors. Hash value = first 12 hex chars as
+    a 48-bit integer (portable: conv() here, ('0x'||h)::BIGINT in the
+    oracle). Groups with fewer than k distinct keys report exactly
+    (the standard small-cardinality rule). Emits (group, n_exact,
+    kmv_estimate, rel_err) — n_exact rides along as the audit baseline.
+    """
+    h = F.substring(F.md5(F.col(key_col).cast("string").cast("binary")), 1, 12)
+    hv = F.conv(h, 16, 10).cast("long")
+    dist = df.select(F.col(group_col).alias("grp"), hv.alias("hv")).distinct()
+    w = Window.partitionBy("grp").orderBy("hv")
+    sketch = (
+        dist.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .groupBy("grp")
+        .agg(F.count(F.lit(1)).alias("n_sketch"), F.max("hv").alias("kth"))
+    )
+    exact = dist.groupBy("grp").agg(F.count(F.lit(1)).alias("n_exact"))
+    est = F.when(
+        F.col("n_sketch") < k, F.col("n_exact").cast("double")
+    ).otherwise((k - 1) * F.lit(float(1 << 48)) / F.col("kth"))
+    return (
+        exact.join(sketch, "grp")
+        .select(
+            F.col("grp").alias(group_col),
+            "n_exact",
+            F.round(est, 1).alias("kmv_estimate"),
+            F.round(F.abs(est - F.col("n_exact")) / F.col("n_exact"), 4).alias("rel_err"),
+        )
+    )
+
+
+def bloom_membership_audit(
+    members: DataFrame,
+    probes: DataFrame,
+    *,
+    member_col: str,
+    probe_col: str,
+    m: int = 4096,
+    n_hashes: int = 3,
+) -> DataFrame:
+    """Bloom-filter false-positive audit, fully oracle-able: build an
+    ``m``-bit Bloom filter over the member keys (bit positions =
+    md5(key#i) mod m for i < n_hashes — pure integer md5 arithmetic,
+    identical in DuckDB), probe every probe key, and report the
+    confusion grid (actual membership × bloom verdict) with counts.
+    Bloom says-no ⇒ definitely absent (the audit must show zero
+    false negatives); says-yes ⇒ maybe — the false-positive row
+    MEASURES the advertised (1−e^{−jn/m})^j rate on real keys, which is
+    exactly what you check before shipping a filter to a 100 TB
+    anti-join (Spark's own runtime bloom pruning is this, engine-side).
+
+    Plan: the bit-set is a ≤m-row distinct (KBs) BROADCAST into the
+    probe join; actual membership is a broadcast left-semi-style flag;
+    output is a ≤4-row grid. No collect — the filter never leaves the
+    cluster.
+    """
+    def positions(col: Column) -> list[Column]:
+        return [
+            F.pmod(
+                F.conv(
+                    F.substring(
+                        F.md5(F.concat(col.cast("string"), F.lit(f"#{i}")).cast("binary")),
+                        1,
+                        12,
+                    ),
+                    16,
+                    10,
+                ).cast("long"),
+                F.lit(m),
+            )
+            for i in range(n_hashes)
+        ]
+
+    mk = members.select(F.col(member_col).alias("k")).distinct()
+    bits = (
+        mk.select(F.explode(F.array(*positions(F.col("k")))).alias("pos"))
+        .distinct()
+        .withColumn("__set", F.lit(1))
+    )
+    pk = probes.select(F.col(probe_col).alias("k")).distinct()
+    probe_pos = pk.select(
+        "k", F.posexplode(F.array(*positions(F.col("k")))).alias("i", "pos")
+    )
+    verdict = (
+        probe_pos.join(F.broadcast(bits), "pos", "left")
+        .groupBy("k")
+        .agg((F.count(F.col("__set")) == n_hashes).alias("bloom_says_member"))
+    )
+    actual = verdict.join(
+        F.broadcast(mk.withColumn("__m", F.lit(1))), "k", "left"
+    ).select("k", "bloom_says_member", F.col("__m").isNotNull().alias("is_member"))
+    return actual.groupBy("is_member", "bloom_says_member").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
+def cdc_apply(
+    base: DataFrame,
+    inserts: DataFrame,
+    deletes: DataFrame,
+    *,
+    group_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Incremental view maintenance for a grouped aggregate: merge a
+    materialized (count, sum) snapshot with a retractable change batch
+    (+1 inserts, −1 deletes) WITHOUT rescanning the base — the CDC
+    upkeep every warehouse materialized view runs. Groups whose count
+    reaches zero drop from the view (standard retraction semantics).
+
+    The merge is expressed as what it mathematically is: a re-aggregation
+    of PARTIAL STATES — snapshot partials union signed delta partials,
+    one |groups|-keyed groupBy — the exact shape of Spark's own partial
+    aggregation merge, so the maintained view is a first-class
+    aggregate, mergeable again downstream. The oracle recomputes the
+    view FROM SCRATCH over (base ∖ deletes) ∪ inserts, certifying
+    incremental == full recompute cross-engine. Sum rounds to 4 at the
+    very end (never between merges).
+    """
+    g = F.col(group_col).alias("grp")
+
+    def partials(df: DataFrame, sign: int) -> DataFrame:
+        return df.groupBy(g).agg(
+            (F.lit(sign) * F.count(F.lit(1))).alias("pn"),
+            (F.lit(sign) * F.sum(value_col)).alias("ps"),
+        )
+
+    merged = (
+        partials(base, 1)
+        .unionByName(partials(inserts, 1))
+        .unionByName(partials(deletes, -1))
+        .groupBy("grp")
+        .agg(F.sum("pn").cast("long").alias("n"), F.sum("ps").alias("s"))
+        .filter(F.col("n") > 0)
+    )
+    return merged.select(
+        F.col("grp").alias(group_col),
+        "n",
+        F.round("s", 4).alias("sum_value"),
     )
 
 

@@ -796,3 +796,52 @@ def test_winsorized_stats_caps_outlier_influence(spark):
     assert r["wins_mean"] < raw_mean / 2  # outlier influence capped at p95
     assert r["fence_hi"] < 10000.0
     assert r["fence_lo"] == 10.0
+
+
+def test_kmv_distinct_exact_below_k_and_bounded_above(spark):
+    rows = [(i, "small" if i < 20 else "big") for i in range(5000)]
+    df = spark.createDataFrame(rows, "user_id long, event_type string")
+    got = {
+        r["event_type"]: r
+        for r in analytics.kmv_distinct(
+            df, group_col="event_type", key_col="user_id", k=64
+        ).collect()
+    }
+    # below k distinct: the sketch IS the exact count
+    assert got["small"]["n_exact"] == 20
+    assert got["small"]["kmv_estimate"] == 20.0
+    assert got["small"]["rel_err"] == 0.0
+    # above k: (k-1)/frac(kth) lands within the ~1/sqrt(k) band
+    assert got["big"]["n_exact"] == 4980
+    assert got["big"]["rel_err"] < 0.4
+
+
+def test_bloom_audit_never_false_negative(spark):
+    members = spark.createDataFrame([(i,) for i in range(200)], "mk long")
+    probes = spark.createDataFrame([(i,) for i in range(1000)], "pk long")
+    rows = analytics.bloom_membership_audit(
+        members, probes, member_col="mk", probe_col="pk", m=4096, n_hashes=3
+    ).collect()
+    grid = {(r["is_member"], r["bloom_says_member"]): r["n"] for r in rows}
+    # every true member must pass the filter — (True, False) cannot exist
+    assert (True, False) not in grid
+    assert grid[(True, True)] == 200
+    # FP rate near the analytic (1 - e^(-3*200/4096))^3 ~ 0.25%; allow head-room
+    fp = grid.get((False, True), 0)
+    assert fp / 800 < 0.05
+
+
+def test_cdc_apply_matches_full_recompute_and_retracts_empty_groups(spark):
+    base = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "a", 20.0), (3, "b", 5.0)], "id long, g string, v double"
+    )
+    ins = spark.createDataFrame([(4, "a", 1.5), (5, "c", 2.0)], "id long, g string, v double")
+    dels = spark.createDataFrame([(3, "b", 5.0)], "id long, g string, v double")
+    got = {
+        r["g"]: (r["n"], r["sum_value"])
+        for r in analytics.cdc_apply(base, ins, dels, group_col="g", value_col="v").collect()
+    }
+    # incremental == full recompute over (base \ dels) ∪ ins
+    assert got == {"a": (3, 31.5), "c": (1, 2.0)}
+    # group b retracted to zero rows → dropped from the view entirely
+    assert "b" not in got

@@ -2842,6 +2842,32 @@ def _bloom_audit_oracle_sql(*, m: int = 4096, n_hashes: int = 3) -> str:
     """
 
 
+def q_neighbor_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B10 depth: common-neighbors link prediction — Jaccard similarity
+    of supplier CATALOG sets over the supplier→part bipartite graph
+    from lineitem ("these two suppliers ship the same parts"), via the
+    co-occurrence join (graph.neighbor_jaccard), never an n² node
+    self-join. min_shared=5 prunes noise pairs before the degree join.
+    Full oracle. (The subject→resource graph is near-1:1 by
+    construction and yields no pairs — suppliers×parts is the
+    genuinely overlapping bipartite fixture.)"""
+    li = load_table(spark, sf_dir, "lineitem")
+    edges = li.select(
+        F.col("l_suppkey").alias("src"), F.col("l_partkey").alias("dst")
+    )
+    return graph.neighbor_jaccard(edges, min_shared=5)
+
+
+def q_seasonal_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series depth: STL-lite anomaly screen — daily totals minus
+    OLS trend minus day-of-week effect, MAD-scored per series, every
+    series-day emitted with its outlier flag
+    (analytics.seasonal_residual_outliers). Full oracle: every stage
+    consumes the 4-rounded output of the previous one, so both engines
+    evaluate identical doubles at each boundary."""
+    return analytics.seasonal_residual_outliers(load_table(spark, sf_dir, "events"))
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -2900,6 +2926,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_kmv_distinct": q_kmv_distinct,
         "q_bloom_audit": q_bloom_audit,
         "q_cdc_apply": q_cdc_apply,
+        "q_neighbor_jaccard": q_neighbor_jaccard,
+        "q_seasonal_outliers": q_seasonal_outliers,
         # rows-only-by-design tail of the never-evaluated block
         "q_multimodal_audio": q_multimodal_audio,
         "q_incremental_near_dedup": q_incremental_near_dedup,
@@ -3845,6 +3873,85 @@ def oracle_sql() -> dict[str, str]:
                         WHEN bucket = 3 THEN 'tail'
                         ELSE 'middle' END AS tier
             FROM tiled
+        """,
+        "q_neighbor_jaccard": """
+            WITH e AS (SELECT DISTINCT l_suppkey AS s, l_partkey AS d FROM lineitem),
+            deg AS (SELECT s, CAST(count(*) AS BIGINT) AS deg FROM e GROUP BY s),
+            shared AS (
+              SELECT a.s AS src_a, b.s AS src_b, CAST(count(*) AS BIGINT) AS shared
+              FROM e a JOIN e b ON a.d = b.d AND a.s < b.s
+              GROUP BY 1, 2 HAVING count(*) >= 5
+            )
+            SELECT src_a, src_b, shared, da.deg AS deg_a, db.deg AS deg_b,
+                   round(CAST(shared AS DOUBLE) / (da.deg + db.deg - shared), 6) AS jaccard
+            FROM shared JOIN deg da ON da.s = shared.src_a
+                        JOIN deg db ON db.s = shared.src_b
+        """,
+        # STL-lite: every stage reads the 4-rounded output of the
+        # previous (daily → fit → detrend → deseason), so the doubles
+        # are engine-identical at each boundary; quantile_cont matches
+        # F.percentile (the mad_outliers precedent)
+        "q_seasonal_outliers": """
+            WITH daily AS (
+              SELECT event_type AS series,
+                     date_trunc('day', ts) AS day,
+                     round(sum(value), 4) AS y,
+                     CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS BIGINT) AS xi,
+                     date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) % 7 AS dow
+              FROM events GROUP BY 1, 2, 4, 5
+            ),
+            dailyi AS (
+              SELECT *, CAST(round(y * 10000) AS BIGINT) AS yi FROM daily
+            ),
+            -- OLS over INTEGER sufficient stats (1e-4 fixed point): the
+            -- only floats are one division per coefficient — bit-exact
+            -- across engines
+            stats AS (
+              SELECT series, CAST(count(*) AS BIGINT) AS n,
+                     CAST(sum(xi) AS BIGINT) AS sx, CAST(sum(yi) AS BIGINT) AS syi,
+                     CAST(sum(xi * yi) AS BIGINT) AS sxyi, CAST(sum(xi * xi) AS BIGINT) AS sxx
+              FROM dailyi GROUP BY series
+            ),
+            fit AS (
+              SELECT series,
+                     CAST(CASE WHEN n * sxx - sx * sx <> 0
+                          THEN round(CAST(n * sxyi - sx * syi AS DOUBLE) / (n * sxx - sx * sx))
+                          ELSE 0 END AS BIGINT) AS si
+              FROM stats
+            ),
+            fit2 AS (
+              SELECT f.series, f.si,
+                     CAST(round(CAST(s.syi - f.si * s.sx AS DOUBLE) / s.n) AS BIGINT) AS ii
+              FROM fit f JOIN stats s USING (series)
+            ),
+            det AS (
+              SELECT d.*, d.yi - (f.ii + f.si * d.xi) AS r1i
+              FROM dailyi d JOIN fit2 f USING (series)
+            ),
+            dow_eff AS (
+              -- MEDIAN dow effect (robust: a spike must not shift its
+              -- weekday's baseline), quantile_cont == F.percentile
+              SELECT series, dow,
+                     quantile_cont(CAST(r1i AS DOUBLE), 0.5) AS dow_med_i
+              FROM det GROUP BY 1, 2
+            ),
+            resid AS (
+              SELECT det.*, (det.r1i - e.dow_med_i) / 10000.0 AS resid_d
+              FROM det JOIN dow_eff e USING (series, dow)
+            ),
+            med AS (SELECT series, quantile_cont(resid_d, 0.5) AS med FROM resid GROUP BY series),
+            mad AS (
+              SELECT r.series, quantile_cont(abs(r.resid_d - m.med), 0.5) AS mad
+              FROM resid r JOIN med m USING (series) GROUP BY r.series
+            )
+            -- resid/score RAW: bit-identical doubles; rounding would
+            -- break the fixed-point grid's exact decimal ties
+            -- differently per engine
+            SELECT r.series, strftime(r.day, '%Y-%m-%d') AS day_s, r.y,
+                   r.resid_d AS resid,
+                   CASE WHEN mad.mad > 0 THEN abs(r.resid_d - med.med) / mad.mad ELSE 0.0 END AS mad_score,
+                   (CASE WHEN mad.mad > 0 THEN abs(r.resid_d - med.med) / mad.mad ELSE 0.0 END) > 3.0 AS is_outlier
+            FROM resid r JOIN med USING (series) JOIN mad USING (series)
         """,
         # q_pagerank_verified: integer-scaled 10-round power method,
         # unrolled CTE chain — BIGINT floor arithmetic end to end, so

@@ -2680,6 +2680,104 @@ def kmv_distinct(
     )
 
 
+def seasonal_residual_outliers(
+    events: DataFrame,
+    *,
+    value_col: str = "value",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    epoch: str = "2024-01-01",
+    z: float = 3.0,
+) -> DataFrame:
+    """STL-lite anomaly screen: remove the per-series linear TREND (the
+    trend_fit OLS) and the day-of-week SEASONAL effect from each daily
+    total, then flag days whose residual exceeds ``z`` robust sigmas
+    (MAD-based, like mad_outliers) — the decomposition every metrics
+    alerting pipeline runs so a growing, weekly-cyclic series doesn't
+    page on Mondays. Emits EVERY series-day with its residual and
+    outlier flag (not just the hits), so the screen is auditable.
+
+    Cross-engine float discipline: after the daily rollup rounds to 4
+    (the trend_fit precedent) and the OLS fit rounds to 4, the WHOLE
+    residual chain runs in 1e-4 FIXED POINT (scaled BIGINTs): the
+    detrended residual is integer arithmetic, the day-of-week effect is
+    a median over integer-valued doubles (robust AND engine-identical),
+    and every double thereafter is bit-identical across engines — no
+    rounding of an engine-dependent float sum anywhere (a plain
+    round(avg(..),4) flipped a half-ulp boundary between Spark and
+    DuckDB in testing; fixed point + raw emission is the cure, not a
+    wider round). Plan: one daily rollup shuffle, two tiny
+    per-series stat aggregations broadcast back, percentile-based MAD
+    on the |series|·days frame. The fact table shuffles once.
+    """
+    day = F.date_trunc("day", F.col(ts_col))
+    daily = (
+        events.groupBy(F.col(type_col).alias("series"), day.alias("day"))
+        .agg(F.round(F.sum(value_col), 4).alias("y"))
+        .withColumn("xi", F.datediff(F.col("day"), F.lit(epoch)).cast("long"))
+        .withColumn("dow", F.pmod(F.col("xi"), F.lit(7)))
+        .withColumn("yi", F.round(F.col("y") * 10000).cast("long"))
+    )
+    # OLS over INTEGER sufficient statistics (yi in 1e-4 fixed point, xi
+    # in days): the only floats are one division per coefficient, so the
+    # scaled slope/intercept are bit-identical across engines — a
+    # double-sum OLS flipped a round(…,4) boundary in testing
+    stats = daily.groupBy("series").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("xi").alias("sx"),
+        F.sum("yi").alias("syi"),
+        F.sum(F.col("xi") * F.col("yi")).alias("sxyi"),
+        F.sum(F.col("xi") * F.col("xi")).alias("sxx"),
+    )
+    num = F.col("n") * F.col("sxyi") - F.col("sx") * F.col("syi")
+    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    si = F.when(den != 0, F.round(num.cast("double") / den)).otherwise(F.lit(0)).cast("long")
+    fit_i = stats.select(
+        "series",
+        si.alias("si"),
+        F.round((F.col("syi") - si * F.col("sx")).cast("double") / F.col("n"))
+        .cast("long")
+        .alias("ii"),
+    )
+    detrended = daily.join(F.broadcast(fit_i), "series").withColumn(
+        "r1i", F.col("yi") - (F.col("ii") + F.col("si") * F.col("xi"))
+    )
+    # dow effect = MEDIAN of the detrended residuals (not the mean: a
+    # single spike on a Monday would shift the Monday mean and flag
+    # every OTHER Monday as negatively anomalous — the planted-spike
+    # test pins this). percentile over integer-valued doubles is
+    # engine-identical (quantile_cont precedent).
+    dow_eff = detrended.groupBy("series", "dow").agg(
+        F.percentile(F.col("r1i").cast("double"), F.lit(0.5)).alias("dow_med_i")
+    )
+    resid = detrended.join(F.broadcast(dow_eff), ["series", "dow"]).withColumn(
+        "resid_d", (F.col("r1i") - F.col("dow_med_i")) / F.lit(10000.0)
+    )
+    med = resid.groupBy("series").agg(F.percentile("resid_d", F.lit(0.5)).alias("med"))
+    with_med = resid.join(F.broadcast(med), "series")
+    mad = with_med.groupBy("series").agg(
+        F.percentile(F.abs(F.col("resid_d") - F.col("med")), F.lit(0.5)).alias("mad")
+    )
+    score = F.when(
+        F.col("mad") > 0, F.abs(F.col("resid_d") - F.col("med")) / F.col("mad")
+    ).otherwise(F.lit(0.0))
+    # resid/score emit RAW (the percent_rank precedent): they are
+    # bit-identical doubles in both engines, and the fixed-point grid
+    # makes EXACT decimal ties common — which round() breaks
+    # differently per engine (Spark BigDecimal HALF_UP vs binary round)
+    return (
+        with_med.join(F.broadcast(mad), "series")
+        .select(
+            "series",
+            F.date_format("day", "yyyy-MM-dd").alias("day_s"),
+            "y",
+            F.col("resid_d").alias("resid"),
+            score.alias("mad_score"),
+            (score > z).alias("is_outlier"),
+        )
+    )
+
+
 def bloom_membership_audit(
     members: DataFrame,
     probes: DataFrame,

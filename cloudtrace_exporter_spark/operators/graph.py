@@ -265,6 +265,58 @@ def pagerank_scaled(
     return ranks.select("id", F.col("rank").alias("pagerank_scaled"))
 
 
+def neighbor_jaccard(
+    edges: DataFrame,
+    *,
+    min_shared: int = 2,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Link prediction by neighborhood overlap: for every pair of source
+    nodes sharing at least ``min_shared`` destination neighbors, the
+    Jaccard similarity of their neighbor sets — the classic
+    common-neighbors predictor ("these two subjects touch the same
+    resources, they're probably related") run over the bipartite
+    subject→resource graph.
+
+    Plan shape is the co-occurrence join, NOT an n² node self-join:
+    dedup'd edges self-join on the SHARED DESTINATION (each resource's
+    subject list pairs within itself — O(Σ deg²), the bounded quantity),
+    count shared neighbors per pair, and fetch the two degrees from a
+    broadcast degree table. The ``min_shared`` floor prunes the noise
+    pairs BEFORE the degree join. Hub destinations are the skew risk at
+    100 TB — cap or sample their adjacency like the LSH bucket caps.
+    Emits (src_a, src_b, shared, deg_a, deg_b, jaccard), id-ordered.
+    """
+    e = edges.select(F.col(src).alias("s"), F.col(dst).alias("d")).distinct()
+    deg = e.groupBy("s").agg(F.count(F.lit(1)).alias("deg"))
+    a, b = e.alias("a"), e.alias("b")
+    shared = (
+        a.join(b, (F.col("a.d") == F.col("b.d")) & (F.col("a.s") < F.col("b.s")))
+        .groupBy(F.col("a.s").alias("src_a"), F.col("b.s").alias("src_b"))
+        .agg(F.count(F.lit(1)).alias("shared"))
+        .filter(F.col("shared") >= min_shared)
+    )
+    da = F.broadcast(deg.select(F.col("s").alias("src_a"), F.col("deg").alias("deg_a")))
+    db = F.broadcast(deg.select(F.col("s").alias("src_b"), F.col("deg").alias("deg_b")))
+    return (
+        shared.join(da, "src_a")
+        .join(db, "src_b")
+        .select(
+            "src_a",
+            "src_b",
+            "shared",
+            "deg_a",
+            "deg_b",
+            F.round(
+                F.col("shared")
+                / (F.col("deg_a") + F.col("deg_b") - F.col("shared")),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+
+
 def bfs_distances(
     edges: DataFrame,
     sources: DataFrame,

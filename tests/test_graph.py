@@ -236,3 +236,21 @@ def test_kcore_fixpoint_invariant_on_fixture_graph(spark, sf_dir):
     induced = pairs.filter(F.col("src").isin(ids) & F.col("dst").isin(ids))
     again = {r["id"]: r["core_degree"] for r in g.kcore(induced, k=2).collect()}
     assert again == {r["id"]: r["core_degree"] for r in rows}
+
+
+def test_neighbor_jaccard_counts_shared_destinations(spark):
+    # a and b share parts {p1, p2}; c shares only p1 with them
+    edges = spark.createDataFrame(
+        [("a", "p1"), ("a", "p2"), ("a", "p3"),
+         ("b", "p1"), ("b", "p2"),
+         ("c", "p1"), ("c", "p4")],
+        ["src", "dst"],
+    )
+    got = {
+        (r["src_a"], r["src_b"]): r
+        for r in graph.neighbor_jaccard(edges, min_shared=2).collect()
+    }
+    assert set(got) == {("a", "b")}
+    r = got[("a", "b")]
+    assert (r["shared"], r["deg_a"], r["deg_b"]) == (2, 3, 2)
+    assert r["jaccard"] == round(2 / 3, 6)  # 2 / (3 + 2 - 2)

@@ -845,3 +845,28 @@ def test_cdc_apply_matches_full_recompute_and_retracts_empty_groups(spark):
     assert got == {"a": (3, 31.5), "c": (1, 2.0)}
     # group b retracted to zero rows → dropped from the view entirely
     assert "b" not in got
+
+
+def test_seasonal_residual_outliers_flags_planted_spike(spark):
+    import datetime as dt
+
+    # 28 days: linear trend 100+2d, Mondays +50, plus one +900 spike on
+    # day 17 — the screen must flag exactly that day
+    rows = []
+    eid = 0
+    for d in range(28):
+        day = dt.datetime(2024, 1, 1, 9) + dt.timedelta(days=d)
+        v = 100.0 + 2.0 * d + (50.0 if day.isoweekday() == 1 else 0.0)
+        if d == 17:
+            v += 900.0
+        rows.append((eid, day, 1, "A", v, "{}")); eid += 1
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    got = {r["day_s"]: r for r in analytics.seasonal_residual_outliers(ev).collect()}
+    assert len(got) == 28
+    flagged = [d for d, r in got.items() if r["is_outlier"]]
+    assert flagged == ["2024-01-18"]  # day index 17
+    assert got["2024-01-18"]["mad_score"] > 3
+    # a plain Monday is NOT an outlier — the dow effect absorbed it
+    assert not got["2024-01-08"]["is_outlier"]

@@ -2778,6 +2778,44 @@ def seasonal_residual_outliers(
     )
 
 
+def kmv_state(
+    df: DataFrame, *, group_col: str, key_col: str, k: int = 64
+) -> DataFrame:
+    """The at-rest KMV sketch STATE: per group, the k smallest md5 hash
+    values — the thing a streaming pipeline keeps between micro-batches
+    (foreachBatch: state = kmv_merge(state, kmv_state(batch))). Columns
+    (grp, hv); tiny (≤ k rows per group)."""
+    h = F.substring(F.md5(F.col(key_col).cast("string").cast("binary")), 1, 12)
+    hv = F.conv(h, 16, 10).cast("long")
+    dist = df.select(F.col(group_col).alias("grp"), hv.alias("hv")).distinct()
+    w = Window.partitionBy("grp").orderBy("hv")
+    return dist.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k).drop("rn")
+
+
+def kmv_merge(a: DataFrame, b: DataFrame, *, k: int = 64) -> DataFrame:
+    """Merge two KMV states: union → distinct → keep the k smallest per
+    group. KMV's defining property — sketch(A) ⊕ sketch(B) =
+    sketch(A ∪ B) — is what makes it a partial aggregate: micro-batches
+    merge into the standing state, shards merge into a global sketch,
+    all on ≤k-row-per-group frames."""
+    u = a.unionByName(b).distinct()
+    w = Window.partitionBy("grp").orderBy("hv")
+    return u.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k).drop("rn")
+
+
+def kmv_estimate_from_state(state: DataFrame, *, k: int = 64) -> DataFrame:
+    """Read the distinct-count estimate off a KMV state: (k−1)/frac(kth),
+    or the exact sketch size when the group never filled (the same
+    arithmetic kmv_distinct inlines)."""
+    agg = state.groupBy("grp").agg(
+        F.count(F.lit(1)).alias("n_sketch"), F.max("hv").alias("kth")
+    )
+    est = F.when(
+        F.col("n_sketch") < k, F.col("n_sketch").cast("double")
+    ).otherwise((k - 1) * F.lit(float(1 << 48)) / F.col("kth"))
+    return agg.select("grp", F.round(est, 1).alias("kmv_estimate"))
+
+
 def bloom_membership_audit(
     members: DataFrame,
     probes: DataFrame,

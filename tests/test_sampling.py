@@ -870,3 +870,27 @@ def test_seasonal_residual_outliers_flags_planted_spike(spark):
     assert got["2024-01-18"]["mad_score"] > 3
     # a plain Monday is NOT an outlier — the dow effect absorbed it
     assert not got["2024-01-08"]["is_outlier"]
+
+
+def test_kmv_state_merge_equals_sketch_of_union(spark):
+    # THE KMV property: merging per-batch sketches == sketching the
+    # union — what makes it a streaming/foreachBatch partial aggregate
+    left = spark.createDataFrame([(i, "t") for i in range(0, 3000)], "user_id long, event_type string")
+    right = spark.createDataFrame([(i, "t") for i in range(1500, 4500)], "user_id long, event_type string")
+    whole = left.unionByName(right)
+    merged = analytics.kmv_merge(
+        analytics.kmv_state(left, group_col="event_type", key_col="user_id"),
+        analytics.kmv_state(right, group_col="event_type", key_col="user_id"),
+    )
+    direct = analytics.kmv_state(whole, group_col="event_type", key_col="user_id")
+    assert sorted(r["hv"] for r in merged.collect()) == sorted(
+        r["hv"] for r in direct.collect()
+    )
+    # and the estimate read off the merged state equals the batch
+    # operator's estimate on the union
+    est_m = analytics.kmv_estimate_from_state(merged).collect()[0]["kmv_estimate"]
+    est_d = {
+        r["event_type"]: r["kmv_estimate"]
+        for r in analytics.kmv_distinct(whole, group_col="event_type", key_col="user_id").collect()
+    }["t"]
+    assert est_m == est_d

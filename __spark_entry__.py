@@ -2842,6 +2842,14 @@ def _bloom_audit_oracle_sql(*, m: int = 4096, n_hashes: int = 3) -> str:
     """
 
 
+def q_kmv_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch depth, ORACLE-BACKED rollup twin of q_hll_rollup: daily
+    KMV distinct-user sketches merged to weekly estimates
+    (analytics.kmv_rollup) — hierarchical mergeability as a query,
+    replayable because the merge is md5 arithmetic, not HLL registers."""
+    return analytics.kmv_rollup(load_table(spark, sf_dir, "events"))
+
+
 def q_neighbor_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B10 depth: common-neighbors link prediction — Jaccard similarity
     of supplier CATALOG sets over the supplier→part bipartite graph
@@ -2928,6 +2936,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_cdc_apply": q_cdc_apply,
         "q_neighbor_jaccard": q_neighbor_jaccard,
         "q_seasonal_outliers": q_seasonal_outliers,
+        "q_kmv_rollup": q_kmv_rollup,
         # rows-only-by-design tail of the never-evaluated block
         "q_multimodal_audio": q_multimodal_audio,
         "q_incremental_near_dedup": q_incremental_near_dedup,
@@ -3809,6 +3818,40 @@ def oracle_sql() -> dict[str, str]:
             FROM ex JOIN sk USING (grp)
         """,
         "q_bloom_audit": _bloom_audit_oracle_sql(),
+        # KMV rollup: the daily→weekly merge is re-selection of k-min —
+        # pure md5 integer arithmetic, replayable end to end
+        "q_kmv_rollup": """
+            WITH keyed AS (
+              SELECT DISTINCT
+                     CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS BIGINT) AS day,
+                     CAST(floor(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) / 7) AS BIGINT) AS week,
+                     ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 12))::BIGINT AS hv
+              FROM events
+            ),
+            ds AS (
+              SELECT day, week, hv FROM (
+                SELECT *, row_number() OVER (PARTITION BY day ORDER BY hv) AS rn FROM keyed
+              ) WHERE rn <= 64
+            ),
+            ws AS (
+              SELECT week, hv FROM (
+                SELECT *, row_number() OVER (PARTITION BY week ORDER BY hv) AS rn
+                FROM (SELECT DISTINCT week, hv FROM ds)
+              ) WHERE rn <= 64
+            ),
+            sk AS (SELECT week, count(*) AS n_sketch, max(hv) AS kth FROM ws GROUP BY week),
+            ex AS (
+              SELECT week, CAST(count(*) AS BIGINT) AS n_exact
+              FROM (SELECT DISTINCT week, hv FROM keyed) GROUP BY week
+            )
+            SELECT week, n_exact,
+                   round(CASE WHEN n_sketch < 64 THEN CAST(n_exact AS DOUBLE)
+                              ELSE 63 * 281474976710656.0 / kth END, 1) AS kmv_estimate,
+                   round(abs(CASE WHEN n_sketch < 64 THEN CAST(n_exact AS DOUBLE)
+                                  ELSE 63 * 281474976710656.0 / kth END - n_exact)
+                         / n_exact, 4) AS rel_err
+            FROM ex JOIN sk USING (week)
+        """,
         # CDC: the oracle recomputes the maintained view FROM SCRATCH —
         # certifying incremental merge == full recompute
         "q_cdc_apply": """

@@ -52,6 +52,10 @@ HEADLINE = [
     # collects)
     "q_bm25_topk",
     "q_bpe_merges",
+    # round-5 trend lines: the two plans tuned this round (SMJ removed /
+    # bucket-owner rewrite) so the wins stay visible in the history
+    "q_contrastive_pairs",
+    "q_fuzzy_sorted_neighborhood",
 ]
 
 

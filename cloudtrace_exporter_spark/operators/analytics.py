@@ -2816,6 +2816,60 @@ def kmv_estimate_from_state(state: DataFrame, *, k: int = 64) -> DataFrame:
     return agg.select("grp", F.round(est, 1).alias("kmv_estimate"))
 
 
+def kmv_rollup(
+    events: DataFrame,
+    *,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    epoch: str = "2024-01-01",
+    k: int = 64,
+) -> DataFrame:
+    """Hierarchical sketch rollup, ORACLE-BACKED: daily KMV
+    distinct-key sketches merged into weekly estimates — the mergeable
+    continuous-aggregate pattern (q_hll_rollup's shape) with a sketch
+    whose merge is deterministic md5 arithmetic, so unlike HLL the
+    WHOLE rollup replays in DuckDB. Merge correctness: the k smallest
+    of a union are among the union of each part's k smallest, so
+    re-selecting k-min over the daily states IS the weekly sketch.
+    Emits (week, n_exact, kmv_estimate, rel_err) — exact rides along
+    as the audit baseline.
+    """
+    day = F.datediff(F.date_trunc("day", F.col(ts_col)), F.lit(epoch))
+    h = F.substring(F.md5(F.col(key_col).cast("string").cast("binary")), 1, 12)
+    hv = F.conv(h, 16, 10).cast("long")
+    keyed = events.select(
+        day.cast("long").alias("day"),
+        F.floor(day / 7).cast("long").alias("week"),
+        hv.alias("hv"),
+    ).distinct()
+    wd = Window.partitionBy("day").orderBy("hv")
+    daily_state = (
+        keyed.withColumn("rn", F.row_number().over(wd)).filter(F.col("rn") <= k).drop("rn")
+    )
+    ww = Window.partitionBy("week").orderBy("hv")
+    weekly_state = (
+        daily_state.select("week", "hv")
+        .distinct()
+        .withColumn("rn", F.row_number().over(ww))
+        .filter(F.col("rn") <= k)
+    )
+    sk = weekly_state.groupBy("week").agg(
+        F.count(F.lit(1)).alias("n_sketch"), F.max("hv").alias("kth")
+    )
+    exact = keyed.select("week", "hv").distinct().groupBy("week").agg(
+        F.count(F.lit(1)).alias("n_exact")
+    )
+    est = F.when(
+        F.col("n_sketch") < k, F.col("n_exact").cast("double")
+    ).otherwise((k - 1) * F.lit(float(1 << 48)) / F.col("kth"))
+    return exact.join(sk, "week").select(
+        "week",
+        "n_exact",
+        F.round(est, 1).alias("kmv_estimate"),
+        F.round(F.abs(est - F.col("n_exact")) / F.col("n_exact"), 4).alias("rel_err"),
+    )
+
+
 def bloom_membership_audit(
     members: DataFrame,
     probes: DataFrame,

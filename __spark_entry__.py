@@ -2842,6 +2842,14 @@ def _bloom_audit_oracle_sql(*, m: int = 4096, n_hashes: int = 3) -> str:
     """
 
 
+def q_pretraining_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Capstone composition: the final pretraining-mix sign-off report —
+    quality filter → CCNet normalization dedup → α=0.5 temperature
+    rebalance, per language (curate.pretraining_mix). Full oracle
+    replays the whole funnel from the verified stage oracles."""
+    return curate.pretraining_mix(load_table(spark, sf_dir, "documents"))
+
+
 def q_kmv_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch depth, ORACLE-BACKED rollup twin of q_hll_rollup: daily
     KMV distinct-user sketches merged to weekly estimates
@@ -2937,6 +2945,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_neighbor_jaccard": q_neighbor_jaccard,
         "q_seasonal_outliers": q_seasonal_outliers,
         "q_kmv_rollup": q_kmv_rollup,
+        "q_pretraining_mix": q_pretraining_mix,
         # rows-only-by-design tail of the never-evaluated block
         "q_multimodal_audio": q_multimodal_audio,
         "q_incremental_near_dedup": q_incremental_near_dedup,
@@ -3818,6 +3827,46 @@ def oracle_sql() -> dict[str, str]:
             FROM ex JOIN sk USING (grp)
         """,
         "q_bloom_audit": _bloom_audit_oracle_sql(),
+        # pretraining mix: the whole funnel replayed — q_quality_filter's
+        # keep expression, the aggressive-norm winners, the closed-form
+        # sqrt(min/n) temperature rate (integer sums only)
+        "q_pretraining_mix": f"""
+            WITH tok AS (
+              SELECT doc_id, text, lang, {_TOKENS_SQL} AS t FROM documents
+            ), feats AS (
+              SELECT doc_id,
+                     CAST(len(t) AS BIGINT) AS n_tokens,
+                     round(CASE WHEN len(t) > 0 THEN CAST(len(list_distinct(t)) AS DOUBLE) / len(t) ELSE 0.0 END, 6) AS dr,
+                     round(CASE WHEN len(t) > 0 THEN CAST(length(text) AS DOUBLE) / len(t) ELSE 0.0 END, 6) AS mwl,
+                     round(CASE WHEN length(text) > 0 THEN CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS DOUBLE) / length(text) ELSE 0.0 END, 6) AS pr
+              FROM tok
+            ), quality AS (
+              SELECT d.doc_id, d.text, d.lang, f.n_tokens
+              FROM documents d JOIN feats f ON d.doc_id = f.doc_id
+              WHERE NOT (f.n_tokens < 10 OR f.dr < 0.3 OR f.pr > 0.1 OR f.mwl < 3.0)
+            ), winners AS (
+              SELECT min(doc_id) AS doc_id FROM (
+                SELECT doc_id,
+                       md5(trim(regexp_replace(regexp_replace(regexp_replace(
+                           lower(text), '[0-9]+', '0', 'g'),
+                           '[^a-z0\\s]', ' ', 'g'),
+                           '\\s+', ' ', 'g'))) AS nk
+                FROM quality
+              ) GROUP BY nk
+            ), surv AS (
+              SELECT q.lang, q.n_tokens FROM quality q JOIN winners w ON q.doc_id = w.doc_id
+            ), prof AS (
+              SELECT lang AS stratum,
+                     CAST(count(*) AS BIGINT) AS n_docs,
+                     CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+              FROM surv GROUP BY 1
+            )
+            SELECT stratum, n_docs, n_tokens,
+                   round(sqrt(CAST(min(n_tokens) OVER () AS DOUBLE) / n_tokens), 6) AS sample_rate,
+                   round(sqrt(CAST(min(n_tokens) OVER () AS DOUBLE) / n_tokens) * n_docs, 1) AS expected_docs,
+                   round(sqrt(CAST(min(n_tokens) OVER () AS DOUBLE) / n_tokens) * n_tokens, 1) AS expected_tokens
+            FROM prof
+        """,
         # KMV rollup: the daily→weekly merge is re-selection of k-min —
         # pure md5 integer arithmetic, replayable end to end
         "q_kmv_rollup": """

@@ -145,6 +145,46 @@ def temperature_sampling_plan(
     )
 
 
+def pretraining_mix(docs: DataFrame, *, text_col: str = "text") -> DataFrame:
+    """The capstone composition: the FINAL pretraining-mix report a data
+    run signs off on — quality filter → aggressive (CCNet) normalization
+    dedup → α=0.5 temperature rebalancing, reported per language as
+    surviving docs/tokens, the sampling rate, and the expected yield.
+    Every stage is an independently-verified operator (quality_keep,
+    dedup.aggressive_norm_key, temperature_sampling_plan's closed-form
+    rate); this query is their composition, and its oracle replays the
+    whole funnel.
+
+    Scale shape: quality is an inline narrow filter, dedup survivorship
+    is one uniform-md5-key window (the curated_docs posture), the mix
+    math runs on the |langs|-row profile. Integer sums + one sqrt per
+    row — no float-summation parity risk.
+    """
+    from cloudtrace_exporter_spark.operators import dedup
+
+    kept = docs.filter(text.quality_keep(text_col))
+    w = Window.partitionBy("__nk")
+    survivors = (
+        kept.withColumn("__nk", dedup.aggressive_norm_key(text_col))
+        .withColumn("__min", F.min("doc_id").over(w))
+        .filter(F.col("doc_id") == F.col("__min"))
+    )
+    prof = survivors.groupBy(F.col("lang").alias("stratum")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(text.token_count(text_col)).cast("long").alias("n_tokens"),
+    )
+    wall = Window.partitionBy()
+    rate = F.sqrt(F.min("n_tokens").over(wall) / F.col("n_tokens"))
+    return prof.select(
+        "stratum",
+        "n_docs",
+        "n_tokens",
+        F.round(rate, 6).alias("sample_rate"),
+        F.round(rate * F.col("n_docs"), 1).alias("expected_docs"),
+        F.round(rate * F.col("n_tokens"), 1).alias("expected_tokens"),
+    )
+
+
 def cluster_safe_splits(
     assignment: DataFrame,
     *,

@@ -2842,6 +2842,15 @@ def _bloom_audit_oracle_sql(*, m: int = 4096, n_hashes: int = 3) -> str:
     """
 
 
+def q_histogram_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch depth, ORACLE-BACKED approximate percentiles: equi-width
+    histogram estimator (256 bins) for p50/p99 per priority — the
+    verified twin of the t-digest q_approx_percentiles
+    (analytics.histogram_percentiles); integer bins + interpolation,
+    replayable bit-exact."""
+    return analytics.histogram_percentiles(load_table(spark, sf_dir, "orders"))
+
+
 def q_pretraining_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Capstone composition: the final pretraining-mix sign-off report —
     quality filter → CCNet normalization dedup → α=0.5 temperature
@@ -2946,6 +2955,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_seasonal_outliers": q_seasonal_outliers,
         "q_kmv_rollup": q_kmv_rollup,
         "q_pretraining_mix": q_pretraining_mix,
+        "q_histogram_percentiles": q_histogram_percentiles,
         # rows-only-by-design tail of the never-evaluated block
         "q_multimodal_audio": q_multimodal_audio,
         "q_incremental_near_dedup": q_incremental_near_dedup,
@@ -3866,6 +3876,38 @@ def oracle_sql() -> dict[str, str]:
                    round(sqrt(CAST(min(n_tokens) OVER () AS DOUBLE) / n_tokens) * n_docs, 1) AS expected_docs,
                    round(sqrt(CAST(min(n_tokens) OVER () AS DOUBLE) / n_tokens) * n_tokens, 1) AS expected_tokens
             FROM prof
+        """,
+        # histogram percentiles: integer bins + a handful of single
+        # float ops over integer counts — raw emission, bit-exact
+        "q_histogram_percentiles": """
+            WITH bounds AS (
+              SELECT o_orderpriority AS grp, min(o_totalprice) AS mn, max(o_totalprice) AS mx
+              FROM orders GROUP BY 1
+            ),
+            binned AS (
+              SELECT grp, mn, mx,
+                     CAST(CASE WHEN mx > mn
+                          THEN least(255, floor((o_totalprice - mn) / (mx - mn) * 256))
+                          ELSE 0 END AS BIGINT) AS bin,
+                     CAST(count(*) AS BIGINT) AS cnt
+              FROM orders JOIN bounds ON o_orderpriority = grp
+              GROUP BY 1, 2, 3, 4
+            ),
+            cum AS (
+              SELECT *,
+                     sum(cnt) OVER (PARTITION BY grp ORDER BY bin
+                                    ROWS UNBOUNDED PRECEDING) AS cum,
+                     sum(cnt) OVER (PARTITION BY grp) AS total
+              FROM binned
+            )
+            SELECT grp AS o_orderpriority,
+                   min(CASE WHEN cum >= 0.5 * total THEN
+                       mn + (bin + least(greatest((0.5 * total - (cum - cnt)) / cnt, 0.0), 1.0))
+                            * ((mx - mn) / 256) END) AS p50_hist,
+                   min(CASE WHEN cum >= 0.99 * total THEN
+                       mn + (bin + least(greatest((0.99 * total - (cum - cnt)) / cnt, 0.0), 1.0))
+                            * ((mx - mn) / 256) END) AS p99_hist
+            FROM cum GROUP BY grp
         """,
         # KMV rollup: the daily→weekly merge is re-selection of k-min —
         # pure md5 integer arithmetic, replayable end to end

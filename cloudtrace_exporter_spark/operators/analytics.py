@@ -992,6 +992,82 @@ def approx_percentiles(orders: DataFrame) -> DataFrame:
     )
 
 
+def histogram_percentiles(
+    orders: DataFrame,
+    *,
+    group_col: str = "o_orderpriority",
+    value_col: str = "o_totalprice",
+    bins: int = 256,
+) -> DataFrame:
+    """ORACLE-BACKED approximate percentiles: the equi-width histogram
+    estimator — per group, bucket values into ``bins`` fixed-width bins
+    over [min, max], then read p50/p99 off the cumulative counts with
+    linear interpolation inside the target bin. The verified twin of
+    the t-digest path (approx_percentiles, rows-only by design): bin
+    indexes are deterministic integer floors and the interpolation is a
+    handful of single float ops over integer counts, so — unlike any
+    sketch with engine-private centroids — the whole estimate replays
+    bit-exact in DuckDB. Histogram percentile is itself a standard
+    production estimator (Prometheus/HDR shape); accuracy is
+    range/bins, asserted against the exact operator in tests.
+
+    Plan: one bounds aggregation broadcast back, one (group, bin)
+    count aggregation with map-side partials, cumulative window over
+    the ≤bins-row-per-group frame. Mergeable like any count table.
+    Values emit RAW (identical doubles; rounding reintroduces tie risk).
+    """
+    v = F.col(value_col)
+    bounds = orders.groupBy(F.col(group_col).alias("grp")).agg(
+        F.min(v).alias("mn"), F.max(v).alias("mx")
+    )
+    binned = (
+        orders.select(F.col(group_col).alias("grp"), v.alias("v"))
+        .join(F.broadcast(bounds), "grp")
+        .select(
+            "grp",
+            "mn",
+            "mx",
+            F.when(
+                F.col("mx") > F.col("mn"),
+                F.least(
+                    F.lit(bins - 1),
+                    F.floor(
+                        (F.col("v") - F.col("mn")) / (F.col("mx") - F.col("mn")) * bins
+                    ),
+                ),
+            )
+            .otherwise(F.lit(0))  # degenerate single-value group
+            .cast("long")
+            .alias("bin"),
+        )
+        .groupBy("grp", "mn", "mx", "bin")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = (
+        Window.partitionBy("grp")
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = binned.withColumn("cum", F.sum("cnt").over(w)).withColumn(
+        "total", F.sum("cnt").over(Window.partitionBy("grp"))
+    )
+
+    def estimate(p: float) -> Column:
+        # first bin whose cumulative count reaches rank = p·total;
+        # interpolate at (rank − cum_below) / bin_count inside it
+        rank = F.lit(p) * F.col("total")
+        width = (F.col("mx") - F.col("mn")) / bins
+        frac = (rank - (F.col("cum") - F.col("cnt"))) / F.col("cnt")
+        est = F.col("mn") + (F.col("bin") + F.least(F.greatest(frac, F.lit(0.0)), F.lit(1.0))) * width
+        return F.min(F.when(F.col("cum") >= rank, est))
+
+    return (
+        cum.groupBy("grp")
+        .agg(estimate(0.5).alias("p50_hist"), estimate(0.99).alias("p99_hist"))
+        .select(F.col("grp").alias(group_col), "p50_hist", "p99_hist")
+    )
+
+
 def rolling_window_sum(events: DataFrame, *, days: int = 7) -> DataFrame:
     """B21 family: time-RANGE frame — per-user rolling N-day event count
     and value sum at each event. Unlike the rowsBetween running_sum, the

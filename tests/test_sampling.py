@@ -894,3 +894,19 @@ def test_kmv_state_merge_equals_sketch_of_union(spark):
         for r in analytics.kmv_distinct(whole, group_col="event_type", key_col="user_id").collect()
     }["t"]
     assert est_m == est_d
+
+
+def test_histogram_percentiles_close_to_exact(spark, sf_dir):
+    # the 256-bin estimator must land within range/bins of the exact
+    # interpolated percentile per group
+    orders = load_table(spark, sf_dir, "orders")
+    exact = {r["o_orderpriority"]: (r["p50"], r["p99"], r["lo"], r["hi"]) for r in analytics.percentiles(orders).collect()}
+    hist = {
+        r["o_orderpriority"]: (r["p50_hist"], r["p99_hist"])
+        for r in analytics.histogram_percentiles(orders).collect()
+    }
+    for prio, (p50, p99, lo, hi) in exact.items():
+        tol = (hi - lo) / 256 * 2
+        h50, h99 = hist[prio]
+        assert abs(h50 - p50) <= tol, (prio, h50, p50, tol)
+        assert abs(h99 - p99) <= tol, (prio, h99, p99, tol)

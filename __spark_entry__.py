@@ -2842,6 +2842,23 @@ def _bloom_audit_oracle_sql(*, m: int = 4096, n_hashes: int = 3) -> str:
     """
 
 
+def q_ngram_dup_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B33 depth: SLIDING repeated-20-gram census — the overlap-tolerant
+    sibling of the disjoint chunk census (a copy straddling a chunk
+    boundary cannot hide from a sliding window;
+    dedup.ngram_dup_census). Full oracle."""
+    return dedup.ngram_dup_census(load_table(spark, sf_dir, "documents"), n=20)
+
+
+def q_keyword_percolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B35/streaming sibling: keyword/regex percolation — every document
+    matched against the standing alerting rule set, one (doc, rule) row
+    per hit (text.keyword_percolate); zero-shuffle narrow map. Full
+    oracle: the patterns live in the Java∩RE2 common dialect, so the
+    same strings run verbatim in DuckDB."""
+    return text.keyword_percolate(load_table(spark, sf_dir, "documents"))
+
+
 def q_histogram_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch depth, ORACLE-BACKED approximate percentiles: equi-width
     histogram estimator (256 bins) for p50/p99 per priority — the
@@ -2956,6 +2973,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_kmv_rollup": q_kmv_rollup,
         "q_pretraining_mix": q_pretraining_mix,
         "q_histogram_percentiles": q_histogram_percentiles,
+        "q_ngram_dup_census": q_ngram_dup_census,
+        "q_keyword_percolate": q_keyword_percolate,
         # rows-only-by-design tail of the never-evaluated block
         "q_multimodal_audio": q_multimodal_audio,
         "q_incremental_near_dedup": q_incremental_near_dedup,
@@ -3876,6 +3895,31 @@ def oracle_sql() -> dict[str, str]:
                    round(sqrt(CAST(min(n_tokens) OVER () AS DOUBLE) / n_tokens) * n_docs, 1) AS expected_docs,
                    round(sqrt(CAST(min(n_tokens) OVER () AS DOUBLE) / n_tokens) * n_tokens, 1) AS expected_tokens
             FROM prof
+        """,
+        "q_ngram_dup_census": f"""
+            WITH tok AS (SELECT doc_id, {_TOKENS_SQL} AS t FROM documents),
+            grams AS (
+              SELECT doc_id,
+                     unnest(list_transform(range(1, len(t) - 18),
+                            i -> md5(array_to_string(t[i:i+19], ' ')))) AS fp
+              FROM tok WHERE len(t) >= 20
+            )
+            SELECT fp AS fingerprint,
+                   CAST(count(*) AS BIGINT) AS n_occurrences,
+                   CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+                   min(doc_id) AS first_doc
+            FROM grams GROUP BY fp HAVING count(DISTINCT doc_id) >= 2
+        """,
+        # keyword percolator: the rule strings run verbatim (Java∩RE2
+        # common dialect)
+        "q_keyword_percolate": """
+            WITH rules(rule_id, pat) AS (VALUES
+              (1, 'hash join'),
+              (2, 'window [a-z]+ stream'),
+              (3, 'error|failure|denied'),
+              (4, 'customer [a-z]+ order'))
+            SELECT d.doc_id, r.rule_id
+            FROM documents d JOIN rules r ON regexp_matches(d.text, r.pat)
         """,
         # histogram percentiles: integer bins + a handful of single
         # float ops over integer counts — raw emission, bit-exact

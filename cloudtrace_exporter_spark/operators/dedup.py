@@ -1020,6 +1020,44 @@ def chunk_dup_census(
     )
 
 
+def ngram_dup_census(
+    df: DataFrame, *, n: int = 20, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """SLIDING repeated-n-gram census: every position's n-token window
+    fingerprinted, every fingerprint appearing in ≥2 DOCUMENTS reported
+    — the overlap-tolerant sibling of chunk_dup_census (disjoint chunks
+    miss a copy that straddles a chunk boundary; a sliding window
+    cannot, which is why exact substring dedup à la Lee et al. slides).
+    Cost is the flip side: the explode emits ~|tokens| rows (vs
+    |tokens|/chunk for chunks) — at 100 TB run the chunk census first
+    and slide only over suspect documents, or raise ``n``.
+
+    md5 fingerprints → one uniform hash shuffle; emits (fingerprint,
+    n_occurrences, n_docs, first_doc) for cross-document repeats.
+    """
+    toked = df.select(F.col(id_col).alias("doc_id"), tokens(text_col).alias("__t"))
+    k = F.size("__t")
+    grams = toked.filter(k >= n).select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), k - (n - 1)),
+                lambda i: F.md5(F.concat_ws(" ", F.slice("__t", i, n)).cast("binary")),
+            )
+        ).alias("__fp"),
+    )
+    return (
+        grams.groupBy("__fp")
+        .agg(
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.min("doc_id").alias("first_doc"),
+        )
+        .filter(F.col("n_docs") >= 2)
+        .withColumnRenamed("__fp", "fingerprint")
+    )
+
+
 def dup_span_plan(
     df: DataFrame, *, chunk_tokens: int = 50, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:

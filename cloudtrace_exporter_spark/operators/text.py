@@ -623,6 +623,50 @@ def tokenizer_fertility(
     )
 
 
+#: Standing alerting rules for the keyword percolator — (rule_id,
+#: dialect-portable regex). No lookaround/backreferences: the same
+#: pattern text must mean the same thing to Java regex and RE2.
+STANDING_RULES: list[tuple[int, str]] = [
+    (1, "hash join"),
+    (2, "window [a-z]+ stream"),
+    (3, "error|failure|denied"),
+    (4, "customer [a-z]+ order"),
+]
+
+
+def keyword_percolate(
+    df: DataFrame,
+    rules: list[tuple[int, str]] | None = None,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Keyword/regex percolation: every document matched against a
+    STANDING rule set (the Elasticsearch percolator's original use —
+    alerting and routing rules, beside the scored BM25 percolator).
+    Emits one (doc_id, rule_id) row per match.
+
+    One narrow map, zero joins/shuffles before the output: the rule
+    table rides as a literal struct array and an in-row filter keeps
+    the matching rules (regexp evaluated per rule per row — |rules| is
+    alert-config-sized). Patterns must stay in the Java∩RE2 common
+    dialect (no lookaround), which is also what keeps the DuckDB oracle
+    verbatim.
+    """
+    rules = STANDING_RULES if rules is None else rules
+    rule_arr = F.array(
+        *[
+            F.struct(F.lit(rid).alias("rule_id"), F.lit(pat).alias("pat"))
+            for rid, pat in rules
+        ]
+    )
+    matched = F.filter(rule_arr, lambda r: F.regexp_like(F.col(text_col), r["pat"]))
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.transform(matched, lambda r: r["rule_id"])).alias("rule_id"),
+    )
+
+
 def word_ngrams(t: Column, n: int) -> Column:
     """Distinct word n-grams (space-joined) over an ALREADY MATERIALIZED
     token-array column; empty array when the document has fewer than

@@ -1461,3 +1461,36 @@ def test_retrieval_metrics_hand_computed(spark):
     miss = spark.createDataFrame([(0, 99, 1)], "query_id long, corpus_id long, rnk long")
     m = similarity.retrieval_metrics_at_k(miss, truth, k=3).collect()[0]
     assert m["recall"] == 0.0 and m["mrr"] == 0.0
+
+
+def test_ngram_dup_census_catches_boundary_straddling_copy(spark):
+    from cloudtrace_exporter_spark.operators import dedup
+
+    # a 20-token passage copied at OFFSET 40 in doc 1: the disjoint
+    # 50-token chunk census sees different chunk texts (the copy
+    # straddles doc 1's chunk boundary), the sliding census cannot miss
+    passage = " ".join(f"p{i}" for i in range(20))
+    filler_a = " ".join(f"a{i}" for i in range(40))
+    filler_b = " ".join(f"b{i}" for i in range(40))
+    docs = spark.createDataFrame(
+        [(0, passage + " " + filler_a), (1, filler_b + " " + passage)],
+        "doc_id long, text string",
+    )
+    sliding = dedup.ngram_dup_census(docs, n=20).collect()
+    assert len(sliding) == 1 and sliding[0]["n_docs"] == 2
+    chunked = dedup.chunk_dup_census(docs).collect()
+    assert chunked == []  # the disjoint census misses the straddler
+
+
+def test_keyword_percolate_matches_expected_rules(spark):
+    docs = spark.createDataFrame(
+        [
+            (0, "the planner chose a hash join today"),
+            (1, "window agg stream with watermark"),
+            (2, "access denied: failure in auth"),
+            (3, "nothing to see here"),
+        ],
+        "doc_id long, text string",
+    )
+    got = sorted((r["doc_id"], r["rule_id"]) for r in text.keyword_percolate(docs).collect())
+    assert got == [(0, 1), (1, 2), (2, 3)]

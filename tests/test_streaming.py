@@ -505,3 +505,24 @@ def test_stream_bm25_percolator_matches_batch_and_topk(spark, tmp_path):
     perc = {(q, d): sc for d, q, sc in s}
     for r in text.bm25_topk(docs, queries, k=5).collect():
         assert perc[(r["query_id"], r["doc_id"])] == r["score"]
+
+
+def test_stream_keyword_percolator_matches_batch(spark, tmp_path):
+    """Keyword percolation is stateless and narrow, so the SAME operator
+    body runs on a streaming frame unchanged — streamed (doc, rule)
+    matches must equal the batch run exactly."""
+    from cloudtrace_exporter_spark.operators import text
+    from cloudtrace_exporter_spark.schemas import FIXTURE_SCHEMAS
+
+    docs = load_table(spark, SF, "documents")
+    src = str(tmp_path / "docs_kw")
+    docs.coalesce(2).write.mode("overwrite").parquet(src)
+    stream = (
+        spark.readStream.schema(FIXTURE_SCHEMAS["documents"])
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out = _run_to_memory(spark, text.keyword_percolate(stream), "t_kw_perc")
+    s = sorted((r["doc_id"], r["rule_id"]) for r in out.collect())
+    b = sorted((r["doc_id"], r["rule_id"]) for r in text.keyword_percolate(docs).collect())
+    assert s == b and len(s) > 0

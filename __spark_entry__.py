@@ -2842,6 +2842,45 @@ def _bloom_audit_oracle_sql(*, m: int = 4096, n_hashes: int = 3) -> str:
     """
 
 
+def q_cms_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch depth, ORACLE-BACKED Count-Min audit: 4×1024 CMS over the
+    event user stream, every distinct user's estimate (min over rows)
+    vs exact count (analytics.cms_frequency_audit) — completes the
+    deterministic-sketch family (KMV, Bloom, histogram, CMS)."""
+    return analytics.cms_frequency_audit(
+        load_table(spark, sf_dir, "events"), key_col="user_id"
+    )
+
+
+def q_sql_api_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """API-surface demonstration: the SAME engine through pure
+    ``spark.sql`` — registered temp views, a CTE, a 4-way join, a
+    windowed rank — regional revenue leaderboard per order year. The
+    DataFrame API queries compile to the identical Catalyst plans; this
+    entry pins the SQL front door end-to-end. Full oracle (near-verbatim
+    SQL)."""
+    for t in ("lineitem", "orders", "customer", "nation", "region"):
+        load_table(spark, sf_dir, t).createOrReplaceTempView(f"{t}_v")
+    return spark.sql("""
+        WITH rev AS (
+          SELECT r.r_name AS region,
+                 year(o.o_orderdate) AS yr,
+                 l.l_extendedprice * (1 - l.l_discount) AS v
+          FROM lineitem_v l
+          JOIN orders_v o ON l.l_orderkey = o.o_orderkey
+          JOIN customer_v c ON o.o_custkey = c.c_custkey
+          JOIN nation_v n ON c.c_nationkey = n.n_nationkey
+          JOIN region_v r ON n.n_regionkey = r.r_regionkey
+        )
+        SELECT region, yr,
+               CAST(count(*) AS BIGINT) AS n_lines,
+               round(sum(v), 2) AS revenue,
+               rank() OVER (PARTITION BY yr ORDER BY round(sum(v), 2) DESC) AS rnk
+        FROM rev
+        GROUP BY region, yr
+    """)
+
+
 def q_ngram_dup_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B33 depth: SLIDING repeated-20-gram census — the overlap-tolerant
     sibling of the disjoint chunk census (a copy straddling a chunk
@@ -2975,6 +3014,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_histogram_percentiles": q_histogram_percentiles,
         "q_ngram_dup_census": q_ngram_dup_census,
         "q_keyword_percolate": q_keyword_percolate,
+        "q_cms_frequency": q_cms_frequency,
+        "q_sql_api_report": q_sql_api_report,
         # rows-only-by-design tail of the never-evaluated block
         "q_multimodal_audio": q_multimodal_audio,
         "q_incremental_near_dedup": q_incremental_near_dedup,
@@ -3895,6 +3936,44 @@ def oracle_sql() -> dict[str, str]:
                    round(sqrt(CAST(min(n_tokens) OVER () AS DOUBLE) / n_tokens) * n_docs, 1) AS expected_docs,
                    round(sqrt(CAST(min(n_tokens) OVER () AS DOUBLE) / n_tokens) * n_tokens, 1) AS expected_tokens
             FROM prof
+        """,
+        # CMS: identical md5 cell arithmetic to the Spark side
+        "q_cms_frequency": """
+            WITH cells AS (
+              SELECT i AS row,
+                     ('0x' || substr(md5(CAST(user_id AS VARCHAR) || '#' || i), 1, 12))::BIGINT % 1024 AS col
+              FROM events, range(0, 4) t(i)
+            ),
+            tbl AS (SELECT row, col, CAST(count(*) AS BIGINT) AS cnt FROM cells GROUP BY 1, 2),
+            probes AS (SELECT user_id AS key, CAST(count(*) AS BIGINT) AS n_exact FROM events GROUP BY 1),
+            pc AS (
+              SELECT key, n_exact, i AS row,
+                     ('0x' || substr(md5(CAST(key AS VARCHAR) || '#' || i), 1, 12))::BIGINT % 1024 AS col
+              FROM probes, range(0, 4) t(i)
+            )
+            SELECT key, n_exact,
+                   min(cnt) AS cms_estimate,
+                   min(cnt) - n_exact AS overestimate
+            FROM pc JOIN tbl USING (row, col)
+            GROUP BY key, n_exact
+        """,
+        "q_sql_api_report": """
+            WITH rev AS (
+              SELECT r.r_name AS region,
+                     year(o.o_orderdate) AS yr,
+                     l.l_extendedprice * (1 - l.l_discount) AS v
+              FROM lineitem l
+              JOIN orders o ON l.l_orderkey = o.o_orderkey
+              JOIN customer c ON o.o_custkey = c.c_custkey
+              JOIN nation n ON c.c_nationkey = n.n_nationkey
+              JOIN region r ON n.n_regionkey = r.r_regionkey
+            )
+            SELECT region, yr,
+                   CAST(count(*) AS BIGINT) AS n_lines,
+                   round(sum(v), 2) AS revenue,
+                   rank() OVER (PARTITION BY yr ORDER BY round(sum(v), 2) DESC) AS rnk
+            FROM rev
+            GROUP BY region, yr
         """,
         "q_ngram_dup_census": f"""
             WITH tok AS (SELECT doc_id, {_TOKENS_SQL} AS t FROM documents),

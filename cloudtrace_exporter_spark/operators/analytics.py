@@ -2946,6 +2946,68 @@ def kmv_rollup(
     )
 
 
+def cms_frequency_audit(
+    df: DataFrame,
+    *,
+    key_col: str,
+    m: int = 1024,
+    d: int = 4,
+) -> DataFrame:
+    """Count-Min sketch frequency audit, ORACLE-BACKED: build a d×m CMS
+    over the key stream (cell = md5(key#row) mod m — integer md5
+    arithmetic, like the Bloom/KMV family), then read every distinct
+    key's estimate (min over the d rows) next to its exact count. CMS
+    guarantees estimate ≥ exact with overestimate ≤ εN w.h.p. — the
+    audit MEASURES that overestimate on real keys, which is what you
+    check before shipping a sketch-backed rate limiter or heavy-hitter
+    screen. Deterministic hashing makes this the rare CMS whose cells
+    replay bit-exact in another engine.
+
+    Plan: one d×-explode of narrow (row, cell) pairs → one ≤d·m-group
+    count (map-side combined, KBs); probes join the broadcast cell
+    table. Mergeable like any count table (CMS adds cellwise).
+    Emits (key, n_exact, cms_estimate, overestimate).
+    """
+    def cell(col: Column, i: int) -> Column:
+        return F.pmod(
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(col.cast("string"), F.lit(f"#{i}")).cast("binary")),
+                    1,
+                    12,
+                ),
+                16,
+                10,
+            ).cast("long"),
+            F.lit(m),
+        )
+
+    k = F.col(key_col)
+    cells = df.select(
+        F.posexplode(F.array(*[cell(k, i) for i in range(d)])).alias("row", "col")
+    )
+    table = cells.groupBy("row", "col").agg(F.count(F.lit(1)).alias("cnt"))
+    probes = df.groupBy(k.alias("key")).agg(F.count(F.lit(1)).alias("n_exact"))
+    probe_cells = probes.select(
+        "key",
+        "n_exact",
+        F.posexplode(F.array(*[cell(F.col("key"), i) for i in range(d)])).alias(
+            "row", "col"
+        ),
+    )
+    return (
+        probe_cells.join(F.broadcast(table), ["row", "col"])
+        .groupBy("key", "n_exact")
+        .agg(F.min("cnt").alias("cms_estimate"))
+        .select(
+            "key",
+            "n_exact",
+            "cms_estimate",
+            (F.col("cms_estimate") - F.col("n_exact")).alias("overestimate"),
+        )
+    )
+
+
 def bloom_membership_audit(
     members: DataFrame,
     probes: DataFrame,

@@ -913,3 +913,15 @@ def test_histogram_percentiles_close_to_exact(spark, sf_dir):
         bin_w = (hi - lo) / 256
         assert abs(h50 - p50) <= 2 * bin_w, (prio, h50, p50)
         assert abs(h99 - p99) <= 3 * bin_w, (prio, h99, p99)
+
+
+def test_cms_never_underestimates_and_bounds_overestimate(spark):
+    rows = [(i % 50, "t") for i in range(5000)]  # 50 keys x 100 each
+    df = spark.createDataFrame(rows, "user_id long, event_type string")
+    got = analytics.cms_frequency_audit(df, key_col="user_id").collect()
+    assert len(got) == 50
+    for r in got:
+        assert r["n_exact"] == 100
+        assert r["cms_estimate"] >= r["n_exact"]  # CMS one-sided guarantee
+        # width 1024 >> 50 keys: collisions are rare, overestimate small
+        assert r["overestimate"] <= 300

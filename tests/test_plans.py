@@ -381,3 +381,26 @@ def test_ring_shard_is_zero_shuffle(plans):
     # join
     p = plans("q_ring_shard")
     assert _data_shuffles(p) == 0
+
+
+def test_kmv_distinct_no_cartesian_bounded_shuffles(plans):
+    # sketch build = one distinct + one ranked window + tiny agg join
+    p = plans("q_kmv_distinct")
+    assert "CartesianProduct" not in p
+    assert _data_shuffles(p) <= 4
+
+
+def test_cms_frequency_broadcasts_cell_table(plans):
+    # the d x m count table is KBs — it must broadcast into the probe
+    # join, never shuffle the probes against it
+    p = plans("q_cms_frequency")
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+
+
+def test_histogram_percentiles_broadcasts_bounds(plans):
+    # per-group min/max is a |groups|-row frame broadcast back onto the
+    # scan; the fact shuffles only for the (group, bin) count
+    p = plans("q_histogram_percentiles")
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p

@@ -2842,6 +2842,14 @@ def _bloom_audit_oracle_sql(*, m: int = 4096, n_hashes: int = 3) -> str:
     """
 
 
+def q_source_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curation depth: per-source marginal content — distinct sliding
+    20-grams appearing in NO other source (dedup.source_novelty); a
+    feed can be low-dup yet zero-novelty, and this separates the two.
+    Full oracle."""
+    return dedup.source_novelty(load_table(spark, sf_dir, "documents"), n=20)
+
+
 def q_cms_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch depth, ORACLE-BACKED Count-Min audit: 4×1024 CMS over the
     event user stream, every distinct user's estimate (min over rows)
@@ -3016,6 +3024,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_keyword_percolate": q_keyword_percolate,
         "q_cms_frequency": q_cms_frequency,
         "q_sql_api_report": q_sql_api_report,
+        "q_source_novelty": q_source_novelty,
         # rows-only-by-design tail of the never-evaluated block
         "q_multimodal_audio": q_multimodal_audio,
         "q_incremental_near_dedup": q_incremental_near_dedup,
@@ -3936,6 +3945,22 @@ def oracle_sql() -> dict[str, str]:
                    round(sqrt(CAST(min(n_tokens) OVER () AS DOUBLE) / n_tokens) * n_docs, 1) AS expected_docs,
                    round(sqrt(CAST(min(n_tokens) OVER () AS DOUBLE) / n_tokens) * n_tokens, 1) AS expected_tokens
             FROM prof
+        """,
+        "q_source_novelty": f"""
+            WITH tok AS (SELECT source, {_TOKENS_SQL} AS t FROM documents),
+            grams AS (
+              SELECT DISTINCT source,
+                     unnest(list_transform(range(1, len(t) - 18),
+                            i -> md5(array_to_string(t[i:i+19], ' ')))) AS fp
+              FROM tok WHERE len(t) >= 20
+            ),
+            per_gram AS (SELECT fp, count(*) AS n_sources FROM grams GROUP BY fp)
+            SELECT source,
+                   CAST(count(*) AS BIGINT) AS n_grams,
+                   CAST(count(CASE WHEN n_sources = 1 THEN 1 END) AS BIGINT) AS n_unique_grams,
+                   round(CAST(count(CASE WHEN n_sources = 1 THEN 1 END) AS DOUBLE) / count(*), 6) AS novelty
+            FROM grams JOIN per_gram USING (fp)
+            GROUP BY source
         """,
         # CMS: identical md5 cell arithmetic to the Spark side
         "q_cms_frequency": """

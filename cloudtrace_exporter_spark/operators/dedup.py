@@ -1058,6 +1058,63 @@ def ngram_dup_census(
     )
 
 
+def source_novelty(
+    df: DataFrame,
+    *,
+    n: int = 20,
+    source_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Marginal-content analysis per source: of each source's distinct
+    sliding n-grams, how many appear in NO other source — the "what
+    does this feed uniquely contribute?" question that decides whether
+    a crawl is worth its licensing/storage cost. A source can have a
+    low dup-rate (few exact copies) yet near-zero novelty (everything
+    it says, someone else also says) — this report separates the two.
+
+    Plan: distinct (source, gram-md5) pairs (one uniform shuffle), a
+    per-gram source count (grams shared across sources carry
+    n_sources ≥ 2), and a per-source rollup — the gram→source-count
+    frame is the only intermediate and it's census-sized. Emits
+    (source, n_grams, n_unique_grams, novelty).
+    """
+    toked = df.select(
+        F.col(source_col).alias("source"),
+        F.col(id_col).alias("doc_id"),
+        tokens(text_col).alias("__t"),
+    )
+    k = F.size("__t")
+    grams = (
+        toked.filter(k >= n)
+        .select(
+            "source",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), k - (n - 1)),
+                    lambda i: F.md5(F.concat_ws(" ", F.slice("__t", i, n)).cast("binary")),
+                )
+            ).alias("__fp"),
+        )
+        .distinct()
+    )
+    per_gram = grams.groupBy("__fp").agg(F.count(F.lit(1)).alias("n_sources"))
+    return (
+        grams.join(per_gram, "__fp")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum((F.col("n_sources") == 1).cast("long")).alias("n_unique_grams"),
+        )
+        .select(
+            "source",
+            "n_grams",
+            "n_unique_grams",
+            F.round(F.col("n_unique_grams") / F.col("n_grams"), 6).alias("novelty"),
+        )
+    )
+
+
 def dup_span_plan(
     df: DataFrame, *, chunk_tokens: int = 50, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:

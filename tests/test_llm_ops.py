@@ -1494,3 +1494,23 @@ def test_keyword_percolate_matches_expected_rules(spark):
     )
     got = sorted((r["doc_id"], r["rule_id"]) for r in text.keyword_percolate(docs).collect())
     assert got == [(0, 1), (1, 2), (2, 3)]
+
+
+def test_source_novelty_separates_unique_from_shared(spark):
+    from cloudtrace_exporter_spark.operators import dedup
+
+    shared = " ".join(f"s{i}" for i in range(25))
+    unique_a = " ".join(f"a{i}" for i in range(25))
+    docs = spark.createDataFrame(
+        [
+            (0, shared + " " + unique_a, "src_a"),   # half shared, half unique
+            (1, shared, "src_b"),                     # NOTHING unique
+        ],
+        "doc_id long, text string, source string",
+    )
+    got = {r["source"]: r for r in dedup.source_novelty(docs, n=20).collect()}
+    # src_b's every 20-gram also appears in src_a's text → zero novelty
+    assert got["src_b"]["n_unique_grams"] == 0 and got["src_b"]["novelty"] == 0.0
+    # src_a contributes grams touching the unique_a region
+    assert got["src_a"]["n_unique_grams"] > 0
+    assert got["src_a"]["novelty"] > 0.5

@@ -2842,6 +2842,14 @@ def _bloom_audit_oracle_sql(*, m: int = 4096, n_hashes: int = 3) -> str:
     """
 
 
+def q_autocorr_lag7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series depth: lag-7 Pearson autocorrelation of daily totals
+    per series — the seasonality-strength metric that decides whether
+    the dow-effect screen applies (analytics.autocorr_lag). Pairs align
+    on the day index (gaps break runs). Full oracle."""
+    return analytics.autocorr_lag(load_table(spark, sf_dir, "events"), lag=7)
+
+
 def q_source_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Curation depth: per-source marginal content — distinct sliding
     20-grams appearing in NO other source (dedup.source_novelty); a
@@ -3025,6 +3033,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_cms_frequency": q_cms_frequency,
         "q_sql_api_report": q_sql_api_report,
         "q_source_novelty": q_source_novelty,
+        "q_autocorr_lag7": q_autocorr_lag7,
         # rows-only-by-design tail of the never-evaluated block
         "q_multimodal_audio": q_multimodal_audio,
         "q_incremental_near_dedup": q_incremental_near_dedup,
@@ -3945,6 +3954,25 @@ def oracle_sql() -> dict[str, str]:
                    round(sqrt(CAST(min(n_tokens) OVER () AS DOUBLE) / n_tokens) * n_docs, 1) AS expected_docs,
                    round(sqrt(CAST(min(n_tokens) OVER () AS DOUBLE) / n_tokens) * n_tokens, 1) AS expected_tokens
             FROM prof
+        """,
+        "q_autocorr_lag7": """
+            WITH daily AS (
+              SELECT event_type AS series, date_trunc('day', ts) AS day,
+                     round(sum(value), 4) AS y,
+                     CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS BIGINT) AS x
+              FROM events GROUP BY 1, 2, 4
+            ),
+            lagged AS (
+              SELECT series, y, x,
+                     lag(y, 7) OVER (PARTITION BY series ORDER BY x) AS y_prev,
+                     lag(x, 7) OVER (PARTITION BY series ORDER BY x) AS x_prev
+              FROM daily
+            )
+            SELECT series,
+                   CAST(count(*) AS BIGINT) AS n_pairs,
+                   round(corr(y, y_prev), 4) AS autocorr_lag7
+            FROM lagged WHERE x_prev = x - 7
+            GROUP BY series
         """,
         "q_source_novelty": f"""
             WITH tok AS (SELECT source, {_TOKENS_SQL} AS t FROM documents),

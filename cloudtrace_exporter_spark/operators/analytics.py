@@ -2756,6 +2756,45 @@ def kmv_distinct(
     )
 
 
+def autocorr_lag(
+    events: DataFrame,
+    *,
+    lag: int = 7,
+    value_col: str = "value",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    epoch: str = "2024-01-01",
+) -> DataFrame:
+    """Seasonality-strength screen: per series, the Pearson
+    autocorrelation of the daily total against itself ``lag`` days
+    earlier — HIGH lag-7 autocorrelation says "weekly cycle, use the
+    seasonal screen", near-zero says a dow model would overfit noise.
+    The decision metric FOR seasonal_residual_outliers, as a query.
+
+    One daily rollup shuffle + one lag window over the same series
+    partitioning (Catalyst reuses the exchange) + a per-series corr
+    aggregate. Lagged pairs align on the DAY INDEX (window over x), so
+    calendar gaps break pairs rather than silently pairing non-adjacent
+    days. corr rounds to 4 (the corr_stats precedent).
+    """
+    day = F.date_trunc("day", F.col(ts_col))
+    daily = (
+        events.groupBy(F.col(type_col).alias("series"), day.alias("day"))
+        .agg(F.round(F.sum(value_col), 4).alias("y"))
+        .withColumn("x", F.datediff(F.col("day"), F.lit(epoch)).cast("long"))
+    )
+    w = Window.partitionBy("series").orderBy("x")
+    lagged = daily.withColumn("y_prev", F.lag("y", lag).over(w)).withColumn(
+        "x_prev", F.lag("x", lag).over(w)
+    )
+    # only pairs exactly `lag` days apart count (calendar gaps break runs)
+    pairs = lagged.filter(F.col("x_prev") == F.col("x") - lag)
+    return pairs.groupBy("series").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.round(F.corr("y", "y_prev"), 4).alias(f"autocorr_lag{lag}"),
+    )
+
+
 def seasonal_residual_outliers(
     events: DataFrame,
     *,

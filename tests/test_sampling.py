@@ -925,3 +925,25 @@ def test_cms_never_underestimates_and_bounds_overestimate(spark):
         assert r["cms_estimate"] >= r["n_exact"]  # CMS one-sided guarantee
         # width 1024 >> 50 keys: collisions are rare, overestimate small
         assert r["overestimate"] <= 300
+
+
+def test_autocorr_lag7_detects_weekly_cycle(spark):
+    import datetime as dt
+    import math
+
+    # series "W": strong weekly sinusoid → lag-7 autocorr ≈ 1;
+    # series "R": alternating ramp noise with period 2 → lag-7 (odd lag)
+    # anti-correlates
+    rows = []
+    eid = 0
+    for d in range(28):
+        day = dt.datetime(2024, 1, 1, 9) + dt.timedelta(days=d)
+        rows.append((eid, day, 1, "W", 100.0 + 50.0 * math.sin(2 * math.pi * d / 7), "{}")); eid += 1
+        rows.append((eid, day, 1, "R", 100.0 + (25.0 if d % 2 == 0 else -25.0), "{}")); eid += 1
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    got = {r["series"]: r for r in analytics.autocorr_lag(ev, lag=7).collect()}
+    assert got["W"]["n_pairs"] == 21
+    assert got["W"]["autocorr_lag7"] > 0.99
+    assert got["R"]["autocorr_lag7"] < -0.99  # odd lag flips the parity wave

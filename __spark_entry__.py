@@ -2842,6 +2842,13 @@ def _bloom_audit_oracle_sql(*, m: int = 4096, n_hashes: int = 3) -> str:
     """
 
 
+def q_corpus_datacard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curation depth: the one-row corpus datacard — size, diversity,
+    dup rate, quality pass rate, mean length (curate.corpus_datacard);
+    one scan, one multi-aggregate. Full oracle."""
+    return curate.corpus_datacard(load_table(spark, sf_dir, "documents"))
+
+
 def q_autocorr_lag7(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-series depth: lag-7 Pearson autocorrelation of daily totals
     per series — the seasonality-strength metric that decides whether
@@ -3034,6 +3041,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_sql_api_report": q_sql_api_report,
         "q_source_novelty": q_source_novelty,
         "q_autocorr_lag7": q_autocorr_lag7,
+        "q_corpus_datacard": q_corpus_datacard,
         # rows-only-by-design tail of the never-evaluated block
         "q_multimodal_audio": q_multimodal_audio,
         "q_incremental_near_dedup": q_incremental_near_dedup,
@@ -3954,6 +3962,27 @@ def oracle_sql() -> dict[str, str]:
                    round(sqrt(CAST(min(n_tokens) OVER () AS DOUBLE) / n_tokens) * n_docs, 1) AS expected_docs,
                    round(sqrt(CAST(min(n_tokens) OVER () AS DOUBLE) / n_tokens) * n_tokens, 1) AS expected_tokens
             FROM prof
+        """,
+        "q_corpus_datacard": f"""
+            WITH tok AS (
+              SELECT doc_id, text, lang, source, {_TOKENS_SQL} AS t FROM documents
+            ), feats AS (
+              SELECT *,
+                     CAST(len(t) AS BIGINT) AS n_tok,
+                     round(CASE WHEN len(t) > 0 THEN CAST(len(list_distinct(t)) AS DOUBLE) / len(t) ELSE 0.0 END, 6) AS dr,
+                     round(CASE WHEN len(t) > 0 THEN CAST(length(text) AS DOUBLE) / len(t) ELSE 0.0 END, 6) AS mwl,
+                     round(CASE WHEN length(text) > 0 THEN CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS DOUBLE) / length(text) ELSE 0.0 END, 6) AS pr
+              FROM tok
+            )
+            SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+                   CAST(sum(length(text)) AS BIGINT) AS n_chars,
+                   CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+                   CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+                   round(CAST(sum(n_tok) AS DOUBLE) / count(*), 4) AS mean_doc_tokens,
+                   round(1.0 - CAST(count(DISTINCT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))) AS DOUBLE) / count(*), 6) AS dup_rate,
+                   round(CAST(count(CASE WHEN NOT (n_tok < 10 OR dr < 0.3 OR pr > 0.1 OR mwl < 3.0) THEN 1 END) AS DOUBLE) / count(*), 6) AS quality_pass_rate
+            FROM feats
         """,
         "q_autocorr_lag7": """
             WITH daily AS (

@@ -145,6 +145,37 @@ def temperature_sampling_plan(
     )
 
 
+def corpus_datacard(docs: DataFrame, *, text_col: str = "text") -> DataFrame:
+    """The one-row corpus datacard — the summary block every dataset
+    release ships: size (docs/tokens/chars), diversity (languages,
+    sources), duplication (1 − distinct normalized fingerprints / docs),
+    quality pass rate (the quality_keep predicate inline), and mean
+    document length. ONE scan, one multi-aggregate (countDistincts
+    expand map-side like the graph summary); every ratio is a single
+    division of integer aggregates — engine-exact.
+    """
+    normalized = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+    agg = docs.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(text.token_count(text_col)).cast("long").alias("n_tokens"),
+        F.sum(F.length(text_col)).cast("long").alias("n_chars"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.countDistinct("source").alias("n_sources"),
+        F.countDistinct(F.md5(normalized)).alias("__n_fp"),
+        F.sum(text.quality_keep(text_col).cast("long")).alias("__n_quality"),
+    )
+    return agg.select(
+        "n_docs",
+        "n_tokens",
+        "n_chars",
+        "n_langs",
+        "n_sources",
+        F.round(F.col("n_tokens") / F.col("n_docs"), 4).alias("mean_doc_tokens"),
+        F.round(1.0 - F.col("__n_fp") / F.col("n_docs"), 6).alias("dup_rate"),
+        F.round(F.col("__n_quality") / F.col("n_docs"), 6).alias("quality_pass_rate"),
+    )
+
+
 def pretraining_mix(docs: DataFrame, *, text_col: str = "text") -> DataFrame:
     """The capstone composition: the FINAL pretraining-mix report a data
     run signs off on — quality filter → aggressive (CCNet) normalization

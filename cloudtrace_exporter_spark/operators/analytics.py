@@ -2826,12 +2826,17 @@ def seasonal_residual_outliers(
     on the |series|·days frame. The fact table shuffles once.
     """
     day = F.date_trunc("day", F.col(ts_col))
+    # the daily grid is |series|·days rows and feeds FIVE consumers
+    # (fit stats, detrend, dow effect, median, MAD) — materialize it
+    # once or every broadcast branch replays the fact scan (the audit
+    # showed 31 exchanges / 5 scans before this checkpoint; after: one)
     daily = (
         events.groupBy(F.col(type_col).alias("series"), day.alias("day"))
         .agg(F.round(F.sum(value_col), 4).alias("y"))
         .withColumn("xi", F.datediff(F.col("day"), F.lit(epoch)).cast("long"))
         .withColumn("dow", F.pmod(F.col("xi"), F.lit(7)))
         .withColumn("yi", F.round(F.col("y") * 10000).cast("long"))
+        .localCheckpoint()
     )
     # OLS over INTEGER sufficient statistics (yi in 1e-4 fixed point, xi
     # in days): the only floats are one division per coefficient, so the
@@ -2865,8 +2870,10 @@ def seasonal_residual_outliers(
     dow_eff = detrended.groupBy("series", "dow").agg(
         F.percentile(F.col("r1i").cast("double"), F.lit(0.5)).alias("dow_med_i")
     )
-    resid = detrended.join(F.broadcast(dow_eff), ["series", "dow"]).withColumn(
-        "resid_d", (F.col("r1i") - F.col("dow_med_i")) / F.lit(10000.0)
+    resid = (
+        detrended.join(F.broadcast(dow_eff), ["series", "dow"])
+        .withColumn("resid_d", (F.col("r1i") - F.col("dow_med_i")) / F.lit(10000.0))
+        .localCheckpoint()  # 3 consumers (median, MAD, output) — same grid size
     )
     med = resid.groupBy("series").agg(F.percentile("resid_d", F.lit(0.5)).alias("med"))
     with_med = resid.join(F.broadcast(med), "series")

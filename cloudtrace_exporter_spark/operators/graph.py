@@ -288,7 +288,15 @@ def neighbor_jaccard(
     100 TB — cap or sample their adjacency like the LSH bucket caps.
     Emits (src_a, src_b, shared, deg_a, deg_b, jaccard), id-ordered.
     """
-    e = edges.select(F.col(src).alias("s"), F.col(dst).alias("d")).distinct()
+    # the dedup'd adjacency feeds three consumers (both join sides +
+    # degrees): materialize it once — persisting the adjacency list is
+    # the standard first step of any neighborhood-similarity job, and
+    # without it each consumer replays the scan+distinct
+    e = (
+        edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+        .distinct()
+        .localCheckpoint()
+    )
     deg = e.groupBy("s").agg(F.count(F.lit(1)).alias("deg"))
     a, b = e.alias("a"), e.alias("b")
     shared = (

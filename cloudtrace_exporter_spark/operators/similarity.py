@@ -167,49 +167,65 @@ def truncated_dim_recall(
     cold) and behind choosing an IVF/PQ coarse dimension. Answers "how
     many dims does THIS corpus actually need?" as a query.
 
-    One broadcast-scored pass per probe dim plus one for the truth —
-    each identical in shape to cosine_topk (corpus scan + tiny ranking
-    window); the recall join runs on top-k-sized frames (KBs). Exact
+    ONE broadcast-scored pass computes EVERY probe dim's cosine plus
+    the full-dim truth per (corpus, query) row — the cosines for all
+    dims explode into (dim_tag, cosine) rows and a single window
+    partitioned by (dim_tag, query_id) ranks them all at once (the
+    independent-pass formulation cost 4 corpus scans, 4 windows, and a
+    sort-merge join against the unsized truth frame — 21 exchanges;
+    this shape is 1 scan + 1 window + broadcast joins). The recall
+    join runs on top-k-sized frames (KBs), truth side broadcast. Exact
     and fully oracle-able (list slicing + the shared rounded-cosine
     ranking in both engines).
     """
-    def topk_at(d: int | None) -> DataFrame:
-        vec = _as_double(vec_col)
-        if d is not None:
-            vec = F.slice(vec, 1, d)
-        c = _spread(corpus).select(F.col(id_col).alias("corpus_id"), vec.alias("cv"))
-        q = queries.select(F.col(id_col).alias("query_id"), vec.alias("qv"))
-        scored = c.join(F.broadcast(q), F.col("corpus_id") != F.col("query_id")).select(
-            "query_id",
-            "corpus_id",
-            F.round(
-                _dot(F.col("cv"), F.col("qv")) / (_norm(F.col("cv")) * _norm(F.col("qv"))), 6
-            ).alias("cosine"),
-        )
-        w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("corpus_id"))
-        return (
-            scored.withColumn("rnk", F.row_number().over(w).cast("long"))
-            .filter(F.col("rnk") <= k)
-            .select("query_id", "corpus_id")
-        )
+    def cos(cv: Column, qv: Column) -> Column:
+        return F.round(_dot(cv, qv) / (_norm(cv) * _norm(qv)), 6)
 
-    truth = topk_at(None)
-    out = None
-    for d in dims:
-        hits = (
-            topk_at(d)
-            .join(truth.withColumn("__rel", F.lit(1)), ["query_id", "corpus_id"], "left")
-            .groupBy("query_id")
-            .agg(F.sum(F.coalesce("__rel", F.lit(0))).cast("long").alias("n_hits"))
-            .select(
-                F.lit(d).cast("long").alias("dim"),
-                "query_id",
-                "n_hits",
-                F.round(F.col("n_hits") / F.lit(float(k)), 6).alias("recall"),
-            )
+    vec = _as_double(vec_col)
+    c = _spread(corpus).select(F.col(id_col).alias("corpus_id"), vec.alias("cv"))
+    q = queries.select(F.col(id_col).alias("query_id"), vec.alias("qv"))
+    per_dim = [
+        F.struct(
+            F.lit(d).cast("long").alias("dim"),
+            cos(F.slice(F.col("cv"), 1, d), F.slice(F.col("qv"), 1, d)).alias("cosine"),
         )
-        out = hits if out is None else out.unionByName(hits)
-    return out
+        for d in dims
+    ] + [
+        F.struct(
+            F.lit(0).cast("long").alias("dim"),  # 0 tags the full-dim truth
+            cos(F.col("cv"), F.col("qv")).alias("cosine"),
+        )
+    ]
+    scored = (
+        c.join(F.broadcast(q), F.col("corpus_id") != F.col("query_id"))
+        .select("query_id", "corpus_id", F.explode(F.array(*per_dim)).alias("s"))
+        .select("query_id", "corpus_id", F.col("s.dim").alias("dim"), F.col("s.cosine").alias("cosine"))
+    )
+    w = Window.partitionBy("dim", "query_id").orderBy(F.desc("cosine"), F.asc("corpus_id"))
+    # materialize the (|dims|+1)·|queries|·k-row survivors once: the
+    # probes and truth branches would otherwise each replay the whole
+    # scoring pass (the contrastive_pairs fan-out precedent)
+    topk = (
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= k)
+        .select("dim", "query_id", "corpus_id")
+        .localCheckpoint()
+    )
+    truth = topk.filter(F.col("dim") == 0).select(
+        "query_id", "corpus_id", F.lit(1).alias("__rel")
+    )
+    return (
+        topk.filter(F.col("dim") != 0)
+        .join(F.broadcast(truth), ["query_id", "corpus_id"], "left")
+        .groupBy("dim", "query_id")
+        .agg(F.sum(F.coalesce("__rel", F.lit(0))).cast("long").alias("n_hits"))
+        .select(
+            "dim",
+            "query_id",
+            "n_hits",
+            F.round(F.col("n_hits") / F.lit(float(k)), 6).alias("recall"),
+        )
+    )
 
 
 def hyperplane_planes(dim: int, n_bits: int, seed: int = 42) -> list[list[float]]:

@@ -2842,6 +2842,102 @@ def _bloom_audit_oracle_sql(*, m: int = 4096, n_hashes: int = 3) -> str:
     """
 
 
+def q_ivf_topk_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B34, ORACLE-EXACT IVF twin: the seed→2-round-Lloyd→4-probe
+    pipeline over INTEGER-quantized vectors (×1e6 BIGINTs) — exact
+    integer distances, truncating-division centroid updates, integer
+    dot/norm cosine — so the whole k-means index build replays in
+    DuckDB (similarity.ivf_topk_scaled); the float q_ivf_topk stays the
+    production path, this carries its correctness evidence (the
+    LSH-verified precedent applied to IVF)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.ivf_topk_scaled(
+        emb, emb.filter(F.col("vec_id") < 10), k=5, n_centroids=8, n_probe=4
+    )
+
+
+def _ivf_scaled_oracle_sql(
+    *, n_centroids: int = 8, lloyd_iters: int = 2, n_probe: int = 4, k: int = 5, scale: int = 10**6
+) -> str:
+    """DuckDB replay of similarity.ivf_topk_scaled. Exactness rests on
+    three facts: (1) every distance/dot is a sum of integer products
+    ≤ ~2e14 — far inside double's 2^53 exact-integer range, so
+    list_dot_product over integer-valued DOUBLE[] equals Spark's BIGINT
+    arithmetic; (2) centroid updates use DuckDB's truncating ``//``,
+    matched by the driver-side _trunc_div; (3) all argmin/rank ties
+    break on the cell/corpus id."""
+    def dist(a: str, b: str) -> str:
+        return (
+            f"(list_dot_product({a}, {a}) - 2 * list_dot_product({a}, {b})"
+            f" + list_dot_product({b}, {b}))"
+        )
+
+    rounds = []
+    for r in range(1, lloyd_iters + 1):
+        rounds.append(f""",
+        a{r} AS (
+          SELECT id, v, cell FROM (
+            SELECT v.id, v.v, c.cell,
+                   row_number() OVER (PARTITION BY v.id
+                     ORDER BY {dist('v.v', 'c.c')}, c.cell) AS rn
+            FROM v CROSS JOIN c{r - 1} c
+          ) WHERE rn = 1
+        ),
+        c{r} AS (
+          SELECT cell, list(d ORDER BY pos) AS c FROM (
+            SELECT cell, pos, CAST(CAST(sum(val) AS BIGINT) // count(*) AS DOUBLE) AS d
+            FROM (
+              SELECT a.cell,
+                     generate_subscripts(a.v, 1) AS pos,
+                     unnest(a.v) AS val
+              FROM a{r} a
+            ) GROUP BY cell, pos
+          ) GROUP BY cell
+        )""")
+    return f"""
+        WITH v AS (
+          SELECT vec_id AS id,
+                 list_transform(CAST(embedding AS DOUBLE[]),
+                                x -> round(x * {scale})) AS v
+          FROM embeddings
+        ),
+        c0 AS (
+          SELECT cell, c FROM (
+            SELECT row_number() OVER (ORDER BY id) - 1 AS cell, v AS c FROM v
+          ) WHERE cell < {n_centroids}
+        ){"".join(rounds)},
+        fin AS (
+          SELECT id, v, cell FROM (
+            SELECT v.id, v.v, c.cell,
+                   row_number() OVER (PARTITION BY v.id
+                     ORDER BY {dist('v.v', 'c.c')}, c.cell) AS rn
+            FROM v CROSS JOIN c{lloyd_iters} c
+          ) WHERE rn = 1
+        ),
+        qs AS (SELECT id AS query_id, v AS qv FROM v WHERE id < 10),
+        qcells AS (
+          SELECT query_id, qv, cell FROM (
+            SELECT q.query_id, q.qv, c.cell,
+                   row_number() OVER (PARTITION BY q.query_id
+                     ORDER BY {dist('q.qv', 'c.c')}, c.cell) AS rn
+            FROM qs q CROSS JOIN c{lloyd_iters} c
+          ) WHERE rn <= {n_probe}
+        ),
+        scored AS (
+          SELECT qc.query_id, a.id AS corpus_id,
+                 round(list_dot_product(a.v, qc.qv)
+                       / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(qc.qv, qc.qv))), 6) AS cosine
+          FROM qcells qc JOIN fin a USING (cell)
+          WHERE a.id <> qc.query_id
+        )
+        SELECT query_id, corpus_id, cosine, rnk FROM (
+          SELECT *, row_number() OVER (PARTITION BY query_id
+                    ORDER BY cosine DESC, corpus_id ASC) AS rnk
+          FROM scored
+        ) WHERE rnk <= {k}
+    """
+
+
 def q_corpus_datacard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Curation depth: the one-row corpus datacard — size, diversity,
     dup rate, quality pass rate, mean length (curate.corpus_datacard);
@@ -3042,6 +3138,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_source_novelty": q_source_novelty,
         "q_autocorr_lag7": q_autocorr_lag7,
         "q_corpus_datacard": q_corpus_datacard,
+        "q_ivf_topk_verified": q_ivf_topk_verified,
         # rows-only-by-design tail of the never-evaluated block
         "q_multimodal_audio": q_multimodal_audio,
         "q_incremental_near_dedup": q_incremental_near_dedup,
@@ -3963,6 +4060,7 @@ def oracle_sql() -> dict[str, str]:
                    round(sqrt(CAST(min(n_tokens) OVER () AS DOUBLE) / n_tokens) * n_tokens, 1) AS expected_tokens
             FROM prof
         """,
+        "q_ivf_topk_verified": _ivf_scaled_oracle_sql(),
         "q_corpus_datacard": f"""
             WITH tok AS (
               SELECT doc_id, text, lang, source, {_TOKENS_SQL} AS t FROM documents

@@ -330,6 +330,124 @@ def _nearest_cell(v: F.Column, cent_rows) -> F.Column:
     return F.element_at(ranked, 1)["c"]
 
 
+def _trunc_div(a: int, b: int) -> int:
+    """Integer division truncating toward zero — DuckDB's ``//`` (and C's
+    ``/``) semantics, NOT Python's floor ``//`` (they differ on negative
+    numerators; the scaled-IVF oracle replays centroid updates with
+    ``//`` in DuckDB, so the driver-side update must truncate too)."""
+    q = abs(a) // abs(b)
+    return q if (a >= 0) == (b >= 0) else -q
+
+
+def ivf_topk_scaled(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    k: int = 5,
+    n_centroids: int = 8,
+    lloyd_iters: int = 2,
+    n_probe: int = 4,
+    scale: int = 10**6,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ORACLE-EXACT IVF twin: the same seed→Lloyd→probe pipeline as
+    build_ivf_index/ivf_topk, run over INTEGER-quantized vectors
+    (dims ×1e6 as BIGINTs). Float k-means is engine-private (summation
+    order moves centroids by ulps, which can flip a boundary vector's
+    cell) — quantized, every distance is an exact BIGINT sum, every
+    centroid update an exact integer-sum truncating division, and the
+    final cosine divides exact integer dot/norm sums, so the WHOLE
+    index build and probe replay bit-exact in DuckDB (the pagerank/
+    k-core precedent applied to k-means). Quantization error vs the
+    float path is O(1/scale) per dim — cell boundaries land identically
+    except at genuine micro-ties.
+
+    Plan shape is identical to the float path: centroids collect per
+    round (n_centroids × dim ints — KBs, the sanctioned index-artifact
+    collect), assignment is a narrow literal-matrix argmin, the per-dim
+    update is one (cell, pos) aggregation; the probe is the same
+    literal-ranked cell selection + candidate equi-join.
+    """
+    qvec = F.transform(_as_double(vec_col), lambda x: F.round(x * scale).cast("long"))
+    v = corpus.select(F.col(id_col).alias("id"), qvec.alias("v"))
+
+    def int_sq_dist(a: F.Column, b: F.Column) -> F.Column:
+        d = F.zip_with(a, b, lambda x, y: x - y)
+        return F.aggregate(d, F.lit(0).cast("long"), lambda acc, x: acc + x * x)
+
+    def nearest(col: F.Column, cents: list[tuple[int, list[int]]]) -> F.Column:
+        m = F.array(
+            *[F.array(*[F.lit(int(x)) for x in c]) for _, c in cents]
+        )
+        cells = F.array(*[F.lit(int(cid)) for cid, _ in cents])
+        ranked = F.array_sort(
+            F.zip_with(
+                F.transform(m, lambda c: int_sq_dist(col, c)),
+                cells,
+                lambda d, c: F.struct(d.alias("d"), c.alias("c")),
+            )
+        )
+        return F.element_at(ranked, 1)["c"]
+
+    seed_rows = v.orderBy("id").limit(n_centroids).collect()
+    cents = [(i, [int(x) for x in r["v"]]) for i, r in enumerate(seed_rows)]
+    for _ in range(lloyd_iters):
+        assigned = v.withColumn("cell", nearest(F.col("v"), cents))
+        sums = (
+            assigned.select("cell", F.posexplode("v").alias("pos", "val"))
+            .groupBy("cell", "pos")
+            .agg(F.sum("val").alias("s"), F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        by_cell: dict[int, dict[int, tuple[int, int]]] = {}
+        for r in sums:
+            by_cell.setdefault(r["cell"], {})[r["pos"]] = (r["s"], r["n"])
+        cents = [
+            (cell, [_trunc_div(*dims[p]) for p in sorted(dims)])
+            for cell, dims in sorted(by_cell.items())
+        ]
+    assigned = v.withColumn("cell", nearest(F.col("v"), cents))
+
+    # probe: same literal ranking over the final centroids
+    q = queries.select(F.col(id_col).alias("query_id"), qvec.alias("qv"))
+    m = F.array(*[F.array(*[F.lit(int(x)) for x in c]) for _, c in cents])
+    cells_arr = F.array(*[F.lit(int(cid)) for cid, _ in cents])
+    ranked = F.array_sort(
+        F.zip_with(
+            F.transform(m, lambda c: int_sq_dist(F.col("qv"), c)),
+            cells_arr,
+            lambda d, c: F.struct(d.alias("d"), c.alias("c")),
+        )
+    )
+    probe_cells = F.transform(F.slice(ranked, 1, n_probe), lambda s: s["c"])
+    q_cells = q.select(
+        "query_id", "qv", F.explode(probe_cells).alias("cell")
+    )
+    idot = lambda a, b: F.aggregate(  # noqa: E731 — exact BIGINT dot
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0).cast("long"), lambda acc, x: acc + x
+    )
+    scored = (
+        assigned.join(q_cells, "cell")
+        .filter(F.col("id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("id").alias("corpus_id"),
+            F.round(
+                idot(F.col("v"), F.col("qv"))
+                / (F.sqrt(idot(F.col("v"), F.col("v"))) * F.sqrt(idot(F.col("qv"), F.col("qv")))),
+                6,
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("corpus_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "corpus_id", "cosine", "rnk")
+    )
+
+
 def save_ivf_index(assigned: DataFrame, centroids: DataFrame, path: str) -> None:
     """Persist an IVF index: cell-partitioned assigned vectors (so a
     probe reads only its cells' files — partition pruning IS the index

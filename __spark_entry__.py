@@ -2938,6 +2938,104 @@ def _ivf_scaled_oracle_sql(
     """
 
 
+def q_pq_topk_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B34, ORACLE-EXACT PQ twin: per-subspace integer-quantized k-means
+    codebooks + exact-integer ADC (similarity.pq_topk_scaled) — closes
+    the last ANN family without a verified twin; the float q_pq_topk
+    stays the production path."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.pq_topk_scaled(emb, emb.filter(F.col("vec_id") < 10), k=5)
+
+
+def _pq_scaled_oracle_sql(
+    *, m: int = 8, kc: int = 16, lloyd_iters: int = 2, k: int = 5, scale: int = 10**6
+) -> str:
+    """DuckDB replay of similarity.pq_topk_scaled: subspace explode,
+    per-round argmin + truncating-division codebook update (cells with
+    no members RETAIN their previous centroid, matching the Spark
+    trainer), exact-integer ADC. Same 2^53-exact-integer argument as
+    the IVF oracle."""
+    def dist(a: str, b: str) -> str:
+        return (
+            f"(list_dot_product({a}, {a}) - 2 * list_dot_product({a}, {b})"
+            f" + list_dot_product({b}, {b}))"
+        )
+
+    sub_expr = "v[j * {sub} + 1 : j * {sub} + {sub}]"
+    rounds = []
+    for r in range(1, lloyd_iters + 1):
+        rounds.append(f""",
+        a{r} AS (
+          SELECT id, j, cell FROM (
+            SELECT s.id, s.j, b.cell,
+                   row_number() OVER (PARTITION BY s.id, s.j
+                     ORDER BY {dist('s.sv', 'b.c')}, b.cell) AS rn
+            FROM s JOIN b{r - 1} b USING (j)
+          ) WHERE rn = 1
+        ),
+        u{r} AS (
+          SELECT j, cell, list(d ORDER BY spos) AS c FROM (
+            SELECT a.j, a.cell, t.spos,
+                   CAST(CAST(sum(t.val) AS BIGINT) // count(*) AS DOUBLE) AS d
+            FROM a{r} a JOIN (
+              SELECT id, j, generate_subscripts(sv, 1) AS spos, unnest(sv) AS val
+              FROM s
+            ) t USING (id, j)
+            GROUP BY a.j, a.cell, t.spos
+          ) GROUP BY j, cell
+        ),
+        b{r} AS (
+          SELECT j, cell, c FROM u{r}
+          UNION ALL
+          SELECT b.j, b.cell, b.c FROM b{r - 1} b
+          WHERE NOT EXISTS (SELECT 1 FROM u{r} u WHERE u.j = b.j AND u.cell = b.cell)
+        )""")
+    return f"""
+        WITH v AS (
+          SELECT vec_id AS id,
+                 list_transform(CAST(embedding AS DOUBLE[]),
+                                x -> round(x * {scale})) AS v
+          FROM embeddings
+        ),
+        s AS (
+          SELECT id, j, {sub_expr.format(sub='8')} AS sv
+          FROM v, range(0, {m}) t(j)
+        ),
+        b0 AS (
+          SELECT j, cell, sv AS c FROM (
+            SELECT j, row_number() OVER (PARTITION BY j ORDER BY id) - 1 AS cell, sv
+            FROM s
+          ) WHERE cell < {kc}
+        ){"".join(rounds)},
+        codes AS (
+          SELECT id, j, cell FROM (
+            SELECT s.id, s.j, b.cell,
+                   row_number() OVER (PARTITION BY s.id, s.j
+                     ORDER BY {dist('s.sv', 'b.c')}, b.cell) AS rn
+            FROM s JOIN b{lloyd_iters} b USING (j)
+          ) WHERE rn = 1
+        ),
+        qs AS (SELECT id AS query_id, j, sv AS qsv FROM s WHERE id < 10),
+        tab AS (
+          SELECT q.query_id, b.j, b.cell,
+                 CAST({dist('q.qsv', 'b.c')} AS BIGINT) AS d
+          FROM qs q JOIN b{lloyd_iters} b USING (j)
+        ),
+        scored AS (
+          SELECT t.query_id, a.id AS corpus_id,
+                 CAST(sum(t.d) AS BIGINT) AS approx_dist
+          FROM codes a JOIN tab t ON a.j = t.j AND a.cell = t.cell
+          WHERE a.id <> t.query_id
+          GROUP BY 1, 2
+        )
+        SELECT query_id, corpus_id, approx_dist, rnk FROM (
+          SELECT *, row_number() OVER (PARTITION BY query_id
+                    ORDER BY approx_dist ASC, corpus_id ASC) AS rnk
+          FROM scored
+        ) WHERE rnk <= {k}
+    """
+
+
 def q_corpus_datacard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Curation depth: the one-row corpus datacard — size, diversity,
     dup rate, quality pass rate, mean length (curate.corpus_datacard);
@@ -3139,6 +3237,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_autocorr_lag7": q_autocorr_lag7,
         "q_corpus_datacard": q_corpus_datacard,
         "q_ivf_topk_verified": q_ivf_topk_verified,
+        "q_pq_topk_verified": q_pq_topk_verified,
         # rows-only-by-design tail of the never-evaluated block
         "q_multimodal_audio": q_multimodal_audio,
         "q_incremental_near_dedup": q_incremental_near_dedup,
@@ -4061,6 +4160,7 @@ def oracle_sql() -> dict[str, str]:
             FROM prof
         """,
         "q_ivf_topk_verified": _ivf_scaled_oracle_sql(),
+        "q_pq_topk_verified": _pq_scaled_oracle_sql(),
         "q_corpus_datacard": f"""
             WITH tok AS (
               SELECT doc_id, text, lang, source, {_TOKENS_SQL} AS t FROM documents

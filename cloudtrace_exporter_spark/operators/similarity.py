@@ -896,6 +896,113 @@ def pq_topk(
     )
 
 
+def pq_topk_scaled(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    m: int = 8,
+    kc: int = 16,
+    lloyd_iters: int = 2,
+    k: int = 5,
+    scale: int = 10**6,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ORACLE-EXACT product-quantization twin: pq_train + pq_topk over
+    INTEGER-quantized vectors — per-subspace k-means with exact BIGINT
+    distances and truncating-division centroid updates, ADC as exact
+    integer table lookups, approx_dist an exact BIGINT. The ivf_topk_
+    scaled recipe applied to PQ, closing the last rows-only ANN family
+    without its own verified twin; the float pq_topk stays the
+    production path.
+
+    Same plan/collect discipline as the float trainer: codebooks are
+    m·kc·(dim/m) ints (KBs) collected per round; assignment/encode/ADC
+    are narrow literal-matrix maps; the only shuffle is the per-query
+    ranking window.
+    """
+    qvec = F.transform(_as_double(vec_col), lambda x: F.round(x * scale).cast("long"))
+    v = _spread(corpus).select(F.col(id_col).alias("id"), qvec.alias("v"))
+    first = v.orderBy("id").limit(kc).collect()
+    dim = len(first[0]["v"])
+    sub = dim // m
+    books = [
+        [[int(x) for x in r["v"][j * sub : (j + 1) * sub]] for r in first]
+        for j in range(m)
+    ]
+
+    def int_sq_dist(a: F.Column, b: F.Column) -> F.Column:
+        d = F.zip_with(a, b, lambda x, y: x - y)
+        return F.aggregate(d, F.lit(0).cast("long"), lambda acc, x: acc + x * x)
+
+    def cells_expr(bks: list[list[list[int]]]) -> F.Column:
+        cells = []
+        for j, bk in enumerate(bks):
+            mlit = F.array(*[F.array(*[F.lit(int(x)) for x in c]) for c in bk])
+            idxs = F.array(*[F.lit(i) for i in range(len(bk))])
+            subv = F.slice(F.col("v"), j * sub + 1, sub)
+            ranked = F.array_sort(
+                F.zip_with(
+                    F.transform(mlit, lambda c: int_sq_dist(subv, c)),
+                    idxs,
+                    lambda d, c: F.struct(d.alias("d"), c.alias("c")),
+                )
+            )
+            cells.append(F.element_at(ranked, 1)["c"])
+        return F.array(*cells)
+
+    for _ in range(lloyd_iters):
+        coded = v.withColumn("codes", cells_expr(books))
+        sums = (
+            coded.select("codes", F.posexplode("v").alias("pos0", "val"))
+            .select(
+                (F.col("pos0") / sub).cast("int").alias("j"),
+                F.pmod("pos0", F.lit(sub)).alias("spos"),
+                F.expr(f"codes[CAST(pos0 / {sub} AS INT)]").alias("cell"),
+                "val",
+            )
+            .groupBy("j", "cell", "spos")
+            .agg(F.sum("val").alias("s"), F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        acc: dict[tuple[int, int], dict[int, tuple[int, int]]] = {}
+        for r in sums:
+            acc.setdefault((r["j"], r["cell"]), {})[r["spos"]] = (r["s"], r["n"])
+        new_books: list[list[list[int]]] = [
+            [list(bk_cell) for bk_cell in bk] for bk in books
+        ]
+        for (j, cell), dims_ in acc.items():
+            new_books[j][cell] = [_trunc_div(*dims_[p]) for p in sorted(dims_)]
+        books = new_books
+    codes = v.withColumn("codes", cells_expr(books)).select(
+        F.col("id").alias("corpus_id"), "codes"
+    )
+
+    q = queries.select(F.col(id_col).alias("query_id"), qvec.alias("v"))
+
+    def adc_row(j: int) -> F.Column:
+        subq = F.slice(F.col("v"), j * sub + 1, sub)
+        mlit = F.array(*[F.array(*[F.lit(int(x)) for x in c]) for c in books[j]])
+        return F.transform(mlit, lambda cent: int_sq_dist(subq, cent))
+
+    table = F.array(*[adc_row(j) for j in range(m)])
+    qt = q.select("query_id", table.alias("__t"))
+    dist = F.aggregate(
+        F.zip_with("codes", "__t", lambda code, trow: F.element_at(trow, code + 1)),
+        F.lit(0).cast("long"),
+        lambda acc_, x: acc_ + x,
+    )
+    scored = codes.join(
+        F.broadcast(qt), F.col("corpus_id") != F.col("query_id")
+    ).select("query_id", "corpus_id", dist.alias("approx_dist"))
+    w = Window.partitionBy("query_id").orderBy(F.asc("approx_dist"), F.asc("corpus_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "corpus_id", "approx_dist", "rnk")
+    )
+
+
 def pq_rerank_topk(
     corpus: DataFrame,
     queries: DataFrame,

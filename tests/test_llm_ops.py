@@ -1536,3 +1536,24 @@ def test_ivf_scaled_tracks_float_ivf(spark, sf_dir):
     # 1e-6 quantization only perturbs genuine micro-ties: the two paths
     # must agree on (almost) the whole top-k set
     assert len(flt & scl) / len(flt | scl) > 0.9
+
+
+def test_pq_scaled_tracks_float_pq(spark, sf_dir):
+    from cloudtrace_exporter_spark.operators import similarity
+    from cloudtrace_exporter_spark.sources.tables import load_table
+    from pyspark.sql import functions as F
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10)
+    books = similarity.pq_train(emb)
+    flt = {
+        (r["query_id"], r["corpus_id"])
+        for r in similarity.pq_topk(emb, q, books, k=5).collect()
+    }
+    scl = {
+        (r["query_id"], r["corpus_id"])
+        for r in similarity.pq_topk_scaled(emb, q, k=5).collect()
+    }
+    # quantization perturbs only micro-ties; the two paths agree on
+    # (almost) the whole top-k set
+    assert len(flt & scl) / len(flt | scl) > 0.85

@@ -404,3 +404,12 @@ def test_histogram_percentiles_broadcasts_bounds(plans):
     p = plans("q_histogram_percentiles")
     assert "BroadcastHashJoin" in p
     assert "SortMergeJoin" not in p
+
+
+def test_scaled_ann_twins_no_corpus_shuffle_before_ranking(plans):
+    # the quantized IVF/PQ twins keep the float paths' shape: literal
+    # codebook/centroid narrow maps, no cartesian, broadcast query side
+    for q in ("q_ivf_topk_verified", "q_pq_topk_verified"):
+        p = plans(q)
+        assert "CartesianProduct" not in p, q
+        assert "SortMergeJoin" not in p, q

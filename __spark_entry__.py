@@ -3173,14 +3173,25 @@ def q_seasonal_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
-        # Ordered so keys WITHOUT a driver CORRECTNESS row (r1∪r2∪r3∪r4 =
-        # 172 evaluated keys) come FIRST: the driver's ~50-row window per
-        # round should spend its budget on never-evaluated keys. The 34
-        # round-4 additions below have no driver row yet — oracle-backed
-        # ones first (29), rows-only-by-design (5) after — then round-5
-        # additions, then the 172 already-green keys close the dict. A
-        # ~50-row window this round covers the whole backlog plus the new
-        # round-5 keys → driver union = full surface.
+        # Ordered so keys WITHOUT a driver CORRECTNESS row (r1∪…∪r5 = 222
+        # evaluated keys) come FIRST: the driver's ~50-row window per round
+        # spends its budget on never-evaluated keys. The 11-key round-5
+        # backlog leads (6 oracle-backed, then 5 rows-only-by-design), then
+        # the round-6 additions, then the 222 already-green keys close the
+        # dict → driver union = full surface after this round.
+        "q_sql_api_report": q_sql_api_report,
+        "q_source_novelty": q_source_novelty,
+        "q_autocorr_lag7": q_autocorr_lag7,
+        "q_corpus_datacard": q_corpus_datacard,
+        "q_ivf_topk_verified": q_ivf_topk_verified,
+        "q_pq_topk_verified": q_pq_topk_verified,
+        # rows-only-by-design backlog
+        "q_multimodal_audio": q_multimodal_audio,
+        "q_incremental_near_dedup": q_incremental_near_dedup,
+        "q_approx_percentiles": q_approx_percentiles,
+        "q_simhash_near_dup": q_simhash_near_dup,
+        "q_winnow_dedup": q_winnow_dedup,
+        # ---- keys below all have a green driver row in r1–r5 ----
         "q_leakage_safe_splits": q_leakage_safe_splits,
         "q_bm25_topk": q_bm25_topk,
         "q_bm25_percolate": q_bm25_percolate,
@@ -3232,19 +3243,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_ngram_dup_census": q_ngram_dup_census,
         "q_keyword_percolate": q_keyword_percolate,
         "q_cms_frequency": q_cms_frequency,
-        "q_sql_api_report": q_sql_api_report,
-        "q_source_novelty": q_source_novelty,
-        "q_autocorr_lag7": q_autocorr_lag7,
-        "q_corpus_datacard": q_corpus_datacard,
-        "q_ivf_topk_verified": q_ivf_topk_verified,
-        "q_pq_topk_verified": q_pq_topk_verified,
-        # rows-only-by-design tail of the never-evaluated block
-        "q_multimodal_audio": q_multimodal_audio,
-        "q_incremental_near_dedup": q_incremental_near_dedup,
-        "q_approx_percentiles": q_approx_percentiles,
-        "q_simhash_near_dup": q_simhash_near_dup,
-        "q_winnow_dedup": q_winnow_dedup,
-        # ---- keys below all have a green driver row in r1–r4 ----
         "q_classifier_quality": q_classifier_quality,
         "q_token_budget_sample": q_token_budget_sample,
         "q_semantic_dedup": q_semantic_dedup,

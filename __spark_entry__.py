@@ -1179,10 +1179,29 @@ def _ewma_oracle_sql(*, alpha: float = 0.3, depth: int = 8, band: float = 2.0) -
 
 def q_contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """North-star training-pair construction: (anchor, positive,
-    negatives) rows — positives from the exact-Jaccard near-dup pairs
-    (bounded slice; inject minhash_lsh_pairs at scale), negatives
-    md5-priority-ranked from a hash-sampled pool with the anchor's
-    positives anti-joined out. Full oracle (pairs CTE + md5 ranking)."""
+    negatives) rows. Positives come from the MINHASH-LSH candidate
+    pairs over the portable hash family — the scale-true pair source
+    (banded buckets, never O(n²)), sharing the cached portable index
+    with q_minhash_dedup_verified — negatives md5-priority-ranked from
+    a hash-sampled pool with the anchor's positives anti-joined out.
+    Full oracle: the shared portable banded CTE feeds the same
+    bidir/pos/negs chain DuckDB replays integer-exactly. The exact
+    Jaccard pair source survives as q_contrastive_pairs_exact."""
+    docs = load_table(spark, sf_dir, "documents")
+    index = _session_cache_get(
+        _MINHASH_PORTABLE_CACHE, spark, sf_dir,
+        lambda: dedup.minhash_banded_index(docs, portable=True),
+    )
+    pairs = dedup.minhash_lsh_pairs(docs, threshold=0.5, index=index)
+    return curate.contrastive_pairs(docs, pairs=pairs)
+
+
+def q_contrastive_pairs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q_contrastive_pairs with the EXACT token-Jaccard pair source on a
+    bounded slice — the fixture-scale ground-truth twin of the LSH
+    default (the O(n²) jaccard_pairs theta join is the documented
+    never-at-scale path; it exists to certify the construction, not to
+    run at corpus size). Full oracle."""
     docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 1000)
     return curate.contrastive_pairs(docs)
 
@@ -3191,6 +3210,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_approx_percentiles": q_approx_percentiles,
         "q_simhash_near_dup": q_simhash_near_dup,
         "q_winnow_dedup": q_winnow_dedup,
+        # round-6 additions (oracle-backed, no driver row yet)
+        "q_contrastive_pairs_exact": q_contrastive_pairs_exact,
         # ---- keys below all have a green driver row in r1–r5 ----
         "q_leakage_safe_splits": q_leakage_safe_splits,
         "q_bm25_topk": q_bm25_topk,
@@ -5863,9 +5884,57 @@ def oracle_sql() -> dict[str, str]:
                             / sum(n_events) OVER (PARTITION BY series)), 4) AS ratio_to_mean
             FROM g
         """,
-        # contrastive pairs: exact-Jaccard positives (capped 2/anchor) +
-        # md5-priority negatives from the 1/8 hash-sampled pool
-        "q_contrastive_pairs": f"""
+        # contrastive pairs, LSH default: portable MinHash-LSH positives
+        # (shared banded CTE, est_jaccard >= 0.5) + md5-priority
+        # negatives from the 1/8 hash-sampled pool over the FULL corpus
+        "q_contrastive_pairs": _portable_banded_cte() + f""",
+            lshcand AS (
+              SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                     a.sig AS sig_a, b.sig AS sig_b
+              FROM banded a JOIN banded b
+                ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+            ),
+            p AS (
+              SELECT doc_a AS a, doc_b AS b FROM lshcand
+              WHERE round(CAST(len(list_filter(range(1, 33), i -> sig_a[i] = sig_b[i])) AS DOUBLE) / 32, 6) >= 0.5
+            ),
+            bidir AS (
+              SELECT a AS anchor_id, b AS partner_id FROM p
+              UNION ALL SELECT b AS anchor_id, a AS partner_id FROM p
+            ),
+            pos AS (
+              SELECT anchor_id, partner_id, 'pos' AS role, rn AS rnk FROM (
+                SELECT anchor_id, partner_id,
+                       row_number() OVER (PARTITION BY anchor_id ORDER BY partner_id) AS rn
+                FROM bidir
+              ) WHERE rn <= 2
+            ),
+            anchors AS (SELECT DISTINCT anchor_id FROM bidir),
+            pool AS (
+              SELECT doc_id AS cand FROM documents
+              WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '20000000'
+            ),
+            negs AS (
+              SELECT anchor_id, cand AS partner_id, 'neg' AS role, rn AS rnk FROM (
+                SELECT anchors.anchor_id, pool.cand,
+                       row_number() OVER (
+                         PARTITION BY anchors.anchor_id
+                         ORDER BY md5(CAST(anchors.anchor_id AS VARCHAR) || ':' || CAST(pool.cand AS VARCHAR)),
+                                  pool.cand
+                       ) AS rn
+                FROM anchors, pool
+                WHERE pool.cand <> anchors.anchor_id
+                  AND NOT EXISTS (
+                    SELECT 1 FROM bidir
+                    WHERE bidir.anchor_id = anchors.anchor_id AND bidir.partner_id = pool.cand
+                  )
+              ) WHERE rn <= 3
+            )
+            SELECT * FROM pos UNION ALL SELECT * FROM negs
+        """,
+        # contrastive pairs, exact twin: exact-Jaccard positives (capped
+        # 2/anchor) on the bounded slice + the same negative machinery
+        "q_contrastive_pairs_exact": f"""
             WITH t AS (
               SELECT doc_id, list_distinct({_TOKENS_SQL}) AS tok
               FROM documents WHERE doc_id < 1000

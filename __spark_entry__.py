@@ -1071,11 +1071,14 @@ def q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     smaller set) — quote/subset detection symmetric Jaccard misses.
     Reported per engulfed document: its host count and best host
     (bounded output on the shared-vocab fixture, where raw pair volume
-    is quadratic); same bounded slice as q_ngram_jaccard. Full oracle."""
+    is quadratic); same bounded slice as q_ngram_jaccard. Pairs come
+    from the EXACT prefix-filtered candidate path (rare-token inverted
+    index, no BNLJ — identical result set to the theta join, which the
+    unchanged all-pairs oracle still certifies). Full oracle."""
     from pyspark.sql import Window
 
     docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 1000)
-    pairs = dedup.containment_pairs(docs, threshold=0.98)
+    pairs = dedup.containment_pairs_blocked(docs, threshold=0.98)
     w = Window.partitionBy("inner_id").orderBy(F.desc("containment"), F.asc("host_id"))
     return (
         pairs.withColumn("rn", F.row_number().over(w))

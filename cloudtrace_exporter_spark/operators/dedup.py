@@ -1467,17 +1467,103 @@ def containment_pairs(
         F.col(id_col).alias("id"), F.array_distinct(tokens(text_col)).alias("tok")
     )
     a, b = toks.alias("a"), toks.alias("b")
+    pairs = a.join(b, F.col("a.id") < F.col("b.id"))
+    return _containment_verify(pairs, threshold)
+
+
+def _containment_verify(pairs: DataFrame, threshold: float) -> DataFrame:
+    """Exact containment scoring over a candidate-pair frame carrying
+    ``a.id/a.tok/b.id/b.tok`` (aliased sides): inner = smaller token set
+    (ties to the lower id), containment = |A∩B| / |inner|, rounded and
+    thresholded — the shared verification tail of the exact theta join
+    and the prefix-filtered candidate path, so both emit bit-identical
+    scores."""
     sa, sb = F.size(F.col("a.tok")), F.size(F.col("b.tok"))
     inter = F.size(F.array_intersect(F.col("a.tok"), F.col("b.tok")))
     a_inner = (sa < sb) | ((sa == sb) & (F.col("a.id") < F.col("b.id")))
     inner_sz = F.when(a_inner, sa).otherwise(sb)
     cont = F.when(inner_sz > 0, inter / inner_sz).otherwise(F.lit(0.0))
     return (
-        a.join(b, F.col("a.id") < F.col("b.id"))
-        .select(
+        pairs.select(
             F.when(a_inner, F.col("a.id")).otherwise(F.col("b.id")).alias("inner_id"),
             F.when(a_inner, F.col("b.id")).otherwise(F.col("a.id")).alias("host_id"),
             F.round(cont, 6).alias("containment"),
         )
         .filter(F.col("containment") >= threshold)
     )
+
+
+def containment_pairs_blocked(
+    df: DataFrame,
+    threshold: float = 0.9,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Scale-true containment pairs via EXACT prefix filtering (the
+    PPJoin principle): if host B contains ≥ threshold·|A| of inner A's
+    tokens, then A is missing at most ⌊(1−t)·|A|⌋ of them — so B must
+    share at least one of A's ⌊(1−t)·|A|⌋+1 rarest tokens (rarity = global
+    document frequency, ties by token). Candidates therefore come from
+    joining each document's rare-token PREFIX against a full inverted
+    index, and the exact formula verifies in-bucket — the SAME result
+    set as the O(n²) theta join (prefix filtering admits no false
+    negatives), with only linear shuffles.
+
+    Scale shape at 100 TB: token df is one explode+groupBy; the inverted
+    index is corpus-token-volume rows (linear); probes are a few rarest
+    tokens per doc, so the candidate join touches only the short rare posting
+    lists (common tokens have no probes, and AQE's skew split handles
+    residual hot tokens); verification joins the tiny candidate frame
+    back to the token arrays on the uniform doc id. No BNLJ anywhere —
+    this is the wired default for q_containment_pairs; the theta join
+    above survives as the bounded-slice ground truth.
+    """
+    toks = (
+        _spread(df)
+        .select(F.col(id_col).alias("id"), F.array_distinct(tokens(text_col)).alias("tok"))
+        .localCheckpoint()  # feeds df-count, postings, probes, and 2 verify joins
+    )
+    flat = toks.select("id", F.size("tok").alias("sz"), F.explode("tok").alias("t"))
+    tok_df = flat.groupBy("t").agg(F.count(F.lit(1)).alias("df"))
+    ranked = flat.join(tok_df, "t")
+    w = Window.partitionBy("id").orderBy(F.asc("df"), F.asc("t"))
+    # prefix size |A| − ⌈t·|A|⌉ + 1 — the smallest prefix that guarantees
+    # a shared token with every qualifying host. The 1e-6 slack covers
+    # BOTH float traps at once: the verify tail rounds containment to 6
+    # digits before thresholding (a true score of t − 5e-7 still
+    # qualifies), and t·|A| computed in binary can land an ulp above the
+    # exact product when it is a whole number (0.8·35 = 28.000…004,
+    # whose ceil would silently shrink the prefix by one and drop pairs
+    # sitting exactly at the threshold)
+    probes = (
+        ranked.withColumn("rn", F.row_number().over(w))
+        .filter(
+            F.col("rn")
+            <= F.col("sz") - F.ceil((threshold - 1e-6) * F.col("sz")) + 1
+        )
+        # df=1 tokens can only match their own document — pruning them
+        # from both join sides costs nothing and removes the (typically
+        # long, since probes are the RAREST tokens) unique-token tail
+        .filter(F.col("df") >= 2)
+        .select("id", "t")
+    )
+    postings = flat.join(tok_df.filter(F.col("df") >= 2).select("t"), "t").select(
+        F.col("id").alias("pid"), "t"
+    )
+    cand = (
+        probes.join(postings, "t")
+        .filter(F.col("id") != F.col("pid"))
+        .select(
+            F.least("id", "pid").alias("a_id"), F.greatest("id", "pid").alias("b_id")
+        )
+        .dropDuplicates(["a_id", "b_id"])
+    )
+    pairs = (
+        cand.join(toks.select(F.col("id").alias("a_id"), F.col("tok").alias("a_tok")), "a_id")
+        .join(toks.select(F.col("id").alias("b_id"), F.col("tok").alias("b_tok")), "b_id")
+        .select(
+            F.struct(F.col("a_id").alias("id"), F.col("a_tok").alias("tok")).alias("a"),
+            F.struct(F.col("b_id").alias("id"), F.col("b_tok").alias("tok")).alias("b"),
+        )
+    )
+    return _containment_verify(pairs, threshold)

@@ -1428,6 +1428,41 @@ def test_containment_pairs_catch_what_jaccard_misses(spark):
     assert [(r["inner_id"], r["host_id"]) for r in rows] == [(7, 8)]
 
 
+def test_containment_blocked_equals_exact(spark, sf_dir):
+    # the prefix-filtered candidate path must reproduce the theta join's
+    # result set EXACTLY (prefix filtering admits no false negatives) —
+    # on the fixture corpus, where shared vocabulary makes candidate
+    # pruning actually selective, and across thresholds
+    from pyspark.sql import functions as F
+
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .filter(F.col("doc_id") < 200)
+        .select("doc_id", "text")
+    )
+    for thr in (0.98, 0.8):
+        exact = {
+            (r["inner_id"], r["host_id"]): r["containment"]
+            for r in dedup.containment_pairs(docs, threshold=thr).collect()
+        }
+        blocked = {
+            (r["inner_id"], r["host_id"]): r["containment"]
+            for r in dedup.containment_pairs_blocked(docs, threshold=thr).collect()
+        }
+        assert blocked == exact
+        assert exact  # non-vacuous: the fixture has qualifying pairs
+
+
+def test_containment_blocked_plan_has_no_nested_loop(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    p = (
+        dedup.containment_pairs_blocked(docs, threshold=0.98)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "CartesianProduct" not in p
+
+
 def test_ndcg_at_k_hand_computed(spark):
     import math
 

@@ -419,12 +419,25 @@ def bpe_pair_stats(documents: DataFrame, *, top_n: int = 50, text_col: str = "te
     lexicographic ties).
     """
     stats = _vocab_pair_stats(bpe_word_vocab(documents, text_col))
-    from pyspark.sql import Window
 
-    w = Window.orderBy(F.desc("pair_count"), F.asc("pair"))
+    # top-k FIRST via orderBy+limit — TakeOrderedAndProject, a per-partition
+    # heap + driver merge of k rows, never a global sort (at 100 TB the
+    # adjacent-pair vocabulary is millions of rows; an unpartitioned
+    # row_number window would funnel all of them through one task).
+    # Numbering then runs WINDOWLESSLY over the ≤top_n survivors: rank =
+    # 1 + |strictly-before rows| via a broadcast self-join on the cached
+    # k-row frame (k² ≤ 2500 comparisons; ordering is total because pair
+    # is the groupBy key, so strict-before counting is exact)
+    top = stats.orderBy(F.desc("pair_count"), F.asc("pair")).limit(top_n).cache()
+    a, b = top.alias("a"), top.alias("b")
+    before = (F.col("b.pair_count") > F.col("a.pair_count")) | (
+        (F.col("b.pair_count") == F.col("a.pair_count"))
+        & (F.col("b.pair") < F.col("a.pair"))
+    )
     return (
-        stats.withColumn("rnk", F.row_number().over(w).cast("long"))
-        .filter(F.col("rnk") <= top_n)
+        a.join(F.broadcast(b), before, "left")
+        .groupBy(F.col("a.pair").alias("pair"), F.col("a.pair_count").alias("pair_count"))
+        .agg((F.count(F.col("b.pair")) + 1).cast("long").alias("rnk"))
         .select("rnk", "pair", "pair_count")
     )
 

@@ -310,6 +310,16 @@ def test_bm25_broadcasts_query_side_no_term_window_sort(plans):
     assert _data_shuffles(p) - p.count("Exchange SinglePartition") <= 3
 
 
+def test_bpe_pair_stats_topk_is_take_ordered(plans):
+    # round-6 contract: the top-k over the (millions-of-rows at scale)
+    # adjacent-pair table is a per-partition heap + k-row driver merge,
+    # never an unpartitioned row_number window funneling the whole table
+    # through one task; numbering happens windowlessly on the k survivors
+    p = plans("q_bpe_pair_stats")
+    assert "TakeOrderedAndProject" in p
+    assert "Window" not in p
+
+
 def test_bpe_encode_broadcasts_segmentation_vocab(plans):
     # the trained vocab is dictionary-sized: it must broadcast into the
     # corpus join, never shuffle the exploded corpus for a merge join

@@ -4017,8 +4017,10 @@ def oracle_sql() -> dict[str, str]:
             WITH k AS (
               SELECT doc_id,
                      md5(trim(regexp_replace(regexp_replace(regexp_replace(
-                         lower(text), '[0-9]+', '0', 'g'),
-                         '[^a-z0\s]', ' ', 'g'),
+                         translate(lower(text), 'àáâãäåçèéêëìíîïñòóôõöùúûüýÿ',
+                                   'aaaaaaceeeeiiiinooooouuuuyy'),
+                         '\p{Nd}+', '0', 'g'),
+                         '[^\p{L}0\s]', ' ', 'g'),
                          '\s+', ' ', 'g'))) AS norm_key
               FROM documents
             )
@@ -4162,8 +4164,10 @@ def oracle_sql() -> dict[str, str]:
               SELECT min(doc_id) AS doc_id FROM (
                 SELECT doc_id,
                        md5(trim(regexp_replace(regexp_replace(regexp_replace(
-                           lower(text), '[0-9]+', '0', 'g'),
-                           '[^a-z0\\s]', ' ', 'g'),
+                           translate(lower(text), 'àáâãäåçèéêëìíîïñòóôõöùúûüýÿ',
+                                     'aaaaaaceeeeiiiinooooouuuuyy'),
+                           '\\p{{Nd}}+', '0', 'g'),
+                           '[^\\p{{L}}0\\s]', ' ', 'g'),
                            '\\s+', ' ', 'g'))) AS nk
                 FROM quality
               ) GROUP BY nk

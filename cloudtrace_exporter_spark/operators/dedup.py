@@ -122,18 +122,34 @@ def dup_rate_by_source(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+#: accent-fold table shared verbatim with the DuckDB oracles — a FIXED
+#: char→char translate (not locale-dependent NFD) so both engines fold the
+#: identical set; letters outside the table (ā, ś, CJK, Cyrillic, …) are
+#: preserved by the \p{L} keep-class below, never destroyed
+ACCENT_FROM = "àáâãäåçèéêëìíîïñòóôõöùúûüýÿ"
+ACCENT_TO = "aaaaaaceeeeiiiinooooouuuuyy"
+
+
 def aggressive_norm_key(text_col: str = "text") -> Column:
-    """CCNet-style aggressive normalization key: lowercase, every
-    non-alphanumeric character (punctuation, symbols) folded to a space,
-    digit runs folded to a ``0`` placeholder, whitespace collapsed —
-    then md5. Two documents that differ only in punctuation, casing,
-    numbers, or spacing collide; the md5 key is uniform (no hot shuffle
-    keys at 100 TB). Dialect-portable regexes (no lookaround), replayed
-    verbatim in DuckDB with the 'g' flag.
+    """CCNet-style aggressive normalization key: lowercase, fixed-table
+    accent fold, every non-letter (punctuation, symbols, marks) folded
+    to a space, digit runs folded to a ``0`` placeholder, whitespace
+    collapsed — then md5. Two documents that differ only in punctuation,
+    casing, accents, numbers, or spacing collide; the md5 key is uniform
+    (no hot shuffle keys at 100 TB).
+
+    UNICODE-CLASS based (round-6 advice fix): the keep-class is
+    ``\\p{L}`` and the digit class ``\\p{Nd}`` — CJK / Cyrillic /
+    Devanagari / accented text keeps its letters instead of collapsing
+    whole scripts to one empty key (the old ``[^a-z0\\s]`` fold silently
+    marked all non-Latin documents as mutual duplicates). Java regex and
+    DuckDB's RE2 agree on both classes (parity-tested across scripts in
+    test_normalized_dedup_keeps_non_latin_scripts); the md5 input is the
+    identical UTF-8 byte sequence in both engines.
     """
-    folded = F.lower(F.col(text_col))
-    digits = F.regexp_replace(folded, r"[0-9]+", "0")
-    stripped = F.regexp_replace(digits, r"[^a-z0\s]", " ")
+    folded = F.translate(F.lower(F.col(text_col)), ACCENT_FROM, ACCENT_TO)
+    digits = F.regexp_replace(folded, r"\p{Nd}+", "0")
+    stripped = F.regexp_replace(digits, r"[^\p{L}0\s]", " ")
     collapsed = F.trim(F.regexp_replace(stripped, r"\s+", " "))
     return F.md5(collapsed)
 

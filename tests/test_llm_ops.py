@@ -1276,6 +1276,38 @@ def test_normalized_dedup_folds_case_punct_digits(spark):
     assert got[0]["group_size"] == 2 and got[2]["group_size"] == 1
 
 
+def test_normalized_dedup_keeps_non_latin_scripts(spark):
+    # round-6 advice fix: the old [^a-z0\s] fold collapsed every CJK /
+    # Cyrillic / Devanagari document to the same (often empty) key —
+    # silently discarding whole languages as "duplicates". The
+    # unicode-class fold must keep distinct non-Latin documents distinct
+    # while still colliding true normalization-equal variants.
+    from cloudtrace_exporter_spark.operators import dedup
+
+    docs = spark.createDataFrame(
+        [
+            (0, "你好，世界。 2024年"),
+            (1, "你好 世界 7年"),            # same after punct/digit fold
+            (2, "完全不同的文档内容"),        # distinct CJK doc
+            (3, "Привет, мир! №42"),
+            (4, "Привет мир 7"),            # same after punct/digit fold
+            (5, "совсем другой текст"),      # distinct Cyrillic doc
+            (6, "Café naïve"),
+            (7, "cafe naive"),              # same after accent fold
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in dedup.normalized_dedup(docs).collect()}
+    assert got[0]["norm_key"] == got[1]["norm_key"]
+    assert got[3]["norm_key"] == got[4]["norm_key"]
+    assert got[6]["norm_key"] == got[7]["norm_key"]
+    # distinct documents stay distinct — and none of the keys collapse
+    # into each other across scripts
+    keys = {got[i]["norm_key"] for i in (0, 2, 3, 5, 6)}
+    assert len(keys) == 5
+    assert got[2]["keep"] and got[5]["keep"]
+
+
 def test_dup_span_plan_emits_nonfirst_occurrences_with_offsets(spark):
     from cloudtrace_exporter_spark.operators import dedup
 

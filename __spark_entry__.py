@@ -2970,13 +2970,19 @@ def q_pq_topk_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _pq_scaled_oracle_sql(
-    *, m: int = 8, kc: int = 16, lloyd_iters: int = 2, k: int = 5, scale: int = 10**6
+    *, m: int = 8, kc: int = 16, lloyd_iters: int = 2, k: int = 5, scale: int = 10**6,
+    dim: int = 64,
 ) -> str:
     """DuckDB replay of similarity.pq_topk_scaled: subspace explode,
     per-round argmin + truncating-division codebook update (cells with
     no members RETAIN their previous centroid, matching the Spark
     trainer), exact-integer ADC. Same 2^53-exact-integer argument as
-    the IVF oracle."""
+    the IVF oracle. ``dim`` is the fixture embedding width; the subspace
+    width derives from it (round-6 advice fix — previously hardcoded to
+    8, silently wrong for any non-default m)."""
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    sub = dim // m
     def dist(a: str, b: str) -> str:
         return (
             f"(list_dot_product({a}, {a}) - 2 * list_dot_product({a}, {b})"
@@ -3020,7 +3026,7 @@ def _pq_scaled_oracle_sql(
           FROM embeddings
         ),
         s AS (
-          SELECT id, j, {sub_expr.format(sub='8')} AS sv
+          SELECT id, j, {sub_expr.format(sub=sub)} AS sv
           FROM v, range(0, {m}) t(j)
         ),
         b0 AS (
@@ -4460,7 +4466,10 @@ def oracle_sql() -> dict[str, str]:
                      date_trunc('day', ts) AS day,
                      round(sum(value), 4) AS y,
                      CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS BIGINT) AS xi,
-                     date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) % 7 AS dow
+                     -- ((x % 7) + 7) % 7 = Spark's pmod: DuckDB's bare %
+                     -- goes negative for pre-epoch timestamps, which would
+                     -- split the engines on any pre-2024 fixture row
+                     ((date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) % 7) + 7) % 7 AS dow
               FROM events GROUP BY 1, 2, 4, 5
             ),
             dailyi AS (

@@ -925,6 +925,12 @@ def pq_topk_scaled(
     v = _spread(corpus).select(F.col(id_col).alias("id"), qvec.alias("v"))
     first = v.orderBy("id").limit(kc).collect()
     dim = len(first[0]["v"])
+    if dim % m != 0:
+        raise ValueError(
+            f"pq_topk_scaled: embedding dim {dim} is not divisible by m={m} — "
+            "leftover positions would index codes out of range (pad the vectors "
+            "or pick m | dim)"
+        )
     sub = dim // m
     books = [
         [[int(x) for x in r["v"][j * sub : (j + 1) * sub]] for r in first]

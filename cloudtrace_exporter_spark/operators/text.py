@@ -448,6 +448,7 @@ def bpe_learn_merges(
     n_merges: int = 6,
     text_col: str = "text",
     merges_per_round: int = 1,
+    stats: dict | None = None,
 ) -> DataFrame:
     """Byte-pair-encoding merge learning (Sennrich et al. 2016): run
     ``n_merges`` rounds of pick-most-frequent-adjacent-pair → merge it
@@ -490,6 +491,7 @@ def bpe_learn_merges(
         n_merges=n_merges,
         text_col=text_col,
         merges_per_round=merges_per_round,
+        stats=stats,
     )
     return documents.sparkSession.createDataFrame(
         merges, "merge_rank long, pair string, pair_count long"
@@ -513,6 +515,7 @@ def _bpe_train(
     n_merges: int,
     text_col: str = "text",
     merges_per_round: int = 1,
+    stats: dict | None = None,
 ) -> tuple[list[tuple[int, str, int]], DataFrame]:
     """The shared BPE training loop: returns the learned merge list AND
     the post-merge vocabulary (word, w, wf) — the segmentation table the
@@ -523,7 +526,10 @@ def _bpe_train(
     vocab = bpe_word_vocab(documents, text_col).localCheckpoint()
     merges: list[tuple[int, str, int]] = []
     batch_n = max(1, merges_per_round)
+    driver_rounds = 0  # observable bound for tests: one pair-stats
+    # collect per loop iteration is THE scaling cost of the trainer
     while len(merges) < n_merges:
+        driver_rounds += 1
         # over-fetch 4x: the greedy disjointness filter below skips
         # pairs sharing a symbol with a higher-ranked selected pair.
         top = (
@@ -554,6 +560,8 @@ def _bpe_train(
             if len(merges) >= n_merges:
                 break
         vocab = vocab.select("word", w.alias("w"), "wf").localCheckpoint()
+    if stats is not None:
+        stats["driver_rounds"] = driver_rounds
     return merges, vocab
 
 

@@ -595,12 +595,12 @@ def test_bpe_batched_training_bounds_driver_rounds(spark):
         [(i, " ".join(rng.sample(words, 20))) for i in range(40)],
         "doc_id long, text string",
     )
-    t0 = time.time()
-    seq = text.bpe_learn_merges(docs, n_merges=6).collect()
-    t_seq = time.time() - t0
-    t0 = time.time()
-    batched = text.bpe_learn_merges(docs, n_merges=64, merges_per_round=16).collect()
-    t_batched = time.time() - t0
+    seq_stats: dict = {}
+    seq = text.bpe_learn_merges(docs, n_merges=6, stats=seq_stats).collect()
+    batch_stats: dict = {}
+    batched = text.bpe_learn_merges(
+        docs, n_merges=64, merges_per_round=16, stats=batch_stats
+    ).collect()
     assert len(seq) == 6
     assert len(batched) == 64
     # batch round 1 covers sequential round 1 exactly: the top-ranked
@@ -611,7 +611,14 @@ def test_bpe_batched_training_bounds_driver_rounds(spark):
     )
     # every batched merge is a real pair over the corpus alphabet
     assert all(" " in r["pair"] for r in batched)
-    assert t_batched <= 2 * t_seq + 1.0, (t_seq, t_batched)
+    # the bound the batching exists for, asserted DIRECTLY (round-6
+    # advice fix: the old wall-clock assert measured scheduler noise):
+    # sequential = one pair-stats collect per merge; batched = one per
+    # round of up-to-16 disjoint merges. Greedy disjointness can leave a
+    # round partially filled, so allow 2x the ideal 64/16 rounds — still
+    # an order of magnitude under the sequential 64.
+    assert seq_stats["driver_rounds"] == 6
+    assert batch_stats["driver_rounds"] <= 2 * (64 // 16), batch_stats
 
 
 def test_bpe_pair_stats_weighted_by_word_frequency(spark):
@@ -1624,3 +1631,9 @@ def test_pq_scaled_tracks_float_pq(spark, sf_dir):
     # quantization perturbs only micro-ties; the two paths agree on
     # (almost) the whole top-k set
     assert len(flt & scl) / len(flt | scl) > 0.85
+    # round-6 advice fix: a non-divisible m must fail loudly, not index
+    # codes out of range mid-plan
+    import pytest
+
+    with pytest.raises(ValueError, match="not divisible"):
+        similarity.pq_topk_scaled(emb, q, m=7, k=5)

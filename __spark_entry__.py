@@ -2329,10 +2329,16 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     (deterministic gradient keyed by doc_id), then decode it with the
     pure-numpy BMP parser — header fields, per-channel means, luma
     histogram (rows-only: decode is Python-side by nature; exactness is
-    pinned by tests/test_multimodal.py against hand-computed pixels)."""
+    pinned by tests/test_llm_ops.py against hand-computed pixels).
+    When Pillow is installed the env-gated real-codec decoder runs
+    instead — same schema and statistics tail, parity-tested against
+    the hand-rolled parsers on these exact payloads."""
     docs = load_table(spark, sf_dir, "documents")
     payloads = multimodal.synthesize_bmp_payload(docs)
-    decoded = multimodal.decode_real(payloads)
+    decoder = (
+        multimodal.decode_pillow if multimodal.has_pillow() else multimodal.decode_real
+    )
+    decoded = decoder(payloads)
     return decoded.select(
         "doc_id", "format", "width", "height", "n_pixels",
         "mean_r", "mean_g", "mean_b",

@@ -236,6 +236,82 @@ def encode_bmp(rgb) -> bytes:
     return header + pixel_bytes
 
 
+def has_pillow() -> bool:
+    """True when the optional Pillow codec library is importable — the
+    env gate for decode_pillow (this container ships without it; a real
+    cluster image installs it for JPEG/PNG corpora)."""
+    try:
+        import PIL.Image  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def _pixel_stats(doc_id, fmt, w, h, rgb, hist_bins):
+    """Shared statistics tail of every image decoder (hand-rolled and
+    Pillow-backed): per-channel means, ITU-R 601 luma histogram — one
+    arithmetic path so the parity test compares decoders, not float
+    formulas."""
+    import numpy as np
+
+    means = rgb.reshape(-1, 3).mean(axis=0)
+    luma = 0.299 * rgb[..., 0] + 0.587 * rgb[..., 1] + 0.114 * rgb[..., 2]
+    hist, _ = np.histogram(luma, bins=hist_bins, range=(0.0, 256.0))
+    n = w * h
+    return (
+        doc_id, fmt, w, h, n,
+        round(float(means[0]), 6), round(float(means[1]), 6), round(float(means[2]), 6),
+        [round(float(x) / n, 6) for x in hist],
+    )
+
+
+def decode_pillow(df: DataFrame, *, hist_bins: int = 8) -> DataFrame:
+    """ENV-GATED real-codec decode: the identical mapInPandas contract,
+    DECODED_SCHEMA, and statistics tail as decode_real, with Pillow
+    doing the image parse — this is the JPEG/PNG/TIFF path a real
+    corpus needs (the hand-rolled BMP/PPM parsers below exist because
+    this container ships no codec libraries). Raises ImportError at
+    plan-build time on the driver when Pillow is absent — never
+    per-task mid-job. Parity with the hand-rolled pipeline is pinned by
+    tests/test_llm_ops.py on synthesized BMP payloads whenever the
+    library is present.
+    """
+    if not has_pillow():
+        raise ImportError(
+            "decode_pillow requires Pillow (pip install Pillow); in codec-less "
+            "environments use decode_real, whose BMP/PPM parsers are pure Python"
+        )
+
+    def _decode_one(doc_id, buf):
+        import io
+
+        import numpy as np
+        from PIL import Image
+
+        if not buf:
+            return (doc_id, "unsupported", None, None, None, None, None, None, None)
+        try:
+            img = Image.open(io.BytesIO(buf))
+            fmt = (img.format or "unknown").lower()
+            rgb = np.asarray(img.convert("RGB"), dtype=np.float64)
+        except Exception:
+            return (doc_id, "unsupported", None, None, None, None, None, None, None)
+        h, w = rgb.shape[:2]
+        return _pixel_stats(doc_id, fmt, w, h, rgb, hist_bins)
+
+    def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [f.name for f in DECODED_SCHEMA.fields]
+        for pdf in batches:
+            rows = [
+                _decode_one(d, bytes(b) if b is not None else b"")
+                for d, b in zip(pdf["doc_id"], pdf["payload"])
+            ]
+            yield pd.DataFrame(rows, columns=cols)
+
+    return df.select("doc_id", "payload").mapInPandas(_extract, DECODED_SCHEMA)
+
+
 def decode_real(df: DataFrame, *, hist_bins: int = 8) -> DataFrame:
     """REAL (non-stub) decode: pure-Python/numpy BMP (24bpp BI_RGB) and
     binary PPM (P6) decoders — header parse + pixel statistics, no codec
@@ -259,15 +335,7 @@ def decode_real(df: DataFrame, *, hist_bins: int = 8) -> DataFrame:
         if parsed is None:
             return (doc_id, "unsupported", None, None, None, None, None, None, None)
         w, h, rgb = parsed
-        means = rgb.reshape(-1, 3).mean(axis=0)
-        luma = 0.299 * rgb[..., 0] + 0.587 * rgb[..., 1] + 0.114 * rgb[..., 2]
-        hist, _ = np.histogram(luma, bins=hist_bins, range=(0.0, 256.0))
-        n = w * h
-        return (
-            doc_id, fmt, w, h, n,
-            round(float(means[0]), 6), round(float(means[1]), 6), round(float(means[2]), 6),
-            [round(float(x) / n, 6) for x in hist],
-        )
+        return _pixel_stats(doc_id, fmt, w, h, rgb, hist_bins)
 
     def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         cols = [f.name for f in DECODED_SCHEMA.fields]

@@ -327,6 +327,35 @@ def test_synthesize_and_decode_real_end_to_end(spark):
     assert all(again[r["doc_id"]] == r for r in rows)
 
 
+def test_decode_pillow_parity_or_clean_gate(spark):
+    # env-gated real-codec path (round-6): when Pillow is present the
+    # decoder must reproduce the hand-rolled BMP pipeline's stats
+    # bit-for-bit on synthesized payloads (shared _pixel_stats tail);
+    # when absent it must fail loudly at plan-build time on the driver,
+    # never per-task mid-job. Exactly one branch runs per environment —
+    # both are pinned.
+    df = spark.createDataFrame([(i,) for i in range(5)], "doc_id long")
+    payloads = multimodal.synthesize_bmp_payload(df)
+    if multimodal.has_pillow():
+        hand = {r["doc_id"]: r for r in multimodal.decode_real(payloads).collect()}
+        pil = {r["doc_id"]: r for r in multimodal.decode_pillow(payloads).collect()}
+        assert set(hand) == set(pil)
+        for k in hand:
+            a, b = hand[k], pil[k]
+            assert (a["width"], a["height"], a["n_pixels"]) == (
+                b["width"], b["height"], b["n_pixels"],
+            )
+            assert (a["mean_r"], a["mean_g"], a["mean_b"]) == (
+                b["mean_r"], b["mean_g"], b["mean_b"],
+            )
+            assert a["gray_hist"] == b["gray_hist"]
+    else:
+        import pytest
+
+        with pytest.raises(ImportError, match="Pillow"):
+            multimodal.decode_pillow(payloads)
+
+
 def test_frame_sample_stub_explodes(spark):
     df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
     media = multimodal.attach_binary_payload(df).withColumn(

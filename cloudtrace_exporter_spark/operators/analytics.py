@@ -466,6 +466,11 @@ def asof_join_ranged(
     spine = gl.select(
         F.explode(F.sequence("__lo", "__hi_r", F.expr(f"interval {step}"))).alias("__bucket")
     )
+    # [WindowExec: No Partition Defined — BENIGN HERE] the frame is the
+    # gap-filled bucket spine: |calendar span| / step rows (hundreds for
+    # years of daily buckets), never corpus-sized — bounded by the date
+    # domain, not the data volume. The single-partition pass is the point:
+    # a prefix-carry needs the total order.
     wb = Window.orderBy("__bucket").rowsBetween(Window.unboundedPreceding, -1)
     carry = (
         spine.join(F.broadcast(per_bucket), "__bucket", "left")
@@ -1456,6 +1461,11 @@ def global_row_number(
         .withColumn("_pid", F.shiftright("_mid", 33).cast("int"))
         .withColumn("_local", (F.col("_mid").bitwiseAND(F.lit(lower33)) + 1))
     )
+    # [WindowExec: No Partition Defined — BENIGN HERE] the offsets frame
+    # is ONE ROW PER PARTITION (= spark.sql.shuffle.partitions, ~32-2000),
+    # never data-sized — this two-phase scheme exists precisely so the
+    # corpus itself avoids the single-partition window; only the tiny
+    # per-partition count table takes it.
     offsets = (
         ranged.groupBy("_pid")
         .agg(F.count("*").alias("_cnt"))

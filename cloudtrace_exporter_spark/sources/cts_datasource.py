@@ -128,12 +128,16 @@ class CtsPagesStreamReader(SimpleDataSourceStreamReader):
         self._check_append_only(files, start)
         lo = start["page_idx"]
         hi = min(lo + self.max_pages, len(files)) if self.max_pages else len(files)
-        # materialized, not a generator: the rows of a Simple stream
+        # materialized THEN wrapped in iter(): the rows of a Simple stream
         # reader are prefetched driver-side and pickled into the WAL —
-        # bounded by the pages-per-batch cap above
+        # bounded by the pages-per-batch cap above — but the API contract
+        # is Tuple[Iterator, dict], and the query-restart replay path
+        # calls next() on it directly (a bare list works for a fresh
+        # query and then breaks the SECOND Trigger.Once run over the
+        # same checkpoint with "'list' object is not an iterator")
         rows = [r for f in files[lo:hi] for r in _read_page_file(f)]
         last = os.path.basename(files[hi - 1]) if hi > 0 else start.get("last_file")
-        return rows, {"page_idx": hi, "last_file": last}
+        return iter(rows), {"page_idx": hi, "last_file": last}
 
     def readBetweenOffsets(self, start: dict, end: dict):
         files = _sorted_pages(self.path)

@@ -62,6 +62,11 @@ def write_trace_pages(traces: DataFrame, out_dir: str, *, page_size: int = DEFAU
     empty when it is the final page (the loop-termination condition at
     adapter.go:125-129).
     """
+    # [WindowExec: No Partition Defined — BENIGN HERE] pages are globally
+    # ordered BY CONTRACT (the reference's marker chain is a total order
+    # over trace ids), so the fixture page-writer's numbering is an
+    # inherent global sort. This is test harness/simulator code — the
+    # production ingest never writes pages, it reads them.
     by_id = Window.orderBy("trace_id")
     paged = traces.withColumn(
         "__page", ((F.row_number().over(by_id) - F.lit(1)) / page_size).cast("long")

@@ -264,7 +264,9 @@ def test_python_datasource_append_only_guard(spark, tmp_path):
 
     reader = cts_datasource.CtsPagesStreamReader({"path": pages_dir, "max_pages_per_batch": "0"})
     rows, off = reader.read(reader.initialOffset())
-    assert len(rows) == 100 and off["page_idx"] == 2 and off["last_file"]
+    # read() returns an ITERATOR (the API contract — the restart replay
+    # path calls next() on it), materialized here to count
+    assert len(list(rows)) == 100 and off["page_idx"] == 2 and off["last_file"]
 
     # a latecomer that sorts before every part-* file shifts positions
     with open(f"{pages_dir}/part-00000-0-aaa.json", "w", encoding="utf-8") as fh:
@@ -300,7 +302,7 @@ def test_python_datasource_stream_rate_limit(spark, tmp_path):
         rows, nxt = reader.read(off)
         if nxt == off:
             break
-        slices.append(len(rows))
+        slices.append(len(list(rows)))
         off = nxt
     assert len(slices) == 4 and all(s <= 50 for s in slices), slices
     assert sum(slices) == 200

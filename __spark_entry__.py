@@ -3190,6 +3190,36 @@ def q_neighbor_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return graph.neighbor_jaccard(edges, min_shared=5)
 
 
+def q_padding_waste(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North-star training-batch planning: per candidate context length,
+    the padding cost of naive one-doc-per-sequence batching next to the
+    packed lower bound — all-integer until the final waste ratio (raw
+    int/int double). Full oracle."""
+    return text.padding_waste_report(load_table(spark, sf_dir, "documents"))
+
+
+def q_dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North-star dedup planning: pairs fired / docs removed / tokens
+    freed at each candidate similarity threshold, over the PORTABLE
+    MinHash-LSH pair frame (computed once at min threshold, re-filtered
+    per sweep row; shares the cached portable index). Full oracle via
+    the shared banded CTE."""
+    docs = load_table(spark, sf_dir, "documents")
+    index = _session_cache_get(
+        _MINHASH_PORTABLE_CACHE, spark, sf_dir,
+        lambda: dedup.minhash_banded_index(docs, portable=True),
+    )
+    return dedup.dedup_threshold_sweep(docs, index=index)
+
+
+def q_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North-star label triage, ORACLE-EXACT: top-5 vectors farthest
+    from their label centroid under the integer-quantization recipe
+    (truncating-division centroids, exact BIGINT squared distances) —
+    the mislabeled-example screen, replayed bit-for-bit in DuckDB."""
+    return similarity.embedding_outliers_scaled(load_table(spark, sf_dir, "embeddings"))
+
+
 def q_seasonal_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-series depth: STL-lite anomaly screen — daily totals minus
     OLS trend minus day-of-week effect, MAD-scored per series, every
@@ -3227,6 +3257,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_winnow_dedup": q_winnow_dedup,
         # round-6 additions (oracle-backed, no driver row yet)
         "q_contrastive_pairs_exact": q_contrastive_pairs_exact,
+        "q_padding_waste": q_padding_waste,
+        "q_dedup_threshold_sweep": q_dedup_threshold_sweep,
+        "q_embedding_outliers": q_embedding_outliers,
         # ---- keys below all have a green driver row in r1–r5 ----
         "q_leakage_safe_splits": q_leakage_safe_splits,
         "q_bm25_topk": q_bm25_topk,
@@ -6002,6 +6035,87 @@ def oracle_sql() -> dict[str, str]:
               ) WHERE rn <= 3
             )
             SELECT * FROM pos UNION ALL SELECT * FROM negs
+        """,
+        # round-6: padding/packing planning — all-integer until the final
+        # raw int/int waste ratio
+        "q_padding_waste": f"""
+            WITH t AS (SELECT len({_TOKENS_SQL}) AS n FROM documents),
+            p AS (
+              SELECT context_len, n,
+                     CASE WHEN n > 0
+                          THEN CAST(ceil(CAST(n AS DOUBLE) / context_len) AS BIGINT)
+                          ELSE 0 END AS seqs
+              FROM t, unnest([128, 256, 512]) AS u(context_len)
+            )
+            SELECT context_len,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(n) AS BIGINT) AS total_tokens,
+                   CAST(sum(seqs) AS BIGINT) AS naive_seqs,
+                   CAST(sum(seqs * context_len) - sum(n) AS BIGINT) AS naive_padding_tokens,
+                   CAST(sum(seqs * context_len) - sum(n) AS DOUBLE)
+                     / (sum(seqs) * context_len) AS waste_ratio,
+                   CAST(ceil(CAST(sum(n) AS DOUBLE) / context_len) AS BIGINT) AS packed_seqs
+            FROM p GROUP BY context_len
+        """,
+        # round-6: dedup threshold sweep over the portable LSH pair frame
+        "q_dedup_threshold_sweep": _portable_banded_cte() + f""",
+            cand AS (
+              SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                     a.sig AS sig_a, b.sig AS sig_b
+              FROM banded a JOIN banded b
+                ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+            ),
+            p AS (
+              SELECT doc_a, doc_b,
+                     round(CAST(len(list_filter(range(1, 33), i -> sig_a[i] = sig_b[i])) AS DOUBLE) / 32, 6) AS est_jaccard
+              FROM cand
+            ),
+            tk AS (SELECT doc_id AS doc_b, CAST(len({_TOKENS_SQL}) AS BIGINT) AS n_tokens FROM documents),
+            sw AS (
+              SELECT threshold, doc_a, doc_b FROM p, unnest([0.5, 0.7, 0.9]) AS u(threshold)
+              WHERE est_jaccard >= threshold
+            ),
+            np AS (SELECT threshold, CAST(count(*) AS BIGINT) AS n_pairs FROM sw GROUP BY 1),
+            rm AS (
+              SELECT threshold,
+                     CAST(count(*) AS BIGINT) AS n_docs_removed,
+                     CAST(sum(n_tokens) AS BIGINT) AS tokens_removed
+              FROM (SELECT DISTINCT threshold, doc_b FROM sw) d JOIN tk USING (doc_b)
+              GROUP BY 1
+            )
+            SELECT np.threshold, np.n_pairs,
+                   COALESCE(rm.n_docs_removed, 0) AS n_docs_removed,
+                   COALESCE(rm.tokens_removed, 0) AS tokens_removed
+            FROM np LEFT JOIN rm ON np.threshold = rm.threshold
+        """,
+        # round-6: integer-quantized per-label embedding outliers (the
+        # IVF/PQ quantization recipe: truncating-division centroids,
+        # exact BIGINT distances)
+        "q_embedding_outliers": """
+            WITH v AS (
+              SELECT vec_id AS id, label,
+                     list_transform(CAST(embedding AS DOUBLE[]),
+                                    x -> CAST(round(x * 10000) AS BIGINT)) AS v
+              FROM embeddings
+            ),
+            s AS (
+              SELECT label, id, generate_subscripts(v, 1) AS pos, unnest(v) AS val FROM v
+            ),
+            c AS (
+              SELECT label, pos, CAST(sum(val) AS BIGINT) // count(*) AS cd
+              FROM s GROUP BY 1, 2
+            ),
+            cent AS (SELECT label, list(cd ORDER BY pos) AS c FROM c GROUP BY label),
+            d AS (
+              SELECT v.id, v.label,
+                     CAST(list_sum(list_transform(range(1, len(v.v) + 1),
+                          i -> (v.v[i] - cent.c[i]) * (v.v[i] - cent.c[i]))) AS BIGINT) AS dist2
+              FROM v JOIN cent USING (label)
+            )
+            SELECT label, id AS vec_id, dist2, CAST(rn AS BIGINT) AS rnk FROM (
+              SELECT *, row_number() OVER (PARTITION BY label ORDER BY dist2 DESC, id) AS rn
+              FROM d
+            ) WHERE rn <= 5
         """,
         # rendezvous shard: per-key md5 argmax, replayed as ranked unnest
         # (ties, impossible in practice, break to the greatest shard name

@@ -404,6 +404,65 @@ def minhash_lsh_pairs(
     )
 
 
+def dedup_threshold_sweep(
+    df: DataFrame,
+    *,
+    thresholds: tuple[float, ...] = (0.5, 0.7, 0.9),
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    index: DataFrame | None = None,
+) -> DataFrame:
+    """Dedup PLANNING table: for each candidate similarity threshold, how
+    many near-dup pairs fire, how many documents the greedy
+    lower-id-survives rule would remove, and how many tokens that frees —
+    the one-pass sweep an operator reads before committing a 100 TB dedup
+    threshold (too low deletes paraphrases; too high leaves templates).
+
+    Built on the PORTABLE MinHash-LSH candidate pairs (one index build,
+    shared via ``index`` with the other portable keys), so the whole
+    sweep — estimates included — replays in DuckDB. The pair frame is
+    computed ONCE at min(thresholds) and re-thresholded per sweep row
+    (explode over the literal threshold list): |thresholds| never
+    multiplies the corpus work, only the tiny pair frame. Removed docs =
+    distinct doc_b (higher id) of passing pairs — exactly what
+    dedup_clusters' survivor rule deletes when clusters are pairs; for
+    transitive clusters this is the standard upper bound on survivors
+    (every removed doc has a surviving smaller partner).
+    """
+    pairs = minhash_lsh_pairs(
+        df, threshold=min(thresholds), text_col=text_col, id_col=id_col,
+        index=index, portable=True,  # callers pass the PORTABLE index
+    ).localCheckpoint()  # tiny; feeds |thresholds| re-filters + a dedup
+    toks = df.select(
+        F.col(id_col).alias("doc_b"), tokens(text_col).alias("__t")
+    ).select("doc_b", F.size("__t").cast("long").alias("n_tokens"))
+    thr = F.explode(F.array(*[F.lit(float(t)) for t in thresholds])).alias("threshold")
+    swept = pairs.select("doc_a", "doc_b", "est_jaccard", thr).filter(
+        F.col("est_jaccard") >= F.col("threshold")
+    )
+    n_pairs = swept.groupBy("threshold").agg(F.count(F.lit(1)).alias("n_pairs"))
+    removed = (
+        swept.select("threshold", "doc_b")
+        .distinct()
+        .join(toks, "doc_b")  # the distinct removed set is the small
+        # side; AQE broadcasts it into the corpus-sized token frame
+        .groupBy("threshold")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs_removed"),
+            F.sum("n_tokens").alias("tokens_removed"),
+        )
+    )
+    return (
+        n_pairs.join(removed, "threshold", "left")
+        .select(
+            "threshold",
+            "n_pairs",
+            F.coalesce("n_docs_removed", F.lit(0)).cast("long").alias("n_docs_removed"),
+            F.coalesce("tokens_removed", F.lit(0)).cast("long").alias("tokens_removed"),
+        )
+    )
+
+
 def minhash_jaccard_diag(
     df: DataFrame,
     *,

@@ -711,6 +711,64 @@ def label_centroids(emb: DataFrame, *, label_col: str = "label", vec_col: str = 
     )
 
 
+def embedding_outliers_scaled(
+    emb: DataFrame,
+    *,
+    k: int = 5,
+    scale: int = 10**4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Per-label embedding OUTLIER screen, ORACLE-EXACT: the k vectors
+    farthest from their label's centroid — the mislabeled-example /
+    poisoned-cluster triage every embedding-supervised pipeline runs
+    before trusting its labels. Same integer-quantization recipe as
+    ivf_topk_scaled: vectors quantized to BIGINT at ``scale``, centroid
+    per dimension by truncating division (exact in both engines), squared
+    distance an exact BIGINT (bounded: (2·scale)²·dim ≪ 2⁶³ for unit-ish
+    embeddings), ranked per label.
+
+    Scale shape: one (label, pos) aggregation whose result is
+    |labels|·dim rows — KBs, collected into a centroid literal table and
+    broadcast back (the IVF centroid discipline: collect moves
+    centroids, never data rows); distance is then a narrow map and the
+    only other shuffle is the per-label top-k window over tiny groups.
+    """
+    qvec = F.transform(_as_double(vec_col), lambda x: F.round(x * scale).cast("long"))
+    v = _spread(emb).select(
+        F.col(id_col).alias("id"), F.col(label_col).alias("label"), qvec.alias("v")
+    )
+    sums = (
+        v.select("label", F.posexplode("v").alias("pos", "val"))
+        .groupBy("label", "pos")
+        .agg(F.sum("val").alias("s"), F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    cents: dict[int, dict[int, int]] = {}
+    for r in sums:
+        cents.setdefault(r["label"], {})[r["pos"]] = _trunc_div(int(r["s"]), int(r["n"]))
+    cent_rows = [
+        (lab, [dims[p] for p in sorted(dims)]) for lab, dims in sorted(cents.items())
+    ]
+    cdf = emb.sparkSession.createDataFrame(cent_rows, "label int, c array<bigint>")
+    d2 = F.aggregate(
+        F.zip_with("v", "c", lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("label").orderBy(F.desc("dist2"), F.asc("id"))
+    return (
+        v.join(F.broadcast(cdf), "label")
+        .select("label", "id", d2.alias("dist2"))
+        .withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= k)
+        .select("label", F.col("id").alias("vec_id"), "dist2", "rnk")
+    )
+
+
 def normalize_vectors(
     emb: DataFrame, *, id_col: str = "vec_id", vec_col: str = "embedding"
 ) -> DataFrame:

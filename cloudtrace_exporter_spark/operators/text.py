@@ -1028,6 +1028,56 @@ def pack_documents(
     )
 
 
+def padding_waste_report(
+    df: DataFrame,
+    *,
+    context_lens: tuple[int, ...] = (128, 256, 512),
+    text_col: str = "text",
+) -> DataFrame:
+    """Context-length planning report: for each candidate training
+    context length L, the padding cost of NAIVE one-doc-per-sequence
+    batching (every document padded up to ceil(n_tok/L)·L) next to the
+    packed lower bound (ceil(total_tokens/L) sequences) — the one table
+    that decides a run's context length and whether sequence packing
+    (pack_documents) is worth wiring before burning GPU-hours.
+
+    All-integer arithmetic until the final waste ratio (raw int/int
+    double, bit-identical cross-engine) — full DuckDB oracle. Scale
+    shape: one narrow map over the corpus exploded by |context_lens|
+    literals (≤ a handful), one |context_lens|-group aggregation; no
+    joins, no windows.
+    """
+    n_tok = token_count(text_col).cast("long")
+    lens = F.explode(F.array(*[F.lit(int(c)) for c in context_lens]))
+    per = df.select(n_tok.alias("n"), lens.alias("context_len")).select(
+        "context_len",
+        "n",
+        # empty docs contribute no sequences (they are dropped upstream;
+        # charging them a padded sequence would overstate waste)
+        F.when(F.col("n") > 0, F.ceil(F.col("n") / F.col("context_len")))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("seqs"),
+    )
+    agg = per.groupBy("context_len").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n").alias("total_tokens"),
+        F.sum("seqs").alias("naive_seqs"),
+        (F.sum(F.col("seqs") * F.col("context_len")) - F.sum("n")).alias("naive_padding_tokens"),
+    )
+    return agg.select(
+        "context_len",
+        "n_docs",
+        "total_tokens",
+        "naive_seqs",
+        "naive_padding_tokens",
+        (F.col("naive_padding_tokens") / (F.col("naive_seqs") * F.col("context_len"))).alias(
+            "waste_ratio"
+        ),
+        F.ceil(F.col("total_tokens") / F.col("context_len")).cast("long").alias("packed_seqs"),
+    )
+
+
 def lm_unigram_score(documents: DataFrame, text_col: str = "text") -> DataFrame:
     """Corpus-self-trained unigram language-model score per document:
     mean log10 probability of its tokens under the corpus's own unigram

@@ -1470,6 +1470,67 @@ def test_truncated_dim_recall_tracks_signal_dims(spark):
     assert sum(by_dim[8]) / len(by_dim[8]) >= sum(by_dim[2]) / len(by_dim[2])
 
 
+def test_padding_waste_hand_computed(spark):
+    # 3 docs of 10/100/130 tokens at L=128:
+    #   naive seqs = 1 + 1 + 2 = 4; padded = 4*128 - 240 = 272
+    #   packed lower bound = ceil(240/128) = 2 sequences
+    docs = spark.createDataFrame(
+        [
+            (0, " ".join(f"t{i}" for i in range(10))),
+            (1, " ".join(f"t{i}" for i in range(100))),
+            (2, " ".join(f"t{i}" for i in range(130))),
+            (3, ""),  # empty doc: contributes no sequences
+        ],
+        "doc_id long, text string",
+    )
+    rows = {
+        r["context_len"]: r
+        for r in text.padding_waste_report(docs, context_lens=(128,)).collect()
+    }
+    r = rows[128]
+    assert r["n_docs"] == 4 and r["total_tokens"] == 240
+    assert r["naive_seqs"] == 4 and r["naive_padding_tokens"] == 272
+    assert abs(r["waste_ratio"] - 272 / 512) < 1e-12
+    assert r["packed_seqs"] == 2
+
+
+def test_dedup_threshold_sweep_monotone(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "text")
+    )
+    rows = {
+        r["threshold"]: r
+        for r in dedup.dedup_threshold_sweep(docs, thresholds=(0.5, 0.7, 0.9)).collect()
+    }
+    assert set(rows) == {0.5, 0.7, 0.9}
+    # tightening the threshold can only shrink every yield column
+    for lo, hi in ((0.5, 0.7), (0.7, 0.9)):
+        assert rows[lo]["n_pairs"] >= rows[hi]["n_pairs"]
+        assert rows[lo]["n_docs_removed"] >= rows[hi]["n_docs_removed"]
+        assert rows[lo]["tokens_removed"] >= rows[hi]["tokens_removed"]
+    assert rows[0.5]["n_pairs"] > 0  # non-vacuous on the fixture
+
+
+def test_embedding_outliers_planted(spark):
+    from cloudtrace_exporter_spark.operators import similarity
+
+    # 5 tight vectors + one far outlier per label: the outlier must rank 1
+    rows = []
+    for lab in (0, 1):
+        for i in range(5):
+            rows.append((lab * 10 + i, [0.1 * lab] * 4, lab))
+        rows.append((lab * 10 + 9, [0.9] * 4, lab))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    got = {
+        (r["label"], r["rnk"]): r["vec_id"]
+        for r in similarity.embedding_outliers_scaled(emb, k=2).collect()
+    }
+    assert got[(0, 1)] == 9 and got[(1, 1)] == 19
+
+
 def test_containment_pairs_catch_what_jaccard_misses(spark):
     # doc 1 is fully quoted inside the much larger doc 2: containment=1,
     # but Jaccard is diluted by the host's extra vocabulary

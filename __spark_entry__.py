@@ -3220,6 +3220,49 @@ def q_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.embedding_outliers_scaled(load_table(spark, sf_dir, "embeddings"))
 
 
+def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North-star provenance: the cross-source near-dup matrix (pair
+    counts + mean estimated Jaccard per source pair, diagonal included)
+    over the portable LSH pairs — which feeds mirror which. Full oracle
+    via the shared banded CTE; the mean is a sum of dyadic k/32
+    estimates (exact in any accumulation order)."""
+    docs = load_table(spark, sf_dir, "documents")
+    index = _session_cache_get(
+        _MINHASH_PORTABLE_CACHE, spark, sf_dir,
+        lambda: dedup.minhash_banded_index(docs, portable=True),
+    )
+    return dedup.source_overlap_matrix(docs, index=index)
+
+
+def q_range_partition_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Layout infrastructure, ORACLE-EXACT: equi-depth range-partition
+    split points over document token counts — the durable shard-manifest
+    artifact a sorted 100 TB write needs (repartitionByRange samples;
+    this computes the exact boundaries). Windowless: cumulative counts
+    via a broadcast self-join over the ≤|value domain| distinct-value
+    frame; thresholds in pure integers."""
+    from cloudtrace_exporter_spark.operators import layout
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        text.token_count("text").cast("long").alias("n_tokens")
+    )
+    return layout.range_partition_plan(docs, "n_tokens")
+
+
+def q_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Layout infrastructure, ORACLE-EXACT: the Morton (Z-order) key
+    over (user_id, value) at 8 bits/dim — min-max scaling from a 1-row
+    broadcast stats agg, bit interleave as a codegen'd aggregate; DuckDB
+    replays the identical scale+shift arithmetic. The key that makes
+    file min/max stats prune BOTH dimensions on a sorted write."""
+    from cloudtrace_exporter_spark.operators import layout
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    return layout.zorder_key(ev, ["user_id", "value"], bits=8).select(
+        "event_id", F.col("_z").alias("z")
+    )
+
+
 def q_seasonal_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-series depth: STL-lite anomaly screen — daily totals minus
     OLS trend minus day-of-week effect, MAD-scored per series, every
@@ -3260,6 +3303,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_padding_waste": q_padding_waste,
         "q_dedup_threshold_sweep": q_dedup_threshold_sweep,
         "q_embedding_outliers": q_embedding_outliers,
+        "q_source_overlap": q_source_overlap,
+        "q_range_partition_plan": q_range_partition_plan,
+        "q_zorder_key": q_zorder_key,
         # ---- keys below all have a green driver row in r1–r5 ----
         "q_leakage_safe_splits": q_leakage_safe_splits,
         "q_bm25_topk": q_bm25_topk,
@@ -6116,6 +6162,78 @@ def oracle_sql() -> dict[str, str]:
               SELECT *, row_number() OVER (PARTITION BY label ORDER BY dist2 DESC, id) AS rn
               FROM d
             ) WHERE rn <= 5
+        """,
+        # round-6: cross-source near-dup matrix over the portable LSH
+        # pairs; the mean sums dyadic k/32 estimates (order-exact)
+        "q_source_overlap": _portable_banded_cte() + """,
+            cand AS (
+              SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                     a.sig AS sig_a, b.sig AS sig_b
+              FROM banded a JOIN banded b
+                ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+            ),
+            p AS (
+              SELECT doc_a, doc_b, est_jaccard FROM (
+                SELECT doc_a, doc_b,
+                       round(CAST(len(list_filter(range(1, 33), i -> sig_a[i] = sig_b[i])) AS DOUBLE) / 32, 6) AS est_jaccard
+                FROM cand
+              ) WHERE est_jaccard >= 0.5
+            ),
+            j AS (
+              SELECT least(da.source, db.source) AS source_a,
+                     greatest(da.source, db.source) AS source_b,
+                     p.est_jaccard
+              FROM p
+              JOIN documents da ON da.doc_id = p.doc_a
+              JOIN documents db ON db.doc_id = p.doc_b
+            )
+            SELECT source_a, source_b,
+                   CAST(count(*) AS BIGINT) AS n_pairs,
+                   round(sum(est_jaccard) / count(*), 6) AS mean_est_jaccard
+            FROM j GROUP BY 1, 2
+        """,
+        # round-6: exact equi-depth split points (windowless cumulative
+        # via value<=value join; integer ceil(f*n) thresholds)
+        "q_range_partition_plan": f"""
+            WITH t AS (SELECT CAST(len({_TOKENS_SQL}) AS BIGINT) AS v FROM documents),
+            counts AS (SELECT v, CAST(count(*) AS BIGINT) AS c FROM t GROUP BY v),
+            cum AS (
+              SELECT a.v, CAST(sum(b.c) AS BIGINT) AS cum
+              FROM counts a JOIN counts b ON b.v <= a.v GROUP BY a.v
+            ),
+            tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM counts),
+            targets AS (
+              SELECT f_micro / 1e6 AS fraction,
+                     CAST((f_micro * n + 999999) // 1000000 AS BIGINT) AS target_rank
+              FROM tot, unnest([250000, 500000, 750000]) AS u(f_micro)
+            )
+            SELECT fraction, target_rank, CAST(min(v) AS BIGINT) AS boundary
+            FROM cum, targets WHERE cum >= target_rank
+            GROUP BY fraction, target_rank
+        """,
+        # round-6: Morton key replay — identical min-max scale + bit
+        # interleave arithmetic
+        "q_zorder_key": """
+            WITH st AS (
+              SELECT CAST(min(user_id) AS DOUBLE) AS mn0, CAST(max(user_id) AS DOUBLE) AS mx0,
+                     CAST(min(value) AS DOUBLE) AS mn1, CAST(max(value) AS DOUBLE) AS mx1
+              FROM events
+            ),
+            s AS (
+              SELECT event_id,
+                     least(CASE WHEN mx0 - mn0 > 0
+                                THEN CAST(floor((user_id - mn0) / (mx0 - mn0) * 255) AS BIGINT)
+                                ELSE 0 END, 255) AS s0,
+                     least(CASE WHEN mx1 - mn1 > 0
+                                THEN CAST(floor((value - mn1) / (mx1 - mn1) * 255) AS BIGINT)
+                                ELSE 0 END, 255) AS s1
+              FROM events, st
+            )
+            SELECT event_id,
+                   CAST(list_sum(list_transform(range(0, 8),
+                        i -> (((s0 >> i) & 1) << (2 * i)) + (((s1 >> i) & 1) << (2 * i + 1))
+                   )) AS BIGINT) AS z
+            FROM s
         """,
         # rendezvous shard: per-key md5 argmax, replayed as ranked unnest
         # (ties, impossible in practice, break to the greatest shard name

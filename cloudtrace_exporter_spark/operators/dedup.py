@@ -463,6 +463,56 @@ def dedup_threshold_sweep(
     )
 
 
+def source_overlap_matrix(
+    df: DataFrame,
+    *,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    source_col: str = "source",
+    index: DataFrame | None = None,
+) -> DataFrame:
+    """Cross-source PROVENANCE matrix: for every (source, source) pair —
+    including the diagonal — how many near-dup pairs connect them and
+    the mean estimated Jaccard. The table that tells a corpus curator
+    which feeds mirror which (syndication, scraper loops) before
+    deciding per-source dedup order; within-source rates alone
+    (near_dup_rate_by_source) can't see cross-feed copying.
+
+    Built on the PORTABLE MinHash-LSH pairs (shared cached index), so
+    the whole matrix replays in DuckDB. Pairs are undirected: the cell
+    key is (min(source), max(source)). Scale shape: the pair frame is
+    LSH-pruned (never O(n²)); two uniform-id joins attach sources; one
+    |sources|²-group aggregation ends it.
+    """
+    pairs = minhash_lsh_pairs(
+        df, threshold=threshold, text_col=text_col, id_col=id_col,
+        index=index, portable=True,
+    )
+    src = df.select(F.col(id_col).alias("__id"), F.col(source_col).alias("__src"))
+    joined = (
+        pairs.join(src.select(F.col("__id").alias("doc_a"), F.col("__src").alias("sa")), "doc_a")
+        .join(src.select(F.col("__id").alias("doc_b"), F.col("__src").alias("sb")), "doc_b")
+    )
+    return (
+        joined.select(
+            F.least("sa", "sb").alias("source_a"),
+            F.greatest("sa", "sb").alias("source_b"),
+            "est_jaccard",
+        )
+        .groupBy("source_a", "source_b")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            # order-independent float sum: every estimate is k/32 — a
+            # dyadic rational with ≥ -5 exponent (round(.,6) is identity
+            # on 5-decimal values) — so partial sums stay EXACT in any
+            # accumulation order below 2^48 terms; the final division is
+            # the only rounding float op, identical cross-engine
+            F.round(F.sum("est_jaccard") / F.count(F.lit(1)), 6).alias("mean_est_jaccard"),
+        )
+    )
+
+
 def minhash_jaccard_diag(
     df: DataFrame,
     *,

@@ -172,6 +172,54 @@ def zorder_layout(df: DataFrame, cols: list[str], *, num_partitions: int = 32,
     return keyed.repartitionByRange(num_partitions, "_z").sortWithinPartitions("_z")
 
 
+def range_partition_plan(
+    df: DataFrame,
+    col: str,
+    *,
+    fractions: tuple[float, ...] = (0.25, 0.5, 0.75),
+) -> DataFrame:
+    """Equi-depth RANGE-PARTITION split points for ``col``: for each
+    fraction f, the smallest value v with |rows ≤ v| ≥ ⌈f·n⌉ — exactly
+    what `repartitionByRange` samples approximately, computed exactly
+    for when the boundaries must be durable artifacts (a published
+    dataset's shard manifest, a sorted 100 TB write where re-sampling
+    per job would move shard edges between runs).
+
+    WINDOWLESS by construction (a naive rank needs a global-sort
+    window): value frequencies aggregate once, the cumulative count
+    comes from a value≤value broadcast self-join over the DISTINCT-value
+    frame (bounded by the value domain — token counts, prices, dates —
+    not the corpus), and each fraction picks its min qualifying value.
+    All-integer thresholds (⌈f·n⌉ via integer ceil-div on a 10⁶ scale,
+    no float·count product) — full DuckDB oracle.
+    """
+    counts = df.groupBy(F.col(col).alias("v")).agg(F.count(F.lit(1)).alias("c"))
+    a, b = counts.alias("a"), counts.alias("b")
+    cum = (
+        a.join(F.broadcast(b), F.col("b.v") <= F.col("a.v"))
+        .groupBy(F.col("a.v").alias("v"))
+        .agg(F.sum("b.c").alias("cum"))
+    )
+    tot = counts.agg(F.sum("c").alias("n"))
+    fr = F.explode(
+        F.array(*[F.lit(int(round(f * 10**6))).alias("x") for f in fractions])
+    ).alias("f_micro")
+    targets = tot.select(fr, "n").select(
+        (F.col("f_micro") / 1e6).alias("fraction"),
+        # ceil(f·n) in pure integers: (f_micro·n + 999999) div 10^6
+        F.floor((F.col("f_micro") * F.col("n") + (10**6 - 1)) / 10**6)
+        .cast("long")
+        .alias("target_rank"),
+    )
+    return (
+        cum.crossJoin(F.broadcast(targets))
+        .filter(F.col("cum") >= F.col("target_rank"))
+        .groupBy("fraction", "target_rank")
+        .agg(F.min("v").alias("boundary"))
+        .select("fraction", "target_rank", "boundary")
+    )
+
+
 def compact_files(spark: SparkSession, input_path: str, output_path: str,
                   *, target_mb: int = 128) -> int:
     """Rewrite a parquet directory into ~``target_mb``-sized files — the

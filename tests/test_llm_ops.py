@@ -1531,6 +1531,45 @@ def test_embedding_outliers_planted(spark):
     assert got[(0, 1)] == 9 and got[(1, 1)] == 19
 
 
+def test_range_partition_plan_hand_computed(spark):
+    from cloudtrace_exporter_spark.operators import layout
+
+    # values 1..10 once each: boundary(f) = smallest v with count<=v >= ceil(10f)
+    df = spark.createDataFrame([(v,) for v in range(1, 11)], "v long")
+    got = {
+        r["fraction"]: (r["target_rank"], r["boundary"])
+        for r in layout.range_partition_plan(df, "v", fractions=(0.25, 0.5, 0.75)).collect()
+    }
+    assert got[0.25] == (3, 3) and got[0.5] == (5, 5) and got[0.75] == (8, 8)
+    # skewed: 9 copies of value 1, one value 100 — every early boundary is 1
+    skew = spark.createDataFrame([(1,)] * 9 + [(100,)], "v long")
+    got = {
+        r["fraction"]: r["boundary"]
+        for r in layout.range_partition_plan(skew, "v", fractions=(0.5, 0.99)).collect()
+    }
+    assert got[0.5] == 1 and got[0.99] == 100
+
+
+def test_source_overlap_matrix_planted_cross_feed(spark):
+    # two feeds publishing the same article + one unique doc per feed:
+    # exactly one cross-source near-dup cell, no within-source cells
+    shared = " ".join(f"w{i}" for i in range(60))
+    docs = spark.createDataFrame(
+        [
+            (0, shared, "feedA"),
+            (1, shared + " extra", "feedB"),
+            (2, " ".join(f"a{i}" for i in range(60)), "feedA"),
+            (3, " ".join(f"b{i}" for i in range(60)), "feedB"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    rows = dedup.source_overlap_matrix(docs, threshold=0.5).collect()
+    assert [(r["source_a"], r["source_b"], r["n_pairs"]) for r in rows] == [
+        ("feedA", "feedB", 1)
+    ]
+    assert rows[0]["mean_est_jaccard"] >= 0.5
+
+
 def test_containment_pairs_catch_what_jaccard_misses(spark):
     # doc 1 is fully quoted inside the much larger doc 2: containment=1,
     # but Jaccard is diluted by the host's extra vocabulary

@@ -310,6 +310,46 @@ def test_bm25_broadcasts_query_side_no_term_window_sort(plans):
     assert _data_shuffles(p) - p.count("Exchange SinglePartition") <= 3
 
 
+def test_containment_query_has_no_nested_loop(plans):
+    # round-6 contract: the wired containment path is prefix-filtered
+    # blocking — candidates from a rare-token inverted index, never the
+    # O(n²) theta join's BroadcastNestedLoop
+    p = plans("q_containment_pairs")
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "CartesianProduct" not in p
+
+
+def test_padding_waste_is_scan_and_aggregate(plans):
+    # one narrow map exploded by the literal length list + one tiny
+    # aggregation — any join or window here means the plan regressed
+    p = plans("q_padding_waste")
+    assert "Join" not in p
+    assert "Window" not in p
+    assert _data_shuffles(p) <= 1
+
+
+def test_embedding_outliers_centroids_broadcast(plans):
+    # centroids are literals joined via broadcast (the IVF collect
+    # discipline); the corpus itself must never sort-merge
+    p = plans("q_embedding_outliers")
+    assert "SortMergeJoin" not in p
+    assert "BroadcastHashJoin" in p
+
+
+def test_range_partition_plan_windowless(plans):
+    p = plans("q_range_partition_plan")
+    assert "Window" not in p
+    assert "SortMergeJoin" not in p
+
+
+def test_zorder_key_is_narrow_map(plans):
+    # one 1-row stats agg broadcast back; the key itself is codegen'd —
+    # no data-sized exchange beyond the stats reduction
+    p = plans("q_zorder_key")
+    assert "SortMergeJoin" not in p
+    assert "Window" not in p
+
+
 def test_bpe_pair_stats_topk_is_take_ordered(plans):
     # round-6 contract: the top-k over the (millions-of-rows at scale)
     # adjacent-pair table is a per-partition heap + k-row driver merge,

@@ -3263,6 +3263,14 @@ def q_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_export_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North-star release engineering, ORACLE-EXACT: the per-shard
+    manifest (doc count, token sum, order-insensitive md5-prefix id
+    checksum mod 2³¹−1) a consumer verifies after copying a sharded
+    export — a pure function of the corpus, not of the writing job."""
+    return curate.export_manifest(load_table(spark, sf_dir, "documents"))
+
+
 def q_seasonal_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-series depth: STL-lite anomaly screen — daily totals minus
     OLS trend minus day-of-week effect, MAD-scored per series, every
@@ -3306,6 +3314,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_source_overlap": q_source_overlap,
         "q_range_partition_plan": q_range_partition_plan,
         "q_zorder_key": q_zorder_key,
+        "q_export_manifest": q_export_manifest,
         # ---- keys below all have a green driver row in r1–r5 ----
         "q_leakage_safe_splits": q_leakage_safe_splits,
         "q_bm25_topk": q_bm25_topk,
@@ -6234,6 +6243,20 @@ def oracle_sql() -> dict[str, str]:
                         i -> (((s0 >> i) & 1) << (2 * i)) + (((s1 >> i) & 1) << (2 * i + 1))
                    )) AS BIGINT) AS z
             FROM s
+        """,
+        # round-6: sharded-export manifest (order-insensitive checksum)
+        "q_export_manifest": f"""
+            WITH v AS (
+              SELECT CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+                       % {dedup.PORTABLE_P} AS v,
+                     CAST(len({_TOKENS_SQL}) AS BIGINT) AS nt
+              FROM documents
+            )
+            SELECT CAST(v % 8 AS BIGINT) AS shard,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(nt) AS BIGINT) AS n_tokens,
+                   CAST(sum(v) AS BIGINT) AS id_checksum
+            FROM v GROUP BY 1
         """,
         # rendezvous shard: per-key md5 argmax, replayed as ranked unnest
         # (ties, impossible in practice, break to the greatest shard name

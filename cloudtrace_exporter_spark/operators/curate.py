@@ -462,3 +462,47 @@ def contrastive_pairs(
         .select("anchor_id", F.col("cand").alias("partner_id"), F.lit("neg").alias("role"), "rnk")
     )
     return pos.unionByName(negs)
+
+
+def export_manifest(
+    docs: DataFrame,
+    *,
+    n_shards: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Release MANIFEST for a sharded corpus export: per content-hash
+    shard — document count, token sum, and an ORDER-INSENSITIVE id
+    checksum — the artifact a consumer verifies after copying a 100 TB
+    export, and the writer's completeness proof. Shard assignment is
+    md5-content-hashed (stable under repartitioning, retries, and
+    speculative re-execution — the hash_sample argument), so the
+    manifest is a pure function of the corpus, not of the job that
+    wrote it.
+
+    The checksum is the plain BIGINT sum of per-id md5-prefix values
+    reduced mod 2³¹−1: commutative (file order never matters), and the
+    sum stays exact below ~2³² docs per shard — beyond that, shard
+    wider. One narrow map + one |shards|-group aggregation; zero joins.
+    Full DuckDB oracle (same md5-prefix arithmetic as the portable hash
+    family).
+    """
+    from cloudtrace_exporter_spark.operators import dedup
+
+    hid = F.conv(
+        F.substring(F.md5(F.col(id_col).cast("string").cast("binary")), 1, 15), 16, 10
+    ).cast("long")
+    v = hid % dedup.PORTABLE_P
+    return (
+        docs.select(
+            (v % n_shards).cast("long").alias("shard"),
+            v.alias("__v"),
+            text.token_count(text_col).cast("long").alias("__nt"),
+        )
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("__nt").alias("n_tokens"),
+            F.sum("__v").alias("id_checksum"),
+        )
+    )

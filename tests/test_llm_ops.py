@@ -1570,6 +1570,23 @@ def test_source_overlap_matrix_planted_cross_feed(spark):
     assert rows[0]["mean_est_jaccard"] >= 0.5
 
 
+def test_export_manifest_is_a_pure_function_of_the_corpus(spark, sf_dir):
+    # same corpus, different physical layout → identical manifest
+    # (content-hashed shards + commutative checksum: retries and
+    # repartitioning cannot change what a consumer verifies)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    base = {r["shard"]: r for r in curate.export_manifest(docs).collect()}
+    shuffled = {
+        r["shard"]: r
+        for r in curate.export_manifest(docs.repartition(7, "text")).collect()
+    }
+    assert base.keys() == shuffled.keys()
+    for s in base:
+        assert base[s] == shuffled[s]
+    # totals reconcile with the corpus
+    assert sum(r["n_docs"] for r in base.values()) == docs.count()
+
+
 def test_containment_pairs_catch_what_jaccard_misses(spark):
     # doc 1 is fully quoted inside the much larger doc 2: containment=1,
     # but Jaccard is diluted by the host's extra vocabulary

@@ -5995,8 +5995,9 @@ def oracle_sql() -> dict[str, str]:
             FROM g
         """,
         # contrastive pairs, LSH default: portable MinHash-LSH positives
-        # (shared banded CTE, est_jaccard >= 0.5) + md5-priority
-        # negatives from the 1/8 hash-sampled pool over the FULL corpus
+        # (shared banded CTE, est_jaccard >= 0.5) + linear indexed-pick
+        # negatives (fixed 1024-doc smallest-md5 pool, 12 hash picks per
+        # anchor) — replays curate.contrastive_pairs exactly
         "q_contrastive_pairs": _portable_banded_cte() + f""",
             lshcand AS (
               SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
@@ -6021,23 +6022,33 @@ def oracle_sql() -> dict[str, str]:
             ),
             anchors AS (SELECT DISTINCT anchor_id FROM bidir),
             pool AS (
-              SELECT doc_id AS cand FROM documents
-              WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '20000000'
+              SELECT cand, row_number() OVER (ORDER BY h, cand) - 1 AS idx FROM (
+                SELECT doc_id AS cand, md5(CAST(doc_id AS VARCHAR)) AS h
+                FROM documents ORDER BY h, cand LIMIT 1024
+              )
+            ),
+            picks AS (
+              SELECT DISTINCT anchors.anchor_id, pool.cand
+              FROM anchors
+              CROSS JOIN range(0, 12) AS r(j)
+              JOIN pool ON pool.idx =
+                ('0x' || substr(md5(CAST(anchors.anchor_id AS VARCHAR) || ':' || CAST(r.j AS VARCHAR)), 1, 8))::BIGINT
+                % (SELECT count(*) FROM pool)
+              WHERE pool.cand <> anchors.anchor_id
             ),
             negs AS (
               SELECT anchor_id, cand AS partner_id, 'neg' AS role, rn AS rnk FROM (
-                SELECT anchors.anchor_id, pool.cand,
+                SELECT picks.anchor_id, picks.cand,
                        row_number() OVER (
-                         PARTITION BY anchors.anchor_id
-                         ORDER BY md5(CAST(anchors.anchor_id AS VARCHAR) || ':' || CAST(pool.cand AS VARCHAR)),
-                                  pool.cand
+                         PARTITION BY picks.anchor_id
+                         ORDER BY md5(CAST(picks.anchor_id AS VARCHAR) || ':' || CAST(picks.cand AS VARCHAR)),
+                                  picks.cand
                        ) AS rn
-                FROM anchors, pool
-                WHERE pool.cand <> anchors.anchor_id
-                  AND NOT EXISTS (
-                    SELECT 1 FROM bidir
-                    WHERE bidir.anchor_id = anchors.anchor_id AND bidir.partner_id = pool.cand
-                  )
+                FROM picks
+                WHERE NOT EXISTS (
+                  SELECT 1 FROM bidir
+                  WHERE bidir.anchor_id = picks.anchor_id AND bidir.partner_id = picks.cand
+                )
               ) WHERE rn <= 3
             )
             SELECT * FROM pos UNION ALL SELECT * FROM negs
@@ -6069,24 +6080,33 @@ def oracle_sql() -> dict[str, str]:
             ),
             anchors AS (SELECT DISTINCT anchor_id FROM bidir),
             pool AS (
-              SELECT doc_id AS cand FROM documents
-              WHERE doc_id < 1000
-                AND substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '20000000'
+              SELECT cand, row_number() OVER (ORDER BY h, cand) - 1 AS idx FROM (
+                SELECT doc_id AS cand, md5(CAST(doc_id AS VARCHAR)) AS h
+                FROM (SELECT doc_id FROM documents WHERE doc_id < 1000) ORDER BY h, cand LIMIT 1024
+              )
+            ),
+            picks AS (
+              SELECT DISTINCT anchors.anchor_id, pool.cand
+              FROM anchors
+              CROSS JOIN range(0, 12) AS r(j)
+              JOIN pool ON pool.idx =
+                ('0x' || substr(md5(CAST(anchors.anchor_id AS VARCHAR) || ':' || CAST(r.j AS VARCHAR)), 1, 8))::BIGINT
+                % (SELECT count(*) FROM pool)
+              WHERE pool.cand <> anchors.anchor_id
             ),
             negs AS (
               SELECT anchor_id, cand AS partner_id, 'neg' AS role, rn AS rnk FROM (
-                SELECT anchors.anchor_id, pool.cand,
+                SELECT picks.anchor_id, picks.cand,
                        row_number() OVER (
-                         PARTITION BY anchors.anchor_id
-                         ORDER BY md5(CAST(anchors.anchor_id AS VARCHAR) || ':' || CAST(pool.cand AS VARCHAR)),
-                                  pool.cand
+                         PARTITION BY picks.anchor_id
+                         ORDER BY md5(CAST(picks.anchor_id AS VARCHAR) || ':' || CAST(picks.cand AS VARCHAR)),
+                                  picks.cand
                        ) AS rn
-                FROM anchors, pool
-                WHERE pool.cand <> anchors.anchor_id
-                  AND NOT EXISTS (
-                    SELECT 1 FROM bidir
-                    WHERE bidir.anchor_id = anchors.anchor_id AND bidir.partner_id = pool.cand
-                  )
+                FROM picks
+                WHERE NOT EXISTS (
+                  SELECT 1 FROM bidir
+                  WHERE bidir.anchor_id = picks.anchor_id AND bidir.partner_id = picks.cand
+                )
               ) WHERE rn <= 3
             )
             SELECT * FROM pos UNION ALL SELECT * FROM negs

@@ -56,6 +56,10 @@ HEADLINE = [
     # bucket-owner rewrite) so the wins stay visible in the history
     "q_contrastive_pairs",
     "q_fuzzy_sorted_neighborhood",
+    # round-6 trend lines: the de-quadratized containment path
+    # (prefix-filtered blocking) and the LSH threshold-sweep planner
+    "q_containment_pairs",
+    "q_dedup_threshold_sweep",
 ]
 
 

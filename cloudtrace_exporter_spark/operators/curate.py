@@ -378,33 +378,42 @@ def contrastive_pairs(
     threshold: float = 0.95,
     n_pos: int = 2,
     n_neg: int = 3,
-    pool_fraction: float = 0.125,
+    pool_n: int = 1024,
+    oversample: int = 4,
     pairs: DataFrame | None = None,
     text_col: str = "text",
     id_col: str = "doc_id",
 ) -> DataFrame:
     """Contrastive training-pair construction: for every document with at
     least one near-duplicate, emit its positives (the near-dup partners)
-    and ``n_neg`` deterministic negatives — the (anchor, positive,
+    and up to ``n_neg`` deterministic negatives — the (anchor, positive,
     negatives) triples contrastive embedding training consumes, built
     entirely from operators this repo already verifies.
 
     Positives default to exact token-Jaccard pairs (fixture-scale ground
     truth); inject ``pairs`` from ``dedup.minhash_lsh_pairs`` at corpus
     scale — the construction is pair-source-agnostic, like
-    ``dedup.dedup_clusters``. Negatives come from a HASH-SAMPLED pool
-    (md5, engine-portable) broadcast against the anchors, ranked per
-    anchor by md5(anchor:candidate) — reproducible across runs, engines,
-    and retries, unlike rand()-based negative sampling — with the
-    anchor's own positives (and itself) anti-joined out. In-batch
-    random negatives are exactly this with pool = the batch.
+    ``dedup.dedup_clusters``. Negatives are LINEAR in the anchor count:
+    a fixed-size pool (the ``pool_n`` smallest-md5(id) documents — a
+    deterministic uniform sample, fetched once via TakeOrdered and
+    inlined as a literal array, the same bounded-collect precedent as
+    the IVF centroid literals) is probed with ``n_neg·oversample``
+    indexed hash picks per anchor (md5(anchor:j) mod |pool|); the
+    anchor's own positives (and itself) are anti-joined out and the
+    survivors ranked by md5(anchor:candidate). Reproducible across
+    runs, engines, and retries — unlike rand()-based negative sampling.
+    Oversampling absorbs pick collisions and positive hits; an anchor
+    short of ``n_neg`` negatives keeps the survivors it has (in-batch
+    sampling semantics). The round-5 shape ranked anchors × pool with a
+    FRACTION-sized pool — O(n²/8), which the 10× probe measured at
+    385 s with one straggler task; this path is |anchors|·n_neg·
+    oversample rows through one anti-join + a bounded per-anchor
+    top-k, linear and skew-free (every anchor carries the same pick
+    count).
 
     Output long-format rows (anchor_id, partner_id, role, rnk): role
     'pos' rows carry the pair rank by partner id; 'neg' rows the md5
-    priority rank. Scale shape: positives are the near-dup pair volume;
-    negatives are |anchors| × |pool| with the pool broadcast (choose
-    pool_fraction so the pool stays broadcast-sized, or feed a
-    pre-sampled pool per shard).
+    priority rank.
     """
     from cloudtrace_exporter_spark.operators import dedup
 
@@ -434,8 +443,48 @@ def contrastive_pairs(
         .filter(F.col("rnk") <= n_pos)
     )
     anchors = both.select("anchor_id").distinct()
-    pool = analytics.hash_sample(
-        docs.select(F.col(id_col).alias("cand")), key_col="cand", fraction=pool_fraction
+    # fixed-size deterministic pool: the pool_n smallest md5(id) docs.
+    # TakeOrdered (never a global sort), then a bounded collect — ≤pool_n
+    # ids become a literal array, so the per-anchor pick below is a pure
+    # projection: no join, no shuffle, no skew.
+    pool_ids = [
+        r["cand"]
+        for r in docs.select(
+            F.col(id_col).alias("cand"),
+            F.md5(F.col(id_col).cast("string").cast("binary")).alias("h"),
+        )
+        .orderBy("h", "cand")
+        .limit(int(pool_n))
+        .collect()
+    ]
+    if not pool_ids:
+        return pos
+    pool_arr = F.array(*[F.lit(c) for c in pool_ids])
+    m = int(n_neg) * int(oversample)
+    idx = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col("anchor_id").cast("string"), F.lit(":"), F.col("j").cast("string")
+                    ).cast("binary")
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % F.lit(len(pool_ids))
+    )
+    picks = (
+        anchors.select(
+            "anchor_id", F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("j")
+        )
+        .select("anchor_id", F.element_at(pool_arr, (idx + 1).cast("int")).alias("cand"))
+        .filter(F.col("cand") != F.col("anchor_id"))
+        # two picks may hash to the same pool slot — collapse before ranking
+        .distinct()
     )
     pri = F.md5(
         F.concat(
@@ -444,14 +493,10 @@ def contrastive_pairs(
     )
     w_neg = Window.partitionBy("anchor_id").orderBy("pri", "cand")
     negs = (
-        anchors.join(F.broadcast(pool), F.col("cand") != F.col("anchor_id"))
-        # broadcast the positives side of the anti-join: it is the (already
-        # n_pos-capped-ish) near-dup pair list — orders of magnitude smaller
-        # than anchors × pool — and a broadcast hash anti-join avoids the
-        # sort-merge exchange pair the planner otherwise picks for the
-        # checkpointed (stats-less) frame; at true corpus scale shard the
-        # pool per anchor bucket instead
-        .join(
+        # anti-join the anchor's own positives out; both sides are keyed
+        # on (anchor_id, cand) — AQE broadcasts whichever side is small,
+        # and at corpus scale this is a plain linear hash anti-join
+        picks.join(
             F.broadcast(both.withColumnRenamed("partner_id", "cand")),
             ["anchor_id", "cand"],
             "left_anti",

@@ -1275,7 +1275,7 @@ def test_contrastive_pairs_structure(spark):
         [(i, f"word{i % 3} alpha beta gamma") for i in range(24)],
         "doc_id long, text string",
     )
-    out = curate.contrastive_pairs(docs, threshold=0.9, n_pos=2, n_neg=3, pool_fraction=1.0)
+    out = curate.contrastive_pairs(docs, threshold=0.9, n_pos=2, n_neg=3)
     rows = out.collect()
     by_anchor = {}
     for r in rows:
@@ -1291,7 +1291,7 @@ def test_contrastive_pairs_structure(spark):
         for r in neg:
             assert r["partner_id"] != anchor and r["partner_id"] not in pos_ids
     # determinism: rerun gives identical rows
-    again = curate.contrastive_pairs(docs, threshold=0.9, n_pos=2, n_neg=3, pool_fraction=1.0)
+    again = curate.contrastive_pairs(docs, threshold=0.9, n_pos=2, n_neg=3)
     assert out.exceptAll(again).count() == 0 and again.exceptAll(out).count() == 0
 
 

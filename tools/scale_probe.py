@@ -144,6 +144,51 @@ def main() -> None:
             lambda d=d: dedup.fuzzy_sorted_neighborhood(d),
         )
 
+    # --- round-6 additions ---
+    from cloudtrace_exporter_spark.operators import layout
+
+    def lsh_index(d):
+        return dedup.minhash_banded_index(d, portable=True).cache()
+
+    for tag, d in (("1x", docs1), ("10x", docs10)):
+        idx = lsh_index(d)
+        idx.count()  # build once; the probe measures the steady-state ops
+        t(
+            f"contrastive_pairs (LSH source) {tag}",
+            lambda d=d, idx=idx: curate.contrastive_pairs(
+                d, pairs=dedup.minhash_lsh_pairs(d, threshold=0.5, index=idx)
+            ),
+        )
+        t(
+            f"dedup_threshold_sweep {tag}",
+            lambda d=d, idx=idx: dedup.dedup_threshold_sweep(d, index=idx),
+        )
+        t(
+            f"source_overlap_matrix {tag}",
+            lambda d=d, idx=idx: dedup.source_overlap_matrix(d, index=idx),
+        )
+        idx.unpersist()
+    for tag, d in (("1x", docs1), ("10x", docs10)):
+        t(
+            f"containment_pairs_blocked {tag}",
+            lambda d=d: dedup.containment_pairs_blocked(d, threshold=0.98),
+        )
+    for tag, d in (("1x", docs1), ("10x", docs10)):
+        t(f"padding_waste_report {tag}", lambda d=d: text.padding_waste_report(d))
+    for tag, d in (("1x", docs1), ("10x", docs10)):
+        t(
+            f"range_partition_plan {tag}",
+            lambda d=d: layout.range_partition_plan(
+                d.select(text.token_count("text").cast("long").alias("n_tokens")),
+                "n_tokens",
+            ),
+        )
+    for tag, e in (("1x", emb1), ("10x", emb10)):
+        t(
+            f"embedding_outliers_scaled {tag}",
+            lambda e=e: similarity.embedding_outliers_scaled(e),
+        )
+
 
 def semantic_dedup_probe(e, n_bits: int | None = None):
     from cloudtrace_exporter_spark.operators import similarity

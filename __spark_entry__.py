@@ -23,6 +23,7 @@ from cloudtrace_exporter_spark.operators import (
     analytics,
     curate,
     dedup,
+    expectations,
     graph,
     multimodal,
     normalize,
@@ -1103,6 +1104,27 @@ def q_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     observed digit shares vs log10(1+1/d), portable string-based digit
     extraction (no float log10 at digit boundaries). Full oracle."""
     return analytics.benford_audit(load_table(spark, sf_dir, "events"))
+
+
+def q_expectation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality admission gate (Deequ-style): one
+    aggregation pass over orders evaluating not-null, uniqueness,
+    numeric-bound, accepted-set, and regex expectations — one report row
+    per check with exact violation counts. Two thresholds are
+    deliberately tight (totalprice >= 1500, status in O/F) so the
+    non-zero counting path is exercised, not just zeros. Table-level
+    generalization of the reference adapter's per-record conversion
+    drops (pkg/adapter/adapter.go:140-156); the FK side of the gate is
+    q_referential_audit. Full oracle."""
+    orders = load_table(spark, sf_dir, "orders")
+    return expectations.expectation_report(
+        orders,
+        not_null=("o_custkey", "o_orderdate"),
+        unique=("o_orderkey",),
+        bounds={"o_totalprice": (1500.0, None)},
+        accepted={"o_orderstatus": ["O", "F"]},
+        matches={"o_orderpriority": "^[1-5]-"},
+    )
 
 
 def q_referential_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3315,6 +3337,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_range_partition_plan": q_range_partition_plan,
         "q_zorder_key": q_zorder_key,
         "q_export_manifest": q_export_manifest,
+        "q_expectation_report": q_expectation_report,
         # ---- keys below all have a green driver row in r1–r5 ----
         "q_leakage_safe_splits": q_leakage_safe_splits,
         "q_bm25_topk": q_bm25_topk,
@@ -6265,6 +6288,28 @@ def oracle_sql() -> dict[str, str]:
             FROM s
         """,
         # round-6: sharded-export manifest (order-insensitive checksum)
+        # round-6: declarative data-quality gate — one wide aggregation
+        # unpivoted to the long report; tight thresholds exercise the
+        # non-zero violation paths
+        "q_expectation_report": """
+            WITH w AS (
+              SELECT CAST(count(*) AS BIGINT) AS total,
+                     CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS v_nn_cust,
+                     CAST(sum(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS v_nn_date,
+                     CAST(sum(CASE WHEN o_totalprice IS NOT NULL AND o_totalprice < 1500.0 THEN 1 ELSE 0 END) AS BIGINT) AS v_b_price,
+                     CAST(sum(CASE WHEN o_orderstatus IS NOT NULL AND o_orderstatus NOT IN ('O', 'F') THEN 1 ELSE 0 END) AS BIGINT) AS v_a_status,
+                     CAST(sum(CASE WHEN o_orderpriority IS NOT NULL AND NOT regexp_matches(o_orderpriority, '^[1-5]-') THEN 1 ELSE 0 END) AS BIGINT) AS v_m_prio,
+                     CAST(count(o_orderkey) - count(DISTINCT o_orderkey) AS BIGINT) AS v_u_okey
+              FROM orders
+            )
+            SELECT 'not_null' AS expectation, 'o_custkey' AS "column",
+                   v_nn_cust AS violations, total, v_nn_cust = 0 AS passed FROM w
+            UNION ALL SELECT 'not_null', 'o_orderdate', v_nn_date, total, v_nn_date = 0 FROM w
+            UNION ALL SELECT 'bounds', 'o_totalprice', v_b_price, total, v_b_price = 0 FROM w
+            UNION ALL SELECT 'accepted', 'o_orderstatus', v_a_status, total, v_a_status = 0 FROM w
+            UNION ALL SELECT 'matches', 'o_orderpriority', v_m_prio, total, v_m_prio = 0 FROM w
+            UNION ALL SELECT 'unique', 'o_orderkey', v_u_okey, total, v_u_okey = 0 FROM w
+        """,
         "q_export_manifest": f"""
             WITH v AS (
               SELECT CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)

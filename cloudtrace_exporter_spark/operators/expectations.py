@@ -1,0 +1,109 @@
+"""Declarative data-quality expectation suite (Deequ / Great-
+Expectations-style) — the admission gate a 100 TB ingest runs before a
+table is allowed downstream.
+
+The reference's only validation is per-record: the adapter drops traces
+that fail CloudEvent conversion and counts them
+(/root/reference/pkg/adapter/adapter.go:140-156). At warehouse scale the
+same need becomes table-level: assert null rates, key uniqueness, value
+domains, numeric bounds, and referential integrity BEFORE a batch is
+published, and emit an auditable per-expectation report rather than a
+boolean.
+
+Scale shape: every row-level check in ``expectation_report`` compiles
+into ONE aggregation pass over the table — each check is a
+``sum(case when violated)`` column in a single wide agg (map-side
+combined, one 1-row exchange), then the wide row is unpivoted to the
+long report. Uniqueness checks add ``count distinct`` columns: Spark
+plans multiple distinct aggregates via an Expand (one duplicated pass
+per distinct column) — the standard cost of exact uniqueness; prefer
+one unique key per call on very wide tables. Referential integrity is
+already covered by ``analytics.audit_referential`` (broadcast anti-join
+orphan counts, q_referential_audit) — this module deliberately does not
+duplicate it; union the two reports for a full admission gate.
+
+Every check emits (expectation, column, violations, total, pass):
+violations/total are exact BIGINT counts, passed = violations == 0 — all
+integer arithmetic, fully DuckDB-replayable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+REPORT_COLS = ("expectation", "column", "violations", "total", "passed")
+
+
+def expectation_report(
+    df: DataFrame,
+    *,
+    not_null: tuple[str, ...] | list[str] = (),
+    unique: tuple[str, ...] | list[str] = (),
+    bounds: dict[str, tuple[float | None, float | None]] | None = None,
+    accepted: dict[str, list] | None = None,
+    matches: dict[str, str] | None = None,
+) -> DataFrame:
+    """One row per declared expectation over ``df``.
+
+    - ``not_null``: columns that must never be NULL.
+    - ``unique``: columns whose non-null values must be distinct
+      (violations = count(col) − count(distinct col): the surplus rows).
+    - ``bounds``: col → (lo, hi); NULL bound = unbounded on that side.
+      NULL values are not bound violations (declare them in not_null).
+    - ``accepted``: col → allowed-value list (non-null values only).
+    - ``matches``: col → regex the full value must match (RE2-compatible
+      patterns keep Spark's and DuckDB's semantics aligned).
+
+    All checks run in one aggregation pass; the wide 1-row result is
+    unpivoted via an array-of-structs explode (no second scan).
+    """
+    aggs = [F.count(F.lit(1)).cast("long").alias("__total")]
+    labels: list[tuple[str, str, str]] = []  # (expectation, column, agg alias)
+
+    def viol(name: str, col: str, cond) -> None:
+        alias = f"__v{len(labels)}"
+        aggs.append(F.sum(F.when(cond, 1).otherwise(0)).cast("long").alias(alias))
+        labels.append((name, col, alias))
+
+    for c in not_null:
+        viol("not_null", c, F.col(c).isNull())
+    for c, (lo, hi) in (bounds or {}).items():
+        cond = F.lit(False)
+        if lo is not None:
+            cond = cond | (F.col(c) < F.lit(lo))
+        if hi is not None:
+            cond = cond | (F.col(c) > F.lit(hi))
+        viol("bounds", c, F.col(c).isNotNull() & cond)
+    for c, allowed in (accepted or {}).items():
+        viol("accepted", c, F.col(c).isNotNull() & ~F.col(c).isin(list(allowed)))
+    for c, pat in (matches or {}).items():
+        viol("matches", c, F.col(c).isNotNull() & ~F.col(c).rlike(pat))
+    for c in unique:
+        alias = f"__v{len(labels)}"
+        aggs.append(
+            (F.count(F.col(c)) - F.count_distinct(F.col(c))).cast("long").alias(alias)
+        )
+        labels.append(("unique", c, alias))
+
+    wide = df.agg(*aggs)
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(name).alias("expectation"),
+                F.lit(col).alias("column"),
+                F.col(alias).alias("violations"),
+            )
+            for name, col, alias in labels
+        ]
+    )
+    return (
+        wide.select(F.col("__total"), F.explode(rows).alias("r"))
+        .select(
+            F.col("r.expectation").alias("expectation"),
+            F.col("r.column").alias("column"),
+            F.col("r.violations").alias("violations"),
+            F.col("__total").alias("total"),
+            (F.col("r.violations") == 0).alias("passed"),
+        )
+    )

@@ -463,3 +463,12 @@ def test_scaled_ann_twins_no_corpus_shuffle_before_ranking(plans):
         p = plans(q)
         assert "CartesianProduct" not in p, q
         assert "SortMergeJoin" not in p, q
+
+
+def test_expectation_report_single_pass(plans):
+    # round-6 contract: the whole multi-check report is ONE aggregation
+    # pass — no joins; the only width beyond a plain agg is the Expand
+    # that exact count-distinct (uniqueness) costs
+    p = plans("q_expectation_report")
+    assert "Join" not in p
+    assert p.count("Scan parquet") == 1

@@ -328,3 +328,39 @@ def test_promo_suppliers_quantity_floor(spark, star_dims):
         name_fragment="widget", start="1996-01-01", end="1997-01-01", min_qty=50.0,
     ).collect()
     assert [(r["s_name"], r["nation"], r["total_qty"]) for r in out] == [("s1", "FRANCE", 60.0)]
+
+
+def test_expectation_report_planted_violations(spark):
+    from cloudtrace_exporter_spark.operators import expectations
+
+    df = spark.createDataFrame(
+        [
+            (1, 10, "O", 50.0, "1-URGENT"),
+            (2, None, "O", 150.0, "2-HIGH"),      # null custkey
+            (2, 11, "X", -5.0, "9-BOGUS"),        # dup orderkey, bad status,
+                                                  # below bound, bad priority
+            (3, 12, "F", None, None),             # null price/prio: NOT
+                                                  # bound/regex violations
+        ],
+        "okey long, ckey long, status string, price double, prio string",
+    )
+    rep = {
+        (r["expectation"], r["column"]): r
+        for r in expectations.expectation_report(
+            df,
+            not_null=("ckey",),
+            unique=("okey",),
+            bounds={"price": (0.0, 100.0)},
+            accepted={"status": ["O", "F"]},
+            matches={"prio": "^[1-5]-"},
+        ).collect()
+    }
+    assert all(r["total"] == 4 for r in rep.values())
+    assert rep[("not_null", "ckey")]["violations"] == 1
+    assert rep[("unique", "okey")]["violations"] == 1     # one surplus row
+    assert rep[("bounds", "price")]["violations"] == 2    # -5 and 150
+    assert rep[("accepted", "status")]["violations"] == 1
+    assert rep[("matches", "prio")]["violations"] == 1    # NULL prio exempt
+    assert not rep[("bounds", "price")]["passed"]
+    clean = rep[("matches", "prio")]
+    assert clean["violations"] == 1 and not clean["passed"]

@@ -693,6 +693,15 @@ def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.redact_pii(load_table(spark, sf_dir, "documents"))
 
 
+def q_pii_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North-star audit twin of q_pii_redact: per (source, pattern type)
+    incidence — documents hit, total matches, source size — counted on
+    the progressively-redacted text so policy order is honored (an email
+    inside a URL counts once, as URL). One scan, one group shuffle, no
+    joins. Full oracle."""
+    return text.pii_report(load_table(spark, sf_dir, "documents"))
+
+
 def q_window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
     return analytics.window_lag_lead(load_table(spark, sf_dir, "events"))
 
@@ -3338,6 +3347,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_zorder_key": q_zorder_key,
         "q_export_manifest": q_export_manifest,
         "q_expectation_report": q_expectation_report,
+        "q_pii_report": q_pii_report,
         # ---- keys below all have a green driver row in r1–r5 ----
         "q_leakage_safe_splits": q_leakage_safe_splits,
         "q_bm25_topk": q_bm25_topk,
@@ -5645,6 +5655,35 @@ def oracle_sql() -> dict[str, str]:
                      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
                      '[0-9]{6,}', '<NUM>', 'g') AS redacted
             FROM documents
+        """,
+        # round-6: PII incidence audit — progressive redaction mirrors
+        # PII_PATTERNS policy order; integer counts only
+        "q_pii_report": r"""
+            WITH c AS (
+              SELECT source,
+                     len(regexp_extract_all(text, 'https?://\S+')) AS c_url,
+                     len(regexp_extract_all(
+                       regexp_replace(text, 'https?://\S+', '<URL>', 'g'),
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS c_email,
+                     len(regexp_extract_all(
+                       regexp_replace(regexp_replace(text, 'https?://\S+', '<URL>', 'g'),
+                         '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                       '[0-9]{6,}')) AS c_num
+              FROM documents
+            ),
+            w AS (
+              SELECT source, CAST(count(*) AS BIGINT) AS total_docs,
+                     CAST(sum(CASE WHEN c_url > 0 THEN 1 ELSE 0 END) AS BIGINT) AS d_url,
+                     CAST(sum(c_url) AS BIGINT) AS m_url,
+                     CAST(sum(CASE WHEN c_email > 0 THEN 1 ELSE 0 END) AS BIGINT) AS d_email,
+                     CAST(sum(c_email) AS BIGINT) AS m_email,
+                     CAST(sum(CASE WHEN c_num > 0 THEN 1 ELSE 0 END) AS BIGINT) AS d_num,
+                     CAST(sum(c_num) AS BIGINT) AS m_num
+              FROM c GROUP BY source
+            )
+            SELECT source, 'url' AS pii_type, d_url AS docs_hit, m_url AS matches, total_docs FROM w
+            UNION ALL SELECT source, 'email', d_email, m_email, total_docs FROM w
+            UNION ALL SELECT source, 'num', d_num, m_num, total_docs FROM w
         """,
         "q_pivot_status": """
             SELECT o_orderpriority,

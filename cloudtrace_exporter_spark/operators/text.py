@@ -911,6 +911,57 @@ def redact_pii(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.select("doc_id", out.alias("redacted"))
 
 
+def pii_report(df: DataFrame, text_col: str = "text", group_col: str = "source") -> DataFrame:
+    """PII incidence report per (group, pattern type): documents hit,
+    total matches, group size — the audit table that decides whether a
+    source needs redaction before training (``redact_pii`` is the
+    corresponding rewrite). Each pattern is counted on the text AFTER
+    the earlier patterns were redacted, mirroring ``PII_PATTERNS``
+    policy order exactly (an email inside a URL counts as URL, not
+    both).
+
+    Plan shape: per-doc match counts are a narrow codegen map (chained
+    regexp_replace + regexp_extract_all), then one group aggregation and
+    a |patterns|-way unpivot explode of the wide row — one scan, one
+    shuffle, no joins. Fully DuckDB-replayable (integer counts only).
+    """
+    names = ["url", "email", "num"]
+    cur = F.col(text_col)
+    cnt_cols = []
+    for (pat, repl), name in zip(PII_PATTERNS, names):
+        cnt_cols.append(
+            F.size(F.regexp_extract_all(cur, F.lit(pat), F.lit(0))).alias(f"__c_{name}")
+        )
+        cur = F.regexp_replace(cur, pat, repl)
+    per = df.select(F.col(group_col).alias("grp"), *cnt_cols)
+    aggs = [F.count(F.lit(1)).cast("long").alias("__total")]
+    for name in names:
+        aggs.append(
+            F.sum(F.when(F.col(f"__c_{name}") > 0, 1).otherwise(0))
+            .cast("long")
+            .alias(f"__d_{name}")
+        )
+        aggs.append(F.sum(F.col(f"__c_{name}")).cast("long").alias(f"__m_{name}"))
+    wide = per.groupBy("grp").agg(*aggs)
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(name).alias("pii_type"),
+                F.col(f"__d_{name}").alias("docs_hit"),
+                F.col(f"__m_{name}").alias("matches"),
+            )
+            for name in names
+        ]
+    )
+    return wide.select(F.col("grp"), F.col("__total"), F.explode(rows).alias("r")).select(
+        F.col("grp").alias(group_col),
+        F.col("r.pii_type").alias("pii_type"),
+        F.col("r.docs_hit").alias("docs_hit"),
+        F.col("r.matches").alias("matches"),
+        F.col("__total").alias("total_docs"),
+    )
+
+
 def char_entropy(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Shannon entropy of the character distribution per document (nats).
 

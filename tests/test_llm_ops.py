@@ -1783,3 +1783,27 @@ def test_pq_scaled_tracks_float_pq(spark, sf_dir):
 
     with pytest.raises(ValueError, match="not divisible"):
         similarity.pq_topk_scaled(emb, q, m=7, k=5)
+
+
+def test_pii_report_policy_order_and_counts(spark):
+    docs = spark.createDataFrame(
+        [
+            # email inside a URL: counts as ONE url match, zero email
+            (0, "see https://a.example/u?mail=bob@x.com now", "web"),
+            (1, "contact alice@corp.example or bob@x.org", "web"),
+            (2, "id 1234567 and 987654321 plus short 12345", "logs"),
+            (3, "clean text only", "logs"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    rep = {
+        (r["source"], r["pii_type"]): r for r in text.pii_report(docs).collect()
+    }
+    assert rep[("web", "url")]["matches"] == 1
+    assert rep[("web", "url")]["docs_hit"] == 1
+    assert rep[("web", "email")]["matches"] == 2      # doc 1 only
+    assert rep[("web", "email")]["docs_hit"] == 1
+    assert rep[("logs", "num")]["matches"] == 2       # >=6 digits only
+    assert rep[("logs", "num")]["docs_hit"] == 1
+    assert rep[("logs", "url")]["matches"] == 0
+    assert all(r["total_docs"] == 2 for r in rep.values())

@@ -8,12 +8,17 @@ from cloudtrace_exporter_spark.streaming.pipeline import (
     stream_stream_interval_join,
     tumbling_counts,
 )
-from cloudtrace_exporter_spark.streaming.sinks import DeliveryCounters, foreach_batch_graph_upsert
+from cloudtrace_exporter_spark.streaming.sinks import (
+    DeliveryCounters,
+    foreach_batch_graph_upsert,
+    foreach_batch_quality_gated,
+)
 
 __all__ = [
     "DeliveryCounters",
     "dedup_within_watermark",
     "foreach_batch_graph_upsert",
+    "foreach_batch_quality_gated",
     "read_event_stream",
     "session_windows",
     "sliding_counts",

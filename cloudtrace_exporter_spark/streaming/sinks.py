@@ -121,6 +121,54 @@ def foreach_batch_jsonl_sender(
     return _sink
 
 
+def foreach_batch_quality_gated(
+    inner: Callable[[DataFrame, int], None],
+    checks: dict,
+    counters: DeliveryCounters | None = None,
+    quarantine_dir: str | None = None,
+) -> Callable[[DataFrame, int], None]:
+    """Streaming admission gate: compose ``expectations.expectation_report``
+    (the batch-side data-quality gate) with any foreachBatch sink (B31).
+    Per micro-batch, every declared expectation is evaluated in ONE
+    aggregation pass over the batch; the batch reaches ``inner`` only if
+    ALL pass. A failing batch is counted ``failed`` (whole batch — the
+    gate is batch-atomic, matching a transactional downstream) and, when
+    ``quarantine_dir`` is set, appended there as parquet for replay
+    after the upstream defect is fixed — the streaming generalization of
+    the reference adapter's per-record conversion-drop accounting
+    (pkg/adapter/adapter.go:140-156).
+
+    ``checks`` are ``expectation_report`` keyword arguments. The batch
+    is pinned with ``persist`` because it feeds two consumers (the
+    report and the delivery/quarantine write). The gate owns its
+    counters; ``inner`` keeps its own delivery accounting.
+    """
+    from cloudtrace_exporter_spark.operators.expectations import expectation_report
+
+    def _sink(batch_df: DataFrame, epoch_id: int) -> None:
+        batch_df.persist()
+        try:
+            report = expectation_report(batch_df, **checks).collect()
+            total = report[0]["total"] if report else 0
+            bad = [r for r in report if not r["passed"]]
+            if bad:
+                if quarantine_dir:
+                    batch_df.write.mode("append").parquet(quarantine_dir)
+                if counters:
+                    detail = ", ".join(
+                        f"{r['expectation']}({r['column']})={r['violations']}" for r in bad
+                    )
+                    counters.record(failed=total, error=f"epoch {epoch_id}: {detail}")
+            else:
+                inner(batch_df, epoch_id)
+                if counters:
+                    counters.record(delivered=total)
+        finally:
+            batch_df.unpersist()
+
+    return _sink
+
+
 def run_to_completion(stream_df: DataFrame, sink: Callable[[DataFrame, int], None], checkpoint: str):
     """Start a foreachBatch query, drain all available input, stop.
 

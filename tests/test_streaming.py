@@ -526,3 +526,44 @@ def test_stream_keyword_percolator_matches_batch(spark, tmp_path):
     s = sorted((r["doc_id"], r["rule_id"]) for r in out.collect())
     b = sorted((r["doc_id"], r["rule_id"]) for r in text.keyword_percolate(docs).collect())
     assert s == b and len(s) > 0
+
+
+def test_quality_gated_sink_quarantines_failing_batches(spark, staged_events, tmp_path):
+    # round-6: B31 composed with the expectations admission gate — a
+    # batch reaches the inner sink only if every expectation passes;
+    # failing batches are counted whole and quarantined for replay
+    from cloudtrace_exporter_spark.streaming.sinks import foreach_batch_quality_gated
+
+    stream = read_event_stream(spark, staged_events)
+    counters = DeliveryCounters()
+    delivered_rows = []
+
+    def inner(batch_df, epoch_id):
+        delivered_rows.append(batch_df.count())
+
+    qdir = str(tmp_path / "quarantine")
+    # impossible bound: every batch has value > 10, so every batch fails
+    gate = foreach_batch_quality_gated(
+        inner,
+        {"not_null": ("event_id",), "bounds": {"value": (0.0, 10.0)}},
+        counters=counters,
+        quarantine_dir=qdir,
+    )
+    run_to_completion(stream, gate, str(tmp_path / "ckpt_gate_fail"))
+    assert delivered_rows == []            # nothing reached the inner sink
+    assert counters.failed == 1000         # whole fixture quarantined
+    assert counters.delivered == 0
+    assert "bounds(value)" in counters.errors[0]
+    assert spark.read.parquet(qdir).count() == 1000  # replayable
+
+    # permissive checks: everything flows, nothing quarantined
+    counters2 = DeliveryCounters()
+    gate_ok = foreach_batch_quality_gated(
+        inner,
+        {"not_null": ("event_id",)},
+        counters=counters2,
+    )
+    stream2 = read_event_stream(spark, staged_events)
+    run_to_completion(stream2, gate_ok, str(tmp_path / "ckpt_gate_ok"))
+    assert sum(delivered_rows) == 1000
+    assert counters2.delivered == 1000 and counters2.failed == 0

@@ -188,6 +188,21 @@ def main() -> None:
             f"embedding_outliers_scaled {tag}",
             lambda e=e: similarity.embedding_outliers_scaled(e),
         )
+    from cloudtrace_exporter_spark.operators import expectations
+
+    for tag, d in (("1x", docs1), ("10x", docs10)):
+        t(
+            f"expectation_report {tag}",
+            lambda d=d: expectations.expectation_report(
+                d,
+                not_null=("text", "source"),
+                unique=("doc_id",),
+                bounds={"n_chars": (1.0, None)},
+                accepted={"lang": ["en", "de", "fr", "zh", "es"]},
+            ),
+        )
+    for tag, d in (("1x", docs1), ("10x", docs10)):
+        t(f"pii_report {tag}", lambda d=d: text.pii_report(d))
 
 
 def semantic_dedup_probe(e, n_bits: int | None = None):

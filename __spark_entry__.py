@@ -3312,6 +3312,16 @@ def q_seasonal_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return analytics.seasonal_residual_outliers(load_table(spark, sf_dir, "events"))
 
 
+def q_water_fill_caps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North-star mixture planning, ORACLE-EXACT: max-min fair
+    (water-filling) per-source token allocation against a 60% global
+    budget — cap the over-represented feeds, never starve the small
+    ones. All-integer closed form (sorted-capacity scan fixes the cap
+    and a deterministic remainder distribution), so the plan is a pure
+    function of the corpus (curate.water_fill_caps)."""
+    return curate.water_fill_caps(load_table(spark, sf_dir, "documents"))
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -3348,6 +3358,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_export_manifest": q_export_manifest,
         "q_expectation_report": q_expectation_report,
         "q_pii_report": q_pii_report,
+        "q_water_fill_caps": q_water_fill_caps,
         # ---- keys below all have a green driver row in r1–r5 ----
         "q_leakage_safe_splits": q_leakage_safe_splits,
         "q_bm25_topk": q_bm25_topk,
@@ -5655,6 +5666,56 @@ def oracle_sql() -> dict[str, str]:
                      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
                      '[0-9]{6,}', '<NUM>', 'g') AS redacted
             FROM documents
+        """,
+        # round-6: water-filling token caps — all-integer closed form
+        # replayed stage by stage (profile → sorted scan → first
+        # feasible cap → remainder distribution by source order)
+        "q_water_fill_caps": f"""
+            WITH prof AS (
+              SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+                     CAST(sum(len({_TOKENS_SQL})) AS BIGINT) AS capacity
+              FROM documents GROUP BY source
+            ),
+            s1 AS (
+              SELECT *,
+                CAST(floor(sum(capacity) OVER () * 60 / 100) AS BIGINT) AS budget,
+                COALESCE(sum(capacity) OVER (ORDER BY capacity, source
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prefix_prev,
+                row_number() OVER (ORDER BY capacity, source) AS rn,
+                count(*) OVER () AS n
+              FROM prof
+            ),
+            s2 AS (
+              SELECT *, budget - prefix_prev AS need, n - rn + 1 AS remaining
+              FROM s1
+            ),
+            capt AS (
+              SELECT rn AS cap_rn,
+                     CAST(floor(CAST(need AS DOUBLE) / remaining) AS BIGINT) AS t,
+                     need % remaining AS rem
+              FROM s2 WHERE capacity * remaining >= need
+              ORDER BY rn LIMIT 1
+            ),
+            s3 AS (
+              SELECT s2.*, capt.cap_rn, capt.t, capt.rem,
+                (capt.cap_rn IS NOT NULL AND s2.rn >= capt.cap_rn) AS capped
+              FROM s2 LEFT JOIN capt ON TRUE
+            ),
+            s4 AS (
+              SELECT *, sum(CASE WHEN capped THEN 1 ELSE 0 END) OVER (
+                ORDER BY source ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+              ) AS rank_capped
+              FROM s3
+            )
+            SELECT source, n_docs, capacity,
+              CAST(CASE WHEN NOT capped THEN capacity
+                   ELSE t + CASE WHEN rank_capped <= rem THEN 1 ELSE 0 END
+              END AS BIGINT) AS allocated,
+              capped,
+              round(CAST(CASE WHEN NOT capped THEN capacity
+                         ELSE t + CASE WHEN rank_capped <= rem THEN 1 ELSE 0 END
+                    END AS DOUBLE) / capacity, 6) AS fill_rate
+            FROM s4
         """,
         # round-6: PII incidence audit — progressive redaction mirrors
         # PII_PATTERNS policy order; integer counts only

@@ -551,3 +551,97 @@ def export_manifest(
             F.sum("__v").alias("id_checksum"),
         )
     )
+
+
+def water_fill_caps(
+    docs: DataFrame,
+    *,
+    budget_num: int = 60,
+    budget_den: int = 100,
+    source_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Max-min fair (water-filling) per-source token allocation: given a
+    global token budget B (a ``budget_num/budget_den`` fraction of the
+    corpus, so the contract is scale-free), find the cap T such that
+    every source keeps min(capacity, T) tokens and the caps sum to the
+    budget — the allocation a mixture designer reaches for when the
+    instruction is "cap the over-represented feeds, never starve the
+    small ones" (the fairness twin of temperature_sampling_plan's
+    smoothing: water-filling is temperature → 0 subject to capacity).
+
+    ALL-INTEGER closed form, so the result is a pure function of the
+    corpus: sources sorted by capacity ascending, the first position
+    where cap·remaining ≥ budget−prefix fixes T = floor-div and a
+    remainder r < remaining; because r > 0 forces every capped source's
+    capacity strictly above T, the r leftover tokens go +1 each to the
+    first r capped sources in source-name order — deterministic,
+    engine-portable, no floats anywhere until the reported fill rate.
+
+    Scale shape: ONE source-keyed aggregation with map-side partials
+    reduces the corpus to a |sources|-row profile; every window below
+    runs on that profile (unpartitioned by design — bounded by source
+    cardinality, never data volume). Reference analogy: the reference
+    has no mixture planner; this extends the north-star curation
+    surface (SURVEY.md §2 B-rows).
+    """
+    prof = docs.groupBy(F.col(source_col).alias("source")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(text.token_count(text_col)).cast("long").alias("capacity"),
+    )
+    # [WindowExec: No Partition Defined — BENIGN HERE] every window in
+    # this function runs over the |sources|-row profile (single digits
+    # to thousands), never the corpus.
+    wall = Window.partitionBy()
+    budget = F.floor(F.sum("capacity").over(wall) * budget_num / budget_den).cast("long")
+    wcap = Window.orderBy(F.asc("capacity"), F.asc("source"))
+    prefix_prev = F.coalesce(
+        F.sum("capacity").over(wcap.rowsBetween(Window.unboundedPreceding, -1)),
+        F.lit(0).cast("long"),
+    )
+    rn = F.row_number().over(wcap)
+    remaining = F.count(F.lit(1)).over(wall) - rn + 1
+    need = budget - prefix_prev
+    feasible = F.col("capacity") * remaining >= need
+    # floor over a double division is exact while token totals stay
+    # below 2^53 ≈ 9e15 (a 100 TB corpus is ~2.5e13 tokens — 360×
+    # headroom); the sum/product stays in exact long arithmetic.
+    cand = F.when(
+        feasible,
+        F.struct(
+            rn.alias("rn"),
+            F.floor(need / remaining).cast("long").alias("t"),
+            (need % remaining).cast("long").alias("rem"),
+        ),
+    )
+    # three selects: window results feed later windows, and Spark (like
+    # SQL) forbids nesting a window function over another's output in
+    # one projection.
+    s1 = prof.select(
+        "source", "n_docs", "capacity", rn.alias("__rn"), cand.alias("__cand")
+    )
+    s2 = s1.select(
+        "source",
+        "n_docs",
+        "capacity",
+        "__rn",
+        F.min("__cand").over(wall).alias("__cap"),
+    )
+    c = F.col("__cap")
+    capped = c.isNotNull() & (F.col("__rn") >= c["rn"])
+    s3 = s2.withColumn("__capped", capped)
+    wsrc = Window.orderBy(F.asc("source")).rowsBetween(Window.unboundedPreceding, 0)
+    rank_capped = F.sum(F.when(F.col("__capped"), 1).otherwise(0)).over(wsrc)
+    alloc = (
+        F.when(~F.col("__capped"), F.col("capacity"))
+        .otherwise(c["t"] + F.when(rank_capped <= c["rem"], 1).otherwise(0))
+        .cast("long")
+    )
+    return s3.select(
+        "source",
+        "n_docs",
+        "capacity",
+        alloc.alias("allocated"),
+        F.col("__capped").alias("capped"),
+        F.round(alloc / F.col("capacity"), 6).alias("fill_rate"),
+    ).orderBy("source")

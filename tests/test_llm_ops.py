@@ -1807,3 +1807,46 @@ def test_pii_report_policy_order_and_counts(spark):
     assert rep[("logs", "num")]["docs_hit"] == 1
     assert rep[("logs", "url")]["matches"] == 0
     assert all(r["total_docs"] == 2 for r in rep.values())
+
+
+def test_water_fill_caps_is_max_min_fair(spark):
+    # one oversized feed + small feeds: water-filling must keep every
+    # small feed whole and absorb the entire cut from the big one;
+    # allocations must sum exactly to the integer budget
+    from cloudtrace_exporter_spark.operators.curate import water_fill_caps
+
+    rows = []
+    did = 0
+    for src, n_docs, words in [("tiny", 2, 3), ("mid", 3, 5), ("huge", 10, 50)]:
+        for _ in range(n_docs):
+            rows.append((did, " ".join(["w"] * words), src))
+            did += 1
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = {r["source"]: r for r in water_fill_caps(docs, budget_num=1, budget_den=2).collect()}
+    total = 2 * 3 + 3 * 5 + 10 * 50  # 521
+    budget = total // 2  # 260
+    assert sum(r["allocated"] for r in out.values()) == budget
+    # small feeds untouched, big feed takes the whole cut
+    assert out["tiny"]["allocated"] == 6 and not out["tiny"]["capped"]
+    assert out["mid"]["allocated"] == 15 and not out["mid"]["capped"]
+    assert out["huge"]["allocated"] == budget - 21 and out["huge"]["capped"]
+    for r in out.values():
+        assert r["allocated"] <= r["capacity"]
+
+
+def test_water_fill_caps_remainder_distribution_is_deterministic(spark):
+    # equal capacities with a budget that doesn't divide evenly: the
+    # remainder goes +1 each to the first sources in NAME order
+    from cloudtrace_exporter_spark.operators.curate import water_fill_caps
+
+    rows = []
+    did = 0
+    for src in ["a", "b", "c"]:
+        for _ in range(2):
+            rows.append((did, " ".join(["w"] * 5), src))
+            did += 1
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    # total 30, budget floor(30*2/3) = 20 -> T=6 rem=2 -> a,b get 7, c gets 6
+    out = {r["source"]: r["allocated"] for r in water_fill_caps(
+        docs, budget_num=2, budget_den=3).collect()}
+    assert out == {"a": 7, "b": 7, "c": 6}

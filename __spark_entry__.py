@@ -3312,6 +3312,17 @@ def q_seasonal_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return analytics.seasonal_residual_outliers(load_table(spark, sf_dir, "events"))
 
 
+def q_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus saturation diagnostic, ORACLE-EXACT: the Heaps'-law
+    vocabulary growth curve — never-before-seen token types per
+    ingestion-order slice, cumulative types/tokens, running type-token
+    ratio (text.vocab_growth_curve). One token-keyed shuffle; the curve
+    itself is ≤n_buckets rows."""
+    return text.vocab_growth_curve(
+        load_table(spark, sf_dir, "documents"), n_buckets=16
+    )
+
+
 def q_water_fill_caps(spark: SparkSession, sf_dir: str) -> DataFrame:
     """North-star mixture planning, ORACLE-EXACT: max-min fair
     (water-filling) per-source token allocation against a 60% global
@@ -3359,6 +3370,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_expectation_report": q_expectation_report,
         "q_pii_report": q_pii_report,
         "q_water_fill_caps": q_water_fill_caps,
+        "q_vocab_growth": q_vocab_growth,
         # ---- keys below all have a green driver row in r1–r5 ----
         "q_leakage_safe_splits": q_leakage_safe_splits,
         "q_bm25_topk": q_bm25_topk,
@@ -5666,6 +5678,37 @@ def oracle_sql() -> dict[str, str]:
                      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
                      '[0-9]{6,}', '<NUM>', 'g') AS redacted
             FROM documents
+        """,
+        # round-6: Heaps'-law vocabulary growth — first-seen bucket per
+        # type, cumulative over the bounded curve
+        "q_vocab_growth": f"""
+            WITH mx AS (SELECT max(doc_id) AS m FROM documents),
+            b AS (
+              SELECT d.doc_id, d.text,
+                     CAST(floor(d.doc_id / (floor(m / 16) + 1)) AS BIGINT) AS bucket
+              FROM documents d, mx
+            ),
+            firsts AS (
+              SELECT bucket, CAST(count(*) AS BIGINT) AS new_types FROM (
+                SELECT tok, min(bucket) AS bucket
+                FROM (SELECT bucket, unnest({_TOKENS_SQL}) AS tok FROM b)
+                GROUP BY tok
+              ) GROUP BY bucket
+            ),
+            pb AS (
+              SELECT bucket, CAST(count(*) AS BIGINT) AS n_docs,
+                     CAST(sum(len({_TOKENS_SQL})) AS BIGINT) AS n_tokens
+              FROM b GROUP BY bucket
+            ),
+            c AS (
+              SELECT pb.bucket, pb.n_docs, pb.n_tokens,
+                     CAST(COALESCE(f.new_types, 0) AS BIGINT) AS new_types,
+                     CAST(sum(pb.n_tokens) OVER (ORDER BY pb.bucket) AS BIGINT) AS cum_tokens,
+                     CAST(sum(COALESCE(f.new_types, 0)) OVER (ORDER BY pb.bucket) AS BIGINT) AS cum_types
+              FROM pb LEFT JOIN firsts f ON pb.bucket = f.bucket
+            )
+            SELECT *, round(CAST(cum_types AS DOUBLE) / cum_tokens, 6) AS type_token_ratio
+            FROM c ORDER BY bucket
         """,
         # round-6: water-filling token caps — all-integer closed form
         # replayed stage by stage (profile → sorted scan → first

@@ -12,7 +12,7 @@ engines' regex dialects interpret identically.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 #: BPE-ish pre-tokenizer: letter runs, digit runs, or single non-space symbols
@@ -1513,4 +1513,69 @@ def classifier_quality_score(
             F.when(F.col("n_tokens") > 0, F.col("w_sum") / F.col("n_tokens")).otherwise(F.lit(0.0))
             >= F.lit(threshold)
         ).alias("keep"),
+    )
+
+
+def vocab_growth_curve(
+    documents: DataFrame,
+    *,
+    n_buckets: int = 128,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Vocabulary GROWTH curve (Heaps'-law input): walk the corpus in
+    ingestion order (doc_id) in ``n_buckets`` equal-width slices and
+    report, per slice, how many never-before-seen token types appear —
+    plus the cumulative types/tokens and the running type-token ratio.
+    The saturation diagnostic a data buyer reads before paying for the
+    next crawl tranche: a flattening curve says new data is re-treading
+    old vocabulary (the corpus-level twin of source_novelty's per-feed
+    marginal-content report).
+
+    Scale shape: bucket width derives from max(doc_id) via a 1-row
+    broadcast (never a corpus-sized ntile window); "first time seen" is
+    min(bucket) per type — ONE token-keyed shuffle (Zipf head is a
+    hot-key: map-side partial min absorbs it); everything after runs on
+    the ≤``n_buckets``-row curve. Engine-portable integer arithmetic
+    except the final ratio (one division, rounded).
+    """
+    base = documents.select(
+        F.col(id_col).cast("long").alias("__id"), F.col(text_col).alias("__text")
+    )
+    mx = base.agg(F.max("__id").alias("__mx"))
+    width = F.floor(F.col("__mx") / n_buckets) + 1
+    bucketed = (
+        base.join(F.broadcast(mx))
+        .withColumn("bucket", F.floor(F.col("__id") / width).cast("long"))
+    )
+    firsts = (
+        bucketed.select("bucket", F.explode(tokens("__text")).alias("__tok"))
+        .groupBy("__tok")
+        .agg(F.min("bucket").alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("new_types"))
+    )
+    per_bucket = bucketed.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(token_count("__text")).cast("long").alias("n_tokens"),
+    )
+    # [WindowExec: No Partition Defined — BENIGN HERE] the cumulative
+    # runs over the ≤n_buckets-row curve, never the corpus.
+    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        per_bucket.join(firsts, "bucket", "left")
+        .na.fill({"new_types": 0})
+        .select(
+            "bucket",
+            "n_docs",
+            "n_tokens",
+            F.col("new_types").cast("long").alias("new_types"),
+            F.sum("n_tokens").over(w).cast("long").alias("cum_tokens"),
+            F.sum("new_types").over(w).cast("long").alias("cum_types"),
+        )
+        .withColumn(
+            "type_token_ratio",
+            F.round(F.col("cum_types") / F.col("cum_tokens"), 6),
+        )
+        .orderBy("bucket")
     )

@@ -1850,3 +1850,21 @@ def test_water_fill_caps_remainder_distribution_is_deterministic(spark):
     out = {r["source"]: r["allocated"] for r in water_fill_caps(
         docs, budget_num=2, budget_den=3).collect()}
     assert out == {"a": 7, "b": 7, "c": 6}
+
+
+def test_vocab_growth_curve_detects_saturation(spark):
+    # docs 0-3 introduce fresh types; docs 4-7 re-tread them exactly ->
+    # the second half of the curve must show zero new types while
+    # tokens keep accumulating (the flattening a data buyer watches for)
+    from cloudtrace_exporter_spark.operators.text import vocab_growth_curve
+
+    fresh = ["a b", "c d", "e f", "g h"]
+    rows = [(i, t) for i, t in enumerate(fresh)]
+    rows += [(4 + i, t) for i, t in enumerate(fresh)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    # max id 7 -> width floor(7/4)+1 = 2 -> buckets 0..3, 2 docs each
+    out = {r["bucket"]: r for r in vocab_growth_curve(docs, n_buckets=4).collect()}
+    assert [out[b]["new_types"] for b in range(4)] == [4, 4, 0, 0]
+    assert [out[b]["cum_types"] for b in range(4)] == [4, 8, 8, 8]
+    assert [out[b]["cum_tokens"] for b in range(4)] == [4, 8, 12, 16]
+    assert out[3]["type_token_ratio"] == 0.5

@@ -3312,6 +3312,15 @@ def q_seasonal_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return analytics.seasonal_residual_outliers(load_table(spark, sf_dir, "events"))
 
 
+def q_kmv_join_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-driven join planning, ORACLE-EXACT: per event-type pair,
+    the distinct-user overlap estimated from KMV sketch state alone
+    (inclusion–exclusion over the merged union sketch) against the
+    exact overlap — the broadcast-vs-shuffle cardinality call a planner
+    makes from at-rest sketches (analytics.kmv_join_estimate)."""
+    return analytics.kmv_join_estimate(load_table(spark, sf_dir, "events"))
+
+
 def q_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus saturation diagnostic, ORACLE-EXACT: the Heaps'-law
     vocabulary growth curve — never-before-seen token types per
@@ -3371,6 +3380,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_pii_report": q_pii_report,
         "q_water_fill_caps": q_water_fill_caps,
         "q_vocab_growth": q_vocab_growth,
+        "q_kmv_join_estimate": q_kmv_join_estimate,
         # ---- keys below all have a green driver row in r1–r5 ----
         "q_leakage_safe_splits": q_leakage_safe_splits,
         "q_bm25_topk": q_bm25_topk,
@@ -5678,6 +5688,62 @@ def oracle_sql() -> dict[str, str]:
                      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
                      '[0-9]{6,}', '<NUM>', 'g') AS redacted
             FROM documents
+        """,
+        # round-6: KMV join-size estimate — inclusion-exclusion over the
+        # merged union sketch vs the exact pair overlap
+        "q_kmv_join_estimate": """
+            WITH dist AS (
+              SELECT DISTINCT event_type AS grp, user_id AS key,
+                     ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 12))::BIGINT AS hv
+              FROM events
+            ),
+            st AS (
+              SELECT grp, hv FROM (
+                SELECT grp, hv, row_number() OVER (PARTITION BY grp ORDER BY hv) AS rn
+                FROM (SELECT DISTINCT grp, hv FROM dist)
+              ) WHERE rn <= 64
+            ),
+            est AS (
+              SELECT grp,
+                     round(CASE WHEN count(*) < 64 THEN CAST(count(*) AS DOUBLE)
+                                ELSE 63 * 281474976710656.0 / max(hv) END, 1) AS kmv_estimate
+              FROM st GROUP BY grp
+            ),
+            tp AS (
+              SELECT a.grp AS type_a, b.grp AS type_b
+              FROM (SELECT DISTINCT grp FROM st) a, (SELECT DISTINCT grp FROM st) b
+              WHERE a.grp < b.grp
+            ),
+            merged AS (
+              SELECT DISTINCT tp.type_a, tp.type_b, st.hv
+              FROM tp JOIN st ON st.grp = tp.type_a OR st.grp = tp.type_b
+            ),
+            usk AS (
+              SELECT type_a, type_b, count(*) AS n_u, max(hv) AS kth_u FROM (
+                SELECT *, row_number() OVER (PARTITION BY type_a, type_b ORDER BY hv) AS rn
+                FROM merged
+              ) WHERE rn <= 64 GROUP BY type_a, type_b
+            ),
+            exact AS (
+              SELECT a.grp AS type_a, b.grp AS type_b, CAST(count(*) AS BIGINT) AS exact_overlap
+              FROM (SELECT DISTINCT grp, key FROM dist) a
+              JOIN (SELECT DISTINCT grp, key FROM dist) b
+                ON a.key = b.key AND a.grp < b.grp
+              GROUP BY 1, 2
+            )
+            SELECT u.type_a, u.type_b,
+                   COALESCE(x.exact_overlap, 0) AS exact_overlap,
+                   ea.kmv_estimate AS est_a, eb.kmv_estimate AS est_b,
+                   round(CASE WHEN u.n_u < 64 THEN CAST(u.n_u AS DOUBLE)
+                              ELSE 63 * 281474976710656.0 / u.kth_u END, 1) AS est_union,
+                   round(greatest(0.0, ea.kmv_estimate + eb.kmv_estimate
+                         - round(CASE WHEN u.n_u < 64 THEN CAST(u.n_u AS DOUBLE)
+                                      ELSE 63 * 281474976710656.0 / u.kth_u END, 1)), 1) AS est_overlap
+            FROM usk u
+            JOIN est ea ON ea.grp = u.type_a
+            JOIN est eb ON eb.grp = u.type_b
+            LEFT JOIN exact x ON x.type_a = u.type_a AND x.type_b = u.type_b
+            ORDER BY u.type_a, u.type_b
         """,
         # round-6: Heaps'-law vocabulary growth — first-seen bucket per
         # type, cumulative over the bounded curve

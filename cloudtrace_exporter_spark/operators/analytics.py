@@ -3548,3 +3548,83 @@ def winsorized_stats(
             F.round(F.max("f_hi"), 4).alias("fence_hi"),
         )
     )
+
+
+def kmv_join_estimate(
+    events: DataFrame,
+    *,
+    group_col: str = "event_type",
+    key_col: str = "user_id",
+    k: int = 64,
+) -> DataFrame:
+    """Sketch-driven JOIN-SIZE estimation: for every ordered pair of
+    groups, estimate the distinct-key overlap |A∩B| from the groups'
+    KMV sketches alone (inclusion–exclusion over the mergeable union
+    sketch: est_a + est_b − est_union), and report it against the exact
+    overlap — the cardinality estimate a planner would read off
+    at-rest sketch state to choose broadcast vs shuffle BEFORE paying
+    for either side's scan. The mergeability that makes this work
+    (sketch(A) ⊕ sketch(B) = sketch(A∪B)) is the same property
+    kmv_rollup exercises vertically; this is the horizontal use.
+
+    Scale shape: the corpus reduces to per-group ≤k-row sketch states
+    (one distinct shuffle + one bounded window); every pairwise step
+    runs on |groups|²·k rows — sketch-sized, never data-sized. The
+    exact overlap is one (group,key)-distinct self-join keyed on the
+    key column, bounded by co-group fan-out (≤|groups| per key).
+    Deterministic md5-prefix hashing — engine-portable, full oracle.
+    """
+    st = kmv_state(events, group_col=group_col, key_col=key_col, k=k)
+    est = kmv_estimate_from_state(st, k=k)
+    t = st.select("grp").distinct()
+    pairs = (
+        t.alias("a")
+        .join(t.alias("b"), F.col("a.grp") < F.col("b.grp"))
+        .select(F.col("a.grp").alias("type_a"), F.col("b.grp").alias("type_b"))
+    )
+    merged = (
+        pairs.join(
+            F.broadcast(st),
+            (F.col("grp") == F.col("type_a")) | (F.col("grp") == F.col("type_b")),
+        )
+        .select("type_a", "type_b", "hv")
+        .distinct()
+    )
+    w = Window.partitionBy("type_a", "type_b").orderBy("hv")
+    usk = (
+        merged.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).alias("n_u"), F.max("hv").alias("kth_u"))
+    )
+    est_u = F.when(F.col("n_u") < k, F.col("n_u").cast("double")).otherwise(
+        (k - 1) * F.lit(float(1 << 48)) / F.col("kth_u")
+    )
+    dist = events.select(
+        F.col(group_col).alias("grp"), F.col(key_col).alias("key")
+    ).distinct()
+    exact = (
+        dist.alias("a")
+        .join(dist.alias("b"), (F.col("a.key") == F.col("b.key")) & (F.col("a.grp") < F.col("b.grp")))
+        .groupBy(F.col("a.grp").alias("type_a"), F.col("b.grp").alias("type_b"))
+        .agg(F.count(F.lit(1)).cast("long").alias("exact_overlap"))
+    )
+    ea = est.select(F.col("grp").alias("type_a"), F.col("kmv_estimate").alias("est_a"))
+    eb = est.select(F.col("grp").alias("type_b"), F.col("kmv_estimate").alias("est_b"))
+    out = (
+        usk.join(F.broadcast(ea), "type_a")
+        .join(F.broadcast(eb), "type_b")
+        .withColumn("est_union", F.round(est_u, 1))
+        .withColumn(
+            "est_overlap",
+            F.round(
+                F.greatest(F.lit(0.0), F.col("est_a") + F.col("est_b") - F.round(est_u, 1)),
+                1,
+            ),
+        )
+        .join(exact, ["type_a", "type_b"], "left")
+        .na.fill({"exact_overlap": 0})
+    )
+    return out.select(
+        "type_a", "type_b", "exact_overlap", "est_a", "est_b", "est_union", "est_overlap"
+    ).orderBy("type_a", "type_b")

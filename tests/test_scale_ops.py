@@ -366,3 +366,30 @@ def test_lsh_index_roundtrip_serves_identical_results(spark, sf_dir, tmp_path):
     assert sorted(map(tuple, fresh)) == sorted(map(tuple, served))
     # at-rest layout prunes per-table lookups
     assert any(d.startswith("tbl=") for d in os.listdir(f"{path}/hashes"))
+
+
+def test_kmv_join_estimate_planted_overlap(spark):
+    # two groups sharing exactly 300 of 500 keys each, a third disjoint:
+    # the sketch estimate must land near the planted overlap and the
+    # disjoint pair must estimate (and measure) ~0
+    from cloudtrace_exporter_spark.operators.analytics import kmv_join_estimate
+
+    rows = []
+    eid = 0
+    for u in range(500):
+        rows.append((eid, u, "alpha")); eid += 1
+    for u in range(200, 700):          # 300 shared with alpha
+        rows.append((eid, u, "beta")); eid += 1
+    for u in range(10_000, 10_100):    # disjoint
+        rows.append((eid, u, "gamma")); eid += 1
+    ev = spark.createDataFrame(rows, "event_id long, user_id long, event_type string")
+    out = {(r["type_a"], r["type_b"]): r for r in kmv_join_estimate(ev).collect()}
+    assert set(out) == {("alpha", "beta"), ("alpha", "gamma"), ("beta", "gamma")}
+    ab = out[("alpha", "beta")]
+    assert ab["exact_overlap"] == 300
+    # k=64 KMV: std error ~ 1/sqrt(k) ≈ 12.5%; allow 3σ
+    assert abs(ab["est_overlap"] - 300) < 300 * 0.4
+    for pair in [("alpha", "gamma"), ("beta", "gamma")]:
+        r = out[pair]
+        assert r["exact_overlap"] == 0
+        assert r["est_overlap"] < 120  # noise floor of inclusion-exclusion

@@ -3312,6 +3312,15 @@ def q_seasonal_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return analytics.seasonal_residual_outliers(load_table(spark, sf_dir, "events"))
 
 
+def q_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series depth, ORACLE-EXACT: Holt double-exponential level +
+    trend folded through each series' full daily history, with 1- and
+    7-step forecasts (analytics.holt_forecast). The fold is a pinned
+    left-to-right IEEE recurrence with exactly-representable smoothing
+    constants, replayed bit-for-bit by a DuckDB recursive CTE."""
+    return analytics.holt_forecast(load_table(spark, sf_dir, "events"))
+
+
 def q_kmv_join_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch-driven join planning, ORACLE-EXACT: per event-type pair,
     the distinct-user overlap estimated from KMV sketch state alone
@@ -3381,6 +3390,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_water_fill_caps": q_water_fill_caps,
         "q_vocab_growth": q_vocab_growth,
         "q_kmv_join_estimate": q_kmv_join_estimate,
+        "q_holt_forecast": q_holt_forecast,
         # ---- keys below all have a green driver row in r1–r5 ----
         "q_leakage_safe_splits": q_leakage_safe_splits,
         "q_bm25_topk": q_bm25_topk,
@@ -5688,6 +5698,36 @@ def oracle_sql() -> dict[str, str]:
                      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
                      '[0-9]{6,}', '<NUM>', 'g') AS redacted
             FROM documents
+        """,
+        # round-6: Holt level+trend fold — the recursive CTE replays the
+        # exact IEEE recurrence (0.5/0.25 constants are exact doubles)
+        "q_holt_forecast": """
+            WITH RECURSIVE daily AS (
+              SELECT event_type AS series, date_trunc('day', ts) AS day,
+                     round(sum(value), 4) AS y
+              FROM events GROUP BY 1, 2
+            ),
+            idxd AS (
+              SELECT series, y,
+                     row_number() OVER (PARTITION BY series ORDER BY day) AS idx,
+                     count(*) OVER (PARTITION BY series) AS n
+              FROM daily
+            ),
+            it AS (
+              SELECT series, idx, n, y AS l, CAST(0.0 AS DOUBLE) AS b
+              FROM idxd WHERE idx = 1
+              UNION ALL
+              SELECT d.series, d.idx, d.n,
+                     0.5e0 * d.y + 0.5e0 * (it.l + it.b) AS l,
+                     0.25e0 * ((0.5e0 * d.y + 0.5e0 * (it.l + it.b)) - it.l)
+                       + 0.75e0 * it.b AS b
+              FROM it JOIN idxd d ON d.series = it.series AND d.idx = it.idx + 1
+            )
+            SELECT series, CAST(n AS BIGINT) AS n_days,
+                   round(l, 4) AS level, round(b, 4) AS trend,
+                   round(round(l, 4) + round(b, 4), 4) AS forecast_1,
+                   round(round(l, 4) + 7.0e0 * round(b, 4), 4) AS forecast_7
+            FROM it WHERE idx = n ORDER BY series
         """,
         # round-6: KMV join-size estimate — inclusion-exclusion over the
         # merged union sketch vs the exact pair overlap

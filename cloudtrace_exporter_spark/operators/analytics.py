@@ -3628,3 +3628,71 @@ def kmv_join_estimate(
     return out.select(
         "type_a", "type_b", "exact_overlap", "est_a", "est_b", "est_union", "est_overlap"
     ).orderBy("type_a", "type_b")
+
+
+def holt_forecast(
+    events: DataFrame,
+    *,
+    alpha: float = 0.5,
+    beta: float = 0.25,
+    horizon: int = 7,
+    value_col: str = "value",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Holt double-exponential smoothing over each series' DAILY totals:
+    level + trend state folded through the full history, then h-step
+    forecasts level + h·trend — the capacity-planning extrapolation one
+    rung above ewma_chart (which tracks level only and cannot forecast
+    a ramp).
+
+    Exactness strategy: the fold is a LEFT-TO-RIGHT sequential
+    recurrence over the sorted per-series daily array (F.aggregate),
+    and the smoothing constants default to EXACTLY-REPRESENTABLE
+    doubles (α=0.5, β=0.25, so 1−α and 1−β are exact too) — the fold
+    body is nothing but IEEE +/· in a pinned order, so a DuckDB
+    recursive CTE replays it bit-for-bit (full oracle; the truncated
+    ewma_chart solved the same problem by unrolling — this one pins the
+    order instead, which scales to unbounded history).
+
+    Scale shape: the corpus reduces map-side to the (series, day) grid
+    (ONE shuffle); collect_list then holds |calendar span| elements per
+    series — bounded by the date domain, never data volume (the
+    ewma_chart/daily_spine argument). Forecast arithmetic runs on the
+    4-rounded fold outputs so both engines extrapolate from identical
+    state.
+    """
+    daily = events.groupBy(
+        F.col(type_col).alias("series"), F.date_trunc("day", F.col(ts_col)).alias("day")
+    ).agg(F.round(F.sum(value_col), 4).alias("y"))
+    arr = daily.groupBy("series").agg(
+        F.sort_array(F.collect_list(F.struct("day", "y"))).alias("__seq")
+    )
+    a, b1 = float(alpha), float(beta)
+    oma, omb = 1.0 - a, 1.0 - b1
+
+    def merge(acc, x):
+        lp = F.lit(a) * x["y"] + F.lit(oma) * (acc["l"] + acc["b"])
+        return F.when(
+            acc["i"] == 0,
+            F.struct(x["y"].alias("l"), F.lit(0.0).alias("b"), F.lit(1).alias("i")),
+        ).otherwise(
+            F.struct(
+                lp.alias("l"),
+                (F.lit(b1) * (lp - acc["l"]) + F.lit(omb) * acc["b"]).alias("b"),
+                (acc["i"] + 1).alias("i"),
+            )
+        )
+
+    init = F.struct(F.lit(0.0).alias("l"), F.lit(0.0).alias("b"), F.lit(0).alias("i"))
+    folded = arr.select("series", F.aggregate("__seq", init, merge).alias("st"))
+    lvl = F.round(F.col("st.l"), 4)
+    trd = F.round(F.col("st.b"), 4)
+    return folded.select(
+        "series",
+        F.col("st.i").cast("long").alias("n_days"),
+        lvl.alias("level"),
+        trd.alias("trend"),
+        F.round(lvl + trd, 4).alias("forecast_1"),
+        F.round(lvl + F.lit(float(horizon)) * trd, 4).alias(f"forecast_{horizon}"),
+    ).orderBy("series")

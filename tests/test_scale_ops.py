@@ -393,3 +393,34 @@ def test_kmv_join_estimate_planted_overlap(spark):
         r = out[pair]
         assert r["exact_overlap"] == 0
         assert r["est_overlap"] < 120  # noise floor of inclusion-exclusion
+
+
+def test_holt_forecast_tracks_a_linear_ramp(spark):
+    # a perfect ramp: Holt's trend must converge toward the slope and
+    # the forecast must extrapolate ahead of the last level; verify the
+    # exact fold against an independent python recurrence
+    from datetime import datetime
+
+    from cloudtrace_exporter_spark.operators.analytics import holt_forecast
+
+    ys = [10.0, 20.0, 30.0, 40.0, 50.0, 60.0]
+    rows = [
+        (i, datetime(2024, 1, 1 + i, 5, 0, 0), 1, "ramp", ys[i], "{}")
+        for i in range(len(ys))
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    out = holt_forecast(ev).collect()
+    assert len(out) == 1 and out[0]["n_days"] == 6
+    l, b = ys[0], 0.0
+    for y in ys[1:]:
+        lp = 0.5 * y + 0.5 * (l + b)
+        b = 0.25 * (lp - l) + 0.75 * b
+        l = lp
+    r = out[0]
+    assert r["level"] == round(l, 4) and r["trend"] == round(b, 4)
+    assert r["forecast_1"] == round(round(l, 4) + round(b, 4), 4)
+    assert r["forecast_7"] == round(round(l, 4) + 7.0 * round(b, 4), 4)
+    assert r["trend"] > 5.0  # converging toward the true slope 10
+    assert r["forecast_7"] > r["level"]

@@ -3312,6 +3312,54 @@ def q_seasonal_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return analytics.seasonal_residual_outliers(load_table(spark, sf_dir, "events"))
 
 
+def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph community detection, ORACLE-EXACT: deterministic
+    synchronous label propagation (most-frequent neighbor label,
+    smallest-label tie-break, 4 rounds) over the SUBJECT—RESOURCE
+    bipartite graph (graph.label_propagation). The random tie-flip of
+    classic LPA is replaced by a total order, so a DuckDB CTE chain
+    replays the full trajectory."""
+    ev = _normalized_events(spark, sf_dir)
+    edges = ev.select(
+        F.col("subject").alias("src"), F.col("resource_id").alias("dst")
+    ).dropDuplicates(["src", "dst"])
+    return graph.label_propagation(edges, n_rounds=4)
+
+
+def _label_propagation_oracle_sql(*, n_rounds: int = 4) -> str:
+    """DuckDB replay of graph.label_propagation: one (vote-count,
+    argmax) CTE pair per round. Each label frame is referenced twice
+    (neighbor votes + self vote), so l{{r}} is MATERIALIZED — without it
+    DuckDB's inlining re-evaluates the chain 2^rounds times (the
+    BPE-oracle scalar-subquery lesson)."""
+    rounds = []
+    for r in range(1, n_rounds + 1):
+        rounds.append(f""",
+        n{r} AS (
+          SELECT id, lbl, count(*) AS cnt FROM (
+            SELECT u.a AS id, l.lbl FROM und u JOIN l{r - 1} l ON l.id = u.b
+            UNION ALL
+            SELECT id, lbl FROM l{r - 1}
+          ) GROUP BY 1, 2
+        ),
+        l{r} AS MATERIALIZED (
+          SELECT id, lbl FROM (
+            SELECT id, lbl,
+                   row_number() OVER (PARTITION BY id ORDER BY cnt DESC, lbl ASC) AS rn
+            FROM n{r}
+          ) WHERE rn = 1
+        )""")
+    return f"""
+        WITH {EVENTS_AS_TRACES_SQL.strip()},
+        e0 AS (SELECT DISTINCT subject AS a, resource_id AS b FROM norm
+               WHERE subject <> resource_id),
+        und AS (SELECT a, b FROM e0 UNION SELECT b AS a, a AS b FROM e0),
+        l0 AS (SELECT DISTINCT a AS id, a AS lbl FROM und)
+        {"".join(rounds)}
+        SELECT id, lbl AS community FROM l{n_rounds} ORDER BY id
+    """
+
+
 def q_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-series depth, ORACLE-EXACT: Holt double-exponential level +
     trend folded through each series' full daily history, with 1- and
@@ -3391,6 +3439,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_vocab_growth": q_vocab_growth,
         "q_kmv_join_estimate": q_kmv_join_estimate,
         "q_holt_forecast": q_holt_forecast,
+        "q_label_propagation": q_label_propagation,
         # ---- keys below all have a green driver row in r1–r5 ----
         "q_leakage_safe_splits": q_leakage_safe_splits,
         "q_bm25_topk": q_bm25_topk,
@@ -5699,6 +5748,9 @@ def oracle_sql() -> dict[str, str]:
                      '[0-9]{6,}', '<NUM>', 'g') AS redacted
             FROM documents
         """,
+        # round-6: label propagation — unrolled argmax chain, total-order
+        # tie-break makes the trajectory engine-portable
+        "q_label_propagation": _label_propagation_oracle_sql(),
         # round-6: Holt level+trend fold — the recursive CTE replays the
         # exact IEEE recurrence (0.5/0.25 constants are exact doubles)
         "q_holt_forecast": """

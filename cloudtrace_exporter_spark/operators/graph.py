@@ -430,3 +430,58 @@ def kcore(
         .filter(F.col("core_degree") >= k)
         .select(F.col("a").alias("id"), "core_degree")
     )
+
+
+def label_propagation(
+    edges: DataFrame,
+    *,
+    n_rounds: int = 4,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Deterministic synchronous label propagation (community
+    detection): every node starts as its own label; each round, a node
+    adopts the most frequent label among its neighbors AND itself
+    (self-inclusive voting), ties broken by SMALLEST label — the
+    Raghavan et al. 2007 algorithm with the random tie-flip replaced
+    by a total order and the known synchronous-update oscillation on
+    bipartite structures damped by the self-vote, so the trajectory is
+    a pure function of the graph (and a DuckDB CTE chain replays it
+    round for round). A fixed ``n_rounds`` keeps the unrolled oracle
+    finite; on this family of graphs 4 rounds is past the fixpoint for
+    the dense cores.
+
+    Scale shape: per round ONE neighbor-label join + ONE (node, label)
+    aggregation — both keyed shuffles on the (shrinking-entropy) label
+    frame; lineage truncated per round (localCheckpoint, the
+    pagerank/k-core posture). Labels are the node ids themselves
+    (strings) — no hash, engine-portable ordering.
+
+    Returns (id, community) for every node with ≥1 edge.
+    """
+    e = (
+        edges.select(
+            F.col(src).cast("string").alias("a"), F.col(dst).cast("string").alias("b")
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    und = (
+        e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = und.select(F.col("a").alias("id")).distinct().withColumn("lbl", F.col("id"))
+    for _ in range(n_rounds):
+        nbr = und.join(
+            labels.withColumnRenamed("id", "b"), "b"
+        ).select(F.col("a").alias("id"), "lbl")
+        votes = nbr.unionByName(labels.select("id", "lbl"))
+        counts = votes.groupBy("id", "lbl").agg(F.count(F.lit(1)).alias("cnt"))
+        labels = (
+            counts.groupBy("id")
+            .agg(F.min(F.struct((-F.col("cnt")).alias("nc"), F.col("lbl"))).alias("m"))
+            .select("id", F.col("m.lbl").alias("lbl"))
+            .localCheckpoint(eager=True)
+        )
+    return labels.select("id", F.col("lbl").alias("community")).orderBy("id")

@@ -254,3 +254,35 @@ def test_neighbor_jaccard_counts_shared_destinations(spark):
     r = got[("a", "b")]
     assert (r["shared"], r["deg_a"], r["deg_b"]) == (2, 3, 2)
     assert r["jaccard"] == round(2 / 3, 6)  # 2 / (3 + 2 - 2)
+
+
+def test_label_propagation_separates_planted_communities(spark):
+    # two dense stars sharing no edges: every member must adopt its
+    # star's label, and the two communities must stay distinct
+    from cloudtrace_exporter_spark.operators.graph import label_propagation
+
+    edges = []
+    for leaf in ["a1", "a2", "a3", "a4"]:
+        edges.append(("hubA", leaf))
+    for leaf in ["b1", "b2", "b3", "b4"]:
+        edges.append(("hubB", leaf))
+    df = spark.createDataFrame(edges, "src string, dst string")
+    out = {r["id"]: r["community"] for r in label_propagation(df, n_rounds=4).collect()}
+    a = {out[n] for n in ["hubA", "a1", "a2", "a3", "a4"]}
+    b = {out[n] for n in ["hubB", "b1", "b2", "b3", "b4"]}
+    assert len(a) == 1 and len(b) == 1 and a != b
+
+
+def test_label_propagation_tie_breaks_to_smallest_label(spark):
+    # a single edge: self-inclusive voting ties own-vs-neighbor label
+    # everywhere, the smallest label wins, and the pair converges to
+    # ONE community named by the smaller node — stable from round 1 on
+    from cloudtrace_exporter_spark.operators.graph import label_propagation
+
+    df = spark.createDataFrame([("x", "y")], "src string, dst string")
+    for rounds in (1, 2, 4):
+        out = {
+            r["id"]: r["community"]
+            for r in label_propagation(df, n_rounds=rounds).collect()
+        }
+        assert out == {"x": "x", "y": "x"}

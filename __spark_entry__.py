@@ -3312,6 +3312,14 @@ def q_seasonal_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return analytics.seasonal_residual_outliers(load_table(spark, sf_dir, "events"))
 
 
+def q_theilsen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust-statistics depth, ORACLE-EXACT: Theil–Sen trend per
+    series — lower-median of all pairwise daily slopes plus the
+    median-residual intercept (analytics.theil_sen_trend), the
+    outlier-immune twin of q_trend_fit's OLS line."""
+    return analytics.theil_sen_trend(load_table(spark, sf_dir, "events"))
+
+
 def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Graph community detection, ORACLE-EXACT: deterministic
     synchronous label propagation (most-frequent neighbor label,
@@ -3440,6 +3448,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_kmv_join_estimate": q_kmv_join_estimate,
         "q_holt_forecast": q_holt_forecast,
         "q_label_propagation": q_label_propagation,
+        "q_theilsen_trend": q_theilsen_trend,
         # ---- keys below all have a green driver row in r1–r5 ----
         "q_leakage_safe_splits": q_leakage_safe_splits,
         "q_bm25_topk": q_bm25_topk,
@@ -5747,6 +5756,45 @@ def oracle_sql() -> dict[str, str]:
                      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
                      '[0-9]{6,}', '<NUM>', 'g') AS redacted
             FROM documents
+        """,
+        # round-6: Theil-Sen — lower-median element selection (never an
+        # interpolated midpoint), IEEE slope arithmetic over rounded dailies
+        "q_theilsen_trend": """
+            WITH daily AS (
+              SELECT event_type AS series, date_trunc('day', ts) AS day,
+                     round(sum(value), 4) AS y
+              FROM events GROUP BY 1, 2
+            ),
+            grid AS (
+              SELECT series, y, date_diff('day', DATE '2024-01-01', CAST(day AS DATE)) AS d
+              FROM daily
+            ),
+            slopes AS (
+              SELECT a.series, (b.y - a.y) / CAST(b.d - a.d AS DOUBLE) AS slope
+              FROM grid a JOIN grid b ON a.series = b.series AND a.d < b.d
+            ),
+            sel AS (
+              SELECT series, slope, m AS n_pairs FROM (
+                SELECT series, slope,
+                       row_number() OVER (PARTITION BY series ORDER BY slope) AS rn,
+                       count(*) OVER (PARTITION BY series) AS m
+                FROM slopes
+              ) WHERE rn = CAST(floor((m + 1) / 2) AS BIGINT)
+            ),
+            resid AS (
+              SELECT g.series, s.n_pairs, s.slope, g.y - s.slope * g.d AS r
+              FROM grid g JOIN sel s ON g.series = s.series
+            )
+            SELECT series, CAST(k AS BIGINT) AS n_days,
+                   CAST(n_pairs AS BIGINT) AS n_pairs,
+                   round(slope, 6) AS ts_slope, round(r, 6) AS ts_intercept
+            FROM (
+              SELECT series, n_pairs, slope, r,
+                     row_number() OVER (PARTITION BY series ORDER BY r) AS rn,
+                     count(*) OVER (PARTITION BY series) AS k
+              FROM resid
+            ) WHERE rn = CAST(floor((k + 1) / 2) AS BIGINT)
+            ORDER BY series
         """,
         # round-6: label propagation — unrolled argmax chain, total-order
         # tie-break makes the trajectory engine-portable

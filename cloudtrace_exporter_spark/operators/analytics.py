@@ -3696,3 +3696,75 @@ def holt_forecast(
         F.round(lvl + trd, 4).alias("forecast_1"),
         F.round(lvl + F.lit(float(horizon)) * trd, 4).alias(f"forecast_{horizon}"),
     ).orderBy("series")
+
+
+def theil_sen_trend(
+    events: DataFrame,
+    *,
+    value_col: str = "value",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    epoch: str = "2024-01-01",
+) -> DataFrame:
+    """Theil–Sen robust trend per series: the MEDIAN of all pairwise
+    slopes over the daily grid (and the median-residual intercept) —
+    the estimator that shrugs off the outlier days that drag
+    trend_fit's OLS line (29% breakdown point vs OLS's zero).
+
+    Determinism contract: "median" is the LOWER median (the element at
+    1-based rank ⌈m/2⌉ in slope order) — an exact element selection,
+    not an interpolated midpoint, so no engine's even-count averaging
+    rule can split the result; every slope is one IEEE subtraction +
+    division over the 4-rounded daily totals, bit-identical across
+    engines (full oracle).
+
+    Scale shape: the corpus reduces map-side to the (series, day) grid
+    first; the pairwise self-join runs on that grid — |calendar span|²
+    pairs per series, bounded by the date domain (a decade of dailies
+    is ~6.7M pairs), never by data volume. One grid shuffle + one
+    series-keyed window each for slope and intercept medians.
+    """
+    day = F.date_trunc("day", F.col(ts_col))
+    daily = (
+        events.groupBy(F.col(type_col).alias("series"), day.alias("day"))
+        .agg(F.round(F.sum(value_col), 4).alias("y"))
+        .withColumn("d", F.datediff(F.col("day"), F.lit(epoch).cast("date")))
+    )
+    a, b = daily.alias("a"), daily.alias("b")
+    slopes = (
+        a.join(b, (F.col("a.series") == F.col("b.series")) & (F.col("a.d") < F.col("b.d")))
+        .select(
+            F.col("a.series").alias("series"),
+            ((F.col("b.y") - F.col("a.y")) / (F.col("b.d") - F.col("a.d"))).alias("slope"),
+        )
+    )
+    ws = Window.partitionBy("series").orderBy("slope")
+    # lower median: 1-based rank floor((m+1)/2) in slope order
+    sel = (
+        slopes.withColumn("rn", F.row_number().over(ws))
+        .withColumn("m", F.count(F.lit(1)).over(Window.partitionBy("series")))
+        .filter(F.col("rn") == F.floor((F.col("m") + 1) / 2))
+        .select("series", "slope", F.col("m").alias("n_pairs"))
+    )
+    resid = (
+        daily.join(sel, "series")
+        .select(
+            "series",
+            "n_pairs",
+            "slope",
+            (F.col("y") - F.col("slope") * F.col("d")).alias("r"),
+        )
+    )
+    wr = Window.partitionBy("series").orderBy("r")
+    med_r = (
+        resid.withColumn("rn", F.row_number().over(wr))
+        .withColumn("k", F.count(F.lit(1)).over(Window.partitionBy("series")))
+        .filter(F.col("rn") == F.floor((F.col("k") + 1) / 2))
+    )
+    return med_r.select(
+        "series",
+        F.col("k").cast("long").alias("n_days"),
+        F.col("n_pairs").cast("long").alias("n_pairs"),
+        F.round(F.col("slope"), 6).alias("ts_slope"),
+        F.round(F.col("r"), 6).alias("ts_intercept"),
+    ).orderBy("series")

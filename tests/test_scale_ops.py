@@ -424,3 +424,27 @@ def test_holt_forecast_tracks_a_linear_ramp(spark):
     assert r["forecast_7"] == round(round(l, 4) + 7.0 * round(b, 4), 4)
     assert r["trend"] > 5.0  # converging toward the true slope 10
     assert r["forecast_7"] > r["level"]
+
+
+def test_theil_sen_shrugs_off_outlier_days(spark):
+    # a clean slope-2 ramp with one wild outlier day: Theil-Sen must
+    # recover slope 2 exactly (the outlier corrupts a minority of the
+    # pairwise slopes), where OLS would be dragged far off
+    from datetime import datetime
+
+    from cloudtrace_exporter_spark.operators.analytics import theil_sen_trend
+
+    ys = [10.0, 12.0, 14.0, 16.0, 1000.0, 20.0, 22.0, 24.0, 26.0]
+    rows = [
+        (i, datetime(2024, 1, 1 + i, 3, 0, 0), 1, "s", ys[i], "{}")
+        for i in range(len(ys))
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    r = theil_sen_trend(ev).collect()[0]
+    assert r["n_days"] == 9 and r["n_pairs"] == 36
+    assert r["ts_slope"] == 2.0
+    # intercept: median residual of y - 2*d with d starting at day 0;
+    # day indices 0..8, clean residuals all 10, outlier residual 992
+    assert r["ts_intercept"] == 10.0

@@ -472,3 +472,44 @@ def test_expectation_report_single_pass(plans):
     p = plans("q_expectation_report")
     assert "Join" not in p
     assert p.count("Scan parquet") == 1
+
+
+def test_water_fill_caps_single_corpus_aggregation(plans):
+    # the corpus reduces to the per-source profile in ONE aggregation;
+    # everything after runs on the |sources|-row frame — no joins back
+    # to the fact table, no cartesian
+    p = plans("q_water_fill_caps")
+    assert "CartesianProduct" not in p
+    assert p.count("FileScan") == 1  # documents scanned once
+
+
+def test_vocab_growth_broadcasts_the_width_row(plans):
+    # max(doc_id) rides a 1-row broadcast (never an ntile window over
+    # the corpus); the only wide exchange is the token-keyed min-bucket
+    p = plans("q_vocab_growth")
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
+
+
+def test_kmv_join_estimate_sketch_sized_pair_space(plans):
+    # pair construction and union-sketch ranking run on sketch-state
+    # frames; the only corpus-wide work is the distinct — the exact
+    # overlap self-join is keyed (hash join), never nested-loop over data
+    p = plans("q_kmv_join_estimate")
+    assert "CartesianProduct" not in p
+
+
+def test_holt_forecast_one_grid_shuffle(plans):
+    # corpus -> (series, day) grid map-side, then one series fold; no
+    # window at all (the fold is an aggregate over the sorted array)
+    p = plans("q_holt_forecast")
+    assert "CartesianProduct" not in p
+    assert "WindowExec" not in p.split("AdaptiveSparkPlan")[0]
+
+
+def test_theilsen_pairwise_join_is_keyed_on_series(plans):
+    # the pairwise slope join must be an equi-join on series (hash or
+    # sort-merge over the bounded daily grid), never a nested loop
+    p = plans("q_theilsen_trend")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p

@@ -44,6 +44,28 @@ def replicate_docs(docs, copies: int):
     return out.repartition(32).cache()
 
 
+def replicate_events(ev, copies: int):
+    # new event ids + shifted users/subjects so distinct-key work grows
+    # with the replication factor (not just row count)
+    n = ev.count()
+    parts = []
+    for i in range(copies):
+        parts.append(
+            ev.select(
+                (F.col("event_id") + i * n).alias("event_id"),
+                "ts",
+                (F.col("user_id") + i * 1_000_000).alias("user_id"),
+                "event_type",
+                "value",
+                "props",
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.repartition(32).cache()
+
+
 def replicate_embeddings(emb, copies: int):
     n = emb.count()
     parts = []
@@ -203,6 +225,35 @@ def main() -> None:
         )
     for tag, d in (("1x", docs1), ("10x", docs10)):
         t(f"pii_report {tag}", lambda d=d: text.pii_report(d))
+
+    # --- round-6 second wave ---
+    from cloudtrace_exporter_spark.operators import analytics, curate as _cur, graph
+
+    ev1 = spark.read.parquet(f"{sf_dir}/events.parquet").cache()
+    ev1.count()
+    ev10 = replicate_events(ev1, 10)
+    ev10.count()
+    for tag, d in (("1x", docs1), ("10x", docs10)):
+        t(f"water_fill_caps {tag}", lambda d=d: _cur.water_fill_caps(d))
+    for tag, d in (("1x", docs1), ("10x", docs10)):
+        t(f"vocab_growth_curve {tag}", lambda d=d: text.vocab_growth_curve(d))
+    for tag, e in (("1x", ev1), ("10x", ev10)):
+        t(f"kmv_join_estimate {tag}", lambda e=e: analytics.kmv_join_estimate(e))
+    for tag, e in (("1x", ev1), ("10x", ev10)):
+        t(f"holt_forecast {tag}", lambda e=e: analytics.holt_forecast(e))
+    for tag, e in (("1x", ev1), ("10x", ev10)):
+        t(f"theil_sen_trend {tag}", lambda e=e: analytics.theil_sen_trend(e))
+    for tag, e in (("1x", ev1), ("10x", ev10)):
+        t(
+            f"label_propagation {tag}",
+            lambda e=e: graph.label_propagation(
+                e.select(
+                    F.col("user_id").cast("string").alias("src"),
+                    F.col("event_type").alias("dst"),
+                ).dropDuplicates(["src", "dst"]),
+                n_rounds=4,
+            ),
+        )
 
 
 def semantic_dedup_probe(e, n_bits: int | None = None):

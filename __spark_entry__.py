@@ -3312,6 +3312,16 @@ def q_seasonal_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return analytics.seasonal_residual_outliers(load_table(spark, sf_dir, "events"))
 
 
+def q_fd_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality discovery, ORACLE-EXACT: does source → lang hold
+    per feed — majority right-hand side, dissent count, and the
+    fd_holds verdict (expectations.fd_audit). The undeclared-
+    constraint twin of q_expectation_report."""
+    return expectations.fd_audit(
+        load_table(spark, sf_dir, "documents"), lhs="source", rhs="lang"
+    )
+
+
 def q_theilsen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Robust-statistics depth, ORACLE-EXACT: Theil–Sen trend per
     series — lower-median of all pairwise daily slopes plus the
@@ -3449,6 +3459,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_holt_forecast": q_holt_forecast,
         "q_label_propagation": q_label_propagation,
         "q_theilsen_trend": q_theilsen_trend,
+        "q_fd_audit": q_fd_audit,
         # ---- keys below all have a green driver row in r1–r5 ----
         "q_leakage_safe_splits": q_leakage_safe_splits,
         "q_bm25_topk": q_bm25_topk,
@@ -5756,6 +5767,31 @@ def oracle_sql() -> dict[str, str]:
                      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
                      '[0-9]{6,}', '<NUM>', 'g') AS redacted
             FROM documents
+        """,
+        # round-6: FD audit — per-lhs argmax with count-desc/rhs-asc
+        # tie-break (the label-propagation idiom)
+        "q_fd_audit": """
+            WITH c AS (
+              SELECT source AS lhs_value,
+                     COALESCE(CAST(lang AS VARCHAR), '<null>') AS rhs_value,
+                     CAST(count(*) AS BIGINT) AS cnt
+              FROM documents GROUP BY 1, 2
+            )
+            SELECT lhs_value, CAST(n_rows AS BIGINT) AS n_rows,
+                   CAST(n_distinct_rhs AS BIGINT) AS n_distinct_rhs,
+                   rhs_value AS majority_rhs,
+                   cnt AS majority_n,
+                   CAST(n_rows - cnt AS BIGINT) AS n_violations,
+                   n_distinct_rhs = 1 AS fd_holds
+            FROM (
+              SELECT lhs_value, rhs_value, cnt,
+                     sum(cnt) OVER (PARTITION BY lhs_value) AS n_rows,
+                     count(*) OVER (PARTITION BY lhs_value) AS n_distinct_rhs,
+                     row_number() OVER (PARTITION BY lhs_value
+                       ORDER BY cnt DESC, rhs_value ASC) AS rn
+              FROM c
+            ) WHERE rn = 1
+            ORDER BY lhs_value
         """,
         # round-6: Theil-Sen — lower-median element selection (never an
         # interpolated midpoint), IEEE slope arithmetic over rounded dailies

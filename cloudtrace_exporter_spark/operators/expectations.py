@@ -107,3 +107,48 @@ def expectation_report(
             (F.col("r.violations") == 0).alias("passed"),
         )
     )
+
+
+def fd_audit(
+    df: DataFrame,
+    *,
+    lhs: str,
+    rhs: str,
+) -> DataFrame:
+    """Functional-dependency audit: for each left-hand-side value,
+    does ``lhs → rhs`` hold — and when it doesn't, what is the
+    majority right-hand side and how many rows dissent? The schema-
+    discovery / consistency primitive (Papenbrock's FD-discovery
+    setting reduced to one candidate) that catches "this feed is
+    supposed to be single-language" or "this tenant maps to two
+    regions" without declaring a constraint up front — the discovery
+    twin of expectation_report's declared checks.
+
+    NULL rhs participates as an explicit '<null>' value (a NULL that
+    breaks a dependency IS a violation worth seeing, and coalescing
+    keeps the struct-argmax total order engine-portable).
+
+    Scale shape: ONE (lhs, rhs) aggregation with map-side partials —
+    the pair frame is bounded by the value-domain product, not data
+    volume — then a tiny per-lhs argmax (count desc, rhs asc
+    tie-break, the label-propagation idiom). Two keyed shuffles, the
+    second on the already-reduced frame; no joins, no windows.
+    """
+    c = df.groupBy(
+        F.col(lhs).alias("lhs_value"),
+        F.coalesce(F.col(rhs).cast("string"), F.lit("<null>")).alias("rhs_value"),
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    per = c.groupBy("lhs_value").agg(
+        F.sum("cnt").cast("long").alias("n_rows"),
+        F.count(F.lit(1)).cast("long").alias("n_distinct_rhs"),
+        F.min(F.struct((-F.col("cnt")).alias("nc"), F.col("rhs_value"))).alias("m"),
+    )
+    return per.select(
+        "lhs_value",
+        "n_rows",
+        "n_distinct_rhs",
+        F.col("m.rhs_value").alias("majority_rhs"),
+        (-F.col("m.nc")).cast("long").alias("majority_n"),
+        (F.col("n_rows") + F.col("m.nc")).cast("long").alias("n_violations"),
+        (F.col("n_distinct_rhs") == 1).alias("fd_holds"),
+    ).orderBy("lhs_value")

@@ -1868,3 +1868,32 @@ def test_vocab_growth_curve_detects_saturation(spark):
     assert [out[b]["cum_types"] for b in range(4)] == [4, 8, 8, 8]
     assert [out[b]["cum_tokens"] for b in range(4)] == [4, 8, 12, 16]
     assert out[3]["type_token_ratio"] == 0.5
+
+
+def test_fd_audit_flags_violations_and_nulls(spark):
+    # feed 'clean' maps to one lang (FD holds); 'mixed' has a majority
+    # and two dissenters; a NULL rhs counts as the explicit '<null>'
+    from cloudtrace_exporter_spark.operators.expectations import fd_audit
+
+    rows = [
+        (0, "t", "en", "clean"), (1, "t", "en", "clean"),
+        (2, "t", "de", "mixed"), (3, "t", "de", "mixed"),
+        (4, "t", "de", "mixed"), (5, "t", "fr", "mixed"),
+        (6, "t", None, "mixed"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string, source string")
+    out = {r["lhs_value"]: r for r in fd_audit(docs, lhs="source", rhs="lang").collect()}
+    assert out["clean"]["fd_holds"] and out["clean"]["n_violations"] == 0
+    m = out["mixed"]
+    assert not m["fd_holds"]
+    assert m["majority_rhs"] == "de" and m["majority_n"] == 3
+    assert m["n_distinct_rhs"] == 3 and m["n_violations"] == 2
+
+
+def test_fd_audit_tie_breaks_to_smallest_rhs(spark):
+    from cloudtrace_exporter_spark.operators.expectations import fd_audit
+
+    rows = [(0, "b", "s"), (1, "a", "s")]
+    docs = spark.createDataFrame(rows, "doc_id long, lang string, source string")
+    r = fd_audit(docs, lhs="source", rhs="lang").collect()[0]
+    assert r["majority_rhs"] == "a" and r["majority_n"] == 1 and r["n_violations"] == 1

@@ -567,3 +567,46 @@ def test_quality_gated_sink_quarantines_failing_batches(spark, staged_events, tm
     run_to_completion(stream2, gate_ok, str(tmp_path / "ckpt_gate_ok"))
     assert sum(delivered_rows) == 1000
     assert counters2.delivered == 1000 and counters2.failed == 0
+
+
+def test_streaming_kmv_state_merge_matches_batch_sketch(spark, tmp_path):
+    """kmv_state's docstring contract: a foreachBatch loop that merges
+    per-micro-batch sketches into standing state must end with EXACTLY
+    the sketch a single batch pass computes (mergeability is what makes
+    KMV a streaming-safe partial aggregate), and the estimate read off
+    the streamed state must match the batch estimate."""
+    from cloudtrace_exporter_spark.operators.analytics import (
+        kmv_estimate_from_state,
+        kmv_merge,
+        kmv_state,
+    )
+    from cloudtrace_exporter_spark.schemas import FIXTURE_SCHEMAS
+
+    ev = load_table(spark, SF, "events")
+    src = str(tmp_path / "ev_src")
+    ev.coalesce(4).write.mode("overwrite").parquet(src)
+
+    batch_state = kmv_state(ev, group_col="event_type", key_col="user_id", k=32)
+
+    state = {"df": None}
+
+    def merge_batch(bdf, _bid):
+        s = kmv_state(bdf, group_col="event_type", key_col="user_id", k=32)
+        state["df"] = s if state["df"] is None else kmv_merge(state["df"], s, k=32)
+        # standing state must stay collectable between triggers
+        state["df"] = spark.createDataFrame(state["df"].collect(), "grp string, hv long")
+
+    stream = (
+        spark.readStream.schema(FIXTURE_SCHEMAS["events"])
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = stream.writeStream.foreachBatch(merge_batch).trigger(availableNow=True).start()
+    q.awaitTermination(120)
+
+    b = {(r["grp"], r["hv"]) for r in batch_state.collect()}
+    s = {(r["grp"], r["hv"]) for r in state["df"].collect()}
+    assert b == s and len(b) > 0
+    be = {(r["grp"], r["kmv_estimate"]) for r in kmv_estimate_from_state(batch_state, k=32).collect()}
+    se = {(r["grp"], r["kmv_estimate"]) for r in kmv_estimate_from_state(state["df"], k=32).collect()}
+    assert be == se

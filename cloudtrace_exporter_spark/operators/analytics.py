@@ -3573,8 +3573,27 @@ def kmv_join_estimate(
     exact overlap is one (group,key)-distinct self-join keyed on the
     key column, bounded by co-group fan-out (≤|groups| per key).
     Deterministic md5-prefix hashing — engine-portable, full oracle.
+
+    Plan hygiene: the (group, key) distinct frame and the ≤k-row sketch
+    state each feed 3+ consumers — both are cached (CacheManager dedups
+    identical plans) so the corpus distinct runs ONCE, not once per
+    reference; without this the plan pays ~15 exchanges for what is
+    sketch-sized work.
     """
-    st = kmv_state(events, group_col=group_col, key_col=key_col, k=k)
+    dist = (
+        events.select(F.col(group_col).alias("grp"), F.col(key_col).alias("key"))
+        .distinct()
+        .cache()
+    )
+    h = F.substring(F.md5(F.col("key").cast("string").cast("binary")), 1, 12)
+    wst = Window.partitionBy("grp").orderBy("hv")
+    st = (
+        dist.select("grp", F.conv(h, 16, 10).cast("long").alias("hv"))
+        .withColumn("rn", F.row_number().over(wst))
+        .filter(F.col("rn") <= k)
+        .drop("rn")
+        .cache()
+    )
     est = kmv_estimate_from_state(st, k=k)
     t = st.select("grp").distinct()
     pairs = (
@@ -3600,9 +3619,6 @@ def kmv_join_estimate(
     est_u = F.when(F.col("n_u") < k, F.col("n_u").cast("double")).otherwise(
         (k - 1) * F.lit(float(1 << 48)) / F.col("kth_u")
     )
-    dist = events.select(
-        F.col(group_col).alias("grp"), F.col(key_col).alias("key")
-    ).distinct()
     exact = (
         dist.alias("a")
         .join(dist.alias("b"), (F.col("a.key") == F.col("b.key")) & (F.col("a.grp") < F.col("b.grp")))

@@ -3312,6 +3312,16 @@ def q_seasonal_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return analytics.seasonal_residual_outliers(load_table(spark, sf_dir, "events"))
 
 
+def q_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source distribution alignment, ORACLE-EXACT: quantile
+    normalization (Bolstad et al.) of per-source n_chars onto the
+    global distribution — exact-element mapping via integer index
+    arithmetic, range-partitioned global ranking
+    (curate.quantile_normalize). The batch-effect fix before a single
+    global quality threshold."""
+    return curate.quantile_normalize(load_table(spark, sf_dir, "documents"))
+
+
 def q_fd_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Data-quality discovery, ORACLE-EXACT: does source → lang hold
     per feed — majority right-hand side, dissent count, and the
@@ -3460,6 +3470,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_label_propagation": q_label_propagation,
         "q_theilsen_trend": q_theilsen_trend,
         "q_fd_audit": q_fd_audit,
+        "q_quantile_normalize": q_quantile_normalize,
         # ---- keys below all have a green driver row in r1–r5 ----
         "q_leakage_safe_splits": q_leakage_safe_splits,
         "q_bm25_topk": q_bm25_topk,
@@ -5767,6 +5778,37 @@ def oracle_sql() -> dict[str, str]:
                      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
                      '[0-9]{6,}', '<NUM>', 'g') AS redacted
             FROM documents
+        """,
+        # round-6: quantile normalization — exact-element global lookup,
+        # all index math integer; (v, doc_id) total order on both sides
+        "q_quantile_normalize": """
+            WITH vals AS (
+              SELECT doc_id, source AS grp, CAST(n_chars AS DOUBLE) AS v
+              FROM documents
+            ),
+            ranked AS (
+              SELECT v AS ref_v, row_number() OVER (ORDER BY v, doc_id) AS gi
+              FROM vals
+            ),
+            nn AS (SELECT CAST(count(*) AS BIGINT) AS N FROM vals),
+            per AS (
+              SELECT doc_id, grp, v,
+                     row_number() OVER (PARTITION BY grp ORDER BY v, doc_id) AS r,
+                     count(*) OVER (PARTITION BY grp) AS ns
+              FROM vals
+            ),
+            j AS (
+              SELECT p.doc_id, p.grp, p.v,
+                     CASE WHEN p.ns > 1
+                          THEN CAST(floor((p.r - 1) * (nn.N - 1) / (p.ns - 1)) AS BIGINT) + 1
+                          ELSE CAST(floor((nn.N + 1) / 2) AS BIGINT)
+                     END AS gi
+              FROM per p CROSS JOIN nn
+            )
+            SELECT j.doc_id, j.grp AS source, j.v AS raw_value,
+                   rk.ref_v AS normalized_value
+            FROM j JOIN ranked rk ON rk.gi = j.gi
+            ORDER BY j.doc_id
         """,
         # round-6: FD audit — per-lhs argmax with count-desc/rhs-asc
         # tie-break (the label-propagation idiom)

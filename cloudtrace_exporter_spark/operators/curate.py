@@ -645,3 +645,67 @@ def water_fill_caps(
         F.col("__capped").alias("capped"),
         F.round(alloc / F.col("capacity"), 6).alias("fill_rate"),
     ).orderBy("source")
+
+
+def quantile_normalize(
+    docs: DataFrame,
+    *,
+    value_col: str = "n_chars",
+    group_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Cross-source QUANTILE NORMALIZATION (Bolstad et al. 2003, the
+    microarray batch-effect fix applied to corpus curation): map every
+    document's score onto the GLOBAL score distribution at the same
+    within-source quantile, so a single downstream threshold means the
+    same thing for every feed — the correction step before a global
+    quality cut when feeds score on different scales (one crawler's
+    median length is another's p95).
+
+    Deterministic by construction: within-source rank r (value, id
+    total order) maps to the global sorted value at 1-based index
+    floor((r−1)·(N−1)/(n_s−1)) + 1 — an EXACT ELEMENT of the global
+    distribution (the Theil–Sen lower-median argument: element
+    selection, never interpolation, so no engine averaging rule can
+    split the result); all index arithmetic is integer. A
+    single-member source maps to the global lower median.
+
+    Scale shape: the global reference ranking uses global_row_number
+    (range-partitioned two-phase numbering — never a single-partition
+    window); the per-source rank is one group-keyed window; the lookup
+    is an equi-join on the computed global index. Three keyed shuffles
+    total, all on narrow (id, value, rank) frames.
+    """
+    vals = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(group_col).alias("grp"),
+        F.col(value_col).cast("double").alias("v"),
+    )
+    ranked = analytics.global_row_number(
+        vals.select("v", "doc_id"), [F.asc("v"), F.asc("doc_id")], with_total=True
+    ).select(F.col("rn").alias("gi"), F.col("v").alias("ref_v"), "_n_total")
+    wg = Window.partitionBy("grp").orderBy(F.asc("v"), F.asc("doc_id"))
+    wn = Window.partitionBy("grp")
+    per = vals.select(
+        "doc_id",
+        "grp",
+        "v",
+        F.row_number().over(wg).alias("r"),
+        F.count(F.lit(1)).over(wn).alias("ns"),
+    )
+    n_total = ranked.select(F.max("_n_total").alias("N"))
+    gi = F.when(
+        F.col("ns") > 1,
+        F.floor((F.col("r") - 1) * (F.col("N") - 1) / (F.col("ns") - 1)) + 1,
+    ).otherwise(F.floor((F.col("N") + 1) / 2)).cast("long")
+    keyed = per.join(F.broadcast(n_total)).withColumn("gi", gi)
+    return (
+        keyed.join(ranked.select("gi", "ref_v"), "gi")
+        .select(
+            "doc_id",
+            F.col("grp").alias(group_col),
+            F.col("v").alias("raw_value"),
+            F.col("ref_v").alias("normalized_value"),
+        )
+        .orderBy("doc_id")
+    )

@@ -1897,3 +1897,38 @@ def test_fd_audit_tie_breaks_to_smallest_rhs(spark):
     docs = spark.createDataFrame(rows, "doc_id long, lang string, source string")
     r = fd_audit(docs, lhs="source", rhs="lang").collect()[0]
     assert r["majority_rhs"] == "a" and r["majority_n"] == 1 and r["n_violations"] == 1
+
+
+def test_quantile_normalize_aligns_shifted_sources(spark):
+    # two sources with the SAME shape but shifted scales: after quantile
+    # normalization, rank-equivalent docs must land on identical global
+    # reference values, and each source's normalized set must span the
+    # same global quantile ladder
+    from cloudtrace_exporter_spark.operators.curate import quantile_normalize
+
+    rows = []
+    # source A: 1..5 ; source B: 101..105 (same ranks, shifted scale)
+    for i, v in enumerate([1, 2, 3, 4, 5]):
+        rows.append((i, "A", v))
+    for i, v in enumerate([101, 102, 103, 104, 105]):
+        rows.append((10 + i, "B", v))
+    docs = spark.createDataFrame(rows, "doc_id long, source string, n_chars long")
+    out = quantile_normalize(docs).collect()
+    by_src = {}
+    for r in out:
+        by_src.setdefault(r["source"], []).append(r["normalized_value"])
+    # N=10, ns=5: gi = floor((r-1)*9/4)+1 -> ranks 1..5 -> gi 1,3,5,7,10
+    # global sorted values: 1,2,3,4,5,101,102,103,104,105
+    expect = [1.0, 3.0, 5.0, 102.0, 105.0]
+    assert sorted(by_src["A"]) == expect
+    assert sorted(by_src["B"]) == expect  # the shift is gone
+
+
+def test_quantile_normalize_singleton_source_maps_to_lower_median(spark):
+    from cloudtrace_exporter_spark.operators.curate import quantile_normalize
+
+    rows = [(0, "big", 10), (1, "big", 20), (2, "big", 30), (3, "lone", 999)]
+    docs = spark.createDataFrame(rows, "doc_id long, source string, n_chars long")
+    out = {r["doc_id"]: r["normalized_value"] for r in quantile_normalize(docs).collect()}
+    # N=4 -> lower median index floor(5/2)=2 -> sorted values 10,20,30,999 -> 20
+    assert out[3] == 20.0

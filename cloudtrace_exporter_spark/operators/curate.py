@@ -699,13 +699,11 @@ def quantile_normalize(
         F.floor((F.col("r") - 1) * (F.col("N") - 1) / (F.col("ns") - 1)) + 1,
     ).otherwise(F.floor((F.col("N") + 1) / 2)).cast("long")
     keyed = per.join(F.broadcast(n_total)).withColumn("gi", gi)
-    return (
-        keyed.join(ranked.select("gi", "ref_v"), "gi")
-        .select(
-            "doc_id",
-            F.col("grp").alias(group_col),
-            F.col("v").alias("raw_value"),
-            F.col("ref_v").alias("normalized_value"),
-        )
-        .orderBy("doc_id")
+    # no final global sort: the output is corpus-sized — ordering it
+    # would add a full range exchange for presentation only
+    return keyed.join(ranked.select("gi", "ref_v"), "gi").select(
+        "doc_id",
+        F.col("grp").alias(group_col),
+        F.col("v").alias("raw_value"),
+        F.col("ref_v").alias("normalized_value"),
     )

@@ -513,3 +513,12 @@ def test_theilsen_pairwise_join_is_keyed_on_series(plans):
     p = plans("q_theilsen_trend")
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_quantile_normalize_no_single_partition_corpus_window(plans):
+    # the global ranking must come from the range-partitioned two-phase
+    # numbering — the only BNLJ is the 1-row N broadcast; the gi lookup
+    # is a hash join
+    p = plans("q_quantile_normalize")
+    assert "CartesianProduct" not in p
+    assert p.count("BroadcastNestedLoopJoin") <= 1

@@ -1445,13 +1445,28 @@ def global_row_number(
     window is over that tiny frame) and broadcast back. The two
     consumers of the ranged data share one ReusedExchange under AQE, so
     the fact shuffles exactly once. `order_cols` must be a total order
-    (include a unique tiebreak column) for determinism; range-sampling
-    seeds are deterministic per partition, so reruns reproduce.
+    (include a unique tiebreak column) for determinism — then the rank
+    VALUES are a pure function of the data however the range sampler
+    draws its boundaries (see the materialization note below).
 
     ``with_total=True`` adds a ``_n_total`` column (the global row count)
     carried from the SAME tiny offsets frame — consumers that need
     rank-over-count arithmetic (deciles, percent-of-total) get it for
     free instead of re-deriving the whole ranked lineage for a count.
+    Note the ranking itself is deterministic in VALUE terms regardless
+    of which partition a row lands in — `order_cols` is a total order —
+    but the offsets bookkeeping depends on one consistent partitioning:
+
+    The ranged frame MUST be materialized (cache) before fanning out to
+    its two consumers: column pruning gives offsets and the output join
+    DIFFERENT subtrees, so the exchange is NOT reused — and range-
+    boundary sampling seeds by RDD id, so two executions pick different
+    boundaries once the per-partition sample no longer covers the whole
+    input (≳tens of thousands of rows). Without the cache the offsets
+    disagree with row positions → duplicate and missing ranks. Caught
+    by the 50k-row probe; invisible at full-sample fixture scale. At
+    100 TB use persist(DISK_ONLY) — correctness requires ONE evaluation,
+    not memory residency.
     """
     lower33 = (1 << 33) - 1
     ranged = (
@@ -1460,6 +1475,7 @@ def global_row_number(
         .withColumn("_mid", F.monotonically_increasing_id())
         .withColumn("_pid", F.shiftright("_mid", 33).cast("int"))
         .withColumn("_local", (F.col("_mid").bitwiseAND(F.lit(lower33)) + 1))
+        .cache()
     )
     # [WindowExec: No Partition Defined — BENIGN HERE] the offsets frame
     # is ONE ROW PER PARTITION (= spark.sql.shuffle.partitions, ~32-2000),

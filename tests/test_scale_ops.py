@@ -448,3 +448,30 @@ def test_theil_sen_shrugs_off_outlier_days(spark):
     # intercept: median residual of y - 2*d with d starting at day 0;
     # day indices 0..8, clean residuals all 10, outlier residual 992
     assert r["ts_intercept"] == 10.0
+
+
+def test_global_row_number_is_a_bijection_beyond_sample_coverage(spark):
+    # regression: with ~50k rows the range-boundary sample no longer
+    # covers the input, and before the ranged frame was materialized its
+    # two consumers could execute the exchange twice with different
+    # boundaries -> duplicate AND missing ranks (caught by the 10x
+    # quantile-normalization probe: 50040 rows out of 50000)
+    from cloudtrace_exporter_spark.operators.analytics import global_row_number
+    from pyspark.sql import functions as F
+
+    n = 50_000
+    df = spark.range(n).select(
+        (F.col("id") * 2654435761 % 1_000_003).alias("v"), F.col("id").alias("doc_id")
+    )
+    r = global_row_number(df, [F.asc("v"), F.asc("doc_id")], with_total=True)
+    agg = r.agg(
+        F.count(F.lit(1)).alias("rows"),
+        F.countDistinct("rn").alias("distinct_rn"),
+        F.min("rn").alias("lo"),
+        F.max("rn").alias("hi"),
+        F.max("_n_total").alias("n_total"),
+    ).collect()[0]
+    assert agg["rows"] == n
+    assert agg["distinct_rn"] == n          # bijection
+    assert (agg["lo"], agg["hi"]) == (1, n)  # contiguous
+    assert agg["n_total"] == n

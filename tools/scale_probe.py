@@ -243,6 +243,8 @@ def main() -> None:
         t(f"holt_forecast {tag}", lambda e=e: analytics.holt_forecast(e))
     for tag, e in (("1x", ev1), ("10x", ev10)):
         t(f"theil_sen_trend {tag}", lambda e=e: analytics.theil_sen_trend(e))
+    for tag, d in (("1x", docs1), ("10x", docs10)):
+        t(f"quantile_normalize {tag}", lambda d=d: _cur.quantile_normalize(d))
     for tag, e in (("1x", ev1), ("10x", ev10)):
         t(
             f"label_propagation {tag}",

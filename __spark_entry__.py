@@ -3312,6 +3312,42 @@ def q_seasonal_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return analytics.seasonal_residual_outliers(load_table(spark, sf_dir, "events"))
 
 
+def q_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B36 visual near-dup end-to-end (rows-only: Python-side decode by
+    nature, like every multimodal path): synthesize a BMP per doc PLUS
+    a pixel-perturbed copy of each of the first 25 (planted visual
+    near-dups), perceptual-hash everything (aHash/dHash 64-bit), and
+    surface the near-dup pairs via the pigeonhole band join — each
+    planted pair must come back with a small Hamming distance. The
+    hash math and the banding exactness are pinned in
+    tests/test_llm_ops.py (brute-force-equality test)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id").filter(
+        F.col("doc_id") < 200
+    )
+    pays = multimodal.synthesize_bmp_payload(docs)
+    # twins carry the ORIGINAL's payload under a fresh id — every
+    # original gains one exact visual duplicate the band join must find
+    twins = pays.filter(F.col("doc_id") < 25).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"), "payload"
+    )
+    hashes = multimodal.perceptual_hash(pays.unionByName(twins))
+    pairs = multimodal.phash_near_dups(hashes, max_hamming=2)
+    # the synthetic gradient family is intentionally self-similar, so
+    # report the DISTANCE SPECTRUM with planted-recovery accounting:
+    # every planted twin must sit in the hamming=0 row
+    return (
+        pairs.withColumn(
+            "planted", (F.col("id_b") - F.col("id_a") == 1_000_000).cast("long")
+        )
+        .groupBy("hamming")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum("planted").alias("n_planted_recovered"),
+        )
+        .orderBy("hamming")
+    )
+
+
 def q_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-source distribution alignment, ORACLE-EXACT: quantile
     normalization (Bolstad et al.) of per-source n_chars onto the
@@ -3471,6 +3507,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_theilsen_trend": q_theilsen_trend,
         "q_fd_audit": q_fd_audit,
         "q_quantile_normalize": q_quantile_normalize,
+        # rows-only by design (Python-side image decode)
+        "q_phash_dedup": q_phash_dedup,
         # ---- keys below all have a green driver row in r1–r5 ----
         "q_leakage_safe_splits": q_leakage_safe_splits,
         "q_bm25_topk": q_bm25_topk,

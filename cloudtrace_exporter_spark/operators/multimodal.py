@@ -585,3 +585,148 @@ def resize_real(df: DataFrame, *, width: int, height: int) -> DataFrame:
             yield pd.DataFrame(rows, columns=cols)
 
     return df.select("doc_id", "payload").mapInPandas(_run, schema)
+
+
+PHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("format", T.StringType()),
+        T.StructField("ahash", T.LongType()),
+        T.StructField("dhash", T.LongType()),
+    ]
+)
+
+
+def _to_signed64(x: int) -> int:
+    return x - (1 << 64) if x >= (1 << 63) else x
+
+
+def _block_mean(gray, out_h: int, out_w: int):
+    """Exact block-mean downsample with floor-edge bins — deterministic
+    for any input size (no interpolation kernel to disagree about)."""
+    import numpy as np
+
+    h, w = gray.shape
+    ye = [(i * h) // out_h for i in range(out_h)] + [h]
+    xe = [(j * w) // out_w for j in range(out_w)] + [w]
+    out = np.empty((out_h, out_w), dtype=np.float64)
+    for i in range(out_h):
+        for j in range(out_w):
+            out[i, j] = gray[ye[i]: ye[i + 1], xe[j]: xe[j + 1]].mean()
+    return out
+
+
+def perceptual_hash(df: DataFrame, *, payload_col: str = "payload") -> DataFrame:
+    """Perceptual image fingerprints: aHash (8×8 block-mean grid
+    thresholded at its mean) and dHash (horizontal gradient signs over
+    an 8×9 grid) as 64-bit integers — the visual near-duplicate
+    primitive (re-encoded, resized, or slightly-edited images keep
+    nearly identical hashes; MinHash-for-pixels). Decodes with the same
+    pure-Python BMP/PPM parsers as decode_real and the same ITU-R 601
+    luma — swap in Pillow for JPEG/PNG corpora, the hash math is
+    decoder-independent.
+
+    Scale shape: one Arrow-batched mapInPandas narrow map, zero
+    shuffles; 64-bit outputs travel instead of pixels (the PQ
+    bytes-shrinking argument). Rows-only by design (Python-side
+    decode), like every multimodal path; the near-dup JOIN over these
+    hashes is engine-checkable and tested with planted perturbations.
+    """
+    import numpy as np
+
+    def _hash_one(doc_id, buf):
+        parsed = _parse_bmp(buf) if buf else None
+        fmt = "bmp" if parsed else None
+        if parsed is None and buf:
+            parsed = _parse_ppm(buf)
+            fmt = "ppm" if parsed else None
+        if parsed is None:
+            return (doc_id, "unsupported", None, None)
+        _w, _h, rgb = parsed
+        luma = 0.299 * rgb[..., 0] + 0.587 * rgb[..., 1] + 0.114 * rgb[..., 2]
+        g8 = _block_mean(luma, 8, 8)
+        m = g8.mean()
+        abits = 0
+        for i, v in enumerate(g8.ravel()):
+            if v > m:
+                abits |= 1 << i
+        g9 = _block_mean(luma, 8, 9)
+        dbits = 0
+        for r in range(8):
+            for c in range(8):
+                if g9[r, c] < g9[r, c + 1]:
+                    dbits |= 1 << (r * 8 + c)
+        return (doc_id, fmt, _to_signed64(abits), _to_signed64(dbits))
+
+    def _run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [f.name for f in PHASH_SCHEMA.fields]
+        for pdf in batches:
+            rows = [
+                _hash_one(d, bytes(b) if b is not None else b"")
+                for d, b in zip(pdf["doc_id"], pdf[payload_col])
+            ]
+            yield pd.DataFrame(rows, columns=cols)
+
+    return df.select("doc_id", F.col(payload_col).alias(payload_col)).mapInPandas(
+        _run, PHASH_SCHEMA
+    )
+
+
+def phash_near_dups(
+    hashes: DataFrame, *, max_hamming: int = 4, hash_col: str = "ahash"
+) -> DataFrame:
+    """Visual near-duplicate pairs from perceptual hashes: all (a, b)
+    with Hamming(hash_a, hash_b) ≤ ``max_hamming`` — WITHOUT the n²
+    comparison. The 64-bit hash splits into ``max_hamming + 1`` bit
+    bands; pigeonhole guarantees any qualifying pair agrees EXACTLY on
+    at least one band (the SimHash banding argument, simhash_near_dups'
+    text twin), so candidates come from band-bucket equi-joins and the
+    full Hamming distance (bit_count of xor) verifies in-bucket. EXACT:
+    no false negatives by construction.
+
+    One explode (+1 band rows per image) + one banded self-join on
+    64-bit keys + a distinct — linear in band-collision volume, never
+    in image pairs.
+    """
+    nb = max_hamming + 1
+    offs = [(i * 64) // nb for i in range(nb)] + [64]
+    h = hashes.filter(F.col(hash_col).isNotNull()).select(
+        "doc_id", F.col(hash_col).alias("__h")
+    )
+    bands = []
+    for i in range(nb):
+        width = offs[i + 1] - offs[i]
+        mask = (1 << width) - 1
+        bands.append(
+            F.struct(
+                F.lit(i).alias("band"),
+                F.expr(f"shiftrightunsigned(__h, {offs[i]})").bitwiseAND(
+                    F.lit(mask)
+                ).alias("key"),
+            )
+        )
+    banded = h.select("doc_id", "__h", F.explode(F.array(*bands)).alias("b")).select(
+        "doc_id", "__h", F.col("b.band").alias("band"), F.col("b.key").alias("key")
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            F.col("a.__h").alias("ha"),
+            F.col("b.__h").alias("hb"),
+        )
+        .distinct()
+    )
+    ham = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
+    return (
+        cand.withColumn("hamming", ham.cast("int"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

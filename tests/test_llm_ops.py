@@ -1932,3 +1932,67 @@ def test_quantile_normalize_singleton_source_maps_to_lower_median(spark):
     out = {r["doc_id"]: r["normalized_value"] for r in quantile_normalize(docs).collect()}
     # N=4 -> lower median index floor(5/2)=2 -> sorted values 10,20,30,999 -> 20
     assert out[3] == 20.0
+
+
+def test_perceptual_hash_catches_planted_visual_near_dups(spark):
+    # doc 100 is a pixel-perturbed copy of doc 0 (a few pixels changed):
+    # aHash Hamming distance must be small and the banded join must
+    # surface the pair; unrelated gradients must NOT pair up
+    import numpy as np
+
+    from cloudtrace_exporter_spark.operators.multimodal import (
+        encode_bmp,
+        perceptual_hash,
+        phash_near_dups,
+    )
+
+    yy, xx = np.mgrid[0:16, 0:16]
+
+    def img(k):
+        return np.stack(
+            [(xx * 7 + k) % 256, (yy * 11 + 3 * k) % 256, (xx + yy + 5 * k) % 256],
+            axis=-1,
+        ).astype(np.uint8)
+
+    base = img(0)
+    perturbed = base.copy()
+    perturbed[0, 0] = [255, 255, 255]
+    perturbed[7, 7] = [0, 0, 0]
+    rows = [(0, bytearray(encode_bmp(base))), (100, bytearray(encode_bmp(perturbed)))]
+    for k in (40, 80, 120):
+        rows.append((k, bytearray(encode_bmp(img(k)))))
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    hashes = perceptual_hash(df)
+    hs = {r["doc_id"]: r for r in hashes.collect()}
+    assert all(r["format"] == "bmp" for r in hs.values())
+    # identical-content check: hash is deterministic
+    assert hs[0]["ahash"] is not None
+    pairs = {(r["id_a"], r["id_b"]): r["hamming"] for r in phash_near_dups(hashes, max_hamming=4).collect()}
+    assert (0, 100) in pairs and pairs[(0, 100)] <= 4
+    assert all({a, b} == {0, 100} for a, b in pairs)
+
+
+def test_phash_banding_has_no_false_negatives_vs_brute_force(spark):
+    # EXACTNESS of the pigeonhole banding: every pair within the Hamming
+    # budget found by brute force must come back from the banded join
+    from cloudtrace_exporter_spark.operators.multimodal import phash_near_dups
+
+    base = 0x0123456789ABCDEF
+    rows = [(0, base)]
+    # flip 1..6 bits in distinct positions
+    for i, nflip in enumerate([1, 2, 3, 4, 5, 6], start=1):
+        h = base
+        for b in range(nflip):
+            h ^= 1 << (b * 9 + i)
+        rows.append((i, h - (1 << 64) if h >= (1 << 63) else h))
+    df = spark.createDataFrame([(d, h, h) for d, h in rows], "doc_id long, ahash long, dhash long")
+    got = {(r["id_a"], r["id_b"]): r["hamming"] for r in phash_near_dups(df, max_hamming=4).collect()}
+    import itertools
+    def ham(x, y):
+        return bin((x ^ y) & ((1 << 64) - 1)).count("1")
+    expect = {
+        (a, b): ham(ha, hb)
+        for (a, ha), (b, hb) in itertools.combinations(rows, 2)
+        if ham(ha, hb) <= 4
+    }
+    assert got == expect and (0, 1) in got and (0, 4) in got and (0, 5) not in got

@@ -1023,9 +1023,24 @@ def incremental_dedup(
     )
 
 
+def save_minhash_index(index: DataFrame, path: str) -> None:
+    """Persist a ``minhash_banded_index`` table to parquet — the
+    standing artifact of an incremental near-dup pipeline (the analog
+    of ``similarity.save_ivf_index``). Write once after a corpus build;
+    every subsequent batch joins against the loaded table and never
+    touches corpus text again."""
+    index.write.mode("overwrite").parquet(path)
+
+
+def load_minhash_index(spark, path: str) -> DataFrame:
+    """Load a persisted banded signature index (id, signature, band,
+    bucket). Feed it to ``incremental_near_dedup(corpus_index=...)``."""
+    return spark.read.parquet(path)
+
+
 def incremental_near_dedup(
     new: DataFrame,
-    corpus: DataFrame,
+    corpus: DataFrame | None = None,
     text_col: str = "text",
     id_col: str = "doc_id",
     *,
@@ -1034,18 +1049,26 @@ def incremental_near_dedup(
     shingle: int = 3,
     threshold: float = 0.5,
     portable: bool = False,
+    corpus_index: DataFrame | None = None,
 ) -> DataFrame:
     """Near-dup extension of ``incremental_dedup``: drop NEW docs whose
     MinHash signature agrees ≥ `threshold` with ANY corpus doc sharing an
     LSH band bucket. The steady-state artifact to persist is the
     corpus's banded signature table (narrow: id, band, bucket,
-    signature) — new batches never touch corpus text.
+    signature) — build with ``minhash_banded_index``, persist with
+    ``save_minhash_index``, and pass the loaded table as
+    ``corpus_index``: batches then never touch corpus text (exactly one
+    of ``corpus`` / ``corpus_index`` must be given; the index must have
+    been built with the SAME n_hashes/bands/shingle/portable settings,
+    or band buckets won't line up).
 
     Scale shape: cross-frame bucket join instead of a self-join — cost
     O(Σ |new bucket|·|corpus bucket|), the same near-linear LSH trade;
     the verify step is signature agreement (zip_with), no text compare.
     Returns the surviving NEW rows (id only).
     """
+    if (corpus is None) == (corpus_index is None):
+        raise ValueError("pass exactly one of corpus / corpus_index")
     r = n_hashes // bands
 
     def banded(df: DataFrame, side: str) -> DataFrame:
@@ -1069,7 +1092,15 @@ def incremental_near_dedup(
         ).select(f"{side}_id", f"{side}_sig", "bb.band", "bb.bucket")
 
     n_banded = banded(new, "new")
-    c_banded = banded(corpus, "old")
+    if corpus_index is not None:
+        c_banded = corpus_index.select(
+            F.col("id").alias("old_id"),
+            F.col("signature").alias("old_sig"),
+            "band",
+            "bucket",
+        )
+    else:
+        c_banded = banded(corpus, "old")
     agree = F.size(
         F.filter(F.zip_with("new_sig", "old_sig", lambda x, y: x == y), lambda eq: eq)
     )

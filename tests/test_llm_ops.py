@@ -1996,3 +1996,39 @@ def test_phash_banding_has_no_false_negatives_vs_brute_force(spark):
         if ham(ha, hb) <= 4
     }
     assert got == expect and (0, 1) in got and (0, 4) in got and (0, 5) not in got
+
+
+def test_incremental_near_dedup_against_a_persisted_index(spark, tmp_path):
+    # the production loop: build the banded index ONCE, persist, load,
+    # and dedup a new batch against it — results must equal the
+    # rebuild-from-text path, and the index path must not need corpus text
+    from cloudtrace_exporter_spark.operators.dedup import (
+        incremental_near_dedup,
+        load_minhash_index,
+        minhash_banded_index,
+        save_minhash_index,
+    )
+    import pytest
+
+    corpus = spark.createDataFrame(
+        [(0, "the quick brown fox jumps over the lazy dog today"),
+         (1, "completely unrelated text about spark shuffles and joins")],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [(10, "the quick brown fox jumps over the lazy dog today"),   # dup of 0
+         (11, "fresh content nobody has ever written before at all")],
+        "doc_id long, text string",
+    )
+    fresh = {r["doc_id"] for r in incremental_near_dedup(new, corpus).collect()}
+
+    path = str(tmp_path / "lsh_index")
+    save_minhash_index(minhash_banded_index(corpus), path)
+    idx = load_minhash_index(spark, path)
+    loaded = {r["doc_id"] for r in incremental_near_dedup(new, corpus_index=idx).collect()}
+    assert loaded == fresh == {11}
+
+    with pytest.raises(ValueError):
+        incremental_near_dedup(new)
+    with pytest.raises(ValueError):
+        incremental_near_dedup(new, corpus, corpus_index=idx)

@@ -163,17 +163,24 @@ def test_range_join_binned_is_equi_join_not_nested_loop(plans):
 
 
 def test_global_row_number_one_fact_shuffle(spark, sf_dir):
-    # the fact data must shuffle once (range partition), shared by the
-    # count branch and the numbering branch via runtime exchange reuse;
-    # the only Window is the tiny per-partition-offset cumsum — never a
-    # Window over the full fact
+    # the fact data must range-shuffle ONCE and both consumers (offsets
+    # + numbering) must read the SAME materialization. Round 6 replaced
+    # runtime exchange reuse with an explicit cache: reuse is not
+    # guaranteed (column pruning splits the canonical subtrees) and
+    # range-boundary sampling is seeded per execution, so two exchanges
+    # would silently produce duplicate/missing ranks — InMemoryRelation
+    # is now the REQUIRED shape, not an optimization. The only Window is
+    # the tiny per-partition-offset cumsum — never a Window over the
+    # full fact.
     qs = entry_mod.queries()
     df = qs["q_global_row_number"](spark, sf_dir)
-    df.collect()  # AQE finalizes reuse at runtime
+    df.collect()
     p = df._jdf.queryExecution().executedPlan().toString().split("== Initial Plan ==")[0]
-    assert "ReusedExchange" in p
-    assert p.count("rangepartitioning") >= 1
-    assert p.count("Window") == 1
+    assert "InMemoryTableScan" in p or "InMemoryRelation" in p
+    inmem = p.split("InMemoryRelation", 1)[-1]
+    assert "rangepartitioning" in inmem  # the cached frame IS the ranged one
+    live = p.split("InMemoryRelation", 1)[0]
+    assert live.count("Window") <= 1
 
 
 def test_shipping_priority_takeordered_and_pushdown(plans):

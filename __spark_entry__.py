@@ -3312,6 +3312,97 @@ def q_seasonal_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return analytics.seasonal_residual_outliers(load_table(spark, sf_dir, "events"))
 
 
+def q_bm25_prf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval depth, ORACLE-EXACT: pseudo-relevance feedback
+    (RM3/Rocchio-lite) — BM25 pass 1, harvest the top new terms from
+    each query's top-3 docs, expand, re-retrieve (text.bm25_prf_topk).
+    Both passes are the frozen-stats percolator BM25; the oracle
+    replays pass 1, the term harvest, and pass 2 end to end."""
+    return text.bm25_prf_topk(
+        load_table(spark, sf_dir, "documents"), _BM25_QUERIES, k=5
+    )
+
+
+def _bm25_prf_oracle_sql(
+    *, k: int = 5, fb_docs: int = 3, fb_terms: int = 5, k1: float = 1.2, b: float = 0.75
+) -> str:
+    """DuckDB replay of text.bm25_prf_topk: pass-1 ranking, feedback
+    term harvest (tf desc / term asc, originals excluded), expanded
+    term sets, pass-2 ranking. Shared frames (tok/tf/qt/feedback) are
+    MATERIALIZED — each is referenced twice and DuckDB's inlining would
+    otherwise re-evaluate the chain multiplicatively (the BPE lesson)."""
+    values = ", ".join(f"({qid}, '{qtext}')" for qid, qtext in _BM25_QUERIES)
+    norm = f"(tf + ({k1!r} * ({1 - b!r} + (({b!r} * dl) / avgdl))))"
+    idf = "ln(1.0 + (((n_docs - dfreq) + 0.5) / (dfreq + 0.5)))"
+    term_score = f"{idf} * ((tf * {k1 + 1!r}) / {norm})"
+    return f"""
+        WITH q(query_id, qtext) AS (VALUES {values}),
+        qt AS MATERIALIZED (
+          SELECT query_id,
+                 unnest(list_distinct(list_filter(string_split(qtext, ' '), x -> x <> ''))) AS term
+          FROM q
+        ),
+        tok AS MATERIALIZED (
+          SELECT doc_id, len({_TOKENS_SQL}) AS dl, unnest({_TOKENS_SQL}) AS term
+          FROM documents
+        ),
+        tf AS MATERIALIZED (
+          SELECT doc_id, term, count(*) AS tf, max(dl) AS dl
+          FROM tok GROUP BY doc_id, term
+        ),
+        stats AS MATERIALIZED (
+          SELECT count(*) AS n_docs, avg(len({_TOKENS_SQL})) AS avgdl FROM documents
+        ),
+        m1 AS (
+          SELECT tf.*, count(*) OVER (PARTITION BY term) AS dfreq
+          FROM tf WHERE term IN (SELECT DISTINCT term FROM qt)
+        ),
+        s1 AS (
+          SELECT query_id, doc_id, round(sum({term_score}), 4) AS score
+          FROM m1 JOIN qt USING (term) CROSS JOIN stats
+          GROUP BY query_id, doc_id
+        ),
+        fb AS MATERIALIZED (
+          SELECT query_id, doc_id FROM (
+            SELECT query_id, doc_id,
+                   row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rnk
+            FROM s1
+          ) WHERE rnk <= {fb_docs}
+        ),
+        exp_sel AS MATERIALIZED (
+          SELECT query_id, term FROM (
+            SELECT e.query_id, e.term,
+                   row_number() OVER (PARTITION BY e.query_id ORDER BY e.tf DESC, e.term ASC) AS rn
+            FROM (
+              SELECT f.query_id, t.term, count(*) AS tf
+              FROM fb f JOIN tok t USING (doc_id)
+              GROUP BY 1, 2
+            ) e
+            WHERE NOT EXISTS (
+              SELECT 1 FROM qt WHERE qt.query_id = e.query_id AND qt.term = e.term
+            )
+          ) WHERE rn <= {fb_terms}
+        ),
+        qt2 AS MATERIALIZED (
+          SELECT query_id, term FROM qt UNION SELECT query_id, term FROM exp_sel
+        ),
+        m2 AS (
+          SELECT tf.*, count(*) OVER (PARTITION BY term) AS dfreq
+          FROM tf WHERE term IN (SELECT DISTINCT term FROM qt2)
+        ),
+        s2 AS (
+          SELECT query_id, doc_id, round(sum({term_score}), 4) AS score
+          FROM m2 JOIN qt2 USING (term) CROSS JOIN stats
+          GROUP BY query_id, doc_id
+        )
+        SELECT query_id, doc_id, score, rnk FROM (
+          SELECT query_id, doc_id, score,
+                 row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rnk
+          FROM s2
+        ) WHERE rnk <= {k}
+    """
+
+
 def q_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B36 visual near-dup end-to-end (rows-only: Python-side decode by
     nature, like every multimodal path): synthesize a BMP per doc PLUS
@@ -3507,6 +3598,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_theilsen_trend": q_theilsen_trend,
         "q_fd_audit": q_fd_audit,
         "q_quantile_normalize": q_quantile_normalize,
+        "q_bm25_prf": q_bm25_prf,
         # rows-only by design (Python-side image decode)
         "q_phash_dedup": q_phash_dedup,
         # ---- keys below all have a green driver row in r1–r5 ----
@@ -5817,6 +5909,9 @@ def oracle_sql() -> dict[str, str]:
                      '[0-9]{6,}', '<NUM>', 'g') AS redacted
             FROM documents
         """,
+        # round-6: pseudo-relevance feedback — both BM25 passes + the
+        # term harvest replayed; shared frames MATERIALIZED
+        "q_bm25_prf": _bm25_prf_oracle_sql(),
         # round-6: quantile normalization — exact-element global lookup,
         # all index math integer; (v, doc_id) total order on both sides
         "q_quantile_normalize": """

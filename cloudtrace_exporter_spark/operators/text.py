@@ -1579,3 +1579,71 @@ def vocab_growth_curve(
         )
         .orderBy("bucket")
     )
+
+
+def bm25_prf_topk(
+    documents: DataFrame,
+    queries: list[tuple[int, str]],
+    *,
+    k: int = 5,
+    fb_docs: int = 3,
+    fb_terms: int = 5,
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Pseudo-relevance feedback retrieval (RM3/Rocchio-lite): run BM25,
+    treat each query's top ``fb_docs`` as relevant, harvest the
+    ``fb_terms`` most frequent NEW terms from those docs (tf desc, term
+    asc — total order), append them to the query, and re-retrieve —
+    the classic recall-recovering second pass of sparse retrieval
+    (vocabulary-mismatch fix: 'hash join' pulls in 'shuffle'/'probe'
+    and recalls docs that never say 'join').
+
+    Both passes ARE bm25_topk (same frozen-stats percolator shape, same
+    WAND-lite pruning, same salted two-phase top-k); the only addition
+    is the feedback term harvest — one join of the ≤|queries|·fb_docs
+    feedback ids against the token explode + a per-query window over
+    feedback-doc vocabulary (bounded by fb_docs·doclen, never corpus).
+    The expansion-term pull to the driver is |queries|·fb_terms strings
+    — the same sanctioned KB-sized snapshot as bm25_corpus_stats.
+    Fully deterministic → full DuckDB oracle replays both passes.
+    """
+    from pyspark.sql import Window
+
+    first = bm25_topk(
+        documents, queries, k=fb_docs, k1=k1, b=b, text_col=text_col, id_col=id_col
+    )
+    toks = documents.select(
+        F.col(id_col).alias("doc_id"), F.explode(tokens(text_col)).alias("term")
+    )
+    spark = documents.sparkSession
+    orig_rows = [
+        (qid, t) for qid, qtext in queries for t in sorted({x for x in qtext.split(" ") if x})
+    ]
+    orig_df = spark.createDataFrame(orig_rows, "query_id long, term string")
+    fb_tf = (
+        first.select("query_id", "doc_id")
+        .join(toks, "doc_id")
+        .groupBy("query_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .join(orig_df, ["query_id", "term"], "left_anti")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("tf"), F.asc("term"))
+    sel = (
+        fb_tf.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= fb_terms)
+        .select("query_id", "term")
+        .collect()
+    )
+    expansions: dict[int, list[str]] = {}
+    for r in sel:
+        expansions.setdefault(r["query_id"], []).append(r["term"])
+    queries2 = [
+        (qid, qtext + "".join(f" {t}" for t in sorted(expansions.get(qid, []))))
+        for qid, qtext in queries
+    ]
+    return bm25_topk(
+        documents, queries2, k=k, k1=k1, b=b, text_col=text_col, id_col=id_col
+    )

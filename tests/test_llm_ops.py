@@ -2032,3 +2032,25 @@ def test_incremental_near_dedup_against_a_persisted_index(spark, tmp_path):
         incremental_near_dedup(new)
     with pytest.raises(ValueError):
         incremental_near_dedup(new, corpus, corpus_index=idx)
+
+
+def test_bm25_prf_expands_vocabulary_and_recovers_recall(spark):
+    # doc 2 never contains a query term but shares vocabulary with the
+    # feedback doc — only the PRF second pass can retrieve it
+    from cloudtrace_exporter_spark.operators.text import bm25_prf_topk, bm25_topk
+
+    docs = spark.createDataFrame(
+        [
+            (0, "hash join probe build side shuffle"),
+            (1, "hash join partition skew salt"),
+            (2, "probe build shuffle exchange broadcast"),   # no query term!
+            (3, "completely unrelated text about gardens"),
+        ],
+        "doc_id long, text string",
+    )
+    queries = [(0, "hash join")]
+    base = {r["doc_id"] for r in bm25_topk(docs, queries, k=4).collect()}
+    prf = {r["doc_id"] for r in bm25_prf_topk(docs, queries, k=4, fb_docs=2, fb_terms=4).collect()}
+    assert 2 not in base            # vocabulary mismatch: invisible to pass 1
+    assert 2 in prf                 # expansion terms recover it
+    assert 3 not in prf             # noise stays out

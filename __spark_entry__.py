@@ -3403,6 +3403,100 @@ def _bm25_prf_oracle_sql(
     """
 
 
+def q_bm25_snippets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval last mile, ORACLE-EXACT: best query-term window per
+    (query, top-k doc) — maximal distinct-term coverage, then hits,
+    then earliest start — with the span text (text.bm25_snippets).
+    Span search runs on per-pair HIT LISTS, never the token stream."""
+    return text.bm25_snippets(
+        load_table(spark, sf_dir, "documents"), _BM25_QUERIES, k=3, window=8
+    )
+
+
+def _bm25_snippets_oracle_sql(
+    *, k: int = 3, window: int = 8, k1: float = 1.2, b: float = 0.75
+) -> str:
+    """DuckDB replay of text.bm25_snippets: the BM25 ranking chain plus
+    hit-anchored span search and the slice itself."""
+    values = ", ".join(f"({qid}, '{qtext}')" for qid, qtext in _BM25_QUERIES)
+    norm = f"(tf + ({k1!r} * ({1 - b!r} + (({b!r} * dl) / avgdl))))"
+    idf = "ln(1.0 + (((n_docs - dfreq) + 0.5) / (dfreq + 0.5)))"
+    term_score = f"{idf} * ((tf * {k1 + 1!r}) / {norm})"
+    return f"""
+        WITH q(query_id, qtext) AS (VALUES {values}),
+        qt AS MATERIALIZED (
+          SELECT query_id,
+                 unnest(list_distinct(list_filter(string_split(qtext, ' '), x -> x <> ''))) AS term
+          FROM q
+        ),
+        tok AS (
+          SELECT doc_id, len({_TOKENS_SQL}) AS dl, unnest({_TOKENS_SQL}) AS term
+          FROM documents
+        ),
+        tf AS (
+          SELECT doc_id, term, count(*) AS tf, max(dl) AS dl
+          FROM tok GROUP BY doc_id, term
+        ),
+        stats AS (
+          SELECT count(*) AS n_docs, avg(len({_TOKENS_SQL})) AS avgdl FROM documents
+        ),
+        matched AS (
+          SELECT tf.*, count(*) OVER (PARTITION BY term) AS dfreq
+          FROM tf WHERE term IN (SELECT DISTINCT term FROM qt)
+        ),
+        scored AS (
+          SELECT query_id, doc_id, round(sum({term_score}), 4) AS score
+          FROM matched JOIN qt USING (term) CROSS JOIN stats
+          GROUP BY query_id, doc_id
+        ),
+        ranked AS MATERIALIZED (
+          SELECT query_id, doc_id, score, rnk FROM (
+            SELECT query_id, doc_id, score,
+                   row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rnk
+            FROM scored
+          ) WHERE rnk <= {k}
+        ),
+        pos AS MATERIALIZED (
+          SELECT doc_id, generate_subscripts({_TOKENS_SQL}, 1) AS pos,
+                 unnest({_TOKENS_SQL}) AS term
+          FROM documents WHERE doc_id IN (SELECT DISTINCT doc_id FROM ranked)
+        ),
+        hits AS MATERIALIZED (
+          SELECT r.query_id, r.doc_id, p.term, p.pos
+          FROM (SELECT DISTINCT query_id, doc_id FROM ranked) r
+          JOIN pos p USING (doc_id)
+          JOIN qt ON qt.query_id = r.query_id AND qt.term = p.term
+        ),
+        spans AS (
+          SELECT a.query_id, a.doc_id, a.pos AS start,
+                 count(DISTINCT b.term) AS n_terms, count(*) AS n_hits
+          FROM hits a JOIN hits b
+            ON a.query_id = b.query_id AND a.doc_id = b.doc_id
+           AND b.pos >= a.pos AND b.pos < a.pos + {window}
+          GROUP BY 1, 2, 3
+        ),
+        best AS (
+          SELECT query_id, doc_id, start, n_terms, n_hits FROM (
+            SELECT *, row_number() OVER (
+              PARTITION BY query_id, doc_id
+              ORDER BY n_terms DESC, n_hits DESC, start ASC
+            ) AS rn FROM spans
+          ) WHERE rn = 1
+        )
+        SELECT bb.query_id, bb.doc_id, r.rnk, r.score,
+               CAST(bb.start AS BIGINT) AS start,
+               CAST(bb.n_terms AS BIGINT) AS n_terms,
+               CAST(bb.n_hits AS BIGINT) AS n_hits,
+               COALESCE(array_to_string(
+                 list_slice({_TOKENS_SQL}, CAST(bb.start AS INT),
+                            CAST(bb.start AS INT) + {window} - 1), ' '), '') AS snippet
+        FROM best bb
+        JOIN ranked r ON r.query_id = bb.query_id AND r.doc_id = bb.doc_id
+        JOIN documents d ON d.doc_id = bb.doc_id
+        ORDER BY bb.query_id, r.rnk
+    """
+
+
 def q_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B36 visual near-dup end-to-end (rows-only: Python-side decode by
     nature, like every multimodal path): synthesize a BMP per doc PLUS
@@ -3599,6 +3693,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_fd_audit": q_fd_audit,
         "q_quantile_normalize": q_quantile_normalize,
         "q_bm25_prf": q_bm25_prf,
+        "q_bm25_snippets": q_bm25_snippets,
         # rows-only by design (Python-side image decode)
         "q_phash_dedup": q_phash_dedup,
         # ---- keys below all have a green driver row in r1–r5 ----
@@ -5912,6 +6007,8 @@ def oracle_sql() -> dict[str, str]:
         # round-6: pseudo-relevance feedback — both BM25 passes + the
         # term harvest replayed; shared frames MATERIALIZED
         "q_bm25_prf": _bm25_prf_oracle_sql(),
+        # round-6: snippets — ranking chain + hit-anchored span search
+        "q_bm25_snippets": _bm25_snippets_oracle_sql(),
         # round-6: quantile normalization — exact-element global lookup,
         # all index math integer; (v, doc_id) total order on both sides
         "q_quantile_normalize": """

@@ -1647,3 +1647,88 @@ def bm25_prf_topk(
     return bm25_topk(
         documents, queries2, k=k, k1=k1, b=b, text_col=text_col, id_col=id_col
     )
+
+
+def bm25_snippets(
+    documents: DataFrame,
+    queries: list[tuple[int, str]],
+    *,
+    k: int = 3,
+    window: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Search-result SNIPPETS: for each (query, top-k doc) pair, the
+    best ``window``-token span — maximal distinct-query-term coverage,
+    then total hits, then earliest start (a total order) — plus the
+    span text itself. The last mile of the retrieval surface: ranking
+    says WHICH doc, this says WHY, and a labeling pipeline feeds the
+    span (not the 100 KB document) to the annotator or judge model.
+
+    Candidate starts are anchored at hit positions (an optimal window
+    can always start ON a hit — sliding left to the next hit never
+    loses coverage), so span search is a self-join of the per-(query,
+    doc) HIT LISTS — a few positions per pair, never the token stream;
+    the snippet slice joins back to the top-k docs only. Deterministic
+    end to end → full oracle replaying ranking + span selection.
+    """
+    ranked = bm25_topk(documents, queries, k=k, text_col=text_col, id_col=id_col)
+    toked = documents.select(
+        F.col(id_col).alias("doc_id"), tokens(text_col).alias("__t")
+    ).join(ranked.select("doc_id").distinct(), "doc_id")
+    pos = toked.select(
+        "doc_id", F.posexplode("__t").alias("pos", "term")
+    ).withColumn("pos", F.col("pos") + 1)
+    spark = documents.sparkSession
+    qt = spark.createDataFrame(
+        [
+            (qid, t)
+            for qid, qtext in queries
+            for t in sorted({x for x in qtext.split(" ") if x})
+        ],
+        "query_id long, term string",
+    )
+    hits = (
+        ranked.select("query_id", "doc_id")
+        .join(pos, "doc_id")
+        .join(qt, ["query_id", "term"])
+        .select("query_id", "doc_id", "term", "pos")
+    )
+    a, b = hits.alias("a"), hits.alias("b")
+    spans = (
+        a.join(
+            b,
+            (F.col("a.query_id") == F.col("b.query_id"))
+            & (F.col("a.doc_id") == F.col("b.doc_id"))
+            & (F.col("b.pos") >= F.col("a.pos"))
+            & (F.col("b.pos") < F.col("a.pos") + window),
+        )
+        .groupBy(
+            F.col("a.query_id").alias("query_id"),
+            F.col("a.doc_id").alias("doc_id"),
+            F.col("a.pos").alias("start"),
+        )
+        .agg(
+            F.countDistinct(F.col("b.term")).alias("n_terms"),
+            F.count(F.lit(1)).alias("n_hits"),
+        )
+    )
+    w = Window.partitionBy("query_id", "doc_id").orderBy(
+        F.desc("n_terms"), F.desc("n_hits"), F.asc("start")
+    )
+    best = spans.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    return (
+        best.join(ranked, ["query_id", "doc_id"])
+        .join(toked, "doc_id")
+        .select(
+            "query_id",
+            "doc_id",
+            "rnk",
+            "score",
+            F.col("start").cast("long").alias("start"),
+            F.col("n_terms").cast("long").alias("n_terms"),
+            F.col("n_hits").cast("long").alias("n_hits"),
+            F.concat_ws(" ", F.slice("__t", F.col("start"), window)).alias("snippet"),
+        )
+        .orderBy("query_id", "rnk")
+    )

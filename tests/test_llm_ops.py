@@ -2054,3 +2054,21 @@ def test_bm25_prf_expands_vocabulary_and_recovers_recall(spark):
     assert 2 not in base            # vocabulary mismatch: invisible to pass 1
     assert 2 in prf                 # expansion terms recover it
     assert 3 not in prf             # noise stays out
+
+
+def test_bm25_snippets_picks_the_densest_window(spark):
+    # the winning span must cover BOTH query terms even though a
+    # single-term cluster appears earlier in the document
+    from cloudtrace_exporter_spark.operators.text import bm25_snippets
+
+    text = "join join join filler filler filler filler hash x join tail tail"
+    docs = spark.createDataFrame(
+        [(0, text), (1, "unrelated garden text entirely")],
+        "doc_id long, text string",
+    )
+    out = bm25_snippets(docs, [(7, "hash join")], k=1, window=4).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["doc_id"] == 0 and r["n_terms"] == 2
+    # tokens are 1-based: 'hash' at 8, 'join' at 9 -> best window starts at 8
+    assert r["start"] == 8 and r["snippet"].startswith("hash x join")

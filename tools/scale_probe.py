@@ -245,6 +245,16 @@ def main() -> None:
         t(f"theil_sen_trend {tag}", lambda e=e: analytics.theil_sen_trend(e))
     for tag, d in (("1x", docs1), ("10x", docs10)):
         t(f"quantile_normalize {tag}", lambda d=d: _cur.quantile_normalize(d))
+    _BMQ = [
+        (0, "hash join"),
+        (1, "window agg stream"),
+        (2, "fast scan filter"),
+        (3, "customer order value the"),
+    ]
+    for tag, d in (("1x", docs1), ("10x", docs10)):
+        t(f"bm25_prf {tag}", lambda d=d: text.bm25_prf_topk(d, _BMQ))
+    for tag, d in (("1x", docs1), ("10x", docs10)):
+        t(f"bm25_snippets {tag}", lambda d=d: text.bm25_snippets(d, _BMQ))
     for tag, e in (("1x", ev1), ("10x", ev10)):
         t(
             f"label_propagation {tag}",

@@ -3403,6 +3403,17 @@ def _bm25_prf_oracle_sql(
     """
 
 
+def q_label_separation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space QA, ORACLE-EXACT: the label×label centroid-cosine
+    separation matrix (similarity.label_separation_matrix) — integer
+    BIGINT centroids and dots, floats only at the two sqrts and one
+    division per pair. Collapsed off-diagonal pairs flag label noise or
+    a dead encoder before anything trains on the labels."""
+    return similarity.label_separation_matrix(
+        load_table(spark, sf_dir, "embeddings")
+    )
+
+
 def q_bm25_snippets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Retrieval last mile, ORACLE-EXACT: best query-term window per
     (query, top-k doc) — maximal distinct-term coverage, then hits,
@@ -3694,6 +3705,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_quantile_normalize": q_quantile_normalize,
         "q_bm25_prf": q_bm25_prf,
         "q_bm25_snippets": q_bm25_snippets,
+        "q_label_separation": q_label_separation,
         # rows-only by design (Python-side image decode)
         "q_phash_dedup": q_phash_dedup,
         # ---- keys below all have a green driver row in r1–r5 ----
@@ -6009,6 +6021,42 @@ def oracle_sql() -> dict[str, str]:
         "q_bm25_prf": _bm25_prf_oracle_sql(),
         # round-6: snippets — ranking chain + hit-anchored span search
         "q_bm25_snippets": _bm25_snippets_oracle_sql(),
+        # round-6: class-separation matrix — integer centroids/dots, the
+        # embedding_outliers quantization recipe applied pairwise
+        "q_label_separation": """
+            WITH v AS (
+              SELECT label,
+                     list_transform(CAST(embedding AS DOUBLE[]),
+                                    x -> CAST(round(x * 10000) AS BIGINT)) AS v
+              FROM embeddings
+            ),
+            s AS (
+              SELECT label, generate_subscripts(v, 1) AS pos, unnest(v) AS val FROM v
+            ),
+            c AS (
+              SELECT label, pos, CAST(sum(val) AS BIGINT) // count(*) AS cd,
+                     count(*) AS n
+              FROM s GROUP BY 1, 2
+            ),
+            cent AS (
+              SELECT label, CAST(max(n) AS BIGINT) AS n_vectors,
+                     list(cd ORDER BY pos) AS c
+              FROM c GROUP BY label
+            ),
+            cd2 AS (
+              SELECT *, CAST(list_sum(list_transform(range(1, len(c) + 1),
+                             i -> c[i] * c[i])) AS BIGINT) AS n2
+              FROM cent
+            )
+            SELECT a.label AS label_a, b.label AS label_b,
+                   a.n_vectors AS n_a, b.n_vectors AS n_b,
+                   round(CAST(list_sum(list_transform(range(1, len(a.c) + 1),
+                         i -> a.c[i] * b.c[i])) AS BIGINT)
+                         / (sqrt(CAST(a.n2 AS DOUBLE)) * sqrt(CAST(b.n2 AS DOUBLE))), 6)
+                     AS centroid_cosine
+            FROM cd2 a JOIN cd2 b ON a.label <= b.label
+            ORDER BY label_a, label_b
+        """,
         # round-6: quantile normalization — exact-element global lookup,
         # all index math integer; (v, doc_id) total order on both sides
         "q_quantile_normalize": """

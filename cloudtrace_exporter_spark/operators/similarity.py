@@ -1423,3 +1423,88 @@ def retrieval_metrics_at_k(
             F.coalesce(F.lit(1.0) / first_hit, F.lit(0.0)), 6
         ).alias("mrr"),
     )
+
+
+def label_separation_matrix(
+    emb: DataFrame,
+    *,
+    scale: int = 10**4,
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Embedding CLASS-SEPARATION matrix, ORACLE-EXACT: cosine between
+    every pair of label centroids — the one-page answer to "are my
+    classes actually separated in this embedding space" before anyone
+    trains on the labels (collapsed pairs ⇒ label noise or a dead
+    encoder; the matrix diagonal-block structure is the visual the
+    alignment/uniformity literature reads). Same integer-quantization
+    recipe as embedding_outliers_scaled: BIGINT centroids by truncating
+    division, exact BIGINT dots; the only floats are two IEEE sqrts and
+    one division per pair, rounded at the edge.
+
+    Scale shape: one (label, pos) aggregation (map-side partials) whose
+    result is |labels|·dim rows — KBs, collected into a centroid frame
+    (the IVF discipline: collect moves centroids, never data rows);
+    every pairwise step runs on the |labels|-row frame.
+    """
+    qvec = F.transform(_as_double(vec_col), lambda x: F.round(x * scale).cast("long"))
+    v = _spread(emb).select(F.col(label_col).alias("label"), qvec.alias("v"))
+    sums = (
+        v.select("label", F.posexplode("v").alias("pos", "val"))
+        .groupBy("label", "pos")
+        .agg(F.sum("val").alias("s"), F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    cents: dict[int, dict[int, int]] = {}
+    counts: dict[int, int] = {}
+    for r in sums:
+        cents.setdefault(r["label"], {})[r["pos"]] = _trunc_div(int(r["s"]), int(r["n"]))
+        counts[r["label"]] = int(r["n"])
+    cent_rows = [
+        (lab, counts[lab], [dims[p] for p in sorted(dims)])
+        for lab, dims in sorted(cents.items())
+    ]
+    # centroids ride as JVM LITERALS (the _matrix_lit discipline), NOT
+    # createDataFrame: a Python-rows frame scans through a Python RDD,
+    # and the self-join scans it twice — two Python-worker spin-ups for
+    # 10 rows (~20 s of pure overhead measured); the literal frame is
+    # whole-stage-codegen'd JVM data
+    row_lits = F.array(
+        *[
+            F.struct(
+                F.lit(lab).cast("int").alias("label"),
+                F.lit(n).cast("long").alias("n_vectors"),
+                F.array(*[F.lit(x).cast("long") for x in vec]).alias("c"),
+            )
+            for lab, n, vec in cent_rows
+        ]
+    )
+    cdf = (
+        emb.sparkSession.range(1)
+        .select(F.explode(row_lits).alias("r"))
+        .select("r.label", "r.n_vectors", "r.c")
+    )
+    self_dot = F.aggregate(
+        F.zip_with("c", "c", lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    cd = cdf.withColumn("n2", self_dot)
+    a, b = cd.alias("a"), cd.alias("b")
+    dot = F.aggregate(
+        F.zip_with(F.col("a.c"), F.col("b.c"), lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    cos = dot / (F.sqrt(F.col("a.n2").cast("double")) * F.sqrt(F.col("b.n2").cast("double")))
+    return (
+        a.join(b, F.col("a.label") <= F.col("b.label"))
+        .select(
+            F.col("a.label").alias("label_a"),
+            F.col("b.label").alias("label_b"),
+            F.col("a.n_vectors").alias("n_a"),
+            F.col("b.n_vectors").alias("n_b"),
+            F.round(cos, 6).alias("centroid_cosine"),
+        )
+        .orderBy("label_a", "label_b")
+    )

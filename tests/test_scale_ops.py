@@ -475,3 +475,23 @@ def test_global_row_number_is_a_bijection_beyond_sample_coverage(spark):
     assert agg["distinct_rn"] == n          # bijection
     assert (agg["lo"], agg["hi"]) == (1, n)  # contiguous
     assert agg["n_total"] == n
+
+
+def test_label_separation_matrix_flags_collapsed_pairs(spark):
+    # labels 0/1 share a direction (collapsed); label 2 is orthogonal:
+    # the matrix must read ~1.0 on the diagonal and the collapsed pair,
+    # ~0 against the orthogonal class
+    from cloudtrace_exporter_spark.operators.similarity import label_separation_matrix
+
+    rows = []
+    vid = 0
+    for lab, base in [(0, [1.0, 0.0, 0.0, 0.0]), (1, [0.9, 0.1, 0.0, 0.0]), (2, [0.0, 0.0, 1.0, 0.0])]:
+        for j in range(4):
+            vec = [x + (0.001 * j if x > 0 else 0.0) for x in base]
+            rows.append((vid, vec, lab)); vid += 1
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>, label int")
+    out = {(r["label_a"], r["label_b"]): r["centroid_cosine"] for r in label_separation_matrix(emb).collect()}
+    assert out[(0, 0)] == 1.0 and out[(2, 2)] == 1.0
+    assert out[(0, 1)] > 0.98          # collapsed pair
+    assert out[(0, 2)] < 0.05 and out[(1, 2)] < 0.2
+    assert len(out) == 6               # upper triangle incl diagonal

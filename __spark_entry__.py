@@ -3403,6 +3403,75 @@ def _bm25_prf_oracle_sql(
     """
 
 
+def q_lsh_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index-tuning depth, ORACLE-EXACT: the LSH parameter report —
+    measured band-collision rate vs the theoretical S-curve 1−(1−s^r)^b
+    for every (bands, rows) split of the 32-slot signature, per
+    similarity decile (dedup.lsh_tuning_report). The table that picks
+    bands/rows before a 100 TB index build."""
+    return dedup.lsh_tuning_report(load_table(spark, sf_dir, "documents"))
+
+
+def _lsh_tuning_oracle_sql(*, n_hashes: int = 32) -> str:
+    """DuckDB replay of dedup.lsh_tuning_report: loosest-banding pair
+    population, per-config collision from the stored signatures, and
+    the midpoint S-curve by repeated multiplication (no pow)."""
+    bands_opt = [n_hashes]
+    while bands_opt[-1] > 1:
+        bands_opt.append(bands_opt[-1] // 2)
+    cfg_selects = []
+    for nb in bands_opt:
+        r = n_hashes // nb
+        band_preds = []
+        for band_i in range(nb):
+            slots = " AND ".join(
+                f"sig_a[{s + 1}] = sig_b[{s + 1}]"
+                for s in range(band_i * r, band_i * r + r)
+            )
+            band_preds.append(f"({slots})")
+        hit = " OR ".join(band_preds)
+        cfg_selects.append(
+            f"SELECT sim_bucket, {nb} AS n_bands, {r} AS n_rows,"
+            f" CAST(CASE WHEN {hit} THEN 1 ELSE 0 END AS BIGINT) AS hit FROM pairs"
+        )
+    def theo_sql(nb: int, r: int) -> str:
+        s_mid = "((CAST(sim_bucket AS DOUBLE) + 0.5) / 10.0)"
+        p = "1.0" + ("" if r == 0 else " * " + " * ".join([s_mid] * r))
+        q = f"(1.0 - ({p}))"
+        acc = "1.0" + ("" if nb == 0 else " * " + " * ".join([q] * nb))
+        return f"(1.0 - ({acc}))"
+    theo_case = " ".join(
+        f"WHEN n_bands = {nb} THEN round({theo_sql(nb, n_hashes // nb)}, 6)"
+        for nb in bands_opt
+    )
+    return _portable_banded_cte(n_hashes=n_hashes, bands=n_hashes) + f""",
+        cand AS (
+          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                 a.sig AS sig_a, b.sig AS sig_b
+          FROM banded a JOIN banded b
+            ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+        ),
+        pairs AS MATERIALIZED (
+          SELECT sig_a, sig_b,
+                 least(CAST(floor(len(list_filter(range(1, {n_hashes} + 1),
+                       i -> sig_a[i] = sig_b[i])) * 10 / {n_hashes}) AS BIGINT),
+                       9) AS sim_bucket
+          FROM cand
+        ),
+        outcomes AS (
+          {" UNION ALL ".join(cfg_selects)}
+        )
+        SELECT n_bands, n_rows, sim_bucket,
+               CAST(count(*) AS BIGINT) AS n_pairs,
+               CAST(sum(hit) AS BIGINT) AS n_collisions,
+               CAST(sum(hit) AS BIGINT) / CAST(count(*) AS BIGINT) AS measured_rate,
+               CASE {theo_case} END AS expected_rate
+        FROM outcomes
+        GROUP BY n_bands, n_rows, sim_bucket
+        ORDER BY n_bands, sim_bucket
+    """
+
+
 def q_label_separation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-space QA, ORACLE-EXACT: the label×label centroid-cosine
     separation matrix (similarity.label_separation_matrix) — integer
@@ -3706,6 +3775,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_bm25_prf": q_bm25_prf,
         "q_bm25_snippets": q_bm25_snippets,
         "q_label_separation": q_label_separation,
+        "q_lsh_tuning": q_lsh_tuning,
         # rows-only by design (Python-side image decode)
         "q_phash_dedup": q_phash_dedup,
         # ---- keys below all have a green driver row in r1–r5 ----
@@ -6021,6 +6091,9 @@ def oracle_sql() -> dict[str, str]:
         "q_bm25_prf": _bm25_prf_oracle_sql(),
         # round-6: snippets — ranking chain + hit-anchored span search
         "q_bm25_snippets": _bm25_snippets_oracle_sql(),
+        # round-6: LSH tuning — per-config collision from signatures,
+        # midpoint S-curve by repeated multiplication
+        "q_lsh_tuning": _lsh_tuning_oracle_sql(),
         # round-6: class-separation matrix — integer centroids/dots, the
         # embedding_outliers quantization recipe applied pairwise
         "q_label_separation": """

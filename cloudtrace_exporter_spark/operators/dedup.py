@@ -1723,3 +1723,115 @@ def containment_pairs_blocked(
         )
     )
     return _containment_verify(pairs, threshold)
+
+
+def lsh_tuning_report(
+    df: DataFrame,
+    *,
+    n_hashes: int = 32,
+    shingle: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """LSH PARAMETER-TUNING report: for every (bands, rows) split of the
+    signature and every similarity decile, the MEASURED band-collision
+    rate next to the THEORETICAL S-curve 1−(1−s^r)^b — the table an
+    operator reads to pick bands/rows before building a 100 TB index
+    (where is my threshold's knee, what leaks through, what
+    false-positives flood in).
+
+    The pair population is the candidates of the LOOSEST banding
+    (n_hashes bands × 1 row — collides when ANY slot agrees, so it
+    sees every pair the tighter configs could catch); each tighter
+    config's collision outcome is then evaluated DIRECTLY on the stored
+    signatures (∃ band: all r slots agree) — one pair frame, zero
+    re-banding joins. Engine-exactness: similarity deciles come from
+    the integer agreement count, measured rate is one int/int division,
+    and the theoretical curve is evaluated at the BUCKET MIDPOINT by
+    repeated multiplication (never pow/avg — no float summation or libm
+    call anywhere), so the full table replays in DuckDB.
+    """
+    idx = minhash_banded_index(
+        df, text_col=text_col, id_col=id_col, n_hashes=n_hashes,
+        bands=n_hashes, shingle=shingle, portable=True,
+    ).cache()
+    a, b = idx.alias("a"), idx.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("doc_a"),
+            F.col("b.id").alias("doc_b"),
+            F.col("a.signature").alias("sig_a"),
+            F.col("b.signature").alias("sig_b"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    agree = F.size(
+        F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda eq: eq)
+    )
+    base = cand.select("sig_a", "sig_b", agree.alias("__agree"))
+    bucket = F.least(F.floor(F.col("__agree") * 10 / n_hashes), F.lit(9)).cast("long")
+
+    configs = []
+    bands_opt = [n_hashes]
+    while bands_opt[-1] > 1:
+        bands_opt.append(bands_opt[-1] // 2)
+    for nb in bands_opt:
+        r = n_hashes // nb
+        collide = None
+        for band_i in range(nb):
+            all_eq = None
+            for s_i in range(band_i * r, band_i * r + r):
+                eq = F.col("sig_a")[s_i] == F.col("sig_b")[s_i]
+                all_eq = eq if all_eq is None else (all_eq & eq)
+            collide = all_eq if collide is None else (collide | all_eq)
+        configs.append(
+            F.struct(
+                F.lit(nb).alias("n_bands"),
+                F.lit(r).alias("n_rows"),
+                collide.cast("long").alias("hit"),
+            )
+        )
+    exploded = base.select(
+        bucket.alias("sim_bucket"), F.explode(F.array(*configs)).alias("c")
+    ).select("sim_bucket", F.col("c.n_bands"), F.col("c.n_rows"), F.col("c.hit"))
+    agg = exploded.groupBy("n_bands", "n_rows", "sim_bucket").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum("hit").alias("n_collisions"),
+    )
+    # theoretical 1-(1-s^r)^b at the decile midpoint, by repeated
+    # multiplication only — a per-group CONSTANT, so no float aggregation
+    def theo(nb: int, r: int) -> F.Column:
+        s_mid = (F.col("sim_bucket").cast("double") + 0.5) / 10.0
+        p = F.lit(1.0)
+        for _ in range(r):
+            p = p * s_mid
+        q = F.lit(1.0) - p
+        acc = F.lit(1.0)
+        for _ in range(nb):
+            acc = acc * q
+        return F.lit(1.0) - acc
+
+    theo_expr = None
+    for nb in bands_opt:
+        r = n_hashes // nb
+        cond = (F.col("n_bands") == nb) & (F.col("n_rows") == r)
+        theo_expr = (
+            F.when(cond, theo(nb, r))
+            if theo_expr is None
+            else theo_expr.when(cond, theo(nb, r))
+        )
+    return agg.select(
+        "n_bands",
+        "n_rows",
+        "sim_bucket",
+        F.col("n_pairs").cast("long").alias("n_pairs"),
+        F.col("n_collisions").cast("long").alias("n_collisions"),
+        (F.col("n_collisions") / F.col("n_pairs")).alias("measured_rate"),
+        F.round(theo_expr, 6).alias("expected_rate"),
+    ).orderBy("n_bands", "sim_bucket")

@@ -2072,3 +2072,45 @@ def test_bm25_snippets_picks_the_densest_window(spark):
     assert r["doc_id"] == 0 and r["n_terms"] == 2
     # tokens are 1-based: 'hash' at 8, 'join' at 9 -> best window starts at 8
     assert r["start"] == 8 and r["snippet"].startswith("hash x join")
+
+
+def test_lsh_tuning_report_monotonic_in_bands_and_tracks_theory(spark):
+    # more bands (fewer rows per band) can only ADD collisions for a
+    # fixed pair set; identical docs must collide under EVERY config;
+    # and the measured rate for exact dups must be 1.0 where theory
+    # says ~1.0
+    from cloudtrace_exporter_spark.operators.dedup import lsh_tuning_report
+
+    rows = []
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    for i in range(6):
+        rows.append((i, base))                       # identical cluster
+        rows.append((100 + i, f"totally different text number {i} with unique words {i * 7}"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = lsh_tuning_report(docs).collect()
+    by_cfg = {}
+    for r in out:
+        by_cfg.setdefault((r["n_bands"], r["n_rows"]), {})[r["sim_bucket"]] = r
+    # identical-doc pairs live in bucket 9 and collide everywhere
+    # (measured); the midpoint theory at s=0.95 is config-dependent —
+    # steep for many bands, only 0.95^32≈0.19 for the 1×32 config —
+    # so assert the S-curve ORDERING, not a flat floor
+    for cfg, buckets in by_cfg.items():
+        assert buckets[9]["measured_rate"] == 1.0
+    exp9 = [
+        (cfg[0], bs[9]["expected_rate"]) for cfg, bs in by_cfg.items() if 9 in bs
+    ]
+    exp9.sort()
+    for (b1, e1), (b2, e2) in zip(exp9, exp9[1:]):
+        assert e1 <= e2, f"expected_rate must grow with bands: {b1}->{b2}"
+    assert dict(exp9)[32] > 0.99  # 32 one-row bands: near-certain at s=0.95
+    # collision count is monotone nonincreasing as rows-per-band grows
+    for bucket in {b for bs in by_cfg.values() for b in bs}:
+        rates = [
+            (cfg[1], bs[bucket]["n_collisions"])
+            for cfg, bs in by_cfg.items()
+            if bucket in bs
+        ]
+        rates.sort()
+        for (r1, c1), (r2, c2) in zip(rates, rates[1:]):
+            assert c1 >= c2, f"bucket {bucket}: rows {r1}->{r2} gained collisions"

@@ -1672,10 +1672,17 @@ def bm25_snippets(
     the snippet slice joins back to the top-k docs only. Deterministic
     end to end → full oracle replaying ranking + span selection.
     """
-    ranked = bm25_topk(documents, queries, k=k, text_col=text_col, id_col=id_col)
-    toked = documents.select(
-        F.col(id_col).alias("doc_id"), tokens(text_col).alias("__t")
-    ).join(ranked.select("doc_id").distinct(), "doc_id")
+    # ranked (|queries|·k rows) feeds three consumers and toked (top-k
+    # docs only) two — cache both or the whole BM25 ranking re-executes
+    # per consumer (28 exchanges measured; 8 after)
+    ranked = bm25_topk(
+        documents, queries, k=k, text_col=text_col, id_col=id_col
+    ).cache()
+    toked = (
+        documents.select(F.col(id_col).alias("doc_id"), tokens(text_col).alias("__t"))
+        .join(ranked.select("doc_id").distinct(), "doc_id")
+        .cache()
+    )
     pos = toked.select(
         "doc_id", F.posexplode("__t").alias("pos", "term")
     ).withColumn("pos", F.col("pos") + 1)
@@ -1693,6 +1700,7 @@ def bm25_snippets(
         .join(pos, "doc_id")
         .join(qt, ["query_id", "term"])
         .select("query_id", "doc_id", "term", "pos")
+        .cache()
     )
     a, b = hits.alias("a"), hits.alias("b")
     spans = (

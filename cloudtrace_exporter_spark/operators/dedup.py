@@ -1732,6 +1732,7 @@ def lsh_tuning_report(
     shingle: int = 3,
     text_col: str = "text",
     id_col: str = "doc_id",
+    sample_fraction: float | None = None,
 ) -> DataFrame:
     """LSH PARAMETER-TUNING report: for every (bands, rows) split of the
     signature and every similarity decile, the MEASURED band-collision
@@ -1750,7 +1751,23 @@ def lsh_tuning_report(
     and the theoretical curve is evaluated at the BUCKET MIDPOINT by
     repeated multiplication (never pow/avg — no float summation or libm
     call anywhere), so the full table replays in DuckDB.
+
+    100 TB posture: this is an OFFLINE calibration artifact — pass
+    ``sample_fraction`` to estimate the curve from a deterministic
+    md5-hash sample of documents (the hash_sample discipline:
+    reproducible, engine-portable) instead of the full corpus; the
+    loosest banding's candidate volume otherwise grows with the square
+    of duplicate-cluster sizes (measured: a dedup-adversarial 10×
+    replica pays 25× the wall — sampling is the wired answer, not a
+    bigger cluster).
     """
+    if sample_fraction is not None:
+        hexes = 8
+        thr = format(int(round(sample_fraction * 16**hexes)), "08x")
+        df = df.filter(
+            F.substring(F.md5(F.col(id_col).cast("string").cast("binary")), 1, hexes)
+            < F.lit(thr)
+        )
     idx = minhash_banded_index(
         df, text_col=text_col, id_col=id_col, n_hashes=n_hashes,
         bands=n_hashes, shingle=shingle, portable=True,

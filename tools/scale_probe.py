@@ -255,6 +255,16 @@ def main() -> None:
         t(f"bm25_prf {tag}", lambda d=d: text.bm25_prf_topk(d, _BMQ))
     for tag, d in (("1x", docs1), ("10x", docs10)):
         t(f"bm25_snippets {tag}", lambda d=d: text.bm25_snippets(d, _BMQ))
+    for tag, e in (("1x", emb1), ("10x", emb10)):
+        t(
+            f"label_separation {tag}",
+            lambda e=e: similarity.label_separation_matrix(e),
+        )
+    t("lsh_tuning 1x", lambda: dedup.lsh_tuning_report(docs1))
+    t(
+        "lsh_tuning 10x sampled(0.1)",
+        lambda: dedup.lsh_tuning_report(docs10, sample_fraction=0.1),
+    )
     for tag, e in (("1x", ev1), ("10x", ev10)):
         t(
             f"label_propagation {tag}",

@@ -529,3 +529,36 @@ def test_quantile_normalize_no_single_partition_corpus_window(plans):
     p = plans("q_quantile_normalize")
     assert "CartesianProduct" not in p
     assert p.count("BroadcastNestedLoopJoin") <= 1
+
+
+def test_bm25_prf_no_cartesian_and_bounded_shuffles(plans):
+    # pass 1 + harvest + pass 2 all ride the frozen-stats percolator
+    # shape: no joins against the corpus beyond the tiny feedback frame
+    p = plans("q_bm25_prf")
+    assert "CartesianProduct" not in p
+
+
+def test_bm25_snippets_caches_shared_frames(plans):
+    # ranked feeds 3 consumers, toked 2, hits 2 — each must read a
+    # materialization, not re-execute the BM25 ranking per consumer
+    p = plans("q_bm25_snippets")
+    assert "InMemoryTableScan" in p
+    assert "CartesianProduct" not in p
+
+
+def test_label_separation_pairwise_is_literal_sized(plans):
+    # the only join is the |labels|x|labels| pairwise over the literal
+    # centroid frame; the corpus contributes one aggregation at build
+    # time (collected before the plan, so the final plan has no scan)
+    p = plans("q_label_separation")
+    assert "Scan parquet" not in p  # centroids are literals
+    assert p.count("Exchange") <= 2
+
+
+def test_lsh_tuning_single_pair_frame(plans):
+    # collision outcomes for every config come from the stored
+    # signatures of ONE cached pair frame — no per-config re-banding
+    # joins, no nested loop
+    p = plans("q_lsh_tuning")
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "CartesianProduct" not in p

@@ -3403,6 +3403,23 @@ def _bm25_prf_oracle_sql(
     """
 
 
+def q_corpus_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Release engineering, ORACLE-EXACT: the snapshot-to-snapshot
+    corpus diff (curate.corpus_diff) — per source: docs added/removed/
+    changed/unchanged + net token delta, change detection by normalized
+    content hash. The two snapshots derive deterministically from the
+    fixture (old = id%7≠0; new = id%5≠0 with id%3==0 docs revised)."""
+    docs = load_table(spark, sf_dir, "documents")
+    old = docs.filter(F.col("doc_id") % 7 != 0)
+    new = docs.filter(F.col("doc_id") % 5 != 0).withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 3 == 0, F.concat(F.col("text"), F.lit(" rev2"))
+        ).otherwise(F.col("text")),
+    )
+    return curate.corpus_diff(old, new)
+
+
 def q_lsh_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Index-tuning depth, ORACLE-EXACT: the LSH parameter report —
     measured band-collision rate vs the theoretical S-curve 1−(1−s^r)^b
@@ -3776,6 +3793,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_bm25_snippets": q_bm25_snippets,
         "q_label_separation": q_label_separation,
         "q_lsh_tuning": q_lsh_tuning,
+        "q_corpus_diff": q_corpus_diff,
         # rows-only by design (Python-side image decode)
         "q_phash_dedup": q_phash_dedup,
         # ---- keys below all have a green driver row in r1–r5 ----
@@ -6094,6 +6112,46 @@ def oracle_sql() -> dict[str, str]:
         # round-6: LSH tuning — per-config collision from signatures,
         # midpoint S-curve by repeated multiplication
         "q_lsh_tuning": _lsh_tuning_oracle_sql(),
+        # round-6: corpus diff — full outer on id, md5 content hashes,
+        # all-integer per-source accounting
+        "q_corpus_diff": f"""
+            WITH oldd AS (SELECT * FROM documents WHERE doc_id % 7 <> 0),
+            newd AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 3 = 0 THEN text || ' rev2' ELSE text END AS text,
+                     source
+              FROM documents WHERE doc_id % 5 <> 0
+            ),
+            po AS (
+              SELECT doc_id, source AS old_source,
+                     md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS old_fp,
+                     CAST(len({_TOKENS_SQL}) AS BIGINT) AS old_tok
+              FROM oldd
+            ),
+            pn AS (
+              SELECT doc_id, source AS new_source,
+                     md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS new_fp,
+                     CAST(len({_TOKENS_SQL}) AS BIGINT) AS new_tok
+              FROM newd
+            ),
+            j AS (
+              SELECT COALESCE(pn.doc_id, po.doc_id) AS doc_id,
+                     COALESCE(pn.new_source, po.old_source) AS source,
+                     CASE WHEN po.old_fp IS NULL THEN 'added'
+                          WHEN pn.new_fp IS NULL THEN 'removed'
+                          WHEN po.old_fp <> pn.new_fp THEN 'changed'
+                          ELSE 'unchanged' END AS status,
+                     COALESCE(pn.new_tok, 0) - COALESCE(po.old_tok, 0) AS tok_d
+              FROM po FULL OUTER JOIN pn ON po.doc_id = pn.doc_id
+            )
+            SELECT source,
+                   CAST(sum(CASE WHEN status = 'added' THEN 1 ELSE 0 END) AS BIGINT) AS n_added,
+                   CAST(sum(CASE WHEN status = 'removed' THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+                   CAST(sum(CASE WHEN status = 'changed' THEN 1 ELSE 0 END) AS BIGINT) AS n_changed,
+                   CAST(sum(CASE WHEN status = 'unchanged' THEN 1 ELSE 0 END) AS BIGINT) AS n_unchanged,
+                   CAST(sum(tok_d) AS BIGINT) AS token_delta
+            FROM j GROUP BY source ORDER BY source
+        """,
         # round-6: class-separation matrix — integer centroids/dots, the
         # embedding_outliers quantization recipe applied pairwise
         "q_label_separation": """

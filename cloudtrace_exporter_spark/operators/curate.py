@@ -707,3 +707,64 @@ def quantile_normalize(
         F.col("v").alias("raw_value"),
         F.col("ref_v").alias("normalized_value"),
     )
+
+
+def corpus_diff(
+    old: DataFrame,
+    new: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    source_col: str = "source",
+) -> DataFrame:
+    """Release-to-release corpus DIFF: per source — documents added,
+    removed, changed (same id, different normalized content hash), and
+    unchanged, with the net token delta. The review artifact between
+    two corpus snapshots (the dynamic twin of export_manifest's static
+    checksum): "the new crawl added 2M docs but net-removed tokens from
+    src7" is the sentence that stops a bad release.
+
+    Full outer join on doc id with md5 content fingerprints (the
+    normalized_dedup hash family), one source-keyed aggregation after —
+    two shuffles total, both on narrow (id, fp, tokens) frames; change
+    detection never compares text, only hashes. All-integer output.
+    """
+    def prep(df: DataFrame, side: str) -> DataFrame:
+        normalized = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+        return df.select(
+            F.col(id_col).alias("doc_id"),
+            F.col(source_col).alias(f"{side}_source"),
+            F.md5(normalized).alias(f"{side}_fp"),
+            text.token_count(text_col).cast("long").alias(f"{side}_tok"),
+        )
+
+    j = prep(old, "old").join(prep(new, "new"), "doc_id", "full_outer")
+    status = (
+        F.when(F.col("old_fp").isNull(), F.lit("added"))
+        .when(F.col("new_fp").isNull(), F.lit("removed"))
+        .when(F.col("old_fp") != F.col("new_fp"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return (
+        j.withColumn("source", F.coalesce("new_source", "old_source"))
+        .withColumn("status", status)
+        .groupBy("source")
+        .agg(
+            F.sum(F.when(F.col("status") == "added", 1).otherwise(0))
+            .cast("long")
+            .alias("n_added"),
+            F.sum(F.when(F.col("status") == "removed", 1).otherwise(0))
+            .cast("long")
+            .alias("n_removed"),
+            F.sum(F.when(F.col("status") == "changed", 1).otherwise(0))
+            .cast("long")
+            .alias("n_changed"),
+            F.sum(F.when(F.col("status") == "unchanged", 1).otherwise(0))
+            .cast("long")
+            .alias("n_unchanged"),
+            F.sum(F.coalesce("new_tok", F.lit(0)) - F.coalesce("old_tok", F.lit(0)))
+            .cast("long")
+            .alias("token_delta"),
+        )
+        .orderBy("source")
+    )

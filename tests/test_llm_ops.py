@@ -2114,3 +2114,26 @@ def test_lsh_tuning_report_monotonic_in_bands_and_tracks_theory(spark):
         rates.sort()
         for (r1, c1), (r2, c2) in zip(rates, rates[1:]):
             assert c1 >= c2, f"bucket {bucket}: rows {r1}->{r2} gained collisions"
+
+
+def test_corpus_diff_classifies_every_transition(spark):
+    from cloudtrace_exporter_spark.operators.curate import corpus_diff
+
+    old = spark.createDataFrame(
+        [(1, "alpha beta", "s1"), (2, "gamma delta", "s1"), (3, "kept text", "s2")],
+        "doc_id long, text string, source string",
+    )
+    new = spark.createDataFrame(
+        [
+            (2, "gamma delta EDITED", "s1"),   # changed (+1 token)
+            (3, "kept  text", "s2"),           # whitespace-only -> unchanged
+            (4, "brand new doc here", "s2"),   # added (4 tokens)
+        ],
+        "doc_id long, text string, source string",
+    )
+    out = {r["source"]: r for r in corpus_diff(old, new).collect()}
+    s1, s2 = out["s1"], out["s2"]
+    assert (s1["n_added"], s1["n_removed"], s1["n_changed"], s1["n_unchanged"]) == (0, 1, 1, 0)
+    assert s1["token_delta"] == -2 + 1          # doc1 removed (-2), doc2 +1
+    assert (s2["n_added"], s2["n_removed"], s2["n_changed"], s2["n_unchanged"]) == (1, 0, 0, 1)
+    assert s2["token_delta"] == 4               # added doc only; double-space is no delta

@@ -60,6 +60,12 @@ HEADLINE = [
     # (prefix-filtered blocking) and the LSH threshold-sweep planner
     "q_containment_pairs",
     "q_dedup_threshold_sweep",
+    # round-6 second wave: mixture planning, time-series fold, sketch
+    # join estimation, corpus saturation — all sub-second flat-at-10x
+    "q_water_fill_caps",
+    "q_holt_forecast",
+    "q_kmv_join_estimate",
+    "q_vocab_growth",
 ]
 
 

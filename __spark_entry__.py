@@ -3403,6 +3403,15 @@ def _bm25_prf_oracle_sql(
     """
 
 
+def q_survival_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """User-analytics depth, ORACLE-EXACT: the lifetime survival curve
+    with explicit censoring (analytics.survival_curve) — per day: users
+    at risk, churn events, and the churned-subpopulation survival
+    fraction; users active within the final week are censored, never
+    miscounted as churn."""
+    return analytics.survival_curve(load_table(spark, sf_dir, "events"))
+
+
 def q_corpus_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Release engineering, ORACLE-EXACT: the snapshot-to-snapshot
     corpus diff (curate.corpus_diff) — per source: docs added/removed/
@@ -3794,6 +3803,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_label_separation": q_label_separation,
         "q_lsh_tuning": q_lsh_tuning,
         "q_corpus_diff": q_corpus_diff,
+        "q_survival_curve": q_survival_curve,
         # rows-only by design (Python-side image decode)
         "q_phash_dedup": q_phash_dedup,
         # ---- keys below all have a green driver row in r1–r5 ----
@@ -6112,6 +6122,38 @@ def oracle_sql() -> dict[str, str]:
         # round-6: LSH tuning — per-config collision from signatures,
         # midpoint S-curve by repeated multiplication
         "q_lsh_tuning": _lsh_tuning_oracle_sql(),
+        # round-6: survival curve — censoring-aware integer counts over
+        # the bounded lifetime histogram
+        "q_survival_curve": """
+            WITH pu AS (
+              SELECT user_id AS u, min(CAST(ts AS DATE)) AS first_d,
+                     max(CAST(ts AS DATE)) AS last_d
+              FROM events GROUP BY user_id
+            ),
+            gl AS (SELECT max(last_d) AS corpus_end FROM pu),
+            u AS (
+              SELECT date_diff('day', first_d, last_d) AS lifetime,
+                     date_diff('day', last_d, corpus_end) < 7 AS censored
+              FROM pu CROSS JOIN gl
+            ),
+            hist AS (
+              SELECT lifetime, CAST(count(*) AS BIGINT) AS n_total,
+                     CAST(sum(CASE WHEN NOT censored THEN 1 ELSE 0 END) AS BIGINT) AS n_churned,
+                     CAST(sum(CASE WHEN censored THEN 1 ELSE 0 END) AS BIGINT) AS n_censored
+              FROM u GROUP BY lifetime
+            )
+            SELECT CAST(lifetime AS BIGINT) AS t_days,
+                   CAST(sum(n_total) OVER (ORDER BY lifetime
+                     ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS BIGINT) AS n_at_risk,
+                   n_churned AS n_churn_at_t,
+                   n_censored AS n_censored_at_t,
+                   CASE WHEN sum(n_churned) OVER () > 0 THEN
+                     CAST(sum(n_churned) OVER (ORDER BY lifetime
+                       ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS BIGINT)
+                       / CAST(sum(n_churned) OVER () AS BIGINT)
+                   END AS churned_survival
+            FROM hist ORDER BY t_days
+        """,
         # round-6: corpus diff — full outer on id, md5 content hashes,
         # all-integer per-source accounting
         "q_corpus_diff": f"""

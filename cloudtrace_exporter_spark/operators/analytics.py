@@ -3800,3 +3800,71 @@ def theil_sen_trend(
         F.round(F.col("slope"), 6).alias("ts_slope"),
         F.round(F.col("r"), 6).alias("ts_intercept"),
     ).orderBy("series")
+
+
+def survival_curve(
+    events: DataFrame,
+    *,
+    horizon_days: int = 7,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """User LIFETIME survival curve with explicit censoring: per day t —
+    users still "alive" at lifetime ≥ t, churn events at exactly t, and
+    the empirical survival fraction among CHURNED users — the retention
+    read-out one level above new_vs_returning/cohort_retention (how
+    long does a user live, not just do they return). A user is CENSORED
+    (not churned, still at risk) when their last activity falls within
+    ``horizon_days`` of the corpus end — counting them as deaths is the
+    classic retention-analysis mistake; they are reported separately
+    instead of silently biasing the curve (the Kaplan–Meier censoring
+    idea with the product-limit estimator replaced by exact integer
+    counts over the churned subpopulation, so every number replays
+    engine-exactly — no float cumulative product to pin).
+
+    Scale shape: one user-keyed aggregation reduces the corpus to
+    (user, first, last) — after that everything runs on the lifetime
+    histogram (≤ calendar-span rows). The reverse-cumulative "at risk"
+    count is a window over that bounded grid.
+    """
+    per_user = events.groupBy(F.col(user_col).alias("u")).agg(
+        F.min(F.to_date(ts_col)).alias("first_d"),
+        F.max(F.to_date(ts_col)).alias("last_d"),
+    )
+    gl = per_user.agg(F.max("last_d").alias("corpus_end"))
+    u = (
+        per_user.join(F.broadcast(gl))
+        .withColumn("lifetime", F.datediff("last_d", "first_d"))
+        .withColumn(
+            "censored",
+            F.datediff(F.col("corpus_end"), F.col("last_d")) < horizon_days,
+        )
+    )
+    hist = u.groupBy("lifetime").agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.sum(F.when(~F.col("censored"), 1).otherwise(0)).alias("n_churned"),
+        F.sum(F.when(F.col("censored"), 1).otherwise(0)).alias("n_censored"),
+    )
+    # [WindowExec: No Partition Defined — BENIGN HERE] the frame is the
+    # lifetime histogram — bounded by calendar span, never user count.
+    w_rev = Window.orderBy("lifetime").rowsBetween(0, Window.unboundedFollowing)
+    w_all = Window.partitionBy()
+    # NULL (not an error, not 0/0) when nobody churned — a fully-active
+    # corpus (every user censored) is a legitimate state of the curve
+    surv = F.when(
+        F.col("__tot_churned") > 0,
+        F.col("n_churned_ge") / F.col("__tot_churned"),
+    )
+    return (
+        hist.withColumn("n_at_risk", F.sum("n_total").over(w_rev).cast("long"))
+        .withColumn("n_churned_ge", F.sum("n_churned").over(w_rev).cast("long"))
+        .withColumn("__tot_churned", F.sum("n_churned").over(w_all))
+        .select(
+            F.col("lifetime").cast("long").alias("t_days"),
+            "n_at_risk",
+            F.col("n_churned").cast("long").alias("n_churn_at_t"),
+            F.col("n_censored").cast("long").alias("n_censored_at_t"),
+            surv.alias("churned_survival"),
+        )
+        .orderBy("t_days")
+    )

@@ -495,3 +495,43 @@ def test_label_separation_matrix_flags_collapsed_pairs(spark):
     assert out[(0, 1)] > 0.98          # collapsed pair
     assert out[(0, 2)] < 0.05 and out[(1, 2)] < 0.2
     assert len(out) == 6               # upper triangle incl diagonal
+
+
+def test_survival_curve_censors_recent_users(spark):
+    # u1 churned after a 2-day life; u2 churned same day it appeared
+    # (lifetime 0); u3 is active at corpus end -> censored, NOT churn
+    from datetime import datetime
+
+    from cloudtrace_exporter_spark.operators.analytics import survival_curve
+
+    ev = []
+    eid = 0
+    for u, days in [(1, [1, 2, 3]), (2, [4]), (3, [10, 28, 30])]:
+        for d in days:
+            ev.append((eid, datetime(2024, 1, d, 9, 0, 0), u, "t", 1.0, "{}"))
+            eid += 1
+    df = spark.createDataFrame(
+        ev, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    out = {r["t_days"]: r for r in survival_curve(df, horizon_days=7).collect()}
+    # lifetimes: u1=2 (churned), u2=0 (churned), u3=20 (censored)
+    assert out[0]["n_at_risk"] == 3 and out[0]["n_churn_at_t"] == 1
+    assert out[2]["n_churn_at_t"] == 1 and out[20]["n_censored_at_t"] == 1
+    assert out[0]["churned_survival"] == 1.0       # both churned lived >= 0
+    assert out[2]["churned_survival"] == 0.5       # only u1 lived >= 2
+    assert out[20]["churned_survival"] == 0.0      # no churned user lived >= 20
+
+
+def test_survival_curve_all_censored_yields_null_survival(spark):
+    from datetime import datetime
+
+    from cloudtrace_exporter_spark.operators.analytics import survival_curve
+
+    ev = [(0, datetime(2024, 1, 1, 1, 0, 0), 1, "t", 1.0, "{}"),
+          (1, datetime(2024, 1, 3, 1, 0, 0), 1, "t", 1.0, "{}")]
+    df = spark.createDataFrame(
+        ev, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    rows = survival_curve(df, horizon_days=7).collect()
+    assert all(r["churned_survival"] is None for r in rows)
+    assert rows[0]["n_censored_at_t"] == 1

@@ -3403,6 +3403,77 @@ def _bm25_prf_oracle_sql(
     """
 
 
+def q_lsh_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-quality verdict, ORACLE-EXACT: precision/recall/F1 of the
+    production MinHash+LSH pair set against exact shingle-Jaccard
+    ground truth at the same threshold (dedup.lsh_eval_report) — the
+    one-row score of the operating point the tuning report's curve
+    surrounds. Ground truth is the all-pairs theta join, so the WIRED
+    configuration is the sampled posture (deterministic md5 quarter-
+    sample — the same contract a 100 TB run uses); the oracle applies
+    the identical filter."""
+    return dedup.lsh_eval_report(
+        load_table(spark, sf_dir, "documents"), sample_fraction=0.25
+    )
+
+
+def _lsh_eval_oracle_sql(
+    *, threshold: float = 0.5, n_hashes: int = 32, bands: int = 8
+) -> str:
+    """DuckDB replay of dedup.lsh_eval_report: exact shingle-Jaccard
+    ground truth + the portable banded candidate chain + one-row
+    precision/recall/F1 (same operand order as the Column tree). The
+    md5 quarter-sample shadows the documents table via a CTE so the
+    shared banded chain needs no edits."""
+    banded = _portable_banded_cte(n_hashes=n_hashes, bands=bands).replace(
+        "FROM documents", "FROM docs_s"
+    )
+    sampled = banded.replace(
+        "WITH tok AS",
+        "WITH docs_s AS (SELECT * FROM documents"
+        " WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '40000000'),\n"
+        "        tok AS",
+        1,
+    )
+    return sampled + f""",
+        cand AS (
+          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                 a.sig AS sig_a, b.sig AS sig_b
+          FROM banded a JOIN banded b
+            ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+        ),
+        lsh AS (
+          SELECT doc_a, doc_b FROM cand
+          WHERE round(len(list_filter(range(1, {n_hashes} + 1),
+                i -> sig_a[i] = sig_b[i])) / {n_hashes}, 6) >= {threshold}
+        ),
+        ex AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+          WHERE len(list_intersect(a.s, b.s))
+                / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))
+                >= {threshold}
+        ),
+        tp AS (SELECT * FROM lsh WHERE (doc_a, doc_b) IN (SELECT (doc_a, doc_b) FROM ex)),
+        c AS (
+          SELECT (SELECT CAST(count(*) AS BIGINT) FROM ex) AS n_truth,
+                 (SELECT CAST(count(*) AS BIGINT) FROM lsh) AS n_lsh,
+                 (SELECT CAST(count(*) AS BIGINT) FROM tp) AS n_true_pos
+        )
+        SELECT n_truth, n_lsh, n_true_pos,
+               CASE WHEN n_lsh > 0 THEN n_true_pos / n_lsh END AS precision,
+               CASE WHEN n_truth > 0 THEN n_true_pos / n_truth END AS recall,
+               CASE WHEN (CASE WHEN n_lsh > 0 THEN n_true_pos / n_lsh END
+                          + CASE WHEN n_truth > 0 THEN n_true_pos / n_truth END) > 0
+                    THEN round(2.0 * (CASE WHEN n_lsh > 0 THEN n_true_pos / n_lsh END)
+                               * (CASE WHEN n_truth > 0 THEN n_true_pos / n_truth END)
+                               / ((CASE WHEN n_lsh > 0 THEN n_true_pos / n_lsh END)
+                                  + (CASE WHEN n_truth > 0 THEN n_true_pos / n_truth END)), 6)
+                    ELSE 0.0 END AS f1
+        FROM c
+    """
+
+
 def q_survival_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     """User-analytics depth, ORACLE-EXACT: the lifetime survival curve
     with explicit censoring (analytics.survival_curve) — per day: users
@@ -3804,6 +3875,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_lsh_tuning": q_lsh_tuning,
         "q_corpus_diff": q_corpus_diff,
         "q_survival_curve": q_survival_curve,
+        "q_lsh_eval": q_lsh_eval,
         # rows-only by design (Python-side image decode)
         "q_phash_dedup": q_phash_dedup,
         # ---- keys below all have a green driver row in r1–r5 ----
@@ -6122,6 +6194,9 @@ def oracle_sql() -> dict[str, str]:
         # round-6: LSH tuning — per-config collision from signatures,
         # midpoint S-curve by repeated multiplication
         "q_lsh_tuning": _lsh_tuning_oracle_sql(),
+        # round-6: LSH eval — exact shingle ground truth vs the portable
+        # banded candidates, one-row P/R/F1
+        "q_lsh_eval": _lsh_eval_oracle_sql(),
         # round-6: survival curve — censoring-aware integer counts over
         # the bounded lifetime histogram
         "q_survival_curve": """

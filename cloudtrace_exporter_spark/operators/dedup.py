@@ -1852,3 +1852,79 @@ def lsh_tuning_report(
         (F.col("n_collisions") / F.col("n_pairs")).alias("measured_rate"),
         F.round(theo_expr, 6).alias("expected_rate"),
     ).orderBy("n_bands", "sim_bucket")
+
+
+def lsh_eval_report(
+    df: DataFrame,
+    *,
+    threshold: float = 0.5,
+    n_hashes: int = 32,
+    bands: int = 8,
+    shingle: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    sample_fraction: float | None = None,
+) -> DataFrame:
+    """LSH dedup QUALITY evaluation: precision/recall/F1 of the
+    MinHash+LSH pair set against exact SHINGLE-set Jaccard ground truth
+    at the same threshold — the one-row verdict on "is this index
+    configuration good enough to delete data with" (the tuning report
+    shows the curve; this scores the operating point). Compares like
+    with like: the ground truth is shingle Jaccard (what MinHash
+    estimates), not token Jaccard — mixing the two inflates apparent
+    estimator error.
+
+    The exact side is the all-pairs theta join — fixture-scale ground
+    truth ONLY (the jaccard_pairs contract); at 100 TB pass
+    ``sample_fraction`` (deterministic md5 document sample) and read
+    the report as an estimate. The LSH side is the production
+    minhash_lsh_pairs path (portable hashes, full oracle).
+
+    Output: one row — n_truth, n_lsh, n_true_pos, precision, recall,
+    f1 (raw int/int doubles; F1's two float ops are order-pinned).
+    """
+    if sample_fraction is not None:
+        hexes = 8
+        thr = format(int(round(sample_fraction * 16**hexes)), "08x")
+        df = df.filter(
+            F.substring(F.md5(F.col(id_col).cast("string").cast("binary")), 1, hexes)
+            < F.lit(thr)
+        )
+    toks = _spread(df).select(F.col(id_col).alias("id"), tokens(text_col).alias("__t"))
+    sh = toks.select("id", _shingles(F.col("__t"), shingle).alias("s")).cache()
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = F.size(F.array_intersect(F.col("a.s"), F.col("b.s")))
+    union = F.size(F.col("a.s")) + F.size(F.col("b.s")) - inter
+    exact = (
+        a.join(b, F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("doc_a"),
+            F.col("b.id").alias("doc_b"),
+            (inter / union).alias("j"),
+        )
+        .filter(F.col("j") >= threshold)
+        .select("doc_a", "doc_b")
+    )
+    lsh = minhash_lsh_pairs(
+        df, text_col=text_col, id_col=id_col, n_hashes=n_hashes, bands=bands,
+        shingle=shingle, threshold=threshold, portable=True,
+    ).select("doc_a", "doc_b")
+    tp = lsh.join(exact, ["doc_a", "doc_b"], "left_semi")
+    counts = (
+        exact.agg(F.count(F.lit(1)).alias("n_truth"))
+        .join(lsh.agg(F.count(F.lit(1)).alias("n_lsh")))
+        .join(tp.agg(F.count(F.lit(1)).alias("n_true_pos")))
+    )
+    prec = F.when(F.col("n_lsh") > 0, F.col("n_true_pos") / F.col("n_lsh"))
+    rec = F.when(F.col("n_truth") > 0, F.col("n_true_pos") / F.col("n_truth"))
+    f1 = F.when(
+        (prec + rec) > 0, F.lit(2.0) * prec * rec / (prec + rec)
+    ).otherwise(F.lit(0.0))
+    return counts.select(
+        F.col("n_truth").cast("long").alias("n_truth"),
+        F.col("n_lsh").cast("long").alias("n_lsh"),
+        F.col("n_true_pos").cast("long").alias("n_true_pos"),
+        prec.alias("precision"),
+        rec.alias("recall"),
+        F.round(f1, 6).alias("f1"),
+    )

@@ -2137,3 +2137,25 @@ def test_corpus_diff_classifies_every_transition(spark):
     assert s1["token_delta"] == -2 + 1          # doc1 removed (-2), doc2 +1
     assert (s2["n_added"], s2["n_removed"], s2["n_changed"], s2["n_unchanged"]) == (1, 0, 0, 1)
     assert s2["token_delta"] == 4               # added doc only; double-space is no delta
+
+
+def test_lsh_eval_report_scores_planted_dups(spark):
+    # 3 exact-dup pairs planted (J=1.0, caught by every banding) plus
+    # noise docs: recall must be 1.0 and every reported LSH pair must
+    # be a true near-dup at this threshold (precision 1.0 here because
+    # distinct noise docs share no shingles)
+    from cloudtrace_exporter_spark.operators.dedup import lsh_eval_report
+
+    rows = []
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    for i in range(3):
+        rows.append((i, base))
+        rows.append((100 + i, base))
+    for i in range(10):
+        rows.append((200 + i, f"unique{i} filler{i} words{i} only{i} here{i} now{i}"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    r = lsh_eval_report(docs, threshold=0.8).collect()[0]
+    # 6 identical docs -> C(6,2)=15 truth pairs
+    assert r["n_truth"] == 15
+    assert r["recall"] == 1.0
+    assert r["precision"] == 1.0 and r["f1"] == 1.0

@@ -446,3 +446,58 @@ def stream_score_bm25(
         .select("doc_id", F.col("q.query_id").alias("query_id"), F.col("q.score").alias("score"))
         .filter(F.col("score") > min_score)
     )
+
+
+def stateful_kmv_distinct(
+    stream: DataFrame,
+    *,
+    k: int = 32,
+    group_col: str = "event_type",
+    key_col: str = "user_id",
+) -> DataFrame:
+    """Streaming SKETCH state: a per-group KMV distinct-count sketch
+    held IN THE STATE STORE (``applyInPandasWithState``) and updated
+    every micro-batch — the stateful-operator formulation of what
+    `test_streaming_kmv_state_merge_matches_batch_sketch` builds by
+    hand with foreachBatch + kmv_merge. The state is the k smallest
+    md5-prefix hashes (bounded: ≤k longs per group, the mergeable KMV
+    property made incremental); each batch emits the group's current
+    estimate. Exactly the same hash family as `analytics.kmv_state`,
+    so the drained stream's final state equals the one-pass batch
+    sketch bit for bit.
+
+    Scale shape: state is O(k · |groups|) — constant per group however
+    many events stream through; checkpointed incrementally; Arrow-
+    batched state access. This is how a 100 TB ingest keeps live
+    distinct-cardinality without ever re-scanning history.
+    """
+    import hashlib
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = T.StructType(
+        [
+            T.StructField("grp", T.StringType()),
+            T.StructField("n_sketch", T.LongType()),
+            T.StructField("kmv_estimate", T.DoubleType()),
+        ]
+    )
+    state_schema = T.StructType([T.StructField("hv", T.ArrayType(T.LongType()))])
+
+    def _update(key, pdf_iter, state: GroupState):
+        cur = set(state.get[0]) if state.exists else set()
+        for pdf in pdf_iter:
+            for v in pdf[key_col]:
+                h = int(hashlib.md5(str(int(v)).encode()).hexdigest()[:12], 16)
+                cur.add(h)
+        best = sorted(cur)[:k]
+        state.update((best,))
+        n = len(best)
+        est = float(n) if n < k else round((k - 1) * float(1 << 48) / best[-1], 1)
+        yield pd.DataFrame(
+            {"grp": [key[0]], "n_sketch": [n], "kmv_estimate": [est]}
+        )
+
+    return stream.groupBy(group_col).applyInPandasWithState(
+        _update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )

@@ -610,3 +610,41 @@ def test_streaming_kmv_state_merge_matches_batch_sketch(spark, tmp_path):
     be = {(r["grp"], r["kmv_estimate"]) for r in kmv_estimate_from_state(batch_state, k=32).collect()}
     se = {(r["grp"], r["kmv_estimate"]) for r in kmv_estimate_from_state(state["df"], k=32).collect()}
     assert be == se
+
+
+def test_stateful_kmv_sketch_in_state_store_matches_batch(spark, staged_events, tmp_path):
+    """The state-store formulation of the streaming KMV: after draining
+    the stream (multiple micro-batches), each group's LAST emitted
+    estimate must equal the one-pass batch sketch estimate — the hash
+    family is shared, so this is exact equality, not approximation."""
+    from cloudtrace_exporter_spark.operators.analytics import (
+        kmv_estimate_from_state,
+        kmv_state,
+    )
+    from cloudtrace_exporter_spark.streaming.pipeline import stateful_kmv_distinct
+
+    stream = read_event_stream(spark, staged_events, max_files_per_trigger=2)
+    out = stateful_kmv_distinct(stream, k=32)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("t_kmv_state")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql(
+        "SELECT grp, kmv_estimate FROM ("
+        "  SELECT *, row_number() OVER (PARTITION BY grp ORDER BY rn DESC) AS r FROM ("
+        "    SELECT monotonically_increasing_id() AS rn, * FROM t_kmv_state))"
+        " WHERE r = 1"
+    ).collect()
+    streamed = {r["grp"]: r["kmv_estimate"] for r in rows}
+
+    batch_events = spark.read.parquet(staged_events)
+    bstate = kmv_state(batch_events, group_col="event_type", key_col="user_id", k=32)
+    batch = {
+        r["grp"]: r["kmv_estimate"]
+        for r in kmv_estimate_from_state(bstate, k=32).collect()
+    }
+    assert streamed == batch and len(batch) > 0

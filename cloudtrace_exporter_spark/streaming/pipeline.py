@@ -501,3 +501,83 @@ def stateful_kmv_distinct(
     return stream.groupBy(group_col).applyInPandasWithState(
         _update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
     )
+
+
+def stateful_heavy_hitters(
+    stream: DataFrame,
+    *,
+    capacity: int = 8,
+    group_col: str = "event_type",
+    key_col: str = "user_id",
+) -> DataFrame:
+    """Streaming HEAVY HITTERS per group: a Misra–Gries summary (the
+    deterministic frequent-items sketch) held in the state store —
+    every key with true frequency > n/capacity is GUARANTEED present,
+    and every estimate undercounts by at most n/capacity (the classic
+    bound; the state-store twin of the batch `analytics.heavy_hitters`
+    support-threshold scan). Batches pre-aggregate to per-key counts in
+    pandas, then merge into the bounded counter table with the weighted
+    MG update (insert / add / spill-min), so per-batch work is
+    O(distinct keys), never O(rows).
+
+    Scale shape: state is ≤``capacity`` (key, count) pairs per group —
+    constant memory however much streams through; update order within a
+    batch is pinned (sorted keys) so a drained run is reproducible.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = T.StructType(
+        [
+            T.StructField("grp", T.StringType()),
+            T.StructField("key", T.LongType()),
+            T.StructField("est_count", T.LongType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("keys", T.ArrayType(T.LongType())),
+            T.StructField("counts", T.ArrayType(T.LongType())),
+        ]
+    )
+
+    def _update(key, pdf_iter, state: GroupState):
+        if state.exists:
+            ks, cs = state.get
+            counters = dict(zip(ks, cs))
+        else:
+            counters = {}
+        batch: dict[int, int] = {}
+        for pdf in pdf_iter:
+            for k, c in pdf[key_col].value_counts().items():
+                batch[int(k)] = batch.get(int(k), 0) + int(c)
+        for bk in sorted(batch):
+            w = batch[bk]
+            if bk in counters:
+                counters[bk] += w
+                continue
+            if len(counters) < capacity:
+                counters[bk] = w
+                continue
+            # weighted spill: drain min(w, current minimum) from every
+            # counter and the incoming weight, drop zeros, retry insert
+            while w > 0:
+                m = min(counters.values())
+                d = min(w, m)
+                w -= d
+                counters = {k2: c2 - d for k2, c2 in counters.items() if c2 - d > 0}
+                if len(counters) < capacity and w > 0:
+                    counters[bk] = w
+                    w = 0
+        items = sorted(counters.items())
+        state.update(([k2 for k2, _ in items], [c2 for _, c2 in items]))
+        yield pd.DataFrame(
+            {
+                "grp": [key[0]] * len(items),
+                "key": [k2 for k2, _ in items],
+                "est_count": [c2 for _, c2 in items],
+            }
+        )
+
+    return stream.groupBy(group_col).applyInPandasWithState(
+        _update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )

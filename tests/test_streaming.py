@@ -648,3 +648,56 @@ def test_stateful_kmv_sketch_in_state_store_matches_batch(spark, staged_events, 
         for r in kmv_estimate_from_state(bstate, k=32).collect()
     }
     assert streamed == batch and len(batch) > 0
+
+
+def test_stateful_heavy_hitters_misra_gries_bounds(spark, tmp_path):
+    """Planted skew: user 7 owns half of each group's events. After
+    draining, the MG state must contain user 7 with an estimate within
+    the n/capacity undercount bound, and never overcount."""
+    from datetime import datetime, timedelta
+
+    from cloudtrace_exporter_spark.streaming.pipeline import (
+        read_event_stream,
+        stateful_heavy_hitters,
+    )
+
+    rows = []
+    eid = 0
+    base = datetime(2024, 1, 1)
+    true_counts = {}
+    for g in ["alpha", "beta"]:
+        for i in range(120):
+            u = 7 if i % 2 == 0 else 100 + (i % 17)  # 60 hits for user 7
+            rows.append((eid, base + timedelta(minutes=eid), u, g, 1.0, "{}"))
+            true_counts[(g, u)] = true_counts.get((g, u), 0) + 1
+            eid += 1
+    src = str(tmp_path / "hh_src")
+    spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    ).coalesce(4).write.mode("overwrite").parquet(src)
+
+    stream = read_event_stream(spark, src, max_files_per_trigger=1)
+    q = (
+        stateful_heavy_hitters(stream, capacity=6)
+        .writeStream.format("memory")
+        .queryName("t_hh")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    final = {}
+    for r in spark.sql(
+        "SELECT grp, key, est_count FROM ("
+        "  SELECT *, row_number() OVER (PARTITION BY grp, key ORDER BY rn DESC) AS rr"
+        "  FROM (SELECT monotonically_increasing_id() AS rn, * FROM t_hh)) WHERE rr = 1"
+    ).collect():
+        final[(r["grp"], r["key"])] = r["est_count"]
+    n_per_group = 120
+    bound = n_per_group // 6
+    for g in ["alpha", "beta"]:
+        true = true_counts[(g, 7)]
+        assert true > bound                      # a genuine heavy hitter
+        assert (g, 7) in final                   # MG must retain it
+        assert final[(g, 7)] <= true             # never overcounts
+        assert final[(g, 7)] >= true - bound     # undercount bound

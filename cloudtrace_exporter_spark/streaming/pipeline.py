@@ -581,3 +581,71 @@ def stateful_heavy_hitters(
     return stream.groupBy(group_col).applyInPandasWithState(
         _update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
     )
+
+
+def stateful_histogram_quantiles(
+    stream: DataFrame,
+    *,
+    bin_width: float = 50.0,
+    quantiles: tuple[float, ...] = (0.5, 0.95),
+    group_col: str = "event_type",
+    value_col: str = "value",
+) -> DataFrame:
+    """Streaming QUANTILES per group: a fixed-width histogram held in
+    the state store, updated per micro-batch, emitting
+    lower-bin-boundary quantile estimates — the third leg of the
+    streaming-sketch family (KMV = distinct, Misra–Gries = frequent,
+    histogram = distribution), and the state-store twin of the batch
+    `analytics.histogram_percentiles` verified path. Estimates carry
+    the histogram contract: exact rank selection over bins, value
+    resolution = bin_width (never interpolated — the
+    t-digest-vs-histogram trade made deterministic).
+
+    Scale shape: state is a dict of (bin → count) — bounded by the
+    value range / bin_width per group; per-batch work is one pandas
+    floor-div + value_counts, O(distinct bins) merged.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_fields = [T.StructField("grp", T.StringType()), T.StructField("n", T.LongType())]
+    for q in quantiles:
+        out_fields.append(T.StructField(f"p{int(q * 100)}", T.DoubleType()))
+    out_schema = T.StructType(out_fields)
+    state_schema = T.StructType(
+        [
+            T.StructField("bins", T.ArrayType(T.LongType())),
+            T.StructField("counts", T.ArrayType(T.LongType())),
+        ]
+    )
+
+    def _update(key, pdf_iter, state: GroupState):
+        import math
+
+        if state.exists:
+            bs, cs = state.get
+            hist = dict(zip(bs, cs))
+        else:
+            hist = {}
+        for pdf in pdf_iter:
+            binned = (pdf[value_col] / bin_width).map(math.floor)
+            for b, c in binned.value_counts().items():
+                hist[int(b)] = hist.get(int(b), 0) + int(c)
+        items = sorted(hist.items())
+        state.update(([b for b, _ in items], [c for _, c in items]))
+        n = sum(hist.values())
+        row = {"grp": [key[0]], "n": [n]}
+        for q in quantiles:
+            target = max(1, math.ceil(q * n))
+            acc = 0
+            est = None
+            for b, c in items:
+                acc += c
+                if acc >= target:
+                    est = b * bin_width
+                    break
+            row[f"p{int(q * 100)}"] = [est]
+        yield pd.DataFrame(row)
+
+    return stream.groupBy(group_col).applyInPandasWithState(
+        _update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )

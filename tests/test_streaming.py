@@ -701,3 +701,48 @@ def test_stateful_heavy_hitters_misra_gries_bounds(spark, tmp_path):
         assert (g, 7) in final                   # MG must retain it
         assert final[(g, 7)] <= true             # never overcounts
         assert final[(g, 7)] >= true - bound     # undercount bound
+
+
+def test_stateful_histogram_quantiles_match_batch_histogram(spark, staged_events):
+    """Drained stream state == one-pass batch histogram: the p50/p95
+    lower-bin estimates must be IDENTICAL (same bins, same exact rank
+    selection), and the count must equal the row count per group."""
+    import math
+
+    from cloudtrace_exporter_spark.streaming.pipeline import (
+        read_event_stream,
+        stateful_histogram_quantiles,
+    )
+
+    stream = read_event_stream(spark, staged_events, max_files_per_trigger=2)
+    q = (
+        stateful_histogram_quantiles(stream, bin_width=50.0)
+        .writeStream.format("memory")
+        .queryName("t_hq")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    streamed = {
+        r["grp"]: (r["n"], r["p50"], r["p95"])
+        for r in spark.sql(
+            "SELECT grp, n, p50, p95 FROM ("
+            "  SELECT *, row_number() OVER (PARTITION BY grp ORDER BY rn DESC) AS rr"
+            "  FROM (SELECT monotonically_increasing_id() AS rn, * FROM t_hq)) WHERE rr = 1"
+        ).collect()
+    }
+
+    batch = spark.read.parquet(staged_events).collect()
+    by_grp = {}
+    for r in batch:
+        by_grp.setdefault(r["event_type"], []).append(r["value"])
+    assert set(streamed) == set(by_grp)
+    for g, vals in by_grp.items():
+        bins = sorted(math.floor(v / 50.0) for v in vals)
+        n = len(bins)
+        exp = {}
+        for qq in (0.5, 0.95):
+            target = max(1, math.ceil(qq * n))
+            exp[qq] = bins[target - 1] * 50.0
+        assert streamed[g] == (n, exp[0.5], exp[0.95])

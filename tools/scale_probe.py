@@ -266,6 +266,17 @@ def main() -> None:
         lambda: dedup.lsh_tuning_report(docs10, sample_fraction=0.1),
     )
     for tag, e in (("1x", ev1), ("10x", ev10)):
+        t(f"survival_curve {tag}", lambda e=e: analytics.survival_curve(e))
+    for tag, d in (("1x", docs1), ("10x", docs10)):
+        t(
+            f"corpus_diff {tag}",
+            lambda d=d: _cur.corpus_diff(
+                d.filter(F.col("doc_id") % 7 != 0), d.filter(F.col("doc_id") % 5 != 0)
+            ),
+        )
+    t("lsh_eval 1x sampled(0.25)", lambda: dedup.lsh_eval_report(docs1, sample_fraction=0.25))
+    t("lsh_eval 10x sampled(0.05)", lambda: dedup.lsh_eval_report(docs10, sample_fraction=0.05))
+    for tag, e in (("1x", ev1), ("10x", ev10)):
         t(
             f"label_propagation {tag}",
             lambda e=e: graph.label_propagation(

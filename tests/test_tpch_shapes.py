@@ -364,3 +364,28 @@ def test_expectation_report_planted_violations(spark):
     assert not rep[("bounds", "price")]["passed"]
     clean = rep[("matches", "prio")]
     assert clean["violations"] == 1 and not clean["passed"]
+
+
+def test_registry_consistency():
+    # driver-contract hygiene: every oracle key must have a queries()
+    # entry, keys are unique by construction (dict), rows-only keys are
+    # the documented set (multimodal decodes + float/sketch production
+    # paths that carry *_verified twins) — a new rows-only key must be
+    # a conscious decision, not a forgotten oracle
+    import __spark_entry__ as e
+
+    q = e.queries()
+    o = e.oracle_sql()
+    assert set(o) <= set(q), f"orphan oracles: {set(o) - set(q)}"
+    rows_only = set(q) - set(o)
+    documented = {
+        "q_approx_count_distinct", "q_approx_percentiles", "q_hll_rollup",
+        "q_incremental_near_dedup", "q_ivf_topk", "q_minhash_dedup",
+        "q_multimodal_audio", "q_multimodal_decode", "q_multimodal_features",
+        "q_pagerank", "q_pq_rerank", "q_pq_topk", "q_simhash_near_dup",
+        "q_winnow_dedup", "q_phash_dedup",
+    }
+    assert rows_only == documented, (
+        f"undocumented rows-only: {rows_only - documented}; "
+        f"stale: {documented - rows_only}"
+    )

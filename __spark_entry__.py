@@ -3795,6 +3795,15 @@ def q_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
     return analytics.holt_forecast(load_table(spark, sf_dir, "events"))
 
 
+def q_holt_damped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forecast-family completion, ORACLE-EXACT: Gardner–McKenzie
+    DAMPED-trend Holt (φ=0.5, exactly representable; h-step multiplier
+    Σφ^i is a finite dyadic sum) — the long-horizon forecast saturates
+    instead of extrapolating forever (analytics.holt_forecast with
+    phi=0.5); same pinned-IEEE fold, same recursive-CTE replay."""
+    return analytics.holt_forecast(load_table(spark, sf_dir, "events"), phi=0.5)
+
+
 def q_kmv_join_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch-driven join planning, ORACLE-EXACT: per event-type pair,
     the distinct-user overlap estimated from KMV sketch state alone
@@ -3865,6 +3874,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_vocab_growth": q_vocab_growth,
         "q_kmv_join_estimate": q_kmv_join_estimate,
         "q_holt_forecast": q_holt_forecast,
+        "q_holt_damped": q_holt_damped,
         "q_label_propagation": q_label_propagation,
         "q_theilsen_trend": q_theilsen_trend,
         "q_fd_audit": q_fd_audit,
@@ -6403,6 +6413,37 @@ def oracle_sql() -> dict[str, str]:
         # round-6: label propagation — unrolled argmax chain, total-order
         # tie-break makes the trajectory engine-portable
         "q_label_propagation": _label_propagation_oracle_sql(),
+        # round-6: damped Holt — same fold with the φ=0.5 trend damp
+        # inlined in the exact operand order (pb computed once in Spark,
+        # repeated verbatim here — IEEE multiplication is deterministic)
+        "q_holt_damped": """
+            WITH RECURSIVE daily AS (
+              SELECT event_type AS series, date_trunc('day', ts) AS day,
+                     round(sum(value), 4) AS y
+              FROM events GROUP BY 1, 2
+            ),
+            idxd AS (
+              SELECT series, y,
+                     row_number() OVER (PARTITION BY series ORDER BY day) AS idx,
+                     count(*) OVER (PARTITION BY series) AS n
+              FROM daily
+            ),
+            it AS (
+              SELECT series, idx, n, y AS l, CAST(0.0 AS DOUBLE) AS b
+              FROM idxd WHERE idx = 1
+              UNION ALL
+              SELECT d.series, d.idx, d.n,
+                     0.5e0 * d.y + 0.5e0 * (it.l + 0.5e0 * it.b) AS l,
+                     0.25e0 * ((0.5e0 * d.y + 0.5e0 * (it.l + 0.5e0 * it.b)) - it.l)
+                       + 0.75e0 * (0.5e0 * it.b) AS b
+              FROM it JOIN idxd d ON d.series = it.series AND d.idx = it.idx + 1
+            )
+            SELECT series, CAST(n AS BIGINT) AS n_days,
+                   round(l, 4) AS level, round(b, 4) AS trend,
+                   round(round(l, 4) + 0.5e0 * round(b, 4), 4) AS forecast_1,
+                   round(round(l, 4) + 0.9921875e0 * round(b, 4), 4) AS forecast_7
+            FROM it WHERE idx = n ORDER BY series
+        """,
         # round-6: Holt level+trend fold — the recursive CTE replays the
         # exact IEEE recurrence (0.5/0.25 constants are exact doubles)
         "q_holt_forecast": """

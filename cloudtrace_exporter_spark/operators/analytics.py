@@ -3667,6 +3667,7 @@ def holt_forecast(
     *,
     alpha: float = 0.5,
     beta: float = 0.25,
+    phi: float = 1.0,
     horizon: int = 7,
     value_col: str = "value",
     type_col: str = "event_type",
@@ -3693,6 +3694,14 @@ def holt_forecast(
     ewma_chart/daily_spine argument). Forecast arithmetic runs on the
     4-rounded fold outputs so both engines extrapolate from identical
     state.
+
+    ``phi`` is the Gardner–McKenzie trend DAMPING (default 1.0 = the
+    classic undamped Holt — multiplying by an exact 1.0 leaves every
+    bit unchanged, so the original oracle replays verbatim); φ=0.5 is
+    exactly representable and the h-step multiplier Σφ^i is a finite
+    dyadic sum — the long-horizon forecast then saturates instead of
+    extrapolating a straight line forever, which is why damped Holt is
+    the production default in the forecasting literature.
     """
     daily = events.groupBy(
         F.col(type_col).alias("series"), F.date_trunc("day", F.col(ts_col)).alias("day")
@@ -3700,18 +3709,19 @@ def holt_forecast(
     arr = daily.groupBy("series").agg(
         F.sort_array(F.collect_list(F.struct("day", "y"))).alias("__seq")
     )
-    a, b1 = float(alpha), float(beta)
+    a, b1, ph = float(alpha), float(beta), float(phi)
     oma, omb = 1.0 - a, 1.0 - b1
 
     def merge(acc, x):
-        lp = F.lit(a) * x["y"] + F.lit(oma) * (acc["l"] + acc["b"])
+        pb = F.lit(ph) * acc["b"]
+        lp = F.lit(a) * x["y"] + F.lit(oma) * (acc["l"] + pb)
         return F.when(
             acc["i"] == 0,
             F.struct(x["y"].alias("l"), F.lit(0.0).alias("b"), F.lit(1).alias("i")),
         ).otherwise(
             F.struct(
                 lp.alias("l"),
-                (F.lit(b1) * (lp - acc["l"]) + F.lit(omb) * acc["b"]).alias("b"),
+                (F.lit(b1) * (lp - acc["l"]) + F.lit(omb) * pb).alias("b"),
                 (acc["i"] + 1).alias("i"),
             )
         )
@@ -3720,13 +3730,21 @@ def holt_forecast(
     folded = arr.select("series", F.aggregate("__seq", init, merge).alias("st"))
     lvl = F.round(F.col("st.l"), 4)
     trd = F.round(F.col("st.b"), 4)
+    # h-step multiplier Σ_{i=1..h} φ^i — exact dyadic arithmetic in
+    # Python, embedded as one literal per horizon
+    c1 = ph
+    ch = 0.0
+    p = 1.0
+    for _ in range(int(horizon)):
+        p = p * ph
+        ch = ch + p
     return folded.select(
         "series",
         F.col("st.i").cast("long").alias("n_days"),
         lvl.alias("level"),
         trd.alias("trend"),
-        F.round(lvl + trd, 4).alias("forecast_1"),
-        F.round(lvl + F.lit(float(horizon)) * trd, 4).alias(f"forecast_{horizon}"),
+        F.round(lvl + F.lit(c1) * trd, 4).alias("forecast_1"),
+        F.round(lvl + F.lit(ch) * trd, 4).alias(f"forecast_{horizon}"),
     ).orderBy("series")
 
 

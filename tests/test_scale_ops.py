@@ -535,3 +535,32 @@ def test_survival_curve_all_censored_yields_null_survival(spark):
     rows = survival_curve(df, horizon_days=7).collect()
     assert all(r["churned_survival"] is None for r in rows)
     assert rows[0]["n_censored_at_t"] == 1
+
+
+def test_damped_holt_saturates_the_long_horizon(spark):
+    # same ramp as the undamped test: with phi=0.5 the 7-step forecast
+    # must sit BELOW the undamped extrapolation (the damp saturates),
+    # and the multiplier is the exact dyadic sum 0.9921875
+    from datetime import datetime
+
+    from cloudtrace_exporter_spark.operators.analytics import holt_forecast
+
+    ys = [10.0, 20.0, 30.0, 40.0, 50.0, 60.0]
+    rows = [
+        (i, datetime(2024, 1, 1 + i, 5, 0, 0), 1, "ramp", ys[i], "{}")
+        for i in range(len(ys))
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    und = holt_forecast(ev).collect()[0]
+    dmp = holt_forecast(ev, phi=0.5).collect()[0]
+    assert dmp["forecast_7"] < und["forecast_7"]
+    assert dmp["forecast_7"] == round(dmp["level"] + 0.9921875 * dmp["trend"], 4)
+    # undamped key unchanged by the phi refactor (1.0 damp is bit-exact)
+    l, b = ys[0], 0.0
+    for y in ys[1:]:
+        lp = 0.5 * y + 0.5 * (l + b)
+        b = 0.25 * (lp - l) + 0.75 * b
+        l = lp
+    assert und["level"] == round(l, 4) and und["trend"] == round(b, 4)

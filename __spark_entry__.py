@@ -3834,6 +3834,139 @@ def q_water_fill_caps(spark: SparkSession, sf_dir: str) -> DataFrame:
     return curate.water_fill_caps(load_table(spark, sf_dir, "documents"))
 
 
+def q_passjoin_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy-join family ground truth, ORACLE-EXACT: EVERY document-
+    prefix pair within 3 Levenshtein edits via PassJoin segment
+    pigeonholing (dedup.passjoin_edit_pairs) — provably NO false
+    negatives with linear candidate volume, unlike the two heuristic
+    fuzzy joins (prefix-blocked, sorted-neighborhood) whose recall this
+    certifies. The oracle is the O(n²) brute-force form the operator
+    exists to avoid."""
+    return dedup.passjoin_edit_pairs(
+        load_table(spark, sf_dir, "documents"), max_dist=3, prefix_chars=20
+    )
+
+
+def q_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Changepoint detection, ORACLE-EXACT: two-sided Page CUSUM over
+    each series' daily event counts (analytics.cusum_drift) — catches
+    the slow ramp per-day outlier tests miss. All-integer closed form:
+    the recursive max(0, ·) folds become running-sum-minus-running-
+    extremum windows over the bounded daily grid."""
+    return analytics.cusum_drift(load_table(spark, sf_dir, "events"))
+
+
+def q_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrival-process profile, ORACLE-EXACT: per-series inter-arrival
+    gap extrema, exact median/p90 element selections, integer gap sums,
+    and the Goh–Barabási burstiness coefficient
+    (analytics.interarrival_stats) — the bot/burst diagnostic over the
+    event stream."""
+    return analytics.interarrival_stats(load_table(spark, sf_dir, "events"))
+
+
+def q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Privacy release gate, ORACLE-EXACT: k-anonymity / l-diversity
+    class-size spectrum over customer quasi-identifiers (nation,
+    segment, account-balance band) with balance as the sensitive
+    attribute (expectations.k_anonymity_report) — the structured-column
+    re-identification complement of q_pii_report's in-text scan."""
+    cust = load_table(spark, sf_dir, "customer").withColumn(
+        "bal_band", F.floor(F.col("c_acctbal") / 1000).cast("long")
+    )
+    return expectations.k_anonymity_report(
+        cust, quasi=["c_nationkey", "c_mktsegment", "bal_band"],
+        sensitive="c_acctbal", k=5,
+    )
+
+
+def q_key_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-planning diagnosis, ORACLE-EXACT: per join-key exact
+    Gini coefficient, top-1%-of-keys row share, and heaviest key
+    (skew.key_skew_audit) for the three fact-table keys a planner
+    would shuffle on — the measurement that decides between plain
+    groupBy, salting, and AQE skew splits BEFORE the 100 TB stage."""
+    rows = [
+        skew.key_skew_audit(
+            load_table(spark, sf_dir, "orders"), "o_custkey", label="orders.o_custkey"
+        ),
+        skew.key_skew_audit(
+            load_table(spark, sf_dir, "events"), "user_id", label="events.user_id"
+        ),
+        skew.key_skew_audit(
+            load_table(spark, sf_dir, "lineitem"), "l_suppkey", label="lineitem.l_suppkey"
+        ),
+    ]
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out.orderBy("audited")
+
+
+def _key_skew_oracle_one(table: str, key: str, label: str) -> str:
+    """DuckDB replica of skew.key_skew_audit for one (table, key):
+    ascending (count, key) ranking → rank-weighted Gini identity,
+    ceil(n/100) heavy keys, (count desc, key asc) argmax."""
+    return f"""
+        SELECT '{label}' AS audited,
+               CAST(n AS BIGINT) AS n_keys,
+               CAST(t AS BIGINT) AS total_rows,
+               CAST(mx AS BIGINT) AS max_cnt,
+               top_key,
+               CAST(hk AS BIGINT) AS heavy_keys,
+               CAST(hr AS BIGINT) AS heavy_rows,
+               CAST(floor(hr * 1000000 / t) AS BIGINT) AS heavy_share_e6,
+               round(CAST(2 * s - (n + 1) * t AS DOUBLE) / CAST(n * t AS DOUBLE), 6) AS gini
+        FROM (
+          SELECT max(n) AS n, sum(cnt) AS t, max(cnt) AS mx,
+                 max(CASE WHEN rd = 1 THEN key END) AS top_key,
+                 sum(rn * cnt) AS s,
+                 CAST(ceil(max(n) / 100) AS BIGINT) AS hk,
+                 sum(CASE WHEN rn >= n - CAST(ceil(n / 100) AS BIGINT) + 1
+                          THEN cnt ELSE 0 END) AS hr
+          FROM (
+            SELECT key, cnt,
+                   row_number() OVER (ORDER BY cnt, key) AS rn,
+                   row_number() OVER (ORDER BY cnt DESC, key ASC) AS rd,
+                   count(*) OVER () AS n
+            FROM (
+              SELECT CAST({key} AS VARCHAR) AS key, CAST(count(*) AS BIGINT) AS cnt
+              FROM {table} GROUP BY 1
+            )
+          )
+        )
+    """
+
+
+def q_mutual_nn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-group alignment mining, ORACLE-EXACT: mutual-nearest-
+    neighbor pairs between embedding label groups 0 and 1
+    (similarity.mutual_nn_pairs) — the bitext-mining precision filter:
+    a pair survives only if each side is the other's single best match
+    (hub vectors lose their one-sided pairs). Integer-quantized BIGINT
+    dots, argmax by (−cos, id) total order."""
+    return similarity.mutual_nn_pairs(load_table(spark, sf_dir, "embeddings"))
+
+
+def q_ab_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical testing, ORACLE-EXACT: per-series two-proportion
+    A/B z-test (analytics.ab_ztest) — deterministic unit%2 variants,
+    success = value above the per-series lower-median, pooled z from
+    exact BIGINT counts in one pinned IEEE expression; z² doubles as
+    the 2×2 chi-square independence statistic."""
+    return analytics.ab_ztest(load_table(spark, sf_dir, "events"))
+
+
+def q_purged_folds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal-leakage-safe CV, ORACLE-EXACT: purged walk-forward
+    folds over the event calendar (curate.purged_time_folds) — k
+    contiguous equi-count day folds; per evaluation fold each day is
+    test / embargo (the horizon-purged strip before the test window) /
+    train / future. The time-axis complement of
+    q_leakage_safe_splits' near-dup-cluster hash splits."""
+    return curate.purged_time_folds(load_table(spark, sf_dir, "events"))
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -3886,6 +4019,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_corpus_diff": q_corpus_diff,
         "q_survival_curve": q_survival_curve,
         "q_lsh_eval": q_lsh_eval,
+        # round-6 second-session additions (oracle-backed, no driver row yet)
+        "q_passjoin_exact": q_passjoin_exact,
+        "q_cusum_drift": q_cusum_drift,
+        "q_interarrival_stats": q_interarrival_stats,
+        "q_k_anonymity": q_k_anonymity,
+        "q_key_skew_audit": q_key_skew_audit,
+        "q_mutual_nn": q_mutual_nn,
+        "q_ab_ztest": q_ab_ztest,
+        "q_purged_folds": q_purged_folds,
         # rows-only by design (Python-side image decode)
         "q_phash_dedup": q_phash_dedup,
         # ---- keys below all have a green driver row in r1–r5 ----
@@ -6370,6 +6512,239 @@ def oracle_sql() -> dict[str, str]:
               FROM c
             ) WHERE rn = 1
             ORDER BY lhs_value
+        """,
+        # round-6 second session: PassJoin ground truth — the oracle IS the
+        # quadratic brute-force form the Spark operator provably equals
+        "q_passjoin_exact": """
+            WITH p AS (
+              SELECT doc_id, substr(text, 1, 20) AS pfx FROM documents
+              WHERE length(substr(text, 1, 20)) >= 8
+            )
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   CAST(levenshtein(a.pfx, b.pfx) AS BIGINT) AS dist
+            FROM p a JOIN p b
+              ON a.doc_id < b.doc_id
+             AND abs(length(a.pfx) - length(b.pfx)) <= 3
+            WHERE levenshtein(a.pfx, b.pfx) <= 3
+            ORDER BY doc_a, doc_b
+        """,
+        # round-6 second session: CUSUM — integer closed form, running
+        # extrema over per-series deviation cumsums
+        "q_cusum_drift": """
+            WITH daily AS (
+              SELECT event_type AS series, date_trunc('day', ts) AS day,
+                     CAST(count(*) AS BIGINT) AS x
+              FROM events GROUP BY 1, 2
+            ),
+            med AS (
+              SELECT series, x AS target FROM (
+                SELECT series, x,
+                       row_number() OVER (PARTITION BY series ORDER BY x, day) AS rn,
+                       count(*) OVER (PARTITION BY series) AS n
+                FROM daily
+              ) WHERE rn = CAST(floor((n + 1) / 2) AS BIGINT)
+            ),
+            g AS (
+              SELECT d.series, d.day, d.x, m.target,
+                     sum(d.x - m.target) OVER (PARTITION BY d.series ORDER BY d.day
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c
+              FROM daily d JOIN med m ON d.series = m.series
+            )
+            SELECT series, CAST(day AS TIMESTAMP) AS day, x,
+                   CAST(target AS BIGINT) AS target,
+                   CAST(c - least(0, min(c) OVER w) AS BIGINT) AS cusum_up,
+                   CAST(greatest(0, max(c) OVER w) - c AS BIGINT) AS cusum_down,
+                   (c - least(0, min(c) OVER w)) > 4 * greatest(target, 1) AS alarm_up,
+                   (greatest(0, max(c) OVER w) - c) > 4 * greatest(target, 1) AS alarm_down
+            FROM g
+            WINDOW w AS (PARTITION BY series ORDER BY day
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            ORDER BY series, day
+        """,
+        # round-6 second session: inter-arrival gaps — (ts, id) total order,
+        # floor-µs integer gaps, exact rank selections, pinned-order
+        # burstiness float tail
+        "q_interarrival_stats": """
+            WITH g0 AS (
+              SELECT event_type AS series, ts, event_id,
+                     lag(epoch_us(ts)) OVER
+                       (PARTITION BY event_type ORDER BY ts, event_id) AS prev
+              FROM events
+            ),
+            g AS (
+              SELECT series,
+                     CAST(floor((epoch_us(ts) - prev) / 1000000.0) AS BIGINT) AS gap_s,
+                     row_number() OVER (PARTITION BY series ORDER BY ts, event_id) AS i
+              FROM g0 WHERE prev IS NOT NULL
+            ),
+            r AS (
+              SELECT series, gap_s, i,
+                     row_number() OVER (PARTITION BY series ORDER BY gap_s, i) AS rn,
+                     count(*) OVER (PARTITION BY series) AS n
+              FROM g
+            ),
+            agg AS (
+              SELECT series,
+                     CAST(count(*) AS BIGINT) AS n_gaps,
+                     min(gap_s) AS min_gap_s,
+                     max(gap_s) AS max_gap_s,
+                     CAST(sum(gap_s) AS BIGINT) AS sum_gap_s,
+                     CAST(sum(gap_s * gap_s) AS BIGINT) AS sumsq_gap_s,
+                     max(CASE WHEN rn = CAST(floor((n + 1) / 2) AS BIGINT)
+                              THEN gap_s END) AS median_gap_s,
+                     max(CASE WHEN rn = CAST(floor((n * 9 + 9) / 10) AS BIGINT)
+                              THEN gap_s END) AS p90_gap_s
+              FROM r GROUP BY series
+            )
+            SELECT series, n_gaps, min_gap_s, max_gap_s, sum_gap_s, sumsq_gap_s,
+                   median_gap_s, p90_gap_s,
+                   CASE WHEN s + m > 0 THEN round((s - m) / (s + m), 6) END AS burstiness
+            FROM (
+              SELECT *,
+                     sum_gap_s / n_gaps AS m,
+                     sqrt(greatest(sumsq_gap_s / n_gaps
+                                   - (sum_gap_s / n_gaps) * (sum_gap_s / n_gaps),
+                                   0.0)) AS s
+              FROM agg
+            )
+            ORDER BY series
+        """,
+        # round-6 second session: k-anonymity class-size spectrum — one
+        # quasi-identifier aggregation, integer counts end to end
+        "q_k_anonymity": """
+            WITH cls AS (
+              SELECT c_nationkey, c_mktsegment,
+                     CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_band,
+                     CAST(count(*) AS BIGINT) AS sz,
+                     CAST(count(DISTINCT c_acctbal) AS BIGINT) AS l
+              FROM customer GROUP BY 1, 2, 3
+            )
+            SELECT sz AS class_size,
+                   CAST(count(*) AS BIGINT) AS n_classes,
+                   CAST(sz * count(*) AS BIGINT) AS n_rows,
+                   min(l) AS min_l_diversity,
+                   sz < 5 AS violates_k
+            FROM cls GROUP BY sz ORDER BY class_size
+        """,
+        # round-6 second session: key-skew audit — three fact keys,
+        # rank-weighted exact Gini, generated per table
+        "q_key_skew_audit": " UNION ALL ".join(
+            [
+                _key_skew_oracle_one("orders", "o_custkey", "orders.o_custkey"),
+                _key_skew_oracle_one("events", "user_id", "events.user_id"),
+                _key_skew_oracle_one("lineitem", "l_suppkey", "lineitem.l_suppkey"),
+            ]
+        )
+        + " ORDER BY audited",
+        # round-6 second session: mutual NN — the label_separation
+        # integer-dot recipe, argmax by (−cos, id) total order on both sides
+        "q_mutual_nn": """
+            WITH v AS (
+              SELECT vec_id AS id, label,
+                     list_transform(CAST(embedding AS DOUBLE[]),
+                                    x -> CAST(round(x * 10000) AS BIGINT)) AS v
+              FROM embeddings WHERE label IN (0, 1)
+            ),
+            e AS (
+              SELECT id, label, v,
+                     CAST(list_sum(list_transform(range(1, len(v) + 1),
+                          i -> v[i] * v[i])) AS BIGINT) AS n2
+              FROM v
+            ),
+            scored AS (
+              SELECT a.id AS id_a, b.id AS id_b,
+                     CAST(list_sum(list_transform(range(1, len(a.v) + 1),
+                          i -> a.v[i] * b.v[i])) AS BIGINT)
+                       / (sqrt(CAST(a.n2 AS DOUBLE)) * sqrt(CAST(b.n2 AS DOUBLE))) AS cos
+              FROM e a JOIN e b ON a.label = 0 AND b.label = 1
+            ),
+            ab AS (
+              SELECT id_a, id_b, cos FROM (
+                SELECT *, row_number() OVER (PARTITION BY id_a
+                           ORDER BY cos DESC, id_b ASC) AS rn
+                FROM scored) WHERE rn = 1
+            ),
+            ba AS (
+              SELECT id_b, id_a AS back_a FROM (
+                SELECT *, row_number() OVER (PARTITION BY id_b
+                           ORDER BY cos DESC, id_a ASC) AS rn
+                FROM scored) WHERE rn = 1
+            )
+            SELECT ab.id_a, ab.id_b, round(ab.cos, 6) AS cos
+            FROM ab JOIN ba ON ab.id_b = ba.id_b AND ab.id_a = ba.back_a
+            ORDER BY id_a
+        """,
+        # round-6 second session: A/B z-test — exact counts, pinned IEEE z
+        "q_ab_ztest": """
+            WITH g AS (
+              SELECT event_type AS series, value, event_id,
+                     CAST(user_id % 2 AS INTEGER) AS variant
+              FROM events
+            ),
+            r AS (
+              SELECT *, row_number() OVER (PARTITION BY series
+                          ORDER BY value, event_id) AS rn,
+                     count(*) OVER (PARTITION BY series) AS n
+              FROM g
+            ),
+            t AS (
+              SELECT *, max(CASE WHEN rn = CAST(floor((n + 1) / 2) AS BIGINT)
+                                 THEN value END)
+                          OVER (PARTITION BY series) AS thr
+              FROM r
+            ),
+            agg AS (
+              SELECT series,
+                CAST(sum(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+                CAST(sum(CASE WHEN variant = 0 AND value > thr THEN 1 ELSE 0 END) AS BIGINT) AS succ_a,
+                CAST(sum(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+                CAST(sum(CASE WHEN variant = 1 AND value > thr THEN 1 ELSE 0 END) AS BIGINT) AS succ_b
+              FROM t GROUP BY series
+            )
+            SELECT series, n_a, succ_a, n_b, succ_b,
+                   round(succ_a / n_a, 6) AS rate_a,
+                   round(succ_b / n_b, 6) AS rate_b,
+                   round(z, 6) AS z,
+                   z * z > 3.841458820694124 AS significant_05
+            FROM (
+              SELECT *,
+                     (succ_a / n_a - succ_b / n_b)
+                       / sqrt(((succ_a + succ_b) / (n_a + n_b))
+                              * (1 - (succ_a + succ_b) / (n_a + n_b))
+                              * (1 / n_a + 1 / n_b)) AS z
+              FROM agg
+            )
+            ORDER BY series
+        """,
+        # round-6 second session: purged walk-forward folds — integer
+        # date/rank arithmetic over the bounded daily grid
+        "q_purged_folds": """
+            WITH daily AS (
+              SELECT date_trunc('day', ts) AS day,
+                     CAST(count(*) AS BIGINT) AS n_events
+              FROM events GROUP BY 1
+            ),
+            r AS (
+              SELECT day, n_events,
+                     row_number() OVER (ORDER BY day) - 1 AS day_idx,
+                     count(*) OVER () AS n
+              FROM daily
+            ),
+            ev AS (
+              SELECT r.*, f.eval_fold
+              FROM r CROSS JOIN (SELECT unnest(range(5)) AS eval_fold) f
+            )
+            SELECT CAST(eval_fold AS BIGINT) AS eval_fold,
+                   CAST(day AS TIMESTAMP) AS day,
+                   CAST(day_idx AS BIGINT) AS day_idx,
+                   CAST(floor(day_idx * 5 / n) AS BIGINT) AS fold,
+                   CASE WHEN floor(day_idx * 5 / n) = eval_fold THEN 'test'
+                        WHEN floor(day_idx * 5 / n) > eval_fold THEN 'future'
+                        WHEN day_idx >= CAST(ceil(eval_fold * n / 5) AS BIGINT) - 3
+                          THEN 'embargo'
+                        ELSE 'train' END AS role,
+                   n_events
+            FROM ev ORDER BY eval_fold, day
         """,
         # round-6: Theil-Sen — lower-median element selection (never an
         # interpolated midpoint), IEEE slope arithmetic over rounded dailies

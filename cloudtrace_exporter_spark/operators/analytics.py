@@ -3886,3 +3886,240 @@ def survival_curve(
         )
         .orderBy("t_days")
     )
+
+
+def cusum_drift(
+    events: DataFrame,
+    *,
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    h_multiple: int = 4,
+) -> DataFrame:
+    """Two-sided CUSUM drift detection over each series' daily event
+    counts — the classic Page (1954) changepoint chart: accumulate
+    deviations from a per-series reference and alarm when the
+    accumulated drift exceeds a threshold. Catches the slow ramp that
+    per-day outlier tests (mad_outliers, seasonal_outliers) miss,
+    because a +10% shift never trips a single-day z-score but grows the
+    CUSUM linearly.
+
+    Exactness strategy: daily counts are integers and the reference is
+    the per-series LOWER-MEDIAN daily count (exact element selection,
+    the theil_sen_trend idiom) — so every statistic here is INTEGER
+    arithmetic end to end, trivially engine-portable. The recursive
+    definition S⁺_i = max(0, S⁺_{i-1} + (x_i − target)) is computed in
+    CLOSED FORM: with C_i the running sum of deviations,
+    S⁺_i = C_i − min(0, min_{j≤i} C_j) and the mirrored
+    S⁻_i = max(0, max_{j≤i} C_j) − C_i — running-min/max windows, no
+    recursion, no fold (contrast holt_forecast, which needs the pinned
+    IEEE fold because its state is multiplicative float).
+
+    Alarm threshold h = ``h_multiple`` · max(target, 1) — the standard
+    "4–5 sigma-ish allowance" for Poisson-like dailies, integer too.
+
+    Scale shape: the corpus reduces map-side to the (series, day) grid
+    (ONE shuffle, the holt/theil-sen argument); all windows — the
+    median rank, the running sums, the running extrema — run over that
+    grid, bounded by |series| · calendar span, never data volume. The
+    fold runs over OBSERVED days; densify with interpolate_daily_gaps
+    upstream if absent days should count as zero.
+    """
+    daily = events.groupBy(
+        F.col(type_col).alias("series"), F.date_trunc("day", F.col(ts_col)).alias("day")
+    ).agg(F.count(F.lit(1)).cast("long").alias("x"))
+    # per-series lower-median daily count: rank by (x, day) — a total
+    # order, so the selected element is engine-independent
+    wm = Window.partitionBy("series").orderBy("x", "day")
+    wn = Window.partitionBy("series")
+    med = (
+        daily.withColumn("__rn", F.row_number().over(wm))
+        .withColumn("__n", F.count(F.lit(1)).over(wn))
+        .filter(F.col("__rn") == F.floor((F.col("__n") + 1) / 2))
+        .select("series", F.col("x").alias("target"))
+    )
+    wc = Window.partitionBy("series").orderBy("day").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    g = daily.join(F.broadcast(med), "series").withColumn(
+        "__c", F.sum(F.col("x") - F.col("target")).over(wc)
+    )
+    s_up = F.col("__c") - F.least(F.lit(0), F.min("__c").over(wc))
+    s_dn = F.greatest(F.lit(0), F.max("__c").over(wc)) - F.col("__c")
+    h = F.lit(int(h_multiple)) * F.greatest(F.col("target"), F.lit(1))
+    return g.select(
+        "series",
+        "day",
+        "x",
+        F.col("target").cast("long").alias("target"),
+        s_up.cast("long").alias("cusum_up"),
+        s_dn.cast("long").alias("cusum_down"),
+        (s_up > h).alias("alarm_up"),
+        (s_dn > h).alias("alarm_down"),
+    ).orderBy("series", "day")
+
+
+def interarrival_stats(
+    events: DataFrame,
+    *,
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Per-series inter-arrival gap profile — the arrival-process
+    diagnostic behind capacity planning and bot/burst detection: gap
+    extrema, exact median and p90 gaps, and the Goh–Barabási burstiness
+    coefficient B = (σ−μ)/(σ+μ) (−1 = metronome, 0 = Poisson, →1 =
+    extreme bursts).
+
+    Exactness strategy: arrivals are ordered by (ts, id) — a TOTAL
+    order, so ties in ts cannot split engines — and each gap is an
+    integer: floor-division of the microsecond difference to whole
+    seconds. Median/p90 are exact element selections at 1-based ranks
+    ⌊(n+1)/2⌋ and ⌈9n/10⌉ = (9n+9)//10 over (gap, arrival-index) — never
+    an interpolated midpoint. Only burstiness is float: μ = sum/n,
+    then σ² = sumsq/n − μ·μ in that pinned order, one sqrt — all
+    correctly-rounded IEEE ops, replayed verbatim by the oracle.
+    Integer-sum domain: Σ gap² is exact BIGINT while
+    n · max_gap² < 2⁶³ (~3·10⁵ years of one-second resolution at a
+    billion rows) — beyond that, escalate the two sums to DECIMAL(38,0).
+
+    Scale shape: one series-keyed shuffle for the lag window, then the
+    per-series reduction; the rank-selection windows run over the same
+    partitioning (no extra exchange). Series count bounds the output.
+    """
+    w = Window.partitionBy("series").orderBy(ts_col, id_col)
+    gaps = (
+        events.select(
+            F.col(type_col).alias("series"),
+            # NTZ-tolerant: unix_micros requires TIMESTAMP; under the UTC
+            # session timezone the cast is a pure type change
+            F.col(ts_col).cast("timestamp").alias(ts_col),
+            F.col(id_col),
+        )
+        .withColumn("__prev", F.lag(F.unix_micros(F.col(ts_col))).over(w))
+        .withColumn(
+            "gap_s",
+            F.floor((F.unix_micros(F.col(ts_col)) - F.col("__prev")) / 1_000_000).cast(
+                "long"
+            ),
+        )
+        .filter(F.col("__prev").isNotNull())
+        .withColumn("__i", F.row_number().over(w))
+    )
+    wg = Window.partitionBy("series").orderBy("gap_s", "__i")
+    wn = Window.partitionBy("series")
+    ranked = (
+        gaps.withColumn("__rn", F.row_number().over(wg))
+        .withColumn("__n", F.count(F.lit(1)).over(wn))
+    )
+    per = ranked.groupBy("series").agg(
+        F.count(F.lit(1)).cast("long").alias("n_gaps"),
+        F.min("gap_s").alias("min_gap_s"),
+        F.max("gap_s").alias("max_gap_s"),
+        F.sum("gap_s").cast("long").alias("sum_gap_s"),
+        F.sum(F.col("gap_s") * F.col("gap_s")).cast("long").alias("sumsq_gap_s"),
+        F.max(
+            F.when(F.col("__rn") == F.floor((F.col("__n") + 1) / 2), F.col("gap_s"))
+        ).alias("median_gap_s"),
+        F.max(
+            F.when(
+                F.col("__rn") == F.floor((F.col("__n") * 9 + 9) / 10), F.col("gap_s")
+            )
+        ).alias("p90_gap_s"),
+    )
+    mu = F.col("sum_gap_s") / F.col("n_gaps")
+    var = F.col("sumsq_gap_s") / F.col("n_gaps") - mu * mu
+    sigma = F.sqrt(F.greatest(var, F.lit(0.0)))
+    return per.select(
+        "series",
+        "n_gaps",
+        "min_gap_s",
+        "max_gap_s",
+        "sum_gap_s",
+        "sumsq_gap_s",
+        "median_gap_s",
+        "p90_gap_s",
+        F.when(sigma + mu > 0, F.round((sigma - mu) / (sigma + mu), 6)).alias(
+            "burstiness"
+        ),
+    ).orderBy("series")
+
+
+def ab_ztest(
+    events: DataFrame,
+    *,
+    type_col: str = "event_type",
+    value_col: str = "value",
+    id_col: str = "event_id",
+    unit_col: str = "user_id",
+    z_crit_sq: float = 3.841458820694124,
+) -> DataFrame:
+    """Two-proportion A/B significance test per series — the
+    experimentation-readout primitive (and the missing STATISTICAL-
+    TESTING member of the analytics surface): split units into two
+    deterministic variants, define success as "value above the
+    per-series typical level", and report the pooled two-proportion
+    z-statistic with a χ²₁-critical significance verdict (z² > 3.8415 ⟺
+    p < 0.05; z² IS the 2×2 chi-square, so this row doubles as the
+    independence test).
+
+    Determinism contract: variant assignment is ``unit % 2`` here —
+    replayable arithmetic the oracle reproduces verbatim (production
+    would salt-hash the unit id; the fixture's ids are already
+    arbitrary). Success threshold = per-series LOWER-MEDIAN value by
+    the (value, id) total order (exact element selection). All counts
+    are exact BIGINTs; z is computed from them in ONE pinned IEEE
+    expression (p̂a, p̂b, pooled p̂, one sqrt, one division), so both
+    engines emit bit-identical statistics.
+
+    Scale shape: one series-keyed median-rank window over the stream,
+    then one (series) aggregation with map-side combine — conditional
+    sums, no joins. Output is |series| rows.
+    """
+    w = Window.partitionBy("series").orderBy(value_col, id_col)
+    wn = Window.partitionBy("series")
+    g = (
+        events.select(
+            F.col(type_col).alias("series"),
+            F.col(value_col).alias(value_col),
+            F.col(id_col).alias(id_col),
+            F.pmod(F.col(unit_col), F.lit(2)).cast("int").alias("variant"),
+        )
+        .withColumn("__rn", F.row_number().over(w))
+        .withColumn("__n", F.count(F.lit(1)).over(wn))
+        .withColumn(
+            "__thr",
+            F.max(
+                F.when(
+                    F.col("__rn") == F.floor((F.col("__n") + 1) / 2), F.col(value_col)
+                )
+            ).over(wn),
+        )
+        .withColumn("__succ", (F.col(value_col) > F.col("__thr")).cast("long"))
+    )
+    per = g.groupBy("series").agg(
+        F.sum(F.when(F.col("variant") == 0, 1).otherwise(0)).cast("long").alias("n_a"),
+        F.sum(F.when(F.col("variant") == 0, F.col("__succ")).otherwise(0))
+        .cast("long")
+        .alias("succ_a"),
+        F.sum(F.when(F.col("variant") == 1, 1).otherwise(0)).cast("long").alias("n_b"),
+        F.sum(F.when(F.col("variant") == 1, F.col("__succ")).otherwise(0))
+        .cast("long")
+        .alias("succ_b"),
+    )
+    pa = F.col("succ_a") / F.col("n_a")
+    pb = F.col("succ_b") / F.col("n_b")
+    pp = (F.col("succ_a") + F.col("succ_b")) / (F.col("n_a") + F.col("n_b"))
+    se = F.sqrt(pp * (1 - pp) * (1 / F.col("n_a") + 1 / F.col("n_b")))
+    z = (pa - pb) / se
+    return per.select(
+        "series",
+        "n_a",
+        "succ_a",
+        "n_b",
+        "succ_b",
+        F.round(pa, 6).alias("rate_a"),
+        F.round(pb, 6).alias("rate_b"),
+        F.round(z, 6).alias("z"),
+        (z * z > F.lit(z_crit_sq)).alias("significant_05"),
+    ).orderBy("series")

@@ -152,3 +152,51 @@ def fd_audit(
         (F.col("n_rows") + F.col("m.nc")).cast("long").alias("n_violations"),
         (F.col("n_distinct_rhs") == 1).alias("fd_holds"),
     ).orderBy("lhs_value")
+
+
+def k_anonymity_report(
+    df: DataFrame,
+    *,
+    quasi: tuple[str, ...] | list[str],
+    sensitive: str,
+    k: int = 5,
+) -> DataFrame:
+    """k-anonymity / l-diversity audit (Sweeney 2002; Machanavajjhala
+    2007) — the privacy gate a corpus passes BEFORE release: group rows
+    into equivalence classes on the quasi-identifier combination and
+    report the class-size spectrum. A class of size < k re-identifies
+    its members by linkage; a class whose sensitive attribute takes one
+    value leaks it even at size ≥ k (homogeneity attack) — the
+    complement of q_pii_report, which finds direct identifiers INSIDE
+    text while this measures re-identification risk of the STRUCTURED
+    columns.
+
+    Output: one row per equivalence-class SIZE — n_classes, n_rows,
+    the minimum l (distinct sensitive values) among classes of that
+    size, and the k-violation flag. The table's k-anonymity level is
+    the first row's class_size; rows_at_risk = Σ n_rows where
+    violates_k. All counts are exact integers.
+
+    Scale shape: ONE (quasi) aggregation with map-side partials (the
+    class frame is bounded by the quasi-value domain product, not data
+    volume), then a tiny class-size rollup. No joins, no windows.
+    """
+    classes = df.groupBy(*[F.col(c) for c in quasi]).agg(
+        F.count(F.lit(1)).cast("long").alias("__sz"),
+        F.count_distinct(F.col(sensitive)).cast("long").alias("__l"),
+    )
+    return (
+        classes.groupBy(F.col("__sz").alias("class_size"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_classes"),
+            F.min("__l").alias("min_l_diversity"),
+        )
+        .select(
+            "class_size",
+            "n_classes",
+            (F.col("class_size") * F.col("n_classes")).cast("long").alias("n_rows"),
+            "min_l_diversity",
+            (F.col("class_size") < F.lit(int(k))).alias("violates_k"),
+        )
+        .orderBy("class_size")
+    )

@@ -1508,3 +1508,85 @@ def label_separation_matrix(
         )
         .orderBy("label_a", "label_b")
     )
+
+
+def mutual_nn_pairs(
+    emb: DataFrame,
+    *,
+    label_a: int = 0,
+    label_b: int = 1,
+    scale: int = 10**4,
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Mutual-nearest-neighbor pair mining between two embedding
+    groups — the bitext/translation-pair mining criterion (Artetxe &
+    Schwenk's margin setting reduced to its mutual-top-1 core): keep
+    (a, b) only when b is a's single best match in group B AND a is b's
+    best in group A. Mutuality is the classic precision filter — a hub
+    vector that is "everyone's neighbor" loses its one-sided pairs, so
+    the surviving alignments are high-confidence anchors for parallel-
+    corpus construction or cross-modal alignment.
+
+    Exactness strategy: the embedding_outliers/label_separation
+    integer-quantization recipe — components quantized to BIGINT at
+    ``scale``, dots and self-norms are exact BIGINT sums; cosine is two
+    IEEE sqrts and one division per pair, and both argmaxes select by
+    the (−cos, partner-id) total order, so the chosen neighbor is an
+    exact element selection over bit-identical scores in both engines.
+
+    Scale shape: groups A and B reduce to id+quantized-vector frames;
+    the pair scoring is one equi-free join bounded by |A|·|B| — at
+    production scale feed group frames pre-filtered by an ANN stage
+    (ivf_topk/lsh_topk candidates) and this operator becomes the exact
+    mutual-verify tail; the two argmaxes are group-keyed aggregations
+    on the scored frame (no windows), and the mutual check is a tiny
+    |A|-row ⋈ |B|-row equi-join.
+    """
+    qvec = F.transform(_as_double(vec_col), lambda x: F.round(x * scale).cast("long"))
+    self_dot = F.aggregate(
+        F.zip_with("v", "v", lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    base = emb.select(
+        F.col(id_col).alias("id"), F.col(label_col).alias("lbl"), qvec.alias("v")
+    ).withColumn("n2", self_dot)
+    a = base.filter(F.col("lbl") == label_a).select(
+        F.col("id").alias("id_a"), F.col("v").alias("va"), F.col("n2").alias("na")
+    )
+    b = base.filter(F.col("lbl") == label_b).select(
+        F.col("id").alias("id_b"), F.col("v").alias("vb"), F.col("n2").alias("nb")
+    )
+    dot = F.aggregate(
+        F.zip_with("va", "vb", lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    # materialized once: BOTH argmaxes consume the scored frame — without
+    # the cache the |A|·|B| scoring subtree executes twice (the
+    # global_row_number materialize-before-fan-out rule)
+    scored = (
+        a.join(F.broadcast(b), F.lit(True))
+        .withColumn(
+            "cos",
+            dot / (F.sqrt(F.col("na").cast("double")) * F.sqrt(F.col("nb").cast("double"))),
+        )
+        .select("id_a", "id_b", "cos")
+        .cache()
+    )
+    best_ab = scored.groupBy("id_a").agg(
+        F.min(F.struct((-F.col("cos")).alias("nc"), F.col("id_b"))).alias("m")
+    ).select("id_a", F.col("m.id_b").alias("id_b"), (-F.col("m.nc")).alias("cos"))
+    best_ba = scored.groupBy("id_b").agg(
+        F.min(F.struct((-F.col("cos")).alias("nc"), F.col("id_a"))).alias("m")
+    ).select(F.col("id_b").alias("b_id"), F.col("m.id_a").alias("back_a"))
+    return (
+        best_ab.join(
+            F.broadcast(best_ba),
+            (F.col("id_b") == F.col("b_id")) & (F.col("id_a") == F.col("back_a")),
+        )
+        .select("id_a", "id_b", F.round("cos", 6).alias("cos"))
+        .orderBy("id_a")
+    )

@@ -84,3 +84,71 @@ def salted_join(
         _SALT, F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)).cast("array<int>"))
     )
     return salted_probe.join(replicated_build, on=[on, _SALT], how=how).drop(_SALT)
+
+
+def key_skew_audit(df: DataFrame, key_col: str, *, label: str | None = None) -> DataFrame:
+    """Join-key skew diagnosis — the pre-shuffle report that decides
+    whether a key needs ``salted_sum_count``/``salted_join`` or AQE's
+    skew split BEFORE the 100 TB stage runs: per-key frequency spectrum
+    reduced to one row of exact skew statistics.
+
+    - ``gini``: the exact Gini coefficient of the key-frequency
+      distribution via the sorted-rank identity
+      G = (2·Σᵢ i·xᵢ − (n+1)·Σx) / (n·Σx) with frequencies ranked
+      ascending by (count, key) — a total order, so the rank-weighted
+      sum is a pure function of the data. 0 = perfectly uniform keys,
+      →1 = one key owns the table.
+    - ``heavy_share_e6``: the row share (ppm, floor) held by the top
+      ⌈n/100⌉ keys — the "does 1% of keys own the stage" number.
+    - ``top_key``/``max_cnt``: the single heaviest key (count desc,
+      key asc tie-break — the fd_audit argmax idiom).
+
+    Exactness: every statistic is integer arithmetic except the final
+    Gini ratio — two exact BIGINT operands (each < 2⁵³ here; escalate
+    to DECIMAL(38,0) sums beyond ~10⁹ keys · 10⁹ rows) through one IEEE
+    division, rounded to 6 places. The global ranking comes from
+    ``analytics.global_row_number`` (range-partitioned two-phase
+    numbering — never a single-task window over the key spectrum,
+    which at 100 TB can be billions of distinct keys).
+
+    Scale shape: one key-keyed aggregation (map-side combined), the
+    range exchange for ranking, then a 1-row reduction. ``label`` names
+    the audited table.column in the output for unioned multi-key audits.
+    """
+    from . import analytics
+
+    counts = df.groupBy(F.col(key_col).cast("string").alias("__key")).agg(
+        F.count(F.lit(1)).cast("long").alias("__cnt")
+    )
+    ranked = analytics.global_row_number(counts, ["__cnt", "__key"], with_total=True)
+    n = F.max("_n_total").cast("long")
+    heavy_from = F.col("_n_total") - F.ceil(F.col("_n_total") / 100) + 1
+    one = ranked.agg(
+        n.alias("n_keys"),
+        F.sum("__cnt").cast("long").alias("total_rows"),
+        F.max("__cnt").cast("long").alias("max_cnt"),
+        F.min(F.struct((-F.col("__cnt")).alias("nc"), F.col("__key"))).alias("__top"),
+        F.sum(F.col("rn") * F.col("__cnt")).cast("long").alias("__s"),
+        F.sum(F.when(F.col("rn") >= heavy_from, F.col("__cnt")).otherwise(0))
+        .cast("long")
+        .alias("heavy_rows"),
+        F.ceil(n / 100).cast("long").alias("heavy_keys"),
+    )
+    gini = F.round(
+        (2 * F.col("__s") - (F.col("n_keys") + 1) * F.col("total_rows"))
+        / (F.col("n_keys") * F.col("total_rows")),
+        6,
+    )
+    return one.select(
+        F.lit(label or key_col).alias("audited"),
+        "n_keys",
+        "total_rows",
+        "max_cnt",
+        F.col("__top.__key").alias("top_key"),
+        "heavy_keys",
+        "heavy_rows",
+        F.floor(F.col("heavy_rows") * 1_000_000 / F.col("total_rows"))
+        .cast("long")
+        .alias("heavy_share_e6"),
+        gini.alias("gini"),
+    )

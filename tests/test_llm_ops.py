@@ -14,6 +14,7 @@ from cloudtrace_exporter_spark.operators import (
     analytics,
     curate,
     dedup,
+    expectations,
     multimodal,
     similarity,
     text,
@@ -2159,3 +2160,117 @@ def test_lsh_eval_report_scores_planted_dups(spark):
     assert r["n_truth"] == 15
     assert r["recall"] == 1.0
     assert r["precision"] == 1.0 and r["f1"] == 1.0
+
+
+def test_passjoin_equals_brute_force_on_fixture(spark, sf_dir):
+    """The PassJoin candidate generator is EXACT: against the fixture
+    corpus it must equal the O(n²) brute-force edit-distance join pair
+    for pair — the property the heuristic fuzzy joins don't have."""
+    docs = load_table(spark, sf_dir, "documents")
+    got = {
+        (r.doc_a, r.doc_b, r.dist)
+        for r in dedup.passjoin_edit_pairs(docs, max_dist=3, prefix_chars=20).collect()
+    }
+    p = docs.select(
+        F.col("doc_id").alias("id"), F.substring("text", 1, 20).alias("pfx")
+    ).filter(F.length("pfx") >= 8)
+    a, b = p.alias("a"), p.alias("b")
+    want = {
+        (r.doc_a, r.doc_b, r.dist)
+        for r in a.join(b, F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("doc_a"),
+            F.col("b.id").alias("doc_b"),
+            F.levenshtein("a.pfx", "b.pfx").cast("long").alias("dist"),
+        )
+        .filter(F.col("dist") <= 3)
+        .collect()
+    }
+    assert got == want and len(got) > 0
+
+
+def test_passjoin_catches_pairs_heuristic_blocking_misses(spark):
+    """A first-token edit escapes fuzzy_prefix_join's (block, first
+    token) key; PassJoin must still pair it — including insertions and
+    deletions that shift every later position."""
+    rows = [
+        (1, "alpha beta gamma delta", "en", "s", 22),
+        (2, "alphX beta gamma delta", "en", "s", 22),  # sub in token 1
+        (3, "Xalpha beta gamma delt", "en", "s", 22),  # insertion at pos 0
+        (4, "lpha beta gamma deltaX", "en", "s", 22),  # deletion at pos 0
+        (5, "completely different!!", "en", "s", 22),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    got = {
+        (r.doc_a, r.doc_b)
+        for r in dedup.passjoin_edit_pairs(df, max_dist=3, prefix_chars=22).collect()
+    }
+    assert {(1, 2), (1, 3), (1, 4)} <= got
+    assert not any(5 in pair for pair in got)
+    # the heuristic prefix join misses the token-1 edits by construction
+    heur = {
+        (r.doc_a, r.doc_b)
+        for r in dedup.fuzzy_prefix_join(df, max_dist=3, n_prefix_tokens=4).collect()
+    }
+    assert (1, 3) not in heur
+
+
+def test_k_anonymity_spectrum_and_l_diversity(spark):
+    rows = [
+        # quasi (q1, q2): class A has 3 rows / 1 sensitive value,
+        # class B has 1 row, class C has 2 rows / 2 values
+        ("a", 1, 100.0), ("a", 1, 100.0), ("a", 1, 100.0),
+        ("b", 1, 5.0),
+        ("c", 2, 1.0), ("c", 2, 2.0),
+    ]
+    df = spark.createDataFrame(rows, "q1 string, q2 int, s double")
+    out = {
+        r.class_size: r
+        for r in expectations.k_anonymity_report(
+            df, quasi=["q1", "q2"], sensitive="s", k=3
+        ).collect()
+    }
+    assert out[1].n_classes == 1 and out[1].violates_k
+    assert out[2].n_classes == 1 and out[2].min_l_diversity == 2 and out[2].violates_k
+    assert out[3].n_classes == 1 and out[3].min_l_diversity == 1
+    assert not out[3].violates_k
+    assert sum(r.n_rows for r in out.values()) == 6
+
+
+def test_mutual_nn_drops_one_sided_pairs(spark):
+    rows = [
+        (1, [1.0, 0.0], 0),   # a1
+        (2, [0.8, 0.2], 0),   # a2: best is b1, but b1 prefers a1
+        (10, [0.9, 0.1], 1),  # b1: best is a1 -> (a1, b1) mutual
+        (11, [0.0, 1.0], 1),  # b2: best is a2, but a2 prefers b1
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    got = {(r.id_a, r.id_b) for r in similarity.mutual_nn_pairs(emb).collect()}
+    assert got == {(1, 10)}
+
+
+def test_purged_folds_roles(spark):
+    from datetime import datetime
+    rows = [
+        (i, datetime(2024, 1, 1 + i, 6, 0, 0), 1, "s", 0.0, "{}") for i in range(10)
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    )
+    out = curate.purged_time_folds(ev, k=5, embargo_days=3)
+    roles = {
+        (r.eval_fold, r.day_idx): r.role for r in out.collect()
+    }
+    # eval fold 2: test = days 4-5, embargo = 1-3, train = 0, future = 6-9
+    assert roles[(2, 4)] == "test" and roles[(2, 5)] == "test"
+    assert roles[(2, 3)] == "embargo" and roles[(2, 1)] == "embargo"
+    assert roles[(2, 0)] == "train"
+    assert roles[(2, 6)] == "future" and roles[(2, 9)] == "future"
+    # walk-forward invariant: nothing after the test window is ever train
+    assert not any(
+        role == "train" and idx > 2 * ef + 1
+        for (ef, idx), role in roles.items()
+    )

@@ -562,3 +562,58 @@ def test_lsh_tuning_single_pair_frame(plans):
     p = plans("q_lsh_tuning")
     assert "BroadcastNestedLoopJoin" not in p
     assert "CartesianProduct" not in p
+
+
+def test_passjoin_is_equi_join_never_nested_loop(plans):
+    # the candidate generator must hash-join on (length, slot, segment);
+    # the brute-force quadratic form lives only in the oracle
+    p = plans("q_passjoin_exact")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_cusum_windows_are_series_partitioned(plans):
+    # the only join is the broadcast of per-series medians; every window
+    # runs partitioned by series over the bounded daily grid
+    p = plans("q_cusum_drift")
+    assert "CartesianProduct" not in p
+    assert "SortMergeJoin" not in p
+
+
+def test_k_anonymity_is_pure_aggregation(plans):
+    # two groupBys (classes, then the size spectrum) — no joins at all
+    p = plans("q_k_anonymity")
+    assert "Join" not in p
+
+
+def test_key_skew_audit_no_data_sized_window(plans):
+    # three audits union'd: each ranks via the range-partitioned
+    # two-phase numbering (cached) — never a single-partition window
+    # over the key spectrum; no cartesian anywhere
+    p = plans("q_key_skew_audit")
+    assert "CartesianProduct" not in p
+    assert "InMemoryTableScan" in p  # the materialized ranged frame
+
+
+def test_mutual_nn_single_bounded_cross(plans):
+    # the |A|x|B| scoring is the ONE deliberate broadcast nested loop
+    # (the exact mutual-verify tail; ANN candidates bound it at scale)
+    # and it is MATERIALIZED before fanning out to the two argmaxes —
+    # the plan string prints the cached subtree under each
+    # InMemoryTableScan, so count scans, not BNLJ occurrences
+    p = plans("q_mutual_nn")
+    assert "CartesianProduct" not in p
+    assert "InMemoryTableScan" in p
+    assert p.count("BroadcastNestedLoopJoin") <= p.count("InMemoryTableScan")
+
+
+def test_ab_ztest_is_joinless(plans):
+    p = plans("q_ab_ztest")
+    assert "Join" not in p
+
+
+def test_purged_folds_is_joinless_grid_explode(plans):
+    # daily grid -> rank window on the bounded frame -> fold explode;
+    # no join anywhere
+    p = plans("q_purged_folds")
+    assert "Join" not in p

@@ -8,7 +8,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from cloudtrace_exporter_spark.operators import layout, similarity, skew
+from cloudtrace_exporter_spark.operators import analytics, layout, similarity, skew
 from cloudtrace_exporter_spark.sources.tables import load_table
 
 
@@ -564,3 +564,115 @@ def test_damped_holt_saturates_the_long_horizon(spark):
         b = 0.25 * (lp - l) + 0.75 * b
         l = lp
     assert und["level"] == round(l, 4) and und["trend"] == round(b, 4)
+
+
+def test_cusum_closed_form_equals_recursive_fold(spark):
+    """The windowed closed form S⁺=C−min(0,min C), S⁻=max(0,max C)−C
+    must equal the textbook recursive max(0, S+d) fold."""
+    from datetime import datetime
+    xs = [5, 5, 5, 9, 9, 9, 9, 1, 1, 5]
+    rows = []
+    eid = 0
+    for i, x in enumerate(xs):
+        for _ in range(x):
+            rows.append((eid, datetime(2024, 1, 1 + i, 3, 0, 0), 1, "s", 1.0, "{}"))
+            eid += 1
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    )
+    out = analytics.cusum_drift(ev).orderBy("day").collect()
+    target = sorted(xs)[(len(xs) + 1) // 2 - 1]  # lower median
+    s_up = s_dn = 0
+    for r, x in zip(out, xs):
+        s_up = max(0, s_up + (x - target))
+        s_dn = max(0, s_dn - (x - target))
+        assert (r.x, r.target, r.cusum_up, r.cusum_down) == (x, target, s_up, s_dn)
+        assert r.alarm_up == (s_up > 4 * max(target, 1))
+        assert r.alarm_down == (s_dn > 4 * max(target, 1))
+
+
+def test_interarrival_stats_known_gaps(spark):
+    from datetime import datetime, timedelta
+    t0 = datetime(2024, 1, 1)
+    gaps = [10, 10, 40, 100]  # arrivals at 0,10,20,60,160 s
+    ts, acc = [t0], 0
+    for g in gaps:
+        acc += g
+        ts.append(t0 + timedelta(seconds=acc))
+    rows = [(i, t, 1, "s", 0.0, "{}") for i, t in enumerate(ts)]
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    )
+    r = analytics.interarrival_stats(ev).collect()[0]
+    assert (r.n_gaps, r.min_gap_s, r.max_gap_s, r.sum_gap_s) == (4, 10, 100, 160)
+    assert r.sumsq_gap_s == sum(g * g for g in gaps)
+    assert r.median_gap_s == 10  # rank floor((4+1)/2)=2 of [10,10,40,100]
+    assert r.p90_gap_s == 100  # rank ceil(0.9*4)=4
+    mu = 160 / 4
+    sigma = (sum(g * g for g in gaps) / 4 - mu * mu) ** 0.5
+    assert abs(r.burstiness - (sigma - mu) / (sigma + mu)) < 1e-6
+
+
+def test_interarrival_ties_broken_by_event_id(spark):
+    """Identical timestamps must not make the gap sequence ambiguous:
+    the order is the (ts, event_id) total order."""
+    from datetime import datetime
+    t0 = datetime(2024, 1, 1)
+    rows = [(i, t0, 1, "s", 0.0, "{}") for i in (3, 1, 2)]
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    )
+    r = analytics.interarrival_stats(ev).collect()[0]
+    assert (r.n_gaps, r.min_gap_s, r.max_gap_s, r.sum_gap_s) == (2, 0, 0, 0)
+
+
+def test_key_skew_audit_uniform_vs_skewed(spark):
+    from cloudtrace_exporter_spark.operators import skew as skew_ops
+
+    uniform = spark.createDataFrame([(i % 10,) for i in range(100)], "k int")
+    u = skew_ops.key_skew_audit(uniform, "k").collect()[0]
+    assert (u.n_keys, u.total_rows, u.max_cnt) == (10, 100, 10)
+    assert u.gini == 0.0  # all frequencies equal
+    # one hot key owning ~91% of rows
+    hot = spark.createDataFrame([(0,)] * 91 + [(i,) for i in range(1, 10)], "k int")
+    h = skew_ops.key_skew_audit(hot, "k").collect()[0]
+    assert h.top_key == "0" and h.max_cnt == 91
+    assert h.heavy_keys == 1 and h.heavy_rows == 91 and h.heavy_share_e6 == 910000
+    assert h.gini > 0.8
+
+
+def test_ab_ztest_detects_planted_lift(spark):
+    from datetime import datetime
+    rows = []
+    # even users (variant 0) always beat the median; odd users never do
+    for i in range(40):
+        rows.append((i, datetime(2024, 1, 1 + i % 5), i, "s",
+                     100.0 if i % 2 == 0 else 1.0, "{}"))
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    )
+    r = analytics.ab_ztest(ev).collect()[0]
+    assert (r.n_a, r.n_b) == (20, 20)
+    # lower-median of 40 interleaved values is 1.0 -> only the 100.0s succeed
+    assert (r.succ_a, r.succ_b) == (20, 0)
+    assert r.z > 6 and r.significant_05
+
+
+def test_ab_ztest_null_effect_not_significant(spark):
+    from datetime import datetime
+    rows = [
+        (i, datetime(2024, 1, 1 + i % 5), i, "s", float(i % 7), "{}")
+        for i in range(42)
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    )
+    r = analytics.ab_ztest(ev).collect()[0]
+    # identical value cycles in both variants -> rates equal, z == 0
+    assert r.rate_a == r.rate_b and abs(r.z) < 1e-9
+    assert not r.significant_05

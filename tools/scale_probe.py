@@ -288,6 +288,24 @@ def main() -> None:
             ),
         )
 
+    # --- round-6 third wave ---
+    from cloudtrace_exporter_spark.operators import skew as _skew
+
+    for tag, d in (("1x", docs1), ("10x", docs10)):
+        t(f"passjoin_edit_pairs {tag}", lambda d=d: dedup.passjoin_edit_pairs(d))
+    for tag, e in (("1x", ev1), ("10x", ev10)):
+        t(f"cusum_drift {tag}", lambda e=e: analytics.cusum_drift(e))
+    for tag, e in (("1x", ev1), ("10x", ev10)):
+        t(f"interarrival_stats {tag}", lambda e=e: analytics.interarrival_stats(e))
+    for tag, e in (("1x", ev1), ("10x", ev10)):
+        t(f"key_skew_audit (user_id) {tag}", lambda e=e: _skew.key_skew_audit(e, "user_id"))
+    for tag, e in (("1x", emb1), ("10x", emb10)):
+        t(f"mutual_nn_pairs {tag}", lambda e=e: similarity.mutual_nn_pairs(e))
+    for tag, e in (("1x", ev1), ("10x", ev10)):
+        t(f"ab_ztest {tag}", lambda e=e: analytics.ab_ztest(e))
+    for tag, e in (("1x", ev1), ("10x", ev10)):
+        t(f"purged_time_folds {tag}", lambda e=e: _cur.purged_time_folds(e))
+
 
 def semantic_dedup_probe(e, n_bits: int | None = None):
     from cloudtrace_exporter_spark.operators import similarity

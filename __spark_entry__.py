@@ -3938,6 +3938,24 @@ def _key_skew_oracle_one(table: str, key: str, label: str) -> str:
     """
 
 
+def q_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Score recalibration, ORACLE-EXACT: isotonic (PAV) fit of the
+    purchase rate against value bins (analytics.isotonic_calibration) —
+    pool-adjacent-violators in its closed minimax form, pure joins +
+    min/max aggregations over the B-row bin frame; each pooled average
+    is one IEEE division of two exact BIGINT prefix sums."""
+    return analytics.isotonic_calibration(load_table(spark, sf_dir, "events"))
+
+
+def q_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nonparametric testing, ORACLE-EXACT: Mann–Whitney U per series
+    between the unit%2 variants (analytics.mann_whitney) — midranks
+    carried DOUBLED so the U statistic is exact BIGINT; tie-corrected
+    normal z as one pinned IEEE expression. The rank-based companion
+    to q_ab_ztest."""
+    return analytics.mann_whitney(load_table(spark, sf_dir, "events"))
+
+
 def q_mutual_nn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-group alignment mining, ORACLE-EXACT: mutual-nearest-
     neighbor pairs between embedding label groups 0 and 1
@@ -4028,6 +4046,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_mutual_nn": q_mutual_nn,
         "q_ab_ztest": q_ab_ztest,
         "q_purged_folds": q_purged_folds,
+        "q_isotonic_calibration": q_isotonic_calibration,
+        "q_mann_whitney": q_mann_whitney,
         # rows-only by design (Python-side image decode)
         "q_phash_dedup": q_phash_dedup,
         # ---- keys below all have a green driver row in r1–r5 ----
@@ -6636,6 +6656,77 @@ def oracle_sql() -> dict[str, str]:
             ]
         )
         + " ORDER BY audited",
+        # round-6 second session: isotonic PAV — closed minimax form over
+        # the bounded bin frame, prefix-sum averages
+        "q_isotonic_calibration": """
+            WITH b AS (
+              SELECT CAST(floor(value / 50.0) AS BIGINT) AS bin,
+                     CAST(count(*) AS BIGINT) AS n,
+                     CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                          AS BIGINT) AS pos
+              FROM events
+              WHERE floor(value / 50.0) BETWEEN 0 AND 19
+              GROUP BY 1
+            ),
+            pref AS (
+              SELECT *,
+                     sum(n) OVER (ORDER BY bin ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND CURRENT ROW) AS cn,
+                     sum(pos) OVER (ORDER BY bin ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND CURRENT ROW) AS cp
+              FROM b
+            ),
+            jk AS (
+              SELECT j.bin AS jb, k.bin AS kb,
+                     (k.cp - j.cp + j.pos) / (k.cn - j.cn + j.n) AS avg
+              FROM pref j JOIN pref k ON j.bin <= k.bin
+            ),
+            mji AS (
+              SELECT i.bin AS i, jk.jb, min(jk.avg) AS m
+              FROM jk JOIN b i ON jk.jb <= i.bin AND jk.kb >= i.bin
+              GROUP BY 1, 2
+            ),
+            fit AS (SELECT i, max(m) AS fitted FROM mji GROUP BY 1)
+            SELECT b.bin, b.n, b.pos,
+                   round(b.pos / b.n, 6) AS raw_rate,
+                   round(fitted, 6) AS isotonic_rate
+            FROM b JOIN fit ON b.bin = fit.i
+            ORDER BY bin
+        """,
+        # round-6 second session: Mann-Whitney — doubled midranks keep the
+        # U statistic integer; tie term summed per row as t^2-1
+        "q_mann_whitney": """
+            WITH g AS (
+              SELECT event_type AS series, value,
+                     CAST(user_id % 2 AS INTEGER) AS variant,
+                     CAST(count(*) OVER (PARTITION BY event_type, value) AS BIGINT) AS t,
+                     CAST(rank() OVER (PARTITION BY event_type ORDER BY value) AS BIGINT) AS r
+              FROM events
+            ),
+            per AS (
+              SELECT series,
+                CAST(sum(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+                CAST(sum(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+                CAST(sum(CASE WHEN variant = 0 THEN 2 * r + t - 1 ELSE 0 END) AS BIGINT) AS r2a,
+                CAST(sum(t * t - 1) AS BIGINT) AS ties
+              FROM g GROUP BY series
+            )
+            SELECT series, n_a, n_b,
+                   CAST(r2a - n_a * (n_a + 1) AS BIGINT) AS u2_a,
+                   round(z, 6) AS z,
+                   z * z > 3.841458820694124 AS significant_05
+            FROM (
+              SELECT *,
+                     CAST(r2a - n_a * (n_a + 1) - n_a * n_b AS DOUBLE)
+                       / (2.0 * sqrt(
+                           CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / 12.0
+                           * (CAST(n_a + n_b + 1 AS DOUBLE)
+                              - CAST(ties AS DOUBLE)
+                                / CAST((n_a + n_b) * (n_a + n_b - 1) AS DOUBLE)))) AS z
+              FROM per
+            )
+            ORDER BY series
+        """,
         # round-6 second session: mutual NN — the label_separation
         # integer-dot recipe, argmax by (−cos, id) total order on both sides
         "q_mutual_nn": """

@@ -4123,3 +4123,146 @@ def ab_ztest(
         F.round(z, 6).alias("z"),
         (z * z > F.lit(z_crit_sq)).alias("significant_05"),
     ).orderBy("series")
+
+
+def isotonic_calibration(
+    events: DataFrame,
+    *,
+    n_bins: int = 20,
+    width: float = 50.0,
+    type_col: str = "event_type",
+    value_col: str = "value",
+    positive: str = "purchase",
+) -> DataFrame:
+    """Isotonic (monotone) calibration curve via pool-adjacent-violators
+    — the standard recalibration of a scalar score against a binary
+    outcome (Zadrozny–Elkan): bin the score, observe the per-bin
+    positive rate, and fit the best NON-DECREASING rate curve. The
+    downstream use is threshold picking on a quality/propensity score
+    whose raw rate curve is noisy or locally inverted.
+
+    PAV here is not the sequential pooling loop but its CLOSED minimax
+    form — fitted(i) = max_{j≤i} min_{k≥i} avg(y over bins j..k) — which
+    is pure joins + min/max aggregations over the B-row bin frame
+    (O(B³) pairs; B=20 → 8 k rows, and B is a config constant, never
+    data-sized). Weighted averages come from prefix sums, so each
+    avg(j,k) is ONE IEEE division of two exact BIGINTs; min/max over
+    bit-identical doubles are engine-portable.
+
+    Scale shape: one corpus aggregation to the bin frame (map-side
+    combined), then everything runs on ≤B³ rows. Output: one row per
+    non-empty bin with the raw and the isotonic rate.
+    """
+    b = (
+        events.select(
+            F.floor(F.col(value_col) / F.lit(width)).cast("long").alias("bin"),
+            (F.col(type_col) == positive).cast("long").alias("y"),
+        )
+        .filter(F.col("bin").between(0, n_bins - 1))
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"), F.sum("y").cast("long").alias("pos"))
+    )
+    # prefix sums over the tiny ordered bin frame
+    # [WindowExec: No Partition Defined — BENIGN HERE] ≤ n_bins rows
+    w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    pref = b.withColumn("cn", F.sum("n").over(w)).withColumn("cp", F.sum("pos").over(w))
+    jk = (
+        pref.alias("j")
+        .join(pref.alias("k"), F.col("j.bin") <= F.col("k.bin"))
+        .select(
+            F.col("j.bin").alias("jb"),
+            F.col("k.bin").alias("kb"),
+            (
+                (F.col("k.cp") - F.col("j.cp") + F.col("j.pos"))
+                / (F.col("k.cn") - F.col("j.cn") + F.col("j.n"))
+            ).alias("avg"),
+        )
+    )
+    # m(j, i) = min over k ≥ i of avg(j, k); fitted(i) = max over j ≤ i
+    i_frame = b.select(F.col("bin").alias("i"))
+    mji = (
+        jk.join(i_frame, (F.col("jb") <= F.col("i")) & (F.col("kb") >= F.col("i")))
+        .groupBy("i", "jb")
+        .agg(F.min("avg").alias("m"))
+    )
+    fit = mji.groupBy("i").agg(F.max("m").alias("fitted"))
+    return (
+        b.join(fit, b["bin"] == fit["i"])
+        .select(
+            "bin",
+            "n",
+            "pos",
+            F.round(F.col("pos") / F.col("n"), 6).alias("raw_rate"),
+            F.round("fitted", 6).alias("isotonic_rate"),
+        )
+        .orderBy("bin")
+    )
+
+
+def mann_whitney(
+    events: DataFrame,
+    *,
+    type_col: str = "event_type",
+    value_col: str = "value",
+    id_col: str = "event_id",
+    unit_col: str = "user_id",
+    z_crit_sq: float = 3.841458820694124,
+) -> DataFrame:
+    """Mann–Whitney U (Wilcoxon rank-sum) test per series — the
+    NONPARAMETRIC companion to ab_ztest: compares the full value
+    distributions of two deterministic variants by ranks, so a heavy
+    tail or outliers can't fake (or mask) a shift the way they can in a
+    means-based test.
+
+    Exactness strategy: midranks are half-integers, so the statistic is
+    carried DOUBLED — r2 = 2·midrank = 2·rank() + (ties − 1) is an
+    exact BIGINT, u2 = Σ_A r2 − n_a(n_a+1) is exactly 2·U_A. The normal
+    approximation (with the standard tie correction
+    σ² = n_a·n_b/12 · [(n+1) − Σ(t³−t)/(n(n−1))]) is one pinned IEEE
+    expression over exact integers; z is identical bitwise across
+    engines. Variant = unit % 2, the ab_ztest contract.
+
+    Scale shape: one series-keyed rank window over the stream (the
+    irreducible sort), tie sizes from a (series, value) count window on
+    the same partitioning, then one aggregation. Output |series| rows.
+    """
+    wr = Window.partitionBy("series").orderBy(value_col)
+    wt = Window.partitionBy("series", value_col)
+    g = (
+        events.select(
+            F.col(type_col).alias("series"),
+            F.col(value_col).alias(value_col),
+            F.pmod(F.col(unit_col), F.lit(2)).cast("int").alias("variant"),
+        )
+        .withColumn("__t", F.count(F.lit(1)).over(wt).cast("long"))
+        .withColumn("__r2", (2 * F.rank().over(wr) + F.col("__t") - 1).cast("long"))
+    )
+    per = g.groupBy("series").agg(
+        F.sum(F.when(F.col("variant") == 0, 1).otherwise(0)).cast("long").alias("n_a"),
+        F.sum(F.when(F.col("variant") == 1, 1).otherwise(0)).cast("long").alias("n_b"),
+        F.sum(F.when(F.col("variant") == 0, F.col("__r2")).otherwise(0))
+        .cast("long")
+        .alias("__r2a"),
+        # Σ(t³−t) counted once per tie GROUP: each member contributes
+        # (t²−1), so the group total t·(t²−1) = t³−t comes out of a
+        # plain row-level sum — no distinct-group pass needed
+        F.sum(F.col("__t") * F.col("__t") - 1).cast("long").alias("__ties"),
+    )
+    n = F.col("n_a") + F.col("n_b")
+    u2 = F.col("__r2a") - F.col("n_a") * (F.col("n_a") + 1)
+    mu2 = F.col("n_a") * F.col("n_b")  # 2·E[U] = n_a·n_b
+    var = (
+        F.col("n_a").cast("double")
+        * F.col("n_b").cast("double")
+        / 12.0
+        * ((n + 1).cast("double") - F.col("__ties").cast("double") / (n * (n - 1)).cast("double"))
+    )
+    z = (u2 - mu2).cast("double") / (2.0 * F.sqrt(var))
+    return per.select(
+        "series",
+        "n_a",
+        "n_b",
+        u2.alias("u2_a"),
+        F.round(z, 6).alias("z"),
+        (z * z > F.lit(z_crit_sq)).alias("significant_05"),
+    ).orderBy("series")

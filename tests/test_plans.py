@@ -617,3 +617,18 @@ def test_purged_folds_is_joinless_grid_explode(plans):
     # no join anywhere
     p = plans("q_purged_folds")
     assert "Join" not in p
+
+
+def test_isotonic_runs_on_the_bounded_bin_frame(plans):
+    # one corpus aggregation to <= n_bins rows; the O(B^3) minimax is
+    # joins over that literal-sized frame (broadcast), never the corpus
+    p = plans("q_isotonic_calibration")
+    assert "CartesianProduct" not in p
+    assert "SortMergeJoin" not in p
+
+
+def test_mann_whitney_single_rank_partitioning(plans):
+    # rank window and tie-count window share the series partitioning;
+    # no joins at all
+    p = plans("q_mann_whitney")
+    assert "Join" not in p

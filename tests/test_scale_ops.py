@@ -676,3 +676,66 @@ def test_ab_ztest_null_effect_not_significant(spark):
     # identical value cycles in both variants -> rates equal, z == 0
     assert r.rate_a == r.rate_b and abs(r.z) < 1e-9
     assert not r.significant_05
+
+
+def test_isotonic_pav_pools_violations(spark):
+    """A locally-inverted rate curve must pool into the weighted
+    average of the violating bins; already-monotone bins are kept."""
+    from datetime import datetime
+    # bins 0..3 via value = bin*50+1; purchase marks the positive class
+    # per-bin (n, pos): bin0 (4,0), bin1 (4,3), bin2 (4,1), bin3 (4,4)
+    plan = {0: (4, 0), 1: (4, 3), 2: (4, 1), 3: (4, 4)}
+    rows, eid = [], 0
+    for b, (n, pos) in plan.items():
+        for j in range(n):
+            rows.append(
+                (eid, datetime(2024, 1, 1), eid,
+                 "purchase" if j < pos else "view", b * 50.0 + 1.0, "{}")
+            )
+            eid += 1
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    )
+    out = {r.bin: r for r in analytics.isotonic_calibration(ev).collect()}
+    assert out[0].isotonic_rate == 0.0
+    # bins 1 and 2 violate (0.75 > 0.25) -> pool to (3+1)/(4+4) = 0.5
+    assert out[1].isotonic_rate == 0.5 and out[2].isotonic_rate == 0.5
+    assert out[3].isotonic_rate == 1.0
+    # fitted curve is non-decreasing
+    fitted = [out[b].isotonic_rate for b in sorted(out)]
+    assert fitted == sorted(fitted)
+
+
+def test_mann_whitney_matches_scipy_free_hand_computation(spark):
+    """Hand-checked U on a tiny sample with ties: A = [1, 2, 2],
+    B = [2, 3]. Midranks: 1->1, the three 2s -> 3, 3 -> 5.
+    R_A = 1+3+3 = 7, U_A = 7 - 3*4/2 = 1 -> u2_a = 2."""
+    from datetime import datetime
+    vals = [(0, 1.0), (2, 2.0), (4, 2.0), (1, 2.0), (3, 3.0)]  # user%2: A=even
+    rows = [
+        (i, datetime(2024, 1, 1), u, "s", v, "{}") for i, (u, v) in enumerate(vals)
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    )
+    r = analytics.mann_whitney(ev).collect()[0]
+    assert (r.n_a, r.n_b, r.u2_a) == (3, 2, 2)
+    assert not r.significant_05
+
+
+def test_mann_whitney_detects_planted_shift(spark):
+    from datetime import datetime
+    rows = []
+    for i in range(60):
+        # even users (A) uniformly higher than odd users (B)
+        rows.append((i, datetime(2024, 1, 1), i, "s",
+                     100.0 + i if i % 2 == 0 else float(i), "{}"))
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    )
+    r = analytics.mann_whitney(ev).collect()[0]
+    assert r.u2_a == 2 * r.n_a * r.n_b  # A wins every comparison
+    assert r.z > 6 and r.significant_05

@@ -305,6 +305,10 @@ def main() -> None:
         t(f"ab_ztest {tag}", lambda e=e: analytics.ab_ztest(e))
     for tag, e in (("1x", ev1), ("10x", ev10)):
         t(f"purged_time_folds {tag}", lambda e=e: _cur.purged_time_folds(e))
+    for tag, e in (("1x", ev1), ("10x", ev10)):
+        t(f"isotonic_calibration {tag}", lambda e=e: analytics.isotonic_calibration(e))
+    for tag, e in (("1x", ev1), ("10x", ev10)):
+        t(f"mann_whitney {tag}", lambda e=e: analytics.mann_whitney(e))
 
 
 def semantic_dedup_probe(e, n_bits: int | None = None):

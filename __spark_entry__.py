@@ -3938,6 +3938,15 @@ def _key_skew_oracle_one(table: str, key: str, label: str) -> str:
     """
 
 
+def q_lead_lag_ccf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-series diagnostics, ORACLE-EXACT: lead–lag Pearson
+    cross-correlation between the view and purchase daily series at
+    lags ±7 (analytics.lead_lag_ccf) — all sufficient statistics exact
+    BIGINTs over the bounded daily grid, one pinned IEEE r per lag.
+    The cross-series companion of q_autocorr_lag7."""
+    return analytics.lead_lag_ccf(load_table(spark, sf_dir, "events"))
+
+
 def q_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Score recalibration, ORACLE-EXACT: isotonic (PAV) fit of the
     purchase rate against value bins (analytics.isotonic_calibration) —
@@ -4048,6 +4057,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_purged_folds": q_purged_folds,
         "q_isotonic_calibration": q_isotonic_calibration,
         "q_mann_whitney": q_mann_whitney,
+        "q_lead_lag_ccf": q_lead_lag_ccf,
         # rows-only by design (Python-side image decode)
         "q_phash_dedup": q_phash_dedup,
         # ---- keys below all have a green driver row in r1–r5 ----
@@ -6656,6 +6666,42 @@ def oracle_sql() -> dict[str, str]:
             ]
         )
         + " ORDER BY audited",
+        # round-6 second session: lead-lag CCF — integer sufficient stats
+        # per lag over the shifted-grid equi-join, pinned Pearson tail
+        "q_lead_lag_ccf": """
+            WITH daily AS (
+              SELECT event_type AS series,
+                     date_diff('day', DATE '2024-01-01',
+                               CAST(date_trunc('day', ts) AS DATE)) AS d,
+                     CAST(count(*) AS BIGINT) AS x
+              FROM events GROUP BY 1, 2
+            ),
+            gx AS (SELECT d, x AS xv FROM daily WHERE series = 'view'),
+            gy AS (SELECT d AS dy, x AS yv FROM daily WHERE series = 'purchase'),
+            lags AS (
+              SELECT gx.*, l.lag
+              FROM gx CROSS JOIN (SELECT unnest(range(-7, 8)) AS lag) l
+            ),
+            j AS (SELECT * FROM lags JOIN gy ON d + lag = dy),
+            per AS (
+              SELECT lag,
+                     CAST(count(*) AS BIGINT) AS n_obs,
+                     CAST(sum(xv) AS BIGINT) AS sx,
+                     CAST(sum(yv) AS BIGINT) AS sy,
+                     CAST(sum(xv * yv) AS BIGINT) AS sxy,
+                     CAST(sum(xv * xv) AS BIGINT) AS sxx,
+                     CAST(sum(yv * yv) AS BIGINT) AS syy
+              FROM j GROUP BY lag
+            )
+            SELECT CAST(lag AS BIGINT) AS lag, n_obs, sxy,
+                   CASE WHEN n_obs * sxx - sx * sx > 0
+                         AND n_obs * syy - sy * sy > 0
+                        THEN round(CAST(n_obs * sxy - sx * sy AS DOUBLE)
+                             / (sqrt(CAST(n_obs * sxx - sx * sx AS DOUBLE))
+                                * sqrt(CAST(n_obs * syy - sy * sy AS DOUBLE))), 6)
+                   END AS pearson_r
+            FROM per ORDER BY lag
+        """,
         # round-6 second session: isotonic PAV — closed minimax form over
         # the bounded bin frame, prefix-sum averages
         "q_isotonic_calibration": """

@@ -4266,3 +4266,71 @@ def mann_whitney(
         F.round(z, 6).alias("z"),
         (z * z > F.lit(z_crit_sq)).alias("significant_05"),
     ).orderBy("series")
+
+
+def lead_lag_ccf(
+    events: DataFrame,
+    *,
+    series_x: str = "view",
+    series_y: str = "purchase",
+    max_lag: int = 7,
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    epoch: str = "2024-01-01",
+) -> DataFrame:
+    """Lead–lag cross-correlation between two event series' daily
+    counts — the causality-screening diagnostic behind "do views lead
+    purchases, and by how many days": Pearson r between x_t and y_{t+l}
+    for every lag l ∈ [−max_lag, +max_lag]. A positive best lag means x
+    LEADS y. The cross-series companion of q_autocorr_lag7.
+
+    Exactness strategy: daily counts are integers, so every per-lag
+    sufficient statistic (n, Σx, Σy, Σxy, Σx², Σy²) is an exact BIGINT;
+    Pearson r = (nΣxy − ΣxΣy) / (√(nΣx²−(Σx)²)·√(nΣy²−(Σy)²)) is then
+    one pinned IEEE expression per lag — two sqrts and a division over
+    exact integers, bit-identical across engines. Lags where either
+    radicand is zero (a constant series slice) emit NULL r, not a 0/0.
+
+    Scale shape: the corpus reduces map-side to the two daily grids
+    (ONE shuffle); the lag alignment is an equi-join of grid × lag-list
+    on the shifted day index — ≤ |calendar|·(2·max_lag+1) rows, bounded
+    by the date domain, never data volume.
+    """
+    day_idx = F.datediff(
+        F.date_trunc("day", F.col(ts_col)).cast("date"), F.lit(epoch).cast("date")
+    ).cast("long")
+    daily = events.groupBy(F.col(type_col).alias("series"), day_idx.alias("d")).agg(
+        F.count(F.lit(1)).cast("long").alias("x")
+    )
+    gx = daily.filter(F.col("series") == series_x).select("d", F.col("x").alias("xv"))
+    gy = daily.filter(F.col("series") == series_y).select(
+        F.col("d").alias("dy"), F.col("x").alias("yv")
+    )
+    lags = gx.withColumn(
+        "lag", F.explode(F.sequence(F.lit(-int(max_lag)), F.lit(int(max_lag))))
+    )
+    j = lags.join(gy, F.col("d") + F.col("lag") == F.col("dy"))
+    per = j.groupBy("lag").agg(
+        F.count(F.lit(1)).cast("long").alias("n_obs"),
+        F.sum("xv").cast("long").alias("sx"),
+        F.sum("yv").cast("long").alias("sy"),
+        F.sum(F.col("xv") * F.col("yv")).cast("long").alias("sxy"),
+        F.sum(F.col("xv") * F.col("xv")).cast("long").alias("sxx"),
+        F.sum(F.col("yv") * F.col("yv")).cast("long").alias("syy"),
+    )
+    vx = per["n_obs"] * per["sxx"] - per["sx"] * per["sx"]
+    vy = per["n_obs"] * per["syy"] - per["sy"] * per["sy"]
+    num = per["n_obs"] * per["sxy"] - per["sx"] * per["sy"]
+    r = F.when(
+        (vx > 0) & (vy > 0),
+        F.round(
+            num.cast("double") / (F.sqrt(vx.cast("double")) * F.sqrt(vy.cast("double"))),
+            6,
+        ),
+    )
+    return per.select(
+        F.col("lag").cast("long").alias("lag"),
+        "n_obs",
+        "sxy",
+        r.alias("pearson_r"),
+    ).orderBy("lag")

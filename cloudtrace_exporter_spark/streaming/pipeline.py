@@ -649,3 +649,57 @@ def stateful_histogram_quantiles(
     return stream.groupBy(group_col).applyInPandasWithState(
         _update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
     )
+
+
+def stream_stream_outer_join(
+    stream: DataFrame,
+    *,
+    left_type: str = "purchase",
+    right_type: str = "error",
+    within: str = "30 minutes",
+    delay: str = "1 minute",
+) -> DataFrame:
+    """LEFT OUTER stream-stream interval join — the "purchases with NO
+    error within 30 minutes" readout the inner join above cannot give.
+    Outer results are the part that makes this a genuinely stateful
+    operator: an unmatched left row cannot be emitted when it arrives
+    (its match may still come), so it sits in the state store until the
+    RIGHT watermark passes its interval end, then flushes with NULL
+    right columns. Both watermarks plus the interval condition are
+    REQUIRED by Spark for exactly this reason — they bound how long a
+    row can wait, which bounds state.
+
+    State size: O(rows inside the watermark horizon) per side; the
+    delay knob trades outer-result latency against reordering
+    tolerance. Emission timing is watermark-driven, so a just-arrived
+    unmatched row is NOT in the output yet — readers of the memory-sink
+    tests compare against the batch anti-join only up to the final
+    watermark.
+    """
+    left = (
+        stream.filter(F.col("event_type") == left_type)
+        .select(
+            F.col("user_id").alias("l_user"),
+            F.col("event_id").alias("left_id"),
+            F.col("ts").alias("l_ts"),
+        )
+        .withWatermark("l_ts", delay)
+    )
+    right = (
+        stream.filter(F.col("event_type") == right_type)
+        .select(
+            F.col("user_id").alias("r_user"),
+            F.col("event_id").alias("right_id"),
+            F.col("ts").alias("r_ts"),
+        )
+        .withWatermark("r_ts", delay)
+    )
+    return left.join(
+        right,
+        F.expr(
+            f"l_user = r_user AND r_ts >= l_ts AND r_ts <= l_ts + INTERVAL {within}"
+        ),
+        "leftOuter",
+    ).select(
+        F.col("l_user").alias("user_id"), "left_id", "right_id", "l_ts", "r_ts"
+    )

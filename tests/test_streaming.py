@@ -746,3 +746,41 @@ def test_stateful_histogram_quantiles_match_batch_histogram(spark, staged_events
             target = max(1, math.ceil(qq * n))
             exp[qq] = bins[target - 1] * 50.0
         assert streamed[g] == (n, exp[0.5], exp[0.95])
+
+
+def test_stream_stream_left_outer_join_flushes_unmatched(spark, staged_events):
+    """Inner matches must equal the batch join; unmatched purchases
+    whose interval end passed the final watermark must surface with a
+    NULL right side — and nothing else may."""
+    from cloudtrace_exporter_spark.streaming.pipeline import stream_stream_outer_join
+
+    stream = read_event_stream(spark, staged_events, max_files_per_trigger=1)
+    joined = stream_stream_outer_join(stream, within="30 minutes", delay="1 minute")
+    out = _run_to_memory(spark, joined, "t_ss_outer")
+
+    ev = load_table(spark, SF, "events")
+    l = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("l_user"), F.col("event_id").alias("left_id"), F.col("ts").alias("l_ts")
+    )
+    r = ev.filter(F.col("event_type") == "error").select(
+        F.col("user_id").alias("r_user"), F.col("event_id").alias("right_id"), F.col("ts").alias("r_ts")
+    )
+    cond = F.expr("l_user = r_user AND r_ts >= l_ts AND r_ts <= l_ts + INTERVAL 30 minutes")
+    inner_b = {
+        (x.left_id, x.right_id) for x in l.join(r, cond).select("left_id", "right_id").collect()
+    }
+    anti_b = {x.left_id for x in l.join(r, cond, "left_anti").collect()}
+
+    got_inner = {
+        (x.left_id, x.right_id)
+        for x in out.filter(F.col("right_id").isNotNull()).collect()
+    }
+    got_outer = {x.left_id for x in out.filter(F.col("right_id").isNull()).collect()}
+    assert got_inner == inner_b
+    # every emitted outer row is a true batch non-match...
+    assert got_outer <= anti_b
+    # ...and the watermark DID flush the bulk of them (everything except
+    # rows still inside the final horizon can and must have been emitted)
+    assert len(got_outer) > 0.5 * len(anti_b)
+    # no left row appears both matched and unmatched
+    assert not (got_outer & {a for a, _ in got_inner})

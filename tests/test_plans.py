@@ -632,3 +632,11 @@ def test_mann_whitney_single_rank_partitioning(plans):
     # no joins at all
     p = plans("q_mann_whitney")
     assert "Join" not in p
+
+
+def test_lead_lag_ccf_grid_join_no_cartesian(plans):
+    # lag alignment is an equi-join on the shifted day index over the
+    # bounded daily grids — never a nested loop over the corpus
+    p = plans("q_lead_lag_ccf")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p

@@ -406,3 +406,50 @@ def test_fuzzy_prefix_join_threshold_monotone(spark_prop, texts, max_dist):
     assert all(d <= max_dist for d in tight.values())
     for p, d in tight.items():
         assert loose[p] == d  # distances don't depend on the bound
+
+
+def _lev(a: str, b: str) -> int:
+    if len(a) < len(b):
+        a, b = b, a
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[-1] + 1, prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+@given(
+    texts=st.lists(
+        st.text(alphabet="ab ", min_size=5, max_size=14), min_size=2, max_size=10
+    ),
+    d=st.integers(1, 3),
+)
+@settings(max_examples=8, deadline=None)
+def test_passjoin_equals_brute_force_on_adversarial_strings(spark_prop, texts, d):
+    """PassJoin completeness under hypothesis: a 2-letter alphabet makes
+    near-collisions (and segment-bucket collisions) maximally common —
+    the pigeonhole candidate set must still reproduce the brute-force
+    pair set exactly, insertions/deletions/substitutions alike."""
+    from cloudtrace_exporter_spark.operators import dedup as _dedup
+
+    rows = [(i, t, "en", "s", len(t)) for i, t in enumerate(texts)]
+    df = spark_prop.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    got = {
+        (r.doc_a, r.doc_b, r.dist)
+        for r in _dedup.passjoin_edit_pairs(
+            df, max_dist=d, prefix_chars=20, min_len=4
+        ).collect()
+    }
+    kept = [(i, t) for i, t in enumerate(texts) if len(t[:20]) >= 4]
+    want = set()
+    for x in range(len(kept)):
+        for y in range(x + 1, len(kept)):
+            (ia, ta), (ib, tb) = kept[x], kept[y]
+            dist = _lev(ta[:20], tb[:20])
+            if dist <= d:
+                want.add((min(ia, ib), max(ia, ib), dist))
+    assert got == want

@@ -3938,6 +3938,16 @@ def _key_skew_oracle_one(table: str, key: str, label: str) -> str:
     """
 
 
+def q_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution testing, ORACLE-EXACT: two-sample Kolmogorov–Smirnov
+    per series between the unit%2 variants (analytics.ks_test) — the KS
+    statistic's numerator max|c_a·n_b − c_b·n_a| is an exact BIGINT (no
+    float ECDFs); only the reported ratio and the asymptotic α=0.05
+    verdict touch IEEE. Completes the testing trio with q_ab_ztest
+    (rates) and q_mann_whitney (location)."""
+    return analytics.ks_test(load_table(spark, sf_dir, "events"))
+
+
 def q_lead_lag_ccf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-series diagnostics, ORACLE-EXACT: lead–lag Pearson
     cross-correlation between the view and purchase daily series at
@@ -4058,6 +4068,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_isotonic_calibration": q_isotonic_calibration,
         "q_mann_whitney": q_mann_whitney,
         "q_lead_lag_ccf": q_lead_lag_ccf,
+        "q_ks_test": q_ks_test,
         # rows-only by design (Python-side image decode)
         "q_phash_dedup": q_phash_dedup,
         # ---- keys below all have a green driver row in r1–r5 ----
@@ -6666,6 +6677,38 @@ def oracle_sql() -> dict[str, str]:
             ]
         )
         + " ORDER BY audited",
+        # round-6 second session: KS test — integer D numerator via
+        # cross-multiplied ECDF counts over the (series, value) grid
+        "q_ks_test": """
+            WITH g AS (
+              SELECT event_type AS series, value AS v,
+                     CAST(sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS a,
+                     CAST(sum(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS b
+              FROM events GROUP BY 1, 2
+            ),
+            e AS (
+              SELECT series,
+                     sum(a) OVER (PARTITION BY series ORDER BY v
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ca,
+                     sum(b) OVER (PARTITION BY series ORDER BY v
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cb,
+                     sum(a) OVER (PARTITION BY series) AS na,
+                     sum(b) OVER (PARTITION BY series) AS nb
+              FROM g
+            ),
+            per AS (
+              SELECT series,
+                     CAST(max(na) AS BIGINT) AS n_a,
+                     CAST(max(nb) AS BIGINT) AS n_b,
+                     CAST(max(abs(ca * nb - cb * na)) AS BIGINT) AS d_num
+              FROM e GROUP BY series
+            )
+            SELECT series, n_a, n_b, d_num,
+                   round(d_num / (n_a * n_b), 6) AS d,
+                   CAST(d_num AS DOUBLE) > 1.3581015157406195
+                     * sqrt(CAST((n_a + n_b) * n_a * n_b AS DOUBLE)) AS significant_05
+            FROM per ORDER BY series
+        """,
         # round-6 second session: lead-lag CCF — integer sufficient stats
         # per lag over the shifted-grid equi-join, pinned Pearson tail
         "q_lead_lag_ccf": """

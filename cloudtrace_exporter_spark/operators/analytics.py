@@ -4334,3 +4334,71 @@ def lead_lag_ccf(
         "sxy",
         r.alias("pearson_r"),
     ).orderBy("lag")
+
+
+def ks_test(
+    events: DataFrame,
+    *,
+    type_col: str = "event_type",
+    value_col: str = "value",
+    unit_col: str = "user_id",
+    ks_crit: float = 1.3581015157406195,
+) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov test per series — the DISTRIBUTION-
+    shape member of the testing family (ab_ztest compares one success
+    rate, mann_whitney compares location; KS rejects when the two
+    variants differ ANYWHERE in the CDF: spread, tails, modality).
+
+    Exactness strategy: the KS statistic is EXACTLY integer here —
+    D = max|F̂_a − F̂_b| evaluated at the pooled distinct values is
+    max|c_a·n_b − c_b·n_a| / (n_a·n_b), and the numerator is a BIGINT
+    (cumulative counts cross-multiplied; no float ECDFs at all). Only
+    the reported ratio and the α=0.05 verdict touch floats — one
+    division and one sqrt against the asymptotic critical value
+    c(.05)·√((n_a+n_b)·n_a·n_b), pinned IEEE on both engines.
+
+    Scale shape: the stream reduces map-side to the per-(series, value)
+    variant-count grid (ONE shuffle, bounded by the value domain per
+    series); the ECDF cumsums and the max run on that grid with the
+    same series partitioning. Output |series| rows.
+    """
+    g = (
+        events.select(
+            F.col(type_col).alias("series"),
+            F.col(value_col).alias("v"),
+            F.pmod(F.col(unit_col), F.lit(2)).cast("int").alias("variant"),
+        )
+        .groupBy("series", "v")
+        .agg(
+            F.sum(F.when(F.col("variant") == 0, 1).otherwise(0)).cast("long").alias("a"),
+            F.sum(F.when(F.col("variant") == 1, 1).otherwise(0)).cast("long").alias("b"),
+        )
+    )
+    w = Window.partitionBy("series").orderBy("v").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    wn = Window.partitionBy("series")
+    e = (
+        g.withColumn("ca", F.sum("a").over(w))
+        .withColumn("cb", F.sum("b").over(w))
+        .withColumn("na", F.sum("a").over(wn))
+        .withColumn("nb", F.sum("b").over(wn))
+    )
+    per = e.groupBy("series").agg(
+        F.max("na").cast("long").alias("n_a"),
+        F.max("nb").cast("long").alias("n_b"),
+        F.max(F.abs(F.col("ca") * F.col("nb") - F.col("cb") * F.col("na")))
+        .cast("long")
+        .alias("d_num"),
+    )
+    crit = F.lit(float(ks_crit)) * F.sqrt(
+        ((F.col("n_a") + F.col("n_b")) * F.col("n_a") * F.col("n_b")).cast("double")
+    )
+    return per.select(
+        "series",
+        "n_a",
+        "n_b",
+        "d_num",
+        F.round(F.col("d_num") / (F.col("n_a") * F.col("n_b")), 6).alias("d"),
+        (F.col("d_num").cast("double") > crit).alias("significant_05"),
+    ).orderBy("series")

@@ -640,3 +640,10 @@ def test_lead_lag_ccf_grid_join_no_cartesian(plans):
     p = plans("q_lead_lag_ccf")
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_ks_test_single_grid_partitioning(plans):
+    # (series, value) grid reduce, then cumsums + max on the same
+    # series partitioning; no joins
+    p = plans("q_ks_test")
+    assert "Join" not in p

@@ -739,3 +739,37 @@ def test_mann_whitney_detects_planted_shift(spark):
     r = analytics.mann_whitney(ev).collect()[0]
     assert r.u2_a == 2 * r.n_a * r.n_b  # A wins every comparison
     assert r.z > 6 and r.significant_05
+
+
+def test_ks_test_exact_d_on_hand_case(spark):
+    """A = [1,2,3,4], B = [3,4,5,6]: D = 1/2 at v=2 (F_a=2/4, F_b=0).
+    d_num = max|c_a*n_b - c_b*n_a| = |2*4 - 0*4| = 8; d = 8/16 = 0.5."""
+    from datetime import datetime
+    vals = [(0, 1.0), (2, 2.0), (4, 3.0), (6, 4.0), (1, 3.0), (3, 4.0), (5, 5.0), (7, 6.0)]
+    rows = [(i, datetime(2024, 1, 1), u, "s", v, "{}") for i, (u, v) in enumerate(vals)]
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    )
+    r = analytics.ks_test(ev).collect()[0]
+    assert (r.n_a, r.n_b, r.d_num) == (4, 4, 8)
+    assert r.d == 0.5
+    assert not r.significant_05  # tiny n
+
+
+def test_ks_test_detects_planted_scale_shift(spark):
+    from datetime import datetime
+    rows = []
+    for i in range(400):
+        # same mean, different spread: A in {49,51}, B in {0,100}
+        v = (49.0 if i % 4 == 0 else 51.0) if i % 2 == 0 else (0.0 if i % 4 == 1 else 100.0)
+        rows.append((i, datetime(2024, 1, 1), i, "s", v, "{}"))
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    )
+    r = analytics.ks_test(ev).collect()[0]
+    assert r.d == 0.5 and r.significant_05
+    # the means-based tests cannot see this difference; KS must
+    z = analytics.ab_ztest(ev).collect()[0]
+    assert not z.significant_05 or abs(z.z) < abs(r.d_num)  # sanity guard only

@@ -311,6 +311,8 @@ def main() -> None:
         t(f"mann_whitney {tag}", lambda e=e: analytics.mann_whitney(e))
     for tag, e in (("1x", ev1), ("10x", ev10)):
         t(f"lead_lag_ccf {tag}", lambda e=e: analytics.lead_lag_ccf(e))
+    for tag, e in (("1x", ev1), ("10x", ev10)):
+        t(f"ks_test {tag}", lambda e=e: analytics.ks_test(e))
 
 
 def semantic_dedup_probe(e, n_bits: int | None = None):

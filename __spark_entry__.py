@@ -3938,6 +3938,37 @@ def _key_skew_oracle_one(table: str, key: str, label: str) -> str:
     """
 
 
+def q_audio_fingerprint_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B36 acoustic near-dup end-to-end (rows-only: Python-side decode
+    by nature, the phash posture for audio): synthesize an envelope-
+    modulated WAV per doc PLUS a half-volume copy of each of the first
+    25 (planted "same recording, different level" twins), fingerprint
+    with the energy-delta sign hash (volume-invariant by construction),
+    and surface near-dup pairs via the SAME pigeonhole band join as the
+    visual path. Every planted twin must land in the hamming=0 row —
+    the invariance a raw byte/sample hash cannot give."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id").filter(
+        F.col("doc_id") < 200
+    )
+    pays = multimodal.synthesize_wav_envelope_payload(docs)
+    twins = multimodal.synthesize_wav_envelope_payload(
+        docs.filter(F.col("doc_id") < 25), gain=0.5
+    ).select((F.col("doc_id") + 1_000_000).alias("doc_id"), "payload")
+    fps = multimodal.audio_fingerprint(pays.unionByName(twins))
+    pairs = multimodal.phash_near_dups(fps, max_hamming=2, hash_col="afp")
+    return (
+        pairs.withColumn(
+            "planted", (F.col("id_b") - F.col("id_a") == 1_000_000).cast("long")
+        )
+        .groupBy("hamming")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum("planted").alias("n_planted_recovered"),
+        )
+        .orderBy("hamming")
+    )
+
+
 def q_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distribution testing, ORACLE-EXACT: two-sample Kolmogorov–Smirnov
     per series between the unit%2 variants (analytics.ks_test) — the KS
@@ -4069,6 +4100,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_mann_whitney": q_mann_whitney,
         "q_lead_lag_ccf": q_lead_lag_ccf,
         "q_ks_test": q_ks_test,
+        # rows-only by design (Python-side audio decode, the phash posture)
+        "q_audio_fingerprint_dedup": q_audio_fingerprint_dedup,
         # rows-only by design (Python-side image decode)
         "q_phash_dedup": q_phash_dedup,
         # ---- keys below all have a green driver row in r1–r5 ----

@@ -66,6 +66,12 @@ HEADLINE = [
     "q_holt_forecast",
     "q_kmv_join_estimate",
     "q_vocab_growth",
+    # round-6 third wave: the exact edit-distance join (the fuzzy family's
+    # ground truth — candidate volume is the scale risk to watch), the
+    # mutual-NN verify tail, and the integer-exact KS test
+    "q_passjoin_exact",
+    "q_mutual_nn",
+    "q_ks_test",
 ]
 
 

@@ -164,15 +164,24 @@ def corpus_datacard(docs: DataFrame, *, text_col: str = "text") -> DataFrame:
         F.countDistinct(F.md5(normalized)).alias("__n_fp"),
         F.sum(text.quality_keep(text_col).cast("long")).alias("__n_quality"),
     )
+    # rate columns are NULL (not a crash, not 0/0) on an EMPTY corpus —
+    # reference A12: an empty batch is a normal state of the pipeline
+    nonempty = F.col("n_docs") > 0
     return agg.select(
         "n_docs",
         "n_tokens",
         "n_chars",
         "n_langs",
         "n_sources",
-        F.round(F.col("n_tokens") / F.col("n_docs"), 4).alias("mean_doc_tokens"),
-        F.round(1.0 - F.col("__n_fp") / F.col("n_docs"), 6).alias("dup_rate"),
-        F.round(F.col("__n_quality") / F.col("n_docs"), 6).alias("quality_pass_rate"),
+        F.when(nonempty, F.round(F.col("n_tokens") / F.col("n_docs"), 4)).alias(
+            "mean_doc_tokens"
+        ),
+        F.when(nonempty, F.round(1.0 - F.col("__n_fp") / F.col("n_docs"), 6)).alias(
+            "dup_rate"
+        ),
+        F.when(nonempty, F.round(F.col("__n_quality") / F.col("n_docs"), 6)).alias(
+            "quality_pass_rate"
+        ),
     )
 
 

@@ -186,6 +186,9 @@ def pagerank(
         e.select(F.col("dst").alias("id"))
     ).distinct()
     n = nodes.count()
+    if n == 0:
+        # EMPTY graph (A12): no vertices, empty rank table — not an error
+        return nodes.withColumn("rank", F.lit(0.0)).select("id", "rank")
     out_deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg"))
     weighted = e.join(out_deg, "src").persist()
     ranks = nodes.withColumn("rank", F.lit(1.0 / n))
@@ -236,6 +239,10 @@ def pagerank_scaled(
         e.select(F.col("dst").alias("id"))
     ).distinct()
     n = nodes.count()
+    if n == 0:
+        return nodes.withColumn("pagerank_scaled", F.lit(0).cast("long")).select(
+            "id", "pagerank_scaled"
+        )
     teleport = (scale * 15) // (100 * n)
     out_deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg"))
     weighted = e.join(out_deg, "src").persist()

@@ -730,3 +730,99 @@ def phash_near_dups(
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+
+
+def synthesize_wav_envelope_payload(
+    df: DataFrame,
+    *,
+    sample_rate: int = 8000,
+    n_segments: int = 66,
+    seg_len: int = 64,
+    gain: float = 1.0,
+) -> DataFrame:
+    """Deterministic PCM16 payload whose AMPLITUDE ENVELOPE varies per
+    segment (LCG keyed off doc_id) — the fingerprint-friendly twin of
+    synthesize_wav_payload's steady sine, whose constant energy profile
+    carries no sequence information. ``gain`` scales the whole clip
+    (the planted "same recording, different volume" twin).
+    """
+    import numpy as np
+
+    def _gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        t = np.arange(seg_len, dtype=np.float64)
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                k = int(doc_id)
+                segs = []
+                for i in range(n_segments):
+                    x = (1103515245 * (k * 67 + i) + 12345) % (1 << 31)
+                    amp = (2000 + x % 16000) * gain
+                    freq = 200.0 + (k % 13) * 40.0
+                    segs.append(amp * np.sin(2.0 * np.pi * freq * t / sample_rate))
+                wave = np.concatenate(segs).astype("<i2")
+                payloads.append(encode_wav(wave, sample_rate))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    schema = T.StructType(
+        [T.StructField("doc_id", T.LongType()), T.StructField("payload", T.BinaryType())]
+    )
+    return df.select("doc_id").mapInPandas(_gen, schema)
+
+
+AUDIO_FP_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("afp", T.LongType()),
+        T.StructField("n_samples", T.LongType()),
+    ]
+)
+
+
+def audio_fingerprint(
+    df: DataFrame, *, n_bands: int = 65, payload_col: str = "payload"
+) -> DataFrame:
+    """64-bit acoustic fingerprint — the energy-DELTA sign sequence
+    (Haitsma–Kalker's robust-hash idea reduced to its time axis): split
+    the clip into ``n_bands`` equal frames, bit i = [energy(i+1) >
+    energy(i)]. VOLUME-INVARIANT by construction (uniform gain scales
+    every frame energy by the same factor, preserving all comparisons),
+    so a re-encoded/re-leveled copy of the same recording fingerprints
+    identically — the property raw byte hashing lacks. Decoder-
+    independent, pure-numpy, zero-shuffle mapInPandas (the
+    perceptual_hash contract for audio); near-dup pairs come from the
+    SAME pigeonhole band join (``phash_near_dups(hash_col='afp')``).
+
+    Clips too short for one sample per frame (or undecodable payloads)
+    emit NULL and are excluded by the band join's null filter.
+    """
+    import numpy as np
+
+    def _fp_one(doc_id, buf):
+        parsed = _parse_wav(buf) if buf else None
+        if parsed is None:
+            return (doc_id, None, None)
+        _, _, samples = parsed
+        mono = samples.astype(np.float64).mean(axis=1)
+        n = mono.shape[0]
+        frame = n // n_bands
+        if frame < 1:
+            return (doc_id, None, int(n))
+        e = (mono[: frame * n_bands].reshape(n_bands, frame) ** 2).sum(axis=1)
+        bits = e[1:] > e[:-1]
+        fp = 0
+        for i, b in enumerate(bits[:64]):
+            if b:
+                fp |= 1 << i
+        return (doc_id, _to_signed64(fp), int(n))
+
+    def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [f.name for f in AUDIO_FP_SCHEMA.fields]
+        for pdf in batches:
+            rows = [
+                _fp_one(d, bytes(b) if b is not None else b"")
+                for d, b in zip(pdf["doc_id"], pdf["payload"])
+            ]
+            yield pd.DataFrame(rows, columns=cols)
+
+    return df.select("doc_id", "payload").mapInPandas(_extract, AUDIO_FP_SCHEMA)

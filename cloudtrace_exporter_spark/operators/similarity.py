@@ -291,6 +291,14 @@ def build_ivf_index(
     # per-vector assignment into a narrow map (no join, no window, no
     # shuffle of the corpus) — the standard Spark k-means shape.
     cent_rows = seed.collect()
+    if not cent_rows:
+        # EMPTY corpus — reference A12 semantics: the index of an empty
+        # corpus is an empty assignment + empty centroid table, not an
+        # error (the first batch of a new tenant has no vectors yet)
+        empty_assigned = v.withColumn("cell", F.lit(1)).select("id", "v", "cell")
+        return empty_assigned, spark.createDataFrame(
+            [], schema="cell int, centroid array<double>"
+        )
     for _ in range(lloyd_iters):
         assigned = v.withColumn("cell", _nearest_cell(F.col("v"), cent_rows))
         cent_rows = (
@@ -391,7 +399,11 @@ def ivf_topk_scaled(
         return F.element_at(ranked, 1)["c"]
 
     seed_rows = v.orderBy("id").limit(n_centroids).collect()
-    cents = [(i, [int(x) for x in r["v"]]) for i, r in enumerate(seed_rows)]
+    # EMPTY corpus (A12): one degenerate centroid keeps the literal
+    # ranking expressions well-formed; zero rows flow through
+    cents = [(i, [int(x) for x in r["v"]]) for i, r in enumerate(seed_rows)] or [
+        (0, [0])
+    ]
     for _ in range(lloyd_iters):
         assigned = v.withColumn("cell", nearest(F.col("v"), cents))
         sums = (
@@ -403,10 +415,11 @@ def ivf_topk_scaled(
         by_cell: dict[int, dict[int, tuple[int, int]]] = {}
         for r in sums:
             by_cell.setdefault(r["cell"], {})[r["pos"]] = (r["s"], r["n"])
+        # keep the previous centroids when no vector voted (empty corpus)
         cents = [
             (cell, [_trunc_div(*dims[p]) for p in sorted(dims)])
             for cell, dims in sorted(by_cell.items())
-        ]
+        ] or cents
     assigned = v.withColumn("cell", nearest(F.col("v"), cents))
 
     # probe: same literal ranking over the final centroids
@@ -492,6 +505,12 @@ def ivf_topk(
     # as a literal matrix makes cell-probe selection a narrow map instead
     # of a broadcast join + per-query window
     cent_rows = sorted(centroids.collect(), key=lambda r: r["cell"])
+    if not cent_rows:
+        # EMPTY index (A12): no cells to probe — an empty, schema-correct
+        # top-k, not an error
+        return queries.sparkSession.createDataFrame(
+            [], schema="query_id long, corpus_id long, cosine double, rnk int"
+        )
     m = _matrix_lit([list(r["centroid"]) for r in cent_rows])
     cells = F.expr("array(" + ",".join(str(int(r["cell"])) for r in cent_rows) + ")")
     ranked = F.array_sort(
@@ -840,6 +859,12 @@ def pq_train(
     """
     v = _spread(corpus).select(F.col(id_col).alias("id"), _as_double(vec_col).alias("v"))
     first = v.orderBy("id").limit(k).select("v").collect()
+    if not first:
+        # EMPTY corpus — reference A12 semantics (a normal state, not an
+        # error): degenerate 1-wide zero codebooks keep every literal-
+        # matrix expression downstream well-formed; encode/top-k over
+        # the empty corpus then emit zero rows with the right schema
+        return [[[0.0]] * k for _ in range(m)]
     dim = len(first[0]["v"])
     sub = dim // m
     books = [[list(r["v"][j * sub : (j + 1) * sub]) for r in first] for j in range(m)]
@@ -982,18 +1007,24 @@ def pq_topk_scaled(
     qvec = F.transform(_as_double(vec_col), lambda x: F.round(x * scale).cast("long"))
     v = _spread(corpus).select(F.col(id_col).alias("id"), qvec.alias("v"))
     first = v.orderBy("id").limit(kc).collect()
-    dim = len(first[0]["v"])
-    if dim % m != 0:
-        raise ValueError(
-            f"pq_topk_scaled: embedding dim {dim} is not divisible by m={m} — "
-            "leftover positions would index codes out of range (pad the vectors "
-            "or pick m | dim)"
-        )
-    sub = dim // m
-    books = [
-        [[int(x) for x in r["v"][j * sub : (j + 1) * sub]] for r in first]
-        for j in range(m)
-    ]
+    if not first:
+        # EMPTY corpus (A12): degenerate 1-wide zero codebooks; zero
+        # corpus/query rows flow through to an empty, schema-correct result
+        sub = 1
+        books = [[[0]] * kc for _ in range(m)]
+    else:
+        dim = len(first[0]["v"])
+        if dim % m != 0:
+            raise ValueError(
+                f"pq_topk_scaled: embedding dim {dim} is not divisible by m={m} — "
+                "leftover positions would index codes out of range (pad the vectors "
+                "or pick m | dim)"
+            )
+        sub = dim // m
+        books = [
+            [[int(x) for x in r["v"][j * sub : (j + 1) * sub]] for r in first]
+            for j in range(m)
+        ]
 
     def int_sq_dist(a: F.Column, b: F.Column) -> F.Column:
         d = F.zip_with(a, b, lambda x, y: x - y)
@@ -1464,6 +1495,12 @@ def label_separation_matrix(
         (lab, counts[lab], [dims[p] for p in sorted(dims)])
         for lab, dims in sorted(cents.items())
     ]
+    if not cent_rows:
+        # EMPTY corpus (A12): no labels, empty matrix — not an error
+        return emb.sparkSession.createDataFrame(
+            [],
+            schema="label_a int, label_b int, n_a long, n_b long, centroid_cosine double",
+        )
     # centroids ride as JVM LITERALS (the _matrix_lit discipline), NOT
     # createDataFrame: a Python-rows frame scans through a Python RDD,
     # and the self-join scans it twice — two Python-worker spin-ups for

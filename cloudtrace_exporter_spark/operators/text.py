@@ -329,7 +329,10 @@ def bm25_corpus_stats(
             if row[f"__df_{i}"]
         ],
         row["n"],
-        float(row["avgdl"]),
+        # avg() over an EMPTY corpus is NULL — an empty batch is normal
+        # (reference A12 semantics), not an error: 0.0 keeps every
+        # downstream score expression well-formed and the result empty
+        float(row["avgdl"]) if row["avgdl"] is not None else 0.0,
     )
 
 

@@ -2274,3 +2274,29 @@ def test_purged_folds_roles(spark):
         role == "train" and idx > 2 * ef + 1
         for (ef, idx), role in roles.items()
     )
+
+
+def test_audio_fingerprint_volume_invariant_and_banded(spark):
+    """The energy-delta fingerprint must be IDENTICAL under uniform
+    gain (the property raw sample hashing lacks), distinct across
+    different envelopes, NULL on undecodable payloads — and the band
+    join must recover the planted half-volume twins at hamming 0."""
+    ids = spark.createDataFrame([(i,) for i in range(12)], "doc_id long")
+    full = multimodal.synthesize_wav_envelope_payload(ids)
+    half = multimodal.synthesize_wav_envelope_payload(ids, gain=0.5)
+    fp_full = {r.doc_id: r.afp for r in multimodal.audio_fingerprint(full).collect()}
+    fp_half = {r.doc_id: r.afp for r in multimodal.audio_fingerprint(half).collect()}
+    assert fp_full == fp_half  # volume invariance, bit for bit
+    assert len(set(fp_full.values())) > 6  # envelopes genuinely differ
+    # undecodable payload -> NULL fingerprint, excluded by the band join
+    junk = spark.createDataFrame([(99, bytearray(b"not a wav"))], "doc_id long, payload binary")
+    assert multimodal.audio_fingerprint(junk).collect()[0].afp is None
+    twins = half.select((F.col("doc_id") + 1_000_000).alias("doc_id"), "payload")
+    fps = multimodal.audio_fingerprint(full.unionByName(twins))
+    pairs = multimodal.phash_near_dups(fps, max_hamming=2, hash_col="afp")
+    planted = {
+        (r.id_a, r.id_b): r.hamming
+        for r in pairs.collect()
+        if r.id_b - r.id_a == 1_000_000
+    }
+    assert len(planted) == 12 and set(planted.values()) == {0}

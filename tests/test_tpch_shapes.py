@@ -383,7 +383,7 @@ def test_registry_consistency():
         "q_incremental_near_dedup", "q_ivf_topk", "q_minhash_dedup",
         "q_multimodal_audio", "q_multimodal_decode", "q_multimodal_features",
         "q_pagerank", "q_pq_rerank", "q_pq_topk", "q_simhash_near_dup",
-        "q_winnow_dedup", "q_phash_dedup",
+        "q_winnow_dedup", "q_phash_dedup", "q_audio_fingerprint_dedup",
     }
     assert rows_only == documented, (
         f"undocumented rows-only: {rows_only - documented}; "

@@ -893,6 +893,16 @@ def q_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.cluster_sizes(_dedup_clusters(spark, sf_dir))
 
 
+def q_soft_dedup_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-aware loss weighting, ORACLE-EXACT: per-doc 1/cluster-
+    size ppm weights over the memoized near-dup component assignment
+    (dedup.soft_dedup_weights) — the soft alternative to dropping
+    duplicates: a 40-way duplicated page contributes one page of
+    gradient signal, while within-cluster variation survives. Integer
+    div end to end, flooring residue reported."""
+    return dedup.soft_dedup_weights(_dedup_clusters(spark, sf_dir))
+
+
 def q_seasonal_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B7/B8 depth: day-of-week seasonal fingerprint per event series —
     counts, weekday averages, and ratio-to-series-mean. Portable integer
@@ -4100,6 +4110,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_mann_whitney": q_mann_whitney,
         "q_lead_lag_ccf": q_lead_lag_ccf,
         "q_ks_test": q_ks_test,
+        "q_soft_dedup_weights": q_soft_dedup_weights,
         # rows-only by design (Python-side audio decode, the phash posture)
         "q_audio_fingerprint_dedup": q_audio_fingerprint_dedup,
         # rows-only by design (Python-side image decode)
@@ -4900,6 +4911,20 @@ def oracle_sql() -> dict[str, str]:
         + """
             SELECT component AS survivor_doc_id, count(*) AS n_members
             FROM assign GROUP BY component
+        """,
+        # round-6 second session: soft-dedup ppm weights over the same
+        # component assignment — integer div, flooring residue reported
+        "q_soft_dedup_weights": _CLUSTERS_SQL.format(tok=_TOKENS_SQL)
+        + """
+            , sz AS (
+              SELECT component, CAST(count(*) AS BIGINT) AS cluster_size
+              FROM assign GROUP BY component
+            )
+            SELECT a.doc_id, a.component AS cluster, s.cluster_size,
+                   CAST(1000000 // s.cluster_size AS BIGINT) AS weight_e6,
+                   CAST(1000000 % s.cluster_size AS BIGINT) AS floor_residue
+            FROM assign a JOIN sz s ON a.component = s.component
+            ORDER BY a.doc_id
         """,
         # round-5 curation-depth oracles
         "q_normalized_dedup": r"""

@@ -2062,3 +2062,37 @@ def passjoin_edit_pairs(
         .dropDuplicates(["doc_a", "doc_b"])
         .orderBy("doc_a", "doc_b")
     )
+
+
+def soft_dedup_weights(assign: DataFrame) -> DataFrame:
+    """Duplicate-aware LOSS WEIGHTS over a (doc_id, component) near-dup
+    assignment — the soft alternative to dropping duplicates (the D4 /
+    SemDeDup-adjacent recipe): keep every copy but weight each by
+    1/cluster_size so a 40-way duplicated page contributes ONE page of
+    gradient signal, not forty. Dropping is a special case (weight the
+    survivor 1, the rest 0); weighting preserves within-cluster
+    variation (formatting, boilerplate diffs) that hard dedup discards.
+
+    Exactness: weight carried as ppm floor (10⁶ // size) — integer end
+    to end; the per-cluster residue 10⁶ mod size is reported so the
+    budget accountant can see exactly what flooring discarded.
+
+    Scale shape: one component-keyed count + a broadcast-sized join
+    back (the cluster-size frame is ≤ |components| rows).
+    """
+    sizes = assign.groupBy("component").agg(
+        F.count(F.lit(1)).cast("long").alias("cluster_size")
+    )
+    return (
+        assign.join(F.broadcast(sizes), "component")
+        .select(
+            "doc_id",
+            F.col("component").alias("cluster"),
+            "cluster_size",
+            F.expr("1000000 div cluster_size").cast("long").alias("weight_e6"),
+            F.pmod(F.lit(1_000_000), F.col("cluster_size"))
+            .cast("long")
+            .alias("floor_residue"),
+        )
+        .orderBy("doc_id")
+    )

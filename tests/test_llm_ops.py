@@ -2300,3 +2300,17 @@ def test_audio_fingerprint_volume_invariant_and_banded(spark):
         if r.id_b - r.id_a == 1_000_000
     }
     assert len(planted) == 12 and set(planted.values()) == {0}
+
+
+def test_soft_dedup_weights_conserve_cluster_mass(spark):
+    assign = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (4, 4), (5, 5), (6, 5)], "doc_id long, component long"
+    )
+    out = {r.doc_id: r for r in dedup.soft_dedup_weights(assign).collect()}
+    assert out[1].cluster_size == 3 and out[1].weight_e6 == 333333
+    assert out[1].floor_residue == 1  # exactly what flooring discarded
+    assert out[4].weight_e6 == 1_000_000 and out[4].floor_residue == 0
+    assert out[5].weight_e6 == 500_000
+    # per-cluster mass: size * weight + residue == 1e6 exactly
+    for r in out.values():
+        assert r.cluster_size * r.weight_e6 + r.floor_residue == 1_000_000

@@ -6762,9 +6762,11 @@ def oracle_sql() -> dict[str, str]:
               FROM e GROUP BY series
             )
             SELECT series, n_a, n_b, d_num,
-                   round(d_num / (n_a * n_b), 6) AS d,
-                   CAST(d_num AS DOUBLE) > 1.3581015157406195
-                     * sqrt(CAST((n_a + n_b) * n_a * n_b AS DOUBLE)) AS significant_05
+                   CASE WHEN n_a > 0 AND n_b > 0
+                        THEN round(d_num / (n_a * n_b), 6) END AS d,
+                   CASE WHEN n_a > 0 AND n_b > 0
+                        THEN CAST(d_num AS DOUBLE) > 1.3581015157406195
+                          * sqrt(CAST((n_a + n_b) * n_a * n_b AS DOUBLE)) END AS significant_05
             FROM per ORDER BY series
         """,
         # round-6 second session: lead-lag CCF — integer sufficient stats
@@ -6864,12 +6866,17 @@ def oracle_sql() -> dict[str, str]:
                    z * z > 3.841458820694124 AS significant_05
             FROM (
               SELECT *,
-                     CAST(r2a - n_a * (n_a + 1) - n_a * n_b AS DOUBLE)
+                     CASE WHEN n_a > 0 AND n_b > 0 AND
+                          (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / 12.0
+                           * (CAST(n_a + n_b + 1 AS DOUBLE)
+                              - CAST(ties AS DOUBLE)
+                                / CAST((n_a + n_b) * (n_a + n_b - 1) AS DOUBLE))) > 0
+                     THEN CAST(r2a - n_a * (n_a + 1) - n_a * n_b AS DOUBLE)
                        / (2.0 * sqrt(
                            CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / 12.0
                            * (CAST(n_a + n_b + 1 AS DOUBLE)
                               - CAST(ties AS DOUBLE)
-                                / CAST((n_a + n_b) * (n_a + n_b - 1) AS DOUBLE)))) AS z
+                                / CAST((n_a + n_b) * (n_a + n_b - 1) AS DOUBLE)))) END AS z
               FROM per
             )
             ORDER BY series
@@ -6940,16 +6947,19 @@ def oracle_sql() -> dict[str, str]:
               FROM t GROUP BY series
             )
             SELECT series, n_a, succ_a, n_b, succ_b,
-                   round(succ_a / n_a, 6) AS rate_a,
-                   round(succ_b / n_b, 6) AS rate_b,
+                   CASE WHEN n_a > 0 THEN round(succ_a / n_a, 6) END AS rate_a,
+                   CASE WHEN n_b > 0 THEN round(succ_b / n_b, 6) END AS rate_b,
                    round(z, 6) AS z,
                    z * z > 3.841458820694124 AS significant_05
             FROM (
               SELECT *,
-                     (succ_a / n_a - succ_b / n_b)
+                     CASE WHEN n_a > 0 AND n_b > 0
+                           AND (succ_a + succ_b) > 0
+                           AND (succ_a + succ_b) < (n_a + n_b)
+                     THEN (succ_a / n_a - succ_b / n_b)
                        / sqrt(((succ_a + succ_b) / (n_a + n_b))
                               * (1 - (succ_a + succ_b) / (n_a + n_b))
-                              * (1 / n_a + 1 / n_b)) AS z
+                              * (1 / n_a + 1 / n_b)) END AS z
               FROM agg
             )
             ORDER BY series

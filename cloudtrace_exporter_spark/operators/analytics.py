@@ -4107,11 +4107,16 @@ def ab_ztest(
         .cast("long")
         .alias("succ_b"),
     )
-    pa = F.col("succ_a") / F.col("n_a")
-    pb = F.col("succ_b") / F.col("n_b")
+    # the test is UNDEFINED (NULL, never a 0/0 crash) when a variant is
+    # empty or the pooled rate is degenerate (all successes / none) —
+    # found by the monotone-invariance hypothesis property on a
+    # constant-valued series
+    ok = (F.col("n_a") > 0) & (F.col("n_b") > 0)
+    pa = F.when(F.col("n_a") > 0, F.col("succ_a") / F.col("n_a"))
+    pb = F.when(F.col("n_b") > 0, F.col("succ_b") / F.col("n_b"))
     pp = (F.col("succ_a") + F.col("succ_b")) / (F.col("n_a") + F.col("n_b"))
     se = F.sqrt(pp * (1 - pp) * (1 / F.col("n_a") + 1 / F.col("n_b")))
-    z = (pa - pb) / se
+    z = F.when(ok & (pp > 0) & (pp < 1), (pa - pb) / se)
     return per.select(
         "series",
         "n_a",
@@ -4257,7 +4262,12 @@ def mann_whitney(
         / 12.0
         * ((n + 1).cast("double") - F.col("__ties").cast("double") / (n * (n - 1)).cast("double"))
     )
-    z = (u2 - mu2).cast("double") / (2.0 * F.sqrt(var))
+    # UNDEFINED (NULL) when a variant is empty or every value ties
+    # (variance 0) — same hypothesis-found hazard as ab_ztest
+    z = F.when(
+        (F.col("n_a") > 0) & (F.col("n_b") > 0) & (var > 0),
+        (u2 - mu2).cast("double") / (2.0 * F.sqrt(var)),
+    )
     return per.select(
         "series",
         "n_a",
@@ -4394,11 +4404,12 @@ def ks_test(
     crit = F.lit(float(ks_crit)) * F.sqrt(
         ((F.col("n_a") + F.col("n_b")) * F.col("n_a") * F.col("n_b")).cast("double")
     )
+    ok = (F.col("n_a") > 0) & (F.col("n_b") > 0)
     return per.select(
         "series",
         "n_a",
         "n_b",
         "d_num",
-        F.round(F.col("d_num") / (F.col("n_a") * F.col("n_b")), 6).alias("d"),
-        (F.col("d_num").cast("double") > crit).alias("significant_05"),
+        F.when(ok, F.round(F.col("d_num") / (F.col("n_a") * F.col("n_b")), 6)).alias("d"),
+        F.when(ok, F.col("d_num").cast("double") > crit).alias("significant_05"),
     ).orderBy("series")

@@ -2314,3 +2314,51 @@ def test_soft_dedup_weights_conserve_cluster_mass(spark):
     # per-cluster mass: size * weight + residue == 1e6 exactly
     for r in out.values():
         assert r.cluster_size * r.weight_e6 + r.floor_residue == 1_000_000
+
+
+def test_minhash_lsh_parity_with_pyspark_ml(spark):
+    """External-implementation cross-check: plant exact-duplicate pairs
+    in a small corpus and require BOTH our banded MinHash-LSH and
+    pyspark.ml.feature.MinHashLSH (seeded, independent implementation)
+    to recover every planted pair. Validates the banding math against
+    code we didn't write."""
+    from pyspark.ml.feature import CountVectorizer, MinHashLSH
+
+    base = [
+        "spark shuffles the data by key across the cluster",
+        "parquet stores columns together for fast scans",
+        "watermarks bound state in streaming aggregations",
+        "broadcast joins avoid shuffling the large fact table",
+        "adaptive execution replans stages from runtime statistics",
+        "catalyst pushes filters down into the parquet reader",
+    ]
+    rows = [(i, t, "en", "s", len(t)) for i, t in enumerate(base)]
+    # planted exact duplicates under fresh ids
+    rows += [(100 + i, t, "en", "s", len(t)) for i, t in enumerate(base[:4])]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    planted = {(i, 100 + i) for i in range(4)}
+
+    ours = {
+        (min(r.doc_a, r.doc_b), max(r.doc_a, r.doc_b))
+        for r in dedup.minhash_lsh_pairs(df, threshold=0.8).collect()
+    }
+    assert planted <= ours
+
+    toks = df.select(
+        "doc_id", F.array_distinct(F.split(F.lower("text"), r"\s+")).alias("toks")
+    )
+    cv = CountVectorizer(inputCol="toks", outputCol="features", binary=True)
+    feats = cv.fit(toks).transform(toks)
+    mh = MinHashLSH(inputCol="features", outputCol="hashes", numHashTables=8, seed=42)
+    model = mh.fit(feats)
+    ml_pairs = {
+        (min(r["datasetA"]["doc_id"], r["datasetB"]["doc_id"]),
+         max(r["datasetA"]["doc_id"], r["datasetB"]["doc_id"]))
+        for r in model.approxSimilarityJoin(feats, feats, 0.2).collect()
+        if r["datasetA"]["doc_id"] != r["datasetB"]["doc_id"]
+    }
+    assert planted <= ml_pairs
+    # both implementations agree that unrelated docs are not near-dups
+    assert (0, 1) not in ours and (0, 1) not in ml_pairs

@@ -453,3 +453,40 @@ def test_passjoin_equals_brute_force_on_adversarial_strings(spark_prop, texts, d
             if dist <= d:
                 want.add((min(ia, ib), max(ia, ib), dist))
     assert got == want
+
+
+@given(
+    vals=st.lists(st.integers(0, 8), min_size=6, max_size=24),
+)
+@settings(max_examples=6, deadline=None)
+def test_rank_tests_invariant_under_monotone_transform(spark_prop, vals):
+    """Mann–Whitney U and KS depend on the data only through ranks/ECDFs,
+    so a strictly monotone transform (x → exp(x/3)) must leave U, D, and
+    both verdicts bit-identical — the property that separates the rank
+    machinery from a means-based test (whose z DOES move)."""
+    from datetime import datetime
+
+    from cloudtrace_exporter_spark.operators import analytics as _an
+
+    def frame(xs):
+        rows = [
+            (i, datetime(2024, 1, 1), i, "s", float(v), "{}")
+            for i, v in enumerate(xs)
+        ]
+        return spark_prop.createDataFrame(
+            rows,
+            "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+        )
+
+    import math
+
+    raw = frame(vals)
+    xfm = frame([math.exp(v / 3.0) for v in vals])
+    u1 = _an.mann_whitney(raw).collect()[0]
+    u2 = _an.mann_whitney(xfm).collect()[0]
+    assert (u1.u2_a, u1.n_a, u1.n_b, u1.significant_05) == (
+        u2.u2_a, u2.n_a, u2.n_b, u2.significant_05,
+    )
+    k1 = _an.ks_test(raw).collect()[0]
+    k2 = _an.ks_test(xfm).collect()[0]
+    assert (k1.d_num, k1.d, k1.significant_05) == (k2.d_num, k2.d, k2.significant_05)

@@ -3948,6 +3948,17 @@ def _key_skew_oracle_one(table: str, key: str, label: str) -> str:
     """
 
 
+def q_conformal_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-free forecast uncertainty, ORACLE-EXACT: split-
+    conformal prediction intervals around the seasonal-naive forecast
+    (analytics.conformal_intervals) — conformal quantile as an exact
+    element selection at rank ⌈(n_cal+1)·0.9⌉ over 4-rounded residuals,
+    base forecast as an exact day-index−7 grid join. Finite-sample
+    ≥90% coverage guaranteed under exchangeability regardless of the
+    forecaster."""
+    return analytics.conformal_intervals(load_table(spark, sf_dir, "events"))
+
+
 def q_audio_fingerprint_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B36 acoustic near-dup end-to-end (rows-only: Python-side decode
     by nature, the phash posture for audio): synthesize an envelope-
@@ -4111,6 +4122,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_lead_lag_ccf": q_lead_lag_ccf,
         "q_ks_test": q_ks_test,
         "q_soft_dedup_weights": q_soft_dedup_weights,
+        "q_conformal_intervals": q_conformal_intervals,
         # rows-only by design (Python-side audio decode, the phash posture)
         "q_audio_fingerprint_dedup": q_audio_fingerprint_dedup,
         # rows-only by design (Python-side image decode)
@@ -6735,6 +6747,44 @@ def oracle_sql() -> dict[str, str]:
             ]
         )
         + " ORDER BY audited",
+        # round-6 second session: split conformal — exact element selection
+        # at the conformal rank, seasonal-naive base via day-index grid join
+        "q_conformal_intervals": """
+            WITH daily AS (
+              SELECT event_type AS series, date_trunc('day', ts) AS day,
+                     round(sum(value), 4) AS y,
+                     date_diff('day', DATE '2024-01-01',
+                               CAST(date_trunc('day', ts) AS DATE)) AS d
+              FROM events GROUP BY 1, 2
+            ),
+            base AS (
+              SELECT t.series, t.day, t.d, t.y, p.y AS yhat
+              FROM daily t JOIN daily p ON t.series = p.series AND t.d = p.d + 7
+            ),
+            pos AS (
+              SELECT *, row_number() OVER (PARTITION BY series ORDER BY d) AS rn,
+                     count(*) OVER (PARTITION BY series) AS n,
+                     round(abs(y - yhat), 4) AS r
+              FROM base
+            ),
+            cal AS (
+              SELECT *, row_number() OVER (PARTITION BY series ORDER BY r, day) AS cr,
+                     count(*) OVER (PARTITION BY series) AS nc
+              FROM pos WHERE rn <= CAST(floor(n * 80 / 100) AS BIGINT)
+            ),
+            qh AS (
+              SELECT series, r AS qhat FROM cal
+              WHERE cr = least(CAST(ceil((nc + 1) * 90 / 100) AS BIGINT), nc)
+            )
+            SELECT p.series, CAST(p.day AS TIMESTAMP) AS day, p.y, p.yhat,
+                   round(p.yhat - q.qhat, 4) AS lo,
+                   round(p.yhat + q.qhat, 4) AS hi,
+                   p.y >= round(p.yhat - q.qhat, 4)
+                     AND p.y <= round(p.yhat + q.qhat, 4) AS covered
+            FROM pos p JOIN qh q ON p.series = q.series
+            WHERE p.rn > CAST(floor(p.n * 80 / 100) AS BIGINT)
+            ORDER BY p.series, p.day
+        """,
         # round-6 second session: KS test — integer D numerator via
         # cross-multiplied ECDF counts over the (series, value) grid
         "q_ks_test": """

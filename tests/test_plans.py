@@ -647,3 +647,11 @@ def test_ks_test_single_grid_partitioning(plans):
     # series partitioning; no joins
     p = plans("q_ks_test")
     assert "Join" not in p
+
+
+def test_conformal_grid_join_no_cartesian(plans):
+    # seasonal-naive base is an equi-join on (series, day_index-7) over
+    # the bounded daily grid; qhat broadcasts back per series
+    p = plans("q_conformal_intervals")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p

@@ -773,3 +773,30 @@ def test_ks_test_detects_planted_scale_shift(spark):
     # the means-based tests cannot see this difference; KS must
     z = analytics.ab_ztest(ev).collect()[0]
     assert not z.significant_05 or abs(z.z) < abs(r.d_num)  # sanity guard only
+
+
+def test_conformal_intervals_finite_sample_coverage(spark):
+    """On an exchangeable series (constant + deterministic 'noise' from a
+    hash), the held-out coverage must be >= 1 - alpha up to finite-sample
+    slack — and the interval must be the calibration-rank residual, not
+    a gaussian fit."""
+    from datetime import datetime, timedelta
+    t0 = datetime(2024, 1, 1)
+    # one event per day: weekly-periodic base + small deterministic
+    # perturbation — exchangeable residuals for the coverage guarantee
+    rows = [
+        (d, t0 + timedelta(days=d), 1, "s",
+         float(10 + (d % 7) + (d * 2654435761 % 3)), "{}")
+        for d in range(100)
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    )
+    out = analytics.conformal_intervals(ev).collect()
+    assert len(out) > 10
+    covered = sum(1 for r in out if r.covered)
+    assert covered / len(out) >= 0.8  # 90% nominal, finite-sample slack
+    # intervals are symmetric around the seasonal-naive forecast
+    for r in out:
+        assert abs((r.hi - r.yhat) - (r.yhat - r.lo)) < 1e-6

@@ -313,6 +313,8 @@ def main() -> None:
         t(f"lead_lag_ccf {tag}", lambda e=e: analytics.lead_lag_ccf(e))
     for tag, e in (("1x", ev1), ("10x", ev10)):
         t(f"ks_test {tag}", lambda e=e: analytics.ks_test(e))
+    for tag, e in (("1x", ev1), ("10x", ev10)):
+        t(f"conformal_intervals {tag}", lambda e=e: analytics.conformal_intervals(e))
 
 
 def semantic_dedup_probe(e, n_bits: int | None = None):

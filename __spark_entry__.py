@@ -3948,6 +3948,93 @@ def _key_skew_oracle_one(table: str, key: str, label: str) -> str:
     """
 
 
+def q_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval diversity, ORACLE-EXACT: maximal-marginal-relevance
+    greedy rerank of the top-20 candidates per query
+    (similarity.mmr_rerank) — λ=1/2 makes the objective argmax the pure
+    INTEGER rel − maxsim argmax; the whole greedy trajectory unrolls
+    into a DuckDB CTE chain (the label-propagation precedent applied to
+    serving-side slate construction)."""
+    return similarity.mmr_rerank(load_table(spark, sf_dir, "embeddings"))
+
+
+def _mmr_oracle_sql(*, n_queries: int = 8, n_candidates: int = 20, k: int = 5) -> str:
+    """DuckDB replay of similarity.mmr_rerank: quantized integer dots,
+    top-n candidate window, then one (max-sim, argmax) CTE pair per
+    greedy round — selu{{r}} frames are MATERIALIZED because each is
+    referenced by every later round (the BPE/LPA double-reference
+    lesson)."""
+    head = f"""
+        WITH v AS (
+          SELECT vec_id AS id,
+                 list_transform(CAST(embedding AS DOUBLE[]),
+                                x -> CAST(round(x * 10000) AS BIGINT)) AS v
+          FROM embeddings
+        ),
+        q AS (SELECT id AS query_id, v AS qv FROM v ORDER BY id LIMIT {n_queries}),
+        scored AS (
+          SELECT q.query_id, v.id, v.v AS cv,
+                 CAST(list_sum(list_transform(range(1, len(v.v) + 1),
+                      i -> v.v[i] * q.qv[i])) AS BIGINT) AS rel
+          FROM v JOIN q ON v.id <> q.query_id
+        ),
+        cand AS MATERIALIZED (
+          SELECT query_id, id, cv, rel FROM (
+            SELECT *, row_number() OVER (PARTITION BY query_id
+                       ORDER BY rel DESC, id ASC) AS rn
+            FROM scored
+          ) WHERE rn <= {n_candidates}
+        ),
+        sims AS MATERIALIZED (
+          SELECT a.query_id, a.id AS cid, b.id AS sid,
+                 CAST(list_sum(list_transform(range(1, len(a.cv) + 1),
+                      i -> a.cv[i] * b.cv[i])) AS BIGINT) AS sim
+          FROM cand a JOIN cand b
+            ON a.query_id = b.query_id AND a.id <> b.id
+        ),
+        selu1 AS MATERIALIZED (
+          SELECT query_id, 1 AS pick, id AS doc_id, rel,
+                 CAST(NULL AS BIGINT) AS maxsim
+          FROM (
+            SELECT *, row_number() OVER (PARTITION BY query_id
+                       ORDER BY rel DESC, id ASC) AS rn
+            FROM cand
+          ) WHERE rn = 1
+        )"""
+    rounds = []
+    for r in range(2, k + 1):
+        rounds.append(f""",
+        ms{r} AS (
+          SELECT s.query_id, s.cid AS id, max(s.sim) AS maxsim
+          FROM sims s JOIN selu{r - 1} p
+            ON s.query_id = p.query_id AND s.sid = p.doc_id
+          GROUP BY 1, 2
+        ),
+        sel{r} AS (
+          SELECT query_id, {r} AS pick, id AS doc_id, rel, maxsim FROM (
+            SELECT c.query_id, c.id, c.rel, m.maxsim,
+                   row_number() OVER (PARTITION BY c.query_id
+                     ORDER BY (m.maxsim - c.rel) ASC, c.id ASC) AS rn
+            FROM cand c
+            JOIN ms{r} m ON c.query_id = m.query_id AND c.id = m.id
+            LEFT JOIN selu{r - 1} p
+              ON c.query_id = p.query_id AND c.id = p.doc_id
+            WHERE p.doc_id IS NULL
+          ) WHERE rn = 1
+        ),
+        selu{r} AS MATERIALIZED (
+          SELECT * FROM selu{r - 1} UNION ALL SELECT * FROM sel{r}
+        )""")
+    return (
+        head
+        + "".join(rounds)
+        + f"""
+        SELECT query_id, pick, doc_id, rel, maxsim
+        FROM selu{k} ORDER BY query_id, pick
+    """
+    )
+
+
 def q_conformal_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distribution-free forecast uncertainty, ORACLE-EXACT: split-
     conformal prediction intervals around the seasonal-naive forecast
@@ -4123,6 +4210,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_ks_test": q_ks_test,
         "q_soft_dedup_weights": q_soft_dedup_weights,
         "q_conformal_intervals": q_conformal_intervals,
+        "q_mmr_rerank": q_mmr_rerank,
         # rows-only by design (Python-side audio decode, the phash posture)
         "q_audio_fingerprint_dedup": q_audio_fingerprint_dedup,
         # rows-only by design (Python-side image decode)
@@ -6747,6 +6835,9 @@ def oracle_sql() -> dict[str, str]:
             ]
         )
         + " ORDER BY audited",
+        # round-6 second session: MMR — unrolled greedy-round CTE chain
+        # over integer dots (the LPA trajectory-replay technique)
+        "q_mmr_rerank": _mmr_oracle_sql(),
         # round-6 second session: split conformal — exact element selection
         # at the conformal rank, seasonal-naive base via day-index grid join
         "q_conformal_intervals": """

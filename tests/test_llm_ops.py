@@ -2362,3 +2362,40 @@ def test_minhash_lsh_parity_with_pyspark_ml(spark):
     assert planted <= ml_pairs
     # both implementations agree that unrelated docs are not near-dups
     assert (0, 1) not in ours and (0, 1) not in ml_pairs
+
+
+def test_mmr_rerank_prefers_diverse_slate(spark):
+    """Hand-built geometry (λ=1/2, integer dots at scale 10⁴): query at
+    e1; two long near-parallel twins and one orthogonal moderate
+    candidate. Pure relevance ranks the twins 1-2; MMR must pick twin A
+    then the orthogonal C, because sim(B, A) = 3.28e8 dwarfs
+    rel(B) = 1.8e8 while C's penalty (1.08e8) is below its 0.6e8 rel
+    by LESS — obj_C = −0.48e8 > obj_B = −1.48e8 (hand-checked)."""
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),    # query
+        (1, [1.8, 0.2, 0.0, 0.0]),    # twin A (most relevant)
+        (2, [1.8, 0.22, 0.0, 0.0]),   # twin B (near-parallel to A)
+        (3, [0.6, 0.0, 1.8, 0.0]),    # orthogonal-ish, moderate relevance
+    ]
+    emb = spark.createDataFrame(
+        [(i, v, 0) for i, v in rows], "vec_id long, embedding array<float>, label int"
+    )
+    out = similarity.mmr_rerank(emb, n_queries=1, n_candidates=3, k=2).collect()
+    order = [r.doc_id for r in out]
+    assert order == [1, 3]        # diversity beats the redundant twin
+    assert out[0].maxsim is None  # empty slate on the first pick
+    assert out[0].rel == 18_000 * 10_000
+    assert out[1].maxsim == 6_000 * 18_000  # C's sim to the picked twin
+    # sanity: with mutually-orthogonal candidates MMR degenerates to
+    # pure relevance order
+    ortho = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0, 0.0, 0.0], 0),
+            (1, [0.9, 0.1, 0.0, 0.0], 0),
+            (2, [0.5, 0.0, 0.9, 0.0], 0),
+            (3, [0.2, 0.0, 0.0, 0.9], 0),
+        ],
+        "vec_id long, embedding array<float>, label int",
+    )
+    o2 = [r.doc_id for r in similarity.mmr_rerank(ortho, n_queries=1, n_candidates=3, k=3).collect()]
+    assert o2 == [1, 2, 3]

@@ -655,3 +655,14 @@ def test_conformal_grid_join_no_cartesian(plans):
     p = plans("q_conformal_intervals")
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_mmr_bounded_frames_no_cartesian(plans):
+    # candidate generation broadcasts the query side; every greedy round
+    # runs on the config-bounded candidate/sims frames (both cached) and
+    # the final plan reads the LINEAGE-TRUNCATED checkpoint (a raw RDD
+    # scan) — without the truncation the 5-round union/anti-join chain
+    # costs ~100 s of Catalyst analysis (measured; 0.3 s truncated)
+    p = plans("q_mmr_rerank")
+    assert "CartesianProduct" not in p
+    assert "ExistingRDD" in p

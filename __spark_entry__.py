@@ -3948,6 +3948,39 @@ def _key_skew_oracle_one(table: str, key: str, label: str) -> str:
     """
 
 
+def q_dbscan_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Density clustering, ORACLE-EXACT: DBSCAN over the embedding slice
+    with 50 PLANTED dense groups (3 deterministic single-coordinate
+    perturbations of each seed vector — the phash planted-twin pattern
+    in embedding space) against a background of near-orthogonal noise
+    vectors (similarity.dbscan_embeddings). The ε-test is all-BIGINT
+    (dot²·den² ≥ num²·‖a‖²·‖b‖², never a sqrt); components replay as a
+    recursive reachability CTE. Expected artifact: every planted group
+    a 4-core cluster, every background vector noise."""
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 500)
+    base = emb.select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
+    )
+    seeds = emb.filter(F.col("vec_id") < 50)
+    copies = seeds.select(
+        "vec_id",
+        "embedding",
+        F.explode(F.sequence(F.lit(1), F.lit(3))).alias("c"),
+    ).select(
+        (F.col("vec_id") + F.col("c") * 1_000_000).alias("vec_id"),
+        F.transform(
+            "embedding",
+            lambda x, i: x.cast("double")
+            + F.when(
+                i == F.pmod(F.col("vec_id"), F.lit(64)), 0.1 * F.col("c")
+            ).otherwise(F.lit(0.0)),
+        ).alias("embedding"),
+    )
+    return similarity.dbscan_embeddings(
+        base.unionByName(copies), cos_num=95, cos_den=100, min_pts=4
+    )
+
+
 def q_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Retrieval diversity, ORACLE-EXACT: maximal-marginal-relevance
     greedy rerank of the top-20 candidates per query
@@ -4211,6 +4244,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_soft_dedup_weights": q_soft_dedup_weights,
         "q_conformal_intervals": q_conformal_intervals,
         "q_mmr_rerank": q_mmr_rerank,
+        "q_dbscan_clusters": q_dbscan_clusters,
         # rows-only by design (Python-side audio decode, the phash posture)
         "q_audio_fingerprint_dedup": q_audio_fingerprint_dedup,
         # rows-only by design (Python-side image decode)
@@ -6838,6 +6872,82 @@ def oracle_sql() -> dict[str, str]:
         # round-6 second session: MMR — unrolled greedy-round CTE chain
         # over integer dots (the LPA trajectory-replay technique)
         "q_mmr_rerank": _mmr_oracle_sql(),
+        # round-6 second session: DBSCAN — sqrt-free integer ε-test,
+        # recursive reachability CC, planted dense groups
+        "q_dbscan_clusters": """
+            WITH RECURSIVE raw AS (
+              SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+              FROM embeddings WHERE vec_id < 500
+            ),
+            plant AS (
+              SELECT r.vec_id + c.c * 1000000 AS vec_id,
+                     list_transform(range(1, len(r.emb) + 1),
+                       i -> r.emb[i] + CASE WHEN i - 1 = r.vec_id % 64
+                                            THEN 0.1 * c.c ELSE 0.0 END) AS emb
+              FROM raw r CROSS JOIN (SELECT unnest(range(1, 4)) AS c) c
+              WHERE r.vec_id < 50
+            ),
+            allv AS (SELECT * FROM raw UNION ALL SELECT * FROM plant),
+            v AS (
+              SELECT vec_id AS id,
+                     list_transform(emb, x -> CAST(round(x * 1000) AS BIGINT)) AS v
+              FROM allv
+            ),
+            e AS (
+              SELECT id, v,
+                     CAST(list_sum(list_transform(range(1, len(v) + 1),
+                          i -> v[i] * v[i])) AS BIGINT) AS n2
+              FROM v
+            ),
+            eps AS MATERIALIZED (
+              SELECT a.id AS ia, b.id AS ib
+              FROM e a JOIN e b ON a.id < b.id
+              WHERE CAST(list_sum(list_transform(range(1, len(a.v) + 1),
+                         i -> a.v[i] * b.v[i])) AS BIGINT) >= 0
+                AND CAST(list_sum(list_transform(range(1, len(a.v) + 1),
+                         i -> a.v[i] * b.v[i])) AS BIGINT)
+                    * CAST(list_sum(list_transform(range(1, len(a.v) + 1),
+                          i -> a.v[i] * b.v[i])) AS BIGINT) * 10000
+                    >= 9025 * a.n2 * b.n2
+            ),
+            und AS (
+              SELECT ia AS id, ib AS nb FROM eps
+              UNION ALL SELECT ib, ia FROM eps
+            ),
+            deg AS (SELECT id, count(*) AS d FROM und GROUP BY id),
+            core AS MATERIALIZED (
+              SELECT v.id FROM v LEFT JOIN deg USING (id)
+              WHERE COALESCE(d, 0) + 1 >= 4
+            ),
+            ceu AS MATERIALIZED (
+              SELECT ia AS a, ib AS b FROM eps
+              WHERE ia IN (SELECT id FROM core) AND ib IN (SELECT id FROM core)
+              UNION
+              SELECT ib, ia FROM eps
+              WHERE ia IN (SELECT id FROM core) AND ib IN (SELECT id FROM core)
+            ),
+            cc AS (
+              SELECT id, id AS comp FROM core
+              UNION
+              SELECT u.b AS id, c.comp FROM cc c JOIN ceu u ON u.a = c.id
+            ),
+            lbl AS MATERIALIZED (SELECT id, min(comp) AS cluster FROM cc GROUP BY id),
+            bord AS (
+              SELECT u.id, min(l.cluster) AS cluster
+              FROM und u JOIN lbl l ON u.nb = l.id
+              WHERE u.id NOT IN (SELECT id FROM core)
+              GROUP BY u.id
+            )
+            SELECT v.id AS vec_id,
+                   CASE WHEN l.cluster IS NOT NULL THEN 'core'
+                        WHEN b.cluster IS NOT NULL THEN 'border'
+                        ELSE 'noise' END AS role,
+                   CAST(COALESCE(l.cluster, b.cluster) AS BIGINT) AS cluster
+            FROM v
+            LEFT JOIN lbl l ON v.id = l.id
+            LEFT JOIN bord b ON v.id = b.id
+            ORDER BY vec_id
+        """,
         # round-6 second session: split conformal — exact element selection
         # at the conformal rank, seasonal-naive base via day-index grid join
         "q_conformal_intervals": """

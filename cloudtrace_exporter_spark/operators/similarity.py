@@ -1756,3 +1756,107 @@ def mmr_rerank(
         # |queries|·r rows — checkpointing moves nothing.
         selected = selected.unionByName(nxt).localCheckpoint(eager=False)
     return selected.orderBy("query_id", "pick")
+
+
+def dbscan_embeddings(
+    emb: DataFrame,
+    *,
+    cos_num: int = 95,
+    cos_den: int = 100,
+    min_pts: int = 4,
+    scale: int = 10**3,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """DBSCAN density clustering over an embedding set (Ester et al.
+    1996) — the clustering family's missing member next to the k-means
+    inside IVF: k-means forces every point into one of k spherical
+    cells; DBSCAN finds arbitrarily-shaped dense regions AND names the
+    points that belong to none (noise) — the artifact that answers "is
+    there structure here at all" before anyone picks a k.
+
+    Roles: CORE = ≥ min_pts neighbors within the cosine radius
+    (self included); BORDER = non-core with a core neighbor (assigned
+    its smallest core-neighbor's cluster); NOISE = neither. Clusters =
+    connected components of the core-core graph, labeled by min core id
+    (dedup.connected_components — the same min-label machinery as text
+    dedup clusters).
+
+    Exactness strategy: the ε-test never touches a sqrt —
+    cos(a,b) ≥ num/den ⟺ dot ≥ 0 ∧ dot²·den² ≥ num²·‖a‖²·‖b‖², all
+    exact BIGINTs at ``scale``=10³ quantization (dot ≤ 6.4e7 here, so
+    dot²·den² ≤ ~4e17 < 2⁶³). Components replay in SQL as a recursive
+    reachability CTE taking min over reached ids.
+
+    Scale shape: the all-pairs ε-graph is the fixture-scale ground
+    truth (broadcast self-join on the bounded slice); at 100 TB feed
+    LSH/IVF candidate pairs instead — role logic and CC are
+    pair-source-agnostic, the dedup_clusters argument.
+    """
+    qvec = F.transform(_as_double(vec_col), lambda x: F.round(x * scale).cast("long"))
+    self_dot = F.aggregate(
+        F.zip_with("v", "v", lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    base = emb.select(F.col(id_col).alias("id"), qvec.alias("v")).withColumn(
+        "n2", self_dot
+    )
+    dot = F.aggregate(
+        F.zip_with("va", "vb", lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    a = base.select(F.col("id").alias("ia"), F.col("v").alias("va"), F.col("n2").alias("na"))
+    b = base.select(F.col("id").alias("ib"), F.col("v").alias("vb"), F.col("n2").alias("nb"))
+    pairs = (
+        a.join(F.broadcast(b), F.col("ia") < F.col("ib"))
+        .withColumn("__dot", dot)
+        .filter(
+            (F.col("__dot") >= 0)
+            & (
+                F.col("__dot") * F.col("__dot") * (cos_den * cos_den)
+                >= F.lit(cos_num * cos_num) * F.col("na") * F.col("nb")
+            )
+        )
+        .select("ia", "ib")
+        .cache()
+    )
+    und = pairs.union(pairs.select(F.col("ib"), F.col("ia"))).toDF("id", "nb_id")
+    deg = und.groupBy("id").agg(F.count(F.lit(1)).alias("__deg"))
+    nodes = base.select("id").join(deg, "id", "left").select(
+        "id", F.coalesce("__deg", F.lit(0)).alias("__deg")
+    )
+    core = nodes.filter(F.col("__deg") + 1 >= min_pts).select("id").cache()
+    core_edges = (
+        pairs.join(core.withColumnRenamed("id", "ia"), "ia", "left_semi")
+        .join(core.withColumnRenamed("id", "ib"), "ib", "left_semi")
+        .select(F.col("ia").alias("doc_a"), F.col("ib").alias("doc_b"))
+    )
+    from . import dedup as _dedup
+
+    comp = _dedup.connected_components(core_edges).withColumnRenamed("id", "cid")
+    core_lbl = core.join(comp, core["id"] == comp["cid"], "left").select(
+        "id", F.coalesce("comp", F.col("id")).alias("cluster")
+    )
+    border = (
+        nodes.join(core_lbl.select(F.col("id").alias("__c")), nodes["id"] == F.col("__c"), "left_anti")
+        .join(und, "id")
+        .join(core_lbl.select(F.col("id").alias("nb_id"), "cluster"), "nb_id")
+        .groupBy("id")
+        .agg(F.min("cluster").alias("cluster"))
+    )
+    out = (
+        core_lbl.withColumn("role", F.lit("core"))
+        .unionByName(border.withColumn("role", F.lit("border")))
+    )
+    return (
+        base.select("id")
+        .join(out, "id", "left")
+        .select(
+            F.col("id").alias("vec_id"),
+            F.coalesce("role", F.lit("noise")).alias("role"),
+            F.col("cluster").cast("long").alias("cluster"),
+        )
+        .orderBy("vec_id")
+    )

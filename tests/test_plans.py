@@ -666,3 +666,11 @@ def test_mmr_bounded_frames_no_cartesian(plans):
     p = plans("q_mmr_rerank")
     assert "CartesianProduct" not in p
     assert "ExistingRDD" in p
+
+
+def test_dbscan_bounded_pair_graph_truncated_cc(plans):
+    # the eps-graph is a broadcast self-join on the bounded slice; the
+    # CC fixpoint is lineage-truncated (raw RDD scan in the final plan)
+    p = plans("q_dbscan_clusters")
+    assert "CartesianProduct" not in p
+    assert "ExistingRDD" in p

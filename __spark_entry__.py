@@ -3948,6 +3948,16 @@ def _key_skew_oracle_one(table: str, key: str, label: str) -> str:
     """
 
 
+def q_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature engineering, ORACLE-EXACT: leave-one-out target encoding
+    with additive smoothing (curate.target_encoding_loo) — the
+    leakage-free categorical feature: row i's own label is excluded
+    from its category mean, shrunk toward the global prior. Numerator
+    and denominator are exact integers (prior cleared of its
+    denominator), one pinned IEEE division per row."""
+    return curate.target_encoding_loo(load_table(spark, sf_dir, "events"))
+
+
 def q_dbscan_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Density clustering, ORACLE-EXACT: DBSCAN over the embedding slice
     with 50 PLANTED dense groups (3 deterministic single-coordinate
@@ -4245,6 +4255,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_conformal_intervals": q_conformal_intervals,
         "q_mmr_rerank": q_mmr_rerank,
         "q_dbscan_clusters": q_dbscan_clusters,
+        "q_target_encoding": q_target_encoding,
         # rows-only by design (Python-side audio decode, the phash posture)
         "q_audio_fingerprint_dedup": q_audio_fingerprint_dedup,
         # rows-only by design (Python-side image decode)
@@ -6872,6 +6883,37 @@ def oracle_sql() -> dict[str, str]:
         # round-6 second session: MMR — unrolled greedy-round CTE chain
         # over integer dots (the LPA trajectory-replay technique)
         "q_mmr_rerank": _mmr_oracle_sql(),
+        # round-6 second session: LOO target encoding — integer numerator/
+        # denominator (prior cleared of its denominator), one division
+        "q_target_encoding": """
+            WITH g AS (
+              SELECT event_id, event_type AS cat, value,
+                     row_number() OVER (ORDER BY value, event_id) AS rn,
+                     count(*) OVER () AS n
+              FROM events
+            ),
+            t AS (
+              SELECT *, max(CASE WHEN rn = CAST(floor((n + 1) / 2) AS BIGINT)
+                                 THEN value END) OVER () AS thr
+              FROM g
+            ),
+            y AS (SELECT event_id, cat, CAST(value > thr AS BIGINT) AS y FROM t),
+            c AS (
+              SELECT cat, CAST(count(*) AS BIGINT) AS n_cat,
+                     CAST(sum(y) AS BIGINT) AS succ_cat
+              FROM y GROUP BY cat
+            ),
+            tot AS (
+              SELECT CAST(sum(n_cat) AS BIGINT) AS n_tot,
+                     CAST(sum(succ_cat) AS BIGINT) AS succ_tot
+              FROM c
+            )
+            SELECT y.event_id, y.cat, y.y, c.n_cat,
+                   round(((c.succ_cat - y.y) * tot.n_tot + 10 * tot.succ_tot)
+                         / ((c.n_cat - 1 + 10) * tot.n_tot), 6) AS enc_loo
+            FROM y JOIN c ON y.cat = c.cat CROSS JOIN tot
+            ORDER BY y.event_id
+        """,
         # round-6 second session: DBSCAN — sqrt-free integer ε-test,
         # recursive reachability CC, planted dense groups
         "q_dbscan_clusters": """

@@ -2446,3 +2446,32 @@ def test_dbscan_planted_groups_perfectly_recovered(spark, sf_dir):
     # each planted family clusters under its seed id
     for r in roles["core"]:
         assert r.cluster == r.vec_id % 1_000_000
+
+
+def test_target_encoding_loo_excludes_own_label(spark):
+    """Two rows of the same category with OPPOSITE labels must receive
+    DIFFERENT encodings (each sees the other's label, not its own) —
+    the leakage property plain category-mean encoding fails."""
+    from datetime import datetime
+    # category 'a': values straddle the median; 'b' fills the corpus
+    rows = [
+        (0, datetime(2024, 1, 1), 0, "a", 100.0, "{}"),  # y=1
+        (1, datetime(2024, 1, 1), 1, "a", 1.0, "{}"),    # y=0
+        (2, datetime(2024, 1, 1), 2, "b", 50.0, "{}"),
+        (3, datetime(2024, 1, 1), 3, "b", 60.0, "{}"),
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    )
+    out = {r.event_id: r for r in curate.target_encoding_loo(ev, smoothing=10).collect()}
+    # lower-median of [1, 50, 60, 100] is 50 -> y: {0:1, 1:0, 2:0, 3:1}
+    assert (out[0].y, out[1].y, out[2].y, out[3].y) == (1, 0, 0, 1)
+    # same category, opposite labels -> different encodings (LOO)
+    assert out[0].enc_loo != out[1].enc_loo
+    # row 0 (y=1) sees only row 1's 0 label -> its encoding is LOWER
+    assert out[0].enc_loo < out[1].enc_loo
+    # exact value: (succ_cat - y)*n_tot + m*succ_tot over (n_cat-1+m)*n_tot
+    # cat a: n=2, succ=1; tot: n=4, succ=2; m=10
+    assert out[0].enc_loo == round(((1 - 1) * 4 + 10 * 2) / ((2 - 1 + 10) * 4), 6)
+    assert out[1].enc_loo == round(((1 - 0) * 4 + 10 * 2) / ((2 - 1 + 10) * 4), 6)

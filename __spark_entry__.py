@@ -3958,6 +3958,15 @@ def q_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
     return curate.target_encoding_loo(load_table(spark, sf_dir, "events"))
 
 
+def q_woe_iv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature evidence report, ORACLE-EXACT: Weight-of-Evidence and
+    Information-Value terms per category (curate.woe_iv) — one natural
+    log of an exact integer cross-ratio per category, degenerate
+    categories NULL (never ±inf). The report twin of
+    q_target_encoding's feature column."""
+    return curate.woe_iv(load_table(spark, sf_dir, "events"))
+
+
 def q_dbscan_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Density clustering, ORACLE-EXACT: DBSCAN over the embedding slice
     with 50 PLANTED dense groups (3 deterministic single-coordinate
@@ -4256,6 +4265,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_mmr_rerank": q_mmr_rerank,
         "q_dbscan_clusters": q_dbscan_clusters,
         "q_target_encoding": q_target_encoding,
+        "q_woe_iv": q_woe_iv,
         # rows-only by design (Python-side audio decode, the phash posture)
         "q_audio_fingerprint_dedup": q_audio_fingerprint_dedup,
         # rows-only by design (Python-side image decode)
@@ -6913,6 +6923,44 @@ def oracle_sql() -> dict[str, str]:
                          / ((c.n_cat - 1 + 10) * tot.n_tot), 6) AS enc_loo
             FROM y JOIN c ON y.cat = c.cat CROSS JOIN tot
             ORDER BY y.event_id
+        """,
+        # round-6 second session: WoE/IV — one log of an exact integer
+        # cross-ratio per category, NULL on degenerate categories
+        "q_woe_iv": """
+            WITH g AS (
+              SELECT event_id, event_type AS cat, value,
+                     row_number() OVER (ORDER BY value, event_id) AS rn,
+                     count(*) OVER () AS n
+              FROM events
+            ),
+            t AS (
+              SELECT *, max(CASE WHEN rn = CAST(floor((n + 1) / 2) AS BIGINT)
+                                 THEN value END) OVER () AS thr
+              FROM g
+            ),
+            y AS (SELECT cat, CAST(value > thr AS BIGINT) AS y FROM t),
+            c AS (
+              SELECT cat, CAST(count(*) AS BIGINT) AS n_cat,
+                     CAST(sum(y) AS BIGINT) AS succ_cat,
+                     CAST(count(*) - sum(y) AS BIGINT) AS fail_cat
+              FROM y GROUP BY cat
+            ),
+            e AS (
+              SELECT *, sum(succ_cat) OVER () AS succ_tot,
+                     sum(fail_cat) OVER () AS fail_tot
+              FROM c
+            )
+            SELECT cat, n_cat, succ_cat, fail_cat,
+                   CASE WHEN succ_cat > 0 AND fail_cat > 0
+                        THEN round(ln(CAST(succ_cat * fail_tot AS DOUBLE)
+                                      / CAST(fail_cat * succ_tot AS DOUBLE)), 6)
+                   END AS woe,
+                   CASE WHEN succ_cat > 0 AND fail_cat > 0
+                        THEN round((succ_cat / succ_tot - fail_cat / fail_tot)
+                             * ln(CAST(succ_cat * fail_tot AS DOUBLE)
+                                  / CAST(fail_cat * succ_tot AS DOUBLE)), 6)
+                   END AS iv_term
+            FROM e ORDER BY cat
         """,
         # round-6 second session: DBSCAN — sqrt-free integer ε-test,
         # recursive reachability CC, planted dense groups

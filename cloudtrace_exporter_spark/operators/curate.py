@@ -906,3 +906,74 @@ def target_encoding_loo(
         )
         .orderBy(id_col)
     )
+
+
+def woe_iv(
+    events: DataFrame,
+    *,
+    type_col: str = "event_type",
+    value_col: str = "value",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Weight-of-Evidence / Information-Value per category — the other
+    classical categorical encoding (credit-scoring lineage; Siddiqi):
+    WoE = ln(P(cat|positive) / P(cat|negative)), with the category's IV
+    term (pct_pos − pct_neg)·WoE measuring how much separation the
+    category carries. The REPORT twin of target_encoding_loo's feature
+    column: WoE ranks categories by evidence, IV ranks the whole
+    variable's usefulness.
+
+    Exactness: same integer label machinery (global lower-median
+    threshold, exact element); each WoE is ONE natural log of an exact
+    integer cross-ratio ln((succ_cat·fail_tot)/(fail_cat·succ_tot)) —
+    log of a quotient of exact BIGINT products, pinned IEEE; the IV
+    term is two integer ratios, one subtraction, one multiply. Degenerate
+    categories (no positives or no negatives — infinite WoE) emit NULL,
+    the standard "apply Laplace smoothing upstream" signal, never ±inf.
+
+    Scale shape: one global median window + one category aggregation;
+    output is |categories| rows.
+    """
+    w = Window.orderBy(value_col, id_col)
+    wn = Window.partitionBy()
+    g = (
+        events.select(F.col(id_col), F.col(type_col).alias("cat"), F.col(value_col))
+        # [WindowExec: No Partition Defined — BENIGN HERE] global median
+        # rank (swap for global_row_number at 100 TB)
+        .withColumn("__rn", F.row_number().over(w))
+        .withColumn("__n", F.count(F.lit(1)).over(wn))
+        .withColumn(
+            "__thr",
+            F.max(
+                F.when(F.col("__rn") == F.floor((F.col("__n") + 1) / 2), F.col(value_col))
+            ).over(wn),
+        )
+        .withColumn("y", (F.col(value_col) > F.col("__thr")).cast("long"))
+    )
+    cat = g.groupBy("cat").agg(
+        F.count(F.lit(1)).cast("long").alias("n_cat"),
+        F.sum("y").cast("long").alias("succ_cat"),
+    )
+    tots = Window.partitionBy()
+    # [WindowExec: No Partition Defined — BENIGN HERE] |categories| rows
+    c = (
+        cat.withColumn("fail_cat", F.col("n_cat") - F.col("succ_cat"))
+        .withColumn("succ_tot", F.sum("succ_cat").over(tots))
+        .withColumn("fail_tot", F.sum("fail_cat").over(tots))
+    )
+    ok = (F.col("succ_cat") > 0) & (F.col("fail_cat") > 0)
+    woe = F.log(
+        (F.col("succ_cat") * F.col("fail_tot")).cast("double")
+        / (F.col("fail_cat") * F.col("succ_tot")).cast("double")
+    )
+    iv = (
+        F.col("succ_cat") / F.col("succ_tot") - F.col("fail_cat") / F.col("fail_tot")
+    ) * woe
+    return c.select(
+        "cat",
+        "n_cat",
+        "succ_cat",
+        "fail_cat",
+        F.when(ok, F.round(woe, 6)).alias("woe"),
+        F.when(ok, F.round(iv, 6)).alias("iv_term"),
+    ).orderBy("cat")

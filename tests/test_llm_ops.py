@@ -2475,3 +2475,31 @@ def test_target_encoding_loo_excludes_own_label(spark):
     # cat a: n=2, succ=1; tot: n=4, succ=2; m=10
     assert out[0].enc_loo == round(((1 - 1) * 4 + 10 * 2) / ((2 - 1 + 10) * 4), 6)
     assert out[1].enc_loo == round(((1 - 0) * 4 + 10 * 2) / ((2 - 1 + 10) * 4), 6)
+
+
+def test_woe_iv_signs_and_degenerate_null(spark):
+    from datetime import datetime
+    import math
+    rows = []
+    eid = 0
+    # 'hi' skews positive (8 of 10 above median), 'lo' negative,
+    # 'allpos' degenerate (every row positive -> NULL WoE)
+    plan = [("hi", 8, 2), ("lo", 2, 12), ("allpos", 4, 0)]
+    for cat, npos, nneg in plan:
+        for _ in range(npos):
+            rows.append((eid, datetime(2024, 1, 1), eid, cat, 100.0, "{}")); eid += 1
+        for _ in range(nneg):
+            rows.append((eid, datetime(2024, 1, 1), eid, cat, 1.0, "{}")); eid += 1
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    )
+    out = {r.cat: r for r in curate.woe_iv(ev).collect()}
+    assert out["hi"].woe > 0 and out["lo"].woe < 0
+    assert out["allpos"].woe is None and out["allpos"].iv_term is None
+    # hand math: 14 rows at 100.0 and 14 at 1.0 -> lower-median
+    # (rank 14 of 28) = 1.0 -> positives are exactly the 100.0 rows
+    st, ft = 14, 14
+    woe_hi = math.log((8 * ft) / (2 * st))
+    assert abs(out["hi"].woe - round(woe_hi, 6)) < 1e-9
+    assert out["hi"].iv_term == round((8 / st - 2 / ft) * woe_hi, 6)

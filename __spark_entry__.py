@@ -4206,8 +4206,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # evaluated keys) come FIRST: the driver's ~50-row window per round
         # spends its budget on never-evaluated keys. The 11-key round-5
         # backlog leads (6 oracle-backed, then 5 rows-only-by-design), then
-        # the round-6 additions, then the 222 already-green keys close the
-        # dict → driver union = full surface after this round.
+        # every round-6 addition (both sessions — 57 never-evaluated keys
+        # total; whatever the window doesn't reach this round rotates to
+        # the round-7 head), then the 222 already-green keys close the dict.
         "q_sql_api_report": q_sql_api_report,
         "q_source_novelty": q_source_novelty,
         "q_autocorr_lag7": q_autocorr_lag7,

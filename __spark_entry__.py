@@ -3958,6 +3958,16 @@ def q_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
     return curate.target_encoding_loo(load_table(spark, sf_dir, "events"))
 
 
+def q_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Experimentation depth, ORACLE-EXACT: CUPED variance-reduced A/B
+    effect per series (analytics.cuped_adjustment) — θ from exact
+    BIGINT sufficient statistics over centi-unit-quantized per-user
+    pre/post totals, adjusted difference in a pinned IEEE tail.
+    Completes the A/B suite (z, U, KS test the difference; CUPED
+    shrinks its variance)."""
+    return analytics.cuped_adjustment(load_table(spark, sf_dir, "events"))
+
+
 def q_woe_iv(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Feature evidence report, ORACLE-EXACT: Weight-of-Evidence and
     Information-Value terms per category (curate.woe_iv) — one natural
@@ -4267,6 +4277,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_dbscan_clusters": q_dbscan_clusters,
         "q_target_encoding": q_target_encoding,
         "q_woe_iv": q_woe_iv,
+        "q_cuped": q_cuped,
         # rows-only by design (Python-side audio decode, the phash posture)
         "q_audio_fingerprint_dedup": q_audio_fingerprint_dedup,
         # rows-only by design (Python-side image decode)
@@ -6924,6 +6935,50 @@ def oracle_sql() -> dict[str, str]:
                          / ((c.n_cat - 1 + 10) * tot.n_tot), 6) AS enc_loo
             FROM y JOIN c ON y.cat = c.cat CROSS JOIN tot
             ORDER BY y.event_id
+        """,
+        # round-6 second session: CUPED — integer sufficient stats over
+        # quantized per-unit pre/post totals, pinned theta/means tail
+        "q_cuped": """
+            WITH unit AS (
+              SELECT event_type AS series, user_id AS unit,
+                     CAST(user_id % 2 AS INTEGER) AS variant,
+                     CAST(round(round(sum(CASE WHEN ts < TIMESTAMP '2024-01-15'
+                                              THEN value ELSE 0.0 END), 4) * 100)
+                          AS BIGINT) AS x,
+                     CAST(round(round(sum(CASE WHEN ts >= TIMESTAMP '2024-01-15'
+                                              THEN value ELSE 0.0 END), 4) * 100)
+                          AS BIGINT) AS y
+              FROM events GROUP BY 1, 2, 3
+            ),
+            per AS (
+              SELECT series,
+                     CAST(count(*) AS BIGINT) AS n,
+                     CAST(sum(x) AS BIGINT) AS sx,
+                     CAST(sum(y) AS BIGINT) AS sy,
+                     CAST(sum(x * y) AS BIGINT) AS sxy,
+                     CAST(sum(x * x) AS BIGINT) AS sxx,
+                     CAST(sum(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+                     CAST(sum(CASE WHEN variant = 0 THEN y ELSE 0 END) AS BIGINT) AS sy_a,
+                     CAST(sum(CASE WHEN variant = 1 THEN y ELSE 0 END) AS BIGINT) AS sy_b,
+                     CAST(sum(CASE WHEN variant = 0 THEN x ELSE 0 END) AS BIGINT) AS sx_a,
+                     CAST(sum(CASE WHEN variant = 1 THEN x ELSE 0 END) AS BIGINT) AS sx_b
+              FROM unit GROUP BY series
+            )
+            SELECT series, n_a, CAST(n - n_a AS BIGINT) AS n_b,
+                   round(theta, 6) AS theta,
+                   round(raw, 6) AS raw_diff,
+                   round(raw - theta * (sx_a / n_a / 100 - sx_b / (n - n_a) / 100), 6)
+                     AS cuped_diff
+            FROM (
+              SELECT *,
+                     CASE WHEN n * sxx - sx * sx > 0
+                          THEN CAST(n * sxy - sx * sy AS DOUBLE)
+                               / CAST(n * sxx - sx * sx AS DOUBLE) END AS theta,
+                     CASE WHEN n_a > 0 AND n - n_a > 0
+                          THEN sy_a / n_a / 100 - sy_b / (n - n_a) / 100 END AS raw
+              FROM per
+            )
+            ORDER BY series
         """,
         # round-6 second session: WoE/IV — one log of an exact integer
         # cross-ratio per category, NULL on degenerate categories

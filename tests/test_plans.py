@@ -674,3 +674,11 @@ def test_dbscan_bounded_pair_graph_truncated_cc(plans):
     p = plans("q_dbscan_clusters")
     assert "CartesianProduct" not in p
     assert "ExistingRDD" in p
+
+
+def test_cuped_two_aggregations_no_join(plans):
+    # (series, unit) pre/post reduce then the series reduction — no
+    # joins, no windows
+    p = plans("q_cuped")
+    assert "Join" not in p
+    assert "Window" not in p.split("AdaptiveSparkPlan")[0]

@@ -800,3 +800,37 @@ def test_conformal_intervals_finite_sample_coverage(spark):
     # intervals are symmetric around the seasonal-naive forecast
     for r in out:
         assert abs((r.hi - r.yhat) - (r.yhat - r.lo)) < 1e-6
+
+
+def test_cuped_reduces_nothing_without_correlation_and_everything_with(spark):
+    """Planted structure: each unit's post metric = pre metric + variant
+    lift. Perfect pre/post correlation -> theta ~ 1 and the adjusted
+    diff equals the true lift exactly even though raw per-unit levels
+    vary wildly; with a constant pre covariate theta is NULL (no
+    variance to regress on) and the adjusted diff degrades to raw."""
+    from datetime import datetime
+    rows, eid = [], 0
+    for u in range(40):
+        base = 10.0 + (u * 2654435761 % 50)  # wildly varying unit level
+        lift = 5.0 if u % 2 == 0 else 0.0
+        rows.append((eid, datetime(2024, 1, 10), u, "s", base, "{}")); eid += 1
+        rows.append((eid, datetime(2024, 1, 20), u, "s", base + lift, "{}")); eid += 1
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    )
+    r = analytics.cuped_adjustment(ev).collect()[0]
+    assert abs(r.theta - 1.0) < 0.05
+    assert abs(r.cuped_diff - 5.0) < 0.2  # the true lift, variance gone
+    # constant covariate -> theta NULL, adjusted NULL (undefined adjustment)
+    rows2 = [
+        (i, datetime(2024, 1, 10 if i % 2 == 0 else 20), i // 2, "s",
+         1.0 if i % 2 == 0 else float(10 + i % 7), "{}")
+        for i in range(80)
+    ]
+    ev2 = spark.createDataFrame(
+        rows2,
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    )
+    r2 = analytics.cuped_adjustment(ev2).collect()[0]
+    assert r2.theta is None and r2.cuped_diff is None and r2.raw_diff is not None

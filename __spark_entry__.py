@@ -3958,6 +3958,15 @@ def q_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
     return curate.target_encoding_loo(load_table(spark, sf_dir, "events"))
 
 
+def q_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trend testing, ORACLE-EXACT: Mann–Kendall monotone-trend test per
+    series (analytics.mann_kendall) — integer S over the pairwise daily
+    grid, tie-corrected variance as one integer expression, continuity-
+    corrected pinned z. The significance twin of q_theilsen_trend's
+    slope estimate."""
+    return analytics.mann_kendall(load_table(spark, sf_dir, "events"))
+
+
 def q_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Experimentation depth, ORACLE-EXACT: CUPED variance-reduced A/B
     effect per series (analytics.cuped_adjustment) — θ from exact
@@ -4278,6 +4287,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_target_encoding": q_target_encoding,
         "q_woe_iv": q_woe_iv,
         "q_cuped": q_cuped,
+        "q_mann_kendall": q_mann_kendall,
         # rows-only by design (Python-side audio decode, the phash posture)
         "q_audio_fingerprint_dedup": q_audio_fingerprint_dedup,
         # rows-only by design (Python-side image decode)
@@ -6935,6 +6945,46 @@ def oracle_sql() -> dict[str, str]:
                          / ((c.n_cat - 1 + 10) * tot.n_tot), 6) AS enc_loo
             FROM y JOIN c ON y.cat = c.cat CROSS JOIN tot
             ORDER BY y.event_id
+        """,
+        # round-6 second session: Mann-Kendall — integer S over the daily
+        # pairwise grid, tie-corrected variance, continuity-corrected z
+        "q_mann_kendall": """
+            WITH daily AS (
+              SELECT event_type AS series, date_trunc('day', ts) AS day,
+                     round(sum(value), 4) AS y
+              FROM events GROUP BY 1, 2
+            ),
+            s_frame AS (
+              SELECT a.series, CAST(sum(sign(b.y - a.y)) AS BIGINT) AS s
+              FROM daily a JOIN daily b
+                ON a.series = b.series AND a.day < b.day
+              GROUP BY a.series
+            ),
+            ties AS (
+              SELECT series, CAST(sum(t) AS BIGINT) AS n_days,
+                     CAST(sum(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tie_term
+              FROM (
+                SELECT series, y, CAST(count(*) AS BIGINT) AS t
+                FROM daily GROUP BY 1, 2
+              ) GROUP BY series
+            )
+            SELECT series, n_days, s,
+                   round(z, 6) AS z,
+                   z * z > 3.841458820694124 AS significant_05,
+                   CASE WHEN s > 0 THEN 'increasing'
+                        WHEN s < 0 THEN 'decreasing'
+                        ELSE 'none' END AS direction
+            FROM (
+              SELECT *,
+                     CASE WHEN n_days * (n_days - 1) * (2 * n_days + 5) - tie_term > 0
+                          THEN CAST(CASE WHEN s > 0 THEN s - 1
+                                         WHEN s < 0 THEN s + 1
+                                         ELSE 0 END AS DOUBLE)
+                               / sqrt(CAST(n_days * (n_days - 1) * (2 * n_days + 5)
+                                           - tie_term AS DOUBLE) / 18.0) END AS z
+              FROM s_frame JOIN ties USING (series)
+            )
+            ORDER BY series
         """,
         # round-6 second session: CUPED — integer sufficient stats over
         # quantized per-unit pre/post totals, pinned theta/means tail

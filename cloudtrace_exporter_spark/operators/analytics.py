@@ -4589,3 +4589,70 @@ def cuped_adjustment(
         F.round(raw, 6).alias("raw_diff"),
         F.round(adj, 6).alias("cuped_diff"),
     ).orderBy("series")
+
+
+def mann_kendall(
+    events: DataFrame,
+    *,
+    z_crit_sq: float = 3.841458820694124,
+    type_col: str = "event_type",
+    value_col: str = "value",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Mann–Kendall trend TEST per series — the significance twin of
+    theil_sen_trend (which estimates the slope, while MK decides
+    whether a monotone trend exists at all): S = Σ_{i<j} sign(y_j − y_i)
+    over time-ordered daily totals, a rank statistic immune to the
+    outliers and non-normality that break a regression-t test.
+
+    Exactness strategy: S is an exact INTEGER (a sum of −1/0/+1 over
+    the bounded pairwise grid); the tie-corrected variance
+    (n(n−1)(2n+5) − Σ t(t−1)(2t+5))/18 is one integer expression; the
+    continuity-corrected z = (S ∓ 1)/√var is a pinned IEEE tail.
+    Degenerate series (var 0 — all days tie) emit NULL z.
+
+    Scale shape: corpus → daily grid map-side (the theil_sen argument);
+    the pairwise sign join and the tie census run grid-sized on the
+    series partitioning. Output |series| rows.
+    """
+    daily = events.groupBy(
+        F.col(type_col).alias("series"), F.date_trunc("day", F.col(ts_col)).alias("day")
+    ).agg(F.round(F.sum(value_col), 4).alias("y"))
+    a, b = daily.alias("a"), daily.alias("b")
+    s_frame = (
+        a.join(b, (F.col("a.series") == F.col("b.series")) & (F.col("a.day") < F.col("b.day")))
+        .select(
+            F.col("a.series").alias("series"),
+            F.signum(F.col("b.y") - F.col("a.y")).cast("long").alias("sgn"),
+        )
+        .groupBy("series")
+        .agg(F.sum("sgn").cast("long").alias("s"))
+    )
+    ties = (
+        daily.groupBy("series", "y")
+        .agg(F.count(F.lit(1)).cast("long").alias("t"))
+        .groupBy("series")
+        .agg(
+            F.sum("t").cast("long").alias("n_days"),
+            F.sum(F.col("t") * (F.col("t") - 1) * (2 * F.col("t") + 5))
+            .cast("long")
+            .alias("tie_term"),
+        )
+    )
+    j = s_frame.join(ties, "series")
+    n = F.col("n_days")
+    var18 = n * (n - 1) * (2 * n + 5) - F.col("tie_term")
+    var = var18.cast("double") / 18.0
+    cc = F.when(F.col("s") > 0, F.col("s") - 1).when(F.col("s") < 0, F.col("s") + 1).otherwise(0)
+    z = F.when(var18 > 0, cc.cast("double") / F.sqrt(var))
+    return j.select(
+        "series",
+        "n_days",
+        "s",
+        F.round(z, 6).alias("z"),
+        (z * z > F.lit(z_crit_sq)).alias("significant_05"),
+        F.when(F.col("s") > 0, F.lit("increasing"))
+        .when(F.col("s") < 0, F.lit("decreasing"))
+        .otherwise(F.lit("none"))
+        .alias("direction"),
+    ).orderBy("series")

@@ -682,3 +682,9 @@ def test_cuped_two_aggregations_no_join(plans):
     p = plans("q_cuped")
     assert "Join" not in p
     assert "Window" not in p.split("AdaptiveSparkPlan")[0]
+
+
+def test_mann_kendall_grid_pair_join_keyed_on_series(plans):
+    p = plans("q_mann_kendall")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p

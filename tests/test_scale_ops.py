@@ -834,3 +834,28 @@ def test_cuped_reduces_nothing_without_correlation_and_everything_with(spark):
     )
     r2 = analytics.cuped_adjustment(ev2).collect()[0]
     assert r2.theta is None and r2.cuped_diff is None and r2.raw_diff is not None
+
+
+def test_mann_kendall_detects_planted_trend_and_ignores_outlier(spark):
+    from datetime import datetime, timedelta
+    t0 = datetime(2024, 1, 1)
+    # strictly increasing dailies with one wild outlier day
+    vals = [float(i) for i in range(30)]
+    vals[15] = 10_000.0
+    rows = [(i, t0 + timedelta(days=i), 1, "s", v, "{}") for i, v in enumerate(vals)]
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    )
+    r = analytics.mann_kendall(ev).collect()[0]
+    # S for a strictly increasing series is n(n-1)/2; the outlier flips
+    # at most (n-1-15) + 15 = 29 pair signs x2
+    assert r.s > 30 * 29 // 2 - 60
+    assert r.direction == "increasing" and r.significant_05
+    # constant series: S = 0, variance 0 -> NULL z, not significant/crash
+    flat = spark.createDataFrame(
+        [(i, t0 + timedelta(days=i), 1, "s", 5.0, "{}") for i in range(10)],
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    )
+    rf = analytics.mann_kendall(flat).collect()[0]
+    assert (rf.s, rf.z, rf.direction) == (0, None, "none")

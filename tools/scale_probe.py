@@ -317,6 +317,8 @@ def main() -> None:
         t(f"conformal_intervals {tag}", lambda e=e: analytics.conformal_intervals(e))
     for tag, e in (("1x", ev1), ("10x", ev10)):
         t(f"cuped_adjustment {tag}", lambda e=e: analytics.cuped_adjustment(e))
+    for tag, e in (("1x", ev1), ("10x", ev10)):
+        t(f"mann_kendall {tag}", lambda e=e: analytics.mann_kendall(e))
     for tag, e in (("1x", emb1), ("10x", emb10)):
         t(f"mmr_rerank {tag}", lambda e=e: similarity.mmr_rerank(e))
 

@@ -866,21 +866,21 @@ def target_encoding_loo(
     aggregation broadcast back — the output is row-per-event (a FEATURE
     column, not a report), all narrow after the two shuffles.
     """
-    w = Window.orderBy(value_col, id_col)
-    wn = Window.partitionBy()
+    # global lower-median threshold WITHOUT a single-partition window
+    # over the fact: the range-partitioned two-phase numbering picks the
+    # exact element, and the 1-row threshold broadcasts back (the same
+    # total order the naive window would use — values identical)
+    ranked = analytics.global_row_number(
+        events.select(F.col(id_col), F.col(type_col).alias("cat"), F.col(value_col)),
+        [value_col, id_col],
+        with_total=True,
+    )
+    thr = ranked.filter(
+        F.col("rn") == F.floor((F.col("_n_total") + 1) / 2)
+    ).select(F.col(value_col).alias("__thr"))
     g = (
-        events.select(F.col(id_col), F.col(type_col).alias("cat"), F.col(value_col))
-        # [WindowExec: No Partition Defined — BENIGN HERE]: the global
-        # median rank; at 100 TB swap for global_row_number — the
-        # encoding math is rank-source-agnostic
-        .withColumn("__rn", F.row_number().over(w))
-        .withColumn("__n", F.count(F.lit(1)).over(wn))
-        .withColumn(
-            "__thr",
-            F.max(
-                F.when(F.col("__rn") == F.floor((F.col("__n") + 1) / 2), F.col(value_col))
-            ).over(wn),
-        )
+        ranked.drop("rn", "_n_total")
+        .crossJoin(F.broadcast(thr))
         .withColumn("y", (F.col(value_col) > F.col("__thr")).cast("long"))
     )
     cat = g.groupBy("cat").agg(
@@ -934,20 +934,18 @@ def woe_iv(
     Scale shape: one global median window + one category aggregation;
     output is |categories| rows.
     """
-    w = Window.orderBy(value_col, id_col)
-    wn = Window.partitionBy()
+    # same scale-true global-median selection as target_encoding_loo
+    ranked = analytics.global_row_number(
+        events.select(F.col(id_col), F.col(type_col).alias("cat"), F.col(value_col)),
+        [value_col, id_col],
+        with_total=True,
+    )
+    thr = ranked.filter(
+        F.col("rn") == F.floor((F.col("_n_total") + 1) / 2)
+    ).select(F.col(value_col).alias("__thr"))
     g = (
-        events.select(F.col(id_col), F.col(type_col).alias("cat"), F.col(value_col))
-        # [WindowExec: No Partition Defined — BENIGN HERE] global median
-        # rank (swap for global_row_number at 100 TB)
-        .withColumn("__rn", F.row_number().over(w))
-        .withColumn("__n", F.count(F.lit(1)).over(wn))
-        .withColumn(
-            "__thr",
-            F.max(
-                F.when(F.col("__rn") == F.floor((F.col("__n") + 1) / 2), F.col(value_col))
-            ).over(wn),
-        )
+        ranked.drop("rn", "_n_total")
+        .crossJoin(F.broadcast(thr))
         .withColumn("y", (F.col(value_col) > F.col("__thr")).cast("long"))
     )
     cat = g.groupBy("cat").agg(

@@ -688,3 +688,13 @@ def test_mann_kendall_grid_pair_join_keyed_on_series(plans):
     p = plans("q_mann_kendall")
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_target_encoding_no_data_sized_global_window(plans):
+    # the global median comes from the range-partitioned two-phase
+    # numbering, never a single-partition window over the fact; the only
+    # Window in the live plan is global_row_number's tiny offsets cumsum
+    p = plans("q_target_encoding")
+    live = p.split("InMemoryRelation", 1)[0]
+    assert live.count("Window") <= 1
+    assert "CartesianProduct" not in p

@@ -319,6 +319,10 @@ def main() -> None:
         t(f"cuped_adjustment {tag}", lambda e=e: analytics.cuped_adjustment(e))
     for tag, e in (("1x", ev1), ("10x", ev10)):
         t(f"mann_kendall {tag}", lambda e=e: analytics.mann_kendall(e))
+    for tag, e in (("1x", ev1), ("10x", ev10)):
+        t(f"target_encoding_loo {tag}", lambda e=e: _cur.target_encoding_loo(e))
+    for tag, e in (("1x", ev1), ("10x", ev10)):
+        t(f"woe_iv {tag}", lambda e=e: _cur.woe_iv(e))
     for tag, e in (("1x", emb1), ("10x", emb10)):
         t(f"mmr_rerank {tag}", lambda e=e: similarity.mmr_rerank(e))
 

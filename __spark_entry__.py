@@ -4221,13 +4221,25 @@ def q_purged_folds(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
-        # Ordered so keys WITHOUT a driver CORRECTNESS row (r1∪…∪r5 = 222
-        # evaluated keys) come FIRST: the driver's ~50-row window per round
-        # spends its budget on never-evaluated keys. The 11-key round-5
-        # backlog leads (6 oracle-backed, then 5 rows-only-by-design), then
-        # every round-6 addition (both sessions — 57 never-evaluated keys
-        # total; whatever the window doesn't reach this round rotates to
-        # the round-7 head), then the 222 already-green keys close the dict.
+        # Ordered so keys WITHOUT a driver CORRECTNESS row come FIRST: the
+        # driver's ~50-row window per round spends its budget on
+        # never-evaluated keys. Driver union r1–r6 covers 272/281 declared
+        # keys with zero failures; the 9 keys added after the round-6
+        # window lead here (7 oracle-backed, then the 2 rows-only-by-design
+        # decode keys), then every round-7 addition, then the already-green
+        # keys close the dict.
+        "q_conformal_intervals": q_conformal_intervals,
+        "q_mmr_rerank": q_mmr_rerank,
+        "q_dbscan_clusters": q_dbscan_clusters,
+        "q_target_encoding": q_target_encoding,
+        "q_woe_iv": q_woe_iv,
+        "q_cuped": q_cuped,
+        "q_mann_kendall": q_mann_kendall,
+        # rows-only by design (Python-side audio/image decode)
+        "q_audio_fingerprint_dedup": q_audio_fingerprint_dedup,
+        "q_phash_dedup": q_phash_dedup,
+        # ---- round-7 additions go here (oracle-backed, never sampled) ----
+        # ---- keys below all have a green driver row in r1–r6 ----
         "q_sql_api_report": q_sql_api_report,
         "q_source_novelty": q_source_novelty,
         "q_autocorr_lag7": q_autocorr_lag7,
@@ -4281,18 +4293,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_lead_lag_ccf": q_lead_lag_ccf,
         "q_ks_test": q_ks_test,
         "q_soft_dedup_weights": q_soft_dedup_weights,
-        "q_conformal_intervals": q_conformal_intervals,
-        "q_mmr_rerank": q_mmr_rerank,
-        "q_dbscan_clusters": q_dbscan_clusters,
-        "q_target_encoding": q_target_encoding,
-        "q_woe_iv": q_woe_iv,
-        "q_cuped": q_cuped,
-        "q_mann_kendall": q_mann_kendall,
-        # rows-only by design (Python-side audio decode, the phash posture)
-        "q_audio_fingerprint_dedup": q_audio_fingerprint_dedup,
-        # rows-only by design (Python-side image decode)
-        "q_phash_dedup": q_phash_dedup,
-        # ---- keys below all have a green driver row in r1–r5 ----
         "q_leakage_safe_splits": q_leakage_safe_splits,
         "q_bm25_topk": q_bm25_topk,
         "q_bm25_percolate": q_bm25_percolate,

@@ -1247,7 +1247,7 @@ def q_contrastive_pairs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     never-at-scale path; it exists to certify the construction, not to
     run at corpus size). Full oracle."""
     docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 1000)
-    return curate.contrastive_pairs(docs)
+    return curate.contrastive_pairs(docs, pairs="exact")
 
 
 def q_rendezvous_shard(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3986,15 +3986,11 @@ def q_woe_iv(spark: SparkSession, sf_dir: str) -> DataFrame:
     return curate.woe_iv(load_table(spark, sf_dir, "events"))
 
 
-def q_dbscan_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Density clustering, ORACLE-EXACT: DBSCAN over the embedding slice
-    with 50 PLANTED dense groups (3 deterministic single-coordinate
-    perturbations of each seed vector — the phash planted-twin pattern
-    in embedding space) against a background of near-orthogonal noise
-    vectors (similarity.dbscan_embeddings). The ε-test is all-BIGINT
-    (dot²·den² ≥ num²·‖a‖²·‖b‖², never a sqrt); components replay as a
-    recursive reachability CTE. Expected artifact: every planted group
-    a 4-core cluster, every background vector noise."""
+def _dbscan_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The shared DBSCAN fixture: the embedding slice with 50 PLANTED
+    dense groups (3 deterministic single-coordinate perturbations of
+    each seed vector — the phash planted-twin pattern in embedding
+    space) against a background of near-orthogonal noise vectors."""
     emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 500)
     base = emb.select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
@@ -4014,8 +4010,35 @@ def q_dbscan_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).otherwise(F.lit(0.0)),
         ).alias("embedding"),
     )
+    return base.unionByName(copies)
+
+
+def q_dbscan_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Density clustering, ORACLE-EXACT: DBSCAN over the planted
+    embedding fixture (similarity.dbscan_embeddings, default all-pairs
+    ε-graph — the fixture-scale ground-truth posture). The ε-test is
+    all-BIGINT (dot²·den² ≥ num²·‖a‖²·‖b‖², never a sqrt); components
+    replay as a recursive reachability CTE. Expected artifact: every
+    planted group a 4-core cluster, every background vector noise."""
     return similarity.dbscan_embeddings(
-        base.unionByName(copies), cos_num=95, cos_den=100, min_pts=4
+        _dbscan_corpus(spark, sf_dir), cos_num=95, cos_den=100, min_pts=4
+    )
+
+
+def q_dbscan_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The INJECTED-pair-source DBSCAN, ORACLE-EXACT — the 100 TB
+    posture of q_dbscan_clusters: candidate pairs come from
+    similarity.sign_block_pairs (axis-aligned hyperplane blocking, one
+    ids+bucket equi-join instead of the all-pairs theta join) and
+    dbscan_embeddings verifies each candidate with the same BIGINT
+    ε-test. Integer-exact end to end, so the oracle replays BOTH the
+    blocking and the clustering; role/cluster differences vs
+    q_dbscan_clusters are pure candidate-recall effects, certified here
+    rather than hidden."""
+    corpus = _dbscan_corpus(spark, sf_dir)
+    pairs = similarity.sign_block_pairs(corpus, n_bits=8, id_col="vec_id")
+    return similarity.dbscan_embeddings(
+        corpus, cos_num=95, cos_den=100, min_pts=4, pairs=pairs
     )
 
 
@@ -4238,7 +4261,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # rows-only by design (Python-side audio/image decode)
         "q_audio_fingerprint_dedup": q_audio_fingerprint_dedup,
         "q_phash_dedup": q_phash_dedup,
-        # ---- round-7 additions go here (oracle-backed, never sampled) ----
+        # ---- round-7 additions (oracle-backed, never sampled) ----
+        "q_dbscan_lsh": q_dbscan_lsh,
         # ---- keys below all have a green driver row in r1–r6 ----
         "q_sql_api_report": q_sql_api_report,
         "q_source_novelty": q_source_novelty,
@@ -4669,6 +4693,96 @@ def _classifier_oracle_sql(*, seed: int = 7, threshold: float = 0.0) -> str:
                  >= {threshold} AS keep
         FROM s
     """
+
+
+def _dbscan_oracle_sql(*, block: bool) -> str:
+    """The DBSCAN oracle CTE chain, shared by the all-pairs ground truth
+    (block=False → q_dbscan_clusters) and the injected sign-block
+    candidate source (block=True → q_dbscan_lsh: the eps join adds
+    bucket equality over the packed sign bits of the first 8 quantized
+    coordinates — the DuckDB replay of similarity.sign_block_pairs)."""
+    bkt_col = (
+        ",\n                     CAST(list_sum(list_transform(range(1, 9),"
+        " i -> CASE WHEN v[i] > 0 THEN (CAST(1 AS BIGINT) << (i - 1))"
+        " ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS bkt"
+        if block
+        else ""
+    )
+    eps_cond = " AND a.bkt = b.bkt" if block else ""
+    return f"""
+            WITH RECURSIVE raw AS (
+              SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+              FROM embeddings WHERE vec_id < 500
+            ),
+            plant AS (
+              SELECT r.vec_id + c.c * 1000000 AS vec_id,
+                     list_transform(range(1, len(r.emb) + 1),
+                       i -> r.emb[i] + CASE WHEN i - 1 = r.vec_id % 64
+                                            THEN 0.1 * c.c ELSE 0.0 END) AS emb
+              FROM raw r CROSS JOIN (SELECT unnest(range(1, 4)) AS c) c
+              WHERE r.vec_id < 50
+            ),
+            allv AS (SELECT * FROM raw UNION ALL SELECT * FROM plant),
+            v AS (
+              SELECT vec_id AS id,
+                     list_transform(emb, x -> CAST(round(x * 1000) AS BIGINT)) AS v
+              FROM allv
+            ),
+            e AS (
+              SELECT id, v,
+                     CAST(list_sum(list_transform(range(1, len(v) + 1),
+                          i -> v[i] * v[i])) AS BIGINT) AS n2{bkt_col}
+              FROM v
+            ),
+            eps AS MATERIALIZED (
+              SELECT a.id AS ia, b.id AS ib
+              FROM e a JOIN e b ON a.id < b.id{eps_cond}
+              WHERE CAST(list_sum(list_transform(range(1, len(a.v) + 1),
+                         i -> a.v[i] * b.v[i])) AS BIGINT) >= 0
+                AND CAST(list_sum(list_transform(range(1, len(a.v) + 1),
+                         i -> a.v[i] * b.v[i])) AS BIGINT)
+                    * CAST(list_sum(list_transform(range(1, len(a.v) + 1),
+                          i -> a.v[i] * b.v[i])) AS BIGINT) * 10000
+                    >= 9025 * a.n2 * b.n2
+            ),
+            und AS (
+              SELECT ia AS id, ib AS nb FROM eps
+              UNION ALL SELECT ib, ia FROM eps
+            ),
+            deg AS (SELECT id, count(*) AS d FROM und GROUP BY id),
+            core AS MATERIALIZED (
+              SELECT v.id FROM v LEFT JOIN deg USING (id)
+              WHERE COALESCE(d, 0) + 1 >= 4
+            ),
+            ceu AS MATERIALIZED (
+              SELECT ia AS a, ib AS b FROM eps
+              WHERE ia IN (SELECT id FROM core) AND ib IN (SELECT id FROM core)
+              UNION
+              SELECT ib, ia FROM eps
+              WHERE ia IN (SELECT id FROM core) AND ib IN (SELECT id FROM core)
+            ),
+            cc AS (
+              SELECT id, id AS comp FROM core
+              UNION
+              SELECT u.b AS id, c.comp FROM cc c JOIN ceu u ON u.a = c.id
+            ),
+            lbl AS MATERIALIZED (SELECT id, min(comp) AS cluster FROM cc GROUP BY id),
+            bord AS (
+              SELECT u.id, min(l.cluster) AS cluster
+              FROM und u JOIN lbl l ON u.nb = l.id
+              WHERE u.id NOT IN (SELECT id FROM core)
+              GROUP BY u.id
+            )
+            SELECT v.id AS vec_id,
+                   CASE WHEN l.cluster IS NOT NULL THEN 'core'
+                        WHEN b.cluster IS NOT NULL THEN 'border'
+                        ELSE 'noise' END AS role,
+                   CAST(COALESCE(l.cluster, b.cluster) AS BIGINT) AS cluster
+            FROM v
+            LEFT JOIN lbl l ON v.id = l.id
+            LEFT JOIN bord b ON v.id = b.id
+            ORDER BY vec_id
+        """
 
 
 def oracle_sql() -> dict[str, str]:
@@ -7070,80 +7184,11 @@ def oracle_sql() -> dict[str, str]:
         """,
         # round-6 second session: DBSCAN — sqrt-free integer ε-test,
         # recursive reachability CC, planted dense groups
-        "q_dbscan_clusters": """
-            WITH RECURSIVE raw AS (
-              SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
-              FROM embeddings WHERE vec_id < 500
-            ),
-            plant AS (
-              SELECT r.vec_id + c.c * 1000000 AS vec_id,
-                     list_transform(range(1, len(r.emb) + 1),
-                       i -> r.emb[i] + CASE WHEN i - 1 = r.vec_id % 64
-                                            THEN 0.1 * c.c ELSE 0.0 END) AS emb
-              FROM raw r CROSS JOIN (SELECT unnest(range(1, 4)) AS c) c
-              WHERE r.vec_id < 50
-            ),
-            allv AS (SELECT * FROM raw UNION ALL SELECT * FROM plant),
-            v AS (
-              SELECT vec_id AS id,
-                     list_transform(emb, x -> CAST(round(x * 1000) AS BIGINT)) AS v
-              FROM allv
-            ),
-            e AS (
-              SELECT id, v,
-                     CAST(list_sum(list_transform(range(1, len(v) + 1),
-                          i -> v[i] * v[i])) AS BIGINT) AS n2
-              FROM v
-            ),
-            eps AS MATERIALIZED (
-              SELECT a.id AS ia, b.id AS ib
-              FROM e a JOIN e b ON a.id < b.id
-              WHERE CAST(list_sum(list_transform(range(1, len(a.v) + 1),
-                         i -> a.v[i] * b.v[i])) AS BIGINT) >= 0
-                AND CAST(list_sum(list_transform(range(1, len(a.v) + 1),
-                         i -> a.v[i] * b.v[i])) AS BIGINT)
-                    * CAST(list_sum(list_transform(range(1, len(a.v) + 1),
-                          i -> a.v[i] * b.v[i])) AS BIGINT) * 10000
-                    >= 9025 * a.n2 * b.n2
-            ),
-            und AS (
-              SELECT ia AS id, ib AS nb FROM eps
-              UNION ALL SELECT ib, ia FROM eps
-            ),
-            deg AS (SELECT id, count(*) AS d FROM und GROUP BY id),
-            core AS MATERIALIZED (
-              SELECT v.id FROM v LEFT JOIN deg USING (id)
-              WHERE COALESCE(d, 0) + 1 >= 4
-            ),
-            ceu AS MATERIALIZED (
-              SELECT ia AS a, ib AS b FROM eps
-              WHERE ia IN (SELECT id FROM core) AND ib IN (SELECT id FROM core)
-              UNION
-              SELECT ib, ia FROM eps
-              WHERE ia IN (SELECT id FROM core) AND ib IN (SELECT id FROM core)
-            ),
-            cc AS (
-              SELECT id, id AS comp FROM core
-              UNION
-              SELECT u.b AS id, c.comp FROM cc c JOIN ceu u ON u.a = c.id
-            ),
-            lbl AS MATERIALIZED (SELECT id, min(comp) AS cluster FROM cc GROUP BY id),
-            bord AS (
-              SELECT u.id, min(l.cluster) AS cluster
-              FROM und u JOIN lbl l ON u.nb = l.id
-              WHERE u.id NOT IN (SELECT id FROM core)
-              GROUP BY u.id
-            )
-            SELECT v.id AS vec_id,
-                   CASE WHEN l.cluster IS NOT NULL THEN 'core'
-                        WHEN b.cluster IS NOT NULL THEN 'border'
-                        ELSE 'noise' END AS role,
-                   CAST(COALESCE(l.cluster, b.cluster) AS BIGINT) AS cluster
-            FROM v
-            LEFT JOIN lbl l ON v.id = l.id
-            LEFT JOIN bord b ON v.id = b.id
-            ORDER BY vec_id
-        """,
+        "q_dbscan_clusters": _dbscan_oracle_sql(block=False),
+        # injected-pair-source twin: identical CTE chain, the eps join
+        # additionally requires sign-block bucket equality (the integer
+        # axis-aligned hyperplane replay of similarity.sign_block_pairs)
+        "q_dbscan_lsh": _dbscan_oracle_sql(block=True),
         # round-6 second session: split conformal — exact element selection
         # at the conformal rank, seasonal-naive base via day-index grid join
         "q_conformal_intervals": """

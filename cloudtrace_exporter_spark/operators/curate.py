@@ -389,7 +389,7 @@ def contrastive_pairs(
     n_neg: int = 3,
     pool_n: int = 1024,
     oversample: int = 4,
-    pairs: DataFrame | None = None,
+    pairs: DataFrame | str = "lsh",
     text_col: str = "text",
     id_col: str = "doc_id",
 ) -> DataFrame:
@@ -399,10 +399,13 @@ def contrastive_pairs(
     negatives) triples contrastive embedding training consumes, built
     entirely from operators this repo already verifies.
 
-    Positives default to exact token-Jaccard pairs (fixture-scale ground
-    truth); inject ``pairs`` from ``dedup.minhash_lsh_pairs`` at corpus
-    scale — the construction is pair-source-agnostic, like
-    ``dedup.dedup_clusters``. Negatives are LINEAR in the anchor count:
+    Positives DEFAULT to the banded MinHash-LSH candidate source
+    (``pairs="lsh"`` → ``dedup.minhash_lsh_pairs``) — the scale-true
+    path, so no caller can silently get the quadratic one. The exact
+    token-Jaccard ε-graph is an EXPLICIT opt-in (``pairs="exact"``,
+    fixture-scale ground truth for the oracle twin), and any prebuilt
+    pair DataFrame (doc_a, doc_b) injects directly — the construction
+    is pair-source-agnostic, like ``dedup.dedup_clusters``. Negatives are LINEAR in the anchor count:
     a fixed-size pool (the ``pool_n`` smallest-md5(id) documents — a
     deterministic uniform sample, fetched once via TakeOrdered and
     inlined as a literal array, the same bounded-collect precedent as
@@ -426,8 +429,13 @@ def contrastive_pairs(
     """
     from cloudtrace_exporter_spark.operators import dedup
 
-    if pairs is None:
-        pairs = dedup.jaccard_pairs(docs, threshold, text_col, id_col)
+    if isinstance(pairs, str):
+        if pairs == "lsh":
+            pairs = dedup.minhash_lsh_pairs(docs, text_col=text_col, id_col=id_col)
+        elif pairs == "exact":
+            pairs = dedup.jaccard_pairs(docs, threshold, text_col, id_col)
+        else:
+            raise ValueError(f"pairs must be 'lsh', 'exact', or a DataFrame: {pairs!r}")
     # the pair frame feeds THREE consumers (positive ranking, the anchor
     # set, and the negative anti-join): materialize it once or the
     # pair-generation subtree (quadratic for the exact source) replays

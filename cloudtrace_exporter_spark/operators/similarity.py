@@ -606,6 +606,89 @@ def build_lsh_index(
     return vecs, hashes
 
 
+def lsh_candidate_pairs(
+    emb: DataFrame,
+    *,
+    n_bits: int = 4,
+    n_tables: int = 8,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    index: tuple[DataFrame, DataFrame] | None = None,
+) -> DataFrame:
+    """Candidate pairs (ia, ib) from hyperplane-LSH bucket collisions —
+    the injectable pair source for pair-source-agnostic consumers
+    (``dbscan_embeddings(pairs=...)``, ``curate.contrastive_pairs``):
+    two vectors are a candidate iff they share a bucket in ANY of the
+    ``n_tables`` plane sets (OR-amplification, same family as lsh_topk).
+
+    Scale shape: the self-join is an equi-join on (tbl, bkt) over
+    id+bucket rows only (vectors never ride along), then one distinct —
+    at 100 TB that is a co-partitioned hash join on a uniform key, never
+    a cross product. Pass a prebuilt ``index`` (build_lsh_index, same
+    hyper-params) to skip re-hashing.
+    """
+    _, hashes = index if index is not None else build_lsh_index(
+        emb, n_bits=n_bits, n_tables=n_tables, dim=dim, id_col=id_col,
+        vec_col=vec_col, seed=seed,
+    )
+    a = hashes.select(F.col("corpus_id").alias("ia"), "tbl", "bkt")
+    b = hashes.select(
+        F.col("corpus_id").alias("ib"), F.col("tbl").alias("tbl_b"), F.col("bkt").alias("bkt_b")
+    )
+    return (
+        a.join(
+            b,
+            (F.col("tbl") == F.col("tbl_b"))
+            & (F.col("bkt") == F.col("bkt_b"))
+            & (F.col("ia") < F.col("ib")),
+        )
+        .select("ia", "ib")
+        .distinct()
+    )
+
+
+def sign_block_pairs(
+    emb: DataFrame,
+    *,
+    n_bits: int = 8,
+    scale: int = 10**3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Candidate pairs (ia, ib) from AXIS-ALIGNED hyperplane blocking:
+    the bucket key packs the sign bits of the first ``n_bits`` quantized
+    coordinates (bit i set iff round(v[i]·scale) > 0) — a degenerate but
+    fully INTEGER-EXACT member of the hyperplane-LSH family, so a DuckDB
+    oracle can replay the candidate set bit-for-bit (random-plane LSH
+    hashes float dots, which no cross-engine hash contract covers).
+
+    Same scale shape as lsh_candidate_pairs: ids+buckets self equi-join,
+    one shuffle on the bucket key; recall is traded (a near-dup pair
+    whose perturbed coordinate crosses zero lands in different buckets),
+    precision is owned by the consumer's exact verify step.
+    """
+    qvec = F.transform(_as_double(vec_col), lambda x: F.round(x * scale).cast("long"))
+    bkt = sum(
+        (
+            F.when(F.element_at("v", i + 1) > 0, F.lit(1 << i).cast("long")).otherwise(
+                F.lit(0).cast("long")
+            )
+            for i in range(n_bits)
+        ),
+        F.lit(0).cast("long"),
+    )
+    hashed = emb.select(F.col(id_col).alias("id"), qvec.alias("v")).select(
+        "id", bkt.alias("bkt")
+    )
+    a = hashed.select(F.col("id").alias("ia"), "bkt")
+    b = hashed.select(F.col("id").alias("ib"), F.col("bkt").alias("bkt_b"))
+    return a.join(
+        b, (F.col("bkt") == F.col("bkt_b")) & (F.col("ia") < F.col("ib"))
+    ).select("ia", "ib")
+
+
 def lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -1767,6 +1850,7 @@ def dbscan_embeddings(
     scale: int = 10**3,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    pairs: DataFrame | None = None,
 ) -> DataFrame:
     """DBSCAN density clustering over an embedding set (Ester et al.
     1996) — the clustering family's missing member next to the k-means
@@ -1789,8 +1873,13 @@ def dbscan_embeddings(
     reachability CTE taking min over reached ids.
 
     Scale shape: the all-pairs ε-graph is the fixture-scale ground
-    truth (broadcast self-join on the bounded slice); at 100 TB feed
-    LSH/IVF candidate pairs instead — role logic and CC are
+    truth (broadcast self-join on the bounded slice, the default when
+    ``pairs`` is None); at 100 TB inject ``pairs`` — a candidate-pair
+    frame whose first two columns are vector ids (e.g.
+    ``similarity.lsh_candidate_pairs`` buckets or IVF same-cell pairs).
+    Injected candidates are still verified by the EXACT integer ε-test
+    below, so injection trades recall (a candidate generator may miss a
+    true ε-pair) but never precision — role logic and CC are
     pair-source-agnostic, the dedup_clusters argument.
     """
     qvec = F.transform(_as_double(vec_col), lambda x: F.round(x * scale).cast("long"))
@@ -1809,9 +1898,21 @@ def dbscan_embeddings(
     )
     a = base.select(F.col("id").alias("ia"), F.col("v").alias("va"), F.col("n2").alias("na"))
     b = base.select(F.col("id").alias("ib"), F.col("v").alias("vb"), F.col("n2").alias("nb"))
+    if pairs is None:
+        cand = a.join(F.broadcast(b), F.col("ia") < F.col("ib"))
+    else:
+        ca, cb = pairs.columns[:2]
+        norm = (
+            pairs.select(
+                F.least(F.col(ca), F.col(cb)).alias("ia"),
+                F.greatest(F.col(ca), F.col(cb)).alias("ib"),
+            )
+            .filter(F.col("ia") < F.col("ib"))
+            .distinct()
+        )
+        cand = norm.join(a, "ia").join(b, "ib")
     pairs = (
-        a.join(F.broadcast(b), F.col("ia") < F.col("ib"))
-        .withColumn("__dot", dot)
+        cand.withColumn("__dot", dot)
         .filter(
             (F.col("__dot") >= 0)
             & (

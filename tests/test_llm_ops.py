@@ -2448,6 +2448,80 @@ def test_dbscan_planted_groups_perfectly_recovered(spark, sf_dir):
         assert r.cluster == r.vec_id % 1_000_000
 
 
+def test_dbscan_injected_full_recall_pairs_equal_default(spark, sf_dir):
+    """Pair-source agnosticism, proven: injecting a FULL-RECALL candidate
+    source (sign_block_pairs with n_bits=0 → every pair shares bucket 0)
+    must reproduce the default all-pairs result row-for-row — injection
+    changes candidate generation, never the ε-predicate or the role/CC
+    logic."""
+    import __spark_entry__ as entry_mod
+
+    corpus = entry_mod._dbscan_corpus(spark, sf_dir)
+    default = similarity.dbscan_embeddings(corpus, cos_num=95, cos_den=100, min_pts=4)
+    allpairs = similarity.sign_block_pairs(corpus, n_bits=0, id_col="vec_id")
+    injected = similarity.dbscan_embeddings(
+        corpus, cos_num=95, cos_den=100, min_pts=4, pairs=allpairs
+    )
+    assert default.exceptAll(injected).count() == 0
+    assert injected.exceptAll(default).count() == 0
+
+
+def test_dbscan_injected_pairs_accepts_any_column_names_and_order(spark):
+    """The injected frame's FIRST TWO columns are the pair ids, whatever
+    their names; reversed / duplicated pairs are normalized (least,
+    greatest, distinct) before the vector join."""
+    emb = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.99, 0.01]), (3, [0.99, -0.01]),
+         (4, [0.98, 0.02]), (5, [-1.0, 0.0])],
+        "vec_id long, embedding array<float>",
+    )
+    # full recall, scrambled: reversed orientation + dup rows + odd names
+    pairs = spark.createDataFrame(
+        [(j, i) for i in range(1, 6) for j in range(1, 6) if i < j] * 2,
+        "right_id long, left_id long",
+    )
+    out_inj = {r.vec_id: r for r in similarity.dbscan_embeddings(
+        emb, cos_num=95, cos_den=100, min_pts=4, pairs=pairs
+    ).collect()}
+    out_def = {r.vec_id: r for r in similarity.dbscan_embeddings(
+        emb, cos_num=95, cos_den=100, min_pts=4
+    ).collect()}
+    assert {i: (r.role, r.cluster) for i, r in out_inj.items()} == {
+        i: (r.role, r.cluster) for i, r in out_def.items()
+    }
+
+
+def test_sign_block_pairs_blocks_on_sign_pattern(spark):
+    """Vectors collide iff the sign bits of their first n_bits quantized
+    coordinates agree; pairs are oriented ia < ib."""
+    emb = spark.createDataFrame(
+        [(1, [1.0, 1.0, 5.0]), (2, [0.5, 2.0, -9.0]),   # signs (+,+): collide
+         (3, [-1.0, 1.0, 0.0]), (4, [1.0, -1.0, 0.0])],  # distinct patterns
+        "vec_id long, embedding array<float>",
+    )
+    got = {(r.ia, r.ib) for r in similarity.sign_block_pairs(emb, n_bits=2).collect()}
+    assert got == {(1, 2)}
+    # n_bits=0: a single global bucket — the all-pairs degenerate case
+    allp = {(r.ia, r.ib) for r in similarity.sign_block_pairs(emb, n_bits=0).collect()}
+    assert allp == {(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4)}
+
+
+def test_lsh_candidate_pairs_identical_vectors_always_collide(spark):
+    """Identical vectors hash identically in EVERY table, so they are
+    always candidates; output is oriented ia < ib and deduplicated
+    across tables."""
+    v = [float((i * 37 % 19) - 9) for i in range(64)]
+    w = [float(-x) for x in v]
+    emb = spark.createDataFrame(
+        [(1, v), (2, v), (3, w)], "vec_id long, embedding array<float>"
+    )
+    rows = similarity.lsh_candidate_pairs(emb, n_bits=4, n_tables=4).collect()
+    got = {(r.ia, r.ib) for r in rows}
+    assert (1, 2) in got
+    assert len(rows) == len(got)  # distinct across tables
+    assert all(r.ia < r.ib for r in rows)
+
+
 def test_target_encoding_loo_excludes_own_label(spark):
     """Two rows of the same category with OPPOSITE labels must receive
     DIFFERENT encodings (each sees the other's label, not its own) —

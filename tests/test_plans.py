@@ -146,6 +146,16 @@ def test_daily_spine_joins_broadcast(plans):
     assert "SortMergeJoin" not in p
 
 
+def test_dbscan_injected_pair_source_has_no_nested_loop(plans):
+    """q_dbscan_lsh is the 100 TB posture of DBSCAN: the sign-block
+    candidate self-join and the candidate→vector joins are all
+    equi-joins — the all-pairs BroadcastNestedLoopJoin that the default
+    ground-truth posture deliberately keeps must NOT appear here."""
+    p = plans("q_dbscan_lsh")
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "CartesianProduct" not in p
+
+
 def test_market_share_broadcasts_dims_no_cartesian(plans):
     p = plans("q_market_share")
     # customer/supplier/region + both nation roles broadcast

@@ -326,6 +326,20 @@ def main() -> None:
     for tag, e in (("1x", emb1), ("10x", emb10)):
         t(f"mmr_rerank {tag}", lambda e=e: similarity.mmr_rerank(e))
 
+    # --- round-7 additions ---
+    # DBSCAN with the INJECTED candidate source over the whole corpus —
+    # the 100 TB posture (the q_dbscan_lsh plan): sign-block bits follow
+    # the semantic_dedup occupancy rule (buckets ∝ corpus) so bucket
+    # population — and thus candidate volume per vector — stays flat
+    for tag, e, nb in (("1x (8 bits)", emb1, 8), ("10x (12 bits)", emb10, 12)):
+        t(
+            f"dbscan_embeddings injected pairs {tag}",
+            lambda e=e, nb=nb: similarity.dbscan_embeddings(
+                e, cos_num=95, cos_den=100, min_pts=4,
+                pairs=similarity.sign_block_pairs(e, n_bits=nb),
+            ),
+        )
+
 
 def semantic_dedup_probe(e, n_bits: int | None = None):
     from cloudtrace_exporter_spark.operators import similarity

@@ -47,6 +47,30 @@ def read_event_stream(
     )
 
 
+def read_trace_stream(
+    spark: SparkSession,
+    path: str,
+    *,
+    max_files_per_trigger: int = 10,
+) -> DataFrame:
+    """File micro-batch source over landed TRACE pages — the 100 TB
+    ingest posture (reference poll loop:
+    /root/reference/pkg/adapter/adapter.go:158-210, landing
+    ListTracesResponse pages; here each page is a parquet file on
+    object storage). Unlike the Simple-API ``cts_pages`` source, whose
+    batches materialize driver-side into the checkpoint WAL, the file
+    source plans offsets on the driver but rows flow executor-side
+    only — the path a real deployment runs, and the one
+    ``tools/streaming_probe.py --source file`` measures."""
+    from cloudtrace_exporter_spark.schemas import TRACE_SCHEMA
+
+    return (
+        spark.readStream.schema(TRACE_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(path)
+    )
+
+
 def dedup_within_watermark(
     stream: DataFrame, key: str = "event_id", ts_col: str = "ts", delay: str = "10 minutes"
 ) -> DataFrame:

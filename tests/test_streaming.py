@@ -74,6 +74,30 @@ def test_file_source_reads_all_pages(spark, staged_events, tmp_path):
     assert out.count() == 1000  # sf0.001 events rows
 
 
+def test_trace_file_source_matches_batch_normalize(spark, staged_events, tmp_path):
+    """The NON-driver-routed ingest line (read_trace_stream: parquet
+    trace pages → normalize → watermark dedup) yields exactly the rows
+    the batch normalize chain yields — the r7 probe path, parity-pinned."""
+    from cloudtrace_exporter_spark.operators import normalize
+    from cloudtrace_exporter_spark.streaming.pipeline import read_trace_stream
+
+    ev = load_table(spark, SF, "events")
+    traces = normalize.events_as_traces(ev)
+    pages = str(tmp_path / "trace_pages")
+    traces.repartition(4).write.parquet(pages)
+    ctx = dict(source="https://cts.example", region="eu-de", domain="d1", tenant="p1")
+    stream = read_trace_stream(spark, pages, max_files_per_trigger=1)
+    streamed = dedup_within_watermark(
+        normalize.normalize_traces(stream, **ctx),
+        key="event_id", ts_col="event_time", delay="365 days",
+    )
+    out = _run_to_memory(spark, streamed, "t_trace_file_src")
+    batch = normalize.normalize_traces(traces, **ctx)
+    assert out.count() == 1000
+    assert out.exceptAll(batch).count() == 0
+    assert batch.exceptAll(out).count() == 0
+
+
 def test_dedup_within_watermark_across_batches(spark, staged_events, tmp_path):
     # at-least-once: re-deliver page content by reading the dir twice via union
     stream = read_event_stream(spark, staged_events, max_files_per_trigger=2)

@@ -132,14 +132,129 @@ def run_pipeline(spark, pages_dir: str, work: str, max_pages: int):
     return wall, counters, batches
 
 
+def build_trace_parquet(spark, sf_dir: str, pages_dir: str, copies: int, n_files: int) -> int:
+    """Land `copies`x the events corpus (+ the same ~1% duplicate traces
+    as build_pages) as `n_files` parquet trace pages — the object-storage
+    landing zone the file-source path ingests."""
+    from cloudtrace_exporter_spark.operators import normalize
+    from cloudtrace_exporter_spark.sources.tables import load_table
+
+    ev1 = load_table(spark, sf_dir, "events")
+    n = ev1.count()
+    parts = []
+    for i in range(copies):
+        parts.append(
+            ev1.select(
+                (F.col("event_id") + i * n).alias("event_id"),
+                *[c for c in ev1.columns if c != "event_id"],
+            )
+        )
+    ev = parts[0]
+    for p in parts[1:]:
+        ev = ev.unionByName(p)
+    dups = ev.filter(F.pmod("event_id", F.lit(100)) == 0)
+    traces = normalize.events_as_traces(ev.unionByName(dups))
+    traces.repartition(n_files).write.mode("overwrite").parquet(pages_dir)
+    return ev.count() + dups.count()
+
+
+def run_pipeline_file_source(spark, pages_dir: str, work: str, files_per_trigger: int):
+    """The NON-driver-routed ingest line: pipeline.read_trace_stream
+    (parquet file source — rows flow executor-side only) through the
+    identical normalize → watermark-dedup → cypher-sink chain, drained
+    with Trigger.AvailableNow (the file source implements it natively;
+    per-batch telemetry comes from recentProgress)."""
+    from cloudtrace_exporter_spark.operators import normalize
+    from cloudtrace_exporter_spark.streaming.cypher_sink import foreach_batch_cypher_upsert
+    from cloudtrace_exporter_spark.streaming.pipeline import (
+        dedup_within_watermark,
+        read_trace_stream,
+    )
+    from cloudtrace_exporter_spark.streaming.sinks import DeliveryCounters
+
+    stream = read_trace_stream(spark, pages_dir, max_files_per_trigger=files_per_trigger)
+    normalized = normalize.normalize_traces(
+        stream,
+        source="https://cts.example", region="eu-de", domain="d1", tenant="p1",
+    )
+    deduped = dedup_within_watermark(
+        normalized, key="event_id", ts_col="event_time", delay="365 days"
+    )
+    counters = DeliveryCounters()
+    sink = foreach_batch_cypher_upsert(os.path.join(work, "cypher"), counters=counters)
+    ckpt = os.path.join(work, "ckpt")
+    # keep every batch's telemetry at 10x (110 batches > the default 100)
+    spark.conf.set("spark.sql.streaming.numRecentProgressUpdates", "256")
+    t0 = time.time()
+    q = (
+        deduped.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    batches = []
+    for p in q.recentProgress:
+        rows_in = int(p.get("numInputRows") or 0)
+        if rows_in == 0:
+            continue
+        so = (p.get("stateOperators") or [{}])[0]
+        batches.append(
+            {
+                "batch": p.get("batchId"),
+                "rows_in": rows_in,
+                "trigger_ms": int((p.get("durationMs") or {}).get("triggerExecution") or 0),
+                "state_rows": int(so.get("numRowsTotal") or 0),
+                "state_mb": round(int(so.get("memoryUsedBytes") or 0) / 1e6, 1),
+            }
+        )
+    wall = time.time() - t0
+    return wall, counters, batches
+
+
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     scales = [1, 10]
     if "--scales" in sys.argv:
         scales = [int(x) for x in sys.argv[sys.argv.index("--scales") + 1].split(",")]
+    source = "simple"
+    if "--source" in sys.argv:
+        source = sys.argv[sys.argv.index("--source") + 1]
     from cloudtrace_exporter_spark.session import get_spark
 
     spark = get_spark("streaming_probe")
+    if source == "file":
+        for copies in scales:
+            root = tempfile.mkdtemp(prefix=f"stream_probe_file_{copies}x_")
+            pages = os.path.join(root, "pages")
+            try:
+                # constant rows per batch across scales: the file count
+                # grows with copies (11 batches at 1x, 110 at 10x), so
+                # "per-batch wall stays flat" is tested, not assumed
+                landed = build_trace_parquet(spark, sf_dir, pages, copies, n_files=11 * copies)
+                wall, counters, batches = run_pipeline_file_source(
+                    spark, pages, root, files_per_trigger=1
+                )
+                for b in batches:
+                    print(
+                        f"  {copies}x batch {b['batch']:>3}: in={b['rows_in']:>8} "
+                        f"trigger={b['trigger_ms']:>7} ms state_rows={b['state_rows']:>8} "
+                        f"state={b['state_mb']:.1f} MB"
+                    )
+                walls = [b["trigger_ms"] for b in batches]
+                dropped = landed - counters.delivered
+                print(
+                    f"{copies}x FILE-SOURCE TOTAL: landed={landed} "
+                    f"delivered={counters.delivered} dup_dropped={dropped} "
+                    f"failed={counters.failed} batches={len(batches)} "
+                    f"stream_wall={wall:.1f} s "
+                    f"per_batch_ms min/med/max={min(walls)}/{sorted(walls)[len(walls)//2]}/{max(walls)}"
+                )
+                assert counters.failed == 0
+                assert 0 < dropped, "dedup should have dropped the injected duplicates"
+            finally:
+                shutil.rmtree(root, ignore_errors=True)
+        return
     for copies in scales:
         root = tempfile.mkdtemp(prefix=f"stream_probe_{copies}x_")
         pages = os.path.join(root, "pages")

@@ -2387,6 +2387,46 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_multimodal_png(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B36 REAL-CORPUS-FORMAT decode, in-sandbox (r7): synthesize a
+    genuine 8-bit truecolor PNG per doc (filter_mode='cycle', so all
+    five scanline filters execute) carrying the SAME id-keyed gradient
+    as the BMP twin, decode it with the stdlib-zlib PNG parser inside
+    decode_real, and join against the decoded BMP twin — `stats_agree`
+    certifies pixel-exact cross-format parity per row (rows-only by
+    design: decode is Python-side; the parity bit is the oracle)."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 2000)
+    png = multimodal.decode_real(multimodal.synthesize_png_payload(docs))
+    bmp = multimodal.decode_real(multimodal.synthesize_bmp_payload(docs))
+    hist = lambda c: F.array_join(  # noqa: E731
+        F.transform(c, lambda x: F.format_string("%.6f", x)), ","
+    )
+    p = png.select(
+        "doc_id", F.col("format").alias("png_format"), "width", "height", "n_pixels",
+        "mean_r", "mean_g", "mean_b", hist("gray_hist").alias("hist"),
+    )
+    b = bmp.select(
+        "doc_id", F.col("format").alias("bmp_format"),
+        F.col("width").alias("bw"), F.col("height").alias("bh"),
+        F.col("mean_r").alias("br"), F.col("mean_g").alias("bg"),
+        F.col("mean_b").alias("bb"), hist("gray_hist").alias("bhist"),
+    )
+    return (
+        p.join(b, "doc_id")
+        .select(
+            "doc_id", "png_format", "width", "height", "n_pixels",
+            "mean_r", "mean_g", "mean_b", "hist",
+            (
+                (F.col("png_format") == "png") & (F.col("bmp_format") == "bmp")
+                & (F.col("width") == F.col("bw")) & (F.col("height") == F.col("bh"))
+                & (F.col("mean_r") == F.col("br")) & (F.col("mean_g") == F.col("bg"))
+                & (F.col("mean_b") == F.col("bb")) & (F.col("hist") == F.col("bhist"))
+            ).alias("stats_agree"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 def q_multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B36 REAL audio decode end-to-end: synthesize a genuine PCM16 WAV
     per doc (deterministic sine keyed by doc_id), then decode it with the
@@ -4263,6 +4303,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_phash_dedup": q_phash_dedup,
         # ---- round-7 additions (oracle-backed, never sampled) ----
         "q_dbscan_lsh": q_dbscan_lsh,
+        # rows-only by design (Python-side PNG decode; stats_agree column
+        # certifies cross-format parity in-row)
+        "q_multimodal_png": q_multimodal_png,
         # ---- keys below all have a green driver row in r1–r6 ----
         "q_sql_api_report": q_sql_api_report,
         "q_source_novelty": q_source_novelty,

@@ -236,6 +236,152 @@ def encode_bmp(rgb) -> bytes:
     return header + pixel_bytes
 
 
+def _parse_png(buf: bytes):
+    """8-bit non-interlaced PNG (grayscale / truecolor / truecolor+alpha)
+    → (w, h, HxWx3 RGB float array) — stdlib ``zlib`` + the public PNG
+    spec (ISO/IEC 15948 / RFC 2083), no codec library: chunk walk, IDAT
+    inflate, and all five scanline filters (None/Sub/Up/Average/Paeth).
+    This makes the real-corpus format path executable in codec-less
+    environments (round-7 item: PNG is what an actual crawl corpus
+    carries; BMP/PPM were the bootstrap). Alpha is dropped, grayscale is
+    replicated across channels. Returns None for anything else
+    (16-bit, palette, interlaced, truncated, bad zlib) — decode-tolerant
+    like the other parsers.
+    """
+    import zlib
+
+    import numpy as np
+
+    if len(buf) < 8 or buf[:8] != b"\x89PNG\r\n\x1a\n":
+        return None
+    pos = 8
+    w = h = None
+    ctype = None
+    idat = b""
+    while pos + 8 <= len(buf):
+        ln = int.from_bytes(buf[pos : pos + 4], "big")
+        typ = buf[pos + 4 : pos + 8]
+        data = buf[pos + 8 : pos + 8 + ln]
+        if len(data) < ln:
+            return None
+        pos += 12 + ln  # data + length/type/crc
+        if typ == b"IHDR":
+            if ln != 13:
+                return None
+            w = int.from_bytes(data[0:4], "big")
+            h = int.from_bytes(data[4:8], "big")
+            depth, ctype, comp, filt, interlace = data[8], data[9], data[10], data[11], data[12]
+            if depth != 8 or ctype not in (0, 2, 6) or comp != 0 or filt != 0 or interlace != 0:
+                return None
+        elif typ == b"IDAT":
+            idat += data
+        elif typ == b"IEND":
+            break
+    if not w or not h or ctype is None or not idat:
+        return None
+    ch = {0: 1, 2: 3, 6: 4}[ctype]
+    try:
+        raw = zlib.decompress(idat)
+    except zlib.error:
+        return None
+    stride = w * ch
+    if len(raw) < h * (stride + 1):
+        return None
+    recon = np.zeros((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.int32)
+    rpos = 0
+    for y in range(h):
+        f = raw[rpos]
+        row = np.frombuffer(raw, np.uint8, stride, rpos + 1).astype(np.int32)
+        rpos += stride + 1
+        if f == 0:
+            cur = row
+        elif f == 2:  # Up — whole-row vector add
+            cur = (row + prev) & 0xFF
+        elif f in (1, 3, 4):  # Sub/Average/Paeth — sequential in x by spec
+            cur = np.zeros(stride, dtype=np.int32)
+            for x in range(stride):
+                a = int(cur[x - ch]) if x >= ch else 0
+                b = int(prev[x])
+                if f == 1:
+                    pred = a
+                elif f == 3:
+                    pred = (a + b) >> 1
+                else:
+                    c = int(prev[x - ch]) if x >= ch else 0
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                cur[x] = (int(row[x]) + pred) & 0xFF
+        else:
+            return None
+        recon[y] = cur.astype(np.uint8)
+        prev = cur
+    px = recon.reshape(h, w, ch)
+    if ch == 1:
+        rgb = np.repeat(px, 3, axis=2)
+    elif ch == 4:
+        rgb = px[..., :3]
+    else:
+        rgb = px
+    return w, h, rgb.astype(np.float64)
+
+
+def encode_png(rgb, *, filter_mode: str = "none") -> bytes:
+    """HxWx3 RGB uint8 array → 8-bit truecolor PNG bytes (stdlib zlib;
+    the inverse of _parse_png). ``filter_mode='none'`` writes filter 0
+    on every scanline; ``'cycle'`` writes filter y % 5 so one payload
+    exercises ALL five unfilter paths — the synthesized fixture uses
+    'cycle' precisely so CI decodes every filter, not just the easy one."""
+    import zlib
+
+    import numpy as np
+
+    rgb = np.asarray(rgb, dtype=np.uint8)
+    h, w, _ = rgb.shape
+    ch = 3
+    lines = []
+    prev = np.zeros(w * ch, dtype=np.int32)
+    zeros = np.zeros(ch, dtype=np.int32)
+    for y in range(h):
+        row = rgb[y].reshape(-1).astype(np.int32)
+        f = 0 if filter_mode == "none" else y % 5
+        a = np.concatenate([zeros, row[:-ch]]) if w * ch > ch else np.zeros_like(row)
+        if f == 0:
+            filt = row
+        elif f == 1:
+            filt = (row - a) & 0xFF
+        elif f == 2:
+            filt = (row - prev) & 0xFF
+        elif f == 3:
+            filt = (row - ((a + prev) >> 1)) & 0xFF
+        else:
+            c = np.concatenate([zeros, prev[:-ch]]) if w * ch > ch else np.zeros_like(row)
+            p = a + prev - c
+            pa, pb, pc = np.abs(p - a), np.abs(p - prev), np.abs(p - c)
+            pred = np.where((pa <= pb) & (pa <= pc), a, np.where(pb <= pc, prev, c))
+            filt = (row - pred) & 0xFF
+        lines.append(bytes([f]) + filt.astype(np.uint8).tobytes())
+        prev = row
+    raw = b"".join(lines)
+
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        return (
+            len(data).to_bytes(4, "big")
+            + typ
+            + data
+            + (zlib.crc32(typ + data) & 0xFFFFFFFF).to_bytes(4, "big")
+        )
+
+    ihdr = w.to_bytes(4, "big") + h.to_bytes(4, "big") + bytes([8, 2, 0, 0, 0])
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
 def has_pillow() -> bool:
     """True when the optional Pillow codec library is importable — the
     env gate for decode_pillow (this container ships without it; a real
@@ -313,16 +459,18 @@ def decode_pillow(df: DataFrame, *, hist_bins: int = 8) -> DataFrame:
 
 
 def decode_real(df: DataFrame, *, hist_bins: int = 8) -> DataFrame:
-    """REAL (non-stub) decode: pure-Python/numpy BMP (24bpp BI_RGB) and
-    binary PPM (P6) decoders — header parse + pixel statistics, no codec
-    libraries. Rows whose payload is neither format come back with
+    """REAL (non-stub) decode: pure-Python/numpy BMP (24bpp BI_RGB),
+    binary PPM (P6), and 8-bit PNG (stdlib zlib, all five scanline
+    filters) decoders — header parse + pixel statistics, no codec
+    libraries. Rows whose payload is none of these come back with
     ``format='unsupported'`` and null stats (decode-tolerant, like every
     ingest pipeline must be). Per-channel means, pixel counts, and a
     normalized ``hist_bins``-bin luma histogram (ITU-R 601 weights) out;
     Arrow-batched via mapInPandas, vectorized numpy per image.
 
-    For JPEG/PNG/video, swap the two parsers for Pillow/ffmpeg calls —
-    the Spark contract (schema, batching, column pruning) is unchanged.
+    For JPEG/video, swap in Pillow/ffmpeg calls (decode_pillow is the
+    env-gated JPEG path) — the Spark contract (schema, batching, column
+    pruning) is unchanged.
     """
     import numpy as np
 
@@ -332,6 +480,9 @@ def decode_real(df: DataFrame, *, hist_bins: int = 8) -> DataFrame:
         if parsed is None and buf:
             parsed = _parse_ppm(buf)
             fmt = "ppm" if parsed else None
+        if parsed is None and buf:
+            parsed = _parse_png(buf)
+            fmt = "png" if parsed else None
         if parsed is None:
             return (doc_id, "unsupported", None, None, None, None, None, None, None)
         w, h, rgb = parsed
@@ -367,6 +518,34 @@ def synthesize_bmp_payload(df: DataFrame, *, width: int = 16, height: int = 16) 
                     axis=-1,
                 ).astype(np.uint8)
                 payloads.append(encode_bmp(rgb))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    schema = T.StructType(
+        [T.StructField("doc_id", T.LongType()), T.StructField("payload", T.BinaryType())]
+    )
+    return df.select("doc_id").mapInPandas(_gen, schema)
+
+
+def synthesize_png_payload(df: DataFrame, *, width: int = 16, height: int = 16) -> DataFrame:
+    """Deterministic PNG payload per doc_id — the SAME id-keyed RGB
+    gradient as synthesize_bmp_payload, encoded as a real 8-bit
+    truecolor PNG with ``filter_mode='cycle'`` so every scanline-filter
+    path (None/Sub/Up/Average/Paeth) executes in CI. Because the pixel
+    content is identical to the BMP twin, decode parity across formats
+    is testable end-to-end."""
+    import numpy as np
+
+    def _gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        yy, xx = np.mgrid[0:height, 0:width]
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                k = int(doc_id)
+                rgb = np.stack(
+                    [(xx * 7 + k) % 256, (yy * 11 + 3 * k) % 256, (xx + yy + 5 * k) % 256],
+                    axis=-1,
+                ).astype(np.uint8)
+                payloads.append(encode_png(rgb, filter_mode="cycle"))
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
 
     schema = T.StructType(

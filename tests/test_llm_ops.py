@@ -328,6 +328,77 @@ def test_synthesize_and_decode_real_end_to_end(spark):
     assert all(again[r["doc_id"]] == r for r in rows)
 
 
+def test_png_roundtrip_all_filters():
+    """encode_png(filter_mode='cycle') → _parse_png reproduces the pixel
+    array bit-for-bit: every scanline filter (None/Sub/Up/Average/Paeth)
+    is exercised and inverted exactly."""
+    import numpy as np
+
+    rng = np.random.RandomState(42)
+    for h, w in ((16, 16), (7, 5), (1, 1), (5, 1), (3, 17)):
+        rgb = rng.randint(0, 256, (h, w, 3)).astype(np.uint8)
+        for mode in ("none", "cycle"):
+            out = multimodal._parse_png(multimodal.encode_png(rgb, filter_mode=mode))
+            assert out is not None
+            ww, hh, dec = out
+            assert (ww, hh) == (w, h)
+            assert np.array_equal(dec.astype(np.uint8), rgb)
+
+
+def test_parse_png_grayscale_rgba_and_rejects():
+    """Grayscale replicates channels, RGBA drops alpha; palette/16-bit/
+    interlaced/truncated/garbage all return None (decode-tolerant)."""
+    import zlib
+
+    import numpy as np
+
+    def chunk(typ, data):
+        return (
+            len(data).to_bytes(4, "big") + typ + data
+            + (zlib.crc32(typ + data) & 0xFFFFFFFF).to_bytes(4, "big")
+        )
+
+    def png(w, h, ctype, rows, depth=8, interlace=0):
+        raw = b"".join(b"\x00" + r.tobytes() for r in rows)
+        ihdr = w.to_bytes(4, "big") + h.to_bytes(4, "big") + bytes([depth, ctype, 0, 0, interlace])
+        return (
+            b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b"")
+        )
+
+    rng = np.random.RandomState(3)
+    g = rng.randint(0, 256, (4, 6, 1)).astype(np.uint8)
+    _, _, dec = multimodal._parse_png(png(6, 4, 0, g.reshape(4, -1)))
+    assert np.array_equal(dec.astype(np.uint8), np.repeat(g, 3, axis=2))
+    ra = rng.randint(0, 256, (4, 6, 4)).astype(np.uint8)
+    _, _, dec = multimodal._parse_png(png(6, 4, 6, ra.reshape(4, -1)))
+    assert np.array_equal(dec.astype(np.uint8), ra[..., :3])
+    rgb = rng.randint(0, 256, (2, 2, 3)).astype(np.uint8)
+    assert multimodal._parse_png(png(2, 2, 3, [np.zeros(2, np.uint8)] * 2)) is None  # palette
+    assert multimodal._parse_png(png(2, 2, 2, rgb.reshape(2, -1), depth=16)) is None
+    assert multimodal._parse_png(png(2, 2, 2, rgb.reshape(2, -1), interlace=1)) is None
+    assert multimodal._parse_png(b"not a png") is None
+    assert multimodal._parse_png(multimodal.encode_png(rgb)[:-20]) is None
+
+
+def test_decode_real_png_parity_with_bmp(spark):
+    """The same RGB gradient decoded via the PNG path and the BMP path
+    yields IDENTICAL statistics — one _pixel_stats tail, two real
+    formats, pixel-exact agreement (the in-sandbox real-corpus-format
+    gate; q_multimodal_png carries the same bit per row)."""
+    df = spark.createDataFrame([(i,) for i in (0, 3, 11, 255, 1000)], "doc_id long")
+    png = {r["doc_id"]: r for r in multimodal.decode_real(
+        multimodal.synthesize_png_payload(df)).collect()}
+    bmp = {r["doc_id"]: r for r in multimodal.decode_real(
+        multimodal.synthesize_bmp_payload(df)).collect()}
+    assert all(r["format"] == "png" for r in png.values())
+    for k, p in png.items():
+        b = bmp[k]
+        assert (p["width"], p["height"], p["n_pixels"]) == (b["width"], b["height"], b["n_pixels"])
+        assert (p["mean_r"], p["mean_g"], p["mean_b"]) == (b["mean_r"], b["mean_g"], b["mean_b"])
+        assert p["gray_hist"] == b["gray_hist"]
+
+
 def test_decode_pillow_parity_or_clean_gate(spark):
     # env-gated real-codec path (round-6): when Pillow is present the
     # decoder must reproduce the hand-rolled BMP pipeline's stats

@@ -24,6 +24,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from cloudtrace_exporter_spark.session import cache_once
+
 
 def _rev() -> F.Column:
     return F.col("l_extendedprice") * (1 - F.col("l_discount"))
@@ -457,7 +459,7 @@ def asof_join_ranged(
     # three consumers (spine bounds, carry join, global fallback) would
     # otherwise each re-derive it as an independently-pruned tree copy —
     # same "build the index once" rationale as the LSH signature tables.
-    per_bucket = rb.groupBy("__bucket").agg(F.max("__r").alias("__last_r")).cache()
+    per_bucket = cache_once(rb.groupBy("__bucket").agg(F.max("__r").alias("__last_r")))
     gl = per_bucket.agg(
         F.min("__bucket").alias("__lo"),
         F.max("__bucket").alias("__hi_r"),
@@ -1469,13 +1471,12 @@ def global_row_number(
     not memory residency.
     """
     lower33 = (1 << 33) - 1
-    ranged = (
+    ranged = cache_once(
         df.repartitionByRange(num_partitions, *order_cols)
         .sortWithinPartitions(*order_cols)
         .withColumn("_mid", F.monotonically_increasing_id())
         .withColumn("_pid", F.shiftright("_mid", 33).cast("int"))
         .withColumn("_local", (F.col("_mid").bitwiseAND(F.lit(lower33)) + 1))
-        .cache()
     )
     # [WindowExec: No Partition Defined — BENIGN HERE] the offsets frame
     # is ONE ROW PER PARTITION (= spark.sql.shuffle.partitions, ~32-2000),
@@ -3596,19 +3597,17 @@ def kmv_join_estimate(
     reference; without this the plan pays ~15 exchanges for what is
     sketch-sized work.
     """
-    dist = (
+    dist = cache_once(
         events.select(F.col(group_col).alias("grp"), F.col(key_col).alias("key"))
         .distinct()
-        .cache()
     )
     h = F.substring(F.md5(F.col("key").cast("string").cast("binary")), 1, 12)
     wst = Window.partitionBy("grp").orderBy("hv")
-    st = (
+    st = cache_once(
         dist.select("grp", F.conv(h, 16, 10).cast("long").alias("hv"))
         .withColumn("rn", F.row_number().over(wst))
         .filter(F.col("rn") <= k)
         .drop("rn")
-        .cache()
     )
     est = kmv_estimate_from_state(st, k=k)
     t = st.select("grp").distinct()
@@ -4452,11 +4451,10 @@ def conformal_intervals(
     # feeds BOTH sides of the season join plus the calibration and test
     # consumers — without the cache the corpus aggregation re-executes
     # per subtree (measured 6.5 s vs 0.9 s at the 10× probe)
-    daily = (
+    daily = cache_once(
         events.groupBy(F.col(type_col).alias("series"), day.alias("day"))
         .agg(F.round(F.sum(value_col), 4).alias("y"))
         .withColumn("d", F.datediff(F.col("day"), F.lit(epoch).cast("date")))
-        .cache()
     )
     base = daily.alias("t").join(
         daily.select(

@@ -26,6 +26,8 @@ import random
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from cloudtrace_exporter_spark.session import cache_once
+
 
 def _spread(df: DataFrame) -> DataFrame:
     """Repartition to core count before compute-bound scoring (see
@@ -1687,14 +1689,13 @@ def mutual_nn_pairs(
     # materialized once: BOTH argmaxes consume the scored frame — without
     # the cache the |A|·|B| scoring subtree executes twice (the
     # global_row_number materialize-before-fan-out rule)
-    scored = (
+    scored = cache_once(
         a.join(F.broadcast(b), F.lit(True))
         .withColumn(
             "cos",
             dot / (F.sqrt(F.col("na").cast("double")) * F.sqrt(F.col("nb").cast("double"))),
         )
         .select("id_a", "id_b", "cos")
-        .cache()
     )
     best_ab = scored.groupBy("id_a").agg(
         F.min(F.struct((-F.col("cos")).alias("nc"), F.col("id_b"))).alias("m")

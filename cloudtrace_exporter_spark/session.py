@@ -17,7 +17,7 @@ from __future__ import annotations
 
 import os
 
-from pyspark.sql import SparkSession
+from pyspark.sql import DataFrame, SparkSession
 
 DEFAULT_CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
 
@@ -52,3 +52,25 @@ def get_spark(app_name: str = "cloudtrace_exporter_spark", cpus: str | None = No
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
+
+
+def cache_once(df: DataFrame) -> DataFrame:
+    """``df.cache()`` with ONE caching owner per logical plan: if an
+    identical plan is already in the CacheManager (e.g. a helper cached
+    the shared frame, or a prior invocation of the same query built the
+    same tree), return ``df`` untouched instead of re-registering it.
+
+    Spark's CacheManager already dedups identical plans, so the
+    re-``cache()`` was harmless — but it WARNs (`Asked to cache already
+    cached data`), polluting the logs the plan audits read. The JVM
+    lookup is Dataset-based (`cacheManager().lookupCachedData`); if the
+    private API moves, fall back to plain ``cache()`` — correctness
+    never depends on this helper.
+    """
+    try:
+        cm = df.sparkSession._jsparkSession.sharedState().cacheManager()
+        if cm.lookupCachedData(df._jdf).isDefined():
+            return df
+    except Exception:
+        pass
+    return df.cache()

@@ -95,8 +95,14 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     for name in names:
-        # one unmeasured warm pass: pays index .cache() builds, codegen
-        # compilation, and shuffle-file creation outside the timed window
+        # two unmeasured warm passes: the first pays index .cache() builds,
+        # codegen compilation, and shuffle-file creation; the second gives
+        # the JIT one steady-state execution of the generated kernels
+        # before the timed window (r7: q_agg_by_status converges 0.50 →
+        # 0.24 s over repeated runs in a quiet session — a C2-warmth
+        # artifact, not a plan change; one warm pass left the timed
+        # best-of-3 mid-slope)
+        qs[name](spark, sf_dir).count()
         qs[name](spark, sf_dir).count()
         best = float("inf")
         for _ in range(3):  # best-of-3: absorbs GC/JIT/index-build noise (a

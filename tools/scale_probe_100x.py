@@ -1,0 +1,159 @@
+"""100x scaling probe (round 7, SCALE.md evidence) — one order of
+magnitude past the 10x tier, for the three families whose failure modes
+are provably scale-ONLY:
+
+1. **global numbering / range partitioning** (`global_row_number`): the
+   round-6 rank-duplication bug appeared at >=50k rows (sparse range-
+   boundary sampling made two un-reused exchanges disagree). This probe
+   runs 50k / 500k / 5M synthesized rows and ASSERTS the bijection
+   (n distinct ranks, min 1, max n) at every tier — wall is reported,
+   but the point is that the materialize-once fix holds when boundary
+   sampling is 100x sparser still.
+
+2. **banded MinHash-LSH** (`minhash_lsh_pairs`, portable family): bucket
+   occupancy and posting caps are the scale risk — a skew blow-up shows
+   as superlinear wall or a straggler. Synthesized corpus (12-token docs
+   over a 50k-word vocabulary, ~1% planted near-dup partners) at 200k /
+   2M docs (10x and 100x the sf0.1 documents table). Planted-pair
+   recall is asserted, so the probe cannot pass by finding nothing.
+
+3. **watermark dedup state** (`dedup_within_watermark` on the parquet
+   file source): the 10x probe scaled BACKLOG DEPTH at constant batch
+   size; this one scales ROWS PER BATCH (~90k -> ~900k) with 10M total
+   events and 10M-key state (~2.8 GB) — the axis that breaks first on a
+   real cluster, since state-store commit cost is per-batch.
+
+Usage:
+    python tools/scale_probe_100x.py [--family rank|lsh|stream|all]
+
+Timings are warm-session best-of-1 (plans compiled by the smaller tier
+first), matching the 10x probe's methodology. Paste into SCALE.md.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, "/root/repo")
+
+from pyspark.sql import functions as F
+
+
+def probe_rank(spark) -> None:
+    from cloudtrace_exporter_spark.operators.analytics import global_row_number
+
+    for n in (50_000, 500_000, 5_000_000):
+        # key is a full-range permutation-ish hash (forces real range
+        # sampling work; monotone ids would make boundaries trivial)
+        df = spark.range(n).select(
+            (F.col("id") * 2654435761 % 4294967296).alias("k"), F.col("id").alias("i")
+        )
+        t0 = time.time()
+        rn = global_row_number(df, ["k", "i"])
+        stats = rn.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct("rn").alias("d"),
+            F.min("rn").alias("lo"),
+            F.max("rn").alias("hi"),
+        ).collect()[0]
+        wall = time.time() - t0
+        ok = stats["n"] == stats["d"] == stats["hi"] == n and stats["lo"] == 1
+        print(f"global_row_number n={n:>9,}: {wall:6.2f} s  bijection={'OK' if ok else 'BROKEN'}")
+        assert ok, f"rank bijection broken at n={n}: {stats}"
+
+
+def _synth_docs(spark, n: int):
+    """12-token docs over a 50M-word vocabulary (wide enough that no two
+    base ids collide by accident at n=2M — a 50k vocabulary made texts
+    repeat every 50k ids and the probe measured its own 39.8M-pair
+    output instead of the banded join); ~1% planted twin pairs (doc k
+    and k+1 share text for k % 100 == 0) so recall is assertable."""
+    base = F.when(F.col("id") % 100 == 1, F.col("id") - 1).otherwise(F.col("id"))
+    words = F.concat_ws(
+        " ",
+        *[
+            F.concat(
+                F.lit("w"), ((base * (j * 2 + 3) + j * j) % 50_000_000).cast("string")
+            )
+            for j in range(12)
+        ],
+    )
+    return spark.range(n).select(F.col("id").alias("doc_id"), words.alias("text"))
+
+
+def probe_lsh(spark) -> None:
+    from cloudtrace_exporter_spark.operators import dedup
+
+    for n in (200_000, 2_000_000):
+        docs = _synth_docs(spark, n).repartition(64).cache()
+        docs.count()
+        planted = n // 100  # ids 1, 101, 201, ... pair with id-1
+        t0 = time.time()
+        pairs = dedup.minhash_lsh_pairs(docs, threshold=0.9, portable=True).cache()
+        total = pairs.count()
+        found = pairs.filter(
+            (F.col("doc_b") == F.col("doc_a") + 1) & (F.col("doc_a") % 100 == 0)
+        ).count()
+        wall = time.time() - t0
+        print(
+            f"minhash_lsh_pairs n={n:>9,}: {wall:6.2f} s  pairs={total:,} "
+            f"planted recall={found}/{planted}"
+        )
+        assert found == planted, "identical planted twins must all collide"
+        pairs.unpersist()
+        docs.unpersist()
+
+
+def probe_stream(spark) -> None:
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from streaming_probe import build_trace_parquet, run_pipeline_file_source
+
+    # 100x corpus (10.1M rows incl. dups) in 11 page files -> ~918k rows
+    # per micro-batch, 10M-key state by the final batch
+    root = tempfile.mkdtemp(prefix="stream_probe_100x_")
+    pages = os.path.join(root, "pages")
+    try:
+        landed = build_trace_parquet(
+            spark, "/root/testdata/sf0.1", pages, copies=100, n_files=11
+        )
+        wall, counters, batches = run_pipeline_file_source(
+            spark, pages, root, files_per_trigger=1
+        )
+        for b in batches:
+            print(
+                f"  batch {b['batch']:>3}: in={b['rows_in']:>8} "
+                f"trigger={b['trigger_ms']:>7} ms state_rows={b['state_rows']:>9} "
+                f"state={b['state_mb']:.1f} MB"
+            )
+        dropped = landed - counters.delivered
+        print(
+            f"STREAM 100x-batch TOTAL: landed={landed} delivered={counters.delivered} "
+            f"dup_dropped={dropped} failed={counters.failed} "
+            f"batches={len(batches)} stream_wall={wall:.1f} s"
+        )
+        assert counters.failed == 0 and dropped > 0
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+def main() -> None:
+    fam = "all"
+    if "--family" in sys.argv:
+        fam = sys.argv[sys.argv.index("--family") + 1]
+    from cloudtrace_exporter_spark.session import get_spark
+
+    spark = get_spark("scale_probe_100x")
+    if fam in ("rank", "all"):
+        probe_rank(spark)
+    if fam in ("lsh", "all"):
+        probe_lsh(spark)
+    if fam in ("stream", "all"):
+        probe_stream(spark)
+
+
+if __name__ == "__main__":
+    main()

@@ -3915,6 +3915,23 @@ def q_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return analytics.interarrival_stats(load_table(spark, sf_dir, "events"))
 
 
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization, ORACLE-EXACT: one row per (user,
+    session) with start, counts, integer duration and value sum
+    (analytics.sessionize_events, 4-hour gap) — the batch ground truth
+    of the streaming session window, built on ONE user-keyed exchange
+    (lag + running-sum windows share partitioning)."""
+    return analytics.sessionize_events(load_table(spark, sf_dir, "events"))
+
+
+def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix, ORACLE-EXACT: users cohorted by first
+    active day, per-(cohort, week-offset) distinct-active counts and the
+    raw integer-ratio retention (analytics.retention_cohorts) — all
+    integer counts, no window, bounded output."""
+    return analytics.retention_cohorts(load_table(spark, sf_dir, "events"))
+
+
 def q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Privacy release gate, ORACLE-EXACT: k-anonymity / l-diversity
     class-size spectrum over customer quasi-identifiers (nation,
@@ -4303,6 +4320,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_phash_dedup": q_phash_dedup,
         # ---- round-7 additions (oracle-backed, never sampled) ----
         "q_dbscan_lsh": q_dbscan_lsh,
+        "q_sessionize": q_sessionize,
+        "q_retention_cohorts": q_retention_cohorts,
         # rows-only by design (Python-side PNG decode; stats_agree column
         # certifies cross-format parity in-row)
         "q_multimodal_png": q_multimodal_png,
@@ -7232,6 +7251,66 @@ def oracle_sql() -> dict[str, str]:
         # additionally requires sign-block bucket equality (the integer
         # axis-aligned hyperplane replay of similarity.sign_block_pairs)
         "q_dbscan_lsh": _dbscan_oracle_sql(block=True),
+        # round-7: gap sessionization — integer microsecond lag + running
+        # sum over the (ts, id) total order; 4 h gap = 14_400_000_000 us
+        "q_sessionize": """
+            WITH lagged AS (
+              SELECT user_id, ts, event_id, event_type, value,
+                     epoch_us(ts) AS us,
+                     lag(epoch_us(ts)) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id) AS prev
+              FROM events
+            ),
+            flagged AS (
+              SELECT *, CASE WHEN prev IS NULL OR us - prev > 14400000000
+                             THEN 1 ELSE 0 END AS nw
+              FROM lagged
+            ),
+            sess AS (
+              SELECT *, CAST(sum(nw) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     AS BIGINT) AS session_idx
+              FROM flagged
+            )
+            SELECT user_id, session_idx,
+                   min(ts) AS start_ts,
+                   count(*) AS n_events,
+                   count(DISTINCT event_type) AS n_types,
+                   CAST((max(us) - min(us)) // 1000000 AS BIGINT) AS duration_s,
+                   round(sum(value), 4) AS sum_value
+            FROM sess
+            GROUP BY user_id, session_idx
+            ORDER BY user_id, session_idx
+        """,
+        # round-7: cohort retention — integer distinct counts, raw
+        # integer-ratio retention (the percent_rank no-round precedent)
+        "q_retention_cohorts": """
+            WITH active AS (
+              SELECT DISTINCT user_id AS u, date_trunc('day', ts) AS day
+              FROM events
+            ),
+            firstd AS (SELECT u, min(day) AS cohort_day FROM active GROUP BY u),
+            sizes AS (
+              SELECT cohort_day, count(DISTINCT u) AS cohort_size
+              FROM firstd GROUP BY cohort_day
+            ),
+            cells AS (
+              SELECT f.cohort_day,
+                     CAST(date_diff('day', CAST(f.cohort_day AS DATE),
+                                    CAST(a.day AS DATE)) // 7 AS BIGINT)
+                       AS week_offset,
+                     count(DISTINCT a.u) AS n_active
+              FROM active a JOIN firstd f ON a.u = f.u
+              GROUP BY 1, 2
+            )
+            SELECT CAST(c.cohort_day AS TIMESTAMP) AS cohort_day,
+                   c.week_offset, s.cohort_size, c.n_active,
+                   CAST(c.n_active AS DOUBLE) / CAST(s.cohort_size AS DOUBLE)
+                     AS retention
+            FROM cells c JOIN sizes s USING (cohort_day)
+            ORDER BY cohort_day, week_offset
+        """,
         # round-6 second session: split conformal — exact element selection
         # at the conformal rank, seasonal-naive base via day-index grid join
         "q_conformal_intervals": """

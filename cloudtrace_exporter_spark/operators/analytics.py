@@ -4654,3 +4654,129 @@ def mann_kendall(
         .otherwise(F.lit("none"))
         .alias("direction"),
     ).orderBy("series")
+
+
+def sessionize_events(
+    events: DataFrame,
+    *,
+    gap_minutes: int = 240,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    value_col: str = "value",
+) -> DataFrame:
+    """Batch sessionization — the gap-based session assignment behind
+    every product-analytics funnel (and the batch ground truth of the
+    streaming session window in streaming/pipeline.py): a new session
+    starts when a user's inter-event gap exceeds ``gap_minutes``. Emits
+    one row per session: start timestamp, event count, distinct event
+    types, integer duration in seconds, and the value sum.
+
+    Exactness strategy: events are ordered by (ts, id) — a TOTAL order,
+    so ts ties cannot split engines; the gap test and session index are
+    pure integer microsecond arithmetic (lag + running sum of
+    new-session flags over the same window), duration is floor-divided
+    microseconds. Only ``sum_value`` is float, absorbed by round(·, 4)
+    like every value aggregate in this file.
+
+    Scale shape: ONE user-keyed exchange serves both windows (lag and
+    running sum share partitioning and ordering) and the session
+    groupBy re-uses the same key prefix; output is bounded by session
+    count. At 100 TB this is the canonical sessionization plan — no
+    self-join, no global sort (the ORDER BY here is presentation,
+    fused into the final range exchange).
+    """
+    gap_us = int(gap_minutes) * 60 * 1_000_000
+    w = Window.partitionBy(user_col).orderBy(ts_col, id_col)
+    flagged = (
+        events.select(
+            F.col(user_col),
+            F.col(ts_col).cast("timestamp").alias(ts_col),
+            F.col(id_col),
+            F.col(type_col),
+            F.col(value_col),
+        )
+        .withColumn("__us", F.unix_micros(F.col(ts_col)))
+        .withColumn("__prev", F.lag("__us").over(w))
+        .withColumn(
+            "__new",
+            F.when(
+                F.col("__prev").isNull() | (F.col("__us") - F.col("__prev") > gap_us),
+                F.lit(1),
+            ).otherwise(F.lit(0)),
+        )
+        .withColumn(
+            "session_idx",
+            F.sum("__new").over(w.rowsBetween(Window.unboundedPreceding, 0)).cast("long"),
+        )
+    )
+    return (
+        flagged.groupBy(F.col(user_col), F.col("session_idx"))
+        .agg(
+            F.min(ts_col).alias("start_ts"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct(type_col).alias("n_types"),
+            F.floor((F.max("__us") - F.min("__us")) / 1_000_000)
+            .cast("long")
+            .alias("duration_s"),
+            F.round(F.sum(value_col), 4).alias("sum_value"),
+        )
+        .orderBy(user_col, "session_idx")
+    )
+
+
+def retention_cohorts(
+    events: DataFrame,
+    *,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Cohort retention matrix — the product-analytics staple: users are
+    cohorted by their FIRST active day and each (cohort, week-offset)
+    cell counts how many came back that week. The corpus analog reads
+    "how long does a source keep contributing after onboarding".
+
+    Exactness strategy: all counts are integers over exact (user, day)
+    distinct frames; the week offset is floor(datediff/7) on DATE
+    arithmetic (no timezone math under the UTC session); ``retention``
+    is one integer-ratio division emitted as the raw double — the
+    percent_rank precedent: bit-identical across engines, never
+    rounded.
+
+    Scale shape: one user-keyed aggregation for first-day, one
+    (user, day) distinct, a broadcast-sized join back (cohort frame is
+    |users| rows, and the matrix is |days| × |weeks| — both trivially
+    bounded); no window at all.
+    """
+    day = F.date_trunc("day", F.col(ts_col).cast("timestamp"))
+    active = events.select(F.col(user_col).alias("u"), day.alias("day")).distinct()
+    first = active.groupBy("u").agg(F.min("day").alias("cohort_day"))
+    sizes = first.groupBy("cohort_day").agg(F.countDistinct("u").alias("cohort_size"))
+    cells = (
+        active.join(first, "u")
+        .select(
+            "u",
+            "cohort_day",
+            F.floor(
+                F.datediff(F.col("day").cast("date"), F.col("cohort_day").cast("date")) / 7
+            )
+            .cast("long")
+            .alias("week_offset"),
+        )
+        .groupBy("cohort_day", "week_offset")
+        .agg(F.countDistinct("u").alias("n_active"))
+    )
+    return (
+        cells.join(sizes, "cohort_day")
+        .select(
+            "cohort_day",
+            "week_offset",
+            "cohort_size",
+            "n_active",
+            (F.col("n_active").cast("double") / F.col("cohort_size").cast("double")).alias(
+                "retention"
+            ),
+        )
+        .orderBy("cohort_day", "week_offset")
+    )

@@ -708,3 +708,21 @@ def test_target_encoding_no_data_sized_global_window(plans):
     live = p.split("InMemoryRelation", 1)[0]
     assert live.count("Window") <= 1
     assert "CartesianProduct" not in p
+
+
+def test_sessionize_single_user_exchange(plans):
+    # lag + running-sum windows and the session groupBy all ride ONE
+    # user-keyed hash exchange (plus the presentation range exchange);
+    # no joins anywhere
+    p = plans("q_sessionize")
+    assert "Join" not in p
+    assert p.count("Exchange hashpartitioning") == 1
+
+
+def test_retention_cohorts_no_window_no_cartesian(plans):
+    # first-day/active/matrix are all aggregations + bounded equi-joins;
+    # there is no window operator at all and nothing nested-loops
+    p = plans("q_retention_cohorts")
+    assert "Window" not in p
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p

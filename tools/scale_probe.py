@@ -327,6 +327,10 @@ def main() -> None:
         t(f"mmr_rerank {tag}", lambda e=e: similarity.mmr_rerank(e))
 
     # --- round-7 additions ---
+    for tag, e in (("1x", ev1), ("10x", ev10)):
+        t(f"sessionize_events {tag}", lambda e=e: analytics.sessionize_events(e))
+    for tag, e in (("1x", ev1), ("10x", ev10)):
+        t(f"retention_cohorts {tag}", lambda e=e: analytics.retention_cohorts(e))
     # DBSCAN with the INJECTED candidate source over the whole corpus —
     # the 100 TB posture (the q_dbscan_lsh plan): sign-block bits follow
     # the semantic_dedup occupancy rule (buckets ∝ corpus) so bucket

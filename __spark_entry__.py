@@ -3915,13 +3915,22 @@ def q_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return analytics.interarrival_stats(load_table(spark, sf_dir, "events"))
 
 
-def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Gap-based sessionization, ORACLE-EXACT: one row per (user,
-    session) with start, counts, integer duration and value sum
-    (analytics.sessionize_events, 4-hour gap) — the batch ground truth
-    of the streaming session window, built on ONE user-keyed exchange
-    (lag + running-sum windows share partitioning)."""
-    return analytics.sessionize_events(load_table(spark, sf_dir, "events"))
+def q_pack_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window packing layout, ORACLE-EXACT: per-document global
+    token offset (exclusive integer prefix sum in ingestion order via
+    analytics.global_running_sum — the distributed scan primitive),
+    2048-token bin, in-bin position, and the straddle flag
+    (curate.pack_layout) — the concat-and-split plan an LLM pretraining
+    loader materializes; padding_waste's zero-padding counterpart."""
+    return curate.pack_layout(load_table(spark, sf_dir, "documents"))
+
+
+def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source n-gram novelty, ORACLE-EXACT: distinct word trigrams
+    credited to their first-seen (min doc id) owner, counted per source
+    with the raw integer-ratio novelty rate (text.ngram_novelty) — the
+    marginal-content-per-feed report at shingle granularity."""
+    return text.ngram_novelty(load_table(spark, sf_dir, "documents"))
 
 
 def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4320,8 +4329,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_phash_dedup": q_phash_dedup,
         # ---- round-7 additions (oracle-backed, never sampled) ----
         "q_dbscan_lsh": q_dbscan_lsh,
-        "q_sessionize": q_sessionize,
         "q_retention_cohorts": q_retention_cohorts,
+        "q_pack_layout": q_pack_layout,
+        "q_ngram_novelty": q_ngram_novelty,
         # rows-only by design (Python-side PNG decode; stats_agree column
         # certifies cross-format parity in-row)
         "q_multimodal_png": q_multimodal_png,
@@ -7251,37 +7261,55 @@ def oracle_sql() -> dict[str, str]:
         # additionally requires sign-block bucket equality (the integer
         # axis-aligned hyperplane replay of similarity.sign_block_pairs)
         "q_dbscan_lsh": _dbscan_oracle_sql(block=True),
-        # round-7: gap sessionization — integer microsecond lag + running
-        # sum over the (ts, id) total order; 4 h gap = 14_400_000_000 us
-        "q_sessionize": """
-            WITH lagged AS (
-              SELECT user_id, ts, event_id, event_type, value,
-                     epoch_us(ts) AS us,
-                     lag(epoch_us(ts)) OVER (
-                       PARTITION BY user_id ORDER BY ts, event_id) AS prev
-              FROM events
+        # round-7: packing layout — exclusive integer prefix sum over the
+        # doc_id total order; bin/pos by floor-div/mod at L=2048
+        "q_pack_layout": f"""
+            WITH t AS (
+              SELECT doc_id, CAST(len({_TOKENS_SQL}) AS BIGINT) AS n_tokens
+              FROM documents
             ),
-            flagged AS (
-              SELECT *, CASE WHEN prev IS NULL OR us - prev > 14400000000
-                             THEN 1 ELSE 0 END AS nw
-              FROM lagged
-            ),
-            sess AS (
-              SELECT *, CAST(sum(nw) OVER (
-                       PARTITION BY user_id ORDER BY ts, event_id
-                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                     AS BIGINT) AS session_idx
-              FROM flagged
+            p AS (
+              SELECT doc_id, n_tokens,
+                     CAST(COALESCE(sum(n_tokens) OVER (
+                       ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                     AS BIGINT) AS tok_offset
+              FROM t
             )
-            SELECT user_id, session_idx,
-                   min(ts) AS start_ts,
-                   count(*) AS n_events,
-                   count(DISTINCT event_type) AS n_types,
-                   CAST((max(us) - min(us)) // 1000000 AS BIGINT) AS duration_s,
-                   round(sum(value), 4) AS sum_value
-            FROM sess
-            GROUP BY user_id, session_idx
-            ORDER BY user_id, session_idx
+            SELECT doc_id, n_tokens, tok_offset,
+                   CAST(tok_offset // 2048 AS BIGINT) AS bin,
+                   CAST(tok_offset % 2048 AS BIGINT) AS pos_in_bin,
+                   n_tokens > 0 AND
+                     (tok_offset + n_tokens - 1) // 2048 > tok_offset // 2048
+                     AS straddles
+            FROM p ORDER BY doc_id
+        """,
+        # round-7: per-source trigram novelty — min-doc-id first-seen
+        # owner over the distinct per-doc shingle sets (the banded-CTE
+        # shingle expression), integer counts, raw-ratio rate
+        "q_ngram_novelty": f"""
+            WITH tok AS (SELECT doc_id, source, {_TOKENS_SQL} AS t FROM documents),
+            sh AS (
+              SELECT doc_id, source,
+                     unnest(CASE WHEN len(t) >= 3 THEN
+                       list_distinct(list_filter(list_transform(t, (x, i) ->
+                         CASE WHEN i + 2 <= len(t)
+                              THEN x || ' ' || t[i+1] || ' ' || t[i+2] END),
+                         g -> g IS NOT NULL))
+                       ELSE [COALESCE(array_to_string(t, ' '), '')] END) AS g
+              FROM tok
+            ),
+            fl AS (
+              SELECT *, min(doc_id) OVER (PARTITION BY g) AS first_doc FROM sh
+            )
+            SELECT source,
+                   count(DISTINCT doc_id) AS n_docs,
+                   CAST(count(*) AS BIGINT) AS n_grams,
+                   CAST(sum(CASE WHEN doc_id = first_doc THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_novel,
+                   CAST(sum(CASE WHEN doc_id = first_doc THEN 1 ELSE 0 END)
+                        AS DOUBLE) / CAST(count(*) AS DOUBLE) AS novelty_rate
+            FROM fl GROUP BY source ORDER BY source
         """,
         # round-7: cohort retention — integer distinct counts, raw
         # integer-ratio retention (the percent_rank no-round precedent)

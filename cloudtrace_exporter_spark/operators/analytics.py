@@ -1513,6 +1513,64 @@ def global_row_number(
     return out if with_total else out.drop("_n_total")
 
 
+def global_running_sum(
+    df: DataFrame, order_cols: list, value_col: str, *, num_partitions: int = 32
+) -> DataFrame:
+    """Globally EXCLUSIVE prefix sum of ``value_col`` in a total order —
+    the distributed scan primitive (sibling of global_row_number, same
+    range-partition machinery and the same materialize-once rule).
+
+    Classic three-step parallel prefix: (1) range-repartition on the
+    order key and cache (ONE evaluation — boundary sampling seeds per
+    execution, the round-6 lesson), (2) per-partition value totals
+    (≤ num_partitions rows) take the tiny cumsum window and broadcast
+    back as partition offsets, (3) the within-partition exclusive cumsum
+    runs as a window PARTITIONED by the physical partition id — that is
+    a second fact exchange, but on a perfectly balanced key (one group
+    per partition, so parallelism = num_partitions and no skew is
+    possible); the sequential scan per group is the irreducible part of
+    any prefix sum. Output adds ``_prefix`` (exclusive: sum of all
+    values strictly before the row in the total order).
+    """
+    lower33 = (1 << 33) - 1
+    ranged = cache_once(
+        df.repartitionByRange(num_partitions, *order_cols)
+        .sortWithinPartitions(*order_cols)
+        .withColumn("_mid", F.monotonically_increasing_id())
+        .withColumn("_pid", F.shiftright("_mid", 33).cast("int"))
+        .withColumn("_local", (F.col("_mid").bitwiseAND(F.lit(lower33)) + 1))
+    )
+    # [WindowExec: No Partition Defined — BENIGN HERE] one row per
+    # partition, never data-sized (the global_row_number precedent)
+    offsets = (
+        ranged.groupBy("_pid")
+        .agg(F.sum(value_col).alias("_vsum"))
+        .withColumn(
+            "_voff",
+            F.coalesce(
+                F.sum("_vsum").over(
+                    Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ).cast("long"),
+        )
+        .select("_pid", "_voff")
+    )
+    local = F.coalesce(
+        F.sum(value_col).over(
+            Window.partitionBy("_pid").orderBy("_local").rowsBetween(
+                Window.unboundedPreceding, -1
+            )
+        ),
+        F.lit(0),
+    ).cast("long")
+    return (
+        ranged.join(F.broadcast(offsets), "_pid")
+        .withColumn("_prefix", (F.col("_voff") + local).cast("long"))
+        .drop("_mid", "_pid", "_local", "_voff")
+    )
+
+
 def shipping_priority(
     lineitem: DataFrame, orders: DataFrame, customer: DataFrame,
     *, segment: str = "BUILDING", cutoff: str = "1998-06-01", k: int = 10,
@@ -4654,76 +4712,6 @@ def mann_kendall(
         .otherwise(F.lit("none"))
         .alias("direction"),
     ).orderBy("series")
-
-
-def sessionize_events(
-    events: DataFrame,
-    *,
-    gap_minutes: int = 240,
-    user_col: str = "user_id",
-    type_col: str = "event_type",
-    ts_col: str = "ts",
-    id_col: str = "event_id",
-    value_col: str = "value",
-) -> DataFrame:
-    """Batch sessionization — the gap-based session assignment behind
-    every product-analytics funnel (and the batch ground truth of the
-    streaming session window in streaming/pipeline.py): a new session
-    starts when a user's inter-event gap exceeds ``gap_minutes``. Emits
-    one row per session: start timestamp, event count, distinct event
-    types, integer duration in seconds, and the value sum.
-
-    Exactness strategy: events are ordered by (ts, id) — a TOTAL order,
-    so ts ties cannot split engines; the gap test and session index are
-    pure integer microsecond arithmetic (lag + running sum of
-    new-session flags over the same window), duration is floor-divided
-    microseconds. Only ``sum_value`` is float, absorbed by round(·, 4)
-    like every value aggregate in this file.
-
-    Scale shape: ONE user-keyed exchange serves both windows (lag and
-    running sum share partitioning and ordering) and the session
-    groupBy re-uses the same key prefix; output is bounded by session
-    count. At 100 TB this is the canonical sessionization plan — no
-    self-join, no global sort (the ORDER BY here is presentation,
-    fused into the final range exchange).
-    """
-    gap_us = int(gap_minutes) * 60 * 1_000_000
-    w = Window.partitionBy(user_col).orderBy(ts_col, id_col)
-    flagged = (
-        events.select(
-            F.col(user_col),
-            F.col(ts_col).cast("timestamp").alias(ts_col),
-            F.col(id_col),
-            F.col(type_col),
-            F.col(value_col),
-        )
-        .withColumn("__us", F.unix_micros(F.col(ts_col)))
-        .withColumn("__prev", F.lag("__us").over(w))
-        .withColumn(
-            "__new",
-            F.when(
-                F.col("__prev").isNull() | (F.col("__us") - F.col("__prev") > gap_us),
-                F.lit(1),
-            ).otherwise(F.lit(0)),
-        )
-        .withColumn(
-            "session_idx",
-            F.sum("__new").over(w.rowsBetween(Window.unboundedPreceding, 0)).cast("long"),
-        )
-    )
-    return (
-        flagged.groupBy(F.col(user_col), F.col("session_idx"))
-        .agg(
-            F.min(ts_col).alias("start_ts"),
-            F.count(F.lit(1)).alias("n_events"),
-            F.countDistinct(type_col).alias("n_types"),
-            F.floor((F.max("__us") - F.min("__us")) / 1_000_000)
-            .cast("long")
-            .alias("duration_s"),
-            F.round(F.sum(value_col), 4).alias("sum_value"),
-        )
-        .orderBy(user_col, "session_idx")
-    )
 
 
 def retention_cohorts(

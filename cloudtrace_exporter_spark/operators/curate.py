@@ -983,3 +983,46 @@ def woe_iv(
         F.when(ok, F.round(woe, 6)).alias("woe"),
         F.when(ok, F.round(iv, 6)).alias("iv_term"),
     ).orderBy("cat")
+
+
+def pack_layout(
+    documents: DataFrame,
+    *,
+    context_len: int = 2048,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Context-window PACKING layout — the concat-and-split plan every
+    LLM pretraining loader materializes: documents are laid end-to-end
+    in a deterministic total order (ingestion id), each receives its
+    global token offset, and the context window that offset falls in.
+    ``straddles`` marks documents split across a window boundary — the
+    packing loss knob next to padding_waste's padded-cost report (this
+    layout is what eliminates padding; straddle rate is its price).
+
+    Exactness strategy: token counts are integers; the global offset is
+    an exclusive integer prefix sum in the (doc_id) total order
+    (analytics.global_running_sum — the distributed scan primitive);
+    bin/position are floor-div/mod. Nothing floats.
+
+    Scale shape: one cached range exchange + one balanced pid-window
+    exchange (the irreducible prefix-sum scan) — never a
+    single-partition window over the corpus; the bin arithmetic is
+    narrow. Output is one row per document.
+    """
+    toks = documents.select(
+        F.col(id_col).alias("doc_id"), text.token_count(text_col).cast("long").alias("n_tokens")
+    )
+    pref = analytics.global_running_sum(toks, ["doc_id"], "n_tokens")
+    off = F.col("_prefix")
+    return pref.select(
+        "doc_id",
+        "n_tokens",
+        off.alias("tok_offset"),
+        F.floor(off / context_len).cast("long").alias("bin"),
+        (off % context_len).cast("long").alias("pos_in_bin"),
+        (
+            (F.col("n_tokens") > 0)
+            & (F.floor((off + F.col("n_tokens") - 1) / context_len) > F.floor(off / context_len))
+        ).alias("straddles"),
+    ).orderBy("doc_id")

@@ -1743,3 +1743,62 @@ def bm25_snippets(
         )
         .orderBy("query_id", "rnk")
     )
+
+
+def ngram_novelty(
+    documents: DataFrame,
+    *,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    source_col: str = "source",
+) -> DataFrame:
+    """Per-source n-gram NOVELTY: of each source's distinct word
+    n-grams, how many appear here FIRST (first-seen = minimum doc id
+    over the whole corpus — the ingestion-order owner, the
+    vocab_growth_curve convention applied at shingle granularity)?
+    The marginal-content report a buyer reads per FEED: a source whose
+    novelty rate collapses is re-crawling text the corpus already has,
+    even when exact/near dedup doesn't fire.
+
+    Exactness strategy: all counts are integers over the distinct
+    per-document shingle sets (dedup._shingles — word n-grams,
+    array_distinct); ``novelty_rate`` is one integer-ratio division
+    emitted raw (the percent_rank precedent).
+
+    Scale shape: ONE shingle-keyed exchange (the min-owner window —
+    Zipf-headed, AQE skew-split applies) followed by a source
+    aggregation on the same rows; no joins. Output is |sources| rows.
+    """
+    from cloudtrace_exporter_spark.operators.dedup import _shingles
+
+    toks = documents.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(source_col).alias("source"),
+        tokens(text_col).alias("__t"),
+    )
+    sh = toks.select(
+        "doc_id", "source", F.explode(_shingles(F.col("__t"), n)).alias("g")
+    )
+    w = Window.partitionBy("g")
+    flagged = sh.withColumn("first_doc", F.min("doc_id").over(w))
+    return (
+        flagged.groupBy("source")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count(F.lit(1)).cast("long").alias("n_grams"),
+            F.sum((F.col("doc_id") == F.col("first_doc")).cast("long"))
+            .cast("long")
+            .alias("n_novel"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_grams",
+            "n_novel",
+            (F.col("n_novel").cast("double") / F.col("n_grams").cast("double")).alias(
+                "novelty_rate"
+            ),
+        )
+        .orderBy("source")
+    )

@@ -2648,3 +2648,55 @@ def test_woe_iv_signs_and_degenerate_null(spark):
     woe_hi = math.log((8 * ft) / (2 * st))
     assert abs(out["hi"].woe - round(woe_hi, 6)) < 1e-9
     assert out["hi"].iv_term == round((8 / st - 2 / ft) * woe_hi, 6)
+
+
+def test_pack_layout_hand_offsets(spark):
+    """Hand geometry at L=8: offsets are the exclusive prefix sum in
+    doc_id order; a doc crossing the boundary straddles; an empty doc
+    occupies zero tokens and never straddles; bins never have gaps."""
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e", "en", "s", 9),      # 5 toks @ 0  -> bin 0
+            (2, "f g h i", "en", "s", 7),        # 4 toks @ 5  -> straddles 0->1
+            (3, "", "en", "s", 0),               # 0 toks @ 9
+            (4, "j k l m n o p", "en", "s", 13), # 7 toks @ 9  -> straddles 1->1? 9..15 -> bins 1,1 no
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    out = {r.doc_id: r for r in curate.pack_layout(docs, context_len=8).collect()}
+    assert [out[i].tok_offset for i in (1, 2, 3, 4)] == [0, 5, 9, 9]
+    assert [out[i].bin for i in (1, 2, 3, 4)] == [0, 0, 1, 1]
+    assert [out[i].pos_in_bin for i in (1, 2, 3, 4)] == [0, 5, 1, 1]
+    # doc 2 spans tokens 5..8 (bins 0 and 1): straddles; doc 4 spans
+    # 9..15 (bin 1 only): doesn't; empty doc 3 never straddles
+    assert out[2].straddles and not out[4].straddles and not out[3].straddles
+
+
+def test_pack_layout_matches_naive_window(spark, sf_dir):
+    """The distributed prefix sum equals the naive single-partition
+    window cumsum row-for-row on the real fixture."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    got = curate.pack_layout(docs, context_len=2048).select("doc_id", "tok_offset")
+    toks = docs.select("doc_id", text.token_count("text").cast("long").alias("n"))
+    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, -1)
+    naive = toks.select(
+        "doc_id", F.coalesce(F.sum("n").over(w), F.lit(0)).cast("long").alias("tok_offset")
+    )
+    assert got.exceptAll(naive).count() == 0 and naive.exceptAll(got).count() == 0
+
+
+def test_ngram_novelty_credits_first_owner(spark):
+    """Doc 1 owns all its trigrams; doc 2 (different source) repeats one
+    of doc 1's trigrams and adds one new — rates are exact ratios."""
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d", "en", "s1", 7),   # trigrams: 'a b c', 'b c d'
+            (2, "a b c x", "en", "s2", 7),   # 'a b c' (seen), 'b c x' (new)
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    out = {r.source: r for r in text.ngram_novelty(docs).collect()}
+    assert (out["s1"].n_grams, out["s1"].n_novel, out["s1"].novelty_rate) == (2, 2, 1.0)
+    assert (out["s2"].n_grams, out["s2"].n_novel, out["s2"].novelty_rate) == (2, 1, 0.5)

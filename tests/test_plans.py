@@ -710,15 +710,6 @@ def test_target_encoding_no_data_sized_global_window(plans):
     assert "CartesianProduct" not in p
 
 
-def test_sessionize_single_user_exchange(plans):
-    # lag + running-sum windows and the session groupBy all ride ONE
-    # user-keyed hash exchange (plus the presentation range exchange);
-    # no joins anywhere
-    p = plans("q_sessionize")
-    assert "Join" not in p
-    assert p.count("Exchange hashpartitioning") == 1
-
-
 def test_retention_cohorts_no_window_no_cartesian(plans):
     # first-day/active/matrix are all aggregations + bounded equi-joins;
     # there is no window operator at all and nothing nested-loops
@@ -726,3 +717,22 @@ def test_retention_cohorts_no_window_no_cartesian(plans):
     assert "Window" not in p
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_pack_layout_prefix_sum_shape(plans):
+    # the cached range exchange is the ONLY order-key shuffle; the local
+    # cumsum window is partitioned by the physical pid (balanced by
+    # construction) — never an unpartitioned window over the corpus rows
+    p = plans("q_pack_layout")
+    assert "InMemoryTableScan" in p or "InMemoryRelation" in p
+    assert "CartesianProduct" not in p
+    live = p.split("InMemoryRelation", 1)[0]
+    # the live (non-cached) side: pid-window + broadcast offsets join only
+    assert live.count("Exchange hashpartitioning") <= 1
+
+
+def test_ngram_novelty_single_gram_exchange(plans):
+    # one shingle-keyed exchange (the min-owner window), then the source
+    # agg rides the explode output; no joins
+    p = plans("q_ngram_novelty")
+    assert "Join" not in p

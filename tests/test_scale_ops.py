@@ -861,38 +861,6 @@ def test_mann_kendall_detects_planted_trend_and_ignores_outlier(spark):
     assert (rf.s, rf.z, rf.direction) == (0, None, "none")
 
 
-def test_sessionize_hand_geometry(spark):
-    """Gap geometry: events exactly AT the gap stay in-session (strict >
-    starts a new one), one-past splits; ts ties order by event_id; a
-    lone event is its own 0-duration session."""
-    from datetime import datetime, timedelta
-
-    t0 = datetime(2024, 1, 1)
-    gap = timedelta(minutes=240)
-    rows = [
-        # user 1: three events, second exactly at the gap (same session),
-        # third one second past it (new session)
-        (0, t0, 1, "a", 1.0, "{}"),
-        (1, t0 + gap, 1, "b", 2.0, "{}"),
-        (2, t0 + gap + gap + timedelta(seconds=1), 1, "a", 4.0, "{}"),
-        # user 2: ts tie broken by event_id (still one session)
-        (3, t0, 2, "a", 1.0, "{}"),
-        (4, t0, 2, "a", 1.0, "{}"),
-    ]
-    ev = spark.createDataFrame(
-        rows,
-        "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
-    )
-    out = {(r.user_id, r.session_idx): r for r in analytics.sessionize_events(ev).collect()}
-    assert set(out) == {(1, 1), (1, 2), (2, 1)}
-    s11 = out[(1, 1)]
-    assert (s11.n_events, s11.n_types, s11.duration_s, s11.sum_value) == (2, 2, 14400, 3.0)
-    s12 = out[(1, 2)]
-    assert (s12.n_events, s12.duration_s) == (1, 0)
-    s21 = out[(2, 1)]
-    assert (s21.n_events, s21.n_types, s21.duration_s) == (2, 1, 0)
-
-
 def test_retention_cohorts_hand_matrix(spark):
     """Two cohorts: users 1,2 start day 0 (user 1 returns in week 1,
     user 2 never); user 3 starts day 7. Retention is the raw integer

@@ -328,9 +328,11 @@ def main() -> None:
 
     # --- round-7 additions ---
     for tag, e in (("1x", ev1), ("10x", ev10)):
-        t(f"sessionize_events {tag}", lambda e=e: analytics.sessionize_events(e))
-    for tag, e in (("1x", ev1), ("10x", ev10)):
         t(f"retention_cohorts {tag}", lambda e=e: analytics.retention_cohorts(e))
+    for tag, d in (("1x", docs1), ("10x", docs10)):
+        t(f"pack_layout {tag}", lambda d=d: _cur.pack_layout(d))
+    for tag, d in (("1x", docs1), ("10x", docs10)):
+        t(f"ngram_novelty {tag}", lambda d=d: text.ngram_novelty(d))
     # DBSCAN with the INJECTED candidate source over the whole corpus —
     # the 100 TB posture (the q_dbscan_lsh plan): sign-block bits follow
     # the semantic_dedup occupancy rule (buckets ∝ corpus) so bucket

@@ -3941,6 +3941,33 @@ def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return analytics.retention_cohorts(load_table(spark, sf_dir, "events"))
 
 
+def q_auc_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier eval, ORACLE-EXACT: tie-corrected ROC-AUC + Gini of
+    the value score against the JSON-payload outcome per series
+    (analytics.auc_report) — midranks kept integer (2·midrank = 2·prefix
+    + n + 1 over the score grid), ONE final integer-ratio division; the
+    quality-classifier acceptance artifact."""
+    return analytics.auc_report(load_table(spark, sf_dir, "events"))
+
+
+def q_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Independence audit, ORACLE-EXACT: chi-square residual CELLS for
+    series × JSON-payload outcome (analytics.chi_square_cells) —
+    observed, expected (one pinned division from BIGINT margins), per-
+    cell χ² contribution, and the per-series χ² (two commutative adds);
+    the which-cell-deviates artifact, not just one folded statistic."""
+    return analytics.chi_square_cells(load_table(spark, sf_dir, "events"))
+
+
+def q_quota_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-count stratified split, ORACLE-EXACT: largest-remainder
+    (Hamilton) apportionment of a 10% validation quota across language
+    strata, filled by md5 priority (curate.exact_quota_split) — the
+    fixed-budget eval-set builder next to assign_splits' hash-interval
+    (approximate, cross-table) split; all-integer seats."""
+    return curate.exact_quota_split(load_table(spark, sf_dir, "documents"))
+
+
 def q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Privacy release gate, ORACLE-EXACT: k-anonymity / l-diversity
     class-size spectrum over customer quasi-identifiers (nation,
@@ -4332,6 +4359,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_retention_cohorts": q_retention_cohorts,
         "q_pack_layout": q_pack_layout,
         "q_ngram_novelty": q_ngram_novelty,
+        "q_auc_scores": q_auc_scores,
+        "q_chi_square": q_chi_square,
+        "q_quota_split": q_quota_split,
         # rows-only by design (Python-side PNG decode; stats_agree column
         # certifies cross-format parity in-row)
         "q_multimodal_png": q_multimodal_png,
@@ -7310,6 +7340,105 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(CASE WHEN doc_id = first_doc THEN 1 ELSE 0 END)
                         AS DOUBLE) / CAST(count(*) AS DOUBLE) AS novelty_rate
             FROM fl GROUP BY source ORDER BY source
+        """,
+        # round-7: exact midrank AUC — 2·midrank stays BIGINT over the
+        # (series, score) grid; one final integer-ratio division
+        "q_auc_scores": """
+            WITH g AS (
+              SELECT event_type AS series, value AS score,
+                     CAST(count(*) AS BIGINT) AS n,
+                     CAST(sum(CASE WHEN CAST(json_extract_string(props, '$.k')
+                                        AS BIGINT) >= 50
+                                   THEN 1 ELSE 0 END) AS BIGINT) AS p
+              FROM events GROUP BY 1, 2
+            ),
+            m AS (
+              SELECT *, CAST(2 * COALESCE(sum(n) OVER (
+                       PARTITION BY series ORDER BY score
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                       + n + 1 AS BIGINT) AS mid2
+              FROM g
+            ),
+            per AS (
+              SELECT series, CAST(sum(p) AS BIGINT) AS n_pos,
+                     CAST(sum(n) - sum(p) AS BIGINT) AS n_neg,
+                     CAST(sum(p * mid2) AS BIGINT) AS r2_pos
+              FROM m GROUP BY series
+            )
+            SELECT series, n_pos, n_neg,
+                   CASE WHEN n_pos > 0 AND n_neg > 0 THEN
+                     CAST(r2_pos - n_pos * (n_pos + 1) AS DOUBLE)
+                       / CAST(2 * n_pos * n_neg AS DOUBLE) END AS auc,
+                   CASE WHEN n_pos > 0 AND n_neg > 0 THEN
+                     2 * (CAST(r2_pos - n_pos * (n_pos + 1) AS DOUBLE)
+                       / CAST(2 * n_pos * n_neg AS DOUBLE)) - 1 END AS gini
+            FROM per ORDER BY series
+        """,
+        # round-7: chi-square residual cells — E and the contribution are
+        # the only float ops, replayed in identical order; chi2_series
+        # sums the two ROUNDED cell terms (commutative, order-safe)
+        "q_chi_square": """
+            WITH cells AS (
+              SELECT event_type AS series,
+                     CAST(json_extract_string(props, '$.k') AS BIGINT) >= 50
+                       AS label,
+                     CAST(count(*) AS BIGINT) AS o
+              FROM events GROUP BY 1, 2
+            ),
+            rowm AS (SELECT series, CAST(sum(o) AS BIGINT) AS r
+                     FROM cells GROUP BY series),
+            colm AS (SELECT label, CAST(sum(o) AS BIGINT) AS c
+                     FROM cells GROUP BY label),
+            tot AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM cells),
+            base AS (
+              SELECT series, label, o,
+                     round(CAST(r * c AS DOUBLE) / CAST(n AS DOUBLE), 6) AS e,
+                     round((CAST(o AS DOUBLE)
+                            - CAST(r * c AS DOUBLE) / CAST(n AS DOUBLE))
+                           * (CAST(o AS DOUBLE)
+                              - CAST(r * c AS DOUBLE) / CAST(n AS DOUBLE))
+                           / (CAST(r * c AS DOUBLE) / CAST(n AS DOUBLE)), 6)
+                       AS chi2_term
+              FROM cells JOIN rowm USING (series) JOIN colm USING (label)
+                   CROSS JOIN tot
+            )
+            SELECT series, label, o, e, chi2_term,
+                   round(sum(chi2_term) OVER (PARTITION BY series), 6)
+                     AS chi2_series
+            FROM base ORDER BY series, label
+        """,
+        # round-7: Hamilton apportionment split — all-integer seats,
+        # md5-priority fill within stratum
+        "q_quota_split": """
+            WITH s AS (
+              SELECT lang AS stratum, CAST(count(*) AS BIGINT) AS n_s
+              FROM documents GROUP BY lang
+            ),
+            t AS (SELECT CAST(sum(n_s) AS BIGINT) AS n,
+                         CAST(sum(n_s // 10) AS BIGINT) AS base_sum FROM s),
+            q AS (
+              SELECT stratum, n_s // 10 AS base, n_s % 10 AS rem,
+                     row_number() OVER (ORDER BY n_s % 10 DESC, stratum) AS seat
+              FROM s
+            ),
+            qq AS (
+              SELECT q.stratum,
+                     CAST(q.base + CASE WHEN q.seat <= (t.n // 10 - t.base_sum)
+                                        THEN 1 ELSE 0 END AS BIGINT) AS quota
+              FROM q CROSS JOIN t
+            ),
+            r AS (
+              SELECT doc_id, lang AS stratum,
+                     CAST(row_number() OVER (
+                       PARTITION BY lang
+                       ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+                     AS BIGINT) AS rk
+              FROM documents
+            )
+            SELECT r.doc_id, r.stratum,
+                   CASE WHEN r.rk <= qq.quota THEN 'val' ELSE 'train' END AS split
+            FROM r JOIN qq USING (stratum)
+            ORDER BY doc_id
         """,
         # round-7: cohort retention — integer distinct counts, raw
         # integer-ratio retention (the percent_rank no-round precedent)

@@ -4768,3 +4768,124 @@ def retention_cohorts(
         )
         .orderBy("cohort_day", "week_offset")
     )
+
+
+def auc_report(
+    events: DataFrame,
+    *,
+    type_col: str = "event_type",
+    score_col: str = "value",
+    label_col: F.Column | None = None,
+) -> DataFrame:
+    """Classifier ranking diagnostic — exact ROC-AUC (and Gini) of a
+    score against a binary label, per series: the model-eval artifact a
+    quality-classifier run is judged by before its threshold goes into a
+    curation gate. Default label = the JSON payload's ``k ≥ 50`` (the
+    props-driven outcome, exercising the same extraction path as
+    q_json_extract).
+
+    Exactness strategy: AUC via tie-corrected midranks, kept INTEGER
+    until one final division — per (series, score) grid cell the ranks
+    span prefix+1 … prefix+n, so 2·midrank = 2·prefix + n + 1 exactly;
+    R2 = Σ_pos 2·midrank is a BIGINT and
+    AUC = (R2 − n_pos(n_pos+1)) / (2·n_pos·n_neg) is a single division
+    of exact integers (raw double out, the percent_rank no-round rule);
+    Gini = 2·AUC − 1 on that same double. Degenerate series (no
+    positives or no negatives) emit NULL, never a crash.
+
+    Scale shape: the mann_whitney grid reduction — one (series, score)
+    aggregate, one series-keyed cumulative window over the grid (grid ≤
+    distinct scores, not rows), one series reduction. No joins.
+    """
+    if label_col is None:
+        label_col = F.get_json_object("props", "$.k").cast("long") >= 50
+    g = (
+        events.select(
+            F.col(type_col).alias("series"),
+            F.col(score_col).alias("score"),
+            label_col.cast("long").alias("y"),
+        )
+        .groupBy("series", "score")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"), F.sum("y").cast("long").alias("p"))
+    )
+    w = Window.partitionBy("series").orderBy("score")
+    mid2 = 2 * F.coalesce(
+        F.sum("n").over(w.rowsBetween(Window.unboundedPreceding, -1)), F.lit(0)
+    ) + F.col("n") + 1
+    per = (
+        g.withColumn("mid2", mid2.cast("long"))
+        .groupBy("series")
+        .agg(
+            F.sum("p").cast("long").alias("n_pos"),
+            (F.sum("n") - F.sum("p")).cast("long").alias("n_neg"),
+            F.sum(F.col("p") * F.col("mid2")).cast("long").alias("r2_pos"),
+        )
+    )
+    ok = (F.col("n_pos") > 0) & (F.col("n_neg") > 0)
+    auc = (
+        (F.col("r2_pos") - F.col("n_pos") * (F.col("n_pos") + 1)).cast("double")
+        / (2 * F.col("n_pos") * F.col("n_neg")).cast("double")
+    )
+    return per.select(
+        "series",
+        "n_pos",
+        "n_neg",
+        F.when(ok, auc).alias("auc"),
+        F.when(ok, 2 * auc - 1).alias("gini"),
+    ).orderBy("series")
+
+
+def chi_square_cells(
+    events: DataFrame,
+    *,
+    type_col: str = "event_type",
+    label_col: F.Column | None = None,
+) -> DataFrame:
+    """Chi-square residual table — the per-cell independence audit
+    (series × binary outcome): observed count, expected-under-
+    independence count, and the cell's χ² contribution. Emitting CELLS
+    instead of one folded statistic keeps every float op pinned (one
+    division for E, one squared-residual ratio for the contribution —
+    no engine-order-dependent summation) AND gives the analyst the
+    artifact that actually says WHICH cell deviates; the per-series χ²
+    is the sum of its two cells (binary label → exactly two commutative
+    adds, still order-safe).
+
+    All margins are exact BIGINTs (R·C ≤ n² well under 2⁶³ at fixture
+    scale; DECIMAL(38) beyond); E = R·C/N and contrib = (O−E)²/E are
+    replayed in the identical order by the oracle, rounded to 6.
+
+    Scale shape: one (series, label) aggregate; margins ride broadcast
+    single-row / per-key frames joined back on the tiny cell grid.
+    """
+    if label_col is None:
+        label_col = F.get_json_object("props", "$.k").cast("long") >= 50
+    cells = (
+        events.select(
+            F.col(type_col).alias("series"), label_col.alias("label")
+        )
+        .groupBy("series", "label")
+        .agg(F.count(F.lit(1)).cast("long").alias("o"))
+    )
+    rowm = cells.groupBy("series").agg(F.sum("o").cast("long").alias("r"))
+    colm = cells.groupBy("label").agg(F.sum("o").cast("long").alias("c"))
+    tot = cells.agg(F.sum("o").cast("long").alias("n"))
+    e = (F.col("r") * F.col("c")).cast("double") / F.col("n").cast("double")
+    contrib = (F.col("o").cast("double") - e) * (F.col("o").cast("double") - e) / e
+    out = (
+        cells.join(rowm, "series")
+        .join(F.broadcast(colm), "label")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "series",
+            "label",
+            "o",
+            F.round(e, 6).alias("e"),
+            F.round(contrib, 6).alias("chi2_term"),
+        )
+    )
+    w = Window.partitionBy("series")
+    return (
+        out.withColumn("chi2_series", F.round(F.sum("chi2_term").over(w), 6))
+        .orderBy("series", "label")
+    )

@@ -1026,3 +1026,72 @@ def pack_layout(
             & (F.floor((off + F.col("n_tokens") - 1) / context_len) > F.floor(off / context_len))
         ).alias("straddles"),
     ).orderBy("doc_id")
+
+
+def exact_quota_split(
+    documents: DataFrame,
+    *,
+    val_num: int = 1,
+    val_den: int = 10,
+    strata_col: str = "lang",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """EXACT-count stratified validation split — largest-remainder
+    (Hamilton) apportionment: the global validation set has EXACTLY
+    ⌊N·frac⌋ documents, allocated across strata by integer base quotas
+    plus bonus seats to the largest fractional remainders, and filled
+    within each stratum by md5 priority. The complement of
+    ``assign_splits``' hash-interval split: that one is cross-table
+    consistent but only approximately proportioned; this one hits the
+    quota to the document — what a fixed-budget eval set requires.
+
+    Exactness strategy: everything is integer arithmetic on counts
+    (target = N·num // den; base_s = n_s·num // den; remainders ranked
+    by (rem desc, stratum asc) — a total order); within-stratum
+    priority is the md5-of-id rank with the id tiebreak (deterministic
+    across engines, runs, and repartitioning — the hash_sample rule).
+
+    Scale shape: one stratum-keyed window for the per-document rank
+    (the only full-data exchange); the apportionment itself runs on the
+    |strata|-row profile (its unpartitioned windows are benign —
+    strata-count rows). Broadcast quota join back.
+    """
+    s = documents.groupBy(F.col(strata_col).alias("stratum")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_s")
+    )
+    # [WindowExec: No Partition Defined — BENIGN HERE] |strata| rows
+    tots = Window.partitionBy()
+    wrem = Window.orderBy(F.desc("rem"), F.asc("stratum"))
+    quotas = (
+        s.withColumn("base", F.expr(f"(n_s * {val_num}) DIV {val_den}"))
+        .withColumn("rem", (F.col("n_s") * val_num) % val_den)
+        .withColumn(
+            "target",
+            (F.sum("n_s").over(tots) * val_num - (F.sum("n_s").over(tots) * val_num) % val_den)
+            / val_den,
+        )
+        .withColumn("target", F.col("target").cast("long"))
+        .withColumn("deficit", F.col("target") - F.sum("base").over(tots))
+        .withColumn("seat", F.row_number().over(wrem))
+        .select(
+            "stratum",
+            (F.col("base") + (F.col("seat") <= F.col("deficit")).cast("long")).alias(
+                "quota"
+            ),
+        )
+    )
+    pr = F.md5(F.col(id_col).cast("string").cast("binary"))
+    wdoc = Window.partitionBy("stratum").orderBy(pr.asc(), F.col(id_col).asc())
+    return (
+        documents.select(F.col(id_col).alias("doc_id"), F.col(strata_col).alias("stratum"))
+        .withColumn("rk", F.row_number().over(wdoc).cast("long"))
+        .join(F.broadcast(quotas), "stratum")
+        .select(
+            "doc_id",
+            "stratum",
+            F.when(F.col("rk") <= F.col("quota"), F.lit("val"))
+            .otherwise(F.lit("train"))
+            .alias("split"),
+        )
+        .orderBy("doc_id")
+    )

@@ -736,3 +736,27 @@ def test_ngram_novelty_single_gram_exchange(plans):
     # agg rides the explode output; no joins
     p = plans("q_ngram_novelty")
     assert "Join" not in p
+
+
+def test_auc_grid_reduce_no_joins(plans):
+    # (series, score) grid agg + series window + series reduce — the
+    # mann_whitney shape: no joins anywhere
+    p = plans("q_auc_scores")
+    assert "Join" not in p
+
+
+def test_chi_square_margins_broadcast(plans):
+    # margins join back on the tiny cell grid: no cartesian, no BNLJ,
+    # the 1-row total rides a broadcast
+    p = plans("q_chi_square")
+    assert "CartesianProduct" not in p
+    assert p.count("BroadcastExchange") >= 1
+
+
+def test_quota_split_single_data_exchange(plans):
+    # the per-doc rank window is the only full-data exchange; quotas
+    # broadcast back; apportionment windows run on the strata profile
+    p = plans("q_quota_split")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert p.count("Exchange hashpartitioning") <= 2

@@ -885,3 +885,78 @@ def test_retention_cohorts_hand_matrix(spark):
     assert out[(c0, 1)].n_active == 1 and out[(c0, 1)].retention == 0.5
     assert out[(c7, 0)].cohort_size == 1 and out[(c7, 0)].retention == 1.0
     assert (c7, 1) not in out
+
+
+def test_auc_hand_values_with_ties(spark):
+    """Scores [1,2,2,3] with labels [0,0,1,1]: midranks 1, 2.5, 2.5, 4;
+    R_pos = 6.5 -> AUC = (6.5 - 2*3/2) / (2*2) = 0.875. A perfectly
+    separating series gives 1.0; a constant-label series gives NULL."""
+    from datetime import datetime
+
+    t = datetime(2024, 1, 1)
+    rows = [
+        (0, t, 1, "mix", 1.0, '{"k": 1}'),
+        (1, t, 2, "mix", 2.0, '{"k": 1}'),
+        (2, t, 3, "mix", 2.0, '{"k": 99}'),
+        (3, t, 4, "mix", 3.0, '{"k": 99}'),
+        (4, t, 1, "sep", 1.0, '{"k": 1}'),
+        (5, t, 2, "sep", 9.0, '{"k": 99}'),
+        (6, t, 1, "onlyneg", 5.0, '{"k": 1}'),
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    )
+    out = {r.series: r for r in analytics.auc_report(ev).collect()}
+    assert out["mix"].auc == 0.875 and out["mix"].gini == 0.75
+    assert out["sep"].auc == 1.0 and out["sep"].gini == 1.0
+    assert out["onlyneg"].auc is None and out["onlyneg"].gini is None
+
+
+def test_chi_square_hand_cells(spark):
+    """2×2 with O = [[30,10],[10,30]]: every E = 20, every cell term
+    (O-20)^2/20 = 5.0, chi2_series = 10.0 per series."""
+    from datetime import datetime
+
+    t = datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    for series, hi, lo in (("a", 30, 10), ("b", 10, 30)):
+        for _ in range(hi):
+            rows.append((eid, t, 1, series, 1.0, '{"k": 99}')); eid += 1
+        for _ in range(lo):
+            rows.append((eid, t, 1, series, 1.0, '{"k": 1}')); eid += 1
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    )
+    out = {(r.series, r.label): r for r in analytics.chi_square_cells(ev).collect()}
+    for key, o in (( ("a", True), 30), (("a", False), 10), (("b", True), 10), (("b", False), 30)):
+        r = out[key]
+        assert (r.o, r.e, r.chi2_term, r.chi2_series) == (o, 20.0, 5.0, 10.0)
+
+
+def test_quota_split_exact_counts_and_apportionment(spark):
+    """Strata of 14/15/21 docs at 10%: target = 50//10 = 5 seats; bases
+    1/1/2 (sum 4), the one bonus seat goes to the largest remainder
+    (15 % 10 = 5 > 14 % 10 = 4 > 21 % 10 = 1) -> quotas 1/2/2. The
+    split is deterministic and exactly quota-sized per stratum."""
+    from cloudtrace_exporter_spark.operators import curate as _c
+
+    rows = (
+        [(i, "x", "a", "s", 1) for i in range(14)]
+        + [(100 + i, "x", "b", "s", 1) for i in range(15)]
+        + [(200 + i, "x", "c", "s", 1) for i in range(21)]
+    )
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    out = _c.exact_quota_split(docs).collect()
+    vals = [r for r in out if r.split == "val"]
+    assert len(vals) == 5  # exact global quota
+    by = {}
+    for r in vals:
+        by[r.stratum] = by.get(r.stratum, 0) + 1
+    assert by == {"a": 1, "b": 2, "c": 2}
+    again = _c.exact_quota_split(docs).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))

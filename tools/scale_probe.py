@@ -333,6 +333,12 @@ def main() -> None:
         t(f"pack_layout {tag}", lambda d=d: _cur.pack_layout(d))
     for tag, d in (("1x", docs1), ("10x", docs10)):
         t(f"ngram_novelty {tag}", lambda d=d: text.ngram_novelty(d))
+    for tag, e in (("1x", ev1), ("10x", ev10)):
+        t(f"auc_report {tag}", lambda e=e: analytics.auc_report(e))
+    for tag, e in (("1x", ev1), ("10x", ev10)):
+        t(f"chi_square_cells {tag}", lambda e=e: analytics.chi_square_cells(e))
+    for tag, d in (("1x", docs1), ("10x", docs10)):
+        t(f"exact_quota_split {tag}", lambda d=d: _cur.exact_quota_split(d))
     # DBSCAN with the INJECTED candidate source over the whole corpus —
     # the 100 TB posture (the q_dbscan_lsh plan): sign-block bits follow
     # the semantic_dedup occupancy rule (buckets ∝ corpus) so bucket

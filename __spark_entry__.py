@@ -3941,6 +3941,22 @@ def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return analytics.retention_cohorts(load_table(spark, sf_dir, "events"))
 
 
+def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel, ORACLE-EXACT: view → click → purchase with
+    strictly-after semantics (analytics.funnel_conversion) — per-user
+    step times as an integer window-min recurrence on ONE user
+    exchange; step counts and raw-ratio conversions."""
+    return analytics.funnel_conversion(load_table(spark, sf_dir, "events"))
+
+
+def q_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markov transition matrix, ORACLE-EXACT: consecutive event-type
+    bigrams per user over the (ts, id) total order with row-normalized
+    probabilities (analytics.transition_matrix) — one lead() exchange,
+    |types|² output."""
+    return analytics.transition_matrix(load_table(spark, sf_dir, "events"))
+
+
 def q_auc_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Classifier eval, ORACLE-EXACT: tie-corrected ROC-AUC + Gini of
     the value score against the JSON-payload outcome per series
@@ -4362,6 +4378,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_auc_scores": q_auc_scores,
         "q_chi_square": q_chi_square,
         "q_quota_split": q_quota_split,
+        "q_funnel": q_funnel,
+        "q_transition_matrix": q_transition_matrix,
         # rows-only by design (Python-side PNG decode; stats_agree column
         # certifies cross-format parity in-row)
         "q_multimodal_png": q_multimodal_png,
@@ -7340,6 +7358,68 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(CASE WHEN doc_id = first_doc THEN 1 ELSE 0 END)
                         AS DOUBLE) / CAST(count(*) AS DOUBLE) AS novelty_rate
             FROM fl GROUP BY source ORDER BY source
+        """,
+        # round-7: ordered funnel — integer window-min recurrence over one
+        # user partitioning; strictly-after step semantics
+        "q_funnel": """
+            WITH e AS (
+              SELECT user_id, event_type AS t, epoch_us(ts) AS us FROM events
+            ),
+            w0 AS (SELECT *, min(CASE WHEN t = 'view' THEN us END)
+                     OVER (PARTITION BY user_id) AS s0 FROM e),
+            w1 AS (SELECT *, min(CASE WHEN t = 'click' AND us > s0 THEN us END)
+                     OVER (PARTITION BY user_id) AS s1 FROM w0),
+            w2 AS (SELECT *, min(CASE WHEN t = 'purchase' AND us > s1 THEN us END)
+                     OVER (PARTITION BY user_id) AS s2 FROM w1),
+            pu AS (
+              SELECT user_id, max(s0) AS s0, max(s1) AS s1, max(s2) AS s2
+              FROM w2 GROUP BY user_id
+            ),
+            c AS (
+              SELECT CAST(count(*) AS BIGINT) AS n_users,
+                     CAST(sum(CASE WHEN s0 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+                     CAST(sum(CASE WHEN s1 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+                     CAST(sum(CASE WHEN s2 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n2
+              FROM pu
+            )
+            SELECT * FROM (
+              SELECT CAST(1 AS BIGINT) AS step_idx, 'view' AS step, n0 AS n_reached,
+                     CASE WHEN n_users > 0
+                          THEN CAST(n0 AS DOUBLE) / CAST(n_users AS DOUBLE) END
+                       AS conv_from_prev,
+                     CASE WHEN n0 > 0
+                          THEN CAST(n0 AS DOUBLE) / CAST(n0 AS DOUBLE) END
+                       AS conv_from_first
+              FROM c
+              UNION ALL
+              SELECT CAST(2 AS BIGINT), 'click', n1,
+                     CASE WHEN n0 > 0 THEN CAST(n1 AS DOUBLE) / CAST(n0 AS DOUBLE) END,
+                     CASE WHEN n0 > 0 THEN CAST(n1 AS DOUBLE) / CAST(n0 AS DOUBLE) END
+              FROM c
+              UNION ALL
+              SELECT CAST(3 AS BIGINT), 'purchase', n2,
+                     CASE WHEN n1 > 0 THEN CAST(n2 AS DOUBLE) / CAST(n1 AS DOUBLE) END,
+                     CASE WHEN n0 > 0 THEN CAST(n2 AS DOUBLE) / CAST(n0 AS DOUBLE) END
+              FROM c
+            ) ORDER BY step_idx
+        """,
+        # round-7: Markov transitions — lead() bigrams over the (ts, id)
+        # total order, raw row-normalized ratios
+        "q_transition_matrix": """
+            WITH p AS (
+              SELECT event_type AS from_type,
+                     lead(event_type) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id) AS to_type
+              FROM events
+            ),
+            g AS (
+              SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n
+              FROM p WHERE to_type IS NOT NULL GROUP BY 1, 2
+            )
+            SELECT from_type, to_type, n,
+                   CAST(n AS DOUBLE) / CAST(sum(n) OVER (PARTITION BY from_type)
+                     AS DOUBLE) AS p
+            FROM g ORDER BY from_type, to_type
         """,
         # round-7: exact midrank AUC — 2·midrank stays BIGINT over the
         # (series, score) grid; one final integer-ratio division

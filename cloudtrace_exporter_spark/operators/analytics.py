@@ -4889,3 +4889,114 @@ def chi_square_cells(
         out.withColumn("chi2_series", F.round(F.sum("chi2_term").over(w), 6))
         .orderBy("series", "label")
     )
+
+
+def funnel_conversion(
+    events: DataFrame,
+    *,
+    steps: tuple = ("view", "click", "purchase"),
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Ordered funnel analysis — the conversion staple: a user counts
+    for step k only if their FIRST step-k event happens strictly after
+    their counted step-(k−1) event. Emits one row per step with the
+    user count, step-over-step conversion, and conversion from the top.
+
+    Exactness strategy: per-user step timestamps are conditional MIN
+    microseconds (integers) computed as a chain of window minimums over
+    ONE user partitioning — ``t_k = min(us where type = step_k and
+    us > t_{k-1})``, a pure integer recurrence with no float anywhere;
+    the two conversion columns are raw integer-ratio doubles (the
+    percent_rank rule). Strictly-after semantics make ties unambiguous
+    and engine-portable.
+
+    Scale shape: one user-keyed exchange carries every window; the
+    final count is a |steps|-row aggregate. No joins, no self-join —
+    the classic funnel OLAP query without the k-way union.
+    """
+    w = Window.partitionBy(user_col)
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    df = events.select(F.col(user_col), F.col(type_col).alias("__t"), us.alias("__us"))
+    prev = None
+    for k, step in enumerate(steps):
+        cond = F.col("__t") == step
+        if prev is not None:
+            cond = cond & (F.col("__us") > F.col(prev))
+        df = df.withColumn(f"__s{k}", F.min(F.when(cond, F.col("__us"))).over(w))
+        prev = f"__s{k}"
+    per_user = df.groupBy(user_col).agg(
+        *[F.max(f"__s{k}").alias(f"s{k}") for k in range(len(steps))]
+    )
+    # ONE ROW, but it feeds |steps| union branches — without the
+    # materialization each branch replays the whole per-user window
+    # chain (3 user exchanges measured for 3 steps; 1 after)
+    counts = cache_once(
+        per_user.agg(
+            F.count(F.lit(1)).cast("long").alias("n_users"),
+            *[
+                F.sum(F.col(f"s{k}").isNotNull().cast("long")).cast("long").alias(f"n{k}")
+                for k in range(len(steps))
+            ],
+        )
+    )
+    rows = None
+    for k, step in enumerate(steps):
+        prev_n = F.col("n_users") if k == 0 else F.col(f"n{k - 1}")
+        r = counts.select(
+            F.lit(k + 1).cast("long").alias("step_idx"),
+            F.lit(step).alias("step"),
+            F.col(f"n{k}").alias("n_reached"),
+            F.when(prev_n > 0, F.col(f"n{k}").cast("double") / prev_n.cast("double")).alias(
+                "conv_from_prev"
+            ),
+            F.when(
+                F.col("n0") > 0, F.col(f"n{k}").cast("double") / F.col("n0").cast("double")
+            ).alias("conv_from_first"),
+        )
+        rows = r if rows is None else rows.unionByName(r)
+    return rows.orderBy("step_idx")
+
+
+def transition_matrix(
+    events: DataFrame,
+    *,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Per-user event-type Markov transition matrix — consecutive-event
+    bigrams over the (ts, id) total order, with the row-normalized
+    transition probability. The behavioral fingerprint next to
+    funnel_conversion's fixed path: which step actually FOLLOWS which.
+
+    Exactness strategy: transitions are integer counts off one lead()
+    window over the user partitioning; ``p`` is one integer-ratio
+    division per row, raw double out.
+
+    Scale shape: one user-keyed exchange for the lead, one aggregate on
+    the (from, to) grid (|types|² rows), row totals as a window over
+    that grid. No joins.
+    """
+    w = Window.partitionBy(user_col).orderBy(ts_col, id_col)
+    pairs = (
+        events.select(
+            F.col(user_col),
+            F.col(ts_col).cast("timestamp").alias(ts_col),
+            F.col(id_col),
+            F.col(type_col).alias("from_type"),
+        )
+        .withColumn("to_type", F.lead("from_type").over(w))
+        .filter(F.col("to_type").isNotNull())
+        .groupBy("from_type", "to_type")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    wrow = Window.partitionBy("from_type")
+    return (
+        pairs.withColumn(
+            "p", F.col("n").cast("double") / F.sum("n").over(wrow).cast("double")
+        )
+        .orderBy("from_type", "to_type")
+    )

@@ -760,3 +760,17 @@ def test_quota_split_single_data_exchange(plans):
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
     assert p.count("Exchange hashpartitioning") <= 2
+
+
+def test_funnel_single_user_exchange_no_joins(plans):
+    # the whole step recurrence + per-user collapse rides one user-keyed
+    # exchange; union of 3 one-row aggregates after
+    p = plans("q_funnel")
+    assert "Join" not in p
+    assert p.count("Exchange hashpartitioning") <= 1
+
+
+def test_transition_matrix_lead_then_grid(plans):
+    # one lead() exchange, then the (from, to) grid agg + grid window
+    p = plans("q_transition_matrix")
+    assert "Join" not in p

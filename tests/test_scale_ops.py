@@ -960,3 +960,57 @@ def test_quota_split_exact_counts_and_apportionment(spark):
     assert by == {"a": 1, "b": 2, "c": 2}
     again = _c.exact_quota_split(docs).collect()
     assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+
+
+def test_funnel_strictly_after_semantics(spark):
+    """User 1 completes the funnel in order; user 2 purchases BEFORE
+    clicking (purchase must not count); user 3 only views. A click at
+    the exact same microsecond as the view does NOT count (strictly
+    after)."""
+    from datetime import datetime, timedelta
+
+    t0 = datetime(2024, 1, 1)
+    m = lambda k: t0 + timedelta(minutes=k)  # noqa: E731
+    rows = [
+        (0, m(0), 1, "view", 1.0, "{}"),
+        (1, m(1), 1, "click", 1.0, "{}"),
+        (2, m(2), 1, "purchase", 1.0, "{}"),
+        (3, m(0), 2, "view", 1.0, "{}"),
+        (4, m(1), 2, "purchase", 1.0, "{}"),   # before any click: no credit
+        (5, m(2), 2, "click", 1.0, "{}"),
+        (6, m(0), 3, "view", 1.0, "{}"),
+        (7, m(0), 4, "view", 1.0, "{}"),
+        (8, m(0), 4, "click", 1.0, "{}"),      # same instant: NOT after
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    )
+    out = {r.step: r for r in analytics.funnel_conversion(ev).collect()}
+    assert out["view"].n_reached == 4
+    assert out["click"].n_reached == 2       # users 1 and 2 (click after view)
+    assert out["purchase"].n_reached == 1    # only user 1
+    assert out["click"].conv_from_prev == 0.5
+    assert out["purchase"].conv_from_first == 0.25
+
+
+def test_transition_matrix_hand_bigrams(spark):
+    """One user with path a->b->a->c: transitions (a,b), (b,a), (a,c);
+    row 'a' normalizes to 0.5/0.5; ties in ts break by event_id."""
+    from datetime import datetime
+
+    t = datetime(2024, 1, 1)
+    rows = [
+        (0, t, 1, "a", 1.0, "{}"),
+        (1, t, 1, "b", 1.0, "{}"),   # same ts: ordered by event_id
+        (2, t, 1, "a", 1.0, "{}"),
+        (3, t, 1, "c", 1.0, "{}"),
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    )
+    out = {(r.from_type, r.to_type): r for r in analytics.transition_matrix(ev).collect()}
+    assert set(out) == {("a", "b"), ("b", "a"), ("a", "c")}
+    assert out[("a", "b")].p == 0.5 and out[("a", "c")].p == 0.5
+    assert out[("b", "a")].p == 1.0

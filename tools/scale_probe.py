@@ -339,6 +339,10 @@ def main() -> None:
         t(f"chi_square_cells {tag}", lambda e=e: analytics.chi_square_cells(e))
     for tag, d in (("1x", docs1), ("10x", docs10)):
         t(f"exact_quota_split {tag}", lambda d=d: _cur.exact_quota_split(d))
+    for tag, e in (("1x", ev1), ("10x", ev10)):
+        t(f"funnel_conversion {tag}", lambda e=e: analytics.funnel_conversion(e))
+    for tag, e in (("1x", ev1), ("10x", ev10)):
+        t(f"transition_matrix {tag}", lambda e=e: analytics.transition_matrix(e))
     # DBSCAN with the INJECTED candidate source over the whole corpus —
     # the 100 TB posture (the q_dbscan_lsh plan): sign-block bits follow
     # the semantic_dedup occupancy rule (buckets ∝ corpus) so bucket

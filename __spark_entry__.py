@@ -3941,12 +3941,14 @@ def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return analytics.retention_cohorts(load_table(spark, sf_dir, "events"))
 
 
-def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Ordered funnel, ORACLE-EXACT: view → click → purchase with
-    strictly-after semantics (analytics.funnel_conversion) — per-user
-    step times as an integer window-min recurrence on ONE user
-    exchange; step counts and raw-ratio conversions."""
-    return analytics.funnel_conversion(load_table(spark, sf_dir, "events"))
+def q_funnel_strict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strict-sequence funnel, ORACLE-EXACT: view → click → purchase
+    with a strictly-after cursor (analytics.funnel_strict — the
+    re-entrant counting mode; q_funnel keeps the classic
+    first-occurrence-order mode) — per-user step times as an integer
+    window-min recurrence on ONE user exchange; step counts and
+    raw-ratio conversions."""
+    return analytics.funnel_strict(load_table(spark, sf_dir, "events"))
 
 
 def q_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4378,7 +4380,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_auc_scores": q_auc_scores,
         "q_chi_square": q_chi_square,
         "q_quota_split": q_quota_split,
-        "q_funnel": q_funnel,
+        "q_funnel_strict": q_funnel_strict,
         "q_transition_matrix": q_transition_matrix,
         # rows-only by design (Python-side PNG decode; stats_agree column
         # certifies cross-format parity in-row)
@@ -7359,9 +7361,9 @@ def oracle_sql() -> dict[str, str]:
                         AS DOUBLE) / CAST(count(*) AS DOUBLE) AS novelty_rate
             FROM fl GROUP BY source ORDER BY source
         """,
-        # round-7: ordered funnel — integer window-min recurrence over one
-        # user partitioning; strictly-after step semantics
-        "q_funnel": """
+        # round-7: strict-sequence funnel — integer window-min recurrence
+        # over one user partitioning; strictly-after cursor semantics
+        "q_funnel_strict": """
             WITH e AS (
               SELECT user_id, event_type AS t, epoch_us(ts) AS us FROM events
             ),

@@ -4720,10 +4720,12 @@ def retention_cohorts(
     user_col: str = "user_id",
     ts_col: str = "ts",
 ) -> DataFrame:
-    """Cohort retention matrix — the product-analytics staple: users are
-    cohorted by their FIRST active day and each (cohort, week-offset)
-    cell counts how many came back that week. The corpus analog reads
-    "how long does a source keep contributing after onboarding".
+    """Cohort retention RATE matrix — the report layer over
+    ``cohort_retention``'s raw day-offset grid (above): week-granularity
+    offsets, each cohort's SIZE carried on every row, and the
+    normalized retention ratio — the form a growth dashboard actually
+    plots. The corpus analog reads "how long does a source keep
+    contributing after onboarding".
 
     Exactness strategy: all counts are integers over exact (user, day)
     distinct frames; the week offset is floor(datediff/7) on DATE
@@ -4891,7 +4893,7 @@ def chi_square_cells(
     )
 
 
-def funnel_conversion(
+def funnel_strict(
     events: DataFrame,
     *,
     steps: tuple = ("view", "click", "purchase"),
@@ -4899,10 +4901,15 @@ def funnel_conversion(
     type_col: str = "event_type",
     ts_col: str = "ts",
 ) -> DataFrame:
-    """Ordered funnel analysis — the conversion staple: a user counts
-    for step k only if their FIRST step-k event happens strictly after
-    their counted step-(k−1) event. Emits one row per step with the
-    user count, step-over-step conversion, and conversion from the top.
+    """STRICT-SEQUENCE funnel — the re-entrant counting mode next to
+    ``funnel_conversion`` above (that one compares FIRST-occurrence
+    times, so a user whose first purchase precedes their first click
+    never converts even if a later purchase completes the path; this
+    one advances a cursor: step k counts if ANY step-k event falls
+    strictly after the counted step-(k−1) event — the
+    Amplitude-/"this order" -style funnel). Emits one row per step with
+    the user count, step-over-step conversion, and conversion from the
+    top.
 
     Exactness strategy: per-user step timestamps are conditional MIN
     microseconds (integers) computed as a chain of window minimums over
@@ -4999,4 +5006,60 @@ def transition_matrix(
             "p", F.col("n").cast("double") / F.sum("n").over(wrow).cast("double")
         )
         .orderBy("from_type", "to_type")
+    )
+
+
+def calibration_bins(
+    events: DataFrame,
+    *,
+    n_bins: int = 10,
+    score_den: int = 100,
+) -> DataFrame:
+    """Calibration reliability bins — the measurement twin of
+    isotonic_calibration (that one FITS a calibrator; this one grades
+    one): the JSON payload's k/100 plays the predicted probability,
+    ``purchase`` the outcome; per decile bin, the mean prediction, the
+    empirical rate, the |gap|, and the bin's ECE term (n_b·gap/N — the
+    expected-calibration-error summand; the scalar ECE is the sum of
+    this 10-row column, left to the reader to keep every emitted float
+    a pinned single expression).
+
+    Exactness strategy: bin = integer k·n_bins // score_den; mean
+    prediction = Σk / (den·n) with Σk an exact BIGINT (ONE division);
+    rate = integer ratio; gap/ece_term are pinned arithmetic on those
+    two doubles, rounded to 6. Summation order never touches a float.
+
+    Scale shape: one n_bins-row aggregate with map-side partials; the
+    N total rides a broadcast single-row crossJoin. No windows over
+    data.
+    """
+    k = F.get_json_object("props", "$.k").cast("long")
+    y = (F.col("event_type") == "purchase").cast("long")
+    binned = events.select(
+        F.expr(f"(CAST(get_json_object(props, '$.k') AS BIGINT) * {n_bins}) DIV {score_den}")
+        .alias("bin"),
+        k.alias("k"),
+        y.alias("y"),
+    ).filter(F.col("bin").isNotNull())
+    g = binned.groupBy("bin").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("k").cast("long").alias("__sk"),
+        F.sum("y").cast("long").alias("__sy"),
+    )
+    tot = binned.agg(F.count(F.lit(1)).cast("long").alias("__n_tot"))
+    mean_p = F.col("__sk").cast("double") / (F.col("n") * score_den).cast("double")
+    rate = F.col("__sy").cast("double") / F.col("n").cast("double")
+    gap = F.abs(mean_p - rate)
+    return (
+        g.crossJoin(F.broadcast(tot))
+        .select(
+            "bin",
+            "n",
+            F.round(mean_p, 6).alias("mean_pred"),
+            F.round(rate, 6).alias("rate"),
+            F.round(gap, 6).alias("gap"),
+            F.round(F.col("n").cast("double") * gap / F.col("__n_tot").cast("double"), 6)
+            .alias("ece_term"),
+        )
+        .orderBy("bin")
     )

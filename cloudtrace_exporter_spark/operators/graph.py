@@ -492,3 +492,47 @@ def label_propagation(
             .localCheckpoint(eager=True)
         )
     return labels.select("id", F.col("lbl").alias("community")).orderBy("id")
+
+
+def triangle_counts(edges: DataFrame) -> DataFrame:
+    """Per-node triangle counts over an undirected edge set — the local
+    clustering signal on the near-dup graph: a document in many
+    triangles sits in a densely mutual duplicate cluster (template spam,
+    mirror farms), while a chain of pairwise-similar docs has none. The
+    standard compact-forward/node-iterator formulation: with edges
+    oriented ``a < b``, every triangle a<b<c is counted exactly once as
+    (ab, bc, ac).
+
+    Input: first two columns = endpoint ids (any names); orientation
+    and duplicate edges are normalized here. All equi-joins — wedge
+    enumeration joins edges on the shared middle vertex, closure is a
+    semi-join back on (a, c); at 100 TB this is the join plan every
+    distributed triangle counter (e.g. Cohen's MapReduce scheme) uses,
+    with the LSH-bounded pair set keeping wedge volume linear-ish.
+    Output: (doc_id, n_triangles) for every vertex in ≥1 triangle.
+    """
+    ca, cb = edges.columns[:2]
+    e = (
+        edges.select(
+            F.least(F.col(ca), F.col(cb)).alias("a"),
+            F.greatest(F.col(ca), F.col(cb)).alias("b"),
+        )
+        .filter(F.col("a") < F.col("b"))
+        .distinct()
+    )
+    ab = e.select(F.col("a"), F.col("b"))
+    bc = e.select(F.col("a").alias("b"), F.col("b").alias("c"))
+    wedges = ab.join(bc, "b")
+    tri = wedges.join(
+        e.select(F.col("a"), F.col("b").alias("c")), ["a", "c"], "left_semi"
+    ).select("a", "b", "c")
+    nodes = (
+        tri.select(F.col("a").alias("doc_id"))
+        .unionAll(tri.select(F.col("b").alias("doc_id")))
+        .unionAll(tri.select(F.col("c").alias("doc_id")))
+    )
+    return (
+        nodes.groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
+        .orderBy("doc_id")
+    )

@@ -762,12 +762,18 @@ def test_quota_split_single_data_exchange(plans):
     assert p.count("Exchange hashpartitioning") <= 2
 
 
-def test_funnel_single_user_exchange_no_joins(plans):
+def test_funnel_strict_single_user_exchange_no_joins(plans):
     # the whole step recurrence + per-user collapse rides one user-keyed
-    # exchange; union of 3 one-row aggregates after
-    p = plans("q_funnel")
+    # exchange INSIDE the cached 1-row counts frame; the three union
+    # branches are InMemoryTableScans of that one relation (a cached
+    # subtree prints under EACH scan, so count scans, not exchanges —
+    # the global_row_number plan-string lesson); the live side is
+    # exchange-free
+    p = plans("q_funnel_strict")
     assert "Join" not in p
-    assert p.count("Exchange hashpartitioning") <= 1
+    assert p.count("InMemoryTableScan") == 3
+    live = p.split("InMemoryRelation", 1)[0]
+    assert live.count("Exchange hashpartitioning") == 0
 
 
 def test_transition_matrix_lead_then_grid(plans):

@@ -962,11 +962,11 @@ def test_quota_split_exact_counts_and_apportionment(spark):
     assert sorted(map(tuple, out)) == sorted(map(tuple, again))
 
 
-def test_funnel_strictly_after_semantics(spark):
-    """User 1 completes the funnel in order; user 2 purchases BEFORE
-    clicking (purchase must not count); user 3 only views. A click at
-    the exact same microsecond as the view does NOT count (strictly
-    after)."""
+def test_funnel_strict_strictly_after_semantics(spark):
+    """funnel_strict: user 1 completes in order; user 2 purchases
+    BEFORE clicking (purchase must not count); user 3 only views; a
+    click at the exact same microsecond as the view does NOT count
+    (strictly after)."""
     from datetime import datetime, timedelta
 
     t0 = datetime(2024, 1, 1)
@@ -986,7 +986,7 @@ def test_funnel_strictly_after_semantics(spark):
         rows,
         "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
     )
-    out = {r.step: r for r in analytics.funnel_conversion(ev).collect()}
+    out = {r.step: r for r in analytics.funnel_strict(ev).collect()}
     assert out["view"].n_reached == 4
     assert out["click"].n_reached == 2       # users 1 and 2 (click after view)
     assert out["purchase"].n_reached == 1    # only user 1

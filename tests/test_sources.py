@@ -361,3 +361,45 @@ def test_import_jsonl_shards_roundtrip_and_tamper_detection(spark, tmp_path):
         fh.write(bytes([b[0] ^ 1]))
     with _pytest.raises(ValueError, match="mismatch"):
         import_jsonl_shards(spark, out, df.schema)
+
+
+def test_entry_module_has_no_duplicate_defs_or_dict_keys():
+    """Guard against the silent-shadowing class of bug (round 7 nearly
+    shipped a second q_funnel/funnel_conversion): every module-level
+    `def q_*` in __spark_entry__.py must be defined exactly once, and
+    the queries()/oracle_sql() dict LITERALS must not repeat a key
+    (Python keeps the last duplicate silently)."""
+    import ast
+    from collections import Counter
+
+    tree = ast.parse(open("/root/repo/__spark_entry__.py").read())
+    defs = Counter(
+        n.name for n in tree.body if isinstance(n, ast.FunctionDef)
+    )
+    dups = {k: v for k, v in defs.items() if v > 1}
+    assert not dups, f"duplicate top-level defs: {dups}"
+
+    for fn in tree.body:
+        if isinstance(fn, ast.FunctionDef) and fn.name in ("queries", "oracle_sql"):
+            for node in ast.walk(fn):
+                if isinstance(node, ast.Dict):
+                    keys = [
+                        k.value for k in node.keys
+                        if isinstance(k, ast.Constant) and isinstance(k.value, str)
+                    ]
+                    if len(keys) < 10:
+                        continue  # small literal dicts inside helpers
+                    dup = {k: v for k, v in Counter(keys).items() if v > 1}
+                    assert not dup, f"duplicate keys in {fn.name}(): {dup}"
+
+    import cloudtrace_exporter_spark.operators.analytics as _a
+    import cloudtrace_exporter_spark.operators.curate as _c
+    import cloudtrace_exporter_spark.operators.dedup as _d
+    import cloudtrace_exporter_spark.operators.graph as _g
+    import cloudtrace_exporter_spark.operators.similarity as _s
+    import cloudtrace_exporter_spark.operators.text as _t
+    for mod in (_a, _c, _d, _g, _s, _t):
+        t2 = ast.parse(open(mod.__file__).read())
+        d2 = Counter(n.name for n in t2.body if isinstance(n, ast.FunctionDef))
+        dd = {k: v for k, v in d2.items() if v > 1}
+        assert not dd, f"duplicate defs in {mod.__name__}: {dd}"

@@ -3941,6 +3941,33 @@ def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return analytics.retention_cohorts(load_table(spark, sf_dir, "events"))
 
 
+def q_triangle_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document triangle participation over the SCALE-TRUE pair
+    graph, ORACLE-EXACT (graph.triangle_counts on portable MinHash-LSH
+    edges, shared cached index) — localizes q_triangle_count's global
+    3-clique census (exact-Jaccard bounded slice) to the per-node
+    density signal on the banded candidate graph: which documents sit
+    in mutually-duplicate clusters."""
+    docs = load_table(spark, sf_dir, "documents")
+    index = _session_cache_get(
+        _MINHASH_PORTABLE_CACHE, spark, sf_dir,
+        lambda: dedup.minhash_banded_index(docs, portable=True),
+    )
+    pairs = dedup.minhash_lsh_pairs(docs, threshold=0.5, index=index).select(
+        "doc_a", "doc_b"
+    )
+    return graph.triangle_counts(pairs)
+
+
+def q_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calibration reliability report, ORACLE-EXACT: decile bins of the
+    k/100 pseudo-probability vs the purchase outcome — mean prediction
+    (one division of a BIGINT sum), empirical rate, |gap|, ECE summand
+    (analytics.calibration_bins) — the measurement twin of
+    isotonic_calibration."""
+    return analytics.calibration_bins(load_table(spark, sf_dir, "events"))
+
+
 def q_funnel_strict(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Strict-sequence funnel, ORACLE-EXACT: view → click → purchase
     with a strictly-after cursor (analytics.funnel_strict — the
@@ -4382,6 +4409,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_quota_split": q_quota_split,
         "q_funnel_strict": q_funnel_strict,
         "q_transition_matrix": q_transition_matrix,
+        "q_triangle_degree": q_triangle_degree,
+        "q_calibration_bins": q_calibration_bins,
         # rows-only by design (Python-side PNG decode; stats_agree column
         # certifies cross-format parity in-row)
         "q_multimodal_png": q_multimodal_png,
@@ -7360,6 +7389,62 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(CASE WHEN doc_id = first_doc THEN 1 ELSE 0 END)
                         AS DOUBLE) / CAST(count(*) AS DOUBLE) AS novelty_rate
             FROM fl GROUP BY source ORDER BY source
+        """,
+        # round-7: per-node triangles over the banded LSH pair graph —
+        # agreement >= 16/32 is the integer form of est_jaccard >= 0.5
+        "q_triangle_degree": _portable_banded_cte() + """,
+            cand AS (
+              SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                     a.sig AS sig_a, b.sig AS sig_b
+              FROM banded a JOIN banded b
+                ON a.band = b.band AND a.bucket = b.bucket
+                   AND a.doc_id < b.doc_id
+            ),
+            prs AS (
+              SELECT doc_a, doc_b FROM cand
+              WHERE len(list_filter(range(1, 33), i -> sig_a[i] = sig_b[i])) >= 16
+            ),
+            tri AS (
+              SELECT ab.doc_a AS a, ab.doc_b AS b, bc.doc_b AS c
+              FROM prs ab
+              JOIN prs bc ON ab.doc_b = bc.doc_a
+              JOIN prs ac ON ac.doc_a = ab.doc_a AND ac.doc_b = bc.doc_b
+            ),
+            nodes AS (
+              SELECT a AS doc_id FROM tri
+              UNION ALL SELECT b FROM tri
+              UNION ALL SELECT c FROM tri
+            )
+            SELECT doc_id, CAST(count(*) AS BIGINT) AS n_triangles
+            FROM nodes GROUP BY doc_id ORDER BY doc_id
+        """,
+        # round-7: calibration bins — BIGINT sums, one pinned division
+        # per emitted float, ECE summand left per-row (no float summation)
+        "q_calibration_bins": """
+            WITH b AS (
+              SELECT (CAST(json_extract_string(props, '$.k') AS BIGINT) * 10)
+                       // 100 AS bin,
+                     CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+                     CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+              FROM events
+            ),
+            g AS (
+              SELECT bin, CAST(count(*) AS BIGINT) AS n,
+                     CAST(sum(k) AS BIGINT) AS sk,
+                     CAST(sum(y) AS BIGINT) AS sy
+              FROM b WHERE bin IS NOT NULL GROUP BY bin
+            ),
+            t AS (SELECT CAST(count(*) AS BIGINT) AS n_tot FROM b WHERE bin IS NOT NULL)
+            SELECT bin, n,
+                   round(CAST(sk AS DOUBLE) / CAST(n * 100 AS DOUBLE), 6) AS mean_pred,
+                   round(CAST(sy AS DOUBLE) / CAST(n AS DOUBLE), 6) AS rate,
+                   round(abs(CAST(sk AS DOUBLE) / CAST(n * 100 AS DOUBLE)
+                             - CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)), 6) AS gap,
+                   round(CAST(n AS DOUBLE)
+                         * abs(CAST(sk AS DOUBLE) / CAST(n * 100 AS DOUBLE)
+                               - CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))
+                         / CAST(n_tot AS DOUBLE), 6) AS ece_term
+            FROM g CROSS JOIN t ORDER BY bin
         """,
         # round-7: strict-sequence funnel — integer window-min recurrence
         # over one user partitioning; strictly-after cursor semantics

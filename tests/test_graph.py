@@ -286,3 +286,32 @@ def test_label_propagation_tie_breaks_to_smallest_label(spark):
             for r in label_propagation(df, n_rounds=rounds).collect()
         }
         assert out == {"x": "x", "y": "x"}
+
+
+def test_triangle_counts_planted_clique_and_chain(spark):
+    """4-clique: every node in C(3,2)=3 triangles; a disjoint 3-chain
+    (path, not closed) contributes none; reversed/duplicate edges are
+    normalized."""
+    from cloudtrace_exporter_spark.operators import graph as g
+
+    clique = [(a, b) for a in range(1, 5) for b in range(1, 5) if a < b]
+    chain = [(10, 11), (12, 11)]  # one edge reversed on purpose
+    edges = spark.createDataFrame(clique + chain + clique, "doc_a long, doc_b long")
+    out = {r.doc_id: r.n_triangles for r in g.triangle_counts(edges).collect()}
+    assert out == {1: 3, 2: 3, 3: 3, 4: 3}
+
+
+def test_triangle_counts_global_sum_matches_census(spark, sf_dir):
+    """Per-node participation sums to 3x the global 3-clique census on
+    the same edge set (each triangle touches three nodes)."""
+    from cloudtrace_exporter_spark.operators import dedup
+    from cloudtrace_exporter_spark.operators import graph as g
+    from cloudtrace_exporter_spark.sources.tables import load_table
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
+    pairs = dedup.jaccard_pairs(docs, 0.95).select("doc_a", "doc_b")
+    per_node = g.triangle_counts(pairs)
+    total = per_node.agg(F.sum("n_triangles")).collect()[0][0] or 0
+    census = dedup.similarity_triangles(pairs).collect()[0][0]
+    assert total == 3 * census

@@ -780,3 +780,18 @@ def test_transition_matrix_lead_then_grid(plans):
     # one lead() exchange, then the (from, to) grid agg + grid window
     p = plans("q_transition_matrix")
     assert "Join" not in p
+
+
+def test_triangle_degree_all_equi_joins(plans):
+    # wedge enumeration + closure semi-join on the LSH pair graph: every
+    # join is an equi-join, nothing nested-loops
+    p = plans("q_triangle_degree")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_calibration_bins_single_grid_agg(plans):
+    # one n_bins-row aggregate + a broadcast 1-row total; no windows
+    p = plans("q_calibration_bins")
+    assert "Window" not in p
+    assert "CartesianProduct" not in p

@@ -1014,3 +1014,26 @@ def test_transition_matrix_hand_bigrams(spark):
     assert set(out) == {("a", "b"), ("b", "a"), ("a", "c")}
     assert out[("a", "b")].p == 0.5 and out[("a", "c")].p == 0.5
     assert out[("b", "a")].p == 1.0
+
+
+def test_calibration_bins_hand_values(spark):
+    """Bin 9 (k=90..99): two events, mean_pred = (90+99)/200 = 0.945,
+    one purchase -> rate 0.5, gap |0.945-0.5| = 0.445; bin 0 perfectly
+    calibrated at rate 0 with k=0."""
+    from datetime import datetime
+
+    t = datetime(2024, 1, 1)
+    rows = [
+        (0, t, 1, "purchase", 1.0, '{"k": 90}'),
+        (1, t, 1, "view", 1.0, '{"k": 99}'),
+        (2, t, 1, "view", 1.0, '{"k": 0}'),
+        (3, t, 1, "error", 1.0, '{"k": 0}'),
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    )
+    out = {r.bin: r for r in analytics.calibration_bins(ev).collect()}
+    assert out[9].n == 2 and out[9].mean_pred == 0.945 and out[9].rate == 0.5
+    assert out[9].gap == 0.445 and out[9].ece_term == round(2 * 0.445 / 4, 6)
+    assert out[0].mean_pred == 0.0 and out[0].rate == 0.0 and out[0].gap == 0.0

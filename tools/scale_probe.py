@@ -343,6 +343,20 @@ def main() -> None:
         t(f"funnel_strict {tag}", lambda e=e: analytics.funnel_strict(e))
     for tag, e in (("1x", ev1), ("10x", ev10)):
         t(f"transition_matrix {tag}", lambda e=e: analytics.transition_matrix(e))
+    from cloudtrace_exporter_spark.operators import graph as _graph
+
+    for tag, d in (("1x", docs1), ("10x", docs10)):
+        idx = lsh_index(d)
+        idx.count()
+        t(
+            f"triangle_counts (LSH pairs) {tag}",
+            lambda d=d, idx=idx: _graph.triangle_counts(
+                dedup.minhash_lsh_pairs(d, threshold=0.5, index=idx).select("doc_a", "doc_b")
+            ),
+        )
+        idx.unpersist()
+    for tag, e in (("1x", ev1), ("10x", ev10)):
+        t(f"calibration_bins {tag}", lambda e=e: analytics.calibration_bins(e))
     # DBSCAN with the INJECTED candidate source over the whole corpus —
     # the 100 TB posture (the q_dbscan_lsh plan): sign-block bits follow
     # the semantic_dedup occupancy rule (buckets ∝ corpus) so bucket

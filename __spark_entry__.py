@@ -3941,6 +3941,16 @@ def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return analytics.retention_cohorts(load_table(spark, sf_dir, "events"))
 
 
+def q_dominant_direction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-component PCA, ORACLE-EXACT: dominant principal direction of
+    the embedding gram matrix by 8 rounds of distributed power
+    iteration (similarity.dominant_direction) — all-integer X·(X·w)
+    rounds, floor-half-up renormalization, 64 scalars per round across
+    the driver; the oracle unrolls the identical rounds. The
+    embedding-anisotropy diagnostic."""
+    return similarity.dominant_direction(load_table(spark, sf_dir, "embeddings"))
+
+
 def q_triangle_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document triangle participation over the SCALE-TRUE pair
     graph, ORACLE-EXACT (graph.triangle_counts on portable MinHash-LSH
@@ -4411,6 +4421,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_transition_matrix": q_transition_matrix,
         "q_triangle_degree": q_triangle_degree,
         "q_calibration_bins": q_calibration_bins,
+        "q_dominant_direction": q_dominant_direction,
         # rows-only by design (Python-side PNG decode; stats_agree column
         # certifies cross-format parity in-row)
         "q_multimodal_png": q_multimodal_png,
@@ -4844,6 +4855,57 @@ def _classifier_oracle_sql(*, seed: int = 7, threshold: float = 0.0) -> str:
                  >= {threshold} AS keep
         FROM s
     """
+
+
+def _dominant_direction_oracle_sql(
+    *, rounds: int = 8, dim: int = 64, scale: int = 1000, wscale: int = 10**6
+) -> str:
+    """DuckDB replay of similarity.dominant_direction: the same
+    ``rounds`` power-iteration rounds unrolled as CTEs (the
+    LPA/MMR/PageRank unroll precedent) — all-integer y = X·(X·w) per
+    round, floor(y/max|y|·wscale + 0.5) renormalization (half-up via
+    floor, sidestepping the HALF_UP/HALF_EVEN engine split)."""
+    parts = [
+        f"""
+            WITH x AS MATERIALIZED (
+              SELECT list_transform(CAST(embedding AS DOUBLE[]),
+                     v -> CAST(round(v * {scale}) AS BIGINT)) AS x
+              FROM embeddings
+            ),
+            w0 AS (SELECT unnest(range(1, {dim + 1})) AS i,
+                          CAST({wscale} AS BIGINT) AS wv)"""
+    ]
+    prev = "w0"
+    for r in range(1, rounds + 1):
+        parts.append(
+            f""",
+            l{r} AS (SELECT list(wv ORDER BY i) AS w FROM {prev}),
+            d{r} AS (
+              SELECT x, CAST(list_sum(list_transform(range(1, {dim + 1}),
+                     j -> x[j] * w[j])) AS BIGINT) AS d
+              FROM x CROSS JOIN l{r}
+            ),
+            y{r} AS MATERIALIZED (
+              SELECT i, CAST(sum(x[i] * d) AS BIGINT) AS y
+              FROM d{r} CROSS JOIN (SELECT unnest(range(1, {dim + 1})) AS i) ii
+              GROUP BY i
+            ),
+            m{r} AS (SELECT max(abs(y)) AS m FROM y{r}),
+            w{r} AS MATERIALIZED (
+              SELECT i, CASE WHEN m = 0 OR m IS NULL THEN CAST(0 AS BIGINT)
+                        ELSE CAST(floor(CAST(y AS DOUBLE) / CAST(m AS DOUBLE)
+                                        * {wscale} + 0.5) AS BIGINT) END AS wv
+              FROM y{r} CROSS JOIN m{r}
+            )"""
+        )
+        prev = f"w{r}"
+    parts.append(
+        f"""
+            SELECT CAST(i AS INTEGER) AS component, wv AS w_scaled,
+                   CAST(wv AS DOUBLE) / {float(wscale)} AS weight
+            FROM {prev} ORDER BY component"""
+    )
+    return "".join(parts)
 
 
 def _dbscan_oracle_sql(*, block: bool) -> str:
@@ -7390,6 +7452,8 @@ def oracle_sql() -> dict[str, str]:
                         AS DOUBLE) / CAST(count(*) AS DOUBLE) AS novelty_rate
             FROM fl GROUP BY source ORDER BY source
         """,
+        # round-7: power iteration unrolled (LPA/MMR/PageRank precedent)
+        "q_dominant_direction": _dominant_direction_oracle_sql(),
         # round-7: per-node triangles over the banded LSH pair graph —
         # agreement >= 16/32 is the integer form of est_jaccard >= 0.5
         "q_triangle_degree": _portable_banded_cte() + """,

@@ -1962,3 +1962,73 @@ def dbscan_embeddings(
         )
         .orderBy("vec_id")
     )
+
+
+def dominant_direction(
+    emb: DataFrame,
+    *,
+    rounds: int = 8,
+    scale: int = 10**3,
+    wscale: int = 10**6,
+    dim: int = 64,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Dominant principal direction of the (uncentered) embedding gram
+    matrix XᵀX by distributed POWER ITERATION — the one-component PCA
+    that answers "is this embedding space collapsing onto a single
+    axis" (anisotropy is the standard failure mode of contrastive
+    embedding runs; its complement lives in embedding_norm_stats).
+
+    Exactness strategy (the IVF/BPE driver-round pattern, made
+    bit-portable): vectors quantize to BIGINT at ``scale``; each round
+    computes y = X·(X·w) with ALL-INTEGER dots (w itself is a BIGINT
+    vector at ``wscale``), then renormalizes w ← floor(y/max|y|·wscale
+    + 0.5) — the only float ops are one exactly-defined BIGINT→DOUBLE
+    conversion pair, one division, one multiply, and a floor(+0.5)
+    half-up rounding that both engines implement identically (F.round
+    HALF_UP vs DuckDB HALF_EVEN is the known tie-splitter — floor(x+.5)
+    sidesteps it). The oracle unrolls the same ``rounds`` CTE rounds.
+
+    Integer-overflow budget: |x·w| ≤ dim·(scale·max|v|)·wscale and each
+    y term multiplies by another x_i — Σ|x_i·(x·w)| must stay < 2⁶³:
+    with 64-dim unit-ish vectors that caps at ~10⁵ rows at these
+    scales; larger corpora drop ``wscale`` to 10⁵/10⁴ (documented knob,
+    same contract).
+
+    Scale shape: ONE cached quantized frame; per round ONE aggregation
+    pass (64 integer sums, map-side partials) and 64 scalars crossing
+    the driver — the sanctioned bounded collect (centroid/BPE
+    precedent). No shuffle beyond the aggregate's.
+    """
+    import math
+
+    qvec = F.transform(_as_double(vec_col), lambda v: F.round(v * scale).cast("long"))
+    x = cache_once(emb.select(qvec.alias("x")))
+    w = [wscale] * dim
+    spark = emb.sparkSession
+    for _ in range(rounds):
+        w_lit = F.array(*[F.lit(int(c)).cast("long") for c in w])
+        dot = F.aggregate(
+            F.zip_with("x", w_lit, lambda a, b: a * b),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        )
+        row = x.select(dot.alias("d"), "x").agg(
+            *[
+                F.sum(F.element_at("x", i + 1) * F.col("d")).cast("long").alias(f"y{i}")
+                for i in range(dim)
+            ]
+        ).collect()[0]
+        y = [row[f"y{i}"] if row[f"y{i}"] is not None else 0 for i in range(dim)]
+        m = max(abs(v) for v in y)
+        if m == 0:
+            w = [0] * dim
+            break
+        w = [int(math.floor(v / m * wscale + 0.5)) for v in y]
+    rows = [(i + 1, int(w[i])) for i in range(dim)]
+    out = spark.createDataFrame(rows, "component int, w_scaled long")
+    return out.select(
+        "component",
+        "w_scaled",
+        (F.col("w_scaled").cast("double") / F.lit(float(wscale))).alias("weight"),
+    ).orderBy("component")

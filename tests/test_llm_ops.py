@@ -2700,3 +2700,34 @@ def test_ngram_novelty_credits_first_owner(spark):
     out = {r.source: r for r in text.ngram_novelty(docs).collect()}
     assert (out["s1"].n_grams, out["s1"].n_novel, out["s1"].novelty_rate) == (2, 2, 1.0)
     assert (out["s2"].n_grams, out["s2"].n_novel, out["s2"].novelty_rate) == (2, 1, 0.5)
+
+
+def test_dominant_direction_recovers_planted_axis(spark):
+    """Rank-1-dominated cloud: every vector is (mostly) a multiple of
+    axis 3 plus small off-axis noise on axis 7 — the dominant direction
+    must put |weight| 1.0 on component 3 (the max-abs normalization
+    pins the top component to exactly ±wscale) and near-zero elsewhere."""
+    import numpy as np
+
+    rng = np.random.RandomState(5)
+    rows = []
+    for i in range(60):
+        v = np.zeros(64)
+        v[2] = 2.0 + rng.rand()          # component index 3 (1-based)
+        v[6] = 0.05 * rng.rand()          # faint second axis
+        rows.append((i, [float(x) for x in v]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {r.component: r for r in similarity.dominant_direction(emb).collect()}
+    assert len(out) == 64
+    assert abs(out[3].w_scaled) == 1_000_000 and abs(out[3].weight) == 1.0
+    for c, r in out.items():
+        if c not in (3, 7):
+            assert r.w_scaled == 0
+    assert abs(out[7].weight) < 0.05
+
+
+def test_dominant_direction_deterministic_across_runs(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    a = similarity.dominant_direction(emb, rounds=4).collect()
+    b = similarity.dominant_direction(emb, rounds=4).collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]

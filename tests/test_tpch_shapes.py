@@ -384,6 +384,8 @@ def test_registry_consistency():
         "q_multimodal_audio", "q_multimodal_decode", "q_multimodal_features",
         "q_pagerank", "q_pq_rerank", "q_pq_topk", "q_simhash_near_dup",
         "q_winnow_dedup", "q_phash_dedup", "q_audio_fingerprint_dedup",
+        "q_multimodal_png",  # r7: Python-side PNG decode; per-row
+        # stats_agree parity bit is the in-row oracle
     }
     assert rows_only == documented, (
         f"undocumented rows-only: {rows_only - documented}; "

@@ -3941,6 +3941,15 @@ def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return analytics.retention_cohorts(load_table(spark, sf_dir, "events"))
 
 
+def q_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Changepoint localization, ORACLE-EXACT: per-series AMOC split via
+    the denominator-cleared CUSUM argmax |n·P_k − k·S| — a pure BIGINT
+    ranking with smallest-k tie-break (analytics.changepoint_amoc) —
+    plus the level before/after; cusum_drift's flag becomes a named
+    split day."""
+    return analytics.changepoint_amoc(load_table(spark, sf_dir, "events"))
+
+
 def q_dominant_direction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One-component PCA, ORACLE-EXACT: dominant principal direction of
     the embedding gram matrix by 8 rounds of distributed power
@@ -4422,6 +4431,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_triangle_degree": q_triangle_degree,
         "q_calibration_bins": q_calibration_bins,
         "q_dominant_direction": q_dominant_direction,
+        "q_changepoint": q_changepoint,
         # rows-only by design (Python-side PNG decode; stats_agree column
         # certifies cross-format parity in-row)
         "q_multimodal_png": q_multimodal_png,
@@ -7451,6 +7461,41 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(CASE WHEN doc_id = first_doc THEN 1 ELSE 0 END)
                         AS DOUBLE) / CAST(count(*) AS DOUBLE) AS novelty_rate
             FROM fl GROUP BY source ORDER BY source
+        """,
+        # round-7: AMOC changepoint — denominator-cleared integer CUSUM
+        # argmax, smallest-k tie-break; floor(+0.5) quantization
+        "q_changepoint": """
+            WITH daily AS (
+              SELECT event_type AS series, date_trunc('day', ts) AS day,
+                     CAST(floor(round(sum(value), 4) * 10000 + 0.5) AS BIGINT) AS yq
+              FROM events GROUP BY 1, 2
+            ),
+            g AS (
+              SELECT series, day, yq,
+                     CAST(row_number() OVER (PARTITION BY series ORDER BY day)
+                          AS BIGINT) AS k,
+                     CAST(sum(yq) OVER (PARTITION BY series ORDER BY day
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                          AS BIGINT) AS p,
+                     CAST(count(*) OVER (PARTITION BY series) AS BIGINT) AS n,
+                     CAST(sum(yq) OVER (PARTITION BY series) AS BIGINT) AS s
+              FROM daily
+            ),
+            cand AS (
+              SELECT *, abs(n * p - k * s) AS stat FROM g WHERE k < n
+            ),
+            best AS (
+              SELECT *, row_number() OVER (
+                PARTITION BY series ORDER BY stat DESC, k ASC) AS rk
+              FROM cand
+            )
+            SELECT series, n AS n_days, CAST(day AS TIMESTAMP) AS cp_day,
+                   k AS cp_k, stat,
+                   round(CAST(p AS DOUBLE) / CAST(k * 10000 AS DOUBLE), 6)
+                     AS mean_before,
+                   round(CAST(s - p AS DOUBLE)
+                         / CAST((n - k) * 10000 AS DOUBLE), 6) AS mean_after
+            FROM best WHERE rk = 1 ORDER BY series
         """,
         # round-7: power iteration unrolled (LPA/MMR/PageRank precedent)
         "q_dominant_direction": _dominant_direction_oracle_sql(),

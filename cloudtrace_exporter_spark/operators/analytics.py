@@ -5063,3 +5063,73 @@ def calibration_bins(
         )
         .orderBy("bin")
     )
+
+
+def changepoint_amoc(
+    events: DataFrame,
+    *,
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    scale: int = 10**4,
+) -> DataFrame:
+    """At-most-one-changepoint LOCALIZATION — the companion to
+    cusum_drift (that one FLAGS drift days; this one names THE split):
+    per series, the classic CUSUM estimator k̂ = argmax_k |Σ_{d≤k}(y_d −
+    ȳ)| over the daily grid, with the level before/after the split.
+
+    Exactness strategy: the argmax statistic clears its denominator —
+    |n·P_k − k·S| with P_k integer prefix sums of scale-quantized daily
+    values — so candidate ranking is a PURE BIGINT comparison (bounded
+    by n²·Σ|Y|, ~10¹⁵ at 100× fixture scale), tie-broken by smallest k
+    via struct-max; only the two emitted level means divide (round 6).
+
+    Scale shape: the daily grid reduce (one series-keyed exchange),
+    prefix/total windows on the same partitioning, one struct-max
+    aggregate. Series with n < 2 days emit NULLs, not crashes.
+    """
+    day = F.date_trunc("day", F.col(ts_col).cast("timestamp"))
+    daily = (
+        events.groupBy(F.col(type_col).alias("series"), day.alias("day"))
+        .agg(F.round(F.sum(value_col), 4).alias("y"))
+        .withColumn("yq", F.floor(F.col("y") * scale + 0.5).cast("long"))
+    )
+    w = Window.partitionBy("series").orderBy("day")
+    ws = Window.partitionBy("series")
+    g = (
+        daily.withColumn("k", F.row_number().over(w).cast("long"))
+        .withColumn("p", F.sum("yq").over(w.rowsBetween(Window.unboundedPreceding, 0)).cast("long"))
+        .withColumn("n", F.count(F.lit(1)).over(ws).cast("long"))
+        .withColumn("s", F.sum("yq").over(ws).cast("long"))
+    )
+    cand = g.filter(F.col("k") < F.col("n")).withColumn(
+        "stat", F.abs(F.col("n") * F.col("p") - F.col("k") * F.col("s"))
+    )
+    best = cand.groupBy("series").agg(
+        F.max(
+            F.struct(
+                F.col("stat"),
+                (-F.col("k")).alias("negk"),
+                F.col("day").alias("cp_day"),
+                F.col("p").alias("pk"),
+                F.col("n").alias("n"),
+                F.col("s").alias("s"),
+            )
+        ).alias("m")
+    )
+    cp_k = -F.col("m.negk")
+    return best.select(
+        "series",
+        F.col("m.n").alias("n_days"),
+        F.col("m.cp_day").alias("cp_day"),
+        cp_k.cast("long").alias("cp_k"),
+        F.col("m.stat").alias("stat"),
+        F.round(F.col("m.pk").cast("double") / (cp_k * scale).cast("double"), 6).alias(
+            "mean_before"
+        ),
+        F.round(
+            (F.col("m.s") - F.col("m.pk")).cast("double")
+            / ((F.col("m.n") - cp_k) * scale).cast("double"),
+            6,
+        ).alias("mean_after"),
+    ).orderBy("series")

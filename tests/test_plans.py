@@ -795,3 +795,10 @@ def test_calibration_bins_single_grid_agg(plans):
     p = plans("q_calibration_bins")
     assert "Window" not in p
     assert "CartesianProduct" not in p
+
+
+def test_changepoint_single_series_exchange(plans):
+    # daily grid reduce + prefix/total windows + struct-max all share
+    # the series partitioning; no joins
+    p = plans("q_changepoint")
+    assert "Join" not in p

@@ -1037,3 +1037,30 @@ def test_calibration_bins_hand_values(spark):
     assert out[9].n == 2 and out[9].mean_pred == 0.945 and out[9].rate == 0.5
     assert out[9].gap == 0.445 and out[9].ece_term == round(2 * 0.445 / 4, 6)
     assert out[0].mean_pred == 0.0 and out[0].rate == 0.0 and out[0].gap == 0.0
+
+
+def test_changepoint_recovers_planted_level_shift(spark):
+    """Series 'shift': 10 days at level 10 then 10 days at level 50 —
+    the argmax must split exactly after day 10 with the two level
+    means recovered; a constant series still emits a row (max of a
+    flat statistic, smallest-k tie-break -> k=1)."""
+    from datetime import datetime, timedelta
+
+    t0 = datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    for d in range(20):
+        lvl = 10.0 if d < 10 else 50.0
+        rows.append((eid, t0 + timedelta(days=d), 1, "shift", lvl, "{}")); eid += 1
+    for d in range(6):
+        rows.append((eid, t0 + timedelta(days=d), 1, "flat", 7.0, "{}")); eid += 1
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    )
+    out = {r.series: r for r in analytics.changepoint_amoc(ev).collect()}
+    s = out["shift"]
+    assert s.cp_k == 10 and str(s.cp_day).startswith("2024-01-10")
+    assert s.mean_before == 10.0 and s.mean_after == 50.0
+    f = out["flat"]
+    assert f.cp_k == 1 and f.stat == 0 and f.mean_before == 7.0 == f.mean_after

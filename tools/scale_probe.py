@@ -359,6 +359,8 @@ def main() -> None:
         t(f"calibration_bins {tag}", lambda e=e: analytics.calibration_bins(e))
     for tag, e in (("1x", emb1), ("10x", emb10)):
         t(f"dominant_direction {tag}", lambda e=e: similarity.dominant_direction(e))
+    for tag, e in (("1x", ev1), ("10x", ev10)):
+        t(f"changepoint_amoc {tag}", lambda e=e: analytics.changepoint_amoc(e))
     # DBSCAN with the INJECTED candidate source over the whole corpus —
     # the 100 TB posture (the q_dbscan_lsh plan): sign-block bits follow
     # the semantic_dedup occupancy rule (buckets ∝ corpus) so bucket

@@ -3941,6 +3941,22 @@ def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return analytics.retention_cohorts(load_table(spark, sf_dir, "events"))
 
 
+def q_source_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus concentration, ORACLE-EXACT: per-language HHI of token
+    share by source, effective source count (1/HHI), top share
+    (curate.source_concentration) — exact BIGINT token sums, one raw
+    division per emitted ratio; the one-crawl-in-disguise detector."""
+    return curate.source_concentration(load_table(spark, sf_dir, "documents"))
+
+
+def q_pareto_front(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-objective skyline, ORACLE-EXACT: per-returnflag Pareto
+    frontier of (price ↓, quantity ↑) via the sort-scan reduction
+    (analytics.pareto_front) — the O(n²) dominance test collapsed to a
+    grid window; comparisons on parquet-native doubles only."""
+    return analytics.pareto_front(load_table(spark, sf_dir, "lineitem"))
+
+
 def q_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Changepoint localization, ORACLE-EXACT: per-series AMOC split via
     the denominator-cleared CUSUM argmax |n·P_k − k·S| — a pure BIGINT
@@ -4432,6 +4448,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_calibration_bins": q_calibration_bins,
         "q_dominant_direction": q_dominant_direction,
         "q_changepoint": q_changepoint,
+        "q_source_hhi": q_source_hhi,
+        "q_pareto_front": q_pareto_front,
         # rows-only by design (Python-side PNG decode; stats_agree column
         # certifies cross-format parity in-row)
         "q_multimodal_png": q_multimodal_png,
@@ -7461,6 +7479,51 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(CASE WHEN doc_id = first_doc THEN 1 ELSE 0 END)
                         AS DOUBLE) / CAST(count(*) AS DOUBLE) AS novelty_rate
             FROM fl GROUP BY source ORDER BY source
+        """,
+        # round-7: HHI concentration — BIGINT token sums, raw divisions
+        "q_source_hhi": f"""
+            WITH t AS (
+              SELECT lang AS stratum, source AS grp,
+                     CAST(sum(len({_TOKENS_SQL})) AS BIGINT) AS t_s
+              FROM documents GROUP BY 1, 2
+            ),
+            per AS (
+              SELECT stratum, CAST(count(*) AS BIGINT) AS n_sources,
+                     CAST(sum(t_s) AS BIGINT) AS n_tokens,
+                     CAST(sum(t_s * t_s) AS BIGINT) AS sq,
+                     CAST(max(t_s) AS BIGINT) AS top
+              FROM t GROUP BY stratum
+            )
+            SELECT stratum, n_sources, n_tokens,
+                   CASE WHEN n_tokens > 0 THEN
+                     CAST(sq AS DOUBLE) / CAST(n_tokens * n_tokens AS DOUBLE)
+                   END AS hhi,
+                   CASE WHEN n_tokens > 0 THEN
+                     round(1.0 / (CAST(sq AS DOUBLE)
+                                  / CAST(n_tokens * n_tokens AS DOUBLE)), 6)
+                   END AS effective_sources,
+                   CASE WHEN n_tokens > 0 THEN
+                     CAST(top AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+                   END AS top_share
+            FROM per ORDER BY stratum
+        """,
+        # round-7: Pareto skyline — per-cost max-gain grid + lag-exclusive
+        # running max; parquet-native doubles only
+        "q_pareto_front": """
+            WITH grid AS (
+              SELECT l_returnflag AS grp, l_extendedprice AS cost,
+                     max(l_quantity) AS gain
+              FROM lineitem GROUP BY 1, 2
+            ),
+            s AS (
+              SELECT *, max(gain) OVER (
+                PARTITION BY grp ORDER BY cost
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev
+              FROM grid
+            )
+            SELECT grp, cost, gain FROM s
+            WHERE prev IS NULL OR gain > prev
+            ORDER BY grp, cost
         """,
         # round-7: AMOC changepoint — denominator-cleared integer CUSUM
         # argmax, smallest-k tie-break; floor(+0.5) quantization

@@ -5133,3 +5133,42 @@ def changepoint_amoc(
             6,
         ).alias("mean_after"),
     ).orderBy("series")
+
+
+def pareto_front(
+    lineitem: DataFrame,
+    *,
+    group_col: str = "l_returnflag",
+    cost_col: str = "l_extendedprice",
+    gain_col: str = "l_quantity",
+) -> DataFrame:
+    """Per-group 2-D Pareto frontier (skyline): the rows for which no
+    other row in the group is both cheaper-or-equal AND
+    higher-or-equal-gain (with one strict) — the price/quantity
+    efficient set, the multi-objective cousin of top-k.
+
+    Exactness strategy: the classic sort-scan reduction — collapse to
+    the per-cost max-gain grid, then a row survives iff its gain
+    strictly exceeds the running max over all STRICTLY cheaper grid
+    rows (lag-exclusive window on the cost-sorted grid; the grid has
+    one row per cost so a ROWS frame is exact). All comparisons on
+    parquet-native doubles (bit-identical across engines); no derived
+    floats at all.
+
+    Scale shape: one (group, cost) grid aggregate, one group-keyed
+    window over the GRID (distinct costs, not rows). No joins, no
+    cartesian dominance test — the O(n²) definition collapses to a
+    scan.
+    """
+    grid = lineitem.groupBy(
+        F.col(group_col).alias("grp"), F.col(cost_col).alias("cost")
+    ).agg(F.max(gain_col).alias("gain"))
+    w = Window.partitionBy("grp").orderBy("cost").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    return (
+        grid.withColumn("__prev", F.max("gain").over(w))
+        .filter(F.col("__prev").isNull() | (F.col("gain") > F.col("__prev")))
+        .select("grp", "cost", "gain")
+        .orderBy("grp", "cost")
+    )

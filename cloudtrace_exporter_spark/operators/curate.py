@@ -1095,3 +1095,50 @@ def exact_quota_split(
         )
         .orderBy("doc_id")
     )
+
+
+def source_concentration(
+    documents: DataFrame,
+    *,
+    strata_col: str = "lang",
+    group_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Source-concentration report — Herfindahl–Hirschman index of token
+    share by source within each stratum, plus the effective source
+    count (1/HHI) and the top source's share: the "is this slice of the
+    corpus secretly one crawl" diagnostic a mixture designer reads next
+    to temperature_sampling_plan.
+
+    Exactness strategy: HHI = Σ t_s² / (Σ t_s)² with per-source token
+    sums as exact BIGINTs — ONE raw-double division (the percent_rank
+    rule); effective_sources = 1/HHI and top_share are each one more
+    pinned op on those exact ratios, rounded to 6.
+
+    Scale shape: one (stratum, source) aggregate with map-side
+    partials, then a |groups|-row stratum reduce. No windows over data,
+    no joins.
+    """
+    t = documents.groupBy(
+        F.col(strata_col).alias("stratum"), F.col(group_col).alias("grp")
+    ).agg(F.sum(text.token_count(text_col)).cast("long").alias("t_s"))
+    per = t.groupBy("stratum").agg(
+        F.count(F.lit(1)).cast("long").alias("n_sources"),
+        F.sum("t_s").cast("long").alias("n_tokens"),
+        F.sum(F.col("t_s") * F.col("t_s")).cast("long").alias("__sq"),
+        F.max("t_s").cast("long").alias("__top"),
+    )
+    ok = F.col("n_tokens") > 0
+    hhi = F.col("__sq").cast("double") / (F.col("n_tokens") * F.col("n_tokens")).cast(
+        "double"
+    )
+    return per.select(
+        "stratum",
+        "n_sources",
+        "n_tokens",
+        F.when(ok, hhi).alias("hhi"),
+        F.when(ok, F.round(1.0 / hhi, 6)).alias("effective_sources"),
+        F.when(
+            ok, F.col("__top").cast("double") / F.col("n_tokens").cast("double")
+        ).alias("top_share"),
+    ).orderBy("stratum")

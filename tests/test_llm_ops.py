@@ -2731,3 +2731,19 @@ def test_dominant_direction_deterministic_across_runs(spark, sf_dir):
     a = similarity.dominant_direction(emb, rounds=4).collect()
     b = similarity.dominant_direction(emb, rounds=4).collect()
     assert [tuple(r) for r in a] == [tuple(r) for r in b]
+
+
+def test_source_concentration_hand_values(spark):
+    """Stratum 'a': sources with 30/10 tokens -> HHI = (900+100)/1600 =
+    0.625, effective = 1.6, top_share = 0.75; single-source stratum 'b'
+    -> HHI exactly 1.0."""
+    docs = spark.createDataFrame(
+        [(1, " ".join(["w"] * 30), "a", "s1", 1),
+         (2, " ".join(["w"] * 10), "a", "s2", 1),
+         (3, " ".join(["w"] * 7), "b", "s1", 1)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    out = {r.stratum: r for r in curate.source_concentration(docs).collect()}
+    assert out["a"].hhi == 0.625 and out["a"].effective_sources == 1.6
+    assert out["a"].top_share == 0.75 and out["a"].n_sources == 2
+    assert out["b"].hhi == 1.0 and out["b"].effective_sources == 1.0

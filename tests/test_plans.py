@@ -802,3 +802,16 @@ def test_changepoint_single_series_exchange(plans):
     # the series partitioning; no joins
     p = plans("q_changepoint")
     assert "Join" not in p
+
+
+def test_source_hhi_single_agg_chain(plans):
+    p = plans("q_source_hhi")
+    assert "Join" not in p and "Window" not in p
+
+
+def test_pareto_front_grid_window_no_joins(plans):
+    # the dominance test is a lag-exclusive window over the per-cost
+    # grid — never a self-join or cartesian dominance comparison
+    p = plans("q_pareto_front")
+    assert "Join" not in p
+    assert "CartesianProduct" not in p

@@ -1064,3 +1064,39 @@ def test_changepoint_recovers_planted_level_shift(spark):
     assert s.mean_before == 10.0 and s.mean_after == 50.0
     f = out["flat"]
     assert f.cp_k == 1 and f.stat == 0 and f.mean_before == 7.0 == f.mean_after
+
+
+def test_pareto_front_hand_dominance(spark):
+    """Points (1,5) (2,9) (3,9) (2,3): (2,3) and (3,9) are dominated
+    ((2,9) is cheaper-or-equal and gains-more-or-equal with a strict);
+    equal-cost rows collapse to the max-gain grid point."""
+    rows = [
+        (1, 1, 5.0, 1.0, 0.0, 0.0, "A", "F", "1994-01-01"),
+        (2, 1, 9.0, 2.0, 0.0, 0.0, "A", "F", "1994-01-01"),
+        (3, 1, 9.0, 3.0, 0.0, 0.0, "A", "F", "1994-01-01"),
+        (4, 1, 3.0, 2.0, 0.0, 0.0, "A", "F", "1994-01-01"),
+    ]
+    li = spark.createDataFrame(
+        rows,
+        "l_orderkey long, l_linenumber long, l_quantity double, l_extendedprice double,"
+        " l_discount double, l_tax double, l_returnflag string, l_linestatus string,"
+        " l_shipdate string",
+    )
+    got = {(r.grp, r.cost, r.gain) for r in analytics.pareto_front(li).collect()}
+    assert got == {("A", 1.0, 5.0), ("A", 2.0, 9.0)}
+
+
+def test_pareto_front_no_survivor_dominated(spark, sf_dir):
+    """Frontier invariant on real data: gains strictly increase with
+    cost along each group's frontier (otherwise something dominated
+    survived)."""
+    from cloudtrace_exporter_spark.sources.tables import load_table
+
+    out = analytics.pareto_front(load_table(spark, sf_dir, "lineitem")).collect()
+    by = {}
+    for r in out:
+        by.setdefault(r.grp, []).append((r.cost, r.gain))
+    for pts in by.values():
+        pts.sort()
+        gains = [g for _, g in pts]
+        assert gains == sorted(gains) and len(set(gains)) == len(gains)

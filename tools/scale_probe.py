@@ -361,6 +361,8 @@ def main() -> None:
         t(f"dominant_direction {tag}", lambda e=e: similarity.dominant_direction(e))
     for tag, e in (("1x", ev1), ("10x", ev10)):
         t(f"changepoint_amoc {tag}", lambda e=e: analytics.changepoint_amoc(e))
+    for tag, d in (("1x", docs1), ("10x", docs10)):
+        t(f"source_concentration {tag}", lambda d=d: _cur.source_concentration(d))
     # DBSCAN with the INJECTED candidate source over the whole corpus —
     # the 100 TB posture (the q_dbscan_lsh plan): sign-block bits follow
     # the semantic_dedup occupancy rule (buckets ∝ corpus) so bucket

@@ -3941,6 +3941,16 @@ def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return analytics.retention_cohorts(load_table(spark, sf_dir, "events"))
 
 
+def q_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic Poisson-bootstrap CI, ORACLE-EXACT: 200 md5-driven
+    resample replicates per series (integer inverse-CDF weights at 2^48,
+    shared constants both engines), replicate means as single divisions
+    of BIGINT sums, CI bounds by exact element selection at
+    ceil((B+1)alpha/2) ranks (analytics.bootstrap_ci) — the
+    nonparametric uncertainty twin of q_ab_ztest."""
+    return analytics.bootstrap_ci(load_table(spark, sf_dir, "events"))
+
+
 def q_source_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus concentration, ORACLE-EXACT: per-language HHI of token
     share by source, effective source count (1/HHI), top share
@@ -4450,6 +4460,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_changepoint": q_changepoint,
         "q_source_hhi": q_source_hhi,
         "q_pareto_front": q_pareto_front,
+        "q_bootstrap_ci": q_bootstrap_ci,
         # rows-only by design (Python-side PNG decode; stats_agree column
         # certifies cross-format parity in-row)
         "q_multimodal_png": q_multimodal_png,
@@ -4883,6 +4894,71 @@ def _classifier_oracle_sql(*, seed: int = 7, threshold: float = 0.0) -> str:
                  >= {threshold} AS keep
         FROM s
     """
+
+
+def _bootstrap_ci_oracle_sql(
+    *, b_reps: int = 200, scale: int = 100, alpha_num: int = 5, alpha_den: int = 100
+) -> str:
+    """DuckDB replay of analytics.bootstrap_ci — identical md5-indexed
+    Poisson weights (thresholds imported from the SAME
+    _poisson1_cdf48(), so both engines compare the same integers),
+    BIGINT replicate sums, exact-rank CI selection; integer-ratio
+    doubles emitted raw."""
+    from cloudtrace_exporter_spark.operators.analytics import _poisson1_cdf48
+
+    t = _poisson1_cdf48()
+    den2 = 2 * alpha_den
+    rlo = f"(((bn + 1) * {alpha_num} + {den2} - 1) // {den2})"
+    return f"""
+            WITH base AS (
+              SELECT event_type AS series, event_id AS id,
+                     CAST(floor(value * {scale} + 0.5) AS BIGINT) AS yq
+              FROM events
+            ),
+            overall AS (
+              SELECT series, CAST(count(*) AS BIGINT) AS n_events,
+                     CAST(sum(yq) AS BIGINT) AS sy
+              FROM base GROUP BY series
+            ),
+            wts AS (
+              SELECT series, b, yq,
+                     CASE WHEN v < {t[0]} THEN 0 WHEN v < {t[1]} THEN 1
+                          WHEN v < {t[2]} THEN 2 WHEN v < {t[3]} THEN 3
+                          WHEN v < {t[4]} THEN 4 ELSE 5 END AS w
+              FROM (
+                SELECT series, yq, b,
+                       CAST(('0x' || substr(md5(CAST(id AS VARCHAR) || ':'
+                            || CAST(b AS VARCHAR)), 1, 12)) AS BIGINT) AS v
+                FROM base CROSS JOIN (SELECT unnest(range(1, {b_reps + 1})) AS b) bb
+              )
+            ),
+            per AS (
+              SELECT series, b, CAST(sum(w * yq) AS BIGINT) AS swy,
+                     CAST(sum(w) AS BIGINT) AS sw
+              FROM wts GROUP BY series, b HAVING sum(w) > 0
+            ),
+            rk AS (
+              SELECT series, b,
+                     CAST(swy AS DOUBLE) / CAST(sw * {scale} AS DOUBLE) AS mean_b,
+                     CAST(count(*) OVER (PARTITION BY series) AS BIGINT) AS bn,
+                     CAST(row_number() OVER (PARTITION BY series
+                          ORDER BY CAST(swy AS DOUBLE) / CAST(sw * {scale} AS DOUBLE), b)
+                       AS BIGINT) AS rk
+              FROM per
+            ),
+            sel AS (
+              SELECT series,
+                     max(CASE WHEN rk = {rlo} THEN mean_b END) AS lo,
+                     max(CASE WHEN rk = bn + 1 - {rlo} THEN mean_b END) AS hi,
+                     CAST(max(bn) AS BIGINT) AS b_reps
+              FROM rk GROUP BY series
+            )
+            SELECT o.series, o.n_events, s.b_reps,
+                   CAST(o.sy AS DOUBLE) / CAST(o.n_events * {scale} AS DOUBLE) AS mean,
+                   s.lo AS ci_lo, s.hi AS ci_hi
+            FROM overall o LEFT JOIN sel s USING (series)
+            ORDER BY series
+        """
 
 
 def _dominant_direction_oracle_sql(
@@ -7480,6 +7556,9 @@ def oracle_sql() -> dict[str, str]:
                         AS DOUBLE) / CAST(count(*) AS DOUBLE) AS novelty_rate
             FROM fl GROUP BY source ORDER BY source
         """,
+        # round-7: Poisson bootstrap — shared integer thresholds, exact
+        # rank selection, raw integer-ratio doubles
+        "q_bootstrap_ci": _bootstrap_ci_oracle_sql(),
         # round-7: HHI concentration — BIGINT token sums, raw divisions
         "q_source_hhi": f"""
             WITH t AS (

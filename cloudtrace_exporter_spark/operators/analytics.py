@@ -5172,3 +5172,128 @@ def pareto_front(
         .select("grp", "cost", "gain")
         .orderBy("grp", "cost")
     )
+
+
+def _poisson1_cdf48(max_k: int = 4) -> list[int]:
+    """floor(CDF_Poisson(1)(k) · 2⁴⁸) thresholds, k = 0..max_k — shared
+    by the Spark plan and the DuckDB oracle generator so both engines
+    compare the SAME integer constants (the literal is computed once
+    per process; any last-ulp libm variance cancels by construction)."""
+    import math
+
+    acc, out = 0.0, []
+    for k in range(max_k + 1):
+        acc += math.exp(-1.0) / math.factorial(k)
+        out.append(int(math.floor(acc * (1 << 48))))
+    return out
+
+
+def bootstrap_ci(
+    events: DataFrame,
+    *,
+    b_reps: int = 200,
+    type_col: str = "event_type",
+    value_col: str = "value",
+    id_col: str = "event_id",
+    scale: int = 100,
+    alpha_num: int = 5,
+    alpha_den: int = 100,
+) -> DataFrame:
+    """Deterministic POISSON BOOTSTRAP confidence interval for each
+    series' mean — the experimentation suite's uncertainty artifact
+    next to ab_ztest's parametric one: ``b_reps`` resample replicates
+    where row i's multiplicity in replicate b is Poisson(1)-distributed
+    (the classic big-data bootstrap: no global n needed, every row
+    decides its own weight), drawn NOT from an RNG but from
+    md5(id:b) — reproducible across runs, engines, retries, and
+    repartitioning (the hash_sample rule applied to resampling).
+
+    Exactness strategy: the Poisson inverse-CDF is integer thresholds
+    at 2⁴⁸ (shared constants, see _poisson1_cdf48) against the md5
+    prefix; replicate sums Σw·yq are exact BIGINTs over floor-half-up
+    centi-quantized values; each replicate mean is ONE division; the
+    CI bounds are EXACT ELEMENT SELECTIONS at integer ranks
+    ⌈(B+1)·α/2⌉ / B+1−that over the (mean, b) total order — never an
+    interpolated percentile.
+
+    Scale shape: one explode (×b_reps — weights and yq ride as two
+    BIGINTs, never the raw rows' payload), one (series, b) aggregate
+    with map-side partials, then rank-selection windows over the
+    B-row-per-series replicate frame. At 100 TB pick b_reps to taste:
+    cost is linear in B and embarrassingly parallel.
+    """
+    t = _poisson1_cdf48()
+    base = events.select(
+        F.col(type_col).alias("series"),
+        F.col(id_col).alias("id"),
+        F.floor(F.col(value_col) * scale + 0.5).cast("long").alias("yq"),
+    )
+    overall = base.groupBy("series").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.sum("yq").cast("long").alias("__sy"),
+    )
+    reps = base.withColumn("b", F.explode(F.sequence(F.lit(1), F.lit(int(b_reps)))))
+    v = F.conv(
+        F.substring(
+            F.md5(F.concat(F.col("id").cast("string"), F.lit(":"), F.col("b").cast("string")).cast("binary")),
+            1,
+            12,
+        ),
+        16,
+        10,
+    ).cast("long")
+    w = (
+        F.when(v < t[0], F.lit(0))
+        .when(v < t[1], F.lit(1))
+        .when(v < t[2], F.lit(2))
+        .when(v < t[3], F.lit(3))
+        .when(v < t[4], F.lit(4))
+        .otherwise(F.lit(5))
+        .cast("long")
+    )
+    per = (
+        reps.withColumn("w", w)
+        .groupBy("series", "b")
+        .agg(
+            F.sum(F.col("w") * F.col("yq")).cast("long").alias("swy"),
+            F.sum("w").cast("long").alias("sw"),
+        )
+        .filter(F.col("sw") > 0)
+        .withColumn(
+            "mean_b", F.col("swy").cast("double") / (F.col("sw") * scale).cast("double")
+        )
+    )
+    ws = Window.partitionBy("series")
+    wrk = Window.partitionBy("series").orderBy("mean_b", "b")
+    den2 = 2 * alpha_den
+    ranked = (
+        per.withColumn("bn", F.count(F.lit(1)).over(ws).cast("long"))
+        .withColumn("rk", F.row_number().over(wrk).cast("long"))
+        .withColumn(
+            "rlo",
+            F.expr(f"((bn + 1) * {alpha_num} + {den2} - 1) DIV {den2}"),
+        )
+    )
+    sel = ranked.groupBy("series").agg(
+        F.max(F.when(F.col("rk") == F.col("rlo"), F.col("mean_b"))).alias("__lo"),
+        F.max(
+            F.when(F.col("rk") == F.col("bn") + 1 - F.col("rlo"), F.col("mean_b"))
+        ).alias("__hi"),
+        F.max("bn").alias("b_reps"),
+    )
+    return (
+        overall.join(sel, "series", "left")
+        .select(
+            "series",
+            "n_events",
+            F.col("b_reps").cast("long").alias("b_reps"),
+            # integer-ratio doubles are emitted RAW (the percent_rank
+            # no-round rule: denominators carry factors of 5, so a
+            # 7th-digit tie would split HALF_UP vs HALF_EVEN engines)
+            (F.col("__sy").cast("double") / (F.col("n_events") * scale).cast("double"))
+            .alias("mean"),
+            F.col("__lo").alias("ci_lo"),
+            F.col("__hi").alias("ci_hi"),
+        )
+        .orderBy("series")
+    )

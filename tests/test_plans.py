@@ -815,3 +815,12 @@ def test_pareto_front_grid_window_no_joins(plans):
     p = plans("q_pareto_front")
     assert "Join" not in p
     assert "CartesianProduct" not in p
+
+
+def test_bootstrap_ci_no_cartesian_one_replicate_agg(plans):
+    # the explode carries only (series, id, yq, b); replicate sums are
+    # one map-side-partial aggregate; rank windows run over the B-row
+    # per-series frame
+    p = plans("q_bootstrap_ci")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p

@@ -1100,3 +1100,26 @@ def test_pareto_front_no_survivor_dominated(spark, sf_dir):
         pts.sort()
         gains = [g for _, g in pts]
         assert gains == sorted(gains) and len(set(gains)) == len(gains)
+
+
+def test_bootstrap_ci_constant_series_degenerates_to_point(spark):
+    """Every resample of a constant series has the same mean: the CI
+    collapses to [c, c] exactly; determinism across runs is structural
+    (md5-indexed weights, no RNG)."""
+    from datetime import datetime
+
+    t = datetime(2024, 1, 1)
+    rows = [(i, t, 1, "const", 7.25, "{}") for i in range(40)]
+    rows += [(100 + i, t, 1, "mixed", float(i % 10), "{}") for i in range(200)]
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    )
+    out = {r.series: r for r in analytics.bootstrap_ci(ev, b_reps=100).collect()}
+    c = out["const"]
+    assert c.mean == 7.25 and c.ci_lo == 7.25 and c.ci_hi == 7.25
+    m = out["mixed"]
+    assert m.ci_lo <= m.mean <= m.ci_hi and m.ci_lo < m.ci_hi
+    assert m.b_reps == 100
+    again = {r.series: r for r in analytics.bootstrap_ci(ev, b_reps=100).collect()}
+    assert {k: tuple(v) for k, v in out.items()} == {k: tuple(v) for k, v in again.items()}

@@ -363,6 +363,8 @@ def main() -> None:
         t(f"changepoint_amoc {tag}", lambda e=e: analytics.changepoint_amoc(e))
     for tag, d in (("1x", docs1), ("10x", docs10)):
         t(f"source_concentration {tag}", lambda d=d: _cur.source_concentration(d))
+    for tag, e in (("1x", ev1), ("10x", ev10)):
+        t(f"bootstrap_ci (B=200) {tag}", lambda e=e: analytics.bootstrap_ci(e))
     # DBSCAN with the INJECTED candidate source over the whole corpus —
     # the 100 TB posture (the q_dbscan_lsh plan): sign-block bits follow
     # the semantic_dedup occupancy rule (buckets ∝ corpus) so bucket

@@ -72,6 +72,14 @@ HEADLINE = [
     "q_passjoin_exact",
     "q_mutual_nn",
     "q_ks_test",
+    # round-7 trend lines: the injected-pair DBSCAN posture (the plan the
+    # weak mark was cleared with), the distributed prefix-sum packing
+    # primitive, the strict funnel's one-exchange window chain, and the
+    # triangle join over the shared banded index
+    "q_dbscan_lsh",
+    "q_pack_layout",
+    "q_funnel_strict",
+    "q_triangle_degree",
 ]
 
 

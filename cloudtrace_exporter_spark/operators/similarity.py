@@ -1912,7 +1912,7 @@ def dbscan_embeddings(
             .distinct()
         )
         cand = norm.join(a, "ia").join(b, "ib")
-    pairs = (
+    pairs = cache_once(
         cand.withColumn("__dot", dot)
         .filter(
             (F.col("__dot") >= 0)
@@ -1922,14 +1922,13 @@ def dbscan_embeddings(
             )
         )
         .select("ia", "ib")
-        .cache()
     )
     und = pairs.union(pairs.select(F.col("ib"), F.col("ia"))).toDF("id", "nb_id")
     deg = und.groupBy("id").agg(F.count(F.lit(1)).alias("__deg"))
     nodes = base.select("id").join(deg, "id", "left").select(
         "id", F.coalesce("__deg", F.lit(0)).alias("__deg")
     )
-    core = nodes.filter(F.col("__deg") + 1 >= min_pts).select("id").cache()
+    core = cache_once(nodes.filter(F.col("__deg") + 1 >= min_pts).select("id"))
     core_edges = (
         pairs.join(core.withColumnRenamed("id", "ia"), "ia", "left_semi")
         .join(core.withColumnRenamed("id", "ib"), "ib", "left_semi")

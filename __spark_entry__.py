@@ -4023,14 +4023,6 @@ def q_funnel_strict(spark: SparkSession, sf_dir: str) -> DataFrame:
     return analytics.funnel_strict(load_table(spark, sf_dir, "events"))
 
 
-def q_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Markov transition matrix, ORACLE-EXACT: consecutive event-type
-    bigrams per user over the (ts, id) total order with row-normalized
-    probabilities (analytics.transition_matrix) — one lead() exchange,
-    |types|² output."""
-    return analytics.transition_matrix(load_table(spark, sf_dir, "events"))
-
-
 def q_auc_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Classifier eval, ORACLE-EXACT: tie-corrected ROC-AUC + Gini of
     the value score against the JSON-payload outcome per series
@@ -4453,7 +4445,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_chi_square": q_chi_square,
         "q_quota_split": q_quota_split,
         "q_funnel_strict": q_funnel_strict,
-        "q_transition_matrix": q_transition_matrix,
         "q_triangle_degree": q_triangle_degree,
         "q_calibration_bins": q_calibration_bins,
         "q_dominant_direction": q_dominant_direction,
@@ -7740,24 +7731,6 @@ def oracle_sql() -> dict[str, str]:
                      CASE WHEN n0 > 0 THEN CAST(n2 AS DOUBLE) / CAST(n0 AS DOUBLE) END
               FROM c
             ) ORDER BY step_idx
-        """,
-        # round-7: Markov transitions — lead() bigrams over the (ts, id)
-        # total order, raw row-normalized ratios
-        "q_transition_matrix": """
-            WITH p AS (
-              SELECT event_type AS from_type,
-                     lead(event_type) OVER (
-                       PARTITION BY user_id ORDER BY ts, event_id) AS to_type
-              FROM events
-            ),
-            g AS (
-              SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n
-              FROM p WHERE to_type IS NOT NULL GROUP BY 1, 2
-            )
-            SELECT from_type, to_type, n,
-                   CAST(n AS DOUBLE) / CAST(sum(n) OVER (PARTITION BY from_type)
-                     AS DOUBLE) AS p
-            FROM g ORDER BY from_type, to_type
         """,
         # round-7: exact midrank AUC — 2·midrank stays BIGINT over the
         # (series, score) grid; one final integer-ratio division

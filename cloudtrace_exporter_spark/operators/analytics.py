@@ -4966,49 +4966,6 @@ def funnel_strict(
     return rows.orderBy("step_idx")
 
 
-def transition_matrix(
-    events: DataFrame,
-    *,
-    user_col: str = "user_id",
-    type_col: str = "event_type",
-    ts_col: str = "ts",
-    id_col: str = "event_id",
-) -> DataFrame:
-    """Per-user event-type Markov transition matrix — consecutive-event
-    bigrams over the (ts, id) total order, with the row-normalized
-    transition probability. The behavioral fingerprint next to
-    funnel_conversion's fixed path: which step actually FOLLOWS which.
-
-    Exactness strategy: transitions are integer counts off one lead()
-    window over the user partitioning; ``p`` is one integer-ratio
-    division per row, raw double out.
-
-    Scale shape: one user-keyed exchange for the lead, one aggregate on
-    the (from, to) grid (|types|² rows), row totals as a window over
-    that grid. No joins.
-    """
-    w = Window.partitionBy(user_col).orderBy(ts_col, id_col)
-    pairs = (
-        events.select(
-            F.col(user_col),
-            F.col(ts_col).cast("timestamp").alias(ts_col),
-            F.col(id_col),
-            F.col(type_col).alias("from_type"),
-        )
-        .withColumn("to_type", F.lead("from_type").over(w))
-        .filter(F.col("to_type").isNotNull())
-        .groupBy("from_type", "to_type")
-        .agg(F.count(F.lit(1)).cast("long").alias("n"))
-    )
-    wrow = Window.partitionBy("from_type")
-    return (
-        pairs.withColumn(
-            "p", F.col("n").cast("double") / F.sum("n").over(wrow).cast("double")
-        )
-        .orderBy("from_type", "to_type")
-    )
-
-
 def calibration_bins(
     events: DataFrame,
     *,

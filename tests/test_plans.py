@@ -776,12 +776,6 @@ def test_funnel_strict_single_user_exchange_no_joins(plans):
     assert live.count("Exchange hashpartitioning") == 0
 
 
-def test_transition_matrix_lead_then_grid(plans):
-    # one lead() exchange, then the (from, to) grid agg + grid window
-    p = plans("q_transition_matrix")
-    assert "Join" not in p
-
-
 def test_triangle_degree_all_equi_joins(plans):
     # wedge enumeration + closure semi-join on the LSH pair graph: every
     # join is an equi-join, nothing nested-loops

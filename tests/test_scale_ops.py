@@ -994,28 +994,6 @@ def test_funnel_strict_strictly_after_semantics(spark):
     assert out["purchase"].conv_from_first == 0.25
 
 
-def test_transition_matrix_hand_bigrams(spark):
-    """One user with path a->b->a->c: transitions (a,b), (b,a), (a,c);
-    row 'a' normalizes to 0.5/0.5; ties in ts break by event_id."""
-    from datetime import datetime
-
-    t = datetime(2024, 1, 1)
-    rows = [
-        (0, t, 1, "a", 1.0, "{}"),
-        (1, t, 1, "b", 1.0, "{}"),   # same ts: ordered by event_id
-        (2, t, 1, "a", 1.0, "{}"),
-        (3, t, 1, "c", 1.0, "{}"),
-    ]
-    ev = spark.createDataFrame(
-        rows,
-        "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
-    )
-    out = {(r.from_type, r.to_type): r for r in analytics.transition_matrix(ev).collect()}
-    assert set(out) == {("a", "b"), ("b", "a"), ("a", "c")}
-    assert out[("a", "b")].p == 0.5 and out[("a", "c")].p == 0.5
-    assert out[("b", "a")].p == 1.0
-
-
 def test_calibration_bins_hand_values(spark):
     """Bin 9 (k=90..99): two events, mean_pred = (90+99)/200 = 0.945,
     one purchase -> rate 0.5, gap |0.945-0.5| = 0.445; bin 0 perfectly

@@ -341,8 +341,6 @@ def main() -> None:
         t(f"exact_quota_split {tag}", lambda d=d: _cur.exact_quota_split(d))
     for tag, e in (("1x", ev1), ("10x", ev10)):
         t(f"funnel_strict {tag}", lambda e=e: analytics.funnel_strict(e))
-    for tag, e in (("1x", ev1), ("10x", ev10)):
-        t(f"transition_matrix {tag}", lambda e=e: analytics.transition_matrix(e))
     from cloudtrace_exporter_spark.operators import graph as _graph
 
     for tag, d in (("1x", docs1), ("10x", docs10)):

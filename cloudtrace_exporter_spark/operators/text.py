@@ -1759,7 +1759,11 @@ def ngram_novelty(
     vocab_growth_curve convention applied at shingle granularity)?
     The marginal-content report a buyer reads per FEED: a source whose
     novelty rate collapses is re-crawling text the corpus already has,
-    even when exact/near dedup doesn't fire.
+    even when exact/near dedup doesn't fire. Distinct from
+    ``dedup.source_novelty`` (n-grams EXCLUSIVE to one source,
+    order-free): a source can be 100% exclusive yet 0% novel here if a
+    sibling feed landed the same shingles first — exclusivity measures
+    overlap, first-seen credit measures ingestion-order redundancy.
 
     Exactness strategy: all counts are integers over the distinct
     per-document shingle sets (dedup._shingles — word n-grams,

@@ -3976,6 +3976,15 @@ def q_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return analytics.changepoint_amoc(load_table(spark, sf_dir, "events"))
 
 
+def q_anisotropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding anisotropy, ORACLE-EXACT: per-label fraction of vector
+    energy OFF the dominant principal axis (similarity.anisotropy_report
+    — the Mu–Viswanath all-but-the-top diagnostic): shared deterministic
+    power rounds at wscale=10³, exact Cauchy–Schwarz integer energies,
+    DECIMAL/HUGEINT label sums, one division per label."""
+    return similarity.anisotropy_report(load_table(spark, sf_dir, "embeddings"))
+
+
 def q_dominant_direction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One-component PCA, ORACLE-EXACT: dominant principal direction of
     the embedding gram matrix by 8 rounds of distributed power
@@ -4448,6 +4457,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_triangle_degree": q_triangle_degree,
         "q_calibration_bins": q_calibration_bins,
         "q_dominant_direction": q_dominant_direction,
+        "q_anisotropy": q_anisotropy,
         "q_changepoint": q_changepoint,
         "q_source_hhi": q_source_hhi,
         "q_pareto_front": q_pareto_front,
@@ -4952,18 +4962,19 @@ def _bootstrap_ci_oracle_sql(
         """
 
 
-def _dominant_direction_oracle_sql(
-    *, rounds: int = 8, dim: int = 64, scale: int = 1000, wscale: int = 10**6
+def _power_rounds_cte(
+    *, rounds: int = 8, dim: int = 64, scale: int = 1000, wscale: int = 10**6,
+    select_extra: str = "",
 ) -> str:
-    """DuckDB replay of similarity.dominant_direction: the same
-    ``rounds`` power-iteration rounds unrolled as CTEs (the
-    LPA/MMR/PageRank unroll precedent) — all-integer y = X·(X·w) per
-    round, floor(y/max|y|·wscale + 0.5) renormalization (half-up via
-    floor, sidestepping the HALF_UP/HALF_EVEN engine split)."""
+    """Shared WITH-chain for the power-iteration oracles: quantized
+    vectors + ``rounds`` unrolled all-integer rounds, every round CTE
+    MATERIALIZED (inlined CTEs re-expand per reference and nest
+    exponentially — the BPE double-reference lesson, measured 10× here).
+    Ends at ``w{rounds}`` = (i, wv)."""
     parts = [
         f"""
             WITH x AS MATERIALIZED (
-              SELECT list_transform(CAST(embedding AS DOUBLE[]),
+              SELECT {select_extra}list_transform(CAST(embedding AS DOUBLE[]),
                      v -> CAST(round(v * {scale}) AS BIGINT)) AS x
               FROM embeddings
             ),
@@ -4994,13 +5005,53 @@ def _dominant_direction_oracle_sql(
             )"""
         )
         prev = f"w{r}"
-    parts.append(
-        f"""
+    return "".join(parts)
+
+
+def _dominant_direction_oracle_sql(
+    *, rounds: int = 8, dim: int = 64, scale: int = 1000, wscale: int = 10**6
+) -> str:
+    """DuckDB replay of similarity.dominant_direction (see
+    _power_rounds_cte)."""
+    return _power_rounds_cte(rounds=rounds, dim=dim, scale=scale, wscale=wscale) + f"""
             SELECT CAST(i AS INTEGER) AS component, wv AS w_scaled,
                    CAST(wv AS DOUBLE) / {float(wscale)} AS weight
-            FROM {prev} ORDER BY component"""
-    )
-    return "".join(parts)
+            FROM w{rounds} ORDER BY component"""
+
+
+def _anisotropy_oracle_sql(
+    *, rounds: int = 8, dim: int = 64, scale: int = 1000, wscale: int = 10**3
+) -> str:
+    """DuckDB replay of similarity.anisotropy_report: the shared power
+    rounds at wscale=10³ (so per-row quantities stay BIGINT), then
+    exact HUGEINT off-axis energies per label — Cauchy–Schwarz
+    numerator n2·ww − xw², one division per label, round 6."""
+    return _power_rounds_cte(
+        rounds=rounds, dim=dim, scale=scale, wscale=wscale, select_extra="label, "
+    ) + f""",
+            lw AS (SELECT list(wv ORDER BY i) AS w FROM w{rounds}),
+            wwv AS (SELECT CAST(list_sum(list_transform(w, c -> c * c))
+                         AS BIGINT) AS ww FROM lw),
+            r AS (
+              SELECT label,
+                     CAST(list_sum(list_transform(range(1, {dim + 1}),
+                          j -> x[j] * x[j])) AS BIGINT) AS n2,
+                     CAST(list_sum(list_transform(range(1, {dim + 1}),
+                          j -> x[j] * w[j])) AS BIGINT) AS xw
+              FROM x CROSS JOIN lw
+            ),
+            per AS (
+              SELECT label, CAST(count(*) AS BIGINT) AS n_vecs,
+                     CAST(sum(n2) AS HUGEINT) AS sn2,
+                     sum(CAST(n2 AS HUGEINT) * ww
+                         - CAST(xw AS HUGEINT) * CAST(xw AS HUGEINT)) AS snum
+              FROM r CROSS JOIN wwv GROUP BY label
+            )
+            SELECT label, n_vecs, CAST(sn2 AS BIGINT) AS sum_n2,
+                   CASE WHEN n_vecs > 0 AND sn2 * ww > 0 THEN
+                     round(CAST(snum AS DOUBLE) / CAST(sn2 * ww AS DOUBLE), 6)
+                   END AS off_axis_frac
+            FROM per CROSS JOIN wwv ORDER BY label"""
 
 
 def _dbscan_oracle_sql(*, block: bool) -> str:
@@ -7632,6 +7683,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         # round-7: power iteration unrolled (LPA/MMR/PageRank precedent)
         "q_dominant_direction": _dominant_direction_oracle_sql(),
+        "q_anisotropy": _anisotropy_oracle_sql(),
         # round-7: per-node triangles over the banded LSH pair graph —
         # agreement >= 16/32 is the integer form of est_jaccard >= 0.5
         "q_triangle_degree": _portable_banded_cte() + """,

@@ -1963,6 +1963,45 @@ def dbscan_embeddings(
     )
 
 
+def power_iteration_vector(
+    emb: DataFrame,
+    *,
+    rounds: int = 8,
+    scale: int = 10**3,
+    wscale: int = 10**6,
+    dim: int = 64,
+    vec_col: str = "embedding",
+) -> list[int]:
+    """The raw power-iteration loop behind dominant_direction — returns
+    the BIGINT direction vector (scaled by ``wscale``) so composing
+    operators (anisotropy_report) can reuse the SAME deterministic
+    rounds; see dominant_direction for the exactness contract."""
+    import math
+
+    qvec = F.transform(_as_double(vec_col), lambda v: F.round(v * scale).cast("long"))
+    x = cache_once(emb.select(qvec.alias("x")))
+    w = [wscale] * dim
+    for _ in range(rounds):
+        w_lit = F.array(*[F.lit(int(c)).cast("long") for c in w])
+        dot = F.aggregate(
+            F.zip_with("x", w_lit, lambda a, b: a * b),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        )
+        row = x.select(dot.alias("d"), "x").agg(
+            *[
+                F.sum(F.element_at("x", i + 1) * F.col("d")).cast("long").alias(f"y{i}")
+                for i in range(dim)
+            ]
+        ).collect()[0]
+        y = [row[f"y{i}"] if row[f"y{i}"] is not None else 0 for i in range(dim)]
+        m = max(abs(v) for v in y)
+        if m == 0:
+            return [0] * dim
+        w = [int(math.floor(v / m * wscale + 0.5)) for v in y]
+    return w
+
+
 def dominant_direction(
     emb: DataFrame,
     *,
@@ -1999,31 +2038,10 @@ def dominant_direction(
     the driver — the sanctioned bounded collect (centroid/BPE
     precedent). No shuffle beyond the aggregate's.
     """
-    import math
-
-    qvec = F.transform(_as_double(vec_col), lambda v: F.round(v * scale).cast("long"))
-    x = cache_once(emb.select(qvec.alias("x")))
-    w = [wscale] * dim
+    w = power_iteration_vector(
+        emb, rounds=rounds, scale=scale, wscale=wscale, dim=dim, vec_col=vec_col
+    )
     spark = emb.sparkSession
-    for _ in range(rounds):
-        w_lit = F.array(*[F.lit(int(c)).cast("long") for c in w])
-        dot = F.aggregate(
-            F.zip_with("x", w_lit, lambda a, b: a * b),
-            F.lit(0).cast("long"),
-            lambda acc, v: acc + v,
-        )
-        row = x.select(dot.alias("d"), "x").agg(
-            *[
-                F.sum(F.element_at("x", i + 1) * F.col("d")).cast("long").alias(f"y{i}")
-                for i in range(dim)
-            ]
-        ).collect()[0]
-        y = [row[f"y{i}"] if row[f"y{i}"] is not None else 0 for i in range(dim)]
-        m = max(abs(v) for v in y)
-        if m == 0:
-            w = [0] * dim
-            break
-        w = [int(math.floor(v / m * wscale + 0.5)) for v in y]
     rows = [(i + 1, int(w[i])) for i in range(dim)]
     out = spark.createDataFrame(rows, "component int, w_scaled long")
     return out.select(
@@ -2031,3 +2049,69 @@ def dominant_direction(
         "w_scaled",
         (F.col("w_scaled").cast("double") / F.lit(float(wscale))).alias("weight"),
     ).orderBy("component")
+
+
+def anisotropy_report(
+    emb: DataFrame,
+    *,
+    rounds: int = 8,
+    scale: int = 10**3,
+    wscale: int = 10**3,
+    dim: int = 64,
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Per-label embedding ANISOTROPY — what fraction of each label's
+    vector energy lies OFF the dominant principal axis (Mu & Viswanath's
+    "all-but-the-top" diagnostic): off_axis_frac → 0 means the label's
+    vectors have collapsed onto one direction (the classic contrastive-
+    training failure); → 1 means isotropic. The measurement behind the
+    standard remove-top-PC post-processing step.
+
+    Exactness strategy: the direction comes from the SAME deterministic
+    power iteration as dominant_direction (``wscale`` 10³ here so every
+    per-row quantity stays BIGINT: x·w ≤ 6.4e7, (x·w)² and ‖x‖²·‖w‖²
+    ≤ 4e15); per-row off-axis energy num = ‖x‖²·‖w‖² − (x·w)² is EXACT
+    Cauchy–Schwarz-nonnegative integer arithmetic; the per-label sums
+    ride DECIMAL(38,0) (Spark) / HUGEINT (DuckDB) so they cannot
+    overflow or lose exactness; ONE division per label at the end,
+    round(·, 6) absorbing the ≤few-ulp big-integer→double conversion
+    slack.
+
+    Scale shape: `rounds` bounded-collect iterations (the
+    dominant_direction contract) + one label-keyed aggregate.
+    """
+    w = power_iteration_vector(
+        emb, rounds=rounds, scale=scale, wscale=wscale, dim=dim, vec_col=vec_col
+    )
+    ww = sum(int(c) * int(c) for c in w)
+    qvec = F.transform(_as_double(vec_col), lambda v: F.round(v * scale).cast("long"))
+    w_lit = F.array(*[F.lit(int(c)).cast("long") for c in w])
+    n2 = F.aggregate(
+        F.zip_with("x", "x", lambda a, b: a * b), F.lit(0).cast("long"), lambda s, v: s + v
+    )
+    xw = F.aggregate(
+        F.zip_with("x", w_lit, lambda a, b: a * b), F.lit(0).cast("long"), lambda s, v: s + v
+    )
+    rows = emb.select(F.col(label_col).alias("label"), qvec.alias("x")).select(
+        "label", n2.alias("n2"), xw.alias("xw")
+    )
+    num = (
+        F.col("n2").cast("decimal(38,0)") * F.lit(ww).cast("decimal(38,0)")
+        - F.col("xw").cast("decimal(38,0)") * F.col("xw").cast("decimal(38,0)")
+    )
+    per = rows.select("label", F.col("n2"), num.alias("num")).groupBy("label").agg(
+        F.count(F.lit(1)).cast("long").alias("n_vecs"),
+        F.sum("n2").cast("decimal(38,0)").alias("__sn2"),
+        F.sum("num").alias("__snum"),
+    )
+    den = F.col("__sn2") * F.lit(ww).cast("decimal(38,0)")
+    ok = (F.col("n_vecs") > 0) & (den > 0)
+    return per.select(
+        "label",
+        "n_vecs",
+        F.col("__sn2").cast("long").alias("sum_n2"),
+        F.when(
+            ok, F.round(F.col("__snum").cast("double") / den.cast("double"), 6)
+        ).alias("off_axis_frac"),
+    ).orderBy("label")

@@ -2747,3 +2747,29 @@ def test_source_concentration_hand_values(spark):
     assert out["a"].hhi == 0.625 and out["a"].effective_sources == 1.6
     assert out["a"].top_share == 0.75 and out["a"].n_sources == 2
     assert out["b"].hhi == 1.0 and out["b"].effective_sources == 1.0
+
+
+def test_anisotropy_collapsed_vs_isotropic_labels(spark):
+    """Label 0: all vectors on one axis -> off_axis_frac ~0 (not exactly:
+    the direction is fit on the WHOLE corpus, so label 1's axes leave a
+    +-1-count quantized residue in w -> a ~1e-6 floor). Label 1 lives on
+    axes ORTHOGONAL to the corpus-dominant one -> essentially all of its
+    energy is off-axis (~1.0). Cauchy-Schwarz keeps the fraction in
+    [0, 1]."""
+    rows = []
+    for i in range(20):
+        v = [0.0] * 64
+        v[4] = 1.0 + 0.01 * i
+        rows.append((i, v, 0))
+    for i in range(20):
+        v = [0.0] * 64
+        if i % 2 == 0:
+            v[10] = 1.0
+        else:
+            v[20] = 1.0
+        rows.append((100 + i, v, 1))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    out = {r.label: r for r in similarity.anisotropy_report(emb).collect()}
+    assert out[0].off_axis_frac < 1e-4
+    assert out[1].off_axis_frac > 0.99
+    assert out[0].n_vecs == 20 and out[1].n_vecs == 20

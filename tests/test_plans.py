@@ -818,3 +818,10 @@ def test_bootstrap_ci_no_cartesian_one_replicate_agg(plans):
     p = plans("q_bootstrap_ci")
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_anisotropy_single_label_agg(plans):
+    # after the bounded-collect power rounds, the report is one
+    # label-keyed aggregate over (label, n2, xw) longs; no joins
+    p = plans("q_anisotropy")
+    assert "Join" not in p

@@ -357,6 +357,8 @@ def main() -> None:
         t(f"calibration_bins {tag}", lambda e=e: analytics.calibration_bins(e))
     for tag, e in (("1x", emb1), ("10x", emb10)):
         t(f"dominant_direction {tag}", lambda e=e: similarity.dominant_direction(e))
+    for tag, e in (("1x", emb1), ("10x", emb10)):
+        t(f"anisotropy_report {tag}", lambda e=e: similarity.anisotropy_report(e))
     for tag, e in (("1x", ev1), ("10x", ev10)):
         t(f"changepoint_amoc {tag}", lambda e=e: analytics.changepoint_amoc(e))
     for tag, d in (("1x", docs1), ("10x", docs10)):

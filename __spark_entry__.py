@@ -3976,6 +3976,14 @@ def q_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return analytics.changepoint_amoc(load_table(spark, sf_dir, "events"))
 
 
+def q_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 7-day exact median smoother, ORACLE-EXACT: per-series
+    daily totals with the lower median of the bounded trailing frame by
+    exact element selection (analytics.rolling_median) — the robust
+    twin of q_rolling_7d's sum and q_ewma_chart's mean."""
+    return analytics.rolling_median(load_table(spark, sf_dir, "events"))
+
+
 def q_anisotropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding anisotropy, ORACLE-EXACT: per-label fraction of vector
     energy OFF the dominant principal axis (similarity.anisotropy_report
@@ -4458,6 +4466,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_calibration_bins": q_calibration_bins,
         "q_dominant_direction": q_dominant_direction,
         "q_anisotropy": q_anisotropy,
+        "q_rolling_median": q_rolling_median,
         "q_changepoint": q_changepoint,
         "q_source_hhi": q_source_hhi,
         "q_pareto_front": q_pareto_front,
@@ -7684,6 +7693,26 @@ def oracle_sql() -> dict[str, str]:
         # round-7: power iteration unrolled (LPA/MMR/PageRank precedent)
         "q_dominant_direction": _dominant_direction_oracle_sql(),
         "q_anisotropy": _anisotropy_oracle_sql(),
+        # round-7: trailing exact median — bounded-frame list window,
+        # element selection at floor((n+1)/2), never interpolation
+        "q_rolling_median": """
+            WITH daily AS (
+              SELECT event_type AS series, date_trunc('day', ts) AS day,
+                     round(sum(value), 4) AS y
+              FROM events GROUP BY 1, 2
+            ),
+            g AS (
+              SELECT series, day, y,
+                     list_sort(list(y) OVER (
+                       PARTITION BY series ORDER BY day
+                       ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)) AS a
+              FROM daily
+            )
+            SELECT series, CAST(day AS TIMESTAMP) AS day, y,
+                   a[CAST((len(a) + 1) // 2 AS INTEGER)] AS med,
+                   CAST(len(a) AS BIGINT) AS n_window
+            FROM g ORDER BY series, day
+        """,
         # round-7: per-node triangles over the banded LSH pair graph —
         # agreement >= 16/32 is the integer form of est_jaccard >= 0.5
         "q_triangle_degree": _portable_banded_cte() + """,

@@ -5254,3 +5254,50 @@ def bootstrap_ci(
         )
         .orderBy("series")
     )
+
+
+def rolling_median(
+    events: DataFrame,
+    *,
+    window_days: int = 7,
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Trailing exact MEDIAN smoother — the robust companion to
+    rolling_window_sum/ewma_chart: per (series, day), the exact lower
+    median of the trailing ``window_days`` daily totals (including the
+    current day). Medians shrug off the single-day spikes that drag a
+    trailing mean — the smoother an on-call dashboard actually wants.
+
+    Exactness strategy: the trailing frame is collected as a BOUNDED
+    (≤ window_days) array in day order, sorted, and the median taken by
+    EXACT ELEMENT SELECTION at 1-based rank ⌊(n+1)/2⌋ — never an
+    interpolated midpoint (no engine even-count averaging rule can
+    split the engines); daily totals are the standard round(sum, 4)
+    aggregates.
+
+    Scale shape: one series-keyed exchange; the collect_list window is
+    over the DAILY GRID (≤ calendar-span rows per series) with a
+    ≤ window_days ROWS frame — constant memory per row, never a
+    data-sized array.
+    """
+    day = F.date_trunc("day", F.col(ts_col).cast("timestamp"))
+    daily = events.groupBy(F.col(type_col).alias("series"), day.alias("day")).agg(
+        F.round(F.sum(value_col), 4).alias("y")
+    )
+    w = Window.partitionBy("series").orderBy("day").rowsBetween(1 - window_days, 0)
+    arr = F.array_sort(F.collect_list("y").over(w))
+    return (
+        daily.withColumn("__a", arr)
+        .select(
+            "series",
+            "day",
+            "y",
+            F.element_at(F.col("__a"), ((F.size("__a") + 1) / 2).cast("int")).alias(
+                "med"
+            ),
+            F.size("__a").cast("long").alias("n_window"),
+        )
+        .orderBy("series", "day")
+    )

@@ -825,3 +825,10 @@ def test_anisotropy_single_label_agg(plans):
     # label-keyed aggregate over (label, n2, xw) longs; no joins
     p = plans("q_anisotropy")
     assert "Join" not in p
+
+
+def test_rolling_median_bounded_frame_window(plans):
+    # one series exchange; the list window runs over the daily grid
+    # with a bounded ROWS frame — no joins
+    p = plans("q_rolling_median")
+    assert "Join" not in p

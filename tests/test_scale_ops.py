@@ -1101,3 +1101,24 @@ def test_bootstrap_ci_constant_series_degenerates_to_point(spark):
     assert m.b_reps == 100
     again = {r.series: r for r in analytics.bootstrap_ci(ev, b_reps=100).collect()}
     assert {k: tuple(v) for k, v in out.items()} == {k: tuple(v) for k, v in again.items()}
+
+
+def test_rolling_median_hand_window(spark):
+    """Daily values 1..5 with a day-3 spike of 100: the trailing-3
+    median shrugs the spike off while a mean would not; warm-up frames
+    (n < window) use the lower median of what exists."""
+    from datetime import datetime, timedelta
+
+    t0 = datetime(2024, 1, 1)
+    vals = [1.0, 2.0, 100.0, 3.0, 4.0]
+    rows = [(i, t0 + timedelta(days=i), 1, "s", v, "{}") for i, v in enumerate(vals)]
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    )
+    out = {str(r.day)[:10]: r for r in analytics.rolling_median(ev, window_days=3).collect()}
+    assert out["2024-01-01"].med == 1.0 and out["2024-01-01"].n_window == 1
+    assert out["2024-01-02"].med == 1.0   # lower median of [1, 2]
+    assert out["2024-01-03"].med == 2.0   # [1, 2, 100]
+    assert out["2024-01-04"].med == 3.0   # [2, 100, 3] sorted -> 3
+    assert out["2024-01-05"].med == 4.0   # [100, 3, 4] sorted -> 4

@@ -490,3 +490,89 @@ def test_rank_tests_invariant_under_monotone_transform(spark_prop, vals):
     k1 = _an.ks_test(raw).collect()[0]
     k2 = _an.ks_test(xfm).collect()[0]
     assert (k1.d_num, k1.d, k1.significant_05) == (k2.d_num, k2.d, k2.significant_05)
+
+
+@given(
+    pts=st.lists(
+        st.tuples(st.integers(0, 20), st.integers(0, 20)), min_size=1, max_size=25
+    )
+)
+@settings(max_examples=12, deadline=None)
+def test_pareto_front_equals_brute_force_dominance(spark_prop, pts):
+    """The sort-scan skyline must equal the O(n²) dominance definition
+    on arbitrary integer point sets (ties in cost and gain included)."""
+    from cloudtrace_exporter_spark.operators import analytics
+
+    rows = [
+        (i, 1, float(g), float(c), 0.0, 0.0, "A", "F", "1994-01-01")
+        for i, (c, g) in enumerate(pts)
+    ]
+    li = spark_prop.createDataFrame(
+        rows,
+        "l_orderkey long, l_linenumber long, l_quantity double, l_extendedprice double,"
+        " l_discount double, l_tax double, l_returnflag string, l_linestatus string,"
+        " l_shipdate string",
+    )
+    got = {(r.cost, r.gain) for r in analytics.pareto_front(li).collect()}
+    # brute force over the per-cost max-gain grid
+    grid = {}
+    for c, g in pts:
+        grid[float(c)] = max(grid.get(float(c), float("-inf")), float(g))
+    expect = {
+        (c, g)
+        for c, g in grid.items()
+        if not any(c2 <= c and g2 >= g and (c2 < c or g2 > g) for c2, g2 in grid.items())
+    }
+    assert got == expect
+
+
+@given(
+    sizes=st.lists(st.integers(1, 40), min_size=1, max_size=8),
+    den=st.sampled_from([4, 10, 20]),
+)
+@settings(max_examples=10, deadline=None)
+def test_quota_split_hamilton_invariants(spark_prop, sizes, den):
+    """Hamilton apportionment invariants on arbitrary strata: the global
+    val count is EXACTLY floor(N/den); every stratum gets base or base+1;
+    the split is exhaustive and disjoint."""
+    from cloudtrace_exporter_spark.operators import curate
+
+    rows, did = [], 0
+    for s, n in enumerate(sizes):
+        for _ in range(n):
+            rows.append((did, "x", f"lang{s}", "src", 1))
+            did += 1
+    docs = spark_prop.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    out = curate.exact_quota_split(docs, val_num=1, val_den=den).collect()
+    assert len(out) == sum(sizes)
+    n_val = sum(1 for r in out if r.split == "val")
+    assert n_val == sum(sizes) // den
+    by = {}
+    for r in out:
+        if r.split == "val":
+            by[r.stratum] = by.get(r.stratum, 0) + 1
+    for s, n in enumerate(sizes):
+        got = by.get(f"lang{s}", 0)
+        assert got in (n // den, n // den + 1)
+
+
+@given(toks=st.lists(st.integers(0, 50), min_size=1, max_size=30))
+@settings(max_examples=10, deadline=None)
+def test_pack_layout_offsets_are_cumulative_and_bins_consistent(spark_prop, toks):
+    """Offsets are the exclusive prefix sum in id order for arbitrary
+    token-count sequences (zeros included); bin/pos always satisfy
+    offset = bin*L + pos."""
+    from cloudtrace_exporter_spark.operators import curate
+
+    rows = [(i, " ".join(["w"] * n), "en", "s", n) for i, n in enumerate(toks)]
+    docs = spark_prop.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    out = sorted(curate.pack_layout(docs, context_len=16).collect(), key=lambda r: r.doc_id)
+    run = 0
+    for r, n in zip(out, toks):
+        assert r.tok_offset == run and r.n_tokens == n
+        assert r.tok_offset == r.bin * 16 + r.pos_in_bin
+        run += n

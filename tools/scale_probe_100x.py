@@ -108,6 +108,46 @@ def probe_lsh(spark) -> None:
         docs.unpersist()
 
 
+def probe_passjoin(spark) -> None:
+    """PassJoin at 10×/50× the sf0.1 docs count — the bench notes name
+    its candidate volume as the scale risk to watch. Prefixes are
+    md5-derived (two random 20-hex strings are never within 3 edits, so
+    incidental pairs are structurally absent — numeric-id prefixes
+    would differ in ≤3 digits constantly and the probe would measure
+    its own workload again); 1% planted twins flip the first char
+    (edit distance exactly 1) and recall is asserted."""
+    from cloudtrace_exporter_spark.operators import dedup
+
+    for n in (200_000, 1_000_000):
+        base = F.when(F.col("id") % 100 == 1, F.col("id") - 1).otherwise(F.col("id"))
+        pfx = F.substring(F.md5(base.cast("string").cast("binary")), 1, 20)
+        text = F.when(
+            F.col("id") % 100 == 1, F.concat(F.lit("z"), F.substring(pfx, 2, 19))
+        ).otherwise(pfx)
+        docs = (
+            spark.range(n)
+            .select(F.col("id").alias("doc_id"), text.alias("text"))
+            .repartition(64)
+            .cache()
+        )
+        docs.count()
+        planted = n // 100
+        t0 = time.time()
+        pairs = dedup.passjoin_edit_pairs(docs).cache()
+        total = pairs.count()
+        found = pairs.filter(
+            (F.col("doc_b") == F.col("doc_a") + 1) & (F.col("doc_a") % 100 == 0)
+        ).count()
+        wall = time.time() - t0
+        print(
+            f"passjoin_edit_pairs n={n:>9,}: {wall:6.2f} s  pairs={total:,} "
+            f"planted recall={found}/{planted}"
+        )
+        assert found == planted, "pigeonhole candidates must have NO false negatives"
+        pairs.unpersist()
+        docs.unpersist()
+
+
 def probe_stream(spark) -> None:
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     from streaming_probe import build_trace_parquet, run_pipeline_file_source
@@ -151,6 +191,8 @@ def main() -> None:
         probe_rank(spark)
     if fam in ("lsh", "all"):
         probe_lsh(spark)
+    if fam in ("passjoin", "all"):
+        probe_passjoin(spark)
     if fam in ("stream", "all"):
         probe_stream(spark)
 

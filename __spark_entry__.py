@@ -3976,6 +3976,14 @@ def q_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return analytics.changepoint_amoc(load_table(spark, sf_dir, "events"))
 
 
+def q_activity_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inequality diagnostic, ORACLE-EXACT: per-series Gini coefficient
+    of per-user activity (rank form, all-BIGINT sums, one raw division)
+    + the exact top-decile event share (analytics.activity_gini) — the
+    individual-contributor twin of q_source_hhi's group concentration."""
+    return analytics.activity_gini(load_table(spark, sf_dir, "events"))
+
+
 def q_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trailing 7-day exact median smoother, ORACLE-EXACT: per-series
     daily totals with the lower median of the bounded trailing frame by
@@ -4467,6 +4475,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_dominant_direction": q_dominant_direction,
         "q_anisotropy": q_anisotropy,
         "q_rolling_median": q_rolling_median,
+        "q_activity_gini": q_activity_gini,
         "q_changepoint": q_changepoint,
         "q_source_hhi": q_source_hhi,
         "q_pareto_front": q_pareto_front,
@@ -7693,6 +7702,38 @@ def oracle_sql() -> dict[str, str]:
         # round-7: power iteration unrolled (LPA/MMR/PageRank precedent)
         "q_dominant_direction": _dominant_direction_oracle_sql(),
         "q_anisotropy": _anisotropy_oracle_sql(),
+        # round-7: Gini rank form — all-BIGINT sums, one raw division;
+        # top decile by the integer ceil(n/10) rank rule
+        "q_activity_gini": """
+            WITH cnt AS (
+              SELECT event_type AS series, user_id AS u,
+                     CAST(count(*) AS BIGINT) AS x
+              FROM events GROUP BY 1, 2
+            ),
+            g AS (
+              SELECT series, x,
+                     CAST(row_number() OVER (PARTITION BY series ORDER BY x, u)
+                          AS BIGINT) AS i,
+                     CAST(count(*) OVER (PARTITION BY series) AS BIGINT) AS n,
+                     CAST(sum(x) OVER (PARTITION BY series) AS BIGINT) AS sx
+              FROM cnt
+            ),
+            per AS (
+              SELECT series, max(n) AS n_users, max(sx) AS n_events,
+                     CAST(sum(i * x) AS BIGINT) AS ix,
+                     CAST(sum(CASE WHEN i > n - ((n + 9) // 10) THEN x
+                                   ELSE 0 END) AS BIGINT) AS top
+              FROM g GROUP BY series
+            )
+            SELECT series, n_users, n_events,
+                   CASE WHEN n_users > 0 AND n_events > 0 THEN
+                     CAST(2 * ix - (n_users + 1) * n_events AS DOUBLE)
+                       / CAST(n_users * n_events AS DOUBLE) END AS gini,
+                   CASE WHEN n_users > 0 AND n_events > 0 THEN
+                     CAST(top AS DOUBLE) / CAST(n_events AS DOUBLE)
+                   END AS top_decile_share
+            FROM per ORDER BY series
+        """,
         # round-7: trailing exact median — bounded-frame list window,
         # element selection at floor((n+1)/2), never interpolation
         "q_rolling_median": """

@@ -5301,3 +5301,66 @@ def rolling_median(
         )
         .orderBy("series", "day")
     )
+
+
+def activity_gini(
+    events: DataFrame,
+    *,
+    type_col: str = "event_type",
+    user_col: str = "user_id",
+) -> DataFrame:
+    """Gini coefficient of per-user activity within each series — the
+    inequality diagnostic next to source_concentration's HHI (that one
+    measures GROUP concentration of a total; this one measures
+    INEQUALITY across individual contributors: a few power users vs a
+    broad base) plus the top-decile share of events.
+
+    Exactness strategy: the classic rank form G = (2·Σᵢ i·xᵢ − (n+1)·Σx)
+    / (n·Σx) over counts sorted ascending with a (count, user) total
+    order — every sum is an exact BIGINT (Σ i·x ≤ n²·max-count, ~10¹⁵ at
+    100× fixture scale), ONE raw-double division at the end; the
+    top-decile share divides two exact integers (decile head count by
+    the ⌈n/10⌉ rank rule).
+
+    Scale shape: one (series, user) count aggregate, rank/prefix windows
+    over the per-user grid (users per series, not events), one series
+    reduce. No joins.
+    """
+    cnt = events.groupBy(
+        F.col(type_col).alias("series"), F.col(user_col).alias("u")
+    ).agg(F.count(F.lit(1)).cast("long").alias("x"))
+    w = Window.partitionBy("series").orderBy("x", "u")
+    ws = Window.partitionBy("series")
+    g = (
+        cnt.withColumn("i", F.row_number().over(w).cast("long"))
+        .withColumn("n", F.count(F.lit(1)).over(ws).cast("long"))
+        .withColumn("sx", F.sum("x").over(ws).cast("long"))
+    )
+    per = g.groupBy("series").agg(
+        F.max("n").alias("n_users"),
+        F.max("sx").alias("n_events"),
+        F.sum(F.col("i") * F.col("x")).cast("long").alias("__ix"),
+        # top decile = users ranked above n - ceil(n/10) in the ascending
+        # order; ceil(n/10) = (n + 9) DIV 10, all integer
+        F.sum(
+            F.when(
+                F.col("i") > F.col("n") - F.expr("(n + 9) DIV 10"), F.col("x")
+            ).otherwise(F.lit(0))
+        )
+        .cast("long")
+        .alias("__top"),
+    )
+    ok = (F.col("n_users") > 0) & (F.col("n_events") > 0)
+    gini = (
+        (2 * F.col("__ix") - (F.col("n_users") + 1) * F.col("n_events")).cast("double")
+        / (F.col("n_users") * F.col("n_events")).cast("double")
+    )
+    return per.select(
+        "series",
+        "n_users",
+        "n_events",
+        F.when(ok, gini).alias("gini"),
+        F.when(
+            ok, F.col("__top").cast("double") / F.col("n_events").cast("double")
+        ).alias("top_decile_share"),
+    ).orderBy("series")

@@ -832,3 +832,10 @@ def test_rolling_median_bounded_frame_window(plans):
     # with a bounded ROWS frame — no joins
     p = plans("q_rolling_median")
     assert "Join" not in p
+
+
+def test_activity_gini_user_grid_windows(plans):
+    # rank/prefix windows run over the per-user count grid, never
+    # events; one series reduce; no joins
+    p = plans("q_activity_gini")
+    assert "Join" not in p

@@ -1122,3 +1122,39 @@ def test_rolling_median_hand_window(spark):
     assert out["2024-01-03"].med == 2.0   # [1, 2, 100]
     assert out["2024-01-04"].med == 3.0   # [2, 100, 3] sorted -> 3
     assert out["2024-01-05"].med == 4.0   # [100, 3, 4] sorted -> 4
+
+
+def test_activity_gini_hand_values(spark):
+    """Perfect equality (4 users x 5 events) -> G = (2*50 - 5*20)/(4*20)
+    = 0; one-user monopoly of 4 -> G = (n-1)/n = 0.75; top-decile share
+    on the equal series = ceil(4/10)=1 user's 5/20 = 0.25."""
+    from datetime import datetime
+
+    t = datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    for u in range(1, 5):
+        for _ in range(5):
+            rows.append((eid, t, u, "equal", 1.0, "{}")); eid += 1
+    for u, k in ((1, 8), (2, 0), (3, 0), (4, 0)):
+        for _ in range(k):
+            rows.append((eid, t, u, "mono", 1.0, "{}")); eid += 1
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    )
+    out = {r.series: r for r in analytics.activity_gini(ev).collect()}
+    eq = out["equal"]
+    assert eq.gini == 0.0 and eq.n_users == 4 and eq.top_decile_share == 0.25
+    mono = out["mono"]
+    # only user 1 ever appears in 'mono' (others produced no rows there)
+    assert mono.n_users == 1 and mono.gini == 0.0
+    # genuine inequality: counts (1, 3) -> G = (2*(1+6) - 3*4)/(2*4) = 0.25
+    rows2 = [(0, datetime(2024, 1, 1), 1, "s", 1.0, "{}")]
+    rows2 += [(1 + i, datetime(2024, 1, 1), 2, "s", 1.0, "{}") for i in range(3)]
+    ev2 = spark.createDataFrame(
+        rows2,
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    )
+    r2 = analytics.activity_gini(ev2).collect()[0]
+    assert r2.gini == 0.25 and r2.top_decile_share == 0.75

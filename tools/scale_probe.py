@@ -362,6 +362,8 @@ def main() -> None:
     for tag, e in (("1x", ev1), ("10x", ev10)):
         t(f"rolling_median {tag}", lambda e=e: analytics.rolling_median(e))
     for tag, e in (("1x", ev1), ("10x", ev10)):
+        t(f"activity_gini {tag}", lambda e=e: analytics.activity_gini(e))
+    for tag, e in (("1x", ev1), ("10x", ev10)):
         t(f"changepoint_amoc {tag}", lambda e=e: analytics.changepoint_amoc(e))
     for tag, d in (("1x", docs1), ("10x", docs10)):
         t(f"source_concentration {tag}", lambda d=d: _cur.source_concentration(d))

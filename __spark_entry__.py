@@ -3976,6 +3976,23 @@ def q_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return analytics.changepoint_amoc(load_table(spark, sf_dir, "events"))
 
 
+def q_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph structure, ORACLE-EXACT: degree assortativity of the
+    portable MinHash-LSH near-dup graph (graph.degree_assortativity,
+    shared cached index) — all-BIGINT Newman sufficient statistics; the
+    sqrt cancels by edge symmetry, leaving one division. Separates
+    hub-to-hub template families from hub-and-spoke boilerplate."""
+    docs = load_table(spark, sf_dir, "documents")
+    index = _session_cache_get(
+        _MINHASH_PORTABLE_CACHE, spark, sf_dir,
+        lambda: dedup.minhash_banded_index(docs, portable=True),
+    )
+    pairs = dedup.minhash_lsh_pairs(docs, threshold=0.5, index=index).select(
+        "doc_a", "doc_b"
+    )
+    return graph.degree_assortativity(pairs)
+
+
 def q_activity_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Inequality diagnostic, ORACLE-EXACT: per-series Gini coefficient
     of per-user activity (rank form, all-BIGINT sums, one raw division)
@@ -4476,6 +4493,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_anisotropy": q_anisotropy,
         "q_rolling_median": q_rolling_median,
         "q_activity_gini": q_activity_gini,
+        "q_assortativity": q_assortativity,
         "q_changepoint": q_changepoint,
         "q_source_hhi": q_source_hhi,
         "q_pareto_front": q_pareto_front,
@@ -7702,6 +7720,42 @@ def oracle_sql() -> dict[str, str]:
         # round-7: power iteration unrolled (LPA/MMR/PageRank precedent)
         "q_dominant_direction": _dominant_direction_oracle_sql(),
         "q_anisotropy": _anisotropy_oracle_sql(),
+        # round-7: Newman assortativity over the banded pair graph — the
+        # sqrt cancels by edge symmetry; agreement >= 16/32 = est >= 0.5
+        "q_assortativity": _portable_banded_cte() + """,
+            cand AS (
+              SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                     a.sig AS sig_a, b.sig AS sig_b
+              FROM banded a JOIN banded b
+                ON a.band = b.band AND a.bucket = b.bucket
+                   AND a.doc_id < b.doc_id
+            ),
+            prs AS (
+              SELECT doc_a AS a, doc_b AS b FROM cand
+              WHERE len(list_filter(range(1, 33), i -> sig_a[i] = sig_b[i])) >= 16
+            ),
+            und AS (SELECT a, b FROM prs UNION ALL SELECT b, a FROM prs),
+            deg AS (SELECT a, CAST(count(*) AS BIGINT) AS d FROM und GROUP BY a),
+            p AS (
+              SELECT dx.d AS dx, dy.d AS dy
+              FROM und JOIN deg dx ON und.a = dx.a
+                       JOIN deg dy ON und.b = dy.a
+            ),
+            s AS (
+              SELECT CAST(count(*) AS BIGINT) AS m2,
+                     CAST(sum(dx) AS BIGINT) AS sx,
+                     CAST(sum(dx * dy) AS BIGINT) AS sxy,
+                     CAST(sum(dx * dx) AS BIGINT) AS sxx
+              FROM p
+            ),
+            n AS (SELECT CAST(count(*) AS BIGINT) AS n_nodes FROM deg)
+            SELECT CAST(m2 / 2 AS BIGINT) AS n_edges, n_nodes,
+                   CASE WHEN CAST(m2 * sxx - sx * sx AS DOUBLE) > 0 THEN
+                     round(CAST(m2 * sxy - sx * sx AS DOUBLE)
+                           / CAST(m2 * sxx - sx * sx AS DOUBLE), 6)
+                   END AS assortativity
+            FROM s CROSS JOIN n
+        """,
         # round-7: Gini rank form — all-BIGINT sums, one raw division;
         # top decile by the integer ceil(n/10) rank rule
         "q_activity_gini": """

@@ -315,3 +315,21 @@ def test_triangle_counts_global_sum_matches_census(spark, sf_dir):
     total = per_node.agg(F.sum("n_triangles")).collect()[0][0] or 0
     census = dedup.similarity_triangles(pairs).collect()[0][0]
     assert total == 3 * census
+
+
+def test_degree_assortativity_star_and_clique(spark):
+    """A star K{1,3} is perfectly disassortative (r = -1: hubs only link
+    to leaves); a clique has zero degree variance (NULL, not a crash);
+    duplicate/reversed edges are normalized first."""
+    from cloudtrace_exporter_spark.operators import graph as g
+
+    star = spark.createDataFrame(
+        [(0, 1), (2, 0), (0, 3), (1, 0)], "doc_a long, doc_b long"
+    )
+    r = g.degree_assortativity(star).collect()[0]
+    assert (r.n_edges, r.n_nodes, r.assortativity) == (3, 4, -1.0)
+    clique = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3)], "doc_a long, doc_b long"
+    )
+    c = g.degree_assortativity(clique).collect()[0]
+    assert c.n_edges == 3 and c.assortativity is None

@@ -839,3 +839,13 @@ def test_activity_gini_user_grid_windows(plans):
     # events; one series reduce; no joins
     p = plans("q_activity_gini")
     assert "Join" not in p
+
+
+def test_assortativity_degree_joins_no_cartesian(plans):
+    # degree lookups are equi-joins on endpoint ids; the ONLY nested
+    # loop is the 1-row stats x 1-row node-count scalar cross (the
+    # sanctioned 1-row-broadcast-total pattern); one global reduce
+    p = plans("q_assortativity")
+    assert "CartesianProduct" not in p
+    assert p.count("BroadcastNestedLoopJoin") <= 1
+    assert "BroadcastHashJoin" in p or "SortMergeJoin" in p

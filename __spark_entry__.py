@@ -7432,6 +7432,7 @@ def oracle_sql() -> dict[str, str]:
                      row_number() OVER (ORDER BY value, event_id) AS rn,
                      count(*) OVER () AS n
               FROM events
+              WHERE value IS NOT NULL AND event_type IS NOT NULL
             ),
             t AS (
               SELECT *, max(CASE WHEN rn = CAST(floor((n + 1) / 2) AS BIGINT)
@@ -7547,6 +7548,7 @@ def oracle_sql() -> dict[str, str]:
                      row_number() OVER (ORDER BY value, event_id) AS rn,
                      count(*) OVER () AS n
               FROM events
+              WHERE value IS NOT NULL
             ),
             t AS (
               SELECT *, max(CASE WHEN rn = CAST(floor((n + 1) / 2) AS BIGINT)
@@ -7708,14 +7710,21 @@ def oracle_sql() -> dict[str, str]:
               SELECT *, row_number() OVER (
                 PARTITION BY series ORDER BY stat DESC, k ASC) AS rk
               FROM cand
-            )
-            SELECT series, n AS n_days, CAST(day AS TIMESTAMP) AS cp_day,
-                   k AS cp_k, stat,
-                   round(CAST(p AS DOUBLE) / CAST(k * 10000 AS DOUBLE), 6)
-                     AS mean_before,
-                   round(CAST(s - p AS DOUBLE)
-                         / CAST((n - k) * 10000 AS DOUBLE), 6) AS mean_after
-            FROM best WHERE rk = 1 ORDER BY series
+            ),
+            sel AS (
+              SELECT series, n AS n_days, CAST(day AS TIMESTAMP) AS cp_day,
+                     k AS cp_k, stat,
+                     round(CAST(p AS DOUBLE) / CAST(k * 10000 AS DOUBLE), 6)
+                       AS mean_before,
+                     round(CAST(s - p AS DOUBLE)
+                           / CAST((n - k) * 10000 AS DOUBLE), 6) AS mean_after
+              FROM best WHERE rk = 1
+            ),
+            all_series AS (SELECT DISTINCT series FROM daily)
+            SELECT a.series, sel.n_days, sel.cp_day, sel.cp_k, sel.stat,
+                   sel.mean_before, sel.mean_after
+            FROM all_series a LEFT JOIN sel USING (series)
+            ORDER BY series
         """,
         # round-7: power iteration unrolled (LPA/MMR/PageRank precedent)
         "q_dominant_direction": _dominant_direction_oracle_sql(),
@@ -7797,14 +7806,19 @@ def oracle_sql() -> dict[str, str]:
               FROM events GROUP BY 1, 2
             ),
             g AS (
+              -- list() keeps NULL daily totals where Spark's collect_list
+              -- drops them: filter NULLs so both engines take the median
+              -- over the frame's non-null totals (NULL med if none)
               SELECT series, day, y,
-                     list_sort(list(y) OVER (
+                     list_sort(list_filter(list(y) OVER (
                        PARTITION BY series ORDER BY day
-                       ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)) AS a
+                       ROWS BETWEEN 6 PRECEDING AND CURRENT ROW),
+                       x -> x IS NOT NULL)) AS a
               FROM daily
             )
             SELECT series, CAST(day AS TIMESTAMP) AS day, y,
-                   a[CAST((len(a) + 1) // 2 AS INTEGER)] AS med,
+                   CASE WHEN len(a) > 0
+                        THEN a[CAST((len(a) + 1) // 2 AS INTEGER)] END AS med,
                    CAST(len(a) AS BIGINT) AS n_window
             FROM g ORDER BY series, day
         """,
@@ -7917,7 +7931,10 @@ def oracle_sql() -> dict[str, str]:
                      CAST(sum(CASE WHEN CAST(json_extract_string(props, '$.k')
                                         AS BIGINT) >= 50
                                    THEN 1 ELSE 0 END) AS BIGINT) AS p
-              FROM events GROUP BY 1, 2
+              FROM events
+              WHERE value IS NOT NULL
+                AND json_extract_string(props, '$.k') IS NOT NULL
+              GROUP BY 1, 2
             ),
             m AS (
               SELECT *, CAST(2 * COALESCE(sum(n) OVER (
@@ -7950,7 +7967,10 @@ def oracle_sql() -> dict[str, str]:
                      CAST(json_extract_string(props, '$.k') AS BIGINT) >= 50
                        AS label,
                      CAST(count(*) AS BIGINT) AS o
-              FROM events GROUP BY 1, 2
+              FROM events
+              WHERE json_extract_string(props, '$.k') IS NOT NULL
+                AND event_type IS NOT NULL
+              GROUP BY 1, 2
             ),
             rowm AS (SELECT series, CAST(sum(o) AS BIGINT) AS r
                      FROM cells GROUP BY series),
@@ -8080,7 +8100,9 @@ def oracle_sql() -> dict[str, str]:
               SELECT event_type AS series, value AS v,
                      CAST(sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS a,
                      CAST(sum(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS b
-              FROM events GROUP BY 1, 2
+              FROM events
+              WHERE value IS NOT NULL AND user_id IS NOT NULL
+              GROUP BY 1, 2
             ),
             e AS (
               SELECT series,
@@ -8189,6 +8211,7 @@ def oracle_sql() -> dict[str, str]:
                      CAST(count(*) OVER (PARTITION BY event_type, value) AS BIGINT) AS t,
                      CAST(rank() OVER (PARTITION BY event_type ORDER BY value) AS BIGINT) AS r
               FROM events
+              WHERE value IS NOT NULL AND user_id IS NOT NULL
             ),
             per AS (
               SELECT series,
@@ -8384,10 +8407,12 @@ def oracle_sql() -> dict[str, str]:
               FROM events GROUP BY 1, 2
             ),
             idxd AS (
+              -- NULL daily totals are not observations (Spark filters them
+              -- before its fold; see holt_forecast round-8 fuzz note)
               SELECT series, y,
                      row_number() OVER (PARTITION BY series ORDER BY day) AS idx,
                      count(*) OVER (PARTITION BY series) AS n
-              FROM daily
+              FROM daily WHERE y IS NOT NULL
             ),
             it AS (
               SELECT series, idx, n, y AS l, CAST(0.0 AS DOUBLE) AS b
@@ -8397,7 +8422,8 @@ def oracle_sql() -> dict[str, str]:
                      0.5e0 * d.y + 0.5e0 * (it.l + 0.5e0 * it.b) AS l,
                      0.25e0 * ((0.5e0 * d.y + 0.5e0 * (it.l + 0.5e0 * it.b)) - it.l)
                        + 0.75e0 * (0.5e0 * it.b) AS b
-              FROM it JOIN idxd d ON d.series = it.series AND d.idx = it.idx + 1
+              FROM it JOIN idxd d ON d.series IS NOT DISTINCT FROM it.series
+                             AND d.idx = it.idx + 1
             )
             SELECT series, CAST(n AS BIGINT) AS n_days,
                    round(l, 4) AS level, round(b, 4) AS trend,
@@ -8414,10 +8440,12 @@ def oracle_sql() -> dict[str, str]:
               FROM events GROUP BY 1, 2
             ),
             idxd AS (
+              -- NULL daily totals are not observations (Spark filters them
+              -- before its fold; see holt_forecast round-8 fuzz note)
               SELECT series, y,
                      row_number() OVER (PARTITION BY series ORDER BY day) AS idx,
                      count(*) OVER (PARTITION BY series) AS n
-              FROM daily
+              FROM daily WHERE y IS NOT NULL
             ),
             it AS (
               SELECT series, idx, n, y AS l, CAST(0.0 AS DOUBLE) AS b
@@ -8427,7 +8455,8 @@ def oracle_sql() -> dict[str, str]:
                      0.5e0 * d.y + 0.5e0 * (it.l + it.b) AS l,
                      0.25e0 * ((0.5e0 * d.y + 0.5e0 * (it.l + it.b)) - it.l)
                        + 0.75e0 * it.b AS b
-              FROM it JOIN idxd d ON d.series = it.series AND d.idx = it.idx + 1
+              FROM it JOIN idxd d ON d.series IS NOT DISTINCT FROM it.series
+                             AND d.idx = it.idx + 1
             )
             SELECT series, CAST(n AS BIGINT) AS n_days,
                    round(l, 4) AS level, round(b, 4) AS trend,

@@ -3,7 +3,11 @@
 Runs the headline queries at ``$SPARK_GRAFT_SF_DIR`` (default
 /root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]`` and prints ONE
 JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
-"queries": {name: sec}, "sf": ...}.
+"queries": {name: sec}, "bands": {name: [min, max]}, "sf": ...}.
+
+``bands`` (round 8) records each query's [min, max] over the 3 timed
+attempts; a cross-round move counts as a regression only when the new
+best exceeds the prior round's band max by >20%.
 
 Each query is forced with a count() (no driver-side collect of data);
 a warm-up pass on sf's smallest table primes the JVM/codegen so the
@@ -102,6 +106,7 @@ def main() -> None:
     qs[names[0]](spark, sf_dir).count()
 
     timings: dict[str, float] = {}
+    bands: dict[str, list[float]] = {}
     for name in names:
         # two unmeasured warm passes: the first pays index .cache() builds,
         # codegen compilation, and shuffle-file creation; the second gives
@@ -112,15 +117,16 @@ def main() -> None:
         # best-of-3 mid-slope)
         qs[name](spark, sf_dir).count()
         qs[name](spark, sf_dir).count()
-        best = float("inf")
+        samples: list[float] = []
         for _ in range(3):  # best-of-3: absorbs GC/JIT/index-build noise (a
             # single repeat proved insufficient — one observed run had BOTH
             # attempts of one query land in a ~4 s GC/JIT stall while the
             # steady-state plan is sub-second; three attempts bound that)
             t0 = time.time()
             qs[name](spark, sf_dir).count()
-            best = min(best, time.time() - t0)
-        timings[name] = round(best, 3)
+            samples.append(time.time() - t0)
+        timings[name] = round(min(samples), 3)
+        bands[name] = [round(min(samples), 3), round(max(samples), 3)]
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     out = {
@@ -128,6 +134,13 @@ def main() -> None:
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,
+        # round-8 variance protocol: per-query [min, max] of the 3 timed
+        # attempts in THIS run. Cross-round comparisons should call a move a
+        # regression only when the new best lands >20% ABOVE the old max —
+        # sub-second box drift inside the band is noise by definition (the
+        # q_agg_by_status chase, rounds 5-7, is the motivating case).
+        "bands": bands,
+        "regression_rule": "new_best > 1.2 * prior_band_max",
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
     print(json.dumps(out))

@@ -3763,7 +3763,14 @@ def holt_forecast(
     daily = events.groupBy(
         F.col(type_col).alias("series"), F.date_trunc("day", F.col(ts_col)).alias("day")
     ).agg(F.round(F.sum(value_col), 4).alias("y"))
-    arr = daily.groupBy("series").agg(
+    # Days whose total is NULL (every contributing value NULL) are not
+    # observations — and MUST be filtered before the fold: F.aggregate's
+    # accumulator takes its type from ``init`` including NON-NULLABILITY,
+    # so a NULL y assigned into the non-nullable ``l`` field is silently
+    # coerced to 0.0 (round-8 differential-fuzz find — Spark swallowed the
+    # NULL where DuckDB's recursive CTE propagated it; both now skip the
+    # day, matching the sparse-grid treatment of days with no events).
+    arr = daily.filter(F.col("y").isNotNull()).groupBy("series").agg(
         F.sort_array(F.collect_list(F.struct("day", "y"))).alias("__seq")
     )
     a, b1, ph = float(alpha), float(beta), float(phi)
@@ -4290,12 +4297,18 @@ def mann_whitney(
     """
     wr = Window.partitionBy("series").orderBy(value_col)
     wt = Window.partitionBy("series", value_col)
+    # NULL values / NULL units are not test observations: a NULL score has
+    # no rank (and Spark would place it NULLS FIRST where DuckDB sorts it
+    # last), and an unassigned unit belongs to neither variant yet would
+    # still occupy ranks and tie groups — drop both up front on BOTH
+    # engines (round-8 differential-fuzz find, same class as auc_report).
     g = (
         events.select(
             F.col(type_col).alias("series"),
             F.col(value_col).alias(value_col),
             F.pmod(F.col(unit_col), F.lit(2)).cast("int").alias("variant"),
         )
+        .where(F.col(value_col).isNotNull() & F.col("variant").isNotNull())
         .withColumn("__t", F.count(F.lit(1)).over(wt).cast("long"))
         .withColumn("__r2", (2 * F.rank().over(wr) + F.col("__t") - 1).cast("long"))
     )
@@ -4429,12 +4442,16 @@ def ks_test(
     series); the ECDF cumsums and the max run on that grid with the
     same series partitioning. Output |series| rows.
     """
+    # NULL values / NULL units are not ECDF observations (Spark sorts NULL
+    # values first, DuckDB last; an unassigned unit is in neither sample) —
+    # same up-front filter as mann_whitney (round-8 differential-fuzz find).
     g = (
         events.select(
             F.col(type_col).alias("series"),
             F.col(value_col).alias("v"),
             F.pmod(F.col(unit_col), F.lit(2)).cast("int").alias("variant"),
         )
+        .where(F.col("v").isNotNull() & F.col("variant").isNotNull())
         .groupBy("series", "v")
         .agg(
             F.sum(F.when(F.col("variant") == 0, 1).otherwise(0)).cast("long").alias("a"),
@@ -4801,12 +4818,17 @@ def auc_report(
     """
     if label_col is None:
         label_col = F.get_json_object("props", "$.k").cast("long") >= 50
+    # NULL scores would sort first in Spark's Window.orderBy but last in the
+    # oracle's ORDER BY, and NULL labels would count in n but not p; both are
+    # undefined inputs for a ranking metric — drop them up front on BOTH
+    # engines so the midrank grid is defined identically (round-8 advice fix).
     g = (
         events.select(
             F.col(type_col).alias("series"),
             F.col(score_col).alias("score"),
             label_col.cast("long").alias("y"),
         )
+        .where(F.col("score").isNotNull() & F.col("y").isNotNull())
         .groupBy("series", "score")
         .agg(F.count(F.lit(1)).cast("long").alias("n"), F.sum("y").cast("long").alias("p"))
     )
@@ -4862,10 +4884,15 @@ def chi_square_cells(
     """
     if label_col is None:
         label_col = F.get_json_object("props", "$.k").cast("long") >= 50
+    # NULL labels (e.g. missing $.k in props) are excluded up front so the
+    # margins r/c/n are computed over exactly the cells that are emitted —
+    # otherwise NULL-label rows would inflate the margins while the equi-join
+    # on label silently drops their cells (round-8 advice fix).
     cells = (
         events.select(
             F.col(type_col).alias("series"), label_col.alias("label")
         )
+        .where(F.col("label").isNotNull() & F.col("series").isNotNull())
         .groupBy("series", "label")
         .agg(F.count(F.lit(1)).cast("long").alias("o"))
     )
@@ -5043,7 +5070,10 @@ def changepoint_amoc(
 
     Scale shape: the daily grid reduce (one series-keyed exchange),
     prefix/total windows on the same partitioning, one struct-max
-    aggregate. Series with n < 2 days emit NULLs, not crashes.
+    aggregate. Series with n < 2 days have no valid split candidate and
+    are emitted with NULL statistics (left join of the argmax result
+    back onto the distinct-series list — round-8 advice fix; they used
+    to be dropped entirely).
     """
     day = F.date_trunc("day", F.col(ts_col).cast("timestamp"))
     daily = (
@@ -5074,6 +5104,8 @@ def changepoint_amoc(
             )
         ).alias("m")
     )
+    series_list = daily.select("series").distinct()
+    best = series_list.join(best, "series", "left")
     cp_k = -F.col("m.negk")
     return best.select(
         "series",
@@ -5287,6 +5319,11 @@ def rolling_median(
         F.round(F.sum(value_col), 4).alias("y")
     )
     w = Window.partitionBy("series").orderBy("day").rowsBetween(1 - window_days, 0)
+    # collect_list drops NULL daily totals (a day whose values are all NULL),
+    # so the frame can be EMPTY — element_at rank (0+1)/2 = 0 would crash.
+    # Contract: the median is over the frame's NON-NULL totals, NULL when
+    # none exist; the oracle list_filters NULLs to match (round-8
+    # differential-fuzz find — fixtures never produce a NULL daily total).
     arr = F.array_sort(F.collect_list("y").over(w))
     return (
         daily.withColumn("__a", arr)
@@ -5294,9 +5331,10 @@ def rolling_median(
             "series",
             "day",
             "y",
-            F.element_at(F.col("__a"), ((F.size("__a") + 1) / 2).cast("int")).alias(
-                "med"
-            ),
+            F.when(
+                F.size("__a") > 0,
+                F.element_at(F.col("__a"), ((F.size("__a") + 1) / 2).cast("int")),
+            ).alias("med"),
             F.size("__a").cast("long").alias("n_window"),
         )
         .orderBy("series", "day")

@@ -878,8 +878,14 @@ def target_encoding_loo(
     # over the fact: the range-partitioned two-phase numbering picks the
     # exact element, and the 1-row threshold broadcasts back (the same
     # total order the naive window would use — values identical)
+    # NULL metrics can't vote on the median or be labeled (and Spark ranks
+    # NULL values first where DuckDB ranks them last — the threshold element
+    # would differ); NULL categories can't be encoded (the cat equi-join
+    # would silently drop them while the totals counted them). Both filtered
+    # up front on both engines (round-8 differential-fuzz find).
     ranked = analytics.global_row_number(
-        events.select(F.col(id_col), F.col(type_col).alias("cat"), F.col(value_col)),
+        events.select(F.col(id_col), F.col(type_col).alias("cat"), F.col(value_col))
+        .where(F.col(value_col).isNotNull() & F.col(type_col).isNotNull()),
         [value_col, id_col],
         with_total=True,
     )
@@ -942,9 +948,13 @@ def woe_iv(
     Scale shape: one global median window + one category aggregation;
     output is |categories| rows.
     """
-    # same scale-true global-median selection as target_encoding_loo
+    # same scale-true global-median selection as target_encoding_loo; NULL
+    # metrics are filtered for the same cross-engine NULL-ordering reason
+    # (NULL categories stay — no equi-join here, groupBy keeps the NULL
+    # group identically on both engines)
     ranked = analytics.global_row_number(
-        events.select(F.col(id_col), F.col(type_col).alias("cat"), F.col(value_col)),
+        events.select(F.col(id_col), F.col(type_col).alias("cat"), F.col(value_col))
+        .where(F.col(value_col).isNotNull()),
         [value_col, id_col],
         with_total=True,
     )

@@ -1998,7 +1998,11 @@ def power_iteration_vector(
         m = max(abs(v) for v in y)
         if m == 0:
             return [0] * dim
-        w = [int(math.floor(v / m * wscale + 0.5)) for v in y]
+        # Round BOTH operands to double BEFORE dividing — the oracle computes
+        # CAST(y AS DOUBLE)/CAST(m AS DOUBLE); Python bigint true division
+        # v/m is correctly rounded from the exact rational and can differ by
+        # an ulp once |y| > 2^53, flipping floor(+0.5) (round-8 advice fix).
+        w = [int(math.floor(float(v) / float(m) * wscale + 0.5)) for v in y]
     return w
 
 

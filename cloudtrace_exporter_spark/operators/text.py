@@ -1753,8 +1753,10 @@ def ngram_novelty(
     id_col: str = "doc_id",
     source_col: str = "source",
 ) -> DataFrame:
-    """Per-source n-gram NOVELTY: of each source's distinct word
-    n-grams, how many appear here FIRST (first-seen = minimum doc id
+    """Per-source n-gram NOVELTY: of each source's per-document distinct
+    shingle occurrences (a shingle repeated across a source's documents
+    counts once per document, since the denominator sums the per-doc
+    distinct sets), how many appear here FIRST (first-seen = minimum doc id
     over the whole corpus — the ingestion-order owner, the
     vocab_growth_curve convention applied at shingle granularity)?
     The marginal-content report a buyer reads per FEED: a source whose

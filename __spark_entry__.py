@@ -2427,6 +2427,51 @@ def q_multimodal_png(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_multimodal_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B36 REAL-CORPUS-FORMAT decode, in-sandbox (r8): synthesize a
+    genuine baseline JFIF JPEG per doc (4:4:4, with every third doc
+    4:2:0 so the subsampled-MCU path executes) carrying the SAME
+    id-keyed gradient as the BMP twin, decode it with the pure-stdlib
+    T.81 decoder inside decode_real (Huffman + dequant + IDCT +
+    YCbCr→RGB), and join against the decoded BMP twin. JPEG is LOSSY,
+    so `stats_agree` certifies the channel means within a quantization
+    tolerance (±6.0 at quality 95 — the id-keyed gradient wraps mod 256,
+    and 4:2:0 chroma blending across a 255-edge costs up to 4.9 units of
+    channel mean, measured over all 2000 ids; a broken decoder is off by
+    tens to hundreds) and dimensions exactly —
+    rows-only by design: decode is Python-side; the parity bit is the
+    oracle. Closes the round-7 gap "JPEG never decodes in CI"."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 2000)
+    jpg = multimodal.decode_real(multimodal.synthesize_jpeg_payload(docs))
+    bmp = multimodal.decode_real(multimodal.synthesize_bmp_payload(docs))
+    j = jpg.select(
+        "doc_id", F.col("format").alias("jpeg_format"), "width", "height", "n_pixels",
+        "mean_r", "mean_g", "mean_b",
+    )
+    b = bmp.select(
+        "doc_id",
+        F.col("width").alias("bw"), F.col("height").alias("bh"),
+        F.col("mean_r").alias("br"), F.col("mean_g").alias("bg"),
+        F.col("mean_b").alias("bb"),
+    )
+    tol = 6.0
+    return (
+        j.join(b, "doc_id")
+        .select(
+            "doc_id", "jpeg_format", "width", "height", "n_pixels",
+            "mean_r", "mean_g", "mean_b",
+            (
+                (F.col("jpeg_format") == "jpeg")
+                & (F.col("width") == F.col("bw")) & (F.col("height") == F.col("bh"))
+                & (F.abs(F.col("mean_r") - F.col("br")) <= tol)
+                & (F.abs(F.col("mean_g") - F.col("bg")) <= tol)
+                & (F.abs(F.col("mean_b") - F.col("bb")) <= tol)
+            ).alias("stats_agree"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 def q_multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B36 REAL audio decode end-to-end: synthesize a genuine PCM16 WAV
     per doc (deterministic sine keyed by doc_id), then decode it with the
@@ -4468,6 +4513,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # window lead here (7 oracle-backed, then the 2 rows-only-by-design
         # decode keys), then every round-7 addition, then the already-green
         # keys close the dict.
+        # ---- round-8 additions (never sampled) ----
+        # rows-only by design: Python-side JPEG decode; stats_agree column
+        # certifies lossy cross-format parity in-row
+        "q_multimodal_jpeg": q_multimodal_jpeg,
+        # ---- round-7-window keys (driver union green through r7) ----
         "q_conformal_intervals": q_conformal_intervals,
         "q_mmr_rerank": q_mmr_rerank,
         "q_dbscan_clusters": q_dbscan_clusters,
@@ -8058,13 +8108,15 @@ def oracle_sql() -> dict[str, str]:
         # round-6 second session: split conformal — exact element selection
         # at the conformal rank, seasonal-naive base via day-index grid join
         "q_conformal_intervals": """
-            WITH daily AS (
+            WITH dailyraw AS (
               SELECT event_type AS series, date_trunc('day', ts) AS day,
                      round(sum(value), 4) AS y,
                      date_diff('day', DATE '2024-01-01',
                                CAST(date_trunc('day', ts) AS DATE)) AS d
               FROM events GROUP BY 1, 2
             ),
+            -- NULL daily totals are not observations (see holt_forecast)
+            daily AS (SELECT * FROM dailyraw WHERE y IS NOT NULL),
             base AS (
               SELECT t.series, t.day, t.d, t.y, p.y AS yhat
               FROM daily t JOIN daily p ON t.series = p.series AND t.d = p.d + 7

@@ -4526,9 +4526,13 @@ def conformal_intervals(
     # feeds BOTH sides of the season join plus the calibration and test
     # consumers — without the cache the corpus aggregation re-executes
     # per subtree (measured 6.5 s vs 0.9 s at the 10× probe)
+    # NULL daily totals are not observations (the holt_forecast round-8
+    # fuzz contract): a NULL residual would rank NULLS-FIRST in Spark but
+    # NULLS-LAST in DuckDB, silently moving the conformal quantile element.
     daily = cache_once(
         events.groupBy(F.col(type_col).alias("series"), day.alias("day"))
         .agg(F.round(F.sum(value_col), 4).alias("y"))
+        .filter(F.col("y").isNotNull())
         .withColumn("d", F.datediff(F.col("day"), F.lit(epoch).cast("date")))
     )
     base = daily.alias("t").join(

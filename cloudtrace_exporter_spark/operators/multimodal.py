@@ -382,6 +382,582 @@ def encode_png(rgb, *, filter_mode: str = "none") -> bytes:
     )
 
 
+# ---------------------------------------------------------------------------
+# Baseline JPEG (ITU-T T.81 / ISO 10918-1) — pure stdlib + numpy.
+#
+# Round-8 verdict item #2: the one real-corpus format that never decoded in
+# CI (the Pillow path only ever executed its ImportError branch here). This
+# is a from-the-spec baseline-sequential decoder — marker walk, DQT/DHT
+# parsing, Huffman entropy decode with byte-unstuffing and restart markers,
+# EXTEND, dequantize, 8x8 IDCT, chroma upsampling, JFIF YCbCr->RGB — plus a
+# deliberately-simple spec-valid encoder so CI can synthesize real JPEG
+# bytes without any codec library. Reference fidelity: the CE ``data``
+# payload is opaque bytes (/root/reference/pkg/adapter/adapter.go:244);
+# format handling is this engine's extension surface (SURVEY B36).
+# ---------------------------------------------------------------------------
+
+#: standard Annex-K (Table K.1/K.2) quantization tables, natural order.
+_JPEG_QT_LUMA = [
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99,
+]
+_JPEG_QT_CHROMA = [
+    17, 18, 24, 47, 99, 99, 99, 99,
+    18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99,
+    47, 66, 99, 99, 99, 99, 99, 99,
+] + [99] * 32
+
+
+def _jpeg_zigzag() -> list[int]:
+    """Zig-zag scan order (natural index for each zigzag position),
+    generated from the diagonal walk so there is no 64-literal to typo."""
+    order = []
+    for d in range(15):
+        rng = range(d + 1)
+        for i in (rng if d % 2 else reversed(rng)):
+            j = d - i
+            if i < 8 and j < 8:
+                order.append(i * 8 + j)
+    return order
+
+
+def _jpeg_dct_matrix():
+    """Orthonormal 8x8 DCT-II matrix A: coef = A @ block @ A.T and
+    block = A.T @ coef @ A (the separable form of the T.81 FDCT/IDCT)."""
+    import math
+
+    import numpy as np
+
+    a = np.zeros((8, 8))
+    for u in range(8):
+        cu = math.sqrt(0.125) if u == 0 else 0.5
+        for x in range(8):
+            a[u, x] = cu * math.cos((2 * x + 1) * u * math.pi / 16.0)
+    return a
+
+
+def _jpeg_scale_qt(base: list[int], quality: int) -> list[int]:
+    """libjpeg-style quality scaling of a base table (public formula:
+    scale = 5000/q below 50 else 200-2q; entries clamped to [1, 255])."""
+    q = min(100, max(1, int(quality)))
+    scale = 5000 // q if q < 50 else 200 - 2 * q
+    return [min(255, max(1, (v * scale + 50) // 100)) for v in base]
+
+
+class _JpegBitWriter:
+    """MSB-first bit writer with T.81 byte stuffing (FF -> FF 00)."""
+
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def put(self, code: int, length: int) -> None:
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            self.nbits -= 8
+            b = (self.acc >> self.nbits) & 0xFF
+            self.out.append(b)
+            if b == 0xFF:
+                self.out.append(0x00)
+
+    def align(self) -> None:
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.put((1 << pad) - 1, pad)  # pad with 1-bits per spec
+
+    def put_marker(self, marker: int) -> None:
+        self.align()
+        self.out += bytes([0xFF, marker])
+
+    def flush(self) -> bytes:
+        self.align()
+        return bytes(self.out)
+
+
+#: encoder Huffman tables — deliberately simple but fully spec-valid
+#: canonical codes: 12 DC categories as 4-bit codes (max code 11 < the
+#: all-ones 15); AC = the first 255 (run,size) symbols as 9-bit codes
+#: (0..254) plus symbol 255 as the single 10-bit code 510 (a DHT ``bits``
+#: count is one byte, so 256-at-one-length is inexpressible; 510 != the
+#: all-ones 1023). Compression is mediocre; validity and decoder coverage
+#: are the point (the decoder accepts ANY conforming DHT, e.g. the
+#: Annex-K tables real encoders emit).
+_ENC_DC_BITS = [0, 0, 0, 12] + [0] * 12
+_ENC_DC_VALS = list(range(12))
+_ENC_AC_BITS = [0] * 8 + [255, 1] + [0] * 6
+_ENC_AC_VALS = list(range(256))
+
+
+def _enc_dc_code(sym: int) -> tuple[int, int]:
+    return sym, 4
+
+
+def _enc_ac_code(sym: int) -> tuple[int, int]:
+    return (510, 10) if sym == 255 else (sym, 9)
+
+
+def _jpeg_magnitude(v: int) -> tuple[int, int]:
+    """(category ssss, appended bits) for a DC diff / AC coefficient —
+    T.81 F.1.2.1: negatives are sent as v + 2^ssss - 1."""
+    s = int(abs(v)).bit_length()
+    return s, (v if v >= 0 else v + (1 << s) - 1)
+
+
+def encode_jpeg(
+    rgb,
+    *,
+    quality: int = 85,
+    subsample: bool = False,
+    restart_interval: int = 0,
+    grayscale: bool = False,
+) -> bytes:
+    """HxWx3 RGB uint8 -> baseline JFIF JPEG bytes (pure stdlib+numpy).
+
+    ``subsample=False`` writes 4:4:4 (one block per component per MCU);
+    ``subsample=True`` writes 4:2:0 (2x2 Y blocks + box-averaged chroma)
+    so the decoder's sampling-factor path executes in CI — the layout
+    virtually every crawl-corpus JPEG uses. ``restart_interval=N`` emits
+    DRI + RSTn markers every N MCUs (predictor reset + byte alignment),
+    exercising the decoder's restart path. ``grayscale=True`` writes a
+    single-component (Y-only) stream, the decoder's 1-component branch.
+    """
+    import numpy as np
+
+    rgb = np.asarray(rgb, dtype=np.float64)
+    h, w = rgb.shape[:2]
+    # JFIF full-range RGB -> YCbCr
+    r, g, b = rgb[..., 0], rgb[..., 1], rgb[..., 2]
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+    cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+
+    qt = [
+        np.array(_jpeg_scale_qt(_JPEG_QT_LUMA, quality), dtype=np.float64).reshape(8, 8),
+        np.array(_jpeg_scale_qt(_JPEG_QT_CHROMA, quality), dtype=np.float64).reshape(8, 8),
+    ]
+    zz = _jpeg_zigzag()
+    A = _jpeg_dct_matrix()
+
+    def pad_to(plane, mh, mw):
+        ph = (-plane.shape[0]) % mh or 0
+        pw = (-plane.shape[1]) % mw or 0
+        return np.pad(plane, ((0, ph), (0, pw)), mode="edge")
+
+    if grayscale:
+        planes = [pad_to(y, 8, 8)]
+        samp = [(1, 1)]
+        qsel = [0]
+        mcu_h, mcu_w = 8, 8
+    elif subsample:
+        ys = pad_to(y, 16, 16)
+        # 2x2 box average on the padded-to-even chroma
+        ce = pad_to(cb, 16, 16)
+        re = pad_to(cr, 16, 16)
+        cbs = ce.reshape(ce.shape[0] // 2, 2, ce.shape[1] // 2, 2).mean(axis=(1, 3))
+        crs = re.reshape(re.shape[0] // 2, 2, re.shape[1] // 2, 2).mean(axis=(1, 3))
+        planes = [ys, cbs, crs]
+        samp = [(2, 2), (1, 1), (1, 1)]
+        qsel = [0, 1, 1]
+        mcu_h, mcu_w = 16, 16
+    else:
+        planes = [pad_to(y, 8, 8), pad_to(cb, 8, 8), pad_to(cr, 8, 8)]
+        samp = [(1, 1), (1, 1), (1, 1)]
+        qsel = [0, 1, 1]
+        mcu_h, mcu_w = 8, 8
+
+    ncomp = len(planes)
+    mcus_y = (h + mcu_h - 1) // mcu_h
+    mcus_x = (w + mcu_w - 1) // mcu_w
+
+    bw = _JpegBitWriter()
+    pred = [0] * ncomp
+    mcu_count = 0
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            if restart_interval and mcu_count and mcu_count % restart_interval == 0:
+                bw.put_marker(0xD0 + ((mcu_count // restart_interval - 1) % 8))
+                pred = [0] * ncomp
+            mcu_count += 1
+            for ci in range(ncomp):
+                hs, vs = samp[ci]
+                for by in range(vs):
+                    for bx in range(hs):
+                        py = (my * vs + by) * 8
+                        px = (mx * hs + bx) * 8
+                        block = planes[ci][py : py + 8, px : px + 8] - 128.0
+                        coef = A @ block @ A.T
+                        qc = np.rint(coef / qt[qsel[ci]]).astype(np.int64)
+                        seq = [int(qc.flat[i]) for i in zz]
+                        diff = seq[0] - pred[ci]
+                        pred[ci] = seq[0]
+                        s, bits = _jpeg_magnitude(diff)
+                        bw.put(*_enc_dc_code(s))
+                        if s:
+                            bw.put(bits, s)
+                        run = 0
+                        last_nz = max((k for k in range(1, 64) if seq[k]), default=0)
+                        for k in range(1, last_nz + 1):
+                            if seq[k] == 0:
+                                run += 1
+                                continue
+                            while run > 15:
+                                bw.put(*_enc_ac_code(0xF0))  # ZRL
+                                run -= 16
+                            s, bits = _jpeg_magnitude(seq[k])
+                            bw.put(*_enc_ac_code((run << 4) | s))
+                            bw.put(bits, s)
+                            run = 0
+                        if last_nz < 63:
+                            bw.put(*_enc_ac_code(0x00))  # EOB
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return bytes([0xFF, marker]) + (len(payload) + 2).to_bytes(2, "big") + payload
+
+    out = bytearray(b"\xff\xd8")  # SOI
+    out += seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    for tid, base in ((0, _JPEG_QT_LUMA), (1, _JPEG_QT_CHROMA)):
+        scaled = _jpeg_scale_qt(base, quality)
+        out += seg(0xDB, bytes([tid]) + bytes(scaled[i] for i in zz))
+    sof = bytes([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big") + bytes([ncomp])
+    for ci, (hs, vs) in enumerate(samp):
+        sof += bytes([ci + 1, (hs << 4) | vs, qsel[ci]])
+    out += seg(0xC0, sof)
+    for tclass_tid, bits, vals in (
+        (0x00, _ENC_DC_BITS, _ENC_DC_VALS),
+        (0x10, _ENC_AC_BITS, _ENC_AC_VALS),
+        (0x01, _ENC_DC_BITS, _ENC_DC_VALS),
+        (0x11, _ENC_AC_BITS, _ENC_AC_VALS),
+    ):
+        out += seg(0xC4, bytes([tclass_tid]) + bytes(bits) + bytes(vals))
+    if restart_interval:
+        out += seg(0xDD, int(restart_interval).to_bytes(2, "big"))
+    sos = bytes([ncomp])
+    for ci in range(ncomp):
+        td_ta = 0x00 if ci == 0 else 0x11
+        sos += bytes([ci + 1, td_ta])
+    sos += bytes([0, 63, 0])
+    out += seg(0xDA, sos)
+    out += bw.flush()
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+class _JpegBitReader:
+    """MSB-first bit reader over entropy-coded data with byte unstuffing;
+    stops at any non-RST marker; RST markers are consumed by reset()."""
+
+    def __init__(self, buf: bytes, pos: int) -> None:
+        self.buf = buf
+        self.pos = pos
+        self.acc = 0
+        self.nbits = 0
+        self.marker: int | None = None
+
+    def _fill(self) -> bool:
+        if self.pos >= len(self.buf):
+            return False
+        b = self.buf[self.pos]
+        if b == 0xFF:
+            if self.pos + 1 >= len(self.buf):
+                return False
+            nxt = self.buf[self.pos + 1]
+            if nxt == 0x00:
+                self.pos += 2
+            elif 0xD0 <= nxt <= 0xD7:
+                self.marker = nxt
+                return False  # restart marker pending — reset() consumes it
+            else:
+                self.marker = nxt
+                return False  # end of scan
+        else:
+            self.pos += 1
+        self.acc = (self.acc << 8) | b
+        self.nbits += 8
+        return True
+
+    def read(self, n: int) -> int | None:
+        while self.nbits < n:
+            if not self._fill():
+                return None
+        self.nbits -= n
+        v = (self.acc >> self.nbits) & ((1 << n) - 1)
+        return v
+
+    def read_bit(self) -> int | None:
+        return self.read(1)
+
+    def reset(self) -> bool:
+        """Byte-align (discard pad bits) and consume the RSTn marker —
+        either one a _fill already peeked, or the one sitting at pos
+        (predictors are reset by the caller)."""
+        self.acc = 0
+        self.nbits = 0
+        if self.marker is not None:
+            if not (0xD0 <= self.marker <= 0xD7):
+                return False
+            self.pos += 2
+            self.marker = None
+            return True
+        if (
+            self.pos + 1 < len(self.buf)
+            and self.buf[self.pos] == 0xFF
+            and 0xD0 <= self.buf[self.pos + 1] <= 0xD7
+        ):
+            self.pos += 2
+            return True
+        return False
+
+
+def _jpeg_huff_lookup(bits: list[int], vals: list[int]) -> dict[tuple[int, int], int]:
+    """Canonical (length, code) -> symbol map from a DHT segment."""
+    lut: dict[tuple[int, int], int] = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            lut[(length, code)] = vals[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return lut
+
+
+def _jpeg_decode_sym(br: _JpegBitReader, lut: dict[tuple[int, int], int]) -> int | None:
+    code = 0
+    for length in range(1, 17):
+        bit = br.read_bit()
+        if bit is None:
+            return None
+        code = (code << 1) | bit
+        sym = lut.get((length, code))
+        if sym is not None:
+            return sym
+    return None
+
+
+def _jpeg_extend(v: int, s: int) -> int:
+    return v - (1 << s) + 1 if v < (1 << (s - 1)) else v
+
+
+def _parse_jpeg(buf: bytes):
+    """Baseline-sequential JPEG (SOF0) -> (w, h, HxWx3 RGB float array),
+    or None for anything this decoder doesn't cover (progressive SOF2,
+    arithmetic coding, 12-bit precision, truncated/corrupt streams) —
+    decode-tolerant like the other parsers. Handles grayscale and
+    3-component YCbCr with any h,v sampling factors in {1,2} (4:4:4,
+    4:2:2, 4:2:0), 8- and 16-bit DQT entries, multi-table DHT segments,
+    and DRI/RSTn restart intervals. Pure stdlib + numpy from the public
+    T.81 spec; the IDCT is the separable orthonormal form."""
+    import numpy as np
+
+    if len(buf) < 4 or buf[0:2] != b"\xff\xd8":
+        return None
+    qt: dict[int, list[int]] = {}
+    huff: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
+    zz = _jpeg_zigzag()
+    w = h = None
+    comps: list[tuple[int, int, int, int]] = []  # (id, hs, vs, qsel)
+    restart = 0
+    pos = 2
+    scan: list[tuple[int, int, int]] = []  # (comp index, dc table, ac table)
+    while pos + 4 <= len(buf):
+        if buf[pos] != 0xFF:
+            return None
+        marker = buf[pos + 1]
+        if marker == 0xD9:
+            return None  # EOI before SOS
+        ln = int.from_bytes(buf[pos + 2 : pos + 4], "big")
+        seg = buf[pos + 4 : pos + 2 + ln]
+        if len(seg) != ln - 2:
+            return None
+        pos += 2 + ln
+        if marker == 0xDB:  # DQT (possibly several tables)
+            i = 0
+            while i < len(seg):
+                pq, tid = seg[i] >> 4, seg[i] & 0x0F
+                i += 1
+                n = 64 * (2 if pq else 1)
+                if i + n > len(seg):
+                    return None
+                if pq:
+                    vals = [
+                        int.from_bytes(seg[i + 2 * k : i + 2 * k + 2], "big")
+                        for k in range(64)
+                    ]
+                else:
+                    vals = list(seg[i : i + 64])
+                i += n
+                nat = [0] * 64
+                for k in range(64):
+                    nat[zz[k]] = vals[k]
+                qt[tid] = nat
+        elif marker in (0xC0, 0xC1):  # baseline / extended sequential
+            if seg[0] != 8:
+                return None
+            h = int.from_bytes(seg[1:3], "big")
+            w = int.from_bytes(seg[3:5], "big")
+            nc = seg[5]
+            if nc not in (1, 3):
+                return None
+            comps = []
+            for c in range(nc):
+                cid, hv, q = seg[6 + 3 * c : 9 + 3 * c]
+                hs, vs = hv >> 4, hv & 0x0F
+                if hs not in (1, 2) or vs not in (1, 2):
+                    return None
+                comps.append((cid, hs, vs, q))
+        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            return None  # progressive / arithmetic / lossless
+        elif marker == 0xC4:  # DHT (possibly several tables)
+            i = 0
+            while i + 17 <= len(seg):
+                tclass, tid = seg[i] >> 4, seg[i] & 0x0F
+                bits = list(seg[i + 1 : i + 17])
+                n = sum(bits)
+                vals = list(seg[i + 17 : i + 17 + n])
+                if len(vals) != n:
+                    return None
+                huff[(tclass, tid)] = _jpeg_huff_lookup(bits, vals)
+                i += 17 + n
+        elif marker == 0xDD:  # DRI
+            restart = int.from_bytes(seg[0:2], "big")
+        elif marker == 0xDA:  # SOS
+            ns = seg[0]
+            for c in range(ns):
+                cid, tables = seg[1 + 2 * c], seg[2 + 2 * c]
+                idx = next(
+                    (k for k, cc in enumerate(comps) if cc[0] == cid), None
+                )
+                if idx is None:
+                    return None
+                scan.append((idx, tables >> 4, tables & 0x0F))
+            break
+        # APPn / COM / anything else: skipped via the length walk
+    if w is None or not comps or not scan or len(scan) != len(comps):
+        return None
+
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcu_w, mcu_h = 8 * hmax, 8 * vmax
+    mcus_x = (w + mcu_w - 1) // mcu_w
+    mcus_y = (h + mcu_h - 1) // mcu_h
+    A = _jpeg_dct_matrix()
+    planes = []
+    for _, hs, vs, _ in comps:
+        planes.append(np.zeros((mcus_y * vs * 8, mcus_x * hs * 8), dtype=np.float64))
+
+    br = _JpegBitReader(buf, pos)
+    pred = [0] * len(comps)
+    mcu_count = 0
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            if restart and mcu_count and mcu_count % restart == 0:
+                if not br.reset():
+                    return None
+                pred = [0] * len(comps)
+            mcu_count += 1
+            for ci, td, ta in scan:
+                _, hs, vs, q = comps[ci]
+                dc_lut = huff.get((0, td))
+                ac_lut = huff.get((1, ta))
+                qtab = qt.get(q)
+                if dc_lut is None or ac_lut is None or qtab is None:
+                    return None
+                for by in range(vs):
+                    for bx in range(hs):
+                        s = _jpeg_decode_sym(br, dc_lut)
+                        if s is None or s > 11:
+                            return None
+                        diff = 0
+                        if s:
+                            v = br.read(s)
+                            if v is None:
+                                return None
+                            diff = _jpeg_extend(v, s)
+                        pred[ci] += diff
+                        coef = np.zeros(64, dtype=np.float64)
+                        coef[0] = pred[ci] * qtab[0]
+                        k = 1
+                        while k < 64:
+                            rs = _jpeg_decode_sym(br, ac_lut)
+                            if rs is None:
+                                return None
+                            r, sz = rs >> 4, rs & 0x0F
+                            if sz == 0:
+                                if r == 15:
+                                    k += 16
+                                    continue
+                                break  # EOB
+                            k += r
+                            if k > 63:
+                                return None
+                            v = br.read(sz)
+                            if v is None:
+                                return None
+                            coef[zz[k]] = _jpeg_extend(v, sz) * qtab[zz[k]]
+                            k += 1
+                        block = A.T @ coef.reshape(8, 8) @ A + 128.0
+                        py = (my * vs + by) * 8
+                        px = (mx * hs + bx) * 8
+                        planes[ci][py : py + 8, px : px + 8] = block
+    full = []
+    for i, (_, hs, vs, _) in enumerate(comps):
+        p = planes[i]
+        if hs < hmax or vs < vmax:
+            p = np.repeat(np.repeat(p, vmax // vs, axis=0), hmax // hs, axis=1)
+        full.append(p[:h, :w])
+    if len(comps) == 1:
+        yp = np.clip(full[0], 0, 255)
+        rgb = np.stack([yp, yp, yp], axis=-1)
+    else:
+        y, cb, cr = full[0], full[1] - 128.0, full[2] - 128.0
+        r = y + 1.402 * cr
+        g = y - 0.344136 * cb - 0.714136 * cr
+        b = y + 1.772 * cb
+        rgb = np.clip(np.stack([r, g, b], axis=-1), 0, 255)
+    return w, h, rgb
+
+
+def synthesize_jpeg_payload(
+    df: DataFrame, *, width: int = 16, height: int = 16, quality: int = 95
+) -> DataFrame:
+    """Deterministic baseline-JPEG payload per doc_id — the SAME id-keyed
+    RGB gradient as the BMP/PNG twins, so cross-format decode parity is
+    testable (JPEG is lossy: parity is within a quantization tolerance,
+    not bit-exact). Every third doc is written 4:2:0 so the decoder's
+    subsampled MCU path executes in CI alongside 4:4:4."""
+    import numpy as np
+
+    def _gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        yy, xx = np.mgrid[0:height, 0:width]
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                k = int(doc_id)
+                rgb = np.stack(
+                    [(xx * 7 + k) % 256, (yy * 11 + 3 * k) % 256, (xx + yy + 5 * k) % 256],
+                    axis=-1,
+                ).astype(np.uint8)
+                payloads.append(
+                    encode_jpeg(rgb, quality=quality, subsample=(k % 3 == 0))
+                )
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    schema = T.StructType(
+        [T.StructField("doc_id", T.LongType()), T.StructField("payload", T.BinaryType())]
+    )
+    return df.select("doc_id").mapInPandas(_gen, schema)
+
+
 def has_pillow() -> bool:
     """True when the optional Pillow codec library is importable — the
     env gate for decode_pillow (this container ships without it; a real
@@ -483,6 +1059,9 @@ def decode_real(df: DataFrame, *, hist_bins: int = 8) -> DataFrame:
         if parsed is None and buf:
             parsed = _parse_png(buf)
             fmt = "png" if parsed else None
+        if parsed is None and buf:
+            parsed = _parse_jpeg(buf)
+            fmt = "jpeg" if parsed else None
         if parsed is None:
             return (doc_id, "unsupported", None, None, None, None, None, None, None)
         w, h, rgb = parsed

@@ -3196,6 +3196,53 @@ def _pq_scaled_oracle_sql(
     """
 
 
+def q_pq_rerank_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B34, ORACLE-EXACT two-tier PQ serving twin (r8): integer-ADC
+    shortlist from the deterministic scaled codebooks, exact cosine
+    rerank of the shortlist only (similarity.pq_rerank_scaled) — the
+    last rows-only ANN key now has a full-oracle twin; the float
+    q_pq_rerank stays the production path."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.pq_rerank_scaled(
+        emb, emb.filter(F.col("vec_id") < 10), k=5, shortlist=50
+    )
+
+
+def _pq_rerank_scaled_oracle_sql(*, shortlist: int = 50, k: int = 5) -> str:
+    """DuckDB replay of similarity.pq_rerank_scaled: the full
+    _pq_scaled_oracle_sql training/ADC chain cut at rank<=shortlist,
+    then the q_cosine_topk exact-cosine recipe over the shortlist join."""
+    base = _pq_scaled_oracle_sql(k=shortlist)
+    marker = "SELECT query_id, corpus_id, approx_dist, rnk FROM ("
+    head, _, _ = base.partition(marker)
+    return (
+        head
+        + f""", short AS (
+          SELECT query_id, corpus_id FROM (
+            SELECT *, row_number() OVER (PARTITION BY query_id
+                      ORDER BY approx_dist ASC, corpus_id ASC) AS rnk
+            FROM scored
+          ) WHERE rnk <= {shortlist}
+        ),
+        e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        rr AS (
+          SELECT s.query_id, s.corpus_id,
+                 round(list_dot_product(c.e, q.e)
+                       / (sqrt(list_dot_product(c.e, c.e))
+                          * sqrt(list_dot_product(q.e, q.e))), 6) AS cosine
+          FROM short s
+          JOIN e c ON c.vec_id = s.corpus_id
+          JOIN e q ON q.vec_id = s.query_id
+        )
+        SELECT query_id, corpus_id, cosine, rnk FROM (
+          SELECT *, row_number() OVER (PARTITION BY query_id
+                    ORDER BY cosine DESC, corpus_id ASC) AS rnk
+          FROM rr
+        ) WHERE rnk <= {k}
+    """
+    )
+
+
 def q_corpus_datacard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Curation depth: the one-row corpus datacard — size, diversity,
     dup rate, quality pass rate, mean length (curate.corpus_datacard);
@@ -4514,6 +4561,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # decode keys), then every round-7 addition, then the already-green
         # keys close the dict.
         # ---- round-8 additions (never sampled) ----
+        "q_pq_rerank_verified": q_pq_rerank_verified,
         # rows-only by design: Python-side JPEG decode; stats_agree column
         # certifies lossy cross-format parity in-row
         "q_multimodal_jpeg": q_multimodal_jpeg,
@@ -5837,6 +5885,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q_ivf_topk_verified": _ivf_scaled_oracle_sql(),
         "q_pq_topk_verified": _pq_scaled_oracle_sql(),
+        # round-8: two-tier PQ serving twin — integer shortlist + exact
+        # cosine rerank, both tiers replayed
+        "q_pq_rerank_verified": _pq_rerank_scaled_oracle_sql(),
         "q_corpus_datacard": f"""
             WITH tok AS (
               SELECT doc_id, text, lang, source, {_TOKENS_SQL} AS t FROM documents

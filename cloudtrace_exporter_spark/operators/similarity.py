@@ -1228,6 +1228,65 @@ def pq_rerank_topk(
     )
 
 
+def pq_rerank_scaled(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    m: int = 8,
+    kc: int = 16,
+    lloyd_iters: int = 2,
+    k: int = 5,
+    shortlist: int = 50,
+    scale: int = 10**6,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ORACLE-EXACT twin of pq_rerank_topk (round-8 verdict item #6):
+    the two-tier serving shape with BOTH tiers engine-portable — the
+    shortlist comes from pq_topk_scaled's deterministic integer-
+    quantized codebooks + exact-BIGINT ADC (so DuckDB replays the
+    training and the shortlist identically), and the rerank is the
+    exact cosine recipe q_cosine_topk's oracle already certifies
+    (float64 dots from parquet values, one division, round 6). The
+    float pq_rerank_topk stays the production path; this twin pins its
+    plan shape under a full oracle.
+
+    Scale shape: identical to pq_rerank_topk — the shortlist join
+    fetches only |queries|·shortlist vectors; the corpus is touched
+    once by the code scan and once by the shortlist equi-join.
+    """
+    short = pq_topk_scaled(
+        corpus,
+        queries,
+        m=m,
+        kc=kc,
+        lloyd_iters=lloyd_iters,
+        k=shortlist,
+        scale=scale,
+        id_col=id_col,
+        vec_col=vec_col,
+    ).select("query_id", "corpus_id")
+    vecs = corpus.select(F.col(id_col).alias("corpus_id"), _as_double(vec_col).alias("cv"))
+    q = queries.select(F.col(id_col).alias("query_id"), _as_double(vec_col).alias("qv"))
+    scored = (
+        short.join(vecs, "corpus_id")
+        .join(F.broadcast(q), "query_id")
+        .select(
+            "query_id",
+            "corpus_id",
+            F.round(
+                _dot(F.col("cv"), F.col("qv")) / (_norm(F.col("cv")) * _norm(F.col("qv"))), 6
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("corpus_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "corpus_id", "cosine", "rnk")
+    )
+
+
 def save_pq_index(codes: DataFrame, books: list[list[list[float]]], path: str) -> None:
     """Persist a PQ index: the encoded corpus (the 32×-compressed table a
     serving tier actually scans) + the codebooks as a (subspace, code,

@@ -476,7 +476,7 @@ def test_histogram_percentiles_broadcasts_bounds(plans):
 def test_scaled_ann_twins_no_corpus_shuffle_before_ranking(plans):
     # the quantized IVF/PQ twins keep the float paths' shape: literal
     # codebook/centroid narrow maps, no cartesian, broadcast query side
-    for q in ("q_ivf_topk_verified", "q_pq_topk_verified"):
+    for q in ("q_ivf_topk_verified", "q_pq_topk_verified", "q_pq_rerank_verified"):
         p = plans(q)
         assert "CartesianProduct" not in p, q
         assert "SortMergeJoin" not in p, q

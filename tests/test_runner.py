@@ -77,3 +77,60 @@ def test_empty_input_is_normal_not_error(spark, tmp_path):
     )
     assert events.count() == 0
     assert counters["graph"].failed == 0
+
+
+def test_lifecycle_end_to_end_with_restart(spark, pages_dir, tmp_path):
+    """Round-8 item #4: the composed lifecycle — ingest → normalize →
+    graph → near-dup dedup → curation mixture → packed layout — as ONE
+    resumable run with per-stage row accounting. Covers: (a) stage
+    monotonicity (each funnel stage can only shrink its input), (b) the
+    layout's prefix-sum invariant, (c) full-skip resume, (d) selective
+    recompute after deleting one stage directory (checkpoint/restart)."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from cloudtrace_exporter_spark import lifecycle
+
+    docs = load_table(spark, SF, "documents")
+    out = str(tmp_path / "life")
+    man = lifecycle.run_lifecycle(
+        spark, pages_dir=pages_dir, docs=docs, out_dir=out, ctx=CTX
+    )["stages"]
+    # (a) row accounting across the funnel
+    assert man["ingest"]["rows"] == 1000
+    assert 0 < man["events"]["rows"] <= man["ingest"]["rows"]
+    assert man["graph"]["rows"] > man["events"]["rows"]  # ≥1 node+edges per event
+    n_docs = docs.count()
+    assert 0 < man["dedup"]["rows"] <= n_docs
+    assert 0 < man["curated"]["rows"] <= man["dedup"]["rows"]
+    assert man["layout"]["rows"] == man["curated"]["rows"]
+    assert all(not s["skipped"] for s in man.values())
+    # (b) packing invariant: offsets are an exclusive prefix sum — the
+    # last document's offset + its tokens equals the total token count
+    layout = spark.read.parquet(f"{out}/layout")
+    agg = layout.agg(
+        F.sum("n_tokens").alias("tot"),
+        F.max(F.col("tok_offset") + F.col("n_tokens")).alias("hi"),
+    ).collect()[0]
+    assert agg["tot"] == agg["hi"]
+    # graph store is idempotent-by-key: rerunning the stage would write
+    # the same distinct (kind, label, element) set
+    g = spark.read.parquet(f"{out}/graph")
+    assert g.count() == g.dropDuplicates(["kind", "label", "element"]).count()
+    # (c) resume: everything skipped, counts identical
+    man2 = lifecycle.run_lifecycle(
+        spark, pages_dir=pages_dir, docs=docs, out_dir=out, ctx=CTX
+    )["stages"]
+    assert all(s["skipped"] for s in man2.values())
+    assert {k: s["rows"] for k, s in man2.items()} == {
+        k: s["rows"] for k, s in man.items()
+    }
+    # (d) selective restart: drop ONE stage dir → only it recomputes
+    shutil.rmtree(f"{out}/layout")
+    man3 = lifecycle.run_lifecycle(
+        spark, pages_dir=pages_dir, docs=docs, out_dir=out, ctx=CTX
+    )["stages"]
+    assert man3["layout"]["skipped"] is False
+    assert man3["layout"]["rows"] == man["layout"]["rows"]
+    assert all(s["skipped"] for k, s in man3.items() if k != "layout")

@@ -79,15 +79,30 @@ def events_to_cypher_rows(events: DataFrame) -> DataFrame:
 
 
 def _neo4j_partition_writer(
-    uri: str, auth: tuple[str, str] | None, database: str, rows_per_tx: int
+    uri: str,
+    auth: tuple[str, str] | None,
+    database: str,
+    rows_per_tx: int,
+    driver_factory: Callable | None = None,
 ) -> Callable[[Iterator], None]:
     """Executor-side writer: one driver session per partition, one UNWIND
-    transaction per ``rows_per_tx`` chunk."""
+    transaction per ``rows_per_tx`` chunk.
 
-    def _write(rows: Iterator) -> None:
+    ``driver_factory(uri, auth)`` (default: the real ``neo4j``
+    GraphDatabase driver, gated import) exists so the chunk loop — the
+    engine-side half of delivery — is measurable and testable without a
+    database: tools/cypher_probe.py injects a transaction-counting fake
+    and records rows/s + transactions per batch size in SCALE.md."""
+
+    def _make_driver(u: str, a):
         import neo4j  # gated: not installed in this image
 
-        driver = neo4j.GraphDatabase.driver(uri, auth=auth)
+        return neo4j.GraphDatabase.driver(u, auth=a)
+
+    factory = driver_factory or _make_driver
+
+    def _write(rows: Iterator) -> None:
+        driver = factory(uri, auth)
         try:
             with driver.session(database=database) as session:
                 chunk: list[dict] = []
@@ -116,6 +131,7 @@ def foreach_batch_cypher_upsert(
     database: str = "neo4j",
     rows_per_tx: int = 1000,
     counters: DeliveryCounters | None = None,
+    driver_factory: Callable | None = None,
 ) -> Callable[[DataFrame, int], None]:
     """foreachBatch callback: batched Cypher MERGE delivery.
 
@@ -132,7 +148,9 @@ def foreach_batch_cypher_upsert(
             n = rows.count()
             if uri is not None:
                 rows.foreachPartition(
-                    _neo4j_partition_writer(uri, auth, database, rows_per_tx)
+                    _neo4j_partition_writer(
+                        uri, auth, database, rows_per_tx, driver_factory
+                    )
                 )
             else:
                 os.makedirs(out_dir, exist_ok=True)

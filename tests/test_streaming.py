@@ -808,3 +808,42 @@ def test_stream_stream_left_outer_join_flushes_unmatched(spark, staged_events):
     assert len(got_outer) > 0.5 * len(anti_b)
     # no left row appears both matched and unmatched
     assert not (got_outer & {a for a, _ in got_inner})
+
+
+def test_cypher_live_path_chunks_transactions_exactly(spark, staged_events, tmp_path):
+    """The LIVE delivery path's executor-side chunk loop (round-8 probe
+    contract): against an injected transaction-counting driver, every
+    row is delivered exactly once and the transaction count is
+    sum(ceil(partition_rows / rows_per_tx)) — the UNWIND batching that
+    replaces the reference's 1-transaction-per-event writer
+    (pkg/neo4j/client.go:51-55)."""
+    import math
+
+    from cloudtrace_exporter_spark.streaming import cypher_sink
+    from tools.cypher_probe import counting_driver_factory
+
+    normalized = normalize.normalize_traces(
+        normalize.events_as_traces(
+            load_table(spark, SF, "events")
+        ),
+        source="https://cts.example", region="eu-de", domain="d1", tenant="p1",
+    )
+    rows = cypher_sink.events_to_cypher_rows(normalized).repartition(4).cache()
+    n = rows.count()
+    per_part = [
+        r["c"] for r in rows.groupBy(F.spark_partition_id().alias("p"))
+        .agg(F.count(F.lit(1)).alias("c")).collect()
+    ]
+    sc = spark.sparkContext
+    for rows_per_tx in (3, 1000):
+        acc_tx = sc.accumulator(0)
+        acc_rows = sc.accumulator(0)
+        rows.foreachPartition(
+            cypher_sink._neo4j_partition_writer(
+                "bolt://test", None, "neo4j", rows_per_tx,
+                counting_driver_factory(acc_tx, acc_rows),
+            )
+        )
+        assert acc_rows.value == n
+        assert acc_tx.value == sum(math.ceil(c / rows_per_tx) for c in per_part)
+    rows.unpersist()

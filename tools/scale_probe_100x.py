@@ -180,6 +180,139 @@ def probe_stream(spark) -> None:
         shutil.rmtree(root, ignore_errors=True)
 
 
+def probe_dbscan(spark) -> None:
+    """Injected-pair DBSCAN (the q_dbscan_lsh posture) at 100k / 1M
+    vectors — round-8 tier above the 10× probe. 1% of vectors form
+    planted 4-member clusters (group members share their base vector
+    EXACTLY on the first n_bits coordinates, so sign-block recall is
+    deterministic by construction, and differ by one 5e-4 nudge on a
+    coordinate ≥ 40 — far inside the cos ≥ 0.95 ball); background
+    vectors are iid uniform [-0.125, 0.125]^64 — UNIT-SCALE, i.e. ‖v‖≈0.72,
+    inside the ε-test's documented 2⁶³ budget (quantized ‖a‖² ≈ 1e6; the
+    first draft used [-1,1] coords, ‖v‖≈4.6, and num²·‖a‖²·‖b‖² genuinely
+    overflowed BIGINT at the 1M tier — the budget boundary is real, and
+    embeddings are unit-normalized in every production pipeline this
+    serves; normalize_vectors is the in-repo path). Pairwise cos still
+    concentrates at std ≈ 1/8 (scale-invariant), so a spurious ε-pair is
+    a ≥7.6σ event — zero expected.
+    Block bits are occupancy-scaled with n (the SCALE.md rule), and the
+    probe ASSERTS planted recovery (every member core, cluster = min
+    group id), zero spurious clusters, and candidate-volume linearity
+    (pairs < 2n at both tiers)."""
+    from cloudtrace_exporter_spark.operators import similarity
+
+    for n, n_bits in ((100_000, 17), (1_000_000, 20)):
+        groups = n // 400
+        planted_n = groups * 4
+        gid = F.floor(F.col("id") / 4).cast("long")
+        is_p = F.col("id") < planted_n
+        seed = F.when(is_p, gid + 10_000_000_000).otherwise(F.col("id") + 20_000_000_000)
+        nudge_pos = F.lit(40) + F.pmod(F.col("id"), F.lit(4))
+        vec = F.transform(
+            F.sequence(F.lit(0), F.lit(63)),
+            lambda j: (
+                (F.pmod(F.xxhash64(seed, j), F.lit(2001)) - 1000) / 8000.0
+                + F.when(is_p & (j == nudge_pos), F.lit(0.004)).otherwise(F.lit(0.0))
+            ),
+        )
+        emb = (
+            spark.range(n)
+            .select(F.col("id").alias("vec_id"), vec.alias("embedding"))
+            .repartition(64)
+            .cache()
+        )
+        emb.count()
+        t0 = time.time()
+        pairs = similarity.sign_block_pairs(emb, n_bits=n_bits).cache()
+        n_pairs = pairs.count()
+        res = similarity.dbscan_embeddings(
+            emb, cos_num=95, cos_den=100, min_pts=4, pairs=pairs
+        ).cache()
+        planted = res.filter(F.col("vec_id") < planted_n).cache()
+        bad_role = planted.filter(F.col("role") != "core").count()
+        bad_cluster = planted.filter(
+            F.col("cluster") != (F.floor(F.col("vec_id") / 4) * 4).cast("long")
+        ).count()
+        spurious = res.filter(
+            (F.col("vec_id") >= planted_n) & (F.col("role") != "noise")
+        ).count()
+        wall = time.time() - t0
+        print(
+            f"dbscan_injected n={n:>9,} bits={n_bits}: {wall:6.2f} s  "
+            f"candidates={n_pairs:,} ({n_pairs / n:.2f}/vec)  "
+            f"planted {planted_n - bad_role - bad_cluster}/{planted_n} recovered  "
+            f"spurious={spurious}"
+        )
+        assert bad_role == 0 and bad_cluster == 0, "planted clusters must recover"
+        assert spurious == 0, "background must all be noise"
+        assert n_pairs < 2 * n, "candidate volume must stay linear"
+        planted.unpersist()
+        res.unpersist()
+        pairs.unpersist()
+        emb.unpersist()
+
+
+def probe_triangle(spark) -> None:
+    """Triangle participation over the banded LSH pair graph at 200k /
+    2M docs (10×/100× the sf0.1 documents table) — round-8 tier for the
+    wedge-join family. The _synth_docs recipe is extended from planted
+    PAIRS to planted TRIPLES (ids k, k+1, k+2 share text for k%100==0 —
+    one 3-clique per 100 docs, no larger cliques so counts are exact);
+    asserts every planted member participates in exactly 1 triangle,
+    total = planted count, and Σ participation = 3 × triangle census."""
+    from cloudtrace_exporter_spark.operators import dedup, graph
+
+    for n in (200_000, 2_000_000):
+        base = F.when(F.col("id") % 100 <= 2, F.col("id") - F.col("id") % 100).otherwise(
+            F.col("id")
+        )
+        words = F.concat_ws(
+            " ",
+            *[
+                F.concat(
+                    F.lit("w"), ((base * (j * 2 + 3) + j * j) % 50_000_000).cast("string")
+                )
+                for j in range(12)
+            ],
+        )
+        docs = (
+            spark.range(n)
+            .select(F.col("id").alias("doc_id"), words.alias("text"))
+            .repartition(64)
+            .cache()
+        )
+        docs.count()
+        triples = n // 100
+        t0 = time.time()
+        # materialize-before-fan-out: triangle_counts consumes the edge
+        # list in THREE subtrees (two wedge sides + the closure semi-join)
+        # — uncached, the whole banded-LSH plan re-executes per subtree
+        # (measured 449 s vs ~90 s at the 2M tier)
+        pairs = (
+            dedup.minhash_lsh_pairs(docs, threshold=0.9, portable=True)
+            .select("doc_a", "doc_b")
+            .cache()
+        )
+        pairs.count()
+        tri = graph.triangle_counts(pairs).cache()
+        total_participation = tri.agg(F.sum("n_triangles")).collect()[0][0] or 0
+        members = tri.count()
+        wrong = tri.filter(
+            (F.col("n_triangles") != 1) | (F.pmod(F.col("doc_id"), F.lit(100)) > 2)
+        ).count()
+        wall = time.time() - t0
+        print(
+            f"triangle_counts n={n:>9,}: {wall:6.2f} s  members={members:,} "
+            f"(expect {3 * triples:,})  sum={total_participation:,} wrong={wrong}"
+        )
+        assert members == 3 * triples, "every planted triple member participates"
+        assert total_participation == 3 * triples, "sum = 3 x census (1 tri each)"
+        assert wrong == 0, "no spurious triangles, none counted twice"
+        tri.unpersist()
+        pairs.unpersist()
+        docs.unpersist()
+
+
 def main() -> None:
     fam = "all"
     if "--family" in sys.argv:
@@ -195,6 +328,10 @@ def main() -> None:
         probe_passjoin(spark)
     if fam in ("stream", "all"):
         probe_stream(spark)
+    if fam in ("dbscan", "all"):
+        probe_dbscan(spark)
+    if fam in ("triangle", "all"):
+        probe_triangle(spark)
 
 
 if __name__ == "__main__":

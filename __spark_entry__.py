@@ -8389,6 +8389,7 @@ def oracle_sql() -> dict[str, str]:
               SELECT event_type AS series, value, event_id,
                      CAST(user_id % 2 AS INTEGER) AS variant
               FROM events
+              WHERE value IS NOT NULL AND user_id IS NOT NULL
             ),
             r AS (
               SELECT *, row_number() OVER (PARTITION BY series
@@ -8467,8 +8468,9 @@ def oracle_sql() -> dict[str, str]:
               FROM events GROUP BY 1, 2
             ),
             grid AS (
+              -- NULL daily totals are not observations (see holt_forecast)
               SELECT series, y, date_diff('day', DATE '2024-01-01', CAST(day AS DATE)) AS d
-              FROM daily
+              FROM daily WHERE y IS NOT NULL
             ),
             slopes AS (
               SELECT a.series, (b.y - a.y) / CAST(b.d - a.d AS DOUBLE) AS slope

@@ -3839,9 +3839,13 @@ def theil_sen_trend(
     series-keyed window each for slope and intercept medians.
     """
     day = F.date_trunc("day", F.col(ts_col))
+    # NULL daily totals are not observations (the holt_forecast round-8
+    # fuzz contract): a NULL slope/residual would rank NULLS-FIRST in
+    # Spark but NULLS-LAST in DuckDB, moving the median element.
     daily = (
         events.groupBy(F.col(type_col).alias("series"), day.alias("day"))
         .agg(F.round(F.sum(value_col), 4).alias("y"))
+        .filter(F.col("y").isNotNull())
         .withColumn("d", F.datediff(F.col("day"), F.lit(epoch).cast("date")))
     )
     a, b = daily.alias("a"), daily.alias("b")
@@ -4142,6 +4146,10 @@ def ab_ztest(
     """
     w = Window.partitionBy("series").orderBy(value_col, id_col)
     wn = Window.partitionBy("series")
+    # NULL values can't vote on the median threshold (Spark ranks NULLs
+    # first, DuckDB last — the selected element would differ) and NULL
+    # units belong to neither variant — the mann_whitney/ks_test contract
+    # (round-8 differential-fuzz find).
     g = (
         events.select(
             F.col(type_col).alias("series"),
@@ -4149,6 +4157,7 @@ def ab_ztest(
             F.col(id_col).alias(id_col),
             F.pmod(F.col(unit_col), F.lit(2)).cast("int").alias("variant"),
         )
+        .where(F.col(value_col).isNotNull() & F.col("variant").isNotNull())
         .withColumn("__rn", F.row_number().over(w))
         .withColumn("__n", F.count(F.lit(1)).over(wn))
         .withColumn(

@@ -56,6 +56,11 @@ _oc = importlib.util.module_from_spec(_spec)
 _spec.loader.exec_module(_oc)
 
 SEEDS = int(os.environ.get("SPARK_GRAFT_FUZZ_SEEDS", "20"))
+#: breadth wave: more families at fewer seeds (CI-budget tradeoff — the
+#: depth wave above covers the ~26 riskiest integer-scaled operators at
+#: N>=20 per the round-8 verdict contract; this wave sweeps the wider
+#: stats/text/curation surface for the same NULL/tie/unicode classes)
+SEEDS_W2 = int(os.environ.get("SPARK_GRAFT_FUZZ_SEEDS_W2", "8"))
 
 #: query key -> tables its plan + oracle read (all are generated anyway;
 #: the list documents intent and drives nothing).
@@ -90,6 +95,39 @@ FAMILIES = [
     # orders/lineitem: as-of tie handling, skyline ties
     "q_asof_join",
     "q_pareto_front",
+]
+
+#: wave-2 breadth families (SEEDS_W2 seeds each)
+FAMILIES_W2 = [
+    # events: remaining stats/sequence surface
+    "q_activity_gini",
+    "q_theilsen_trend",
+    "q_autocorr_lag7",
+    "q_lead_lag_ccf",
+    "q_ab_ztest",
+    "q_ewma_chart",
+    "q_funnel_strict",
+    "q_sessionize",
+    "q_rolling_7d",
+    "q_kmv_join_estimate",
+    "q_quantile_normalize",
+    # the reference's own normalize chain under adversarial events
+    "q_dedup_events",
+    "q_json_extract",
+    "q_count_per_window",
+    # documents: curation/text surface
+    "q_source_hhi",
+    "q_vocab_growth",
+    "q_source_novelty",
+    "q_quality_filter",
+    "q_stratified_sample",
+    "q_corpus_datacard",
+    "q_water_fill_caps",
+    "q_token_budget_sample",
+    "q_purged_folds",
+    "q_split_assign",
+    # orders: grid aggregations over adversarial doubles
+    "q_histogram_percentiles",
 ]
 
 _EPOCH = datetime(2024, 1, 1)
@@ -365,13 +403,12 @@ def _duck_con(d: Path) -> duckdb.DuckDBPyConnection:
     return con
 
 
-@pytest.mark.parametrize("qname", FAMILIES)
-def test_fuzz_differential(qname: str, spark, fuzz_root: Path) -> None:
+def _run_family(qname: str, spark, fuzz_root: Path, seeds: int) -> None:
     import __spark_entry__ as entry_mod
 
     fn = entry_mod.queries()[qname]
     oracle = _oracle(qname)
-    for seed in range(SEEDS):
+    for seed in range(seeds):
         d = _gen_corpus(seed, fuzz_root)
         sdf = fn(spark, str(d))
         srows = [tuple(r) for r in sdf.collect()]
@@ -395,3 +432,13 @@ def test_fuzz_differential(qname: str, spark, fuzz_root: Path) -> None:
                 f"cols={sorted(scols)}; first_diffs={diffs}; "
                 f"spark_only={extra_a}; duck_only={extra_b}"
             )
+
+
+@pytest.mark.parametrize("qname", FAMILIES)
+def test_fuzz_differential(qname: str, spark, fuzz_root: Path) -> None:
+    _run_family(qname, spark, fuzz_root, SEEDS)
+
+
+@pytest.mark.parametrize("qname", FAMILIES_W2)
+def test_fuzz_differential_wave2(qname: str, spark, fuzz_root: Path) -> None:
+    _run_family(qname, spark, fuzz_root, SEEDS_W2)

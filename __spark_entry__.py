@@ -5299,7 +5299,7 @@ def oracle_sql() -> dict[str, str]:
             FROM norm
         """,
         "q_dedup_events": """
-            SELECT event_type, count(*) AS n, round(sum(value), 2) AS sum_value
+            SELECT event_type, count(*) AS n, round(sum(value), 2) + 0 AS sum_value
             FROM (SELECT DISTINCT * FROM (SELECT * FROM events UNION ALL SELECT * FROM events))
             GROUP BY event_type
         """,
@@ -5316,7 +5316,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q_count_per_window": """
             SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_s,
-                   count(*) AS n, round(sum(value), 2) AS sum_value
+                   count(*) AS n, round(sum(value), 2) + 0 AS sum_value
             FROM events GROUP BY 1
         """,
         "q_nodes_resource": f"""
@@ -5554,7 +5554,7 @@ def oracle_sql() -> dict[str, str]:
             -- floor15(ts) and floor15(ts) - 15min
             SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS win_start_s,
                    CAST(count(*) AS BIGINT) AS n,
-                   round(sum(value), 2) AS sum_value
+                   round(sum(value), 2) + 0 AS sum_value
             FROM (
               SELECT unnest([f15, f15 - INTERVAL 15 MINUTE]) AS ws, value FROM (
                 SELECT to_timestamp(CAST(floor(epoch(ts) / 900) * 900 AS BIGINT)) AS f15, value
@@ -5617,7 +5617,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, sess_id, count(*) AS n_events,
                    strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS start_s,
                    strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS end_s,
-                   round(sum(value), 2) AS session_value
+                   round(sum(value), 2) + 0 AS session_value
             FROM s GROUP BY user_id, sess_id
         """,
         "q_percentiles": """
@@ -5653,7 +5653,7 @@ def oracle_sql() -> dict[str, str]:
             FROM events
         """,
         "q_salted_agg": """
-            SELECT event_type, count(*) AS n, round(sum(value), 2) AS sum_value
+            SELECT event_type, count(*) AS n, round(sum(value), 2) + 0 AS sum_value
             FROM events GROUP BY event_type ORDER BY event_type
         """,
         # q_ivf_topk: IVF cell assignment is engine-specific -> rows-only.
@@ -7087,7 +7087,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_id, user_id,
                    strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
                    count(*) OVER w AS n_trailing,
-                   round(sum(value) OVER w, 2) AS sum_trailing
+                   round(sum(value) OVER w, 2) + 0 AS sum_trailing
             FROM events
             WINDOW w AS (
               -- floor to whole seconds: Spark's unix_timestamp truncates,
@@ -7142,7 +7142,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q_top_user_per_type": """
             WITH totals AS (
-              SELECT user_id, event_type, round(sum(value), 2) AS total
+              SELECT user_id, event_type, round(sum(value), 2) + 0 AS total
               FROM events GROUP BY user_id, event_type
             ),
             m AS (
@@ -7162,7 +7162,7 @@ def oracle_sql() -> dict[str, str]:
             ),
             daily AS (
               SELECT date_trunc('day', ts) AS day, count(*) AS n,
-                     round(sum(value), 2) AS sum_value
+                     round(sum(value), 2) + 0 AS sum_value
               FROM events GROUP BY 1
             )
             SELECT strftime(d.day, '%Y-%m-%d') AS day_s,

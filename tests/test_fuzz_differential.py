@@ -61,6 +61,7 @@ SEEDS = int(os.environ.get("SPARK_GRAFT_FUZZ_SEEDS", "20"))
 #: N>=20 per the round-8 verdict contract; this wave sweeps the wider
 #: stats/text/curation surface for the same NULL/tie/unicode classes)
 SEEDS_W2 = int(os.environ.get("SPARK_GRAFT_FUZZ_SEEDS_W2", "8"))
+SEEDS_W3 = int(os.environ.get("SPARK_GRAFT_FUZZ_SEEDS_W3", "6"))
 
 #: query key -> tables its plan + oracle read (all are generated anyway;
 #: the list documents intent and drives nothing).
@@ -95,6 +96,32 @@ FAMILIES = [
     # orders/lineitem: as-of tie handling, skyline ties
     "q_asof_join",
     "q_pareto_front",
+]
+
+#: wave-3: the dedup/similarity core under adversarial corpora — zero
+#: vectors, exact-duplicate and near-duplicate vectors/texts, empty and
+#: single-word docs (SEEDS_W3 seeds each; these queries are heavier)
+FAMILIES_W3 = [
+    "q_cosine_topk",
+    "q_lsh_topk_verified",
+    "q_ivf_topk_verified",
+    "q_pq_topk_verified",
+    "q_pq_rerank_verified",
+    "q_mutual_nn",
+    "q_embedding_norm_stats",
+    "q_quantize_int8",
+    "q_vector_normalize",
+    "q_embed_label_centroids",
+    "q_doc_dedup_exact",
+    "q_minhash_dedup_verified",
+    "q_containment_pairs",
+    "q_passjoin_exact",
+    "q_fuzzy_sorted_neighborhood",
+    "q_normalized_dedup",
+    "q_ngram_jaccard",
+    "q_lm_unigram_score",
+    "q_bm25_topk",
+    "q_doc_fingerprint",
 ]
 
 #: wave-2 breadth families (SEEDS_W2 seeds each)
@@ -442,3 +469,8 @@ def test_fuzz_differential(qname: str, spark, fuzz_root: Path) -> None:
 @pytest.mark.parametrize("qname", FAMILIES_W2)
 def test_fuzz_differential_wave2(qname: str, spark, fuzz_root: Path) -> None:
     _run_family(qname, spark, fuzz_root, SEEDS_W2)
+
+
+@pytest.mark.parametrize("qname", FAMILIES_W3)
+def test_fuzz_differential_wave3(qname: str, spark, fuzz_root: Path) -> None:
+    _run_family(qname, spark, fuzz_root, SEEDS_W3)

@@ -39,7 +39,10 @@ def canon_cell(v) -> str:
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
-        # round-trip through a fixed precision so -0.0/1e-13 noise collapses
+        if v == 0.0:
+            return "0"  # IEEE -0.0 == 0.0; DuckDB round() keeps the sign of
+            # zero (round(-1e-5, 2) = -0.0) where Spark's F.round never
+            # emits -0.0 — display noise, not a value divergence (round-8)
         return f"{v:.9g}"
     if isinstance(v, bool):
         return str(int(v))

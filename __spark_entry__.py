@@ -7403,7 +7403,12 @@ def oracle_sql() -> dict[str, str]:
         # quadratic brute-force form the Spark operator provably equals
         "q_passjoin_exact": """
             WITH p AS (
-              SELECT doc_id, substr(text, 1, 20) AS pfx FROM documents
+              -- non-ASCII folded to '#' so byte-based levenshtein ==
+              -- Spark's codepoint levenshtein (round-8 fuzz find)
+              SELECT doc_id,
+                     regexp_replace(substr(text, 1, 20),
+                                    '[^\\x00-\\x7F]', '#', 'g') AS pfx
+              FROM documents
               WHERE length(substr(text, 1, 20)) >= 8
             )
             SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
@@ -9430,7 +9435,8 @@ def oracle_sql() -> dict[str, str]:
         "q_fuzzy_sorted_neighborhood": f"""
             WITH t AS (
               SELECT doc_id,
-                     COALESCE(array_to_string({_TOKENS_SQL}[1:8], ' '), '') AS pfx
+                     regexp_replace(COALESCE(array_to_string({_TOKENS_SQL}[1:8], ' '), ''),
+                                    '[^\\x00-\\x7F]', '#', 'g') AS pfx
               FROM documents
             ),
             rk AS (
@@ -9473,7 +9479,8 @@ def oracle_sql() -> dict[str, str]:
             WITH t AS (
               SELECT doc_id, lang,
                      {_TOKENS_SQL}[1] AS tok1,
-                     COALESCE(array_to_string({_TOKENS_SQL}[1:8], ' '), '') AS pfx
+                     regexp_replace(COALESCE(array_to_string({_TOKENS_SQL}[1:8], ' '), ''),
+                                    '[^\\x00-\\x7F]', '#', 'g') AS pfx
               FROM documents
             )
             SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,

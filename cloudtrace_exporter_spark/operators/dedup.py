@@ -1476,6 +1476,20 @@ def dedup_intra_doc(
     )
 
 
+
+def _ascii_fold(c: F.Column) -> F.Column:
+    """Fold every non-ASCII codepoint to '#' in an edit-distance KEY so a
+    byte-based engine and a codepoint-based engine measure IDENTICAL
+    lengths, substring positions, and Levenshtein distances (round-8
+    differential-fuzz find: Spark's levenshtein counts codepoints,
+    DuckDB's counts BYTES — '北京' is distance 2 vs 6 — so any non-ASCII
+    key silently diverges at a threshold boundary). ASCII text is
+    untouched; non-ASCII codepoints collapse to one symbol class, a
+    standard blocking-key normalization for fuzzy matching (distances on
+    folded keys lower-bound the true codepoint distances)."""
+    return F.regexp_replace(c, r"[^\x00-\x7F]", "#")
+
+
 def fuzzy_prefix_join(
     df: DataFrame,
     *,
@@ -1515,7 +1529,7 @@ def fuzzy_prefix_join(
         # list[1] on an empty list is NULL too). Found by the
         # hypothesis threshold-monotonicity property.
         F.get(t, 0).alias("tok1"),
-        F.concat_ws(" ", F.slice(t, 1, n_prefix_tokens)).alias("pfx"),
+        _ascii_fold(F.concat_ws(" ", F.slice(t, 1, n_prefix_tokens))).alias("pfx"),
     )
     a, b = keyed.alias("a"), keyed.alias("b")
     dist = F.levenshtein(F.col("a.pfx"), F.col("b.pfx"), max_dist)
@@ -1570,7 +1584,7 @@ def fuzzy_sorted_neighborhood(
     t = tokens(text_col)
     keyed = df.select(
         F.col(id_col).alias("id"),
-        F.concat_ws(" ", F.slice(t, 1, n_prefix_tokens)).alias("pfx"),
+        _ascii_fold(F.concat_ws(" ", F.slice(t, 1, n_prefix_tokens))).alias("pfx"),
     )
     rk = global_row_number(keyed, ["pfx", "id"]).select("id", "pfx", "rn")
     slots = rk.select(
@@ -1978,7 +1992,7 @@ def passjoin_edit_pairs(
     base = (
         df.select(
             F.col(id_col).alias("id"),
-            F.substring(F.col(text_col), 1, prefix_chars).alias("pfx"),
+            _ascii_fold(F.substring(F.col(text_col), 1, prefix_chars)).alias("pfx"),
         )
         .filter(F.length("pfx") >= F.lit(min_len))
     )

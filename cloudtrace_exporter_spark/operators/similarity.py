@@ -53,6 +53,17 @@ def _norm(a: F.Column) -> F.Column:
     return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
 
 
+def _safe_cosine(cv: F.Column, qv: F.Column) -> F.Column:
+    """6-rounded cosine with the ZERO-VECTOR guard: NULL when either norm
+    is zero (a zero embedding has no direction; under ANSI mode the raw
+    division would abort the whole job on one bad row — round-8
+    differential-fuzz find). NULL cosines rank LAST under the DESC
+    ranking on both engines (Spark desc and DuckDB default are both
+    NULLS LAST for DESC), so top-k semantics stay engine-identical."""
+    cn, qn = _norm(cv), _norm(qv)
+    return F.when((cn > 0.0) & (qn > 0.0), F.round(_dot(cv, qv) / (cn * qn), 6))
+
+
 def _matrix_lit(vectors: list[list[float]]) -> F.Column:
     """A list of double vectors as ONE parser-built nested array literal.
 
@@ -96,9 +107,7 @@ def cosine_topk(
         .select(
             "query_id",
             "corpus_id",
-            F.round(
-                _dot(F.col("cv"), F.col("qv")) / (_norm(F.col("cv")) * _norm(F.col("qv"))), 6
-            ).alias("cosine"),
+            _safe_cosine(F.col("cv"), F.col("qv")).alias("cosine"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("corpus_id"))
@@ -139,9 +148,7 @@ def hard_negatives(
         .select(
             "query_id",
             "corpus_id",
-            F.round(
-                _dot(F.col("cv"), F.col("qv")) / (_norm(F.col("cv")) * _norm(F.col("qv"))), 6
-            ).alias("cosine"),
+            _safe_cosine(F.col("cv"), F.col("qv")).alias("cosine"),
         )
         .filter(F.col("cosine") < positive_threshold)
     )
@@ -448,11 +455,17 @@ def ivf_topk_scaled(
         .select(
             "query_id",
             F.col("id").alias("corpus_id"),
-            F.round(
-                idot(F.col("v"), F.col("qv"))
-                / (F.sqrt(idot(F.col("v"), F.col("v"))) * F.sqrt(idot(F.col("qv"), F.col("qv")))),
-                6,
-            ).alias("cosine"),
+            F.when(
+                (idot(F.col("v"), F.col("v")) > 0) & (idot(F.col("qv"), F.col("qv")) > 0),
+                F.round(
+                    idot(F.col("v"), F.col("qv"))
+                    / (
+                        F.sqrt(idot(F.col("v"), F.col("v")))
+                        * F.sqrt(idot(F.col("qv"), F.col("qv")))
+                    ),
+                    6,
+                ),
+            ).alias("cosine"),  # zero-vector guard (see _safe_cosine)
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("corpus_id"))
@@ -535,7 +548,10 @@ def ivf_topk(
         .select(
             "query_id",
             "corpus_id",
-            F.round(_dot(F.col("v"), F.col("qv")) / (F.col("vn") * F.col("qn")), 6).alias("cosine"),
+            F.when(
+                (F.col("vn") > 0.0) & (F.col("qn") > 0.0),
+                F.round(_dot(F.col("v"), F.col("qv")) / (F.col("vn") * F.col("qn")), 6),
+            ).alias("cosine"),  # zero-vector guard (see _safe_cosine)
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("corpus_id"))
@@ -743,8 +759,9 @@ def lsh_topk(
         .selectExpr(
             "query_id",
             "corpus_id",
-            "round(aggregate(zip_with(cv, qv, (x, y) -> x * y), CAST(0.0 AS DOUBLE),"
-            " (acc, x) -> acc + x) / (cn * qn), 6) AS cosine",
+            "CASE WHEN cn > 0.0 AND qn > 0.0 THEN"
+            " round(aggregate(zip_with(cv, qv, (x, y) -> x * y), CAST(0.0 AS DOUBLE),"
+            " (acc, x) -> acc + x) / (cn * qn), 6) END AS cosine",  # zero-vector guard
         )
     )
     # Dedup (a pair can collide in several tables) is FUSED into the
@@ -1215,9 +1232,7 @@ def pq_rerank_topk(
         .select(
             "query_id",
             "corpus_id",
-            F.round(
-                _dot(F.col("cv"), F.col("qv")) / (_norm(F.col("cv")) * _norm(F.col("qv"))), 6
-            ).alias("cosine"),
+            _safe_cosine(F.col("cv"), F.col("qv")).alias("cosine"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("corpus_id"))
@@ -1274,9 +1289,7 @@ def pq_rerank_scaled(
         .select(
             "query_id",
             "corpus_id",
-            F.round(
-                _dot(F.col("cv"), F.col("qv")) / (_norm(F.col("cv")) * _norm(F.col("qv"))), 6
-            ).alias("cosine"),
+            _safe_cosine(F.col("cv"), F.col("qv")).alias("cosine"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("corpus_id"))
@@ -1357,9 +1370,10 @@ def cosine_topk_chunked(
             c.join(F.broadcast(qi), F.col("corpus_id") != F.col("query_id")).select(
                 "query_id",
                 "corpus_id",
-                F.round(_dot(F.col("cv"), F.col("qv")) / (F.col("cn") * F.col("qn")), 6).alias(
-                    "cosine"
-                ),
+                F.when(
+                    (F.col("cn") > 0.0) & (F.col("qn") > 0.0),
+                    F.round(_dot(F.col("cv"), F.col("qv")) / (F.col("cn") * F.col("qn")), 6),
+                ).alias("cosine"),  # zero-vector guard (see _safe_cosine)
             )
         )
     scored = parts[0]

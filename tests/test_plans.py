@@ -793,9 +793,14 @@ def test_calibration_bins_single_grid_agg(plans):
 
 def test_changepoint_single_series_exchange(plans):
     # daily grid reduce + prefix/total windows + struct-max all share
-    # the series partitioning; no joins
+    # the series partitioning; the ONLY join is the round-8 left join of
+    # the |series|-row argmax result back onto the distinct-series list
+    # (single-day series emit NULL rows instead of vanishing) — two
+    # grid-sized frames, never the corpus, and never a cartesian
     p = plans("q_changepoint")
-    assert "Join" not in p
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert p.count("Join") <= 2  # one logical left join (±codegen echo)
 
 
 def test_source_hhi_single_agg_chain(plans):

@@ -386,6 +386,8 @@ def test_registry_consistency():
         "q_winnow_dedup", "q_phash_dedup", "q_audio_fingerprint_dedup",
         "q_multimodal_png",  # r7: Python-side PNG decode; per-row
         # stats_agree parity bit is the in-row oracle
+        "q_multimodal_jpeg",  # r8: Python-side T.81 JPEG decode; lossy
+        # codec, so the in-row stats_agree tolerance bit is the oracle
     }
     assert rows_only == documented, (
         f"undocumented rows-only: {rows_only - documented}; "

@@ -7818,12 +7818,14 @@ def oracle_sql() -> dict[str, str]:
               FROM cand
             ),
             sel AS (
+              -- RAW divisions (percent_rank rule): round(,6) was a latent
+              -- tie-splitter for odd p (see changepoint_amoc docstring)
               SELECT series, n AS n_days, CAST(day AS TIMESTAMP) AS cp_day,
                      k AS cp_k, stat,
-                     round(CAST(p AS DOUBLE) / CAST(k * 10000 AS DOUBLE), 6)
+                     CAST(p AS DOUBLE) / CAST(k * 10000 AS DOUBLE)
                        AS mean_before,
-                     round(CAST(s - p AS DOUBLE)
-                           / CAST((n - k) * 10000 AS DOUBLE), 6) AS mean_after
+                     CAST(s - p AS DOUBLE)
+                           / CAST((n - k) * 10000 AS DOUBLE) AS mean_after
               FROM best WHERE rk = 1
             ),
             all_series AS (SELECT DISTINCT series FROM daily)
@@ -8371,6 +8373,9 @@ def oracle_sql() -> dict[str, str]:
                           i -> a.v[i] * b.v[i])) AS BIGINT)
                        / (sqrt(CAST(a.n2 AS DOUBLE)) * sqrt(CAST(b.n2 AS DOUBLE))) AS cos
               FROM e a JOIN e b ON a.label = 0 AND b.label = 1
+              -- zero-norm rows have no defined neighbor (Spark filters
+              -- NULL cos before its argmax; round-8 fuzz find)
+              WHERE a.n2 > 0 AND b.n2 > 0
             ),
             ab AS (
               SELECT id_a, id_b, cos FROM (
@@ -8536,9 +8541,9 @@ def oracle_sql() -> dict[str, str]:
                              AND d.idx = it.idx + 1
             )
             SELECT series, CAST(n AS BIGINT) AS n_days,
-                   round(l, 4) AS level, round(b, 4) AS trend,
-                   round(round(l, 4) + 0.5e0 * round(b, 4), 4) AS forecast_1,
-                   round(round(l, 4) + 0.9921875e0 * round(b, 4), 4) AS forecast_7
+                   l AS level, b AS trend,
+                   l + 0.5e0 * b AS forecast_1,
+                   l + 0.9921875e0 * b AS forecast_7
             FROM it WHERE idx = n ORDER BY series
         """,
         # round-6: Holt level+trend fold — the recursive CTE replays the
@@ -8569,9 +8574,9 @@ def oracle_sql() -> dict[str, str]:
                              AND d.idx = it.idx + 1
             )
             SELECT series, CAST(n AS BIGINT) AS n_days,
-                   round(l, 4) AS level, round(b, 4) AS trend,
-                   round(round(l, 4) + round(b, 4), 4) AS forecast_1,
-                   round(round(l, 4) + 7.0e0 * round(b, 4), 4) AS forecast_7
+                   l AS level, b AS trend,
+                   l + 1.0e0 * b AS forecast_1,
+                   l + 7.0e0 * b AS forecast_7
             FROM it WHERE idx = n ORDER BY series
         """,
         # round-6: KMV join-size estimate — inclusion-exclusion over the
@@ -8666,8 +8671,10 @@ def oracle_sql() -> dict[str, str]:
         # feasible cap → remainder distribution by source order)
         "q_water_fill_caps": f"""
             WITH prof AS (
+              -- all-NULL-text source = ZERO capacity, not NULL (see
+              -- curate.water_fill_caps, round-8 fuzz find)
               SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
-                     CAST(sum(len({_TOKENS_SQL})) AS BIGINT) AS capacity
+                     CAST(COALESCE(sum(len({_TOKENS_SQL})), 0) AS BIGINT) AS capacity
               FROM documents GROUP BY source
             ),
             s1 AS (

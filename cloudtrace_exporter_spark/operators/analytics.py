@@ -3792,8 +3792,13 @@ def holt_forecast(
 
     init = F.struct(F.lit(0.0).alias("l"), F.lit(0.0).alias("b"), F.lit(0).alias("i"))
     folded = arr.select("series", F.aggregate("__seq", init, merge).alias("st"))
-    lvl = F.round(F.col("st.l"), 4)
-    trd = F.round(F.col("st.b"), 4)
+    # RAW fold outputs (round-8): the recursive-CTE replay makes l/b
+    # bit-identical doubles on both engines, so the old cosmetic
+    # round(·, 4) only ADDED risk — engine round() algorithms legitimately
+    # disagree when a value's nearest double brushes a decimal tie
+    # (differential-fuzz find on forecast_1's l + φ·b sum)
+    lvl = F.col("st.l")
+    trd = F.col("st.b")
     # h-step multiplier Σ_{i=1..h} φ^i — exact dyadic arithmetic in
     # Python, embedded as one literal per horizon
     c1 = ph
@@ -3807,8 +3812,8 @@ def holt_forecast(
         F.col("st.i").cast("long").alias("n_days"),
         lvl.alias("level"),
         trd.alias("trend"),
-        F.round(lvl + F.lit(c1) * trd, 4).alias("forecast_1"),
-        F.round(lvl + F.lit(ch) * trd, 4).alias(f"forecast_{horizon}"),
+        (lvl + F.lit(c1) * trd).alias("forecast_1"),
+        (lvl + F.lit(ch) * trd).alias(f"forecast_{horizon}"),
     ).orderBy("series")
 
 
@@ -5031,7 +5036,10 @@ def calibration_bins(
     data.
     """
     k = F.get_json_object("props", "$.k").cast("long")
-    y = (F.col("event_type") == "purchase").cast("long")
+    # NULL event_type is "not a purchase" (0), not an unknown outcome: a
+    # bare equality would leave y NULL and F.sum would SKIP it while the
+    # oracle's CASE maps it to 0 (round-8 differential-fuzz find)
+    y = F.coalesce((F.col("event_type") == "purchase").cast("long"), F.lit(0))
     binned = events.select(
         F.expr(f"(CAST(get_json_object(props, '$.k') AS BIGINT) * {n_bins}) DIV {score_den}")
         .alias("bin"),
@@ -5126,13 +5134,18 @@ def changepoint_amoc(
         F.col("m.cp_day").alias("cp_day"),
         cp_k.cast("long").alias("cp_k"),
         F.col("m.stat").alias("stat"),
-        F.round(F.col("m.pk").cast("double") / (cp_k * scale).cast("double"), 6).alias(
+        # RAW divisions (the percent_rank no-round rule): p/(k·scale) is a
+        # ratio of exact integers, so the IEEE quotient is bit-identical
+        # across engines — round(·, 6) was a latent tie-splitter (odd p
+        # makes p/(k·10⁴) an exact 7-digit …5 decimal, and the engines'
+        # round algorithms legitimately disagree on which side the nearest
+        # double falls; round-8 differential-fuzz find)
+        (F.col("m.pk").cast("double") / (cp_k * scale).cast("double")).alias(
             "mean_before"
         ),
-        F.round(
+        (
             (F.col("m.s") - F.col("m.pk")).cast("double")
-            / ((F.col("m.n") - cp_k) * scale).cast("double"),
-            6,
+            / ((F.col("m.n") - cp_k) * scale).cast("double")
         ).alias("mean_after"),
     ).orderBy("series")
 

@@ -602,9 +602,15 @@ def water_fill_caps(
     has no mixture planner; this extends the north-star curation
     surface (SURVEY.md §2 B-rows).
     """
+    # a source whose docs are all NULL-text has ZERO capacity, not NULL:
+    # a NULL capacity would sort NULLS-FIRST in Spark's fill order but
+    # NULLS-LAST in DuckDB's, poisoning every downstream allocation
+    # (round-8 differential-fuzz find)
     prof = docs.groupBy(F.col(source_col).alias("source")).agg(
         F.count(F.lit(1)).alias("n_docs"),
-        F.sum(text.token_count(text_col)).cast("long").alias("capacity"),
+        F.coalesce(F.sum(text.token_count(text_col)).cast("long"), F.lit(0)).alias(
+            "capacity"
+        ),
     )
     # [WindowExec: No Partition Defined — BENIGN HERE] every window in
     # this function runs over the |sources|-row profile (single digits
@@ -660,7 +666,11 @@ def water_fill_caps(
         "capacity",
         alloc.alias("allocated"),
         F.col("__capped").alias("capped"),
-        F.round(alloc / F.col("capacity"), 6).alias("fill_rate"),
+        # NULL fill rate for a zero-capacity source (all-empty docs):
+        # ANSI aborts on /0, DuckDB's /0 is NULL (round-8 fuzz find)
+        F.when(
+            F.col("capacity") > 0, F.round(alloc / F.col("capacity"), 6)
+        ).alias("fill_rate"),
     ).orderBy("source")
 
 

@@ -1765,10 +1765,19 @@ def mutual_nn_pairs(
     scored = cache_once(
         a.join(F.broadcast(b), F.lit(True))
         .withColumn(
+            # NULL cosine for zero-norm vectors (ANSI /0 aborts; DuckDB's
+            # /0 is NULL — the _safe_cosine contract, round-8 fuzz find)
             "cos",
-            dot / (F.sqrt(F.col("na").cast("double")) * F.sqrt(F.col("nb").cast("double"))),
+            F.when(
+                (F.col("na") > 0) & (F.col("nb") > 0),
+                dot
+                / (F.sqrt(F.col("na").cast("double")) * F.sqrt(F.col("nb").cast("double"))),
+            ),
         )
         .select("id_a", "id_b", "cos")
+        # zero-norm rows have no defined neighbor: drop before the argmax
+        # (a NULL cos would sort FIRST inside Spark's struct-min)
+        .where(F.col("cos").isNotNull())
     )
     best_ab = scored.groupBy("id_a").agg(
         F.min(F.struct((-F.col("cos")).alias("nc"), F.col("id_b"))).alias("m")

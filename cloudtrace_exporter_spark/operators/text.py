@@ -1577,8 +1577,14 @@ def vocab_growth_curve(
             F.sum("new_types").over(w).cast("long").alias("cum_types"),
         )
         .withColumn(
+            # NULL when the prefix has no tokens yet (all-empty buckets):
+            # ANSI mode aborts on the raw /0; DuckDB's /0 is already NULL
+            # (round-8 differential-fuzz find)
             "type_token_ratio",
-            F.round(F.col("cum_types") / F.col("cum_tokens"), 6),
+            F.when(
+                F.col("cum_tokens") > 0,
+                F.round(F.col("cum_types") / F.col("cum_tokens"), 6),
+            ),
         )
         .orderBy("bucket")
     )

@@ -185,8 +185,13 @@ def _value(rng: random.Random) -> float | None:
 def _ts(rng: random.Random, tie_pool: list[datetime]) -> datetime:
     if tie_pool and rng.random() < 0.4:
         return rng.choice(tie_pool)
+    # ~10% of events land BEFORE the operators' 2024-01-01 epoch: negative
+    # day indices exercise the sign-sensitive floor/integer-division
+    # arithmetic in every datediff-based grid (conformal, theilsen,
+    # lead-lag, autocorr) that fixtures never reach
+    days = rng.randint(-7, -1) if rng.random() < 0.1 else rng.randint(0, 29)
     t = _EPOCH + timedelta(
-        days=rng.randint(0, 29),
+        days=days,
         seconds=rng.randint(0, 86399),
         microseconds=rng.choice([0, 0, 123456, 999999]),
     )

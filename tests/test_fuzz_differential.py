@@ -62,6 +62,7 @@ SEEDS = int(os.environ.get("SPARK_GRAFT_FUZZ_SEEDS", "20"))
 #: stats/text/curation surface for the same NULL/tie/unicode classes)
 SEEDS_W2 = int(os.environ.get("SPARK_GRAFT_FUZZ_SEEDS_W2", "8"))
 SEEDS_W3 = int(os.environ.get("SPARK_GRAFT_FUZZ_SEEDS_W3", "6"))
+SEEDS_W4 = int(os.environ.get("SPARK_GRAFT_FUZZ_SEEDS_W4", "4"))
 
 #: query key -> tables its plan + oracle read (all are generated anyway;
 #: the list documents intent and drives nothing).
@@ -122,6 +123,35 @@ FAMILIES_W3 = [
     "q_lm_unigram_score",
     "q_bm25_topk",
     "q_doc_fingerprint",
+]
+
+#: wave-4: iterative graph/tokenizer algorithms and the remaining
+#: sketch/retrieval verified twins — multi-round argmax chains and
+#: tie-breaks are the risk class (SEEDS_W4 seeds; these are the
+#: heaviest queries in the registry)
+FAMILIES_W4 = [
+    "q_pagerank_verified",
+    "q_kcore",
+    "q_label_propagation",
+    "q_dedup_clusters",
+    "q_triangle_count",
+    "q_mmr_rerank",
+    "q_bpe_merges",
+    "q_dsir_importance",
+    "q_contrastive_pairs",
+    "q_dedup_threshold_sweep",
+    "q_simhash_near_dup_verified",
+    "q_winnow_dedup_verified",
+    "q_incremental_near_dedup_verified",
+    "q_minhash_jaccard_diag",
+    "q_intra_doc_dedup",
+    "q_bm25_prf",
+    "q_hybrid_rrf",
+    "q_lm_bigram_score",
+    "q_kmv_distinct",
+    "q_cms_frequency",
+    "q_quantile_normalize",
+    "q_dedup_rewrite",
 ]
 
 #: wave-2 breadth families (SEEDS_W2 seeds each)
@@ -479,3 +509,8 @@ def test_fuzz_differential_wave2(qname: str, spark, fuzz_root: Path) -> None:
 @pytest.mark.parametrize("qname", FAMILIES_W3)
 def test_fuzz_differential_wave3(qname: str, spark, fuzz_root: Path) -> None:
     _run_family(qname, spark, fuzz_root, SEEDS_W3)
+
+
+@pytest.mark.parametrize("qname", FAMILIES_W4)
+def test_fuzz_differential_wave4(qname: str, spark, fuzz_root: Path) -> None:
+    _run_family(qname, spark, fuzz_root, SEEDS_W4)

@@ -812,7 +812,12 @@ def q_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     is comma-serialized: the driver's pandas canonicalization cannot hash
     array cells (same class of crash as round-1 q_subject_status_sets)."""
     out = analytics.map_funcs(load_table(spark, sf_dir, "events"))
-    return out.withColumn("prop_keys", F.array_join("prop_keys", ","))
+    # coalesce: a NULL props payload serializes to '' on BOTH engines
+    # (Spark array_join(NULL) is NULL; DuckDB's array_to_string is
+    # already coalesced — round-8 fuzz find)
+    return out.withColumn(
+        "prop_keys", F.coalesce(F.array_join("prop_keys", ","), F.lit(""))
+    )
 
 
 def q_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5470,11 +5475,17 @@ def oracle_sql() -> dict[str, str]:
         """,
         # q_approx_count_distinct: HLL values are engine-specific → rows-only.
         "q_rollup_region_nation": """
-            SELECT r_name, n_name, count(*) AS n_orders, round(sum(o_totalprice), 2) AS total
+            SELECT r_name, n_name, count(*) AS n_orders,
+                   round(sum(o_totalprice), 2) + 0 AS total
             FROM orders JOIN customer ON o_custkey = c_custkey
                         JOIN nation ON c_nationkey = n_nationkey
                         JOIN region ON n_regionkey = r_regionkey
             GROUP BY ROLLUP (r_name, n_name)
+            -- Spark emits NO rollup rows over empty input while DuckDB
+            -- emits the SQL-standard grand-total row; on nonempty input
+            -- every emitted group has >=1 row, so this HAVING pins
+            -- Spark's semantics exactly (round-8 fuzz find)
+            HAVING count(*) > 0
         """,
         "q_topk_resources": """
             SELECT p_partkey, p_name, n_actions, qty FROM (

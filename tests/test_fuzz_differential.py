@@ -63,6 +63,7 @@ SEEDS = int(os.environ.get("SPARK_GRAFT_FUZZ_SEEDS", "20"))
 SEEDS_W2 = int(os.environ.get("SPARK_GRAFT_FUZZ_SEEDS_W2", "8"))
 SEEDS_W3 = int(os.environ.get("SPARK_GRAFT_FUZZ_SEEDS_W3", "6"))
 SEEDS_W4 = int(os.environ.get("SPARK_GRAFT_FUZZ_SEEDS_W4", "4"))
+SEEDS_W5 = int(os.environ.get("SPARK_GRAFT_FUZZ_SEEDS_W5", "6"))
 
 #: query key -> tables its plan + oracle read (all are generated anyway;
 #: the list documents intent and drives nothing).
@@ -152,6 +153,38 @@ FAMILIES_W4 = [
     "q_cms_frequency",
     "q_quantile_normalize",
     "q_dedup_rewrite",
+]
+
+#: wave-5: the TPC-H relational surface over adversarial DIMENSION
+#: tables — NULL foreign keys, dangling references, duplicate/unicode/
+#: empty names, 1-row dims; semi/anti/outer NULL-key semantics are the
+#: classic cross-engine divergence axis (SEEDS_W5 seeds each)
+FAMILIES_W5 = [
+    "q_join_star",
+    "q_join_2hop",
+    "q_semi_join",
+    "q_anti_join",
+    "q_rollup_region_nation",
+    "q_cube",
+    "q_grouping_sets",
+    "q_window_rank",
+    "q_window_lag_lead",
+    "q_pricing_summary",
+    "q_percentiles",
+    "q_date_funcs",
+    "q_union",
+    "q_except",
+    "q_intersect",
+    "q_count_distinct",
+    "q_running_sum",
+    "q_asof_join_ranged",
+    "q_scd2_intervals",
+    "q_range_join_binned",
+    "q_event_transitions",
+    "q_map_funcs",
+    "q_salted_agg",
+    "q_agg_by_status",
+    "q_topk_resources",
 ]
 
 #: wave-2 breadth families (SEEDS_W2 seeds each)
@@ -347,6 +380,96 @@ def _gen_embeddings(rng: random.Random, n: int, zero_heavy: bool = False) -> pa.
     )
 
 
+_NAME_POOL = ["ALPHA", "beta", "Γάμμα", "δ市", "", " pad ", "dup", "dup"]
+
+
+def _gen_region(rng: random.Random) -> pa.Table:
+    n = rng.randint(1, 5)
+    return pa.table(
+        {
+            "r_regionkey": pa.array(list(range(n)), pa.int32()),
+            "r_name": pa.array([rng.choice(_NAME_POOL) for _ in range(n)], pa.string()),
+        }
+    )
+
+
+def _gen_nation(rng: random.Random, n_regions: int) -> pa.Table:
+    n = rng.randint(2, 15)
+    # some nations point at a MISSING region, some have NULL keys — the
+    # outer/semi/anti join divergence axis
+    keys = [
+        None
+        if rng.random() < 0.1
+        else (rng.randint(0, n_regions + 1) if rng.random() < 0.9 else 99)
+        for _ in range(n)
+    ]
+    return pa.table(
+        {
+            "n_nationkey": pa.array(list(range(n)), pa.int32()),
+            "n_name": pa.array([rng.choice(_NAME_POOL) for _ in range(n)], pa.string()),
+            "n_regionkey": pa.array(keys, pa.int32()),
+        }
+    )
+
+
+def _gen_customer(rng: random.Random, n: int, n_nations: int) -> pa.Table:
+    return pa.table(
+        {
+            "c_custkey": pa.array(list(range(1, n + 1)), pa.int64()),
+            "c_name": pa.array(
+                [f"Customer{i % 7}" for i in range(n)], pa.string()
+            ),
+            "c_nationkey": pa.array(
+                [
+                    None if rng.random() < 0.08 else rng.randint(0, n_nations + 1)
+                    for _ in range(n)
+                ],
+                pa.int32(),
+            ),
+            "c_acctbal": pa.array(
+                [None if rng.random() < 0.05 else _dyadic(rng) for _ in range(n)],
+                pa.float64(),
+            ),
+            "c_mktsegment": pa.array(
+                [rng.choice(["BUILDING", "AUTOMOBILE", "市場", ""]) for _ in range(n)],
+                pa.string(),
+            ),
+        }
+    )
+
+
+def _gen_supplier(rng: random.Random, n: int, n_nations: int) -> pa.Table:
+    return pa.table(
+        {
+            "s_suppkey": pa.array(list(range(1, n + 1)), pa.int64()),
+            "s_name": pa.array([f"Supp{i % 5}" for i in range(n)], pa.string()),
+            "s_nationkey": pa.array(
+                [
+                    None if rng.random() < 0.08 else rng.randint(0, n_nations + 1)
+                    for _ in range(n)
+                ],
+                pa.int32(),
+            ),
+            "s_acctbal": pa.array([_dyadic(rng) for _ in range(n)], pa.float64()),
+        }
+    )
+
+
+def _gen_part(rng: random.Random, n: int) -> pa.Table:
+    return pa.table(
+        {
+            "p_partkey": pa.array(list(range(1, n + 1)), pa.int64()),
+            "p_name": pa.array([rng.choice(_NAME_POOL) for _ in range(n)], pa.string()),
+            "p_brand": pa.array([f"Brand#{i % 4}" for i in range(n)], pa.string()),
+            "p_type": pa.array(
+                [rng.choice(["STANDARD", "SMALL", "経済"]) for _ in range(n)], pa.string()
+            ),
+            "p_size": pa.array([rng.randint(1, 50) for _ in range(n)], pa.int32()),
+            "p_retailprice": pa.array([_dyadic(rng) for _ in range(n)], pa.float64()),
+        }
+    )
+
+
 def _gen_orders(rng: random.Random, n: int) -> pa.Table:
     days = [_EPOCH + timedelta(days=d) for d in range(0, 15)]
     dates = [
@@ -421,6 +544,11 @@ def _gen_corpus(seed: int, root: Path) -> Path:
         emb = _gen_embeddings(rng, 9, zero_heavy=True)
         orders = _gen_orders(rng, 1)
         li = _gen_lineitem(rng, 1, [orders["o_orderdate"][0].as_py()])
+        region = _gen_region(rng)
+        nation = _gen_nation(rng, len(region))
+        cust = _gen_customer(rng, 1, len(nation))
+        supp = _gen_supplier(rng, 1, len(nation))
+        part = _gen_part(rng, 1)
     else:
         ev = _gen_events(rng, rng.choice([2, 40, rng.randint(50, 400)]))
         docs = _gen_documents(rng, rng.choice([2, rng.randint(10, 120)]))
@@ -429,12 +557,22 @@ def _gen_corpus(seed: int, root: Path) -> Path:
         li = _gen_lineitem(
             rng, rng.randint(10, 150), [v.as_py() for v in orders["o_orderdate"]]
         )
+        region = _gen_region(rng)
+        nation = _gen_nation(rng, len(region))
+        cust = _gen_customer(rng, rng.randint(5, 80), len(nation))
+        supp = _gen_supplier(rng, rng.randint(3, 20), len(nation))
+        part = _gen_part(rng, rng.randint(4, 40))
     for name, tbl in (
         ("events", ev),
         ("documents", docs),
         ("embeddings", emb),
         ("orders", orders),
         ("lineitem", li),
+        ("region", region),
+        ("nation", nation),
+        ("customer", cust),
+        ("supplier", supp),
+        ("part", part),
     ):
         pq.write_table(tbl, d / f"{name}.parquet")
     return d
@@ -458,7 +596,10 @@ def _oracle(name: str) -> str:
 
 def _duck_con(d: Path) -> duckdb.DuckDBPyConnection:
     con = duckdb.connect()
-    for t in ("events", "documents", "embeddings", "orders", "lineitem"):
+    for t in (
+        "events", "documents", "embeddings", "orders", "lineitem",
+        "region", "nation", "customer", "supplier", "part",
+    ):
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{d}/{t}.parquet')"
         )
@@ -514,3 +655,8 @@ def test_fuzz_differential_wave3(qname: str, spark, fuzz_root: Path) -> None:
 @pytest.mark.parametrize("qname", FAMILIES_W4)
 def test_fuzz_differential_wave4(qname: str, spark, fuzz_root: Path) -> None:
     _run_family(qname, spark, fuzz_root, SEEDS_W4)
+
+
+@pytest.mark.parametrize("qname", FAMILIES_W5)
+def test_fuzz_differential_wave5(qname: str, spark, fuzz_root: Path) -> None:
+    _run_family(qname, spark, fuzz_root, SEEDS_W5)

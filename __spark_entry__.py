@@ -1269,8 +1269,13 @@ def q_fuzzy_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B33/record linkage, pass 2: sorted-neighborhood fuzzy matching —
     each document compared to its next 5 neighbors in token-prefix sort
     order (global order via the range-partitioned two-phase numbering,
-    neighbor ranks expanded to an equi-join). Full oracle."""
-    return dedup.fuzzy_sorted_neighborhood(load_table(spark, sf_dir, "documents"))
+    neighbor ranks expanded to an equi-join). Full oracle. fold_keys=True
+    pins the sort/edit-distance key to the ascii-folded prefix on both
+    engines (DuckDB levenshtein counts bytes, Spark codepoints); the
+    operator's default mode reports true codepoint distance."""
+    return dedup.fuzzy_sorted_neighborhood(
+        load_table(spark, sf_dir, "documents"), fold_keys=True
+    )
 
 
 def q_trend_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1284,8 +1289,13 @@ def q_fuzzy_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B33/record linkage: blocked edit-distance self-join — pairs whose
     8-token prefix is within 10 Levenshtein edits, candidates blocked on
     (lang, first token). Full oracle: DuckDB's levenshtein is the same
-    classic DP (integers), replayed with the unbounded form + filter."""
-    return dedup.fuzzy_prefix_join(load_table(spark, sf_dir, "documents"))
+    classic DP (integers), replayed with the unbounded form + filter.
+    fold_keys=True pins the compared key to the ascii-folded prefix on
+    both engines (byte-vs-codepoint parity); the operator's default
+    mode reports true codepoint distance."""
+    return dedup.fuzzy_prefix_join(
+        load_table(spark, sf_dir, "documents"), fold_keys=True
+    )
 
 
 def q_leakage_safe_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3219,6 +3229,11 @@ def _pq_rerank_scaled_oracle_sql(*, shortlist: int = 50, k: int = 5) -> str:
     then the q_cosine_topk exact-cosine recipe over the shortlist join."""
     base = _pq_scaled_oracle_sql(k=shortlist)
     marker = "SELECT query_id, corpus_id, approx_dist, rnk FROM ("
+    # Fail LOUDLY at construction if the base query's final-select text
+    # drifts: str.partition on a missing marker returns the whole string
+    # as head, which would silently emit malformed SQL caught only when
+    # the oracle runs (advisor r8 find).
+    assert marker in base, "q_pq_rerank base oracle drifted: splice marker not found"
     head, _, _ = base.partition(marker)
     return (
         head
@@ -3988,9 +4003,15 @@ def q_passjoin_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     negatives with linear candidate volume, unlike the two heuristic
     fuzzy joins (prefix-blocked, sorted-neighborhood) whose recall this
     certifies. The oracle is the O(n²) brute-force form the operator
-    exists to avoid."""
+    exists to avoid. fold_keys=True pins the verified distance to the
+    ascii-folded prefix on both engines (byte-vs-codepoint parity); the
+    operator's default mode blocks on folded segments but verifies and
+    reports TRUE codepoint distance."""
     return dedup.passjoin_edit_pairs(
-        load_table(spark, sf_dir, "documents"), max_dist=3, prefix_chars=20
+        load_table(spark, sf_dir, "documents"),
+        max_dist=3,
+        prefix_chars=20,
+        fold_keys=True,
     )
 
 

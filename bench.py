@@ -9,6 +9,14 @@ JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 attempts; a cross-round move counts as a regression only when the new
 best exceeds the prior round's band max by >20%.
 
+Round 9 makes the artifact self-defending against driver-box load
+(BENCH_r08 printed a 1.27× phantom that a quiet-box rerun showed was
+noise): ``queries_cpu``/``cpu_total`` record the driver JVM's CPU
+seconds per query (box load inflates wall, not CPU), ``calibration``
+times a fixed repo-independent codegen workload whose quiet-box band
+lives in BASELINE.md (with the normalize rule), and
+``load_avg_start``/``load_avg_end``/``ncpus`` snapshot the box.
+
 Each query is forced with a count() (no driver-side collect of data);
 a warm-up pass on sf's smallest table primes the JVM/codegen so the
 numbers measure the plans, not session startup.
@@ -87,12 +95,65 @@ HEADLINE = [
 ]
 
 
+def _jvm_cpu_seconds(spark) -> float:
+    """Cumulative CPU seconds (utime+stime) of the driver JVM process —
+    in local mode every executor is a thread inside that one JVM, so
+    per-query deltas of this counter are the query's true compute cost.
+    Box load inflates WALL but leaves CPU nearly flat, so the cpu fields
+    let a reader adjudicate a noisy BENCH_rN.json without a rerun
+    (round-8 verdict item #2: BENCH_r08 showed 1.27× wall from box load
+    alone). Returns 0.0 if /proc introspection fails (non-Linux)."""
+    try:
+        pid = spark.sparkContext._jvm.java.lang.ProcessHandle.current().pid()
+        with open(f"/proc/{pid}/stat") as f:
+            parts = f.read().rsplit(")", 1)[1].split()
+        # fields after comm: utime is index 11, stime 12 (0-based here)
+        return (int(parts[11]) + int(parts[12])) / os.sysconf("SC_CLK_TCK")
+    except Exception:
+        return 0.0
+
+
+def _calibration(spark) -> dict:
+    """Fixed, repo-independent JVM workload (xxhash64 fold over a range —
+    pure whole-stage-codegen compute, no I/O, no shuffle): its wall time
+    on a quiet box is a constant of the hardware, so a loaded driver box
+    is detectable from the artifact itself. BASELINE.md records the
+    quiet-box reference band and the normalization rule."""
+    n = 4_000_000_000
+
+    def _fresh(salt: int):
+        # a FRESH DataFrame per attempt: re-collecting the same DataFrame
+        # object reuses its RDD's shuffle map outputs (the expensive
+        # partial-sum stage shows as SKIPPED), which would time only the
+        # one-row final stage. The salt also keys the plan distinctly.
+        return spark.range(salt, salt + n, 1, 32).selectExpr(
+            # modulo keeps the fold overflow-safe under ANSI mode
+            "sum(xxhash64(id) % 1048576) AS h"
+        )
+
+    _fresh(99).collect()  # warm: codegen + JIT
+    walls = []
+    cpus = []
+    for i in range(3):
+        c0 = _jvm_cpu_seconds(spark)
+        t0 = time.time()
+        _fresh(i).collect()
+        walls.append(time.time() - t0)
+        cpus.append(_jvm_cpu_seconds(spark) - c0)
+    return {
+        "calib_wall_sec": round(min(walls), 3),
+        "calib_wall_max": round(max(walls), 3),
+        "calib_cpu_sec": round(cpus[walls.index(min(walls))], 3),
+    }
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     import __spark_entry__ as entry_mod
     from cloudtrace_exporter_spark.session import get_spark
 
     spark = get_spark("bench")
+    load_start = os.getloadavg()[0] if hasattr(os, "getloadavg") else None
     qs = entry_mod.queries()
     names = [n for n in HEADLINE if n in qs]
     # warm-up (round-5 driver-run lesson: q_minhash_dedup/q_topk_resources/
@@ -107,6 +168,7 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     bands: dict[str, list[float]] = {}
+    cpu_timings: dict[str, float] = {}
     for name in names:
         # two unmeasured warm passes: the first pays index .cache() builds,
         # codegen compilation, and shuffle-file creation; the second gives
@@ -118,15 +180,21 @@ def main() -> None:
         qs[name](spark, sf_dir).count()
         qs[name](spark, sf_dir).count()
         samples: list[float] = []
+        cpu_samples: list[float] = []
         for _ in range(3):  # best-of-3: absorbs GC/JIT/index-build noise (a
             # single repeat proved insufficient — one observed run had BOTH
             # attempts of one query land in a ~4 s GC/JIT stall while the
             # steady-state plan is sub-second; three attempts bound that)
+            c0 = _jvm_cpu_seconds(spark)
             t0 = time.time()
             qs[name](spark, sf_dir).count()
             samples.append(time.time() - t0)
+            cpu_samples.append(_jvm_cpu_seconds(spark) - c0)
         timings[name] = round(min(samples), 3)
         bands[name] = [round(min(samples), 3), round(max(samples), 3)]
+        # CPU of the fastest attempt: wall inflates under box load, JVM
+        # CPU stays ~flat — the pair adjudicates noisy driver boxes
+        cpu_timings[name] = round(cpu_samples[samples.index(min(samples))], 3)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     out = {
@@ -141,6 +209,18 @@ def main() -> None:
         # q_agg_by_status chase, rounds 5-7, is the motivating case).
         "bands": bands,
         "regression_rule": "new_best > 1.2 * prior_band_max",
+        # round-9 box-noise protocol (r8 verdict item #2): per-query JVM
+        # CPU of the best attempt, a fixed repo-independent calibration
+        # workload, and load averages. Normalize rule in BASELINE.md:
+        # when calib_wall_sec exceeds its quiet-box band, scale wall
+        # totals by (calib_ref / calib_wall_sec) before comparing, and
+        # trust queries_cpu for per-query adjudication.
+        "queries_cpu": cpu_timings,
+        "cpu_total": round(sum(cpu_timings.values()), 3),
+        "calibration": _calibration(spark),
+        "load_avg_start": load_start,
+        "load_avg_end": os.getloadavg()[0] if hasattr(os, "getloadavg") else None,
+        "ncpus": os.cpu_count(),
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
     print(json.dumps(out))

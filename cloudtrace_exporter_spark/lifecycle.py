@@ -27,7 +27,13 @@ every stage, so a killed run leaves an inspectable trail.
 
 Restart correctness note: downstream stages read their INPUT from the
 upstream stage's parquet (never from a live DataFrame), so a resumed
-run recomputes from exactly the bytes the original run produced.
+run recomputes from exactly the bytes the original run produced — with
+one scoped exception: the two EXTERNAL inputs (``pages_dir`` and the
+caller's ``docs`` frame) are the caller's contract. The dedup stage
+consumes the live ``docs`` frame, so a resume invoked with a
+differently-constructed ``docs`` recomputes missing stages from the NEW
+corpus; pass the same inputs (or land ``docs`` to parquet yourself and
+read it back) to get byte-exact resume end to end.
 """
 
 from __future__ import annotations
@@ -70,6 +76,7 @@ class _Manifest:
 
 
 def _stage(
+    spark: SparkSession,
     manifest: _Manifest,
     name: str,
     path: str,
@@ -78,9 +85,10 @@ def _stage(
 ) -> int:
     """Run one checkpointed stage: skip (and re-read the recorded count)
     when the parquet _SUCCESS marker exists, else compute → write →
-    count from the written bytes (write-audit, not plan-count)."""
+    count from the written bytes (write-audit, not plan-count). The
+    session is threaded from run_lifecycle — getActiveSession() can
+    return None off the driver thread (advisor r8 find)."""
     if _done(path):
-        spark = SparkSession.getActiveSession()
         rows = spark.read.parquet(path).count()
         manifest.record(name, rows, skipped=True, **extra)
         return rows
@@ -118,7 +126,7 @@ def run_lifecycle(
     p_curated = os.path.join(out_dir, "curated")
     p_layout = os.path.join(out_dir, "layout")
 
-    _stage(m, "ingest", p_ingest, lambda: cts_pages.read_trace_pages(spark, pages_dir))
+    _stage(spark, m, "ingest", p_ingest, lambda: cts_pages.read_trace_pages(spark, pages_dir))
 
     def _events() -> DataFrame:
         traces = spark.read.parquet(p_ingest)
@@ -132,7 +140,7 @@ def run_lifecycle(
         )
         return normalize.dedup_events(ev, "event_id")
 
-    _stage(m, "events", p_events, _events)
+    _stage(spark, m, "events", p_events, _events)
 
     # graph: one flat (kind, label, key, props) relation — the idempotent
     # upsert store's audit form (per-label typed stores live in the
@@ -164,7 +172,7 @@ def run_lifecycle(
             out = out.unionByName(p)
         return out.dropDuplicates(["kind", "label", "element"])
 
-    _stage(m, "graph", p_graph, _graph)
+    _stage(spark, m, "graph", p_graph, _graph)
 
     def _dedup() -> DataFrame:
         pairs = dedup.minhash_lsh_pairs(
@@ -174,16 +182,17 @@ def run_lifecycle(
         survivors = assign.filter(F.col("doc_id") == F.col("component")).select("doc_id")
         return docs.join(survivors, "doc_id")
 
-    _stage(m, "dedup", p_dedup, _dedup)
+    _stage(spark, m, "dedup", p_dedup, _dedup)
 
     def _curated() -> DataFrame:
         survivors = spark.read.parquet(p_dedup)
         ids = curate.curated_docs(survivors, en_fraction=en_fraction).select("doc_id")
         return survivors.join(ids, "doc_id")
 
-    _stage(m, "curated", p_curated, _curated)
+    _stage(spark, m, "curated", p_curated, _curated)
 
     _stage(
+        spark,
         m,
         "layout",
         p_layout,

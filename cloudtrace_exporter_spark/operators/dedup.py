@@ -1498,6 +1498,7 @@ def fuzzy_prefix_join(
     block_col: str = "lang",
     text_col: str = "text",
     id_col: str = "doc_id",
+    fold_keys: bool = False,
 ) -> DataFrame:
     """Fuzzy (edit-distance) self-join — the record-linkage join family:
     pair documents whose leading-token prefix is within ``max_dist``
@@ -1518,8 +1519,19 @@ def fuzzy_prefix_join(
       form + filter — identical kept set and distances.
 
     Returns (doc_a, doc_b, dist), id-ordered, one row per matched pair.
+
+    ``dist`` is the TRUE codepoint Levenshtein distance of the token
+    prefixes (Spark's native semantics). ``fold_keys=True`` switches to
+    the ``_ascii_fold``-ed prefix for BOTH the comparison and the
+    reported distance — every non-ASCII codepoint collapses to '#', so
+    two different CJK prefixes of the same shape report dist 0. That
+    mode exists ONLY for byte-based-oracle parity (DuckDB's levenshtein
+    counts bytes) and is what the registered ``q_fuzzy_prefix_join``
+    uses; never enable it for a real non-ASCII dedup funnel (advisor r8
+    find: the silent fold was a false-merge hazard).
     """
     t = tokens(text_col)
+    pfx = F.concat_ws(" ", F.slice(t, 1, n_prefix_tokens))
     keyed = df.select(
         F.col(id_col).alias("id"),
         F.col(block_col).alias("blk"),
@@ -1529,7 +1541,7 @@ def fuzzy_prefix_join(
         # list[1] on an empty list is NULL too). Found by the
         # hypothesis threshold-monotonicity property.
         F.get(t, 0).alias("tok1"),
-        _ascii_fold(F.concat_ws(" ", F.slice(t, 1, n_prefix_tokens))).alias("pfx"),
+        (_ascii_fold(pfx) if fold_keys else pfx).alias("pfx"),
     )
     a, b = keyed.alias("a"), keyed.alias("b")
     dist = F.levenshtein(F.col("a.pfx"), F.col("b.pfx"), max_dist)
@@ -1557,6 +1569,7 @@ def fuzzy_sorted_neighborhood(
     window: int = 5,
     text_col: str = "text",
     id_col: str = "doc_id",
+    fold_keys: bool = False,
 ) -> DataFrame:
     """Sorted-neighborhood fuzzy matching — the classic second pass after
     blocked matching (``fuzzy_prefix_join``): sort the corpus by its
@@ -1578,13 +1591,21 @@ def fuzzy_sorted_neighborhood(
     bucket exchange — no theta join, no probe/rank double exchange, no
     ReusedExchange dependency. Pairs emit id-ordered (least/greatest)
     with their edit distance.
+
+    ``dist`` is the TRUE codepoint Levenshtein distance of the prefixes;
+    ``fold_keys=True`` sorts AND compares on the ``_ascii_fold``-ed
+    prefix instead (non-ASCII → '#', so distinct CJK prefixes of the
+    same shape report dist 0) — byte-oracle parity mode only (used by
+    the registered ``q_fuzzy_sorted_neighborhood``), never for a real
+    non-ASCII corpus (advisor r8 find).
     """
     from cloudtrace_exporter_spark.operators.analytics import global_row_number
 
     t = tokens(text_col)
+    pfx = F.concat_ws(" ", F.slice(t, 1, n_prefix_tokens))
     keyed = df.select(
         F.col(id_col).alias("id"),
-        _ascii_fold(F.concat_ws(" ", F.slice(t, 1, n_prefix_tokens))).alias("pfx"),
+        (_ascii_fold(pfx) if fold_keys else pfx).alias("pfx"),
     )
     rk = global_row_number(keyed, ["pfx", "id"]).select("id", "pfx", "rn")
     slots = rk.select(
@@ -1952,6 +1973,7 @@ def passjoin_edit_pairs(
     min_len: int = 8,
     text_col: str = "text",
     id_col: str = "doc_id",
+    fold_keys: bool = False,
 ) -> DataFrame:
     """EXACT edit-distance self-join via PassJoin segment pigeonholing
     (Li/Deng/Feng, ICDE 2011) — every pair of prefixes within
@@ -1987,13 +2009,30 @@ def passjoin_edit_pairs(
     risk as any blocking scheme — salt by a second attribute if known).
 
     Returns (doc_a, doc_b, dist), doc_a < doc_b, one row per pair.
+    ``dist`` is the TRUE codepoint Levenshtein distance. Candidate
+    segments are generated from the ``_ascii_fold``-ed prefix — blocking
+    only, and still COMPLETE: the fold maps each codepoint to exactly
+    one codepoint, so any ≤d edit script on the true strings induces a
+    ≤d script on the folded strings (folded dist ≤ true dist ≤ d) and
+    the pigeonhole argument applies to the folded pair; extra folded
+    collisions are discarded by the true-text verify. ``fold_keys=True``
+    verifies and reports on the FOLDED prefix instead (distinct CJK
+    prefixes of the same shape → dist 0) — byte-based-oracle parity mode
+    only (the registered ``q_passjoin_exact`` uses it), never for a real
+    non-ASCII dedup funnel (advisor r8 find).
     """
     d, k = int(max_dist), int(max_dist) + 1
+    raw_pfx = F.substring(F.col(text_col), 1, prefix_chars)
     base = (
         df.select(
             F.col(id_col).alias("id"),
-            _ascii_fold(F.substring(F.col(text_col), 1, prefix_chars)).alias("pfx"),
+            (_ascii_fold(raw_pfx) if fold_keys else raw_pfx).alias("pfx"),
         )
+        # fpx: the blocking key (idempotent when pfx is already folded).
+        # Spark's length/substring count CODEPOINTS and the fold is
+        # 1:1 per codepoint, so every position/length computed below is
+        # identical on pfx and fpx.
+        .withColumn("fpx", _ascii_fold(F.col("pfx")))
         .filter(F.length("pfx") >= F.lit(min_len))
     )
     # Both generators are FLAT integer enumerations decoded from ONE
@@ -2006,12 +2045,14 @@ def passjoin_edit_pairs(
     # index side: slot i of the string's own length L — 0-based start
     # i·(L div k) + min(i, L mod k), span (L div k) + (i < L mod k).
     index = (
-        base.select("id", "pfx", F.explode(F.sequence(F.lit(0), F.lit(d))).alias("seg_i"))
+        base.select(
+            "id", "pfx", "fpx", F.explode(F.sequence(F.lit(0), F.lit(d))).alias("seg_i")
+        )
         .withColumn("lr", F.length("pfx"))
         .withColumn(
             "seg",
             F.expr(
-                f"substring(pfx, seg_i * (lr div {k}) + least(seg_i, lr % {k}) + 1,"
+                f"substring(fpx, seg_i * (lr div {k}) + least(seg_i, lr % {k}) + 1,"
                 f" (lr div {k}) + if(seg_i < lr % {k}, 1, 0))"
             ),
         )
@@ -2026,6 +2067,7 @@ def passjoin_edit_pairs(
         base.select(
             "id",
             "pfx",
+            "fpx",
             F.length("pfx").alias("ls"),
             F.explode(F.sequence(F.lit(0), F.lit(dd1 * k * dd1 - 1))).alias("__x"),
         )
@@ -2042,7 +2084,7 @@ def passjoin_edit_pairs(
             & (F.col("__p") >= 0)
             & (F.col("__p") + F.col("__len") <= F.col("ls"))
         )
-        .withColumn("seg", F.expr("substring(pfx, __p + 1, __len)"))
+        .withColumn("seg", F.expr("substring(fpx, __p + 1, __len)"))
         .select("id", "pfx", "ls", "lr", "seg_i", "seg")
     )
     # Asymmetry: designate the (length, id)-smaller string as the

@@ -844,6 +844,16 @@ def _parse_jpeg(buf: bytes):
         # APPn / COM / anything else: skipped via the length walk
     if w is None or not comps or not scan or len(scan) != len(comps):
         return None
+    # Untrusted-header guard (decode_real is the real-corpus path): a
+    # ~200-byte crafted stream can declare 65535x65535x3 in its SOF and
+    # trigger a ~100 GB plane allocation before any entropy data is
+    # read. Information bound: every MCU costs >= 2 Huffman symbols per
+    # component (DC + EOB), so len(buf) bytes cannot legitimately encode
+    # more than a few thousand pixels per payload byte — reject far past
+    # that, plus an absolute cap (mirrors _parse_bmp's payload-vs-dims
+    # length check).
+    if w == 0 or h == 0 or w * h > 2**24 or w * h > 4096 * len(buf):
+        return None
 
     hmax = max(c[1] for c in comps)
     vmax = max(c[2] for c in comps)

@@ -450,6 +450,33 @@ def test_parse_jpeg_rejects():
     assert multimodal._parse_jpeg(prog) is None
 
 
+def test_parse_jpeg_rejects_implausible_declared_dims():
+    """Advisor r8 find: a ~200-byte crafted stream declaring
+    65535x65535x3 in its SOF must be rejected BEFORE plane allocation
+    (the unguarded path attempted a ~100 GB numpy zeros). The guard is
+    an information bound (pixels >> bytes) plus an absolute cap, so a
+    legitimate small-but-dense image still decodes."""
+    import time
+
+    import numpy as np
+
+    rgb = (np.mgrid[0:16, 0:16][0] * 3 + 20).astype(np.uint8)
+    rgb = np.stack([rgb, rgb, rgb], axis=-1)
+    buf = multimodal.encode_jpeg(rgb, quality=90)
+    # patch the SOF dims in place: FFC0, len(2), prec(1), h(2), w(2)
+    i = buf.index(b"\xff\xc0")
+    bomb = bytearray(buf)
+    bomb[i + 5 : i + 9] = (65535).to_bytes(2, "big") + (65535).to_bytes(2, "big")
+    t0 = time.monotonic()
+    assert multimodal._parse_jpeg(bytes(bomb)) is None
+    assert time.monotonic() - t0 < 1.0  # rejected at the header, no alloc
+    # zero-dim declaration is equally invalid
+    bomb[i + 5 : i + 9] = b"\x00\x00\x00\x00"
+    assert multimodal._parse_jpeg(bytes(bomb)) is None
+    # sanity: the untouched image still decodes
+    assert multimodal._parse_jpeg(buf) is not None
+
+
 def test_decode_real_jpeg_parity_with_bmp(spark):
     """The same RGB gradient decoded via the JPEG path and the BMP path
     agrees within the quality-95 quantization tolerance — the lossy
@@ -2359,6 +2386,56 @@ def test_passjoin_catches_pairs_heuristic_blocking_misses(spark):
         for r in dedup.fuzzy_prefix_join(df, max_dist=3, n_prefix_tokens=4).collect()
     }
     assert (1, 3) not in heur
+
+
+def test_fuzzy_joins_report_true_codepoint_distance_on_non_ascii(spark):
+    """Advisor r8 find: the ascii fold must be a BLOCKING key only —
+    two entirely different CJK prefixes of the same shape must NOT be
+    reported as dist 0 duplicates by default. fold_keys=True remains
+    the documented byte-oracle parity mode with the folded semantics."""
+    rows = [
+        (1, "北京欢迎你 alpha beta", "zh", "s", 20),
+        (2, "東京案内所 alpha beta", "zh", "s", 20),  # same shape, all-different CJK
+        (3, "北京欢迎你 alpha beta", "zh", "s", 20),  # true duplicate of 1
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    # passjoin default: true codepoint distance — (1,3) is dist 0, the
+    # CJK-vs-CJK pair (1,2)/(2,3) is 4 edits, beyond max_dist=3.
+    got = {
+        (r.doc_a, r.doc_b, r.dist)
+        for r in dedup.passjoin_edit_pairs(
+            df, max_dist=3, prefix_chars=12, min_len=6
+        ).collect()
+    }
+    assert got == {(1, 3, 0)}
+    # parity mode reproduces the folded semantics (all three collide)
+    folded = {
+        (r.doc_a, r.doc_b, r.dist)
+        for r in dedup.passjoin_edit_pairs(
+            df, max_dist=3, prefix_chars=12, min_len=6, fold_keys=True
+        ).collect()
+    }
+    assert folded == {(1, 2, 0), (1, 3, 0), (2, 3, 0)}
+    # fuzzy_prefix_join blocks on (lang, first token): 1 and 3 share
+    # token 1; 2's differs, so only the true duplicate pairs — and its
+    # default-reported distance is the codepoint distance (0 here).
+    heur = {
+        (r.doc_a, r.doc_b, r.dist)
+        for r in dedup.fuzzy_prefix_join(df, max_dist=10, n_prefix_tokens=2).collect()
+    }
+    assert heur == {(1, 3, 0)}
+    # sorted-neighborhood default also reports codepoint distance: the
+    # CJK pair is 4 edits (京 matches at position 2), not 0.
+    sn = {
+        (r.doc_a, r.doc_b): r.dist
+        for r in dedup.fuzzy_sorted_neighborhood(
+            df, max_dist=10, n_prefix_tokens=2, window=2
+        ).collect()
+    }
+    assert sn[(1, 3)] == 0
+    assert sn[(1, 2)] == 4 and sn[(2, 3)] == 4
 
 
 def test_k_anonymity_spectrum_and_l_diversity(spark):

@@ -511,7 +511,10 @@ def stateful_kmv_distinct(
     def _update(key, pdf_iter, state: GroupState):
         cur = set(state.get[0]) if state.exists else set()
         for pdf in pdf_iter:
-            for v in pdf[key_col]:
+            # NULL keys arrive as NaN in the Arrow batch; count-distinct
+            # semantics ignore NULL (and int(NaN) raises — streaming
+            # fuzz r9 find: one NULL user_id killed the whole query)
+            for v in pdf[key_col].dropna():
                 h = int(hashlib.md5(str(int(v)).encode()).hexdigest()[:12], 16)
                 cur.add(h)
         best = sorted(cur)[:k]
@@ -651,7 +654,10 @@ def stateful_histogram_quantiles(
         else:
             hist = {}
         for pdf in pdf_iter:
-            binned = (pdf[value_col] / bin_width).map(math.floor)
+            # NULL values arrive as NaN; a distribution has no bin for
+            # NULL (math.floor(NaN) raises — streaming fuzz r9 find:
+            # one NULL value killed the whole query)
+            binned = (pdf[value_col].dropna() / bin_width).map(math.floor)
             for b, c in binned.value_counts().items():
                 hist[int(b)] = hist.get(int(b), 0) + int(c)
         items = sorted(hist.items())

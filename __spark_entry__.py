@@ -3836,6 +3836,76 @@ def _bm25_snippets_oracle_sql(
     """
 
 
+def q_phash_dedup_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B36 visual near-dup, ORACLE-EXACT twin of q_phash_dedup (r9,
+    verdict item #5 — the rows-only decode keys get full-oracle twins
+    like pq_rerank/simhash/winnow before them): the SAME end-to-end
+    Spark path (synthesize BMP → pure-Python decode → aHash →
+    pigeonhole band join → distance spectrum with planted accounting),
+    but DuckDB replays it from the CLOSED FORM of the fixture: the
+    synthetic gradient's aHash reduces to integer block sums
+    (bit i ⟺ 64·block_sum_i > total_sum, scale-1000 ITU-R 601 luma of
+    the id-keyed gradient), and the banded join's exact-recall
+    guarantee means the oracle can brute-force hamming ≤ 2 pairs.
+    The float-path/integer-model agreement is pinned per fixed doc_id
+    with margin 3584 luma-millis (test_llm_ops: closed-form pin test),
+    so the oracle is exact, not approximate."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id").filter(
+        F.col("doc_id") < 200
+    )
+    pays = multimodal.synthesize_bmp_payload(docs)
+    twins = pays.filter(F.col("doc_id") < 25).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"), "payload"
+    )
+    hashes = multimodal.perceptual_hash(pays.unionByName(twins))
+    pairs = multimodal.phash_near_dups(hashes, max_hamming=2)
+    return (
+        pairs.withColumn(
+            "planted", (F.col("id_b") - F.col("id_a") == 1_000_000).cast("long")
+        )
+        .groupBy(F.col("hamming").cast("long").alias("hamming"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.sum("planted").cast("long").alias("n_planted_recovered"),
+        )
+        .orderBy("hamming")
+    )
+
+
+def q_audio_fp_dedup_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B36 acoustic near-dup, ORACLE-EXACT twin of
+    q_audio_fingerprint_dedup (r9): the SAME Spark path (synthesize
+    envelope WAV → PCM16 decode → energy-delta sign fingerprint →
+    band join), replayed in DuckDB from the closed form — the
+    fingerprint's frame energies are amp²·S with a shared positive S
+    per doc (frames align 1:1 with the LCG-keyed envelope segments), so
+    bit i reduces to the pure-integer comparison amp(i+1) > amp(i) on
+    the LCG values; the 0.5-gain planted twins scale every amp equally
+    and reproduce the identical fingerprint (the volume-invariance
+    claim, now oracle-certified). int16-quantization safety of the
+    reduction is pinned per fixed doc_id in test_llm_ops."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id").filter(
+        F.col("doc_id") < 200
+    )
+    pays = multimodal.synthesize_wav_envelope_payload(docs)
+    twins = multimodal.synthesize_wav_envelope_payload(
+        docs.filter(F.col("doc_id") < 25), gain=0.5
+    ).select((F.col("doc_id") + 1_000_000).alias("doc_id"), "payload")
+    fps = multimodal.audio_fingerprint(pays.unionByName(twins))
+    pairs = multimodal.phash_near_dups(fps, max_hamming=2, hash_col="afp")
+    return (
+        pairs.withColumn(
+            "planted", (F.col("id_b") - F.col("id_a") == 1_000_000).cast("long")
+        )
+        .groupBy(F.col("hamming").cast("long").alias("hamming"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.sum("planted").cast("long").alias("n_planted_recovered"),
+        )
+        .orderBy("hamming")
+    )
+
+
 def q_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B36 visual near-dup end-to-end (rows-only: Python-side decode by
     nature, like every multimodal path): synthesize a BMP per doc PLUS
@@ -4586,7 +4656,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # window lead here (7 oracle-backed, then the 2 rows-only-by-design
         # decode keys), then every round-7 addition, then the already-green
         # keys close the dict.
-        # ---- round-8 additions (never sampled) ----
+        # ---- round-9 additions (never sampled) ----
+        "q_phash_dedup_verified": q_phash_dedup_verified,
+        "q_audio_fp_dedup_verified": q_audio_fp_dedup_verified,
+        # ---- round-8 additions ----
         "q_pq_rerank_verified": q_pq_rerank_verified,
         # rows-only by design: Python-side JPEG decode; stats_agree column
         # certifies lossy cross-format parity in-row
@@ -5920,6 +5993,86 @@ def oracle_sql() -> dict[str, str]:
         # round-8: two-tier PQ serving twin — integer shortlist + exact
         # cosine rerank, both tiers replayed
         "q_pq_rerank_verified": _pq_rerank_scaled_oracle_sql(),
+        # aHash from the closed form of the synthetic gradient: integer
+        # block sums (bit i ⟺ 64·block_sum > total over scale-1000 luma),
+        # brute-force hamming ≤ 2 pairs (the band join is exact-recall by
+        # pigeonhole, so brute force IS its oracle), same final spectrum.
+        # Bit 63 lands as the BIGINT sign bit via the -2^63 term.
+        "q_phash_dedup_verified": """
+            WITH ids AS (SELECT doc_id FROM documents WHERE doc_id < 200),
+            imgs AS (
+              SELECT doc_id AS id, doc_id AS k FROM ids
+              UNION ALL
+              SELECT doc_id + 1000000, doc_id FROM ids WHERE doc_id < 25
+            ),
+            px AS (
+              SELECT id, (y // 2) * 8 + (x // 2) AS bit_i,
+                     299 * ((7 * x + k) % 256)
+                     + 587 * ((11 * y + 3 * k) % 256)
+                     + 114 * ((x + y + 5 * k) % 256) AS l
+              FROM imgs, range(0, 16) tx(x), range(0, 16) ty(y)
+            ),
+            blocks AS (SELECT id, bit_i, SUM(l) AS bs FROM px GROUP BY id, bit_i),
+            tot AS (SELECT id, SUM(bs) AS total FROM blocks GROUP BY id),
+            fp AS (
+              SELECT b.id,
+                     CAST(SUM(CASE WHEN 64 * b.bs > t.total THEN
+                       CASE WHEN b.bit_i = 63 THEN -9223372036854775808
+                            ELSE (CAST(1 AS BIGINT) << b.bit_i) END
+                       ELSE 0 END) AS BIGINT) AS h
+              FROM blocks b JOIN tot t USING (id) GROUP BY b.id
+            ),
+            cand AS (
+              SELECT a.id AS ia, b.id AS ib,
+                     bit_count(xor(a.h, b.h)) AS hamming
+              FROM fp a JOIN fp b ON a.id < b.id
+              WHERE bit_count(xor(a.h, b.h)) <= 2
+            )
+            SELECT CAST(hamming AS BIGINT) AS hamming,
+                   CAST(count(*) AS BIGINT) AS n_pairs,
+                   CAST(SUM(CASE WHEN ib - ia = 1000000 THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_planted_recovered
+            FROM cand GROUP BY hamming ORDER BY hamming
+        """,
+        # energy-delta fingerprint from the closed form of the envelope
+        # fixture: frame energies are amp_i²·S with one positive S per
+        # doc, so bit i ⟺ amp(i+1) > amp(i) on the raw LCG amplitudes —
+        # gain cancels, which is exactly the volume-invariance claim
+        "q_audio_fp_dedup_verified": """
+            WITH ids AS (SELECT doc_id FROM documents WHERE doc_id < 200),
+            clips AS (
+              SELECT doc_id AS id, doc_id AS k FROM ids
+              UNION ALL
+              SELECT doc_id + 1000000, doc_id FROM ids WHERE doc_id < 25
+            ),
+            amps AS (
+              SELECT id, i,
+                     2000 + ((1103515245 * (k * 67 + i) + 12345) % 2147483648)
+                            % 16000 AS amp
+              FROM clips, range(0, 65) t(i)
+            ),
+            fp AS (
+              SELECT a.id,
+                     CAST(SUM(CASE WHEN b.amp > a.amp THEN
+                       CASE WHEN a.i = 63 THEN -9223372036854775808
+                            ELSE (CAST(1 AS BIGINT) << a.i) END
+                       ELSE 0 END) AS BIGINT) AS h
+              FROM amps a JOIN amps b ON b.id = a.id AND b.i = a.i + 1
+              WHERE a.i < 64
+              GROUP BY a.id
+            ),
+            cand AS (
+              SELECT a.id AS ia, b.id AS ib,
+                     bit_count(xor(a.h, b.h)) AS hamming
+              FROM fp a JOIN fp b ON a.id < b.id
+              WHERE bit_count(xor(a.h, b.h)) <= 2
+            )
+            SELECT CAST(hamming AS BIGINT) AS hamming,
+                   CAST(count(*) AS BIGINT) AS n_pairs,
+                   CAST(SUM(CASE WHEN ib - ia = 1000000 THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_planted_recovered
+            FROM cand GROUP BY hamming ORDER BY hamming
+        """,
         "q_corpus_datacard": f"""
             WITH tok AS (
               SELECT doc_id, text, lang, source, {_TOKENS_SQL} AS t FROM documents

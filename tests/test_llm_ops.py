@@ -477,6 +477,101 @@ def test_parse_jpeg_rejects_implausible_declared_dims():
     assert multimodal._parse_jpeg(buf) is not None
 
 
+def test_phash_closed_form_pins_float_path():
+    """The q_phash_dedup_verified oracle replays aHash from the integer
+    closed form of the gradient fixture (bit i ⟺ 64·block_sum > total
+    on scale-1000 luma). This pins that reduction against the REAL
+    float path (encode → decode → 0.299/0.587/0.114 luma → block means)
+    for every fixed doc_id the query uses, and asserts the integer
+    margin is far above float noise — so the oracle is exact, not
+    lucky."""
+    import numpy as np
+
+    def ahash_float(k):
+        yy, xx = np.mgrid[0:16, 0:16]
+        rgb = np.stack(
+            [(xx * 7 + k) % 256, (yy * 11 + 3 * k) % 256, (xx + yy + 5 * k) % 256],
+            axis=-1,
+        ).astype(np.uint8)
+        _w, _h, dec = multimodal._parse_bmp(multimodal.encode_bmp(rgb))
+        luma = 0.299 * dec[..., 0] + 0.587 * dec[..., 1] + 0.114 * dec[..., 2]
+        g8 = multimodal._block_mean(luma, 8, 8)
+        m = g8.mean()
+        bits = 0
+        for i, v in enumerate(g8.ravel()):
+            if v > m:
+                bits |= 1 << i
+        return multimodal._to_signed64(bits)
+
+    min_margin = 1 << 62
+    for k in range(200):
+        bs = [0] * 64
+        tot = 0
+        for y in range(16):
+            for x in range(16):
+                l = (
+                    299 * ((7 * x + k) % 256)
+                    + 587 * ((11 * y + 3 * k) % 256)
+                    + 114 * ((x + y + 5 * k) % 256)
+                )
+                bs[(y // 2) * 8 + (x // 2)] += l
+                tot += l
+        bits = 0
+        for i, b in enumerate(bs):
+            if 64 * b > tot:
+                bits |= 1 << i
+            min_margin = min(min_margin, abs(64 * b - tot))
+        assert multimodal._to_signed64(bits) == ahash_float(k), f"k={k}"
+    # a tie (margin 0) would make the float path engine-undefined;
+    # the fixture family sits 3584 luma-millis away from any tie
+    assert min_margin >= 1000, min_margin
+
+
+def test_audio_fp_closed_form_pins_quantized_path():
+    """The q_audio_fp_dedup_verified oracle reduces the fingerprint to
+    amp(i+1) > amp(i) on raw LCG amplitudes. This pins that reduction
+    against the REAL path (float sine synth → int16 quantization → WAV
+    encode/decode → energy sums) for every fixed doc_id at BOTH gains —
+    certifying that int16 truncation never flips an energy comparison
+    on this fixture family and that 0.5-gain twins fingerprint
+    identically (the volume-invariance claim)."""
+    import numpy as np
+
+    def afp_real(k, gain):
+        sr, nseg, seglen, nb = 8000, 66, 64, 65
+        t = np.arange(seglen, dtype=np.float64)
+        segs = []
+        for i in range(nseg):
+            x = (1103515245 * (k * 67 + i) + 12345) % (1 << 31)
+            amp = (2000 + x % 16000) * gain
+            freq = 200.0 + (k % 13) * 40.0
+            segs.append(amp * np.sin(2.0 * np.pi * freq * t / sr))
+        wave = np.concatenate(segs).astype("<i2")
+        _, _, samples = multimodal._parse_wav(multimodal.encode_wav(wave, sr))
+        mono = samples.astype(np.float64).mean(axis=1)
+        frame = mono.shape[0] // nb
+        e = (mono[: frame * nb].reshape(nb, frame) ** 2).sum(axis=1)
+        fp = 0
+        for i, b in enumerate((e[1:] > e[:-1])[:64]):
+            if b:
+                fp |= 1 << i
+        return multimodal._to_signed64(fp)
+
+    for k in range(200):
+        amps = [
+            2000 + ((1103515245 * (k * 67 + i) + 12345) % (1 << 31)) % 16000
+            for i in range(65)
+        ]
+        fp = 0
+        for i in range(64):
+            if amps[i + 1] > amps[i]:
+                fp |= 1 << i
+        model = multimodal._to_signed64(fp)
+        assert afp_real(k, 1.0) == model, f"k={k} gain=1"
+        if k < 25:
+            assert afp_real(k, 0.5) == model, f"k={k} gain=0.5"
+
+
 def test_decode_real_jpeg_parity_with_bmp(spark):
     """The same RGB gradient decoded via the JPEG path and the BMP path
     agrees within the quality-95 quantization tolerance — the lossy

@@ -2443,12 +2443,14 @@ def q_multimodal_png(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_multimodal_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """B36 REAL-CORPUS-FORMAT decode, in-sandbox (r8): synthesize a
-    genuine baseline JFIF JPEG per doc (4:4:4, with every third doc
-    4:2:0 so the subsampled-MCU path executes) carrying the SAME
-    id-keyed gradient as the BMP twin, decode it with the pure-stdlib
-    T.81 decoder inside decode_real (Huffman + dequant + IDCT +
-    YCbCr→RGB), and join against the decoded BMP twin. JPEG is LOSSY,
+    """B36 REAL-CORPUS-FORMAT decode, in-sandbox (r8; progressive r9):
+    synthesize a genuine JFIF JPEG per doc (4:4:4, every third doc
+    4:2:0 for the subsampled-MCU path, every fifth doc PROGRESSIVE
+    SOF2 with the full successive-approximation scan script for the
+    Annex-G paths) carrying the SAME id-keyed gradient as the BMP twin,
+    decode it with the pure-stdlib T.81 decoder inside decode_real
+    (Huffman + dequant + IDCT + YCbCr→RGB), and join against the
+    decoded BMP twin. JPEG is LOSSY,
     so `stats_agree` certifies the channel means within a quantization
     tolerance (±6.0 at quality 95 — the id-keyed gradient wraps mod 256,
     and 4:2:0 chroma blending across a 255-edge costs up to 4.9 units of

@@ -512,29 +512,16 @@ def _jpeg_magnitude(v: int) -> tuple[int, int]:
     return s, (v if v >= 0 else v + (1 << s) - 1)
 
 
-def encode_jpeg(
-    rgb,
-    *,
-    quality: int = 85,
-    subsample: bool = False,
-    restart_interval: int = 0,
-    grayscale: bool = False,
-) -> bytes:
-    """HxWx3 RGB uint8 -> baseline JFIF JPEG bytes (pure stdlib+numpy).
-
-    ``subsample=False`` writes 4:4:4 (one block per component per MCU);
-    ``subsample=True`` writes 4:2:0 (2x2 Y blocks + box-averaged chroma)
-    so the decoder's sampling-factor path executes in CI — the layout
-    virtually every crawl-corpus JPEG uses. ``restart_interval=N`` emits
-    DRI + RSTn markers every N MCUs (predictor reset + byte alignment),
-    exercising the decoder's restart path. ``grayscale=True`` writes a
-    single-component (Y-only) stream, the decoder's 1-component branch.
-    """
+def _jpeg_quantize(rgb, *, quality: int, subsample: bool, grayscale: bool):
+    """Shared encoder front half: RGB -> YCbCr -> padded planes -> FDCT
+    -> quantized ZIGZAG coefficient grids. Returns (h, w, samp, qsel,
+    mcus_x, mcus_y, coefs) with coefs[ci][gy][gx] a 64-int zigzag list.
+    Both the baseline and the progressive encoder emit EXACTLY these
+    integers, which is why their decodes are bit-identical."""
     import numpy as np
 
     rgb = np.asarray(rgb, dtype=np.float64)
     h, w = rgb.shape[:2]
-    # JFIF full-range RGB -> YCbCr
     r, g, b = rgb[..., 0], rgb[..., 1], rgb[..., 2]
     y = 0.299 * r + 0.587 * g + 0.114 * b
     cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
@@ -559,7 +546,6 @@ def encode_jpeg(
         mcu_h, mcu_w = 8, 8
     elif subsample:
         ys = pad_to(y, 16, 16)
-        # 2x2 box average on the padded-to-even chroma
         ce = pad_to(cb, 16, 16)
         re = pad_to(cr, 16, 16)
         cbs = ce.reshape(ce.shape[0] // 2, 2, ce.shape[1] // 2, 2).mean(axis=(1, 3))
@@ -574,9 +560,77 @@ def encode_jpeg(
         qsel = [0, 1, 1]
         mcu_h, mcu_w = 8, 8
 
-    ncomp = len(planes)
     mcus_y = (h + mcu_h - 1) // mcu_h
     mcus_x = (w + mcu_w - 1) // mcu_w
+    coefs = []
+    for ci, plane in enumerate(planes):
+        hs, vs = samp[ci]
+        grid = []
+        for gy in range(mcus_y * vs):
+            row = []
+            for gx in range(mcus_x * hs):
+                block = plane[gy * 8 : gy * 8 + 8, gx * 8 : gx * 8 + 8] - 128.0
+                qc = np.rint((A @ block @ A.T) / qt[qsel[ci]]).astype(np.int64)
+                row.append([int(qc.flat[i]) for i in zz])
+            grid.append(row)
+        coefs.append(grid)
+    return h, w, samp, qsel, mcus_x, mcus_y, coefs
+
+
+def _jpeg_headers(
+    h: int, w: int, samp, qsel, quality: int, sof_marker: int, restart_interval: int
+) -> bytearray:
+    """Shared encoder header block: SOI, JFIF APP0, DQT, SOFn, the four
+    DHT tables, optional DRI — everything up to the first SOS."""
+    zz = _jpeg_zigzag()
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return bytes([0xFF, marker]) + (len(payload) + 2).to_bytes(2, "big") + payload
+
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    for tid, base in ((0, _JPEG_QT_LUMA), (1, _JPEG_QT_CHROMA)):
+        scaled = _jpeg_scale_qt(base, quality)
+        out += seg(0xDB, bytes([tid]) + bytes(scaled[i] for i in zz))
+    ncomp = len(samp)
+    sof = bytes([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big") + bytes([ncomp])
+    for ci, (hs, vs) in enumerate(samp):
+        sof += bytes([ci + 1, (hs << 4) | vs, qsel[ci]])
+    out += seg(sof_marker, sof)
+    for tclass_tid, bits, vals in (
+        (0x00, _ENC_DC_BITS, _ENC_DC_VALS),
+        (0x10, _ENC_AC_BITS, _ENC_AC_VALS),
+        (0x01, _ENC_DC_BITS, _ENC_DC_VALS),
+        (0x11, _ENC_AC_BITS, _ENC_AC_VALS),
+    ):
+        out += seg(0xC4, bytes([tclass_tid]) + bytes(bits) + bytes(vals))
+    if restart_interval:
+        out += seg(0xDD, int(restart_interval).to_bytes(2, "big"))
+    return out
+
+
+def encode_jpeg(
+    rgb,
+    *,
+    quality: int = 85,
+    subsample: bool = False,
+    restart_interval: int = 0,
+    grayscale: bool = False,
+) -> bytes:
+    """HxWx3 RGB uint8 -> baseline JFIF JPEG bytes (pure stdlib+numpy).
+
+    ``subsample=False`` writes 4:4:4 (one block per component per MCU);
+    ``subsample=True`` writes 4:2:0 (2x2 Y blocks + box-averaged chroma)
+    so the decoder's sampling-factor path executes in CI — the layout
+    virtually every crawl-corpus JPEG uses. ``restart_interval=N`` emits
+    DRI + RSTn markers every N MCUs (predictor reset + byte alignment),
+    exercising the decoder's restart path. ``grayscale=True`` writes a
+    single-component (Y-only) stream, the decoder's 1-component branch.
+    """
+    h, w, samp, qsel, mcus_x, mcus_y, coefs = _jpeg_quantize(
+        rgb, quality=quality, subsample=subsample, grayscale=grayscale
+    )
+    ncomp = len(samp)
 
     bw = _JpegBitWriter()
     pred = [0] * ncomp
@@ -591,12 +645,7 @@ def encode_jpeg(
                 hs, vs = samp[ci]
                 for by in range(vs):
                     for bx in range(hs):
-                        py = (my * vs + by) * 8
-                        px = (mx * hs + bx) * 8
-                        block = planes[ci][py : py + 8, px : px + 8] - 128.0
-                        coef = A @ block @ A.T
-                        qc = np.rint(coef / qt[qsel[ci]]).astype(np.int64)
-                        seq = [int(qc.flat[i]) for i in zz]
+                        seq = coefs[ci][my * vs + by][mx * hs + bx]
                         diff = seq[0] - pred[ci]
                         pred[ci] = seq[0]
                         s, bits = _jpeg_magnitude(diff)
@@ -622,24 +671,7 @@ def encode_jpeg(
     def seg(marker: int, payload: bytes) -> bytes:
         return bytes([0xFF, marker]) + (len(payload) + 2).to_bytes(2, "big") + payload
 
-    out = bytearray(b"\xff\xd8")  # SOI
-    out += seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
-    for tid, base in ((0, _JPEG_QT_LUMA), (1, _JPEG_QT_CHROMA)):
-        scaled = _jpeg_scale_qt(base, quality)
-        out += seg(0xDB, bytes([tid]) + bytes(scaled[i] for i in zz))
-    sof = bytes([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big") + bytes([ncomp])
-    for ci, (hs, vs) in enumerate(samp):
-        sof += bytes([ci + 1, (hs << 4) | vs, qsel[ci]])
-    out += seg(0xC0, sof)
-    for tclass_tid, bits, vals in (
-        (0x00, _ENC_DC_BITS, _ENC_DC_VALS),
-        (0x10, _ENC_AC_BITS, _ENC_AC_VALS),
-        (0x01, _ENC_DC_BITS, _ENC_DC_VALS),
-        (0x11, _ENC_AC_BITS, _ENC_AC_VALS),
-    ):
-        out += seg(0xC4, bytes([tclass_tid]) + bytes(bits) + bytes(vals))
-    if restart_interval:
-        out += seg(0xDD, int(restart_interval).to_bytes(2, "big"))
+    out = _jpeg_headers(h, w, samp, qsel, quality, 0xC0, restart_interval)
     sos = bytes([ncomp])
     for ci in range(ncomp):
         td_ta = 0x00 if ci == 0 else 0x11
@@ -648,6 +680,220 @@ def encode_jpeg(
     out += seg(0xDA, sos)
     out += bw.flush()
     out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+def encode_jpeg_progressive(
+    rgb,
+    *,
+    quality: int = 85,
+    subsample: bool = False,
+    grayscale: bool = False,
+    successive: bool = True,
+) -> bytes:
+    """HxWx3 RGB uint8 -> PROGRESSIVE (SOF2) JFIF JPEG bytes — the scan
+    structure most web encoders emit. Shares the exact quantization
+    front half with ``encode_jpeg`` (``_jpeg_quantize``), so a
+    progressive encoding carries the IDENTICAL quantized coefficients
+    as the baseline encoding of the same image — decoding both must be
+    bit-identical (the pinned equivalence test).
+
+    ``successive=True`` emits the full Annex-G grammar: a point-
+    transformed DC scan (Al=1) + DC refinement, split AC spectral bands
+    (1-5, 6-63) first-coded at Al=2 with EOBn end-of-band runs, then two
+    refinement rounds per band (Ah=2→Al=1, Ah=1→Al=0) with buffered
+    correction bits — every decoder path G.2 defines.
+    ``successive=False`` emits spectral selection only (DC, then each
+    band once at Al=0)."""
+    h, w, samp, qsel, mcus_x, mcus_y, coefs = _jpeg_quantize(
+        rgb, quality=quality, subsample=subsample, grayscale=grayscale
+    )
+    ncomp = len(samp)
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+    comp_blocks = []  # non-interleaved (cw, ch) per component
+    for hs, vs in samp:
+        cw = ((w * hs + hmax - 1) // hmax + 7) // 8
+        ch = ((h * vs + vmax - 1) // vmax + 7) // 8
+        comp_blocks.append((cw, ch))
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return bytes([0xFF, marker]) + (len(payload) + 2).to_bytes(2, "big") + payload
+
+    out = _jpeg_headers(h, w, samp, qsel, quality, 0xC2, 0)
+
+    def sos_header(comp_ids, ss, se, ah, al, ac=False):
+        sos = bytes([len(comp_ids)])
+        for ci in comp_ids:
+            td = 0 if ci == 0 else 1
+            ta = (0 if ci == 0 else 1) if ac else 0
+            sos += bytes([ci + 1, (td << 4) | ta])
+        return seg(0xDA, sos + bytes([ss, se, (ah << 4) | al]))
+
+    def dc_first(al):
+        bw = _JpegBitWriter()
+        pred = [0] * ncomp
+        for my in range(mcus_y):
+            for mx in range(mcus_x):
+                for ci in range(ncomp):
+                    hs, vs = samp[ci]
+                    for by in range(vs):
+                        for bx in range(hs):
+                            dcv = coefs[ci][my * vs + by][mx * hs + bx][0] >> al
+                            diff = dcv - pred[ci]
+                            pred[ci] = dcv
+                            s, bits = _jpeg_magnitude(diff)
+                            bw.put(*_enc_dc_code(s))
+                            if s:
+                                bw.put(bits, s)
+        return bw.flush()
+
+    def dc_refine(al):
+        bw = _JpegBitWriter()
+        for my in range(mcus_y):
+            for mx in range(mcus_x):
+                for ci in range(ncomp):
+                    hs, vs = samp[ci]
+                    for by in range(vs):
+                        for bx in range(hs):
+                            bw.put((coefs[ci][my * vs + by][mx * hs + bx][0] >> al) & 1, 1)
+        return bw.flush()
+
+    def ac_first(ci, ss, se, al):
+        bw = _JpegBitWriter()
+        eobrun = 0
+
+        def flush_eob():
+            nonlocal eobrun
+            if eobrun:
+                nbits = eobrun.bit_length() - 1
+                bw.put(*_enc_ac_code(nbits << 4))
+                if nbits:
+                    bw.put(eobrun - (1 << nbits), nbits)
+                eobrun = 0
+
+        cw, chh = comp_blocks[ci]
+        for gy in range(chh):
+            for gx in range(cw):
+                seq = coefs[ci][gy][gx]
+                # AC point transform: divide by 2^Al truncating TOWARD
+                # ZERO (G.1.2.2) — not an arithmetic shift
+                tv = [
+                    (abs(seq[k]) >> al) * (1 if seq[k] >= 0 else -1)
+                    for k in range(ss, se + 1)
+                ]
+                last = max((i for i, t in enumerate(tv) if t), default=-1)
+                if last < 0:
+                    eobrun += 1
+                    if eobrun == 0x7FFF:
+                        flush_eob()
+                    continue
+                flush_eob()
+                run = 0
+                for i in range(last + 1):
+                    if tv[i] == 0:
+                        run += 1
+                        continue
+                    while run > 15:
+                        bw.put(*_enc_ac_code(0xF0))
+                        run -= 16
+                    s, bits = _jpeg_magnitude(tv[i])
+                    bw.put(*_enc_ac_code((run << 4) | s))
+                    bw.put(bits, s)
+                    run = 0
+                if last < se - ss:
+                    eobrun = 1
+        flush_eob()
+        return bw.flush()
+
+    def ac_refine(ci, ss, se, al):
+        bw = _JpegBitWriter()
+        eobrun = 0
+        pend: list[int] = []  # correction bits owed after the next EOBn
+
+        def flush_eob():
+            nonlocal eobrun, pend
+            if eobrun:
+                nbits = eobrun.bit_length() - 1
+                bw.put(*_enc_ac_code(nbits << 4))
+                if nbits:
+                    bw.put(eobrun - (1 << nbits), nbits)
+                for b in pend:
+                    bw.put(b, 1)
+                pend = []
+                eobrun = 0
+
+        cw, chh = comp_blocks[ci]
+        for gy in range(chh):
+            for gx in range(cw):
+                seq = coefs[ci][gy][gx]
+                t = [abs(seq[k]) >> al for k in range(ss, se + 1)]
+                last_new = max((i for i, v in enumerate(t) if v == 1), default=-1)
+                if last_new < 0:
+                    # whole band joins the EOB run; its already-nonzero
+                    # coefficients owe correction bits after the EOBn
+                    eobrun += 1
+                    pend.extend(v & 1 for v in t if v > 1)
+                    if eobrun == 0x7FFF:
+                        flush_eob()
+                    continue
+                flush_eob()
+                run = 0
+                held: list[int] = []  # corrections crossed since last symbol
+                for i in range(last_new + 1):
+                    if t[i] == 0:
+                        run += 1
+                        continue
+                    # flush ZRLs at EVERY nonzero position (t>1 too, the
+                    # libjpeg loop shape): a correction bit buffered
+                    # across a >15-zero gap would be emitted behind the
+                    # ZRL whose 16-zero span ends BEFORE its position,
+                    # desyncing the decoder's crossing order (found by
+                    # the id-gradient fixture, doc 1000)
+                    while run > 15:
+                        bw.put(*_enc_ac_code(0xF0))
+                        for b in held:
+                            bw.put(b, 1)
+                        held = []
+                        run -= 16
+                    if t[i] > 1:
+                        held.append(t[i] & 1)
+                        continue
+                    bw.put(*_enc_ac_code((run << 4) | 1))
+                    bw.put(1 if seq[ss + i] > 0 else 0, 1)
+                    for b in held:
+                        bw.put(b, 1)
+                    held = []
+                    run = 0
+                # the tail past the last newly-visible coefficient joins
+                # the EOB run (held is empty here: every crossed t>1 bit
+                # was emitted with the final symbol)
+                if last_new < se - ss:
+                    eobrun = 1
+                    pend.extend(t[i] & 1 for i in range(last_new + 1, len(t)) if t[i] > 1)
+        flush_eob()
+        return bw.flush()
+
+    all_comps = list(range(ncomp))
+    bands = [(1, 5), (6, 63)]
+    if successive:
+        out += sos_header(all_comps, 0, 0, 0, 1) + dc_first(1)
+        for ci in all_comps:
+            for ss, se in bands:
+                out += sos_header([ci], ss, se, 0, 2, ac=True) + ac_first(ci, ss, se, 2)
+        for ah, al in ((2, 1), (1, 0)):
+            for ci in all_comps:
+                for ss, se in bands:
+                    out += sos_header([ci], ss, se, ah, al, ac=True) + ac_refine(
+                        ci, ss, se, al
+                    )
+        out += sos_header(all_comps, 0, 0, 1, 0) + dc_refine(0)
+    else:
+        out += sos_header(all_comps, 0, 0, 0, 0) + dc_first(0)
+        for ci in all_comps:
+            for ss, se in bands:
+                out += sos_header([ci], ss, se, 0, 0, ac=True) + ac_first(ci, ss, se, 0)
+    out += b"\xff\xd9"
     return bytes(out)
 
 
@@ -748,15 +994,281 @@ def _jpeg_extend(v: int, s: int) -> int:
     return v - (1 << s) + 1 if v < (1 << (s - 1)) else v
 
 
+def _jpeg_geometry(w: int, h: int, comps: list[tuple[int, int, int, int]]):
+    """Shared frame geometry: (hmax, vmax, mcus_x, mcus_y, per-component
+    [grid_w, grid_h, comp_w_blocks, comp_h_blocks]). The MCU-padded grid
+    (grid_*) is what interleaved scans cover; non-interleaved scans
+    cover only the ceil-dims block counts (comp_*_blocks) — T.81 A.2.4
+    (the two differ when the MCU grid overshoots, e.g. a 17-px-wide
+    4:2:0 luma: 4 grid columns, 3 data columns)."""
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcus_x = (w + 8 * hmax - 1) // (8 * hmax)
+    mcus_y = (h + 8 * vmax - 1) // (8 * vmax)
+    geo = []
+    for _, hs, vs, _ in comps:
+        cw = (w * hs + hmax - 1) // hmax  # component pixel width
+        ch = (h * vs + vmax - 1) // vmax
+        geo.append(
+            (mcus_x * hs, mcus_y * vs, (cw + 7) // 8, (ch + 7) // 8)
+        )
+    return hmax, vmax, mcus_x, mcus_y, geo
+
+
+def _jpeg_scan_baseline(br, comps, scan, huff, coefs, geom, restart, zz):
+    """One baseline (sequential DCT) scan: interleaved MCU order, DC
+    diff + AC run-length per block, RAW quantized ints accumulated into
+    ``coefs`` (dequantization happens once at IDCT time, shared with the
+    progressive path)."""
+    hmax, vmax, mcus_x, mcus_y, geo = geom
+    pred = [0] * len(comps)
+    mcu_count = 0
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            if restart and mcu_count and mcu_count % restart == 0:
+                if not br.reset():
+                    return False
+                pred = [0] * len(comps)
+            mcu_count += 1
+            for ci, td, ta in scan:
+                _, hs, vs, _ = comps[ci]
+                dc_lut = huff.get((0, td))
+                ac_lut = huff.get((1, ta))
+                if dc_lut is None or ac_lut is None:
+                    return False
+                for by in range(vs):
+                    for bx in range(hs):
+                        blk = coefs[ci][my * vs + by][mx * hs + bx]
+                        s = _jpeg_decode_sym(br, dc_lut)
+                        if s is None or s > 11:
+                            return False
+                        diff = 0
+                        if s:
+                            v = br.read(s)
+                            if v is None:
+                                return False
+                            diff = _jpeg_extend(v, s)
+                        pred[ci] += diff
+                        blk[0] = pred[ci]
+                        k = 1
+                        while k < 64:
+                            rs = _jpeg_decode_sym(br, ac_lut)
+                            if rs is None:
+                                return False
+                            r, sz = rs >> 4, rs & 0x0F
+                            if sz == 0:
+                                if r == 15:
+                                    k += 16
+                                    continue
+                                break  # EOB
+                            k += r
+                            if k > 63:
+                                return False
+                            v = br.read(sz)
+                            if v is None:
+                                return False
+                            blk[zz[k]] = _jpeg_extend(v, sz)
+                            k += 1
+    return True
+
+
+def _jpeg_scan_prog_dc(br, comps, scan, huff, coefs, geom, restart, ah, al):
+    """Progressive DC scan (Ss=Se=0) — first pass (Ah=0: DC diffs,
+    shifted left by Al) or refinement (Ah>0: one bit per block adding
+    the 1<<Al term). Interleaved when the scan carries >1 component,
+    else the component's own non-interleaved block raster (T.81 G.2)."""
+    hmax, vmax, mcus_x, mcus_y, geo = geom
+    pred = [0] * len(comps)
+    units = []  # flattened block sequence: (ci, gy, gx) per data unit
+    if len(scan) > 1:
+        for my in range(mcus_y):
+            for mx in range(mcus_x):
+                for ci, _, _ in scan:
+                    _, hs, vs, _ = comps[ci]
+                    for by in range(vs):
+                        for bx in range(hs):
+                            units.append((ci, my * vs + by, mx * hs + bx))
+        per_restart = len(scan) and restart  # restart counts MCUs
+        mcu_size = sum(comps[ci][1] * comps[ci][2] for ci, _, _ in scan)
+    else:
+        ci = scan[0][0]
+        _, _, cw, chh = geo[ci]
+        for gy in range(chh):
+            for gx in range(cw):
+                units.append((ci, gy, gx))
+        per_restart = restart
+        mcu_size = 1
+    luts = {}
+    for ci, td, _ in scan:
+        if ah == 0:
+            lut = huff.get((0, td))
+            if lut is None:
+                return False
+            luts[ci] = lut
+    done = 0
+    for ci, gy, gx in units:
+        if per_restart and done and done % (per_restart * mcu_size) == 0:
+            if not br.reset():
+                return False
+            pred = [0] * len(comps)
+        done += 1
+        blk = coefs[ci][gy][gx]
+        if ah == 0:
+            s = _jpeg_decode_sym(br, luts[ci])
+            if s is None or s > 11:
+                return False
+            diff = 0
+            if s:
+                v = br.read(s)
+                if v is None:
+                    return False
+                diff = _jpeg_extend(v, s)
+            pred[ci] += diff
+            blk[0] = pred[ci] << al
+        else:
+            bit = br.read(1)
+            if bit is None:
+                return False
+            if bit:
+                blk[0] |= 1 << al
+    return True
+
+
+def _jpeg_scan_prog_ac(br, comps, scan, huff, coefs, geom, restart, ss, se, ah, al, zz):
+    """Progressive AC scan — spectral band [Ss, Se] of ONE component
+    (T.81 G.1.1.1 forbids interleaved AC scans). First pass (Ah=0):
+    run/size symbols with EOBn end-of-band runs, values shifted by Al.
+    Refinement (Ah>0): one new-coefficient magnitude bit per symbol plus
+    in-path correction bits for every already-nonzero coefficient the
+    run crosses — including inside EOB runs (the G.2 algorithm, same
+    control flow as the public libjpeg/T.81 flowcharts)."""
+    if len(scan) != 1:
+        return False
+    ci, _, ta = scan[0]
+    ac_lut = huff.get((1, ta))
+    if ac_lut is None:
+        return False
+    _, _, cw, chh = geom[4][ci]
+    eobrun = 0
+    done = 0
+    for gy in range(chh):
+        for gx in range(cw):
+            if restart and done and done % restart == 0:
+                if not br.reset():
+                    return False
+                eobrun = 0
+            done += 1
+            blk = coefs[ci][gy][gx]
+            if ah == 0:
+                if eobrun > 0:
+                    eobrun -= 1
+                    continue
+                k = ss
+                while k <= se:
+                    rs = _jpeg_decode_sym(br, ac_lut)
+                    if rs is None:
+                        return False
+                    r, sz = rs >> 4, rs & 0x0F
+                    if sz == 0:
+                        if r < 15:
+                            ext = br.read(r) if r else 0
+                            if ext is None:
+                                return False
+                            eobrun = (1 << r) + ext - 1  # current block ends
+                            break
+                        k += 16  # ZRL
+                        continue
+                    k += r
+                    if k > se:
+                        return False
+                    v = br.read(sz)
+                    if v is None:
+                        return False
+                    blk[zz[k]] = _jpeg_extend(v, sz) << al
+                    k += 1
+            else:
+                p1, m1 = 1 << al, -1 << al
+
+                def _refine(b):
+                    bit = br.read(1)
+                    if bit is None:
+                        return False
+                    if bit and not (b[0] & p1 if b[0] > 0 else (-b[0]) & p1):
+                        b[0] += p1 if b[0] > 0 else m1
+                    return True
+
+                k = ss
+                if eobrun == 0:
+                    while k <= se:
+                        rs = _jpeg_decode_sym(br, ac_lut)
+                        if rs is None:
+                            return False
+                        r, sz = rs >> 4, rs & 0x0F
+                        newval = 0
+                        if sz == 0:
+                            if r < 15:
+                                ext = br.read(r) if r else 0
+                                if ext is None:
+                                    return False
+                                eobrun = (1 << r) + ext
+                                break  # remaining coeffs handled below
+                        else:
+                            if sz != 1:
+                                return False
+                            bit = br.read(1)
+                            if bit is None:
+                                return False
+                            newval = p1 if bit else m1
+                        # advance over r zero-history positions, refining
+                        # every nonzero-history coefficient on the way
+                        while k <= se:
+                            idx = zz[k]
+                            if blk[idx] != 0:
+                                hold = [blk[idx]]
+                                if not _refine(hold):
+                                    return False
+                                blk[idx] = hold[0]
+                            else:
+                                if r == 0:
+                                    break
+                                r -= 1
+                            k += 1
+                        if newval and k <= se:
+                            blk[zz[k]] = newval
+                        k += 1
+                if eobrun > 0:
+                    # EOB run covers the REST of this block's band too:
+                    # correction bits for its nonzero coefficients
+                    while k <= se:
+                        idx = zz[k]
+                        if blk[idx] != 0:
+                            hold = [blk[idx]]
+                            if not _refine(hold):
+                                return False
+                            blk[idx] = hold[0]
+                        k += 1
+                    eobrun -= 1
+    return True
+
+
 def _parse_jpeg(buf: bytes):
-    """Baseline-sequential JPEG (SOF0) -> (w, h, HxWx3 RGB float array),
-    or None for anything this decoder doesn't cover (progressive SOF2,
-    arithmetic coding, 12-bit precision, truncated/corrupt streams) —
-    decode-tolerant like the other parsers. Handles grayscale and
-    3-component YCbCr with any h,v sampling factors in {1,2} (4:4:4,
-    4:2:2, 4:2:0), 8- and 16-bit DQT entries, multi-table DHT segments,
-    and DRI/RSTn restart intervals. Pure stdlib + numpy from the public
-    T.81 spec; the IDCT is the separable orthonormal form."""
+    """Baseline-sequential (SOF0/1) AND progressive (SOF2) JPEG ->
+    (w, h, HxWx3 RGB float array), or None for anything this decoder
+    doesn't cover (arithmetic coding, 12-bit precision, truncated or
+    corrupt streams) — decode-tolerant like the other parsers. Handles
+    grayscale and 3-component YCbCr with h,v sampling factors in {1,2}
+    (4:4:4, 4:2:2, 4:2:0), 8- and 16-bit DQT entries, multi-table DHT
+    segments (including between progressive scans), DRI/RSTn restart
+    intervals, and the full progressive scan grammar: interleaved and
+    single-component DC first/refinement, per-component AC spectral
+    bands with EOBn runs, and AC successive-approximation refinement
+    with in-run correction bits (T.81 Annex G). Architecture: every
+    scan accumulates RAW quantized coefficients into per-component
+    full-frame block arrays; dequantization + the separable orthonormal
+    IDCT run once at the end — which is also why baseline and
+    progressive encodings of the same quantized coefficients decode to
+    BIT-IDENTICAL pixels (pinned in tests). Pure stdlib + numpy from
+    the public T.81 spec."""
     import numpy as np
 
     if len(buf) < 4 or buf[0:2] != b"\xff\xd8":
@@ -768,13 +1280,18 @@ def _parse_jpeg(buf: bytes):
     comps: list[tuple[int, int, int, int]] = []  # (id, hs, vs, qsel)
     restart = 0
     pos = 2
-    scan: list[tuple[int, int, int]] = []  # (comp index, dc table, ac table)
-    while pos + 4 <= len(buf):
+    progressive = False
+    coefs = None  # per comp: grid_h x grid_w list of length-64 int lists
+    geom = None
+    scans_done = 0
+    while pos + 2 <= len(buf):
         if buf[pos] != 0xFF:
             return None
         marker = buf[pos + 1]
-        if marker == 0xD9:
-            return None  # EOI before SOS
+        if marker == 0xD9:  # EOI
+            break
+        if pos + 4 > len(buf):
+            return None
         ln = int.from_bytes(buf[pos + 2 : pos + 4], "big")
         seg = buf[pos + 4 : pos + 2 + ln]
         if len(seg) != ln - 2:
@@ -800,7 +1317,8 @@ def _parse_jpeg(buf: bytes):
                 for k in range(64):
                     nat[zz[k]] = vals[k]
                 qt[tid] = nat
-        elif marker in (0xC0, 0xC1):  # baseline / extended sequential
+        elif marker in (0xC0, 0xC1, 0xC2):  # baseline / ext seq / progressive
+            progressive = marker == 0xC2
             if seg[0] != 8:
                 return None
             h = int.from_bytes(seg[1:3], "big")
@@ -815,8 +1333,24 @@ def _parse_jpeg(buf: bytes):
                 if hs not in (1, 2) or vs not in (1, 2):
                     return None
                 comps.append((cid, hs, vs, q))
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
-            return None  # progressive / arithmetic / lossless
+            # Untrusted-header guard (decode_real is the real-corpus
+            # path): a ~200-byte crafted stream can declare 65535x65535x3
+            # in its SOF and trigger a ~100 GB plane allocation before
+            # any entropy data is read. Information bound: every MCU
+            # costs >= 2 Huffman symbols per component (DC + EOB), so
+            # len(buf) bytes cannot legitimately encode more than a few
+            # thousand pixels per payload byte — reject far past that,
+            # plus an absolute cap (mirrors _parse_bmp's payload-vs-dims
+            # length check).
+            if w == 0 or h == 0 or w * h > 2**24 or w * h > 4096 * len(buf):
+                return None
+            geom = _jpeg_geometry(w, h, comps)
+            coefs = [
+                [[[0] * 64 for _ in range(gw)] for _ in range(gh)]
+                for gw, gh, _, _ in geom[4]
+            ]
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            return None  # lossless / arithmetic / differential
         elif marker == 0xC4:  # DHT (possibly several tables)
             i = 0
             while i + 17 <= len(seg):
@@ -830,106 +1364,71 @@ def _parse_jpeg(buf: bytes):
                 i += 17 + n
         elif marker == 0xDD:  # DRI
             restart = int.from_bytes(seg[0:2], "big")
-        elif marker == 0xDA:  # SOS
+        elif marker == 0xDA:  # SOS: decode one scan, then keep walking
+            if coefs is None:
+                return None
             ns = seg[0]
+            if len(seg) < 1 + 2 * ns + 3:
+                return None
+            scan = []
             for c in range(ns):
                 cid, tables = seg[1 + 2 * c], seg[2 + 2 * c]
-                idx = next(
-                    (k for k, cc in enumerate(comps) if cc[0] == cid), None
-                )
+                idx = next((k for k, cc in enumerate(comps) if cc[0] == cid), None)
                 if idx is None:
                     return None
                 scan.append((idx, tables >> 4, tables & 0x0F))
-            break
+            ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
+            ahal = seg[3 + 2 * ns]
+            ah, al = ahal >> 4, ahal & 0x0F
+            br = _JpegBitReader(buf, pos)
+            if not progressive:
+                if ss != 0 or se != 63 or ah or al:
+                    return None
+                ok = _jpeg_scan_baseline(br, comps, scan, huff, coefs, geom, restart, zz)
+            elif ss == 0:
+                if se != 0:
+                    return None
+                ok = _jpeg_scan_prog_dc(br, comps, scan, huff, coefs, geom, restart, ah, al)
+            else:
+                if se > 63 or ss > se:
+                    return None
+                ok = _jpeg_scan_prog_ac(
+                    br, comps, scan, huff, coefs, geom, restart, ss, se, ah, al, zz
+                )
+            if not ok:
+                return None
+            scans_done += 1
+            pos = br.pos
+            if not progressive:
+                break  # single-scan stream: tolerate trailing bytes
         # APPn / COM / anything else: skipped via the length walk
-    if w is None or not comps or not scan or len(scan) != len(comps):
-        return None
-    # Untrusted-header guard (decode_real is the real-corpus path): a
-    # ~200-byte crafted stream can declare 65535x65535x3 in its SOF and
-    # trigger a ~100 GB plane allocation before any entropy data is
-    # read. Information bound: every MCU costs >= 2 Huffman symbols per
-    # component (DC + EOB), so len(buf) bytes cannot legitimately encode
-    # more than a few thousand pixels per payload byte — reject far past
-    # that, plus an absolute cap (mirrors _parse_bmp's payload-vs-dims
-    # length check).
-    if w == 0 or h == 0 or w * h > 2**24 or w * h > 4096 * len(buf):
+    if coefs is None or scans_done == 0:
         return None
 
-    hmax = max(c[1] for c in comps)
-    vmax = max(c[2] for c in comps)
-    mcu_w, mcu_h = 8 * hmax, 8 * vmax
-    mcus_x = (w + mcu_w - 1) // mcu_w
-    mcus_y = (h + mcu_h - 1) // mcu_h
+    hmax, vmax, mcus_x, mcus_y, geo = geom
     A = _jpeg_dct_matrix()
     planes = []
-    for _, hs, vs, _ in comps:
-        planes.append(np.zeros((mcus_y * vs * 8, mcus_x * hs * 8), dtype=np.float64))
-
-    br = _JpegBitReader(buf, pos)
-    pred = [0] * len(comps)
-    mcu_count = 0
-    for my in range(mcus_y):
-        for mx in range(mcus_x):
-            if restart and mcu_count and mcu_count % restart == 0:
-                if not br.reset():
-                    return None
-                pred = [0] * len(comps)
-            mcu_count += 1
-            for ci, td, ta in scan:
-                _, hs, vs, q = comps[ci]
-                dc_lut = huff.get((0, td))
-                ac_lut = huff.get((1, ta))
-                qtab = qt.get(q)
-                if dc_lut is None or ac_lut is None or qtab is None:
-                    return None
-                for by in range(vs):
-                    for bx in range(hs):
-                        s = _jpeg_decode_sym(br, dc_lut)
-                        if s is None or s > 11:
-                            return None
-                        diff = 0
-                        if s:
-                            v = br.read(s)
-                            if v is None:
-                                return None
-                            diff = _jpeg_extend(v, s)
-                        pred[ci] += diff
-                        coef = np.zeros(64, dtype=np.float64)
-                        coef[0] = pred[ci] * qtab[0]
-                        k = 1
-                        while k < 64:
-                            rs = _jpeg_decode_sym(br, ac_lut)
-                            if rs is None:
-                                return None
-                            r, sz = rs >> 4, rs & 0x0F
-                            if sz == 0:
-                                if r == 15:
-                                    k += 16
-                                    continue
-                                break  # EOB
-                            k += r
-                            if k > 63:
-                                return None
-                            v = br.read(sz)
-                            if v is None:
-                                return None
-                            coef[zz[k]] = _jpeg_extend(v, sz) * qtab[zz[k]]
-                            k += 1
-                        block = A.T @ coef.reshape(8, 8) @ A + 128.0
-                        py = (my * vs + by) * 8
-                        px = (mx * hs + bx) * 8
-                        planes[ci][py : py + 8, px : px + 8] = block
-    full = []
-    for i, (_, hs, vs, _) in enumerate(comps):
-        p = planes[i]
+    for ci, (_, hs, vs, q) in enumerate(comps):
+        qtab = qt.get(q)
+        if qtab is None:
+            return None
+        gw, gh, _, _ = geo[ci]
+        plane = np.zeros((gh * 8, gw * 8), dtype=np.float64)
+        qarr = np.array(qtab, dtype=np.float64)
+        for gy in range(gh):
+            for gx in range(gw):
+                coef = np.array(coefs[ci][gy][gx], dtype=np.float64) * qarr
+                plane[gy * 8 : gy * 8 + 8, gx * 8 : gx * 8 + 8] = (
+                    A.T @ coef.reshape(8, 8) @ A + 128.0
+                )
         if hs < hmax or vs < vmax:
-            p = np.repeat(np.repeat(p, vmax // vs, axis=0), hmax // hs, axis=1)
-        full.append(p[:h, :w])
+            plane = np.repeat(np.repeat(plane, vmax // vs, axis=0), hmax // hs, axis=1)
+        planes.append(plane[:h, :w])
     if len(comps) == 1:
-        yp = np.clip(full[0], 0, 255)
+        yp = np.clip(planes[0], 0, 255)
         rgb = np.stack([yp, yp, yp], axis=-1)
     else:
-        y, cb, cr = full[0], full[1] - 128.0, full[2] - 128.0
+        y, cb, cr = planes[0], planes[1] - 128.0, planes[2] - 128.0
         r = y + 1.402 * cr
         g = y - 0.344136 * cb - 0.714136 * cr
         b = y + 1.772 * cb
@@ -940,11 +1439,16 @@ def _parse_jpeg(buf: bytes):
 def synthesize_jpeg_payload(
     df: DataFrame, *, width: int = 16, height: int = 16, quality: int = 95
 ) -> DataFrame:
-    """Deterministic baseline-JPEG payload per doc_id — the SAME id-keyed
-    RGB gradient as the BMP/PNG twins, so cross-format decode parity is
+    """Deterministic JPEG payload per doc_id — the SAME id-keyed RGB
+    gradient as the BMP/PNG twins, so cross-format decode parity is
     testable (JPEG is lossy: parity is within a quantization tolerance,
     not bit-exact). Every third doc is written 4:2:0 so the decoder's
-    subsampled MCU path executes in CI alongside 4:4:4."""
+    subsampled MCU path executes in CI alongside 4:4:4, and every FIFTH
+    doc is written PROGRESSIVE (SOF2, full successive-approximation
+    scan script) so the Annex-G decode paths run in the registered
+    query — a progressive encoding of the same quantized coefficients
+    decodes bit-identically to the baseline one (pinned in tests), so
+    the query's stats_agree certificate covers both entropy layouts."""
     import numpy as np
 
     def _gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -957,8 +1461,9 @@ def synthesize_jpeg_payload(
                     [(xx * 7 + k) % 256, (yy * 11 + 3 * k) % 256, (xx + yy + 5 * k) % 256],
                     axis=-1,
                 ).astype(np.uint8)
+                enc = encode_jpeg_progressive if k % 5 == 0 else encode_jpeg
                 payloads.append(
-                    encode_jpeg(rgb, quality=quality, subsample=(k % 3 == 0))
+                    enc(rgb, quality=quality, subsample=(k % 3 == 0))
                 )
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
 

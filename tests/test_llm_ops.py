@@ -435,7 +435,7 @@ def test_jpeg_roundtrip_variants():
 
 
 def test_parse_jpeg_rejects():
-    """Progressive, truncated, and non-JPEG payloads return None
+    """Malformed, truncated, and non-JPEG payloads return None
     (decode-tolerant like every other parser)."""
     import numpy as np
 
@@ -445,9 +445,44 @@ def test_parse_jpeg_rejects():
     assert multimodal._parse_jpeg(b"not a jpeg") is None
     assert multimodal._parse_jpeg(buf[:40]) is None
     assert multimodal._parse_jpeg(buf + b"\x00" * 4) is not None  # trailing pad ok
-    # flip SOF0 (FFC0) to SOF2 (FFC2): progressive must be rejected
+    # flip SOF0 (FFC0) to SOF2 (FFC2) WITHOUT restructuring the scans:
+    # SOF2 itself is supported (r9), but a baseline-grammar SOS
+    # (Ss=0, Se=63) is illegal inside a progressive frame — reject
     prog = buf.replace(b"\xff\xc0", b"\xff\xc2", 1)
     assert multimodal._parse_jpeg(prog) is None
+    # a REAL progressive stream truncated mid-scan-sequence (EOI and
+    # later scans cut off): reject, never partial-decode silently
+    real_prog = multimodal.encode_jpeg_progressive(rgb, quality=90)
+    assert multimodal._parse_jpeg(real_prog[: len(real_prog) // 2]) is None
+
+
+def test_progressive_jpeg_decodes_bit_identical_to_baseline():
+    """The SOF2 decoder (r9, verdict item #4): a progressive encoding
+    carries the same quantized coefficients as the baseline encoding of
+    the same image (shared _jpeg_quantize front half), so decoding both
+    must be BIT-IDENTICAL — across 4:4:4/4:2:0/grayscale, non-MCU-
+    multiple dims, and both scan grammars (full successive
+    approximation with AC refinement + EOB runs, and spectral-selection
+    only)."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    imgs = [rng.integers(0, 256, size=(hh, ww, 3)).astype(np.uint8)
+            for hh, ww in [(16, 16), (13, 11), (24, 17)]]
+    for img in imgs:
+        for kw in ({}, {"subsample": True}, {"grayscale": True}):
+            for succ in (True, False):
+                db = multimodal._parse_jpeg(multimodal.encode_jpeg(img, quality=85, **kw))
+                dp = multimodal._parse_jpeg(
+                    multimodal.encode_jpeg_progressive(
+                        img, quality=85, successive=succ, **kw
+                    )
+                )
+                assert db is not None and dp is not None, (img.shape, kw, succ)
+                assert db[0] == dp[0] and db[1] == dp[1]
+                assert np.array_equal(db[2], dp[2]), (
+                    img.shape, kw, succ, np.abs(db[2] - dp[2]).max()
+                )
 
 
 def test_parse_jpeg_rejects_implausible_declared_dims():
@@ -475,6 +510,58 @@ def test_parse_jpeg_rejects_implausible_declared_dims():
     assert multimodal._parse_jpeg(bytes(bomb)) is None
     # sanity: the untouched image still decodes
     assert multimodal._parse_jpeg(buf) is not None
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_codec_fuzz_decode_or_clean_reject(seed):
+    """Codec fuzz (r9, verdict item #7): seeded random images across
+    dims (incl. non-MCU multiples), samplings, qualities, and restart
+    intervals must roundtrip through BOTH entropy layouts with
+    progressive == baseline pixels; then structured corruptions —
+    truncation at EVERY marker boundary and inside entropy data, plus
+    random byte flips — must decode or return None, never raise and
+    never hang. The same contract for the BMP/PNG/WAV codecs."""
+    import numpy as np
+
+    rng = np.random.default_rng(1000 + seed)
+    hh, ww = int(rng.integers(8, 41)), int(rng.integers(8, 41))
+    img = rng.integers(0, 256, size=(hh, ww, 3)).astype(np.uint8)
+    q = int(rng.choice([35, 60, 85, 95]))
+    sub = bool(rng.integers(0, 2))
+    ri = int(rng.choice([0, 1, 3]))
+    base = multimodal.encode_jpeg(img, quality=q, subsample=sub, restart_interval=ri)
+    prog = multimodal.encode_jpeg_progressive(
+        img, quality=q, subsample=sub, successive=bool(seed % 2)
+    )
+    db = multimodal._parse_jpeg(base)
+    dp = multimodal._parse_jpeg(prog)
+    assert db is not None and dp is not None
+    assert np.array_equal(db[2], dp[2]), (hh, ww, q, sub, ri)
+
+    corpora = {
+        "jpeg_base": (base, multimodal._parse_jpeg),
+        "jpeg_prog": (prog, multimodal._parse_jpeg),
+        "bmp": (multimodal.encode_bmp(img), multimodal._parse_bmp),
+        "png": (multimodal.encode_png(img, filter_mode="cycle"), multimodal._parse_png),
+        "wav": (
+            multimodal.encode_wav(
+                (rng.integers(-3000, 3000, size=256)).astype("<i2"), 8000
+            ),
+            multimodal._parse_wav,
+        ),
+    }
+    for name, (buf, parse) in corpora.items():
+        # truncate at every marker boundary (JPEG) or at stride points
+        cuts = [i for i in range(len(buf) - 1) if buf[i] == 0xFF] if "jpeg" in name else []
+        cuts += list(range(0, len(buf), max(1, len(buf) // 17)))
+        for cut in cuts:
+            parse(buf[:cut])  # must not raise
+        # random single-byte corruptions
+        for _ in range(24):
+            pos = int(rng.integers(0, len(buf)))
+            mut = bytearray(buf)
+            mut[pos] ^= int(rng.integers(1, 256))
+            parse(bytes(mut))  # must not raise
 
 
 def test_phash_closed_form_pins_float_path():

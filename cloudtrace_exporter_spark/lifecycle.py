@@ -40,6 +40,7 @@ from __future__ import annotations
 
 import json
 import os
+import time
 from typing import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -88,12 +89,17 @@ def _stage(
     count from the written bytes (write-audit, not plan-count). The
     session is threaded from run_lifecycle — getActiveSession() can
     return None off the driver thread (advisor r8 find)."""
+    t0 = time.monotonic()
     if _done(path):
         rows = spark.read.parquet(path).count()
-        manifest.record(name, rows, skipped=True, **extra)
+        manifest.record(
+            name, rows, skipped=True, wall_sec=round(time.monotonic() - t0, 3), **extra
+        )
         return rows
     rows = _write(compute(), path)
-    manifest.record(name, rows, skipped=False, **extra)
+    manifest.record(
+        name, rows, skipped=False, wall_sec=round(time.monotonic() - t0, 3), **extra
+    )
     return rows
 
 

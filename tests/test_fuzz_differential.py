@@ -660,3 +660,166 @@ def test_fuzz_differential_wave4(qname: str, spark, fuzz_root: Path) -> None:
 @pytest.mark.parametrize("qname", FAMILIES_W5)
 def test_fuzz_differential_wave5(qname: str, spark, fuzz_root: Path) -> None:
     _run_family(qname, spark, fuzz_root, SEEDS_W5)
+
+
+# ---------------------------------------------------------------------------
+# Wave 6 (round 9, verdict item #8): ADVERSARIAL-SKEW corpora — one key
+# owns ~90% of the rows (the Zipf-head tenant/user/part), driven through
+# the join/shuffle-heavy families AND the salted rewrites. The oracles
+# are key-agnostic, so a skew-triggered wrong answer (lost rows in a
+# salted recombine, a dropped hot partition) diverges immediately.
+# ---------------------------------------------------------------------------
+
+SEEDS_W6S = int(os.environ.get("SPARK_GRAFT_FUZZ_SEEDS_W6S", "4"))
+
+FAMILIES_W6_SKEW = [
+    "q_salted_agg",        # the salted rewrite vs its direct-groupBy oracle
+    "q_join_star",         # hot custkey through the 4-hop star join
+    "q_sessionize",        # one user owns the session window partition
+    "q_agg_by_status",
+    "q_topk_resources",
+    "q_window_rank",       # rank window partitioned by the hot dimension
+    "q_count_per_window",
+    "q_semi_join",
+    "q_anti_join",
+    "q_minhash_dedup_verified",  # banded dedup under a duplicate-heavy corpus
+    "q_doc_dedup_exact",
+    "q_containment_pairs",
+]
+
+
+def _skew_events(rng: random.Random, n: int) -> pa.Table:
+    """90% of events from ONE user and ONE type — the hot-reducer shape."""
+    t = _gen_events(rng, n)
+    hot_user = 7
+    hot_type = "purchase"
+    users = [
+        hot_user if rng.random() < 0.9 else (None if rng.random() < 0.05 else rng.randint(1, 12))
+        for _ in range(n)
+    ]
+    types = [
+        hot_type if rng.random() < 0.9 else rng.choice(_TYPE_POOL) for _ in range(n)
+    ]
+    return t.set_column(2, "user_id", pa.array(users, pa.int64())).set_column(
+        3, "event_type", pa.array(types, pa.string())
+    )
+
+
+def _skew_documents(rng: random.Random, n: int) -> pa.Table:
+    """~60% exact copies of one document + one dominant lang — the
+    pathological single-cluster dedup corpus."""
+    t = _gen_documents(rng, n)
+    hot = "the cat sat on the mat " * 3
+    texts = [
+        hot if rng.random() < 0.6 else (t["text"][i].as_py())
+        for i in range(n)
+    ]
+    langs = ["en" if rng.random() < 0.85 else t["lang"][i].as_py() for i in range(n)]
+    return t.set_column(1, "text", pa.array(texts, pa.string())).set_column(
+        2, "lang", pa.array(langs, pa.string())
+    )
+
+
+def _gen_corpus_skew(seed: int, root: Path) -> Path:
+    d = root / f"skew_seed{seed}"
+    if d.exists():
+        return d
+    base = _gen_corpus(seed, root)  # reuse dims/orders/etc. as-is
+    d.mkdir(parents=True)
+    rng = random.Random(seed * 909_091 + 5)
+    n_ev = 1 if seed == 0 else rng.randint(100, 400)
+    n_doc = 1 if seed == 0 else rng.randint(30, 120)
+    pq.write_table(_skew_events(rng, n_ev), d / "events.parquet")
+    pq.write_table(_skew_documents(rng, n_doc), d / "documents.parquet")
+    # orders: 90% one hot customer; lineitem: 90% one hot part+supplier
+    orders = _gen_orders(rng, rng.randint(20, 80))
+    hotc = [9 if rng.random() < 0.9 else rng.randint(1, 20) for _ in range(len(orders))]
+    orders = orders.set_column(1, "o_custkey", pa.array(hotc, pa.int64()))
+    li = _gen_lineitem(rng, rng.randint(50, 200), [v.as_py() for v in orders["o_orderdate"]])
+    hotp = [3 if rng.random() < 0.9 else rng.randint(1, 50) for _ in range(len(li))]
+    hots = [2 if rng.random() < 0.9 else rng.randint(1, 10) for _ in range(len(li))]
+    li = li.set_column(1, "l_partkey", pa.array(hotp, pa.int64()))
+    li = li.set_column(2, "l_suppkey", pa.array(hots, pa.int64()))
+    pq.write_table(orders, d / "orders.parquet")
+    pq.write_table(li, d / "lineitem.parquet")
+    for t in ("embeddings", "region", "nation", "customer", "supplier", "part"):
+        pq.write_table(pq.read_table(base / f"{t}.parquet"), d / f"{t}.parquet")
+    return d
+
+
+def _run_family_skew(qname: str, spark, fuzz_root: Path, seeds: int) -> None:
+    import __spark_entry__ as entry_mod
+
+    fn = entry_mod.queries()[qname]
+    oracle = _oracle(qname)
+    for seed in range(seeds):
+        d = _gen_corpus_skew(seed, fuzz_root)
+        sdf = fn(spark, str(d))
+        srows = [tuple(r) for r in sdf.collect()]
+        scols = sdf.columns
+        con = _duck_con(d)
+        try:
+            cur = con.execute(oracle)
+            dcols = [c[0] for c in cur.description]
+            drows = cur.fetchall()
+        finally:
+            con.close()
+        assert sorted(scols) == sorted(dcols), f"{qname} skew seed={seed}: schema"
+        a = _oc.canon_rows(scols, srows)
+        b = _oc.canon_rows(dcols, drows)
+        if a != b:
+            extra_a = [r for r in a if r not in b][:3]
+            extra_b = [r for r in b if r not in a][:3]
+            pytest.fail(
+                f"{qname} skew seed={seed}: {len(srows)} spark vs {len(drows)} duck; "
+                f"spark_only={extra_a}; duck_only={extra_b}"
+            )
+
+
+@pytest.mark.parametrize("qname", FAMILIES_W6_SKEW)
+def test_fuzz_differential_wave6_skew(qname: str, spark, fuzz_root: Path) -> None:
+    _run_family_skew(qname, spark, fuzz_root, SEEDS_W6S)
+
+
+def test_salted_rewrites_equal_unsalted_on_hot_key(spark, fuzz_root: Path) -> None:
+    """The skew module's own contract under the 90%-one-key corpus:
+    salted_sum_count == direct groupBy and salted_join == plain join,
+    row for row, at several salt widths (including n_salts larger than
+    the row count — every salt bucket path executes)."""
+    from pyspark.sql import functions as F
+
+    from cloudtrace_exporter_spark.operators import skew as skew_ops
+
+    d = _gen_corpus_skew(1, fuzz_root)
+    ev = spark.read.parquet(str(d / "events.parquet"))
+    for n_salts in (2, 16, 1024):
+        got = {
+            (r.event_type, r.n, r.sum_value)
+            for r in skew_ops.salted_sum_count(
+                ev, ["event_type"], sum_cols=["value"], n_salts=n_salts
+            )
+            .select("event_type", "n", F.round("sum_value", 2).alias("sum_value"))
+            .collect()
+        }
+        want = {
+            (r.event_type, r.n, r.sum_value)
+            for r in ev.groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+            .collect()
+        }
+        assert got == want, f"n_salts={n_salts}"
+    dim = spark.createDataFrame(
+        [(7, "hot"), (1, "a"), (2, "b"), (3, "c")], "user_id long, tag string"
+    )
+    for n_salts in (2, 16):
+        got = sorted(
+            (r.event_id, r.tag)
+            for r in skew_ops.salted_join(ev, dim, on="user_id", n_salts=n_salts)
+            .select("event_id", "tag")
+            .collect()
+        )
+        want = sorted(
+            (r.event_id, r.tag)
+            for r in ev.join(dim, "user_id").select("event_id", "tag").collect()
+        )
+        assert got == want, f"join n_salts={n_salts}"

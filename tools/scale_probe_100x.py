@@ -313,6 +313,124 @@ def probe_triangle(spark) -> None:
         docs.unpersist()
 
 
+def _synth_docs_lifecycle(spark, n: int):
+    """_synth_docs plus the lifecycle's required columns: a 3-way lang
+    mix (stratified-sample stratum) and a source tag. Texts pass the
+    quality gate by construction (12 distinct long words, no punct), so
+    the curation funnel's shrinkage is the en-downsample + dedup, both
+    assertable."""
+    return _synth_docs(spark, n).select(
+        "doc_id",
+        "text",
+        F.element_at(
+            F.array(F.lit("en"), F.lit("de"), F.lit("fr")),
+            (F.col("doc_id") % 3 + 1).cast("int"),
+        ).alias("lang"),
+        F.lit("probe").alias("source"),
+    )
+
+
+def probe_lifecycle(spark) -> None:
+    """100x lifecycle probe (round-9 verdict item #6): the full
+    checkpointed pipeline (ingest → events → graph → dedup → curated →
+    layout) over a 1,000,000-document corpus (1000x the fixture test)
+    with sf0.01 trace pages, asserting per-stage wall + funnel counts +
+    planted-dup collapse — then a REAL kill -9 mid-pipeline in a child
+    process and an in-process resume that must skip completed stages
+    and reproduce the full run's counts exactly (deterministic inputs:
+    the corpus is a pure function of doc_id)."""
+    import json
+    import subprocess
+
+    from cloudtrace_exporter_spark import lifecycle
+    from cloudtrace_exporter_spark.operators import normalize
+    from cloudtrace_exporter_spark.runner import AuthContext
+    from cloudtrace_exporter_spark.sources import cts_pages, tables
+
+    n_docs = 1_000_000
+    planted = n_docs // 100  # exact twin of doc k-1 at every k%100==1
+    work = tempfile.mkdtemp(prefix="lifecycle100x_")
+    pages = os.path.join(work, "pages")
+    traces = normalize.events_as_traces(
+        tables.load_table(spark, "/root/testdata/sf0.01", "events")
+    )
+    cts_pages.write_trace_pages(traces, pages)
+    docs = _synth_docs_lifecycle(spark, n_docs)
+    ctx = AuthContext(source="probe", region="r1", domain="d1", tenant="t1")
+
+    out_full = os.path.join(work, "full")
+    t0 = time.time()
+    man = lifecycle.run_lifecycle(
+        spark, pages_dir=pages, docs=docs, out_dir=out_full, ctx=ctx
+    )["stages"]
+    wall = time.time() - t0
+    stage_walls = {k: s.get("wall_sec") for k, s in man.items()}
+    print(f"lifecycle 1M docs: total {wall:6.1f} s  stages={stage_walls}")
+    print(f"  funnel: " + " -> ".join(f"{k}={man[k]['rows']:,}" for k in lifecycle.STAGES))
+    assert man["ingest"]["rows"] == 10_000
+    assert 0 < man["events"]["rows"] <= man["ingest"]["rows"]
+    assert man["graph"]["rows"] > man["events"]["rows"]
+    # every planted exact twin must collapse in the near-dup stage
+    assert man["dedup"]["rows"] <= n_docs - planted, (
+        f"dedup kept {man['dedup']['rows']:,} — planted twins survived"
+    )
+    assert 0 < man["curated"]["rows"] <= man["dedup"]["rows"]
+    assert man["layout"]["rows"] == man["curated"]["rows"]
+    # en is downsampled to 25%: curated must sit near (1/3*0.25 + 2/3)
+    frac = man["curated"]["rows"] / man["dedup"]["rows"]
+    assert 0.70 <= frac <= 0.80, f"curated fraction {frac:.3f} off the mixture plan"
+
+    # --- kill -9 mid-pipeline (child process), resume in-process ---
+    out_kill = os.path.join(work, "killed")
+    child = f"""
+import sys
+sys.path.insert(0, "/root/repo"); sys.path.insert(0, "/root/repo/tools")
+from cloudtrace_exporter_spark.session import get_spark
+from cloudtrace_exporter_spark import lifecycle
+from cloudtrace_exporter_spark.runner import AuthContext
+import importlib.util
+spec = importlib.util.spec_from_file_location("p100", "/root/repo/tools/scale_probe_100x.py")
+p100 = importlib.util.module_from_spec(spec); spec.loader.exec_module(p100)
+spark = get_spark("lifecycle_victim")
+docs = p100._synth_docs_lifecycle(spark, {n_docs})
+lifecycle.run_lifecycle(spark, pages_dir={pages!r}, docs=docs,
+                        out_dir={out_kill!r},
+                        ctx=AuthContext(source="probe", region="r1", domain="d1", tenant="t1"))
+"""
+    proc = subprocess.Popen([sys.executable, "-c", child],
+                            stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL)
+    manifest_path = os.path.join(out_kill, "manifest.json")
+    killed_after = None
+    deadline = time.time() + 900
+    while time.time() < deadline and proc.poll() is None:
+        if os.path.exists(manifest_path):
+            try:
+                done = json.load(open(manifest_path))["stages"]
+            except (json.JSONDecodeError, KeyError):
+                done = {}
+            if "graph" in done:  # >= 3 stages committed, dedup in flight
+                proc.kill()  # SIGKILL — no cleanup, no atexit
+                killed_after = sorted(done)
+                break
+        time.sleep(0.5)
+    proc.wait()
+    assert killed_after is not None, "child finished before the kill window"
+    # resume with the SAME deterministic inputs
+    man2 = lifecycle.run_lifecycle(
+        spark, pages_dir=pages, docs=docs, out_dir=out_kill, ctx=ctx
+    )["stages"]
+    skipped = sorted(k for k, s in man2.items() if s["skipped"])
+    recomputed = sorted(k for k, s in man2.items() if not s["skipped"])
+    print(f"  kill/resume: killed after {killed_after}; resume skipped={skipped} "
+          f"recomputed={recomputed}")
+    assert set(killed_after) <= set(skipped), "a completed stage was recomputed"
+    assert recomputed, "nothing left to recompute — kill landed too late"
+    assert {k: s["rows"] for k, s in man2.items()} == {
+        k: s["rows"] for k, s in man.items()
+    }, "resumed run diverged from the uninterrupted run"
+    shutil.rmtree(work, ignore_errors=True)
+
+
 def main() -> None:
     fam = "all"
     if "--family" in sys.argv:
@@ -332,6 +450,8 @@ def main() -> None:
         probe_dbscan(spark)
     if fam in ("triangle", "all"):
         probe_triangle(spark)
+    if fam in ("lifecycle", "all"):
+        probe_lifecycle(spark)
 
 
 if __name__ == "__main__":

@@ -146,6 +146,10 @@ FAMILIES_W4 = [
     "q_incremental_near_dedup_verified",
     "q_minhash_jaccard_diag",
     "q_intra_doc_dedup",
+    # r9 closed-form multimodal twins: the oracle's LCG/gradient integer
+    # models are exact per doc_id, so they hold on ANY sampled id set
+    "q_phash_dedup_verified",
+    "q_audio_fp_dedup_verified",
     "q_bm25_prf",
     "q_hybrid_rrf",
     "q_lm_bigram_score",

@@ -769,3 +769,147 @@ def test_sfz_stream_stream_outer(spark, stream_fuzz_root, seed):
             assert (li, ri, l_ts, r_ts) in got_matches, (
                 f"seed={seed}: same-batch live pair ({li},{ri}) not matched"
             )
+
+
+# ---------------------------------------------------------------------------
+# Wave 2: the STATELESS serving operators (ANN/retrieval at ingest) under
+# adversarial corpora — zero vectors, exact-duplicate and near-duplicate
+# vectors, NULL labels, unicode/empty/duplicate documents. Twins apply
+# the SAME operator body to the batch read of the same parquet, so any
+# divergence is streaming plumbing (file source, Arrow batching,
+# microbatch splits), the axis the fixture tests never vary.
+# ---------------------------------------------------------------------------
+
+_spec2 = importlib.util.spec_from_file_location(
+    "fuzz_diff_gen", "/root/repo/tests/test_fuzz_differential.py"
+)
+_gen = importlib.util.module_from_spec(_spec2)
+_spec2.loader.exec_module(_gen)
+
+
+def _stream_dir(root: Path, name: str, seed: int, table) -> str:
+    """An arrow table split into 3 mtime-ordered parquet files."""
+    d = root / f"{name}_seed{seed}"
+    if d.exists():
+        return str(d)
+    d.mkdir(parents=True)
+    n = table.num_rows
+    cuts = [0, max(1, n // 3), max(2, 2 * n // 3), n]
+    for i in range(3):
+        pq.write_table(table.slice(cuts[i], cuts[i + 1] - cuts[i]), d / f"p{i}.parquet")
+        os.utime(d / f"p{i}.parquet", (1_700_000_000 + i * 10,) * 2)
+    return str(d)
+
+
+def _emb_stream(spark, root: Path, seed: int):
+    import random as _random
+
+    from cloudtrace_exporter_spark.schemas import FIXTURE_SCHEMAS
+
+    rng = _random.Random(seed * 424_243 + 9)
+    tbl = _gen._gen_embeddings(rng, 9 if seed == 0 else rng.randint(20, 80),
+                               zero_heavy=(seed == 0))
+    d = _stream_dir(root, "emb", seed, tbl)
+    batch = spark.read.schema(FIXTURE_SCHEMAS["embeddings"]).parquet(d)
+    stream = (
+        spark.readStream.schema(FIXTURE_SCHEMAS["embeddings"])
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+    )
+    return batch, stream
+
+
+def _doc_stream(spark, root: Path, seed: int):
+    import random as _random
+
+    from cloudtrace_exporter_spark.schemas import FIXTURE_SCHEMAS
+
+    rng = _random.Random(seed * 424_243 + 9)
+    tbl = _gen._gen_documents(rng, 3 if seed == 0 else rng.randint(20, 90))
+    d = _stream_dir(root, "docs", seed, tbl)
+    batch = spark.read.schema(FIXTURE_SCHEMAS["documents"]).parquet(d)
+    stream = (
+        spark.readStream.schema(FIXTURE_SCHEMAS["documents"])
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+    )
+    return batch, stream
+
+
+def _rowset(df, cols):
+    return {tuple(r[c] for c in cols) for r in df.select(*cols).collect()}
+
+
+@pytest.mark.parametrize("seed", range(SEEDS_W6))
+def test_sfz2_ivf_assign_and_pq_serving(spark, stream_fuzz_root, seed):
+    """IVF cell assignment + PQ encode + ADC scoring at ingest over
+    zero/duplicate/degenerate vectors: streamed results must equal the
+    same narrow maps on the batch read (and the index/codebook builds
+    must TOLERATE the degenerate corpora — empty cells, duplicate
+    centroids — without crashing)."""
+    from cloudtrace_exporter_spark.operators import similarity
+    from cloudtrace_exporter_spark.streaming.pipeline import (
+        stream_adc_scores,
+        stream_assign_cells,
+        stream_pq_encode,
+    )
+
+    batch, stream = _emb_stream(spark, stream_fuzz_root, seed)
+    assigned, centroids = similarity.build_ivf_index(batch, n_centroids=4)
+    cent_rows = centroids.collect()
+    out = _drain(spark, stream_assign_cells(stream, cent_rows))
+    assert _rowset(out, ["id", "cell"]) == _rowset(
+        stream_assign_cells(batch, cent_rows), ["id", "cell"]
+    )
+    books = similarity.pq_train(batch, m=8, k=4, lloyd_iters=1)
+    out_codes = _drain(spark, stream_pq_encode(stream, books))
+    s_codes = {(r.id, tuple(r.codes)) for r in out_codes.collect()}
+    b_codes = {(r.id, tuple(r.codes)) for r in stream_pq_encode(batch, books).collect()}
+    assert s_codes == b_codes
+    qrows = [
+        (r.vec_id, list(r.embedding))
+        for r in batch.orderBy("vec_id").limit(2).collect()
+    ]
+    out_adc = _drain(spark, stream_adc_scores(stream, books, qrows))
+    cols = ["query_id", "corpus_id", "approx_dist"]
+    assert _rowset(out_adc, cols) == _rowset(
+        stream_adc_scores(batch, books, qrows), cols
+    )
+
+
+@pytest.mark.parametrize("seed", range(SEEDS_W6))
+def test_sfz2_lsh_probe_and_percolators(spark, stream_fuzz_root, seed):
+    """Near-dup screening + BM25/keyword percolation at ingest over
+    unicode/empty/duplicate documents: streamed (id, match, score) sets
+    must equal the batch twins exactly."""
+    from cloudtrace_exporter_spark.operators import dedup as dedup_ops
+    from cloudtrace_exporter_spark.operators import text as text_ops
+    from cloudtrace_exporter_spark.streaming.pipeline import (
+        stream_lsh_dedup_probe,
+        stream_score_bm25,
+    )
+
+    batch, stream = _doc_stream(spark, stream_fuzz_root, seed)
+    index = dedup_ops.minhash_banded_index(
+        batch.filter(F.col("doc_id") % 2 == 0), portable=True
+    ).cache()
+    index.count()
+    out = _drain(spark, stream_lsh_dedup_probe(stream, index, threshold=0.3))
+    cols = ["new_id", "corpus_id", "est_jaccard"]
+    assert _rowset(out, cols) == _rowset(
+        stream_lsh_dedup_probe(batch, index, threshold=0.3), cols
+    )
+    index.unpersist()
+
+    queries = [(0, "the cat"), (1, "αλφα 再见"), (2, "")]
+    terms = sorted({t for _, q in queries for t in q.split(" ") if t})
+    stats = text_ops.bm25_corpus_stats(batch, terms)
+    out_bm = _drain(spark, stream_score_bm25(stream, queries, stats))
+    cols = ["doc_id", "query_id", "score"]
+    assert _rowset(out_bm, cols) == _rowset(
+        stream_score_bm25(batch, queries, stats), cols
+    )
+
+    out_kw = _drain(spark, text_ops.keyword_percolate(stream))
+    cols = ["doc_id", "rule_id"]
+    assert _rowset(out_kw, cols) == _rowset(text_ops.keyword_percolate(batch), cols)

@@ -212,6 +212,197 @@ def run_pipeline_file_source(spark, pages_dir: str, work: str, files_per_trigger
     return wall, counters, batches
 
 
+def probe_sketch_state(spark, scales=(1, 10)) -> None:
+    """Round-9 probe: the three STATE-STORE SKETCH operators (KMV
+    distinct, Misra-Gries heavy hitters, histogram quantiles) under a
+    growing-cardinality stream — 1M and 10M events, 10 mtime-ordered
+    files (one micro-batch each, maxFilesPerTrigger=1), the distinct-key
+    universe growing 10x across batches while per-group state stays
+    O(k)/O(capacity)/O(bins). Assertions (a probe that merely finishes
+    cannot pass):
+
+    - final KMV sketch per group == the order-free Python model over the
+      full corpus (k smallest md5 hashes of the distinct keys);
+    - final Misra-Gries counters == a Python replay of the SAME batch
+      sequence (MG is batching-dependent; file order is pinned);
+    - final histogram quantiles == the order-free Python histogram;
+    - per-batch trigger wall stays FLAT: the max batch wall is bounded
+      by 3x the median (state growth would show as a rising tail).
+    """
+    import hashlib
+    import math
+
+    from pyspark.sql import types as T
+
+    from cloudtrace_exporter_spark.schemas import EVENTS_SCHEMA
+    from cloudtrace_exporter_spark.streaming.pipeline import (
+        stateful_heavy_hitters,
+        stateful_histogram_quantiles,
+        stateful_kmv_distinct,
+    )
+
+    types = ["a", "b", "c", "d", "e"]
+    for copies in scales:
+        n = 1_000_000 * copies
+        n_files = 10
+        per = n // n_files
+        root = tempfile.mkdtemp(prefix=f"sketch_state_{copies}x_")
+        src = os.path.join(root, "events")
+        os.makedirs(src)
+        # deterministic synthesized events: user pool grows with the
+        # batch index (new keys keep arriving); values are multiples of
+        # 0.25 in [-1000, 1000] (80 histogram bins at width 25); one
+        # hot user (id 7) owns ~30% of rows (MG must surface it)
+        base = spark.range(per)
+        for i in range(n_files):
+            df = base.select(
+                (F.col("id") + i * per).alias("event_id"),
+                F.to_timestamp(F.lit("2024-03-01 00:00:00")).alias("ts"),
+                F.when(F.pmod(F.xxhash64("id", F.lit(i)), F.lit(10)) < 3, F.lit(7))
+                .otherwise(
+                    F.pmod(F.xxhash64("id", F.lit(i), F.lit(1)), F.lit(100_000 * (i + 1)))
+                )
+                .alias("user_id"),
+                F.element_at(
+                    F.array(*[F.lit(t) for t in types]),
+                    (F.pmod(F.xxhash64("id", F.lit(i), F.lit(2)), F.lit(5)) + 1).cast("int"),
+                ).alias("event_type"),
+                (F.pmod(F.xxhash64("id", F.lit(i), F.lit(3)), F.lit(8001)) / 4.0
+                 - 1000.0).alias("value"),
+                F.lit(None).cast("string").alias("props"),
+            )
+            p = os.path.join(src, f"f{i:02d}.parquet")
+            df.coalesce(1).write.mode("overwrite").parquet(p + ".tmp")
+            # flatten the part file so mtime order is per-batch-file
+            part = next(
+                f for f in os.listdir(p + ".tmp") if f.endswith(".parquet")
+            )
+            os.rename(os.path.join(p + ".tmp", part), p)
+            shutil.rmtree(p + ".tmp")
+            os.utime(p, (1_700_000_000 + i * 10,) * 2)
+
+        def run(op, name, mode="update"):
+            stream = (
+                spark.readStream.schema(EVENTS_SCHEMA)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(src)
+            )
+            captured = []
+
+            def sink(df, bid, captured=captured):
+                captured.append((bid, df.collect()))
+
+            t0 = time.time()
+            q = (
+                op(stream).writeStream.foreachBatch(sink)
+                .outputMode(mode).trigger(availableNow=True).start()
+            )
+            q.awaitTermination()
+            wall = time.time() - t0
+            prog = [p for p in q.recentProgress if p["numInputRows"] > 0]
+            walls = sorted(p["batchDuration"] for p in prog)
+            med, mx = walls[len(walls) // 2], walls[-1]
+            state_rows = max(
+                (so["numRowsTotal"] for p in prog for so in p["stateOperators"]),
+                default=0,
+            )
+            print(
+                f"  {copies}x {name}: wall={wall:5.1f} s batches={len(prog)} "
+                f"per-batch med/max={med}/{mx} ms state_rows={state_rows}"
+            )
+            assert mx <= 3 * med + 2000, f"{name}: rising batch tail {walls}"
+            assert state_rows <= 5, f"{name}: state rows exceed group count"
+            final = {}
+            for _, rows in sorted(captured):
+                for r in rows:
+                    final.setdefault(r.grp, [])
+            # keep LAST emission(s) per group of the LAST batch they appear
+            last = {}
+            for bid, rows in sorted(captured):
+                per_grp = {}
+                for r in rows:
+                    per_grp.setdefault(r.grp, []).append(r)
+                last.update(per_grp)
+            return last
+
+        # Python models from the same deterministic generator
+        rows_by_file = []
+        for i in range(n_files):
+            pdf = spark.read.parquet(os.path.join(src, f"f{i:02d}.parquet")).select(
+                "user_id", "event_type", "value"
+            ).collect()
+            rows_by_file.append(pdf)
+
+        last = run(lambda s: stateful_kmv_distinct(s, k=8), "kmv")
+        for g in types:
+            hs = {
+                int(hashlib.md5(str(int(r.user_id)).encode()).hexdigest()[:12], 16)
+                for chunk in rows_by_file for r in chunk if r.event_type == g
+            }
+            best = sorted(hs)[:8]
+            want_n = len(best)
+            want_est = float(want_n) if want_n < 8 else round(7 * float(1 << 48) / best[-1], 1)
+            got = last[g][0]
+            assert (got.n_sketch, got.kmv_estimate) == (want_n, want_est), g
+
+        last = run(lambda s: stateful_heavy_hitters(s, capacity=8), "heavy_hitters")
+        model = {}
+        for chunk in rows_by_file:
+            bc = {}
+            for r in chunk:
+                bc.setdefault(r.event_type, {})
+                bc[r.event_type][r.user_id] = bc[r.event_type].get(r.user_id, 0) + 1
+            for g, batch in bc.items():
+                counters = model.setdefault(g, {})
+                for bk in sorted(batch):
+                    w = batch[bk]
+                    if bk in counters:
+                        counters[bk] += w
+                        continue
+                    if len(counters) < 8:
+                        counters[bk] = w
+                        continue
+                    while w > 0:
+                        m = min(counters.values())
+                        d = min(w, m)
+                        w -= d
+                        counters = {k2: c2 - d for k2, c2 in counters.items() if c2 - d > 0}
+                        if len(counters) < 8 and w > 0:
+                            counters[bk] = w
+                            w = 0
+                model[g] = counters
+        for g in types:
+            got = {r.key: r.est_count for r in last[g]}
+            assert got == model[g], f"MG {g}: {got} != {model[g]}"
+            assert 7 in got, "the 30% hot user must survive every spill"
+
+        last = run(
+            lambda s: stateful_histogram_quantiles(s, bin_width=25.0), "histogram"
+        )
+        for g in types:
+            hist = {}
+            for chunk in rows_by_file:
+                for r in chunk:
+                    if r.event_type == g and r.value is not None:
+                        b = math.floor(r.value / 25.0)
+                        hist[b] = hist.get(b, 0) + 1
+            items = sorted(hist.items())
+            tot = sum(hist.values())
+            want = []
+            for qq in (0.5, 0.95):
+                target = max(1, math.ceil(qq * tot))
+                acc = 0
+                for b, c in items:
+                    acc += c
+                    if acc >= target:
+                        want.append(b * 25.0)
+                        break
+            got = last[g][0]
+            assert (got.n, got.p50, got.p95) == (tot, want[0], want[1]), g
+        shutil.rmtree(root, ignore_errors=True)
+        print(f"{copies}x SKETCH-STATE: all three operators exact at {n:,} rows")
+
+
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     scales = [1, 10]
@@ -223,6 +414,9 @@ def main() -> None:
     from cloudtrace_exporter_spark.session import get_spark
 
     spark = get_spark("streaming_probe")
+    if source == "sketch":
+        probe_sketch_state(spark, scales=tuple(scales))
+        return
     if source == "file":
         for copies in scales:
             root = tempfile.mkdtemp(prefix=f"stream_probe_file_{copies}x_")

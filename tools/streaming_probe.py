@@ -403,6 +403,116 @@ def probe_sketch_state(spark, scales=(1, 10)) -> None:
         print(f"{copies}x SKETCH-STATE: all three operators exact at {n:,} rows")
 
 
+def probe_kill_resume(spark) -> None:
+    """Round-9 probe: EXACTLY-ONCE across a kill -9 (A4+A14's strongest
+    form). A child process runs the ingest pipeline — file source (one
+    file per micro-batch), dedup_within_watermark, parquet sink with a
+    checkpoint — and is SIGKILL'd after a few committed batches; the
+    parent resumes the SAME checkpoint/output in-process to completion.
+    Asserts from the sink's transaction log: every distinct input key
+    present EXACTLY once — the killed batch neither lost rows nor
+    double-wrote them, and duplicates straddling the kill still
+    collapsed. (The graceful-stop variant lives in test_streaming; this
+    one kills the JVM mid-flight, the failure a real cluster actually
+    has.)"""
+    import json
+    import subprocess
+
+    from pyspark.sql import functions as F
+
+    n_files, per = 12, 50_000
+    root = tempfile.mkdtemp(prefix="kill_resume_")
+    src = os.path.join(root, "events")
+    os.makedirs(src)
+    base = spark.range(per)
+    for i in range(n_files):
+        ids = base.select((F.col("id") + i * per).alias("event_id"))
+        # ~10% duplicates of the PREVIOUS file's keys (cross-batch and,
+        # around the kill point, cross-PROCESS redelivery)
+        if i:
+            dup = spark.range(per // 10).select(
+                (F.col("id") + (i - 1) * per).alias("event_id")
+            )
+            ids = ids.unionByName(dup)
+        df = ids.select(
+            "event_id",
+            F.to_timestamp(F.lit("2024-03-01 00:00:00")).alias("ts"),
+            F.lit(1).cast("long").alias("user_id"),
+            F.lit("a").alias("event_type"),
+            F.lit(0.25).alias("value"),
+            F.lit(None).cast("string").alias("props"),
+        )
+        p = os.path.join(src, f"f{i:02d}.parquet")
+        df.coalesce(1).write.mode("overwrite").parquet(p + ".tmp")
+        part = next(f for f in os.listdir(p + ".tmp") if f.endswith(".parquet"))
+        os.rename(os.path.join(p + ".tmp", part), p)
+        shutil.rmtree(p + ".tmp")
+        os.utime(p, (1_700_000_000 + i * 10,) * 2)
+    out = os.path.join(root, "sink")
+    ckpt = os.path.join(root, "ckpt")
+    pipeline = f"""
+import sys
+sys.path.insert(0, "/root/repo")
+from cloudtrace_exporter_spark.session import get_spark
+from cloudtrace_exporter_spark.streaming import read_event_stream, dedup_within_watermark
+spark = get_spark("kill_victim")
+stream = read_event_stream(spark, {src!r}, max_files_per_trigger=1)
+q = (dedup_within_watermark(stream, delay="3650 days").select("event_id")
+     .writeStream.format("parquet").option("path", {out!r})
+     .option("checkpointLocation", {ckpt!r})
+     .trigger(availableNow=True).start())
+q.awaitTermination()
+"""
+    proc = subprocess.Popen(
+        [sys.executable, "-c", pipeline],
+        stdout=subprocess.DEVNULL,
+        stderr=subprocess.DEVNULL,
+    )
+    commits = os.path.join(ckpt, "commits")
+    killed_at = None
+    deadline = time.time() + 600
+    while time.time() < deadline and proc.poll() is None:
+        n_commits = len(
+            [f for f in os.listdir(commits) if not f.startswith(".")]
+        ) if os.path.isdir(commits) else 0
+        if n_commits >= 3:
+            proc.kill()
+            killed_at = n_commits
+            break
+        time.sleep(0.2)
+    proc.wait()
+    assert killed_at is not None, "child drained the stream before the kill window"
+    # resume the same checkpoint in-process
+    from cloudtrace_exporter_spark.streaming import (
+        dedup_within_watermark,
+        read_event_stream,
+    )
+
+    stream = read_event_stream(spark, src, max_files_per_trigger=1)
+    q = (
+        dedup_within_watermark(stream, delay="3650 days")
+        .select("event_id")
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    # read through the sink's transaction log (orphan part files from
+    # the killed batch are invisible to it)
+    sunk = spark.read.parquet(out)
+    n = sunk.count()
+    nd = sunk.distinct().count()
+    want = n_files * per
+    print(
+        f"KILL-RESUME: killed after {killed_at} commits; sink rows={n:,} "
+        f"distinct={nd:,} expected={want:,}"
+    )
+    assert n == nd == want, "exactly-once violated across the kill"
+    shutil.rmtree(root, ignore_errors=True)
+
+
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     scales = [1, 10]
@@ -416,6 +526,9 @@ def main() -> None:
     spark = get_spark("streaming_probe")
     if source == "sketch":
         probe_sketch_state(spark, scales=tuple(scales))
+        return
+    if source == "killresume":
+        probe_kill_resume(spark)
         return
     if source == "file":
         for copies in scales:

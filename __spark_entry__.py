@@ -2372,6 +2372,45 @@ def q_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_multimodal_decode_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B36 image decode, ORACLE-EXACT twin of q_multimodal_decode AND
+    q_multimodal_png (r9): decode REAL BMP and PNG payloads (the PNG
+    side exercises zlib inflate + all five scanline filters) with the
+    pure-Python decoders, then recover the EXACT integer channel sums
+    and luma-histogram counts from the rounded stats (mean·n_pixels
+    round-trips exactly: the rounding error bound 5e-7·256 ≪ 1/2) — so
+    DuckDB can replay the whole thing from the gradient fixture's
+    closed form (integer pixel formulas; the luma bin expression
+    0.299r+0.587g+0.114b is the identical IEEE sum on both engines).
+    Closed-form-vs-decode agreement is pinned per doc_id over all 2000
+    ids × both formats (test_llm_ops)."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 2000)
+    bmp = multimodal.decode_real(multimodal.synthesize_bmp_payload(docs))
+    png = multimodal.decode_real(multimodal.synthesize_png_payload(docs))
+
+    def stats(df: DataFrame, fmt: str) -> DataFrame:
+        n = F.col("n_pixels")
+        return df.select(
+            "doc_id",
+            F.lit(fmt).alias("fmt"),
+            F.col("width").cast("long").alias("width"),
+            F.col("height").cast("long").alias("height"),
+            "n_pixels",
+            F.round(F.col("mean_r") * n).cast("long").alias("sum_r"),
+            F.round(F.col("mean_g") * n).cast("long").alias("sum_g"),
+            F.round(F.col("mean_b") * n).cast("long").alias("sum_b"),
+            F.array_join(
+                F.transform(
+                    "gray_hist",
+                    lambda x: F.round(x * F.col("n_pixels")).cast("long").cast("string"),
+                ),
+                ",",
+            ).alias("hist_counts"),
+        )
+
+    return stats(bmp, "bmp").unionByName(stats(png, "png")).orderBy("doc_id", "fmt")
+
+
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B36 stubbed decode via mapInPandas (Arrow-batched; rows-only —
     features are Python-derived)."""
@@ -4661,6 +4700,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ---- round-9 additions (never sampled) ----
         "q_phash_dedup_verified": q_phash_dedup_verified,
         "q_audio_fp_dedup_verified": q_audio_fp_dedup_verified,
+        "q_multimodal_decode_verified": q_multimodal_decode_verified,
         # ---- round-8 additions ----
         "q_pq_rerank_verified": q_pq_rerank_verified,
         # rows-only by design: Python-side JPEG decode; stats_agree column
@@ -6035,6 +6075,56 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(CASE WHEN ib - ia = 1000000 THEN 1 ELSE 0 END) AS BIGINT)
                      AS n_planted_recovered
             FROM cand GROUP BY hamming ORDER BY hamming
+        """,
+        # BMP/PNG decode stats from the gradient's closed form: integer
+        # channel sums + luma-histogram counts (the bin expression is the
+        # identical IEEE sum both engines); zero bins materialized via a
+        # bins×ids spine so every doc emits all 8 counts
+        "q_multimodal_decode_verified": """
+            WITH ids AS (SELECT doc_id FROM documents WHERE doc_id < 2000),
+            px AS (
+              SELECT doc_id,
+                     (7 * x + doc_id) % 256 AS r,
+                     (11 * y + 3 * doc_id) % 256 AS g,
+                     (x + y + 5 * doc_id) % 256 AS b
+              FROM ids, range(0, 16) tx(x), range(0, 16) ty(y)
+            ),
+            st AS (
+              SELECT doc_id, CAST(SUM(r) AS BIGINT) AS sum_r,
+                     CAST(SUM(g) AS BIGINT) AS sum_g,
+                     CAST(SUM(b) AS BIGINT) AS sum_b
+              FROM px GROUP BY doc_id
+            ),
+            hb AS (
+              -- literals MUST be DOUBLE: DuckDB parses 0.299 as exact
+              -- DECIMAL, and at r=g=b the exact luma is an integer while
+              -- the IEEE sum (what numpy computes) lands one ulp below
+              -- the bin edge — found by this oracle's first run, doc 128
+              SELECT doc_id,
+                     LEAST(7, CAST(FLOOR((CAST(0.299 AS DOUBLE) * r
+                                          + CAST(0.587 AS DOUBLE) * g
+                                          + CAST(0.114 AS DOUBLE) * b) / 32)
+                                   AS INTEGER)) AS bin
+              FROM px
+            ),
+            hc AS (SELECT doc_id, bin, count(*) AS c FROM hb GROUP BY doc_id, bin),
+            hist AS (
+              SELECT i.doc_id,
+                     string_agg(CAST(COALESCE(hc.c, 0) AS VARCHAR), ','
+                                ORDER BY bb.bin) AS hist_counts
+              FROM ids i
+              CROSS JOIN range(0, 8) bb(bin)
+              LEFT JOIN hc ON hc.doc_id = i.doc_id AND hc.bin = bb.bin
+              GROUP BY i.doc_id
+            )
+            SELECT s.doc_id, f.fmt,
+                   CAST(16 AS BIGINT) AS width, CAST(16 AS BIGINT) AS height,
+                   CAST(256 AS BIGINT) AS n_pixels,
+                   s.sum_r, s.sum_g, s.sum_b, h.hist_counts
+            FROM st s
+            JOIN hist h USING (doc_id)
+            CROSS JOIN (VALUES ('bmp'), ('png')) f(fmt)
+            ORDER BY s.doc_id, f.fmt
         """,
         # energy-delta fingerprint from the closed form of the envelope
         # fixture: frame energies are amp_i²·S with one positive S per

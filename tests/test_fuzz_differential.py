@@ -150,6 +150,7 @@ FAMILIES_W4 = [
     # models are exact per doc_id, so they hold on ANY sampled id set
     "q_phash_dedup_verified",
     "q_audio_fp_dedup_verified",
+    "q_multimodal_decode_verified",
     "q_bm25_prf",
     "q_hybrid_rrf",
     "q_lm_bigram_score",

@@ -614,6 +614,47 @@ def test_phash_closed_form_pins_float_path():
     assert min_margin >= 1000, min_margin
 
 
+def test_image_decode_closed_form_pins_stats():
+    """The q_multimodal_decode_verified oracle replays BMP/PNG decode
+    stats from the gradient's closed form (integer channel sums +
+    IEEE-luma histogram counts, recovered exactly from the rounded
+    means via mean·n_pixels). This pins closed form == real decode for
+    every doc_id the query can see, BOTH formats — including the PNG
+    path through zlib and all five scanline filters."""
+    import numpy as np
+
+    def real(k, fmt):
+        yy, xx = np.mgrid[0:16, 0:16]
+        rgb = np.stack(
+            [(xx * 7 + k) % 256, (yy * 11 + 3 * k) % 256, (xx + yy + 5 * k) % 256],
+            axis=-1,
+        ).astype(np.uint8)
+        buf = (
+            multimodal.encode_bmp(rgb)
+            if fmt == "bmp"
+            else multimodal.encode_png(rgb, filter_mode="cycle")
+        )
+        parsed = multimodal._parse_bmp(buf) if fmt == "bmp" else multimodal._parse_png(buf)
+        w, h, dec = parsed
+        return multimodal._pixel_stats(k, fmt, w, h, dec, 8)
+
+    for k in list(range(300)) + [128, 512, 1000, 1999]:
+        sums = [0, 0, 0]
+        hist = [0] * 8
+        for y in range(16):
+            for x in range(16):
+                r, g, b = (7 * x + k) % 256, (11 * y + 3 * k) % 256, (x + y + 5 * k) % 256
+                sums[0] += r
+                sums[1] += g
+                sums[2] += b
+                hist[min(7, int((0.299 * r + 0.587 * g + 0.114 * b) // 32))] += 1
+        for fmt in ("bmp", "png"):
+            _d, _f, w, h, n, mr, mg, mb, hr = real(k, fmt)
+            assert (w, h, n) == (16, 16, 256)
+            assert [round(m * 256) for m in (mr, mg, mb)] == sums, (k, fmt)
+            assert [round(x * 256) for x in hr] == hist, (k, fmt)
+
+
 def test_audio_fp_closed_form_pins_quantized_path():
     """The q_audio_fp_dedup_verified oracle reduces the fingerprint to
     amp(i+1) > amp(i) on raw LCG amplitudes. This pins that reduction

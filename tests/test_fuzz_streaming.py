@@ -913,3 +913,68 @@ def test_sfz2_lsh_probe_and_percolators(spark, stream_fuzz_root, seed):
     out_kw = _drain(spark, text_ops.keyword_percolate(stream))
     cols = ["doc_id", "rule_id"]
     assert _rowset(out_kw, cols) == _rowset(text_ops.keyword_percolate(batch), cols)
+
+
+@pytest.mark.parametrize("seed", range(SEEDS_W6))
+def test_sfz_dedup_finite_watermark(spark, stream_fuzz_root, seed):
+    """A4+A14 under a FINITE watermark — the reference's actual
+    semantics (state expires; a redelivery after expiry re-emits; a
+    too-late first delivery is dropped). Bounded model on the
+    two-watermark protocol, exact ties ambiguous:
+
+    - a key with any delivery STRICTLY above its batch's late watermark
+      is emitted at least once; a key whose every delivery is strictly
+      below is never emitted;
+    - emissions per key never exceed deliveries;
+    - two deliveries with the dedup state PROVABLY live in between
+      (every eviction watermark through the second arrival strictly
+      below ts + delay) collapse to at most one emission.
+    """
+    from collections import Counter
+
+    d, files = _gen_stream_corpus(seed, stream_fuzz_root)
+    stream = read_event_stream(spark, d, max_files_per_trigger=1)
+    batches = _drain_batches(
+        dedup_within_watermark(stream, delay="7 minutes").select("event_id", "ts"),
+        mode="append",
+    )
+    emitted = Counter()
+    for _, rows in batches:
+        for r in rows:
+            emitted[r.event_id] += 1
+    w_late, _ = _late_watermarks(files)
+    # eviction watermark IN FORCE at batch b (data through b-1)
+    w_evict = []
+    cur = float("-inf")
+    for chunk in files:
+        w_evict.append(cur - _DELAY_S if cur > float("-inf") else float("-inf"))
+        for r in chunk:
+            cur = max(cur, r["ts"].timestamp())
+    deliveries: dict = {}
+    for b, chunk in enumerate(files):
+        for r in chunk:
+            deliveries.setdefault(r["event_id"], []).append((b, r["ts"].timestamp()))
+    for key, dels in deliveries.items():
+        n_emit = emitted.get(key, 0)
+        assert n_emit <= len(dels), f"seed={seed}: key {key} over-emitted"
+        live = [1 for b, ts in dels if ts > w_late[b]]
+        dead = [1 for b, ts in dels if ts < w_late[b]]
+        if live:
+            assert n_emit >= 1, f"seed={seed}: key {key} never emitted"
+        elif len(dead) == len(dels):
+            assert n_emit == 0, (
+                f"seed={seed}: key {key} emitted though every delivery was late"
+            )
+        # collapse: any two deliveries bridged by provably-live state
+        # must not both emit — count an upper bound on emissions as the
+        # number of state-expiry-separated delivery groups
+        dels_sorted = sorted(dels)
+        groups = 1
+        for (b1, ts1), (b2, ts2) in zip(dels_sorted, dels_sorted[1:]):
+            # state for ts1's key is live through b2 iff no eviction
+            # watermark up to b2 strictly passed ts1 + delay
+            if any(w_evict[bb] > ts1 + _DELAY_S for bb in range(b1, b2 + 1)):
+                groups += 1
+        assert n_emit <= max(groups, 1) + sum(
+            1 for b, ts in dels if ts == w_late[b]
+        ), f"seed={seed}: key {key} emitted {n_emit}x with {groups} live groups"

@@ -854,3 +854,48 @@ def test_assortativity_degree_joins_no_cartesian(plans):
     assert "CartesianProduct" not in p
     assert p.count("BroadcastNestedLoopJoin") <= 1
     assert "BroadcastHashJoin" in p or "SortMergeJoin" in p
+
+
+def test_plan_snapshot_no_regression(spark):
+    """Plan-fingerprint regression net (r9): every headline query's
+    physical plan is held to its committed fingerprint
+    (tests/plan_snapshot.json) — a change that silently LOSES a
+    broadcast, ADDS a data shuffle, introduces a cartesian product, or
+    degrades a broadcast join to sort-merge fails here, not in the next
+    round's bench. Regenerate DELIBERATELY after an intentional plan
+    change: python tools/plan_audit.py --snapshot."""
+    import importlib.util
+    import json
+
+    spec = importlib.util.spec_from_file_location(
+        "plan_audit", "/root/repo/tools/plan_audit.py"
+    )
+    pa_mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(pa_mod)
+    with open("/root/repo/tests/plan_snapshot.json") as f:
+        snap = json.load(f)
+    # pinned to the snapshot's OWN scale factor: size-based broadcast
+    # decisions are part of the fingerprint, so comparing across SFs
+    # would conflate data-size effects with plan regressions
+    got = pa_mod.snapshot_fingerprints(spark, sorted(snap), "/root/testdata/sf0.01")
+    problems = []
+    for name, want in snap.items():
+        g = got[name]
+        if g["cart"] > 0:
+            problems.append(f"{name}: cartesian product appeared")
+        if g["bnlj"] > want["bnlj"]:
+            problems.append(f"{name}: BNLJ {want['bnlj']} -> {g['bnlj']}")
+        if g["exchanges"] > want["exchanges"]:
+            problems.append(
+                f"{name}: data shuffles {want['exchanges']} -> {g['exchanges']}"
+            )
+        if g["broadcasts"] < want["broadcasts"]:
+            problems.append(
+                f"{name}: broadcasts {want['broadcasts']} -> {g['broadcasts']} (lost)"
+            )
+        if g["smj"] + g["shj"] > want["smj"] + want["shj"]:
+            problems.append(
+                f"{name}: shuffle-joins {want['smj'] + want['shj']} -> "
+                f"{g['smj'] + g['shj']} (broadcast degraded?)"
+            )
+    assert not problems, "plan regressions:\n" + "\n".join(problems)

@@ -82,7 +82,50 @@ def audit(plan: str) -> dict:
     }
 
 
+def snapshot_fingerprints(spark, names: list[str], sf_dir: str) -> dict:
+    """Per-query PLAN FINGERPRINT (join-strategy counts, data-shuffle
+    count, broadcast count) for the regression snapshot: a future change
+    that silently loses a broadcast, adds a shuffle, or introduces a
+    cartesian product diffs against this. Regenerate deliberately with
+    ``python tools/plan_audit.py --snapshot`` after an INTENTIONAL plan
+    change."""
+    import __spark_entry__ as entry_mod
+
+    qs = entry_mod.queries()
+    out = {}
+    for name in names:
+        plan, _ = (
+            qs[name](spark, sf_dir)._jdf.queryExecution().executedPlan().toString(),
+            None,
+        )
+        stripped, _n = _strip_cached_subplans(plan)
+        out[name] = {
+            "cart": stripped.count("CartesianProduct"),
+            "bnlj": stripped.count("BroadcastNestedLoopJoin"),
+            "smj": stripped.count("SortMergeJoin"),
+            "shj": stripped.count("ShuffledHashJoin"),
+            "bhj": stripped.count("BroadcastHashJoin"),
+            "exchanges": audit(plan)["exchanges"],
+            "broadcasts": stripped.count("BroadcastExchange"),
+        }
+    return out
+
+
 def main() -> None:
+    if "--snapshot" in sys.argv:
+        import json
+
+        import bench
+        from cloudtrace_exporter_spark.session import get_spark
+
+        spark = get_spark("plan-audit")
+        sf_dir = "/root/testdata/sf0.01"
+        snap = snapshot_fingerprints(spark, bench.HEADLINE, sf_dir)
+        path = "/root/repo/tests/plan_snapshot.json"
+        with open(path, "w") as f:
+            json.dump(snap, f, indent=1, sort_keys=True)
+        print(f"wrote {len(snap)} fingerprints to {path}")
+        return
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
 

@@ -4688,6 +4688,117 @@ def q_purged_folds(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 
+def q_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unsupervised keyword extraction, ORACLE-EXACT: TextRank
+    (Mihalcea & Tarau 2004) over the corpus word co-occurrence graph —
+    adjacent length-≥4 tokens per document, symmetrized distinct edges,
+    INTEGER-scaled PageRank (graph.pagerank_scaled, the
+    q_pagerank_verified machinery pointed at a text graph), top 50 by
+    (rank desc, word asc). The graph-centrality complement to the
+    frequency-based q_tfidf_top_terms."""
+    return text.textrank_keywords(load_table(spark, sf_dir, "documents"))
+
+
+def _textrank_oracle_sql(
+    *, n_iter: int = 10, scale: int = 10**12, min_len: int = 4, top_k: int = 50
+) -> str:
+    """DuckDB replay of text.textrank_keywords: same tokenize→filter→
+    adjacency→symmetrize edge build, then the integer-scaled PageRank
+    trajectory as an unrolled (contribs, ranks) CTE pair per round —
+    the _pagerank_scaled_oracle_sql shape with the events graph swapped
+    for the word co-occurrence graph."""
+    rounds = []
+    for r in range(1, n_iter + 1):
+        rounds.append(f""",
+        c{r} AS (
+          SELECT e.dst AS id, CAST(sum(r.rank // od.out_deg) AS BIGINT) AS s
+          FROM e JOIN od USING (src) JOIN r{r - 1} r ON r.id = e.src
+          GROUP BY e.dst
+        ),
+        r{r} AS (
+          SELECT nodes.id,
+                 CAST((SELECT tp FROM consts)
+                      + (85 * COALESCE(c{r}.s, 0)) // 100 AS BIGINT) AS rank
+          FROM nodes LEFT JOIN c{r} ON nodes.id = c{r}.id
+        )""")
+    return f"""
+        WITH tok AS (
+          SELECT doc_id, list_filter({_TOKENS_SQL}, w -> len(w) >= {min_len}) AS t
+          FROM documents
+        ),
+        tokpos AS (
+          SELECT doc_id, generate_subscripts(t, 1) AS pos, unnest(t) AS w FROM tok
+        ),
+        adj AS (
+          SELECT prev AS src, w AS dst FROM (
+            SELECT doc_id, w,
+                   lag(w) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+            FROM tokpos
+          ) WHERE prev IS NOT NULL AND prev <> w
+        ),
+        e AS (
+          SELECT DISTINCT src, dst FROM (
+            SELECT src, dst FROM adj UNION ALL SELECT dst AS src, src AS dst FROM adj
+          )
+        ),
+        nodes AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+        consts AS (
+          SELECT CAST({scale} // count(*) AS BIGINT) AS r_init,
+                 CAST({scale * 15} // (100 * count(*)) AS BIGINT) AS tp
+          FROM nodes
+        ),
+        od AS (SELECT src, CAST(count(*) AS BIGINT) AS out_deg FROM e GROUP BY src),
+        r0 AS (SELECT id, (SELECT r_init FROM consts) AS rank FROM nodes)
+        {"".join(rounds)}
+        SELECT id AS word, rank AS pagerank_scaled FROM r{n_iter}
+        ORDER BY rank DESC, word LIMIT {top_k}
+    """
+
+
+def q_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-health datacard line, ORACLE-EXACT: Zipf power-law fit of
+    the token frequency spectrum (text.zipf_fit) — log-log least squares
+    of freq on rank (global_row_number two-phase ranking, no
+    single-partition window), with vocab/token/hapax counts and the raw
+    integer-ratio hapax rate. Heaps-law (q_vocab_growth)'s spectral
+    sibling."""
+    return text.zipf_fit(load_table(spark, sf_dir, "documents"))
+
+
+def _zipf_oracle_sql() -> str:
+    """DuckDB replay of text.zipf_fit (deferred build: _TOKENS_SQL is
+    defined further down the module)."""
+    return f"""
+    WITH tf AS (
+      SELECT token, CAST(count(*) AS BIGINT) AS freq
+      FROM (SELECT unnest({_TOKENS_SQL}) AS token FROM documents)
+      GROUP BY token
+    ),
+    rk AS (
+      SELECT freq, row_number() OVER (ORDER BY freq DESC, token) AS rn FROM tf
+    ),
+    pts AS (
+      SELECT freq, log10(CAST(rn AS DOUBLE)) AS x, log10(CAST(freq AS DOUBLE)) AS y
+      FROM rk
+    ),
+    s AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_vocab,
+             CAST(sum(freq) AS BIGINT) AS n_tokens,
+             CAST(sum(CASE WHEN freq = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+             sum(x) AS sx, sum(y) AS sy, sum(x * x) AS sxx, sum(x * y) AS sxy
+      FROM pts
+    )
+    SELECT n_vocab, n_tokens, n_hapax,
+           CAST(n_hapax AS DOUBLE) / n_vocab AS hapax_rate,
+           round((n_vocab * sxy - sx * sy) / NULLIF(n_vocab * sxx - sx * sx, 0), 6)
+             AS zipf_slope,
+           round((sy - ((n_vocab * sxy - sx * sy)
+                        / NULLIF(n_vocab * sxx - sx * sx, 0)) * sx) / n_vocab, 6)
+             AS zipf_intercept
+    FROM s
+    """
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # Ordered so keys WITHOUT a driver CORRECTNESS row come FIRST: the
@@ -4698,6 +4809,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # decode keys), then every round-7 addition, then the already-green
         # keys close the dict.
         # ---- round-9 additions (never sampled) ----
+        "q_textrank_keywords": q_textrank_keywords,
+        "q_zipf_fit": q_zipf_fit,
         "q_phash_dedup_verified": q_phash_dedup_verified,
         "q_audio_fp_dedup_verified": q_audio_fp_dedup_verified,
         "q_multimodal_decode_verified": q_multimodal_decode_verified,
@@ -5422,6 +5535,8 @@ def _dbscan_oracle_sql(*, block: bool) -> str:
 def oracle_sql() -> dict[str, str]:
     rev = "l_extendedprice * (1 - l_discount)"
     d = {
+        "q_textrank_keywords": _textrank_oracle_sql(),
+        "q_zipf_fit": _zipf_oracle_sql(),
         "q_time_window": """
             SELECT event_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s, event_type, user_id, value
             FROM events

@@ -92,6 +92,11 @@ HEADLINE = [
     "q_pack_layout",
     "q_funnel_strict",
     "q_triangle_degree",
+    # round-9 trend lines: the iterative-graph path after the CC
+    # one-join-per-round rewrite (TextRank = 10 pagerank rounds over the
+    # word graph) and the two-phase-ranked corpus spectrum fit
+    "q_textrank_keywords",
+    "q_zipf_fit",
 ]
 
 

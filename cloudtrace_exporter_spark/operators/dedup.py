@@ -927,29 +927,33 @@ def connected_components(
     labels are localCheckpoint'ed per round so the plan doesn't grow with
     iteration count (same lineage-truncation pattern as IVF k-means).
     The convergence probe is a count() — a scalar per round, never data
-    to the driver.
+    to the driver — and the changed flag is computed INSIDE the
+    checkpointed round frame (one join + one agg per round total), so the
+    probe is a filter-scan of already-materialized partitions rather
+    than a second join job (round 9: halves the per-round job cost for
+    shallow graphs, where fixed job/stage overhead dominates).
     """
     e = pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
     edges = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b"))).distinct()
     edges = edges.persist()
     labels = edges.select(F.col("a").alias("id")).distinct().withColumn("comp", F.col("id"))
     for _ in range(max_iter):
-        msgs = edges.join(labels, edges["a"] == labels["id"]).select(
-            F.col("b").alias("id"), F.col("comp")
+        mins = (
+            edges.join(labels, edges["a"] == labels["id"])
+            .groupBy(F.col("b").alias("id"))
+            .agg(F.min("comp").alias("mcomp"))
         )
         new = (
-            labels.unionByName(msgs)
-            .groupBy("id")
-            .agg(F.min("comp").alias("comp"))
+            labels.join(mins, "id", "left")
+            .select(
+                "id",
+                F.least(F.col("comp"), F.coalesce("mcomp", "comp")).alias("comp"),
+                (F.col("mcomp") < F.col("comp")).alias("__chg"),
+            )
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.comp") != F.col("o.comp"))
-            .count()
-        )
-        labels = new
+        changed = new.filter(F.col("__chg")).count()
+        labels = new.select("id", "comp")
         if changed == 0:
             break
     edges.unpersist()

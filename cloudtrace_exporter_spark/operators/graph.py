@@ -191,23 +191,32 @@ def pagerank(
         return nodes.withColumn("rank", F.lit(0.0)).select("id", "rank")
     out_deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg"))
     weighted = e.join(out_deg, "src").persist()
+    # ONE-EXCHANGE round (round 9): the old shape was agg(contribs) +
+    # LEFT JOIN back onto nodes to re-seat missing ids (3 exchanges/
+    # round); instead every node contributes a 0-stub row into the SAME
+    # aggregation, so the teleport re-seat IS the agg — and the rank join
+    # needs no new exchange because `weighted` is hash-partitioned on src
+    # from its build join while ranks leave each round hash-partitioned
+    # on id (the join keys). Values are bit-identical: sum(c ∪ {0}) =
+    # coalesce(sum(c), 0). Checkpoints are lazy until the LAST round so
+    # the whole cascade materializes under one action while `weighted`
+    # is still hot (each round's RDD persists — nothing recomputes).
+    stub = nodes.withColumn("c", F.lit(0.0)).persist()
     ranks = nodes.withColumn("rank", F.lit(1.0 / n))
-    for _ in range(n_iter):
-        contribs = (
-            weighted.join(ranks, weighted["src"] == ranks["id"])
-            .select(F.col("dst").alias("id"), (F.col("rank") / F.col("out_deg")).alias("c"))
-            .groupBy("id")
-            .agg(F.sum("c").alias("s"))
+    for _it in range(n_iter):
+        msgs = weighted.join(ranks, weighted["src"] == ranks["id"]).select(
+            F.col("dst").alias("id"), (F.col("rank") / F.col("out_deg")).alias("c")
         )
         ranks = (
-            nodes.join(contribs, "id", "left")
-            .select(
-                "id",
-                (F.lit((1 - damping) / n) + damping * F.coalesce("s", F.lit(0.0))).alias("rank"),
+            msgs.unionByName(stub)
+            .groupBy("id")
+            .agg(
+                (F.lit((1 - damping) / n) + damping * F.sum("c")).alias("rank")
             )
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=(_it == n_iter - 1))
         )
     weighted.unpersist()
+    stub.unpersist()
     return ranks.select("id", F.round("rank", 6).alias("pagerank"))
 
 
@@ -246,29 +255,28 @@ def pagerank_scaled(
     teleport = (scale * 15) // (100 * n)
     out_deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg"))
     weighted = e.join(out_deg, "src").persist()
+    # one-exchange round + lazy-until-last checkpoint cascade — see
+    # pagerank; sum(c ∪ {0}) = coalesce(sum(c), 0) keeps the BIGINT
+    # trajectory bit-identical to the unrolled DuckDB CTE replay
+    stub = nodes.withColumn("c", F.lit(0).cast("long")).persist()
     ranks = nodes.withColumn("rank", F.lit(scale // n).cast("long"))
-    for _ in range(n_iter):
-        contribs = (
-            weighted.join(ranks, weighted["src"] == ranks["id"])
-            .select(
-                F.col("dst").alias("id"),
-                F.expr("rank DIV out_deg").alias("c"),
-            )
-            .groupBy("id")
-            .agg(F.sum("c").alias("s"))
+    for _it in range(n_iter):
+        msgs = weighted.join(ranks, weighted["src"] == ranks["id"]).select(
+            F.col("dst").alias("id"), F.expr("rank DIV out_deg").alias("c")
         )
         ranks = (
-            nodes.join(contribs, "id", "left")
-            .select(
-                "id",
+            msgs.unionByName(stub)
+            .groupBy("id")
+            .agg(
                 (
                     F.lit(teleport).cast("long")
-                    + F.expr("85 * coalesce(s, CAST(0 AS BIGINT)) DIV 100")
-                ).alias("rank"),
+                    + F.expr("85 * sum(c) DIV 100")
+                ).alias("rank")
             )
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=(_it == n_iter - 1))
         )
     weighted.unpersist()
+    stub.unpersist()
     return ranks.select("id", F.col("rank").alias("pagerank_scaled"))
 
 

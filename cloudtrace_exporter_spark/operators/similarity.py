@@ -1971,8 +1971,14 @@ def dbscan_embeddings(
         F.lit(0).cast("long"),
         lambda acc, x: acc + x,
     )
-    base = emb.select(F.col(id_col).alias("id"), qvec.alias("v")).withColumn(
-        "n2", self_dot
+    # base is fanned out 4× (both join sides, the degree frame, the final
+    # all-points join): cache it so the quantize/self-dot HOF chain is
+    # evaluated once, not once per consumer (plan-size + codegen win —
+    # the cached slice is (id, 64 longs, long): KBs per thousand rows).
+    base = cache_once(
+        emb.select(F.col(id_col).alias("id"), qvec.alias("v")).withColumn(
+            "n2", self_dot
+        )
     )
     dot = F.aggregate(
         F.zip_with("va", "vb", lambda x, y: x * y),

@@ -1814,3 +1814,126 @@ def ngram_novelty(
         )
         .orderBy("source")
     )
+
+
+def textrank_keywords(
+    documents: DataFrame,
+    *,
+    min_len: int = 4,
+    n_iter: int = 10,
+    top_k: int = 50,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """TextRank keyword extraction (Mihalcea & Tarau, EMNLP 2004): rank
+    words by PageRank over the corpus-level word co-occurrence graph —
+    the unsupervised keyword/topic surface the per-term counts
+    (tfidf_top_terms) can't see, because TextRank credits a word for the
+    company it keeps, not its raw frequency.
+
+    Graph construction (deterministic, oracle-replayable):
+    - candidate words = whitespace tokens of length ≥ ``min_len``
+      (the classic POS-filter proxy, kept engine-portable);
+    - edges = ADJACENT candidate pairs per document (window 2 over the
+      filtered sequence, self-pairs dropped), symmetrized + distinct —
+      the unweighted co-occurrence graph of the original paper;
+    - rank = :func:`graph.pagerank_scaled` (INTEGER-scaled power
+      iteration, ``n_iter`` rounds) so the whole trajectory is bit-exact
+      across engines and the DuckDB oracle replays it as an unrolled CTE
+      chain (the q_pagerank_verified machinery pointed at a text graph).
+
+    Output: top ``top_k`` rows (word, pagerank_scaled), ordered by rank
+    desc then word asc (total order — the LIMIT boundary is unambiguous).
+
+    Scale shape: tokenize+filter is a narrow map over the document scan;
+    the edge list is one lag-window per doc (one doc-keyed exchange) +
+    distinct (one edge-keyed exchange); each PageRank round is one
+    rank-onto-edges equi-join + one sum — no step is corpus-quadratic.
+    Stopwords never rank (length filter drops most; survivors dilute
+    across the whole graph), hub content words win.
+    """
+    from . import graph as _graph
+
+    t = F.filter(tokens(F.col(text_col)), lambda w: F.length(w) >= min_len)
+    seq = documents.select(
+        F.col(id_col).alias("doc_id"), F.posexplode(t).alias("pos", "w")
+    )
+    win = Window.partitionBy("doc_id").orderBy("pos")
+    adj = (
+        seq.withColumn("prev", F.lag("w").over(win))
+        .filter(F.col("prev").isNotNull() & (F.col("prev") != F.col("w")))
+        .select(F.col("prev").alias("src"), F.col("w").alias("dst"))
+    )
+    # materialize the symmetrized edge list ONCE: pagerank_scaled fans its
+    # edge input out ~5× (nodes from both endpoints, out-degrees, the
+    # weighted join) and the union itself evaluates `adj` twice — without
+    # this the tokenize→explode→lag-window chain replays per consumer
+    from cloudtrace_exporter_spark.session import cache_once
+
+    und = cache_once(
+        adj.union(
+            adj.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        ).distinct()
+    )
+    ranked = _graph.pagerank_scaled(und, n_iter=n_iter)
+    return (
+        ranked.orderBy(F.col("pagerank_scaled").desc(), F.col("id"))
+        .limit(top_k)
+        .select(F.col("id").alias("word"), "pagerank_scaled")
+    )
+
+
+def zipf_fit(documents: DataFrame, *, text_col: str = "text") -> DataFrame:
+    """Zipf power-law fit of the corpus frequency spectrum (Zipf 1949;
+    the log-log least squares everyone actually runs): rank every token
+    by (freq desc, token asc) and regress log10(freq) on log10(rank).
+    A healthy natural-language corpus fits slope ≈ −1; a slope far from
+    −1 (or a collapsing hapax rate) is the classic symptom of template/
+    boilerplate floods or dedup gone wrong — a one-row corpus datacard
+    line next to vocab_growth's Heaps-law curve.
+
+    ONE output row: n_vocab, n_tokens, n_hapax (freq==1 types),
+    hapax_rate (raw integer-ratio double — bit-identical across
+    engines), zipf_slope, zipf_intercept (least squares on log10
+    points, round 6 to absorb engine libm/summation-order ulps).
+
+    Scale shape: term_frequencies is one token-keyed partial-agg
+    shuffle; ranking uses analytics.global_row_number (range-partitioned
+    two-phase numbering — NO single-partition window over the vocab);
+    the fit itself is one global reduce of 5 running sums. Degenerate
+    spectra (vocab ≤ 1 → zero x-variance) emit NULL slope/intercept on
+    both engines instead of dividing by zero.
+    """
+    from . import analytics as _analytics
+
+    tf = term_frequencies(documents, text_col)
+    ranked = _analytics.global_row_number(tf, [F.col("freq").desc(), F.col("token")])
+    pts = ranked.select(
+        "freq",
+        F.log10(F.col("rn").cast("double")).alias("x"),
+        F.log10(F.col("freq").cast("double")).alias("y"),
+    )
+    s = pts.agg(
+        F.count(F.lit(1)).alias("n_vocab"),
+        F.sum("freq").alias("n_tokens"),
+        F.sum((F.col("freq") == 1).cast("long")).alias("n_hapax"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    den = F.col("n_vocab") * F.col("sxx") - F.col("sx") * F.col("sx")
+    slope = F.when(
+        den != 0.0,
+        (F.col("n_vocab") * F.col("sxy") - F.col("sx") * F.col("sy")) / den,
+    )
+    return s.select(
+        "n_vocab",
+        "n_tokens",
+        "n_hapax",
+        (F.col("n_hapax").cast("double") / F.col("n_vocab")).alias("hapax_rate"),
+        F.round(slope, 6).alias("zipf_slope"),
+        F.round((F.col("sy") - slope * F.col("sx")) / F.col("n_vocab"), 6).alias(
+            "zipf_intercept"
+        ),
+    )

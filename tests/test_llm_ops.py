@@ -3146,3 +3146,59 @@ def test_anisotropy_collapsed_vs_isotropic_labels(spark):
     assert out[0].off_axis_frac < 1e-4
     assert out[1].off_axis_frac > 0.99
     assert out[0].n_vecs == 20 and out[1].n_vecs == 20
+
+
+# --------------------------------------------------------------------------
+# TextRank keyword extraction (round 9)
+# --------------------------------------------------------------------------
+
+
+def test_textrank_hub_word_ranks_first(spark):
+    # "kernel" co-occurs with every other content word; the satellites
+    # only ever touch the hub — classic star graph, hub must win.
+    docs = spark.createDataFrame(
+        [
+            (1, "kernel alpha kernel beta kernel gamma"),
+            (2, "kernel delta kernel epsilon"),
+            (3, "zeta kernel"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = text.textrank_keywords(docs, top_k=10).collect()
+    assert rows[0]["word"] == "kernel"
+    got = [r["word"] for r in rows]
+    # every length->=4 content word appears exactly once, ranked
+    assert set(got) == {"kernel", "alpha", "beta", "gamma", "delta", "epsilon", "zeta"}
+    # satellite ties broken by word asc at equal integer rank
+    sat = [w for w in got[1:]]
+    ranks = {r["word"]: r["pagerank_scaled"] for r in rows}
+    for a, b in zip(sat, sat[1:]):
+        assert (ranks[a], a) >= (ranks[b], a) and ranks[a] >= ranks[b]
+
+
+def test_textrank_short_tokens_and_self_pairs_excluded(spark):
+    # tokens under 4 chars never become nodes; immediate repeats ("spark
+    # spark") add no self-edge, so a doc of only repeats/shorts is empty
+    docs = spark.createDataFrame(
+        [(1, "a bb ccc spark spark"), (2, "x y z")],
+        "doc_id long, text string",
+    )
+    assert text.textrank_keywords(docs).count() == 0
+
+
+def test_zipf_fit_counts_and_degenerate_slope(spark):
+    # freqs: "data" x4, "pipe" x2, "lake" x1, "dune" x1 -> vocab 4,
+    # tokens 8, hapax 2; short tokens are still tokens here (no length
+    # filter in the frequency spectrum)
+    docs = spark.createDataFrame(
+        [(1, "data data pipe lake"), (2, "data data pipe dune")],
+        "doc_id long, text string",
+    )
+    r = text.zipf_fit(docs).collect()[0]
+    assert (r["n_vocab"], r["n_tokens"], r["n_hapax"]) == (4, 8, 2)
+    assert r["hapax_rate"] == 0.5
+    assert r["zipf_slope"] is not None and r["zipf_slope"] < 0
+    # single-type corpus: zero x-variance -> NULL fit, no div-by-zero
+    one = spark.createDataFrame([(1, "same same same")], "doc_id long, text string")
+    r1 = text.zipf_fit(one).collect()[0]
+    assert r1["n_vocab"] == 1 and r1["zipf_slope"] is None

@@ -170,6 +170,11 @@ def main() -> None:
               "lineitem", "events", "documents", "embeddings"):
         entry_mod.load_table(spark, sf_dir, t).count()
     qs[names[0]](spark, sf_dir).count()
+    # calibration BEFORE the query loop as well as after: a transient
+    # load/steal burst mid-run evades a single sample (observed on a
+    # steal-prone box: calibration quiet at start, one query 3× its band
+    # minutes later). Two samples bracket the measured window.
+    calib_start = _calibration(spark)
 
     timings: dict[str, float] = {}
     bands: dict[str, list[float]] = {}
@@ -222,6 +227,7 @@ def main() -> None:
         # trust queries_cpu for per-query adjudication.
         "queries_cpu": cpu_timings,
         "cpu_total": round(sum(cpu_timings.values()), 3),
+        "calibration_start": calib_start,
         "calibration": _calibration(spark),
         "load_avg_start": load_start,
         "load_avg_end": os.getloadavg()[0] if hasattr(os, "getloadavg") else None,

@@ -487,7 +487,7 @@ def label_propagation(
         .localCheckpoint(eager=True)
     )
     labels = und.select(F.col("a").alias("id")).distinct().withColumn("lbl", F.col("id"))
-    for _ in range(n_rounds):
+    for _it in range(n_rounds):
         nbr = und.join(
             labels.withColumnRenamed("id", "b"), "b"
         ).select(F.col("a").alias("id"), "lbl")
@@ -497,7 +497,11 @@ def label_propagation(
             counts.groupBy("id")
             .agg(F.min(F.struct((-F.col("cnt")).alias("nc"), F.col("lbl"))).alias("m"))
             .select("id", F.col("m.lbl").alias("lbl"))
-            .localCheckpoint(eager=True)
+            # fixed-round loop, no convergence probe → lazy-until-last
+            # checkpoint cascade (one materializing action total; each
+            # round's RDD is still persisted + lineage-cut — the
+            # pagerank posture)
+            .localCheckpoint(eager=(_it == n_rounds - 1))
         )
     return labels.select("id", F.col("lbl").alias("community")).orderBy("id")
 

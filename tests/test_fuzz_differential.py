@@ -158,6 +158,12 @@ FAMILIES_W4 = [
     "q_cms_frequency",
     "q_quantile_normalize",
     "q_dedup_rewrite",
+    # r9 continuation: the two new text operators — TextRank is the
+    # iterative-graph risk class (tie-breaks on equal integer ranks,
+    # NULL/empty/unicode docs shaping the edge set), Zipf the
+    # tokenizer/float-fold class (log-log sums, degenerate spectra)
+    "q_textrank_keywords",
+    "q_zipf_fit",
 ]
 
 #: wave-5: the TPC-H relational surface over adversarial DIMENSION

@@ -576,3 +576,95 @@ def test_pack_layout_offsets_are_cumulative_and_bins_consistent(spark_prop, toks
         assert r.tok_offset == run and r.n_tokens == n
         assert r.tok_offset == r.bin * 16 + r.pos_in_bin
         run += n
+
+
+# --------------------------------------------------------------------------
+# round-9 text operators vs independent pure-Python models (a third
+# implementation besides Spark and the DuckDB oracle)
+# --------------------------------------------------------------------------
+
+_word = st.sampled_from(
+    ["alpha", "beta", "gamma", "delta", "tiny", "ox", "a", "zz", "omega"]
+)
+_doc = st.lists(_word, min_size=0, max_size=8).map(" ".join)
+
+
+@given(docs=st.lists(_doc, min_size=1, max_size=6))
+@settings(max_examples=10, deadline=None)
+def test_zipf_fit_matches_python_model(spark_prop, docs):
+    import math
+    from collections import Counter
+
+    from cloudtrace_exporter_spark.operators import text as text_ops
+
+    df = spark_prop.createDataFrame(
+        [(i, d) for i, d in enumerate(docs)], "doc_id long, text string"
+    )
+    got = text_ops.zipf_fit(df).collect()[0]
+    freq = Counter(w for d in docs for w in d.split(" ") if w != "")
+    if not freq:
+        assert got["n_vocab"] == 0
+        return
+    assert got["n_vocab"] == len(freq)
+    assert got["n_tokens"] == sum(freq.values())
+    assert got["n_hapax"] == sum(1 for c in freq.values() if c == 1)
+    assert got["hapax_rate"] == got["n_hapax"] / len(freq)
+    ranked = sorted(freq.items(), key=lambda kv: (-kv[1], kv[0]))
+    pts = [
+        (math.log10(i + 1), math.log10(c)) for i, (_, c) in enumerate(ranked)
+    ]
+    n = len(pts)
+    sx = sum(x for x, _ in pts)
+    sy = sum(y for _, y in pts)
+    sxx = sum(x * x for x, _ in pts)
+    sxy = sum(x * y for x, y in pts)
+    den = n * sxx - sx * sx
+    if den == 0:
+        assert got["zipf_slope"] is None and got["zipf_intercept"] is None
+    else:
+        slope = (n * sxy - sx * sy) / den
+        assert math.isclose(got["zipf_slope"], slope, abs_tol=2e-6)
+        assert math.isclose(
+            got["zipf_intercept"], (sy - slope * sx) / n, abs_tol=2e-6
+        )
+
+
+@given(docs=st.lists(_doc, min_size=1, max_size=5))
+@settings(max_examples=8, deadline=None)
+def test_textrank_matches_python_integer_model(spark_prop, docs):
+    from collections import defaultdict
+
+    from cloudtrace_exporter_spark.operators import text as text_ops
+
+    df = spark_prop.createDataFrame(
+        [(i, d) for i, d in enumerate(docs)], "doc_id long, text string"
+    )
+    got = [
+        (r["word"], r["pagerank_scaled"])
+        for r in text_ops.textrank_keywords(df, top_k=50).collect()
+    ]
+    # model: same graph build + the pagerank_scaled BIGINT trajectory
+    edges = set()
+    for d in docs:
+        kept = [w for w in d.split(" ") if len(w) >= 4]
+        for a, b in zip(kept, kept[1:]):
+            if a != b:
+                edges.add((a, b))
+                edges.add((b, a))
+    nodes = sorted({a for a, _ in edges} | {b for _, b in edges})
+    if not nodes:
+        assert got == []
+        return
+    scale, n = 10**12, len(nodes)
+    tp = (scale * 15) // (100 * n)
+    out_deg = defaultdict(int)
+    for a, _ in edges:
+        out_deg[a] += 1
+    rank = {v: scale // n for v in nodes}
+    for _ in range(10):
+        s = defaultdict(int)
+        for a, b in edges:
+            s[b] += rank[a] // out_deg[a]
+        rank = {v: tp + (85 * s[v]) // 100 for v in nodes}
+    want = sorted(rank.items(), key=lambda kv: (-kv[1], kv[0]))[:50]
+    assert got == want

@@ -252,6 +252,55 @@ def probe_dbscan(spark) -> None:
         emb.unpersist()
 
 
+def probe_textrank(spark) -> None:
+    """TextRank keywords (q_textrank_keywords posture) at 200k / 2M
+    synthesized docs (10×/100× the sf0.1 documents table) — round-9
+    tier for the one-exchange PageRank round + edge-list cache. Each
+    doc is 12 tokens: even positions cycle through 10 planted HUB words
+    (hub of a near-star co-occurrence graph), odd positions draw iid
+    from a 50k-word satellite vocabulary via xxhash64 — so every
+    adjacency is (hub, satellite), hub degree is ~n·6/10 while satellite
+    degree concentrates at ~12·n/50k, and the true top-10 by PageRank is
+    exactly the 10 hubs. The probe ASSERTS that recovery (it cannot pass
+    by returning anything frequency-shaped: satellites in aggregate
+    outnumber hubs 50k:10) and reports wall + edge volume. Word-graph
+    size is vocab-bounded (50,010 nodes) — the axis that grows with
+    corpus size is EDGE multiplicity, which the distinct() collapses;
+    wall should therefore grow sublinearly doc-wise."""
+    from cloudtrace_exporter_spark.operators import text as text_ops
+
+    for n in (200_000, 2_000_000):
+        tok = F.transform(
+            F.sequence(F.lit(0), F.lit(11)),
+            lambda j: F.when(
+                j % 2 == 0,
+                F.concat(F.lit("hubword"), F.pmod(F.col("id"), F.lit(10))),
+            ).otherwise(
+                F.concat(
+                    F.lit("sat"),
+                    F.lpad(F.pmod(F.xxhash64(F.col("id"), j), F.lit(50_000)), 5, "0"),
+                )
+            ),
+        )
+        docs = (
+            spark.range(n)
+            .select(F.col("id").alias("doc_id"), F.concat_ws(" ", tok).alias("text"))
+            .repartition(64)
+            .cache()
+        )
+        docs.count()
+        t0 = time.time()
+        top = text_ops.textrank_keywords(docs, top_k=10).collect()
+        wall = time.time() - t0
+        got = {r["word"] for r in top}
+        want = {f"hubword{k}" for k in range(10)}
+        print(
+            f"textrank n={n:>9,}: {wall:6.2f} s  top10={'OK' if got == want else got}"
+        )
+        assert got == want, f"hub recovery failed: {got ^ want}"
+        docs.unpersist()
+
+
 def probe_triangle(spark) -> None:
     """Triangle participation over the banded LSH pair graph at 200k /
     2M docs (10×/100× the sf0.1 documents table) — round-8 tier for the
@@ -448,6 +497,8 @@ def main() -> None:
         probe_stream(spark)
     if fam in ("dbscan", "all"):
         probe_dbscan(spark)
+    if fam in ("textrank", "all"):
+        probe_textrank(spark)
     if fam in ("triangle", "all"):
         probe_triangle(spark)
     if fam in ("lifecycle", "all"):

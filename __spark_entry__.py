@@ -4799,6 +4799,48 @@ def _zipf_oracle_sql() -> str:
     """
 
 
+def q_curriculum_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-feeding plan, ORACLE-EXACT: progressive-curriculum
+    schedule table (curate.curriculum_schedule) — docs ranked easy→hard
+    by token count (two-phase global numbering, no single-partition
+    window), cut into 10 equal-count tiers by the exact integer NTILE
+    formula, per-tier doc/token masses and the cumulative corpus
+    fraction at each admission epoch. The loader-side sibling of
+    q_pack_layout."""
+    return curate.curriculum_schedule(load_table(spark, sf_dir, "documents"))
+
+
+_CURRICULUM_ORACLE_SQL = """
+    WITH toks AS (
+      SELECT doc_id,
+             CAST(COALESCE(
+               len(list_filter(string_split(text, ' '), x -> x <> '')), 0
+             ) AS BIGINT) AS n_tok
+      FROM documents
+    ),
+    rk AS (
+      SELECT n_tok,
+             row_number() OVER (ORDER BY n_tok, doc_id) AS rn,
+             count(*) OVER () AS n_total
+      FROM toks
+    ),
+    tiered AS (SELECT n_tok, ((rn - 1) * 10) // n_total AS bucket FROM rk),
+    per AS (
+      SELECT bucket,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+             CAST(min(n_tok) AS BIGINT) AS min_tokens,
+             CAST(max(n_tok) AS BIGINT) AS max_tokens
+      FROM tiered GROUP BY bucket
+    )
+    SELECT bucket, n_docs, n_tokens, min_tokens, max_tokens,
+           CAST(sum(n_tokens) OVER (ORDER BY bucket) AS BIGINT) AS cum_tokens,
+           CAST(sum(n_tokens) OVER (ORDER BY bucket) AS DOUBLE)
+             / CAST(sum(n_tokens) OVER () AS DOUBLE) AS cum_token_frac
+    FROM per ORDER BY bucket
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # Ordered so keys WITHOUT a driver CORRECTNESS row come FIRST: the
@@ -4811,6 +4853,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ---- round-9 additions (never sampled) ----
         "q_textrank_keywords": q_textrank_keywords,
         "q_zipf_fit": q_zipf_fit,
+        "q_curriculum_schedule": q_curriculum_schedule,
         "q_phash_dedup_verified": q_phash_dedup_verified,
         "q_audio_fp_dedup_verified": q_audio_fp_dedup_verified,
         "q_multimodal_decode_verified": q_multimodal_decode_verified,
@@ -5537,6 +5580,7 @@ def oracle_sql() -> dict[str, str]:
     d = {
         "q_textrank_keywords": _textrank_oracle_sql(),
         "q_zipf_fit": _zipf_oracle_sql(),
+        "q_curriculum_schedule": _CURRICULUM_ORACLE_SQL,
         "q_time_window": """
             SELECT event_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s, event_type, user_id, value
             FROM events

@@ -1162,3 +1162,70 @@ def source_concentration(
             ok, F.col("__top").cast("double") / F.col("n_tokens").cast("double")
         ).alias("top_share"),
     ).orderBy("stratum")
+
+
+def curriculum_schedule(
+    docs: DataFrame,
+    *,
+    n_buckets: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Curriculum schedule for ordered pretraining (Bengio et al. 2009
+    applied to corpus feeding): rank every document by an easy→hard
+    difficulty key and cut the ranking into ``n_buckets`` equal-count
+    difficulty tiers; a progressive curriculum run admits tier k at
+    epoch k, so the per-tier token mass and the cumulative corpus
+    fraction at each admission step ARE the loader's schedule table.
+
+    Difficulty key = whitespace token count (doc length is the classic
+    zero-model difficulty proxy), doc id as the total-order tiebreak.
+    Ranking uses analytics.global_row_number (range-partitioned
+    two-phase numbering with ``_n_total`` carried from the same tiny
+    offsets frame — NO single-partition window over the corpus, no
+    second lineage for the count); the tier cut is the exact integer
+    NTILE formula bucket = (rank-1)·k DIV n.
+
+    Output (n_buckets rows): bucket, n_docs, n_tokens (BIGINT sums),
+    min/max token count per tier, cum_tokens, and cum_token_frac (raw
+    integer-ratio double) — everything integer until the single final
+    division, so the whole table replays exactly in SQL.
+    """
+    # NULL text ranks as 0 tokens on BOTH engines (Spark sorts NULLs
+    # first ASC, DuckDB last — coalescing before the rank removes the
+    # NULL-ordering divergence axis entirely)
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.coalesce(text.token_count(text_col), F.lit(0)).alias("n_tok"),
+    )
+    ranked = analytics.global_row_number(
+        toks, [F.col("n_tok"), F.col("doc_id")], with_total=True
+    )
+    tiered = ranked.select(
+        "n_tok",
+        F.expr(f"(rn - 1) * {n_buckets} DIV _n_total").alias("bucket"),
+    )
+    per = tiered.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").alias("n_tokens"),
+        F.min("n_tok").alias("min_tokens"),
+        F.max("n_tok").alias("max_tokens"),
+    )
+    # cumulative admission mass: a window over the <= n_buckets-row
+    # summary frame (never the corpus)
+    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    tot = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return per.select(
+        "bucket",
+        "n_docs",
+        "n_tokens",
+        "min_tokens",
+        "max_tokens",
+        F.sum("n_tokens").over(w).alias("cum_tokens"),
+        (
+            F.sum("n_tokens").over(w).cast("double")
+            / F.sum("n_tokens").over(tot).cast("double")
+        ).alias("cum_token_frac"),
+    ).orderBy("bucket")

@@ -164,6 +164,10 @@ FAMILIES_W4 = [
     # tokenizer/float-fold class (log-log sums, degenerate spectra)
     "q_textrank_keywords",
     "q_zipf_fit",
+    # r9 continuation: equal-count tier cut over a NULL/empty/dup-heavy
+    # corpus — rank-tie + NULL-ordering axis (NULL text pinned to 0
+    # tokens on both engines)
+    "q_curriculum_schedule",
 ]
 
 #: wave-5: the TPC-H relational surface over adversarial DIMENSION

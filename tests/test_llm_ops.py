@@ -3202,3 +3202,23 @@ def test_zipf_fit_counts_and_degenerate_slope(spark):
     one = spark.createDataFrame([(1, "same same same")], "doc_id long, text string")
     r1 = text.zipf_fit(one).collect()[0]
     assert r1["n_vocab"] == 1 and r1["zipf_slope"] is None
+
+
+def test_curriculum_schedule_tiers_partition_and_accumulate(spark):
+    # 20 docs with token counts 1..20, 10 tiers -> 2 docs each, exact
+    # integer masses; NULL text ranks as 0 tokens (easiest tier)
+    rows = [(i, " ".join(["w"] * i)) for i in range(1, 21)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = curate.curriculum_schedule(docs).collect()
+    assert [r["bucket"] for r in out] == list(range(10))
+    assert all(r["n_docs"] == 2 for r in out)
+    assert [r["n_tokens"] for r in out] == [4 * b + 3 for b in range(10)]
+    assert out[-1]["cum_tokens"] == 210 and out[-1]["cum_token_frac"] == 1.0
+    # monotone admission mass
+    cums = [r["cum_tokens"] for r in out]
+    assert cums == sorted(cums)
+    with_null = docs.union(
+        spark.createDataFrame([(99, None)], "doc_id long, text string")
+    )
+    first = curate.curriculum_schedule(with_null).collect()[0]
+    assert first["min_tokens"] == 0  # NULL text -> 0 tokens, tier 0

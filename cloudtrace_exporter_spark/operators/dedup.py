@@ -908,36 +908,128 @@ def embedding_near_dups(
     )
 
 
+class NonConvergenceError(RuntimeError):
+    """Connected-components failed to reach a fixed point within its round
+    budget. Raised instead of returning partial labels — a non-converged
+    label set silently splits one dup cluster into several, keeping
+    survivors that should have been dropped."""
+
+
+def _canonical_edges(edges: DataFrame) -> DataFrame:
+    """Undirected edge set as distinct (a=max, b=min) rows, self-loops out."""
+    return (
+        edges.select(
+            F.greatest(F.col("a"), F.col("b")).alias("a"),
+            F.least(F.col("a"), F.col("b")).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+
+
+def _large_star(edges: DataFrame) -> DataFrame:
+    """Large-star round (Kiveris et al., SoCC'14): every node u links each
+    strictly-larger neighbor to m = min(Γ(u) ∪ {u}). One agg + one join."""
+    sym = edges.union(edges.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    mins = sym.groupBy(F.col("a").alias("u")).agg(
+        F.least(F.min("b"), F.first("a")).alias("m")
+    )
+    return (
+        sym.join(mins, sym["a"] == mins["u"])
+        .filter(F.col("b") > F.col("a"))
+        .select(F.col("b").alias("a"), F.col("m").alias("b"))
+        .distinct()
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """Small-star round: orient each edge toward its larger endpoint; every
+    node u links its not-larger neighbors (and itself) to their min."""
+    o = _canonical_edges(edges)
+    mins = o.groupBy(F.col("a").alias("u")).agg(F.min("b").alias("m"))
+    spokes = (
+        o.join(mins, o["a"] == mins["u"])
+        .filter(F.col("b") != F.col("m"))
+        .select(F.col("b").alias("a"), F.col("m").alias("b"))
+    )
+    centers = mins.select(F.col("u").alias("a"), F.col("m").alias("b"))
+    return spokes.union(centers).distinct()
+
+
+def _star_contract(edges: DataFrame, max_rounds: int) -> DataFrame:
+    """Alternate large-star/small-star until the edge set is a fixed point
+    (a star forest rooted at each component's min id) — O(log n) rounds on
+    any graph shape, including diameter-n paths where plain min-label
+    propagation needs n rounds. Returns (id, comp) labels for every
+    non-isolated node. Raises NonConvergenceError past max_rounds.
+
+    Convergence check is exact set equality (count + subtract-empty), not
+    a hash — a collision here would reintroduce the silent-wrong-answer
+    hazard this function exists to remove.
+    """
+    cur = _canonical_edges(edges).localCheckpoint(eager=True)
+    n_cur = cur.count()
+    for _ in range(max_rounds):
+        new = _small_star(_large_star(cur)).localCheckpoint(eager=True)
+        n_new = new.count()
+        converged = n_new == n_cur and new.subtract(cur).isEmpty()
+        cur, n_cur = new, n_new
+        if converged:
+            children = cur.select(F.col("a").alias("id"), F.col("b").alias("comp"))
+            roots = cur.select(F.col("b").alias("id")).distinct().withColumn(
+                "comp", F.col("id")
+            )
+            return children.union(roots).distinct()
+    raise NonConvergenceError(
+        f"large-star/small-star did not reach a fixed point in {max_rounds} rounds "
+        f"({n_cur} edges remaining) — raise max_iter; partial labels are never returned"
+    )
+
+
 def connected_components(
-    pairs: DataFrame, *, src: str = "doc_a", dst: str = "doc_b", max_iter: int = 25
+    pairs: DataFrame,
+    *,
+    src: str = "doc_a",
+    dst: str = "doc_b",
+    max_iter: int = 25,
+    propagate_rounds: int = 6,
 ) -> DataFrame:
     """Connected components over a near-dup pair graph → (id, component),
     component = min node id in the component.
 
-    Iterative min-label propagation: each round every node takes the min
-    label among itself and its neighbors (one equi-join + one min-agg
-    shuffle per round), until a round changes nothing. Rounds needed =
-    graph diameter — near-dup clusters are dense and shallow (diameter ≤
-    ~3), so this settles in a handful of rounds; for adversarially long
-    path graphs the large-star/small-star reformulation (Kiveris et al.,
-    "Connected Components in MapReduce and Beyond", SoCC'14) drops it to
-    O(log n) rounds with the same join-agg building blocks.
+    Two-tier strategy, never silently wrong:
 
-    Scale notes: the edge list is persisted once and reused every round;
-    labels are localCheckpoint'ed per round so the plan doesn't grow with
-    iteration count (same lineage-truncation pattern as IVF k-means).
-    The convergence probe is a count() — a scalar per round, never data
-    to the driver — and the changed flag is computed INSIDE the
-    checkpointed round frame (one join + one agg per round total), so the
-    probe is a filter-scan of already-materialized partitions rather
-    than a second join job (round 9: halves the per-round job cost for
-    shallow graphs, where fixed job/stage overhead dominates).
+    1. **Min-label propagation** for up to ``propagate_rounds`` rounds:
+       each round every node takes the min label among itself and its
+       neighbors (one equi-join + one min-agg shuffle per round). Rounds
+       needed = graph diameter — near-dup clusters are dense and shallow
+       (diameter ≤ ~3), so the production path settles here in a handful
+       of the cheapest possible rounds.
+    2. **Large-star/small-star** (Kiveris et al., "Connected Components
+       in MapReduce and Beyond", SoCC'14) if propagation hasn't converged:
+       O(log n) rounds on any shape, so chain-shaped dup graphs
+       (sorted-neighborhood adjacency, pathological boilerplate) of
+       diameter far beyond ``max_iter`` still resolve exactly.
+
+    If even the log-round phase hits ``max_iter`` rounds without a fixed
+    point, NonConvergenceError is raised — partial labels are NEVER
+    returned (round 10; previously a silent cap).
+
+    Scale notes: the edge list is persisted once and reused every
+    propagation round; per-round frames are localCheckpoint'ed so the
+    plan doesn't grow with iteration count (same lineage-truncation
+    pattern as IVF k-means). Convergence probes are count()s — a scalar
+    per round, never data to the driver — and the propagation changed
+    flag is computed INSIDE the checkpointed round frame (one join + one
+    agg per round total), so the probe is a filter-scan of
+    already-materialized partitions rather than a second join job.
     """
     e = pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
     edges = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b"))).distinct()
     edges = edges.persist()
     labels = edges.select(F.col("a").alias("id")).distinct().withColumn("comp", F.col("id"))
-    for _ in range(max_iter):
+    converged = False
+    for _ in range(min(propagate_rounds, max_iter)):
         mins = (
             edges.join(labels, edges["a"] == labels["id"])
             .groupBy(F.col("b").alias("id"))
@@ -955,7 +1047,10 @@ def connected_components(
         changed = new.filter(F.col("__chg")).count()
         labels = new.select("id", "comp")
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        labels = _star_contract(edges, max_iter)
     edges.unpersist()
     return labels
 

@@ -7,6 +7,8 @@ exact counterparts on the documents/embeddings fixtures.
 
 from __future__ import annotations
 
+import random
+
 import pytest
 from pyspark.sql import functions as F
 
@@ -814,6 +816,48 @@ def test_connected_components_multi_hop_path(spark):
     )
     got = {r["id"]: r["comp"] for r in dedup.connected_components(pairs).collect()}
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+
+
+@pytest.mark.parametrize("diameter,seed", [(50, 0), (120, 1), (500, 2), (75, 3)])
+def test_connected_components_chain_graphs_exact(spark, diameter, seed):
+    # planted chain graphs far beyond the old silent max_iter=25 cap:
+    # shuffled node ids so the min label sits at a random chain position,
+    # plus a second planted component — exact recovery required (the
+    # large-star/small-star phase, Kiveris et al. SoCC'14)
+    rng = random.Random(seed)
+    ids = list(range(1000, 1000 + diameter + 1))
+    rng.shuffle(ids)
+    edges = [(ids[i], ids[i + 1]) for i in range(diameter)]
+    other = [(7, 8), (8, 9)]  # shallow side component must keep its own label
+    pairs = spark.createDataFrame(edges + other, ["doc_a", "doc_b"])
+    got = {r["id"]: r["comp"] for r in dedup.connected_components(pairs).collect()}
+    assert got == {**{i: min(ids) for i in ids}, 7: 7, 8: 7, 9: 7}
+
+
+def test_connected_components_raises_loudly_when_capped(spark):
+    # a budget too small for even the log-round phase must raise, never
+    # return partial labels (round-10 fix for the silent-cap hazard)
+    edges = [(i, i + 1) for i in range(200)]
+    pairs = spark.createDataFrame(edges, ["doc_a", "doc_b"])
+    with pytest.raises(dedup.NonConvergenceError):
+        dedup.connected_components(pairs, max_iter=1, propagate_rounds=1)
+
+
+def test_star_contract_matches_propagation_on_dense_graph(spark):
+    # the two phases must agree wherever both converge: dense shallow
+    # cluster + chain + singleton-pair, forced down each path
+    edges = [(1, 2), (1, 3), (2, 3), (3, 4), (20, 21), (21, 22), (22, 23), (50, 51)]
+    pairs = spark.createDataFrame(edges, ["doc_a", "doc_b"])
+    via_prop = {
+        r["id"]: r["comp"]
+        for r in dedup.connected_components(pairs, propagate_rounds=25).collect()
+    }
+    via_stars = {
+        r["id"]: r["comp"]
+        for r in dedup.connected_components(pairs, propagate_rounds=0).collect()
+    }
+    assert via_prop == via_stars
+    assert via_stars[4] == 1 and via_stars[23] == 20 and via_stars[51] == 50
 
 
 def test_dedup_clusters_assigns_singletons_to_self(spark, sf_dir):

@@ -1193,10 +1193,13 @@ def curriculum_schedule(
     """
     # NULL text ranks as 0 tokens on BOTH engines (Spark sorts NULLs
     # first ASC, DuckDB last — coalescing before the rank removes the
-    # NULL-ordering divergence axis entirely)
+    # NULL-ordering divergence axis entirely). The coalesce is on the
+    # TEXT column, not on size()'s output: under pre-ANSI sizeOfNull
+    # configs size(NULL) is -1, not NULL, and an outer coalesce would
+    # never fire — pinning the input keeps n_tok=0 engine-config-proof.
     toks = docs.select(
         F.col(id_col).alias("doc_id"),
-        F.coalesce(text.token_count(text_col), F.lit(0)).alias("n_tok"),
+        text.token_count(F.coalesce(F.col(text_col), F.lit(""))).alias("n_tok"),
     )
     ranked = analytics.global_row_number(
         toks, [F.col("n_tok"), F.col("doc_id")], with_total=True

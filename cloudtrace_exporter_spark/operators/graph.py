@@ -541,8 +541,16 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
     with the LSH-bounded pair set keeping wedge volume linear-ish.
     Output: (doc_id, n_triangles) for every vertex in ≥1 triangle.
     """
+    from cloudtrace_exporter_spark.session import cache_once
+
     ca, cb = edges.columns[:2]
-    e = (
+    # the oriented distinct edge set fans out THREE ways below (both
+    # wedge sides + the closure semi-join); without materialization each
+    # consumer replays the upstream pair build — for an LSH-banded input
+    # that's the whole signature/bucket join × 3 (round 10: the
+    # q_triangle_degree 29-shuffle bill). cache_once keys on the logical
+    # plan, so repeated queries over the same (corpus, banding) share it.
+    e = cache_once(
         edges.select(
             F.least(F.col(ca), F.col(cb)).alias("a"),
             F.greatest(F.col(ca), F.col(cb)).alias("b"),

@@ -1816,6 +1816,35 @@ def ngram_novelty(
     )
 
 
+def word_cooccurrence_graph(
+    documents: DataFrame,
+    *,
+    min_len: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The TextRank edge builder, exposed as its own plan: symmetrized
+    distinct ADJACENT candidate-word pairs (src, dst) per document —
+    candidates are whitespace tokens of length ≥ ``min_len``. Split out
+    (round 10) so the plan-fingerprint regression net can pin the edge
+    build's shape directly: textrank's final plan starts from an eager
+    localCheckpoint LogicalRDD, which hides the interior joins/exchanges
+    from the snapshot."""
+    t = F.filter(tokens(F.col(text_col)), lambda w: F.length(w) >= min_len)
+    seq = documents.select(
+        F.col(id_col).alias("doc_id"), F.posexplode(t).alias("pos", "w")
+    )
+    win = Window.partitionBy("doc_id").orderBy("pos")
+    adj = (
+        seq.withColumn("prev", F.lag("w").over(win))
+        .filter(F.col("prev").isNotNull() & (F.col("prev") != F.col("w")))
+        .select(F.col("prev").alias("src"), F.col("w").alias("dst"))
+    )
+    return adj.union(
+        adj.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+
+
 def textrank_keywords(
     documents: DataFrame,
     *,
@@ -1854,16 +1883,6 @@ def textrank_keywords(
     """
     from . import graph as _graph
 
-    t = F.filter(tokens(F.col(text_col)), lambda w: F.length(w) >= min_len)
-    seq = documents.select(
-        F.col(id_col).alias("doc_id"), F.posexplode(t).alias("pos", "w")
-    )
-    win = Window.partitionBy("doc_id").orderBy("pos")
-    adj = (
-        seq.withColumn("prev", F.lag("w").over(win))
-        .filter(F.col("prev").isNotNull() & (F.col("prev") != F.col("w")))
-        .select(F.col("prev").alias("src"), F.col("w").alias("dst"))
-    )
     # materialize the symmetrized edge list ONCE: pagerank_scaled fans its
     # edge input out ~5× (nodes from both endpoints, out-degrees, the
     # weighted join) and the union itself evaluates `adj` twice — without
@@ -1871,9 +1890,9 @@ def textrank_keywords(
     from cloudtrace_exporter_spark.session import cache_once
 
     und = cache_once(
-        adj.union(
-            adj.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-        ).distinct()
+        word_cooccurrence_graph(
+            documents, min_len=min_len, text_col=text_col, id_col=id_col
+        )
     )
     ranked = _graph.pagerank_scaled(und, n_iter=n_iter)
     return (

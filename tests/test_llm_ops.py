@@ -3217,7 +3217,9 @@ def test_textrank_hub_word_ranks_first(spark):
     sat = [w for w in got[1:]]
     ranks = {r["word"]: r["pagerank_scaled"] for r in rows}
     for a, b in zip(sat, sat[1:]):
-        assert (ranks[a], a) >= (ranks[b], a) and ranks[a] >= ranks[b]
+        # (rank desc, word asc): consecutive rows either strictly drop in
+        # rank, or tie on rank with words in ascending order
+        assert ranks[a] > ranks[b] or (ranks[a] == ranks[b] and a < b)
 
 
 def test_textrank_short_tokens_and_self_pairs_excluded(spark):

@@ -82,6 +82,32 @@ def audit(plan: str) -> dict:
     }
 
 
+def _textrank_edge_build(spark, sf_dir: str):
+    import __spark_entry__ as entry_mod
+    from pyspark.sql import functions as F
+    from cloudtrace_exporter_spark.operators import text as _text
+
+    docs = entry_mod.load_table(spark, sf_dir, "documents")
+    # doc_id + 0 defeats CacheManager sameResult matching: if textrank ran
+    # earlier in this session its cache_once(und) would otherwise swap an
+    # InMemoryTableScan in for the whole build and the fingerprint would
+    # read 0 exchanges (the exact blindness this aux entry exists to fix).
+    # Cache matching happens on analyzed plans, before constant folding,
+    # so the physical SHAPE is identical to the production edge build.
+    docs = docs.withColumn("doc_id", F.col("doc_id") + F.lit(0))
+    return _text.word_cooccurrence_graph(docs)
+
+
+# Sub-plans fingerprinted ALONGSIDE the registered queries: iterative
+# operators whose registered plan starts from an eager localCheckpoint
+# LogicalRDD (so the snapshot of the final frame is all zeros and blind
+# to interior regressions) get their pre-checkpoint build plan pinned
+# here instead (round-10 review note on q_textrank_keywords).
+AUX_PLANS = {
+    "q_textrank_keywords__edge_build": _textrank_edge_build,
+}
+
+
 def snapshot_fingerprints(spark, names: list[str], sf_dir: str) -> dict:
     """Per-query PLAN FINGERPRINT (join-strategy counts, data-shuffle
     count, broadcast count) for the regression snapshot: a future change
@@ -94,8 +120,13 @@ def snapshot_fingerprints(spark, names: list[str], sf_dir: str) -> dict:
     qs = entry_mod.queries()
     out = {}
     for name in names:
+        df = (
+            AUX_PLANS[name](spark, sf_dir)
+            if name in AUX_PLANS
+            else qs[name](spark, sf_dir)
+        )
         plan, _ = (
-            qs[name](spark, sf_dir)._jdf.queryExecution().executedPlan().toString(),
+            df._jdf.queryExecution().executedPlan().toString(),
             None,
         )
         stripped, _n = _strip_cached_subplans(plan)
@@ -120,7 +151,9 @@ def main() -> None:
 
         spark = get_spark("plan-audit")
         sf_dir = "/root/testdata/sf0.01"
-        snap = snapshot_fingerprints(spark, bench.HEADLINE, sf_dir)
+        snap = snapshot_fingerprints(
+            spark, bench.HEADLINE + sorted(AUX_PLANS), sf_dir
+        )
         path = "/root/repo/tests/plan_snapshot.json"
         with open(path, "w") as f:
             json.dump(snap, f, indent=1, sort_keys=True)

@@ -2528,6 +2528,37 @@ def q_multimodal_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_multimodal_reject_cert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B36 decode-or-clean-reject certification in the DRIVER GATE
+    (round 10): the codec fuzz family's contract, re-expressed as a
+    registered query whose ROW COUNT moves on any decoder regression.
+    Per doc (doc_id < 400), synthesize a genuine JPEG then apply a
+    deterministic corruption class (doc_id%4: intact / truncate@60% /
+    SOF→SOF9 arithmetic rewrite / non-JPEG garbage) and classify each
+    payload with multimodal.jpeg_reject_reason. Output = one row per
+    (mode, reject_reason) group — the healthy state is exactly the
+     4-row diagonal (intact→ok, truncate→truncated, arith→arith,
+    garbage→not_jpeg); ANY misclassification (e.g. the progressive path
+    breaking turns intact docs 'corrupt') adds an off-diagonal group,
+    i.e. a row-count diff the rows-only gate catches. Rows-only by
+    design: classification is Python-side (mapInPandas)."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 400)
+    jpg = multimodal.synthesize_jpeg_payload(docs)
+    mode = F.element_at(
+        F.array(F.lit("intact"), F.lit("truncate"), F.lit("arith"), F.lit("garbage")),
+        (F.pmod("doc_id", F.lit(4)) + 1).cast("int"),
+    )
+    corrupted = multimodal.corrupt_jpeg_payloads(jpg.withColumn("mode", mode))
+    report = multimodal.decode_reject_report(corrupted)
+    return (
+        corrupted.select("doc_id", "mode")
+        .join(report, "doc_id")
+        .groupBy("mode", "reject_reason")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+        .orderBy("mode", "reject_reason")
+    )
+
+
 def q_multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B36 REAL audio decode end-to-end: synthesize a genuine PCM16 WAV
     per doc (deterministic sine keyed by doc_id), then decode it with the
@@ -4126,6 +4157,37 @@ def q_passjoin_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_passjoin_codepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRUE-codepoint edit-distance join over a NON-ASCII corpus,
+    ORACLE-EXACT (round 10, advisor r8 follow-through): the operator's
+    DEFAULT mode — ``fold_keys=False``, folded segments for blocking
+    only, verify + report on the real text — exercised on a
+    deterministically accented/CJK-prefixed derivation of documents
+    (doc_id%3==1 rows get aeo→áéö, doc_id%7==0 rows get a 中 prefix).
+    Spark's levenshtein counts CODEPOINTS ('é'↔'e' = 1 edit); DuckDB's
+    counts BYTES (= 2), so the oracle re-encodes each prefix through a
+    corpus-wide codepoint→single-ASCII-byte dictionary (alphabet ≤ 94 —
+    here ~29 symbols) before its brute-force byte levenshtein, making
+    byte distance ≡ codepoint distance. This gives the contract real
+    non-ASCII corpora get (the mode q_passjoin_exact's fold_keys=True
+    parity pin deliberately does NOT cover) full oracle evidence."""
+    docs = load_table(spark, sf_dir, "documents")
+    pfx = F.substring(F.col("text"), 1, 20)
+    mut = F.when(
+        F.pmod("doc_id", F.lit(3)) == 1, F.translate(pfx, "aeo", "áéö")
+    ).otherwise(pfx)
+    mut = F.concat(
+        F.when(F.pmod("doc_id", F.lit(7)) == 0, F.lit("中")).otherwise(F.lit("")),
+        mut,
+    )
+    corpus = docs.select("doc_id", mut.alias("text"))
+    # prefix_chars=30 > max built length (21 codepoints): nothing re-cut,
+    # so the pair domain is exactly the constructed prefixes
+    return dedup.passjoin_edit_pairs(
+        corpus, max_dist=3, prefix_chars=30, fold_keys=False
+    )
+
+
 def q_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Changepoint detection, ORACLE-EXACT: two-sided Page CUSUM over
     each series' daily event counts (analytics.cusum_drift) — catches
@@ -4905,6 +4967,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_pq_topk_verified": q_pq_topk_verified,
         # rows-only-by-design backlog
         "q_multimodal_audio": q_multimodal_audio,
+        # rows-only by design (Python-side classification); the healthy
+        # state is a fixed 4-row diagonal — misclassification ADDS rows
+        "q_multimodal_reject_cert": q_multimodal_reject_cert,
         "q_incremental_near_dedup": q_incremental_near_dedup,
         "q_approx_percentiles": q_approx_percentiles,
         "q_simhash_near_dup": q_simhash_near_dup,
@@ -4938,6 +5003,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_lsh_eval": q_lsh_eval,
         # round-6 second-session additions (oracle-backed, no driver row yet)
         "q_passjoin_exact": q_passjoin_exact,
+        "q_passjoin_codepoint": q_passjoin_codepoint,
         "q_cusum_drift": q_cusum_drift,
         "q_interarrival_stats": q_interarrival_stats,
         "q_k_anonymity": q_k_anonymity,
@@ -7853,6 +7919,44 @@ def oracle_sql() -> dict[str, str]:
               ON a.doc_id < b.doc_id
              AND abs(length(a.pfx) - length(b.pfx)) <= 3
             WHERE levenshtein(a.pfx, b.pfx) <= 3
+            ORDER BY doc_a, doc_b
+        """,
+        # round 10: TRUE-codepoint distance on a non-ASCII corpus. DuckDB's
+        # levenshtein counts BYTES; re-encoding every codepoint through a
+        # corpus-wide 1-ASCII-byte dictionary (alphabet here ~29 « 94
+        # printable slots) makes byte distance ≡ Spark's codepoint distance
+        # — the codepoint-exploded formulation, folded back into one string
+        # so the O(n²) verify stays a native levenshtein call.
+        "q_passjoin_codepoint": """
+            WITH p0 AS (SELECT doc_id, substr(text, 1, 20) AS pfx0 FROM documents),
+            p AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 7 = 0 THEN '中' ELSE '' END ||
+                     CASE WHEN doc_id % 3 = 1 THEN translate(pfx0, 'aeo', 'áéö')
+                          ELSE pfx0 END AS pfx
+              FROM p0
+            ),
+            pf AS (SELECT doc_id, pfx FROM p WHERE length(pfx) >= 8),
+            alpha AS (
+              SELECT c, row_number() OVER (ORDER BY c) AS i
+              FROM (SELECT DISTINCT unnest(regexp_extract_all(pfx, '.')) AS c FROM pf)
+            ),
+            m AS (SELECT map(list(c ORDER BY c),
+                             list(chr(CAST(32 + i AS INTEGER)) ORDER BY c)) AS mp
+                  FROM alpha),
+            enc AS (
+              SELECT doc_id,
+                     list_aggregate(list_transform(regexp_extract_all(pfx, '.'),
+                                                   c -> mp[c][1]),
+                                    'string_agg', '') AS s
+              FROM pf, m
+            )
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   CAST(levenshtein(a.s, b.s) AS BIGINT) AS dist
+            FROM enc a JOIN enc b
+              ON a.doc_id < b.doc_id
+             AND abs(length(a.s) - length(b.s)) <= 3
+            WHERE levenshtein(a.s, b.s) <= 3
             ORDER BY doc_a, doc_b
         """,
         # round-6 second session: CUSUM — integer closed form, running

@@ -2099,3 +2099,135 @@ def audio_fingerprint(
             yield pd.DataFrame(rows, columns=cols)
 
     return df.select("doc_id", "payload").mapInPandas(_extract, AUDIO_FP_SCHEMA)
+
+
+# --------------------------------------------------------------------------
+# Reject-reason certification (round 10): chain the codec-fuzz contract
+# ("decode or clean-reject, never crash") into the driver's oracle gate
+# --------------------------------------------------------------------------
+
+#: SOF markers this decoder deliberately rejects (T.81 frame types the
+#: real-world Huffman-sequential/progressive corpus doesn't use)
+_JPEG_UNSUPPORTED_SOF = frozenset(
+    {0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF}
+)
+
+
+def jpeg_reject_reason(buf: bytes) -> str:
+    """Classify a payload against the JPEG decoder's accept/reject
+    contract: ``'ok'`` (decodes), ``'not_jpeg'`` (no SOI), ``'arith'``
+    (arithmetic/lossless/differential SOF — clean-rejected by design),
+    ``'truncated'`` (marker or entropy stream runs off the buffer),
+    ``'corrupt'`` (structurally intact but undecodable). Pure marker
+    walk — never decodes entropy data, so classification costs bytes,
+    not IDCTs. The codec fuzz family asserts decode-or-clean-reject per
+    seed; this classifier lets a REGISTERED query count the rejects by
+    reason so a decoder regression moves a row count in the driver's
+    correctness gate, not just a pytest assertion."""
+    if _parse_jpeg(buf) is not None:
+        return "ok"
+    if len(buf) < 4 or buf[0:2] != b"\xff\xd8":
+        return "not_jpeg"
+    pos = 2
+    saw_sos = False
+    while pos + 2 <= len(buf):
+        if buf[pos] != 0xFF:
+            return "corrupt"
+        marker = buf[pos + 1]
+        if marker == 0xD9:  # EOI reached: structure intact, decode failed
+            return "corrupt"
+        if marker in _JPEG_UNSUPPORTED_SOF:
+            return "arith"
+        if 0xD0 <= marker <= 0xD7:  # bare RSTn between scans
+            pos += 2
+            continue
+        if pos + 4 > len(buf):
+            return "truncated"
+        ln = int.from_bytes(buf[pos + 2 : pos + 4], "big")
+        if pos + 2 + ln > len(buf):
+            return "truncated"
+        pos += 2 + ln
+        if marker == 0xDA:
+            saw_sos = True
+            # entropy-coded bytes follow; resync to the next real marker
+            # (skip stuffed FF00 and RSTn) — absence of EOI = truncated
+            while pos + 1 < len(buf):
+                if buf[pos] == 0xFF and buf[pos + 1] not in (0x00, *range(0xD0, 0xD8)):
+                    break
+                pos += 1
+            else:
+                return "truncated"
+    if not saw_sos:
+        return "truncated"
+    return "truncated"
+
+
+def corrupt_jpeg_payloads(df: DataFrame, *, mode_col: str = "mode") -> DataFrame:
+    """Deterministic payload corruptor for the reject-certification
+    query: per row, apply ``mode``: ``'intact'`` (pass through),
+    ``'truncate'`` (cut the stream at 60% — mid-entropy for any real
+    image), ``'arith'`` (rewrite the SOF marker to SOF9, the
+    arithmetic-sequential frame type — headers otherwise untouched),
+    ``'garbage'`` (id-keyed non-JPEG bytes). Arrow-batched mapInPandas;
+    output schema (doc_id, mode, payload)."""
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField(mode_col, T.StringType()),
+            T.StructField("payload", T.BinaryType()),
+        ]
+    )
+
+    def _corrupt_one(doc_id: int, mode: str, buf: bytes) -> bytes:
+        if mode == "truncate":
+            return buf[: max(4, (len(buf) * 3) // 5)]
+        if mode == "arith":
+            for sof in (b"\xff\xc0", b"\xff\xc1", b"\xff\xc2"):
+                i = buf.find(sof)
+                if i >= 0:
+                    return buf[:i] + b"\xff\xc9" + buf[i + 2 :]
+            return buf
+        if mode == "garbage":
+            return bytes((doc_id * 31 + i * 7) % 256 for i in range(64))
+        return buf
+
+    def _gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = [
+                _corrupt_one(int(d), m, bytes(b) if b is not None else b"")
+                for d, m, b in zip(pdf["doc_id"], pdf[mode_col], pdf["payload"])
+            ]
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], mode_col: pdf[mode_col], "payload": out}
+            )
+
+    return df.select("doc_id", mode_col, "payload").mapInPandas(_gen, schema)
+
+
+REJECT_REPORT_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("reject_reason", T.StringType()),
+    ]
+)
+
+
+def decode_reject_report(df: DataFrame) -> DataFrame:
+    """Per-payload accept/reject classification (jpeg_reject_reason)
+    over a (doc_id, payload) frame — Arrow-batched mapInPandas, same
+    plumbing contract as decode_real."""
+
+    def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "reject_reason": [
+                        jpeg_reject_reason(bytes(b) if b is not None else b"")
+                        for b in pdf["payload"]
+                    ],
+                }
+            )
+
+    return df.select("doc_id", "payload").mapInPandas(_extract, REJECT_REPORT_SCHEMA)

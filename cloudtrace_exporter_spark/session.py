@@ -21,6 +21,43 @@ from pyspark.sql import DataFrame, SparkSession
 
 DEFAULT_CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
 
+ROCKSDB_STATE_PROVIDER = (
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+)
+
+
+def set_state_store(spark: SparkSession, provider: str) -> None:
+    """Select the streaming state store tier for queries started AFTER
+    this call (``providerClass`` is a runtime SQL conf read at query
+    start).
+
+    - ``"hdfs"`` (Spark default): state lives on the executor JVM heap,
+      snapshotted to the checkpoint. O(keys) heap — the r7 probe
+      measured 5.4 GB at 10M dedup keys, an OOM at the 100× tier.
+    - ``"rocksdb"``: state lives in per-partition RocksDB instances
+      (native memory + local SST files, changelog to the checkpoint) —
+      the standard large-state tier; heap stays O(1) in key count.
+
+    The reference's core loop is exactly this stateful dedup path
+    (``pkg/adapter/adapter.go:158-210`` ticker ingest + the MERGE dedup
+    semantics of ``pkg/neo4j/client.go:10-21``), so the state tier is
+    the one 100×-scale knob its workload needs.
+    """
+    if provider == "rocksdb":
+        spark.conf.set(
+            "spark.sql.streaming.stateStore.providerClass", ROCKSDB_STATE_PROVIDER
+        )
+        # changelog checkpointing ships per-batch deltas instead of full
+        # SST snapshots — the commit-latency half of the RocksDB tier
+        spark.conf.set(
+            "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
+            "true",
+        )
+    elif provider == "hdfs":
+        spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    else:
+        raise ValueError(f"unknown state store provider {provider!r}")
+
 
 def get_spark(app_name: str = "cloudtrace_exporter_spark", cpus: str | None = None) -> SparkSession:
     """Build (or reuse) the engine's SparkSession.
@@ -51,6 +88,12 @@ def get_spark(app_name: str = "cloudtrace_exporter_spark", cpus: str | None = No
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    # SPARK_GRAFT_STATE_STORE=rocksdb flips streaming state off the JVM
+    # heap (see set_state_store) — an env knob so child processes (the
+    # kill -9 probes) inherit the tier without code changes
+    env_provider = os.environ.get("SPARK_GRAFT_STATE_STORE")
+    if env_provider:
+        set_state_store(spark, env_provider)
     return spark
 
 

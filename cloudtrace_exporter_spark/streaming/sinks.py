@@ -94,22 +94,34 @@ def foreach_batch_graph_upsert(
 
 
 def foreach_batch_jsonl_sender(
-    out_path: str, counters: DeliveryCounters | None = None
+    out_path: str,
+    counters: DeliveryCounters | None = None,
+    transport: Callable[[list[str], int], None] | None = None,
 ) -> Callable[[DataFrame, int], None]:
     """A13/A17 HTTP-push analog with a file transport: serialize each event
     (CloudEvents-style JSON lines) and append to the sink path, counting
-    delivered records. Swapping the file write for an HTTP POST per
-    *batch* (not per event) is the production path — the reference's
-    1-POST-per-event granularity (adapter.go:146) is the throughput bug
-    this engine exists to fix, so it is not reproduced.
+    delivered records. ``transport`` is the delivery seam — it receives
+    (serialized lines, epoch_id) and defaults to the file append; the
+    production swap-in is an HTTP POST per *batch* (not per event — the
+    reference's 1-POST-per-event granularity, adapter.go:146, is the
+    throughput bug this engine exists to fix, so it is not reproduced).
+    A transport exception is the per-batch failure path: counted
+    ``failed`` when counters are attached (the reference's multierror
+    tolerance), re-raised otherwise so the query fails and the batch
+    replays from the checkpoint on restart (at-least-once transport).
     """
+
+    def _default_transport(lines: list[str], _epoch_id: int) -> None:
+        with open(out_path, "a", encoding="utf-8") as fh:
+            for r in lines:
+                fh.write(r + "\n")
+
+    send = transport or _default_transport
 
     def _sink(batch_df: DataFrame, epoch_id: int) -> None:
         try:
             rows = batch_df.toJSON().collect()  # sink-side egress, batch-bounded
-            with open(out_path, "a", encoding="utf-8") as fh:
-                for r in rows:
-                    fh.write(r + "\n")
+            send(rows, epoch_id)
             if counters:
                 counters.record(delivered=len(rows))
         except Exception as exc:

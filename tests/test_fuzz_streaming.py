@@ -978,3 +978,117 @@ def test_sfz_dedup_finite_watermark(spark, stream_fuzz_root, seed):
         assert n_emit <= max(groups, 1) + sum(
             1 for b, ts in dels if ts == w_late[b]
         ), f"seed={seed}: key {key} emitted {n_emit}x with {groups} live groups"
+
+
+# ---------------------------------------------------------------------------
+# Sink-fault families (round 10): A13's delivered/failed accounting under
+# injected transport failures, and at-least-once replay across a restart
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("seed", range(SEEDS_W6))
+def test_sfz_sink_fault_counters(spark, stream_fuzz_root, seed, tmp_path):
+    """Tolerated per-batch transport faults: with counters attached, a
+    failing batch is counted failed=1 (reference multierror tolerance),
+    the query never dies, and the sink file holds EXACTLY the rows of
+    the non-failed batches — counters must equal a Python replay of the
+    pinned file→batch order."""
+    import json as _json
+    from collections import Counter
+
+    from cloudtrace_exporter_spark.streaming.sinks import (
+        DeliveryCounters,
+        foreach_batch_jsonl_sender,
+    )
+
+    src, files = _gen_stream_corpus(seed, stream_fuzz_root)
+    n_files = len(files)
+    rng = random.Random(seed * 31 + 11)
+    fail = set(rng.sample(range(n_files), max(1, n_files // 2)))
+    out = str(tmp_path / "sink.jsonl")
+    counters = DeliveryCounters()
+
+    def flaky_transport(lines: list[str], epoch: int) -> None:
+        if epoch in fail:
+            raise RuntimeError(f"injected transport fault @ batch {epoch}")
+        with open(out, "a", encoding="utf-8") as fh:
+            for r in lines:
+                fh.write(r + "\n")
+
+    sink = foreach_batch_jsonl_sender(out, counters, transport=flaky_transport)
+    stream = read_event_stream(spark, src, max_files_per_trigger=1)
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    expected_delivered = sum(len(files[b]) for b in range(n_files) if b not in fail)
+    assert counters.delivered == expected_delivered, f"seed={seed}"
+    assert counters.failed == len(fail), f"seed={seed}"
+    assert counters.batches == n_files, f"seed={seed}"
+    assert len(counters.errors) == len(fail), f"seed={seed}"
+    got = Counter()
+    if os.path.exists(out):
+        with open(out, encoding="utf-8") as fh:
+            for line in fh:
+                got[_json.loads(line)["event_id"]] += 1
+    want = Counter(
+        r["event_id"] for b in range(n_files) if b not in fail for r in files[b]
+    )
+    assert got == want, f"seed={seed}: sink content != non-failed batches"
+
+
+@pytest.mark.parametrize("seed", range(SEEDS_W6))
+def test_sfz_sink_fault_restart_exactly_once(spark, stream_fuzz_root, seed, tmp_path):
+    """Escalated transport fault + restart: without counters the sink
+    re-raises, the query dies mid-stream, and a restart from the SAME
+    checkpoint replays ONLY the uncommitted batch — every corpus row
+    lands in the sink exactly once (committed batches are never
+    re-sent), and the failed batch's transport sees exactly 2 attempts."""
+    import json as _json
+    from collections import Counter
+
+    from cloudtrace_exporter_spark.streaming.sinks import foreach_batch_jsonl_sender
+
+    src, files = _gen_stream_corpus(seed, stream_fuzz_root)
+    n_files = len(files)
+    rng = random.Random(seed * 97 + 5)
+    kill_batch = rng.randrange(n_files)
+    out = str(tmp_path / "sink.jsonl")
+    ckpt = str(tmp_path / "ckpt")
+    attempts: dict[int, int] = {}
+
+    def flaky_transport(lines: list[str], epoch: int) -> None:
+        attempts[epoch] = attempts.get(epoch, 0) + 1
+        if epoch == kill_batch and attempts[epoch] == 1:
+            raise RuntimeError("transient transport fault (first attempt)")
+        with open(out, "a", encoding="utf-8") as fh:
+            for r in lines:
+                fh.write(r + "\n")
+
+    def run():
+        sink = foreach_batch_jsonl_sender(out, None, transport=flaky_transport)
+        stream = read_event_stream(spark, src, max_files_per_trigger=1)
+        q = (
+            stream.writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    with pytest.raises(Exception, match="transient transport fault"):
+        run()
+    run()  # resume: replays ONLY batch kill_batch, then drains the rest
+    got = Counter()
+    with open(out, encoding="utf-8") as fh:
+        for line in fh:
+            got[_json.loads(line)["event_id"]] += 1
+    want = Counter(r["event_id"] for chunk in files for r in chunk)
+    assert got == want, f"seed={seed}: restart lost or duplicated rows"
+    assert attempts[kill_batch] == 2, f"seed={seed}: failed batch attempts"
+    assert all(
+        v == 1 for b, v in attempts.items() if b != kill_batch
+    ), f"seed={seed}: a committed batch was re-sent: {attempts}"

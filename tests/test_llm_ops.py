@@ -458,6 +458,48 @@ def test_parse_jpeg_rejects():
     assert multimodal._parse_jpeg(real_prog[: len(real_prog) // 2]) is None
 
 
+def test_jpeg_reject_reason_classes():
+    """The reject-reason classifier (round 10) maps each planted payload
+    class to its pinned label — the unit twin of the registered
+    q_multimodal_reject_cert diagonal."""
+    import numpy as np
+
+    rgb = (np.mgrid[0:16, 0:16][0] * 3 + 20).astype(np.uint8)
+    rgb = np.stack([rgb, rgb, rgb], axis=-1)
+    for enc in (multimodal.encode_jpeg, multimodal.encode_jpeg_progressive):
+        buf = enc(rgb, quality=90)
+        assert multimodal.jpeg_reject_reason(buf) == "ok"
+        assert multimodal.jpeg_reject_reason(buf[: (len(buf) * 3) // 5]) == "truncated"
+        arith = buf.replace(b"\xff\xc0", b"\xff\xc9", 1).replace(
+            b"\xff\xc2", b"\xff\xc9", 1
+        )
+        assert multimodal.jpeg_reject_reason(arith) == "arith"
+    assert multimodal.jpeg_reject_reason(b"not a jpeg") == "not_jpeg"
+    assert multimodal.jpeg_reject_reason(b"") == "not_jpeg"
+    # structurally intact stream that fails decode: a baseline-grammar
+    # scan inside a declared-progressive frame → corrupt, not truncated
+    base = multimodal.encode_jpeg(rgb, quality=90)
+    assert (
+        multimodal.jpeg_reject_reason(base.replace(b"\xff\xc0", b"\xff\xc2", 1))
+        == "corrupt"
+    )
+
+
+def test_multimodal_reject_cert_diagonal(spark, sf_dir):
+    """Registered-query twin: healthy state is EXACTLY the 4-row
+    (mode, reason) diagonal at 100 docs per class."""
+    import __spark_entry__ as em
+
+    rows = em.queries()["q_multimodal_reject_cert"](spark, sf_dir).collect()
+    got = {(r["mode"], r["reject_reason"]): r["n_docs"] for r in rows}
+    assert got == {
+        ("intact", "ok"): 100,
+        ("truncate", "truncated"): 100,
+        ("arith", "arith"): 100,
+        ("garbage", "not_jpeg"): 100,
+    }
+
+
 def test_progressive_jpeg_decodes_bit_identical_to_baseline():
     """The SOF2 decoder (r9, verdict item #4): a progressive encoding
     carries the same quantized coefficients as the baseline encoding of

@@ -388,6 +388,9 @@ def test_registry_consistency():
         # stats_agree parity bit is the in-row oracle
         "q_multimodal_jpeg",  # r8: Python-side T.81 JPEG decode; lossy
         # codec, so the in-row stats_agree tolerance bit is the oracle
+        "q_multimodal_reject_cert",  # r10: Python-side reject classifier;
+        # healthy output is a pinned 4-row diagonal — misclassification
+        # ADDS (mode, reason) groups, so the rows-only count IS the gate
     }
     assert rows_only == documented, (
         f"undocumented rows-only: {rows_only - documented}; "

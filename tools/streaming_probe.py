@@ -199,13 +199,19 @@ def run_pipeline_file_source(spark, pages_dir: str, work: str, files_per_trigger
         if rows_in == 0:
             continue
         so = (p.get("stateOperators") or [{}])[0]
+        cm = so.get("customMetrics") or {}
         batches.append(
             {
                 "batch": p.get("batchId"),
                 "rows_in": rows_in,
                 "trigger_ms": int((p.get("durationMs") or {}).get("triggerExecution") or 0),
                 "state_rows": int(so.get("numRowsTotal") or 0),
+                # HDFS provider: memoryUsedBytes IS the heap bill.
+                # RocksDB provider: memoryUsedBytes is native block-cache/
+                # memtable memory and the durable state sits in local SST
+                # files — report both so the heap-vs-disk split is explicit.
                 "state_mb": round(int(so.get("memoryUsedBytes") or 0) / 1e6, 1),
+                "sst_mb": round(int(cm.get("rocksdbSstFileSize") or 0) / 1e6, 1),
             }
         )
     wall = time.time() - t0
@@ -521,9 +527,17 @@ def main() -> None:
     source = "simple"
     if "--source" in sys.argv:
         source = sys.argv[sys.argv.index("--source") + 1]
-    from cloudtrace_exporter_spark.session import get_spark
+    state = "hdfs"
+    if "--state" in sys.argv:
+        state = sys.argv[sys.argv.index("--state") + 1]
+    from cloudtrace_exporter_spark.session import get_spark, set_state_store
 
+    # env (not just conf) so the kill-resume CHILD process inherits the
+    # same state tier through its own get_spark
+    os.environ["SPARK_GRAFT_STATE_STORE"] = state
     spark = get_spark("streaming_probe")
+    set_state_store(spark, state)
+    print(f"state store tier: {state}")
     if source == "sketch":
         probe_sketch_state(spark, scales=tuple(scales))
         return
@@ -539,14 +553,20 @@ def main() -> None:
                 # grows with copies (11 batches at 1x, 110 at 10x), so
                 # "per-batch wall stays flat" is tested, not assumed
                 landed = build_trace_parquet(spark, sf_dir, pages, copies, n_files=11 * copies)
+                # --fpt N files per trigger (default 1: constant rows/batch,
+                # batch count grows with scale; --fpt <copies> reproduces the
+                # r7 11-batch rows-per-batch-grows shape for state probes)
+                fpt = 1
+                if "--fpt" in sys.argv:
+                    fpt = int(sys.argv[sys.argv.index("--fpt") + 1])
                 wall, counters, batches = run_pipeline_file_source(
-                    spark, pages, root, files_per_trigger=1
+                    spark, pages, root, files_per_trigger=fpt
                 )
                 for b in batches:
                     print(
                         f"  {copies}x batch {b['batch']:>3}: in={b['rows_in']:>8} "
                         f"trigger={b['trigger_ms']:>7} ms state_rows={b['state_rows']:>8} "
-                        f"state={b['state_mb']:.1f} MB"
+                        f"state={b['state_mb']:.1f} MB sst={b['sst_mb']:.1f} MB"
                     )
                 walls = [b["trigger_ms"] for b in batches]
                 dropped = landed - counters.delivered

@@ -898,6 +898,17 @@ def q_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.cluster_sizes(_dedup_clusters(spark, sf_dir))
 
 
+def q_dedup_survivors_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B33, ORACLE-EXACT (round 10): quality-aware survivor selection —
+    keep the LONGEST member of each near-dup cluster (token count desc,
+    id asc tiebreak) instead of the min id (dedup.survivors_by_quality);
+    the curation-grade keep rule next to q_dedup_survivors' min-id one.
+    Reuses the memoized cluster assignment; component labels stay the
+    min-id ones so the two policies join."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 1000)
+    return dedup.survivors_by_quality(docs, assign=_dedup_clusters(spark, sf_dir))
+
+
 def q_soft_dedup_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplicate-aware loss weighting, ORACLE-EXACT: per-doc 1/cluster-
     size ppm weights over the memoized near-dup component assignment
@@ -4550,6 +4561,25 @@ def q_dbscan_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic dedup, ORACLE-EXACT (SemDeDup, Abbas et al. 2023; round
+    10): k-means cluster the planted embedding corpus, drop all but the
+    min-id member of every within-cluster cos≥0.95 dup group
+    (similarity.semdedup_scaled). The semantic tier of the dedup funnel
+    — catches re-phrasings text LSH can't see. Composes three verified
+    substrates (integer k-means / BIGINT ε-test / connected components),
+    so the full pipeline replays in DuckDB: kmeans CTE chain + same-cell
+    pair test + recursive reach components. Expected artifact: every
+    planted perturbation group collapses to keep=1-of-4."""
+    return similarity.semdedup_scaled(
+        _dbscan_corpus(spark, sf_dir),
+        n_centroids=8,
+        lloyd_iters=2,
+        tau_num=95,
+        tau_den=100,
+    )
+
+
 def q_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Retrieval diversity, ORACLE-EXACT: maximal-marginal-relevance
     greedy rerank of the top-20 candidates per query
@@ -4937,6 +4967,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_phash_dedup": q_phash_dedup,
         # ---- round-7 additions (oracle-backed, never sampled) ----
         "q_dbscan_lsh": q_dbscan_lsh,
+        "q_semdedup": q_semdedup,
+        "q_dedup_survivors_quality": q_dedup_survivors_quality,
         "q_retention_cohorts": q_retention_cohorts,
         "q_pack_layout": q_pack_layout,
         "q_ngram_novelty": q_ngram_novelty,
@@ -5641,6 +5673,115 @@ def _dbscan_oracle_sql(*, block: bool) -> str:
         """
 
 
+def _semdedup_oracle_sql(
+    *,
+    n_centroids: int = 8,
+    lloyd_iters: int = 2,
+    tau_num: int = 95,
+    tau_den: int = 100,
+    scale: int = 10**3,
+) -> str:
+    """DuckDB replay of similarity.semdedup_scaled over the planted
+    dbscan corpus: the integer k-means CTE chain (the q_ivf_topk_verified
+    machinery at ×10³), the same-cell ε-pair test (q_dbscan machinery),
+    and the reach-based component CTE (q_dedup_clusters machinery) —
+    three verified substrates composed, nothing new to trust."""
+
+    def dist(a: str, b: str) -> str:
+        return (
+            f"(list_dot_product({a}, {a}) - 2 * list_dot_product({a}, {b})"
+            f" + list_dot_product({b}, {b}))"
+        )
+
+    rounds = []
+    for r in range(1, lloyd_iters + 1):
+        rounds.append(f""",
+        a{r} AS (
+          SELECT id, v, cell FROM (
+            SELECT v.id, v.v, c.cell,
+                   row_number() OVER (PARTITION BY v.id
+                     ORDER BY {dist('v.v', 'c.c')}, c.cell) AS rn
+            FROM v CROSS JOIN c{r - 1} c
+          ) WHERE rn = 1
+        ),
+        c{r} AS (
+          SELECT cell, list(d ORDER BY pos) AS c FROM (
+            SELECT cell, pos, CAST(CAST(sum(val) AS BIGINT) // count(*) AS DOUBLE) AS d
+            FROM (
+              SELECT a.cell,
+                     generate_subscripts(a.v, 1) AS pos,
+                     unnest(a.v) AS val
+              FROM a{r} a
+            ) GROUP BY cell, pos
+          ) GROUP BY cell
+        )""")
+    idot = (
+        "CAST(list_sum(list_transform(range(1, len(a.v) + 1),"
+        " i -> a.v[i] * b.v[i])) AS BIGINT)"
+    )
+    return f"""
+        WITH RECURSIVE raw AS (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+          FROM embeddings WHERE vec_id < 500
+        ),
+        plant AS (
+          SELECT r.vec_id + c.c * 1000000 AS vec_id,
+                 list_transform(range(1, len(r.emb) + 1),
+                   i -> r.emb[i] + CASE WHEN i - 1 = r.vec_id % 64
+                                        THEN 0.1 * c.c ELSE 0.0 END) AS emb
+          FROM raw r CROSS JOIN (SELECT unnest(range(1, 4)) AS c) c
+          WHERE r.vec_id < 50
+        ),
+        allv AS (SELECT * FROM raw UNION ALL SELECT * FROM plant),
+        v AS (
+          SELECT vec_id AS id,
+                 list_transform(emb, x -> round(x * {scale})) AS v
+          FROM allv
+        ),
+        c0 AS (
+          SELECT cell, c FROM (
+            SELECT row_number() OVER (ORDER BY id) - 1 AS cell, v AS c FROM v
+          ) WHERE cell < {n_centroids}
+        ){"".join(rounds)},
+        fin AS (
+          SELECT id, v, cell FROM (
+            SELECT v.id, v.v, c.cell,
+                   row_number() OVER (PARTITION BY v.id
+                     ORDER BY {dist('v.v', 'c.c')}, c.cell) AS rn
+            FROM v CROSS JOIN c{lloyd_iters} c
+          ) WHERE rn = 1
+        ),
+        e AS (
+          SELECT id, v, cell,
+                 CAST(list_sum(list_transform(range(1, len(v) + 1),
+                      i -> v[i] * v[i])) AS BIGINT) AS n2
+          FROM fin
+        ),
+        eps AS MATERIALIZED (
+          SELECT a.id AS ia, b.id AS ib
+          FROM e a JOIN e b ON a.id < b.id AND a.cell = b.cell
+          WHERE {idot} >= 0
+            AND {idot} * {idot} * {tau_den * tau_den}
+                >= {tau_num * tau_num} * a.n2 * b.n2
+        ),
+        e2 AS (SELECT ia AS a, ib AS b FROM eps
+               UNION SELECT ib, ia FROM eps),
+        reach(a, b) AS (
+          SELECT a, b FROM e2
+          UNION
+          SELECT r.a, e3.b FROM reach r JOIN e2 e3 ON r.b = e3.a
+        ),
+        comp AS (SELECT a AS id, least(a, min(b)) AS component
+                 FROM reach GROUP BY a)
+        SELECT f.id AS vec_id,
+               CAST(f.cell AS BIGINT) AS cell,
+               CAST(COALESCE(c.component, f.id) AS BIGINT) AS component,
+               COALESCE(c.component, f.id) = f.id AS keep
+        FROM fin f LEFT JOIN comp c ON f.id = c.id
+        ORDER BY vec_id
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     rev = "l_extendedprice * (1 - l_discount)"
     d = {
@@ -6067,6 +6208,22 @@ def oracle_sql() -> dict[str, str]:
         + """
             SELECT component AS survivor_doc_id, count(*) AS n_members
             FROM assign GROUP BY component
+        """,
+        # round 10: quality-aware keep rule — longest member (token count
+        # desc, id asc) wins its cluster; same assignment substrate
+        "q_dedup_survivors_quality": _CLUSTERS_SQL.format(tok=_TOKENS_SQL)
+        + """
+            , nt AS (
+              SELECT doc_id,
+                     CAST(len(list_filter(string_split(COALESCE(text, ''), ' '),
+                                          x -> x <> '')) AS BIGINT) AS n_tok
+              FROM documents WHERE doc_id < 1000
+            )
+            SELECT a.doc_id, a.component, nt.n_tok,
+                   row_number() OVER (PARTITION BY a.component
+                                      ORDER BY nt.n_tok DESC, a.doc_id ASC) = 1 AS keep
+            FROM assign a JOIN nt USING (doc_id)
+            ORDER BY a.doc_id
         """,
         # round-6 second session: soft-dedup ppm weights over the same
         # component assignment — integer div, flooring residue reported
@@ -8232,6 +8389,8 @@ def oracle_sql() -> dict[str, str]:
         # additionally requires sign-block bucket equality (the integer
         # axis-aligned hyperplane replay of similarity.sign_block_pairs)
         "q_dbscan_lsh": _dbscan_oracle_sql(block=True),
+        # round 10: SemDeDup — kmeans + same-cell eps-pairs + reach CC
+        "q_semdedup": _semdedup_oracle_sql(),
         # round-7: packing layout — exclusive integer prefix sum over the
         # doc_id total order; bin/pos by floor-div/mod at L=2048
         "q_pack_layout": f"""

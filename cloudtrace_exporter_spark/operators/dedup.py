@@ -1082,6 +1082,54 @@ def dedup_clusters(
     )
 
 
+def survivors_by_quality(
+    df: DataFrame,
+    *,
+    threshold: float = 0.95,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    pairs: DataFrame | None = None,
+    assign: DataFrame | None = None,
+) -> DataFrame:
+    """Quality-aware survivor selection (round 10): keep the LONGEST
+    member of each near-dup cluster (token count desc, doc id asc
+    tiebreak) instead of the min id — the curation-grade keep rule: when
+    a page and its truncated mirror collide, min-id keeps whichever
+    crawled first, this keeps the complete one. Same cluster substrate
+    as :func:`dedup_clusters` (pair-source-agnostic; inject LSH pairs at
+    100 TB).
+
+    Output: (doc_id, component, n_tok, keep) for every document —
+    component is the min-id cluster label (stable across keep rules, so
+    the two survivor policies are joinable), keep marks the argmax-
+    quality member. NULL text counts 0 tokens on both engines (the
+    coalesce-the-text-column pin).
+
+    Scale shape: one component-keyed window over the assignment (the
+    normalized_dedup group-window precedent); token counts are a narrow
+    map; no new joins beyond dedup_clusters' own. Pass ``assign`` (a
+    (doc_id, component) frame) to reuse a memoized cluster assignment —
+    the assignment table is a build-once artifact.
+    """
+    from cloudtrace_exporter_spark.operators.text import token_count
+
+    if assign is None:
+        assign = dedup_clusters(
+            df, threshold=threshold, text_col=text_col, id_col=id_col, pairs=pairs
+        )
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        token_count(F.coalesce(F.col(text_col), F.lit(""))).cast("long").alias("n_tok"),
+    )
+    w = Window.partitionBy("component").orderBy(F.desc("n_tok"), F.asc("doc_id"))
+    return (
+        assign.join(toks, "doc_id")
+        .withColumn("keep", F.row_number().over(w) == 1)
+        .select("doc_id", "component", "n_tok", "keep")
+        .orderBy("doc_id")
+    )
+
+
 def cluster_sizes(assign: DataFrame) -> DataFrame:
     """Per-cluster summary over a (doc_id, component) assignment:
     survivor doc id (== component label, the min id) and member count.

@@ -356,6 +356,72 @@ def _trunc_div(a: int, b: int) -> int:
     return q if (a >= 0) == (b >= 0) else -q
 
 
+def _int_sq_dist(a: F.Column, b: F.Column) -> F.Column:
+    """Exact BIGINT squared distance between integer-quantized vectors."""
+    d = F.zip_with(a, b, lambda x, y: x - y)
+    return F.aggregate(d, F.lit(0).cast("long"), lambda acc, x: acc + x * x)
+
+
+def _nearest_scaled(col: F.Column, cents: list[tuple[int, list[int]]]) -> F.Column:
+    """Nearest-centroid cell over a literal integer centroid matrix —
+    exact BIGINT distances, ties break on the lower cell id."""
+    m = F.array(*[F.array(*[F.lit(int(x)) for x in c]) for _, c in cents])
+    cells = F.array(*[F.lit(int(cid)) for cid, _ in cents])
+    ranked = F.array_sort(
+        F.zip_with(
+            F.transform(m, lambda c: _int_sq_dist(col, c)),
+            cells,
+            lambda d, c: F.struct(d.alias("d"), c.alias("c")),
+        )
+    )
+    return F.element_at(ranked, 1)["c"]
+
+
+def _scaled_kmeans(
+    corpus: DataFrame,
+    *,
+    n_centroids: int,
+    lloyd_iters: int,
+    scale: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, list[tuple[int, list[int]]]]:
+    """ORACLE-EXACT integer k-means shared by ivf_topk_scaled and
+    semdedup_scaled: deterministic lowest-id seeding, ``lloyd_iters``
+    Lloyd rounds over ×``scale``-quantized BIGINT vectors (exact integer
+    distance sums, truncating-division centroid updates — the whole
+    trajectory replays in DuckDB). Returns (assigned(id, v, cell),
+    centroid list). Centroid collects are n_centroids × dim ints — KBs,
+    the sanctioned index-artifact collect; assignment is a narrow
+    literal-matrix argmin (no join, no corpus shuffle)."""
+    qvec = F.transform(_as_double(vec_col), lambda x: F.round(x * scale).cast("long"))
+    v = corpus.select(F.col(id_col).alias("id"), qvec.alias("v"))
+    seed_rows = v.orderBy("id").limit(n_centroids).collect()
+    # EMPTY corpus (A12): one degenerate centroid keeps the literal
+    # ranking expressions well-formed; zero rows flow through
+    cents = [(i, [int(x) for x in r["v"]]) for i, r in enumerate(seed_rows)] or [
+        (0, [0])
+    ]
+    for _ in range(lloyd_iters):
+        assigned = v.withColumn("cell", _nearest_scaled(F.col("v"), cents))
+        sums = (
+            assigned.select("cell", F.posexplode("v").alias("pos", "val"))
+            .groupBy("cell", "pos")
+            .agg(F.sum("val").alias("s"), F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        by_cell: dict[int, dict[int, tuple[int, int]]] = {}
+        for r in sums:
+            by_cell.setdefault(r["cell"], {})[r["pos"]] = (r["s"], r["n"])
+        # keep the previous centroids when no vector voted (empty corpus)
+        cents = [
+            (cell, [_trunc_div(*dims[p]) for p in sorted(dims)])
+            for cell, dims in sorted(by_cell.items())
+        ] or cents
+    assigned = v.withColumn("cell", _nearest_scaled(F.col("v"), cents))
+    return assigned, cents
+
+
 def ivf_topk_scaled(
     corpus: DataFrame,
     queries: DataFrame,
@@ -387,49 +453,14 @@ def ivf_topk_scaled(
     literal-ranked cell selection + candidate equi-join.
     """
     qvec = F.transform(_as_double(vec_col), lambda x: F.round(x * scale).cast("long"))
-    v = corpus.select(F.col(id_col).alias("id"), qvec.alias("v"))
-
-    def int_sq_dist(a: F.Column, b: F.Column) -> F.Column:
-        d = F.zip_with(a, b, lambda x, y: x - y)
-        return F.aggregate(d, F.lit(0).cast("long"), lambda acc, x: acc + x * x)
-
-    def nearest(col: F.Column, cents: list[tuple[int, list[int]]]) -> F.Column:
-        m = F.array(
-            *[F.array(*[F.lit(int(x)) for x in c]) for _, c in cents]
-        )
-        cells = F.array(*[F.lit(int(cid)) for cid, _ in cents])
-        ranked = F.array_sort(
-            F.zip_with(
-                F.transform(m, lambda c: int_sq_dist(col, c)),
-                cells,
-                lambda d, c: F.struct(d.alias("d"), c.alias("c")),
-            )
-        )
-        return F.element_at(ranked, 1)["c"]
-
-    seed_rows = v.orderBy("id").limit(n_centroids).collect()
-    # EMPTY corpus (A12): one degenerate centroid keeps the literal
-    # ranking expressions well-formed; zero rows flow through
-    cents = [(i, [int(x) for x in r["v"]]) for i, r in enumerate(seed_rows)] or [
-        (0, [0])
-    ]
-    for _ in range(lloyd_iters):
-        assigned = v.withColumn("cell", nearest(F.col("v"), cents))
-        sums = (
-            assigned.select("cell", F.posexplode("v").alias("pos", "val"))
-            .groupBy("cell", "pos")
-            .agg(F.sum("val").alias("s"), F.count(F.lit(1)).alias("n"))
-            .collect()
-        )
-        by_cell: dict[int, dict[int, tuple[int, int]]] = {}
-        for r in sums:
-            by_cell.setdefault(r["cell"], {})[r["pos"]] = (r["s"], r["n"])
-        # keep the previous centroids when no vector voted (empty corpus)
-        cents = [
-            (cell, [_trunc_div(*dims[p]) for p in sorted(dims)])
-            for cell, dims in sorted(by_cell.items())
-        ] or cents
-    assigned = v.withColumn("cell", nearest(F.col("v"), cents))
+    assigned, cents = _scaled_kmeans(
+        corpus,
+        n_centroids=n_centroids,
+        lloyd_iters=lloyd_iters,
+        scale=scale,
+        id_col=id_col,
+        vec_col=vec_col,
+    )
 
     # probe: same literal ranking over the final centroids
     q = queries.select(F.col(id_col).alias("query_id"), qvec.alias("qv"))
@@ -437,7 +468,7 @@ def ivf_topk_scaled(
     cells_arr = F.array(*[F.lit(int(cid)) for cid, _ in cents])
     ranked = F.array_sort(
         F.zip_with(
-            F.transform(m, lambda c: int_sq_dist(F.col("qv"), c)),
+            F.transform(m, lambda c: _int_sq_dist(F.col("qv"), c)),
             cells_arr,
             lambda d, c: F.struct(d.alias("d"), c.alias("c")),
         )
@@ -2207,3 +2238,101 @@ def anisotropy_report(
             ok, F.round(F.col("__snum").cast("double") / den.cast("double"), 6)
         ).alias("off_axis_frac"),
     ).orderBy("label")
+
+
+def semdedup_scaled(
+    corpus: DataFrame,
+    *,
+    n_centroids: int = 8,
+    lloyd_iters: int = 2,
+    tau_num: int = 95,
+    tau_den: int = 100,
+    scale: int = 10**3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup (Abbas et al., "SemDeDup: Data-efficient learning at
+    web-scale through semantic deduplication", 2023) — ORACLE-EXACT:
+    k-means cluster the embedding space, then WITHIN each cluster drop
+    all but one representative of every semantic-duplicate group
+    (pairwise cos ≥ tau), keeping the min-id member. The semantic tier
+    of the dedup funnel: exact/MinHash dedup catches copies of the same
+    TEXT; SemDeDup catches re-phrasings and near-identical content with
+    different surface forms — the pair LSH text dedup can't see.
+
+    Composition of three already-verified substrates, so the whole
+    pipeline replays in DuckDB: (1) the integer k-means of
+    ivf_topk_scaled (``_scaled_kmeans`` — exact BIGINT distances,
+    truncating-division updates, lowest-id seeding); (2) the DBSCAN
+    ε-test (cos ≥ num/den ⟺ dot ≥ 0 ∧ dot²·den² ≥ num²·‖a‖²·‖b‖², all
+    BIGINTs at ×10³ quantization — never a sqrt); (3)
+    dedup.connected_components for within-cluster dup groups (semantic
+    dups chain: A≈B≈C with cos(A,C) < tau must still collapse to one
+    representative — pairwise-only keep rules double-keep the chain's
+    ends).
+
+    Scale shape: the pair join is equi on the CELL (cluster-bounded
+    candidate volume — the paper's own trick for web-scale corpora; at
+    100 TB raise n_centroids so cells stay bucket-sized), the ε-verify
+    streams in-partition, and the CC rounds touch only ε-pairs.
+
+    Output: (vec_id, cell, component, keep) per corpus vector —
+    component = min id of the vector's within-cluster dup group (own id
+    for singletons), keep = (component == vec_id). All integers/bools.
+    """
+    from . import dedup as _dedup
+
+    assigned, _ = _scaled_kmeans(
+        corpus,
+        n_centroids=n_centroids,
+        lloyd_iters=lloyd_iters,
+        scale=scale,
+        id_col=id_col,
+        vec_col=vec_col,
+    )
+    self_dot = F.aggregate(
+        F.zip_with("v", "v", lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    # the assigned frame fans out three ways (both pair sides + the final
+    # all-vectors join): one materialization, KBs per thousand rows
+    base = cache_once(assigned.withColumn("n2", self_dot))
+    a = base.select(
+        "cell", F.col("id").alias("ia"), F.col("v").alias("va"), F.col("n2").alias("na")
+    )
+    b = base.select(
+        "cell", F.col("id").alias("ib"), F.col("v").alias("vb"), F.col("n2").alias("nb")
+    )
+    dot = F.aggregate(
+        F.zip_with("va", "vb", lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    pairs = (
+        a.join(b, "cell")
+        .filter(F.col("ia") < F.col("ib"))
+        .withColumn("__dot", dot)
+        .filter(
+            (F.col("__dot") >= 0)
+            & (
+                F.col("__dot") * F.col("__dot") * F.lit(tau_den * tau_den)
+                >= F.lit(tau_num * tau_num) * F.col("na") * F.col("nb")
+            )
+        )
+        .select("ia", "ib")
+    )
+    comp = _dedup.connected_components(pairs, src="ia", dst="ib").withColumnRenamed(
+        "id", "cid"
+    )
+    return (
+        base.select("id", "cell")
+        .join(comp, base["id"] == comp["cid"], "left")
+        .select(
+            F.col("id").alias("vec_id"),
+            F.col("cell").cast("long").alias("cell"),
+            F.coalesce("comp", F.col("id")).alias("component"),
+            (F.coalesce("comp", F.col("id")) == F.col("id")).alias("keep"),
+        )
+        .orderBy("vec_id")
+    )

@@ -3310,3 +3310,78 @@ def test_curriculum_schedule_tiers_partition_and_accumulate(spark):
     )
     first = curate.curriculum_schedule(with_null).collect()[0]
     assert first["min_tokens"] == 0  # NULL text -> 0 tokens, tier 0
+
+
+# --------------------------------------------------------------------------
+# SemDeDup (round 10)
+# --------------------------------------------------------------------------
+
+
+def test_semdedup_collapses_planted_groups(spark, sf_dir):
+    """SemDeDup over the planted corpus: ≥48/50 perturbation groups
+    collapse to a single min-id survivor (a group may legitimately split
+    at a k-means cell boundary — the oracle replays that too); keeps =
+    one per component; survivors are their own component labels."""
+    import __spark_entry__ as em
+
+    rows = {r["vec_id"]: r for r in em.queries()["q_semdedup"](spark, sf_dir).collect()}
+    full = 0
+    for s in range(50):
+        grp = [s] + [s + c * 1_000_000 for c in (1, 2, 3)]
+        if {rows[g]["component"] for g in grp} == {s} and [
+            g for g in grp if rows[g]["keep"]
+        ] == [s]:
+            full += 1
+    assert full >= 48, f"only {full}/50 planted groups collapsed"
+    comps = {r["component"] for r in rows.values()}
+    keeps = {v for v, r in rows.items() if r["keep"]}
+    assert keeps == comps  # exactly one survivor per component, = its label
+    assert all(rows[c]["component"] == c for c in comps)  # labels are members
+
+
+def test_semdedup_chain_collapses_via_components(spark):
+    """The CC substrate matters: A≈B≈C with cos(A,C) < tau must still
+    collapse to ONE survivor (pairwise-only keep rules double-keep the
+    chain's ends). Constructed chain: unit-ish vectors rotating by a
+    small angle so adjacent cos ≥ 0.95 but end-to-end cos < 0.95."""
+    import math
+
+    dim = 8
+
+    def vec(theta):
+        v = [0.0] * dim
+        v[0], v[1] = math.cos(theta), math.sin(theta)
+        return v
+
+    # adjacent pairs ~0.966 cos; ends cos(0.52) ~0.868 < 0.95
+    rows = [(i, vec(i * 0.26)) for i in range(3)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {
+        r["vec_id"]: r
+        for r in similarity.semdedup_scaled(
+            df, n_centroids=1, lloyd_iters=1, tau_num=95, tau_den=100
+        ).collect()
+    }
+    assert {g["component"] for g in got.values()} == {0}
+    assert [v for v, g in got.items() if g["keep"]] == [0]
+
+
+def test_survivors_by_quality_keeps_longest(spark):
+    """Quality keep rule: the longest member wins its cluster; min-id
+    wins only ties. Singletons always keep."""
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta common words here indeed"),
+            (2, "alpha beta gamma delta common words here indeed extra tail tokens"),
+            (3, "totally unrelated document"),
+        ],
+        "doc_id long, text string",
+    )
+    pairs = spark.createDataFrame([(1, 2)], ["doc_a", "doc_b"])
+    got = {
+        r["doc_id"]: r
+        for r in dedup.survivors_by_quality(docs, pairs=pairs).collect()
+    }
+    assert got[2]["keep"] and not got[1]["keep"]  # longest wins, not min id
+    assert got[1]["component"] == got[2]["component"] == 1  # label stays min-id
+    assert got[3]["keep"] and got[3]["component"] == 3

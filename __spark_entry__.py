@@ -3094,6 +3094,21 @@ def _bloom_audit_oracle_sql(*, m: int = 4096, n_hashes: int = 3) -> str:
     """
 
 
+def q_ivf_filtered_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B34, ORACLE-EXACT filtered vector search (round 10): IVF top-k
+    under a metadata predicate (label IN (3, 7, 9)) applied PRE-scoring
+    over the full-corpus index (similarity.ivf_topk_scaled_filtered) —
+    the RAG/vector-store serving shape (tenant/language/license
+    filters); the naive post-filter underfills k and is deliberately
+    NOT what this computes. Same integer k-means substrate as
+    q_ivf_topk_verified."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.ivf_topk_scaled_filtered(
+        emb, emb.filter(F.col("vec_id") < 10), allowed_labels=[3, 7, 9],
+        k=5, n_centroids=8, n_probe=4,
+    )
+
+
 def q_ivf_topk_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B34, ORACLE-EXACT IVF twin: the seed→2-round-Lloyd→4-probe
     pipeline over INTEGER-quantized vectors (×1e6 BIGINTs) — exact
@@ -3109,7 +3124,8 @@ def q_ivf_topk_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _ivf_scaled_oracle_sql(
-    *, n_centroids: int = 8, lloyd_iters: int = 2, n_probe: int = 4, k: int = 5, scale: int = 10**6
+    *, n_centroids: int = 8, lloyd_iters: int = 2, n_probe: int = 4, k: int = 5,
+    scale: int = 10**6, allowed_labels: list[int] | None = None,
 ) -> str:
     """DuckDB replay of similarity.ivf_topk_scaled. Exactness rests on
     three facts: (1) every distance/dot is a sum of integer products
@@ -3146,6 +3162,18 @@ def _ivf_scaled_oracle_sql(
             ) GROUP BY cell, pos
           ) GROUP BY cell
         )""")
+    # filtered variant (round 10): corpus candidates label-filtered
+    # PRE-scoring — same pre-filter point as ivf_topk_scaled_filtered
+    label_join = (
+        "\n          JOIN (SELECT vec_id, label FROM embeddings) lb ON lb.vec_id = a.id"
+        if allowed_labels is not None
+        else ""
+    )
+    label_cond = (
+        f" AND lb.label IN ({', '.join(str(int(x)) for x in allowed_labels)})"
+        if allowed_labels is not None
+        else ""
+    )
     return f"""
         WITH v AS (
           SELECT vec_id AS id,
@@ -3179,8 +3207,8 @@ def _ivf_scaled_oracle_sql(
           SELECT qc.query_id, a.id AS corpus_id,
                  round(list_dot_product(a.v, qc.qv)
                        / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(qc.qv, qc.qv))), 6) AS cosine
-          FROM qcells qc JOIN fin a USING (cell)
-          WHERE a.id <> qc.query_id
+          FROM qcells qc JOIN fin a USING (cell){label_join}
+          WHERE a.id <> qc.query_id{label_cond}
         )
         SELECT query_id, corpus_id, cosine, rnk FROM (
           SELECT *, row_number() OVER (PARTITION BY query_id
@@ -4580,6 +4608,40 @@ def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_semdedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Steady-state semantic dedup, ORACLE-EXACT (round 10): a new batch
+    (fresh vectors 400-499 + planted perturbation copies of corpus seeds
+    <50) against a 400-vector corpus whose centroids it is only ASSIGNED
+    to (similarity.semdedup_incremental — no per-batch retrain). Planted
+    copies ε-link to their corpus seed → corpus_dup; fresh vectors keep;
+    surviving within-batch dup groups collapse via CC. The embedding
+    twin of q_incremental_dedup."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    corpus = emb.filter(F.col("vec_id") < 400)
+    fresh = emb.filter((F.col("vec_id") >= 400) & (F.col("vec_id") < 500)).select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+    )
+    seeds = emb.filter(F.col("vec_id") < 50)
+    copies = seeds.select(
+        "vec_id",
+        "embedding",
+        F.explode(F.sequence(F.lit(1), F.lit(3))).alias("c"),
+    ).select(
+        (F.col("vec_id") + F.col("c") * 1_000_000).alias("vec_id"),
+        F.transform(
+            "embedding",
+            lambda x, i: x.cast("double")
+            + F.when(
+                i == F.pmod(F.col("vec_id"), F.lit(64)), 0.1 * F.col("c")
+            ).otherwise(F.lit(0.0)),
+        ).alias("embedding"),
+    )
+    return similarity.semdedup_incremental(
+        fresh.unionByName(copies), corpus, n_centroids=8, lloyd_iters=2
+    )
+
+
 def q_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Retrieval diversity, ORACLE-EXACT: maximal-marginal-relevance
     greedy rerank of the top-20 candidates per query
@@ -4968,6 +5030,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ---- round-7 additions (oracle-backed, never sampled) ----
         "q_dbscan_lsh": q_dbscan_lsh,
         "q_semdedup": q_semdedup,
+        "q_semdedup_incremental": q_semdedup_incremental,
         "q_dedup_survivors_quality": q_dedup_survivors_quality,
         "q_retention_cohorts": q_retention_cohorts,
         "q_pack_layout": q_pack_layout,
@@ -4996,6 +5059,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_autocorr_lag7": q_autocorr_lag7,
         "q_corpus_datacard": q_corpus_datacard,
         "q_ivf_topk_verified": q_ivf_topk_verified,
+        "q_ivf_filtered_verified": q_ivf_filtered_verified,
         "q_pq_topk_verified": q_pq_topk_verified,
         # rows-only-by-design backlog
         "q_multimodal_audio": q_multimodal_audio,
@@ -5782,6 +5846,139 @@ def _semdedup_oracle_sql(
     """
 
 
+def _semdedup_incr_oracle_sql(
+    *,
+    n_centroids: int = 8,
+    lloyd_iters: int = 2,
+    tau_num: int = 95,
+    tau_den: int = 100,
+    scale: int = 10**3,
+) -> str:
+    """DuckDB replay of similarity.semdedup_incremental: k-means CTE
+    chain over the CORPUS only (vec_id < 400), literal-argmin assignment
+    of both frames to the final centroids, the new×corpus ε-link drop,
+    and reach-CC over surviving new×new ε-pairs."""
+
+    def dist(a: str, b: str) -> str:
+        return (
+            f"(list_dot_product({a}, {a}) - 2 * list_dot_product({a}, {b})"
+            f" + list_dot_product({b}, {b}))"
+        )
+
+    rounds = []
+    for r in range(1, lloyd_iters + 1):
+        rounds.append(f""",
+        a{r} AS (
+          SELECT id, v, cell FROM (
+            SELECT v.id, v.v, c.cell,
+                   row_number() OVER (PARTITION BY v.id
+                     ORDER BY {dist('v.v', 'c.c')}, c.cell) AS rn
+            FROM vc v CROSS JOIN c{r - 1} c
+          ) WHERE rn = 1
+        ),
+        c{r} AS (
+          SELECT cell, list(d ORDER BY pos) AS c FROM (
+            SELECT cell, pos, CAST(CAST(sum(val) AS BIGINT) // count(*) AS DOUBLE) AS d
+            FROM (
+              SELECT a.cell,
+                     generate_subscripts(a.v, 1) AS pos,
+                     unnest(a.v) AS val
+              FROM a{r} a
+            ) GROUP BY cell, pos
+          ) GROUP BY cell
+        )""")
+    idot = (
+        "CAST(list_sum(list_transform(range(1, len(a.v) + 1),"
+        " i -> a.v[i] * b.v[i])) AS BIGINT)"
+    )
+    eps = (
+        f"{idot} >= 0 AND {idot} * {idot} * {tau_den * tau_den}"
+        f" >= {tau_num * tau_num} * a.n2 * b.n2"
+    )
+    return f"""
+        WITH RECURSIVE vc AS (
+          SELECT vec_id AS id,
+                 list_transform(CAST(embedding AS DOUBLE[]),
+                                x -> round(x * {scale})) AS v
+          FROM embeddings WHERE vec_id < 400
+        ),
+        c0 AS (
+          SELECT cell, c FROM (
+            SELECT row_number() OVER (ORDER BY id) - 1 AS cell, v AS c FROM vc
+          ) WHERE cell < {n_centroids}
+        ){"".join(rounds)},
+        rawn AS (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+          FROM embeddings WHERE vec_id >= 400 AND vec_id < 500
+        ),
+        seedr AS (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+          FROM embeddings WHERE vec_id < 50
+        ),
+        plant AS (
+          SELECT r.vec_id + c.c * 1000000 AS vec_id,
+                 list_transform(range(1, len(r.emb) + 1),
+                   i -> r.emb[i] + CASE WHEN i - 1 = r.vec_id % 64
+                                        THEN 0.1 * c.c ELSE 0.0 END) AS emb
+          FROM seedr r CROSS JOIN (SELECT unnest(range(1, 4)) AS c) c
+        ),
+        vn AS (
+          SELECT vec_id AS id, list_transform(emb, x -> round(x * {scale})) AS v
+          FROM (SELECT * FROM rawn UNION ALL SELECT * FROM plant)
+        ),
+        finc AS (
+          SELECT id, v, cell,
+                 CAST(list_sum(list_transform(range(1, len(v) + 1),
+                      i -> v[i] * v[i])) AS BIGINT) AS n2
+          FROM (
+            SELECT v.id, v.v, c.cell,
+                   row_number() OVER (PARTITION BY v.id
+                     ORDER BY {dist('v.v', 'c.c')}, c.cell) AS rn
+            FROM vc v CROSS JOIN c{lloyd_iters} c
+          ) WHERE rn = 1
+        ),
+        finn AS (
+          SELECT id, v, cell,
+                 CAST(list_sum(list_transform(range(1, len(v) + 1),
+                      i -> v[i] * v[i])) AS BIGINT) AS n2
+          FROM (
+            SELECT v.id, v.v, c.cell,
+                   row_number() OVER (PARTITION BY v.id
+                     ORDER BY {dist('v.v', 'c.c')}, c.cell) AS rn
+            FROM vn v CROSS JOIN c{lloyd_iters} c
+          ) WHERE rn = 1
+        ),
+        cdup AS MATERIALIZED (
+          SELECT DISTINCT a.id FROM finn a JOIN finc b ON a.cell = b.cell
+          WHERE {eps}
+        ),
+        surv AS (SELECT * FROM finn WHERE id NOT IN (SELECT id FROM cdup)),
+        epsn AS MATERIALIZED (
+          SELECT a.id AS ia, b.id AS ib
+          FROM surv a JOIN surv b ON a.id < b.id AND a.cell = b.cell
+          WHERE {eps}
+        ),
+        e2 AS (SELECT ia AS a, ib AS b FROM epsn
+               UNION SELECT ib, ia FROM epsn),
+        reach(a, b) AS (
+          SELECT a, b FROM e2
+          UNION
+          SELECT r.a, e3.b FROM reach r JOIN e2 e3 ON r.b = e3.a
+        ),
+        comp AS (SELECT a AS id, least(a, min(b)) AS component
+                 FROM reach GROUP BY a)
+        SELECT n.id AS vec_id,
+               CAST(n.cell AS BIGINT) AS cell,
+               CAST(CASE WHEN n.id IN (SELECT id FROM cdup) THEN n.id
+                         ELSE COALESCE(c.component, n.id) END AS BIGINT) AS component,
+               CASE WHEN n.id IN (SELECT id FROM cdup) THEN 'corpus_dup'
+                    WHEN COALESCE(c.component, n.id) = n.id THEN 'kept'
+                    ELSE 'batch_dup' END AS status
+        FROM finn n LEFT JOIN comp c ON n.id = c.id
+        ORDER BY vec_id
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     rev = "l_extendedprice * (1 - l_discount)"
     d = {
@@ -6413,6 +6610,7 @@ def oracle_sql() -> dict[str, str]:
             FROM prof
         """,
         "q_ivf_topk_verified": _ivf_scaled_oracle_sql(),
+        "q_ivf_filtered_verified": _ivf_scaled_oracle_sql(allowed_labels=[3, 7, 9]),
         "q_pq_topk_verified": _pq_scaled_oracle_sql(),
         # round-8: two-tier PQ serving twin — integer shortlist + exact
         # cosine rerank, both tiers replayed
@@ -8391,6 +8589,7 @@ def oracle_sql() -> dict[str, str]:
         "q_dbscan_lsh": _dbscan_oracle_sql(block=True),
         # round 10: SemDeDup — kmeans + same-cell eps-pairs + reach CC
         "q_semdedup": _semdedup_oracle_sql(),
+        "q_semdedup_incremental": _semdedup_incr_oracle_sql(),
         # round-7: packing layout — exclusive integer prefix sum over the
         # doc_id total order; bin/pos by floor-div/mod at L=2048
         "q_pack_layout": f"""

@@ -105,6 +105,11 @@ HEADLINE = [
     # word graph) and the two-phase-ranked corpus spectrum fit
     "q_textrank_keywords",
     "q_zipf_fit",
+    # round-10 trend lines: SemDeDup (integer k-means + same-cell ε-pairs
+    # + CC collapse — the new two-tier CC path under a headline query)
+    # and the true-codepoint PassJoin (the fuzzy family's real-user mode)
+    "q_semdedup",
+    "q_passjoin_codepoint",
 ]
 
 

@@ -452,7 +452,6 @@ def ivf_topk_scaled(
     update is one (cell, pos) aggregation; the probe is the same
     literal-ranked cell selection + candidate equi-join.
     """
-    qvec = F.transform(_as_double(vec_col), lambda x: F.round(x * scale).cast("long"))
     assigned, cents = _scaled_kmeans(
         corpus,
         n_centroids=n_centroids,
@@ -461,7 +460,28 @@ def ivf_topk_scaled(
         id_col=id_col,
         vec_col=vec_col,
     )
+    return _ivf_probe_scaled(
+        assigned, queries, cents, k=k, n_probe=n_probe, scale=scale,
+        id_col=id_col, vec_col=vec_col,
+    )
 
+
+def _ivf_probe_scaled(
+    assigned: DataFrame,
+    queries: DataFrame,
+    cents: list[tuple[int, list[int]]],
+    *,
+    k: int,
+    n_probe: int,
+    scale: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The probe tail of ivf_topk_scaled, shared with the filtered
+    variant: literal-ranked n_probe cell selection per query, candidate
+    equi-join on the cell, exact integer dot/norm cosine, (query, rank)
+    window top-k."""
+    qvec = F.transform(_as_double(vec_col), lambda x: F.round(x * scale).cast("long"))
     # probe: same literal ranking over the final centroids
     q = queries.select(F.col(id_col).alias("query_id"), qvec.alias("qv"))
     m = F.array(*[F.array(*[F.lit(int(x)) for x in c]) for _, c in cents])
@@ -2336,3 +2356,173 @@ def semdedup_scaled(
         )
         .orderBy("vec_id")
     )
+
+
+def ivf_topk_scaled_filtered(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    allowed_labels: list[int],
+    k: int = 5,
+    n_centroids: int = 8,
+    lloyd_iters: int = 2,
+    n_probe: int = 4,
+    scale: int = 10**6,
+    label_col: str = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """FILTERED vector search, ORACLE-EXACT (round 10): IVF top-k where
+    corpus candidates must satisfy a metadata predicate (label ∈
+    ``allowed_labels``) — the retrieval-with-constraints serving shape
+    every RAG/vector-store deployment needs (tenant, language, license,
+    recency filters).
+
+    Design point this operator pins: the filter is PRE-scoring — the
+    index is built over the FULL corpus (real systems index everything
+    and filter at query time), candidates from the probed cells are
+    label-filtered BEFORE the cosine ranking, so every query still gets
+    its full k from the allowed subset (cells permitting). The naive
+    post-filter (top-k first, filter after) silently underfills k when
+    the filter is selective — the classic filtered-ANN bug; it is NOT
+    what this does.
+
+    Same integer-exact substrate as ivf_topk_scaled (shared
+    _scaled_kmeans + _ivf_probe_scaled), so the whole pipeline —
+    including the filter — replays in DuckDB. Scale shape: one extra
+    broadcast-sized equi-join of (id → label) onto the probed
+    candidates; the label table prunes with the same cell partitioning.
+    """
+    assigned, cents = _scaled_kmeans(
+        corpus,
+        n_centroids=n_centroids,
+        lloyd_iters=lloyd_iters,
+        scale=scale,
+        id_col=id_col,
+        vec_col=vec_col,
+    )
+    meta = corpus.select(F.col(id_col).alias("id"), F.col(label_col).alias("__lbl"))
+    allowed = assigned.join(meta, "id").filter(
+        F.col("__lbl").isin([int(x) for x in allowed_labels])
+    ).select("id", "v", "cell")
+    return _ivf_probe_scaled(
+        allowed, queries, cents, k=k, n_probe=n_probe, scale=scale,
+        id_col=id_col, vec_col=vec_col,
+    )
+
+
+def semdedup_incremental(
+    new: DataFrame,
+    corpus: DataFrame,
+    *,
+    n_centroids: int = 8,
+    lloyd_iters: int = 2,
+    tau_num: int = 95,
+    tau_den: int = 100,
+    scale: int = 10**3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """STEADY-STATE semantic dedup (round 10) — the embedding-space twin
+    of dedup.incremental_dedup: the corpus was semdeduped once; each
+    incoming batch is (a) assigned to the CORPUS-trained centroids (a
+    narrow literal-matrix map — serving posture, no retrain per batch),
+    (b) dropped if it ε-links (cos ≥ tau) to ANY corpus vector in its
+    cell, and (c) collapsed within-batch via connected components over
+    the survivors' ε-pairs. Nothing ever re-touches or re-scores corpus
+    vectors beyond the same-cell candidate join.
+
+    Semantic choice, documented: a new vector linked only to a DROPPED
+    new vector (not to the corpus) stays kept — the single-pass
+    steady-state contract of the text twin ("nothing re-touches corpus
+    text"); run the batch through full semdedup_scaled first if
+    chain-transitivity through dropped vectors matters.
+
+    Output: one row per NEW vector — (vec_id, cell, component, status),
+    status ∈ {'kept', 'corpus_dup', 'batch_dup'}; component = min id of
+    the vector's within-batch survivor group (own id for corpus_dups —
+    they never join a batch group). All integers/strings, replays in
+    DuckDB end-to-end (corpus k-means CTE + assignment + two ε-pair
+    joins + reach CC).
+    """
+    from . import dedup as _dedup
+
+    _, cents = _scaled_kmeans(
+        corpus,
+        n_centroids=n_centroids,
+        lloyd_iters=lloyd_iters,
+        scale=scale,
+        id_col=id_col,
+        vec_col=vec_col,
+    )
+    qvec = F.transform(_as_double(vec_col), lambda x: F.round(x * scale).cast("long"))
+    self_dot = F.aggregate(
+        F.zip_with("v", "v", lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+    def prep(df: DataFrame) -> DataFrame:
+        base = df.select(F.col(id_col).alias("id"), qvec.alias("v"))
+        return cache_once(
+            base.withColumn("cell", _nearest_scaled(F.col("v"), cents)).withColumn(
+                "n2", self_dot
+            )
+        )
+
+    nb, cb = prep(new), prep(corpus)
+    dot = F.aggregate(
+        F.zip_with("va", "vb", lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+    def eps_pairs(a: DataFrame, b: DataFrame, strict: bool) -> DataFrame:
+        aa = a.select(
+            "cell", F.col("id").alias("ia"), F.col("v").alias("va"),
+            F.col("n2").alias("na"),
+        )
+        bb = b.select(
+            "cell", F.col("id").alias("ib"), F.col("v").alias("vb"),
+            F.col("n2").alias("nb"),
+        )
+        j = aa.join(bb, "cell")
+        if strict:
+            j = j.filter(F.col("ia") < F.col("ib"))
+        return (
+            j.withColumn("__dot", dot)
+            .filter(
+                (F.col("__dot") >= 0)
+                & (
+                    F.col("__dot") * F.col("__dot") * F.lit(tau_den * tau_den)
+                    >= F.lit(tau_num * tau_num) * F.col("na") * F.col("nb")
+                )
+            )
+            .select("ia", "ib")
+        )
+
+    corpus_dups = eps_pairs(nb, cb, strict=False).select(F.col("ia").alias("id")).distinct()
+    survivors = nb.join(corpus_dups, "id", "left_anti")
+    batch_pairs = eps_pairs(survivors, survivors, strict=True)
+    comp = _dedup.connected_components(batch_pairs, src="ia", dst="ib").withColumnRenamed(
+        "id", "cid"
+    )
+    lbl = survivors.select("id", "cell").join(
+        comp, survivors["id"] == comp["cid"], "left"
+    ).select(
+        "id", "cell", F.coalesce("comp", F.col("id")).alias("component")
+    )
+    out = nb.select("id", "cell").join(
+        lbl.select(F.col("id").alias("lid"), F.col("component")),
+        F.col("id") == F.col("lid"),
+        "left",
+    )
+    return out.select(
+        F.col("id").alias("vec_id"),
+        F.col("cell").cast("long").alias("cell"),
+        F.coalesce("component", F.col("id")).alias("component"),
+        F.when(F.col("lid").isNull(), F.lit("corpus_dup"))
+        .when(F.col("component") == F.col("id"), F.lit("kept"))
+        .otherwise(F.lit("batch_dup"))
+        .alias("status"),
+    ).orderBy("vec_id")

@@ -3385,3 +3385,65 @@ def test_survivors_by_quality_keeps_longest(spark):
     assert got[2]["keep"] and not got[1]["keep"]  # longest wins, not min id
     assert got[1]["component"] == got[2]["component"] == 1  # label stays min-id
     assert got[3]["keep"] and got[3]["component"] == 3
+
+
+def test_ivf_filtered_prefilter_fills_k(spark, sf_dir):
+    """Filtered vector search: every result satisfies the label filter
+    AND every query still gets its full k — the pre-scoring filter point
+    (a post-filter of the unfiltered top-5 would underfill k whenever an
+    excluded label ranked high)."""
+    from collections import Counter
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = similarity.ivf_topk_scaled_filtered(
+        emb, emb.filter(F.col("vec_id") < 10), allowed_labels=[3, 7, 9],
+        k=5, n_centroids=8, n_probe=4,
+    ).collect()
+    labels = {r["vec_id"]: r["label"] for r in emb.select("vec_id", "label").collect()}
+    assert out and all(labels[r["corpus_id"]] in (3, 7, 9) for r in out)
+    per_q = Counter(r["query_id"] for r in out)
+    assert set(per_q.values()) == {5}, f"k underfilled: {per_q}"
+    # and at least one query's unfiltered top-5 differs — the filter is
+    # doing real work, not matching an already-allowed top-5
+    unfiltered = similarity.ivf_topk_scaled(
+        emb, emb.filter(F.col("vec_id") < 10), k=5, n_centroids=8, n_probe=4
+    ).collect()
+    assert {(r["query_id"], r["corpus_id"]) for r in out} != {
+        (r["query_id"], r["corpus_id"]) for r in unfiltered
+    }
+
+
+def test_semdedup_incremental_statuses(spark):
+    """Constructed frames pin the three statuses: a new vector ε-equal
+    to a corpus vector → corpus_dup; two near-identical new vectors with
+    no corpus twin → one kept + one batch_dup; an orthogonal new vector
+    → kept. Chain-through-dropped semantics documented: linking only to
+    a corpus_dup does NOT drop you."""
+    import math
+
+    dim = 8
+
+    def vec(theta, axis=(0, 1)):
+        v = [0.0] * dim
+        v[axis[0]], v[axis[1]] = math.cos(theta), math.sin(theta)
+        return v
+
+    corpus = spark.createDataFrame(
+        [(0, vec(0.0)), (1, vec(1.2))], "vec_id long, embedding array<double>"
+    )
+    new = spark.createDataFrame(
+        [
+            (10, vec(0.02)),            # ~corpus 0 -> corpus_dup
+            (11, vec(2.4)),             # far from corpus; pairs with 12
+            (12, vec(2.42)),            # ~11 -> batch_dup (11 kept)
+            (13, [0.0] * 7 + [1.0]),    # orthogonal -> kept
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    got = {
+        r["vec_id"]: r["status"]
+        for r in similarity.semdedup_incremental(
+            new, corpus, n_centroids=1, lloyd_iters=1
+        ).collect()
+    }
+    assert got == {10: "corpus_dup", 11: "kept", 12: "batch_dup", 13: "kept"}

@@ -4642,6 +4642,24 @@ def q_semdedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_semdedup_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup's 100 TB candidate posture, ORACLE-EXACT (round 10):
+    same pipeline as q_semdedup with sign-block SUB-bucketing inside
+    each k-means cell (block_bits=8 — the candidate join key becomes
+    (cell, bucket), so giant cells cost O(Σ bucket²) not O(cell²); the
+    q_dbscan_lsh blocking replayed inside the SemDeDup frame). Keep/
+    component differences vs q_semdedup are pure candidate-recall
+    effects, certified here rather than hidden."""
+    return similarity.semdedup_scaled(
+        _dbscan_corpus(spark, sf_dir),
+        n_centroids=8,
+        lloyd_iters=2,
+        tau_num=95,
+        tau_den=100,
+        block_bits=8,
+    )
+
+
 def q_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Retrieval diversity, ORACLE-EXACT: maximal-marginal-relevance
     greedy rerank of the top-20 candidates per query
@@ -5030,6 +5048,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ---- round-7 additions (oracle-backed, never sampled) ----
         "q_dbscan_lsh": q_dbscan_lsh,
         "q_semdedup": q_semdedup,
+        "q_semdedup_blocked": q_semdedup_blocked,
         "q_semdedup_incremental": q_semdedup_incremental,
         "q_dedup_survivors_quality": q_dedup_survivors_quality,
         "q_retention_cohorts": q_retention_cohorts,
@@ -5744,6 +5763,7 @@ def _semdedup_oracle_sql(
     tau_num: int = 95,
     tau_den: int = 100,
     scale: int = 10**3,
+    block_bits: int = 0,
 ) -> str:
     """DuckDB replay of similarity.semdedup_scaled over the planted
     dbscan corpus: the integer k-means CTE chain (the q_ivf_topk_verified
@@ -5783,6 +5803,16 @@ def _semdedup_oracle_sql(
         "CAST(list_sum(list_transform(range(1, len(a.v) + 1),"
         " i -> a.v[i] * b.v[i])) AS BIGINT)"
     )
+    # sign-block sub-bucketing (the dbscan block=True replay): packed
+    # sign bits of the first block_bits quantized coordinates
+    bkt_col = (
+        f",\n                 CAST(list_sum(list_transform(range(1, {block_bits + 1}),"
+        " i -> CASE WHEN v[i] > 0 THEN (CAST(1 AS BIGINT) << (i - 1))"
+        " ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS bkt"
+        if block_bits
+        else ""
+    )
+    bkt_cond = " AND a.bkt = b.bkt" if block_bits else ""
     return f"""
         WITH RECURSIVE raw AS (
           SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
@@ -5818,12 +5848,12 @@ def _semdedup_oracle_sql(
         e AS (
           SELECT id, v, cell,
                  CAST(list_sum(list_transform(range(1, len(v) + 1),
-                      i -> v[i] * v[i])) AS BIGINT) AS n2
+                      i -> v[i] * v[i])) AS BIGINT) AS n2{bkt_col}
           FROM fin
         ),
         eps AS MATERIALIZED (
           SELECT a.id AS ia, b.id AS ib
-          FROM e a JOIN e b ON a.id < b.id AND a.cell = b.cell
+          FROM e a JOIN e b ON a.id < b.id AND a.cell = b.cell{bkt_cond}
           WHERE {idot} >= 0
             AND {idot} * {idot} * {tau_den * tau_den}
                 >= {tau_num * tau_num} * a.n2 * b.n2
@@ -8589,6 +8619,7 @@ def oracle_sql() -> dict[str, str]:
         "q_dbscan_lsh": _dbscan_oracle_sql(block=True),
         # round 10: SemDeDup — kmeans + same-cell eps-pairs + reach CC
         "q_semdedup": _semdedup_oracle_sql(),
+        "q_semdedup_blocked": _semdedup_oracle_sql(block_bits=8),
         "q_semdedup_incremental": _semdedup_incr_oracle_sql(),
         # round-7: packing layout — exclusive integer prefix sum over the
         # doc_id total order; bin/pos by floor-div/mod at L=2048

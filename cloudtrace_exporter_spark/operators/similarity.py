@@ -2268,6 +2268,7 @@ def semdedup_scaled(
     tau_num: int = 95,
     tau_den: int = 100,
     scale: int = 10**3,
+    block_bits: int = 0,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
@@ -2295,6 +2296,14 @@ def semdedup_scaled(
     candidate volume — the paper's own trick for web-scale corpora; at
     100 TB raise n_centroids so cells stay bucket-sized), the ε-verify
     streams in-partition, and the CC rounds touch only ε-pairs.
+    ``block_bits`` > 0 adds axis-aligned sign-block SUB-bucketing inside
+    each cell (the sign_block_pairs key: bit i ⟺ round(v[i]·scale) > 0)
+    — the candidate join key becomes (cell, bucket), so a giant cell
+    costs O(Σ bucket²), not O(cell²). The standard LSH trade: recall
+    only (a dup pair whose low-index coordinate crosses zero splits
+    buckets — perturb-robust when dups differ on higher coordinates),
+    never precision (the exact ε-test verifies every candidate). The
+    100 TB posture is n_centroids ↑ AND block_bits ≥ 12.
 
     Output: (vec_id, cell, component, keep) per corpus vector —
     component = min id of the vector's within-cluster dup group (own id
@@ -2315,14 +2324,26 @@ def semdedup_scaled(
         F.lit(0).cast("long"),
         lambda acc, x: acc + x,
     )
+    if block_bits:
+        bkt = sum(
+            (
+                F.when(
+                    F.element_at("v", i + 1) > 0, F.lit(1 << i).cast("long")
+                ).otherwise(F.lit(0).cast("long"))
+                for i in range(block_bits)
+            ),
+            F.lit(0).cast("long"),
+        )
+        assigned = assigned.withColumn("bkt", bkt)
     # the assigned frame fans out three ways (both pair sides + the final
     # all-vectors join): one materialization, KBs per thousand rows
     base = cache_once(assigned.withColumn("n2", self_dot))
+    join_keys = ["cell", "bkt"] if block_bits else ["cell"]
     a = base.select(
-        "cell", F.col("id").alias("ia"), F.col("v").alias("va"), F.col("n2").alias("na")
+        *join_keys, F.col("id").alias("ia"), F.col("v").alias("va"), F.col("n2").alias("na")
     )
     b = base.select(
-        "cell", F.col("id").alias("ib"), F.col("v").alias("vb"), F.col("n2").alias("nb")
+        *join_keys, F.col("id").alias("ib"), F.col("v").alias("vb"), F.col("n2").alias("nb")
     )
     dot = F.aggregate(
         F.zip_with("va", "vb", lambda x, y: x * y),
@@ -2330,7 +2351,7 @@ def semdedup_scaled(
         lambda acc, x: acc + x,
     )
     pairs = (
-        a.join(b, "cell")
+        a.join(b, join_keys)
         .filter(F.col("ia") < F.col("ib"))
         .withColumn("__dot", dot)
         .filter(

@@ -192,6 +192,7 @@ def main() -> None:
     timings: dict[str, float] = {}
     bands: dict[str, list[float]] = {}
     cpu_timings: dict[str, float] = {}
+    cpu_bands: dict[str, list[float]] = {}
     for name in names:
         # two unmeasured warm passes: the first pays index .cache() builds,
         # codegen compilation, and shuffle-file creation; the second gives
@@ -218,20 +219,35 @@ def main() -> None:
         # CPU of the fastest attempt: wall inflates under box load, JVM
         # CPU stays ~flat — the pair adjudicates noisy driver boxes
         cpu_timings[name] = round(cpu_samples[samples.index(min(samples))], 3)
+        # round-11: committed CPU bands — [min, max] JVM CPU over ALL
+        # timed attempts, so cross-round CPU moves are adjudicable by the
+        # same band rule as wall (BASELINE.md: CPU is the load-immune
+        # signal; new_cpu_min > 1.3 * prior_cpu_band_max = regression)
+        cpu_bands[name] = [round(min(cpu_samples), 3), round(max(cpu_samples), 3)]
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     calib_end = _calibration(spark)
-    # infer the round number from the driver's prior artifacts so the
-    # detail file sorts next to the BENCH_r{N}.json the driver will write
+    # Round number for the detail file: explicit override first
+    # ($SPARK_GRAFT_ROUND or argv[1]), else inferred from the driver's
+    # prior artifacts. The override exists because the inference assumes
+    # "the driver hasn't written this round's BENCH_r{N}.json yet" — a
+    # quiet-box recalibration RERUN after the driver ran would otherwise
+    # write the detail file under NEXT round's name, desyncing the compact
+    # line's `detail` pointer (advisor, round 10).
     repo = os.path.dirname(os.path.abspath(__file__))
     import re
 
-    rounds = [
-        int(m.group(1))
-        for f in os.listdir(repo)
-        if (m := re.match(r"BENCH_r(\d+)\.json$", f))
-    ]
-    detail_name = f"BENCH_DETAIL_r{(max(rounds) + 1) if rounds else 1:02d}.json"
+    round_no = os.environ.get("SPARK_GRAFT_ROUND") or (
+        sys.argv[1] if len(sys.argv) > 1 and sys.argv[1].isdigit() else None
+    )
+    if round_no is None:
+        rounds = [
+            int(m.group(1))
+            for f in os.listdir(repo)
+            if (m := re.match(r"BENCH_r(\d+)\.json$", f))
+        ]
+        round_no = (max(rounds) + 1) if rounds else 1
+    detail_name = f"BENCH_DETAIL_r{int(round_no):02d}.json"
     detail = {
         "metric": "headline_queries_total_wall",
         "value": round(sum(timings.values()), 3),
@@ -251,6 +267,13 @@ def main() -> None:
         # totals by (calib_ref / calib_wall_sec) before comparing, and
         # trust queries_cpu for per-query adjudication.
         "queries_cpu": cpu_timings,
+        # round-11 (r10 verdict order #2): committed per-query CPU bands —
+        # [min, max] JVM CPU across the 3 timed attempts. Regression rule
+        # (BASELINE.md): a query's CPU regressed only if the new round's
+        # cpu-of-best-wall exceeds the prior round's cpu band max by >30%
+        # AND the new cpu band doesn't overlap the old one. Wall bands
+        # adjudicate latency; CPU bands adjudicate load-immune cost.
+        "queries_cpu_bands": cpu_bands,
         "cpu_total": round(sum(cpu_timings.values()), 3),
         "calibration_start": calib_start,
         "calibration": calib_end,

@@ -1025,6 +1025,19 @@ def connected_components(
     already-materialized partitions rather than a second join job.
     """
     e = pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    # Self-loops are dropped from the edge set and their nodes re-added as
+    # singleton components at the end — previously the propagation tier
+    # labeled a self-loop-only node while the star-contract fallback
+    # (whose _canonical_edges filters a != b) silently dropped it, so the
+    # two tiers returned different node sets (advisor, round 10). All
+    # in-repo pair sources enforce src < dst, so this is symmetry
+    # hardening, not a behavior change on production paths.
+    nodes = (
+        e.select(F.col("a").alias("id"))
+        .union(e.select(F.col("b").alias("id")))
+        .distinct()
+    )
+    e = e.filter(F.col("a") != F.col("b"))
     edges = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b"))).distinct()
     edges = edges.persist()
     labels = edges.select(F.col("a").alias("id")).distinct().withColumn("comp", F.col("id"))
@@ -1052,7 +1065,13 @@ def connected_components(
     if not converged:
         labels = _star_contract(edges, max_iter)
     edges.unpersist()
-    return labels
+    # nodes whose every incident pair was a self-loop have no edge rows:
+    # label them as their own singleton component so both tiers cover the
+    # full node set of `pairs`
+    singletons = nodes.join(labels, "id", "left_anti").withColumn(
+        "comp", F.col("id")
+    )
+    return labels.union(singletons)
 
 
 def dedup_clusters(

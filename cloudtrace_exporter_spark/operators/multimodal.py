@@ -2179,14 +2179,38 @@ def corrupt_jpeg_payloads(df: DataFrame, *, mode_col: str = "mode") -> DataFrame
         ]
     )
 
+    def _find_sof_offset(buf: bytes) -> int:
+        """Offset of the SOF0/1/2 marker found by WALKING the segment
+        structure (round-11 advisor fix) — DQT/DHT payload bytes are not
+        FF-stuffed, so a table coincidentally containing FF C0 must never
+        be rewritten in place of the real frame header."""
+        if len(buf) < 4 or buf[0:2] != b"\xff\xd8":
+            return -1
+        pos = 2
+        while pos + 4 <= len(buf):
+            if buf[pos] != 0xFF:
+                return -1
+            marker = buf[pos + 1]
+            if marker in (0xC0, 0xC1, 0xC2):
+                return pos
+            if marker == 0xD9 or marker == 0xDA:  # EOI / scan: no SOF seen
+                return -1
+            if 0xD0 <= marker <= 0xD7 or marker == 0x01:
+                pos += 2
+                continue
+            ln = int.from_bytes(buf[pos + 2 : pos + 4], "big")
+            if ln < 2:
+                return -1
+            pos += 2 + ln
+        return -1
+
     def _corrupt_one(doc_id: int, mode: str, buf: bytes) -> bytes:
         if mode == "truncate":
             return buf[: max(4, (len(buf) * 3) // 5)]
         if mode == "arith":
-            for sof in (b"\xff\xc0", b"\xff\xc1", b"\xff\xc2"):
-                i = buf.find(sof)
-                if i >= 0:
-                    return buf[:i] + b"\xff\xc9" + buf[i + 2 :]
+            i = _find_sof_offset(buf)
+            if i >= 0:
+                return buf[:i] + b"\xff\xc9" + buf[i + 2 :]
             return buf
         if mode == "garbage":
             return bytes((doc_id * 31 + i * 7) % 256 for i in range(64))

@@ -723,6 +723,7 @@ def sign_block_pairs(
     *,
     n_bits: int = 8,
     scale: int = 10**3,
+    max_bucket_rows: int | None = 1_000_000,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
@@ -737,6 +738,14 @@ def sign_block_pairs(
     one shuffle on the bucket key; recall is traded (a near-dup pair
     whose perturbed coordinate crosses zero lands in different buckets),
     precision is owned by the consumer's exact verify step.
+
+    **Giant-bucket guard (round 11, warn-only):** a bucket holding more
+    than ``max_bucket_rows`` ids makes the self-join O(bucket²); unlike
+    semdedup_scaled there is no finer key to escalate to without changing
+    the operator's certified candidate set, so the guard LOGS a loud
+    warning (bucket id, size, projected pair volume, the n_bits remedy)
+    instead of silently submitting the join. Costs one bounded agg
+    (≤2^n_bits rows) per call; ``None`` disables.
     """
     qvec = F.transform(_as_double(vec_col), lambda x: F.round(x * scale).cast("long"))
     bkt = sum(
@@ -751,6 +760,27 @@ def sign_block_pairs(
     hashed = emb.select(F.col(id_col).alias("id"), qvec.alias("v")).select(
         "id", bkt.alias("bkt")
     )
+    if max_bucket_rows is not None:
+        top = (
+            hashed.groupBy("bkt")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .orderBy(F.desc("n"), "bkt")
+            .first()
+        )
+        if top is not None and top["n"] > max_bucket_rows:
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "sign_block_pairs: bucket %s holds %d vectors (> "
+                "max_bucket_rows=%d); the candidate self-join will emit "
+                "~%d pairs from this bucket alone — raise n_bits (currently "
+                "%d) to split it, or feed a pre-partitioned corpus.",
+                top["bkt"],
+                top["n"],
+                max_bucket_rows,
+                top["n"] * (top["n"] - 1) // 2,
+                n_bits,
+            )
     a = hashed.select(F.col("id").alias("ia"), "bkt")
     b = hashed.select(F.col("id").alias("ib"), F.col("bkt").alias("bkt_b"))
     return a.join(
@@ -2269,6 +2299,8 @@ def semdedup_scaled(
     tau_den: int = 100,
     scale: int = 10**3,
     block_bits: int = 0,
+    max_cell_rows: int | None = 100_000,
+    guard_block_bits: int = 12,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
@@ -2305,6 +2337,19 @@ def semdedup_scaled(
     never precision (the exact ε-test verifies every candidate). The
     100 TB posture is n_centroids ↑ AND block_bits ≥ 12.
 
+    **Giant-cell guard (round 11 — default ON):** with ``block_bits=0``
+    the candidate join is equi on the cell alone — O(cell²) when k-means
+    collapses a skewed corpus (near-duplicate-heavy crawls, exactly
+    where SemDeDup is deployed) into one giant cell. After assignment
+    the per-cell histogram (one ``n_centroids``-row agg over the
+    already-cached frame) is checked: if ``max(cell_count) >
+    max_cell_rows``, the candidate key AUTO-ESCALATES to (cell, bucket)
+    with ``guard_block_bits`` sign bits, and a loud warning names the
+    offending cell and its projected candidate volume. The decision is a
+    deterministic function of the data (cell counts), so a DuckDB oracle
+    replays it exactly — "no silent caps" applied to candidate volume.
+    ``max_cell_rows=None`` disables the guard (ground-truth runs).
+
     Output: (vec_id, cell, component, keep) per corpus vector —
     component = min id of the vector's within-cluster dup group (own id
     for singletons), keep = (component == vec_id). All integers/bools.
@@ -2324,21 +2369,51 @@ def semdedup_scaled(
         F.lit(0).cast("long"),
         lambda acc, x: acc + x,
     )
-    if block_bits:
+    # the assigned frame fans out three ways (both pair sides + the final
+    # all-vectors join): one materialization, KBs per thousand rows
+    base = cache_once(assigned.withColumn("n2", self_dot))
+    eff_bits = block_bits
+    if not eff_bits and max_cell_rows is not None:
+        # giant-cell guard (round 11): one bounded agg (n_centroids rows)
+        # over the already-cached frame; the escalation decision is a
+        # deterministic function of the cell histogram so the oracle
+        # replays it
+        top = (
+            base.groupBy("cell")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .orderBy(F.desc("n"), "cell")
+            .first()
+        )
+        if top is not None and top["n"] > max_cell_rows:
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "semdedup_scaled: cell %s holds %d vectors (> max_cell_rows=%d); "
+                "projected candidate volume ~%d pairs — auto-escalating the "
+                "candidate key to (cell, bucket) with guard_block_bits=%d. "
+                "Recall within the giant cell is now bucket-local (precision "
+                "unchanged: every candidate still passes the exact ε-test).",
+                top["cell"],
+                top["n"],
+                max_cell_rows,
+                top["n"] * (top["n"] - 1) // 2,
+                guard_block_bits,
+            )
+            eff_bits = guard_block_bits
+    if eff_bits:
         bkt = sum(
             (
                 F.when(
                     F.element_at("v", i + 1) > 0, F.lit(1 << i).cast("long")
                 ).otherwise(F.lit(0).cast("long"))
-                for i in range(block_bits)
+                for i in range(eff_bits)
             ),
             F.lit(0).cast("long"),
         )
-        assigned = assigned.withColumn("bkt", bkt)
-    # the assigned frame fans out three ways (both pair sides + the final
-    # all-vectors join): one materialization, KBs per thousand rows
-    base = cache_once(assigned.withColumn("n2", self_dot))
-    join_keys = ["cell", "bkt"] if block_bits else ["cell"]
+        # a projection over the cached frame — the sign bits are computed
+        # from the cached quantized vectors, not a re-derivation
+        base = base.withColumn("bkt", bkt)
+    join_keys = ["cell", "bkt"] if eff_bits else ["cell"]
     a = base.select(
         *join_keys, F.col("id").alias("ia"), F.col("v").alias("va"), F.col("n2").alias("na")
     )

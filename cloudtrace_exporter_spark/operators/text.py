@@ -1956,3 +1956,117 @@ def zipf_fit(documents: DataFrame, *, text_col: str = "text") -> DataFrame:
             "zipf_intercept"
         ),
     )
+
+
+def nb_quality_score(
+    docs: DataFrame,
+    *,
+    labels: DataFrame | None = None,
+    n_buckets: int = 256,
+    weight_scale: int = 10**6,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """TRAINED quality scorer (round 11): Bernoulli Naive Bayes over
+    hashed token-presence features — the missing production piece next
+    to the heuristic quality surface (Gopher rules, LM tiers, DSIR):
+    a classifier FIT to labels rather than a fixed rule family. The
+    public fastText/CCNet recipe's statistical core, with counts
+    standing in for SGD so the whole fit replays in SQL.
+
+    Training data: ``labels`` (doc_id, label boolean), defaulting to
+    this corpus's own ``gopher_quality(...).keep`` — the standard
+    bootstrap (train a cheap model on rule labels, then score corpora
+    the rules were never tuned for). Features: presence of each of
+    ``n_buckets`` hashed token buckets (md5 2-hex prefix at 256 —
+    engine-portable, same family as DSIR/classifier_quality_score).
+
+    Exactness discipline (the PageRank quantization argument): per-
+    bucket log-likelihood-ratio weights with Laplace smoothing are
+    QUANTIZED to BIGINT at ``weight_scale`` — w_b = round(s·[ln((ct+1)/
+    (n_pos+2)) − ln((cf+1)/(n_neg+2))]) — and the document score is the
+    exact INTEGER sum of its distinct buckets' weights plus the
+    quantized class prior. Integer sums are fold-order-independent, so
+    the score replays bit-for-bit in DuckDB; ln enters only inside a
+    single round() per bucket, the same cross-engine contract BM25/DSIR
+    already pin.
+
+    Scale shape: one explode → distinct (doc, bucket) stream; the count
+    table is ≤ n_buckets rows (map-side partials collapse each partition
+    first); weights broadcast back onto the doc-bucket stream; one
+    groupBy(doc) integer sum. No row touches the driver except the
+    2-scalar class-prior aggregate.
+
+    Returns (doc_id, n_features, score, predict_pass); score is the
+    BIGINT quantized log-odds, predict_pass = score > 0.
+    """
+    if labels is None:
+        labels = gopher_quality(docs, text_col).select("doc_id", F.col("keep").alias("label"))
+    lab = labels.select(F.col(id_col).alias("id"), F.col("label").cast("boolean").alias("y"))
+    hex_digits = {16: 1, 256: 2, 4096: 3}.get(n_buckets)
+    if hex_digits is None:
+        raise ValueError("n_buckets must be 16, 256, or 4096 (md5 hex-prefix family)")
+    toked = docs.select(
+        F.col(id_col).alias("id"), F.array_distinct(tokens(text_col)).alias("__t")
+    )
+    feats = toked.select(
+        "id",
+        F.explode_outer(
+            F.array_distinct(
+                F.transform(
+                    "__t",
+                    lambda t: F.substring(F.md5(t.cast("binary")), 1, hex_digits),
+                )
+            )
+        ).alias("bucket"),
+    )
+    labeled = feats.join(lab, "id").filter(F.col("bucket").isNotNull())
+    counts = labeled.groupBy("bucket").agg(
+        F.sum(F.col("y").cast("long")).alias("ct"),
+        F.sum((~F.col("y")).cast("long")).alias("cf"),
+    )
+    # class totals: ONE 2-scalar agg, broadcast onto the <= n_buckets
+    # count rows (never a per-row recount)
+    tot = lab.agg(
+        F.sum(F.col("y").cast("long")).alias("n_pos"),
+        F.sum((~F.col("y")).cast("long")).alias("n_neg"),
+    )
+    s = float(weight_scale)
+    weights = counts.crossJoin(F.broadcast(tot)).select(
+        "bucket",
+        F.round(
+            s
+            * (
+                F.log((F.col("ct") + 1.0) / (F.col("n_pos") + 2.0))
+                - F.log((F.col("cf") + 1.0) / (F.col("n_neg") + 2.0))
+            )
+        )
+        .cast("long")
+        .alias("w"),
+    )
+    prior = tot.select(
+        F.round(
+            s
+            * (
+                F.log((F.col("n_pos") + 1.0) / (F.col("n_pos") + F.col("n_neg") + 2.0))
+                - F.log((F.col("n_neg") + 1.0) / (F.col("n_pos") + F.col("n_neg") + 2.0))
+            )
+        )
+        .cast("long")
+        .alias("p0")
+    )
+    scored = (
+        feats.join(F.broadcast(weights), "bucket", "left")
+        .groupBy("id")
+        .agg(
+            F.count(F.col("bucket")).cast("long").alias("n_features"),
+            F.coalesce(F.sum("w"), F.lit(0).cast("long")).alias("__sw"),
+        )
+        .crossJoin(F.broadcast(prior))
+    )
+    return scored.select(
+        F.col("id").alias(id_col),
+        "n_features",
+        (F.col("__sw") + F.col("p0")).alias("score"),
+        ((F.col("__sw") + F.col("p0")) > 0).alias("predict_pass"),
+    )

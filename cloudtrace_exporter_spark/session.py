@@ -85,6 +85,13 @@ def get_spark(app_name: str = "cloudtrace_exporter_spark", cpus: str | None = No
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+        # Python workers get 15 s by default to connect back to the JVM;
+        # under box contention (several Spark sessions sharing the host)
+        # fork+exec of the daemon can exceed that, failing whole tasks with
+        # "Python worker failed to connect back". 120 s makes the suite
+        # contention-proof without masking real hangs (task reaper still
+        # applies).
+        .config("spark.python.authenticate.socketTimeout", "120s")
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

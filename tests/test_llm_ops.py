@@ -485,6 +485,29 @@ def test_jpeg_reject_reason_classes():
     )
 
 
+def test_corrupt_arith_rewrites_real_sof_not_table_bytes(spark):
+    """Round-11 advisor fix: 'arith' corruption must locate SOF by walking
+    the marker structure. A COM segment planted BEFORE the frame header
+    whose payload contains the raw bytes FF C0 must not be rewritten —
+    the old bytes.find() would clobber the comment and leave the real
+    SOF intact, classifying 'ok' instead of 'arith'."""
+    import numpy as np
+
+    rgb = (np.mgrid[0:16, 0:16][0] * 3 + 20).astype(np.uint8)
+    rgb = np.stack([rgb, rgb, rgb], axis=-1)
+    buf = multimodal.encode_jpeg(rgb, quality=90)
+    # COM segment: FF FE <len=6> payload b"\xff\xc0zz" — decoy SOF bytes
+    decoy = b"\xff\xfe\x00\x06\xff\xc0zz"
+    planted = buf[:2] + decoy + buf[2:]
+    assert multimodal.jpeg_reject_reason(planted) == "ok"  # still decodes
+    df = spark.createDataFrame([(1, "arith", bytearray(planted))],
+                               "doc_id long, mode string, payload binary")
+    out = multimodal.corrupt_jpeg_payloads(df).collect()[0]["payload"]
+    assert multimodal.jpeg_reject_reason(bytes(out)) == "arith"
+    # the decoy comment bytes survive untouched
+    assert bytes(out)[2 : 2 + len(decoy)] == decoy
+
+
 def test_multimodal_reject_cert_diagonal(spark, sf_dir):
     """Registered-query twin: healthy state is EXACTLY the 4-row
     (mode, reason) diagonal at 100 docs per class."""
@@ -900,6 +923,32 @@ def test_star_contract_matches_propagation_on_dense_graph(spark):
     }
     assert via_prop == via_stars
     assert via_stars[4] == 1 and via_stars[23] == 20 and via_stars[51] == 50
+
+
+def test_connected_components_self_loops_symmetric_across_tiers(spark):
+    # a node whose ONLY edge is a self-loop must come back as its own
+    # singleton component from BOTH tiers (round-11 advisor fix: the star
+    # fallback used to drop it while propagation labeled it)
+    edges = [(1, 2), (2, 3), (9, 9), (3, 3)]
+    pairs = spark.createDataFrame(edges, ["doc_a", "doc_b"])
+    expected = {1: 1, 2: 1, 3: 1, 9: 9}
+    via_prop = {
+        r["id"]: r["comp"]
+        for r in dedup.connected_components(pairs, propagate_rounds=25).collect()
+    }
+    via_stars = {
+        r["id"]: r["comp"]
+        for r in dedup.connected_components(pairs, propagate_rounds=0).collect()
+    }
+    assert via_prop == expected
+    assert via_stars == expected
+    # all-self-loop input: every node is a singleton, no tier errors
+    only_loops = spark.createDataFrame([(5, 5), (6, 6)], ["doc_a", "doc_b"])
+    got = {
+        r["id"]: r["comp"]
+        for r in dedup.connected_components(only_loops, propagate_rounds=0).collect()
+    }
+    assert got == {5: 5, 6: 6}
 
 
 def test_dedup_clusters_assigns_singletons_to_self(spark, sf_dir):
@@ -1584,6 +1633,59 @@ def test_chunk_dup_census_catches_partial_copies(spark):
     assert census[0]["n_docs"] == 2 and census[0]["first_doc"] == 1
     ratios = {r["doc_id"]: r["dup_ratio"] for r in dedup.chunk_overlap_ratio(df).collect()}
     assert ratios == {1: 0.5, 2: 0.5, 3: 0.0}
+
+
+def test_nb_quality_score_recovers_planted_signal(spark):
+    """Planted-signal check for the trained NB scorer (round 11): two
+    vocabularies with zero overlap, explicit labels — every doc must be
+    scored on the correct side of 0, and a held-out doc written in the
+    positive vocabulary (but absent from training labels' influence on
+    its own score only through shared buckets) lands positive."""
+    pos_words = "alpha beta gamma delta epsilon zeta eta theta"
+    neg_words = "zork quux blarg frobnitz xyzzy plugh grue wumpus"
+    rows = []
+    for i in range(20):
+        rows.append((i, f"{pos_words} marker{i % 4}", True))
+    for i in range(20, 40):
+        rows.append((i, f"{neg_words} marker{i % 4}", False))
+    docs = spark.createDataFrame(
+        [(i, t) for i, t, _ in rows], "doc_id long, text string"
+    )
+    labels = spark.createDataFrame(
+        [(i, y) for i, _, y in rows], "doc_id long, label boolean"
+    )
+    got = {
+        r["doc_id"]: r
+        for r in text.nb_quality_score(docs, labels=labels).collect()
+    }
+    for i, _, y in rows:
+        assert got[i]["predict_pass"] is y, (i, got[i])
+        assert (got[i]["score"] > 0) is y
+    # balanced classes → prior ~0; a doc of ONLY positive-vocabulary
+    # tokens scores strictly higher than one of only negative vocabulary
+    held = spark.createDataFrame(
+        [(100, pos_words), (101, neg_words)], "doc_id long, text string"
+    )
+    hs = {
+        r["doc_id"]: r["score"]
+        for r in text.nb_quality_score(
+            docs.unionByName(held), labels=labels
+        ).collect()
+    }
+    assert hs[100] > 0 > hs[101]
+
+
+def test_nb_quality_score_default_gopher_labels(spark, sf_dir):
+    """Default-label path: trains on gopher_quality keep over the
+    documents fixture; sanity contract — one row per doc, empty-token
+    docs score the bare prior with n_features=0."""
+    docs = load_table(spark, sf_dir, "documents").limit(80)
+    out = text.nb_quality_score(docs)
+    rows = out.collect()
+    assert len(rows) == docs.count()
+    assert set(out.columns) == {"doc_id", "n_features", "score", "predict_pass"}
+    for r in rows:
+        assert (r["score"] > 0) == r["predict_pass"]
 
 
 def test_classifier_quality_matches_hand_computed_logit(spark):
@@ -3364,6 +3466,62 @@ def test_semdedup_chain_collapses_via_components(spark):
     }
     assert {g["component"] for g in got.values()} == {0}
     assert [v for v, g in got.items() if g["keep"]] == [0]
+
+
+def test_semdedup_giant_cell_guard_escalates(spark, sf_dir, caplog):
+    """Round-11 guard: a cell blowing past max_cell_rows must (a) emit a
+    loud warning naming the cell and projected candidate volume, and
+    (b) switch the candidate key to (cell, bucket) — bit-identical to
+    the explicit block_bits posture with the same bit count. The default
+    100k threshold must stay silent on the same corpus."""
+    import logging
+
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 120)
+    kw = dict(n_centroids=2, lloyd_iters=1, tau_num=95, tau_den=100)
+    blocked = sorted(
+        similarity.semdedup_scaled(
+            emb, block_bits=12, max_cell_rows=None, **kw
+        ).collect()
+    )
+    logger_name = "cloudtrace_exporter_spark.operators.similarity"
+    with caplog.at_level(logging.WARNING, logger=logger_name):
+        auto = sorted(
+            similarity.semdedup_scaled(
+                emb, max_cell_rows=10, guard_block_bits=12, **kw
+            ).collect()
+        )
+    assert "auto-escalating" in caplog.text
+    assert "projected candidate volume" in caplog.text
+    assert auto == blocked
+    caplog.clear()
+    with caplog.at_level(logging.WARNING, logger=logger_name):
+        silent = sorted(similarity.semdedup_scaled(emb, **kw).collect())
+    assert "auto-escalating" not in caplog.text
+    unguarded = sorted(
+        similarity.semdedup_scaled(emb, max_cell_rows=None, **kw).collect()
+    )
+    assert silent == unguarded
+
+
+def test_sign_block_pairs_giant_bucket_warns(spark, caplog):
+    """Round-11 warn-only guard on the DBSCAN pair source: a bucket
+    larger than max_bucket_rows logs the bucket id + pair volume +
+    n_bits remedy, and the candidate set is unchanged by the guard."""
+    import logging
+
+    # all-positive first coordinate → every vector shares one bucket
+    rows = [(i, [1.0, float(i % 3) - 1.0] + [0.0] * 6) for i in range(30)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    logger_name = "cloudtrace_exporter_spark.operators.similarity"
+    with caplog.at_level(logging.WARNING, logger=logger_name):
+        guarded = sorted(
+            similarity.sign_block_pairs(df, n_bits=4, max_bucket_rows=5).collect()
+        )
+    assert "sign_block_pairs" in caplog.text and "raise n_bits" in caplog.text
+    unguarded = sorted(
+        similarity.sign_block_pairs(df, n_bits=4, max_bucket_rows=None).collect()
+    )
+    assert guarded == unguarded
 
 
 def test_survivors_by_quality_keeps_longest(spark):

@@ -35,6 +35,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from cloudtrace_exporter_spark.operators.text import tokens
+from cloudtrace_exporter_spark.session import cache_once
 
 
 def _spread(df: DataFrame) -> DataFrame:
@@ -986,6 +987,44 @@ def _star_contract(edges: DataFrame, max_rounds: int) -> DataFrame:
     )
 
 
+def _union_find_partition(schema_src: str, schema_dst: str):
+    """mapInPandas body: exact union-find over one partition's edges —
+    the small-graph fast path of connected_components. Accumulates every
+    Arrow batch of the (single) partition, then emits (id, comp) with
+    comp = min node id per component."""
+    import pandas as pd
+
+    def run(batches):
+        parent: dict[int, int] = {}
+
+        def find(x: int) -> int:
+            root = x
+            while parent[root] != root:
+                root = parent[root]
+            while parent[x] != root:
+                parent[x], x = root, parent[x]
+            return root
+
+        for pdf in batches:
+            for a, b in zip(pdf[schema_src], pdf[schema_dst]):
+                a, b = int(a), int(b)
+                if a not in parent:
+                    parent[a] = a
+                if b not in parent:
+                    parent[b] = b
+                ra, rb = find(a), find(b)
+                if ra != rb:
+                    # union by min id so the root IS the component label
+                    if ra < rb:
+                        parent[rb] = ra
+                    else:
+                        parent[ra] = rb
+        ids = sorted(parent)
+        yield pd.DataFrame({"id": ids, "comp": [find(i) for i in ids]})
+
+    return run
+
+
 def connected_components(
     pairs: DataFrame,
     *,
@@ -993,6 +1032,7 @@ def connected_components(
     dst: str = "doc_b",
     max_iter: int = 25,
     propagate_rounds: int = 6,
+    small_graph_edges: int = 200_000,
 ) -> DataFrame:
     """Connected components over a near-dup pair graph → (id, component),
     component = min node id in the component.
@@ -1023,23 +1063,62 @@ def connected_components(
     flag is computed INSIDE the checkpointed round frame (one join + one
     agg per round total), so the probe is a filter-scan of
     already-materialized partitions rather than a second join job.
+
+    **Small-graph fast path (round 11):** when the canonical edge set
+    holds ≤ ``small_graph_edges`` rows (known from the count that
+    materializes the persist), the component labels come from ONE
+    single-partition union-find task (Arrow-batched mapInPandas) instead
+    of per-round join/agg jobs — the dup-pair graphs every fixture-scale
+    query feeds are hundreds of edges, where round-structured CC is pure
+    job/codegen overhead (the textrank small-graph lesson). Exactness is
+    unchanged (union-by-min-id union-find computes the identical
+    min-label components); the task is bounded (≤ small_graph_edges
+    edges in one executor task, never the driver), and anything larger
+    takes the distributed propagate/star path as before. Set
+    ``small_graph_edges=0`` to force the distributed path (its tests).
     """
-    e = pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
     # Self-loops are dropped from the edge set and their nodes re-added as
     # singleton components at the end — previously the propagation tier
     # labeled a self-loop-only node while the star-contract fallback
     # (whose _canonical_edges filters a != b) silently dropped it, so the
     # two tiers returned different node sets (advisor, round 10). All
     # in-repo pair sources enforce src < dst, so this is symmetry
-    # hardening, not a behavior change on production paths.
-    nodes = (
-        e.select(F.col("a").alias("id"))
-        .union(e.select(F.col("b").alias("id")))
-        .distinct()
-    )
-    e = e.filter(F.col("a") != F.col("b"))
+    # hardening, not a behavior change on production paths. The raw pair
+    # frame is persisted so the self-loop scan and the edge build share
+    # ONE evaluation of the (often expensive) pair source.
+    e0 = pairs.select(F.col(src).alias("a"), F.col(dst).alias("b")).persist()
+    # only self-loop-ONLY nodes can be absent from the edge labels — any
+    # node with a real edge is labeled by either tier
+    loop_ids = e0.filter(F.col("a") == F.col("b")).select(F.col("a").alias("id")).distinct()
+    e = e0.filter(F.col("a") != F.col("b"))
     edges = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b"))).distinct()
     edges = edges.persist()
+    # this count materializes the persist (the first consumer forced it
+    # anyway) and tells us which path the graph merits
+    n_sym_edges = edges.count()
+    id_type = dict(edges.dtypes)["a"]
+    if (
+        small_graph_edges
+        and n_sym_edges <= 2 * small_graph_edges
+        and id_type in ("tinyint", "smallint", "int", "bigint")
+    ):
+        canon = edges.filter(F.col("a") < F.col("b"))
+        labels = canon.repartition(1).mapInPandas(
+            _union_find_partition("a", "b"), f"id {id_type}, comp {id_type}"
+        )
+        singletons = loop_ids.join(labels, "id", "left_anti").withColumn(
+            "comp", F.col("id")
+        )
+        # eager checkpoint: consumers fan the label frame out several
+        # times (cluster join + survivor filter + ...); without lineage
+        # truncation each reference re-expands the whole pair-source plan
+        # and Catalyst planning cost explodes multiplicatively (observed:
+        # a 1235-join dbscan plan). Same discipline as the per-round
+        # frames in the distributed path.
+        out = labels.union(singletons).localCheckpoint(eager=True)
+        edges.unpersist()
+        e0.unpersist()
+        return out
     labels = edges.select(F.col("a").alias("id")).distinct().withColumn("comp", F.col("id"))
     converged = False
     for _ in range(min(propagate_rounds, max_iter)):
@@ -1064,14 +1143,17 @@ def connected_components(
             break
     if not converged:
         labels = _star_contract(edges, max_iter)
-    edges.unpersist()
     # nodes whose every incident pair was a self-loop have no edge rows:
     # label them as their own singleton component so both tiers cover the
-    # full node set of `pairs`
-    singletons = nodes.join(labels, "id", "left_anti").withColumn(
+    # full node set of `pairs`; checkpointed for the same plan-hygiene
+    # reason as the fast path above
+    singletons = loop_ids.join(labels, "id", "left_anti").withColumn(
         "comp", F.col("id")
     )
-    return labels.union(singletons)
+    out = labels.union(singletons).localCheckpoint(eager=True)
+    edges.unpersist()
+    e0.unpersist()
+    return out
 
 
 def dedup_clusters(
@@ -1855,6 +1937,7 @@ def containment_pairs_blocked(
     threshold: float = 0.9,
     text_col: str = "text",
     id_col: str = "doc_id",
+    _cache: bool = True,
 ) -> DataFrame:
     """Scale-true containment pairs via EXACT prefix filtering (the
     PPJoin principle): if host B contains ≥ threshold·|A| of inner A's
@@ -1880,8 +1963,15 @@ def containment_pairs_blocked(
         .select(F.col(id_col).alias("id"), F.array_distinct(tokens(text_col)).alias("tok"))
         .localCheckpoint()  # feeds df-count, postings, probes, and 2 verify joins
     )
-    flat = toks.select("id", F.size("tok").alias("sz"), F.explode("tok").alias("t"))
-    tok_df = flat.groupBy("t").agg(F.count(F.lit(1)).alias("df"))
+    _c = cache_once if _cache else (lambda d: d)
+    flat = _c(toks.select("id", F.size("tok").alias("sz"), F.explode("tok").alias("t")))
+    # the document-frequency index is consumed twice (probe ranking +
+    # posting pruning); cache it so the explode+groupBy shuffle runs once
+    # (round 11, r10 verdict order #4 — the containment CPU was mostly
+    # rebuilding this index per consumer). ``_cache=False`` exists for the
+    # plan_audit AUX pin, which fingerprints the UNCACHED index build so a
+    # future regression inside it stays visible.
+    tok_df = _c(flat.groupBy("t").agg(F.count(F.lit(1)).alias("df")))
     ranked = flat.join(tok_df, "t")
     w = Window.partitionBy("id").orderBy(F.asc("df"), F.asc("t"))
     # prefix size |A| − ⌈t·|A|⌉ + 1 — the smallest prefix that guarantees

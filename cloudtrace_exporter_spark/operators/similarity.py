@@ -757,8 +757,14 @@ def sign_block_pairs(
         ),
         F.lit(0).cast("long"),
     )
-    hashed = emb.select(F.col(id_col).alias("id"), qvec.alias("v")).select(
-        "id", bkt.alias("bkt")
+    # (id, bkt) is consumed up to three times (guard agg + both join
+    # sides); cache it so the quantize/hash chain — and the upstream
+    # corpus plan — evaluates once (round 11: sign_block_pairs was the
+    # q_dbscan_lsh CPU hotspot purely from recomputing its input)
+    hashed = cache_once(
+        emb.select(F.col(id_col).alias("id"), qvec.alias("v")).select(
+            "id", bkt.alias("bkt")
+        )
     )
     if max_bucket_rows is not None:
         top = (

@@ -53,6 +53,29 @@ def set_state_store(spark: SparkSession, provider: str) -> None:
             "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
             "true",
         )
+        # round-11 tuning pass (r10 verdict order #5 — the 2x wall vs
+        # heap at 10M keys):
+        # - trackTotalNumberOfRows=false: with tracking on, EVERY put
+        #   issues a point read first so numRowsTotal stays exact; a
+        #   dedup/ingest workload is write-dominated, so this halves the
+        #   per-key RocksDB work. numRowsTotal then reads 0/-1 in
+        #   telemetry — documented trade, probes don't assert on it for
+        #   this tier.
+        # - blockCacheSizeMB: default is 8 MB per store instance; the
+        #   watermark-dedup access pattern re-reads recent keys (the
+        #   dup window), so 64 MB keeps the hot range in cache. Bounded:
+        #   n_partitions x 64 MB native (2 GB at local[32]).
+        # - writeBufferSizeMB 64: fewer memtable flushes per micro-batch
+        #   at 10M-key scale.
+        for k, v in (
+            ("trackTotalNumberOfRows", "false"),
+            ("blockCacheSizeMB", "64"),
+            ("writeBufferSizeMB", "64"),
+        ):
+            spark.conf.set(
+                f"spark.sql.streaming.stateStore.rocksdb.{k}",
+                os.environ.get(f"SPARK_GRAFT_ROCKSDB_{k.upper()}", v),
+            )
     elif provider == "hdfs":
         spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
     else:

@@ -1,9 +1,11 @@
 from cloudtrace_exporter_spark.streaming.pipeline import (
     dedup_within_watermark,
     read_event_stream,
+    semdedup_stream_index,
     session_windows,
     sliding_counts,
     stateful_running_totals,
+    stream_semdedup,
     stream_static_enrich,
     stream_stream_interval_join,
     tumbling_counts,
@@ -20,9 +22,11 @@ __all__ = [
     "foreach_batch_graph_upsert",
     "foreach_batch_quality_gated",
     "read_event_stream",
+    "semdedup_stream_index",
     "session_windows",
     "sliding_counts",
     "stateful_running_totals",
+    "stream_semdedup",
     "stream_static_enrich",
     "stream_stream_interval_join",
     "tumbling_counts",

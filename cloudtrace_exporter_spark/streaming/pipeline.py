@@ -733,3 +733,198 @@ def stream_stream_outer_join(
     ).select(
         F.col("l_user").alias("user_id"), "left_id", "right_id", "l_ts", "r_ts"
     )
+
+
+def semdedup_stream_index(
+    corpus: DataFrame,
+    *,
+    n_centroids: int = 8,
+    lloyd_iters: int = 2,
+    scale: int = 10**3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """One-time batch prep for ``stream_semdedup``: train the integer
+    k-means centroids on the CORPUS (similarity._scaled_kmeans — the
+    same trainer the batch semdedup_incremental uses, so cell
+    assignments agree bit-for-bit) and materialize the quantized,
+    cell-keyed corpus index (id, v, cell, n2). Returns (index_df,
+    cents); cents is the KB-sized literal list that rides into the
+    stream's narrow assignment map — the "centroids broadcast" half of
+    the serving posture."""
+    from cloudtrace_exporter_spark.operators.similarity import (
+        _as_double,
+        _scaled_kmeans,
+    )
+    from cloudtrace_exporter_spark.session import cache_once
+
+    assigned, cents = _scaled_kmeans(
+        corpus,
+        n_centroids=n_centroids,
+        lloyd_iters=lloyd_iters,
+        scale=scale,
+        id_col=id_col,
+        vec_col=vec_col,
+    )
+    self_dot = F.aggregate(
+        F.zip_with("v", "v", lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    return cache_once(assigned.withColumn("n2", self_dot)), cents
+
+
+def stream_semdedup(
+    stream: DataFrame,
+    corpus_index: DataFrame,
+    cents,
+    *,
+    tau_num: int = 95,
+    tau_den: int = 100,
+    scale: int = 10**3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """STREAMING semantic dedup (round 11, r10 verdict order #6): the
+    reference's core loop (stream → dedup → sink) for the embedding
+    tier. Each streamed vector is (a) assigned to its corpus-trained
+    cell by the literal-centroid narrow map (no shuffle), (b) checked
+    against the STATIC corpus index of its cell via one stream-static
+    left join (the exact BIGINT ε-test on every candidate), and (c) run
+    through a per-cell ``applyInPandasWithState`` operator whose state
+    holds the KEPT stream vectors of that cell — the "seen-component
+    keys in the state store", living on whichever state tier
+    (heap/RocksDB) the session selects.
+
+    Micro-batch semantics — the sequential fold of the batch operator:
+    batch N is processed exactly like ``similarity.semdedup_incremental
+    (batch_N, corpus ∪ kept-so-far)`` with centroids PINNED to the
+    original corpus training (serving posture — no retrain per batch):
+
+    - ε-link to a corpus vector OR to a previously-KEPT stream vector →
+      ``corpus_dup`` (a kept stream vector has joined the corpus, the
+      single-pass steady-state contract of the batch twin);
+    - within-batch survivor ε-graph collapses via union-find (the same
+      min-id components connected_components computes) → min id
+      ``kept``, the rest ``batch_dup``;
+    - kept vectors append to the cell's state.
+
+    State is O(kept vectors per cell) — the post-dedup density, not the
+    stream volume; Arrow-batched access; checkpointed incrementally on
+    either tier. Output: (vec_id, cell, component, status) per streamed
+    vector, exactly the batch operator's schema.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from cloudtrace_exporter_spark.operators.similarity import (
+        _as_double,
+        _nearest_scaled,
+    )
+
+    qvec = F.transform(_as_double(vec_col), lambda x: F.round(x * scale).cast("long"))
+    self_dot = F.aggregate(
+        F.zip_with("v", "v", lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    s = (
+        stream.select(F.col(id_col).alias("id"), qvec.alias("v"))
+        .withColumn("cell", _nearest_scaled(F.col("v"), cents))
+        .withColumn("n2", self_dot)
+    )
+    c = corpus_index.select(
+        F.col("cell"),
+        F.col("id").alias("cid"),
+        F.col("v").alias("cv"),
+        F.col("n2").alias("cn2"),
+    )
+    joined = s.join(c, "cell", "left")
+
+    out_schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("cell", T.LongType()),
+            T.StructField("component", T.LongType()),
+            T.StructField("status", T.StringType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("ids", T.ArrayType(T.LongType())),
+            T.StructField("flat", T.ArrayType(T.LongType())),
+            T.StructField("n2s", T.ArrayType(T.LongType())),
+        ]
+    )
+    tn2, td2 = tau_num * tau_num, tau_den * tau_den
+
+    def _eps(va, na, vb, nb) -> bool:
+        d = sum(int(x) * int(y) for x, y in zip(va, vb))
+        return d >= 0 and d * d * td2 >= tn2 * int(na) * int(nb)
+
+    def _update(key, pdf_iter, state: GroupState):
+        cell = int(key[0])
+        rows: dict[int, tuple[list[int], int]] = {}
+        corpus_linked: set[int] = set()
+        for pdf in pdf_iter:
+            for r in pdf.itertuples():
+                vid = int(r.id)
+                if vid not in rows:
+                    rows[vid] = ([int(x) for x in r.v], int(r.n2))
+                if r.cid is not None and not pd.isna(r.cid):
+                    v, n2 = rows[vid]
+                    if _eps(v, n2, r.cv, r.cn2):
+                        corpus_linked.add(vid)
+        kept_ids, flat, n2s = (
+            (list(state.get[0]), list(state.get[1]), list(state.get[2]))
+            if state.exists
+            else ([], [], [])
+        )
+        dim = len(next(iter(rows.values()))[0]) if rows else 0
+        kept_vs = [flat[i * dim : (i + 1) * dim] for i in range(len(kept_ids))]
+        out = []
+        survivors: list[int] = []
+        for vid in sorted(rows):
+            v, n2 = rows[vid]
+            if vid in corpus_linked or any(
+                _eps(v, n2, kv, kn) for kv, kn in zip(kept_vs, n2s)
+            ):
+                out.append((vid, cell, vid, "corpus_dup"))
+            else:
+                survivors.append(vid)
+        # union-find over the survivors' ε-pairs — the same min-id
+        # components the batch operator's connected_components emits
+        parent = {v: v for v in survivors}
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for i, a in enumerate(survivors):
+            va, na = rows[a]
+            for b in survivors[i + 1 :]:
+                vb, nb = rows[b]
+                if _eps(va, na, vb, nb):
+                    ra, rb = find(a), find(b)
+                    if ra != rb:
+                        parent[max(ra, rb)] = min(ra, rb)
+        for vid in survivors:
+            root = find(vid)
+            if root == vid:
+                out.append((vid, cell, vid, "kept"))
+                kept_ids.append(vid)
+                flat.extend(rows[vid][0])
+                n2s.append(rows[vid][1])
+            else:
+                out.append((vid, cell, root, "batch_dup"))
+        state.update((kept_ids, flat, n2s))
+        if out:
+            out.sort()
+            yield pd.DataFrame(
+                out, columns=["vec_id", "cell", "component", "status"]
+            )
+
+    return joined.groupBy("cell").applyInPandasWithState(
+        _update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )

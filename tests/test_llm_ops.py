@@ -895,8 +895,16 @@ def test_connected_components_chain_graphs_exact(spark, diameter, seed):
     edges = [(ids[i], ids[i + 1]) for i in range(diameter)]
     other = [(7, 8), (8, 9)]  # shallow side component must keep its own label
     pairs = spark.createDataFrame(edges + other, ["doc_a", "doc_b"])
-    got = {r["id"]: r["comp"] for r in dedup.connected_components(pairs).collect()}
-    assert got == {**{i: min(ids) for i in ids}, 7: 7, 8: 7, 9: 7}
+    expected = {**{i: min(ids) for i in ids}, 7: 7, 8: 7, 9: 7}
+    # distributed path (the large-star/small-star phase this test pins)
+    got = {
+        r["id"]: r["comp"]
+        for r in dedup.connected_components(pairs, small_graph_edges=0).collect()
+    }
+    assert got == expected
+    # default path (round-11 single-task union-find) must agree exactly
+    fast = {r["id"]: r["comp"] for r in dedup.connected_components(pairs).collect()}
+    assert fast == expected
 
 
 def test_connected_components_raises_loudly_when_capped(spark):
@@ -905,7 +913,9 @@ def test_connected_components_raises_loudly_when_capped(spark):
     edges = [(i, i + 1) for i in range(200)]
     pairs = spark.createDataFrame(edges, ["doc_a", "doc_b"])
     with pytest.raises(dedup.NonConvergenceError):
-        dedup.connected_components(pairs, max_iter=1, propagate_rounds=1)
+        dedup.connected_components(
+            pairs, max_iter=1, propagate_rounds=1, small_graph_edges=0
+        )
 
 
 def test_star_contract_matches_propagation_on_dense_graph(spark):
@@ -915,11 +925,15 @@ def test_star_contract_matches_propagation_on_dense_graph(spark):
     pairs = spark.createDataFrame(edges, ["doc_a", "doc_b"])
     via_prop = {
         r["id"]: r["comp"]
-        for r in dedup.connected_components(pairs, propagate_rounds=25).collect()
+        for r in dedup.connected_components(
+            pairs, propagate_rounds=25, small_graph_edges=0
+        ).collect()
     }
     via_stars = {
         r["id"]: r["comp"]
-        for r in dedup.connected_components(pairs, propagate_rounds=0).collect()
+        for r in dedup.connected_components(
+            pairs, propagate_rounds=0, small_graph_edges=0
+        ).collect()
     }
     assert via_prop == via_stars
     assert via_stars[4] == 1 and via_stars[23] == 20 and via_stars[51] == 50
@@ -934,11 +948,15 @@ def test_connected_components_self_loops_symmetric_across_tiers(spark):
     expected = {1: 1, 2: 1, 3: 1, 9: 9}
     via_prop = {
         r["id"]: r["comp"]
-        for r in dedup.connected_components(pairs, propagate_rounds=25).collect()
+        for r in dedup.connected_components(
+            pairs, propagate_rounds=25, small_graph_edges=0
+        ).collect()
     }
     via_stars = {
         r["id"]: r["comp"]
-        for r in dedup.connected_components(pairs, propagate_rounds=0).collect()
+        for r in dedup.connected_components(
+            pairs, propagate_rounds=0, small_graph_edges=0
+        ).collect()
     }
     assert via_prop == expected
     assert via_stars == expected
@@ -946,7 +964,9 @@ def test_connected_components_self_loops_symmetric_across_tiers(spark):
     only_loops = spark.createDataFrame([(5, 5), (6, 6)], ["doc_a", "doc_b"])
     got = {
         r["id"]: r["comp"]
-        for r in dedup.connected_components(only_loops, propagate_rounds=0).collect()
+        for r in dedup.connected_components(
+            only_loops, propagate_rounds=0, small_graph_edges=0
+        ).collect()
     }
     assert got == {5: 5, 6: 6}
 

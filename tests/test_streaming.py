@@ -847,3 +847,104 @@ def test_cypher_live_path_chunks_transactions_exactly(spark, staged_events, tmp_
         assert acc_rows.value == n
         assert acc_tx.value == sum(math.ceil(c / rows_per_tx) for c in per_part)
     rows.unpersist()
+
+
+@pytest.mark.parametrize("tier", ["hdfs", "rocksdb"])
+def test_stream_semdedup_matches_batch_operator(spark, tmp_path, tier):
+    """Round-11 (r10 verdict order #6): the streaming semantic-dedup
+    pipeline. Batch 1 must reproduce similarity.semdedup_incremental
+    (batch_1, corpus) EXACTLY (state starts empty — the two paths are
+    then the same math); batch 2 must flag planted copies of batch-1
+    KEPT vectors as corpus_dup (the state-store memory) while far-away
+    fresh vectors stay kept. Parametrized over BOTH state tiers."""
+    from cloudtrace_exporter_spark.operators import similarity
+    from cloudtrace_exporter_spark.session import set_state_store
+    from cloudtrace_exporter_spark.streaming.pipeline import (
+        semdedup_stream_index,
+        stream_semdedup,
+    )
+
+    emb = load_table(spark, SF, "embeddings")
+    corpus = emb.filter(F.col("vec_id") < 300).select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+    )
+
+    def perturb(df, offset, coord_shift):
+        return df.select(
+            (F.col("vec_id") + offset).alias("vec_id"),
+            F.transform(
+                "embedding",
+                lambda x, i: x
+                + F.when(i == F.lit(coord_shift), F.lit(0.01)).otherwise(F.lit(0.0)),
+            ).alias("embedding"),
+        )
+
+    fresh1 = emb.filter((F.col("vec_id") >= 300) & (F.col("vec_id") < 340)).select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+    )
+    # batch 1: fresh vectors + near-copies of corpus seeds (corpus_dup bait)
+    b1 = fresh1.unionByName(perturb(corpus.filter(F.col("vec_id") < 10), 2_000_000, 3))
+    # batch 2: near-copies of batch-1 FRESH vectors (kept in b1 → must be
+    # corpus_dup via the state store) + far fresh vectors
+    fresh2 = emb.filter((F.col("vec_id") >= 340) & (F.col("vec_id") < 360)).select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+    )
+    b2 = fresh2.unionByName(perturb(fresh1.filter(F.col("vec_id") < 310), 3_000_000, 5))
+
+    src = str(tmp_path / f"semdedup_src_{tier}")
+    os.makedirs(src)
+    b1.toPandas().to_parquet(os.path.join(src, "batch_00.parquet"), index=False)
+    b2.toPandas().to_parquet(os.path.join(src, "batch_01.parquet"), index=False)
+
+    index_df, cents = semdedup_stream_index(corpus, n_centroids=8, lloyd_iters=2)
+    stream = (
+        spark.readStream.schema("vec_id long, embedding array<double>")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    set_state_store(spark, tier)
+    try:
+        out = stream_semdedup(stream, index_df, cents)
+        name = f"t_semdedup_{tier}"
+        q = (
+            out.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("update")
+            .option("checkpointLocation", str(tmp_path / f"ck_{tier}"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        got = {
+            r["vec_id"]: (r["cell"], r["component"], r["status"])
+            for r in spark.sql(f"SELECT * FROM {name}").collect()
+        }
+    finally:
+        set_state_store(spark, "hdfs")
+
+    # batch-1 parity: state was empty, so the stream must equal the
+    # batch operator exactly (statuses AND components AND cells)
+    expected_b1 = {
+        r["vec_id"]: (r["cell"], r["component"], r["status"])
+        for r in similarity.semdedup_incremental(
+            b1, corpus, n_centroids=8, lloyd_iters=2
+        ).collect()
+    }
+    got_b1 = {k: v for k, v in got.items() if k < 3_000_000 and not (340 <= k < 360)}
+    assert got_b1 == expected_b1
+    # batch-2: every planted copy of a batch-1 KEPT vector is corpus_dup
+    kept_b1 = {k for k, v in expected_b1.items() if v[2] == "kept" and k < 310}
+    for k in kept_b1:
+        assert got[k + 3_000_000][2] == "corpus_dup", (k, got[k + 3_000_000])
+    # far fresh batch-2 vectors behave exactly as the batch operator says
+    expected_fresh2 = {
+        r["vec_id"]: r["status"]
+        for r in similarity.semdedup_incremental(
+            fresh2, corpus, n_centroids=8, lloyd_iters=2
+        ).collect()
+    }
+    for k, st in expected_fresh2.items():
+        assert got[k][2] == st, (k, got[k], st)

@@ -103,8 +103,22 @@ def _textrank_edge_build(spark, sf_dir: str):
 # LogicalRDD (so the snapshot of the final frame is all zeros and blind
 # to interior regressions) get their pre-checkpoint build plan pinned
 # here instead (round-10 review note on q_textrank_keywords).
+def _containment_index_build(spark, sf_dir: str):
+    import __spark_entry__ as entry_mod
+    from pyspark.sql import functions as F
+    from cloudtrace_exporter_spark.operators import dedup as _dedup
+
+    docs = entry_mod.load_table(spark, sf_dir, "documents")
+    # +0 defeats CacheManager sameResult matching (see _textrank note);
+    # _cache=False keeps the df-index build out of InMemoryRelation so
+    # the fingerprint sees its exchanges, not a cache-scan stub.
+    docs = docs.withColumn("doc_id", F.col("doc_id") + F.lit(0))
+    return _dedup.containment_pairs_blocked(docs, _cache=False)
+
+
 AUX_PLANS = {
     "q_textrank_keywords__edge_build": _textrank_edge_build,
+    "q_containment_pairs__index_build": _containment_index_build,
 }
 
 

@@ -2386,6 +2386,103 @@ def _nb_quality_oracle_sql() -> str:
     """
 
 
+def q_bloom_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter incremental dedup, CERTIFIED (round 11): build an
+    8192-bit / 4-hash Bloom filter over the even-doc_id half of the
+    corpus (dedup.bloom_build — a groupBy(word_idx) bit_or over md5
+    hash positions, ≤ 256 packed words regardless of corpus size),
+    probe the odd half (dedup.bloom_probe — ONE broadcast join against
+    the fixed-size filter), and join the exact membership verdict so
+    every row certifies no-false-negatives and exposes the bounded
+    false-positive trade. This is the bounded-memory membership
+    mechanism for 100 TB incremental dedup: the filter is O(m), not
+    O(corpus keys). Full oracle — the md5 position family and 32-bit
+    word packing replay exactly in DuckDB."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.bloom_dedup_report(
+        docs.filter(F.col("doc_id") % 2 == 0),
+        docs.filter(F.col("doc_id") % 2 == 1),
+        m_bits=8192,
+        k=4,
+    )
+
+
+def _bloom_dedup_oracle_sql() -> str:
+    """DuckDB replay of dedup.bloom_dedup_report at (m=8192, k=4):
+    identical md5 15-hex-prefix positions, 32-bit word packing via
+    bit_or, min-over-k-positions hit rule, exact verdict by key join."""
+    m, k = 8192, 4
+    return f"""
+        WITH corpus AS (SELECT text FROM documents WHERE doc_id % 2 = 0),
+        probe AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1),
+        cpos AS (
+          SELECT DISTINCT
+            CAST(('0x' || substr(md5(text || '#' || i), 1, 15)) AS BIGINT) % {m} AS pos
+          FROM corpus, range({k}) t(i)
+        ),
+        words AS (
+          SELECT pos // 32 AS word_idx,
+                 bit_or(CAST(1 AS BIGINT) << CAST(pos % 32 AS INT)) AS word
+          FROM cpos GROUP BY 1
+        ),
+        ppos AS (
+          SELECT doc_id,
+            CAST(('0x' || substr(md5(text || '#' || i), 1, 15)) AS BIGINT) % {m} AS pos
+          FROM probe, range({k}) t(i)
+        ),
+        hits AS (
+          SELECT p.doc_id,
+                 min(CASE WHEN w.word IS NOT NULL
+                           AND (w.word >> CAST(p.pos % 32 AS INT)) % 2 = 1
+                          THEN 1 ELSE 0 END) = 1 AS bloom_hit
+          FROM ppos p LEFT JOIN words w ON w.word_idx = p.pos // 32
+          GROUP BY p.doc_id
+        ),
+        exact AS (
+          SELECT p.doc_id,
+                 COALESCE(p.text IN (SELECT text FROM corpus), FALSE) AS exact_dup
+          FROM probe p
+        )
+        SELECT h.doc_id, h.bloom_hit, e.exact_dup,
+               (h.bloom_hit AND NOT e.exact_dup) AS false_positive
+        FROM hits h JOIN exact e USING (doc_id)
+        ORDER BY h.doc_id
+    """
+
+
+def q_bloom_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom snapshot composition (round 11): per-shard filters (even /
+    odd doc_id halves) OR-merged via dedup.bloom_merge. The ORACLE
+    builds ONE filter over the whole corpus directly, so the driver's
+    value hash certifies the composition law itself — merge(build(A),
+    build(B)) ≡ build(A ∪ B) bit for bit. This is what lets 100 TB
+    ingest shards build filters independently and combine them without
+    re-scanning any shard."""
+    docs = load_table(spark, sf_dir, "documents")
+    merged = dedup.bloom_merge(
+        dedup.bloom_build(docs.filter(F.col("doc_id") % 2 == 0), m_bits=8192, k=4),
+        dedup.bloom_build(docs.filter(F.col("doc_id") % 2 == 1), m_bits=8192, k=4),
+    )
+    return merged.orderBy("word_idx")
+
+
+def _bloom_merge_oracle_sql() -> str:
+    """DuckDB builds the union-corpus filter directly (no merge step):
+    a Spark-side merge bug of any kind breaks the value hash."""
+    m, k = 8192, 4
+    return f"""
+        WITH pos AS (
+          SELECT DISTINCT
+            CAST(('0x' || substr(md5(text || '#' || i), 1, 15)) AS BIGINT) % {m} AS pos
+          FROM documents, range({k}) t(i)
+        )
+        SELECT pos // 32 AS word_idx,
+               bit_or(CAST(1 AS BIGINT) << CAST(pos % 32 AS INT)) AS word
+        FROM pos GROUP BY 1
+        ORDER BY word_idx
+    """
+
+
 def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """North-star: train/eval 3-gram contamination — src0 is the benchmark."""
     docs = load_table(spark, sf_dir, "documents")
@@ -5340,6 +5437,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_doc_fingerprint": q_doc_fingerprint,
         "q_gopher_rules": q_gopher_rules,
         "q_nb_quality_score": q_nb_quality_score,
+        "q_bloom_dedup": q_bloom_dedup,
+        "q_bloom_merge": q_bloom_merge,
         "q_interpolate_gaps": q_interpolate_gaps,
         "q_minhash_jaccard_diag": q_minhash_jaccard_diag,
         "q_quality_calibrated": q_quality_calibrated,
@@ -10706,6 +10805,8 @@ def oracle_sql() -> dict[str, str]:
             )
         """,
         "q_nb_quality_score": _nb_quality_oracle_sql(),
+        "q_bloom_dedup": _bloom_dedup_oracle_sql(),
+        "q_bloom_merge": _bloom_merge_oracle_sql(),
         "q_gopher_rules": f"""
             WITH d AS (SELECT doc_id, {_TOKENS_SQL} AS w FROM documents),
             base AS (

@@ -987,42 +987,35 @@ def _star_contract(edges: DataFrame, max_rounds: int) -> DataFrame:
     )
 
 
-def _union_find_partition(schema_src: str, schema_dst: str):
-    """mapInPandas body: exact union-find over one partition's edges —
-    the small-graph fast path of connected_components. Accumulates every
-    Arrow batch of the (single) partition, then emits (id, comp) with
-    comp = min node id per component."""
-    import pandas as pd
+def _union_find(edge_rows) -> list[tuple[int, int]]:
+    """Exact union-find over a bounded edge list — the driver-side body
+    of connected_components' small-graph fast path. Union-by-min-id, so
+    every component's root IS its min node id. Returns sorted
+    (id, comp) tuples."""
+    parent: dict[int, int] = {}
 
-    def run(batches):
-        parent: dict[int, int] = {}
+    def find(x: int) -> int:
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:
+            parent[x], x = root, parent[x]
+        return root
 
-        def find(x: int) -> int:
-            root = x
-            while parent[root] != root:
-                root = parent[root]
-            while parent[x] != root:
-                parent[x], x = root, parent[x]
-            return root
-
-        for pdf in batches:
-            for a, b in zip(pdf[schema_src], pdf[schema_dst]):
-                a, b = int(a), int(b)
-                if a not in parent:
-                    parent[a] = a
-                if b not in parent:
-                    parent[b] = b
-                ra, rb = find(a), find(b)
-                if ra != rb:
-                    # union by min id so the root IS the component label
-                    if ra < rb:
-                        parent[rb] = ra
-                    else:
-                        parent[ra] = rb
-        ids = sorted(parent)
-        yield pd.DataFrame({"id": ids, "comp": [find(i) for i in ids]})
-
-    return run
+    for a, b in edge_rows:
+        a, b = int(a), int(b)
+        if a not in parent:
+            parent[a] = a
+        if b not in parent:
+            parent[b] = b
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            # union by min id so the root IS the component label
+            if ra < rb:
+                parent[rb] = ra
+            else:
+                parent[ra] = rb
+    return [(i, find(i)) for i in sorted(parent)]
 
 
 def connected_components(
@@ -1067,15 +1060,18 @@ def connected_components(
     **Small-graph fast path (round 11):** when the canonical edge set
     holds ≤ ``small_graph_edges`` rows (known from the count that
     materializes the persist), the component labels come from ONE
-    single-partition union-find task (Arrow-batched mapInPandas) instead
+    bounded driver-side union-find over the collected edge list instead
     of per-round join/agg jobs — the dup-pair graphs every fixture-scale
     query feeds are hundreds of edges, where round-structured CC is pure
     job/codegen overhead (the textrank small-graph lesson). Exactness is
     unchanged (union-by-min-id union-find computes the identical
-    min-label components); the task is bounded (≤ small_graph_edges
-    edges in one executor task, never the driver), and anything larger
-    takes the distributed propagate/star path as before. Set
-    ``small_graph_edges=0`` to force the distributed path (its tests).
+    min-label components); the collect is bounded by the parameter
+    (200k edges ≈ 3 MB of BIGINT pairs — the BPE-merge/centroid
+    bounded-metadata discipline), and anything larger takes the
+    distributed propagate/star path as before. Deliberately NOT an
+    executor-side mapInPandas task: see the in-body note on JVM
+    deoptimization. Set ``small_graph_edges=0`` to force the
+    distributed path (its tests).
     """
     # Self-loops are dropped from the edge set and their nodes re-added as
     # singleton components at the end — previously the propagation tier
@@ -1102,9 +1098,22 @@ def connected_components(
         and n_sym_edges <= 2 * small_graph_edges
         and id_type in ("tinyint", "smallint", "int", "bigint")
     ):
-        canon = edges.filter(F.col("a") < F.col("b"))
-        labels = canon.repartition(1).mapInPandas(
-            _union_find_partition("a", "b"), f"id {id_type}, comp {id_type}"
+        # DRIVER-side union-find (round 11, revised): the canonical edge
+        # set is ≤ small_graph_edges rows of two integer ids — a few MB,
+        # the same bounded-metadata collect discipline as the BPE merge
+        # tables and k-means centroids — and the labels re-enter the plan
+        # as a LocalRelation. The first cut ran this as a one-partition
+        # mapInPandas task; spinning up the executor-side Python/Arrow
+        # runner mid-session DEOPTIMIZES hot JVM codegen (measured: the
+        # next heavy query in the session ran at 3-10x its steady-state
+        # CPU while C2 re-warmed — BENCH r11 q_ivf_topk 29-56 CPU-s vs a
+        # 2.6 s steady state; a distributed-CC control showed no spike),
+        # so the fast path must keep executors JVM-only.
+        canon_rows = (
+            edges.filter(F.col("a") < F.col("b")).select("a", "b").collect()
+        )
+        labels = edges.sparkSession.createDataFrame(
+            _union_find(canon_rows), f"id {id_type}, comp {id_type}"
         )
         singletons = loop_ids.join(labels, "id", "left_anti").withColumn(
             "comp", F.col("id")
@@ -2408,3 +2417,200 @@ def soft_dedup_weights(assign: DataFrame) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter membership dedup (round 11)
+# ---------------------------------------------------------------------------
+
+
+def bloom_build(
+    corpus: DataFrame,
+    key_col: str = "text",
+    *,
+    m_bits: int = 1 << 20,
+    k: int = 4,
+) -> DataFrame:
+    """Distributed BUILD of a Bloom filter over ``key_col`` — the
+    bounded-memory membership structure for incremental dedup at the
+    100 TB tier (the Dolma/CCNet production recipe: you cannot hold an
+    exact seen-key set per executor, but an m-bit Bloom bitmap answers
+    "definitely new / maybe seen" with a tunable false-positive rate
+    and ZERO false negatives).
+
+    Representation: the bitmap is a DataFrame of packed words —
+    ``(word_idx BIGINT, word BIGINT)`` where ``word`` holds bits
+    ``[32*word_idx, 32*word_idx+32)`` in its low 32 bits. 32-bit
+    packing (not 64) keeps ``1 << bit`` inside the BIGINT positive
+    range on every engine — the same cross-engine discipline as the
+    md5-prefix hash family. At m_bits = 2^20 the filter is ≤ 32,768
+    rows no matter how large the corpus — always broadcastable; at
+    the 100 TB posture (m ~ 2^35 for ~10^10 keys at 1% FP) it is an
+    equi-joinable ~1B-row frame, still O(m) independent of corpus row
+    count, which an exact seen-key table is not.
+
+    Hash family: position_i(key) = md5(key || '#' || i) 15-hex-prefix
+    → BIGINT mod m_bits, i in [0, k) — deterministic, engine-portable
+    (DuckDB: ``('0x' || substr(md5(..), 1, 15))::BIGINT``), and the
+    family this repo's MinHash/winnowing oracles already pin.
+
+    Scale shape: one explode (k rows per doc), one distinct on
+    positions (bounded above by m_bits), one groupBy(word_idx) with
+    map-side-combined bit_or. No driver collect.
+    """
+    if m_bits % 32 != 0:
+        raise ValueError("m_bits must be a multiple of 32")
+    key = F.col(key_col).cast("string")
+    pos = F.explode(
+        F.array(
+            *[
+                (
+                    F.conv(
+                        F.substring(
+                            F.md5(F.concat(key, F.lit("#"), F.lit(str(i))).cast("binary")),
+                            1,
+                            15,
+                        ),
+                        16,
+                        10,
+                    ).cast("long")
+                    % m_bits
+                )
+                for i in range(k)
+            ]
+        )
+    ).alias("pos")
+    return (
+        corpus.select(pos)
+        .distinct()
+        .select(
+            F.expr("pos div 32").cast("long").alias("word_idx"),
+            F.expr("shiftleft(cast(1 as bigint), cast(pos % 32 as int))").alias("bit"),
+        )
+        .groupBy("word_idx")
+        .agg(F.bit_or("bit").alias("word"))
+    )
+
+
+def bloom_probe(
+    batch: DataFrame,
+    bloom: DataFrame,
+    key_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    m_bits: int = 1 << 20,
+    k: int = 4,
+) -> DataFrame:
+    """PROBE a batch against a Bloom filter built by :func:`bloom_build`
+    with the SAME (m_bits, k): per row, ``bloom_hit`` is true iff every
+    one of its k hash positions is set — "maybe seen" (possible false
+    positive, never a false negative). The incremental-dedup decision
+    is ``NOT bloom_hit ⇒ definitely new``.
+
+    Scale shape: k-row explode per probe doc, ONE broadcast (or equi)
+    left join on word_idx against the O(m/32)-row filter, one
+    groupBy(id) min — the probe side never shuffles except for its own
+    id-grouping, and the corpus never re-enters the plan at all (the
+    whole point: the filter is the corpus's fixed-size summary).
+    """
+    key = F.col(key_col).cast("string")
+    positions = batch.select(
+        F.col(id_col).alias("__id"),
+        F.explode(
+            F.array(
+                *[
+                    (
+                        F.conv(
+                            F.substring(
+                                F.md5(
+                                    F.concat(key, F.lit("#"), F.lit(str(i))).cast("binary")
+                                ),
+                                1,
+                                15,
+                            ),
+                            16,
+                            10,
+                        ).cast("long")
+                        % m_bits
+                    )
+                    for i in range(k)
+                ]
+            )
+        ).alias("pos"),
+    )
+    hit = (
+        F.col("word").isNotNull()
+        & (F.expr("shiftright(word, cast(pos % 32 as int)) % 2") == 1)
+    ).cast("int")
+    return (
+        positions.withColumn("word_idx", F.expr("pos div 32").cast("long"))
+        .join(F.broadcast(bloom), "word_idx", "left")
+        .groupBy("__id")
+        .agg((F.min(hit) == 1).alias("bloom_hit"))
+        .select(F.col("__id").alias(id_col), "bloom_hit")
+    )
+
+
+def bloom_dedup_report(
+    corpus: DataFrame,
+    batch: DataFrame,
+    key_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    m_bits: int = 1 << 20,
+    k: int = 4,
+) -> DataFrame:
+    """End-to-end Bloom incremental-dedup audit: build the filter over
+    ``corpus``, probe ``batch``, and join the EXACT membership verdict
+    (one distinct-key semi join) so the output certifies the filter's
+    two contracts per row: ``exact_dup ⇒ bloom_hit`` (no false
+    negatives, structural) and ``false_positive = bloom_hit AND NOT
+    exact_dup`` (the bounded-FP trade, directly observable). Returns
+    (id, bloom_hit, exact_dup, false_positive) ordered by id.
+
+    This is the certification harness; production incremental dedup
+    runs :func:`bloom_build` once per corpus snapshot and
+    :func:`bloom_probe` per arriving batch WITHOUT the exact join.
+    """
+    flt = bloom_build(corpus, key_col, m_bits=m_bits, k=k)
+    probed = bloom_probe(batch, flt, key_col, id_col, m_bits=m_bits, k=k)
+    keys = corpus.select(F.col(key_col).cast("string").alias("__k")).distinct()
+    # plain equi-join (AQE picks broadcast when the key set is small):
+    # the exact key set is unbounded, unlike the O(m/32)-row filter
+    exact = (
+        batch.select(F.col(id_col), F.col(key_col).cast("string").alias("__k"))
+        .join(keys.withColumn("__dup", F.lit(True)), "__k", "left")
+        .select(id_col, F.coalesce("__dup", F.lit(False)).alias("exact_dup"))
+    )
+    return (
+        probed.join(exact, id_col)
+        .select(
+            id_col,
+            "bloom_hit",
+            "exact_dup",
+            (F.col("bloom_hit") & ~F.col("exact_dup")).alias("false_positive"),
+        )
+        .orderBy(id_col)
+    )
+
+
+def bloom_merge(*filters: DataFrame) -> DataFrame:
+    """OR-combine Bloom filters built by :func:`bloom_build` with the
+    SAME (m_bits, k) — the snapshot-composition property that makes the
+    Bloom posture work operationally at 100 TB: each ingest shard (or
+    day, or source) builds its filter independently and in parallel,
+    and the union filter is ONE bounded groupBy(word_idx) bit_or away —
+    identical, bit for bit, to building over the concatenated corpora
+    (OR is associative/commutative; no re-scan of any shard). Probing
+    the merged filter keeps zero false negatives over the union; the FP
+    rate is that of the combined fill factor.
+
+    Scale shape: input and output are O(m_bits/32)-row frames; the
+    merge never touches corpus data.
+    """
+    if not filters:
+        raise ValueError("bloom_merge needs at least one filter")
+    out = filters[0]
+    for f in filters[1:]:
+        out = out.unionByName(f)
+    return out.groupBy("word_idx").agg(F.bit_or("word").alias("word"))

@@ -2355,6 +2355,13 @@ def semdedup_scaled(
     deterministic function of the data (cell counts), so a DuckDB oracle
     replays it exactly — "no silent caps" applied to candidate volume.
     ``max_cell_rows=None`` disables the guard (ground-truth runs).
+    Escalation has a documented blind spot: sign-blocking splits a cell
+    only where member signs vary, so a tight blob deep in one orthant
+    stays in ONE (cell, bucket) group — the escalated path therefore
+    re-checks the (cell, bucket) histogram and warns loudly when the
+    escalation was ineffective, naming the remedy (raise
+    ``n_centroids``; subdividing dense mass with more centroids is the
+    SemDeDup paper's own posture).
 
     Output: (vec_id, cell, component, keep) per corpus vector —
     component = min id of the vector's within-cluster dup group (own id
@@ -2406,6 +2413,11 @@ def semdedup_scaled(
                 guard_block_bits,
             )
             eff_bits = guard_block_bits
+            _guard_escalated = True
+        else:
+            _guard_escalated = False
+    else:
+        _guard_escalated = False
     if eff_bits:
         bkt = sum(
             (
@@ -2419,6 +2431,38 @@ def semdedup_scaled(
         # a projection over the cached frame — the sign bits are computed
         # from the cached quantized vectors, not a re-derivation
         base = base.withColumn("bkt", bkt)
+        if _guard_escalated:
+            # escalation-effectiveness re-check (round 11): sign-block
+            # bucketing splits a cell only where member signs VARY — a
+            # tight blob deep in one orthant (every member positive on
+            # the first eff_bits coords) lands in ONE bucket and the
+            # escalated join is still O(cell²). "No silent caps" again:
+            # one more bounded agg on the escalated path; if the largest
+            # (cell, bucket) group still exceeds the threshold, say so
+            # loudly and name the remedy that actually splits dense mass
+            # — more centroids (the SemDeDup paper's own posture).
+            top_b = (
+                base.groupBy("cell", "bkt")
+                .agg(F.count(F.lit(1)).alias("n"))
+                .orderBy(F.desc("n"), "cell", "bkt")
+                .first()
+            )
+            if top_b is not None and top_b["n"] > max_cell_rows:
+                import logging
+
+                logging.getLogger(__name__).warning(
+                    "semdedup_scaled: escalation to (cell, bucket) is "
+                    "INEFFECTIVE — (cell %s, bucket %s) still holds %d "
+                    "vectors (> max_cell_rows=%d): the cell's members "
+                    "share their leading signs, so sign-blocking cannot "
+                    "split it. The candidate join remains ~%d pairs; "
+                    "raise n_centroids to subdivide the dense region.",
+                    top_b["cell"],
+                    top_b["bkt"],
+                    top_b["n"],
+                    max_cell_rows,
+                    top_b["n"] * (top_b["n"] - 1) // 2,
+                )
     join_keys = ["cell", "bkt"] if eff_bits else ["cell"]
     a = base.select(
         *join_keys, F.col("id").alias("ia"), F.col("v").alias("va"), F.col("n2").alias("na")

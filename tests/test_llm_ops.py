@@ -3625,3 +3625,114 @@ def test_semdedup_incremental_statuses(spark):
         ).collect()
     }
     assert got == {10: "corpus_dup", 11: "kept", 12: "batch_dup", 13: "kept"}
+
+
+def test_bloom_dedup_no_false_negatives_and_fp_flagged(spark):
+    """Structural contract: every exact duplicate bloom-hits (Bloom
+    filters have zero false negatives); at a saturating m the non-dup
+    keys surface as explicit false_positive rows, never as silent
+    drops."""
+    corpus = spark.createDataFrame(
+        [(i, f"shared-{i}") for i in range(20)], "doc_id long, text string"
+    )
+    batch = spark.createDataFrame(
+        # 5 planted exact dups + 15 novel keys
+        [(100 + i, f"shared-{i}") for i in range(5)]
+        + [(200 + i, f"novel-{i}") for i in range(15)],
+        "doc_id long, text string",
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in dedup.bloom_dedup_report(corpus, batch, m_bits=4096, k=4).collect()
+    }
+    assert len(rows) == 20
+    for i in range(5):
+        r = rows[100 + i]
+        assert r["exact_dup"] and r["bloom_hit"] and not r["false_positive"]
+    for i in range(15):
+        r = rows[200 + i]
+        assert not r["exact_dup"]
+        assert r["false_positive"] == r["bloom_hit"]
+    # tiny filter (32 bits, 20 keys x 4 hashes): saturated, so novel keys
+    # must read as false positives — the FP trade is observable, not hidden
+    sat = dedup.bloom_dedup_report(corpus, batch, m_bits=32, k=4)
+    fp = [r for r in sat.collect() if r["false_positive"]]
+    # deterministic md5 family: 7 of the 15 novel keys collide at m=32
+    assert len(fp) >= 5
+
+
+def test_bloom_build_is_fixed_size_and_validates(spark):
+    corpus = spark.createDataFrame(
+        [(i, f"k{i}") for i in range(500)], "doc_id long, text string"
+    )
+    flt = dedup.bloom_build(corpus, m_bits=1024, k=4)
+    # ≤ m/32 packed words no matter the corpus size; every word indexable
+    words = flt.collect()
+    assert len(words) <= 32
+    assert all(0 <= r["word_idx"] < 32 for r in words)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="multiple of 32"):
+        dedup.bloom_build(corpus, m_bits=1000)
+
+
+def test_semdedup_guard_warns_when_escalation_ineffective(spark, caplog):
+    """Round-11 re-check: a tight blob deep in one orthant shares its
+    leading signs, so the (cell, bucket) escalation cannot split it —
+    the guard must say so loudly (naming the n_centroids remedy) rather
+    than silently submitting the still-quadratic join. Results stay
+    exact (precision is the ε-test's)."""
+    import logging
+
+    # 40 vectors, all strictly positive on every coordinate → one cell
+    # (n_centroids=1) AND one sign bucket at any bit count
+    rows = [
+        (i, [1.0 + (i % 7) / 100.0] * 4 + [2.0 + (i % 5) / 100.0] * 4)
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    logger_name = "cloudtrace_exporter_spark.operators.similarity"
+    with caplog.at_level(logging.WARNING, logger=logger_name):
+        guarded = sorted(
+            similarity.semdedup_scaled(
+                df,
+                n_centroids=1,
+                lloyd_iters=1,
+                tau_num=95,
+                tau_den=100,
+                max_cell_rows=10,
+                guard_block_bits=8,
+            ).collect()
+        )
+    assert "auto-escalating" in caplog.text
+    assert "INEFFECTIVE" in caplog.text and "raise n_centroids" in caplog.text
+    unguarded = sorted(
+        similarity.semdedup_scaled(
+            df, n_centroids=1, lloyd_iters=1, tau_num=95, tau_den=100,
+            max_cell_rows=None,
+        ).collect()
+    )
+    assert guarded == unguarded
+
+
+def test_bloom_merge_equals_union_build(spark):
+    """Snapshot composition: OR-merging per-shard filters is bit-identical
+    to building one filter over the concatenated corpus."""
+    a = spark.createDataFrame(
+        [(i, f"shard-a-{i}") for i in range(40)], "doc_id long, text string"
+    )
+    b = spark.createDataFrame(
+        [(i, f"shard-b-{i}") for i in range(40)], "doc_id long, text string"
+    )
+    kw = dict(m_bits=1024, k=4)
+    merged = sorted(
+        dedup.bloom_merge(
+            dedup.bloom_build(a, **kw), dedup.bloom_build(b, **kw)
+        ).collect()
+    )
+    union = sorted(dedup.bloom_build(a.unionByName(b), **kw).collect())
+    assert merged == union
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="at least one"):
+        dedup.bloom_merge()

@@ -1,0 +1,114 @@
+"""Skewed-corpus probe for the SemDeDup giant-cell guard (round 11,
+r10 verdict order #1 "done" criterion).
+
+Synthesizes an embedding corpus where ~60% of all vectors collapse into
+ONE k-means cell (a tight blob — the near-duplicate-heavy-crawl shape
+SemDeDup is actually deployed on), plants exact-ish twins, and measures:
+
+1. the DEFAULT posture (`max_cell_rows=100_000` guard ON) at 200k and
+   1M vectors — wall should stay near-linear because the guard
+   auto-escalates the candidate key to (cell, bucket);
+2. the hazard itself at a feasibility-bounded scale: guard OFF vs
+   guard ON on the same 60k-vector skewed corpus — the unguarded
+   equi-join on the cell alone goes O(giant_cell²).
+
+Run:  python tools/semdedup_skew_probe.py [--small-only]
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+import pyspark.sql.functions as F
+
+
+def make_skewed(spark, n: int, dim: int = 32, twin_every: int = 100):
+    """~60% of vectors in one tight blob (same k-means cell), the rest
+    spread; every ``twin_every``-th vector gets a planted twin perturbed
+    on coordinate 20 by +0.0004 (inside the eps ball, above the guard's
+    sign-block bits so bucketing cannot hide it)."""
+    base = spark.range(n).select(
+        F.col("id").alias("vec_id"),
+        F.when(
+            # 60% blob: jitter in [-0.1, 0.1) around the origin — one
+            # k-means cell (or a few, all past the guard threshold), with
+            # VARYING leading signs so the guard's sign-block escalation
+            # has something to split (the all-positive tight-blob case is
+            # covered by the escalation-effectiveness warning instead)
+            F.col("id") % 10 < 6,
+            F.transform(
+                F.sequence(F.lit(1), F.lit(dim)),
+                lambda i: (F.pmod(F.xxhash64(F.col("id") * 131 + i), 200).cast("double") - 100.0) / 1000.0,
+            ),
+        ).otherwise(
+            # 40% spread: coordinates in [-4, 4)
+            F.transform(
+                F.sequence(F.lit(1), F.lit(dim)),
+                lambda i: (F.pmod(F.xxhash64(F.col("id") * 977 + i), 800).cast("double") - 400.0) / 100.0,
+            ),
+        ).alias("embedding"),
+    )
+    twins = (
+        base.filter(F.col("vec_id") % twin_every == 0)
+        .select(
+            (F.col("vec_id") + n).alias("vec_id"),
+            F.transform(
+                "embedding",
+                lambda x, i: F.when(i == 20, x + F.lit(0.0004)).otherwise(x),
+            ).alias("embedding"),
+        )
+    )
+    return base.unionByName(twins), n // twin_every
+
+
+def run(spark, emb, n_twins: int, label: str, **kw) -> None:
+    from cloudtrace_exporter_spark.operators import similarity
+
+    t0 = time.time()
+    out = similarity.semdedup_scaled(emb, n_centroids=16, tau_num=99, **kw).cache()
+    dropped = out.filter(~F.col("keep")).count()
+    wall = time.time() - t0
+    cells = (
+        out.groupBy("cell").count().orderBy(F.desc("count")).limit(1).collect()[0]
+    )
+    total = out.count()
+    print(
+        f"{label}: n={total:,} wall={wall:.1f}s dropped={dropped:,} "
+        f"(planted={n_twins:,}) max_cell={cells['count']:,} "
+        f"({100.0 * cells['count'] / total:.0f}% of corpus)",
+        flush=True,
+    )
+    out.unpersist()
+
+
+def main() -> None:
+    sys.path.insert(0, ".")
+    from cloudtrace_exporter_spark.session import get_spark
+
+    spark = get_spark("semdedup_skew_probe")
+
+    # hazard demonstration at feasibility-bounded scale: same corpus,
+    # guard OFF (the pre-r11 default posture) vs guard ON
+    emb_s, tw_s = make_skewed(spark, 40_000)
+    emb_s = emb_s.cache()
+    emb_s.count()
+    run(spark, emb_s, tw_s, "60k skewed, guard OFF (cell-only join)", max_cell_rows=None)
+    run(spark, emb_s, tw_s, "60k skewed, guard ON  (auto (cell,bucket))", max_cell_rows=10_000)
+    emb_s.unpersist()
+
+    if "--small-only" in sys.argv:
+        return
+
+    for n in (200_000, 1_000_000):
+        emb, tw = make_skewed(spark, n)
+        emb = emb.cache()
+        emb.count()
+        # default posture: guard threshold 100k — the 1M corpus's ~600k-row
+        # blob cell trips it, the 200k corpus's ~120k blob also trips it
+        run(spark, emb, tw, f"{n//1000}k skewed, DEFAULT guard", max_cell_rows=100_000)
+        emb.unpersist()
+
+
+if __name__ == "__main__":
+    main()

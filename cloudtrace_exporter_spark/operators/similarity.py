@@ -2305,7 +2305,7 @@ def semdedup_scaled(
     tau_den: int = 100,
     scale: int = 10**3,
     block_bits: int = 0,
-    max_cell_rows: int | None = 100_000,
+    max_cell_rows: int | None = 25_000,
     guard_block_bits: int = 12,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
@@ -2351,7 +2351,16 @@ def semdedup_scaled(
     already-cached frame) is checked: if ``max(cell_count) >
     max_cell_rows``, the candidate key AUTO-ESCALATES to (cell, bucket)
     with ``guard_block_bits`` sign bits, and a loud warning names the
-    offending cell and its projected candidate volume. The decision is a
+    offending cell and its projected candidate volume.
+    Sizing rule: the threshold caps quadratic work per cell at
+    ~threshold²/2 candidate ε-tests. The 25k default ≈ 3×10⁸ pairs —
+    under a minute on one 32-thread box, subsecond spread across a
+    cluster; raise it on big clusters if bucket-boundary recall inside
+    merely-large cells matters more than the worst-case join (measured:
+    an 87.8k-row cell that slipped UNDER the original 100k default cost
+    1,190 s single-box while a 447k-row cell that escalated finished in
+    194 s — the sub-threshold regime was the remaining hazard,
+    SCALE.md r11). The decision is a
     deterministic function of the data (cell counts), so a DuckDB oracle
     replays it exactly — "no silent caps" applied to candidate volume.
     ``max_cell_rows=None`` disables the guard (ground-truth runs).

@@ -42,10 +42,13 @@ def make_skewed(spark, n: int, dim: int = 32, twin_every: int = 100):
                 lambda i: (F.pmod(F.xxhash64(F.col("id") * 131 + i), 200).cast("double") - 100.0) / 1000.0,
             ),
         ).otherwise(
-            # 40% spread: coordinates in [-4, 4)
+            # 40% spread: coordinates in [-0.8, 0.8) — inside the x10^3
+            # BIGINT envelope (dot^2 x tau_den^2 must stay under 2^63;
+            # the loud ANSI overflow past it is the documented contract
+            # and fired on a first [-4,4) cut of this probe)
             F.transform(
                 F.sequence(F.lit(1), F.lit(dim)),
-                lambda i: (F.pmod(F.xxhash64(F.col("id") * 977 + i), 800).cast("double") - 400.0) / 100.0,
+                lambda i: (F.pmod(F.xxhash64(F.col("id") * 977 + i), 1600).cast("double") - 800.0) / 1000.0,
             ),
         ).alias("embedding"),
     )
@@ -93,8 +96,8 @@ def main() -> None:
     emb_s, tw_s = make_skewed(spark, 40_000)
     emb_s = emb_s.cache()
     emb_s.count()
-    run(spark, emb_s, tw_s, "60k skewed, guard OFF (cell-only join)", max_cell_rows=None)
-    run(spark, emb_s, tw_s, "60k skewed, guard ON  (auto (cell,bucket))", max_cell_rows=10_000)
+    run(spark, emb_s, tw_s, "40k skewed, guard OFF (cell-only join)", max_cell_rows=None)
+    run(spark, emb_s, tw_s, "40k skewed, guard ON  (auto (cell,bucket))", max_cell_rows=10_000)
     emb_s.unpersist()
 
     if "--small-only" in sys.argv:
@@ -104,9 +107,12 @@ def main() -> None:
         emb, tw = make_skewed(spark, n)
         emb = emb.cache()
         emb.count()
-        # default posture: guard threshold 100k — the 1M corpus's ~600k-row
-        # blob cell trips it, the 200k corpus's ~120k blob also trips it
-        run(spark, emb, tw, f"{n//1000}k skewed, DEFAULT guard", max_cell_rows=100_000)
+        # TRUE default posture (25k threshold): both corpora's blob cells
+        # (~88k and ~447k rows) trip the guard and escalate. The original
+        # 100k default let the 200k corpus's 87,778-row cell through
+        # SILENTLY — 1,190 s of cell-only join vs 194 s for the 5x-larger
+        # corpus that escalated; that inversion is why the default moved.
+        run(spark, emb, tw, f"{n//1000}k skewed, DEFAULT guard")
         emb.unpersist()
 
 

@@ -948,3 +948,87 @@ def test_stream_semdedup_matches_batch_operator(spark, tmp_path, tier):
     }
     for k, st in expected_fresh2.items():
         assert got[k][2] == st, (k, got[k], st)
+
+
+def test_stream_bloom_dedup_matches_sequential_replay(spark, tmp_path):
+    """Round-11 streaming Bloom dedup: two file-fed micro-batches must
+    produce exactly the sequential fold of the batch operators —
+    intra-batch exact dedup, then bloom_probe against the filter-so-far,
+    then kept keys folded in. Batch 2 planted copies of batch-1 kept
+    keys must read filter_dup through the driver-held filter; the
+    filter state must stay <= m_bits/32 entries."""
+    import os as _os
+
+    from cloudtrace_exporter_spark.operators import dedup
+    from cloudtrace_exporter_spark.streaming.pipeline import stream_bloom_dedup
+
+    m, k = 4096, 4
+    b1 = [(i, f"key-{i}") for i in range(30)] + [(100, "key-0"), (101, "key-1")]
+    b2 = (
+        [(200 + i, f"key-{i}") for i in range(10)]      # copies of b1 kept
+        + [(300 + i, f"fresh-{i}") for i in range(10)]  # novel
+        + [(400, "fresh-0")]                            # intra-batch dup
+    )
+    src = str(tmp_path / "bloom_src")
+    _os.makedirs(src)
+    import pandas as pd
+
+    pd.DataFrame(b1, columns=["doc_id", "text"]).to_parquet(
+        _os.path.join(src, "b0.parquet"), index=False
+    )
+    pd.DataFrame(b2, columns=["doc_id", "text"]).to_parquet(
+        _os.path.join(src, "b1.parquet"), index=False
+    )
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    got: dict[int, str] = {}
+
+    def on_batch(batch_id, df):
+        got.update({r["id"]: r["status"] for r in df.collect()})
+
+    q, state = stream_bloom_dedup(
+        stream,
+        str(tmp_path / "bloom_ck"),
+        m_bits=m,
+        k=k,
+        on_batch=on_batch,
+    )
+    q.awaitTermination(120)
+
+    assert len(got) == len(b1) + len(b2)
+    # batch 1: all 30 distinct keys kept (empty filter, no FPs possible
+    # on a miss — zero false negatives is the structural direction);
+    # the two planted intra-batch dups are batch_dup
+    for i in range(30):
+        assert got[i] == "kept", (i, got[i])
+    assert got[100] == "batch_dup" and got[101] == "batch_dup"
+    # batch 2: copies of batch-1 kept keys are filter_dup via the state
+    for i in range(10):
+        assert got[200 + i] == "filter_dup", (200 + i, got[200 + i])
+    assert got[400] == "batch_dup"
+    # novel batch-2 keys: kept unless a (deterministic, observable) FP —
+    # cross-check each against a direct probe of the batch-1-only filter
+    flt1 = dedup.bloom_build(
+        spark.createDataFrame(b1, "doc_id long, text string"), m_bits=m, k=k
+    )
+    fp = {
+        r["doc_id"]: r["bloom_hit"]
+        for r in dedup.bloom_probe(
+            spark.createDataFrame(
+                [(300 + i, f"fresh-{i}") for i in range(10)],
+                "doc_id long, text string",
+            ),
+            flt1,
+            m_bits=m,
+            k=k,
+        ).collect()
+    }
+    for i in range(10):
+        want = "filter_dup" if fp[300 + i] else "kept"
+        assert got[300 + i] == want, (300 + i, got[300 + i], want)
+    # filter is bounded and warm-startable
+    assert len(state["words"]) <= m // 32
+    assert all(isinstance(v, int) for v in state["words"].values())

@@ -110,6 +110,10 @@ HEADLINE = [
     # and the true-codepoint PassJoin (the fuzzy family's real-user mode)
     "q_semdedup",
     "q_passjoin_codepoint",
+    # round-11 trend line: Bloom membership dedup (the bounded-memory
+    # incremental-dedup mechanism — filter O(m/32) rows independent of
+    # corpus size, build + broadcast probe + exact-verdict join)
+    "q_bloom_dedup",
 ]
 
 

@@ -5219,6 +5219,234 @@ _CURRICULUM_ORACLE_SQL = """
 """
 
 
+def q_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B33 steady-state near-dedup with STATUSES, ORACLE-BACKED (round
+    11): dedup.minhash_dedup_incremental — the MinHash twin of
+    q_semdedup_incremental — over the portable hash family: new batch
+    (doc_id ≥ 250) probed against the corpus index (doc_id < 250),
+    corpus matches → corpus_dup, surviving within-batch near-dup groups
+    collapse via CC → min-id kept / batch_dup. DuckDB replays signature,
+    banding, both bucket joins, agreement, and the reach-CC
+    integer-exactly. This operator is also the per-batch body of
+    streaming.stream_minhash_dedup (parity test in test_streaming)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.minhash_dedup_incremental(
+        docs.filter(F.col("doc_id") >= 250),
+        docs.filter(F.col("doc_id") < 250),
+        portable=True,
+    )
+
+
+def q_semantic_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-level DECONTAMINATION, ORACLE-EXACT (round 11):
+    similarity.semantic_contamination — corpus (vec_id < 400) flagged
+    against an eval set of 50 held-out vectors (400–449) plus planted
+    perturbed copies of corpus seeds < 20 (the leakage to catch: the
+    planted probes must flag their corpus seeds contaminated). Cells
+    trained on the corpus only; eval probes its n_probe=4 nearest cells
+    (IVF serving shape — the corpus never shuffles); exact BIGINT ε-test
+    at tau=0.95. DuckDB replays the k-means trajectory, the probe
+    ranking, and the ε-test bit-exactly."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    corpus = emb.filter(F.col("vec_id") < 400)
+    held_out = emb.filter((F.col("vec_id") >= 400) & (F.col("vec_id") < 450)).select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+    )
+    seeds = emb.filter(F.col("vec_id") < 20)
+    plants = seeds.select(
+        "vec_id",
+        "embedding",
+        F.explode(F.sequence(F.lit(1), F.lit(2))).alias("c"),
+    ).select(
+        (F.col("vec_id") + F.col("c") * 1_000_000).alias("vec_id"),
+        F.transform(
+            "embedding",
+            lambda x, i: x.cast("double")
+            + F.when(
+                i == F.pmod(F.col("vec_id"), F.lit(64)), 0.1 * F.col("c")
+            ).otherwise(F.lit(0.0)),
+        ).alias("embedding"),
+    )
+    return similarity.semantic_contamination(
+        corpus,
+        held_out.unionByName(plants),
+        n_centroids=8,
+        lloyd_iters=2,
+        n_probe=4,
+    )
+
+
+def _minhash_incr_status_oracle_sql(
+    *, n_hashes: int = 32, threshold: float = 0.5, split_id: int = 250
+) -> str:
+    """DuckDB replay of dedup.minhash_dedup_incremental (portable): the
+    shared banded CTE, the cross-frame corpus_dup probe, the survivor
+    self-join pairs, and the reach-CC component/status verdict."""
+    agree = (
+        f"CAST(len(list_filter(range(1, {n_hashes + 1}),"
+        f" i -> a.sig[i] = b.sig[i])) AS DOUBLE) / {n_hashes} >= {threshold}"
+    )
+    return _portable_banded_cte(n_hashes=n_hashes).replace(
+        "WITH ", "WITH RECURSIVE ", 1
+    ) + f""",
+        cdup AS MATERIALIZED (
+          SELECT DISTINCT a.doc_id AS id
+          FROM banded a JOIN banded b
+            ON a.band = b.band AND a.bucket = b.bucket
+          WHERE a.doc_id >= {split_id} AND b.doc_id < {split_id} AND {agree}
+        ),
+        sb AS (
+          SELECT * FROM banded
+          WHERE doc_id >= {split_id} AND doc_id NOT IN (SELECT id FROM cdup)
+        ),
+        prs AS MATERIALIZED (
+          SELECT DISTINCT a.doc_id AS ia, b.doc_id AS ib
+          FROM sb a JOIN sb b
+            ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+          WHERE {agree}
+        ),
+        e2 AS (SELECT ia AS a, ib AS b FROM prs
+               UNION SELECT ib, ia FROM prs),
+        reach(a, b) AS (
+          SELECT a, b FROM e2
+          UNION
+          SELECT r.a, e3.b FROM reach r JOIN e2 e3 ON r.b = e3.a
+        ),
+        comp AS (SELECT a AS id, least(a, min(b)) AS component
+                 FROM reach GROUP BY a)
+        SELECT d.doc_id,
+               CAST(CASE WHEN d.doc_id IN (SELECT id FROM cdup) THEN d.doc_id
+                         ELSE COALESCE(c.component, d.doc_id) END AS BIGINT)
+                 AS component,
+               CASE WHEN d.doc_id IN (SELECT id FROM cdup) THEN 'corpus_dup'
+                    WHEN COALESCE(c.component, d.doc_id) = d.doc_id THEN 'kept'
+                    ELSE 'batch_dup' END AS status
+        FROM documents d LEFT JOIN comp c ON d.doc_id = c.id
+        WHERE d.doc_id >= {split_id}
+        ORDER BY doc_id
+    """
+
+
+def _semantic_contam_oracle_sql(
+    *,
+    n_centroids: int = 8,
+    lloyd_iters: int = 2,
+    n_probe: int = 4,
+    tau_num: int = 95,
+    tau_den: int = 100,
+    scale: int = 10**3,
+) -> str:
+    """DuckDB replay of similarity.semantic_contamination: corpus-only
+    k-means CTE chain, n_probe literal-ranked cell probing of the eval
+    side (row_number over (distance, cell) — the array_sort struct
+    ordering), the BIGINT ε-test, and the per-corpus-vector verdict."""
+
+    def dist(a: str, b: str) -> str:
+        return (
+            f"(list_dot_product({a}, {a}) - 2 * list_dot_product({a}, {b})"
+            f" + list_dot_product({b}, {b}))"
+        )
+
+    rounds = []
+    for r in range(1, lloyd_iters + 1):
+        rounds.append(f""",
+        a{r} AS (
+          SELECT id, v, cell FROM (
+            SELECT v.id, v.v, c.cell,
+                   row_number() OVER (PARTITION BY v.id
+                     ORDER BY {dist('v.v', 'c.c')}, c.cell) AS rn
+            FROM vc v CROSS JOIN c{r - 1} c
+          ) WHERE rn = 1
+        ),
+        c{r} AS (
+          SELECT cell, list(d ORDER BY pos) AS c FROM (
+            SELECT cell, pos, CAST(CAST(sum(val) AS BIGINT) // count(*) AS DOUBLE) AS d
+            FROM (
+              SELECT a.cell,
+                     generate_subscripts(a.v, 1) AS pos,
+                     unnest(a.v) AS val
+              FROM a{r} a
+            ) GROUP BY cell, pos
+          ) GROUP BY cell
+        )""")
+    idot = (
+        "CAST(list_sum(list_transform(range(1, len(a.v) + 1),"
+        " i -> a.v[i] * b.v[i])) AS BIGINT)"
+    )
+    eps = (
+        f"{idot} >= 0 AND {idot} * {idot} * {tau_den * tau_den}"
+        f" >= {tau_num * tau_num} * a.n2 * b.n2"
+    )
+    return f"""
+        WITH RECURSIVE vc AS (
+          SELECT vec_id AS id,
+                 list_transform(CAST(embedding AS DOUBLE[]),
+                                x -> round(x * {scale})) AS v
+          FROM embeddings WHERE vec_id < 400
+        ),
+        c0 AS (
+          SELECT cell, c FROM (
+            SELECT row_number() OVER (ORDER BY id) - 1 AS cell, v AS c FROM vc
+          ) WHERE cell < {n_centroids}
+        ){"".join(rounds)},
+        finc AS (
+          SELECT id, v, cell,
+                 CAST(list_sum(list_transform(range(1, len(v) + 1),
+                      i -> v[i] * v[i])) AS BIGINT) AS n2
+          FROM (
+            SELECT v.id, v.v, c.cell,
+                   row_number() OVER (PARTITION BY v.id
+                     ORDER BY {dist('v.v', 'c.c')}, c.cell) AS rn
+            FROM vc v CROSS JOIN c{lloyd_iters} c
+          ) WHERE rn = 1
+        ),
+        rawe AS (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+          FROM embeddings WHERE vec_id >= 400 AND vec_id < 450
+        ),
+        seedr AS (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+          FROM embeddings WHERE vec_id < 20
+        ),
+        plant AS (
+          SELECT r.vec_id + c.c * 1000000 AS vec_id,
+                 list_transform(range(1, len(r.emb) + 1),
+                   i -> r.emb[i] + CASE WHEN i - 1 = r.vec_id % 64
+                                        THEN 0.1 * c.c ELSE 0.0 END) AS emb
+          FROM seedr r CROSS JOIN (SELECT unnest(range(1, 3)) AS c) c
+        ),
+        ve AS (
+          SELECT vec_id AS id, list_transform(emb, x -> round(x * {scale})) AS v
+          FROM (SELECT * FROM rawe UNION ALL SELECT * FROM plant)
+        ),
+        pe AS (
+          SELECT id, v, n2, cell FROM (
+            SELECT v.id, v.v,
+                   CAST(list_sum(list_transform(range(1, len(v.v) + 1),
+                        i -> v.v[i] * v.v[i])) AS BIGINT) AS n2,
+                   c.cell,
+                   row_number() OVER (PARTITION BY v.id
+                     ORDER BY {dist('v.v', 'c.c')}, c.cell) AS rn
+            FROM ve v CROSS JOIN c{lloyd_iters} c
+          ) WHERE rn <= {n_probe}
+        ),
+        hits AS (
+          SELECT b.id AS id, count(*) AS eval_hits, min(a.id) AS first_eval
+          FROM pe a JOIN finc b ON a.cell = b.cell
+          WHERE {eps}
+          GROUP BY b.id
+        )
+        SELECT f.id AS vec_id,
+               CASE WHEN h.id IS NULL THEN 'clean'
+                    ELSE 'contaminated' END AS status,
+               CAST(COALESCE(h.eval_hits, 0) AS BIGINT) AS eval_hits,
+               CAST(COALESCE(h.first_eval, -1) AS BIGINT) AS first_eval
+        FROM finc f LEFT JOIN hits h ON f.id = h.id
+        ORDER BY vec_id
+    """
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # Ordered so keys WITHOUT a driver CORRECTNESS row come FIRST: the
@@ -5228,6 +5456,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # window lead here (7 oracle-backed, then the 2 rows-only-by-design
         # decode keys), then every round-7 addition, then the already-green
         # keys close the dict.
+        # ---- round-11 additions (never sampled) ----
+        "q_minhash_incremental": q_minhash_incremental,
+        "q_semantic_contamination": q_semantic_contamination,
         # ---- round-9 additions (never sampled) ----
         "q_textrank_keywords": q_textrank_keywords,
         "q_zipf_fit": q_zipf_fit,
@@ -8864,6 +9095,9 @@ def oracle_sql() -> dict[str, str]:
         "q_semdedup_blocked": _semdedup_oracle_sql(block_bits=8),
         "q_semdedup_auto": _semdedup_oracle_sql(max_cell_rows=60, guard_block_bits=12),
         "q_semdedup_incremental": _semdedup_incr_oracle_sql(),
+        # round 11: MinHash steady-state statuses + semantic decontamination
+        "q_minhash_incremental": _minhash_incr_status_oracle_sql(),
+        "q_semantic_contamination": _semantic_contam_oracle_sql(),
         # round-7: packing layout — exclusive integer prefix sum over the
         # doc_id total order; bin/pos by floor-div/mod at L=2048
         "q_pack_layout": f"""

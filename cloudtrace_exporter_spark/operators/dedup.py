@@ -2614,3 +2614,123 @@ def bloom_merge(*filters: DataFrame) -> DataFrame:
     for f in filters[1:]:
         out = out.unionByName(f)
     return out.groupBy("word_idx").agg(F.bit_or("word").alias("word"))
+
+
+def minhash_dedup_incremental(
+    new: DataFrame,
+    corpus: DataFrame | None = None,
+    *,
+    corpus_index: DataFrame | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_hashes: int = 32,
+    bands: int = 8,
+    shingle: int = 3,
+    threshold: float = 0.5,
+    portable: bool = False,
+) -> DataFrame:
+    """STATUS-emitting steady-state near-dup dedup (round 11): the
+    MinHash twin of ``similarity.semdedup_incremental``, upgrading
+    ``incremental_near_dedup`` (survivor ids only) to the full
+    per-document verdict a pipeline audit needs — one row per NEW doc,
+    status ∈ {'kept', 'corpus_dup', 'batch_dup'}, component = min id of
+    the doc's within-batch survivor group:
+
+    - est_jaccard ≥ threshold against ANY corpus doc sharing an LSH
+      band bucket → ``corpus_dup``;
+    - surviving new×new candidate pairs collapse via
+      ``connected_components`` → min id ``kept``, the rest
+      ``batch_dup``.
+
+    Single-pass steady-state contract (same as the semantic twin,
+    documented): a new doc linked only to a DROPPED new doc stays kept —
+    nothing re-touches corpus docs beyond the bucket probe.
+
+    Pass ``corpus_index`` (a persisted ``minhash_banded_index`` built
+    with the SAME n_hashes/bands/shingle/portable settings) for the
+    steady-state path that never touches corpus text. Scale shape:
+    both joins are banded-bucket equi-joins (O(Σ |new bkt|·|corpus
+    bkt|) and O(Σ bkt²) over the batch only); the verify step is
+    signature agreement (zip_with), no text compare; CC runs on the
+    batch's survivor pairs, batch-sized, never corpus-sized.
+
+    This is also the per-batch body of
+    ``streaming.stream_minhash_dedup`` — the streaming tier is
+    literally this operator folded over micro-batches with kept docs'
+    banded rows appended to the index.
+    """
+    if (corpus is None) == (corpus_index is None):
+        raise ValueError("pass exactly one of corpus / corpus_index")
+    nb = cache_once(
+        minhash_banded_index(
+            new, text_col=text_col, id_col=id_col, n_hashes=n_hashes,
+            bands=bands, shingle=shingle, portable=portable,
+        )
+    )
+    cb = (
+        corpus_index
+        if corpus_index is not None
+        else minhash_banded_index(
+            corpus, text_col=text_col, id_col=id_col, n_hashes=n_hashes,
+            bands=bands, shingle=shingle, portable=portable,
+        )
+    )
+
+    def agree(sa, sb) -> F.Column:
+        return F.size(F.filter(F.zip_with(sa, sb, lambda x, y: x == y), lambda eq: eq))
+
+    a, c = nb.alias("a"), cb.alias("c")
+    corpus_dups = (
+        a.join(
+            c,
+            (F.col("a.band") == F.col("c.band")) & (F.col("a.bucket") == F.col("c.bucket")),
+        )
+        .filter(
+            agree(F.col("a.signature"), F.col("c.signature")) / F.lit(n_hashes)
+            >= F.lit(threshold)
+        )
+        .select(F.col("a.id").alias("id"))
+        .distinct()
+    )
+    survivors = nb.join(corpus_dups, "id", "left_anti")
+    sa, sb = survivors.alias("sa"), survivors.alias("sb")
+    batch_pairs = (
+        sa.join(
+            sb,
+            (F.col("sa.band") == F.col("sb.band"))
+            & (F.col("sa.bucket") == F.col("sb.bucket"))
+            & (F.col("sa.id") < F.col("sb.id")),
+        )
+        .filter(
+            agree(F.col("sa.signature"), F.col("sb.signature")) / F.lit(n_hashes)
+            >= F.lit(threshold)
+        )
+        .select(F.col("sa.id").alias("ia"), F.col("sb.id").alias("ib"))
+        .dropDuplicates(["ia", "ib"])
+    )
+    comp = connected_components(batch_pairs, src="ia", dst="ib").withColumnRenamed(
+        "id", "cid"
+    )
+    lbl = (
+        survivors.select("id")
+        .distinct()
+        .join(comp, F.col("id") == F.col("cid"), "left")
+        .select("id", F.coalesce("comp", F.col("id")).alias("component"))
+    )
+    out = (
+        nb.select("id")
+        .distinct()
+        .join(
+            lbl.select(F.col("id").alias("lid"), "component"),
+            F.col("id") == F.col("lid"),
+            "left",
+        )
+    )
+    return out.select(
+        F.col("id").alias(id_col),
+        F.coalesce("component", F.col("id")).alias("component"),
+        F.when(F.col("lid").isNull(), F.lit("corpus_dup"))
+        .when(F.col("component") == F.col("id"), F.lit("kept"))
+        .otherwise(F.lit("batch_dup"))
+        .alias("status"),
+    ).orderBy(id_col)

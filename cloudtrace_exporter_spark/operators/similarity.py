@@ -2681,3 +2681,121 @@ def semdedup_incremental(
         .otherwise(F.lit("batch_dup"))
         .alias("status"),
     ).orderBy("vec_id")
+
+
+def semantic_contamination(
+    corpus: DataFrame,
+    eval_set: DataFrame,
+    *,
+    n_centroids: int = 8,
+    lloyd_iters: int = 2,
+    n_probe: int = 4,
+    tau_num: int = 95,
+    tau_den: int = 100,
+    scale: int = 10**3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-level DECONTAMINATION (round 11), ORACLE-EXACT: flag
+    every corpus vector lying within cos ≥ tau of ANY eval-set vector —
+    the semantic tier of benchmark decontamination. The n-gram tier
+    (text.ngram_contamination) catches verbatim/near-verbatim eval
+    leakage; this catches PARAPHRASED leakage the lexical test can't
+    see — the step current data cards (FineWeb, Dolma, Llama-3) run
+    before training, and the one a lexical-only pipeline silently skips.
+
+    Direction matters and is pinned: the output is per-CORPUS-vector
+    (training docs are the thing you delete); eval vectors are the
+    probes. Scale shape is IVF serving, not SemDeDup clustering: cells
+    are trained on the CORPUS once (`_scaled_kmeans` — the bounded
+    centroid collect), the corpus never shuffles, and each eval vector
+    probes its ``n_probe`` nearest cells (the q_ivf_topk literal-ranked
+    cell selection) — cost O(|eval| · n_probe · cell_size) candidate
+    rows, linear in the corpus at fixed eval size, never |corpus|·|eval|.
+    The eval side is benchmark-sized (10³–10⁵ rows), so its exploded
+    probe frame is broadcast-sized; recall is the standard IVF trade
+    (an ε-pair is missed only if the eval vector's n_probe cells miss
+    the corpus vector's cell), bought deliberately instead of the exact
+    BroadcastNestedLoop whose per-row cost is |eval| dot products.
+
+    The ε-test is the shared BIGINT quantized form (dot ≥ 0 ∧
+    dot²·den² ≥ num²·‖a‖²·‖b‖² at ×10³) — the whole pipeline (k-means
+    trajectory, probing, test) replays bit-exact in DuckDB.
+
+    Returns one row per corpus vector: (vec_id, status ∈
+    {'contaminated', 'clean'}, eval_hits = #distinct eval vectors
+    ε-matching, first_eval = min matching eval id, −1 when clean).
+    """
+    assigned, cents = _scaled_kmeans(
+        corpus,
+        n_centroids=n_centroids,
+        lloyd_iters=lloyd_iters,
+        scale=scale,
+        id_col=id_col,
+        vec_col=vec_col,
+    )
+    self_dot = F.aggregate(
+        F.zip_with("v", "v", lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    corp = cache_once(assigned.withColumn("n2", self_dot))
+
+    qvec = F.transform(_as_double(vec_col), lambda x: F.round(x * scale).cast("long"))
+    ev = eval_set.select(F.col(id_col).alias("eid"), qvec.alias("ev"))
+    m = F.array(*[F.array(*[F.lit(int(x)) for x in c]) for _, c in cents])
+    cells_arr = F.array(*[F.lit(int(cid)) for cid, _ in cents])
+    ranked = F.array_sort(
+        F.zip_with(
+            F.transform(m, lambda c: _int_sq_dist(F.col("ev"), c)),
+            cells_arr,
+            lambda d, c: F.struct(d.alias("d"), c.alias("c")),
+        )
+    )
+    ev_self = F.aggregate(
+        F.zip_with("ev", "ev", lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    ev_cells = ev.select(
+        "eid",
+        "ev",
+        ev_self.alias("en2"),
+        F.explode(F.transform(F.slice(ranked, 1, n_probe), lambda s: s["c"])).alias(
+            "cell"
+        ),
+    )
+    dot = F.aggregate(
+        F.zip_with("ev", "v", lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    hits = (
+        corp.join(F.broadcast(ev_cells), "cell")
+        .withColumn("__dot", dot)
+        .filter(
+            (F.col("__dot") >= 0)
+            & (
+                F.col("__dot") * F.col("__dot") * F.lit(tau_den * tau_den)
+                >= F.lit(tau_num * tau_num) * F.col("n2") * F.col("en2")
+            )
+        )
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("eval_hits"),
+            F.min("eid").alias("first_eval"),
+        )
+    )
+    return (
+        corp.select("id")
+        .join(hits, "id", "left")
+        .select(
+            F.col("id").alias("vec_id"),
+            F.when(F.col("eval_hits").isNotNull(), F.lit("contaminated"))
+            .otherwise(F.lit("clean"))
+            .alias("status"),
+            F.coalesce("eval_hits", F.lit(0).cast("long")).alias("eval_hits"),
+            F.coalesce("first_eval", F.lit(-1).cast("long")).alias("first_eval"),
+        )
+        .orderBy("vec_id")
+    )

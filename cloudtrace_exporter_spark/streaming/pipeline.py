@@ -1071,3 +1071,141 @@ def stream_bloom_dedup(
         .start()
     )
     return q, state
+
+
+def minhash_dedup_foreach_batch(
+    spark: SparkSession,
+    index_dir: str,
+    *,
+    n_hashes: int = 32,
+    bands: int = 8,
+    shingle: int = 3,
+    threshold: float = 0.5,
+    portable: bool = False,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    on_batch=None,
+):
+    """foreachBatch body for STREAMING near-dup dedup (round 11) — the
+    MinHash tier of the stream → dedup → sink triad (exact tier:
+    `bloom_dedup_foreach_batch`; semantic tier: `stream_semdedup`).
+    Each micro-batch runs EXACTLY the committed batch operator
+    ``dedup.minhash_dedup_incremental`` against the accumulated banded
+    index, so the stream is by construction the sequential fold of the
+    batch semantics (the parity the streaming tests replay):
+
+    1. batch docs → banded signatures → bucket-probe the index →
+       ``corpus_dup`` on est_jaccard ≥ threshold;
+    2. surviving batch pairs collapse via connected components →
+       min-id ``kept``, rest ``batch_dup``;
+    3. the KEPT docs' banded rows append to the index as the
+       ``batch_id=N`` partition of ``index_dir``.
+
+    State posture — unlike the Bloom tier (driver-held words) or the
+    semantic tier (state store), the "seen" side here is the banded
+    parquet index itself, the same build-once artifact the batch
+    lifecycle persists (`save_minhash_index`): distributed, shared
+    with batch consumers, unbounded in keys without driver or
+    state-store growth. Per-batch cost is the bucket join against the
+    index scan (partition-pruned to prior batches), never a rebuild.
+
+    Exactly-once: the per-batch write is ``overwrite`` into its OWN
+    ``batch_id=N`` subdirectory, so a replayed batch rewrites the same
+    partition (idempotent); the index read excludes partitions ≥ the
+    current batch id, so a replay never probes its own kept rows.
+    Warm-start from an existing corpus: write the corpus's banded index
+    (same n_hashes/bands/shingle/portable) into ``batch_id=-1`` before
+    starting the stream.
+    """
+    import os
+
+    from cloudtrace_exporter_spark.operators import dedup as _dedup
+
+    def _prior_index(batch_id: int):
+        try:
+            parts = [
+                p
+                for p in os.listdir(index_dir)
+                if p.startswith("batch_id=") and int(p.split("=", 1)[1]) < batch_id
+            ]
+        except (FileNotFoundError, ValueError):
+            parts = []
+        if not parts:
+            return None
+        return (
+            spark.read.option("basePath", index_dir)
+            .parquet(*[f"{index_dir}/{p}" for p in parts])
+            .drop("batch_id")
+        )
+
+    def _fn(batch_df: DataFrame, batch_id: int) -> None:
+        idx = _prior_index(batch_id)
+        if idx is None:
+            idx = _dedup.minhash_banded_index(
+                batch_df.limit(0), text_col=text_col, id_col=id_col,
+                n_hashes=n_hashes, bands=bands, shingle=shingle, portable=portable,
+            )
+        verdicts = _dedup.minhash_dedup_incremental(
+            batch_df,
+            corpus_index=idx,
+            text_col=text_col,
+            id_col=id_col,
+            n_hashes=n_hashes,
+            bands=bands,
+            shingle=shingle,
+            threshold=threshold,
+            portable=portable,
+        ).persist()
+        kept = verdicts.filter(F.col("status") == "kept").select(id_col)
+        kept_banded = _dedup.minhash_banded_index(
+            batch_df.join(kept, id_col),
+            text_col=text_col, id_col=id_col,
+            n_hashes=n_hashes, bands=bands, shingle=shingle, portable=portable,
+        )
+        kept_banded.write.mode("overwrite").parquet(
+            f"{index_dir}/batch_id={batch_id}"
+        )
+        if on_batch is not None:
+            on_batch(batch_id, verdicts)
+        verdicts.unpersist()
+
+    return _fn
+
+
+def stream_minhash_dedup(
+    stream: DataFrame,
+    checkpoint: str,
+    index_dir: str,
+    *,
+    n_hashes: int = 32,
+    bands: int = 8,
+    shingle: int = 3,
+    threshold: float = 0.5,
+    portable: bool = False,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    on_batch=None,
+):
+    """Start the streaming near-dup pipeline: ``stream`` →
+    :func:`minhash_dedup_foreach_batch` → caller's sink callback.
+    Returns the StreamingQuery; the accumulated banded index lives at
+    ``index_dir`` (partitioned by batch_id) and doubles as the
+    batch-side `load_minhash_index` artifact."""
+    fn = minhash_dedup_foreach_batch(
+        stream.sparkSession,
+        index_dir,
+        n_hashes=n_hashes,
+        bands=bands,
+        shingle=shingle,
+        threshold=threshold,
+        portable=portable,
+        text_col=text_col,
+        id_col=id_col,
+        on_batch=on_batch,
+    )
+    return (
+        stream.writeStream.foreachBatch(fn)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -3736,3 +3736,86 @@ def test_bloom_merge_equals_union_build(spark):
 
     with _pytest.raises(ValueError, match="at least one"):
         dedup.bloom_merge()
+
+
+def test_minhash_dedup_incremental_statuses(spark):
+    """Round-11 status twin: planted exact near-copies must flag
+    corpus_dup (vs corpus) / batch_dup (within batch, min id kept), and
+    the kept set must equal incremental_near_dedup's survivor ids minus
+    within-batch collapse."""
+    base = {i: " ".join(f"d{i}t{j}" for j in range(20)) for i in range(6)}
+    corpus = spark.createDataFrame(
+        [(i, base[i]) for i in range(4)], "doc_id long, text string"
+    )
+    # new batch: 500 copies corpus doc 0; 501/502 same fresh text (501
+    # keeps, 502 batch_dup); 503 fresh unique
+    new = spark.createDataFrame(
+        [(500, base[0]), (501, base[4]), (502, base[4]), (503, base[5])],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: (r["status"], r["component"])
+        for r in dedup.minhash_dedup_incremental(new, corpus).collect()
+    }
+    assert out[500] == ("corpus_dup", 500)
+    assert out[501] == ("kept", 501)
+    assert out[502] == ("batch_dup", 501)
+    assert out[503] == ("kept", 503)
+    # survivor ids == incremental_near_dedup (corpus-probe survivors)
+    surv = {
+        r["doc_id"]
+        for r in dedup.incremental_near_dedup(new, corpus).collect()
+    }
+    assert {i for i, (s, _) in out.items() if s != "corpus_dup"} == surv
+    with pytest.raises(ValueError, match="exactly one"):
+        dedup.minhash_dedup_incremental(new)
+    with pytest.raises(ValueError, match="exactly one"):
+        dedup.minhash_dedup_incremental(
+            new, corpus, corpus_index=dedup.minhash_banded_index(corpus)
+        )
+
+
+def test_semantic_contamination_planted(spark):
+    """Round-11 semantic decontamination: planted perturbed eval copies
+    of corpus vectors 0 and 1 must flag exactly those corpus rows
+    contaminated; with n_probe == n_centroids the probe is exhaustive so
+    there is no recall trade in this fixture."""
+    dim = 8
+    # 8 corpus vectors: strictly orthogonal unit axes (pairwise cos = 0)
+    vecs = [[1.0 if j == i else 0.0 for j in range(dim)] for i in range(8)]
+    corpus = spark.createDataFrame(
+        [(i, vecs[i]) for i in range(8)], "vec_id long, embedding array<double>"
+    )
+    # eval: tiny perturbations of corpus 0 and 1 + one far vector
+    def perturb(v, eps):
+        w = list(v)
+        w[0] += eps
+        return w
+
+    ev = spark.createDataFrame(
+        [
+            (1000, perturb(vecs[0], 0.01)),
+            (1001, perturb(vecs[1], 0.01)),
+            (1002, perturb(vecs[0], 0.02)),  # second hit on corpus 0
+            (1003, [0.5, -0.5, 0.5, -0.5, 0.5, -0.5, 0.5, -0.5]),
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    out = {
+        r["vec_id"]: (r["status"], r["eval_hits"], r["first_eval"])
+        for r in similarity.semantic_contamination(
+            corpus, ev, n_centroids=2, lloyd_iters=1, n_probe=2
+        ).collect()
+    }
+    assert len(out) == 8
+    assert out[0][0] == "contaminated" and out[0][1] == 2 and out[0][2] == 1000
+    assert out[1][0] == "contaminated" and out[1][1] >= 1 and out[1][2] == 1001
+    for i in range(2, 8):
+        assert out[i] == ("clean", 0, -1), (i, out[i])
+    # empty eval set: everything clean, one row per corpus vector
+    empty = ev.limit(0)
+    clean = similarity.semantic_contamination(
+        corpus, empty, n_centroids=2, lloyd_iters=1, n_probe=2
+    )
+    assert clean.count() == 8
+    assert clean.filter(F.col("status") != "clean").count() == 0

@@ -1032,3 +1032,77 @@ def test_stream_bloom_dedup_matches_sequential_replay(spark, tmp_path):
     # filter is bounded and warm-startable
     assert len(state["words"]) <= m // 32
     assert all(isinstance(v, int) for v in state["words"].values())
+
+
+def test_stream_minhash_dedup_matches_sequential_fold(spark, tmp_path):
+    """Round-11 streaming near-dup tier: two file-fed micro-batches must
+    produce exactly the sequential fold of dedup.minhash_dedup_incremental
+    (batch 1 vs empty index; batch 2 vs batch-1 kept docs' banded index),
+    with the accumulated parquet index usable as a batch-side artifact."""
+    import os as _os
+
+    import pandas as pd
+
+    from cloudtrace_exporter_spark.operators import dedup
+    from cloudtrace_exporter_spark.streaming.pipeline import stream_minhash_dedup
+
+    base = {i: " ".join(f"s{i}w{j}" for j in range(20)) for i in range(8)}
+    b1 = [(i, base[i]) for i in range(4)] + [(100, base[0])]  # 100: in-batch dup
+    b2 = (
+        [(200, base[1])]            # copy of batch-1 kept  -> corpus_dup
+        + [(201, base[0])]          # copy of kept 0 (100 was dropped) -> corpus_dup
+        + [(210, base[5]), (211, base[6])]  # fresh
+        + [(300, base[5])]          # in-batch dup of 210 -> batch_dup
+    )
+    src = str(tmp_path / "mh_src")
+    _os.makedirs(src)
+    pd.DataFrame(b1, columns=["doc_id", "text"]).to_parquet(
+        _os.path.join(src, "b0.parquet"), index=False
+    )
+    pd.DataFrame(b2, columns=["doc_id", "text"]).to_parquet(
+        _os.path.join(src, "b1.parquet"), index=False
+    )
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    idx_dir = str(tmp_path / "mh_index")
+    got: dict[int, tuple] = {}
+
+    def on_batch(batch_id, df):
+        got.update(
+            {r["doc_id"]: (r["status"], r["component"]) for r in df.collect()}
+        )
+
+    q = stream_minhash_dedup(
+        stream, str(tmp_path / "mh_ck"), idx_dir, on_batch=on_batch
+    )
+    q.awaitTermination(120)
+
+    # sequential fold of the committed batch operator
+    d1 = spark.createDataFrame(b1, "doc_id long, text string")
+    d2 = spark.createDataFrame(b2, "doc_id long, text string")
+    f1 = dedup.minhash_dedup_incremental(d1, corpus_index=dedup.minhash_banded_index(d1.limit(0)))
+    fold1 = {r["doc_id"]: (r["status"], r["component"]) for r in f1.collect()}
+    kept1 = d1.join(
+        f1.filter("status = 'kept'").select("doc_id"), "doc_id"
+    )
+    f2 = dedup.minhash_dedup_incremental(
+        d2, corpus_index=dedup.minhash_banded_index(kept1)
+    )
+    fold2 = {r["doc_id"]: (r["status"], r["component"]) for r in f2.collect()}
+    assert got == {**fold1, **fold2}
+    # planted expectations (exact copies -> J = 1.0, always caught)
+    assert got[100][0] == "batch_dup" and got[100][1] == 0
+    assert got[200][0] == "corpus_dup"
+    assert got[201][0] == "corpus_dup"
+    assert got[210][0] == "kept"
+    assert got[300] == ("batch_dup", 210)
+    # the accumulated index is the batch-side artifact: 4 kept batch-1
+    # docs + 2 kept batch-2 docs, 8 banded rows each
+    idx = spark.read.parquet(idx_dir)
+    assert set(r["id"] for r in idx.select("id").distinct().collect()) == {
+        0, 1, 2, 3, 210, 211,
+    }
+    assert idx.count() == 6 * 8

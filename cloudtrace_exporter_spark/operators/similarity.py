@@ -2734,13 +2734,35 @@ def semantic_contamination(
         id_col=id_col,
         vec_col=vec_col,
     )
-    self_dot = F.aggregate(
-        F.zip_with("v", "v", lambda x, y: x * y),
+    corp = cache_once(assigned.withColumn("n2", _self_dot_long()))
+    ev_cells = _contam_eval_probe(
+        eval_set, cents, n_probe=n_probe, scale=scale, id_col=id_col, vec_col=vec_col
+    )
+    return _contam_verdicts(corp, ev_cells, tau_num=tau_num, tau_den=tau_den)
+
+
+def _self_dot_long(col: str = "v") -> F.Column:
+    """Exact BIGINT self-dot of a quantized vector column."""
+    return F.aggregate(
+        F.zip_with(col, col, lambda x, y: x * y),
         F.lit(0).cast("long"),
         lambda acc, x: acc + x,
     )
-    corp = cache_once(assigned.withColumn("n2", self_dot))
 
+
+def _contam_eval_probe(
+    eval_set: DataFrame,
+    cents: list[tuple[int, list[int]]],
+    *,
+    n_probe: int,
+    scale: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The eval-side probe table of semantic_contamination — one row per
+    (eval vector, probed cell): quantized vector, BIGINT self-norm, and
+    the n_probe literal-ranked nearest corpus-trained cells. Build once,
+    persist/broadcast, probe forever (the streaming prep artifact)."""
     qvec = F.transform(_as_double(vec_col), lambda x: F.round(x * scale).cast("long"))
     ev = eval_set.select(F.col(id_col).alias("eid"), qvec.alias("ev"))
     m = F.array(*[F.array(*[F.lit(int(x)) for x in c]) for _, c in cents])
@@ -2752,19 +2774,23 @@ def semantic_contamination(
             lambda d, c: F.struct(d.alias("d"), c.alias("c")),
         )
     )
-    ev_self = F.aggregate(
-        F.zip_with("ev", "ev", lambda x, y: x * y),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
-    )
-    ev_cells = ev.select(
+    return ev.select(
         "eid",
         "ev",
-        ev_self.alias("en2"),
+        _self_dot_long("ev").alias("en2"),
         F.explode(F.transform(F.slice(ranked, 1, n_probe), lambda s: s["c"])).alias(
             "cell"
         ),
     )
+
+
+def _contam_verdicts(
+    corp: DataFrame, ev_cells: DataFrame, *, tau_num: int, tau_den: int
+) -> DataFrame:
+    """The verdict tail of semantic_contamination: broadcast the probe
+    table onto the corpus side's (id, v, cell, n2) frame, apply the
+    BIGINT ε-test, aggregate per corpus vector. Shared by the batch
+    operator and the streaming per-batch body."""
     dot = F.aggregate(
         F.zip_with("ev", "v", lambda x, y: x * y),
         F.lit(0).cast("long"),
@@ -2799,3 +2825,33 @@ def semantic_contamination(
         )
         .orderBy("vec_id")
     )
+
+
+def semantic_contam_index(
+    corpus: DataFrame,
+    eval_set: DataFrame,
+    *,
+    n_centroids: int = 8,
+    lloyd_iters: int = 2,
+    n_probe: int = 4,
+    scale: int = 10**3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, list[tuple[int, list[int]]]]:
+    """One-time prep for STREAMING decontamination (the
+    `semdedup_stream_index` analog): train cells on the existing corpus,
+    build the eval probe table. Returns (ev_cells, cents) — feed both to
+    ``streaming.stream_semantic_contamination`` so each arriving corpus
+    batch is screened with EXACTLY the batch operator's rule."""
+    _, cents = _scaled_kmeans(
+        corpus,
+        n_centroids=n_centroids,
+        lloyd_iters=lloyd_iters,
+        scale=scale,
+        id_col=id_col,
+        vec_col=vec_col,
+    )
+    ev_cells = _contam_eval_probe(
+        eval_set, cents, n_probe=n_probe, scale=scale, id_col=id_col, vec_col=vec_col
+    )
+    return ev_cells, cents

@@ -1122,14 +1122,21 @@ def minhash_dedup_foreach_batch(
     from cloudtrace_exporter_spark.operators import dedup as _dedup
 
     def _prior_index(batch_id: int):
+        # per-entry parse: one stray non-numeric dir must not silently
+        # empty the index (that would re-admit every seen near-dup)
         try:
-            parts = [
-                p
-                for p in os.listdir(index_dir)
-                if p.startswith("batch_id=") and int(p.split("=", 1)[1]) < batch_id
-            ]
-        except (FileNotFoundError, ValueError):
-            parts = []
+            entries = os.listdir(index_dir)
+        except FileNotFoundError:
+            entries = []
+        parts = []
+        for p in entries:
+            if not p.startswith("batch_id="):
+                continue
+            try:
+                if int(p.split("=", 1)[1]) < batch_id:
+                    parts.append(p)
+            except ValueError:
+                continue
         if not parts:
             return None
         return (
@@ -1205,6 +1212,66 @@ def stream_minhash_dedup(
     )
     return (
         stream.writeStream.foreachBatch(fn)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def stream_semantic_contamination(
+    stream: DataFrame,
+    checkpoint: str,
+    ev_cells: DataFrame,
+    cents,
+    *,
+    tau_num: int = 95,
+    tau_den: int = 100,
+    scale: int = 10**3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    on_batch=None,
+):
+    """STREAMING decontamination screen (round 11): every corpus vector
+    is checked against the eval benchmark AT INGEST — before it ever
+    joins the training set — with EXACTLY the batch rule of
+    `similarity.semantic_contamination` (a streamed vector is flagged
+    iff some eval vector whose n_probe cells include the vector's cell
+    passes the BIGINT ε-test).
+
+    Prep once with `similarity.semantic_contam_index(corpus, eval_set)`
+    (cells trained on the existing corpus, eval probe table built);
+    per micro-batch the body is stateless and narrow: literal-centroid
+    cell assignment (no shuffle), one broadcast join against the probe
+    table, per-vector verdict aggregate — batch-local, no state store,
+    so statuses are independent of batching (screening, not dedup:
+    verdicts depend only on the static eval side, making the
+    stream trivially the fold of the batch operator).
+
+    ``on_batch(batch_id, verdicts)`` receives the per-vector
+    (vec_id, status, eval_hits, first_eval) frame, the batch operator's
+    exact schema.
+    """
+    from cloudtrace_exporter_spark.operators.similarity import (
+        _as_double,
+        _contam_verdicts,
+        _nearest_scaled,
+        _self_dot_long,
+    )
+
+    qvec = F.transform(_as_double(vec_col), lambda x: F.round(x * scale).cast("long"))
+
+    def _fn(batch_df: DataFrame, batch_id: int) -> None:
+        corp = (
+            batch_df.select(F.col(id_col).alias("id"), qvec.alias("v"))
+            .withColumn("cell", _nearest_scaled(F.col("v"), cents))
+            .withColumn("n2", _self_dot_long())
+        )
+        verdicts = _contam_verdicts(corp, ev_cells, tau_num=tau_num, tau_den=tau_den)
+        if on_batch is not None:
+            on_batch(batch_id, verdicts)
+
+    return (
+        stream.writeStream.foreachBatch(_fn)
         .option("checkpointLocation", checkpoint)
         .trigger(availableNow=True)
         .start()

@@ -1106,3 +1106,91 @@ def test_stream_minhash_dedup_matches_sequential_fold(spark, tmp_path):
         0, 1, 2, 3, 210, 211,
     }
     assert idx.count() == 6 * 8
+
+
+def test_stream_semantic_contamination_screens_at_ingest(spark, tmp_path):
+    """Round-11 streaming decontamination: file-fed corpus batches are
+    screened against the eval probe table with exactly the batch rule —
+    planted eval-adjacent vectors flagged, orthogonal ones clean, and
+    the 2-batch stream equals the batch verdict on the union (the body
+    is stateless, so batching cannot change verdicts)."""
+    import os as _os
+
+    import pandas as pd
+
+    from cloudtrace_exporter_spark.operators import similarity
+    from cloudtrace_exporter_spark.operators.similarity import (
+        _contam_verdicts,
+        _nearest_scaled,
+        _self_dot_long,
+        _as_double,
+    )
+    from cloudtrace_exporter_spark.streaming.pipeline import (
+        stream_semantic_contamination,
+    )
+
+    dim = 8
+    axes = [[1.0 if j == i else 0.0 for j in range(dim)] for i in range(8)]
+    corpus = spark.createDataFrame(
+        [(i, axes[i]) for i in range(8)], "vec_id long, embedding array<double>"
+    )
+    ev = spark.createDataFrame(
+        [
+            (1000, [1.01] + [0.0] * 7),   # ~ axis 0
+            (1001, [0.01, 1.0] + [0.0] * 6),  # ~ axis 1
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    ev_cells, cents = similarity.semantic_contam_index(
+        corpus, ev, n_centroids=2, lloyd_iters=1, n_probe=2
+    )
+    ev_cells = ev_cells.persist()
+
+    b1 = [(500, axes[0]), (501, axes[2])]
+    b2 = [(600, axes[1]), (601, [0.5, -0.5] * 4)]
+    src = str(tmp_path / "contam_src")
+    _os.makedirs(src)
+    for i, rows in enumerate([b1, b2]):
+        pd.DataFrame(rows, columns=["vec_id", "embedding"]).to_parquet(
+            _os.path.join(src, f"b{i}.parquet"), index=False
+        )
+    stream = (
+        spark.readStream.schema("vec_id long, embedding array<double>")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    got: dict[int, tuple] = {}
+
+    def on_batch(batch_id, df):
+        got.update(
+            {
+                r["vec_id"]: (r["status"], r["eval_hits"], r["first_eval"])
+                for r in df.collect()
+            }
+        )
+
+    q = stream_semantic_contamination(
+        stream, str(tmp_path / "contam_ck"), ev_cells, cents, on_batch=on_batch
+    )
+    q.awaitTermination(120)
+
+    assert got[500] == ("contaminated", 1, 1000)
+    assert got[600] == ("contaminated", 1, 1001)
+    assert got[501] == ("clean", 0, -1)
+    assert got[601] == ("clean", 0, -1)
+    # batch-on-union parity via the shared verdict core
+    import pyspark.sql.functions as F
+
+    union = spark.createDataFrame(b1 + b2, "vec_id long, embedding array<double>")
+    qvec = F.transform(_as_double("embedding"), lambda x: F.round(x * 1000).cast("long"))
+    corp = (
+        union.select(F.col("vec_id").alias("id"), qvec.alias("v"))
+        .withColumn("cell", _nearest_scaled(F.col("v"), cents))
+        .withColumn("n2", _self_dot_long())
+    )
+    batch = {
+        r["vec_id"]: (r["status"], r["eval_hits"], r["first_eval"])
+        for r in _contam_verdicts(corp, ev_cells, tau_num=95, tau_den=100).collect()
+    }
+    assert got == batch
+    ev_cells.unpersist()

@@ -121,6 +121,11 @@ AUX_PLANS = {
     "q_containment_pairs__index_build": _containment_index_build,
 }
 
+# Non-headline keys whose plan shape is still worth holding to a
+# fingerprint (round 11): the snapshot pins them without putting them
+# on the bench clock.
+SNAPSHOT_EXTRA = ["q_minhash_incremental", "q_semantic_contamination"]
+
 
 def snapshot_fingerprints(spark, names: list[str], sf_dir: str) -> dict:
     """Per-query PLAN FINGERPRINT (join-strategy counts, data-shuffle
@@ -166,7 +171,7 @@ def main() -> None:
         spark = get_spark("plan-audit")
         sf_dir = "/root/testdata/sf0.01"
         snap = snapshot_fingerprints(
-            spark, bench.HEADLINE + sorted(AUX_PLANS), sf_dir
+            spark, bench.HEADLINE + sorted(AUX_PLANS) + SNAPSHOT_EXTRA, sf_dir
         )
         path = "/root/repo/tests/plan_snapshot.json"
         with open(path, "w") as f:

@@ -5277,6 +5277,95 @@ def q_semantic_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_phash_incremental_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B36 visual steady-state dedup, ORACLE-BACKED (round 11):
+    multimodal.phash_dedup_incremental over PLANTED 64-bit hashes (the
+    decode step is Python-side by design; this key certifies the
+    banding + Hamming + CC semantics with a deterministic md5-derived
+    hash fixture both engines can build). Corpus = H(doc_id) for
+    doc_id < 150; new batch = fresh H(150..199) + bit-flipped corpus
+    twins (^3, Hamming 2 → corpus_dup) + bit-flipped fresh twins (^1 →
+    within-batch pairs). The DuckDB oracle BRUTE-FORCES the pair search
+    (no banding), so a pigeonhole band that ever dropped a qualifying
+    pair would hash-mismatch here — the no-false-negative claim
+    certified cross-engine, not just unit-tested."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    h = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 15),
+        16,
+        10,
+    ).cast("long")
+    corpus_h = docs.filter(F.col("doc_id") < 150).select("doc_id", h.alias("ahash"))
+    fresh = docs.filter((F.col("doc_id") >= 150) & (F.col("doc_id") < 200)).select(
+        "doc_id", h.alias("ahash")
+    )
+    twins_c = docs.filter(F.col("doc_id") < 25).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        h.bitwiseXOR(F.lit(3)).alias("ahash"),
+    )
+    twins_b = docs.filter((F.col("doc_id") >= 150) & (F.col("doc_id") < 160)).select(
+        (F.col("doc_id") + 2_000_000).alias("doc_id"),
+        h.bitwiseXOR(F.lit(1)).alias("ahash"),
+    )
+    return multimodal.phash_dedup_incremental(
+        fresh.unionByName(twins_c).unionByName(twins_b), corpus_h
+    )
+
+
+def _phash_incr_oracle_sql(*, max_hamming: int = 4) -> str:
+    """DuckDB replay of q_phash_incremental_verified — deliberately
+    BRUTE-FORCE (every new×corpus and new×new pair Hamming-tested, no
+    pigeonhole banding), so the value hash certifies the Spark banding
+    found EXACTLY the qualifying pairs."""
+    hh = "CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)"
+    return f"""
+        WITH RECURSIVE newh AS (
+          SELECT doc_id, {hh} AS h
+          FROM documents WHERE doc_id >= 150 AND doc_id < 200
+          UNION ALL
+          SELECT doc_id + 1000000, xor({hh}, 3)
+          FROM documents WHERE doc_id < 25
+          UNION ALL
+          SELECT doc_id + 2000000, xor({hh}, 1)
+          FROM documents WHERE doc_id >= 150 AND doc_id < 160
+        ),
+        ch AS (
+          SELECT doc_id, {hh} AS h FROM documents WHERE doc_id < 150
+        ),
+        cdup AS MATERIALIZED (
+          SELECT DISTINCT n.doc_id FROM newh n JOIN ch c
+            ON bit_count(xor(n.h, c.h)) <= {max_hamming}
+        ),
+        sb AS (
+          SELECT * FROM newh
+          WHERE doc_id NOT IN (SELECT doc_id FROM cdup)
+        ),
+        prs AS MATERIALIZED (
+          SELECT a.doc_id AS ia, b.doc_id AS ib
+          FROM sb a JOIN sb b ON a.doc_id < b.doc_id
+          WHERE bit_count(xor(a.h, b.h)) <= {max_hamming}
+        ),
+        e2 AS (SELECT ia AS a, ib AS b FROM prs
+               UNION SELECT ib, ia FROM prs),
+        reach(a, b) AS (
+          SELECT a, b FROM e2
+          UNION
+          SELECT r.a, e3.b FROM reach r JOIN e2 e3 ON r.b = e3.a
+        ),
+        comp AS (SELECT a AS id, least(a, min(b)) AS component
+                 FROM reach GROUP BY a)
+        SELECT n.doc_id,
+               CAST(CASE WHEN n.doc_id IN (SELECT doc_id FROM cdup) THEN n.doc_id
+                         ELSE COALESCE(c.component, n.doc_id) END AS BIGINT)
+                 AS component,
+               CASE WHEN n.doc_id IN (SELECT doc_id FROM cdup) THEN 'corpus_dup'
+                    WHEN COALESCE(c.component, n.doc_id) = n.doc_id THEN 'kept'
+                    ELSE 'batch_dup' END AS status
+        FROM newh n LEFT JOIN comp c ON n.doc_id = c.id
+        ORDER BY doc_id
+    """
+
+
 def _minhash_incr_status_oracle_sql(
     *, n_hashes: int = 32, threshold: float = 0.5, split_id: int = 250
 ) -> str:
@@ -5459,6 +5548,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ---- round-11 additions (never sampled) ----
         "q_minhash_incremental": q_minhash_incremental,
         "q_semantic_contamination": q_semantic_contamination,
+        "q_phash_incremental_verified": q_phash_incremental_verified,
         # ---- round-9 additions (never sampled) ----
         "q_textrank_keywords": q_textrank_keywords,
         "q_zipf_fit": q_zipf_fit,
@@ -9098,6 +9188,9 @@ def oracle_sql() -> dict[str, str]:
         # round 11: MinHash steady-state statuses + semantic decontamination
         "q_minhash_incremental": _minhash_incr_status_oracle_sql(),
         "q_semantic_contamination": _semantic_contam_oracle_sql(),
+        # round 11: visual steady-state dedup — oracle brute-forces the
+        # pair search, certifying the pigeonhole banding cross-engine
+        "q_phash_incremental_verified": _phash_incr_oracle_sql(),
         # round-7: packing layout — exclusive integer prefix sum over the
         # doc_id total order; bin/pos by floor-div/mod at L=2048
         "q_pack_layout": f"""

@@ -1945,22 +1945,14 @@ def perceptual_hash(df: DataFrame, *, payload_col: str = "payload") -> DataFrame
     )
 
 
-def phash_near_dups(
-    hashes: DataFrame, *, max_hamming: int = 4, hash_col: str = "ahash"
+def _phash_bands(
+    hashes: DataFrame, *, max_hamming: int, hash_col: str
 ) -> DataFrame:
-    """Visual near-duplicate pairs from perceptual hashes: all (a, b)
-    with Hamming(hash_a, hash_b) ≤ ``max_hamming`` — WITHOUT the n²
-    comparison. The 64-bit hash splits into ``max_hamming + 1`` bit
-    bands; pigeonhole guarantees any qualifying pair agrees EXACTLY on
-    at least one band (the SimHash banding argument, simhash_near_dups'
-    text twin), so candidates come from band-bucket equi-joins and the
-    full Hamming distance (bit_count of xor) verifies in-bucket. EXACT:
-    no false negatives by construction.
-
-    One explode (+1 band rows per image) + one banded self-join on
-    64-bit keys + a distinct — linear in band-collision volume, never
-    in image pairs.
-    """
+    """Pigeonhole band table of a 64-bit perceptual-hash frame — one row
+    per (doc, band) with the band's bit slice as the join key; any pair
+    within ``max_hamming`` agrees exactly on ≥1 of the max_hamming+1
+    bands. Shared by the self-join (phash_near_dups), the cross-frame
+    probe (phash_dedup_incremental), and the streaming tier."""
     nb = max_hamming + 1
     offs = [(i * 64) // nb for i in range(nb)] + [64]
     h = hashes.filter(F.col(hash_col).isNotNull()).select(
@@ -1978,9 +1970,28 @@ def phash_near_dups(
                 ).alias("key"),
             )
         )
-    banded = h.select("doc_id", "__h", F.explode(F.array(*bands)).alias("b")).select(
+    return h.select("doc_id", "__h", F.explode(F.array(*bands)).alias("b")).select(
         "doc_id", "__h", F.col("b.band").alias("band"), F.col("b.key").alias("key")
     )
+
+
+def phash_near_dups(
+    hashes: DataFrame, *, max_hamming: int = 4, hash_col: str = "ahash"
+) -> DataFrame:
+    """Visual near-duplicate pairs from perceptual hashes: all (a, b)
+    with Hamming(hash_a, hash_b) ≤ ``max_hamming`` — WITHOUT the n²
+    comparison. The 64-bit hash splits into ``max_hamming + 1`` bit
+    bands; pigeonhole guarantees any qualifying pair agrees EXACTLY on
+    at least one band (the SimHash banding argument, simhash_near_dups'
+    text twin), so candidates come from band-bucket equi-joins and the
+    full Hamming distance (bit_count of xor) verifies in-bucket. EXACT:
+    no false negatives by construction.
+
+    One explode (+1 band rows per image) + one banded self-join on
+    64-bit keys + a distinct — linear in band-collision volume, never
+    in image pairs.
+    """
+    banded = _phash_bands(hashes, max_hamming=max_hamming, hash_col=hash_col)
     a, b = banded.alias("a"), banded.alias("b")
     cand = (
         a.join(
@@ -2255,3 +2266,90 @@ def decode_reject_report(df: DataFrame) -> DataFrame:
             )
 
     return df.select("doc_id", "payload").mapInPandas(_extract, REJECT_REPORT_SCHEMA)
+
+
+def phash_dedup_incremental(
+    new_hashes: DataFrame,
+    corpus_hashes: DataFrame,
+    *,
+    max_hamming: int = 4,
+    hash_col: str = "ahash",
+) -> DataFrame:
+    """STATUS-emitting steady-state VISUAL dedup (round 11): the
+    perceptual-hash twin of ``dedup.minhash_dedup_incremental`` — one
+    row per NEW image, status ∈ {'kept', 'corpus_dup', 'batch_dup'},
+    component = min id of the image's within-batch near-dup group:
+
+    - Hamming(hash, corpus hash) ≤ max_hamming for ANY corpus image
+      sharing a pigeonhole band → ``corpus_dup`` (EXACT: the banding
+      has no false negatives, so a qualifying corpus match is never
+      missed);
+    - surviving new×new band-candidate pairs verify on full Hamming and
+      collapse via ``dedup.connected_components`` → min-id ``kept``,
+      the rest ``batch_dup``.
+
+    Same single-pass steady-state contract as the text/semantic twins
+    (a new image linked only to a DROPPED new image stays kept). Scale
+    shape: both joins are band-bucket equi-joins over 64-bit keys —
+    linear in band-collision volume, never |new|·|corpus|; the corpus
+    side is the banded hash table (persist it once; the streaming tier
+    accumulates it as parquet partitions).
+    """
+    from cloudtrace_exporter_spark.operators import dedup as _dedup
+    from cloudtrace_exporter_spark.session import cache_once
+
+    nb = cache_once(
+        _phash_bands(new_hashes, max_hamming=max_hamming, hash_col=hash_col)
+    )
+    cb = _phash_bands(corpus_hashes, max_hamming=max_hamming, hash_col=hash_col)
+    ham = F.bit_count(F.col("a.__h").bitwiseXOR(F.col("c.__h")))
+    corpus_dups = (
+        nb.alias("a")
+        .join(
+            cb.alias("c"),
+            (F.col("a.band") == F.col("c.band")) & (F.col("a.key") == F.col("c.key")),
+        )
+        .filter(ham <= max_hamming)
+        .select(F.col("a.doc_id").alias("doc_id"))
+        .distinct()
+    )
+    survivors = nb.join(corpus_dups, "doc_id", "left_anti")
+    ham2 = F.bit_count(F.col("sa.__h").bitwiseXOR(F.col("sb.__h")))
+    batch_pairs = (
+        survivors.alias("sa")
+        .join(
+            survivors.alias("sb"),
+            (F.col("sa.band") == F.col("sb.band"))
+            & (F.col("sa.key") == F.col("sb.key"))
+            & (F.col("sa.doc_id") < F.col("sb.doc_id")),
+        )
+        .filter(ham2 <= max_hamming)
+        .select(F.col("sa.doc_id").alias("ia"), F.col("sb.doc_id").alias("ib"))
+        .dropDuplicates(["ia", "ib"])
+    )
+    comp = _dedup.connected_components(batch_pairs, src="ia", dst="ib").withColumnRenamed(
+        "id", "cid"
+    )
+    lbl = (
+        survivors.select("doc_id")
+        .distinct()
+        .join(comp, F.col("doc_id") == F.col("cid"), "left")
+        .select("doc_id", F.coalesce("comp", F.col("doc_id")).alias("component"))
+    )
+    out = (
+        nb.select("doc_id")
+        .distinct()
+        .join(
+            lbl.select(F.col("doc_id").alias("lid"), "component"),
+            F.col("doc_id") == F.col("lid"),
+            "left",
+        )
+    )
+    return out.select(
+        "doc_id",
+        F.coalesce("component", F.col("doc_id")).alias("component"),
+        F.when(F.col("lid").isNull(), F.lit("corpus_dup"))
+        .when(F.col("component") == F.col("doc_id"), F.lit("kept"))
+        .otherwise(F.lit("batch_dup"))
+        .alias("status"),
+    ).orderBy("doc_id")

@@ -1073,6 +1073,36 @@ def stream_bloom_dedup(
     return q, state
 
 
+def _read_prior_partitions(spark: SparkSession, index_dir: str, batch_id: int):
+    """Load the ``batch_id=N`` parquet partitions of an accumulating
+    streaming index with N < ``batch_id`` (a replayed batch must never
+    probe its own rows), or None when no prior partition exists.
+    Per-entry parse: one stray non-numeric dir must not silently empty
+    the index (that would re-admit every seen duplicate)."""
+    import os
+
+    try:
+        entries = os.listdir(index_dir)
+    except FileNotFoundError:
+        entries = []
+    parts = []
+    for p in entries:
+        if not p.startswith("batch_id="):
+            continue
+        try:
+            if int(p.split("=", 1)[1]) < batch_id:
+                parts.append(p)
+        except ValueError:
+            continue
+    if not parts:
+        return None
+    return (
+        spark.read.option("basePath", index_dir)
+        .parquet(*[f"{index_dir}/{p}" for p in parts])
+        .drop("batch_id")
+    )
+
+
 def minhash_dedup_foreach_batch(
     spark: SparkSession,
     index_dir: str,
@@ -1117,36 +1147,10 @@ def minhash_dedup_foreach_batch(
     (same n_hashes/bands/shingle/portable) into ``batch_id=-1`` before
     starting the stream.
     """
-    import os
-
     from cloudtrace_exporter_spark.operators import dedup as _dedup
 
-    def _prior_index(batch_id: int):
-        # per-entry parse: one stray non-numeric dir must not silently
-        # empty the index (that would re-admit every seen near-dup)
-        try:
-            entries = os.listdir(index_dir)
-        except FileNotFoundError:
-            entries = []
-        parts = []
-        for p in entries:
-            if not p.startswith("batch_id="):
-                continue
-            try:
-                if int(p.split("=", 1)[1]) < batch_id:
-                    parts.append(p)
-            except ValueError:
-                continue
-        if not parts:
-            return None
-        return (
-            spark.read.option("basePath", index_dir)
-            .parquet(*[f"{index_dir}/{p}" for p in parts])
-            .drop("batch_id")
-        )
-
     def _fn(batch_df: DataFrame, batch_id: int) -> None:
-        idx = _prior_index(batch_id)
+        idx = _read_prior_partitions(spark, index_dir, batch_id)
         if idx is None:
             idx = _dedup.minhash_banded_index(
                 batch_df.limit(0), text_col=text_col, id_col=id_col,
@@ -1269,6 +1273,66 @@ def stream_semantic_contamination(
         verdicts = _contam_verdicts(corp, ev_cells, tau_num=tau_num, tau_den=tau_den)
         if on_batch is not None:
             on_batch(batch_id, verdicts)
+
+    return (
+        stream.writeStream.foreachBatch(_fn)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def stream_phash_dedup(
+    stream: DataFrame,
+    checkpoint: str,
+    index_dir: str,
+    *,
+    max_hamming: int = 4,
+    hash_col: str = "ahash",
+    hasher=None,
+    on_batch=None,
+):
+    """STREAMING visual near-dup dedup (round 11): the image tier of
+    the stream → dedup → sink family — binary payloads arrive, are
+    perceptual-hashed (Arrow-batched mapInPandas, the committed
+    multimodal decode path), probed against the accumulated hash index,
+    and deduped with EXACTLY the batch operator
+    ``multimodal.phash_dedup_incremental`` per micro-batch (statuses
+    kept/corpus_dup/batch_dup, within-batch pigeonhole pairs collapsed
+    via CC). Kept images' (doc_id, hash) rows append to ``index_dir``
+    as the ``batch_id=N`` parquet partition — the same
+    exactly-once/warm-start contract as `stream_minhash_dedup` (replay
+    overwrites its own partition and never probes its own rows; seed a
+    corpus as ``batch_id=-1``). The index stores RAW 64-bit hashes (one
+    row per kept image — bands are recomputed by the narrow explode at
+    probe time), so it doubles as the corpus-hash artifact batch
+    consumers feed to `phash_near_dups`.
+
+    ``hasher`` maps the raw batch frame to (doc_id, ``hash_col``) —
+    default `multimodal.perceptual_hash` (BMP payloads); pass your own
+    for other codecs, or ``hasher=lambda df: df`` when the stream
+    already carries hashes.
+    """
+    from cloudtrace_exporter_spark.operators import multimodal as _mm
+
+    spark = stream.sparkSession
+    h_fn = hasher if hasher is not None else _mm.perceptual_hash
+
+    def _fn(batch_df: DataFrame, batch_id: int) -> None:
+        hdf = h_fn(batch_df).select("doc_id", hash_col)
+        prior = _read_prior_partitions(spark, index_dir, batch_id)
+        if prior is None:
+            prior = hdf.limit(0)
+        verdicts = _mm.phash_dedup_incremental(
+            hdf, prior, max_hamming=max_hamming, hash_col=hash_col
+        ).persist()
+        kept = verdicts.filter(F.col("status") == "kept").select("doc_id")
+        hdf.join(kept, "doc_id").write.mode("overwrite").parquet(
+            f"{index_dir}/batch_id={batch_id}"
+        )
+        if on_batch is not None:
+            on_batch(batch_id, verdicts)
+        verdicts.unpersist()
 
     return (
         stream.writeStream.foreachBatch(_fn)

@@ -3819,3 +3819,44 @@ def test_semantic_contamination_planted(spark):
     )
     assert clean.count() == 8
     assert clean.filter(F.col("status") != "clean").count() == 0
+
+
+def test_phash_dedup_incremental_statuses(spark):
+    """Round-11 visual status twin: planted 64-bit hashes within
+    max_hamming of a corpus hash flag corpus_dup; a within-batch pair
+    collapses to min-id kept + batch_dup; far hashes keep. Hashes are
+    constructed with pairwise Hamming > max_hamming (asserted)."""
+    h0, h1 = 0x0F0F0F0F0F0F0F0F, 0x00FF00FF00FF00FF
+    hA, hF = 0x1234567812345678, 0x7EDCBA987EDCBA98
+    base = [h0, h1, hA, hF]
+    for i, x in enumerate(base):
+        for y in base[i + 1:]:
+            assert bin(x ^ y).count("1") > 4, (hex(x), hex(y))
+    corpus = spark.createDataFrame(
+        [(0, h0), (1, h1)], "doc_id long, ahash long"
+    )
+    new = spark.createDataFrame(
+        [
+            (500, h0 ^ 0b11),  # hamming 2 from corpus 0 -> corpus_dup
+            (501, hA),          # kept (min of the 501/502 pair)
+            (502, hA ^ 0b1),    # hamming 1 from 501 -> batch_dup
+            (503, hF),          # kept, isolated
+        ],
+        "doc_id long, ahash long",
+    )
+    out = {
+        r["doc_id"]: (r["status"], r["component"])
+        for r in multimodal.phash_dedup_incremental(new, corpus).collect()
+    }
+    assert out == {
+        500: ("corpus_dup", 500),
+        501: ("kept", 501),
+        502: ("batch_dup", 501),
+        503: ("kept", 503),
+    }
+    # banding exactness: pigeonhole candidates == brute force at the cap
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in multimodal.phash_near_dups(new, hash_col="ahash").collect()
+    }
+    assert pairs == {(501, 502)}

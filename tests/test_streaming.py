@@ -1194,3 +1194,118 @@ def test_stream_semantic_contamination_screens_at_ingest(spark, tmp_path):
     }
     assert got == batch
     ev_cells.unpersist()
+
+
+def test_stream_phash_dedup_matches_sequential_fold(spark, tmp_path):
+    """Round-11 streaming visual dedup. Leg A pins the dedup/state/index
+    mechanics with PLANTED 64-bit hashes (hasher=identity — the decode
+    step is covered by the perceptual-hash unit tests, and the
+    synthesized BMP corpus is degenerate for aHash: every image
+    thresholds to the same 0xfffffff8e0000000 pattern): statuses,
+    components, index census, and 2-batch == sequential fold of
+    multimodal.phash_dedup_incremental. Leg B runs the DEFAULT hasher
+    end-to-end over BMP payloads and asserts stream == fold parity
+    (no planted expectations — hash geometry of synthetic images is
+    the synthesizer's business)."""
+    import os as _os
+
+    import pandas as pd
+
+    from cloudtrace_exporter_spark.operators import multimodal
+    from cloudtrace_exporter_spark.streaming.pipeline import stream_phash_dedup
+
+    # ---- leg A: planted hashes, identity hasher ----
+    h0, h1c, hA, hF = (
+        0x0F0F0F0F0F0F0F0F,
+        0x00FF00FF00FF00FF,
+        0x1234567812345678,
+        0x7EDCBA987EDCBA98,
+    )
+    b1 = [(0, h0), (1, h1c), (2, hA), (100, h0 ^ 0b11)]   # 100: in-batch dup of 0
+    b2 = [(200, h1c ^ 0b1), (210, hF), (300, hF ^ 0b11)]  # 200: corpus_dup; 300: dup of 210
+    src_a = str(tmp_path / "ph_src_a")
+    _os.makedirs(src_a)
+    for i, rows in enumerate([b1, b2]):
+        pd.DataFrame(rows, columns=["doc_id", "ahash"]).to_parquet(
+            _os.path.join(src_a, f"b{i}.parquet"), index=False
+        )
+    stream = (
+        spark.readStream.schema("doc_id long, ahash long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_a)
+    )
+    idx_dir = str(tmp_path / "ph_index_a")
+    got: dict[int, tuple] = {}
+
+    def on_batch(batch_id, df):
+        got.update(
+            {r["doc_id"]: (r["status"], r["component"]) for r in df.collect()}
+        )
+
+    q = stream_phash_dedup(
+        stream,
+        str(tmp_path / "ph_ck_a"),
+        idx_dir,
+        hasher=lambda df: df,
+        on_batch=on_batch,
+    )
+    q.awaitTermination(120)
+
+    d1 = spark.createDataFrame(b1, "doc_id long, ahash long")
+    d2 = spark.createDataFrame(b2, "doc_id long, ahash long")
+    f1 = multimodal.phash_dedup_incremental(d1, d1.limit(0))
+    fold1 = {r["doc_id"]: (r["status"], r["component"]) for r in f1.collect()}
+    kept1 = d1.join(f1.filter("status = 'kept'").select("doc_id"), "doc_id")
+    f2 = multimodal.phash_dedup_incremental(d2, kept1)
+    fold2 = {r["doc_id"]: (r["status"], r["component"]) for r in f2.collect()}
+    assert got == {**fold1, **fold2}
+    assert got[100] == ("batch_dup", 0)
+    assert got[200] == ("corpus_dup", 200)
+    assert got[300] == ("batch_dup", 210)
+    # index holds exactly the kept images' raw hashes
+    idx = spark.read.parquet(idx_dir)
+    assert set(r["doc_id"] for r in idx.collect()) == {0, 1, 2, 210}
+
+    # ---- leg B: default perceptual_hash over BMP payloads ----
+    ids = spark.createDataFrame([(i,) for i in range(3)], "doc_id long")
+    pays = {
+        r["doc_id"]: bytes(r["payload"])
+        for r in multimodal.synthesize_bmp_payload(ids).collect()
+    }
+    c1 = [(0, pays[0]), (1, pays[1])]
+    c2 = [(10, pays[2]), (11, pays[0])]
+    src_b = str(tmp_path / "ph_src_b")
+    _os.makedirs(src_b)
+    for i, rows in enumerate([c1, c2]):
+        pd.DataFrame(rows, columns=["doc_id", "payload"]).to_parquet(
+            _os.path.join(src_b, f"b{i}.parquet"), index=False
+        )
+    stream_b = (
+        spark.readStream.schema("doc_id long, payload binary")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_b)
+    )
+    got_b: dict[int, tuple] = {}
+
+    def on_batch_b(batch_id, df):
+        got_b.update(
+            {r["doc_id"]: (r["status"], r["component"]) for r in df.collect()}
+        )
+
+    qb = stream_phash_dedup(
+        stream_b,
+        str(tmp_path / "ph_ck_b"),
+        str(tmp_path / "ph_index_b"),
+        on_batch=on_batch_b,
+    )
+    qb.awaitTermination(120)
+    e1 = spark.createDataFrame(c1, "doc_id long, payload binary")
+    e2 = spark.createDataFrame(c2, "doc_id long, payload binary")
+    g1 = multimodal.perceptual_hash(e1).select("doc_id", "ahash")
+    g2 = multimodal.perceptual_hash(e2).select("doc_id", "ahash")
+    r1 = multimodal.phash_dedup_incremental(g1, g1.limit(0))
+    foldb1 = {r["doc_id"]: (r["status"], r["component"]) for r in r1.collect()}
+    keptb1 = g1.join(r1.filter("status = 'kept'").select("doc_id"), "doc_id")
+    r2 = multimodal.phash_dedup_incremental(g2, keptb1)
+    foldb2 = {r["doc_id"]: (r["status"], r["component"]) for r in r2.collect()}
+    assert got_b == {**foldb1, **foldb2}

@@ -124,7 +124,11 @@ AUX_PLANS = {
 # Non-headline keys whose plan shape is still worth holding to a
 # fingerprint (round 11): the snapshot pins them without putting them
 # on the bench clock.
-SNAPSHOT_EXTRA = ["q_minhash_incremental", "q_semantic_contamination"]
+SNAPSHOT_EXTRA = [
+    "q_minhash_incremental",
+    "q_semantic_contamination",
+    "q_phash_incremental_verified",
+]
 
 
 def snapshot_fingerprints(spark, names: list[str], sf_dir: str) -> dict:

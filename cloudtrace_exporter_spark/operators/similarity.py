@@ -2720,7 +2720,11 @@ def semantic_contamination(
 
     The ε-test is the shared BIGINT quantized form (dot ≥ 0 ∧
     dot²·den² ≥ num²·‖a‖²·‖b‖² at ×10³) — the whole pipeline (k-means
-    trajectory, probing, test) replays bit-exact in DuckDB.
+    trajectory, probing, test) replays bit-exact in DuckDB. Inputs are
+    embedding-like by contract: ‖v‖ ≈ 1, so quantized n2 ≈ scale² and
+    dot²·den² stays ~10¹⁶ ≪ 2⁶³; vectors with norms ≫ 1 (or a larger
+    ``scale``) overflow the long ε-test — normalize first (ANSI mode
+    fails loudly rather than wrapping).
 
     Returns one row per corpus vector: (vec_id, status ∈
     {'contaminated', 'clean'}, eval_hits = #distinct eval vectors

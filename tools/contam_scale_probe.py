@@ -35,9 +35,12 @@ def main() -> None:
 
     spark = get_spark("contam_scale_probe")
 
-    # corpus: deterministic pseudo-random unit-ish vectors via md5 coords
+    # corpus: deterministic pseudo-random UNIT vectors via md5 coords —
+    # unit norm matters: the BIGINT ε-test at scale=10³ assumes
+    # embedding-like inputs (‖v‖ ≈ 1 → n2 ≈ 10⁶, dot²·den² ≤ ~10¹⁶);
+    # un-normalized ±1-per-dim vectors overflow the long at dim 64
     def vec_expr(seed_col):
-        return F.array(
+        raw = F.array(
             *[
                 (
                     F.conv(
@@ -56,26 +59,43 @@ def main() -> None:
                 for d in range(DIM)
             ]
         )
+        norm = F.sqrt(
+            F.aggregate(
+                F.transform(raw, lambda x: x * x), F.lit(0.0), lambda a, x: a + x
+            )
+        )
+        return F.transform(raw, lambda x: F.round(x / norm, 6))
 
-    corpus = spark.range(N_CORPUS).select(
+    # MATERIALIZE the synthetic frames to parquet before the operator:
+    # the md5-derived normalized array is a huge expression tree that
+    # CollapseProject would otherwise inline into EVERY downstream
+    # reference (the documented ~30x recompute trap) — a parquet
+    # round-trip severs the lineage so the operator sees plain columns.
+    import tempfile
+
+    tmp = tempfile.mkdtemp(prefix="contam_probe_")
+    spark.range(N_CORPUS).select(
         F.col("id").alias("vec_id"), vec_expr(F.col("id")).alias("embedding")
-    )
+    ).write.mode("overwrite").parquet(f"{tmp}/corpus")
+    corpus = spark.read.parquet(f"{tmp}/corpus")
 
     # eval: planted = corpus seeds 0..2499 with one coordinate nudged by
     # 0.002 (cos stays ~1); far = fresh md5 directions (expected cos ~ 0
     # against everything in 64-dim)
-    plants = spark.range(N_EVAL_PLANT).select(
-        (F.col("id") + 10_000_000).alias("vec_id"),
+    plants = corpus.filter(F.col("vec_id") < N_EVAL_PLANT).select(
+        (F.col("vec_id") + 10_000_000).alias("vec_id"),
         F.transform(
-            vec_expr(F.col("id")),
-            lambda x, i: x + F.when(i == F.pmod(F.col("id"), F.lit(DIM)), 0.002).otherwise(0.0),
+            "embedding",
+            lambda x, i: x
+            + F.when(i == F.pmod(F.col("vec_id"), F.lit(DIM)), 0.002).otherwise(0.0),
         ).alias("embedding"),
     )
     far = spark.range(N_EVAL_FAR).select(
         (F.col("id") + 20_000_000).alias("vec_id"),
         vec_expr(F.col("id") + 77_000_000).alias("embedding"),
     )
-    ev = plants.unionByName(far)
+    plants.unionByName(far).write.mode("overwrite").parquet(f"{tmp}/eval")
+    ev = spark.read.parquet(f"{tmp}/eval")
 
     t0 = time.time()
     out = similarity.semantic_contamination(

@@ -5366,6 +5366,58 @@ def _phash_incr_oracle_sql(*, max_hamming: int = 4) -> str:
     """
 
 
+def q_domain_reweight(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Excess-loss domain reweighting, ORACLE-EXACT (round 11):
+    curate.domain_reweight — the DoReMi-shaped multiplicative-weights
+    mixture tilt over the documents table's source domains, token count
+    as the loss proxy. Every aggregate is a BIGINT sum and every
+    mean/excess uses truncate-toward-zero division, so the weight
+    trajectory replays exactly in DuckDB; only the final normalized
+    fractions are floats."""
+    docs = load_table(spark, sf_dir, "documents")
+    return curate.domain_reweight(docs)
+
+
+def _domain_reweight_oracle_sql(
+    *, eta_num: int = 1, eta_den: int = 2, rounds: int = 4, scale: int = 10**6
+) -> str:
+    """DuckDB replay of curate.domain_reweight (same integer algebra,
+    ``//`` for Spark's ``div``)."""
+    factor = f"greatest({eta_den * scale} + {eta_num} * excess_ppm, 0)"
+    w_sql = str(scale)
+    for _ in range(rounds):
+        w_sql = f"(({w_sql}) * ({factor}) // {eta_den * scale})"
+    return f"""
+        WITH prof AS (
+          SELECT source AS domain,
+                 CAST(count(*) AS BIGINT) AS n_docs,
+                 CAST(sum(len({_TOKENS_SQL})) AS BIGINT) AS sum_loss
+          FROM documents GROUP BY source
+        ),
+        tot AS (
+          SELECT CAST(sum(sum_loss) AS BIGINT) AS ts,
+                 CAST(sum(n_docs) AS BIGINT) AS tn
+          FROM prof
+        ),
+        p2 AS (
+          SELECT domain, n_docs,
+                 sum_loss // n_docs AS mean_loss,
+                 ((sum_loss // n_docs) - (t.ts // t.tn)) * {scale}
+                   // greatest(t.ts // t.tn, 1) AS excess_ppm
+          FROM prof, tot t
+        ),
+        p3 AS (
+          SELECT domain, n_docs, mean_loss, excess_ppm,
+                 CAST({w_sql} AS BIGINT) AS weight_raw
+          FROM p2
+        )
+        SELECT domain, n_docs, mean_loss, excess_ppm, weight_raw,
+               round(CAST(weight_raw AS DOUBLE)
+                     / (SELECT sum(weight_raw) FROM p3), 6) AS weight_frac
+        FROM p3 ORDER BY domain
+    """
+
+
 def _minhash_incr_status_oracle_sql(
     *, n_hashes: int = 32, threshold: float = 0.5, split_id: int = 250
 ) -> str:
@@ -5549,6 +5601,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_minhash_incremental": q_minhash_incremental,
         "q_semantic_contamination": q_semantic_contamination,
         "q_phash_incremental_verified": q_phash_incremental_verified,
+        "q_domain_reweight": q_domain_reweight,
         # ---- round-9 additions (never sampled) ----
         "q_textrank_keywords": q_textrank_keywords,
         "q_zipf_fit": q_zipf_fit,
@@ -9191,6 +9244,8 @@ def oracle_sql() -> dict[str, str]:
         # round 11: visual steady-state dedup — oracle brute-forces the
         # pair search, certifying the pigeonhole banding cross-engine
         "q_phash_incremental_verified": _phash_incr_oracle_sql(),
+        # round 11: DoReMi-shaped excess-loss mixture tilt
+        "q_domain_reweight": _domain_reweight_oracle_sql(),
         # round-7: packing layout — exclusive integer prefix sum over the
         # doc_id total order; bin/pos by floor-div/mod at L=2048
         "q_pack_layout": f"""

@@ -1232,3 +1232,75 @@ def curriculum_schedule(
             / F.sum("n_tokens").over(tot).cast("double")
         ).alias("cum_token_frac"),
     ).orderBy("bucket")
+
+
+def domain_reweight(
+    docs: DataFrame,
+    *,
+    domain_col: str = "source",
+    text_col: str = "text",
+    eta_num: int = 1,
+    eta_den: int = 2,
+    rounds: int = 4,
+    scale: int = 10**6,
+) -> DataFrame:
+    """Excess-loss DOMAIN REWEIGHTING (round 11), ORACLE-EXACT — the
+    DoReMi-shaped mixture tilt (Xie et al. 2023): domains whose mean
+    per-document loss exceeds the corpus mean get UP-weighted (hard
+    domains earn more sampling mass), easy domains down-weighted, by a
+    multiplicative-weights update applied ``rounds`` times. True DoReMi
+    re-measures excess loss under a proxy model per step; this is the
+    static-corpus tilt a data pipeline can actually compute — the same
+    update rule with the excess fixed at its measured value, so the
+    weight is w_d ∝ (1 + η·excess_d)^rounds, the standard
+    multiplicative-weights posture with ``rounds`` as tilt strength.
+
+    Loss proxy here is the whitespace token count (length — the classic
+    compute-cost proxy); swap in any INTEGER per-doc loss by adapting
+    the aggregation. Engine-exactness discipline: every aggregate is a
+    BIGINT sum; means and the relative excess (parts-per-``scale``) use
+    truncate-toward-zero division (Spark ``div`` == DuckDB ``//``); the
+    per-round factor is clamped at 0 (a domain more than 1/η below the
+    mean pins to weight 0 rather than going negative); the ONLY floats
+    are the final normalized fractions. One domain-keyed aggregation
+    with map-side partials + a |domains|-row window — corpus-scale work
+    is a single groupBy.
+
+    Emits (domain, n_docs, mean_loss, excess_ppm, weight_raw,
+    weight_frac), ordered by domain.
+    """
+    prof = docs.groupBy(F.col(domain_col).alias("domain")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(text.token_count(text_col)).cast("long").alias("sum_loss"),
+    )
+    w = Window.partitionBy()
+    prof = prof.select(
+        "domain",
+        "n_docs",
+        "sum_loss",
+        F.sum("sum_loss").over(w).alias("__ts"),
+        F.sum("n_docs").over(w).alias("__tn"),
+    ).select(
+        "domain",
+        "n_docs",
+        F.expr("sum_loss div n_docs").alias("mean_loss"),
+        F.expr(
+            f"((sum_loss div n_docs) - (__ts div __tn)) * {scale}"
+            " div greatest(__ts div __tn, 1)"
+        ).alias("excess_ppm"),
+    )
+    factor = f"greatest({eta_den * scale} + {eta_num} * excess_ppm, 0)"
+    w_sql = str(scale)
+    for _ in range(rounds):
+        w_sql = f"(({w_sql}) * ({factor}) div {eta_den * scale})"
+    out = prof.withColumn("weight_raw", F.expr(w_sql).cast("long"))
+    return out.select(
+        "domain",
+        "n_docs",
+        "mean_loss",
+        "excess_ppm",
+        "weight_raw",
+        F.round(
+            F.col("weight_raw") / F.sum("weight_raw").over(w), 6
+        ).alias("weight_frac"),
+    ).orderBy("domain")

@@ -3860,3 +3860,41 @@ def test_phash_dedup_incremental_statuses(spark):
         for r in multimodal.phash_near_dups(new, hash_col="ahash").collect()
     }
     assert pairs == {(501, 502)}
+
+
+def test_domain_reweight_tilts_toward_hard_domains(spark):
+    """Round-11 DoReMi-shaped tilt: the high-loss domain gains weight,
+    the low-loss domain loses it, and the integer weight trajectory
+    equals a Python replay of the same truncate-toward-zero algebra."""
+    rows = []
+    for i, (dom, ntok, ndocs) in enumerate(
+        [("hard", 10, 2), ("mid", 6, 2), ("easy", 2, 2)]
+    ):
+        for j in range(ndocs):
+            rows.append((i * 10 + j, dom, " ".join(f"t{k}" for k in range(ntok))))
+    docs = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out = {
+        r["domain"]: r
+        for r in curate.domain_reweight(docs, domain_col="source").collect()
+    }
+
+    def tdiv(a, b):
+        q = abs(a) // abs(b)
+        return q if (a >= 0) == (b >= 0) else -q
+
+    scale, eta_num, eta_den, rounds = 10**6, 1, 2, 4
+    sums = {"hard": (2, 20), "mid": (2, 12), "easy": (2, 4)}
+    ts, tn = 36, 6
+    m = tdiv(ts, tn)
+    for dom, (n, s) in sums.items():
+        mean = tdiv(s, n)
+        e = tdiv((mean - m) * scale, max(m, 1))
+        w = scale
+        for _ in range(rounds):
+            w = tdiv(w * max(eta_den * scale + eta_num * e, 0), eta_den * scale)
+        assert out[dom]["mean_loss"] == mean
+        assert out[dom]["excess_ppm"] == e
+        assert out[dom]["weight_raw"] == w, (dom, out[dom]["weight_raw"], w)
+    assert out["hard"]["weight_raw"] > out["mid"]["weight_raw"] > out["easy"]["weight_raw"]
+    fr = sum(r["weight_frac"] for r in out.values())
+    assert abs(fr - 1.0) < 1e-4

@@ -2617,10 +2617,11 @@ def bloom_merge(*filters: DataFrame) -> DataFrame:
 
 
 def minhash_dedup_incremental(
-    new: DataFrame,
+    new: DataFrame | None,
     corpus: DataFrame | None = None,
     *,
     corpus_index: DataFrame | None = None,
+    new_index: DataFrame | None = None,
     text_col: str = "text",
     id_col: str = "doc_id",
     n_hashes: int = 32,
@@ -2661,10 +2662,20 @@ def minhash_dedup_incremental(
     """
     if (corpus is None) == (corpus_index is None):
         raise ValueError("pass exactly one of corpus / corpus_index")
-    nb = cache_once(
-        minhash_banded_index(
-            new, text_col=text_col, id_col=id_col, n_hashes=n_hashes,
-            bands=bands, shingle=shingle, portable=portable,
+    if (new is None) == (new_index is None):
+        raise ValueError("pass exactly one of new / new_index")
+    # ``new_index``: a prebuilt banded index of the batch — the caller
+    # then OWNS the cache lifecycle (the streaming tier persists it per
+    # batch and unpersists after the sink, so a long-running stream
+    # never accumulates per-batch cache entries)
+    nb = (
+        new_index
+        if new_index is not None
+        else cache_once(
+            minhash_banded_index(
+                new, text_col=text_col, id_col=id_col, n_hashes=n_hashes,
+                bands=bands, shingle=shingle, portable=portable,
+            )
         )
     )
     cb = (

@@ -2274,6 +2274,7 @@ def phash_dedup_incremental(
     *,
     max_hamming: int = 4,
     hash_col: str = "ahash",
+    _cache: bool = True,
 ) -> DataFrame:
     """STATUS-emitting steady-state VISUAL dedup (round 11): the
     perceptual-hash twin of ``dedup.minhash_dedup_incremental`` — one
@@ -2298,9 +2299,12 @@ def phash_dedup_incremental(
     from cloudtrace_exporter_spark.operators import dedup as _dedup
     from cloudtrace_exporter_spark.session import cache_once
 
-    nb = cache_once(
-        _phash_bands(new_hashes, max_hamming=max_hamming, hash_col=hash_col)
-    )
+    # _cache=False: the streaming tier persists the hash frame itself
+    # and must not accumulate one band-cache entry per micro-batch —
+    # the band table is a narrow projection of that persisted frame
+    nb = _phash_bands(new_hashes, max_hamming=max_hamming, hash_col=hash_col)
+    if _cache:
+        nb = cache_once(nb)
     cb = _phash_bands(corpus_hashes, max_hamming=max_hamming, hash_col=hash_col)
     ham = F.bit_count(F.col("a.__h").bitwiseXOR(F.col("c.__h")))
     corpus_dups = (

@@ -1151,14 +1151,23 @@ def minhash_dedup_foreach_batch(
 
     def _fn(batch_df: DataFrame, batch_id: int) -> None:
         idx = _read_prior_partitions(spark, index_dir, batch_id)
+        # build + persist the batch's banded index HERE and hand it to
+        # the operator (new_index=) so this body owns the cache
+        # lifecycle: a long-running stream must release each batch's
+        # cache (an operator-internal cache_once would accumulate one
+        # entry per micro-batch, observed as storage-eviction churn in
+        # the 1M-doc probe), and the persisted frame serves the index
+        # write too — no second signature build over the batch
+        nb = _dedup.minhash_banded_index(
+            batch_df, text_col=text_col, id_col=id_col,
+            n_hashes=n_hashes, bands=bands, shingle=shingle, portable=portable,
+        ).persist()
         if idx is None:
-            idx = _dedup.minhash_banded_index(
-                batch_df.limit(0), text_col=text_col, id_col=id_col,
-                n_hashes=n_hashes, bands=bands, shingle=shingle, portable=portable,
-            )
+            idx = nb.limit(0)
         verdicts = _dedup.minhash_dedup_incremental(
-            batch_df,
+            None,
             corpus_index=idx,
+            new_index=nb,
             text_col=text_col,
             id_col=id_col,
             n_hashes=n_hashes,
@@ -1167,18 +1176,17 @@ def minhash_dedup_foreach_batch(
             threshold=threshold,
             portable=portable,
         ).persist()
-        kept = verdicts.filter(F.col("status") == "kept").select(id_col)
-        kept_banded = _dedup.minhash_banded_index(
-            batch_df.join(kept, id_col),
-            text_col=text_col, id_col=id_col,
-            n_hashes=n_hashes, bands=bands, shingle=shingle, portable=portable,
+        kept = (
+            verdicts.filter(F.col("status") == "kept")
+            .select(F.col(id_col).alias("id"))
         )
-        kept_banded.write.mode("overwrite").parquet(
+        nb.join(kept, "id").write.mode("overwrite").parquet(
             f"{index_dir}/batch_id={batch_id}"
         )
         if on_batch is not None:
             on_batch(batch_id, verdicts)
         verdicts.unpersist()
+        nb.unpersist()
 
     return _fn
 
@@ -1319,12 +1327,15 @@ def stream_phash_dedup(
     h_fn = hasher if hasher is not None else _mm.perceptual_hash
 
     def _fn(batch_df: DataFrame, batch_id: int) -> None:
-        hdf = h_fn(batch_df).select("doc_id", hash_col)
+        # persist: the hash frame feeds both the verdict join and the
+        # index write — without it the (mapInPandas) decode runs twice
+        # over the full batch
+        hdf = h_fn(batch_df).select("doc_id", hash_col).persist()
         prior = _read_prior_partitions(spark, index_dir, batch_id)
         if prior is None:
             prior = hdf.limit(0)
         verdicts = _mm.phash_dedup_incremental(
-            hdf, prior, max_hamming=max_hamming, hash_col=hash_col
+            hdf, prior, max_hamming=max_hamming, hash_col=hash_col, _cache=False
         ).persist()
         kept = verdicts.filter(F.col("status") == "kept").select("doc_id")
         hdf.join(kept, "doc_id").write.mode("overwrite").parquet(
@@ -1333,6 +1344,7 @@ def stream_phash_dedup(
         if on_batch is not None:
             on_batch(batch_id, verdicts)
         verdicts.unpersist()
+        hdf.unpersist()
 
     return (
         stream.writeStream.foreachBatch(_fn)

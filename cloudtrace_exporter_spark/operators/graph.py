@@ -222,6 +222,36 @@ def pagerank(
     return ranks.select("id", F.round("rank", 6).alias("pagerank"))
 
 
+def _pagerank_scaled_local(
+    edge_rows, *, n_iter: int, scale: int
+) -> list[tuple]:
+    """Exact driver-side body of pagerank_scaled's small-graph fast path:
+    the identical BIGINT trajectory (floor-div contributions, 85/100
+    damping, teleport floor) over a bounded collected edge list. BIGINT
+    sums are associative, so summation order cannot change a single
+    value — bit-identical to the distributed rounds by construction.
+    Returns (id, rank) tuples."""
+    nodes = set()
+    out_deg: dict = {}
+    for s, d in edge_rows:
+        nodes.add(s)
+        nodes.add(d)
+        out_deg[s] = out_deg.get(s, 0) + 1
+    n = len(nodes)
+    if n == 0:
+        return []
+    teleport = (scale * 15) // (100 * n)
+    ranks = {i: scale // n for i in nodes}
+    for _ in range(n_iter):
+        csum: dict = {}
+        for s, d in edge_rows:
+            csum[d] = csum.get(d, 0) + ranks[s] // out_deg[s]
+        ranks = {
+            i: teleport + (85 * csum.get(i, 0)) // 100 for i in nodes
+        }
+    return sorted(ranks.items())
+
+
 def pagerank_scaled(
     edges: DataFrame,
     *,
@@ -229,6 +259,7 @@ def pagerank_scaled(
     scale: int = 10**12,
     src: str = "src",
     dst: str = "dst",
+    small_graph_edges: int = 200_000,
 ) -> DataFrame:
     """ORACLE-EXACT PageRank twin: the same fixed-iteration power method
     as :func:`pagerank`, but over INTEGER-scaled ranks (rank ≈ true
@@ -245,15 +276,33 @@ def pagerank_scaled(
     rank-onto-edges join + one incoming-sum aggregation, lineage
     truncated per round; |V| enters via one scalar count.
 
-    Small-graph fast path (round 10): when |V| ≤ 50k the persisted
-    round inputs are coalesced to ONE partition — per-round cost on a
-    word-graph-sized input is pure task/AQE overhead (32 shuffle slices
-    of a few hundred rows × n_iter rounds), and BIGINT sums are exactly
-    associative, so the coalesce changes nothing but the task count
-    (measured on the sf0.1 TextRank graph: 40.9 → 12.0 CPU-s, values
-    bit-identical). Large graphs keep the partitioned shape untouched.
+    Small-graph fast path (round 11, superseding the round-10 coalesce
+    tier): when the edge list holds ≤ ``small_graph_edges`` rows, the
+    whole ``n_iter``-round trajectory runs as ONE bounded driver-side
+    loop over the collected edges (the connected_components union-find
+    discipline — a 200k-edge list is ~3 MB of ids) and the ranks
+    re-enter the plan as a LocalRelation. On a word-graph-sized input
+    the distributed rounds are pure job/codegen overhead: 10 rounds ×
+    (join + agg + localCheckpoint) ≈ 30 scheduled jobs for a few
+    hundred edges (measured on the sf0.1 TextRank graph: ~12 CPU-s for
+    the coalesced round-10 shape vs ~1 s collected). Every operation is
+    a BIGINT floor-div/multiply/sum replayed verbatim in Python, so the
+    values are bit-identical to the distributed rounds (the same
+    argument that makes the DuckDB unrolled-CTE oracle exact). Larger
+    graphs keep the partitioned per-round shape untouched;
+    ``small_graph_edges=0`` forces the distributed path (its tests).
     """
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    if small_graph_edges:
+        probe = e.limit(small_graph_edges + 1).collect()
+        if len(probe) <= small_graph_edges:
+            id_type = dict(e.dtypes)["src"]
+            ranked = _pagerank_scaled_local(
+                [(r[0], r[1]) for r in probe], n_iter=n_iter, scale=scale
+            )
+            return e.sparkSession.createDataFrame(
+                ranked, f"id {id_type}, pagerank_scaled bigint"
+            )
     nodes = e.select(F.col("src").alias("id")).union(
         e.select(F.col("dst").alias("id"))
     ).distinct()

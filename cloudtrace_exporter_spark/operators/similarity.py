@@ -395,7 +395,12 @@ def _scaled_kmeans(
     the sanctioned index-artifact collect; assignment is a narrow
     literal-matrix argmin (no join, no corpus shuffle)."""
     qvec = F.transform(_as_double(vec_col), lambda x: F.round(x * scale).cast("long"))
-    v = corpus.select(F.col(id_col).alias("id"), qvec.alias("v"))
+    # the quantized corpus is read by the seed collect, EVERY Lloyd
+    # round's (cell, pos) aggregation, and the final assignment — one
+    # materialization instead of lloyd_iters+2 replays of the upstream
+    # corpus plan (Spark MLlib's own k-means caches its input for the
+    # same reason; the cached slice is (id, dim longs) per vector)
+    v = cache_once(corpus.select(F.col(id_col).alias("id"), qvec.alias("v")))
     seed_rows = v.orderBy("id").limit(n_centroids).collect()
     # EMPTY corpus (A12): one degenerate centroid keeps the literal
     # ranking expressions well-formed; zero rows flow through
@@ -2011,6 +2016,60 @@ def mmr_rerank(
     return selected.orderBy("query_id", "pick")
 
 
+def _dbscan_roles_local(pair_rows, *, min_pts: int) -> list[tuple]:
+    """Exact driver-side body of dbscan_embeddings' small-graph fast
+    path: role/cluster assembly over a bounded collected ε-pair list —
+    the same integer logic as the distributed deg/core/CC/border join
+    chain (degree = incident pair count, core ⟺ deg+1 ≥ min_pts,
+    clusters = min-id connected components of the core-core subgraph,
+    border = min core-neighbor cluster). Returns (id, role, cluster)
+    for core and border nodes ONLY — noise is the caller's left-join
+    coalesce, exactly like the distributed shape. Requires min_pts ≥ 2
+    (at min_pts ≤ 1 isolated nodes are core, which a pair list cannot
+    see)."""
+    deg: dict = {}
+    for a, b in pair_rows:
+        deg[a] = deg.get(a, 0) + 1
+        deg[b] = deg.get(b, 0) + 1
+    core = {i for i, d in deg.items() if d + 1 >= min_pts}
+    # min-id union-find over the core-core subgraph (the
+    # connected_components contract: component label = min node id)
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:
+            parent[x], x = root, parent[x]
+        return root
+
+    for a, b in pair_rows:
+        if a in core and b in core:
+            if a not in parent:
+                parent[a] = a
+            if b not in parent:
+                parent[b] = b
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                if ra < rb:
+                    parent[rb] = ra
+                else:
+                    parent[ra] = rb
+    cluster = {i: (find(i) if i in parent else i) for i in core}
+    labels = [(i, "core", cluster[i]) for i in sorted(core)]
+    border: dict = {}
+    for a, b in pair_rows:
+        if a in core and b not in core:
+            c = border.get(b)
+            border[b] = cluster[a] if c is None else min(c, cluster[a])
+        elif b in core and a not in core:
+            c = border.get(a)
+            border[a] = cluster[b] if c is None else min(c, cluster[b])
+    labels.extend((i, "border", border[i]) for i in sorted(border))
+    return labels
+
+
 def dbscan_embeddings(
     emb: DataFrame,
     *,
@@ -2021,6 +2080,7 @@ def dbscan_embeddings(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     pairs: DataFrame | None = None,
+    small_graph_pairs: int = 200_000,
 ) -> DataFrame:
     """DBSCAN density clustering over an embedding set (Ester et al.
     1996) — the clustering family's missing member next to the k-means
@@ -2098,6 +2158,43 @@ def dbscan_embeddings(
         )
         .select("ia", "ib")
     )
+    id_type = dict(base.dtypes)["id"]
+    if (
+        small_graph_pairs
+        and min_pts >= 2
+        and id_type in ("tinyint", "smallint", "int", "bigint")
+    ):
+        # Small-graph fast path (round 11): the ε-verified pair list is
+        # the ONLY input the deg/core/CC/border chain reads, so when it
+        # is bounded (≤ small_graph_pairs rows of two ids — the same
+        # few-MB collect discipline as connected_components' union-find
+        # tier) the whole role/cluster assembly runs as one driver-side
+        # pass and re-enters the plan as a broadcast LocalRelation. The
+        # distributed chain spends ~8 join/agg jobs plus the CC
+        # machinery on a graph that is bounded metadata at fixture
+        # scale; values are identical because every step is integer
+        # set/min logic replayed verbatim (see _dbscan_roles_local).
+        # Data-scale work (candidate generation + ε-verify) stays
+        # distributed; corpora whose ε-graph outgrows the bound take
+        # the unchanged join path below. 0 disables (tests).
+        probe = pairs.limit(small_graph_pairs + 1).collect()
+        if len(probe) <= small_graph_pairs:
+            lbl = _dbscan_roles_local(
+                [(r[0], r[1]) for r in probe], min_pts=min_pts
+            )
+            lbl_df = emb.sparkSession.createDataFrame(
+                lbl, f"id {id_type}, role string, cluster {id_type}"
+            )
+            return (
+                base.select("id")
+                .join(F.broadcast(lbl_df), "id", "left")
+                .select(
+                    F.col("id").alias("vec_id"),
+                    F.coalesce("role", F.lit("noise")).alias("role"),
+                    F.col("cluster").cast("long").alias("cluster"),
+                )
+                .orderBy("vec_id")
+            )
     und = pairs.union(pairs.select(F.col("ib"), F.col("ia"))).toDF("id", "nb_id")
     deg = und.groupBy("id").agg(F.count(F.lit(1)).alias("__deg"))
     nodes = base.select("id").join(deg, "id", "left").select(
@@ -2484,7 +2581,7 @@ def semdedup_scaled(
         F.lit(0).cast("long"),
         lambda acc, x: acc + x,
     )
-    pairs = (
+    pairs = cache_once(
         a.join(b, join_keys)
         .filter(F.col("ia") < F.col("ib"))
         .withColumn("__dot", dot)
@@ -2497,9 +2594,27 @@ def semdedup_scaled(
         )
         .select("ia", "ib")
     )
-    comp = _dedup.connected_components(pairs, src="ia", dst="ib").withColumnRenamed(
-        "id", "cid"
-    )
+    # Small-graph fast path (round 11): the ε-pair list is canonical
+    # (ia < ib, one cell per vector ⇒ distinct), so when it is bounded
+    # the dup-group labels come from ONE driver-side union-find over the
+    # collected pairs (the connected_components fast-path body without
+    # its persist/symmetrize/count scaffolding jobs — ~5 fewer scheduled
+    # jobs per run) and re-enter as a LocalRelation. Identical labels by
+    # construction (union-by-min-id = the CC min-label contract);
+    # anything larger takes connected_components unchanged.
+    id_type = dict(base.dtypes)["id"]
+    probe = pairs.limit(200_001).collect()
+    if len(probe) <= 200_000 and id_type in ("tinyint", "smallint", "int", "bigint"):
+        comp = F.broadcast(
+            corpus.sparkSession.createDataFrame(
+                _dedup._union_find([(r[0], r[1]) for r in probe]),
+                f"cid {id_type}, comp {id_type}",
+            )
+        )
+    else:
+        comp = _dedup.connected_components(pairs, src="ia", dst="ib").withColumnRenamed(
+            "id", "cid"
+        )
     return (
         base.select("id", "cell")
         .join(comp, base["id"] == comp["cid"], "left")

@@ -2404,6 +2404,7 @@ def semdedup_scaled(
     block_bits: int = 0,
     max_cell_rows: int | None = 25_000,
     guard_block_bits: int = 12,
+    small_graph_pairs: int = 200_000,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
@@ -2603,8 +2604,12 @@ def semdedup_scaled(
     # construction (union-by-min-id = the CC min-label contract);
     # anything larger takes connected_components unchanged.
     id_type = dict(base.dtypes)["id"]
-    probe = pairs.limit(200_001).collect()
-    if len(probe) <= 200_000 and id_type in ("tinyint", "smallint", "int", "bigint"):
+    probe = pairs.limit(small_graph_pairs + 1).collect() if small_graph_pairs else []
+    if (
+        small_graph_pairs
+        and len(probe) <= small_graph_pairs
+        and id_type in ("tinyint", "smallint", "int", "bigint")
+    ):
         comp = F.broadcast(
             corpus.sparkSession.createDataFrame(
                 _dedup._union_find([(r[0], r[1]) for r in probe]),

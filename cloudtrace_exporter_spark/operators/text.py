@@ -519,6 +519,7 @@ def _bpe_train(
     text_col: str = "text",
     merges_per_round: int = 1,
     stats: dict | None = None,
+    small_vocab_rows: int = 200_000,
 ) -> tuple[list[tuple[int, str, int]], DataFrame]:
     """The shared BPE training loop: returns the learned merge list AND
     the post-merge vocabulary (word, w, wf) — the segmentation table the
@@ -526,7 +527,71 @@ def _bpe_train(
     disjoint top pairs into one vocab pass per driver round (bounds the
     loop at ~n_merges/batch Spark jobs — the cap a 32k-merge vocabulary
     needs); the default is exact sequential BPE."""
-    vocab = bpe_word_vocab(documents, text_col).localCheckpoint()
+    # Small-vocab fast path (round 11): Sennrich BPE is a DICTIONARY-
+    # LOCAL algorithm — every round reads and rewrites only the word-
+    # frequency vocab, never the corpus — so when the vocab is bounded
+    # (≤ 200k rows; the reference trainers run exactly this loop on one
+    # machine) the whole merge loop runs driver-side over the collected
+    # vocab instead of n_merges × (pair-stats agg + TakeOrdered collect
+    # + localCheckpoint) Spark jobs. Pair counts are integer wf sums,
+    # tie-break is (count desc, pair asc) — UTF-8 byte order equals
+    # codepoint order, so Python sorting reproduces Spark's — and the
+    # merge is the same double left-to-right non-overlapping replace,
+    # so the merge table and post-merge vocab are identical. A larger
+    # vocabulary takes the distributed per-round loop below unchanged
+    # (the corpus→vocab reduction is the only corpus-sized shuffle
+    # either way). driver_rounds accounting is identical: one pair-stats
+    # pass per loop iteration.
+    vocab_probe = bpe_word_vocab(documents, text_col)
+    rows = (
+        vocab_probe.limit(small_vocab_rows + 1).collect() if small_vocab_rows else []
+    )
+    if small_vocab_rows and len(rows) <= small_vocab_rows:
+        voc = [(r["word"], r["w"], r["wf"]) for r in rows]
+        merges = []
+        batch_n = max(1, merges_per_round)
+        driver_rounds = 0
+        while len(merges) < n_merges:
+            driver_rounds += 1
+            counts: dict[str, int] = {}
+            for _, w, wf in voc:
+                syms = w.strip().split(" ")
+                for i in range(len(syms) - 1):
+                    p = syms[i] + " " + syms[i + 1]
+                    counts[p] = counts.get(p, 0) + wf
+            if not counts:
+                break
+            top = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[
+                : batch_n * 4 if batch_n > 1 else 1
+            ]
+            used: set[str] = set()
+            batch: list[tuple[str, int]] = []
+            for pair, cnt in top:
+                if len(batch) >= batch_n:
+                    break
+                syms = set(pair.split(" "))
+                if used & syms:
+                    continue
+                used.update(syms)
+                used.add(pair.replace(" ", ""))
+                batch.append((pair, cnt))
+            for pair, cnt in batch:
+                merges.append((len(merges) + 1, pair, cnt))
+                pat = f" {pair} "
+                rep = " " + pair.replace(" ", "") + " "
+                voc = [
+                    (word, w.replace(pat, rep).replace(pat, rep), wf)
+                    for word, w, wf in voc
+                ]
+                if len(merges) >= n_merges:
+                    break
+        if stats is not None:
+            stats["driver_rounds"] = driver_rounds
+        vocab_out = documents.sparkSession.createDataFrame(
+            voc, "word string, w string, wf bigint"
+        )
+        return merges, vocab_out
+    vocab = vocab_probe.localCheckpoint()
     merges: list[tuple[int, str, int]] = []
     batch_n = max(1, merges_per_round)
     driver_rounds = 0  # observable bound for tests: one pair-stats

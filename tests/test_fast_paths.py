@@ -1,0 +1,161 @@
+"""Round-11 optimization fast paths: the driver-side small-input tiers
+must be BIT-IDENTICAL to the distributed paths they shortcut.
+
+Every fast path here follows the connected_components union-find
+discipline: a bounded limit-probe collect, exact integer/string logic
+replayed in Python, results re-entering the plan as a LocalRelation,
+and an untouched distributed fallback (forced via the threshold=0
+parameter) for anything larger.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from cloudtrace_exporter_spark.operators import graph, similarity, text
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+@pytest.fixture(scope="module")
+def word_graph(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma alpha beta"),
+            (2, "beta gamma delta epsilon beta"),
+            (3, "gamma delta alpha zeta zeta"),
+            (4, "epsilon zeta alpha beta gamma delta"),
+        ],
+        "doc_id long, text string",
+    )
+    return text.word_cooccurrence_graph(docs)
+
+
+def test_pagerank_scaled_local_matches_distributed_string_ids(spark, word_graph):
+    fast = _rows(graph.pagerank_scaled(word_graph, n_iter=10))
+    slow = _rows(graph.pagerank_scaled(word_graph, n_iter=10, small_graph_edges=0))
+    assert fast == slow
+    assert len(fast) > 0
+
+
+def test_pagerank_scaled_local_matches_distributed_int_ids(spark):
+    # a shape with dangling nodes, a cycle, and duplicate edges — the
+    # duplicate edge must count twice in out_deg on BOTH paths
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1), (1, 2), (4, 1), (5, 5)],
+        "src long, dst long",
+    )
+    fast = _rows(graph.pagerank_scaled(edges, n_iter=7))
+    slow = _rows(graph.pagerank_scaled(edges, n_iter=7, small_graph_edges=0))
+    assert fast == slow
+
+
+def test_pagerank_scaled_local_empty_edges(spark):
+    edges = spark.createDataFrame([], "src long, dst long")
+    assert graph.pagerank_scaled(edges, n_iter=5).count() == 0
+
+
+def _planted_corpus(spark):
+    # 3 planted dup groups of 4 + orthogonal noise: exercises core,
+    # border (none here), and noise roles plus multi-member clusters
+    rows = []
+    for g in range(3):
+        base = [0.0] * 8
+        base[g] = 1.0
+        for c in range(4):
+            v = list(base)
+            v[(g + 1) % 8] += 0.01 * c
+            rows.append((g * 10 + c, v))
+    for n in range(5):
+        v = [0.0] * 8
+        v[5 + (n % 3)] = 1.0 + 0.3 * n
+        rows.append((100 + n, v))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_dbscan_local_roles_match_distributed(spark):
+    corpus = _planted_corpus(spark)
+    fast = _rows(similarity.dbscan_embeddings(corpus, cos_num=95, cos_den=100, min_pts=3))
+    slow = _rows(
+        similarity.dbscan_embeddings(
+            corpus, cos_num=95, cos_den=100, min_pts=3, small_graph_pairs=0
+        )
+    )
+    assert fast == slow
+    roles = {r[1] for r in fast}
+    assert "core" in roles and "noise" in roles
+
+
+def test_dbscan_local_border_role_matches_distributed(spark):
+    # a chain where the middle points are core and the tips are border:
+    # min_pts=3 over unit-ish vectors with graded perturbations
+    rows = [(i, [1.0, 0.001 * i] + [0.0] * 6) for i in range(6)]
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    fast = _rows(similarity.dbscan_embeddings(corpus, cos_num=95, cos_den=100, min_pts=5))
+    slow = _rows(
+        similarity.dbscan_embeddings(
+            corpus, cos_num=95, cos_den=100, min_pts=5, small_graph_pairs=0
+        )
+    )
+    assert fast == slow
+
+
+def test_dbscan_min_pts_one_keeps_distributed_semantics(spark):
+    # min_pts <= 1 makes ISOLATED nodes core — invisible to a pair-list
+    # fast path, which must therefore not fire
+    corpus = _planted_corpus(spark)
+    out = {
+        r["vec_id"]: r["role"]
+        for r in similarity.dbscan_embeddings(
+            corpus, cos_num=95, cos_den=100, min_pts=1
+        ).collect()
+    }
+    assert out[100] == "core"  # isolated noise vector is core at min_pts=1
+
+
+def test_semdedup_local_cc_matches_distributed(spark):
+    corpus = _planted_corpus(spark)
+    fast = _rows(
+        similarity.semdedup_scaled(corpus, n_centroids=4, lloyd_iters=2, tau_num=95, tau_den=100)
+    )
+    slow = _rows(
+        similarity.semdedup_scaled(
+            corpus,
+            n_centroids=4,
+            lloyd_iters=2,
+            tau_num=95,
+            tau_den=100,
+            small_graph_pairs=0,
+        )
+    )
+    assert fast == slow
+
+
+def test_bpe_local_vocab_matches_distributed(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "low lower lowest low low"),
+            (2, "new newer newest new wider"),
+            (3, "low new wide wider widest"),
+        ],
+        "doc_id long, text string",
+    )
+    s_fast, s_slow = {}, {}
+    m_fast, v_fast = text._bpe_train(docs, n_merges=8, stats=s_fast)
+    m_slow, v_slow = text._bpe_train(docs, n_merges=8, stats=s_slow, small_vocab_rows=0)
+    assert m_fast == m_slow
+    assert _rows(v_fast) == _rows(v_slow)
+    assert s_fast["driver_rounds"] == s_slow["driver_rounds"]
+
+
+def test_bpe_local_batched_matches_distributed(spark):
+    docs = spark.createDataFrame(
+        [(i, f"tok{i % 7} tok{(i + 1) % 5} shared common shared") for i in range(40)],
+        "doc_id long, text string",
+    )
+    m_fast, _ = text._bpe_train(docs, n_merges=12, merges_per_round=4)
+    m_slow, _ = text._bpe_train(docs, n_merges=12, merges_per_round=4, small_vocab_rows=0)
+    assert m_fast == m_slow

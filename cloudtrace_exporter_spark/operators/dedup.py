@@ -2288,14 +2288,7 @@ def passjoin_edit_pairs(
     """
     d, k = int(max_dist), int(max_dist) + 1
     raw_pfx = F.substring(F.col(text_col), 1, prefix_chars)
-    # _spread AFTER the narrow (id, prefix) projection: the fixture scan
-    # is one split, so without it the probe-side generate, the candidate
-    # join's streamed side AND the banded levenshtein verify all ran in
-    # ONE task (round 11; measured 2.2 s wall at ~1.7 effective cores —
-    # the exchange carries ~48 bytes/row and unlocks full parallelism;
-    # at real scale the scan already has ≥ cores splits and _spread is
-    # a no-op).
-    base = _spread(
+    base = (
         df.select(
             F.col(id_col).alias("id"),
             (_ascii_fold(raw_pfx) if fold_keys else raw_pfx).alias("pfx"),
@@ -2307,6 +2300,16 @@ def passjoin_edit_pairs(
         .withColumn("fpx", _ascii_fold(F.col("pfx")))
         .filter(F.length("pfx") >= F.lit(min_len))
     )
+    # _spread the PROBE side only, after the narrow (id, prefix)
+    # projection: the fixture scan is one split, so without it the
+    # probe generate, the candidate join's streamed side AND the banded
+    # levenshtein verify all ran in ONE task (round 11; measured 2.2 s
+    # wall at ~1.7 effective cores → 0.74 s spread — the exchange
+    # carries ~48 bytes/row). The index side is the join's broadcast
+    # build, so spreading it would only add a shuffle before the
+    # collect-for-broadcast. At real scale the scan already has ≥ cores
+    # splits and _spread is a no-op.
+    probe_base = _spread(base)
     # Both generators are FLAT integer enumerations decoded from ONE
     # exploded sequence — deliberately no nested higher-order functions.
     # (A first cut nested flatten/transform/CASE lambdas three deep;
@@ -2336,7 +2339,7 @@ def passjoin_edit_pairs(
     # filtered, which reproduces exactly the clipped ±d position window.
     dd1 = 2 * d + 1
     probe = (
-        base.select(
+        probe_base.select(
             "id",
             "pfx",
             "fpx",

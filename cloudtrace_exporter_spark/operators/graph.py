@@ -236,7 +236,8 @@ def _pagerank_scaled_local(
     for s, d in edge_rows:
         nodes.add(s)
         nodes.add(d)
-        out_deg[s] = out_deg.get(s, 0) + 1
+        if s is not None:
+            out_deg[s] = out_deg.get(s, 0) + 1
     n = len(nodes)
     if n == 0:
         return []
@@ -245,11 +246,19 @@ def _pagerank_scaled_local(
     for _ in range(n_iter):
         csum: dict = {}
         for s, d in edge_rows:
+            # a NULL src never matches the rank join (SQL null equality),
+            # so its edge contributes nothing — but NULL is still a node
+            # (the union-distinct keeps one null row) and a NULL dst still
+            # RECEIVES contributions, exactly like the distributed rounds
+            if s is None:
+                continue
             csum[d] = csum.get(d, 0) + ranks[s] // out_deg[s]
         ranks = {
             i: teleport + (85 * csum.get(i, 0)) // 100 for i in nodes
         }
-    return sorted(ranks.items())
+    # no sort: a None id is unorderable and row order is meaningless in
+    # the returned relation
+    return list(ranks.items())
 
 
 def pagerank_scaled(

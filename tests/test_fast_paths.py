@@ -53,6 +53,25 @@ def test_pagerank_scaled_local_matches_distributed_int_ids(spark):
     assert fast == slow
 
 
+def test_pagerank_scaled_local_null_ids_match_distributed(spark):
+    # a NULL endpoint is a real node in the distributed rounds (the
+    # union-distinct keeps one null row); a NULL src never matches the
+    # rank join, so it sends nothing but still receives — the fuzz
+    # corpus exercises this via events with null subjects
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", None), (None, "a"), ("c", "a"), ("b", "c")],
+        "src string, dst string",
+    )
+    key = lambda r: (r[0] is None, r[0], r[1])
+    fast = sorted((tuple(r) for r in graph.pagerank_scaled(edges, n_iter=6).collect()), key=key)
+    slow = sorted(
+        (tuple(r) for r in graph.pagerank_scaled(edges, n_iter=6, small_graph_edges=0).collect()),
+        key=key,
+    )
+    assert fast == slow
+    assert any(r[0] is None for r in fast)
+
+
 def test_pagerank_scaled_local_empty_edges(spark):
     edges = spark.createDataFrame([], "src long, dst long")
     assert graph.pagerank_scaled(edges, n_iter=5).count() == 0

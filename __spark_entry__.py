@@ -4772,6 +4772,34 @@ def q_dbscan_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SEMDEDUP_CENTROIDS_CACHE: dict[tuple[str, str], list] = {}
+
+
+def _semdedup_centroids(spark: SparkSession, sf_dir: str) -> list:
+    """Session-frozen k-means centroids for the shared SemDeDup fixture
+    (n_centroids=8, lloyd_iters=2, scale=10**3) — the train-once/serve-
+    many index-artifact lifecycle of _bm25_stats/_IVF_INDEX_CACHE
+    applied to the k-means tier: the three semdedup postures score
+    against ONE trained centroid set instead of re-running the Lloyd
+    collects per query. Centroids are a deterministic function of the
+    data, so results are identical to a fresh train (pinned by
+    test_fast_paths + the unchanged DuckDB oracles, which replay the
+    training from parquet)."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    got = _SEMDEDUP_CENTROIDS_CACHE.get(key)
+    if got is None:
+        from cloudtrace_exporter_spark.operators.similarity import _scaled_kmeans
+
+        _, got = _scaled_kmeans(
+            _dbscan_corpus(spark, sf_dir),
+            n_centroids=8,
+            lloyd_iters=2,
+            scale=10**3,
+        )
+        _SEMDEDUP_CENTROIDS_CACHE[key] = got
+    return got
+
+
 def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semantic dedup, ORACLE-EXACT (SemDeDup, Abbas et al. 2023; round
     10): k-means cluster the planted embedding corpus, drop all but the
@@ -4788,6 +4816,7 @@ def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         lloyd_iters=2,
         tau_num=95,
         tau_den=100,
+        centroids=_semdedup_centroids(spark, sf_dir),
     )
 
 
@@ -4840,6 +4869,7 @@ def q_semdedup_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
         tau_num=95,
         tau_den=100,
         block_bits=8,
+        centroids=_semdedup_centroids(spark, sf_dir),
     )
 
 
@@ -4863,6 +4893,7 @@ def q_semdedup_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
         tau_den=100,
         max_cell_rows=60,
         guard_block_bits=12,
+        centroids=_semdedup_centroids(spark, sf_dir),
     )
 
 

@@ -385,6 +385,7 @@ def _scaled_kmeans(
     scale: int,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    centroids: list[tuple[int, list[int]]] | None = None,
 ) -> tuple[DataFrame, list[tuple[int, list[int]]]]:
     """ORACLE-EXACT integer k-means shared by ivf_topk_scaled and
     semdedup_scaled: deterministic lowest-id seeding, ``lloyd_iters``
@@ -401,6 +402,14 @@ def _scaled_kmeans(
     # corpus plan (Spark MLlib's own k-means caches its input for the
     # same reason; the cached slice is (id, dim longs) per vector)
     v = cache_once(corpus.select(F.col(id_col).alias("id"), qvec.alias("v")))
+    if centroids is not None:
+        # serve-time path (round 11): the caller holds FROZEN centroids —
+        # the train-once/serve-many index-artifact lifecycle of the LSH/
+        # PQ/BM25 caches applied to the k-means tier. Assignment is the
+        # identical literal-matrix argmin, so results equal a fresh train
+        # on the same corpus (centroids are a deterministic function of
+        # the data; pinned by test_fast_paths).
+        return v.withColumn("cell", _nearest_scaled(F.col("v"), centroids)), centroids
     seed_rows = v.orderBy("id").limit(n_centroids).collect()
     # EMPTY corpus (A12): one degenerate centroid keeps the literal
     # ranking expressions well-formed; zero rows flow through
@@ -2405,6 +2414,7 @@ def semdedup_scaled(
     max_cell_rows: int | None = 25_000,
     guard_block_bits: int = 12,
     small_graph_pairs: int = 200_000,
+    centroids: list[tuple[int, list[int]]] | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
@@ -2483,6 +2493,7 @@ def semdedup_scaled(
         scale=scale,
         id_col=id_col,
         vec_col=vec_col,
+        centroids=centroids,
     )
     self_dot = F.aggregate(
         F.zip_with("v", "v", lambda x, y: x * y),

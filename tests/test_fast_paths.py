@@ -153,6 +153,30 @@ def test_semdedup_local_cc_matches_distributed(spark):
     assert fast == slow
 
 
+def test_semdedup_frozen_centroids_match_fresh_train(spark):
+    # the serve-time centroids path (train-once/serve-many, the
+    # LSH/PQ/BM25 index-artifact lifecycle) must equal a fresh train on
+    # the same corpus — centroids are a deterministic function of the data
+    corpus = _planted_corpus(spark)
+    from cloudtrace_exporter_spark.operators.similarity import _scaled_kmeans
+
+    _, cents = _scaled_kmeans(corpus, n_centroids=4, lloyd_iters=2, scale=10**3)
+    fresh = _rows(
+        similarity.semdedup_scaled(corpus, n_centroids=4, lloyd_iters=2, tau_num=95, tau_den=100)
+    )
+    frozen = _rows(
+        similarity.semdedup_scaled(
+            corpus,
+            n_centroids=4,
+            lloyd_iters=2,
+            tau_num=95,
+            tau_den=100,
+            centroids=cents,
+        )
+    )
+    assert fresh == frozen
+
+
 def test_bpe_local_vocab_matches_distributed(spark):
     docs = spark.createDataFrame(
         [

@@ -1237,6 +1237,32 @@ def _ewma_oracle_sql(*, alpha: float = 0.3, depth: int = 8, band: float = 2.0) -
     """
 
 
+_CONTRASTIVE_POOL_CACHE: dict[tuple[str, str], list] = {}
+
+
+def _contrastive_pool(spark: SparkSession, sf_dir: str) -> list:
+    """Session-frozen negative-sampling pool for q_contrastive_pairs —
+    the pool_n smallest-md5(doc_id) ids, a deterministic function of the
+    corpus (same freeze-once/serve-many lifecycle as _bm25_stats; the
+    DuckDB oracle recomputes the identical pool from parquet)."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    got = _CONTRASTIVE_POOL_CACHE.get(key)
+    if got is None:
+        docs = load_table(spark, sf_dir, "documents")
+        got = [
+            r["cand"]
+            for r in docs.select(
+                F.col("doc_id").alias("cand"),
+                F.md5(F.col("doc_id").cast("string").cast("binary")).alias("h"),
+            )
+            .orderBy("h", "cand")
+            .limit(1024)
+            .collect()
+        ]
+        _CONTRASTIVE_POOL_CACHE[key] = got
+    return got
+
+
 def q_contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """North-star training-pair construction: (anchor, positive,
     negatives) rows. Positives come from the MINHASH-LSH candidate
@@ -1253,7 +1279,9 @@ def q_contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda: dedup.minhash_banded_index(docs, portable=True),
     )
     pairs = dedup.minhash_lsh_pairs(docs, threshold=0.5, index=index)
-    return curate.contrastive_pairs(docs, pairs=pairs)
+    return curate.contrastive_pairs(
+        docs, pairs=pairs, pool=_contrastive_pool(spark, sf_dir)
+    )
 
 
 def q_contrastive_pairs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -390,6 +390,7 @@ def contrastive_pairs(
     pool_n: int = 1024,
     oversample: int = 4,
     pairs: DataFrame | str = "lsh",
+    pool: list | None = None,
     text_col: str = "text",
     id_col: str = "doc_id",
 ) -> DataFrame:
@@ -463,8 +464,12 @@ def contrastive_pairs(
     # fixed-size deterministic pool: the pool_n smallest md5(id) docs.
     # TakeOrdered (never a global sort), then a bounded collect — ≤pool_n
     # ids become a literal array, so the per-anchor pick below is a pure
-    # projection: no join, no shuffle, no skew.
-    pool_ids = [
+    # projection: no join, no shuffle, no skew. ``pool`` injects a
+    # FROZEN pool (round 11 — the train-once/serve-many artifact
+    # lifecycle of the LSH/BM25 caches: the pool is a deterministic
+    # function of the corpus, so serving under a session-frozen pool is
+    # identical to recollecting it per call).
+    pool_ids = pool if pool is not None else [
         r["cand"]
         for r in docs.select(
             F.col(id_col).alias("cand"),

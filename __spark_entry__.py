@@ -96,6 +96,44 @@ def _session_cache_get(cache: dict, spark: SparkSession, sf_dir: str, build):
     return cached
 
 
+def clear_session_caches(spark: SparkSession) -> int:
+    """Drop every session-frozen artifact memo (the ``*_CACHE`` module
+    dicts: index artifacts, frozen centroids/pools/stats) and every
+    CacheManager entry, so the NEXT invocation of any query pays its
+    full cold build from the parquet inputs.
+
+    Round 12 (r11 verdict order #1): bench.py's warm passes used to
+    populate these memos outside the timed window, so the timed
+    best-of-3 silently measured serve cost only. bench.py now times ONE
+    cold invocation per headline query (after calling this) and reports
+    it as ``queries_build`` next to the warm numbers. Never called on a
+    query path. Returns the number of memo entries dropped."""
+    n = 0
+    for name, val in list(globals().items()):
+        if name.endswith("_CACHE") and isinstance(val, dict):
+            for key in list(val):
+                entry_val = val.pop(key)
+                n += 1
+                stack = [entry_val]
+                while stack:
+                    item = stack.pop()
+                    if isinstance(item, DataFrame):
+                        try:
+                            item.unpersist()
+                        except Exception:
+                            pass
+                    elif isinstance(item, (tuple, list)):
+                        stack.extend(item)
+    try:
+        # cache_once-registered frames (tokenized containment corpus,
+        # global_row_number ranges, k-means inputs, ...) live in Spark's
+        # CacheManager, not in the module dicts
+        spark.catalog.clearCache()
+    except Exception:
+        pass
+    return n
+
+
 def _normalized_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events fixture → TRACE_SCHEMA → normalized EVENT_SCHEMA (Part A chain)."""
     return _session_cache_get(

@@ -28,6 +28,17 @@ lives in BASELINE.md (with the normalize rule), and
 Each query is forced with a count() (no driver-side collect of data);
 a warm-up pass on sf's smallest table primes the JVM/codegen so the
 numbers measure the plans, not session startup.
+
+Round 12 (r11 verdict order #1 — "un-game the bench accounting"): the
+detail file additionally carries ``queries_build``/``queries_build_cpu``
+— wall + JVM CPU of ONE COLD invocation per query, taken with every
+session-frozen artifact memo and the Spark CacheManager cleared
+(``__spark_entry__.clear_session_caches``) — so any query whose warm
+number rides a session cache (semdedup centroids, contrastive pool,
+BM25 stats, LSH/MinHash/PQ/IVF indexes, cached token frames) shows its
+full build+serve cost next to the steady-state serve cost. The warm
+best-of-3 methodology and the compact line are unchanged (the compact
+line gains a ``build_total`` scalar).
 """
 
 from __future__ import annotations
@@ -197,15 +208,30 @@ def main() -> None:
     bands: dict[str, list[float]] = {}
     cpu_timings: dict[str, float] = {}
     cpu_bands: dict[str, list[float]] = {}
+    build_timings: dict[str, float] = {}
+    build_cpu: dict[str, float] = {}
     for name in names:
-        # two unmeasured warm passes: the first pays index .cache() builds,
-        # codegen compilation, and shuffle-file creation; the second gives
-        # the JIT one steady-state execution of the generated kernels
-        # before the timed window (r7: q_agg_by_status converges 0.50 →
-        # 0.24 s over repeated runs in a quiet session — a C2-warmth
-        # artifact, not a plan change; one warm pass left the timed
-        # best-of-3 mid-slope)
+        # round-12 build/serve split (r11 verdict order #1): the warm
+        # passes below populate the session-frozen artifact memos (index
+        # caches, k-means centroids, BM25 stats, cached token frames), so
+        # the timed best-of-3 measures SERVE cost only. To keep that
+        # number honest, time ONE cold invocation first — every session
+        # memo and CacheManager entry cleared — and report it as
+        # queries_build/queries_build_cpu in the detail file. The compact
+        # line and the warm per-query methodology are unchanged.
+        entry_mod.clear_session_caches(spark)
+        c0 = _jvm_cpu_seconds(spark)
+        t0 = time.time()
         qs[name](spark, sf_dir).count()
+        build_timings[name] = round(time.time() - t0, 3)
+        build_cpu[name] = round(_jvm_cpu_seconds(spark) - c0, 3)
+        # one more unmeasured warm pass (the cold pass above already paid
+        # index .cache() builds, codegen compilation, and shuffle-file
+        # creation; this gives the JIT one steady-state execution of the
+        # generated kernels before the timed window — r7: q_agg_by_status
+        # converges 0.50 → 0.24 s over repeated runs in a quiet session —
+        # a C2-warmth artifact, not a plan change; one warm pass left the
+        # timed best-of-3 mid-slope)
         qs[name](spark, sf_dir).count()
         samples: list[float] = []
         cpu_samples: list[float] = []
@@ -244,14 +270,29 @@ def main() -> None:
     round_no = os.environ.get("SPARK_GRAFT_ROUND") or (
         sys.argv[1] if len(sys.argv) > 1 and sys.argv[1].isdigit() else None
     )
+    # round-12 (r11 verdict order #2): a non-default-core run (the
+    # driver's scaling pass, e.g. local[8] on a 32-core box) gets a
+    # ``_c{cpus}``-suffixed detail name so it can never clobber the main
+    # run's artifact — r11's c8 run wrote BENCH_DETAIL_r12.json because
+    # the round inference assumes "this round's BENCH_r{N}.json doesn't
+    # exist yet". For the same reason a suffixed (secondary) run infers
+    # round = max(existing) — its main-run artifact is already on disk.
+    from cloudtrace_exporter_spark.session import DEFAULT_CPUS
+
+    cpus_suffix = "" if int(DEFAULT_CPUS) == os.cpu_count() else f"_c{DEFAULT_CPUS}"
     if round_no is None:
         rounds = [
             int(m.group(1))
             for f in os.listdir(repo)
             if (m := re.match(r"BENCH_r(\d+)\.json$", f))
         ]
-        round_no = (max(rounds) + 1) if rounds else 1
-    detail_name = f"BENCH_DETAIL_r{int(round_no):02d}.json"
+        if not rounds:
+            round_no = 1
+        elif cpus_suffix:
+            round_no = max(rounds)
+        else:
+            round_no = max(rounds) + 1
+    detail_name = f"BENCH_DETAIL_r{int(round_no):02d}{cpus_suffix}.json"
     detail = {
         "metric": "headline_queries_total_wall",
         "value": round(sum(timings.values()), 3),
@@ -278,6 +319,15 @@ def main() -> None:
         # AND the new cpu band doesn't overlap the old one. Wall bands
         # adjudicate latency; CPU bands adjudicate load-immune cost.
         "queries_cpu_bands": cpu_bands,
+        # round-12 build/serve split (r11 verdict order #1): wall + JVM
+        # CPU of ONE cold invocation per query — session memos and the
+        # CacheManager cleared first — so queries whose warm number rides
+        # a session-frozen artifact (semdedup centroids, BM25 stats,
+        # LSH/PQ/IVF indexes, cached token frames) show their full build
+        # cost next to the steady-state serve cost.
+        "queries_build": build_timings,
+        "queries_build_cpu": build_cpu,
+        "build_total": round(sum(build_timings.values()), 3),
         "cpu_total": round(sum(cpu_timings.values()), 3),
         "calibration_start": calib_start,
         "calibration": calib_end,
@@ -298,6 +348,7 @@ def main() -> None:
         "unit": "sec",
         "sf": detail["sf"],
         "n_queries": len(timings),
+        "build_total": detail["build_total"],
         "cpu_total": detail["cpu_total"],
         "calib_start": calib_start["calib_wall_sec"],
         "calib_end": calib_end["calib_wall_sec"],

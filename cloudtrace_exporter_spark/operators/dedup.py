@@ -57,7 +57,12 @@ def _spread(df: DataFrame) -> DataFrame:
         # signature pipeline composes with readStream (stream_lsh_dedup_probe)
         return df
     parallelism = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() >= parallelism:
+    # memoized probe (round 12): the raw .rdd conversion costs ~0.1 s of
+    # driver planning per call and re-runs on every invocation of the
+    # same operator over the same table
+    from cloudtrace_exporter_spark.session import rdd_partitions
+
+    if rdd_partitions(df) >= parallelism:
         return df
     return df.repartition(parallelism)
 
@@ -1941,12 +1946,97 @@ def _containment_verify(pairs: DataFrame, threshold: float) -> DataFrame:
     )
 
 
+def _containment_verify_arrow(pairs: DataFrame, threshold: float) -> DataFrame:
+    """Arrow-batched exact containment scoring — the same contract as
+    ``_containment_verify`` (bit-identical output, pinned by
+    test_fast_paths) with the per-pair ``array_intersect`` hash build
+    replaced by ONE vectorized set-intersection per Arrow batch
+    (guide §4.2: hand whole batches to native kernels, no pickled rows,
+    plan shows ``PythonMapInArrow``, never ``BatchEvalPython``).
+
+    Kernel: per batch, dictionary-encode the concatenated token values
+    of both sides (exact string equality — per-batch codes, no hashing
+    across batches, so no collision risk), form (pair_idx, code) keys,
+    and count per-pair key intersections with one ``np.intersect1d``
+    over the whole batch (sides are ``array_distinct`` upstream, so
+    keys are unique per side). inner/host roles, the containment
+    division, rounding, and the threshold filter all stay JVM-side —
+    identical expressions to the fallback. Rows whose token arrays
+    contain NULL elements take a per-batch exact Python-set path that
+    replays ``array_intersect``'s null semantics (null counts when
+    present on both sides)."""
+    sa, sb = F.size(F.col("a.tok")), F.size(F.col("b.tok"))
+    a_inner = (sa < sb) | ((sa == sb) & (F.col("a.id") < F.col("b.id")))
+    base = pairs.select(
+        F.when(a_inner, F.col("a.id")).otherwise(F.col("b.id")).alias("inner_id"),
+        F.when(a_inner, F.col("b.id")).otherwise(F.col("a.id")).alias("host_id"),
+        F.when(a_inner, sa).otherwise(sb).alias("inner_sz"),
+        F.col("a.tok").alias("a_tok"),
+        F.col("b.tok").alias("b_tok"),
+    )
+    id_t = base.schema["inner_id"].dataType.simpleString()
+    out_schema = f"inner_id {id_t}, host_id {id_t}, inner_sz int, inter int"
+
+    def _batches(it):
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        for batch in it:
+            a, b = batch.column(3), batch.column(4)
+            av, bv = a.flatten(), b.flatten()
+            if av.null_count or bv.null_count:
+                # exact slow path, array_intersect null semantics
+                inter = np.array(
+                    [
+                        len(set(x or []) & set(y or []))
+                        for x, y in zip(a.to_pylist(), b.to_pylist())
+                    ],
+                    dtype=np.int32,
+                )
+            else:
+                la = pc.fill_null(pc.list_value_length(a), 0).to_numpy(
+                    zero_copy_only=False
+                ).astype(np.int64)
+                lb = pc.fill_null(pc.list_value_length(b), 0).to_numpy(
+                    zero_copy_only=False
+                ).astype(np.int64)
+                n_a = len(av)
+                enc = pc.dictionary_encode(pa.concat_arrays([av, bv]))
+                codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+                n_codes = len(enc.dictionary)
+                ia = np.repeat(np.arange(len(la), dtype=np.int64), la)
+                ib = np.repeat(np.arange(len(lb), dtype=np.int64), lb)
+                key_a = ia * n_codes + codes[:n_a]
+                key_b = ib * n_codes + codes[n_a:]
+                common = np.intersect1d(key_a, key_b, assume_unique=True)
+                inter = (
+                    np.bincount(common // n_codes, minlength=len(la)).astype(np.int32)
+                    if common.size
+                    else np.zeros(len(la), np.int32)
+                )
+            yield pa.RecordBatch.from_arrays(
+                [batch.column(0), batch.column(1), batch.column(2), pa.array(inter)],
+                names=["inner_id", "host_id", "inner_sz", "inter"],
+            )
+
+    out = base.mapInArrow(_batches, out_schema)
+    cont = F.when(
+        F.col("inner_sz") > 0, F.col("inter") / F.col("inner_sz")
+    ).otherwise(F.lit(0.0))
+    return out.select(
+        "inner_id", "host_id", F.round(cont, 6).alias("containment")
+    ).filter(F.col("containment") >= threshold)
+
+
 def containment_pairs_blocked(
     df: DataFrame,
     threshold: float = 0.9,
     text_col: str = "text",
     id_col: str = "doc_id",
     _cache: bool = True,
+    _kernel: bool = True,
+    bitset_vocab: int = 64,
 ) -> DataFrame:
     """Scale-true containment pairs via EXACT prefix filtering (the
     PPJoin principle): if host B contains ≥ threshold·|A| of inner A's
@@ -2012,6 +2102,112 @@ def containment_pairs_blocked(
     postings = flat.join(tok_df.filter(F.col("df") >= 2).select("t"), "t").select(
         F.col("id").alias("pid"), "t"
     )
+    # round 12 bitset tier (r11 verdict order #4, redesigned after stage
+    # decomposition): the verify intersect was NOT the cost — attaching
+    # the token ARRAYS to the candidate pairs (two joins shipping
+    # ~0.6 KB/pair) and the pre-verify dropDuplicates exchange were.
+    # When the SHAREABLE vocabulary (tokens with df ≥ 2 — a df=1 token
+    # can never be in an intersection of two distinct docs) fits one
+    # machine word, each document's shareable token set is an exact
+    # 64-bit bitmap (the classic bitmap-index representation): candidates
+    # carry two LONGs instead of two arrays, |A∩B| = bit_count(maskA &
+    # maskB), and the duplicate-candidate collapse moves AFTER the
+    # threshold filter (popcount verify is ~free per row, so verifying
+    # the 1.6x raw multiplicity is cheaper than an exchange that dedups
+    # 717k rows — the r11 "late dedup" rejection inverted, because the
+    # verify is no longer array-priced). |A| (inner_sz) still counts ALL
+    # tokens incl. df=1. Values are bit-identical to the array paths
+    # (pinned by test_fast_paths); vocab > ``bitset_vocab`` (cap 64)
+    # falls through to the array candidate path below — at 100 TB the
+    # vocabulary never fits and this tier never fires. bitset_vocab=0
+    # disables (tests).
+    if bitset_vocab:
+        shared_toks = (
+            tok_df.filter(F.col("df") >= 2)
+            .select("t")
+            .orderBy("t")
+            .limit(min(bitset_vocab, 64) + 1)
+            .collect()
+        )
+        if len(shared_toks) <= min(bitset_vocab, 64):
+            # token → its bit VALUE (1 << i as a signed-64 literal; bit 63
+            # is the sign bit, OR/AND/bit_count are bitwise-exact on the
+            # two's-complement long either way)
+            tok_bit = (
+                F.create_map(
+                    *[
+                        x
+                        for i, r in enumerate(shared_toks)
+                        for x in (
+                            F.lit(r["t"]),
+                            F.lit((1 << i) if i < 63 else -(1 << 63)).cast("long"),
+                        )
+                    ]
+                )
+                if shared_toks
+                else None
+            )
+            zero = F.lit(0).cast("long")
+            mask_expr = (
+                F.aggregate(
+                    "tok",
+                    zero,
+                    lambda acc, t: acc.bitwiseOR(
+                        F.coalesce(F.element_at(tok_bit, t), zero)
+                    ),
+                )
+                if tok_bit is not None
+                else zero
+            )
+            masks = _c(
+                toks.select("id", F.size("tok").alias("msz"), mask_expr.alias("mask"))
+            )
+            pm = probes.join(
+                masks.select(
+                    F.col("id"), F.col("msz").alias("__sa"), F.col("mask").alias("__ma")
+                ),
+                "id",
+            )
+            qm = postings.join(
+                masks.select(
+                    F.col("id").alias("pid"),
+                    F.col("msz").alias("__sb"),
+                    F.col("mask").alias("__mb"),
+                ),
+                "pid",
+            )
+            a_first = F.col("id") < F.col("pid")
+            raw = (
+                pm.join(qm, "t")
+                .filter(F.col("id") != F.col("pid"))
+                .select(
+                    F.least("id", "pid").alias("a_id"),
+                    F.greatest("id", "pid").alias("b_id"),
+                    F.when(a_first, F.col("__sa")).otherwise(F.col("__sb")).alias("sa"),
+                    F.when(a_first, F.col("__sb")).otherwise(F.col("__sa")).alias("sb"),
+                    F.when(a_first, F.col("__ma")).otherwise(F.col("__mb")).alias("ma"),
+                    F.when(a_first, F.col("__mb")).otherwise(F.col("__ma")).alias("mb"),
+                )
+            )
+            inter = F.bit_count(F.col("ma").bitwiseAND(F.col("mb")))
+            a_inner = (F.col("sa") < F.col("sb")) | (
+                (F.col("sa") == F.col("sb")) & (F.col("a_id") < F.col("b_id"))
+            )
+            inner_sz = F.when(a_inner, F.col("sa")).otherwise(F.col("sb"))
+            cont = F.when(inner_sz > 0, inter / inner_sz).otherwise(F.lit(0.0))
+            return (
+                raw.select(
+                    F.when(a_inner, F.col("a_id"))
+                    .otherwise(F.col("b_id"))
+                    .alias("inner_id"),
+                    F.when(a_inner, F.col("b_id"))
+                    .otherwise(F.col("a_id"))
+                    .alias("host_id"),
+                    F.round(cont, 6).alias("containment"),
+                )
+                .filter(F.col("containment") >= threshold)
+                .dropDuplicates(["inner_id", "host_id"])
+            )
     cand = (
         probes.join(postings, "t")
         .filter(F.col("id") != F.col("pid"))
@@ -2028,6 +2224,14 @@ def containment_pairs_blocked(
             F.struct(F.col("b_id").alias("id"), F.col("b_tok").alias("tok")).alias("b"),
         )
     )
+    # round 12 (r11 verdict order #4): the exact-verify kernel — the
+    # dominant real compute of the adversarial fixture (449k candidate
+    # pairs) — runs as one Arrow-batched set intersection per batch
+    # instead of a per-pair array_intersect hash build. Bit-identical
+    # (test_fast_paths pins kernel == expression); ``_kernel=False``
+    # keeps the pure-JVM expression path.
+    if _kernel:
+        return _containment_verify_arrow(pairs, threshold)
     return _containment_verify(pairs, threshold)
 
 

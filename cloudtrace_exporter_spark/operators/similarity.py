@@ -36,7 +36,9 @@ def _spread(df: DataFrame) -> DataFrame:
     input already has ≥ the session's parallelism — at corpus scale an
     unconditional round-robin would be a gratuitous full shuffle."""
     parallelism = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() >= parallelism:
+    from cloudtrace_exporter_spark.session import rdd_partitions
+
+    if rdd_partitions(df) >= parallelism:
         return df
     return df.repartition(parallelism)
 

@@ -218,7 +218,9 @@ def bm25_topk(
     # that unlocks whole-cluster parallelism; at real scale the scan
     # already has ≥ cores splits and this branch never fires
     sc = documents.sparkSession.sparkContext
-    if documents.rdd.getNumPartitions() < sc.defaultParallelism:
+    from cloudtrace_exporter_spark.session import rdd_partitions
+
+    if rdd_partitions(documents) < sc.defaultParallelism:
         documents = documents.repartition(sc.defaultParallelism)
     # WAND-lite candidate pruning: a document scores > 0 for SOME query
     # only if it contains SOME query term, so an arrays_overlap against

@@ -127,6 +127,34 @@ def get_spark(app_name: str = "cloudtrace_exporter_spark", cpus: str | None = No
     return spark
 
 
+# round 12 (r11 verdict order #5): partition-count probes memoized per
+# (application, semantic plan hash). ``df.rdd.getNumPartitions()`` forces
+# physical planning + an RDD conversion through py4j (~0.1 s per call,
+# builder-measured) and the under-partitioned-input guards (_spread, the
+# bm25 fan-out) re-probe the SAME logical plan on every invocation. The
+# count is stable within a session (scan splits derive from the cached
+# file listing + conf; shuffle outputs from spark.sql.shuffle.partitions),
+# so the first probe's answer is replayed. Values are ints keyed by a
+# 32-bit semantic hash — a collision could only mis-steer the
+# spread-vs-not heuristic (plan shape, never results).
+_NUM_PARTITIONS_MEMO: dict[tuple[str, int], int] = {}
+
+
+def rdd_partitions(df: DataFrame) -> int:
+    """Partition count of ``df``'s physical RDD, memoized per
+    (applicationId, ``df.semanticHash()``). Falls back to the direct
+    probe if the hash is unavailable."""
+    try:
+        key = (df.sparkSession.sparkContext.applicationId, df.semanticHash())
+    except Exception:
+        return df.rdd.getNumPartitions()
+    got = _NUM_PARTITIONS_MEMO.get(key)
+    if got is None:
+        got = df.rdd.getNumPartitions()
+        _NUM_PARTITIONS_MEMO[key] = got
+    return got
+
+
 def cache_once(df: DataFrame) -> DataFrame:
     """``df.cache()`` with ONE caching owner per logical plan: if an
     identical plan is already in the CacheManager (e.g. a helper cached

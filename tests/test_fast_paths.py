@@ -202,3 +202,112 @@ def test_bpe_local_batched_matches_distributed(spark):
     m_fast, _ = text._bpe_train(docs, n_merges=12, merges_per_round=4)
     m_slow, _ = text._bpe_train(docs, n_merges=12, merges_per_round=4, small_vocab_rows=0)
     assert m_fast == m_slow
+
+
+# ---------------------------------------------------------------------------
+# round 12: Arrow containment-verify kernel + memoized partition probe
+# ---------------------------------------------------------------------------
+
+
+def test_containment_kernel_matches_expression(spark):
+    # kernel == JVM expression, bit-identical, on an adversarial slice:
+    # shared vocab (dense candidates), an engulfed doc, an exact tie in
+    # sizes (id tiebreak), a doc with no overlap, and repeated tokens
+    # (array_distinct upstream must make sides set-like)
+    from cloudtrace_exporter_spark.operators import dedup as dd
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e f g h"),
+            (2, "a b c d e f g h i j"),          # host of 1
+            (3, "a b c"),                         # engulfed in 1 and 2
+            (4, "x y z"),                         # disjoint
+            (5, "c b a"),                         # same set as 3 -> tie on size
+            (6, "a a b b c c d"),                 # dup tokens
+        ],
+        "doc_id long, text string",
+    )
+    for thr in (0.5, 0.9, 0.98):
+        # three tiers, one contract: bitset (vocab <= 64), Arrow kernel,
+        # and the pure-JVM expression path must be bit-identical
+        bitset = _rows(dd.containment_pairs_blocked(docs, threshold=thr, _cache=False))
+        kernel = _rows(
+            dd.containment_pairs_blocked(
+                docs, threshold=thr, _cache=False, bitset_vocab=0
+            )
+        )
+        slow = _rows(
+            dd.containment_pairs_blocked(
+                docs, threshold=thr, _cache=False, bitset_vocab=0, _kernel=False
+            )
+        )
+        assert bitset == kernel == slow
+    assert len(bitset) > 0
+
+
+def test_containment_bitset_tier_vocab_overflow_falls_back(spark):
+    # 70 shareable tokens > 64 -> the bitset tier must fall through to
+    # the array path and still produce identical results
+    from cloudtrace_exporter_spark.operators import dedup as dd
+
+    vocab = [f"t{i:02d}" for i in range(70)]
+    rows = [
+        (i, " ".join(vocab[i % 3 :][: 40 + (i % 20)])) for i in range(1, 30)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    via_default = _rows(dd.containment_pairs_blocked(docs, threshold=0.7, _cache=False))
+    via_arrays = _rows(
+        dd.containment_pairs_blocked(docs, threshold=0.7, _cache=False, bitset_vocab=0)
+    )
+    assert via_default == via_arrays
+    assert len(via_default) > 0
+
+
+def test_containment_kernel_plan_is_map_in_arrow(spark):
+    from cloudtrace_exporter_spark.operators import dedup as dd
+
+    docs = spark.createDataFrame(
+        [(1, "a b c"), (2, "a b c d")], "doc_id long, text string"
+    )
+    plan = (
+        dd.containment_pairs_blocked(docs, threshold=0.5, _cache=False, bitset_vocab=0)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "MapInArrow" in plan or "PythonMapInArrow" in plan
+    assert "BatchEvalPython" not in plan
+    # the default (bitset) tier stays pure-JVM: longs + bit_count, no
+    # Python boundary at all
+    bplan = (
+        dd.containment_pairs_blocked(docs, threshold=0.5, _cache=False)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "MapInArrow" not in bplan and "BatchEvalPython" not in bplan
+
+
+def test_rdd_partitions_memo_matches_probe(spark):
+    from cloudtrace_exporter_spark.session import rdd_partitions
+
+    wide = spark.range(0, 1000, numPartitions=7).toDF("doc_id")
+    assert rdd_partitions(wide) == wide.rdd.getNumPartitions() == 7
+    # second call serves the memo — still the same answer
+    assert rdd_partitions(wide) == 7
+    narrow = spark.range(0, 10, numPartitions=1).toDF("doc_id")
+    assert rdd_partitions(narrow) == 1
+
+
+def test_clear_session_caches_drops_memos_and_cache(spark):
+    import __spark_entry__ as entry
+
+    df = spark.range(5).cache()
+    df.count()
+    entry._NORM_CACHE[("app-x", "sf-x")] = df
+    n = entry.clear_session_caches(spark)
+    assert n >= 1
+    assert not entry._NORM_CACHE
+    # the catalog-level cache is empty after the clear
+    jcm = spark._jsparkSession.sharedState().cacheManager()
+    assert jcm.isEmpty()

@@ -66,13 +66,20 @@ def main() -> None:
         spark.sparkContext.setJobDescription(f"profile:{name}")
         qs[name](spark, sf_dir).count()
         qs[name](spark, sf_dir).count()
-        samples, cpu_samples = [], []
+        samples, cpu_samples, job_samples = [], [], []
+
+        def _max_job_id() -> int:
+            ids = spark.sparkContext.statusTracker().getJobIdsForGroup(None)
+            return max(ids) if ids else -1
+
         for _ in range(3):
+            j0 = _max_job_id()
             c0 = _jvm_cpu_seconds(spark)
             t0 = time.time()
             qs[name](spark, sf_dir).count()
             samples.append(time.time() - t0)
             cpu_samples.append(_jvm_cpu_seconds(spark) - c0)
+            job_samples.append(_max_job_id() - j0)
         if plans_dir:
             buf = io.StringIO()
             with redirect_stdout(buf):
@@ -86,6 +93,10 @@ def main() -> None:
             "wall_band": [round(min(samples), 3), round(max(samples), 3)],
             "cpu": round(cpu_samples[samples.index(min(samples))], 3),
             "cpu_band": [round(min(cpu_samples), 3), round(max(cpu_samples), 3)],
+            # round 12 (r11 verdict order #5): Spark jobs per invocation —
+            # the scheduling-floor currency (~0.1 s of driver-side fixed
+            # cost each at fixture scale)
+            "jobs": job_samples[samples.index(min(samples))],
         }), flush=True)
 
 

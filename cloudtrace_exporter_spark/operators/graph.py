@@ -622,10 +622,14 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
     tri = wedges.join(
         e.select(F.col("a"), F.col("b").alias("c")), ["a", "c"], "left_semi"
     ).select("a", "b", "c")
-    nodes = (
-        tri.select(F.col("a").alias("doc_id"))
-        .unionAll(tri.select(F.col("b").alias("doc_id")))
-        .unionAll(tri.select(F.col("c").alias("doc_id")))
+    # one evaluation of the wedge+closure chain, not three: the 3-way
+    # unionAll re-ran the semi-join probe per branch (a 96-task stage at
+    # local[32] — each branch reads the reused shuffle but replays the
+    # join+project). explode(array(a,b,c)) emits the identical vertex
+    # multiset in a single pass (round 12, guide §2.4 — the union was an
+    # accidental 3x of the final join stage).
+    nodes = tri.select(
+        F.explode(F.array(F.col("a"), F.col("b"), F.col("c"))).alias("doc_id")
     )
     return (
         nodes.groupBy("doc_id")

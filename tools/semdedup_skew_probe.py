@@ -85,11 +85,58 @@ def run(spark, emb, n_twins: int, label: str, **kw) -> None:
     out.unpersist()
 
 
+def run_build_serve(spark, n: int) -> None:
+    """Round 12 (r11 verdict order #8): the frozen-centroid serve path
+    makes the bench's semdedup numbers serve-only, so the 100x-scale
+    claim must separately cover the ARTIFACT BUILD (k-means training).
+    Measures, on the skewed corpus at ``n`` vectors: (1) training
+    (_scaled_kmeans: seed + 2 Lloyd rounds — the build the session
+    freeze amortizes), (2) serve under the frozen centroids (the
+    steady-state query path), and (3) the fused train+serve call (the
+    pre-freeze posture, = the r10/r11 SCALE.md rows)."""
+    from cloudtrace_exporter_spark.operators import similarity
+    from cloudtrace_exporter_spark.operators.similarity import _scaled_kmeans
+
+    emb, n_twins = make_skewed(spark, n)
+    emb = emb.cache()
+    emb.count()
+    t0 = time.time()
+    _, cents = _scaled_kmeans(
+        emb, n_centroids=16, lloyd_iters=2, scale=10**3
+    )
+    build = time.time() - t0
+    t0 = time.time()
+    out = similarity.semdedup_scaled(
+        emb, n_centroids=16, tau_num=99, centroids=cents
+    ).cache()
+    dropped = out.filter(~F.col("keep")).count()
+    serve = time.time() - t0
+    out.unpersist()
+    spark.catalog.clearCache()
+    emb.cache().count()
+    t0 = time.time()
+    out2 = similarity.semdedup_scaled(emb, n_centroids=16, tau_num=99).cache()
+    dropped2 = out2.filter(~F.col("keep")).count()
+    fused = time.time() - t0
+    print(
+        f"{n//1000}k skewed build/serve: train(build)={build:.1f}s "
+        f"serve(frozen)={serve:.1f}s fused={fused:.1f}s "
+        f"dropped={dropped:,}/{dropped2:,} (planted={n_twins:,})",
+        flush=True,
+    )
+    out2.unpersist()
+    emb.unpersist()
+
+
 def main() -> None:
     sys.path.insert(0, ".")
     from cloudtrace_exporter_spark.session import get_spark
 
     spark = get_spark("semdedup_skew_probe")
+
+    if "--build-serve" in sys.argv:
+        run_build_serve(spark, 1_000_000)
+        return
 
     # hazard demonstration at feasibility-bounded scale: same corpus,
     # guard OFF (the pre-r11 default posture) vs guard ON

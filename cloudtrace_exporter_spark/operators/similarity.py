@@ -364,19 +364,42 @@ def _int_sq_dist(a: F.Column, b: F.Column) -> F.Column:
     return F.aggregate(d, F.lit(0).cast("long"), lambda acc, x: acc + x * x)
 
 
-def _nearest_scaled(col: F.Column, cents: list[tuple[int, list[int]]]) -> F.Column:
-    """Nearest-centroid cell over a literal integer centroid matrix —
-    exact BIGINT distances, ties break on the lower cell id."""
-    m = F.array(*[F.array(*[F.lit(int(x)) for x in c]) for _, c in cents])
-    cells = F.array(*[F.lit(int(cid)) for cid, _ in cents])
-    ranked = F.array_sort(
-        F.zip_with(
-            F.transform(m, lambda c: _int_sq_dist(col, c)),
-            cells,
-            lambda d, c: F.struct(d.alias("d"), c.alias("c")),
-        )
+def _ranked_cells_sql(col: str, cents: list[tuple[int, list[int]]]) -> str:
+    """SQL string for the distance-ranked centroid array over a literal
+    integer centroid matrix: array<struct<d,c>> sorted by (exact BIGINT
+    sq-distance, cell id). ``col`` is the quantized BIGINT-array column
+    NAME. Built as ONE string because the Column-object version created
+    k×dim+k literal Columns through py4j (~0.3–2 s of driver time per
+    invocation at k=8..16, dim=64 — round-12 plan-construction audit);
+    bare integer literals parse to the same INT/BIGINT types F.lit
+    produced, so the expression tree is semantically identical."""
+    m = "array(" + ", ".join(
+        "array(" + ", ".join(str(int(x)) for x in c) + ")" for _, c in cents
+    ) + ")"
+    cells = "array(" + ", ".join(str(int(cid)) for cid, _ in cents) + ")"
+    dist = (
+        f"aggregate(zip_with({col}, c, (x, y) -> x - y), 0L,"
+        " (acc, x) -> acc + x * x)"
     )
-    return F.element_at(ranked, 1)["c"]
+    return (
+        f"array_sort(zip_with(transform({m}, c -> {dist}), {cells},"
+        " (d, c) -> named_struct('d', d, 'c', c)))"
+    )
+
+
+def _nearest_scaled(col: str, cents: list[tuple[int, list[int]]]) -> F.Column:
+    """Nearest-centroid cell over a literal integer centroid matrix —
+    exact BIGINT distances, ties break on the lower cell id (see
+    _ranked_cells_sql for the py4j-economy note)."""
+    return F.expr(f"element_at({_ranked_cells_sql(col, cents)}, 1).c")
+
+
+def _probe_cells_scaled(col: str, cents: list[tuple[int, list[int]]], n_probe: int) -> F.Column:
+    """The ``n_probe`` nearest cell ids (same ranking as _nearest_scaled)
+    as one SQL expression."""
+    return F.expr(
+        f"transform(slice({_ranked_cells_sql(col, cents)}, 1, {int(n_probe)}), s -> s.c)"
+    )
 
 
 def _scaled_kmeans(
@@ -411,7 +434,7 @@ def _scaled_kmeans(
         # identical literal-matrix argmin, so results equal a fresh train
         # on the same corpus (centroids are a deterministic function of
         # the data; pinned by test_fast_paths).
-        return v.withColumn("cell", _nearest_scaled(F.col("v"), centroids)), centroids
+        return v.withColumn("cell", _nearest_scaled("v", centroids)), centroids
     seed_rows = v.orderBy("id").limit(n_centroids).collect()
     # EMPTY corpus (A12): one degenerate centroid keeps the literal
     # ranking expressions well-formed; zero rows flow through
@@ -419,7 +442,7 @@ def _scaled_kmeans(
         (0, [0])
     ]
     for _ in range(lloyd_iters):
-        assigned = v.withColumn("cell", _nearest_scaled(F.col("v"), cents))
+        assigned = v.withColumn("cell", _nearest_scaled("v", cents))
         sums = (
             assigned.select("cell", F.posexplode("v").alias("pos", "val"))
             .groupBy("cell", "pos")
@@ -434,7 +457,7 @@ def _scaled_kmeans(
             (cell, [_trunc_div(*dims[p]) for p in sorted(dims)])
             for cell, dims in sorted(by_cell.items())
         ] or cents
-    assigned = v.withColumn("cell", _nearest_scaled(F.col("v"), cents))
+    assigned = v.withColumn("cell", _nearest_scaled("v", cents))
     return assigned, cents
 
 
@@ -500,18 +523,8 @@ def _ivf_probe_scaled(
     qvec = F.transform(_as_double(vec_col), lambda x: F.round(x * scale).cast("long"))
     # probe: same literal ranking over the final centroids
     q = queries.select(F.col(id_col).alias("query_id"), qvec.alias("qv"))
-    m = F.array(*[F.array(*[F.lit(int(x)) for x in c]) for _, c in cents])
-    cells_arr = F.array(*[F.lit(int(cid)) for cid, _ in cents])
-    ranked = F.array_sort(
-        F.zip_with(
-            F.transform(m, lambda c: _int_sq_dist(F.col("qv"), c)),
-            cells_arr,
-            lambda d, c: F.struct(d.alias("d"), c.alias("c")),
-        )
-    )
-    probe_cells = F.transform(F.slice(ranked, 1, n_probe), lambda s: s["c"])
     q_cells = q.select(
-        "query_id", "qv", F.explode(probe_cells).alias("cell")
+        "query_id", "qv", F.explode(_probe_cells_scaled("qv", cents, n_probe)).alias("cell")
     )
     idot = lambda a, b: F.aggregate(  # noqa: E731 — exact BIGINT dot
         F.zip_with(a, b, lambda x, y: x * y), F.lit(0).cast("long"), lambda acc, x: acc + x
@@ -1097,21 +1110,22 @@ def pq_train(
 
 def _pq_cells_expr(books: list[list[list[float]]], sub: int) -> F.Column:
     """array<int> of per-subspace nearest-centroid indices (0-based) for
-    the bound vector column ``v`` — m argmins over literal codebooks."""
-    cells = []
+    the bound vector column ``v`` — m argmins over literal codebooks,
+    as ONE SQL string (py4j economy, see _ranked_cells_sql)."""
+    parts = []
     for j, bk in enumerate(books):
-        mlit = _matrix_lit(bk)
-        idxs = F.expr("array(" + ",".join(str(i) for i in range(len(bk))) + ")")
-        subv = F.slice(F.col("v"), j * sub + 1, sub)
-        ranked = F.array_sort(
-            F.zip_with(
-                F.transform(mlit, lambda c: _sq_dist(subv, c)),
-                idxs,
-                lambda d, c: F.struct(d.alias("d"), c.alias("c")),
-            )
+        mlit = _matrix_sql(bk)
+        idxs = "array(" + ",".join(str(i) for i in range(len(bk))) + ")"
+        subv = f"slice(v, {j * sub + 1}, {sub})"
+        dist = (
+            f"aggregate(zip_with({subv}, c, (x, y) -> x - y), 0.0D,"
+            " (acc, x) -> acc + x * x)"
         )
-        cells.append(F.element_at(ranked, 1)["c"])
-    return F.array(*cells)
+        parts.append(
+            f"element_at(array_sort(zip_with(transform({mlit}, c -> {dist}),"
+            f" {idxs}, (d, c) -> named_struct('d', d, 'c', c))), 1).c"
+        )
+    return F.expr("array(" + ", ".join(parts) + ")")
 
 
 def pq_encode(
@@ -1161,11 +1175,14 @@ def pq_topk(
     # reads a 2-parameter lambda as (element, index) and would silently
     # bind j to the centroid's array position (the seed-vs-index bug
     # class from minhash_signatures)
-    def _adc_row(j: int) -> F.Column:
-        subq = F.slice(F.col("v"), j * sub + 1, sub)
-        return F.transform(_matrix_lit(books[j]), lambda cent: _sq_dist(subq, cent))
+    def _adc_row_sql(j: int) -> str:
+        subq = f"slice(v, {j * sub + 1}, {sub})"
+        return (
+            f"transform({_matrix_sql(books[j])}, cent -> aggregate(zip_with({subq},"
+            " cent, (x, y) -> x - y), 0.0D, (acc, x) -> acc + x * x))"
+        )
 
-    table = F.array(*[_adc_row(j) for j in range(mlen)])
+    table = F.expr("array(" + ", ".join(_adc_row_sql(j) for j in range(mlen)) + ")")
     qt = q.select("query_id", table.alias("__t"))
     dist = F.aggregate(
         F.zip_with("codes", "__t", lambda code, trow: F.element_at(trow, code + 1)),
@@ -1231,25 +1248,27 @@ def pq_topk_scaled(
             for j in range(m)
         ]
 
-    def int_sq_dist(a: F.Column, b: F.Column) -> F.Column:
-        d = F.zip_with(a, b, lambda x, y: x - y)
-        return F.aggregate(d, F.lit(0).cast("long"), lambda acc, x: acc + x * x)
-
     def cells_expr(bks: list[list[list[int]]]) -> F.Column:
-        cells = []
+        # one SQL string per invocation instead of m×(k×sub + k) literal
+        # Columns (~1,200 py4j round trips ≈ 1.5 s of driver time, and
+        # this is built lloyd_iters+1 times per call — round-12
+        # plan-construction audit); semantics identical per element
+        parts = []
         for j, bk in enumerate(bks):
-            mlit = F.array(*[F.array(*[F.lit(int(x)) for x in c]) for c in bk])
-            idxs = F.array(*[F.lit(i) for i in range(len(bk))])
-            subv = F.slice(F.col("v"), j * sub + 1, sub)
-            ranked = F.array_sort(
-                F.zip_with(
-                    F.transform(mlit, lambda c: int_sq_dist(subv, c)),
-                    idxs,
-                    lambda d, c: F.struct(d.alias("d"), c.alias("c")),
-                )
+            mlit = "array(" + ", ".join(
+                "array(" + ", ".join(str(int(x)) for x in c) + ")" for c in bk
+            ) + ")"
+            idxs = "array(" + ", ".join(str(i) for i in range(len(bk))) + ")"
+            subv = f"slice(v, {j * sub + 1}, {sub})"
+            dist = (
+                f"aggregate(zip_with({subv}, c, (x, y) -> x - y), 0L,"
+                " (acc, x) -> acc + x * x)"
             )
-            cells.append(F.element_at(ranked, 1)["c"])
-        return F.array(*cells)
+            parts.append(
+                f"element_at(array_sort(zip_with(transform({mlit}, c -> {dist}),"
+                f" {idxs}, (d, c) -> named_struct('d', d, 'c', c))), 1).c"
+            )
+        return F.expr("array(" + ", ".join(parts) + ")")
 
     for _ in range(lloyd_iters):
         coded = v.withColumn("codes", cells_expr(books))
@@ -1280,12 +1299,17 @@ def pq_topk_scaled(
 
     q = queries.select(F.col(id_col).alias("query_id"), qvec.alias("v"))
 
-    def adc_row(j: int) -> F.Column:
-        subq = F.slice(F.col("v"), j * sub + 1, sub)
-        mlit = F.array(*[F.array(*[F.lit(int(x)) for x in c]) for c in books[j]])
-        return F.transform(mlit, lambda cent: int_sq_dist(subq, cent))
+    def adc_row_sql(j: int) -> str:
+        subq = f"slice(v, {j * sub + 1}, {sub})"
+        mlit = "array(" + ", ".join(
+            "array(" + ", ".join(str(int(x)) for x in c) + ")" for c in books[j]
+        ) + ")"
+        return (
+            f"transform({mlit}, cent -> aggregate(zip_with({subq}, cent,"
+            " (x, y) -> x - y), 0L, (acc, x) -> acc + x * x))"
+        )
 
-    table = F.array(*[adc_row(j) for j in range(m)])
+    table = F.expr("array(" + ", ".join(adc_row_sql(j) for j in range(m)) + ")")
     qt = q.select("query_id", table.alias("__t"))
     dist = F.aggregate(
         F.zip_with("codes", "__t", lambda code, trow: F.element_at(trow, code + 1)),
@@ -1767,15 +1791,17 @@ def label_separation_matrix(
     # and the self-join scans it twice — two Python-worker spin-ups for
     # 10 rows (~20 s of pure overhead measured); the literal frame is
     # whole-stage-codegen'd JVM data
-    row_lits = F.array(
-        *[
-            F.struct(
-                F.lit(lab).cast("int").alias("label"),
-                F.lit(n).cast("long").alias("n_vectors"),
-                F.array(*[F.lit(x).cast("long") for x in vec]).alias("c"),
-            )
+    # ONE SQL string instead of |labels|×(dim+2) literal Columns (round
+    # 12 py4j economy — ~640 round trips ≈ 0.8 s driver time at 10×64)
+    row_lits = F.expr(
+        "array("
+        + ", ".join(
+            f"named_struct('label', CAST({int(lab)} AS INT),"
+            f" 'n_vectors', {int(n)}L,"
+            " 'c', array(" + ", ".join(f"{int(x)}L" for x in vec) + "))"
             for lab, n, vec in cent_rows
-        ]
+        )
+        + ")"
     )
     cdf = (
         emb.sparkSession.range(1)
@@ -2265,19 +2291,28 @@ def power_iteration_vector(
     x = cache_once(emb.select(qvec.alias("x")))
     w = [wscale] * dim
     for _ in range(rounds):
-        w_lit = F.array(*[F.lit(int(c)).cast("long") for c in w])
-        dot = F.aggregate(
-            F.zip_with("x", w_lit, lambda a, b: a * b),
-            F.lit(0).cast("long"),
-            lambda acc, v: acc + v,
+        # round 12: each round's expressions are built as TWO SQL strings
+        # instead of ~400 Column objects (64 w literals + 64 sum exprs ×
+        # py4j round trips ≈ 0.8 s of DRIVER time per round — the whole
+        # 8-round loop spent ~6 s constructing plans and ~1 s executing
+        # them). Semantics identical: SQL x[i] is 0-based ↔
+        # element_at(x, i+1); 0L seed, integer sums, NULL→0 on empty.
+        arr = ", ".join(f"{int(c)}L" for c in w)
+        dot_sql = (
+            f"aggregate(zip_with(x, array({arr}), (a, b) -> a * b), 0L,"
+            " (acc, v) -> acc + v)"
         )
-        row = x.select(dot.alias("d"), "x").agg(
-            *[
-                F.sum(F.element_at("x", i + 1) * F.col("d")).cast("long").alias(f"y{i}")
-                for i in range(dim)
-            ]
-        ).collect()[0]
-        y = [row[f"y{i}"] if row[f"y{i}"] is not None else 0 for i in range(dim)]
+        y_sql = (
+            "array("
+            + ", ".join(f"cast(sum(x[{i}] * d) as bigint)" for i in range(dim))
+            + ")"
+        )
+        row = (
+            x.select(F.expr(dot_sql).alias("d"), "x")
+            .agg(F.expr(y_sql).alias("y"))
+            .collect()[0]
+        )
+        y = [v if v is not None else 0 for v in row["y"]]
         m = max(abs(v) for v in y)
         if m == 0:
             return [0] * dim
@@ -2373,7 +2408,7 @@ def anisotropy_report(
     )
     ww = sum(int(c) * int(c) for c in w)
     qvec = F.transform(_as_double(vec_col), lambda v: F.round(v * scale).cast("long"))
-    w_lit = F.array(*[F.lit(int(c)).cast("long") for c in w])
+    w_lit = F.expr("array(" + ", ".join(f"{int(c)}L" for c in w) + ")")
     n2 = F.aggregate(
         F.zip_with("x", "x", lambda a, b: a * b), F.lit(0).cast("long"), lambda s, v: s + v
     )
@@ -2753,7 +2788,7 @@ def semdedup_incremental(
     def prep(df: DataFrame) -> DataFrame:
         base = df.select(F.col(id_col).alias("id"), qvec.alias("v"))
         return cache_once(
-            base.withColumn("cell", _nearest_scaled(F.col("v"), cents)).withColumn(
+            base.withColumn("cell", _nearest_scaled("v", cents)).withColumn(
                 "n2", self_dot
             )
         )
@@ -2902,22 +2937,11 @@ def _contam_eval_probe(
     persist/broadcast, probe forever (the streaming prep artifact)."""
     qvec = F.transform(_as_double(vec_col), lambda x: F.round(x * scale).cast("long"))
     ev = eval_set.select(F.col(id_col).alias("eid"), qvec.alias("ev"))
-    m = F.array(*[F.array(*[F.lit(int(x)) for x in c]) for _, c in cents])
-    cells_arr = F.array(*[F.lit(int(cid)) for cid, _ in cents])
-    ranked = F.array_sort(
-        F.zip_with(
-            F.transform(m, lambda c: _int_sq_dist(F.col("ev"), c)),
-            cells_arr,
-            lambda d, c: F.struct(d.alias("d"), c.alias("c")),
-        )
-    )
     return ev.select(
         "eid",
         "ev",
         _self_dot_long("ev").alias("en2"),
-        F.explode(F.transform(F.slice(ranked, 1, n_probe), lambda s: s["c"])).alias(
-            "cell"
-        ),
+        F.explode(_probe_cells_scaled("ev", cents, n_probe)).alias("cell"),
     )
 
 
